@@ -1,0 +1,429 @@
+"""Snowflake-shaped catalog over Spark-managed parquet tables.
+
+Reference model (`/root/reference/pkg/metadata/repository.go`):
+database -> schema -> table/stage/file-format, with unquoted identifiers
+uppercased and the 3-level namespace flattened onto the engine's
+2-level one (``DB.SCHEMA_TABLE``, `pkg/query/table_naming.go:23-40`).
+
+Spark-first design decisions:
+
+* Tables are **immutable versioned parquet directories**
+  ``<base>/<DB>/<SCHEMA>/<TABLE>/v<N>``; every write (insert / update /
+  delete / merge / copy) produces a new version directory and atomically
+  bumps the catalog's version pointer. This sidesteps the
+  read-modify-overwrite self-read hazard of rewriting a parquet dir in
+  place, makes concurrent readers safe, and gives BEGIN/ROLLBACK real
+  semantics (restore version pointers) that the reference gets from
+  DuckDB's ACID (`pkg/query/executor.go:399-426`) — see
+  ``Engine.begin/commit/rollback``.
+* Each table version is registered as a Spark temp view under its
+  flattened physical name (``DB__SCHEMA__TABLE``); name resolution in
+  SQL happens by rewriting qualified names onto those views.
+* Column metadata (Snowflake type text, nullable, default, primary key)
+  lives driver-side, mirroring the serialized coldefs of the reference
+  (`pkg/metadata/repository.go:584-661`); Spark neither enforces PK nor
+  DEFAULT, same as DuckDB-side enforcement being the reference's only
+  enforcement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import config, errors
+from .functions.typemap import snowflake_to_spark, spark_to_snowflake_name
+from .naming import normalize_ident, physical_name, split_qualified
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    sf_type: str
+    nullable: bool = True
+    default: str | None = None
+    primary_key: bool = False
+
+    def spark_field(self) -> T.StructField:
+        return T.StructField(self.name, snowflake_to_spark(self.sf_type), self.nullable)
+
+
+@dataclass
+class TableMeta:
+    database: str
+    schema: str
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+    comment: str | None = None
+    clustering_key: str | None = None
+    kind: str = "TABLE"
+    version: int = 0
+    location: str | None = None  # base dir holding v<N> subdirs
+    created_on: float = field(default_factory=time.time)
+
+    @property
+    def physical(self) -> str:
+        return physical_name(self.database, self.schema, self.name)
+
+    def version_path(self, v: int | None = None) -> str:
+        assert self.location
+        return os.path.join(self.location, f"v{self.version if v is None else v}")
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType([c.spark_field() for c in self.columns])
+
+
+@dataclass
+class StageMeta:
+    database: str
+    schema: str
+    name: str
+    url: str | None = None
+    comment: str | None = None
+    directory: str = ""
+
+
+@dataclass
+class FileFormatMeta:
+    database: str
+    schema: str
+    name: str
+    format_type: str = "CSV"
+    options: dict = field(default_factory=dict)
+
+
+class Catalog:
+    """Driver-side metadata store + Spark-backed table storage."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir or os.path.join(
+            os.environ.get("SNOWEMU_DATA_DIR", "/tmp/snowemu_warehouse"), str(os.getpid())
+        )
+        os.makedirs(self.base_dir, exist_ok=True)
+        self._lock = threading.RLock()
+        self.databases: dict[str, dict] = {}
+        self.schemas: dict[tuple[str, str], dict] = {}
+        self.tables: dict[tuple[str, str, str], TableMeta] = {}
+        self.stages: dict[tuple[str, str, str], StageMeta] = {}
+        self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
+        # default namespace exists from the start, like the reference's
+        # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
+        self.create_database(config.DEFAULT_DATABASE, if_not_exists=True)
+        self.create_schema(config.DEFAULT_DATABASE, config.DEFAULT_SCHEMA, if_not_exists=True)
+
+    # ---------------- databases / schemas ----------------
+
+    def create_database(self, name: str, comment: str | None = None, if_not_exists: bool = False,
+                        or_replace: bool = False) -> None:
+        with self._lock:
+            db = normalize_ident(name)
+            if db in self.databases:
+                if or_replace:
+                    self.drop_database(db)
+                elif if_not_exists:
+                    return
+                else:
+                    raise errors.object_exists(db)
+            self.databases[db] = {"comment": comment, "created_on": time.time()}
+            self.schemas.setdefault((db, config.DEFAULT_SCHEMA), {"comment": None, "created_on": time.time()})
+
+    def drop_database(self, name: str, if_exists: bool = False) -> None:
+        with self._lock:
+            db = normalize_ident(name)
+            if db not in self.databases:
+                if if_exists:
+                    return
+                raise errors.object_not_found(db)
+            for key in [k for k in self.tables if k[0] == db]:
+                self._drop_table_key(key)
+            self.schemas = {k: v for k, v in self.schemas.items() if k[0] != db}
+            self.stages = {k: v for k, v in self.stages.items() if k[0] != db}
+            self.file_formats = {k: v for k, v in self.file_formats.items() if k[0] != db}
+            del self.databases[db]
+
+    def alter_database_comment(self, name: str, comment: str) -> None:
+        with self._lock:
+            db = normalize_ident(name)
+            if db not in self.databases:
+                raise errors.object_not_found(db)
+            self.databases[db]["comment"] = comment
+
+    def create_schema(self, db: str, name: str, comment: str | None = None,
+                      if_not_exists: bool = False) -> None:
+        with self._lock:
+            db, sch = normalize_ident(db), normalize_ident(name)
+            if db not in self.databases:
+                raise errors.object_not_found(db)
+            if (db, sch) in self.schemas:
+                if if_not_exists:
+                    return
+                raise errors.object_exists(f"{db}.{sch}")
+            self.schemas[(db, sch)] = {"comment": comment, "created_on": time.time()}
+
+    def drop_schema(self, db: str, name: str, if_exists: bool = False) -> None:
+        with self._lock:
+            db, sch = normalize_ident(db), normalize_ident(name)
+            if (db, sch) not in self.schemas:
+                if if_exists:
+                    return
+                raise errors.object_not_found(f"{db}.{sch}")
+            for key in [k for k in self.tables if k[0] == db and k[1] == sch]:
+                self._drop_table_key(key)
+            del self.schemas[(db, sch)]
+
+    # ---------------- tables ----------------
+
+    def resolve(self, name: str, database: str | None = None, schema: str | None = None) -> tuple[str, str, str]:
+        return split_qualified(name, database, schema)
+
+    def get_table(self, name: str, database: str | None = None, schema: str | None = None) -> TableMeta:
+        key = self.resolve(name, database, schema)
+        tm = self.tables.get(key)
+        if tm is None:
+            raise errors.object_not_found(".".join(key))
+        return tm
+
+    def has_table(self, name: str, database: str | None = None, schema: str | None = None) -> bool:
+        return self.resolve(name, database, schema) in self.tables
+
+    def create_table(self, name: str, columns: list[ColumnDef], database: str | None = None,
+                     schema: str | None = None, comment: str | None = None,
+                     if_not_exists: bool = False, or_replace: bool = False,
+                     df: DataFrame | None = None) -> TableMeta:
+        """Create a managed table; optionally seed with ``df`` (CTAS)."""
+        with self._lock:
+            db, sch, tbl = self.resolve(name, database, schema)
+            if db not in self.databases:
+                raise errors.object_not_found(db)
+            if (db, sch) not in self.schemas:
+                raise errors.object_not_found(f"{db}.{sch}")
+            if (db, sch, tbl) in self.tables:
+                if or_replace:
+                    self._drop_table_key((db, sch, tbl))
+                elif if_not_exists:
+                    return self.tables[(db, sch, tbl)]
+                else:
+                    raise errors.object_exists(f"{db}.{sch}.{tbl}")
+            tm = TableMeta(db, sch, tbl, columns=columns, comment=comment,
+                           location=os.path.join(self.base_dir, db, sch, tbl))
+            seed = df if df is not None else self.spark.createDataFrame([], tm.spark_schema())
+            os.makedirs(tm.location, exist_ok=True)
+            self._write_version(tm, seed, first=True)
+            self.tables[(db, sch, tbl)] = tm
+            return tm
+
+    def drop_table(self, name: str, database: str | None = None, schema: str | None = None,
+                   if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.tables:
+                if if_exists:
+                    return
+                raise errors.object_not_found(".".join(key))
+            self._drop_table_key(key)
+
+    def _drop_table_key(self, key: tuple[str, str, str]) -> None:
+        tm = self.tables.pop(key)
+        self.spark.catalog.dropTempView(tm.physical)
+        if tm.location and os.path.exists(tm.location):
+            shutil.rmtree(tm.location, ignore_errors=True)
+
+    def read_table(self, tm: TableMeta) -> DataFrame:
+        if tm.kind == "EXTERNAL":
+            return getattr(tm, "read_df")
+        return self.spark.read.schema(tm.spark_schema()).parquet(tm.version_path())
+
+    def _write_version(self, tm: TableMeta, df: DataFrame, first: bool = False) -> None:
+        """Write a new immutable version dir and re-register the view.
+
+        The enforced write schema is the table's declared schema; inputs
+        are cast column-by-column positionally (Snowflake/DuckDB-style
+        implicit cast on INSERT)."""
+        target = tm.spark_schema()
+        if tm.columns and len(df.schema.fields) != len(target.fields):
+            raise errors.execution_error(
+                f"column count mismatch for {tm.physical}: got {len(df.schema.fields)}, want {len(target.fields)}"
+            )
+        cols = [df[src.name].cast(f.dataType).alias(f.name)
+                for f, src in zip(target.fields, df.schema.fields)]
+        out = df.select(*cols) if tm.columns else df
+        new_version = tm.version + 1 if not first else 1
+        path = tm.version_path(new_version)
+        out.write.mode("overwrite").parquet(path)
+        tm.version = new_version
+        self.register_view(tm)
+        self._gc_versions(tm)
+
+    def write_table(self, tm: TableMeta, df: DataFrame, mode: str = "overwrite") -> None:
+        """``mode`` 'overwrite' replaces contents; 'append' unions with
+        the current version (still writes a full new version — parquet
+        append into the live dir would break snapshot isolation)."""
+        with self._lock:
+            if mode == "append":
+                cur = self.read_table(tm)
+                aligned = df.select(*[df[c.name].cast(f.dataType).alias(f.name)
+                                      for c, f in zip(df.schema.fields, tm.spark_schema().fields)])
+                df = cur.unionByName(aligned, allowMissingColumns=False)
+            self._write_version(tm, df)
+
+    def append_files_fast(self, tm: TableMeta, df: DataFrame) -> None:
+        """COPY-INTO fast path: append new parquet files into the
+        *current* version directory without rewriting existing data.
+        Safe because COPY only adds files and parquet readers list the
+        dir at query planning time. At 100 TB scale this is the only
+        viable ingest pattern (no O(table) rewrite per load)."""
+        with self._lock:
+            target = tm.spark_schema()
+            aligned = df.select(*[df[src.name].cast(f.dataType).alias(f.name)
+                                  for src, f in zip(df.schema.fields, target.fields)])
+            aligned.write.mode("append").parquet(tm.version_path())
+            self.register_view(tm)
+
+    def register_view(self, tm: TableMeta) -> None:
+        self.read_table(tm).createOrReplaceTempView(tm.physical)
+
+    def register_all_views(self) -> None:
+        for tm in self.tables.values():
+            self.register_view(tm)
+
+    def _gc_versions(self, tm: TableMeta, keep: int = 3) -> None:
+        if not tm.location or not os.path.isdir(tm.location):
+            return
+        versions = sorted(
+            (int(d[1:]) for d in os.listdir(tm.location) if re.fullmatch(r"v\d+", d)),
+        )
+        for v in versions[:-keep]:
+            if v != tm.version:
+                shutil.rmtree(os.path.join(tm.location, f"v{v}"), ignore_errors=True)
+
+    # ---------------- version snapshots (transactions) ----------------
+
+    def snapshot_versions(self) -> dict[tuple[str, str, str], int]:
+        with self._lock:
+            return {k: tm.version for k, tm in self.tables.items()}
+
+    def restore_versions(self, snap: dict[tuple[str, str, str], int]) -> None:
+        """Best-effort rollback: restore version pointers for tables that
+        still exist and whose snapshotted version dir is still on disk."""
+        with self._lock:
+            for key, v in snap.items():
+                tm = self.tables.get(key)
+                if tm is not None and tm.version != v and os.path.isdir(tm.version_path(v)):
+                    tm.version = v
+                    self.register_view(tm)
+
+    # ---------------- stages / file formats ----------------
+
+    def create_stage(self, name: str, database: str | None = None, schema: str | None = None,
+                     url: str | None = None, comment: str | None = None,
+                     if_not_exists: bool = False, or_replace: bool = False,
+                     stage_root: str | None = None) -> StageMeta:
+        with self._lock:
+            db, sch, stg = self.resolve(name, database, schema)
+            if (db, sch, stg) in self.stages:
+                if if_not_exists:
+                    return self.stages[(db, sch, stg)]
+                if not or_replace:
+                    raise errors.object_exists(stg)
+            directory = url or os.path.join(stage_root or os.path.join(self.base_dir, "_stages"), db, sch, stg)
+            os.makedirs(directory, exist_ok=True)
+            sm = StageMeta(db, sch, stg, url=url, comment=comment, directory=directory)
+            self.stages[(db, sch, stg)] = sm
+            return sm
+
+    def get_stage(self, name: str, database: str | None = None, schema: str | None = None) -> StageMeta:
+        key = self.resolve(name, database, schema)
+        sm = self.stages.get(key)
+        if sm is None:
+            raise errors.object_not_found("@" + ".".join(key))
+        return sm
+
+    def drop_stage(self, name: str, database: str | None = None, schema: str | None = None,
+                   if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            sm = self.stages.pop(key, None)
+            if sm is None:
+                if if_exists:
+                    return
+                raise errors.object_not_found("@" + ".".join(key))
+            if sm.url is None and os.path.isdir(sm.directory):
+                shutil.rmtree(sm.directory, ignore_errors=True)
+
+    def create_file_format(self, name: str, format_type: str, options: dict,
+                           database: str | None = None, schema: str | None = None,
+                           or_replace: bool = False, if_not_exists: bool = False) -> FileFormatMeta:
+        with self._lock:
+            db, sch, ff = self.resolve(name, database, schema)
+            if (db, sch, ff) in self.file_formats:
+                if if_not_exists:
+                    return self.file_formats[(db, sch, ff)]
+                if not or_replace:
+                    raise errors.object_exists(ff)
+            fm = FileFormatMeta(db, sch, ff, format_type.upper(), options)
+            self.file_formats[(db, sch, ff)] = fm
+            return fm
+
+    def get_file_format(self, name: str, database: str | None = None, schema: str | None = None) -> FileFormatMeta:
+        key = self.resolve(name, database, schema)
+        fm = self.file_formats.get(key)
+        if fm is None:
+            raise errors.object_not_found(".".join(key))
+        return fm
+
+    def drop_file_format(self, name: str, database: str | None = None, schema: str | None = None,
+                         if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if self.file_formats.pop(key, None) is None and not if_exists:
+                raise errors.object_not_found(".".join(key))
+
+    # ---------------- external registration (driver fixtures) ----------------
+
+    def register_external_parquet(self, name: str, path: str, database: str | None = None,
+                                  schema: str | None = None) -> TableMeta:
+        """Register a read-only external parquet file as a catalog table
+        (used to expose the driver's /root/testdata fixtures as
+        TEST_DB.PUBLIC_<NAME> per FIXTURES.md §2)."""
+        with self._lock:
+            db, sch, tbl = self.resolve(name, database, schema)
+            df = self.spark.read.parquet(path)
+            cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable) for f in df.schema.fields]
+            tm = TableMeta(db, sch, tbl, columns=cols, kind="EXTERNAL", location=None)
+            df.createOrReplaceTempView(tm.physical)
+            tm.read_df = df  # type: ignore[attr-defined]
+            self.tables[(db, sch, tbl)] = tm
+            return tm
+
+    def describe_table(self, name: str, database: str | None = None, schema: str | None = None) -> list[dict]:
+        tm = self.get_table(name, database, schema)
+        return [
+            {
+                "name": c.name,
+                "type": c.sf_type.upper(),
+                "kind": "COLUMN",
+                "null?": "Y" if c.nullable else "N",
+                "default": c.default,
+                "primary key": "Y" if c.primary_key else "N",
+            }
+            for c in tm.columns
+        ]
+
+    def export_meta(self) -> str:
+        return json.dumps(
+            {
+                "databases": list(self.databases),
+                "schemas": [list(k) for k in self.schemas],
+                "tables": {"|".join(k): [c.__dict__ for c in tm.columns] for k, tm in self.tables.items()},
+            },
+            indent=2,
+        )

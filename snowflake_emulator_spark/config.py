@@ -1,0 +1,51 @@
+"""Engine-wide constants.
+
+Mirrors the behavioral constants of the reference emulator
+(`/root/reference/pkg/config/constants.go:5-56`): default namespace
+``TEST_DB.PUBLIC``, Snowflake gosnowflake-protocol statement-type ids,
+and default session parameters.
+"""
+
+from __future__ import annotations
+
+DEFAULT_DATABASE = "TEST_DB"
+DEFAULT_SCHEMA = "PUBLIC"
+
+# Snowflake gosnowflake-protocol statement type ids
+# (reference: pkg/config/constants.go:14-20).
+STATEMENT_TYPE_SELECT = 1
+STATEMENT_TYPE_INSERT = 2
+STATEMENT_TYPE_DML = 3
+STATEMENT_TYPE_DDL = 4
+STATEMENT_TYPE_DROP = 5
+
+QUERY_RESULT_FORMAT_JSON = "json"
+
+# Session parameter defaults (reference: pkg/config/constants.go:28-56).
+DEFAULT_SESSION_PARAMETERS: dict[str, str] = {
+    "TIMEZONE": "UTC",
+    "TIMESTAMP_OUTPUT_FORMAT": "YYYY-MM-DD HH24:MI:SS",
+    "CLIENT_SESSION_KEEP_ALIVE": "false",
+    "QUERY_TAG": "",
+    "GO_QUERY_RESULT_FORMAT": QUERY_RESULT_FORMAT_JSON,
+}
+
+# Warehouse sizes accepted by CREATE WAREHOUSE
+# (reference: pkg/warehouse/manager.go:53-214).
+WAREHOUSE_SIZES = (
+    "X-SMALL",
+    "SMALL",
+    "MEDIUM",
+    "LARGE",
+    "X-LARGE",
+    "2X-LARGE",
+    "3X-LARGE",
+    "4X-LARGE",
+    "5X-LARGE",
+    "6X-LARGE",
+)
+
+# Session token validity (seconds); master token lasts 4x
+# (reference: pkg/session/manager.go:48-108, 205-267).
+SESSION_TOKEN_VALIDITY_SECS = 3600
+MASTER_TOKEN_VALIDITY_FACTOR = 4

@@ -1,0 +1,135 @@
+"""Engine facade: the one object a client (or the HTTP server) talks to.
+
+Wires SparkSession + Catalog + Executor + managers, and implements the
+statement surface the reference exposes through its executor routing
+(`/root/reference/pkg/query/executor.go:299-426`): queries, DDL, DML,
+COPY, MERGE, transactions, stage/file-format/warehouse DDL.
+
+Transactions: BEGIN snapshots every table's version pointer; ROLLBACK
+restores the pointers (version dirs are immutable, so this is a real
+rollback for table data); COMMIT discards the snapshot. This gives the
+emulator-grade ACID the reference inherits from DuckDB
+(`executor.go:399-426`) without requiring a transactional table format.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import errors
+from .catalog import Catalog
+from .executor import Executor, SessionContext
+from .result import Result
+from .session_factory import build_spark, ensure_engine_confs
+from .sources.stage import StageManager
+from .warehouse import WarehouseManager
+
+_CREATE_STAGE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?STAGE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)", re.I
+)
+_DROP_STAGE_RE = re.compile(r"^\s*DROP\s+STAGE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_FF_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+(.*)$",
+    re.I | re.S,
+)
+_DROP_FF_RE = re.compile(r"^\s*DROP\s+FILE\s+FORMAT\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_WH_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?WAREHOUSE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"$]+)(.*)$", re.I | re.S
+)
+_ALTER_WH_RE = re.compile(r"^\s*ALTER\s+WAREHOUSE\s+([\w\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
+_DROP_WH_RE = re.compile(r"^\s*DROP\s+WAREHOUSE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, base_dir: str | None = None):
+        self.spark = ensure_engine_confs(spark) if spark is not None else build_spark()
+        self.catalog = Catalog(self.spark, base_dir=base_dir)
+        self.executor = Executor(self.spark, self.catalog)
+        self.stages = StageManager(self.catalog)
+        self.warehouses = WarehouseManager()
+        self._tx_snapshot: dict | None = None
+
+    # ------------------------------------------------------------------
+
+    def execute(self, sql: str, ctx: SessionContext | None = None,
+                bindings: dict | None = None) -> Result:
+        ctx = ctx or SessionContext()
+        s = sql.strip().rstrip(";").strip()
+        up = s.upper()
+        # object-DDL handled at engine level (stage / file format / warehouse)
+        m = _CREATE_STAGE_RE.match(s)
+        if m and "FILE FORMAT" not in up.split("STAGE")[0]:
+            self.catalog.create_stage(m.group(3), ctx.database, ctx.schema,
+                                      or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
+            return Result.status(f"Stage area {m.group(3).upper()} successfully created.")
+        m = _DROP_STAGE_RE.match(s)
+        if m:
+            self.catalog.drop_stage(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_FF_RE.match(s)
+        if m:
+            fmt, opts = _parse_ff_options(m.group(4))
+            self.catalog.create_file_format(m.group(3), fmt, opts, ctx.database, ctx.schema,
+                                            or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
+            return Result.status(f"File format {m.group(3).upper()} successfully created.")
+        m = _DROP_FF_RE.match(s)
+        if m:
+            self.catalog.drop_file_format(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_WH_RE.match(s)
+        if m:
+            size = "X-SMALL"
+            sm = re.search(r"WAREHOUSE_SIZE\s*=\s*'?([\w-]+)'?", m.group(4) or "", re.I)
+            if sm:
+                size = sm.group(1)
+            self.warehouses.create(m.group(3), size, or_replace=bool(m.group(1)),
+                                   if_not_exists=bool(m.group(2)))
+            return Result.status(f"Warehouse {m.group(3).upper()} successfully created.")
+        m = _ALTER_WH_RE.match(s)
+        if m:
+            self.warehouses.set_state(m.group(1), m.group(2).upper())
+            return Result.status("Statement executed successfully.")
+        m = _DROP_WH_RE.match(s)
+        if m:
+            self.warehouses.drop(m.group(2), if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        if up.startswith("SHOW WAREHOUSES"):
+            rows = [[w.name, w.state, w.size] for w in self.warehouses.list()]
+            return Result(columns=["name", "state", "size"], rows=rows)
+        # transactions (engine level: version-pointer snapshots)
+        if re.match(r"^(BEGIN|START\s+TRANSACTION)\b", up):
+            self._tx_snapshot = self.catalog.snapshot_versions()
+            return Result.status("Statement executed successfully.")
+        if up.startswith("COMMIT"):
+            self._tx_snapshot = None
+            return Result.status("Statement executed successfully.")
+        if up.startswith("ROLLBACK"):
+            if self._tx_snapshot is not None:
+                self.catalog.restore_versions(self._tx_snapshot)
+                self._tx_snapshot = None
+            return Result.status("Statement executed successfully.")
+        return self.executor.execute(s, ctx, bindings)
+
+    def sql(self, sql: str, ctx: SessionContext | None = None) -> DataFrame:
+        """Query entry returning the lazy DataFrame (Snowflake SQL in)."""
+        return self.executor.query_df(sql, ctx)
+
+    def close(self) -> None:
+        pass  # shared SparkSession is owned by the caller
+
+
+def _parse_ff_options(body: str) -> tuple[str, dict]:
+    fmt = "CSV"
+    opts: dict = {}
+    for m in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|\S+)", body or ""):
+        k = m.group(1).upper()
+        v = m.group(2)
+        if v.startswith("'"):
+            v = v[1:-1].replace("''", "'")
+        if k == "TYPE":
+            fmt = v.upper()
+        else:
+            opts[k] = v
+    return fmt, opts

@@ -1,0 +1,498 @@
+"""Statement executor: classify -> translate -> run on Spark.
+
+Plays the role of the reference's ``Executor``
+(`/root/reference/pkg/query/executor.go:75-426`): queries are
+translated and delegated to the engine (Spark SQL here, DuckDB there);
+DDL and DML are parsed in this layer and applied through the catalog.
+
+Name resolution: Snowflake's 3-level ``DB.SCHEMA.TABLE`` is flattened
+onto Spark temp views named ``DB__SCHEMA__TABLE``
+(cf. `pkg/query/table_naming.go:23-40`). Qualified references in SQL are
+rewritten onto those views; tables of the session's current namespace
+are additionally aliased under their bare names so unqualified SQL works
+exactly like the reference's default-namespace behavior.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import errors
+from .catalog import Catalog, ColumnDef
+from .plans import bindings as bindmod
+from .plans.classifier import StatementType, classify
+from .plans.translator import Translator
+from .result import Result
+
+
+class SessionContext:
+    """Per-session namespace + parameters (reference:
+    pkg/session/manager.go:14-27)."""
+
+    def __init__(self, database: str | None = None, schema: str | None = None):
+        from . import config
+
+        self.database = database or config.DEFAULT_DATABASE
+        self.schema = schema or config.DEFAULT_SCHEMA
+        self.parameters: dict[str, str] = dict(config.DEFAULT_SESSION_PARAMETERS)
+
+
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"$]+)"
+    r"(?:\s+COMMENT\s*=\s*'((?:[^']|'')*)')?\s*$",
+    re.I,
+)
+_DROP_DB_RE = re.compile(r"^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
+_CREATE_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)"
+    r"(?:\s+COMMENT\s*=\s*'((?:[^']|'')*)')?\s*$",
+    re.I,
+)
+_DROP_SCHEMA_RE = re.compile(r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:(?:LOCAL|GLOBAL)\s+)?(?:(?:TEMP|TEMPORARY|TRANSIENT)\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s*\((.*)\)\s*(?:COMMENT\s*=\s*'((?:[^']|'')*)')?\s*$",
+    re.I | re.S,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+AS\s+(SELECT\b.*|WITH\b.*|VALUES\b.*)$",
+    re.I | re.S,
+)
+_DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", re.I)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.\"$]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"$]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\s+)?([\w.\"$]+)\s*$", re.I)
+_ALTER_TABLE_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+(?:COLUMN\s+)?([\w\"$]+)\s+(.+?)\s*$", re.I
+)
+_ALTER_TABLE_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+TO\s+([\w.\"$]+)\s*$", re.I
+)
+
+
+class Executor:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.translator = Translator()
+        self.history: list[dict] = []  # query-history log (repository.go:1213-1378)
+
+    # ------------------------------------------------------------------
+    # public entry
+    # ------------------------------------------------------------------
+
+    def execute(self, sql: str, ctx: SessionContext | None = None,
+                bindings: dict | None = None) -> Result:
+        ctx = ctx or SessionContext()
+        started = time.time()
+        entry = {"sql": sql, "status": "RUNNING", "start": started, "rows": 0, "error": None}
+        self.history.append(entry)
+        try:
+            res = self._dispatch(sql, ctx, bindings)
+            entry["status"] = "SUCCESS"
+            entry["rows"] = res.row_count or res.rows_inserted + res.rows_updated + res.rows_deleted
+            return res
+        except errors.SnowflakeError as e:
+            entry["status"] = "FAILED"
+            entry["error"] = str(e)
+            raise
+        except Exception as e:  # engine errors -> Snowflake execution error
+            entry["status"] = "FAILED"
+            entry["error"] = str(e)
+            raise errors.execution_error(str(e)) from e
+        finally:
+            entry["ms"] = int((time.time() - started) * 1000)
+
+    def query_df(self, sql: str, ctx: SessionContext | None = None,
+                 bindings: dict | None = None) -> DataFrame:
+        """Translate + resolve a SELECT and return the (lazy) DataFrame."""
+        ctx = ctx or SessionContext()
+        sql = bindmod.apply_bindings(sql, bindings)
+        translated = self.translator.translate(sql)
+        resolved = self._resolve_names(translated, ctx)
+        return self.spark.sql(resolved)
+
+    # ------------------------------------------------------------------
+    # routing
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, sql: str, ctx: SessionContext, bindings: dict | None) -> Result:
+        sql = sql.strip().rstrip(";").strip()
+        if bindings:
+            sql = bindmod.apply_bindings(sql, bindings)
+        cls = classify(sql)
+        t = cls.type
+        if t == StatementType.QUERY:
+            up = sql.upper()
+            if up.startswith("SHOW"):
+                return self._show(sql, ctx)
+            if up.startswith(("DESCRIBE", "DESC ")):
+                return self._describe(sql, ctx)
+            if up.startswith("EXPLAIN"):
+                return self._explain(sql, ctx)
+            return Result.from_dataframe(self.query_df(sql, ctx))
+        if t == StatementType.USE:
+            return self._use(sql, ctx)
+        if t in (StatementType.DDL_CREATE, StatementType.DDL_DROP, StatementType.DDL_ALTER):
+            return self._ddl(sql, ctx)
+        if t == StatementType.COPY:
+            from .operators.copy_into import CopyProcessor
+
+            return CopyProcessor(self.spark, self.catalog).execute(sql, ctx)
+        if t == StatementType.MERGE:
+            from .operators.merge_into import MergeProcessor
+
+            return MergeProcessor(self.spark, self.catalog, self).execute(sql, ctx)
+        if t == StatementType.TRANSACTION:
+            return self._transaction(sql)
+        return self._dml(sql, ctx)
+
+    # ------------------------------------------------------------------
+    # name resolution
+    # ------------------------------------------------------------------
+
+    def _resolve_names(self, sql: str, ctx: SessionContext) -> str:
+        """Rewrite qualified ``DB.SCHEMA.TABLE`` / ``SCHEMA.TABLE`` onto
+        flattened temp-view names; bare names are handled via namespace
+        alias views (see sync_namespace_views)."""
+        self.sync_namespace_views(ctx)
+        for (db, sch, tbl), tm in self.catalog.tables.items():
+            pat3 = re.compile(rf"(?<![\w\"]){re.escape(db)}\.{re.escape(sch)}\.{re.escape(tbl)}(?![\w\"])", re.I)
+            sql = pat3.sub(tm.physical, sql)
+            if db == ctx.database:
+                pat2 = re.compile(rf"(?<![\w.\"]){re.escape(sch)}\.{re.escape(tbl)}(?![\w\"])", re.I)
+                sql = pat2.sub(tm.physical, sql)
+        return sql
+
+    def sync_namespace_views(self, ctx: SessionContext) -> None:
+        """Register bare-name aliases for every table in the session's
+        current namespace."""
+        for (db, sch, tbl), tm in self.catalog.tables.items():
+            if db == ctx.database and sch == ctx.schema:
+                try:
+                    self.catalog.read_table(tm).createOrReplaceTempView(tbl)
+                except Exception:
+                    pass
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+
+    def _ddl(self, sql: str, ctx: SessionContext) -> Result:
+        up = sql.upper()
+        m = _CREATE_DB_RE.match(sql)
+        if m:
+            self.catalog.create_database(m.group(3), comment=m.group(4),
+                                         if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            return Result.status(f"Database {m.group(3).upper()} successfully created.")
+        m = _DROP_DB_RE.match(sql)
+        if m:
+            self.catalog.drop_database(m.group(2), if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_SCHEMA_RE.match(sql)
+        if m:
+            name = m.group(3)
+            parts = name.split(".")
+            if len(parts) == 2:
+                self.catalog.create_schema(parts[0], parts[1], comment=m.group(4), if_not_exists=bool(m.group(2)))
+            else:
+                self.catalog.create_schema(ctx.database, name, comment=m.group(4), if_not_exists=bool(m.group(2)))
+            return Result.status(f"Schema {name.upper()} successfully created.")
+        m = _DROP_SCHEMA_RE.match(sql)
+        if m:
+            name = m.group(2)
+            parts = name.split(".")
+            if len(parts) == 2:
+                self.catalog.drop_schema(parts[0], parts[1], if_exists=bool(m.group(1)))
+            else:
+                self.catalog.drop_schema(ctx.database, name, if_exists=bool(m.group(1)))
+            return Result.status(f"{name.upper()} successfully dropped.")
+        m = _CTAS_RE.match(sql)
+        if m and " AS " in up:
+            df = self.query_df(m.group(4), ctx)
+            from .functions.typemap import spark_to_snowflake_name
+
+            cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
+                    for f in df.schema.fields]
+            self.catalog.create_table(m.group(3), cols, ctx.database, ctx.schema,
+                                      if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)), df=df)
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Table {m.group(3).upper()} successfully created.")
+        m = _CREATE_TABLE_RE.match(sql)
+        if m:
+            or_replace = bool(re.match(r"^\s*CREATE\s+OR\s+REPLACE", sql, re.I))
+            cols = parse_column_defs(m.group(3))
+            self.catalog.create_table(m.group(2), cols, ctx.database, ctx.schema,
+                                      comment=m.group(4), if_not_exists=bool(m.group(1)),
+                                      or_replace=or_replace)
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Table {m.group(2).upper()} successfully created.")
+        m = _DROP_TABLE_RE.match(sql)
+        if m:
+            tm = None
+            try:
+                tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                if not m.group(1):
+                    raise
+            if tm is not None:
+                self.spark.catalog.dropTempView(tm.name)
+                self.catalog.drop_table(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _ALTER_TABLE_ADD_COL_RE.match(sql)
+        if m and "RENAME" not in up:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            col = ColumnDef(m.group(2).upper(), m.group(3))
+            df = self.catalog.read_table(tm)
+            from pyspark.sql import functions as F
+
+            from .functions.typemap import snowflake_to_spark
+
+            df = df.withColumn(col.name, F.lit(None).cast(snowflake_to_spark(col.sf_type)))
+            tm.columns.append(col)
+            self.catalog.write_table(tm, df, mode="overwrite")
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_RENAME_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            df = self.catalog.read_table(tm)
+            self.catalog.create_table(m.group(2), tm.columns, ctx.database, ctx.schema, df=df)
+            self.spark.catalog.dropTempView(tm.name)
+            self.catalog.drop_table(m.group(1), ctx.database, ctx.schema)
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        # stages / file formats / warehouses are handled by Engine wrappers
+        raise errors.syntax_error(f"unsupported DDL: {sql[:80]}")
+
+    # ------------------------------------------------------------------
+    # DML
+    # ------------------------------------------------------------------
+
+    def _dml(self, sql: str, ctx: SessionContext) -> Result:
+        m = _INSERT_RE.match(sql)
+        if m:
+            return self._insert(m, ctx)
+        m = _UPDATE_RE.match(sql)
+        if m:
+            return self._update(m, ctx)
+        m = _DELETE_RE.match(sql)
+        if m:
+            return self._delete(m, ctx)
+        m = _TRUNCATE_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            self.catalog.write_table(tm, self.spark.createDataFrame([], tm.spark_schema()))
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        raise errors.syntax_error(f"unsupported DML: {sql[:80]}")
+
+    def _insert(self, m: re.Match, ctx: SessionContext) -> Result:
+        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+        col_list = [c.strip().upper() for c in m.group(2).split(",")] if m.group(2) else None
+        body = m.group(3)
+        src = self.query_df(body, ctx) if not body.upper().startswith("VALUES") else self.spark.sql(
+            self.translator.translate_expr(body)
+        )
+        n = src.count()
+        src = self._align_insert_columns(tm, src, col_list)
+        self.catalog.write_table(tm, src, mode="append")
+        self.sync_namespace_views(ctx)
+        r = Result(columns=["number of rows inserted"], rows=[[n]])
+        r.rows_inserted = n
+        return r
+
+    def _align_insert_columns(self, tm, src: DataFrame, col_list: list[str] | None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .functions.typemap import snowflake_to_spark
+
+        if col_list is None:
+            return src
+        if len(col_list) != len(src.columns):
+            raise errors.syntax_error("INSERT column list does not match VALUES arity")
+        renamed = src.toDF(*col_list)
+        out_cols = []
+        for c in tm.columns:
+            if c.name.upper() in col_list:
+                out_cols.append(renamed[c.name.upper()].cast(snowflake_to_spark(c.sf_type)).alias(c.name))
+            elif c.default is not None:
+                out_cols.append(F.expr(c.default).cast(snowflake_to_spark(c.sf_type)).alias(c.name))
+            else:
+                out_cols.append(F.lit(None).cast(snowflake_to_spark(c.sf_type)).alias(c.name))
+        return renamed.select(*out_cols)
+
+    def _update(self, m: re.Match, ctx: SessionContext) -> Result:
+        from pyspark.sql import functions as F
+
+        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+        sets = self._parse_set_clauses(m.group(2))
+        cond = self.translator.translate_expr(m.group(3)) if m.group(3) else "TRUE"
+        df = self.catalog.read_table(tm)
+        n_updated = df.filter(F.expr(cond)).count()
+        out = df.select(*[
+            F.when(F.expr(cond), F.expr(sets[c.name.upper()])).otherwise(F.col(c.name))
+            .cast(df.schema[c.name].dataType).alias(c.name)
+            if c.name.upper() in sets else F.col(c.name)
+            for c in tm.columns
+        ])
+        self.catalog.write_table(tm, out, mode="overwrite")
+        self.sync_namespace_views(ctx)
+        r = Result(columns=["number of rows updated"], rows=[[n_updated]])
+        r.rows_updated = n_updated
+        return r
+
+    def _parse_set_clauses(self, text: str) -> dict[str, str]:
+        parts = Translator()._split_args(text)
+        sets: dict[str, str] = {}
+        for p in parts:
+            col, expr = p.split("=", 1)
+            sets[col.strip().upper().strip('"')] = self.translator.translate_expr(expr.strip())
+        return sets
+
+    def _delete(self, m: re.Match, ctx: SessionContext) -> Result:
+        from pyspark.sql import functions as F
+
+        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+        df = self.catalog.read_table(tm)
+        if m.group(2):
+            cond = self.translator.translate_expr(m.group(2))
+            n_deleted = df.filter(F.expr(cond)).count()
+            out = df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+        else:
+            n_deleted = df.count()
+            out = self.spark.createDataFrame([], tm.spark_schema())
+        self.catalog.write_table(tm, out, mode="overwrite")
+        self.sync_namespace_views(ctx)
+        r = Result(columns=["number of rows deleted"], rows=[[n_deleted]])
+        r.rows_deleted = n_deleted
+        return r
+
+    # ------------------------------------------------------------------
+    # USE / SHOW / DESCRIBE / EXPLAIN / transactions
+    # ------------------------------------------------------------------
+
+    def _use(self, sql: str, ctx: SessionContext) -> Result:
+        m = _USE_RE.match(sql)
+        if not m:
+            raise errors.syntax_error(sql)
+        kind = (m.group(1) or "").upper()
+        name = m.group(2)
+        from .naming import normalize_ident
+
+        if kind == "SCHEMA" or (not kind and "." in name):
+            parts = name.split(".")
+            if len(parts) == 2:
+                ctx.database = normalize_ident(parts[0])
+                ctx.schema = normalize_ident(parts[1])
+            else:
+                ctx.schema = normalize_ident(name)
+        elif kind == "WAREHOUSE" or kind == "ROLE":
+            pass  # metadata-only
+        else:
+            ctx.database = normalize_ident(name)
+        return Result.status("Statement executed successfully.")
+
+    def _show(self, sql: str, ctx: SessionContext) -> Result:
+        up = sql.upper()
+        like = None
+        lm = re.search(r"LIKE\s+'([^']*)'", sql, re.I)
+        if lm:
+            like = lm.group(1).replace("%", ".*").replace("_", ".")
+
+        def _match(name: str) -> bool:
+            return like is None or re.fullmatch(like, name, re.I) is not None
+
+        if "DATABASES" in up:
+            rows = [[db, v.get("comment")] for db, v in sorted(self.catalog.databases.items()) if _match(db)]
+            return Result(columns=["name", "comment"], rows=rows)
+        if "SCHEMAS" in up:
+            rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
+            return Result(columns=["name", "database_name"], rows=rows)
+        if "TABLES" in up:
+            rows = [
+                [tbl, db, sch, tm.kind, tm.comment]
+                for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
+                if db == ctx.database and _match(tbl)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
+        if "STAGES" in up:
+            rows = [[stg, db, sch] for (db, sch, stg) in sorted(self.catalog.stages) if _match(stg)]
+            return Result(columns=["name", "database_name", "schema_name"], rows=rows)
+        if "FILE FORMATS" in up:
+            rows = [[ff, fm.format_type] for (db, sch, ff), fm in sorted(self.catalog.file_formats.items()) if _match(ff)]
+            return Result(columns=["name", "type"], rows=rows)
+        raise errors.syntax_error(f"unsupported SHOW: {sql[:60]}")
+
+    def _describe(self, sql: str, ctx: SessionContext) -> Result:
+        m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", sql, re.I)
+        if not m:
+            raise errors.syntax_error(sql)
+        rows = self.catalog.describe_table(m.group(1), ctx.database, ctx.schema)
+        return Result(
+            columns=["name", "type", "kind", "null?", "default", "primary key"],
+            rows=[[r["name"], r["type"], r["kind"], r["null?"], r["default"], r["primary key"]] for r in rows],
+        )
+
+    def _explain(self, sql: str, ctx: SessionContext) -> Result:
+        inner = sql.strip()[7:]
+        df = self.query_df(inner, ctx)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return Result(columns=["plan"], rows=[[line] for line in plan.splitlines()])
+
+    def _transaction(self, sql: str) -> Result:
+        # Engine-level snapshot semantics; see Engine.begin/commit/rollback.
+        raise errors.syntax_error("transaction statements must go through Engine.execute")
+
+
+def parse_column_defs(body: str) -> list[ColumnDef]:
+    """Parse a CREATE TABLE column list (reference builds these from
+    metadata in pkg/metadata/repository.go:598-654)."""
+    t = Translator()
+    cols: list[ColumnDef] = []
+    pk_cols: set[str] = set()
+    for part in t._split_args(body):
+        p = part.strip()
+        if not p:
+            continue
+        mpk = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", p, re.I)
+        if mpk:
+            pk_cols.update(c.strip().upper().strip('"') for c in mpk.group(1).split(","))
+            continue
+        if re.match(r"^(UNIQUE|FOREIGN|CONSTRAINT|CHECK)\b", p, re.I):
+            continue  # constraints not enforced (Spark/parquet, like DuckDB PK-only)
+        m = re.match(
+            r"^([\w\"$]+)\s+([A-Za-z_]\w*(?:\s+PRECISION)?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(.*)$",
+            p, re.S,
+        )
+        if not m:
+            raise errors.syntax_error(f"cannot parse column definition: {p!r}")
+        name = m.group(1).strip('"').upper()
+        sf_type = m.group(2).strip()
+        rest = m.group(3) or ""
+        nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+        pk = bool(re.search(r"\bPRIMARY\s+KEY\b", rest, re.I))
+        default = None
+        dm = re.search(r"\bDEFAULT\s+(.+?)(?:\s+(?:NOT\s+NULL|NULL|PRIMARY\s+KEY|COMMENT)\b|$)", rest, re.I | re.S)
+        if dm:
+            default = dm.group(1).strip()
+        cols.append(ColumnDef(name, sf_type, nullable=nullable, default=default, primary_key=pk))
+    for c in cols:
+        if c.name in pk_cols:
+            c.primary_key = True
+            c.nullable = False
+    return cols

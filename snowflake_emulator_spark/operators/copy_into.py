@@ -1,0 +1,239 @@
+"""COPY INTO <table> FROM @stage — bulk file ingest.
+
+Reference: `/root/reference/pkg/query/copy_processor.go` (grammar
+62-73/110-212, execution 217-296, CSV 301-375, JSON 378-445). Key
+differences in our Spark build, by design:
+
+* **Bulk loads, not per-row INSERTs.** The reference issues one INSERT
+  per record (copy_processor.go:365-372) — its standout inefficiency
+  (BASELINE.md). We read each file with ``spark.read`` and append the
+  parquet files of the result directly into the table's current version
+  directory (`Catalog.append_files_fast`), so a load is O(new data) and
+  fully parallel — the only ingest pattern that survives 100 TB.
+* PARQUET is supported (the reference declares the format type but
+  rejects it, copy_processor.go:266-268).
+* ON_ERROR maps to Spark read modes: CONTINUE -> DROPMALFORMED,
+  ABORT/ABORT_STATEMENT -> FAILFAST + raise, SKIP_FILE -> per-file
+  try/except.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import errors
+from ..catalog import Catalog, TableMeta
+from ..result import Result
+
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+([\w.\"$]+)\s+FROM\s+@([\w.\"$]+)((?:/[^\s]*)?)\s*(.*)$",
+    re.I | re.S,
+)
+_FF_INLINE_RE = re.compile(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", re.I | re.S)
+_PATTERN_RE = re.compile(r"PATTERN\s*=\s*'((?:[^']|'')*)'", re.I)
+_ON_ERROR_RE = re.compile(r"ON_ERROR\s*=\s*'?(\w+)'?", re.I)
+_PURGE_RE = re.compile(r"PURGE\s*=\s*(TRUE|FALSE)", re.I)
+_VALIDATION_RE = re.compile(r"VALIDATION_MODE\s*=\s*'?(\w+)'?", re.I)
+
+
+@dataclass
+class CopyStatement:
+    table: str
+    stage: str
+    path: str = ""
+    format_type: str = "CSV"
+    options: dict = field(default_factory=dict)
+    pattern: str | None = None
+    on_error: str = "ABORT_STATEMENT"
+    purge: bool = False
+    validation_mode: str | None = None
+
+
+def parse_copy(sql: str) -> CopyStatement:
+    m = _COPY_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise errors.syntax_error(f"cannot parse COPY INTO: {sql[:80]}")
+    stmt = CopyStatement(table=m.group(1), stage=m.group(2), path=(m.group(3) or "").lstrip("/"))
+    rest = m.group(4) or ""
+    fm = _FF_INLINE_RE.search(rest)
+    if fm:
+        for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", fm.group(1)):
+            k = om.group(1).upper()
+            v = om.group(2)
+            if v.startswith("'"):
+                v = v[1:-1].replace("''", "'")
+            if k == "TYPE":
+                stmt.format_type = v.upper()
+            elif k == "FORMAT_NAME":
+                stmt.options["FORMAT_NAME"] = v
+            else:
+                stmt.options[k] = v
+    pm = _PATTERN_RE.search(rest)
+    if pm:
+        stmt.pattern = pm.group(1)
+    em = _ON_ERROR_RE.search(rest)
+    if em:
+        stmt.on_error = em.group(1).upper()
+    gm = _PURGE_RE.search(rest)
+    if gm:
+        stmt.purge = gm.group(1).upper() == "TRUE"
+    vm = _VALIDATION_RE.search(rest)
+    if vm:
+        stmt.validation_mode = vm.group(1).upper()
+    return stmt
+
+
+class CopyProcessor:
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def execute(self, sql: str, ctx) -> Result:
+        stmt = parse_copy(sql)
+        tm = self.catalog.get_table(stmt.table, ctx.database, ctx.schema)
+        stage = self.catalog.get_stage(stmt.stage, ctx.database, ctx.schema)
+        if "FORMAT_NAME" in stmt.options:
+            ff = self.catalog.get_file_format(stmt.options["FORMAT_NAME"], ctx.database, ctx.schema)
+            stmt.format_type = ff.format_type
+            merged = dict(ff.options)
+            merged.update({k: v for k, v in stmt.options.items() if k != "FORMAT_NAME"})
+            stmt.options = merged
+
+        from ..sources.stage import StageManager
+
+        sm = StageManager(self.catalog)
+        # regex pattern per Snowflake; the reference uses path glob
+        # (stage/manager.go:165-218 + filepath.Match) — accept both.
+        files = sm.list_files(stage, prefix=stmt.path or None)
+        if stmt.pattern:
+            try:
+                rx = re.compile(stmt.pattern)
+                files = [f for f in files if rx.fullmatch(f) or rx.search(f)]
+            except re.error:
+                import fnmatch
+
+                files = [f for f in files if fnmatch.fnmatch(f, stmt.pattern)]
+        if not files:
+            return Result.status("Copy executed with 0 files processed.")
+
+        rows_loaded = 0
+        files_loaded = 0
+        errs: list[str] = []
+        loaded_paths: list[str] = []
+        for rel in files:
+            full = os.path.join(stage.directory, rel)
+            try:
+                df = self._read_file(full, stmt, tm)
+                if stmt.validation_mode == "RETURN_ERRORS":
+                    df.count()  # force read; errors surface, nothing loaded
+                    continue
+                n = df.count()
+                self.catalog.append_files_fast(tm, df)
+                rows_loaded += n
+                files_loaded += 1
+                loaded_paths.append(full)
+            except Exception as e:
+                if stmt.on_error in ("CONTINUE", "SKIP_FILE"):
+                    errs.append(f"{rel}: {e}")
+                    continue
+                raise errors.execution_error(f"COPY failed on {rel}: {e}") from e
+        if stmt.purge:
+            for p in loaded_paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        r = Result(
+            columns=["file", "status", "rows_loaded"],
+            rows=[[os.path.basename(p), "LOADED", None] for p in loaded_paths],
+        )
+        r.rows_loaded = rows_loaded
+        r.rows_inserted = rows_loaded
+        r.files_loaded = files_loaded
+        r.errors = errs
+        return r
+
+    # ------------------------------------------------------------------
+
+    def _read_file(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
+        fmt = stmt.format_type
+        if fmt == "CSV":
+            return self._read_csv(path, stmt, tm)
+        if fmt == "JSON":
+            return self._read_json(path, stmt, tm)
+        if fmt == "PARQUET":
+            df = self.spark.read.parquet(path)
+            return self._positional_cast(df, tm)
+        raise errors.invalid_parameter(f"unsupported file format: {fmt}")
+
+    def _read_csv(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
+        o = stmt.options
+        skip_header = int(o.get("SKIP_HEADER", "0") or 0)
+        reader = (
+            self.spark.read.option("sep", o.get("FIELD_DELIMITER", ","))
+            .option("header", "true" if skip_header >= 1 else "false")
+            .option("emptyValue", None)
+            .option("nullValue", "")
+            .option(
+                "mode",
+                "DROPMALFORMED" if stmt.on_error == "CONTINUE" else "FAILFAST",
+            )
+        )
+        if o.get("RECORD_DELIMITER") and o["RECORD_DELIMITER"] != "\n":
+            reader = reader.option("lineSep", o["RECORD_DELIMITER"].replace("\\n", "\n"))
+        if o.get("TRIM_SPACE", "").upper() == "TRUE":
+            reader = reader.option("ignoreLeadingWhiteSpace", "true").option(
+                "ignoreTrailingWhiteSpace", "true"
+            )
+        df = reader.csv(path)
+        null_if = o.get("NULL_IF")
+        if null_if:
+            tokens = [t.strip().strip("'") for t in null_if.strip("()").split(",")]
+            for c in df.columns:
+                df = df.withColumn(
+                    c, F.when(F.col(c).isin(tokens), F.lit(None)).otherwise(F.col(c))
+                )
+        return self._positional_cast(df, tm)
+
+    def _read_json(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
+        strip_outer = stmt.options.get("STRIP_OUTER_ARRAY", "").upper() == "TRUE"
+        if strip_outer:
+            df = self.spark.read.option("multiLine", "true").json(path)
+            # name-based alignment (JSON objects are unordered), fall back
+            # to positional for unnamed columns
+            lower_map = {c.lower(): c for c in df.columns}
+            cols = []
+            for f in tm.spark_schema().fields:
+                src = lower_map.get(f.name.lower())
+                if src is not None:
+                    cols.append(F.col(src).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return df.select(*cols)
+        # non-strip mode: each top-level element -> single $1 VARIANT (JSON
+        # text) column (copy_processor.go:399-416)
+        raw = self.spark.read.option("wholetext", "true").text(path)
+        import json as _json
+
+        text = raw.collect()[0][0]
+        doc = _json.loads(text)
+        elements = doc if isinstance(doc, list) else [doc]
+        rows = [( _json.dumps(e, separators=(",", ":")),) for e in elements]
+        first_col = tm.columns[0].name if tm.columns else "$1"
+        df = self.spark.createDataFrame(rows, [first_col])
+        return self._positional_cast(df, tm)
+
+    def _positional_cast(self, df: DataFrame, tm: TableMeta) -> DataFrame:
+        target = tm.spark_schema()
+        if len(df.columns) != len(target.fields):
+            raise errors.execution_error(
+                f"file column count {len(df.columns)} != table column count {len(target.fields)}"
+            )
+        return df.select(
+            *[df[s].cast(f.dataType).alias(f.name) for s, f in zip(df.columns, target.fields)]
+        )

@@ -1,0 +1,146 @@
+"""End-to-end slice mirroring the reference's e2e workflow
+(`/root/reference/tests/e2e/gosnowflake_test.go:533-912`):
+CREATE TABLE -> INSERT -> SELECT with translated functions -> UPDATE ->
+DELETE -> MERGE -> transactions -> SHOW/DESCRIBE."""
+
+import pytest
+
+from snowflake_emulator_spark.executor import SessionContext
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_create_insert_select_iff(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE test_operations (id INTEGER PRIMARY KEY, name VARCHAR, score INTEGER)", ctx)
+    engine.execute("INSERT INTO test_operations VALUES (1,'Alice',95),(2,'Bob',85),(3,'Charlie',92)", ctx)
+    res = engine.execute(
+        "SELECT name, IFF(score >= 90, 'A', 'B') AS grade FROM test_operations ORDER BY id", ctx
+    )
+    assert _rows(res) == [("Alice", "A"), ("Bob", "B"), ("Charlie", "A")]
+
+
+def test_update_delete(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE t (id INTEGER, name VARCHAR, score INTEGER)", ctx)
+    engine.execute("INSERT INTO t VALUES (1,'a',10),(2,'b',20),(3,'c',30)", ctx)
+    r = engine.execute("UPDATE t SET score = score + 5 WHERE id >= 2", ctx)
+    assert r.rows_updated == 2
+    res = engine.execute("SELECT id, score FROM t ORDER BY id", ctx)
+    assert _rows(res) == [(1, 10), (2, 25), (3, 35)]
+    r = engine.execute("DELETE FROM t WHERE id = 1", ctx)
+    assert r.rows_deleted == 1
+    res = engine.execute("SELECT count(*) AS n FROM t", ctx)
+    assert _rows(res) == [(3 - 1,)]
+
+
+def test_merge(engine):
+    """Fixture semantics from gosnowflake_test.go:449-487: id 2 updated,
+    id 3 inserted."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE merge_target (id INTEGER, name VARCHAR, value INTEGER)", ctx)
+    engine.execute("CREATE TABLE merge_source (id INTEGER, name VARCHAR, value INTEGER)", ctx)
+    engine.execute("INSERT INTO merge_target VALUES (1,'Alice',100),(2,'Bob',200)", ctx)
+    engine.execute("INSERT INTO merge_source VALUES (2,'Bob Updated',250),(3,'Charlie',300)", ctx)
+    r = engine.execute(
+        """MERGE INTO merge_target AS t USING merge_source AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET t.name = s.name, t.value = s.value
+           WHEN NOT MATCHED THEN INSERT (id, name, value) VALUES (s.id, s.name, s.value)""",
+        ctx,
+    )
+    assert (r.rows_inserted, r.rows_updated, r.rows_deleted) == (1, 1, 0)
+    res = engine.execute("SELECT id, name, value FROM merge_target ORDER BY id", ctx)
+    assert _rows(res) == [(1, "Alice", 100), (2, "Bob Updated", 250), (3, "Charlie", 300)]
+
+
+def test_merge_delete_and_conditions(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mt (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE ms (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO mt VALUES (1,10),(2,20),(3,30)", ctx)
+    engine.execute("INSERT INTO ms VALUES (1,0),(2,99),(4,40)", ctx)
+    r = engine.execute(
+        """MERGE INTO mt USING ms ON mt.id = ms.id
+           WHEN MATCHED AND ms.v = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = ms.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (ms.id, ms.v)""",
+        ctx,
+    )
+    assert (r.rows_inserted, r.rows_updated, r.rows_deleted) == (1, 1, 1)
+    res = engine.execute("SELECT id, v FROM mt ORDER BY id", ctx)
+    assert _rows(res) == [(2, 99), (3, 30), (4, 40)]
+
+
+def test_transactions_rollback(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tx (id INTEGER)", ctx)
+    engine.execute("INSERT INTO tx VALUES (1)", ctx)
+    engine.execute("BEGIN", ctx)
+    engine.execute("INSERT INTO tx VALUES (2),(3)", ctx)
+    engine.execute("ROLLBACK", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM tx", ctx)
+    assert _rows(res) == [(1,)]
+    engine.execute("BEGIN", ctx)
+    engine.execute("INSERT INTO tx VALUES (2)", ctx)
+    engine.execute("COMMIT", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM tx", ctx)
+    assert _rows(res) == [(2,)]
+
+
+def test_show_describe(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE show_me (id INTEGER NOT NULL, name VARCHAR DEFAULT 'x')", ctx)
+    res = engine.execute("SHOW TABLES", ctx)
+    assert any(r[0] == "SHOW_ME" for r in res.rows)
+    res = engine.execute("DESCRIBE TABLE show_me", ctx)
+    assert res.rows[0][0] == "ID" and res.rows[0][3] == "N"
+    assert res.rows[1][4] == "'x'"
+
+
+def test_ddl_database_schema(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE DATABASE mydb", ctx)
+    engine.execute("CREATE SCHEMA mydb.s1", ctx)
+    engine.execute("USE SCHEMA mydb.s1", ctx)
+    assert ctx.database == "MYDB" and ctx.schema == "S1"
+    engine.execute("CREATE TABLE t1 (id INTEGER)", ctx)
+    engine.execute("INSERT INTO t1 VALUES (42)", ctx)
+    res = engine.execute("SELECT id FROM mydb.s1.t1", ctx)
+    assert _rows(res) == [(42,)]
+    with pytest.raises(Exception):
+        engine.execute("CREATE DATABASE mydb", ctx)
+
+
+def test_bindings(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE bind_t (id INTEGER, name VARCHAR)", ctx)
+    engine.execute("INSERT INTO bind_t VALUES (1,'x'),(2,'y')", ctx)
+    res = engine.execute(
+        "SELECT name FROM bind_t WHERE id = :1",
+        ctx,
+        bindings={"1": {"type": "FIXED", "value": "2"}},
+    )
+    assert _rows(res) == [("y",)]
+    res = engine.execute(
+        "SELECT name FROM bind_t WHERE name = ? ORDER BY id",
+        ctx,
+        bindings={"1": {"type": "TEXT", "value": "x"}},
+    )
+    assert _rows(res) == [("x",)]
+
+
+def test_copy_into_csv(engine, tmp_path):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE copy_t (id INTEGER, name VARCHAR)", ctx)
+    engine.execute("CREATE STAGE mystage", ctx)
+    stage = engine.catalog.get_stage("mystage")
+    (tmp_path / "data.csv").write_text("id,name\n1,Alice\n2,Bob\n")
+    engine.stages.put_file(stage, str(tmp_path / "data.csv"))
+    r = engine.execute(
+        "COPY INTO copy_t FROM @mystage FILE_FORMAT=(TYPE=CSV SKIP_HEADER=1)", ctx
+    )
+    assert r.rows_loaded == 2 and r.files_loaded == 1
+    res = engine.execute("SELECT id, name FROM copy_t ORDER BY id", ctx)
+    assert _rows(res) == [(1, "Alice"), (2, "Bob")]
