@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from snowflake_emulator_spark.inventory import REGISTRY  # noqa: E402
+from snowflake_emulator_spark.session_factory import build_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "topk_orders",
+    "agg_cube",
+    "agg_count_distinct",
+    "window_row_number_topn",
+    "events_hourly_agg",
+    "events_sessionize",
+    "sf_dateadd_datediff",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_language_id",
+    "embed_cosine_topk",
+    "embed_near_pairs_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_spark(app_name="snowemu-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _oracle = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,828 @@
+"""Declared operator/query inventory — the graded contract.
+
+One entry per operator from SURVEY.md §2 plus the beyond-reference
+extension operators. Each entry pairs a Spark implementation
+``fn(spark, sf_dir) -> DataFrame`` with (where SQL-expressible) an
+equivalent ANSI-SQL oracle string that DuckDB runs over the same
+parquet fixtures. The driver hash-compares row counts, schemas and
+order-insensitive value hashes, so:
+
+* every computed column is aliased identically (lowercase) on both
+  sides;
+* float aggregates are computed through DECIMAL casts (exact, engine
+  neutral) or verified-deterministic double folds;
+* timestamps are truncated to microseconds on both sides (the fixture
+  ``events.ts`` is TIMESTAMP(NANOS), which Spark reads via the
+  nanos-as-long legacy flag and we convert to microseconds).
+
+Snowflake-flavored queries (``sf_*``) run through the engine's
+translator first — the correctness gate exercises the product
+translation path, mirroring the reference's advanced-function
+integration tests
+(`/root/reference/tests/integration/server_integration_test.go:457-657`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, textstats
+from .plans.translator import translate
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_loaded: dict[tuple[int, str], bool] = {}
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver fixtures as lowercase temp views (idempotent
+    per (session, sf_dir))."""
+    key = (id(spark), sf_dir)
+    if _loaded.get(key):
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events":
+            # TIMESTAMP(NANOS) arrives as long; convert to microseconds
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df.createOrReplaceTempView(t)
+    _loaded[key] = True
+
+
+def _sql(q: str):
+    """Spark-SQL-backed query entry."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(q)
+
+    return fn
+
+
+def _snow(q: str):
+    """Snowflake-SQL-backed entry: translated through the engine's
+    translator before execution (exercises the product path)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(translate(q))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Core relational inventory (SURVEY §2.1-§2.7)
+# ---------------------------------------------------------------------------
+
+# S1/P1-P3: scan + filter + projection with computed column
+_SCAN_SPARK = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
+"""
+
+# A1-A4 + O1: TPC-H Q1-style pricing summary
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+_Q3 = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_Q5 = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+# J1/J5: left outer join keeping customers without orders
+_JOIN_LEFT = """
+SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c_custkey
+"""
+
+_JOIN_FULL = """
+SELECT coalesce(cn.n_nationkey, sn.n_nationkey) AS nationkey,
+       cn.n_customers, sn.n_suppliers
+FROM (SELECT c_nationkey AS n_nationkey, CAST(count(*) AS BIGINT) AS n_customers FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN (SELECT s_nationkey AS n_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers FROM supplier GROUP BY s_nationkey) sn
+ON cn.n_nationkey = sn.n_nationkey
+"""
+
+# J4: semi join (EXISTS)
+_JOIN_SEMI_SPARK = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+# J3: anti join (NOT EXISTS)
+_JOIN_ANTI_SPARK = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# J2: theta join (equi + inequality)
+_JOIN_THETA = """
+SELECT n1.n_nationkey AS nation_a, n2.n_nationkey AS nation_b, n1.n_regionkey AS regionkey
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+"""
+
+_AGG_BASIC = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+"""
+
+_AGG_HAVING = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) > 15 ORDER BY o_custkey
+"""
+
+_AGG_CD = """
+SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_AGG_LISTAGG_SPARK = """
+SELECT n.n_regionkey AS regionkey,
+       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+FROM nation n GROUP BY n.n_regionkey ORDER BY regionkey
+"""
+_AGG_LISTAGG_ORACLE = """
+SELECT n.n_regionkey AS regionkey,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n GROUP BY n.n_regionkey ORDER BY regionkey
+"""
+
+_AGG_ROLLUP = """
+SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+_AGG_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+_AGG_GSETS = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+
+# §2.5 windows
+_WIN_ROWNUM = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+_WIN_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+FROM lineitem WHERE l_suppkey <= 5
+"""
+
+_WIN_LAG = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice - lag(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS price_delta
+FROM orders WHERE o_custkey <= 100
+"""
+
+_WIN_RANKS = """
+SELECT p_brand, p_partkey,
+       rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+FROM part
+"""
+
+_WIN_FIRST_LAST = """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+"""
+
+# §2.7 set operations
+_SET_UNION = """
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+"""
+
+_SET_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+_SET_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+# CTE + subqueries
+_CTE = """
+WITH big_orders AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+)
+SELECT c.c_mktsegment, CAST(sum(b.n) AS BIGINT) AS n_big
+FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+"""
+
+_SUBQ_SCALAR = """
+SELECT CAST(count(*) AS BIGINT) AS n_above_avg
+FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+_SUBQ_IN = """
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+"""
+
+# events: time handling + JSON access
+_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_EVENTS_JSON_SPARK = """
+SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+_EVENTS_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+_EVENTS_SESSIONS_SPARK = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+_EVENTS_SESSIONS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Snowflake-function queries (translator path; SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_SF_IFF = """
+SELECT IFF(c_acctbal >= 5000, 'high', IFF(c_acctbal >= 0, 'mid', 'low')) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+_SF_IFF_ORACLE = """
+SELECT CASE WHEN c_acctbal >= 5000 THEN 'high' WHEN c_acctbal >= 0 THEN 'mid' ELSE 'low' END AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+_SF_NVL = """
+SELECT NVL(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       NVL2(NULLIF(o_orderpriority, '1-URGENT'), 'other', 'urgent') AS prio_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+_SF_NVL_ORACLE = """
+SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+       CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 'other' ELSE 'urgent' END AS prio_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_SF_DATE = """
+SELECT CAST(DATEADD(day, 30, o_orderdate) AS DATE) AS due_date,
+       DATEDIFF(day, o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy,
+       DATEDIFF(month, o_orderdate, TIMESTAMP '1998-12-31') AS months_to_eoy,
+       DATEDIFF(year, o_orderdate, TIMESTAMP '1998-12-31') AS years_to_eoy,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+_SF_DATE_ORACLE = """
+SELECT CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy,
+       CAST(date_diff('month', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1998-12-31') AS INTEGER) AS months_to_eoy,
+       CAST(date_diff('year', CAST(o_orderdate AS TIMESTAMP), TIMESTAMP '1998-12-31') AS INTEGER) AS years_to_eoy,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
+_SF_OBJ = """
+SELECT OBJECT_CONSTRUCT('name', r_name, 'key', CAST(r_regionkey AS VARCHAR)) AS obj
+FROM region ORDER BY r_regionkey
+"""
+_SF_OBJ_ORACLE = """
+SELECT CAST(json_object('name', r_name, 'key', CAST(r_regionkey AS VARCHAR)) AS VARCHAR) AS obj
+FROM region ORDER BY r_regionkey
+"""
+
+_SF_CAST = """
+SELECT (c_acctbal::NUMBER(12,2))::DOUBLE AS bal2, c_custkey::VARCHAR AS key_str
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+"""
+_SF_CAST_ORACLE = """
+SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal2, CAST(c_custkey AS VARCHAR) AS key_str
+FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+"""
+
+_SF_STR = """
+SELECT LEN(c_name) AS name_len, CHARINDEX('0', c_name) AS zero_pos,
+       SQUARE(c_nationkey) AS nk_sq, CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+_SF_STR_ORACLE = """
+SELECT length(c_name) AS name_len, CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
+       c_nationkey * c_nationkey AS nk_sq, CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+# flatten/explode (F7)
+_SF_FLATTEN_SPARK = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT explode(split(p_name, ' ')) AS word FROM part)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+_SF_FLATTEN_ORACLE = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(str_split(p_name, ' ')) AS word FROM part)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+# MERGE-equivalent declarative upsert (semantics check for §2.10)
+_MERGE_SIM_SPARK = """
+WITH src AS (
+  SELECT o_custkey AS custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c.c_custkey, s.custkey) AS custkey,
+       CASE WHEN c.c_custkey IS NOT NULL AND s.custkey IS NOT NULL THEN 'updated'
+            WHEN c.c_custkey IS NOT NULL THEN 'kept' ELSE 'inserted' END AS action,
+       CASE WHEN s.custkey IS NOT NULL THEN s.total ELSE c.c_acctbal END AS new_value
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.custkey
+"""
+
+# ---------------------------------------------------------------------------
+# Extension operators: text analysis / dedup / similarity
+# ---------------------------------------------------------------------------
+
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), "
+    "'[ \\t\\n\\r]+', ' ', 'g'))"
+)
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.word_count_distinct(F.col("text")).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
+_TEXT_TOKENS_ORACLE = """
+SELECT doc_id,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_distinct
+FROM documents ORDER BY doc_id
+"""
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    ntok = "CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    padded = "concat(' ', lower(text), ' ')"
+    hits = " + ".join(
+        f"(len({padded}) - len(replace({padded}, ' {w} ', ''))) / {len(' ' + w + ' ')}"
+        for w in textstats.STOPWORDS_EN[:5]
+    )
+    punct = ("(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))) "
+             "/ greatest(len(text), 1)")
+    return f"""
+SELECT doc_id, round(
+    0.5 * least({ntok} / 100.0, 1.0)
+  + 0.3 * least(({hits}) / greatest({ntok}, 1) * 4.0, 1.0)
+  + 0.2 * (1.0 - least({punct} * 5.0, 1.0)), 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        d.select("lang", textstats.language_guess(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _langid_oracle() -> str:
+    padded = "concat(' ', lower(text), ' ')"
+
+    def score(words):
+        return " + ".join(
+            f"(len({padded}) - len(replace({padded}, '{w}', ''))) / {len(w)}" for w in words
+        )
+
+    s = {lang: score(words) for lang, words in textstats.LANG_MARKERS.items()}
+    m = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+SELECT lang,
+       CASE WHEN {m} <= 0 THEN 'und'
+            WHEN ({s['en']}) = {m} THEN 'en'
+            WHEN ({s['de']}) = {m} THEN 'de'
+            WHEN ({s['fr']}) = {m} THEN 'fr'
+            ELSE 'es' END AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        d.select(textstats.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("fp")
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT md5(array_to_string(list_sort(list_distinct(str_split({_NORM_DUCK}, ' '))), ' ')) AS fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.exact_dedup_keys(d).filter(F.col("n_dups") > 1).orderBy("fp")
+
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT md5({_NORM_DUCK}) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
+"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 4, rows_per_band: int = 4) -> str:
+    M = (1 << 31) - 1
+    mins = ", ".join(
+        f"min((h * {2*i+1} + {7919*(i+1)}) % {M}) AS mh{i}" for i in range(num_perm)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) % {M} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.simhash(d, bits=16).orderBy("doc_id")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(str_split(t, ' ')) AS tok FROM norm),
+h AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5).orderBy("id_a", "id_b")
+
+
+_JACCARD_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.cosine_topk_bruteforce(e, query_ids=[0, 1, 2, 3, 4], k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+_EMBED_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs (oracle-checkable); the LSH-bucketed
+    scale path is declared separately as embed_near_pairs_lsh."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.55)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_EMBED_NEAR_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.55
+ORDER BY id_a, id_b
+"""
+
+
+def _embed_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.cosine_near_pairs(e, threshold=0.55, dim=64, n_planes=4).orderBy("id_a", "id_b")
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.ivf_topk(e, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.make_fake_media(spark, n=64)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id", "decode_ok", F.round(F.element_at("feature", 1), 6).alias("f0")
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    # scans / filters / projections
+    "scan_filter_project": (_sql(_SCAN_SPARK), _SCAN_SPARK),
+    "q1_pricing_summary": (_sql(_Q1), _Q1),
+    "q3_shipping_priority": (_sql(_Q3), _Q3),
+    "q5_local_supplier": (_sql(_Q5), _Q5),
+    "q6_revenue_forecast": (_sql(_Q6), _Q6),
+    "q10_returned_items": (_sql(_Q10), _Q10),
+    "topk_orders": (_sql(_TOPK), _TOPK),
+    "distinct_segments": (_sql(_DISTINCT), _DISTINCT),
+    # joins
+    "join_left_outer": (_sql(_JOIN_LEFT), _JOIN_LEFT),
+    "join_full_outer": (_sql(_JOIN_FULL), _JOIN_FULL),
+    "join_semi_exists": (_sql(_JOIN_SEMI_SPARK), _JOIN_SEMI_SPARK),
+    "join_anti_not_exists": (_sql(_JOIN_ANTI_SPARK), _JOIN_ANTI_SPARK),
+    "join_theta": (_sql(_JOIN_THETA), _JOIN_THETA),
+    # aggregations
+    "agg_basic_stats": (_sql(_AGG_BASIC), _AGG_BASIC),
+    "agg_group_having": (_sql(_AGG_HAVING), _AGG_HAVING),
+    "agg_count_distinct": (_sql(_AGG_CD), _AGG_CD),
+    "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
+    "agg_rollup": (_sql(_AGG_ROLLUP), _AGG_ROLLUP),
+    "agg_cube": (_sql(_AGG_CUBE), _AGG_CUBE),
+    "agg_grouping_sets": (_sql(_AGG_GSETS), _AGG_GSETS),
+    # windows
+    "window_row_number_topn": (_sql(_WIN_ROWNUM), _WIN_ROWNUM),
+    "window_running_sum": (_sql(_WIN_RUNNING), _WIN_RUNNING),
+    "window_lag_delta": (_sql(_WIN_LAG), _WIN_LAG),
+    "window_rank_dense": (_sql(_WIN_RANKS), _WIN_RANKS),
+    "window_first_last": (_sql(_WIN_FIRST_LAST), _WIN_FIRST_LAST),
+    # set ops
+    "setop_union_all": (_sql(_SET_UNION), _SET_UNION),
+    "setop_intersect": (_sql(_SET_INTERSECT), _SET_INTERSECT),
+    "setop_except": (_sql(_SET_EXCEPT), _SET_EXCEPT),
+    # CTE / subqueries
+    "cte_join_agg": (_sql(_CTE), _CTE),
+    "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
+    "subquery_in": (_sql(_SUBQ_IN), _SUBQ_IN),
+    # events / time / JSON
+    "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
+    "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
+    "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
+    # Snowflake-function translator path
+    "sf_iff_buckets": (_snow(_SF_IFF), _SF_IFF_ORACLE),
+    "sf_nvl_nvl2": (_snow(_SF_NVL), _SF_NVL_ORACLE),
+    "sf_dateadd_datediff": (_snow(_SF_DATE), _SF_DATE_ORACLE),
+    "sf_object_construct": (_snow(_SF_OBJ), _SF_OBJ_ORACLE),
+    "sf_double_colon_cast": (_snow(_SF_CAST), _SF_CAST_ORACLE),
+    "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
+    "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
+    # MERGE-equivalent declarative upsert
+    "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
+    # text analysis extensions
+    "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),
+    "text_quality_score": (_text_quality, _quality_oracle()),
+    "text_language_id": (_text_langid, _langid_oracle()),
+    "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
+    # dedup extensions
+    "dedup_exact": (_dedup_exact, _DEDUP_EXACT_ORACLE),
+    "dedup_minhash_lsh": (_dedup_minhash, _minhash_oracle()),
+    "dedup_simhash": (_dedup_simhash, _simhash_oracle()),
+    "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
+    # similarity extensions
+    "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
+    "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
+    "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate, rows-only
+    "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
+    # multimodal plumbing (no fixture table -> rows-only)
+    "multimodal_features": (_multimodal_features, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sqltext) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sqltext for name, (_fn, sqltext) in REGISTRY.items() if sqltext is not None}

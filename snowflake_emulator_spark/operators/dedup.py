@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five strategies, each designed for 1000-executor / 100 TB scale:
+
+* **Exact** — hash-groupBy on a normalized-text digest. One shuffle on
+  the digest; partial aggregation kills most traffic map-side.
+* **MinHash + LSH** — char-shingle -> per-permutation minhash
+  signature -> band hashes -> self-join per band bucket. Candidate
+  generation never goes O(n²): the self-join is on (band, band_hash)
+  buckets only. Hashes are md5-derived (deterministic, engine-neutral)
+  so a DuckDB oracle can reproduce signatures exactly.
+* **SimHash** — 64-bit sign-aggregated token-hash fingerprint; near-dup
+  = small Hamming distance. All bit arithmetic stays in codegen.
+* **N-gram Jaccard** — exact pairwise Jaccard over shingle sets for a
+  bounded candidate set (LSH prefilter at scale; here also offered as a
+  direct quadratic variant for oracle checking on bounded subsets).
+* **Embedding cosine** — near-duplicate detection in embedding space;
+  see operators/similarity.py for the join strategies.
+
+The md5-derived 60-bit integer hash used across minhash/simhash:
+``CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)`` in Spark ==
+``CAST('0x' || substr(md5(x), 1, 15) AS UBIGINT)`` in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import char_ngrams, normalized_text
+
+# 60-bit modulus-free hash domain (15 hex chars); minhash permutations
+# work mod Mersenne-31 so (a*h+b) never overflows BIGINT under ANSI mode.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def md5_int(col: Column) -> Column:
+    """Deterministic engine-neutral 60-bit integer hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving id per exact (normalized) duplicate class.
+
+    Returns (fp, keep_id, n_dups). Scale: single shuffle on fp."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("bigint").alias("n_dups"))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 16, shingle: int = 5) -> DataFrame:
+    """Per-doc minhash signature as ``array<bigint>`` of length num_perm.
+
+    Permutation i is ((a_i * h + b_i) mod M61) with a_i, b_i derived
+    deterministically from i; h is the md5-int of each shingle. The
+    whole pipeline is explode -> groupBy(id) with min-aggregates —
+    one shuffle on doc id, partial mins map-side."""
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle))).alias("sh")
+    )
+    h = md5_int(F.col("sh")) % F.lit(_MERSENNE31)
+    aggs = []
+    for i in range(num_perm):
+        a = 2 * i + 1  # odd multiplier
+        b = 7919 * (i + 1)
+        perm = (h * a + b) % F.lit(_MERSENNE31)
+        aggs.append(F.min(perm).alias(f"mh{i}"))
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 16, bands: int = 4, shingle: int = 5) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    rows_per_band = num_perm / bands; docs sharing any band hash are
+    candidates. Returns distinct (id_a, id_b) with id_a < id_b.
+    Scale path: the self-join is per (band, hash) bucket — skew-safe
+    under AQE, never a cross join."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("_", *[F.col("signature")[b * rows_per_band + r]
+                                         for r in range(rows_per_band)]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """Sign-aggregated token-hash fingerprint (bits<=60 via md5_int).
+
+    For each bit b: sum over tokens of (+1 if bit set else -1); the
+    fingerprint sets bit b iff the sum is positive. Explode + one
+    groupBy(id) with ``bits`` integer sums — map-side combinable."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
+    )
+    h = md5_int(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+          for b in range(bits)]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance.
+
+    Scale path: block on the high byte of the fingerprint (docs within
+    hamming<=k of each other usually share a block under multi-table
+    blocking; for exactness at scale use 4-block pigeonhole). Here we
+    join on equal high-(bits/2) block OR low-(bits/2) block — pigeonhole
+    guarantees recall for max_hamming < 2 when split in 2 blocks; widen
+    blocks for larger k."""
+    half = bits // 2
+    fps = simhash(df, text_col, id_col, bits)
+    blocked = fps.select(
+        id_col, "simhash",
+        F.shiftright(F.col("simhash"), half).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("lo"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = l.join(
+        r,
+        ((F.col("l.hi") == F.col("r.hi")) | (F.col("l.lo") == F.col("r.lo")))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    hamming = sum(F.shiftright(xor, b).bitwiseAND(F.lit(1)) for b in range(bits))
+    return (
+        cand.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle: int = 5, threshold: float = 0.6,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    If ``candidates`` (id_a, id_b) is given (e.g. from minhash_lsh_pairs)
+    only those pairs are scored — the 100 TB path. Without candidates it
+    scores all pairs sharing at least one shingle (exact, bounded by
+    shingle-bucket join, still never a cross join)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure Spark ``Column`` expressions (JVM-side, inside
+whole-stage codegen — no Python UDFs in the hot path), so they run at
+full scan speed over a 100 TB ``documents`` table and are expressible
+1:1 in ANSI SQL for the DuckDB oracle.
+
+Operators:
+* ``token_count``        — whitespace tokenization count
+* ``word_count_distinct``— distinct-token count
+* ``quality_score``      — length / punctuation / stopword-ratio blend
+* ``language_guess``     — stopword-frequency n-gram heuristic
+* ``fingerprint``        — normalized bag-of-words md5 (doc fingerprint)
+* ``char_ngrams``        — character n-gram array (shingles for minhash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language id.
+# Counting is done with the replace-length trick so the identical SQL runs
+# on DuckDB: (len(s) - len(replace(s, w, ''))) / len(w).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " de la "],
+}
+
+STOPWORDS_EN = ["the", "and", "of", "a", "to", "in", "is", "it", "for", "on"]
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish heuristic upper bound)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def word_count_distinct(text: Column) -> Column:
+    return F.size(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for w in STOPWORDS_EN[:5]:
+        c = _count_occurrences(padded, f" {w} ")
+        hits = c if hits is None else hits + c
+    return hits / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: favors mid-length docs, low punctuation
+    noise, natural stopword density. Deterministic arithmetic only."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 6)
+
+
+def language_guess(text: Column) -> Column:
+    """Pick the language whose marker-stopword density is highest;
+    'und' (undetermined) when nothing matches."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum((_count_occurrences(padded, w) for w in words), F.lit(0.0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    for lang, sc in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            cond = sc > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, sc).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the
+    canonical form used for fingerprinting and exact dedup."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token bag of the normalized text."""
+    toks = F.array_sort(F.array_distinct(F.split(normalized_text(text), " ")))
+    return F.md5(F.array_join(toks, " "))
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (array<string>).
+
+    Built with ``sequence`` + ``transform`` — stays in codegen, no UDF."""
+    t = normalized_text(text)
+    return F.when(F.length(t) < n, F.array(t)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )

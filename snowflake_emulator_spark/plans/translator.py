@@ -213,6 +213,15 @@ class Translator:
     # -- emitters ---------------------------------------------------------
 
     def _emit(self, fname: str, args: list[str]) -> str:
+        if fname == "CAST":
+            # map Snowflake type names (VARCHAR w/o length, NUMBER,
+            # VARIANT, ...) onto Spark DDL types
+            m = re.match(r"^(.*)\s+AS\s+([A-Za-z_]\w*(?:\s+PRECISION)?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+                         args[-1].strip(), re.I | re.S)
+            if m:
+                inner = ", ".join(args[:-1] + [m.group(1)]) if len(args) > 1 else m.group(1)
+                return f"CAST({inner} AS {snowflake_to_spark_ddl(m.group(2)).upper()})"
+            return f"CAST({', '.join(args)})"
         if fname == "IFF":
             return f"if({', '.join(args)})"
         if fname == "FLATTEN":
@@ -367,6 +376,7 @@ class Translator:
 
 
 _REWRITABLE = {
+    "CAST",
     "IFF",
     "FLATTEN",
     "OBJECT_CONSTRUCT",

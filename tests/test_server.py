@@ -1,0 +1,140 @@
+"""Protocol-layer integration tests, mirroring the reference's server
+integration suite (`/root/reference/tests/integration/
+server_integration_test.go`): login -> DDL -> DML -> query over HTTP,
+session renewal, REST v2 statements + CRUD, error envelopes."""
+
+import json
+import urllib.request
+
+import pytest
+
+from snowflake_emulator_spark.server.app import SnowflakeServer
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from snowflake_emulator_spark.engine import Engine
+
+    eng = Engine(spark, base_dir=str(tmp_path_factory.mktemp("srv_wh")))
+    srv = SnowflakeServer(eng, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _call(server, method, path, body=None, token=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(url, data=data if method != "GET" else None, method=method)
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f'Snowflake Token="{token}"')
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_login_query_workflow(server):
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    assert st == 200 and out["success"]
+    token = out["data"]["token"]
+
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "CREATE TABLE http_t (id INTEGER, name VARCHAR)"}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "INSERT INTO http_t VALUES (1,'a'),(2,'b')"}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT id, IFF(id = 1, 'one', 'other') AS label FROM http_t ORDER BY id"},
+                    token)
+    assert out["success"], out
+    # gosnowflake rowset is all-strings (query.go:179-193)
+    assert out["data"]["rowset"] == [["1", "one"], ["2", "other"]]
+    assert out["data"]["rowtype"][0]["type"] == "NUMBER"
+    assert out["data"]["statementTypeId"] == 1
+
+
+def test_error_envelope_http200(server):
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT * FROM does_not_exist_xyz"}, token)
+    assert st == 200
+    assert out["success"] is False
+    assert "code" in out
+
+
+def test_invalid_token_rejected(server):
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT 1"}, "bogus-token")
+    assert st == 200 and out["success"] is False
+    assert out["code"] == "390104"
+
+
+def test_rest_v2_statement(server):
+    st, out = _call(server, "POST", "/api/v2/statements",
+                    {"statement": "SELECT 1 AS one, 'x' AS s"})
+    assert st == 200, out
+    assert out["status"] == "success"
+    assert out["resultSetMetaData"]["numRows"] == 1
+    assert out["data"] == [[1, "x"]]
+    handle = out["statementHandle"]
+    assert handle.startswith("01")
+    st, out = _call(server, "GET", f"/api/v2/statements/{handle}")
+    assert out["status"] == "success"
+
+
+def test_rest_v2_statement_error(server):
+    st, out = _call(server, "POST", "/api/v2/statements", {"statement": "SELECT * FROM nope_nope"})
+    assert st == 422
+    assert out["status"] == "failed" and "code" in out
+
+
+def test_rest_v2_bindings(server):
+    st, out = _call(server, "POST", "/api/v2/statements",
+                    {"statement": "SELECT :1 AS a, :2 AS b",
+                     "bindings": {"1": {"type": "FIXED", "value": "7"},
+                                  "2": {"type": "TEXT", "value": "hi"}}})
+    assert out["data"] == [[7, "hi"]]
+
+
+def test_rest_v2_crud(server):
+    st, out = _call(server, "POST", "/api/v2/databases", {"name": "restdb"})
+    assert st == 200
+    st, out = _call(server, "POST", "/api/v2/databases/restdb/schemas", {"name": "s2"})
+    assert st == 200
+    st, out = _call(server, "POST", "/api/v2/databases/restdb/schemas/s2/tables",
+                    {"name": "t1", "columns": [{"name": "id", "datatype": "INTEGER"},
+                                               {"name": "v", "datatype": "VARCHAR"}]})
+    assert st == 200
+    st, out = _call(server, "GET", "/api/v2/databases/restdb/schemas/s2/tables")
+    assert {"name": "T1"} in out
+    st, out = _call(server, "DELETE", "/api/v2/databases/restdb/schemas/s2/tables/t1")
+    assert st == 200
+    st, out = _call(server, "DELETE", "/api/v2/databases/restdb")
+    assert st == 200
+
+
+def test_rest_v2_warehouses(server):
+    _call(server, "POST", "/api/v2/warehouses", {"name": "wh1", "warehouse_size": "SMALL"})
+    st, out = _call(server, "GET", "/api/v2/warehouses")
+    assert any(w["name"] == "WH1" and w["state"] == "ACTIVE" for w in out)
+    _call(server, "POST", "/api/v2/warehouses/wh1:suspend")
+    st, out = _call(server, "GET", "/api/v2/warehouses")
+    assert any(w["name"] == "WH1" and w["state"] == "SUSPENDED" for w in out)
+    st, out = _call(server, "DELETE", "/api/v2/warehouses/wh1")
+    assert st == 200
+
+
+def test_session_heartbeat_logout(server):
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/session/heartbeat", {}, token)
+    assert out["success"]
+    st, out = _call(server, "POST", "/session/logout-request", {}, token)
+    assert out["success"]
+    st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": "SELECT 1"}, token)
+    assert out["success"] is False
