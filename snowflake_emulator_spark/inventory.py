@@ -693,13 +693,14 @@ def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is declared separately as embed_near_pairs_lsh."""
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    l = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    r = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    base = e.select("vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm"))
+    l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(similarity._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.55)
         .orderBy("id_a", "id_b")

@@ -59,7 +59,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     whole pipeline is explode -> groupBy(id) with min-aggregates —
     one shuffle on doc id, partial mins map-side."""
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle))).alias("sh")
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh")
     )
     h = md5_int(F.col("sh")) % F.lit(_MERSENNE31)
     aggs = []
@@ -94,6 +96,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             ])
         ).alias("band", "band_hash"),
     )
+    # the self-join consumes `banded` twice — persist so the expensive
+    # shingle -> md5 -> min-agg pipeline runs once, not twice
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -177,8 +182,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     only those pairs are scored — the 100 TB path. Without candidates it
     scores all pairs sharing at least one shingle (exact, bounded by
     shingle-bucket join, still never a cross join)."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle))).alias("sh")
+    sh = (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__t"))
+        .select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"))
+        .persist()  # consumed three times (sizes + both join sides)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")

@@ -3,27 +3,33 @@
 Three tiers, all shuffle-conscious:
 
 * ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
-  set against the full embedding table; per-row dot products run in
-  codegen via ``aggregate``/``zip_with`` (no Python). One scan, no
-  shuffle except the final per-query top-k (window over k rows).
-  This is the correct 100 TB baseline when queries are few.
+  set against the full embedding table; per-row dot products run
+  JVM-side via ``aggregate``/``zip_with`` with norms precomputed once
+  per vector (not per pair). One scan, no shuffle except the final
+  per-query top-k. The correct 100 TB baseline when queries are few,
+  and bit-identical to the DuckDB oracle (sequential double fold).
 * ``cosine_near_pairs`` — all near-duplicate pairs above a cosine
   threshold, LSH-bucketed by random-hyperplane signs so the self-join
-  is per-bucket, never O(n²).
+  is per-bucket, never O(n²); candidate scoring is Arrow-batched
+  numpy (vectorized — the interpreted per-element HOF fold is the
+  slow path once pair counts grow).
 * ``ivf_topk`` — IVF-style: partition vectors by nearest centroid
   (deterministic hash-seeded centroids), search only the query's
   ``nprobe`` nearest centroid buckets. The scale path when queries are
   many: turns a full scan per query into a bucket scan.
 
-Dot products are computed in DOUBLE with sequential fold order, which
-matches DuckDB's ``list_dot_product`` bit-for-bit (verified) — so the
-brute-force variants are oracle-checkable.
+Exact-parity note: the JVM fold (`_dot`) adds elements sequentially,
+matching DuckDB's ``list_dot_product`` bit-for-bit; numpy's pairwise
+summation may differ in the last ulp, so numpy is used only for
+approximate (rows-only-checked) operators.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -42,20 +48,33 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched numpy cosine for approximate paths."""
+    import numpy as np
+
+    a = np.stack(va.to_numpy()).astype("float64")
+    b = np.stack(vb.to_numpy()).astype("float64")
+    num = (a * b).sum(axis=1)
+    den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+    return pd.Series(num / den)
+
+
 def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query id.
 
-    Plan shape: broadcast(queries) nested-loop join -> per-row cosine in
-    codegen -> window top-k. Returns (query_id, neighbor_id, rank,
-    cosine_sim)."""
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    Plan shape: broadcast(queries) nested-loop join -> per-row dot in
+    codegen (norms precomputed per side) -> window top-k. Returns
+    (query_id, neighbor_id, rank, cosine_sim)."""
+    base = emb.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vnorm"))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("vnorm").alias("qnorm")
     )
-    scored = emb.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).select(
+    scored = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        F.round(_dot(F.col("qvec"), F.col(vec_col)) / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -66,8 +85,8 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from a seed
-    (no RNG state: engine-neutral + reproducible across runs)."""
+    """Deterministic pseudo-random hyperplane from a seed (no RNG state:
+    engine-neutral + reproducible across runs)."""
     import hashlib
 
     vals = []
@@ -92,12 +111,12 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
                       vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold.
 
-    Bucketed self-join on the RP-LSH signature: vectors with very high
-    cosine nearly always share all hyperplane signs, so candidates are
-    generated per-bucket. Exact cosine is then verified per candidate."""
+    Bucketed self-join on the RP-LSH signature (vectors with very high
+    cosine nearly always share all hyperplane signs); candidates are
+    then scored with the vectorized numpy kernel."""
     b = emb.select(
         F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
-    )
+    ).persist()
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -106,7 +125,7 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         cand.select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine_sim"),
+            F.round(_cosine_batch(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -130,7 +149,10 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
             F.struct(_dot(vec, F.array(*[F.lit(v) for v in cv])).alias("d"), F.lit(c).alias("c"))
             for c, cv in cents
         ])
-        best = F.slice(F.array_sort(dists, lambda a, b: F.when(a["d"] > b["d"], -1).when(a["d"] < b["d"], 1).otherwise(0)), 1, take)
+        best = F.slice(
+            F.array_sort(dists, lambda a, b: F.when(a["d"] > b["d"], -1).when(a["d"] < b["d"], 1).otherwise(0)),
+            1, take,
+        )
         return F.transform(best, lambda s: s["c"])
 
     assigned = emb.select(
@@ -146,7 +168,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        F.round(_cosine_batch(F.col("qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (

@@ -109,8 +109,15 @@ def fingerprint(text: Column) -> Column:
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-gram shingles of the normalized text (array<string>).
 
-    Built with ``sequence`` + ``transform`` — stays in codegen, no UDF."""
-    t = normalized_text(text)
+    Built with ``sequence`` + ``transform`` — stays in codegen, no UDF.
+
+    PERFORMANCE: the input expression is referenced inside the
+    ``transform`` lambda, where Catalyst re-evaluates it per array
+    element. Pass a *plain column* (pre-normalized via a projection),
+    not a heavy expression — ``char_ngrams(normalized_text(col))``
+    re-runs two regex passes per character. Pipelines should do
+    ``df.select(normalized_text(col).alias("t")).select(char_ngrams(col("t")))``."""
+    t = text
     return F.when(F.length(t) < n, F.array(t)).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.length(t) - (n - 1)),
