@@ -52,6 +52,18 @@ def main() -> None:
     spark.sql("SELECT count(*), sum(l_quantity) FROM lineitem").collect()
     spark.sql("SELECT count(*) FROM documents").collect()
     spark.sql("SELECT count(*) FROM embeddings").collect()
+    # spin up the Python worker fleet + Arrow path once (first pandas
+    # UDF otherwise pays ~15s of worker startup inside a measured query)
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
+    spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .select(_warm(F.col("id").cast("double"))).count()
+    # JIT-warm the interpreted HOF fold used by exact cosine queries
+    spark.sql(
+        "SELECT max(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)) FROM embeddings"
+    ).collect()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]

@@ -434,6 +434,13 @@ class Executor:
         if "FILE FORMATS" in up:
             rows = [[ff, fm.format_type] for (db, sch, ff), fm in sorted(self.catalog.file_formats.items()) if _match(ff)]
             return Result(columns=["name", "type"], rows=rows)
+        if "QUERY HISTORY" in up:
+            # query-history log (reference: pkg/metadata/repository.go:1213-1378)
+            rows = [
+                [e["sql"][:200], e["status"], e.get("rows", 0), e.get("ms", 0), e.get("error")]
+                for e in self.history[-100:]
+            ]
+            return Result(columns=["query_text", "status", "rows", "total_elapsed_time", "error_message"], rows=rows)
         raise errors.syntax_error(f"unsupported SHOW: {sql[:60]}")
 
     def _describe(self, sql: str, ctx: SessionContext) -> Result:

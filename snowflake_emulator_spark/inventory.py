@@ -497,7 +497,21 @@ FROM documents ORDER BY doc_id
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     d = spark.table("documents")
-    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+    # project shared sub-expressions once (token count is referenced by
+    # two score components; keeps the codegen tree linear)
+    projected = d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("__ntok"),
+        textstats.punct_ratio(F.col("text")).alias("__punct"),
+        textstats.stopword_ratio(F.col("text")).alias("__stop"),
+    )
+    q = F.round(
+        0.5 * F.least(F.col("__ntok") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(F.col("__stop") * 4.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(F.col("__punct") * 5.0, F.lit(1.0))),
+        6,
+    )
+    return projected.select("doc_id", q.alias("quality")).orderBy("doc_id")
 
 
 def _quality_oracle() -> str:
@@ -521,8 +535,13 @@ FROM documents ORDER BY doc_id
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     d = spark.table("documents")
+    scores = textstats.language_scores(F.col("text"))
+    projected = d.select(
+        "lang", *[sc.alias(f"__s_{lang}") for lang, sc in scores.items()]
+    )
+    pick = textstats.language_pick({lang: F.col(f"__s_{lang}") for lang in scores})
     return (
-        d.select("lang", textstats.language_guess(F.col("text")).alias("predicted"))
+        projected.select("lang", pick.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("lang", "predicted")
@@ -693,14 +712,14 @@ def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is declared separately as embed_near_pairs_lsh."""
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    base = e.select("vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm"))
+    base = e.select("vec_id", "embedding", similarity._norm(F.col("embedding"), None).alias("nrm"))
     l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     return (
         l.join(r, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(similarity._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
+            F.round(similarity._dot(F.col("va"), F.col("vb"), None) / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.55)
         .orderBy("id_a", "id_b")

@@ -70,24 +70,34 @@ def quality_score(text: Column) -> Column:
     return F.round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 6)
 
 
-def language_guess(text: Column) -> Column:
-    """Pick the language whose marker-stopword density is highest;
-    'und' (undetermined) when nothing matches."""
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-stopword density per language (columns to project)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores = {
+    return {
         lang: sum((_count_occurrences(padded, w) for w in words), F.lit(0.0))
         for lang, words in LANG_MARKERS.items()
     }
-    best = None
-    best_score = None
-    for lang, sc in scores.items():
-        if best is None:
-            best, best_score = F.lit(lang), sc
-        else:
-            cond = sc > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, sc).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def language_pick(scores: dict[str, Column]) -> Column:
+    """Argmax with ties to the earliest language in LANG_MARKERS order;
+    'und' when nothing matches.
+
+    Expects *projected columns* (not raw expressions): building the
+    argmax directly over the replace-count expressions duplicates each
+    score tree ~2^n times through the When-chain — 29s -> ~1s at sf0.1
+    when scores go through a projection boundary first."""
+    m = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == m, F.lit(lang)).otherwise(out)
+    return F.when(m <= 0, F.lit("und")).otherwise(out)
+
+
+def language_guess(text: Column) -> Column:
+    """Single-expression convenience (fine for small data; pipelines
+    should project language_scores first and use language_pick)."""
+    return language_pick(language_scores(text))
 
 
 def normalized_text(text: Column) -> Column:

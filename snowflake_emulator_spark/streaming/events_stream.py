@@ -54,10 +54,15 @@ def windowed_counts(events: DataFrame, window: str = "1 minute",
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str = "events_agg", timeout_s: int = 60):
-    """Start the query with a memory sink (tests / demos)."""
+def run_to_memory_sink(stream_df: DataFrame, name: str = "events_agg", timeout_s: int = 60,
+                       output_mode: str = "complete"):
+    """Start the query with a memory sink (tests / demos).
+
+    Default mode is ``complete``: with ``append`` + watermark, a window
+    only emits once the watermark passes its end — a finite
+    ``availableNow`` batch with no trailing data would emit nothing."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
