@@ -1,0 +1,55 @@
+"""Generate docs/PLANS_r1.md: formatted physical plans for headline
+queries + automated checks (filter pushdown, broadcast joins, partial
+aggregation) — evidence that the declarative plans scale."""
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from snowflake_emulator_spark.inventory import REGISTRY  # noqa: E402
+from snowflake_emulator_spark.session_factory import build_spark  # noqa: E402
+
+AUDIT = [
+    ("q1_pricing_summary", ["PushedFilters", "HashAggregate"]),
+    ("q3_shipping_priority", ["BroadcastHashJoin", "PushedFilters", "TakeOrderedAndProject"]),
+    ("q5_local_supplier", ["BroadcastHashJoin"]),
+    ("q6_revenue_forecast", ["PushedFilters"]),
+    ("topk_orders", ["TakeOrderedAndProject"]),
+    ("join_left_outer", []),
+    ("window_row_number_topn", ["Window"]),
+    ("dedup_exact", ["HashAggregate"]),
+    ("dedup_minhash_lsh", []),
+    ("embed_cosine_topk", ["BroadcastNestedLoopJoin"]),
+]
+
+
+def main():
+    spark = build_spark(app_name="explain-audit", master="local[8]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.1"
+    out = ["# Physical plans (sf0.1) — round 1 audit\n"]
+    for name, expect in AUDIT:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
+            if hasattr(df._sc._jvm, "PythonSQLUtils") else None
+        if plan is None:
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        checks = []
+        for token in expect:
+            ok = token in plan
+            checks.append(f"{'OK' if ok else 'MISSING'}: {token}")
+        # trim per-column detail sections for readability
+        head = plan.split("\n\n")[0]
+        out.append(f"## {name}\n")
+        if checks:
+            out.append("Checks: " + "; ".join(checks) + "\n")
+        out.append("```\n" + head.strip()[:4000] + "\n```\n")
+        print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
+    with open("/root/repo/docs/PLANS_r1.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
