@@ -367,6 +367,125 @@ SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id ORDER BY user_id
 """
 
+# variance/stddev via explicit sum-of-squares formula: engine built-ins
+# use different accumulation algorithms (Welford vs naive) so bit parity
+# needs the same explicit arithmetic on both sides
+_AGG_VARIANCE = """
+SELECT l_returnflag,
+       round((sumsq - sm * sm / n) / (n - 1), 4) AS var_qty,
+       round(sqrt((sumsq - sm * sm / n) / (n - 1)), 4) AS std_qty
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq
+  FROM lineitem GROUP BY l_returnflag
+) ORDER BY l_returnflag
+"""
+
+_AGG_MEDIAN_SPARK = """
+SELECT l_linestatus, CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+       CAST(percentile(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+_AGG_MEDIAN_ORACLE = """
+SELECT l_linestatus, CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+       CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+_AGG_PIVOT_STYLE = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_type) AS type_l,
+       substr(p_name, 1, 8) AS name_pre,
+       length(p_name) AS name_len,
+       replace(p_brand, '#', '-') AS brand_r,
+       trim(concat('  ', p_brand, ' ')) AS brand_t,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+       split_part(p_type, ' ', 1) AS type_first,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+"""
+
+# Spark regexp_replace is replace-all; DuckDB needs the 'g' flag
+_REGEXP_FUNCS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_') AS devoweled
+FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+"""
+_REGEXP_FUNCS_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+"""
+
+_MATH_FUNCS = """
+SELECT p_partkey,
+       round(abs(p_retailprice - 1000.0), 2) AS dist_1000,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(power(CAST(p_size AS DOUBLE), 2.0), 2) AS size_sq,
+       CAST(p_size % 7 AS INTEGER) AS size_mod
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+"""
+
+# NOT IN with NULL-able subquery: ANSI three-valued logic both engines
+_NOT_IN_NULL = """
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%')
+"""
+
+_CASE_IN_LIST = """
+SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 'industrial'
+            WHEN c_mktsegment IN ('AUTOMOBILE', 'FURNITURE') THEN 'consumer'
+            ELSE 'other' END AS segment_class,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+"""
+
+_VALUES_INLINE = """
+SELECT t.grade, CAST(count(*) AS BIGINT) AS n
+FROM orders o
+JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'), ('3-MEDIUM', 'normal'),
+             ('4-NOT SPECIFIED', 'normal'), ('5-LOW', 'slow')) AS t(prio, grade)
+  ON o.o_orderpriority = t.prio
+GROUP BY t.grade ORDER BY t.grade
+"""
+
+_EXTRACT_PARTS = """
+SELECT CAST(extract(YEAR FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(MONTH FROM o_orderdate) AS BIGINT) AS m,
+       CAST(extract(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+_UNION_DISTINCT = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey AS nationkey FROM supplier
+) ORDER BY nationkey
+"""
+
 # ---------------------------------------------------------------------------
 # Snowflake-function queries (translator path; SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -439,6 +558,25 @@ _SF_STR_ORACLE = """
 SELECT length(c_name) AS name_len, CAST(strpos(c_name, '0') AS INTEGER) AS zero_pos,
        c_nationkey * c_nationkey AS nk_sq, CAST(count(*) AS BIGINT) AS n
 FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+_SF_STR2 = """
+SELECT DAYNAME(o_orderdate) AS dn,
+       CAST(DATE_PART(month, o_orderdate) AS BIGINT) AS mth,
+       STARTSWITH(o_orderpriority, '1') AS urgent,
+       CONTAINS(o_orderstatus, 'O') AS is_open,
+       TRY_TO_NUMBER(REGEXP_SUBSTR(o_orderpriority, '[0-9]+'))::DOUBLE AS prio_num,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5
+"""
+_SF_STR2_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%a') AS dn,
+       CAST(date_part('month', o_orderdate) AS BIGINT) AS mth,
+       starts_with(o_orderpriority, '1') AS urgent,
+       contains(o_orderstatus, 'O') AS is_open,
+       CAST(try_cast(regexp_extract(o_orderpriority, '[0-9]+') AS DECIMAL(38,0)) AS DOUBLE) AS prio_num,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5
 """
 
 # flatten/explode (F7)
@@ -789,6 +927,9 @@ REGISTRY: dict[str, tuple] = {
     "agg_group_having": (_sql(_AGG_HAVING), _AGG_HAVING),
     "agg_count_distinct": (_sql(_AGG_CD), _AGG_CD),
     "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
+    "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
+    "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
+    "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),
     "agg_rollup": (_sql(_AGG_ROLLUP), _AGG_ROLLUP),
     "agg_cube": (_sql(_AGG_CUBE), _AGG_CUBE),
     "agg_grouping_sets": (_sql(_AGG_GSETS), _AGG_GSETS),
@@ -806,6 +947,16 @@ REGISTRY: dict[str, tuple] = {
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
     "subquery_in": (_sql(_SUBQ_IN), _SUBQ_IN),
+    "subquery_not_in_null": (_sql(_NOT_IN_NULL), _NOT_IN_NULL),
+    # expressions / functions
+    "string_functions": (_sql(_STRING_FUNCS), _STRING_FUNCS),
+    "regexp_functions": (_sql(_REGEXP_FUNCS), _REGEXP_FUNCS_ORACLE),
+    "math_functions": (_sql(_MATH_FUNCS), _MATH_FUNCS),
+    "case_in_list": (_sql(_CASE_IN_LIST), _CASE_IN_LIST),
+    "limit_offset": (_sql(_LIMIT_OFFSET), _LIMIT_OFFSET),
+    "values_inline_join": (_sql(_VALUES_INLINE), _VALUES_INLINE),
+    "extract_date_parts": (_sql(_EXTRACT_PARTS), _EXTRACT_PARTS),
+    "setop_union_distinct": (_sql(_UNION_DISTINCT), _UNION_DISTINCT),
     # events / time / JSON
     "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
@@ -817,6 +968,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_object_construct": (_snow(_SF_OBJ), _SF_OBJ_ORACLE),
     "sf_double_colon_cast": (_snow(_SF_CAST), _SF_CAST_ORACLE),
     "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
+    "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),

@@ -267,6 +267,35 @@ class Translator:
             if len(args) == 2:
                 return f"split({args[0]}, {args[1]})"
             return f"split({args[0]}, ' ')"
+        if fname == "STARTSWITH":
+            return f"startswith({', '.join(args)})"
+        if fname == "ENDSWITH":
+            return f"endswith({', '.join(args)})"
+        if fname == "CONTAINS":
+            return f"contains({', '.join(args)})"
+        if fname == "TRY_TO_NUMBER":
+            if len(args) >= 3:
+                return f"try_cast({args[0]} AS DECIMAL({args[-2]}, {args[-1]}))"
+            return f"try_cast({args[0]} AS DECIMAL(38, 0))"
+        if fname == "TRY_TO_DOUBLE":
+            return f"try_cast({args[0]} AS DOUBLE)"
+        if fname == "DAYNAME":
+            return f"date_format({args[0]}, 'EEE')"
+        if fname == "MONTHNAME":
+            return f"date_format({args[0]}, 'MMM')"
+        if fname == "DATE_PART":
+            part = normalize_date_part(args[0])
+            return f"extract({part or args[0]} FROM {args[1]})"
+        if fname == "DATE_TRUNC":
+            # Snowflake allows unquoted part names; Spark needs a string
+            p = args[0].strip().strip("'\"")
+            return f"date_trunc('{p}', {args[1]})"
+        if fname == "LAST_DAY":
+            return f"last_day({', '.join(args)})"
+        if fname == "REGEXP_SUBSTR":
+            if len(args) == 2:
+                return f"regexp_extract({args[0]}, {args[1]}, 0)"
+            return f"regexp_extract({', '.join(args)})"
         if fname == "ARRAY_SIZE":
             return f"size({args[0]})"
         if fname == "ARRAY_CONSTRUCT":
@@ -402,6 +431,16 @@ _REWRITABLE = {
     "STRTOK_TO_ARRAY",
     "ARRAY_SIZE",
     "ARRAY_CONSTRUCT",
+    "STARTSWITH",
+    "ENDSWITH",
+    "CONTAINS",
+    "TRY_TO_NUMBER",
+    "TRY_TO_DOUBLE",
+    "DAYNAME",
+    "MONTHNAME",
+    "DATE_PART",
+    "DATE_TRUNC",
+    "REGEXP_SUBSTR",
 }
 
 _DEFAULT = Translator()

@@ -112,6 +112,18 @@ from snowflake_emulator_spark.plans.translator import translate
         ("CREATE TABLE t (id IFF)", "CREATE TABLE t (id IFF)"),
         # trailing semicolons are stripped
         ("SELECT 1;", "SELECT 1"),
+        # string/date predicate spellings
+        ("SELECT STARTSWITH(a, 'x') FROM t", "SELECT startswith(a, 'x') FROM t"),
+        ("SELECT ENDSWITH(a, 'x') FROM t", "SELECT endswith(a, 'x') FROM t"),
+        ("SELECT CONTAINS(a, 'x') FROM t", "SELECT contains(a, 'x') FROM t"),
+        ("SELECT TRY_TO_NUMBER(s) FROM t", "SELECT try_cast(s AS DECIMAL(38, 0)) FROM t"),
+        ("SELECT TRY_TO_DOUBLE(s) FROM t", "SELECT try_cast(s AS DOUBLE) FROM t"),
+        ("SELECT DAYNAME(d) FROM t", "SELECT date_format(d, 'EEE') FROM t"),
+        ("SELECT MONTHNAME(d) FROM t", "SELECT date_format(d, 'MMM') FROM t"),
+        ("SELECT DATE_PART(month, d) FROM t", "SELECT extract(MONTH FROM d) FROM t"),
+        ("SELECT DATE_TRUNC(day, d) FROM t", "SELECT date_trunc('day', d) FROM t"),
+        ("SELECT DATE_TRUNC('month', d) FROM t", "SELECT date_trunc('month', d) FROM t"),
+        ("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t", "SELECT regexp_extract(s, '[0-9]+', 0) FROM t"),
     ],
 )
 def test_translate(sql, expected):
