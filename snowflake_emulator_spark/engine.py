@@ -116,6 +116,26 @@ class Engine:
         """Query entry returning the lazy DataFrame (Snowflake SQL in)."""
         return self.executor.query_df(sql, ctx)
 
+    def mount_fixtures(self, sf_dir: str, database: str | None = None,
+                       schema: str | None = None) -> list[str]:
+        """Register the driver's parquet fixture tables as read-only
+        external catalog tables (FIXTURES.md §2: each fixture appears as
+        ``TEST_DB.PUBLIC.<NAME>`` so inventory queries run through the
+        full Snowflake SQL path)."""
+        import os
+
+        mounted = []
+        for fname in sorted(os.listdir(sf_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            name = fname[: -len(".parquet")]
+            if name == "events":
+                continue  # TIMESTAMP(NANOS): queried via inventory.load_views
+            self.catalog.register_external_parquet(name, os.path.join(sf_dir, fname),
+                                                   database, schema)
+            mounted.append(name.upper())
+        return mounted
+
     def close(self) -> None:
         pass  # shared SparkSession is owned by the caller
 
