@@ -110,6 +110,11 @@ class Catalog:
         )
         os.makedirs(self.base_dir, exist_ok=True)
         self._lock = threading.RLock()
+        # per-table write locks: long-running write jobs must not
+        # serialize against writes to OTHER tables (N10 analog —
+        # reference serializes all writes behind one mutex,
+        # connection/manager.go:39-43; per-table is the scalable design)
+        self._table_locks: dict[tuple[str, str, str], threading.Lock] = {}
         self.databases: dict[str, dict] = {}
         self.schemas: dict[tuple[str, str], dict] = {}
         self.tables: dict[tuple[str, str, str], TableMeta] = {}
@@ -198,7 +203,7 @@ class Catalog:
     def create_table(self, name: str, columns: list[ColumnDef], database: str | None = None,
                      schema: str | None = None, comment: str | None = None,
                      if_not_exists: bool = False, or_replace: bool = False,
-                     df: DataFrame | None = None) -> TableMeta:
+                     df: DataFrame | None = None, clustering_key: str | None = None) -> TableMeta:
         """Create a managed table; optionally seed with ``df`` (CTAS)."""
         with self._lock:
             db, sch, tbl = self.resolve(name, database, schema)
@@ -214,6 +219,7 @@ class Catalog:
                 else:
                     raise errors.object_exists(f"{db}.{sch}.{tbl}")
             tm = TableMeta(db, sch, tbl, columns=columns, comment=comment,
+                           clustering_key=clustering_key,
                            location=os.path.join(self.base_dir, db, sch, tbl))
             seed = df if df is not None else self.spark.createDataFrame([], tm.spark_schema())
             os.makedirs(tm.location, exist_ok=True)
@@ -256,6 +262,16 @@ class Catalog:
         cols = [df[src.name].cast(f.dataType).alias(f.name)
                 for f, src in zip(target.fields, df.schema.fields)]
         out = df.select(*cols) if tm.columns else df
+        if tm.clustering_key:
+            # CLUSTER BY: co-locate rows sharing the clustering key so
+            # downstream equi-joins/aggs on it avoid a shuffle (the
+            # reference stores the key as metadata only,
+            # pkg/metadata/repository.go:135-146 — we act on it)
+            keys = [k.strip() for k in tm.clustering_key.split(",") if k.strip()]
+            try:
+                out = out.repartition(*keys).sortWithinPartitions(*keys)
+            except Exception:
+                pass  # bad key: fall back to unclustered write
         new_version = tm.version + 1 if not first else 1
         path = tm.version_path(new_version)
         out.write.mode("overwrite").parquet(path)
@@ -263,11 +279,20 @@ class Catalog:
         self.register_view(tm)
         self._gc_versions(tm)
 
+    def _table_lock(self, tm: TableMeta) -> threading.Lock:
+        key = (tm.database, tm.schema, tm.name)
+        with self._lock:
+            return self._table_locks.setdefault(key, threading.Lock())
+
     def write_table(self, tm: TableMeta, df: DataFrame, mode: str = "overwrite") -> None:
         """``mode`` 'overwrite' replaces contents; 'append' unions with
         the current version (still writes a full new version — parquet
-        append into the live dir would break snapshot isolation)."""
-        with self._lock:
+        append into the live dir would break snapshot isolation).
+
+        Holds only this table's write lock for the duration of the
+        Spark job, so concurrent writes to different tables proceed in
+        parallel."""
+        with self._table_lock(tm):
             if mode == "append":
                 cur = self.read_table(tm)
                 aligned = df.select(*[df[c.name].cast(f.dataType).alias(f.name)
@@ -281,7 +306,7 @@ class Catalog:
         Safe because COPY only adds files and parquet readers list the
         dir at query planning time. At 100 TB scale this is the only
         viable ingest pattern (no O(table) rewrite per load)."""
-        with self._lock:
+        with self._table_lock(tm):
             target = tm.spark_schema()
             aligned = df.select(*[df[src.name].cast(f.dataType).alias(f.name)
                                   for src, f in zip(df.schema.fields, target.fields)])

@@ -230,13 +230,21 @@ class Executor:
                                       if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)), df=df)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(3).upper()} successfully created.")
+        # CLUSTER BY is extracted up-front (the greedy column-list regex
+        # would otherwise swallow it); recorded as metadata AND acted on:
+        # writes repartition+sort by the key (catalog._write_version)
+        clustering_key = None
+        cm = re.search(r"\bCLUSTER\s+BY\s*\(([^)]*)\)", sql, re.I)
+        if cm:
+            clustering_key = cm.group(1).strip()
+            sql = sql[: cm.start()] + sql[cm.end():]
         m = _CREATE_TABLE_RE.match(sql)
         if m:
             or_replace = bool(re.match(r"^\s*CREATE\s+OR\s+REPLACE", sql, re.I))
             cols = parse_column_defs(m.group(3))
             self.catalog.create_table(m.group(2), cols, ctx.database, ctx.schema,
                                       comment=m.group(4), if_not_exists=bool(m.group(1)),
-                                      or_replace=or_replace)
+                                      or_replace=or_replace, clustering_key=clustering_key)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(2).upper()} successfully created.")
         m = _DROP_TABLE_RE.match(sql)

@@ -560,6 +560,21 @@ SELECT length(c_name) AS name_len, CAST(strpos(c_name, '0') AS INTEGER) AS zero_
 FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
+# Snowflake VARIANT path syntax through the translator
+# (props:k::NUMBER -> get_json_object + cast)
+_SF_VARIANT_PATH = """
+SELECT props:k::DOUBLE % 10 AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(props:k::NUMBER(18,0)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+_SF_VARIANT_PATH_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) % 10 AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0))) AS BIGINT) AS k_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
 _SF_STR2 = """
 SELECT DAYNAME(o_orderdate) AS dn,
        CAST(DATE_PART(month, o_orderdate) AS BIGINT) AS mth,
@@ -969,6 +984,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_double_colon_cast": (_snow(_SF_CAST), _SF_CAST_ORACLE),
     "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
+    "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),

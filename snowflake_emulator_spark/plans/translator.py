@@ -105,8 +105,57 @@ class Translator:
 
     def translate_expr(self, s: str) -> str:
         out = self._rewrite_calls(s)
+        out = self._rewrite_variant_paths(out)
         out = self._rewrite_double_colon_casts(out)
         return out
+
+    # -- VARIANT path access (col:field[.sub] -> get_json_object) ---------
+
+    def _rewrite_variant_paths(self, s: str) -> str:
+        """Rewrite Snowflake's ``col:field.sub`` VARIANT access onto
+        ``get_json_object(col, '$.field.sub')``.
+
+        Beyond-reference upgrade: the reference's vitess parser cannot
+        parse ``:`` paths, so such queries fail there
+        (translator.go:121-127 falls through and DuckDB rejects them);
+        our VARIANT columns are JSON text (SURVEY §1.3), which Spark's
+        get_json_object consumes directly. Positional bindings (``:1``)
+        and ``::`` casts are untouched."""
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = self._skip_string(s, i)
+                out.append(s[i:j])
+                i = j
+                continue
+            if (
+                c == ":"
+                and i + 1 < n
+                and (s[i + 1].isalpha() or s[i + 1] == "_")
+                and (i + 1 >= n or s[i + 1] != ":")
+                and (i == 0 or s[i - 1] != ":")
+            ):
+                # walk left over the base identifier (possibly qualified)
+                k = len(out)
+                base_chars: list[str] = []
+                while k > 0 and len(out[k - 1]) == 1 and (out[k - 1].isalnum() or out[k - 1] in "_$."):
+                    base_chars.insert(0, out[k - 1])
+                    k -= 1
+                base = "".join(base_chars)
+                if base and (base[0].isalpha() or base[0] in "_\"$"):
+                    j = i + 1
+                    while j < n and (s[j].isalnum() or s[j] in "_.$"):
+                        j += 1
+                    path = s[i + 1 : j]
+                    del out[k:]
+                    out.append(f"get_json_object({base}, '$.{path}')")
+                    i = j
+                    continue
+            out.append(c)
+            i += 1
+        return "".join(out)
 
     def _rewrite_calls(self, s: str) -> str:
         """Scan for known function calls, rewrite them (recursively

@@ -124,6 +124,13 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT DATE_TRUNC(day, d) FROM t", "SELECT date_trunc('day', d) FROM t"),
         ("SELECT DATE_TRUNC('month', d) FROM t", "SELECT date_trunc('month', d) FROM t"),
         ("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t", "SELECT regexp_extract(s, '[0-9]+', 0) FROM t"),
+        # VARIANT path access (beyond-reference: vitess cannot parse these)
+        ("SELECT props:k FROM events", "SELECT get_json_object(props, '$.k') FROM events"),
+        ("SELECT e.props:k::NUMBER FROM events e",
+         "SELECT CAST(get_json_object(e.props, '$.k') AS DECIMAL(38,0)) FROM events e"),
+        ("SELECT data:user.name FROM t", "SELECT get_json_object(data, '$.user.name') FROM t"),
+        ("SELECT ':nota' FROM t", "SELECT ':nota' FROM t"),
+        ("SELECT x FROM t WHERE id = :1", "SELECT x FROM t WHERE id = :1"),
     ],
 )
 def test_translate(sql, expected):
