@@ -1,0 +1,112 @@
+"""Advanced-function workflow with value assertions, mirroring the
+reference's integration suite
+(`/root/reference/tests/integration/server_integration_test.go:457-657`)
+over the FUNCTION_TEST fixture (FIXTURES.md §1)."""
+
+import pytest
+
+from snowflake_emulator_spark.executor import SessionContext
+
+
+@pytest.fixture()
+def ft(engine):
+    ctx = SessionContext()
+    engine.execute(
+        """CREATE TABLE function_test (
+             id INTEGER PRIMARY KEY,
+             name VARCHAR NOT NULL,
+             email VARCHAR,
+             score INTEGER,
+             created_at DATE NOT NULL,
+             data VARCHAR)""",
+        ctx,
+    )
+    engine.execute(
+        """INSERT INTO function_test VALUES
+           (1, 'Alice', 'alice@example.com', 95, DATE '2024-01-15', '{"role": "admin"}'),
+           (2, 'Bob', NULL, 80, DATE '2024-02-20', NULL),
+           (3, 'Charlie', 'charlie@example.com', NULL, DATE '2024-03-25', '{"role": "user"}')""",
+        ctx,
+    )
+    return ctx
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_nvl_nvl2(engine, ft):
+    res = engine.execute(
+        """SELECT name, NVL(email, 'no-email') AS email_c,
+                  NVL2(email, 'has', 'none') AS has_email
+           FROM function_test ORDER BY id""",
+        ft,
+    )
+    assert _rows(res) == [
+        ("Alice", "alice@example.com", "has"),
+        ("Bob", "no-email", "none"),
+        ("Charlie", "charlie@example.com", "has"),
+    ]
+
+
+def test_iff_nvl2_grading(engine, ft):
+    """The reference's combined grading query
+    (server_integration_test.go:583-657 spirit)."""
+    res = engine.execute(
+        """SELECT name,
+                  NVL2(score, IFF(score >= 90, 'A', 'B'), 'N/A') AS grade
+           FROM function_test ORDER BY id""",
+        ft,
+    )
+    assert _rows(res) == [("Alice", "A"), ("Bob", "B"), ("Charlie", "N/A")]
+
+
+def test_dateadd_datediff(engine, ft):
+    res = engine.execute(
+        """SELECT id,
+                  CAST(DATEADD(day, 30, created_at) AS DATE) AS due,
+                  DATEDIFF(day, created_at, DATE '2024-04-01') AS days_left,
+                  DATEDIFF(month, created_at, DATE '2024-04-01') AS months_left
+           FROM function_test ORDER BY id""",
+        ft,
+    )
+    import datetime as dt
+
+    assert _rows(res) == [
+        (1, dt.date(2024, 2, 14), 77, 3),
+        (2, dt.date(2024, 3, 21), 41, 2),
+        (3, dt.date(2024, 4, 24), 7, 1),
+    ]
+
+
+def test_object_construct_and_variant(engine, ft):
+    res = engine.execute(
+        """SELECT OBJECT_CONSTRUCT('name', name, 'id', CAST(id AS VARCHAR)) AS obj,
+                  TO_VARIANT(data) AS v
+           FROM function_test WHERE id = 1""",
+        ft,
+    )
+    assert _rows(res) == [('{"name":"Alice","id":"1"}', '{"role": "admin"}')]
+
+
+def test_json_path_on_variant(engine, ft):
+    res = engine.execute(
+        "SELECT id, data:role AS role FROM function_test ORDER BY id", ft
+    )
+    assert _rows(res) == [(1, "admin"), (2, None), (3, "user")]
+
+
+def test_listagg(engine, ft):
+    res = engine.execute(
+        "SELECT LISTAGG(name, ',') WITHIN GROUP (ORDER BY name) AS names FROM function_test",
+        ft,
+    )
+    assert _rows(res) == [("Alice,Bob,Charlie",)]
+
+
+def test_result_metadata_type_names(engine, ft):
+    """Result metadata carries Snowflake type names
+    (pkg/query/type_mapper.go:24-56)."""
+    res = engine.execute("SELECT id, name, created_at, score FROM function_test LIMIT 1", ft)
+    types = {c.name: c.type for c in res.column_types}
+    assert types == {"id": "NUMBER", "name": "TEXT", "created_at": "DATE", "score": "NUMBER"}

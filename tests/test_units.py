@@ -254,3 +254,20 @@ def test_extract_token():
         extract_token(None)
     with pytest.raises(errors.SnowflakeError):
         extract_token("Basic dXNlcg==")
+
+
+# ---- session persistence (reference: pkg/session/store.go:33-208) ----
+
+def test_session_store_roundtrip(tmp_path):
+    from snowflake_emulator_spark.session_store import FileSessionStore
+
+    sm = SessionManager(validity_secs=3600)
+    s = sm.create(database="DB1", schema="S1")
+    store = FileSessionStore(str(tmp_path / "sessions.json"))
+    store.save(sm)
+
+    sm2 = SessionManager(validity_secs=3600)
+    assert store.load(sm2) == 1
+    restored = sm2.validate(s.token)
+    assert restored.database == "DB1" and restored.schema == "S1"
+    assert restored.master_token == s.master_token
