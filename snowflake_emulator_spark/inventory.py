@@ -560,6 +560,15 @@ SELECT length(c_name) AS name_len, CAST(strpos(c_name, '0') AS INTEGER) AS zero_
 FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
+# QUALIFY (window filter; Spark lacks the clause — the translator
+# rewrites it; DuckDB supports QUALIFY natively for the oracle)
+_SF_QUALIFY = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_custkey
+"""
+
 # Snowflake VARIANT path syntax through the translator
 # (props:k::NUMBER -> get_json_object + cast)
 _SF_VARIANT_PATH = """
@@ -985,6 +994,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
+    "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),

@@ -99,7 +99,75 @@ class Translator:
             return s[:7] + self.translate_expr(s[7:])
         if up.startswith(("CREATE", "DROP", "ALTER")):
             return s  # DDL types handled by the catalog layer
+        s = self._rewrite_top(s)
+        s = self._rewrite_qualify(s)
         return self.translate_expr(s)
+
+    # -- SELECT TOP n -> LIMIT n ------------------------------------------
+
+    _TOP_RE = re.compile(r"^(\s*SELECT\s+)TOP\s+(\d+)\s+", re.I)
+
+    def _rewrite_top(self, s: str) -> str:
+        m = self._TOP_RE.match(s)
+        if not m or re.search(r"\bLIMIT\s+\d+\s*$", s, re.I):
+            return s
+        return m.group(1) + s[m.end():] + f" LIMIT {m.group(2)}"
+
+    # -- QUALIFY -> subquery with computed predicate ----------------------
+
+    def _rewrite_qualify(self, s: str) -> str:
+        """Rewrite Snowflake's QUALIFY clause (window-function filter;
+        Spark SQL has no QUALIFY):
+
+            SELECT <list> FROM ... [GROUP BY/HAVING] QUALIFY <cond> [tail]
+        ->  SELECT * EXCEPT(__qualify) FROM (
+              SELECT <list>, (<cond>) AS __qualify FROM ... ) WHERE __qualify [tail]
+
+        The predicate is computed in the subquery because window
+        functions are illegal in WHERE."""
+        qpos = self._find_top_level_keyword(s, "QUALIFY")
+        if qpos is None:
+            return s
+        base = s[:qpos].rstrip()
+        rest = s[qpos + len("QUALIFY"):]
+        # condition runs to the next top-level ORDER BY / LIMIT / OFFSET
+        tail_pos = None
+        for kw in ("ORDER", "LIMIT", "OFFSET"):
+            p = self._find_top_level_keyword(rest, kw)
+            if p is not None and (tail_pos is None or p < tail_pos):
+                tail_pos = p
+        cond = rest[:tail_pos].strip() if tail_pos is not None else rest.strip()
+        tail = (" " + rest[tail_pos:].strip()) if tail_pos is not None else ""
+        from_pos = self._find_top_level_keyword(base, "FROM")
+        if from_pos is None:
+            return s
+        injected = f"{base[:from_pos].rstrip()}, ({cond}) AS __qualify {base[from_pos:]}"
+        return (f"SELECT * EXCEPT(__qualify) FROM ({injected}) "
+                f"WHERE __qualify{tail}")
+
+    def _find_top_level_keyword(self, s: str, kw: str) -> int | None:
+        """Index of the first depth-0 occurrence of keyword ``kw``
+        (word-bounded, outside strings/parens)."""
+        depth = 0
+        i, n = 0, len(s)
+        kw_up = kw.upper()
+        k = len(kw)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                i = self._skip_string(s, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + k].upper() == kw_up:
+                before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+                after_ok = i + k >= n or not (s[i + k].isalnum() or s[i + k] == "_")
+                if before_ok and after_ok:
+                    return i
+            i += 1
+        return None
 
     # -- expression-level translation ------------------------------------
 

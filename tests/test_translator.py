@@ -155,6 +155,26 @@ def test_combined_functions():
 
 
 def test_graceful_degradation_unknown():
-    # unknown constructs pass through untouched (translator.go:121-127)
-    sql = "SELECT WEIRD_FUNC(a, b), c FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    # unknown functions pass through untouched (translator.go:121-127)
+    sql = "SELECT WEIRD_FUNC(a, b), c FROM t"
+    assert translate(sql) == sql
+
+
+def test_top_rewrite():
+    assert translate("SELECT TOP 5 a, b FROM t ORDER BY a") == \
+        "SELECT a, b FROM t ORDER BY a LIMIT 5"
+
+
+def test_qualify_rewrite():
+    out = translate("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) <= 3 ORDER BY a")
+    assert out == (
+        "SELECT * EXCEPT(__qualify) FROM (SELECT a, "
+        "(row_number() OVER (ORDER BY a) <= 3) AS __qualify FROM t) "
+        "WHERE __qualify ORDER BY a"
+    )
+
+
+def test_qualify_ignores_nested():
+    # QUALIFY inside a string or subquery-free statement only
+    sql = "SELECT ' QUALIFY ' AS s FROM t"
     assert translate(sql) == sql
