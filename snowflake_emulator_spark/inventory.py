@@ -394,6 +394,21 @@ SELECT l_linestatus, CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
+# approximate distinct: sketch implementations differ between engines
+# (Spark HLL++ vs DuckDB HLL), so this entry is rows-only by design —
+# the exact variant (agg_count_distinct) carries the value check
+_AGG_APPROX_CD = """
+SELECT l_returnflag, CAST(approx_count_distinct(l_partkey) AS BIGINT) AS approx_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_AGG_MINBY_MAXBY = """
+SELECT o_orderpriority,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 _AGG_PIVOT_STYLE = """
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
@@ -954,6 +969,8 @@ REGISTRY: dict[str, tuple] = {
     "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
     "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),
+    "agg_approx_count_distinct": (_sql(_AGG_APPROX_CD), None),  # sketch-dependent
+    "agg_min_by_max_by": (_sql(_AGG_MINBY_MAXBY), _AGG_MINBY_MAXBY),
     "agg_rollup": (_sql(_AGG_ROLLUP), _AGG_ROLLUP),
     "agg_cube": (_sql(_AGG_CUBE), _AGG_CUBE),
     "agg_grouping_sets": (_sql(_AGG_GSETS), _AGG_GSETS),

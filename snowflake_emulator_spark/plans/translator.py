@@ -101,7 +101,17 @@ class Translator:
             return s  # DDL types handled by the catalog layer
         s = self._rewrite_top(s)
         s = self._rewrite_qualify(s)
+        s = self._rewrite_sample(s)
         return self.translate_expr(s)
+
+    # -- SAMPLE (n) -> TABLESAMPLE (n PERCENT) ----------------------------
+
+    _SAMPLE_RE = re.compile(r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)", re.I)
+
+    def _rewrite_sample(self, s: str) -> str:
+        """Snowflake ``SAMPLE (p)`` / ``SAMPLE BERNOULLI (p)`` (percent
+        row sampling) -> Spark ``TABLESAMPLE (p PERCENT)``."""
+        return self._SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", s)
 
     # -- SELECT TOP n -> LIMIT n ------------------------------------------
 

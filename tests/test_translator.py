@@ -174,6 +174,12 @@ def test_qualify_rewrite():
     )
 
 
+def test_sample_rewrite():
+    assert translate("SELECT * FROM t SAMPLE (10)") == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    assert translate("SELECT * FROM t SAMPLE BERNOULLI (2.5)") == \
+        "SELECT * FROM t TABLESAMPLE (2.5 PERCENT)"
+
+
 def test_qualify_ignores_nested():
     # QUALIFY inside a string or subquery-free statement only
     sql = "SELECT ' QUALIFY ' AS s FROM t"
