@@ -70,8 +70,18 @@ _INSERT_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"$]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
+_UPDATE_FROM_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.\"$]+)(?:\s+(?:AS\s+)?(\w+))?\s+SET\s+(.*?)\s+FROM\s+([\w.\"$]+)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    re.I | re.S,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.\"$]+)(?:\s+WHERE\s+(.*))?$", re.I | re.S
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"$]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.\"$]+)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(.*)$",
+    re.I | re.S,
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\s+)?([\w.\"$]+)\s*$", re.I)
 _ALTER_TABLE_ADD_COL_RE = re.compile(
@@ -293,9 +303,15 @@ class Executor:
         m = _INSERT_RE.match(sql)
         if m:
             return self._insert(m, ctx)
+        m = _UPDATE_FROM_RE.match(sql)
+        if m:
+            return self._update_from(m, ctx)
         m = _UPDATE_RE.match(sql)
         if m:
             return self._update(m, ctx)
+        m = _DELETE_USING_RE.match(sql)
+        if m:
+            return self._delete_using(m, ctx)
         m = _DELETE_RE.match(sql)
         if m:
             return self._delete(m, ctx)
@@ -362,12 +378,80 @@ class Executor:
         r.rows_updated = n_updated
         return r
 
+    def _update_from(self, m: re.Match, ctx: SessionContext) -> Result:
+        """UPDATE t SET ... FROM src WHERE cond — the multi-table UPDATE
+        the reference emits in decomposed MERGE
+        (merge_processor.go:493-548). One join job, atomic version swap;
+        rows with multiple matches take an arbitrary single match
+        (Snowflake's nondeterministic-update semantics)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+        t_alias = m.group(2) or m.group(1).split(".")[-1]
+        sets = self._parse_set_clauses(m.group(3))
+        src_tm = self.catalog.get_table(m.group(4), ctx.database, ctx.schema)
+        s_alias = m.group(5) or m.group(4).split(".")[-1]
+        cond = self.translator.translate_expr(m.group(6))
+
+        target = self.catalog.read_table(tm).withColumn("__rid", F.monotonically_increasing_id())
+        source = self.catalog.read_table(src_tm)
+        tv, sv = "__upd_target_v", "__upd_source_v"
+        target.createOrReplaceTempView(tv)
+        source.createOrReplaceTempView(sv)
+        set_exprs = ", ".join(
+            f"({expr}) AS __set_{col}" for col, expr in sets.items()
+        )
+        joined = self.spark.sql(
+            f"SELECT {t_alias}.__rid AS __rid, {set_exprs} "
+            f"FROM {tv} AS {t_alias} JOIN {sv} AS {s_alias} ON ({cond})"
+        )
+        w = Window.partitionBy("__rid").orderBy(F.lit(1))
+        one_match = joined.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+        n_updated = one_match.count()
+        out = target.join(one_match, "__rid", "left").select(*[
+            F.coalesce(F.col(f"__set_{c.name.upper()}"), F.col(c.name))
+            .cast(tm.spark_schema()[c.name].dataType).alias(c.name)
+            if c.name.upper() in sets else F.col(c.name)
+            for c in tm.columns
+        ])
+        self.catalog.write_table(tm, out, mode="overwrite")
+        self.sync_namespace_views(ctx)
+        r = Result(columns=["number of rows updated"], rows=[[n_updated]])
+        r.rows_updated = n_updated
+        return r
+
+    def _delete_using(self, m: re.Match, ctx: SessionContext) -> Result:
+        """DELETE FROM t USING src WHERE cond
+        (merge_processor.go:551-582 analog): keep = NOT EXISTS match."""
+        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+        t_alias = m.group(2) or m.group(1).split(".")[-1]
+        src_tm = self.catalog.get_table(m.group(3), ctx.database, ctx.schema)
+        s_alias = m.group(4) or m.group(3).split(".")[-1]
+        cond = self.translator.translate_expr(m.group(5))
+        tv, sv = "__del_target_v", "__del_source_v"
+        self.catalog.read_table(tm).createOrReplaceTempView(tv)
+        self.catalog.read_table(src_tm).createOrReplaceTempView(sv)
+        before = self.catalog.read_table(tm).count()
+        out = self.spark.sql(
+            f"SELECT {t_alias}.* FROM {tv} AS {t_alias} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {sv} AS {s_alias} WHERE ({cond}))"
+        )
+        n_after = out.count()
+        self.catalog.write_table(tm, out, mode="overwrite")
+        self.sync_namespace_views(ctx)
+        n_deleted = before - n_after
+        r = Result(columns=["number of rows deleted"], rows=[[n_deleted]])
+        r.rows_deleted = n_deleted
+        return r
+
     def _parse_set_clauses(self, text: str) -> dict[str, str]:
         parts = Translator()._split_args(text)
         sets: dict[str, str] = {}
         for p in parts:
             col, expr = p.split("=", 1)
-            sets[col.strip().upper().strip('"')] = self.translator.translate_expr(expr.strip())
+            col = col.strip().split(".")[-1].strip('"').upper()  # strip alias qualifier
+            sets[col] = self.translator.translate_expr(expr.strip())
         return sets
 
     def _delete(self, m: re.Match, ctx: SessionContext) -> Result:

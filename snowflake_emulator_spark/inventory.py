@@ -858,6 +858,54 @@ ORDER BY id_a, id_b
 """
 
 
+def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pattern: minhash-LSH candidate generation,
+    exact n-gram-Jaccard verification of candidates only. At 100 TB the
+    candidate join is per-bucket and the exact scoring touches only
+    candidate pairs."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5)
+    return dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5, candidates=cands).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _dedup_pipeline_oracle() -> str:
+    minhash = _minhash_oracle().replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH cand AS ({minhash}),
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a AS id_a, i.id_b AS id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+ORDER BY i.id_a, i.id_b
+"""
+
+
+_WIN_DISTRIBUTION = """
+SELECT p_partkey, p_brand,
+       ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile,
+       round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 6) AS cdist
+FROM part
+"""
+
+
 def _embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
@@ -980,6 +1028,7 @@ REGISTRY: dict[str, tuple] = {
     "window_lag_delta": (_sql(_WIN_LAG), _WIN_LAG),
     "window_rank_dense": (_sql(_WIN_RANKS), _WIN_RANKS),
     "window_first_last": (_sql(_WIN_FIRST_LAST), _WIN_FIRST_LAST),
+    "window_distribution": (_sql(_WIN_DISTRIBUTION), _WIN_DISTRIBUTION),
     # set ops
     "setop_union_all": (_sql(_SET_UNION), _SET_UNION),
     "setop_intersect": (_sql(_SET_INTERSECT), _SET_INTERSECT),
@@ -1025,6 +1074,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (_dedup_minhash, _minhash_oracle()),
     "dedup_simhash": (_dedup_simhash, _simhash_oracle()),
     "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
+    "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),

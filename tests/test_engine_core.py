@@ -144,3 +144,26 @@ def test_copy_into_csv(engine, tmp_path):
     assert r.rows_loaded == 2 and r.files_loaded == 1
     res = engine.execute("SELECT id, name FROM copy_t ORDER BY id", ctx)
     assert _rows(res) == [(1, "Alice"), (2, "Bob")]
+
+
+def test_update_from_and_delete_using(engine):
+    """Multi-table DML (Snowflake UPDATE..FROM / DELETE..USING; the
+    reference emits these in decomposed MERGE,
+    merge_processor.go:493-582)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE uf_t (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE uf_s (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO uf_t VALUES (1,10),(2,20),(3,30)", ctx)
+    engine.execute("INSERT INTO uf_s VALUES (1,100),(3,300),(4,400)", ctx)
+    r = engine.execute(
+        "UPDATE uf_t t SET t.v = s.v FROM uf_s s WHERE t.id = s.id", ctx
+    )
+    assert r.rows_updated == 2
+    res = engine.execute("SELECT id, v FROM uf_t ORDER BY id", ctx)
+    assert _rows(res) == [(1, 100), (2, 20), (3, 300)]
+    r = engine.execute(
+        "DELETE FROM uf_t t USING uf_s s WHERE t.id = s.id AND s.v > 200", ctx
+    )
+    assert r.rows_deleted == 1
+    res = engine.execute("SELECT id FROM uf_t ORDER BY id", ctx)
+    assert _rows(res) == [(1,), (2,)]
