@@ -115,6 +115,7 @@ class Catalog:
         # reference serializes all writes behind one mutex,
         # connection/manager.go:39-43; per-table is the scalable design)
         self._table_locks: dict[tuple[str, str, str], threading.Lock] = {}
+        self._gc_floor: dict[tuple[str, str, str], int] = {}
         self.databases: dict[str, dict] = {}
         self.schemas: dict[tuple[str, str], dict] = {}
         self.tables: dict[tuple[str, str, str], TableMeta] = {}
@@ -323,12 +324,22 @@ class Catalog:
     def _gc_versions(self, tm: TableMeta, keep: int = 3) -> None:
         if not tm.location or not os.path.isdir(tm.location):
             return
+        # never GC at or above the GC floor: an open transaction's
+        # snapshot version must survive arbitrarily many writes so
+        # ROLLBACK can restore it (see Engine.begin/rollback)
+        floor = self._gc_floor.get((tm.database, tm.schema, tm.name))
         versions = sorted(
             (int(d[1:]) for d in os.listdir(tm.location) if re.fullmatch(r"v\d+", d)),
         )
         for v in versions[:-keep]:
-            if v != tm.version:
+            if v != tm.version and (floor is None or v < floor):
                 shutil.rmtree(os.path.join(tm.location, f"v{v}"), ignore_errors=True)
+
+    def set_gc_floor(self, snap: dict[tuple[str, str, str], int] | None) -> None:
+        """Protect snapshotted versions from GC while a transaction is
+        open (pass None to clear)."""
+        with self._lock:
+            self._gc_floor = dict(snap) if snap else {}
 
     # ---------------- version snapshots (transactions) ----------------
 

@@ -101,14 +101,17 @@ class Engine:
         # transactions (engine level: version-pointer snapshots)
         if re.match(r"^(BEGIN|START\s+TRANSACTION)\b", up):
             self._tx_snapshot = self.catalog.snapshot_versions()
+            self.catalog.set_gc_floor(self._tx_snapshot)
             return Result.status("Statement executed successfully.")
         if up.startswith("COMMIT"):
             self._tx_snapshot = None
+            self.catalog.set_gc_floor(None)
             return Result.status("Statement executed successfully.")
         if up.startswith("ROLLBACK"):
             if self._tx_snapshot is not None:
                 self.catalog.restore_versions(self._tx_snapshot)
                 self._tx_snapshot = None
+                self.catalog.set_gc_floor(None)
             return Result.status("Statement executed successfully.")
         return self.executor.execute(s, ctx, bindings)
 

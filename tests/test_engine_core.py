@@ -167,3 +167,17 @@ def test_update_from_and_delete_using(engine):
     assert r.rows_deleted == 1
     res = engine.execute("SELECT id FROM uf_t ORDER BY id", ctx)
     assert _rows(res) == [(1,), (2,)]
+
+
+def test_rollback_survives_many_writes(engine):
+    """The transaction snapshot version must survive version GC even
+    after more writes than the GC keep-window."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE gc_tx (id INTEGER)", ctx)
+    engine.execute("INSERT INTO gc_tx VALUES (1)", ctx)
+    engine.execute("BEGIN", ctx)
+    for i in range(2, 8):  # 6 writes > keep-window of 3
+        engine.execute(f"INSERT INTO gc_tx VALUES ({i})", ctx)
+    engine.execute("ROLLBACK", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM gc_tx", ctx)
+    assert _rows(res) == [(1,)]
