@@ -978,6 +978,40 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent prior-or-equal error
+    event of the same user (point-in-time lookup). Oracle: DuckDB's
+    native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter("event_type = 'purchase' AND user_id < 10").select(
+        "event_id", "user_id", "ts"
+    )
+    errs = ev.filter("event_type = 'error' AND user_id < 10").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"), F.col("value").alias("err_value")
+    )
+    out = asof_join(purchases, errs, by=["user_id"], left_time="ts", right_time="ts",
+                    value_cols=["err_id", "err_value"], suffix="")
+    return out.select(
+        "event_id", "user_id",
+        F.col("err_id").alias("last_error_id"),
+        F.col("err_value").alias("last_error_value"),
+    ).orderBy("event_id")
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       e.event_id AS last_error_id,
+       e.value AS last_error_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 10) p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error' AND user_id < 10) e
+  ON p.user_id = e.user_id AND e.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal
 
@@ -1080,6 +1114,8 @@ REGISTRY: dict[str, tuple] = {
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate, rows-only
     "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
+    # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
+    "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
     "multimodal_features": (_multimodal_features, None),
 }

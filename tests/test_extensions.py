@@ -114,3 +114,22 @@ def test_frame_sampling(spark):
     frames = multimodal.sample_frames(media, every_ms=1000)
     rows = frames.collect()
     assert len(rows) == 3 * 6  # 3 videos x (0..5000 step 1000)
+
+
+def test_asof_join_semantics(spark):
+    from snowflake_emulator_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 25), (3, "A", 31), (4, "B", 5)],
+        ["trade_id", "sym", "t"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 30, 102.0), ("B", 9, 50.0)],
+        ["sym", "t", "px"],
+    )
+    out = asof_join(trades, quotes, by=["sym"], left_time="t", right_time="t",
+                    value_cols=["px"], suffix="")
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    # t=10 matches the quote AT 10; t=25 takes the 20 quote; t=31 the 30
+    # quote; B's trade at 5 has no prior quote -> NULL
+    assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None}
