@@ -1001,6 +1001,34 @@ def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error events within 4 hours AFTER a purchase by the same user
+    (bucketed interval join)."""
+    from .operators.asof import range_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter("event_type = 'purchase' AND user_id < 10").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errs = ev.filter("event_type = 'error' AND user_id < 10").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("error_id")
+    )
+    out = range_join(purchases, errs, by=["user_id"], left_time="ts", right_time="err_ts",
+                     lower_us=0, upper_us=4 * 3600 * 1_000_000)
+    return out.select("purchase_id", "user_id", "error_id").orderBy("purchase_id", "error_id")
+
+
+_RANGE_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 10) p
+JOIN (SELECT * FROM events WHERE event_type = 'error' AND user_id < 10) e
+  ON p.user_id = e.user_id
+ AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+ AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 4 HOUR
+ORDER BY purchase_id, error_id
+"""
+
 _ASOF_ORACLE = """
 SELECT p.event_id, p.user_id,
        e.event_id AS last_error_id,
@@ -1116,6 +1144,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
+    "range_join_events": (_range_join_events, _RANGE_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
     "multimodal_features": (_multimodal_features, None),
 }

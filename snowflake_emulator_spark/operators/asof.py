@@ -59,3 +59,35 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
         *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in value_cols],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(left: DataFrame, right: DataFrame, by: list[str],
+               left_time: str, right_time: str,
+               lower_us: int, upper_us: int) -> DataFrame:
+    """Interval join: pairs where ``right_time`` is within
+    ``[left_time + lower_us, left_time + upper_us]`` (microseconds),
+    matching on ``by`` keys.
+
+    A naive non-equi join degenerates to a per-key nested loop. The
+    scale pattern here is **band bucketing**: both sides get a time
+    bucket of width (upper-lower); the left side explodes to the
+    (at most two) buckets its window can overlap, the join is a pure
+    equi-join on (keys, bucket), and the exact range predicate filters
+    the candidates. One shuffle, bounded bucket fan-out, AQE-friendly.
+    """
+    width = upper_us - lower_us
+    assert width > 0, "empty range"
+    lt = F.unix_micros(F.col(left_time))
+    rt = F.unix_micros(F.col(right_time))
+    l = left.withColumn("__lt", lt).withColumn(
+        "__bucket",
+        F.explode(F.array_distinct(F.array(
+            F.floor((F.col("__lt") + lower_us) / width),
+            F.floor((F.col("__lt") + upper_us) / width),
+        ))),
+    )
+    r = right.withColumn("__rt", rt).withColumn("__bucket", F.floor(F.col("__rt") / width))
+    joined = l.join(r, [*by, "__bucket"]).filter(
+        (F.col("__rt") >= F.col("__lt") + lower_us) & (F.col("__rt") <= F.col("__lt") + upper_us)
+    )
+    return joined.drop("__bucket", "__lt", "__rt")
