@@ -330,9 +330,16 @@ class Executor:
         src = self.query_df(body, ctx) if not body.upper().startswith("VALUES") else self.spark.sql(
             self.translator.translate_expr(body)
         )
-        n = src.count()
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        # single-pass count: observe rows as they flow into the write
+        # (an INSERT..SELECT scans its source exactly once)
+        obs = Observation()
+        src = src.observe(obs, F.count(F.lit(1)).alias("n"))
         src = self._align_insert_columns(tm, src, col_list)
         self.catalog.write_table(tm, src, mode="append")
+        n = int(obs.get["n"])
         self.sync_namespace_views(ctx)
         r = Result(columns=["number of rows inserted"], rows=[[n]])
         r.rows_inserted = n
@@ -365,7 +372,13 @@ class Executor:
         sets = self._parse_set_clauses(m.group(2))
         cond = self.translator.translate_expr(m.group(3)) if m.group(3) else "TRUE"
         df = self.catalog.read_table(tm)
-        n_updated = df.filter(F.expr(cond)).count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(F.when(F.coalesce(F.expr(cond), F.lit(False)), 1).otherwise(0)).alias("n"),
+        )
         out = df.select(*[
             F.when(F.expr(cond), F.expr(sets[c.name.upper()])).otherwise(F.col(c.name))
             .cast(df.schema[c.name].dataType).alias(c.name)
@@ -373,6 +386,7 @@ class Executor:
             for c in tm.columns
         ])
         self.catalog.write_table(tm, out, mode="overwrite")
+        n_updated = int(obs.get["n"] or 0)
         self.sync_namespace_views(ctx)
         r = Result(columns=["number of rows updated"], rows=[[n_updated]])
         r.rows_updated = n_updated
@@ -403,19 +417,28 @@ class Executor:
             f"({expr}) AS __set_{col}" for col, expr in sets.items()
         )
         joined = self.spark.sql(
-            f"SELECT {t_alias}.__rid AS __rid, {set_exprs} "
+            f"SELECT {t_alias}.__rid AS __rid, {set_exprs}, TRUE AS __matched "
             f"FROM {tv} AS {t_alias} JOIN {sv} AS {s_alias} ON ({cond})"
         )
         w = Window.partitionBy("__rid").orderBy(F.lit(1))
         one_match = joined.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
-        n_updated = one_match.count()
-        out = target.join(one_match, "__rid", "left").select(*[
-            F.coalesce(F.col(f"__set_{c.name.upper()}"), F.col(c.name))
+        # explicit __matched flag (not coalesce) so SET x = NULL writes
+        # NULL instead of silently keeping the old value
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = target.join(one_match, "__rid", "left").observe(
+            obs, F.sum(F.when(F.col("__matched"), 1).otherwise(0)).alias("n")
+        )
+        out = merged.select(*[
+            F.when(F.coalesce(F.col("__matched"), F.lit(False)), F.col(f"__set_{c.name.upper()}"))
+            .otherwise(F.col(c.name))
             .cast(tm.spark_schema()[c.name].dataType).alias(c.name)
             if c.name.upper() in sets else F.col(c.name)
             for c in tm.columns
         ])
         self.catalog.write_table(tm, out, mode="overwrite")
+        n_updated = int(obs.get["n"] or 0)
         self.sync_namespace_views(ctx)
         r = Result(columns=["number of rows updated"], rows=[[n_updated]])
         r.rows_updated = n_updated
@@ -429,18 +452,24 @@ class Executor:
         src_tm = self.catalog.get_table(m.group(3), ctx.database, ctx.schema)
         s_alias = m.group(4) or m.group(3).split(".")[-1]
         cond = self.translator.translate_expr(m.group(5))
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         tv, sv = "__del_target_v", "__del_source_v"
-        self.catalog.read_table(tm).createOrReplaceTempView(tv)
+        # single pass: observe target rows entering the anti-join and
+        # surviving rows flowing into the write; deleted = before - after
+        obs_before, obs_after = Observation(), Observation()
+        self.catalog.read_table(tm).observe(
+            obs_before, F.count(F.lit(1)).alias("n")
+        ).createOrReplaceTempView(tv)
         self.catalog.read_table(src_tm).createOrReplaceTempView(sv)
-        before = self.catalog.read_table(tm).count()
         out = self.spark.sql(
             f"SELECT {t_alias}.* FROM {tv} AS {t_alias} "
             f"WHERE NOT EXISTS (SELECT 1 FROM {sv} AS {s_alias} WHERE ({cond}))"
-        )
-        n_after = out.count()
+        ).observe(obs_after, F.count(F.lit(1)).alias("n"))
         self.catalog.write_table(tm, out, mode="overwrite")
+        n_deleted = int(obs_before.get["n"]) - int(obs_after.get["n"])
         self.sync_namespace_views(ctx)
-        n_deleted = before - n_after
         r = Result(columns=["number of rows deleted"], rows=[[n_deleted]])
         r.rows_deleted = n_deleted
         return r
@@ -460,13 +489,21 @@ class Executor:
         tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
         df = self.catalog.read_table(tm)
         if m.group(2):
+            from pyspark.sql import Observation
+
             cond = self.translator.translate_expr(m.group(2))
-            n_deleted = df.filter(F.expr(cond)).count()
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.sum(F.when(F.coalesce(F.expr(cond), F.lit(False)), 1).otherwise(0)).alias("n"),
+            )
             out = df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+            self.catalog.write_table(tm, out, mode="overwrite")
+            n_deleted = int(obs.get["n"] or 0)
         else:
             n_deleted = df.count()
             out = self.spark.createDataFrame([], tm.spark_schema())
-        self.catalog.write_table(tm, out, mode="overwrite")
+            self.catalog.write_table(tm, out, mode="overwrite")
         self.sync_namespace_views(ctx)
         r = Result(columns=["number of rows deleted"], rows=[[n_deleted]])
         r.rows_deleted = n_deleted

@@ -132,9 +132,14 @@ class CopyProcessor:
                 if stmt.validation_mode == "RETURN_ERRORS":
                     df.count()  # force read; errors surface, nothing loaded
                     continue
-                n = df.count()
+                # single-pass: count rows as they flow into the append
+                # write (the r1 version read each file twice)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
                 self.catalog.append_files_fast(tm, df)
-                rows_loaded += n
+                rows_loaded += int(obs.get["n"])
                 files_loaded += 1
                 loaded_paths.append(full)
             except Exception as e:
@@ -216,16 +221,32 @@ class CopyProcessor:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             return df.select(*cols)
         # non-strip mode: each top-level element -> single $1 VARIANT (JSON
-        # text) column (copy_processor.go:399-416)
+        # text) column (copy_processor.go:399-416). Parsed EXECUTOR-side
+        # via mapInPandas (the r1 version collect()ed the whole file to
+        # the driver — a multi-GB file would OOM it); output is yielded
+        # in bounded chunks so Arrow batches stay small.
         raw = self.spark.read.option("wholetext", "true").text(path)
-        import json as _json
-
-        text = raw.collect()[0][0]
-        doc = _json.loads(text)
-        elements = doc if isinstance(doc, list) else [doc]
-        rows = [( _json.dumps(e, separators=(",", ":")),) for e in elements]
         first_col = tm.columns[0].name if tm.columns else "$1"
-        df = self.spark.createDataFrame(rows, [first_col])
+
+        def _explode_json(batches):
+            import json as _json
+
+            import pandas as pd
+
+            chunk = 10000
+            for pdf in batches:
+                for text in pdf["value"]:
+                    doc = _json.loads(text)
+                    elements = doc if isinstance(doc, list) else [doc]
+                    for i in range(0, len(elements), chunk):
+                        yield pd.DataFrame({
+                            first_col: [
+                                _json.dumps(e, separators=(",", ":"))
+                                for e in elements[i : i + chunk]
+                            ]
+                        })
+
+        df = raw.mapInPandas(_explode_json, schema=f"`{first_col}` string")
         return self._positional_cast(df, tm)
 
     def _positional_cast(self, df: DataFrame, tm: TableMeta) -> DataFrame:

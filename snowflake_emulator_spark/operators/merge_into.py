@@ -13,8 +13,18 @@ decomposed mode is not, gosnowflake_test.go:427-530 documents the
 sequential semantics) and single-shuffle: at 100 TB it is a join +
 write, not three separate scans of the target.
 
-Counts (RowsInserted/Updated/Deleted, result.go:43-47) are computed
-from the same joined frame in one aggregate pass.
+Counts (RowsInserted/Updated/Deleted, result.go:43-47) are collected
+via ``DataFrame.observe`` during the single write pass — the join runs
+exactly once (the r1 version re-ran it for a separate stats query).
+
+Nondeterministic-match semantics: a target row matched by N source rows
+contributes exactly ONE output row (first match by a deterministic
+window order), mirroring the reference's decomposed ``UPDATE ... FROM``
+which updates each target row once (merge_processor.go:493-548) —
+Snowflake's ERROR_ON_NONDETERMINISTIC_MERGE=false behavior. The dedup
+window partitions matched rows by a per-target-row id and unmatched
+source rows by a per-source-row id, so no single window partition can
+absorb all inserts (skew-safe at scale).
 """
 
 from __future__ import annotations
@@ -169,8 +179,16 @@ class MergeProcessor:
         tv, sv = "__merge_target_v", "__merge_source_v"
         from pyspark.sql import functions as F
 
-        target_df.withColumn("__t_exists", F.lit(True)).createOrReplaceTempView(tv)
-        source_df.withColumn("__s_exists", F.lit(True)).createOrReplaceTempView(sv)
+        (
+            target_df.withColumn("__t_exists", F.lit(True))
+            .withColumn("__tid", F.monotonically_increasing_id())
+            .createOrReplaceTempView(tv)
+        )
+        (
+            source_df.withColumn("__s_exists", F.lit(True))
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .createOrReplaceTempView(sv)
+        )
 
         on = self.tr.translate_expr(stmt.on_condition)
         matched = [c for c in stmt.when_clauses if c.is_matched]
@@ -242,14 +260,8 @@ class MergeProcessor:
             f"ELSE ({insert_keep}) END"
         )
 
-        join_sql = (
-            f"SELECT {', '.join(col_exprs)}, ({keep}) AS __keep, "
-            f"coalesce({t}.__t_exists, FALSE) AS __t, coalesce({s}.__s_exists, FALSE) AS __s "
-            f"FROM {tv} AS {t} FULL OUTER JOIN {sv} AS {s} ON ({on})"
-        )
-        joined = self.spark.sql(join_sql)
-
-        # first-match action id per matched row, for counts
+        # first-match action id per matched row (drives both dedup
+        # ordering — actionable matches win — and the observed counts)
         action_branches = []
         for c in matched:
             cond = self.tr.translate_expr(c.condition) if c.condition else "TRUE"
@@ -257,21 +269,45 @@ class MergeProcessor:
         matched_action = (
             "CASE " + " ".join(action_branches) + " ELSE 'NONE' END" if action_branches else "'NONE'"
         )
-
-        stats_sql = (
-            f"SELECT "
-            f"sum(CASE WHEN {t}.__t_exists IS NOT NULL AND {s}.__s_exists IS NOT NULL "
-            f"  AND ({matched_action}) = 'UPDATE' THEN 1 ELSE 0 END) AS upd, "
-            f"sum(CASE WHEN {t}.__t_exists IS NOT NULL AND {s}.__s_exists IS NOT NULL "
-            f"  AND ({matched_action}) = 'DELETE' THEN 1 ELSE 0 END) AS del, "
-            f"sum(CASE WHEN {t}.__t_exists IS NULL AND ({insert_keep}) THEN 1 ELSE 0 END) AS ins "
+        tex = f"coalesce({t}.__t_exists, FALSE)"
+        sex = f"coalesce({s}.__s_exists, FALSE)"
+        action_expr = (
+            f"CASE WHEN {tex} AND {sex} THEN ({matched_action}) "
+            f"WHEN {tex} THEN 'KEEP' "
+            f"WHEN ({insert_keep}) THEN 'INSERT' ELSE 'SKIP' END"
+        )
+        # dedup key: matched/unmatched-target rows group by target row
+        # id; unmatched-source rows each form their own partition so
+        # every NOT MATCHED source row is preserved and no partition
+        # collects all inserts (skew-safe)
+        part_key = (
+            f"CASE WHEN {t}.__tid IS NOT NULL THEN concat('t', {t}.__tid) "
+            f"ELSE concat('s', {s}.__sid) END"
+        )
+        join_sql = (
+            f"SELECT {', '.join(col_exprs)}, ({keep}) AS __keep, "
+            f"({action_expr}) AS __action, "
+            f"ROW_NUMBER() OVER (PARTITION BY {part_key} "
+            f"ORDER BY CASE WHEN ({matched_action}) = 'NONE' THEN 1 ELSE 0 END, {s}.__sid) AS __rn "
             f"FROM {tv} AS {t} FULL OUTER JOIN {sv} AS {s} ON ({on})"
         )
-        stats = self.spark.sql(stats_sql).collect()[0]
-        n_upd, n_del, n_ins = (int(stats[0] or 0), int(stats[1] or 0), int(stats[2] or 0))
+        joined = self.spark.sql(join_sql).filter("__rn = 1")
 
-        final = joined.filter("__keep").drop("__keep", "__t", "__s")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = joined.observe(
+            obs,
+            F.sum(F.when(F.col("__action") == "UPDATE", 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(F.col("__action") == "DELETE", 1).otherwise(0)).alias("del"),
+            F.sum(F.when(F.col("__action") == "INSERT", 1).otherwise(0)).alias("ins"),
+        )
+        final = observed.filter("__keep").drop("__keep", "__action", "__rn")
         self.catalog.write_table(tm, final, mode="overwrite")
+        stats = obs.get
+        n_upd = int(stats["upd"] or 0)
+        n_del = int(stats["del"] or 0)
+        n_ins = int(stats["ins"] or 0)
         self.executor.sync_namespace_views(ctx)
         r = Result(
             columns=["number of rows inserted", "number of rows updated", "number of rows deleted"],

@@ -420,9 +420,18 @@ class Translator:
         if fname == "LAST_DAY":
             return f"last_day({', '.join(args)})"
         if fname == "REGEXP_SUBSTR":
+            # Snowflake: REGEXP_SUBSTR(subject, pattern[, position
+            # [, occurrence]]) — position is a 1-based START OFFSET,
+            # not a capture-group index (Spark regexp_extract's 3rd
+            # arg), so 3-/4-arg forms substring first
             if len(args) == 2:
                 return f"regexp_extract({args[0]}, {args[1]}, 0)"
-            return f"regexp_extract({', '.join(args)})"
+            if len(args) == 3:
+                return f"regexp_extract(substr({args[0]}, {args[2]}), {args[1]}, 0)"
+            return (
+                f"try_element_at(regexp_extract_all("
+                f"substr({args[0]}, {args[2]}), {args[1]}, 0), {args[3]})"
+            )
         if fname == "ARRAY_SIZE":
             return f"size({args[0]})"
         if fname == "ARRAY_CONSTRUCT":

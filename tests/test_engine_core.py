@@ -181,3 +181,43 @@ def test_rollback_survives_many_writes(engine):
     engine.execute("ROLLBACK", ctx)
     res = engine.execute("SELECT count(*) AS n FROM gc_tx", ctx)
     assert _rows(res) == [(1,)]
+
+
+def test_merge_multi_match_dedup(engine):
+    """A target row matched by N source rows must yield exactly ONE
+    output row (reference decomposed UPDATE..FROM updates each target
+    row once, merge_processor.go:493-548) — r1 duplicated the row."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mm_t (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE mm_s (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO mm_t VALUES (1,10),(2,20)", ctx)
+    engine.execute("INSERT INTO mm_s VALUES (1,100),(1,101),(1,102),(3,30)", ctx)
+    r = engine.execute(
+        """MERGE INTO mm_t USING mm_s ON mm_t.id = mm_s.id
+           WHEN MATCHED THEN UPDATE SET v = mm_s.v
+           WHEN NOT MATCHED THEN INSERT (id, v) VALUES (mm_s.id, mm_s.v)""",
+        ctx,
+    )
+    assert (r.rows_inserted, r.rows_updated, r.rows_deleted) == (1, 1, 0)
+    res = engine.execute("SELECT id, count(*) AS n FROM mm_t GROUP BY id ORDER BY id", ctx)
+    assert _rows(res) == [(1, 1), (2, 1), (3, 1)]
+    # deterministic first match: lowest __sid (insertion order) with an
+    # actionable clause wins
+    res = engine.execute("SELECT v FROM mm_t WHERE id = 1", ctx)
+    assert res.rows[0][0] in (100, 101, 102)
+
+
+def test_update_from_set_null(engine):
+    """SET x = NULL / SET x = s.nullable must write NULL, not silently
+    keep the old value (r1 used coalesce to detect matches)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE uf_t (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE uf_s (id INTEGER, nv INTEGER)", ctx)
+    engine.execute("INSERT INTO uf_t VALUES (1,10),(2,20),(3,30)", ctx)
+    engine.execute("INSERT INTO uf_s VALUES (1,NULL),(2,99)", ctx)
+    r = engine.execute(
+        "UPDATE uf_t SET v = uf_s.nv FROM uf_s WHERE uf_t.id = uf_s.id", ctx
+    )
+    assert r.rows_updated == 2
+    res = engine.execute("SELECT id, v FROM uf_t ORDER BY id", ctx)
+    assert _rows(res) == [(1, None), (2, 99), (3, 30)]

@@ -124,6 +124,12 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT DATE_TRUNC(day, d) FROM t", "SELECT date_trunc('day', d) FROM t"),
         ("SELECT DATE_TRUNC('month', d) FROM t", "SELECT date_trunc('month', d) FROM t"),
         ("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t", "SELECT regexp_extract(s, '[0-9]+', 0) FROM t"),
+        # 3rd arg is a 1-based start POSITION (not Spark's group index)
+        ("SELECT REGEXP_SUBSTR(s, '[0-9]+', 3) FROM t",
+         "SELECT regexp_extract(substr(s, 3), '[0-9]+', 0) FROM t"),
+        # 4th arg is the occurrence number
+        ("SELECT REGEXP_SUBSTR(s, '[0-9]+', 1, 2) FROM t",
+         "SELECT try_element_at(regexp_extract_all(substr(s, 1), '[0-9]+', 0), 2) FROM t"),
         # VARIANT path access (beyond-reference: vitess cannot parse these)
         ("SELECT props:k FROM events", "SELECT get_json_object(props, '$.k') FROM events"),
         ("SELECT e.props:k::NUMBER FROM events e",
