@@ -831,6 +831,45 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums ORDER BY doc_id
 """
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return dedup.simhash_near_pairs(d, bits=48, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_pairs_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = ", ".join(
+        f"(simhash >> {i * width}) & {mask} AS blk{i}" for i in range(n_blocks)
+    )
+    cand = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sim_a, b.simhash AS sim_b\n"
+        f"  FROM blocked a JOIN blocked b ON a.blk{i} = b.blk{i} AND a.doc_id < b.doc_id"
+        for i in range(n_blocks)
+    )
+    hamming = " + ".join(f"((xor(sim_a, sim_b) >> {b}) & 1)" for b in range(bits))
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(str_split(t, ' ')) AS tok FROM norm),
+h AS (SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+blocked AS (SELECT doc_id, simhash, {blocks} FROM fps),
+cand AS (
+{cand}
+)
+SELECT DISTINCT id_a, id_b, CAST({hamming} AS INTEGER) AS hamming
+FROM cand WHERE {hamming} <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     d = spark.table("documents")
@@ -1135,6 +1174,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_dedup_minhash, _minhash_oracle()),
     "dedup_simhash": (_dedup_simhash, _simhash_oracle()),
+    "dedup_simhash_pairs": (_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     # similarity extensions

@@ -96,9 +96,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             ])
         ).alias("band", "band_hash"),
     )
-    # the self-join consumes `banded` twice — persist so the expensive
-    # shingle -> md5 -> min-agg pipeline runs once, not twice
-    banded = banded.persist()
+    # the self-join consumes `banded` twice, but both sides share an
+    # identical subtree up to the groupBy(id) exchange, so Spark's
+    # exchange reuse (ReusedExchange) runs the expensive shingle ->
+    # md5 -> min-agg pipeline once — no persist needed (the r1
+    # .persist() here leaked cache in a long-lived server)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -138,35 +140,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 16, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance.
+                       bits: int = 48, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, FULL recall.
 
-    Scale path: block on the high byte of the fingerprint (docs within
-    hamming<=k of each other usually share a block under multi-table
-    blocking; for exactness at scale use 4-block pigeonhole). Here we
-    join on equal high-(bits/2) block OR low-(bits/2) block — pigeonhole
-    guarantees recall for max_hamming < 2 when split in 2 blocks; widen
-    blocks for larger k."""
-    half = bits // 2
+    Multi-block pigeonhole: the fingerprint splits into
+    (max_hamming + 1) equal blocks; two fingerprints within Hamming
+    distance max_hamming must agree on at least one whole block, so a
+    per-block equi-join finds every qualifying pair.
+
+    Scale: one EQUI-join per block (hash-join, shuffle on the block
+    value), unioned — never an OR join condition, which Spark can only
+    execute as a BroadcastNestedLoopJoin, O(n²) at scale. All join
+    sides share the simhash groupBy exchange, so the fingerprint
+    pipeline runs once. Block width (bits / (k+1)) sets bucket count:
+    48 bits / 4 blocks = 12-bit blocks = 4096 buckets per block."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
     fps = simhash(df, text_col, id_col, bits)
     blocked = fps.select(
         id_col, "simhash",
-        F.shiftright(F.col("simhash"), half).alias("hi"),
-        F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("lo"),
+        *[
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"blk{i}")
+            for i in range(n_blocks)
+        ],
     )
     l, r = blocked.alias("l"), blocked.alias("r")
-    cand = l.join(
-        r,
-        ((F.col("l.hi") == F.col("r.hi")) | (F.col("l.lo") == F.col("r.lo")))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    )
-    xor = F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+
+    def _block(i: int) -> DataFrame:
+        return (
+            l.join(
+                r,
+                (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("__sim_a"),
+                F.col("r.simhash").alias("__sim_b"),
+            )
+        )
+
+    cand = _block(0)
+    for i in range(1, n_blocks):
+        cand = cand.unionAll(_block(i))
+    xor = F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))
     hamming = sum(F.shiftright(xor, b).bitwiseAND(F.lit(1)) for b in range(bits))
     return (
         cand.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -182,10 +206,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     only those pairs are scored — the 100 TB path. Without candidates it
     scores all pairs sharing at least one shingle (exact, bounded by
     shingle-bucket join, still never a cross join)."""
+    # consumed three times (sizes + both join sides); the two join
+    # sides share one exchange via ReusedExchange, and the sizes agg
+    # re-runs only the cheap scan+explode — no persist (r1 persisted
+    # here and leaked cache in a long-lived server)
     sh = (
         df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__t"))
         .select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"))
-        .persist()  # consumed three times (sizes + both join sides)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")

@@ -179,20 +179,34 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     )
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one BLAS matmul per bucket: pairwise cosine for the whole block
+        # chunked BLAS matmuls per bucket: the full n×n sims matrix of
+        # a skewed bucket would be O(bucket²) memory and OOM the task
+        # at scale, so score `chunk` rows against the block at a time —
+        # peak extra memory is O(chunk × n), compute unchanged
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
         norms = np.sqrt((m * m).sum(axis=1))
         mn = m / norms[:, None]
-        sims = mn @ mn.T
-        iu = np.triu_indices(len(ids), 1)
-        sel = sims[iu] >= threshold
+        n = len(ids)
+        chunk = max(64, 4_000_000 // max(n, 1))  # ~32 MB of float64 sims
+        cols = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        for s0 in range(0, n, chunk):
+            sims = mn[s0 : s0 + chunk] @ mn.T  # (c, n)
+            rows = np.arange(s0, s0 + sims.shape[0])
+            mask = (cols[None, :] > rows[:, None]) & (sims >= threshold)
+            ri, ci = np.nonzero(mask)
+            out_a.append(ids[rows[ri]])
+            out_b.append(ids[ci])
+            out_s.append(np.round(sims[ri, ci], 6))
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         return pd.DataFrame(
             {
-                "id_a": ids[iu[0][sel]],
-                "id_b": ids[iu[1][sel]],
-                "cosine_sim": np.round(sims[iu][sel], 6),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
             }
         )
 

@@ -133,3 +133,88 @@ def test_asof_join_semantics(spark):
     # t=10 matches the quote AT 10; t=25 takes the 20 quote; t=31 the 30
     # quote; B's trade at 5 has no prior quote -> NULL
     assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None}
+
+
+def test_simhash_near_pairs_full_recall(spark):
+    """Multi-block pigeonhole must find every pair within max_hamming —
+    verify against a brute-force driver-side check on a small corpus."""
+    rows = [(i, f"common shared tokens alpha beta gamma delta epsilon doc {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, bits=48).collect()}
+    expect = set()
+    for a in fps:
+        for b in fps:
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3:
+                expect.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_near_pairs(df, bits=48, max_hamming=3).collect()}
+    assert got == expect
+
+
+def test_simhash_near_pairs_no_nested_loop(spark):
+    """The blocking must compile to equi-joins, never a
+    BroadcastNestedLoopJoin (the r1 OR-join scale-killer)."""
+    df = spark.createDataFrame([(i, f"t {i}") for i in range(4)], ["doc_id", "text"])
+    plan = dedup.simhash_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_near_pairs_chunked(spark):
+    """Chunked per-bucket scoring returns the same pairs as a
+    brute-force check even when the bucket exceeds the chunk size."""
+    import math
+    import random
+
+    random.seed(7)
+    dim = 4
+    # 3 clusters of near-identical vectors + noise, n > chunk floor (64)
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = []
+    for i in range(300):
+        b = base[i % 3]
+        v = [x + random.uniform(-0.01, 0.01) for x in b]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.cosine_near_pairs(emb, threshold=0.999, dim=dim, n_planes=2).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict(rows)
+    # brute-force restricted to same-LSH-bucket pairs (the operator is
+    # bucket-approximate by design); near-identical cluster members
+    # share all hyperplane signs
+    expect = set()
+    for a in range(300):
+        for b in range(a + 1, 300):
+            if a % 3 == b % 3 and cos(vecs[a], vecs[b]) >= 0.999:
+                expect.add((a, b))
+    assert expect and got.issuperset(expect)
+
+
+def test_cosine_near_pairs_multi_chunk_exact(spark):
+    """Force the per-bucket scorer across multiple chunks
+    (n > 4M/n => n > 2000) and compare against a whole-matrix numpy
+    reference — catches chunk-offset indexing bugs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 2600, 4
+    m = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    thr = 0.995
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.cosine_near_pairs(emb, threshold=thr, dim=dim, n_planes=1).collect()}
+
+    mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    from snowflake_emulator_spark.operators.similarity import _hyperplane
+    plane = np.array(_hyperplane(dim, 0))
+    bucket = (m @ plane >= 0).astype(int)
+    sims = mn @ mn.T
+    iu = np.triu_indices(n, 1)
+    sel = (sims[iu] >= thr) & (bucket[iu[0]] == bucket[iu[1]])
+    expect = {(int(a), int(b)) for a, b in zip(iu[0][sel], iu[1][sel])}
+    assert len(expect) > 50 and got == expect
