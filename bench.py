@@ -59,10 +59,13 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s * 1.0, "double")
     spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).count()
-    # JIT-warm the interpreted HOF fold used by exact cosine queries
+    # JIT-warm the interpreted higher-order-function path GENERICALLY
+    # (synthetic data + a different fold than any measured query — the
+    # bench must not rehearse what it measures)
     spark.sql(
-        "SELECT max(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)) FROM embeddings"
+        "SELECT max(aggregate(zip_with(sequence(1, 32), sequence(1, 32), (x, y) -> "
+        "CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)) "
+        "FROM range(1000)"
     ).collect()
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -46,11 +46,20 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
             # TIMESTAMP(NANOS) arrives as long; convert to microseconds
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # the driver fixtures are single-row-group parquet files, which
+        # Spark cannot split — every scan stage would run as ONE task
+        # and serialize all per-row expression work (shingling, date
+        # math, text stats) regardless of core count. Adaptive spread:
+        # repartition only when the scan yields fewer partitions than
+        # cores; at real scale (many files / row groups) this no-ops.
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         df.createOrReplaceTempView(t)
     _loaded[key] = True
 

@@ -63,14 +63,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ).select(
         F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh")
     )
-    h = md5_int(F.col("sh")) % F.lit(_MERSENNE31)
+    # projection boundary: hash each shingle ONCE into a plain column,
+    # then derive the permutations from it. Inlining the md5/conv
+    # subtree into all num_perm aggregates multiplies the codegen
+    # source ~16x — janino compile time dominated the whole pipeline
+    # (~4 s of a 5 s run at sf0.1)
+    hashed = shingled.select(
+        F.col(id_col), (md5_int(F.col("sh")) % F.lit(_MERSENNE31)).alias("__h")
+    )
     aggs = []
     for i in range(num_perm):
         a = 2 * i + 1  # odd multiplier
         b = 7919 * (i + 1)
-        perm = (h * a + b) % F.lit(_MERSENNE31)
+        perm = (F.col("__h") * a + b) % F.lit(_MERSENNE31)
         aggs.append(F.min(perm).alias(f"mh{i}"))
-    sig = shingled.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("signature")
     )
