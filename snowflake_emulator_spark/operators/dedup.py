@@ -58,10 +58,21 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     deterministically from i; h is the md5-int of each shingle. The
     whole pipeline is explode -> groupBy(id) with min-aggregates —
     one shuffle on doc id, partial mins map-side."""
+    # shingle via explode(sequence) + plain substr projection rather
+    # than the HOF transform in char_ngrams: min-aggregation is
+    # duplicate-insensitive so array_distinct is unnecessary here, and
+    # the HOF construct costs ~3 s of one-time codegen compile that
+    # this formulation avoids (2x cold, 2x warm). substr(t, 1, n) == t
+    # when len(t) < n, matching char_ngrams' short-text behavior.
     shingled = df.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
     ).select(
-        F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh")
+        F.col(id_col), F.col("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - (shingle - 1), F.lit(1)))
+        ).alias("__pos"),
+    ).select(
+        F.col(id_col), F.col("__t").substr(F.col("__pos"), F.lit(shingle)).alias("sh")
     )
     # projection boundary: hash each shingle ONCE into a plain column,
     # then derive the permutations from it. Inlining the md5/conv
@@ -134,7 +145,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
     )
-    h = md5_int(F.col("tok"))
+    # projection boundary (same lesson as minhash_signatures): hash each
+    # token ONCE — inlining the md5/conv subtree into all `bits` sum
+    # aggregates recomputes md5 per bit and multiplies codegen source
+    # ~48x (janino compile + 2.4 MiB task binaries dominated runtime)
+    toks = toks.select(F.col(id_col), md5_int(F.col("tok")).alias("__h"))
+    h = F.col("__h")
     sums = toks.groupBy(id_col).agg(
         *[F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
           for b in range(bits)]

@@ -149,27 +149,20 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
 
     Bucketed self-join on the RP-LSH signature (vectors with very high
     cosine nearly always share all hyperplane signs); candidates are
-    then scored with the vectorized numpy kernel."""
+    then scored with the vectorized numpy kernel.
+
+    Bucket assignment runs JVM-side (``rp_lsh_bucket``, unrolled
+    codegen): one Python/Arrow stage fewer than a mapInPandas
+    assigner, no Arrow round-trip of the full table, and the shuffle
+    to buckets reads directly from the scan. The unroll costs one
+    janino compile per session — the right trade at scale, where
+    per-row codegen beats interpreted or Python paths."""
     import numpy as np
 
-    planes = np.array([_hyperplane(dim, p) for p in range(n_planes)], dtype="float64")
-    assign_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(vec_col, T.ArrayType(T.FloatType())),
-            T.StructField("bucket", T.IntegerType()),
-        ]
+    b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        rp_lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
-
-    def assign(batches):
-        for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            bits = (m @ planes.T) >= 0
-            bucket = bits @ (1 << np.arange(n_planes))
-            yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
-                                "bucket": bucket.astype("int32")})
-
-    b = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
