@@ -228,6 +228,16 @@ class Catalog:
             self.tables[(db, sch, tbl)] = tm
             return tm
 
+    def alter_table_comment(self, name: str, comment: str, database: str | None = None,
+                            schema: str | None = None) -> None:
+        """ALTER TABLE ... SET COMMENT (REST v2 PUT /tables/{table};
+        reference rest_api_v2.go:731-... UpdateTableComment)."""
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.tables:
+                raise errors.object_not_found(".".join(key))
+            self.tables[key].comment = comment
+
     def drop_table(self, name: str, database: str | None = None, schema: str | None = None,
                    if_exists: bool = False) -> None:
         with self._lock:

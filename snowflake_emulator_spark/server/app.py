@@ -7,16 +7,23 @@ route table (`/root/reference/cmd/server/main.go:88-127`):
 gosnowflake protocol:
 * ``POST /session/v1/login-request``      — login, returns token pair
 * ``POST /session/token-request``         — renew via master token
+* ``POST /session/renew``                 — legacy alias of token-request
 * ``POST /session/heartbeat``             — keepalive
-* ``POST /session/logout-request``        — logout
+* ``POST /session/logout``                — logout (token in body)
+* ``POST /session/use``                   — switch database/schema
+* ``POST /session?delete=true``           — close session (token in header)
 * ``POST /queries/v1/query-request``      — execute SQL (all-strings rowset)
+* ``POST /queries/v1/abort-request``      — cancel a running query by id
 
 REST API v2:
 * ``POST /api/v2/statements``             — submit statement
 * ``GET  /api/v2/statements/{handle}``    — poll statement
 * ``POST /api/v2/statements/{handle}/cancel``
-* CRUD: ``/api/v2/databases[/{db}/schemas[/{schema}/tables]]``,
-  ``/api/v2/warehouses`` (+ ``:resume`` / ``:suspend``)
+* CRUD + GET-by-name + PUT(alter comment):
+  ``/api/v2/databases[/{db}[/schemas[/{schema}[/tables[/{table}]]]]]``,
+  ``/api/v2/warehouses[/{wh}]`` (+ ``:resume`` / ``:suspend``)
+  (creates return 201, deletes 204, lookups 404 when absent —
+  matching `server/handlers/rest_api_v2.go` status usage)
 
 Error envelope: HTTP 200 + ``success:false`` + Snowflake code for the
 gosnowflake protocol (server/handlers/query.go), typed JSON errors for
@@ -25,12 +32,14 @@ REST v2 (server/apierror/error.go:11-58).
 
 from __future__ import annotations
 
+import datetime
 import json
 import re
 import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
 
 from .. import config, errors
 from ..engine import Engine
@@ -51,6 +60,9 @@ class SnowflakeServer:
         self.port = port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # running gosnowflake queries: requestId/queryId -> Spark job group
+        self._running: dict[str, str] = {}
+        self._running_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -66,6 +78,9 @@ class SnowflakeServer:
 
             def do_GET(self):
                 server._route(self, "GET")
+
+            def do_PUT(self):
+                server._route(self, "PUT")
 
             def do_DELETE(self):
                 server._route(self, "DELETE")
@@ -83,7 +98,8 @@ class SnowflakeServer:
     # ------------------------------------------------------------------
 
     def _route(self, h: BaseHTTPRequestHandler, method: str) -> None:
-        path = h.path.split("?")[0]
+        path, _, qs = h.path.partition("?")
+        params = {k: v[0] for k, v in parse_qs(qs).items()}
         body = {}
         length = int(h.headers.get("Content-Length") or 0)
         if length:
@@ -92,7 +108,7 @@ class SnowflakeServer:
             except json.JSONDecodeError:
                 body = {}
         try:
-            out, status = self._handle(method, path, h.headers, body)
+            out, status = self._handle(method, path, h.headers, body, params)
         except errors.SnowflakeError as e:
             if path.startswith("/api/v2/"):
                 out, status = {"code": e.code, "message": e.message, "sqlState": e.sqlstate}, 422
@@ -100,6 +116,10 @@ class SnowflakeServer:
                 out, status = e.envelope(), 200
         except Exception as e:  # noqa: BLE001
             out, status = {"message": str(e), "success": False}, 500
+        if status == 204:  # No Content must not carry a body
+            h.send_response(status)
+            h.end_headers()
+            return
         data = json.dumps(out, default=str).encode()
         h.send_response(status)
         h.send_header("Content-Type", "application/json")
@@ -109,7 +129,14 @@ class SnowflakeServer:
 
     # ------------------------------------------------------------------
 
-    def _handle(self, method: str, path: str, headers, body: dict):
+    @staticmethod
+    def _rfc3339(ts: float) -> str:
+        return datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+
+    def _handle(self, method: str, path: str, headers, body: dict, params: dict | None = None):
+        params = params or {}
         # ---- gosnowflake session endpoints
         if path == "/session/v1/login-request" and method == "POST":
             data = body.get("data", {})
@@ -128,7 +155,9 @@ class SnowflakeServer:
                 },
                 "success": True,
             }, 200
-        if path == "/session/token-request" and method == "POST":
+        # legacy alias: reference RenewSession delegates to TokenRequest
+        # (server/handlers/session.go:225-228, route main.go:85)
+        if path in ("/session/token-request", "/session/renew") and method == "POST":
             s = self.sessions.renew(body.get("oldSessionToken") and extract_token(headers.get("Authorization")) or "",
                                     body.get("oldSessionToken", ""))
             return {
@@ -140,12 +169,31 @@ class SnowflakeServer:
         if path == "/session/heartbeat" and method == "POST":
             self.sessions.heartbeat(extract_token(headers.get("Authorization")))
             return {"success": True}, 200
-        if path == "/session/logout-request" and method == "POST":
+        # reference serves /session/logout with the token in the BODY
+        # (server/handlers/session.go:230-254, route main.go:86);
+        # /session/logout-request kept as a tolerant alias
+        if path in ("/session/logout", "/session/logout-request") and method == "POST":
+            try:
+                self.sessions.logout(
+                    body.get("token") or extract_token(headers.get("Authorization"))
+                )
+            except errors.SnowflakeError:
+                pass
+            return {"success": True}, 200
+        # USE DATABASE/SCHEMA context switch (session.go:256-283)
+        if path == "/session/use" and method == "POST":
+            token = body.get("token") or extract_token(headers.get("Authorization"))
+            self.sessions.use(token, body.get("database"), body.get("schema"))
+            return {"success": True}, 200
+        # gosnowflake sends POST /session?delete=true to close
+        # (session.go:296-325): token from the header; already-closed
+        # sessions still report success
+        if path == "/session" and method == "POST":
             try:
                 self.sessions.logout(extract_token(headers.get("Authorization")))
             except errors.SnowflakeError:
                 pass
-            return {"success": True}, 200
+            return {"success": True, "data": None}, 200
 
         # ---- gosnowflake query endpoint
         if path == "/queries/v1/query-request" and method == "POST":
@@ -154,9 +202,26 @@ class SnowflakeServer:
             bindings = body.get("bindings") or None
             ctx = sess.context()
             cls = classify(sql)
-            res = self.engine.execute(sql, ctx, bindings)
-            sess.database, sess.schema = ctx.database, ctx.schema
             qid = "01" + format(int(time.time() * 1000), "x") + "-" + uuid.uuid4().hex[:12]
+            # run inside a per-query Spark job group so an abort-request
+            # (by gosnowflake requestId or by our queryId) can interrupt
+            # the running jobs from another thread
+            group = f"qreq-{qid}"
+            req_id = params.get("requestId")
+            with self._running_lock:
+                self._running[qid] = group
+                if req_id:
+                    self._running[req_id] = group
+            self.engine.spark.sparkContext.setJobGroup(group, sql[:100], True)
+            try:
+                res = self.engine.execute(sql, ctx, bindings)
+            finally:
+                self.engine.spark.sparkContext.setJobGroup("", "")
+                with self._running_lock:
+                    self._running.pop(qid, None)
+                    if req_id:
+                        self._running.pop(req_id, None)
+            sess.database, sess.schema = ctx.database, ctx.schema
             return {
                 "data": {
                     "queryId": qid,
@@ -169,6 +234,18 @@ class SnowflakeServer:
                 },
                 "success": True,
             }, 200
+
+        # query cancellation (query.go:149-166 returns success without
+        # cancelling; we actually interrupt the job group when the id is
+        # known, and stay lenient — success either way — like the ref)
+        if path == "/queries/v1/abort-request" and method == "POST":
+            qid = body.get("queryId") or body.get("requestId") or ""
+            with self._running_lock:
+                group = self._running.get(qid)
+            if group:
+                self.engine.spark.sparkContext.cancelJobGroup(group)
+                return {"success": True, "message": "query aborted"}, 200
+            return {"success": True, "message": "query not running"}, 200
 
         # ---- REST v2 statements
         if path == "/api/v2/statements" and method == "POST":
@@ -189,27 +266,71 @@ class SnowflakeServer:
             return {"statementHandle": st.handle, "status": st.status.value}, 200
 
         # ---- REST v2 databases / schemas / tables
+        # response field names / status codes mirror the reference's
+        # types (server/types/rest_api_v2.go:85-175) and handlers
+        # (rest_api_v2.go: creates 201, deletes 204, missing 404)
+        cat = self.engine.catalog
+
+        def _db_payload(db: str) -> dict:
+            v = cat.databases[db]
+            return {"name": db, "comment": v.get("comment"),
+                    "created_on": self._rfc3339(v.get("created_on", 0.0))}
+
+        def _schema_payload(db: str, sch: str) -> dict:
+            v = cat.schemas[(db, sch)]
+            return {"name": sch, "database_name": db, "comment": v.get("comment"),
+                    "created_on": self._rfc3339(v.get("created_on", 0.0))}
+
+        def _table_payload(tm) -> dict:
+            return {"name": tm.name, "database_name": tm.database,
+                    "schema_name": tm.schema, "table_type": "BASE TABLE",
+                    "comment": tm.comment,
+                    "created_on": self._rfc3339(tm.created_on)}
+
+        def _wh_payload(w) -> dict:
+            return {"name": w.name, "state": w.state, "size": w.size,
+                    "type": "STANDARD", "comment": w.comment,
+                    "created_on": self._rfc3339(w.created_on)}
+
+        def _404(kind: str, name: str):
+            return ({"code": "002043",
+                     "message": f"{kind} not found: {name}", "sqlState": "02000"}, 404)
+
         if path == "/api/v2/databases" and method == "POST":
-            self.engine.catalog.create_database(body["name"], comment=body.get("comment"))
-            return {"name": body["name"].upper()}, 200
+            cat.create_database(body["name"], comment=body.get("comment"))
+            return _db_payload(body["name"].upper()), 201
         if path == "/api/v2/databases" and method == "GET":
-            return [{"name": db, "comment": v.get("comment")} for db, v in
-                    sorted(self.engine.catalog.databases.items())], 200
+            return [_db_payload(db) for db in sorted(cat.databases)], 200
         m = re.match(r"^/api/v2/databases/([\w$]+)$", path)
-        if m and method == "DELETE":
-            self.engine.catalog.drop_database(m.group(1))
-            return {}, 200
+        if m:
+            db = m.group(1).upper()
+            if method == "GET":
+                return (_db_payload(db), 200) if db in cat.databases else _404("database", db)
+            if method == "PUT":
+                if db not in cat.databases:
+                    return _404("database", db)
+                if body.get("comment") is not None:
+                    cat.alter_database_comment(db, body["comment"])
+                return _db_payload(db), 200
+            if method == "DELETE":
+                cat.drop_database(db)
+                return {}, 204
         m = re.match(r"^/api/v2/databases/([\w$]+)/schemas$", path)
         if m and method == "POST":
-            self.engine.catalog.create_schema(m.group(1), body["name"])
-            return {"name": body["name"].upper()}, 200
+            cat.create_schema(m.group(1), body["name"])
+            return _schema_payload(m.group(1).upper(), body["name"].upper()), 201
         if m and method == "GET":
             db = m.group(1).upper()
-            return [{"name": sch} for (d, sch) in sorted(self.engine.catalog.schemas) if d == db], 200
+            return [_schema_payload(d, sch) for (d, sch) in sorted(cat.schemas) if d == db], 200
         m = re.match(r"^/api/v2/databases/([\w$]+)/schemas/([\w$]+)$", path)
-        if m and method == "DELETE":
-            self.engine.catalog.drop_schema(m.group(1), m.group(2))
-            return {}, 200
+        if m:
+            db, sch = m.group(1).upper(), m.group(2).upper()
+            if method == "GET":
+                return ((_schema_payload(db, sch), 200) if (db, sch) in cat.schemas
+                        else _404("schema", sch))
+            if method == "DELETE":
+                cat.drop_schema(db, sch)
+                return {}, 204
         m = re.match(r"^/api/v2/databases/([\w$]+)/schemas/([\w$]+)/tables$", path)
         if m and method == "POST":
             from ..catalog import ColumnDef
@@ -219,31 +340,51 @@ class SnowflakeServer:
                           nullable=c.get("nullable", True))
                 for c in body.get("columns", [])
             ]
-            self.engine.catalog.create_table(body["name"], cols, m.group(1), m.group(2))
-            return {"name": body["name"].upper()}, 200
+            tm = cat.create_table(body["name"], cols, m.group(1), m.group(2),
+                                  comment=body.get("comment"))
+            return _table_payload(tm), 201
         if m and method == "GET":
             db, sch = m.group(1).upper(), m.group(2).upper()
-            return [{"name": t} for (d, s, t) in sorted(self.engine.catalog.tables) if d == db and s == sch], 200
+            return [_table_payload(cat.tables[k]) for k in sorted(cat.tables)
+                    if k[0] == db and k[1] == sch], 200
         m = re.match(r"^/api/v2/databases/([\w$]+)/schemas/([\w$]+)/tables/([\w$]+)$", path)
-        if m and method == "DELETE":
-            self.engine.catalog.drop_table(m.group(3), m.group(1), m.group(2))
-            return {}, 200
+        if m:
+            db, sch, tbl = (m.group(i).upper() for i in (1, 2, 3))
+            if method == "GET":
+                return ((_table_payload(cat.tables[(db, sch, tbl)]), 200)
+                        if (db, sch, tbl) in cat.tables else _404("table", tbl))
+            if method == "PUT":
+                if (db, sch, tbl) not in cat.tables:
+                    return _404("table", tbl)
+                if body.get("comment") is not None:
+                    cat.alter_table_comment(tbl, body["comment"], db, sch)
+                return _table_payload(cat.tables[(db, sch, tbl)]), 200
+            if method == "DELETE":
+                cat.drop_table(tbl, db, sch)
+                return {}, 204
 
         # ---- REST v2 warehouses
         if path == "/api/v2/warehouses" and method == "POST":
-            self.engine.warehouses.create(body["name"], body.get("warehouse_size", "X-SMALL"))
-            return {"name": body["name"].upper()}, 200
+            w = self.engine.warehouses.create(body["name"], body.get("warehouse_size", "X-SMALL"),
+                                              comment=body.get("comment"))
+            return _wh_payload(w), 201
         if path == "/api/v2/warehouses" and method == "GET":
-            return [{"name": w.name, "state": w.state, "size": w.size}
-                    for w in self.engine.warehouses.list()], 200
+            return [_wh_payload(w) for w in self.engine.warehouses.list()], 200
         m = re.match(r"^/api/v2/warehouses/([\w$]+):(resume|suspend)$", path)
         if m and method == "POST":
             self.engine.warehouses.set_state(m.group(1), m.group(2).upper())
             return {}, 200
         m = re.match(r"^/api/v2/warehouses/([\w$]+)$", path)
-        if m and method == "DELETE":
-            self.engine.warehouses.drop(m.group(1))
-            return {}, 200
+        if m:
+            wh = m.group(1).upper()
+            if method == "GET":
+                try:
+                    return _wh_payload(self.engine.warehouses.get(wh)), 200
+                except errors.SnowflakeError:
+                    return _404("warehouse", wh)
+            if method == "DELETE":
+                self.engine.warehouses.drop(wh)
+                return {}, 204
 
         raise errors.SnowflakeError("390404", f"unknown endpoint {method} {path}", "02000")
 

@@ -31,9 +31,11 @@ def _call(server, method, path, body=None, token=None):
         req.add_header("Authorization", f'Snowflake Token="{token}"')
     try:
         with urllib.request.urlopen(req) as resp:
-            return resp.status, json.loads(resp.read())
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
     except urllib.error.HTTPError as e:
-        return e.code, json.loads(e.read())
+        raw = e.read()
+        return e.code, json.loads(raw) if raw else None
 
 
 def test_login_query_workflow(server):
@@ -102,31 +104,67 @@ def test_rest_v2_bindings(server):
 
 
 def test_rest_v2_crud(server):
+    # creates return 201, deletes 204 (rest_api_v2.go status usage)
     st, out = _call(server, "POST", "/api/v2/databases", {"name": "restdb"})
-    assert st == 200
+    assert st == 201 and out["name"] == "RESTDB"
     st, out = _call(server, "POST", "/api/v2/databases/restdb/schemas", {"name": "s2"})
-    assert st == 200
+    assert st == 201
     st, out = _call(server, "POST", "/api/v2/databases/restdb/schemas/s2/tables",
                     {"name": "t1", "columns": [{"name": "id", "datatype": "INTEGER"},
                                                {"name": "v", "datatype": "VARCHAR"}]})
-    assert st == 200
+    assert st == 201
     st, out = _call(server, "GET", "/api/v2/databases/restdb/schemas/s2/tables")
-    assert {"name": "T1"} in out
+    assert any(t["name"] == "T1" for t in out)
     st, out = _call(server, "DELETE", "/api/v2/databases/restdb/schemas/s2/tables/t1")
-    assert st == 200
+    assert st == 204
     st, out = _call(server, "DELETE", "/api/v2/databases/restdb")
-    assert st == 200
+    assert st == 204
+
+
+def test_rest_v2_get_by_name_and_alter(server):
+    """GET-by-name + PUT(alter comment) endpoints, mirroring the
+    reference e2e coverage (tests/e2e/rest_api_v2_test.go:93-1405)."""
+    _call(server, "POST", "/api/v2/databases", {"name": "getdb", "comment": "c0"})
+    st, out = _call(server, "GET", "/api/v2/databases/getdb")
+    assert st == 200 and out["name"] == "GETDB" and out["comment"] == "c0"
+    assert "created_on" in out
+    st, out = _call(server, "PUT", "/api/v2/databases/getdb", {"comment": "c1"})
+    assert st == 200 and out["comment"] == "c1"
+    st, out = _call(server, "GET", "/api/v2/databases/no_such_db")
+    assert st == 404 and out["sqlState"] == "02000"
+
+    _call(server, "POST", "/api/v2/databases/getdb/schemas", {"name": "gs"})
+    st, out = _call(server, "GET", "/api/v2/databases/getdb/schemas/gs")
+    assert st == 200 and out["name"] == "GS" and out["database_name"] == "GETDB"
+    st, out = _call(server, "GET", "/api/v2/databases/getdb/schemas/nope")
+    assert st == 404
+
+    _call(server, "POST", "/api/v2/databases/getdb/schemas/gs/tables",
+          {"name": "gt", "columns": [{"name": "id", "datatype": "INTEGER"}]})
+    st, out = _call(server, "GET", "/api/v2/databases/getdb/schemas/gs/tables/gt")
+    assert st == 200 and out["name"] == "GT" and out["table_type"] == "BASE TABLE"
+    st, out = _call(server, "PUT", "/api/v2/databases/getdb/schemas/gs/tables/gt",
+                    {"comment": "tc"})
+    assert st == 200 and out["comment"] == "tc"
+    st, out = _call(server, "GET", "/api/v2/databases/getdb/schemas/gs/tables/missing")
+    assert st == 404
+    _call(server, "DELETE", "/api/v2/databases/getdb")
 
 
 def test_rest_v2_warehouses(server):
-    _call(server, "POST", "/api/v2/warehouses", {"name": "wh1", "warehouse_size": "SMALL"})
+    st, out = _call(server, "POST", "/api/v2/warehouses", {"name": "wh1", "warehouse_size": "SMALL"})
+    assert st == 201
     st, out = _call(server, "GET", "/api/v2/warehouses")
     assert any(w["name"] == "WH1" and w["state"] == "ACTIVE" for w in out)
+    st, out = _call(server, "GET", "/api/v2/warehouses/wh1")
+    assert st == 200 and out["size"] == "SMALL" and out["type"] == "STANDARD"
     _call(server, "POST", "/api/v2/warehouses/wh1:suspend")
     st, out = _call(server, "GET", "/api/v2/warehouses")
     assert any(w["name"] == "WH1" and w["state"] == "SUSPENDED" for w in out)
+    st, out = _call(server, "GET", "/api/v2/warehouses/no_wh")
+    assert st == 404
     st, out = _call(server, "DELETE", "/api/v2/warehouses/wh1")
-    assert st == 200
+    assert st == 204
 
 
 def test_session_heartbeat_logout(server):
@@ -134,7 +172,60 @@ def test_session_heartbeat_logout(server):
     token = out["data"]["token"]
     st, out = _call(server, "POST", "/session/heartbeat", {}, token)
     assert out["success"]
-    st, out = _call(server, "POST", "/session/logout-request", {}, token)
+    # reference logout route is /session/logout with token in body
+    # (main.go:86, session.go:230-254)
+    st, out = _call(server, "POST", "/session/logout", {"token": token})
     assert out["success"]
     st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": "SELECT 1"}, token)
     assert out["success"] is False
+
+
+def test_session_use_context(server):
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "CREATE DATABASE usedb"}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/session/use",
+                    {"token": token, "database": "usedb", "schema": "public"})
+    assert st == 200 and out["success"]
+    # an unqualified CREATE now lands in USEDB.PUBLIC
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "CREATE TABLE use_t (id INTEGER)"}, token)
+    assert out["success"], out
+    st, out = _call(server, "GET", "/api/v2/databases/usedb/schemas/public/tables")
+    assert any(t["name"] == "USE_T" for t in out)
+
+
+def test_session_renew_alias(server):
+    """POST /session/renew behaves exactly like token-request
+    (session.go:225-228)."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token, master = out["data"]["token"], out["data"]["masterToken"]
+    st, out = _call(server, "POST", "/session/renew",
+                    {"oldSessionToken": token, "requestType": "RENEW"}, master)
+    assert st == 200 and out["success"], out
+    new_token = out["data"]["sessionToken"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT 1 AS x"}, new_token)
+    assert out["success"]
+
+
+def test_session_close_via_post_delete(server):
+    """gosnowflake sends POST /session?delete=true with header token
+    (session.go:296-325); closing twice still succeeds."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/session?delete=true", {}, token)
+    assert st == 200 and out["success"]
+    st, out = _call(server, "POST", "/session?delete=true", {}, token)
+    assert st == 200 and out["success"]
+    st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": "SELECT 1"}, token)
+    assert out["success"] is False
+
+
+def test_query_abort_request(server):
+    """/queries/v1/abort-request is lenient like the reference
+    (query.go:149-166): success whether or not the id is running."""
+    st, out = _call(server, "POST", "/queries/v1/abort-request", {"queryId": "01xyz-unknown"})
+    assert st == 200 and out["success"]
