@@ -115,7 +115,15 @@ class Catalog:
         # reference serializes all writes behind one mutex,
         # connection/manager.go:39-43; per-table is the scalable design)
         self._table_locks: dict[tuple[str, str, str], threading.Lock] = {}
-        self._gc_floor: dict[tuple[str, str, str], int] = {}
+        # versions referenced by open transaction snapshots (table key
+        # -> set of protected version numbers): GC must not delete them
+        # and COPY fast-append must not mutate them
+        self._protected: dict[tuple[str, str, str], set[int]] = {}
+        # thread-local sink collecting table keys written by the
+        # statement currently executing on this thread (set by
+        # Engine.execute while a transaction is open, so ROLLBACK can
+        # restore only tables the transaction itself touched)
+        self._dirty_tl = threading.local()
         self.databases: dict[str, dict] = {}
         self.schemas: dict[tuple[str, str], dict] = {}
         self.tables: dict[tuple[str, str, str], TableMeta] = {}
@@ -287,6 +295,7 @@ class Catalog:
         path = tm.version_path(new_version)
         out.write.mode("overwrite").parquet(path)
         tm.version = new_version
+        self._mark_dirty(tm)
         self.register_view(tm)
         self._gc_versions(tm)
 
@@ -316,13 +325,38 @@ class Catalog:
         *current* version directory without rewriting existing data.
         Safe because COPY only adds files and parquet readers list the
         dir at query planning time. At 100 TB scale this is the only
-        viable ingest pattern (no O(table) rewrite per load)."""
+        viable ingest pattern (no O(table) rewrite per load).
+
+        Exception: when the current version is pinned by an open
+        transaction snapshot, appending in place would mutate the
+        supposedly immutable snapshot (COPY inside BEGIN..ROLLBACK
+        would survive the rollback). In that case the existing data
+        files are hard-linked into a fresh version dir first — still
+        O(files), not O(bytes) — and the append lands there."""
         with self._table_lock(tm):
             target = tm.spark_schema()
             aligned = df.select(*[df[src.name].cast(f.dataType).alias(f.name)
                                   for src, f in zip(df.schema.fields, target.fields)])
+            key = (tm.database, tm.schema, tm.name)
+            with self._lock:
+                pinned = tm.version in self._protected.get(key, set())
+            if pinned:
+                src_dir = tm.version_path()
+                new_version = tm.version + 1
+                dst_dir = tm.version_path(new_version)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fname in os.listdir(src_dir):
+                    s, d = os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+                    if os.path.isfile(s):
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+                tm.version = new_version
             aligned.write.mode("append").parquet(tm.version_path())
+            self._mark_dirty(tm)
             self.register_view(tm)
+            self._gc_versions(tm)
 
     def register_view(self, tm: TableMeta) -> None:
         self.read_table(tm).createOrReplaceTempView(tm.physical)
@@ -334,22 +368,38 @@ class Catalog:
     def _gc_versions(self, tm: TableMeta, keep: int = 3) -> None:
         if not tm.location or not os.path.isdir(tm.location):
             return
-        # never GC at or above the GC floor: an open transaction's
-        # snapshot version must survive arbitrarily many writes so
-        # ROLLBACK can restore it (see Engine.begin/rollback)
-        floor = self._gc_floor.get((tm.database, tm.schema, tm.name))
+        # never GC a protected version: an open transaction's snapshot
+        # must survive arbitrarily many writes so its ROLLBACK can
+        # restore it (see Engine transaction handling)
+        protected = self._protected.get((tm.database, tm.schema, tm.name), set())
         versions = sorted(
             (int(d[1:]) for d in os.listdir(tm.location) if re.fullmatch(r"v\d+", d)),
         )
         for v in versions[:-keep]:
-            if v != tm.version and (floor is None or v < floor):
+            if v != tm.version and v not in protected:
                 shutil.rmtree(os.path.join(tm.location, f"v{v}"), ignore_errors=True)
 
-    def set_gc_floor(self, snap: dict[tuple[str, str, str], int] | None) -> None:
-        """Protect snapshotted versions from GC while a transaction is
-        open (pass None to clear)."""
+    def set_protected_versions(self, protected: dict[tuple[str, str, str], set[int]] | None) -> None:
+        """Versions pinned by open transaction snapshots (union over all
+        open transactions; pass None/{} to clear). Protected versions
+        are exempt from GC and from in-place fast-append mutation."""
         with self._lock:
-            self._gc_floor = dict(snap) if snap else {}
+            self._protected = {k: set(v) for k, v in (protected or {}).items()}
+
+    # ---------------- dirty-table capture (transactions) ----------------
+
+    def begin_dirty_capture(self, sink: set[tuple[str, str, str]]) -> None:
+        """Route this thread's subsequent table writes into ``sink`` so
+        the owning transaction learns which tables it modified."""
+        self._dirty_tl.sink = sink
+
+    def end_dirty_capture(self) -> None:
+        self._dirty_tl.sink = None
+
+    def _mark_dirty(self, tm: TableMeta) -> None:
+        sink = getattr(self._dirty_tl, "sink", None)
+        if sink is not None:
+            sink.add((tm.database, tm.schema, tm.name))
 
     # ---------------- version snapshots (transactions) ----------------
 

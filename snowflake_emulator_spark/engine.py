@@ -10,11 +10,21 @@ restores the pointers (version dirs are immutable, so this is a real
 rollback for table data); COMMIT discards the snapshot. This gives the
 emulator-grade ACID the reference inherits from DuckDB
 (`executor.go:399-426`) without requiring a transactional table format.
+
+Transaction state is PER SESSION (the reference gets this from
+per-connection DuckDB transactions): each session's BEGIN owns its own
+snapshot, writes made inside the transaction are tracked per session
+(thread-local capture during statement execution), and ROLLBACK
+restores only tables that session itself wrote — committed writes from
+other sessions in the interim are never reverted. Snapshot versions of
+every open transaction are pinned against GC and against COPY's
+in-place fast-append.
 """
 
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,7 +59,12 @@ class Engine:
         self.executor = Executor(self.spark, self.catalog)
         self.stages = StageManager(self.catalog)
         self.warehouses = WarehouseManager()
-        self._tx_snapshot: dict | None = None
+        # open transactions keyed by owner id: id(Session) for HTTP
+        # sessions (stable across requests), id(ctx) for direct callers
+        # holding one SessionContext. Value: (version snapshot, dirty
+        # table keys written by this transaction).
+        self._open_txs: dict[int, tuple[dict, set]] = {}
+        self._tx_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -98,22 +113,56 @@ class Engine:
         if up.startswith("SHOW WAREHOUSES"):
             rows = [[w.name, w.state, w.size] for w in self.warehouses.list()]
             return Result(columns=["name", "state", "size"], rows=rows)
-        # transactions (engine level: version-pointer snapshots)
+        # transactions (engine level: per-session version-pointer
+        # snapshots + per-transaction dirty tracking)
+        owner = self._tx_owner(ctx)
         if re.match(r"^(BEGIN|START\s+TRANSACTION)\b", up):
-            self._tx_snapshot = self.catalog.snapshot_versions()
-            self.catalog.set_gc_floor(self._tx_snapshot)
+            with self._tx_lock:
+                # BEGIN inside an open transaction is a no-op (Snowflake
+                # semantics: the original transaction stays open)
+                if owner not in self._open_txs:
+                    self._open_txs[owner] = (self.catalog.snapshot_versions(), set())
+                    self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("COMMIT"):
-            self._tx_snapshot = None
-            self.catalog.set_gc_floor(None)
+            with self._tx_lock:
+                self._open_txs.pop(owner, None)
+                self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("ROLLBACK"):
-            if self._tx_snapshot is not None:
-                self.catalog.restore_versions(self._tx_snapshot)
-                self._tx_snapshot = None
-                self.catalog.set_gc_floor(None)
+            with self._tx_lock:
+                tx = self._open_txs.pop(owner, None)
+                self._refresh_protected_locked()
+            if tx is not None:
+                snap, dirty = tx
+                # restore ONLY tables this transaction wrote: interleaved
+                # commits from other sessions must survive
+                self.catalog.restore_versions({k: v for k, v in snap.items() if k in dirty})
             return Result.status("Statement executed successfully.")
+        tx = self._open_txs.get(owner)
+        if tx is not None:
+            self.catalog.begin_dirty_capture(tx[1])
+            try:
+                return self.executor.execute(s, ctx, bindings)
+            finally:
+                self.catalog.end_dirty_capture()
         return self.executor.execute(s, ctx, bindings)
+
+    @staticmethod
+    def _tx_owner(ctx: SessionContext) -> int:
+        """Stable transaction-owner id: the HTTP layer rebuilds the
+        SessionContext per request but threads the same Session object
+        through ``ctx._session``; direct callers hold one ctx."""
+        return id(getattr(ctx, "_session", ctx))
+
+    def _refresh_protected_locked(self) -> None:
+        """Recompute the union of snapshot-pinned versions (caller holds
+        ``_tx_lock``)."""
+        protected: dict[tuple, set[int]] = {}
+        for snap, _dirty in self._open_txs.values():
+            for key, v in snap.items():
+                protected.setdefault(key, set()).add(v)
+        self.catalog.set_protected_versions(protected)
 
     def sql(self, sql: str, ctx: SessionContext | None = None) -> DataFrame:
         """Query entry returning the lazy DataFrame (Snowflake SQL in)."""

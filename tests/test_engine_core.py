@@ -221,3 +221,64 @@ def test_update_from_set_null(engine):
     assert r.rows_updated == 2
     res = engine.execute("SELECT id, v FROM uf_t ORDER BY id", ctx)
     assert _rows(res) == [(1, None), (2, 99), (3, 30)]
+
+
+def test_transactions_per_session_isolation(engine):
+    """Two sessions' transactions are independent: session B's BEGIN/
+    ROLLBACK must not clobber or revert session A's work (the reference
+    gets per-connection transactions from DuckDB)."""
+    a, b = SessionContext(), SessionContext()
+    engine.execute("CREATE TABLE tx_iso (id INTEGER)", a)
+    engine.execute("INSERT INTO tx_iso VALUES (1)", a)
+
+    engine.execute("BEGIN", a)
+    engine.execute("INSERT INTO tx_iso VALUES (2)", a)
+    # B opens and rolls back its own (empty) transaction: A's open
+    # transaction and its uncommitted write stay intact
+    engine.execute("BEGIN", b)
+    engine.execute("ROLLBACK", b)
+    res = engine.execute("SELECT count(*) AS n FROM tx_iso", a)
+    assert _rows(res) == [(2,)]
+    # A rolls back: only A's write disappears
+    engine.execute("ROLLBACK", a)
+    res = engine.execute("SELECT count(*) AS n FROM tx_iso", a)
+    assert _rows(res) == [(1,)]
+
+
+def test_rollback_keeps_other_sessions_commits(engine):
+    """ROLLBACK restores only tables the transaction itself wrote:
+    another session's committed write to a DIFFERENT table in the
+    interim survives."""
+    a, b = SessionContext(), SessionContext()
+    engine.execute("CREATE TABLE tx_mine (id INTEGER)", a)
+    engine.execute("CREATE TABLE tx_theirs (id INTEGER)", a)
+    engine.execute("BEGIN", a)
+    engine.execute("INSERT INTO tx_mine VALUES (1)", a)
+    # B commits to the other table while A's tx is open
+    engine.execute("INSERT INTO tx_theirs VALUES (42)", b)
+    engine.execute("ROLLBACK", a)
+    res = engine.execute("SELECT count(*) AS n FROM tx_mine", a)
+    assert _rows(res) == [(0,)]
+    res = engine.execute("SELECT count(*) AS n FROM tx_theirs", a)
+    assert _rows(res) == [(1,)]
+
+
+def test_copy_inside_transaction_rolls_back(engine, tmp_path):
+    """COPY INTO uses an in-place fast-append, but when the current
+    version is pinned by an open transaction snapshot it must land in a
+    fresh version so ROLLBACK undoes the load."""
+    ctx = SessionContext()
+    f = tmp_path / "tx_copy.csv"
+    f.write_text("id,v\n10,x\n20,y\n")
+    engine.execute("CREATE TABLE tx_copy (id INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO tx_copy VALUES (1,'pre')", ctx)
+    engine.execute("CREATE STAGE txstage", ctx)
+    engine.stages.put_file(engine.catalog.get_stage("txstage"), str(f))
+    engine.execute("BEGIN", ctx)
+    engine.execute(
+        "COPY INTO tx_copy FROM @txstage FILE_FORMAT = (TYPE = 'CSV' SKIP_HEADER = 1)", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM tx_copy", ctx)
+    assert _rows(res) == [(3,)]
+    engine.execute("ROLLBACK", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM tx_copy", ctx)
+    assert _rows(res) == [(1,)]
