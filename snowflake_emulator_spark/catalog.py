@@ -28,6 +28,7 @@ Spark-first design decisions:
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -68,6 +69,13 @@ class TableMeta:
     version: int = 0
     location: str | None = None  # base dir holding v<N> subdirs
     created_on: float = field(default_factory=time.time)
+    # unique per TableMeta instance: lets caches distinguish a table
+    # that was dropped and re-created (same name, same version number)
+    uid: int = field(default_factory=itertools.count().__next__)
+    # bumped when files are appended IN PLACE (COPY fast path) without a
+    # new version: view caches keyed on (uid, version, data_epoch) then
+    # refresh their file listing
+    data_epoch: int = 0
 
     @property
     def physical(self) -> str:
@@ -354,6 +362,7 @@ class Catalog:
                             shutil.copy2(s, d)
                 tm.version = new_version
             aligned.write.mode("append").parquet(tm.version_path())
+            tm.data_epoch += 1
             self._mark_dirty(tm)
             self.register_view(tm)
             self._gc_versions(tm)

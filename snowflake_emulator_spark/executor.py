@@ -98,6 +98,10 @@ class Executor:
         self.catalog = catalog
         self.translator = Translator()
         self.history: list[dict] = []  # query-history log (repository.go:1213-1378)
+        # bare-name alias views already registered: alias -> (TableMeta
+        # uid, version, data_epoch) at registration. Re-register only
+        # when the table (or the binding) changed — not per statement.
+        self._alias_cache: dict[str, tuple[int, int, int]] = {}
 
     # ------------------------------------------------------------------
     # public entry
@@ -176,23 +180,98 @@ class Executor:
     def _resolve_names(self, sql: str, ctx: SessionContext) -> str:
         """Rewrite qualified ``DB.SCHEMA.TABLE`` / ``SCHEMA.TABLE`` onto
         flattened temp-view names; bare names are handled via namespace
-        alias views (see sync_namespace_views)."""
+        alias views (see sync_namespace_views).
+
+        Single identifier-aware pass: string literals, double-quoted
+        identifiers and comments are skipped verbatim, and each
+        identifier chain is probed against the catalog with O(1) dict
+        lookups — O(len(sql)) per statement regardless of catalog size
+        (the old per-table regex loop was O(catalog x len(sql)) and
+        rewrote names inside string literals)."""
         self.sync_namespace_views(ctx)
-        for (db, sch, tbl), tm in self.catalog.tables.items():
-            pat3 = re.compile(rf"(?<![\w\"]){re.escape(db)}\.{re.escape(sch)}\.{re.escape(tbl)}(?![\w\"])", re.I)
-            sql = pat3.sub(tm.physical, sql)
-            if db == ctx.database:
-                pat2 = re.compile(rf"(?<![\w.\"]){re.escape(sch)}\.{re.escape(tbl)}(?![\w\"])", re.I)
-                sql = pat2.sub(tm.physical, sql)
-        return sql
+        tables = self.catalog.tables
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c == "'":  # string literal, '' escapes
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(sql[i:j + 1])
+                i = j + 1
+                continue
+            if c == '"':  # quoted identifier: pass through untouched
+                j = sql.find('"', i + 1)
+                j = n - 1 if j < 0 else j
+                out.append(sql[i:j + 1])
+                i = j + 1
+                continue
+            if sql.startswith("--", i):
+                j = sql.find("\n", i)
+                j = n if j < 0 else j
+                out.append(sql[i:j])
+                i = j
+                continue
+            if sql.startswith("/*", i):
+                j = sql.find("*/", i)
+                j = n - 2 if j < 0 else j
+                out.append(sql[i:j + 2])
+                i = j + 2
+                continue
+            if c.isalpha() or c == "_":
+                # read an identifier chain ident(.ident)*
+                parts: list[tuple[int, int]] = []
+                j = i
+                while True:
+                    k = j
+                    while k < n and (sql[k].isalnum() or sql[k] in "_$"):
+                        k += 1
+                    parts.append((j, k))
+                    if k + 1 < n and sql[k] == "." and (sql[k + 1].isalpha() or sql[k + 1] == "_"):
+                        j = k + 1
+                    else:
+                        j = k
+                        break
+                ids = [sql[a:b].upper() for a, b in parts]
+                rewrote = False
+                if len(ids) >= 3:
+                    key = (ids[0], ids[1], ids[2])
+                    if key in tables:
+                        out.append(tables[key].physical + sql[parts[2][1]:j])
+                        rewrote = True
+                if not rewrote and len(ids) >= 2:
+                    key = (ctx.database, ids[0], ids[1])
+                    if key in tables:
+                        out.append(tables[key].physical + sql[parts[1][1]:j])
+                        rewrote = True
+                if not rewrote:
+                    out.append(sql[i:j])
+                i = j
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
 
     def sync_namespace_views(self, ctx: SessionContext) -> None:
         """Register bare-name aliases for every table in the session's
-        current namespace."""
+        current namespace. Version-keyed: a table's alias is
+        (re-)registered only when the table is new to the alias, or its
+        version changed since registration — repeat statements against
+        an unchanged catalog make zero Spark calls here."""
         for (db, sch, tbl), tm in self.catalog.tables.items():
             if db == ctx.database and sch == ctx.schema:
+                state = (tm.uid, tm.version, tm.data_epoch)
+                if self._alias_cache.get(tbl) == state:
+                    continue
                 try:
                     self.catalog.read_table(tm).createOrReplaceTempView(tbl)
+                    self._alias_cache[tbl] = state
                 except Exception:
                     pass
 

@@ -282,3 +282,35 @@ def test_copy_inside_transaction_rolls_back(engine, tmp_path):
     engine.execute("ROLLBACK", ctx)
     res = engine.execute("SELECT count(*) AS n FROM tx_copy", ctx)
     assert _rows(res) == [(1,)]
+
+
+def test_resolve_names_identifier_aware(engine):
+    """Name resolution must not rewrite table names inside string
+    literals or comments, and must still resolve qualified names."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE resv (id INTEGER, label VARCHAR)", ctx)
+    engine.execute("INSERT INTO resv VALUES (1, 'resv')", ctx)
+    # the literal 'resv' and the comment mention must survive verbatim
+    res = engine.execute(
+        "SELECT label FROM resv -- resv lives here\n"
+        "WHERE label = 'resv' /* also resv */", ctx)
+    assert [tuple(r) for r in res.rows] == [("resv",)]
+    # fully-qualified and schema-qualified forms still resolve
+    res = engine.execute("SELECT count(*) AS n FROM TEST_DB.PUBLIC.RESV", ctx)
+    assert _rows(res) == [(1,)]
+    res = engine.execute("SELECT count(*) AS n FROM PUBLIC.RESV", ctx)
+    assert _rows(res) == [(1,)]
+
+
+def test_resolve_names_flat_with_large_catalog(engine):
+    """Per-statement resolve cost must not scale with catalog size:
+    with ~60 extra tables registered, a simple statement still resolves
+    through single-pass lookup (smoke: correct result, no rewrite of
+    unrelated names)."""
+    ctx = SessionContext()
+    for i in range(60):
+        engine.execute(f"CREATE TABLE IF NOT EXISTS filler_{i} (id INTEGER)", ctx)
+    engine.execute("CREATE TABLE big_cat (id INTEGER)", ctx)
+    engine.execute("INSERT INTO big_cat VALUES (7)", ctx)
+    res = engine.execute("SELECT id FROM big_cat WHERE 'filler_1' != 'x'", ctx)
+    assert _rows(res) == [(7,)]
