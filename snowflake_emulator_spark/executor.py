@@ -15,7 +15,10 @@ exactly like the reference's default-namespace behavior.
 
 from __future__ import annotations
 
+import json
+import os
 import re
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,7 +100,17 @@ class Executor:
         self.spark = spark
         self.catalog = catalog
         self.translator = Translator()
-        self.history: list[dict] = []  # query-history log (repository.go:1213-1378)
+        # query-history log (reference persists to its metadata store,
+        # pkg/metadata/repository.go:1213-1378). Persisted as an
+        # append-only JSONL under the warehouse dir — the metadata-store
+        # analog; a Spark table write per statement would add a full
+        # write job to every query, which no engine does for history —
+        # and reloaded on engine start so SHOW QUERY HISTORY survives
+        # restarts.
+        self.history: list[dict] = []
+        self._history_lock = threading.Lock()
+        self._history_path = os.path.join(catalog.base_dir, "_metadata", "query_history.jsonl")
+        self._load_history()
         # bare-name alias views already registered: alias -> (TableMeta
         # uid, version, data_epoch) at registration. Re-register only
         # when the table (or the binding) changed — not per statement.
@@ -128,6 +141,32 @@ class Executor:
             raise errors.execution_error(str(e)) from e
         finally:
             entry["ms"] = int((time.time() - started) * 1000)
+            self._persist_history(entry)
+
+    # ------------------------------------------------------------------
+    # query-history persistence
+    # ------------------------------------------------------------------
+
+    def _load_history(self) -> None:
+        try:
+            with open(self._history_path, encoding="utf-8") as f:
+                # keep the reload bounded: SHOW QUERY HISTORY serves the
+                # most recent 100 entries
+                lines = f.readlines()[-1000:]
+            self.history = [json.loads(ln) for ln in lines if ln.strip()]
+        except FileNotFoundError:
+            pass
+        except Exception:
+            self.history = []  # corrupt log: start fresh, never fail startup
+
+    def _persist_history(self, entry: dict) -> None:
+        try:
+            with self._history_lock:
+                os.makedirs(os.path.dirname(self._history_path), exist_ok=True)
+                with open(self._history_path, "a", encoding="utf-8") as f:
+                    f.write(json.dumps(entry, default=str) + "\n")
+        except Exception:
+            pass  # history is best-effort; never fail the statement
 
     def query_df(self, sql: str, ctx: SessionContext | None = None,
                  bindings: dict | None = None) -> DataFrame:

@@ -314,3 +314,22 @@ def test_resolve_names_flat_with_large_catalog(engine):
     engine.execute("INSERT INTO big_cat VALUES (7)", ctx)
     res = engine.execute("SELECT id FROM big_cat WHERE 'filler_1' != 'x'", ctx)
     assert _rows(res) == [(7,)]
+
+
+def test_query_history_survives_restart(spark, tmp_path):
+    """SHOW QUERY HISTORY reflects statements from a PREVIOUS engine
+    over the same warehouse dir (reference persists history to
+    _metadata_query_history, pkg/metadata/repository.go:1213-1378)."""
+    from snowflake_emulator_spark.engine import Engine
+
+    base = str(tmp_path / "wh")
+    e1 = Engine(spark, base_dir=base)
+    ctx = SessionContext()
+    e1.execute("CREATE TABLE hist_t (id INTEGER)", ctx)
+    e1.execute("INSERT INTO hist_t VALUES (1)", ctx)
+    res = e1.execute("SHOW QUERY HISTORY", ctx)
+    assert any("hist_t" in r[0] for r in res.rows)
+
+    e2 = Engine(spark, base_dir=base)  # fresh engine, same warehouse
+    res = e2.execute("SHOW QUERY HISTORY", SessionContext())
+    assert any("CREATE TABLE hist_t" in r[0] and r[1] == "SUCCESS" for r in res.rows)
