@@ -1,6 +1,10 @@
-"""Generate docs/PLANS_r1.md: formatted physical plans for headline
+"""Generate docs/PLANS_r{N}.md: formatted physical plans for headline
 queries + automated checks (filter pushdown, broadcast joins, partial
-aggregation) — evidence that the declarative plans scale."""
+aggregation) — evidence that the declarative plans scale.
+
+A check token prefixed with ``!`` is a NEGATIVE check: the plan must
+NOT contain it (e.g. ``!BroadcastNestedLoopJoin`` on blocking-join
+paths that would be O(n^2) as a nested loop)."""
 import re
 import sys
 
@@ -18,7 +22,14 @@ AUDIT = [
     ("join_left_outer", []),
     ("window_row_number_topn", ["Window"]),
     ("dedup_exact", ["HashAggregate"]),
-    ("dedup_minhash_lsh", []),
+    # equi-join on (band, hash): AQE broadcasts the small side locally,
+    # shuffles it at scale — either way never a nested loop
+    ("dedup_minhash_lsh", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # blocking joins must hash/sort-merge, never nested-loop (r1 verdict:
+    # the OR-join formulation planned as BroadcastNestedLoopJoin)
+    ("dedup_simhash_pairs", ["!BroadcastNestedLoopJoin"]),
+    ("embed_near_pairs_lsh", ["!BroadcastNestedLoopJoin"]),
+    # deliberate broadcast nested loop: tiny query set x full table
     ("embed_cosine_topk", ["BroadcastNestedLoopJoin"]),
 ]
 
@@ -26,7 +37,7 @@ AUDIT = [
 def main():
     spark = build_spark(app_name="explain-audit", master="local[8]", shuffle_partitions=8)
     sf = "/root/testdata/sf0.1"
-    out = ["# Physical plans (sf0.1) — round 1 audit\n"]
+    out = ["# Physical plans (sf0.1) — round 2 audit\n"]
     for name, expect in AUDIT:
         fn, _ = REGISTRY[name]
         df = fn(spark, sf)
@@ -37,8 +48,12 @@ def main():
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         checks = []
         for token in expect:
-            ok = token in plan
-            checks.append(f"{'OK' if ok else 'MISSING'}: {token}")
+            if token.startswith("!"):
+                ok = token[1:] not in plan
+                checks.append(f"{'OK' if ok else 'VIOLATION'}: absent {token[1:]}")
+            else:
+                ok = token in plan
+                checks.append(f"{'OK' if ok else 'MISSING'}: {token}")
         # trim per-column detail sections for readability
         head = plan.split("\n\n")[0]
         out.append(f"## {name}\n")
@@ -46,7 +61,7 @@ def main():
             out.append("Checks: " + "; ".join(checks) + "\n")
         out.append("```\n" + head.strip()[:4000] + "\n```\n")
         print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
-    with open("/root/repo/docs/PLANS_r1.md", "w") as f:
+    with open("/root/repo/docs/PLANS_r2.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
 

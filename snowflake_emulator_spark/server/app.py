@@ -111,7 +111,16 @@ class SnowflakeServer:
             out, status = self._handle(method, path, h.headers, body, params)
         except errors.SnowflakeError as e:
             if path.startswith("/api/v2/"):
-                out, status = {"code": e.code, "message": e.message, "sqlState": e.sqlstate}, 422
+                # typed REST error (shape of types.StatementResponse as
+                # used by rest_api_v2.go sendError): 404 for missing
+                # objects, 422 for failed statements, else 400
+                if e.code == "002043":
+                    http = 404
+                elif path.startswith("/api/v2/statements"):
+                    http = 422
+                else:
+                    http = 400
+                out, status = {"code": e.code, "message": e.message, "sqlState": e.sqlstate}, http
             else:
                 out, status = e.envelope(), 200
         except Exception as e:  # noqa: BLE001
