@@ -1098,6 +1098,77 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
+# the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
+# null-safe match DECODE implies) and its native split_part.
+_SF_DECODE = """
+SELECT DECODE(c_mktsegment, 'BUILDING', 'bld', 'MACHINERY', 'mch', 'other') AS seg_code,
+       SPLIT_PART(c_name, '#', 2) AS name_num,
+       EQUAL_NULL(c_mktsegment, 'BUILDING') AS is_building,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+_SF_DECODE_ORACLE = """
+SELECT CASE WHEN c_mktsegment IS NOT DISTINCT FROM 'BUILDING' THEN 'bld'
+            WHEN c_mktsegment IS NOT DISTINCT FROM 'MACHINERY' THEN 'mch'
+            ELSE 'other' END AS seg_code,
+       split_part(c_name, '#', 2) AS name_num,
+       c_mktsegment IS NOT DISTINCT FROM 'BUILDING' AS is_building,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+# Snowflake date-format elements (TO_CHAR 'YYYY-MM') + boolean
+# aggregates, both engine-translated; DuckDB strftime/bool_* oracle.
+_SF_DATEFMT = """
+SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS ym,
+       BOOLOR_AGG(o_totalprice > 300000) AS any_big,
+       BOOLAND_AGG(o_totalprice > 1000) AS all_over_1k,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+_SF_DATEFMT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       bool_or(o_totalprice > 300000) AS any_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+# TIME_SLICE hypertable-style rollup (fixed-width epoch-origin buckets)
+# == DuckDB time_bucket.
+_SF_TIME_SLICE = """
+SELECT TIME_SLICE(ts, 15, 'MINUTE') AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+_SF_TIME_SLICE_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# PIVOT (Spark SQL native clause) == conditional aggregation oracle.
+_PIVOT_SPARK = """
+SELECT * FROM (
+  SELECT n_name, c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+PIVOT (CAST(sum(bal) AS DOUBLE) FOR c_mktsegment
+       IN ('BUILDING' AS building, 'MACHINERY' AS machinery, 'AUTOMOBILE' AS automobile))
+ORDER BY n_name
+"""
+_PIVOT_ORACLE = """
+SELECT n_name,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS building,
+       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS machinery,
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS automobile
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1171,6 +1242,10 @@ REGISTRY: dict[str, tuple] = {
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
+    "sf_decode_split_equalnull": (_snow(_SF_DECODE), _SF_DECODE_ORACLE),
+    "sf_datefmt_bool_aggs": (_snow(_SF_DATEFMT), _SF_DATEFMT_ORACLE),
+    "sf_time_slice_rollup": (_snow(_SF_TIME_SLICE), _SF_TIME_SLICE_ORACLE),
+    "pivot_segment_balances": (_sql(_PIVOT_SPARK), _PIVOT_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),

@@ -85,6 +85,36 @@ def normalize_date_part(part: str) -> str | None:
     return _DATE_PART.get(p)
 
 
+# Snowflake date-format elements -> Spark (java.time) pattern letters.
+# Case-insensitive on the Snowflake side (format elements are
+# case-insensitive there; Spark letters are case-significant).
+_SF_FMT_RE = re.compile(
+    r"YYYY|YY|MON|MM|DY|DD|HH24|HH12|HH|MI|SS|FF[0-9]?|AM|PM|TZH|TZM", re.I
+)
+_SF_FMT_MAP = {
+    "YYYY": "yyyy", "YY": "yy", "MON": "MMM", "MM": "MM", "DY": "EEE",
+    "DD": "dd", "HH24": "HH", "HH12": "hh", "HH": "HH", "MI": "mm",
+    "SS": "ss", "AM": "a", "PM": "a", "TZH": "x", "TZM": "",
+}
+
+
+def convert_snowflake_datefmt(fmt: str) -> str:
+    """Convert a Snowflake format string (possibly a quoted SQL literal)
+    to a Spark datetime pattern. Non-element characters pass through."""
+    quoted = len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"
+    body = fmt[1:-1] if quoted else fmt
+
+    def sub(m: re.Match) -> str:
+        tok = m.group(0).upper()
+        if tok.startswith("FF"):
+            digits = int(tok[2:]) if len(tok) > 2 else 6
+            return "S" * digits
+        return _SF_FMT_MAP[tok]
+
+    out = _SF_FMT_RE.sub(sub, body)
+    return f"'{out}'" if quoted else out
+
+
 class Translator:
     """String-level recursive translator with paren/quote awareness."""
 
@@ -378,8 +408,67 @@ class Translator:
             return f"CAST({args[0]} AS DOUBLE)"
         if fname in ("TO_VARCHAR", "TO_CHAR"):
             if len(args) == 2:
-                return f"date_format({args[0]}, {args[1]})"
+                return f"date_format({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"CAST({args[0]} AS STRING)"
+        if fname == "TRY_CAST":
+            # same Snowflake-type mapping as CAST, null on failure
+            m = re.match(r"^(.*)\s+AS\s+([A-Za-z_]\w*(?:\s+PRECISION)?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+                         args[-1].strip(), re.I | re.S)
+            if m:
+                return f"try_cast({m.group(1)} AS {snowflake_to_spark_ddl(m.group(2)).upper()})"
+            return f"try_cast({', '.join(args)})"
+        if fname == "TO_DATE":
+            if len(args) == 2:
+                return f"to_date({args[0]}, {convert_snowflake_datefmt(args[1])})"
+            return f"to_date({args[0]})"
+        if fname == "TO_TIMESTAMP":
+            if len(args) == 2:
+                return f"to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
+            return f"to_timestamp({args[0]})"
+        if fname == "TRY_TO_DATE":
+            if len(args) == 2:
+                return f"to_date(try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])}))"
+            return f"try_cast({args[0]} AS DATE)"
+        if fname == "TRY_TO_TIMESTAMP":
+            if len(args) == 2:
+                return f"try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
+            return f"try_to_timestamp({args[0]})"
+        if fname == "EQUAL_NULL":
+            # null-safe equality (EQUAL_NULL(NULL, NULL) is TRUE)
+            return f"(({args[0]}) IS NOT DISTINCT FROM ({args[1]}))"
+        if fname == "DECODE":
+            # DECODE(expr, s1, r1[, s2, r2 ...][, default]) -> CASE with
+            # null-safe matching (Snowflake DECODE matches NULLs equal)
+            expr = args[0]
+            pairs = args[1:]
+            default = None
+            if len(pairs) % 2 == 1:
+                default = pairs[-1]
+                pairs = pairs[:-1]
+            whens = "".join(
+                f" WHEN ({expr}) IS NOT DISTINCT FROM ({pairs[i]}) THEN {pairs[i + 1]}"
+                for i in range(0, len(pairs), 2)
+            )
+            tail = f" ELSE {default}" if default is not None else ""
+            return f"(CASE{whens}{tail} END)"
+        if fname == "BOOLOR_AGG":
+            return f"bool_or({args[0]})"
+        if fname == "BOOLAND_AGG":
+            return f"bool_and({args[0]})"
+        if fname == "RTRIMMED_LENGTH":
+            return f"length(rtrim({args[0]}))"
+        if fname == "TIME_SLICE":
+            # TIME_SLICE(ts, n, 'PART') -> start of the n-PART bucket
+            # (epoch origin, matching DuckDB's time_bucket). Fixed-width
+            # parts only — month/year slices are calendar-dependent.
+            part = normalize_date_part(args[2]) if len(args) >= 3 else "MINUTE"
+            secs = {"DAY": 86400, "HOUR": 3600, "MINUTE": 60, "SECOND": 1}.get(part or "")
+            if secs is None:
+                return f"TIME_SLICE({', '.join(args)})"  # pass through unsupported parts
+            width = f"(({args[1]}) * {secs})"
+            return (
+                f"to_timestamp(floor(unix_timestamp({args[0]}) / {width}) * {width})"
+            )
         if fname == "ZEROIFNULL":
             return f"coalesce({args[0]}, 0)"
         if fname == "DIV0":
@@ -577,6 +666,17 @@ _REWRITABLE = {
     "DATE_PART",
     "DATE_TRUNC",
     "REGEXP_SUBSTR",
+    "TRY_CAST",
+    "TO_DATE",
+    "TO_TIMESTAMP",
+    "TRY_TO_DATE",
+    "TRY_TO_TIMESTAMP",
+    "EQUAL_NULL",
+    "DECODE",
+    "BOOLOR_AGG",
+    "BOOLAND_AGG",
+    "RTRIMMED_LENGTH",
+    "TIME_SLICE",
 }
 
 _DEFAULT = Translator()

@@ -190,3 +190,61 @@ def test_qualify_ignores_nested():
     # QUALIFY inside a string or subquery-free statement only
     sql = "SELECT ' QUALIFY ' AS s FROM t"
     assert translate(sql) == sql
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        # TRY_CAST with Snowflake type names
+        ("SELECT TRY_CAST(x AS VARCHAR) FROM t", "SELECT try_cast(x AS STRING) FROM t"),
+        ("SELECT TRY_CAST(x AS NUMBER(10,2)) FROM t", "SELECT try_cast(x AS DECIMAL(10,2)) FROM t"),
+        # TO_DATE / TO_TIMESTAMP with Snowflake format elements
+        ("SELECT TO_DATE(s, 'YYYY-MM-DD') FROM t", "SELECT to_date(s, 'yyyy-MM-dd') FROM t"),
+        ("SELECT TO_DATE(d) FROM t", "SELECT to_date(d) FROM t"),
+        (
+            "SELECT TO_TIMESTAMP(s, 'YYYY-MM-DD HH24:MI:SS') FROM t",
+            "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t",
+        ),
+        (
+            "SELECT TO_CHAR(d, 'DD Mon YYYY') FROM t",
+            "SELECT date_format(d, 'dd MMM yyyy') FROM t",
+        ),
+        (
+            "SELECT TRY_TO_TIMESTAMP(s, 'YYYY/MM/DD') FROM t",
+            "SELECT try_to_timestamp(s, 'yyyy/MM/dd') FROM t",
+        ),
+        ("SELECT TRY_TO_DATE(s) FROM t", "SELECT try_cast(s AS DATE) FROM t"),
+        # EQUAL_NULL -> null-safe comparison
+        (
+            "SELECT EQUAL_NULL(a, b) FROM t",
+            "SELECT ((a) IS NOT DISTINCT FROM (b)) FROM t",
+        ),
+        # DECODE -> null-safe CASE
+        (
+            "SELECT DECODE(x, 1, 'one', 2, 'two', 'other') FROM t",
+            "SELECT (CASE WHEN (x) IS NOT DISTINCT FROM (1) THEN 'one'"
+            " WHEN (x) IS NOT DISTINCT FROM (2) THEN 'two' ELSE 'other' END) FROM t",
+        ),
+        (
+            "SELECT DECODE(x, NULL, 'none', 'some') FROM t",
+            "SELECT (CASE WHEN (x) IS NOT DISTINCT FROM (NULL) THEN 'none'"
+            " ELSE 'some' END) FROM t",
+        ),
+        # boolean aggregates
+        ("SELECT BOOLOR_AGG(f) FROM t", "SELECT bool_or(f) FROM t"),
+        ("SELECT BOOLAND_AGG(f) FROM t", "SELECT bool_and(f) FROM t"),
+        # RTRIMMED_LENGTH
+        ("SELECT RTRIMMED_LENGTH(s) FROM t", "SELECT length(rtrim(s)) FROM t"),
+        # TIME_SLICE fixed-width buckets (epoch origin)
+        (
+            "SELECT TIME_SLICE(ts, 15, 'MINUTE') FROM t",
+            "SELECT to_timestamp(floor(unix_timestamp(ts) / ((15) * 60)) * ((15) * 60)) FROM t",
+        ),
+        # pass-throughs shared by Spark and Snowflake
+        ("SELECT SPLIT_PART(s, '-', 2) FROM t", "SELECT SPLIT_PART(s, '-', 2) FROM t"),
+        ("SELECT INITCAP(s), TRANSLATE(s, 'ab', 'xy') FROM t",
+         "SELECT INITCAP(s), TRANSLATE(s, 'ab', 'xy') FROM t"),
+    ],
+)
+def test_round2_function_surface(sql, expected):
+    assert translate(sql) == expected
