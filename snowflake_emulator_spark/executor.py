@@ -174,8 +174,80 @@ class Executor:
         ctx = ctx or SessionContext()
         sql = bindmod.apply_bindings(sql, bindings)
         translated = self.translator.translate(sql)
+        translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    # ------------------------------------------------------------------
+    # time travel (beyond-reference: the immutable version dirs ARE a
+    # retention history, so Snowflake's AT() clause maps directly)
+    # ------------------------------------------------------------------
+
+    _AT_RE = re.compile(
+        r"([A-Za-z_][\w.$]*)\s+AT\s*\(\s*(VERSION|OFFSET|TIMESTAMP)\s*=>\s*([^)]+)\)",
+        re.I,
+    )
+
+    def _resolve_time_travel(self, sql: str, ctx: SessionContext) -> str:
+        """Rewrite ``FROM t AT(VERSION => n | OFFSET => -secs |
+        TIMESTAMP => 'ts')`` onto a temp view over the matching
+        immutable version dir. OFFSET/TIMESTAMP pick the newest version
+        whose write time is <= the target instant (version-dir mtimes —
+        the write moment — are the history timeline). The window is
+        bounded by version GC (keep=3 by default), mirroring Snowflake's
+        bounded retention."""
+
+        def repl(m: re.Match) -> str:
+            name, kind, value = m.group(1), m.group(2).upper(), m.group(3).strip()
+            try:
+                tm = self.catalog.get_table(name, ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                return m.group(0)  # not a catalog table: leave untouched
+            version = self._pick_version(tm, kind, value)
+            view = f"{tm.physical}__at_v{version}"
+            self.spark.read.schema(tm.spark_schema()).parquet(
+                tm.version_path(version)
+            ).createOrReplaceTempView(view)
+            return view
+
+        return self._AT_RE.sub(repl, sql)
+
+    def _pick_version(self, tm, kind: str, value: str) -> int:
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(tm.location or "")
+            if re.fullmatch(r"v\d+", d)
+        )
+        if not versions:
+            raise errors.object_not_found(tm.physical)
+        if kind == "VERSION":
+            v = int(value.strip().strip("'\""))
+            if v not in versions:
+                raise errors.execution_error(
+                    f"time travel: version {v} of {tm.name} not in retention "
+                    f"(available: {versions})"
+                )
+            return v
+        if kind == "OFFSET":
+            target = time.time() + float(value)  # value is negative seconds
+        else:  # TIMESTAMP
+            from datetime import datetime, timezone
+
+            raw = value.strip().strip("'\"")
+            dt = datetime.fromisoformat(raw)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            target = dt.timestamp()
+        eligible = [
+            v for v in versions
+            if os.path.getmtime(os.path.join(tm.location, f"v{v}")) <= target
+        ]
+        if not eligible:
+            raise errors.execution_error(
+                f"time travel: no version of {tm.name} at or before the requested time "
+                f"(earliest retained version is v{versions[0]})"
+            )
+        return eligible[-1]
 
     # ------------------------------------------------------------------
     # routing

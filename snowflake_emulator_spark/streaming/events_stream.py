@@ -70,3 +70,99 @@ def run_to_memory_sink(stream_df: DataFrame, name: str = "events_agg", timeout_s
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+# open-session state per user: bounds as epoch micros (long) so the
+# state row stays a flat fixed-width tuple
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-user session windows via
+    ``applyInPandasWithState`` (beyond-reference; the batch analog is the
+    ``events_sessionize`` inventory query).
+
+    A session closes when (a) a later event for the user arrives more
+    than ``gap_seconds`` after the session's last event — emitted
+    eagerly in the trigger that observes the gap — or (b) the event-time
+    watermark passes last_event + gap (state timeout), covering users
+    who simply stop sending. State per user is one fixed-width row;
+    partitioning is by user hash, so the operator scales horizontally
+    with no global coordination."""
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000
+        vals = rows["value"].astype("float64")
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 0, 0.0]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 0, 0.0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+        state.update(tuple(cur))
+        # close the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

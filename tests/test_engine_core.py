@@ -333,3 +333,36 @@ def test_query_history_survives_restart(spark, tmp_path):
     e2 = Engine(spark, base_dir=base)  # fresh engine, same warehouse
     res = e2.execute("SHOW QUERY HISTORY", SessionContext())
     assert any("CREATE TABLE hist_t" in r[0] and r[1] == "SUCCESS" for r in res.rows)
+
+
+def test_time_travel_version_and_timestamp(engine):
+    """AT(VERSION|OFFSET|TIMESTAMP) reads an older immutable version dir
+    (beyond-reference: Snowflake time travel over the parquet version
+    history)."""
+    import time as _time
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tt (id INTEGER, v VARCHAR)", ctx)      # v1 empty
+    engine.execute("INSERT INTO tt VALUES (1, 'first')", ctx)           # v2
+    _time.sleep(0.05)
+    between = _time.time()
+    _time.sleep(0.05)
+    engine.execute("UPDATE tt SET v = 'second' WHERE id = 1", ctx)      # v3
+
+    res = engine.execute("SELECT v FROM tt", ctx)
+    assert _rows(res) == [("second",)]
+    res = engine.execute("SELECT v FROM tt AT(VERSION => 2)", ctx)
+    assert _rows(res) == [("first",)]
+    res = engine.execute("SELECT count(*) AS n FROM tt AT(VERSION => 1)", ctx)
+    assert _rows(res) == [(0,)]
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(between, tz=timezone.utc).isoformat()
+    res = engine.execute(f"SELECT v FROM tt AT(TIMESTAMP => '{iso}')", ctx)
+    assert _rows(res) == [("first",)]
+    # OFFSET far in the past: before the table existed -> error
+    with pytest.raises(Exception):
+        engine.execute("SELECT v FROM tt AT(OFFSET => -999999)", ctx)
+    # version outside retention -> error
+    with pytest.raises(Exception):
+        engine.execute("SELECT v FROM tt AT(VERSION => 99)", ctx)

@@ -26,3 +26,41 @@ def test_windowed_stream_counts(spark, tmp_path):
            for r in spark.sql("SELECT * FROM t_agg").collect()}
     assert out[("2024-01-01T00:00:00", "click")] == (2, 3.0)
     assert out[("2024-01-01T00:01:00", "view")] == (1, 3.0)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state survives across
+    triggers; a session closes when a later trigger's events arrive
+    past the gap."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # trigger 1: user 1 has two events 30 s apart (one open session)
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "c", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:00:30", "user_id": 1, "event_type": "c", "value": 2.0, "props": "{}"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    # trigger 2: user 1 comes back two hours later -> closes session A;
+    # also a second user with one in-batch gap -> closes one session
+    with open(src / "b2.json", "w") as f:
+        for r in [
+            {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "c", "value": 4.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T02:00:05", "user_id": 2, "event_type": "c", "value": 8.0, "props": "{}"},
+            {"event_id": 5, "ts": "2024-01-01T03:30:00", "user_id": 2, "event_type": "c", "value": 16.0, "props": "{}"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = events_stream.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    sessions = events_stream.sessionize_stream(stream, gap_seconds=1800)
+    events_stream.run_to_memory_sink(sessions, name="t_sessions", timeout_s=180,
+                                     output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"].isoformat()): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    # user 1's first session (2 events, value 3.0) closed by the
+    # 02:00:00 event; user 2's 02:00:05 single-event session closed by
+    # the 03:30:00 event
+    assert got[(1, "2024-01-01T00:00:00")] == (2, 3.0)
+    assert got[(2, "2024-01-01T02:00:05")] == (1, 8.0)
