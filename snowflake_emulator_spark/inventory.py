@@ -1150,6 +1150,29 @@ SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bucket, even
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# Snowflake array functions through the translator: argument order
+# (ARRAY_CONTAINS/ARRAY_POSITION put the value first), 0-based
+# positions, and to-exclusive slices all differ from Spark — the
+# translator normalizes; DuckDB list functions verify.
+_SF_ARRAY = """
+SELECT ARRAY_CONTAINS('BUILDING', ARRAY_CONSTRUCT(c_mktsegment, 'X')) AS has_bld,
+       ARRAY_POSITION(c_mktsegment,
+         ARRAY_CONSTRUCT('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) AS seg_idx,
+       ARRAY_TO_STRING(ARRAY_SLICE(STRTOK_TO_ARRAY(c_name, '#'), 0, 1), '-') AS name_head,
+       ARRAY_SIZE(ARRAY_CAT(STRTOK_TO_ARRAY(c_name, '#'), ARRAY_CONSTRUCT('z'))) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+_SF_ARRAY_ORACLE = """
+SELECT list_contains([c_mktsegment, 'X'], 'BUILDING') AS has_bld,
+       CAST(list_position(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'],
+                          c_mktsegment) - 1 AS INTEGER) AS seg_idx,
+       array_to_string(string_split(c_name, '#')[1:1], '-') AS name_head,
+       CAST(len(list_concat(string_split(c_name, '#'), ['z'])) AS INTEGER) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
 # PIVOT (Spark SQL native clause) == conditional aggregation oracle.
 _PIVOT_SPARK = """
 SELECT * FROM (
@@ -1245,6 +1268,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_decode_split_equalnull": (_snow(_SF_DECODE), _SF_DECODE_ORACLE),
     "sf_datefmt_bool_aggs": (_snow(_SF_DATEFMT), _SF_DATEFMT_ORACLE),
     "sf_time_slice_rollup": (_snow(_SF_TIME_SLICE), _SF_TIME_SLICE_ORACLE),
+    "sf_array_funcs": (_snow(_SF_ARRAY), _SF_ARRAY_ORACLE),
     "pivot_segment_balances": (_sql(_PIVOT_SPARK), _PIVOT_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
     # MERGE-equivalent declarative upsert

@@ -525,6 +525,26 @@ class Translator:
             return f"size({args[0]})"
         if fname == "ARRAY_CONSTRUCT":
             return f"array({', '.join(args)})"
+        if fname == "ARRAY_CONTAINS":
+            # Snowflake: ARRAY_CONTAINS(value, array) — Spark swaps args
+            return f"array_contains({args[1]}, {args[0]})"
+        if fname == "ARRAY_POSITION":
+            # Snowflake: ARRAY_POSITION(value, array), 0-based, NULL when
+            # absent; Spark: array_position(array, value), 1-based, 0
+            # when absent
+            return f"(nullif(array_position({args[1]}, {args[0]}), 0) - 1)"
+        if fname == "ARRAY_CAT":
+            return f"concat({args[0]}, {args[1]})"
+        if fname == "ARRAY_TO_STRING":
+            # Snowflake stringifies elements; Spark array_join requires
+            # string elements
+            return (
+                f"array_join(transform({args[0]}, x -> CAST(x AS STRING)), {args[1]})"
+            )
+        if fname == "ARRAY_SLICE":
+            # Snowflake: 0-based from (inclusive) .. to (exclusive);
+            # Spark slice(arr, start_1based, length)
+            return f"slice({args[0]}, ({args[1]}) + 1, ({args[2]}) - ({args[1]}))"
         if fname == "TIMESTAMPADD":
             return self._emit_dateadd(args)
         if fname == "TIMEADD":
@@ -677,6 +697,11 @@ _REWRITABLE = {
     "BOOLAND_AGG",
     "RTRIMMED_LENGTH",
     "TIME_SLICE",
+    "ARRAY_CONTAINS",
+    "ARRAY_POSITION",
+    "ARRAY_CAT",
+    "ARRAY_TO_STRING",
+    "ARRAY_SLICE",
 }
 
 _DEFAULT = Translator()

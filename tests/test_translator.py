@@ -248,3 +248,29 @@ def test_qualify_ignores_nested():
 )
 def test_round2_function_surface(sql, expected):
     assert translate(sql) == expected
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        # value-first argument order normalized
+        ("SELECT ARRAY_CONTAINS(x, arr) FROM t", "SELECT array_contains(arr, x) FROM t"),
+        # 0-based, NULL-when-absent position
+        (
+            "SELECT ARRAY_POSITION(x, arr) FROM t",
+            "SELECT (nullif(array_position(arr, x), 0) - 1) FROM t",
+        ),
+        ("SELECT ARRAY_CAT(a, b) FROM t", "SELECT concat(a, b) FROM t"),
+        (
+            "SELECT ARRAY_TO_STRING(arr, ',') FROM t",
+            "SELECT array_join(transform(arr, x -> CAST(x AS STRING)), ',') FROM t",
+        ),
+        # from-inclusive/to-exclusive 0-based -> 1-based start + length
+        (
+            "SELECT ARRAY_SLICE(arr, 2, 5) FROM t",
+            "SELECT slice(arr, (2) + 1, (5) - (2)) FROM t",
+        ),
+    ],
+)
+def test_array_function_surface(sql, expected):
+    assert translate(sql) == expected
