@@ -17,7 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from snowflake_emulator_spark.inventory import REGISTRY  # noqa: E402
 from snowflake_emulator_spark.session_factory import build_spark  # noqa: E402
 
+# Python-stage queries (mapInPandas/applyInPandas) run first, directly
+# after the worker-fleet warm-up: a Python stage issued after a long
+# stretch of JVM-only queries intermittently hits a ~30 s stall on this
+# box (worker-pool re-establishment), which is measurement noise, not
+# operator cost. Order carries no semantic weight.
 HEADLINE = [
+    "embed_cosine_topk",
+    "embed_near_pairs_lsh",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -34,8 +41,6 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "text_language_id",
-    "embed_cosine_topk",
-    "embed_near_pairs_lsh",
 ]
 
 
@@ -59,6 +64,14 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s * 1.0, "double")
     spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(_warm(F.col("id").cast("double"))).count()
+    # warm the mapInPandas (Arrow iterator) worker path too — synthetic
+    # data, trivial function, nothing a measured query computes
+    def _warm_batches(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+        .mapInPandas(_warm_batches, "id long").count()
     # JIT-warm the interpreted higher-order-function path GENERICALLY
     # (synthetic data + a different fold than any measured query — the
     # bench must not rehearse what it measures)
