@@ -65,6 +65,12 @@ _CTAS_RE = re.compile(
     re.I | re.S,
 )
 _DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CLONE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
+    r"CLONE\s+([\w.\"$]+)\s*(?:AT\s*\(\s*(VERSION|OFFSET|TIMESTAMP)\s*=>\s*([^)]+)\))?\s*$",
+    re.I,
+)
+_UNDROP_TABLE_RE = re.compile(r"^\s*UNDROP\s+TABLE\s+([\w.\"$]+)\s*$", re.I)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", re.I)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
@@ -419,6 +425,25 @@ class Executor:
             else:
                 self.catalog.drop_schema(ctx.database, name, if_exists=bool(m.group(1)))
             return Result.status(f"{name.upper()} successfully dropped.")
+        m = _CLONE_TABLE_RE.match(sql)
+        if m:
+            src = self.catalog.get_table(m.group(4), ctx.database, ctx.schema)
+            at_version = None
+            if m.group(5):
+                at_version = self._pick_version(src, m.group(5).upper(), m.group(6).strip())
+            self.catalog.clone_table(src, m.group(3), ctx.database, ctx.schema,
+                                     at_version=at_version,
+                                     if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Table {m.group(3).upper()} successfully created.")
+        m = _UNDROP_TABLE_RE.match(sql)
+        if m:
+            tm = self.catalog.undrop_table(m.group(1), ctx.database, ctx.schema)
+            # the bare-name alias view was dropped with the table and the
+            # meta's (uid, version) is unchanged — force re-registration
+            self._alias_cache.pop(tm.name, None)
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Table {m.group(1).upper()} successfully restored.")
         m = _CTAS_RE.match(sql)
         if m and " AS " in up:
             df = self.query_df(m.group(4), ctx)

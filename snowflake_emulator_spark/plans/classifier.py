@@ -49,6 +49,8 @@ def classify(sql: str) -> ClassifyResult:
         return ClassifyResult(StatementType.DDL_CREATE, config.STATEMENT_TYPE_DDL, is_ddl=True)
     if first == "DROP":
         return ClassifyResult(StatementType.DDL_DROP, config.STATEMENT_TYPE_DROP, is_ddl=True)
+    if first == "UNDROP":
+        return ClassifyResult(StatementType.DDL_CREATE, config.STATEMENT_TYPE_DDL, is_ddl=True)
     if first == "ALTER":
         return ClassifyResult(StatementType.DDL_ALTER, config.STATEMENT_TYPE_DDL, is_ddl=True)
     if first == "COPY":

@@ -366,3 +366,52 @@ def test_time_travel_version_and_timestamp(engine):
     # version outside retention -> error
     with pytest.raises(Exception):
         engine.execute("SELECT v FROM tt AT(VERSION => 99)", ctx)
+
+
+def test_clone_table_zero_copy_and_divergence(engine):
+    """CREATE TABLE ... CLONE is a zero-copy hard-link of the source
+    version dir; afterwards the tables diverge independently."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE src_c (id INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO src_c VALUES (1, 'a'), (2, 'b')", ctx)
+    engine.execute("CREATE TABLE dst_c CLONE src_c", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM dst_c", ctx)
+    assert _rows(res) == [(2,)]
+    # divergence both ways
+    engine.execute("INSERT INTO dst_c VALUES (3, 'c')", ctx)
+    engine.execute("DELETE FROM src_c WHERE id = 1", ctx)
+    assert _rows(engine.execute("SELECT count(*) AS n FROM dst_c", ctx)) == [(3,)]
+    assert _rows(engine.execute("SELECT count(*) AS n FROM src_c", ctx)) == [(1,)]
+    # clone of a historical version via AT
+    engine.execute("CREATE TABLE dst_v1 CLONE src_c AT(VERSION => 2)", ctx)
+    assert _rows(engine.execute("SELECT count(*) AS n FROM dst_v1", ctx)) == [(2,)]
+    # name collision without OR REPLACE errors; with it, replaces
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.execute("CREATE TABLE dst_c CLONE src_c", ctx)
+    engine.execute("CREATE OR REPLACE TABLE dst_c CLONE src_c", ctx)
+    assert _rows(engine.execute("SELECT count(*) AS n FROM dst_c", ctx)) == [(1,)]
+
+
+def test_undrop_table_restores_data(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE und (id INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO und VALUES (1, 'keep'), (2, 'keep2')", ctx)
+    engine.execute("DROP TABLE und", ctx)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.execute("SELECT * FROM und", ctx)
+    engine.execute("UNDROP TABLE und", ctx)
+    res = engine.execute("SELECT v FROM und ORDER BY id", ctx)
+    assert _rows(res) == [("keep",), ("keep2",)]
+    # further DML works after restore
+    engine.execute("INSERT INTO und VALUES (3, 'new')", ctx)
+    assert _rows(engine.execute("SELECT count(*) AS n FROM und", ctx)) == [(3,)]
+    # undrop with no dropped table of that name errors
+    with _pytest.raises(Exception):
+        engine.execute("UNDROP TABLE never_existed", ctx)
+    # drop + recreate same name, then UNDROP must fail (name taken)
+    engine.execute("DROP TABLE und", ctx)
+    engine.execute("CREATE TABLE und (id INTEGER)", ctx)
+    with _pytest.raises(Exception):
+        engine.execute("UNDROP TABLE und", ctx)
