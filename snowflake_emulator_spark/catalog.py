@@ -90,6 +90,28 @@ class TableMeta:
 
 
 @dataclass
+class StreamMeta:
+    """CDC stream over a versioned table (Snowflake CREATE STREAM;
+    beyond the reference). The stream's offset is a pinned version of
+    the source table; reading the stream diffs the table's current
+    contents against that version. The offset version is exempt from
+    GC and from in-place fast-append while the stream exists."""
+    database: str
+    schema: str
+    name: str
+    src: tuple[str, str, str]
+    src_uid: int
+    offset_version: int
+    append_only: bool = False
+    comment: str | None = None
+    created_on: float = field(default_factory=time.time)
+
+    @property
+    def physical(self) -> str:
+        return physical_name(self.database, self.schema, self.name) + "__stream"
+
+
+@dataclass
 class StageMeta:
     database: str
     schema: str
@@ -139,6 +161,7 @@ class Catalog:
         # dir renamed aside (O(1)); replaced when the same name is
         # dropped again (older graveyard dir is purged then)
         self.dropped_tables: dict[tuple[str, str, str], TableMeta] = {}
+        self.streams: dict[tuple[str, str, str], StreamMeta] = {}
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
         # default namespace exists from the start, like the reference's
@@ -435,7 +458,8 @@ class Catalog:
                                   for src, f in zip(df.schema.fields, target.fields)])
             key = (tm.database, tm.schema, tm.name)
             with self._lock:
-                pinned = tm.version in self._protected.get(key, set())
+                pinned = tm.version in (
+                    self._protected.get(key, set()) | self._stream_pins(key))
             if pinned:
                 src_dir = tm.version_path()
                 new_version = tm.version + 1
@@ -467,8 +491,10 @@ class Catalog:
             return
         # never GC a protected version: an open transaction's snapshot
         # must survive arbitrarily many writes so its ROLLBACK can
-        # restore it (see Engine transaction handling)
-        protected = self._protected.get((tm.database, tm.schema, tm.name), set())
+        # restore it (see Engine transaction handling); likewise a
+        # stream's offset version must stay readable for the diff
+        key = (tm.database, tm.schema, tm.name)
+        protected = self._protected.get(key, set()) | self._stream_pins(key)
         versions = sorted(
             (int(d[1:]) for d in os.listdir(tm.location) if re.fullmatch(r"v\d+", d)),
         )
@@ -513,6 +539,90 @@ class Catalog:
                 if tm is not None and tm.version != v and os.path.isdir(tm.version_path(v)):
                     tm.version = v
                     self.register_view(tm)
+
+    # ---------------- streams (CDC, beyond reference) ----------------
+
+    def create_stream(self, name: str, on_table: str, database: str | None = None,
+                      schema: str | None = None, append_only: bool = False,
+                      comment: str | None = None, if_not_exists: bool = False,
+                      or_replace: bool = False) -> StreamMeta:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key in self.streams:
+                if if_not_exists:
+                    return self.streams[key]
+                if not or_replace:
+                    raise errors.object_exists(".".join(key))
+            tm = self.get_table(on_table, database or key[0], schema or key[1])
+            sm = StreamMeta(*key, src=(tm.database, tm.schema, tm.name),
+                            src_uid=tm.uid, offset_version=tm.version,
+                            append_only=append_only, comment=comment)
+            self.streams[key] = sm
+            return sm
+
+    def get_stream(self, name: str, database: str | None = None,
+                   schema: str | None = None) -> StreamMeta:
+        key = self.resolve(name, database, schema)
+        sm = self.streams.get(key)
+        if sm is None:
+            raise errors.object_not_found(".".join(key))
+        return sm
+
+    def drop_stream(self, name: str, database: str | None = None,
+                    schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            sm = self.streams.pop(key, None)
+            if sm is None and not if_exists:
+                raise errors.object_not_found(".".join(key))
+            if sm is not None:
+                try:
+                    self.spark.catalog.dropTempView(sm.physical)
+                except Exception:
+                    pass
+
+    def advance_stream(self, sm: StreamMeta) -> None:
+        """Move the stream offset to the source table's current version
+        (called after a DML that consumed the stream commits)."""
+        with self._lock:
+            tm = self.tables.get(sm.src)
+            if tm is not None and tm.uid == sm.src_uid:
+                sm.offset_version = tm.version
+
+    def _stream_pins(self, key: tuple[str, str, str]) -> set[int]:
+        """Versions of table ``key`` pinned as stream offsets."""
+        return {sm.offset_version for sm in self.streams.values()
+                if sm.src == key}
+
+    def stream_changes_df(self, sm: StreamMeta) -> DataFrame:
+        """Row-level delta of the source table since the stream offset:
+        multiset diff (exceptAll both ways — one hash shuffle per side,
+        fully distributed) with Snowflake's METADATA$ columns. ISUPDATE
+        is always false: without engine row tracking an UPDATE surfaces
+        as a DELETE + INSERT pair, which is the documented semantics of
+        this implementation (and exactly what consumers of the
+        reference's change model must handle anyway)."""
+        from pyspark.sql import functions as F
+        tm = self.tables.get(sm.src)
+        if tm is None or tm.uid != sm.src_uid:
+            raise errors.execution_error(
+                f"stream {sm.name} is stale: source table {'.'.join(sm.src)} "
+                "was dropped or replaced")
+        cur = self.read_table(tm)
+        old = self.spark.read.schema(tm.spark_schema()).parquet(
+            tm.version_path(sm.offset_version))
+        data_cols = [c.name for c in tm.columns]
+        def with_meta(df: DataFrame, action: str) -> DataFrame:
+            row_id = F.md5(F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                          for c in data_cols]))
+            return (df.withColumn("METADATA$ACTION", F.lit(action))
+                      .withColumn("METADATA$ISUPDATE", F.lit(False))
+                      .withColumn("METADATA$ROW_ID", row_id))
+        inserts = with_meta(cur.exceptAll(old), "INSERT")
+        if sm.append_only:
+            return inserts
+        return inserts.unionByName(with_meta(old.exceptAll(cur), "DELETE"))
 
     # ---------------- stages / file formats ----------------
 

@@ -71,6 +71,16 @@ _CLONE_TABLE_RE = re.compile(
     re.I,
 )
 _UNDROP_TABLE_RE = re.compile(r"^\s*UNDROP\s+TABLE\s+([\w.\"$]+)\s*$", re.I)
+_CREATE_STREAM_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
+    r"ON\s+TABLE\s+([\w.\"$]+)\s*(?:APPEND_ONLY\s*=\s*(TRUE|FALSE))?\s*"
+    r"(?:COMMENT\s*=\s*'((?:[^']|'')*)')?\s*$",
+    re.I,
+)
+_DROP_STREAM_RE = re.compile(r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+# Snowflake stream metadata columns: Spark SQL needs them backticked
+# (unquoted identifiers cannot contain '$')
+_STREAM_META_RE = re.compile(r"(?<!`)\bMETADATA\$(ACTION|ISUPDATE|ROW_ID)\b", re.I)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", re.I)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
@@ -121,6 +131,9 @@ class Executor:
         # uid, version, data_epoch) at registration. Re-register only
         # when the table (or the binding) changed — not per statement.
         self._alias_cache: dict[str, tuple[int, int, int]] = {}
+        # stream views registered: view name -> (offset_version, src uid,
+        # src version, src data_epoch) at registration
+        self._stream_view_cache: dict[str, tuple[int, int, int, int]] = {}
 
     # ------------------------------------------------------------------
     # public entry
@@ -180,6 +193,9 @@ class Executor:
         ctx = ctx or SessionContext()
         sql = bindmod.apply_bindings(sql, bindings)
         translated = self.translator.translate(sql)
+        if "$" in translated:
+            translated = _STREAM_META_RE.sub(
+                lambda m: f"`METADATA${m.group(1).upper()}`", translated)
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
@@ -307,6 +323,7 @@ class Executor:
         rewrote names inside string literals)."""
         self.sync_namespace_views(ctx)
         tables = self.catalog.tables
+        streams = self.catalog.streams
         out: list[str] = []
         i, n = 0, len(sql)
         while i < n:
@@ -367,6 +384,19 @@ class Executor:
                     if key in tables:
                         out.append(tables[key].physical + sql[parts[1][1]:j])
                         rewrote = True
+                if not rewrote and streams:
+                    # qualified stream references rewrite onto the
+                    # registered stream-diff view (bare names resolve
+                    # via sync_namespace_views aliasing)
+                    skey = tail = None
+                    if len(ids) >= 3 and (ids[0], ids[1], ids[2]) in streams:
+                        skey, tail = (ids[0], ids[1], ids[2]), parts[2][1]
+                    elif len(ids) >= 2 and (ctx.database, ids[0], ids[1]) in streams:
+                        skey, tail = (ctx.database, ids[0], ids[1]), parts[1][1]
+                    if skey is not None:
+                        sm = streams[skey]
+                        out.append(self._register_stream_view(sm, sm.physical) + sql[tail:j])
+                        rewrote = True
                 if not rewrote:
                     out.append(sql[i:j])
                 i = j
@@ -391,6 +421,25 @@ class Executor:
                     self._alias_cache[tbl] = state
                 except Exception:
                     pass
+        for (db, sch, name), sm in list(self.catalog.streams.items()):
+            if db == ctx.database and sch == ctx.schema:
+                try:
+                    self._register_stream_view(sm, name)
+                except Exception:
+                    pass  # stale stream: query fails on reference instead
+
+    def _register_stream_view(self, sm, view_name: str) -> str:
+        """(Re-)register a temp view holding the stream's change diff;
+        cached on (offset, source identity/version) so an unchanged
+        stream costs zero Spark calls."""
+        tm = self.catalog.tables.get(sm.src)
+        if tm is None:
+            raise errors.execution_error(f"stream {sm.name} is stale")
+        state = (sm.offset_version, tm.uid, tm.version, tm.data_epoch)
+        if self._stream_view_cache.get(view_name) != state:
+            self.catalog.stream_changes_df(sm).createOrReplaceTempView(view_name)
+            self._stream_view_cache[view_name] = state
+        return view_name
 
     # ------------------------------------------------------------------
     # DDL
@@ -444,6 +493,31 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = _CREATE_STREAM_RE.match(sql)
+        if m:
+            self.catalog.create_stream(
+                m.group(3), m.group(4), ctx.database, ctx.schema,
+                append_only=bool(m.group(5)) and m.group(5).upper() == "TRUE",
+                comment=m.group(6), if_not_exists=bool(m.group(2)),
+                or_replace=bool(m.group(1)))
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Stream {m.group(3).upper()} successfully created.")
+        m = _DROP_STREAM_RE.match(sql)
+        if m:
+            sm = None
+            try:
+                sm = self.catalog.get_stream(m.group(2), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                pass
+            self.catalog.drop_stream(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            if sm is not None:
+                for view in (sm.name, sm.physical):
+                    self._stream_view_cache.pop(view, None)
+                    try:
+                        self.spark.catalog.dropTempView(view)
+                    except Exception:
+                        pass
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CTAS_RE.match(sql)
         if m and " AS " in up:
             df = self.query_df(m.group(4), ctx)
@@ -555,6 +629,8 @@ class Executor:
         src = self._align_insert_columns(tm, src, col_list)
         self.catalog.write_table(tm, src, mode="append")
         n = int(obs.get["n"])
+        if not body.upper().startswith("VALUES"):
+            self._advance_streams_referenced(body, ctx)
         self.sync_namespace_views(ctx)
         r = Result(columns=["number of rows inserted"], rows=[[n]])
         r.rows_inserted = n
@@ -579,6 +655,17 @@ class Executor:
             else:
                 out_cols.append(F.lit(None).cast(snowflake_to_spark(c.sf_type)).alias(c.name))
         return renamed.select(*out_cols)
+
+    def _advance_streams_referenced(self, text: str, ctx: SessionContext) -> None:
+        """Snowflake stream-consumption semantics (best-effort textual
+        detection): a DML whose source references a stream advances that
+        stream's offset when the statement commits."""
+        if not self.catalog.streams:
+            return
+        up = text.upper()
+        for (db, sch, name), sm in list(self.catalog.streams.items()):
+            if db == ctx.database and re.search(rf"\b{re.escape(name)}\b", up):
+                self.catalog.advance_stream(sm)
 
     def _update(self, m: re.Match, ctx: SessionContext) -> Result:
         from pyspark.sql import functions as F
@@ -772,6 +859,13 @@ class Executor:
                 if db == ctx.database and _match(tbl)
             ]
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
+        if "STREAMS" in up:
+            rows = [
+                [name, db, sch, ".".join(sm.src), "APPEND_ONLY" if sm.append_only else "DEFAULT", sm.comment]
+                for (db, sch, name), sm in sorted(self.catalog.streams.items())
+                if _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "table_name", "mode", "comment"], rows=rows)
         if "STAGES" in up:
             rows = [[stg, db, sch] for (db, sch, stg) in sorted(self.catalog.stages) if _match(stg)]
             return Result(columns=["name", "database_name", "schema_name"], rows=rows)

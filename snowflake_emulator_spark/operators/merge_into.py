@@ -172,8 +172,12 @@ class MergeProcessor:
         if stmt.source.startswith("("):
             source_df = self.executor.query_df(stmt.source[1:-1], ctx)
         else:
-            stm = self.catalog.get_table(stmt.source, ctx.database, ctx.schema)
-            source_df = self.catalog.read_table(stm)
+            try:
+                stm = self.catalog.get_table(stmt.source, ctx.database, ctx.schema)
+                source_df = self.catalog.read_table(stm)
+            except errors.SnowflakeError:
+                # not a table: a stream or other resolvable relation
+                source_df = self.executor.query_df(f"SELECT * FROM {stmt.source}", ctx)
 
         t, s = stmt.target_alias, stmt.source_alias
         tv, sv = "__merge_target_v", "__merge_source_v"
@@ -308,6 +312,7 @@ class MergeProcessor:
         n_upd = int(stats["upd"] or 0)
         n_del = int(stats["del"] or 0)
         n_ins = int(stats["ins"] or 0)
+        self.executor._advance_streams_referenced(stmt.source, ctx)
         self.executor.sync_namespace_views(ctx)
         r = Result(
             columns=["number of rows inserted", "number of rows updated", "number of rows deleted"],
