@@ -919,6 +919,40 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH candidates -> exact-Jaccard pairs ->
+    connected components (iterative min-label propagation). The cluster
+    id is the smallest doc id in the component — the doc a pipeline
+    would KEEP; every other member is a removal candidate."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5)
+    pairs = dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5, candidates=cands)
+    comps = dedup.connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _dedup_clusters_oracle() -> str:
+    pairs = _dedup_pipeline_oracle().replace("ORDER BY i.id_a, i.id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def _dedup_pipeline_oracle() -> str:
     minhash = _minhash_oracle().replace("ORDER BY id_a, id_b", "")
     return f"""
@@ -1285,6 +1319,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash_pairs": (_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
+    "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),

@@ -220,6 +220,71 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph —
+    the canonical FINAL step of dedup at scale: LSH emits pairs, but the
+    unit of removal is the transitive cluster (keep one doc per
+    component, drop the rest).
+
+    Iterative min-label propagation: label(v) <- min(label(v), labels
+    of v's neighbors), repeated to fixpoint. Each round is one shuffle
+    join + one groupBy, both partitioned on node id; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a few
+    rounds in practice), bounded by ``max_iterations``. Edges and each
+    round's labels are persisted and the previous round unpersisted, so
+    lineage/plan size stays CONSTANT per round — without this the
+    convergence check would re-run the whole upstream LSH pipeline
+    every round. The returned frame is local-checkpointed so all
+    intermediate caches are released (no cache leak in a long-lived
+    server).
+
+    Returns (node, component): every node that appears in ``pairs``,
+    with component = smallest node id reachable from it.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(F.col("src").alias("node"), F.least("src", "__mn").alias("comp"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["src"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["comp"], F.coalesce(prop["__nbr"], labels["comp"])).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("__old")), "node")
+            .filter(F.col("comp") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return final
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle: int = 5, threshold: float = 0.6,
                         candidates: DataFrame | None = None) -> DataFrame:

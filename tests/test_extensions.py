@@ -218,3 +218,22 @@ def test_cosine_near_pairs_multi_chunk_exact(spark):
     sel = (sims[iu] >= thr) & (bucket[iu[0]] == bucket[iu[1]])
     expect = {(int(a), int(b)) for a, b in zip(iu[0][sel], iu[1][sel])}
     assert len(expect) > 50 and got == expect
+
+
+def test_connected_components_synthetic(spark):
+    """Min-label propagation finds transitive clusters: a 4-chain (whose
+    endpoints never share an LSH bucket) collapses to one component."""
+    from snowflake_emulator_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {(r["node"], r["comp"])
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+    # all INTERMEDIATE caches released (long-lived-server hygiene);
+    # the single surviving entry is the returned frame's own
+    # localCheckpoint, freed by the ContextCleaner when callers drop it
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
