@@ -229,11 +229,12 @@ def test_connected_components_synthetic(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
         ["id_a", "id_b"],
     )
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     got = {(r["node"], r["comp"])
            for r in dedup.connected_components(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (20, 20), (21, 20)}
     # all INTERMEDIATE caches released (long-lived-server hygiene);
-    # the single surviving entry is the returned frame's own
+    # the single new surviving entry is the returned frame's own
     # localCheckpoint, freed by the ContextCleaner when callers drop it
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before + 1
