@@ -112,6 +112,28 @@ class StreamMeta:
 
 
 @dataclass
+class ViewMeta:
+    """Named view: a stored SELECT, re-planned lazily against the
+    CURRENT table versions whenever referenced (Snowflake CREATE VIEW;
+    the reference declares a VIEW table type in its metadata model,
+    pkg/metadata/repository.go:46, but never implements the DDL — this
+    is a beyond-reference upgrade). The definition binds to the view's
+    own database/schema, like Snowflake."""
+    database: str
+    schema: str
+    name: str
+    sql_text: str
+    column_names: list[str] | None = None
+    comment: str | None = None
+    created_on: float = field(default_factory=time.time)
+    uid: int = field(default_factory=itertools.count().__next__)
+
+    @property
+    def physical(self) -> str:
+        return physical_name(self.database, self.schema, self.name) + "__view"
+
+
+@dataclass
 class StageMeta:
     database: str
     schema: str
@@ -162,6 +184,11 @@ class Catalog:
         # dropped again (older graveyard dir is purged then)
         self.dropped_tables: dict[tuple[str, str, str], TableMeta] = {}
         self.streams: dict[tuple[str, str, str], StreamMeta] = {}
+        self.views: dict[tuple[str, str, str], ViewMeta] = {}
+        # monotonic catalog-state counter, bumped on any table-data or
+        # view-definition change; view temp-view registrations cache on
+        # it so an unchanged catalog costs zero Spark calls per query
+        self.mutation: int = 0
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
         # default namespace exists from the start, like the reference's
@@ -262,6 +289,11 @@ class Catalog:
                     return self.tables[(db, sch, tbl)]
                 else:
                     raise errors.object_exists(f"{db}.{sch}.{tbl}")
+            if (db, sch, tbl) in self.views:
+                if not or_replace:
+                    raise errors.object_exists(f"{db}.{sch}.{tbl} (a view with that name exists)")
+                self.views.pop((db, sch, tbl))
+                self.mutation += 1
             tm = TableMeta(db, sch, tbl, columns=columns, comment=comment,
                            clustering_key=clustering_key,
                            location=os.path.join(self.base_dir, db, sch, tbl))
@@ -293,6 +325,7 @@ class Catalog:
 
     def _drop_table_key(self, key: tuple[str, str, str]) -> None:
         tm = self.tables.pop(key)
+        self.mutation += 1
         self.spark.catalog.dropTempView(tm.physical)
         if not tm.location or not os.path.exists(tm.location) or tm.kind == "EXTERNAL":
             return
@@ -480,6 +513,7 @@ class Catalog:
             self._gc_versions(tm)
 
     def register_view(self, tm: TableMeta) -> None:
+        self.mutation += 1  # every data change routes through here
         self.read_table(tm).createOrReplaceTempView(tm.physical)
 
     def register_all_views(self) -> None:
@@ -623,6 +657,49 @@ class Catalog:
         if sm.append_only:
             return inserts
         return inserts.unionByName(with_meta(old.exceptAll(cur), "DELETE"))
+
+    # ---------------- views (beyond reference) ----------------
+
+    def create_view(self, name: str, sql_text: str, database: str | None = None,
+                    schema: str | None = None, column_names: list[str] | None = None,
+                    comment: str | None = None, if_not_exists: bool = False,
+                    or_replace: bool = False) -> ViewMeta:
+        with self._lock:
+            db, sch, v = self.resolve(name, database, schema)
+            if (db, sch) not in self.schemas:
+                raise errors.object_not_found(f"{db}.{sch}")
+            key = (db, sch, v)
+            if key in self.tables:
+                raise errors.object_exists(f"{db}.{sch}.{v} (a table with that name exists)")
+            if key in self.views:
+                if if_not_exists:
+                    return self.views[key]
+                if not or_replace:
+                    raise errors.object_exists(f"{db}.{sch}.{v}")
+            vm = ViewMeta(db, sch, v, sql_text=sql_text, column_names=column_names,
+                          comment=comment)
+            self.views[key] = vm
+            self.mutation += 1
+            return vm
+
+    def get_view(self, name: str, database: str | None = None,
+                 schema: str | None = None) -> ViewMeta:
+        key = self.resolve(name, database, schema)
+        vm = self.views.get(key)
+        if vm is None:
+            raise errors.object_not_found(".".join(key))
+        return vm
+
+    def drop_view(self, name: str, database: str | None = None,
+                  schema: str | None = None, if_exists: bool = False) -> ViewMeta | None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            vm = self.views.pop(key, None)
+            if vm is None and not if_exists:
+                raise errors.object_not_found(".".join(key))
+            if vm is not None:
+                self.mutation += 1
+            return vm
 
     # ---------------- stages / file formats ----------------
 

@@ -71,6 +71,13 @@ _CLONE_TABLE_RE = re.compile(
     re.I,
 )
 _UNDROP_TABLE_RE = re.compile(r"^\s*UNDROP\s+TABLE\s+([\w.\"$]+)\s*$", re.I)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:SECURE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s*"
+    r"(?:\(([^)]*)\)\s*)?(?:COMMENT\s*=\s*'([^']*)'\s*)?AS\s+(SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
+_DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*;?\s*$", re.I)
 _CREATE_STREAM_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
     r"ON\s+TABLE\s+([\w.\"$]+)\s*(?:APPEND_ONLY\s*=\s*(TRUE|FALSE))?\s*"
@@ -134,6 +141,12 @@ class Executor:
         # stream views registered: view name -> (offset_version, src uid,
         # src version, src data_epoch) at registration
         self._stream_view_cache: dict[str, tuple[int, int, int, int]] = {}
+        # named-view registrations: temp-view name -> (ViewMeta uid,
+        # catalog.mutation) at registration — re-planned only when the
+        # catalog changed since
+        self._view_cache: dict[str, tuple[int, int]] = {}
+        # views currently being planned on this engine (cycle guard)
+        self._views_in_progress: set[tuple[str, str, str]] = set()
 
     # ------------------------------------------------------------------
     # public entry
@@ -324,6 +337,7 @@ class Executor:
         self.sync_namespace_views(ctx)
         tables = self.catalog.tables
         streams = self.catalog.streams
+        views = self.catalog.views
         out: list[str] = []
         i, n = 0, len(sql)
         while i < n:
@@ -397,6 +411,19 @@ class Executor:
                         sm = streams[skey]
                         out.append(self._register_stream_view(sm, sm.physical) + sql[tail:j])
                         rewrote = True
+                if not rewrote and views:
+                    # qualified view references rewrite onto the lazily
+                    # (re-)planned view temp view; bare names resolve via
+                    # sync_namespace_views aliasing
+                    vkey = vtail = None
+                    if len(ids) >= 3 and (ids[0], ids[1], ids[2]) in views:
+                        vkey, vtail = (ids[0], ids[1], ids[2]), parts[2][1]
+                    elif len(ids) >= 2 and (ctx.database, ids[0], ids[1]) in views:
+                        vkey, vtail = (ctx.database, ids[0], ids[1]), parts[1][1]
+                    if vkey is not None:
+                        vm = views[vkey]
+                        out.append(self._register_named_view(vm, vm.physical) + sql[vtail:j])
+                        rewrote = True
                 if not rewrote:
                     out.append(sql[i:j])
                 i = j
@@ -427,6 +454,41 @@ class Executor:
                     self._register_stream_view(sm, name)
                 except Exception:
                     pass  # stale stream: query fails on reference instead
+        for (db, sch, name), vm in list(self.catalog.views.items()):
+            if db == ctx.database and sch == ctx.schema and (db, sch, name) not in self._views_in_progress:
+                try:
+                    self._register_named_view(vm, name)
+                except Exception:
+                    pass  # invalid view (e.g. dropped base table): the
+                    #       query fails at reference with not-found instead
+
+    def _view_df(self, vm) -> DataFrame:
+        """Plan a view's stored SELECT against current table versions.
+        The definition binds to the view's own namespace (Snowflake
+        semantics); cyclic view references raise instead of recursing."""
+        key = (vm.database, vm.schema, vm.name)
+        if key in self._views_in_progress:
+            raise errors.execution_error(f"cyclic view reference involving {vm.name}")
+        self._views_in_progress.add(key)
+        try:
+            df = self.query_df(vm.sql_text, SessionContext(vm.database, vm.schema))
+            if vm.column_names:
+                df = df.toDF(*vm.column_names)
+            return df
+        finally:
+            self._views_in_progress.discard(key)
+
+    def _register_named_view(self, vm, view_name: str) -> str:
+        """(Re-)register a temp view for a named view; cached on
+        (view uid, catalog mutation counter) so repeated statements
+        against an unchanged catalog make zero Spark calls."""
+        state = (vm.uid, self.catalog.mutation)
+        if self._view_cache.get(view_name) != state:
+            self._view_df(vm).createOrReplaceTempView(view_name)
+            # record AFTER planning succeeds, using the pre-registration
+            # mutation value (registration itself does not mutate data)
+            self._view_cache[view_name] = state
+        return view_name
 
     def _register_stream_view(self, sm, view_name: str) -> str:
         """(Re-)register a temp view holding the stream's change diff;
@@ -493,6 +555,35 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = _CREATE_VIEW_RE.match(sql)
+        if m:
+            cols = [c.strip().strip('"').upper() for c in m.group(4).split(",")] if m.group(4) else None
+            vm = self.catalog.create_view(
+                m.group(3), m.group(6).strip(), ctx.database, ctx.schema,
+                column_names=cols, comment=m.group(5),
+                if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            try:
+                # validate the definition now (Snowflake compiles the view
+                # at creation); also warms the temp-view registration
+                self._register_named_view(vm, vm.physical)
+            except Exception as e:
+                self.catalog.drop_view(vm.name, vm.database, vm.schema, if_exists=True)
+                if isinstance(e, errors.SnowflakeError):
+                    raise
+                raise errors.execution_error(f"invalid view definition: {e}") from e
+            return Result.status(f"View {vm.name} successfully created.")
+        m = _DROP_VIEW_RE.match(sql)
+        if m:
+            vm = self.catalog.drop_view(m.group(2), ctx.database, ctx.schema,
+                                        if_exists=bool(m.group(1)))
+            if vm is not None:
+                for view in (vm.name, vm.physical):
+                    self._view_cache.pop(view, None)
+                    try:
+                        self.spark.catalog.dropTempView(view)
+                    except Exception:
+                        pass
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CREATE_STREAM_RE.match(sql)
         if m:
             self.catalog.create_stream(
@@ -852,6 +943,13 @@ class Executor:
         if "SCHEMAS" in up:
             rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
             return Result(columns=["name", "database_name"], rows=rows)
+        if "VIEWS" in up:
+            rows = [
+                [name, db, sch, vm.sql_text[:200], vm.comment]
+                for (db, sch, name), vm in sorted(self.catalog.views.items())
+                if db == ctx.database and _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
         if "TABLES" in up:
             rows = [
                 [tbl, db, sch, tm.kind, tm.comment]
