@@ -69,7 +69,7 @@ class Engine:
     # ------------------------------------------------------------------
 
     def execute(self, sql: str, ctx: SessionContext | None = None,
-                bindings: dict | None = None) -> Result:
+                bindings: dict | None = None, query_id: str | None = None) -> Result:
         ctx = ctx or SessionContext()
         s = sql.strip().rstrip(";").strip()
         up = s.upper()
@@ -143,10 +143,10 @@ class Engine:
         if tx is not None:
             self.catalog.begin_dirty_capture(tx[1])
             try:
-                return self.executor.execute(s, ctx, bindings)
+                return self.executor.execute(s, ctx, bindings, query_id=query_id)
             finally:
                 self.catalog.end_dirty_capture()
-        return self.executor.execute(s, ctx, bindings)
+        return self.executor.execute(s, ctx, bindings, query_id=query_id)
 
     @staticmethod
     def _tx_owner(ctx: SessionContext) -> int:

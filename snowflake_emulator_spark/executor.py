@@ -20,6 +20,8 @@ import os
 import re
 import threading
 import time
+import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,8 +42,22 @@ class SessionContext:
 
         self.database = database or config.DEFAULT_DATABASE
         self.schema = schema or config.DEFAULT_SCHEMA
+        # most recent query id this session (LAST_QUERY_ID())
+        self.last_query_id: str | None = None
         self.parameters: dict[str, str] = dict(config.DEFAULT_SESSION_PARAMETERS)
 
+
+def new_query_id() -> str:
+    """Snowflake-shaped query id (same format the server hands to
+    gosnowflake clients, so RESULT_SCAN works on protocol-visible ids)."""
+    return "01" + format(int(time.time() * 1000), "x") + "-" + uuid.uuid4().hex[:12]
+
+
+def _result_scan_view_name(qid: str) -> str:
+    return "__result_scan_" + re.sub(r"\W", "_", qid.lower())
+
+
+_LAST_QID_RE = re.compile(r"\bLAST_QUERY_ID\s*\(\s*\)", re.I)
 
 _CREATE_DB_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"$]+)"
@@ -147,21 +163,34 @@ class Executor:
         self._view_cache: dict[str, tuple[int, int]] = {}
         # views currently being planned on this engine (cycle guard)
         self._views_in_progress: set[tuple[str, str, str]] = set()
+        # RESULT_SCAN store: query id -> Result, newest-last, capped.
+        # Snowflake's result cache is a remote store; here the rows are
+        # already materialized driver-side at the protocol boundary, so
+        # retaining the last N Result objects costs no extra compute.
+        self._result_store: "OrderedDict[str, Result]" = OrderedDict()
+        self._result_store_cap = 100
+        # temp views registered for RESULT_SCAN (dropped on eviction)
+        self._result_views: set[str] = set()
 
     # ------------------------------------------------------------------
     # public entry
     # ------------------------------------------------------------------
 
     def execute(self, sql: str, ctx: SessionContext | None = None,
-                bindings: dict | None = None) -> Result:
+                bindings: dict | None = None, query_id: str | None = None) -> Result:
         ctx = ctx or SessionContext()
         started = time.time()
-        entry = {"sql": sql, "status": "RUNNING", "start": started, "rows": 0, "error": None}
+        qid = query_id or new_query_id()
+        entry = {"sql": sql, "status": "RUNNING", "start": started, "rows": 0,
+                 "error": None, "query_id": qid}
         self.history.append(entry)
         try:
             res = self._dispatch(sql, ctx, bindings)
             entry["status"] = "SUCCESS"
             entry["rows"] = res.row_count or res.rows_inserted + res.rows_updated + res.rows_deleted
+            res.query_id = qid
+            ctx.last_query_id = qid
+            self._store_result(qid, res)
             return res
         except errors.SnowflakeError as e:
             entry["status"] = "FAILED"
@@ -174,6 +203,56 @@ class Executor:
         finally:
             entry["ms"] = int((time.time() - started) * 1000)
             self._persist_history(entry)
+
+    # ------------------------------------------------------------------
+    # RESULT_SCAN (beyond reference: Snowflake result re-serve)
+    # ------------------------------------------------------------------
+
+    def _store_result(self, qid: str, res: Result) -> None:
+        if not res.columns:
+            return
+        self._result_store[qid] = res
+        while len(self._result_store) > self._result_store_cap:
+            old_qid, _ = self._result_store.popitem(last=False)
+            view = _result_scan_view_name(old_qid)
+            if view in self._result_views:
+                self._result_views.discard(view)
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+
+    def _result_scan_view(self, qid: str) -> str:
+        res = self._result_store.get(qid)
+        if res is None:
+            raise errors.execution_error(
+                f"Result for query id {qid or '<none>'} not found or expired")
+        view = _result_scan_view_name(qid)
+        if view not in self._result_views:
+            if res.spark_schema is not None:
+                df = self.spark.createDataFrame(res.rows, res.spark_schema)
+            else:  # status/DML results: string rows, like the protocol shape
+                from pyspark.sql import types as T
+
+                schema = T.StructType([T.StructField(c, T.StringType()) for c in res.columns])
+                df = self.spark.createDataFrame(
+                    [[None if v is None else str(v) for v in r] for r in res.rows], schema)
+            df.createOrReplaceTempView(view)
+            self._result_views.add(view)
+        return view
+
+    def _rewrite_result_scan(self, sql: str, ctx: SessionContext) -> str:
+        up = sql.upper()
+        if "RESULT_SCAN" not in up and "LAST_QUERY_ID" not in up:
+            return sql
+        sql = _LAST_QID_RE.sub(f"'{ctx.last_query_id or ''}'", sql)
+
+        def repl(m: re.Match) -> str:
+            return self._result_scan_view(m.group(1))
+
+        sql = re.sub(r"\bTABLE\s*\(\s*RESULT_SCAN\s*\(\s*'([^']*)'\s*\)\s*\)",
+                     repl, sql, flags=re.I)
+        return re.sub(r"\bRESULT_SCAN\s*\(\s*'([^']*)'\s*\)", repl, sql, flags=re.I)
 
     # ------------------------------------------------------------------
     # query-history persistence
@@ -205,6 +284,7 @@ class Executor:
         """Translate + resolve a SELECT and return the (lazy) DataFrame."""
         ctx = ctx or SessionContext()
         sql = bindmod.apply_bindings(sql, bindings)
+        sql = self._rewrite_result_scan(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
             translated = _STREAM_META_RE.sub(

@@ -37,6 +37,11 @@ class Result:
     files_loaded: int = 0
     errors: list[str] = field(default_factory=list)
     message: str = ""
+    # set by the executor; lets RESULT_SCAN(<id>) re-serve this result
+    query_id: str = ""
+    # original Spark schema when the result came from a DataFrame, so
+    # RESULT_SCAN reproduces types exactly (None for status results)
+    spark_schema: object | None = None
 
     @classmethod
     def from_dataframe(cls, df: DataFrame) -> "Result":
@@ -44,7 +49,8 @@ class Result:
         cols = [f.name for f in df.schema.fields]
         ctypes = [ColumnMetadata(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
                   for f in df.schema.fields]
-        return cls(columns=cols, column_types=ctypes, rows=[list(r) for r in collected])
+        return cls(columns=cols, column_types=ctypes, rows=[list(r) for r in collected],
+                   spark_schema=df.schema)
 
     @classmethod
     def status(cls, message: str, **counters) -> "Result":

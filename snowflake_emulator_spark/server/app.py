@@ -223,7 +223,7 @@ class SnowflakeServer:
                     self._running[req_id] = group
             self.engine.spark.sparkContext.setJobGroup(group, sql[:100], True)
             try:
-                res = self.engine.execute(sql, ctx, bindings)
+                res = self.engine.execute(sql, ctx, bindings, query_id=qid)
             finally:
                 self.engine.spark.sparkContext.setJobGroup("", "")
                 with self._running_lock:
@@ -264,7 +264,8 @@ class SnowflakeServer:
             db = body.get("database")
             schema = body.get("schema")
             ctx = SessionContext(db, schema)
-            self.statements.run(st, lambda: self.engine.execute(sql, ctx, bindings))
+            self.statements.run(st, lambda: self.engine.execute(sql, ctx, bindings,
+                                                                query_id=st.handle))
             return self._statement_payload(st)
         m = re.match(r"^/api/v2/statements/([\w-]+)$", path)
         if m and method == "GET":

@@ -1,0 +1,76 @@
+"""RESULT_SCAN / LAST_QUERY_ID (beyond reference: Snowflake result
+re-serve over the executor's capped in-memory result store)."""
+
+import pytest
+
+from snowflake_emulator_spark import errors
+from snowflake_emulator_spark.executor import SessionContext
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_result_scan_last_query_id(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rs_t (id INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO rs_t VALUES (1,'a'),(2,'b'),(3,'c')", ctx)
+    engine.execute("SELECT id, upper(v) AS uv FROM rs_t WHERE id >= 2 ORDER BY id", ctx)
+    res = engine.execute(
+        "SELECT uv, id FROM TABLE(RESULT_SCAN(LAST_QUERY_ID())) ORDER BY id DESC", ctx)
+    assert _rows(res) == [("C", 3), ("B", 2)]
+
+
+def test_result_scan_by_explicit_id_and_reaggregation(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rs_u (id INTEGER, grp VARCHAR, x INTEGER)", ctx)
+    engine.execute("INSERT INTO rs_u VALUES (1,'a',10),(2,'a',20),(3,'b',30)", ctx)
+    first = engine.execute("SELECT grp, x FROM rs_u", ctx)
+    assert first.query_id
+    res = engine.execute(
+        f"SELECT grp, sum(x) AS total FROM TABLE(RESULT_SCAN('{first.query_id}')) "
+        "GROUP BY grp ORDER BY grp", ctx)
+    assert _rows(res) == [("a", 30), ("b", 60 // 2)]
+
+
+def test_result_scan_snapshot_is_stable_across_table_changes(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rs_s (id INTEGER)", ctx)
+    engine.execute("INSERT INTO rs_s VALUES (1),(2)", ctx)
+    snap = engine.execute("SELECT id FROM rs_s", ctx)
+    engine.execute("INSERT INTO rs_s VALUES (3)", ctx)
+    res = engine.execute(
+        f"SELECT count(*) AS n FROM TABLE(RESULT_SCAN('{snap.query_id}'))", ctx)
+    assert _rows(res) == [(2,)]  # the stored result, not the live table
+
+
+def test_result_scan_unknown_id_errors(engine):
+    ctx = SessionContext()
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("SELECT * FROM TABLE(RESULT_SCAN('01bogus-nope'))", ctx)
+
+
+def test_result_scan_of_ddl_status(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rs_d (id INTEGER)", ctx)
+    res = engine.execute("SELECT * FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))", ctx)
+    assert res.columns == ["status"]
+    assert "successfully created" in res.rows[0][0]
+
+
+def test_result_store_eviction(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rs_e (id INTEGER)", ctx)
+    engine.execute("INSERT INTO rs_e VALUES (1)", ctx)
+    first = engine.execute("SELECT id FROM rs_e", ctx)
+    ex = engine.executor
+    cap = ex._result_store_cap
+    ex._result_store_cap = 5
+    try:
+        for _ in range(8):
+            engine.execute("SELECT id FROM rs_e", ctx)
+        assert len(ex._result_store) <= 5
+        with pytest.raises(errors.SnowflakeError):
+            engine.execute(f"SELECT * FROM TABLE(RESULT_SCAN('{first.query_id}'))", ctx)
+    finally:
+        ex._result_store_cap = cap
