@@ -639,6 +639,39 @@ FROM (SELECT unnest(str_split(p_name, ' ')) AS word FROM part)
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
+# GENERATOR date spine (translator maps TABLE(GENERATOR(ROWCOUNT => n))
+# onto Spark's native range() table function — a parallel partitioned
+# source, no driver-side rows): canonical gaps-included daily rollup.
+_SF_GENERATOR = """
+SELECT spine.d AS d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT DATEADD(day, SEQ4(), '1995-01-01'::DATE)::DATE AS d
+      FROM TABLE(GENERATOR(ROWCOUNT => 90))) spine
+LEFT JOIN orders ON o_orderdate = spine.d
+GROUP BY spine.d
+"""
+_SF_GENERATOR_ORACLE = """
+SELECT spine.d AS d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT CAST(DATE '1995-01-01' + range::INT AS DATE) AS d FROM range(90)) spine
+LEFT JOIN orders ON o_orderdate = spine.d
+GROUP BY spine.d
+"""
+
+# LATERAL SPLIT_TO_TABLE -> Spark lateral posexplode(split(...)):
+# 1-based INDEX parity with DuckDB generate_subscripts ordinality.
+_SF_SPLIT_TT = """
+SELECT s.value AS word, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(s.index) AS BIGINT) AS first_pos
+FROM part, LATERAL SPLIT_TO_TABLE(p_name, ' ') s
+GROUP BY s.value ORDER BY n DESC, word LIMIT 20
+"""
+_SF_SPLIT_TT_ORACLE = """
+SELECT value AS word, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(idx) AS BIGINT) AS first_pos
+FROM (SELECT generate_subscripts(l, 1) AS idx, unnest(l) AS value
+      FROM (SELECT str_split(p_name, ' ') AS l FROM part))
+GROUP BY value ORDER BY n DESC, word LIMIT 20
+"""
+
 # MERGE-equivalent declarative upsert (semantics check for §2.10)
 _MERGE_SIM_SPARK = """
 WITH src AS (
@@ -1305,6 +1338,8 @@ REGISTRY: dict[str, tuple] = {
     "sf_array_funcs": (_snow(_SF_ARRAY), _SF_ARRAY_ORACLE),
     "pivot_segment_balances": (_sql(_PIVOT_SPARK), _PIVOT_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
+    "sf_generator_date_spine": (_snow(_SF_GENERATOR), _SF_GENERATOR_ORACLE),
+    "sf_split_to_table": (_snow(_SF_SPLIT_TT), _SF_SPLIT_TT_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
     # text analysis extensions

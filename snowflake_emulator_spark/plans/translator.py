@@ -132,7 +132,67 @@ class Translator:
         s = self._rewrite_top(s)
         s = self._rewrite_qualify(s)
         s = self._rewrite_sample(s)
+        s = self._rewrite_generator(s)
+        s = self._rewrite_split_to_table(s)
         return self.translate_expr(s)
+
+    # -- LATERAL SPLIT_TO_TABLE(x, d) -> lateral posexplode(split(...)) ----
+    # Snowflake's SPLIT_TO_TABLE yields (SEQ, INDEX, VALUE); the rewrite
+    # exposes 1-based INDEX and VALUE via Spark's lateral correlated
+    # subquery over posexplode — fully JVM-side, parallel per input row.
+    _KEYWORDS_AFTER_ALIAS = {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "QUALIFY", "HAVING",
+        "LEFT", "RIGHT", "INNER", "CROSS", "FULL", "UNION", "INTERSECT", "EXCEPT",
+    }
+
+    def _rewrite_split_to_table(self, s: str) -> str:
+        if "SPLIT_TO_TABLE" not in s.upper():
+            return s
+        out: list[str] = []
+        i = 0
+        while True:
+            m = re.search(r",\s*(LATERAL\s+|TABLE\s*\(\s*)SPLIT_TO_TABLE\s*\(", s[i:], re.I)
+            if not m:
+                out.append(s[i:])
+                break
+            out.append(s[i:i + m.start()])
+            table_form = m.group(1).strip().upper().startswith("TABLE")
+            open_idx = i + m.end() - 1
+            close_idx = self._match_paren(s, open_idx)
+            args = self._split_args(s[open_idx + 1:close_idx])
+            j = close_idx + 1
+            if table_form:  # consume the TABLE( wrapper's closing paren
+                while j < len(s) and s[j].isspace():
+                    j += 1
+                if j < len(s) and s[j] == ")":
+                    j += 1
+            alias = "__split"
+            am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", s[j:], re.I)
+            if am and am.group(1).upper() not in self._KEYWORDS_AFTER_ALIAS:
+                alias = am.group(1)
+                j += am.end()
+            delim = _regex_literal(args[1]) if len(args) > 1 else "' '"
+            out.append(
+                f" JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
+                f" FROM (SELECT posexplode(split({args[0]}, {delim})))) {alias}")
+            i = j
+        return "".join(out)
+
+    # -- TABLE(GENERATOR(ROWCOUNT => n)) -> range(n) ----------------------
+    # Snowflake's row generator maps onto Spark's native range() table
+    # function — a parallel, partitioned source (each executor emits its
+    # slice; no driver-side row list), so a 10^9-row series scales.
+    _GENERATOR_RE = re.compile(
+        r"\bTABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)\s*\)\s*\)", re.I)
+
+    def _rewrite_generator(self, s: str) -> str:
+        if "GENERATOR" not in s.upper():
+            return s
+        out = self._GENERATOR_RE.sub(lambda m: f"range({m.group(1)})", s)
+        if out != s:
+            # SEQ4()/SEQ8() are the generator's row sequence -> range's id
+            out = re.sub(r"\bSEQ[48]\s*\(\s*\)", "id", out, flags=re.I)
+        return out
 
     # -- SAMPLE (n) -> TABLESAMPLE (n PERCENT) ----------------------------
 
@@ -703,6 +763,21 @@ _REWRITABLE = {
     "ARRAY_TO_STRING",
     "ARRAY_SLICE",
 }
+
+def _regex_literal(arg: str) -> str:
+    """Snowflake SPLIT_TO_TABLE delimiters are literal strings but
+    Spark's split() takes a Java regex: when the delimiter is a plain
+    string literal, escape regex metacharacters (character-class
+    wrapping, which survives SQL string parsing unambiguously —
+    backslash escapes would be re-interpreted by Spark's lexer).
+    Non-literal expressions pass through unchanged."""
+    m = re.match(r"^\s*'([^']*)'\s*$", arg)
+    if not m:
+        return arg
+    escaped = "".join(
+        f"[{c}]" if c in ".|*+?^$(){}" else c for c in m.group(1))
+    return f"'{escaped}'"
+
 
 _DEFAULT = Translator()
 

@@ -274,3 +274,49 @@ def test_round2_function_surface(sql, expected):
 )
 def test_array_function_surface(sql, expected):
     assert translate(sql) == expected
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        (
+            "SELECT SEQ4() AS n FROM TABLE(GENERATOR(ROWCOUNT => 100))",
+            "SELECT id AS n FROM range(100)",
+        ),
+        (
+            "SELECT SEQ8() FROM TABLE(GENERATOR(ROWCOUNT => 5)) WHERE SEQ8() > 2",
+            "SELECT id FROM range(5) WHERE id > 2",
+        ),
+        # SEQ4 untouched when no generator is present (window fallback
+        # would be a different feature; leave the name for Spark to reject)
+        ("SELECT SEQ4() FROM t", "SELECT SEQ4() FROM t"),
+    ],
+)
+def test_generator_rewrite(sql, expected):
+    assert translate(sql) == expected
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        (
+            "SELECT s.value FROM t, LATERAL SPLIT_TO_TABLE(t.txt, ' ') s",
+            "SELECT s.value FROM t JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
+            " FROM (SELECT posexplode(split(t.txt, ' ')))) s",
+        ),
+        # TABLE() wrapper form + regex metachar delimiter escaped
+        (
+            "SELECT s.value FROM t, TABLE(SPLIT_TO_TABLE(txt, '|')) AS s",
+            "SELECT s.value FROM t JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
+            " FROM (SELECT posexplode(split(txt, '[|]')))) s",
+        ),
+        # no alias -> default, keyword after is not swallowed
+        (
+            "SELECT value FROM t, LATERAL SPLIT_TO_TABLE(txt, '.') WHERE value <> ''",
+            "SELECT value FROM t JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
+            " FROM (SELECT posexplode(split(txt, '[.]')))) __split WHERE value <> ''",
+        ),
+    ],
+)
+def test_split_to_table_rewrite(sql, expected):
+    assert translate(sql) == expected
