@@ -643,17 +643,21 @@ GROUP BY word ORDER BY n DESC, word LIMIT 20
 # onto Spark's native range() table function — a parallel partitioned
 # source, no driver-side rows): canonical gaps-included daily rollup.
 _SF_GENERATOR = """
-SELECT spine.d AS d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+SELECT spine.d AS d, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
 FROM (SELECT DATEADD(day, SEQ4(), '1995-01-01'::DATE)::DATE AS d
       FROM TABLE(GENERATOR(ROWCOUNT => 90))) spine
-LEFT JOIN orders ON o_orderdate = spine.d
-GROUP BY spine.d
+LEFT JOIN (SELECT o_orderdate, count(*) AS n FROM orders GROUP BY o_orderdate) o
+       ON o.o_orderdate = spine.d
 """
+# scale note: orders is pre-aggregated to one row per date BEFORE the
+# join (map-side partial agg; a LEFT JOIN cannot broadcast its right
+# side, so joining raw orders to the spine would sort-merge 100 TB —
+# the per-date rollup is tiny and broadcastable instead)
 _SF_GENERATOR_ORACLE = """
-SELECT spine.d AS d, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+SELECT spine.d AS d, CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
 FROM (SELECT CAST(DATE '1995-01-01' + range::INT AS DATE) AS d FROM range(90)) spine
-LEFT JOIN orders ON o_orderdate = spine.d
-GROUP BY spine.d
+LEFT JOIN (SELECT o_orderdate, count(*) AS n FROM orders GROUP BY o_orderdate) o
+       ON o.o_orderdate = spine.d
 """
 
 # LATERAL SPLIT_TO_TABLE -> Spark lateral posexplode(split(...)):
