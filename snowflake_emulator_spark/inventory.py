@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, similarity, textstats
+from .operators import chunking, dedup, similarity, textstats
 from .plans.translator import translate
 
 TABLES = [
@@ -812,6 +812,111 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp
 """
 
 
+def _text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministic PII-bearing text (the synthetic
+    corpus has no natural PII, so emails/phones/URLs are composed from
+    doc_id — exercising the redaction path end-to-end with a DuckDB
+    oracle on identical inputs)."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    seeded = d.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or https://ex.org/d/"), F.col("doc_id"),
+            F.lit(" tel 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("__t"),
+    )
+    counts = textstats.pii_counts(F.col("__t"))
+    return (
+        seeded.select(
+            "source",
+            F.length("__t").alias("__len_raw"),
+            F.length(textstats.pii_redact(F.col("__t"))).alias("__len_clean"),
+            *[c.alias(f"__{k}") for k, c in counts.items()],
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("__email").cast("bigint").alias("n_email"),
+            F.sum("__url").cast("bigint").alias("n_url"),
+            F.sum("__phone").cast("bigint").alias("n_phone"),
+            F.sum(F.col("__len_raw") - F.col("__len_clean")).cast("bigint").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_SEED_DUCK = (
+    "text || ' contact user' || doc_id || '@example.com or https://ex.org/d/' || doc_id"
+    " || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_CLEAN_DUCK = (
+    "regexp_replace(regexp_replace(regexp_replace(__t,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),"
+    " 'https?://[^\\s]+', '[URL]', 'g'),"
+    " '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g')"
+)
+_PII_ORACLE = f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(__t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS BIGINT) AS n_email,
+       CAST(sum(len(regexp_extract_all(__t, 'https?://[^\\s]+'))) AS BIGINT) AS n_url,
+       CAST(sum(len(regexp_extract_all(__t, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b'))) AS BIGINT) AS n_phone,
+       CAST(sum(len(__t) - len({_PII_CLEAN_DUCK})) AS BIGINT) AS chars_removed
+FROM (SELECT source, {_PII_SEED_DUCK} AS __t FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    chunks = chunking.chunk_documents(d, chunk_tokens=50, stride=40)
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_toks",
+        F.substring(F.md5(F.col("chunk_text")), 1, 8).alias("fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_DOC_CHUNKS_ORACLE = """
+SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_idx,
+       CAST(len(l[s + 1: s + 50]) AS BIGINT) AS n_toks,
+       substr(md5(array_to_string(l[s + 1: s + 50], ' ')), 1, 8) AS fp
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l FROM documents),
+     unnest(generate_series(0, greatest(len(l) - 1, 0), 40)) AS t(s)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: ~10% of each
+    market segment, reproducible across engines and runs (the
+    md5-bucket recipe — no rand(), so resampling a 100 TB table gives
+    the same rows on every engine; the filter is a pure map stage)."""
+    load_views(spark, sf_dir)
+    c = spark.table("customer")
+    bucket = (F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+              .cast("bigint") % 1000)
+    return (
+        c.filter(bucket < 100)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("bal_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SAMPLE_STRAT_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM customer
+WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS UBIGINT) % 1000 < 100
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     d = spark.table("documents")
@@ -1351,6 +1456,9 @@ REGISTRY: dict[str, tuple] = {
     "text_quality_score": (_text_quality, _quality_oracle()),
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
+    "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),
+    "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
+    "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": (_dedup_minhash, _minhash_oracle()),

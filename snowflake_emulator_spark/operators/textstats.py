@@ -134,3 +134,34 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
             lambda i: t.substr(i, F.lit(n)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): pure regexp Column expressions.
+# Patterns are restricted to syntax shared by Java regex and RE2 so the
+# identical pattern strings run on DuckDB for the oracle (no \b-free
+# lookarounds, no backrefs).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "url": (r"https?://[^\s]+", "[URL]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails, URLs and phone numbers with typed placeholders.
+    Chained JVM regexp_replace — one codegen projection, no Python."""
+    out = text
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (regexp_extract_all size)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        for kind, (pattern, _) in PII_PATTERNS.items()
+    }

@@ -238,3 +238,38 @@ def test_connected_components_synthetic(spark):
     # the single new surviving entry is the returned frame's own
     # localCheckpoint, freed by the ContextCleaner when callers drop it
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before + 1
+
+
+def test_chunk_documents_windows(spark):
+    from snowflake_emulator_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three tokens"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_toks"], r["chunk_text"])
+           for r in chunking.chunk_documents(df, chunk_tokens=4, stride=3).collect()}
+    # doc 1: 10 tokens, starts 0,3,6,9 -> window sizes 4,4,4,1
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)][1].startswith("t3")  # 1-token overlap (4-3)
+    assert got[(1, 3)] == (1, "t9")
+    # doc 2: single window, not padded
+    assert got[(2, 0)] == (3, "only three tokens")
+    # empty text still yields exactly one (empty-ish) chunk row
+    assert (3, 0) in got and (3, 1) not in got
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, chunk_tokens=0)
+
+
+def test_pii_redact_and_counts(spark):
+    from snowflake_emulator_spark.operators import textstats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a.b@x.io or https://x.io/p?q=1 call 555-123-4567 done",)], ["t"])
+    row = df.select(
+        textstats.pii_redact(F.col("t")).alias("clean"),
+        *[c.alias(k) for k, c in textstats.pii_counts(F.col("t")).items()],
+    ).collect()[0]
+    assert row["clean"] == "mail [EMAIL] or [URL] call [PHONE] done"
+    assert (row["email"], row["url"], row["phone"]) == (1, 1, 1)
