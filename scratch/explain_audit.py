@@ -31,6 +31,16 @@ AUDIT = [
     ("embed_near_pairs_lsh", ["!BroadcastNestedLoopJoin"]),
     # deliberate broadcast nested loop: tiny query set x full table
     ("embed_cosine_topk", ["BroadcastNestedLoopJoin"]),
+    # round-2 additions: date spine joins the PRE-AGGREGATED orders
+    # rollup (broadcastable), never raw orders
+    ("sf_generator_date_spine", ["BroadcastHashJoin", "HashAggregate"]),
+    # chunking is one narrow map stage (orderBy adds only the final
+    # presentation sort): explode via Generate, never a join
+    ("doc_chunk_windows", ["Generate", "!BroadcastNestedLoopJoin"]),
+    # lateral split explodes per-row; must not become a join of any kind
+    ("sf_split_to_table", ["Generate", "!BroadcastNestedLoopJoin"]),
+    # stratified sample: filter is a map stage feeding partial agg
+    ("sample_stratified_hash", ["HashAggregate", "!Exchange hashpartitioning(c_custkey"]),
 ]
 
 

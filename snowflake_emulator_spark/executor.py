@@ -163,6 +163,9 @@ class Executor:
         self._view_cache: dict[str, tuple[int, int]] = {}
         # views currently being planned on this engine (cycle guard)
         self._views_in_progress: set[tuple[str, str, str]] = set()
+        # INFORMATION_SCHEMA registrations: view name -> (database,
+        # catalog.mutation) at build time
+        self._info_schema_cache: dict[str, tuple[str, int]] = {}
         # RESULT_SCAN store: query id -> Result, newest-last, capped.
         # Snowflake's result cache is a remote store; here the rows are
         # already materialized driver-side at the protocol boundary, so
@@ -504,6 +507,16 @@ class Executor:
                         vm = views[vkey]
                         out.append(self._register_named_view(vm, vm.physical) + sql[vtail:j])
                         rewrote = True
+                if not rewrote and len(ids) >= 2 and "INFORMATION_SCHEMA" in ids[:2]:
+                    idb = itail = None
+                    if ids[0] == "INFORMATION_SCHEMA" and ids[1] in self._INFO_SCHEMA_VIEWS:
+                        idb, iname, itail = ctx.database, ids[1], parts[1][1]
+                    elif (len(ids) >= 3 and ids[1] == "INFORMATION_SCHEMA"
+                          and ids[2] in self._INFO_SCHEMA_VIEWS):
+                        idb, iname, itail = ids[0], ids[2], parts[2][1]
+                    if idb is not None:
+                        out.append(self._register_info_schema_view(iname, idb) + sql[itail:j])
+                        rewrote = True
                 if not rewrote:
                     out.append(sql[i:j])
                 i = j
@@ -541,6 +554,49 @@ class Executor:
                 except Exception:
                     pass  # invalid view (e.g. dropped base table): the
                     #       query fails at reference with not-found instead
+
+    # INFORMATION_SCHEMA (reference parity: its DuckDB backend exposes
+    # information_schema.tables, exercised by
+    # pkg/contentdata/repository_test.go:69; here the views are built
+    # from catalog metadata with Snowflake-style logical names, scoped
+    # to the session database like Snowflake's per-DB info schema)
+    _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES"}
+
+    def _register_info_schema_view(self, which: str, db: str) -> str:
+        view = f"__info_schema_{which.lower()}"
+        state = (db, self.catalog.mutation)
+        if self._info_schema_cache.get(view) == state:
+            return view
+        c = self.catalog
+        if which == "TABLES":
+            rows = [(tm.database, tm.schema, tm.name, "BASE TABLE", tm.comment)
+                    for tm in c.tables.values() if tm.database == db]
+            rows += [(vm.database, vm.schema, vm.name, "VIEW", vm.comment)
+                     for vm in c.views.values() if vm.database == db]
+            schema = ("table_catalog string, table_schema string, table_name string, "
+                      "table_type string, comment string")
+        elif which == "COLUMNS":
+            rows = [(tm.database, tm.schema, tm.name, col.name, i + 1,
+                     col.sf_type, "YES" if col.nullable else "NO")
+                    for tm in c.tables.values() if tm.database == db
+                    for i, col in enumerate(tm.columns)]
+            schema = ("table_catalog string, table_schema string, table_name string, "
+                      "column_name string, ordinal_position int, data_type string, "
+                      "is_nullable string")
+        elif which == "VIEWS":
+            rows = [(vm.database, vm.schema, vm.name, vm.sql_text)
+                    for vm in c.views.values() if vm.database == db]
+            schema = ("table_catalog string, table_schema string, table_name string, "
+                      "view_definition string")
+        elif which == "SCHEMATA":
+            rows = [(d, s) for (d, s) in c.schemas if d == db]
+            schema = "catalog_name string, schema_name string"
+        else:  # DATABASES
+            rows = [(name, meta.get("comment")) for name, meta in c.databases.items()]
+            schema = "database_name string, comment string"
+        self.spark.createDataFrame(rows, schema=schema).createOrReplaceTempView(view)
+        self._info_schema_cache[view] = state
+        return view
 
     def _view_df(self, vm) -> DataFrame:
         """Plan a view's stored SELECT against current table versions.

@@ -1,0 +1,50 @@
+"""INFORMATION_SCHEMA views (reference parity: its DuckDB backend
+answers information_schema.tables queries —
+pkg/contentdata/repository_test.go:69 — here rebuilt from catalog
+metadata with Snowflake-style logical names, scoped per database)."""
+
+from snowflake_emulator_spark.executor import SessionContext
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_information_schema_tables_and_columns(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE is_t (id INTEGER NOT NULL, name VARCHAR)", ctx)
+    res = engine.execute(
+        "SELECT count(*) AS n FROM information_schema.tables WHERE table_name = 'IS_T'", ctx)
+    assert _rows(res) == [(1,)]
+    res = engine.execute(
+        "SELECT column_name, ordinal_position, data_type, is_nullable "
+        "FROM information_schema.columns WHERE table_name = 'IS_T' ORDER BY ordinal_position",
+        ctx)
+    rows = _rows(res)
+    assert rows[0][0] == "ID" and rows[0][1] == 1 and rows[0][3] == "NO"
+    assert rows[1][0] == "NAME" and rows[1][3] == "YES"
+    # dropping removes the row (mutation-keyed cache invalidation)
+    engine.execute("DROP TABLE is_t", ctx)
+    res = engine.execute(
+        "SELECT count(*) AS n FROM information_schema.tables WHERE table_name = 'IS_T'", ctx)
+    assert _rows(res) == [(0,)]
+
+
+def test_information_schema_views_and_qualified(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE is_b (id INTEGER)", ctx)
+    engine.execute("CREATE VIEW is_v AS SELECT id FROM is_b", ctx)
+    res = engine.execute(
+        "SELECT table_type FROM information_schema.tables WHERE table_name = 'IS_V'", ctx)
+    assert _rows(res) == [("VIEW",)]
+    res = engine.execute(
+        "SELECT view_definition FROM TEST_DB.INFORMATION_SCHEMA.VIEWS "
+        "WHERE table_name = 'IS_V'", ctx)
+    assert "SELECT id FROM is_b" in res.rows[0][0]
+    res = engine.execute(
+        "SELECT count(*) AS n FROM information_schema.schemata WHERE schema_name = 'PUBLIC'", ctx)
+    assert _rows(res) == [(1,)]
+    res = engine.execute(
+        "SELECT count(*) AS n FROM information_schema.databases WHERE database_name = 'TEST_DB'",
+        ctx)
+    assert _rows(res) == [(1,)]
