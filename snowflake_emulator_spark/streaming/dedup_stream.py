@@ -1,0 +1,64 @@
+"""Streaming deduplication (beyond-reference, training-pipeline shape).
+
+Continuous-ingest dedup is the streaming twin of the batch
+``operators/dedup.py`` family: documents arrive as files, each gets the
+same engine-neutral normalized-text fingerprint, and
+``dropDuplicates`` within a watermark suppresses re-deliveries.
+
+Scale design: Spark keeps ONE state entry per fingerprint in the state
+store, partitioned by the dedup key across executors; the watermark
+bounds state size (fingerprints older than the horizon are evicted), so
+state is O(unique docs per watermark window), not O(stream history).
+Without a watermark, streaming dropDuplicates state grows forever —
+that mode is deliberately not exposed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def read_doc_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def _fingerprint(text_col) -> F.Column:
+    """Same normalization recipe as the batch exact-dedup operator
+    (lowercase, strip non-alnum, collapse whitespace, md5) so batch and
+    streaming agree on what a duplicate is."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 \\t\\n\\r]", ""),
+            "[ \\t\\n\\r]+", " ",
+        )
+    )
+    return F.md5(norm)
+
+
+def dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Emit only the first-seen document per content fingerprint.
+
+    ``dropDuplicates`` on (fp) with an event-time watermark: state is
+    bounded by the watermark horizon; re-deliveries and exact-content
+    duplicates inside the horizon are suppressed.
+    """
+    return (
+        docs.withColumn("fp", _fingerprint(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["fp"])
+        .select("doc_id", "ts", "fp", "text")
+    )

@@ -64,3 +64,44 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     # the 03:30:00 event
     assert got[(1, "2024-01-01T00:00:00")] == (2, 3.0)
     assert got[(2, "2024-01-01T02:00:05")] == (1, 8.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Watermarked streaming exact-dedup: duplicates inside the
+    watermark horizon are suppressed across triggers; fingerprints
+    match the batch dedup recipe."""
+    from snowflake_emulator_spark.streaming import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": "Hello, World!"},
+            {"doc_id": 2, "ts": "2024-01-01T00:00:05", "text": "hello   world"},
+            {"doc_id": 3, "ts": "2024-01-01T00:00:10", "text": "something else"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = dedup_stream.read_doc_stream(spark, str(src))
+    deduped = dedup_stream.dedup_stream(stream, watermark="10 minutes")
+    q = (deduped.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # second trigger: replay doc 1's content + one new doc
+        with open(src / "b2.json", "w") as f:
+            for r in [
+                {"doc_id": 4, "ts": "2024-01-01T00:01:00", "text": "HELLO world"},
+                {"doc_id": 5, "ts": "2024-01-01T00:01:30", "text": "fresh content"},
+            ]:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id, fp FROM t_dedup").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    # docs 1/2/4 normalize to the same fingerprint -> only the first
+    # survives; 3 and 5 are unique
+    assert ids == [1, 3, 5]
+    fps = {r["doc_id"]: r["fp"] for r in rows}
+    assert len(set(fps.values())) == 3
