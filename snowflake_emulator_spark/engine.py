@@ -50,6 +50,9 @@ _CREATE_WH_RE = re.compile(
 )
 _ALTER_WH_RE = re.compile(r"^\s*ALTER\s+WAREHOUSE\s+([\w\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
 _DROP_WH_RE = re.compile(r"^\s*DROP\s+WAREHOUSE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
+_ALTER_SESSION_SET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+SET\s+(.+)$", re.I | re.S)
+_ALTER_SESSION_UNSET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+UNSET\s+(.+)$", re.I | re.S)
+_PARAM_PAIR_RE = re.compile(r"(\w+)\s*=\s*('(?:[^']*)'|[^\s,]+)")
 
 
 class Engine:
@@ -106,6 +109,35 @@ class Engine:
         if m:
             self.warehouses.set_state(m.group(1), m.group(2).upper())
             return Result.status("Statement executed successfully.")
+        # session parameters (reference: defaults + login overrides,
+        # pkg/config/constants.go:27-57, server/handlers/session.go:111-137;
+        # ALTER SESSION extends that to statement-level updates)
+        m = _ALTER_SESSION_SET_RE.match(s)
+        if m:
+            params = self._session_params(ctx)
+            for name, val in _PARAM_PAIR_RE.findall(m.group(1)):
+                params[name.upper()] = val.strip("'")
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_SESSION_UNSET_RE.match(s)
+        if m:
+            params = self._session_params(ctx)
+            from . import config as _cfg
+            for name in re.findall(r"\w+", m.group(1)):
+                up_name = name.upper()
+                if up_name in _cfg.DEFAULT_SESSION_PARAMETERS:
+                    params[up_name] = _cfg.DEFAULT_SESSION_PARAMETERS[up_name]
+                else:
+                    params.pop(up_name, None)
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^\s*SHOW\s+PARAMETERS", s, re.I):
+            from . import config as _cfg
+            params = {**_cfg.DEFAULT_SESSION_PARAMETERS, **self._session_params(ctx)}
+            like = re.search(r"LIKE\s+'([^']*)'", s, re.I)
+            pat = like.group(1).replace("%", ".*").replace("_", ".") if like else None
+            rows = [[k, v, _cfg.DEFAULT_SESSION_PARAMETERS.get(k, "")]
+                    for k, v in sorted(params.items())
+                    if pat is None or re.fullmatch(pat, k, re.I)]
+            return Result(columns=["key", "value", "default"], rows=rows)
         m = _DROP_WH_RE.match(s)
         if m:
             self.warehouses.drop(m.group(2), if_exists=bool(m.group(1)))
@@ -147,6 +179,16 @@ class Engine:
             finally:
                 self.catalog.end_dirty_capture()
         return self.executor.execute(s, ctx, bindings, query_id=query_id)
+
+    @staticmethod
+    def _session_params(ctx: SessionContext) -> dict:
+        """Per-session parameter dict; HTTP sessions share theirs across
+        requests (sessions.Session.context binds the same dict)."""
+        params = getattr(ctx, "parameters", None)
+        if params is None:
+            params = {}
+            ctx.parameters = params
+        return params
 
     @staticmethod
     def _tx_owner(ctx: SessionContext) -> int:

@@ -271,3 +271,25 @@ def test_session_store_roundtrip(tmp_path):
     restored = sm2.validate(s.token)
     assert restored.database == "DB1" and restored.schema == "S1"
     assert restored.master_token == s.master_token
+
+
+def test_alter_session_parameters(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    res = engine.execute("SHOW PARAMETERS LIKE 'TIMEZONE'", ctx)
+    assert res.rows == [["TIMEZONE", "UTC", "UTC"]]
+    engine.execute(
+        "ALTER SESSION SET TIMEZONE = 'America/New_York' QUERY_TAG = 'etl-run'", ctx)
+    res = engine.execute("SHOW PARAMETERS LIKE 'TIMEZONE'", ctx)
+    assert res.rows == [["TIMEZONE", "America/New_York", "UTC"]]
+    res = engine.execute("SHOW PARAMETERS LIKE 'QUERY%'", ctx)
+    assert res.rows[0][1] == "etl-run"
+    # parameters are per-session: a fresh context sees defaults
+    other = SessionContext()
+    res = engine.execute("SHOW PARAMETERS LIKE 'TIMEZONE'", other)
+    assert res.rows == [["TIMEZONE", "UTC", "UTC"]]
+    # UNSET restores the default
+    engine.execute("ALTER SESSION UNSET TIMEZONE", ctx)
+    res = engine.execute("SHOW PARAMETERS LIKE 'TIMEZONE'", ctx)
+    assert res.rows == [["TIMEZONE", "UTC", "UTC"]]
