@@ -146,6 +146,12 @@ class SnowflakeServer:
 
     def _handle(self, method: str, path: str, headers, body: dict, params: dict | None = None):
         params = params or {}
+        # telemetry: accept and ignore, like the reference
+        # (cmd/server/main.go:130-134 — gosnowflake sends batches)
+        if path == "/telemetry/send" and method == "POST":
+            return {"success": True}, 200
+        if path == "/health" and method == "GET":
+            return {"status": "OK"}, 200
         # ---- gosnowflake session endpoints
         if path == "/session/v1/login-request" and method == "POST":
             data = body.get("data", {})

@@ -229,3 +229,10 @@ def test_query_abort_request(server):
     (query.go:149-166): success whether or not the id is running."""
     st, out = _call(server, "POST", "/queries/v1/abort-request", {"queryId": "01xyz-unknown"})
     assert st == 200 and out["success"]
+
+
+def test_telemetry_and_health(server):
+    code, out = _call(server, "POST", "/telemetry/send", body={"logs": []})
+    assert code == 200 and out["success"] is True
+    code, out = _call(server, "GET", "/health")
+    assert code == 200 and out["status"] == "OK"
