@@ -31,6 +31,12 @@ AUDIT = [
     ("embed_near_pairs_lsh", ["!BroadcastNestedLoopJoin"]),
     # deliberate broadcast nested loop: tiny query set x full table
     ("embed_cosine_topk", ["BroadcastNestedLoopJoin"]),
+    # multi-dim TPC-H adaptations: dims broadcast around the
+    # lineitem/orders backbone, never nested-loop
+    ("q7_nation_volume", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    ("q8_market_share", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    ("q9_profit_by_nation", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    ("q14_promo_revenue", ["BroadcastHashJoin", "PushedFilters"]),
     # round-2 additions: date spine joins the PRE-AGGREGATED orders
     # rollup (broadcastable), never raw orders
     ("sf_generator_date_spine", ["BroadcastHashJoin", "HashAggregate"]),

@@ -159,6 +159,88 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+#  TPC-H Q7 (adapted to fixture columns): bidirectional nation-pair
+#  shipping volume by year. Scale shape: 4 broadcastable dims around the
+#  lineitem⋈orders backbone; the nation filter prunes before the agg.
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume_dec) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume_dec
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+#  TPC-H Q8 (adapted): one nation's market share of PROMO-part revenue
+#  into ASIA customers, by year. Decimal sums, double only at the end.
+_Q8 = """
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_dec
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(sum(volume_dec) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume_dec
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+#  TPC-H Q9 (adapted, no partsupp in fixtures): revenue by supplier
+#  nation and year for parts whose name contains a marker word.
+_Q9 = """
+SELECT n_name AS nation, o_year,
+       CAST(sum(amount_dec) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount_dec
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%gear%'
+) profit
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+#  TPC-H Q14: promo revenue share for one month (conditional agg over
+#  a part-dimension join; single output row).
+_Q14 = """
+SELECT CAST(100.00 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
 _TOPK = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -1377,6 +1459,10 @@ REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
     "scan_filter_project": (_sql(_SCAN_SPARK), _SCAN_SPARK),
     "q1_pricing_summary": (_sql(_Q1), _Q1),
+    "q7_nation_volume": (_sql(_Q7), _Q7),
+    "q8_market_share": (_sql(_Q8), _Q8),
+    "q9_profit_by_nation": (_sql(_Q9), _Q9),
+    "q14_promo_revenue": (_sql(_Q14), _Q14),
     "q3_shipping_priority": (_sql(_Q3), _Q3),
     "q5_local_supplier": (_sql(_Q5), _Q5),
     "q6_revenue_forecast": (_sql(_Q6), _Q6),
