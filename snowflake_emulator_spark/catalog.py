@@ -134,6 +134,24 @@ class ViewMeta:
 
 
 @dataclass
+class SequenceMeta:
+    """CREATE SEQUENCE (beyond reference). Snowflake sequences
+    guarantee uniqueness and per-statement monotonicity but NOT
+    gaplessness — which is exactly what a distributed engine can
+    provide cheaply: each statement referencing NEXTVAL reserves a
+    block of values up-front (one driver-side counter bump), and rows
+    inside the statement draw from the block via
+    monotonically_increasing_id (unique per row, executor-parallel,
+    no shuffle and no coordination)."""
+    database: str
+    schema: str
+    name: str
+    start: int = 1
+    increment: int = 1
+    next_base: int = 0  # statements reserve [next_base, next_base+block)
+
+
+@dataclass
 class StageMeta:
     database: str
     schema: str
@@ -190,6 +208,7 @@ class Catalog:
         # it so an unchanged catalog costs zero Spark calls per query
         self.mutation: int = 0
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
+        self.sequences: dict[tuple[str, str, str], SequenceMeta] = {}
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
@@ -700,6 +719,63 @@ class Catalog:
             if vm is not None:
                 self.mutation += 1
             return vm
+
+    # ---------------- sequences (beyond reference) ----------------
+
+    # per-statement NEXTVAL block: monotonically_increasing_id is
+    # structured as partitionId * 2^33 + rowInPartition, so a block
+    # must cover the largest id a statement can emit — 2^48 covers
+    # 32k partitions x 8.5e9 rows/partition, leaving 2^15 NEXTVAL
+    # statements in the int64 value space at increment 1. Exhaustion
+    # overflows loudly under ANSI mode rather than wrapping silently.
+    SEQUENCE_BLOCK = 1 << 48
+
+    def create_sequence(self, name: str, start: int = 1, increment: int = 1,
+                        database: str | None = None, schema: str | None = None,
+                        if_not_exists: bool = False, or_replace: bool = False) -> SequenceMeta:
+        with self._lock:
+            db, sch, sq = self.resolve(name, database, schema)
+            key = (db, sch, sq)
+            if key in self.sequences:
+                if if_not_exists:
+                    return self.sequences[key]
+                if not or_replace:
+                    raise errors.object_exists(f"{db}.{sch}.{sq}")
+            sm = SequenceMeta(db, sch, sq, start=start, increment=increment)
+            self.sequences[key] = sm
+            return sm
+
+    def get_sequence(self, name: str, database: str | None = None,
+                     schema: str | None = None) -> SequenceMeta:
+        key = self.resolve(name, database, schema)
+        sm = self.sequences.get(key)
+        if sm is None:
+            raise errors.object_not_found(".".join(key))
+        return sm
+
+    def drop_sequence(self, name: str, database: str | None = None,
+                      schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if self.sequences.pop(key, None) is None and not if_exists:
+                raise errors.object_not_found(".".join(key))
+
+    def next_sequence_value(self, sm: SequenceMeta) -> int:
+        """Draw ONE value (driver-side; used for inline VALUES rows,
+        where Spark forbids nondeterministic expressions)."""
+        with self._lock:
+            val = sm.start + sm.next_base * sm.increment
+            sm.next_base += 1
+            return val
+
+    def reserve_sequence_block(self, sm: SequenceMeta) -> int:
+        """Reserve one statement's value block; returns the first value
+        of the block (a single counter bump under the catalog lock —
+        rows then draw values executor-side without coordination)."""
+        with self._lock:
+            base = sm.start + sm.next_base * sm.increment
+            sm.next_base += self.SEQUENCE_BLOCK
+            return base
 
     # ---------------- stages / file formats ----------------
 

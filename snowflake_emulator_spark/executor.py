@@ -87,6 +87,12 @@ _CLONE_TABLE_RE = re.compile(
     re.I,
 )
 _UNDROP_TABLE_RE = re.compile(r"^\s*UNDROP\s+TABLE\s+([\w.\"$]+)\s*$", re.I)
+_CREATE_SEQ_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)(.*)$",
+    re.I | re.S,
+)
+_DROP_SEQ_RE = re.compile(r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_NEXTVAL_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*){0,2})\.NEXTVAL\b", re.I)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:SECURE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
     r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s*"
@@ -244,6 +250,44 @@ class Executor:
             self._result_views.add(view)
         return view
 
+    def _rewrite_nextval_literal(self, sql: str, ctx: SessionContext) -> str:
+        """NEXTVAL inside inline ``VALUES`` rows: Spark forbids
+        nondeterministic expressions in inline tables, and each textual
+        occurrence is exactly one row's value — so substitute literal
+        values drawn driver-side (still unique vs. block-reserved
+        statements, which draw from the same counter)."""
+        if "NEXTVAL" not in sql.upper():
+            return sql
+
+        def repl(m: re.Match) -> str:
+            try:
+                sm = self.catalog.get_sequence(m.group(1), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                return m.group(0)
+            return str(self.catalog.next_sequence_value(sm))
+
+        return _NEXTVAL_RE.sub(repl, sql)
+
+    def _rewrite_nextval(self, sql: str, ctx: SessionContext) -> str:
+        """``seq.NEXTVAL`` -> block-reserved distributed values: one
+        driver-side counter bump reserves the statement's value block,
+        then each row draws ``base + monotonically_increasing_id() *
+        increment`` executor-side — unique, parallel, no shuffle.
+        Snowflake sequences promise uniqueness, not gaplessness, so the
+        block reservation (and its gaps) is semantics-preserving."""
+        if "NEXTVAL" not in sql.upper():
+            return sql
+
+        def repl(m: re.Match) -> str:
+            try:
+                sm = self.catalog.get_sequence(m.group(1), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                return m.group(0)  # not a sequence: leave for Spark to resolve
+            base = self.catalog.reserve_sequence_block(sm)
+            return f"CAST({base} + monotonically_increasing_id() * {sm.increment} AS BIGINT)"
+
+        return _NEXTVAL_RE.sub(repl, sql)
+
     def _rewrite_result_scan(self, sql: str, ctx: SessionContext) -> str:
         up = sql.upper()
         if "RESULT_SCAN" not in up and "LAST_QUERY_ID" not in up:
@@ -288,6 +332,7 @@ class Executor:
         ctx = ctx or SessionContext()
         sql = bindmod.apply_bindings(sql, bindings)
         sql = self._rewrite_result_scan(sql, ctx)
+        sql = self._rewrite_nextval(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
             translated = _STREAM_META_RE.sub(
@@ -691,6 +736,22 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = _CREATE_SEQ_RE.match(sql)
+        if m:
+            opts = m.group(4) or ""
+            sm_ = re.search(r"START\s*(?:WITH\s*|=\s*)?(-?\d+)", opts, re.I)
+            im_ = re.search(r"INCREMENT\s*(?:BY\s*|=\s*)?(-?\d+)", opts, re.I)
+            self.catalog.create_sequence(
+                m.group(3), start=int(sm_.group(1)) if sm_ else 1,
+                increment=int(im_.group(1)) if im_ else 1,
+                database=ctx.database, schema=ctx.schema,
+                if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            return Result.status(f"Sequence {m.group(3).upper()} successfully created.")
+        m = _DROP_SEQ_RE.match(sql)
+        if m:
+            self.catalog.drop_sequence(m.group(2), ctx.database, ctx.schema,
+                                       if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CREATE_VIEW_RE.match(sql)
         if m:
             cols = [c.strip().strip('"').upper() for c in m.group(4).split(",")] if m.group(4) else None
@@ -844,7 +905,7 @@ class Executor:
         col_list = [c.strip().upper() for c in m.group(2).split(",")] if m.group(2) else None
         body = m.group(3)
         src = self.query_df(body, ctx) if not body.upper().startswith("VALUES") else self.spark.sql(
-            self.translator.translate_expr(body)
+            self.translator.translate_expr(self._rewrite_nextval_literal(body, ctx))
         )
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
@@ -1103,6 +1164,13 @@ class Executor:
         if "STAGES" in up:
             rows = [[stg, db, sch] for (db, sch, stg) in sorted(self.catalog.stages) if _match(stg)]
             return Result(columns=["name", "database_name", "schema_name"], rows=rows)
+        if "SEQUENCES" in up:
+            rows = [
+                [name, db, sch, sm.start, sm.increment]
+                for (db, sch, name), sm in sorted(self.catalog.sequences.items())
+                if _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "start", "increment"], rows=rows)
         if "FILE FORMATS" in up:
             rows = [[ff, fm.format_type] for (db, sch, ff), fm in sorted(self.catalog.file_formats.items()) if _match(ff)]
             return Result(columns=["name", "type"], rows=rows)
@@ -1116,6 +1184,17 @@ class Executor:
         raise errors.syntax_error(f"unsupported SHOW: {sql[:60]}")
 
     def _describe(self, sql: str, ctx: SessionContext) -> Result:
+        vm_ = re.match(r"^\s*DESC(?:RIBE)?\s+VIEW\s+([\w.\"$]+)\s*$", sql, re.I)
+        if vm_:
+            vm = self.catalog.get_view(vm_.group(1), ctx.database, ctx.schema)
+            from .functions.typemap import spark_to_snowflake_name
+
+            fields = self._view_df(vm).schema.fields
+            return Result(
+                columns=["name", "type", "kind", "null?"],
+                rows=[[f.name.upper(), spark_to_snowflake_name(f.dataType), "COLUMN",
+                       "Y" if f.nullable else "N"] for f in fields],
+            )
         m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", sql, re.I)
         if not m:
             raise errors.syntax_error(sql)

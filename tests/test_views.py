@@ -94,3 +94,9 @@ def test_dml_through_base_table_not_view(engine, vctx):
     engine.execute("CREATE VIEW v_ro AS SELECT id FROM vt", vctx)
     with pytest.raises(errors.SnowflakeError):
         engine.execute("INSERT INTO v_ro VALUES (9)", vctx)
+
+
+def test_describe_view(engine, vctx):
+    engine.execute("CREATE VIEW v_desc AS SELECT id, grp FROM vt", vctx)
+    res = engine.execute("DESCRIBE VIEW v_desc", vctx)
+    assert [r[0] for r in res.rows] == ["ID", "GRP"]
