@@ -196,11 +196,15 @@ class Translator:
 
     # -- SAMPLE (n) -> TABLESAMPLE (n PERCENT) ----------------------------
 
+    _SAMPLE_ROWS_RE = re.compile(
+        r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+)\s+ROWS\s*\)", re.I)
     _SAMPLE_RE = re.compile(r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)", re.I)
 
     def _rewrite_sample(self, s: str) -> str:
         """Snowflake ``SAMPLE (p)`` / ``SAMPLE BERNOULLI (p)`` (percent
-        row sampling) -> Spark ``TABLESAMPLE (p PERCENT)``."""
+        row sampling) -> Spark ``TABLESAMPLE (p PERCENT)``; fixed-size
+        ``SAMPLE (n ROWS)`` -> ``TABLESAMPLE (n ROWS)``."""
+        s = self._SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", s)
         return self._SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", s)
 
     # -- SELECT TOP n -> LIMIT n ------------------------------------------

@@ -320,3 +320,10 @@ def test_generator_rewrite(sql, expected):
 )
 def test_split_to_table_rewrite(sql, expected):
     assert translate(sql) == expected
+
+
+def test_sample_rows_rewrite():
+    assert translate("SELECT * FROM t SAMPLE (5 ROWS)") == \
+        "SELECT * FROM t TABLESAMPLE (5 ROWS)"
+    assert translate("SELECT * FROM t SAMPLE ROW (10)") == \
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
