@@ -241,6 +241,19 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
 """
 
+#  UNPIVOT (Snowflake/SQL-standard syntax; Spark >= 3.4 and DuckDB both
+#  accept it verbatim): wide metrics -> long (metric, val) rows.
+_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extprice,
+             CAST(l_discount AS DOUBLE) AS discount
+      FROM lineitem WHERE l_orderkey <= 640)
+UNPIVOT (val FOR metric IN (quantity, extprice, discount))
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
 _TOPK = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
@@ -1463,6 +1476,7 @@ REGISTRY: dict[str, tuple] = {
     "q8_market_share": (_sql(_Q8), _Q8),
     "q9_profit_by_nation": (_sql(_Q9), _Q9),
     "q14_promo_revenue": (_sql(_Q14), _Q14),
+    "unpivot_line_metrics": (_sql(_UNPIVOT), _UNPIVOT),
     "q3_shipping_priority": (_sql(_Q3), _Q3),
     "q5_local_supplier": (_sql(_Q5), _Q5),
     "q6_revenue_forecast": (_sql(_Q6), _Q6),
