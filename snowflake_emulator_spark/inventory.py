@@ -1190,6 +1190,36 @@ FROM reach GROUP BY src ORDER BY doc_id
 """
 
 
+def _dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone dedup query: the documents a training pipeline KEEPS.
+    LSH candidates -> exact-Jaccard pairs -> connected components ->
+    drop every component member except the min-id representative.
+    The anti-join shuffles on doc_id only (removal list is tiny next to
+    the corpus), so the final filter scales as an ordinary hash join."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5)
+    pairs = dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5, candidates=cands)
+    comps = dedup.connected_components(pairs)
+    removals = (comps.filter(F.col("node") != F.col("comp"))
+                .select(F.col("node").alias("doc_id")).distinct())
+    kept = d.join(removals, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+
+
+def _dedup_survivors_oracle() -> str:
+    clusters = _dedup_clusters_oracle().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comps AS ({clusters})
+SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)
+"""
+
+
 def _dedup_pipeline_oracle() -> str:
     minhash = _minhash_oracle().replace("ORDER BY id_a, id_b", "")
     return f"""
@@ -1567,6 +1597,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
