@@ -79,6 +79,12 @@ def main() -> None:
 
     spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .mapInPandas(_warm_batches, "id long").count()
+    # JIT-warm the regexp + md5 intrinsics generically (synthetic data;
+    # the first regexp_replace/md5-heavy query otherwise pays several
+    # seconds of JVM JIT inside its measured time)
+    spark.sql(
+        "SELECT max(md5(regexp_replace(CAST(id AS STRING), '[0-9]+', 'x'))) FROM range(100000)"
+    ).collect()
     # JIT-warm the interpreted higher-order-function path GENERICALLY
     # (synthetic data + a different fold than any measured query — the
     # bench must not rehearse what it measures)

@@ -112,8 +112,22 @@ _DROP_STREAM_RE = re.compile(r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\
 _STREAM_META_RE = re.compile(r"(?<!`)\bMETADATA\$(ACTION|ISUPDATE|ROW_ID)\b", re.I)
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", re.I)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
+    r"^\s*INSERT\s+(OVERWRITE\s+)?INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
+)
+_CREATE_TABLE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+LIKE\s+([\w.\"$]+)\s*$",
+    re.I,
+)
+_ALTER_TABLE_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+DROP\s+(?:COLUMN\s+)?([\w\"$]+)\s*$", re.I
+)
+_ALTER_TABLE_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+COLUMN\s+([\w\"$]+)\s+TO\s+([\w\"$]+)\s*$",
+    re.I,
+)
+_COMMENT_ON_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+TABLE\s+([\w.\"$]+)\s+IS\s+'([^']*)'\s*$", re.I
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"$]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
@@ -817,6 +831,47 @@ class Executor:
                                       if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)), df=df)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(3).upper()} successfully created.")
+        m = _CREATE_TABLE_LIKE_RE.match(sql)
+        if m:
+            src = self.catalog.get_table(m.group(4), ctx.database, ctx.schema)
+            import copy
+
+            self.catalog.create_table(
+                m.group(3), copy.deepcopy(src.columns), ctx.database, ctx.schema,
+                comment=src.comment, clustering_key=src.clustering_key,
+                if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Table {m.group(3).upper()} successfully created.")
+        m = _COMMENT_ON_RE.match(sql)
+        if m:
+            self.catalog.alter_table_comment(m.group(1), m.group(2), ctx.database, ctx.schema)
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_RENAME_COL_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            old, new = m.group(2).upper(), m.group(3).upper()
+            if not any(c.name == old for c in tm.columns):
+                raise errors.object_not_found(f"{tm.name}.{old}")
+            df = self.catalog.read_table(tm).withColumnRenamed(old, new)
+            for c in tm.columns:
+                if c.name == old:
+                    c.name = new
+            self.catalog.write_table(tm, df, mode="overwrite")
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_DROP_COL_RE.match(sql)
+        if m and not re.search(r"\bADD\b|\bRENAME\b", up):
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            col = m.group(2).upper()
+            if not any(c.name == col for c in tm.columns):
+                raise errors.object_not_found(f"{tm.name}.{col}")
+            if len(tm.columns) == 1:
+                raise errors.execution_error("cannot drop the only column")
+            df = self.catalog.read_table(tm).drop(col)
+            tm.columns = [c for c in tm.columns if c.name != col]
+            self.catalog.write_table(tm, df, mode="overwrite")
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
         # CLUSTER BY is extracted up-front (the greedy column-list regex
         # would otherwise swallow it); recorded as metadata AND acted on:
         # writes repartition+sort by the key (catalog._write_version)
@@ -901,9 +956,10 @@ class Executor:
         raise errors.syntax_error(f"unsupported DML: {sql[:80]}")
 
     def _insert(self, m: re.Match, ctx: SessionContext) -> Result:
-        tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
-        col_list = [c.strip().upper() for c in m.group(2).split(",")] if m.group(2) else None
-        body = m.group(3)
+        overwrite = bool(m.group(1))  # INSERT OVERWRITE truncates first
+        tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+        col_list = [c.strip().upper() for c in m.group(3).split(",")] if m.group(3) else None
+        body = m.group(4)
         src = self.query_df(body, ctx) if not body.upper().startswith("VALUES") else self.spark.sql(
             self.translator.translate_expr(self._rewrite_nextval_literal(body, ctx))
         )
@@ -915,7 +971,7 @@ class Executor:
         obs = Observation()
         src = src.observe(obs, F.count(F.lit(1)).alias("n"))
         src = self._align_insert_columns(tm, src, col_list)
-        self.catalog.write_table(tm, src, mode="append")
+        self.catalog.write_table(tm, src, mode="overwrite" if overwrite else "append")
         n = int(obs.get["n"])
         if not body.upper().startswith("VALUES"):
             self._advance_streams_referenced(body, ctx)

@@ -415,3 +415,41 @@ def test_undrop_table_restores_data(engine):
     engine.execute("CREATE TABLE und (id INTEGER)", ctx)
     with _pytest.raises(Exception):
         engine.execute("UNDROP TABLE und", ctx)
+
+
+def test_create_table_like_and_insert_overwrite(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE src_t (id INTEGER NOT NULL, name VARCHAR) CLUSTER BY (id)", ctx)
+    engine.execute("INSERT INTO src_t VALUES (1,'a'),(2,'b')", ctx)
+    engine.execute("CREATE TABLE like_t LIKE src_t", ctx)
+    res = engine.execute("SELECT count(*) AS n FROM like_t", ctx)
+    assert _rows(res) == [(0,)]  # schema only, no data
+    desc_src = engine.execute("DESCRIBE TABLE src_t", ctx).rows
+    desc_like = engine.execute("DESCRIBE TABLE like_t", ctx).rows
+    assert desc_src == desc_like
+    engine.execute("INSERT INTO like_t VALUES (9,'z')", ctx)
+    r = engine.execute("INSERT OVERWRITE INTO like_t SELECT id, name FROM src_t", ctx)
+    assert r.rows_inserted == 2
+    res = engine.execute("SELECT id FROM like_t ORDER BY id", ctx)
+    assert _rows(res) == [(1,), (2,)]  # the pre-existing row 9 is gone
+
+
+def test_alter_table_drop_and_rename_column(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE col_t (id INTEGER, a VARCHAR, b INTEGER)", ctx)
+    engine.execute("INSERT INTO col_t VALUES (1,'x',10)", ctx)
+    engine.execute("ALTER TABLE col_t RENAME COLUMN b TO score", ctx)
+    res = engine.execute("SELECT id, score FROM col_t", ctx)
+    assert _rows(res) == [(1, 10)]
+    engine.execute("ALTER TABLE col_t DROP COLUMN a", ctx)
+    assert [r[0] for r in engine.execute("DESCRIBE TABLE col_t", ctx).rows] == ["ID", "SCORE"]
+    res = engine.execute("SELECT * FROM col_t", ctx)
+    assert _rows(res) == [(1, 10)]
+
+
+def test_comment_on_table(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cmt_t (id INTEGER)", ctx)
+    engine.execute("COMMENT ON TABLE cmt_t IS 'training corpus'", ctx)
+    rows = engine.execute("SHOW TABLES LIKE 'cmt_t'", ctx).rows
+    assert rows[0][4] == "training corpus"
