@@ -452,7 +452,8 @@ class Executor:
         if t == StatementType.COPY:
             from .operators.copy_into import CopyProcessor
 
-            return CopyProcessor(self.spark, self.catalog).execute(sql, ctx)
+            return CopyProcessor(self.spark, self.catalog).execute(
+                sql, ctx, query_df=self.query_df)
         if t == StatementType.MERGE:
             from .operators.merge_into import MergeProcessor
 

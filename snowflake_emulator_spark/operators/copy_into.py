@@ -30,6 +30,44 @@ from .. import errors
 from ..catalog import Catalog, TableMeta
 from ..result import Result
 
+# COPY INTO @stage FROM ... (UNLOAD/export — beyond reference; neither
+# the reference nor its DuckDB backend implements unloading). The write
+# is a plain distributed df.write in the requested format: at 100 TB
+# each executor streams its partitions straight into the stage dir.
+_UNLOAD_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+@([\w.\"$]+)((?:/[^\s]*)?)\s+FROM\s+", re.I | re.S
+)
+
+
+def _split_unload_source(remainder: str) -> tuple[str, str]:
+    """Split '<(SELECT ...)|table> [options...]' at the source boundary
+    (balanced-paren scan, string-literal aware)."""
+    s = remainder.strip()
+    if s.startswith("("):
+        depth, i = 0, 0
+        while i < len(s):
+            c = s[i]
+            if c == "'":  # skip string literal ('' escapes)
+                i += 1
+                while i < len(s):
+                    if s[i] == "'" and not (i + 1 < len(s) and s[i + 1] == "'"):
+                        break
+                    i += 2 if s[i] == "'" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[: i + 1], s[i + 1:]
+            i += 1
+        raise errors.syntax_error("unbalanced parentheses in COPY INTO @stage FROM (...)")
+    m = re.match(r"[\w.\"$]+", s)
+    if not m:
+        raise errors.syntax_error(f"cannot parse unload source: {s[:60]}")
+    return m.group(0), s[m.end():]
+_HEADER_RE = re.compile(r"\bHEADER\s*=\s*(TRUE|FALSE)", re.I)
+_OVERWRITE_RE = re.compile(r"\bOVERWRITE\s*=\s*(TRUE|FALSE)", re.I)
+
 _COPY_RE = re.compile(
     r"^\s*COPY\s+INTO\s+([\w.\"$]+)\s+FROM\s+@([\w.\"$]+)((?:/[^\s]*)?)\s*(.*)$",
     re.I | re.S,
@@ -93,7 +131,10 @@ class CopyProcessor:
         self.spark = spark
         self.catalog = catalog
 
-    def execute(self, sql: str, ctx) -> Result:
+    def execute(self, sql: str, ctx, query_df=None) -> Result:
+        um = _UNLOAD_RE.match(sql.strip().rstrip(";"))
+        if um:
+            return self._unload(um, ctx, query_df)
         stmt = parse_copy(sql)
         tm = self.catalog.get_table(stmt.table, ctx.database, ctx.schema)
         stage = self.catalog.get_stage(stmt.stage, ctx.database, ctx.schema)
@@ -110,6 +151,10 @@ class CopyProcessor:
         # regex pattern per Snowflake; the reference uses path glob
         # (stage/manager.go:165-218 + filepath.Match) — accept both.
         files = sm.list_files(stage, prefix=stmt.path or None)
+        # skip Spark/Hadoop metadata files (_SUCCESS, .crc, .part-*):
+        # a stage an unload wrote into contains them, and they are
+        # never loadable data
+        files = [f for f in files if not os.path.basename(f).startswith((".", "_"))]
         if stmt.pattern:
             try:
                 rx = re.compile(stmt.pattern)
@@ -164,6 +209,59 @@ class CopyProcessor:
         return r
 
     # ------------------------------------------------------------------
+
+    def _unload(self, um: re.Match, ctx, query_df) -> Result:
+        """COPY INTO @stage FROM <table|(SELECT ...)> — distributed
+        export. Each executor writes its partitions directly; the only
+        driver work is path resolution and the row-count observation."""
+        stage = self.catalog.get_stage(um.group(1), ctx.database, ctx.schema)
+        prefix = (um.group(2) or "").lstrip("/")
+        src_sql, rest = _split_unload_source(um.string[um.end():])
+        src_sql = src_sql.strip()
+        if query_df is None:
+            raise errors.execution_error("unload requires an executor context")
+        if src_sql.startswith("("):
+            df = query_df(src_sql[1:-1], ctx)
+        else:
+            df = query_df(f"SELECT * FROM {src_sql}", ctx)
+        fmt, options = "CSV", {}
+        fm = _FF_INLINE_RE.search(rest)
+        if fm:
+            for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", fm.group(1)):
+                k, v = om.group(1).upper(), om.group(2)
+                if v.startswith("'"):
+                    v = v[1:-1].replace("''", "'")
+                if k == "TYPE":
+                    fmt = v.upper()
+                else:
+                    options[k] = v
+        hm = _HEADER_RE.search(rest)
+        header = bool(hm) and hm.group(1).upper() == "TRUE"
+        om_ = _OVERWRITE_RE.search(rest)
+        mode = "overwrite" if om_ and om_.group(1).upper() == "TRUE" else "append"
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from ..sources.stage import StageManager
+
+        target = StageManager(self.catalog)._resolve_inside(stage, prefix)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        writer = df.write.mode(mode)
+        if fmt == "PARQUET":
+            writer.parquet(target)
+        elif fmt == "JSON":
+            writer.json(target)
+        elif fmt == "CSV":
+            delim = options.get("FIELD_DELIMITER", ",")
+            writer.option("header", header).option("sep", delim).csv(target)
+        else:
+            raise errors.execution_error(f"unsupported unload format: {fmt}")
+        n = int(obs.get["n"])
+        r = Result(columns=["rows_unloaded"], rows=[[n]])
+        r.rows_loaded = n
+        return r
 
     def _read_file(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
         fmt = stmt.format_type
