@@ -1494,6 +1494,178 @@ GROUP BY n_name ORDER BY n_name
 """
 
 # ---------------------------------------------------------------------------
+# Round-2 function batches: codecs/hashes, bitwise/boolean, datetime
+# constructors, regression stats, RATIO_TO_REPORT, semi-structured.
+# All scalar work is pure Column expressions (whole-stage codegen; zero
+# Python in the hot path) — a 100 TB scan of these is map-only.
+# ---------------------------------------------------------------------------
+
+# Snowflake codec/hash functions through the translator. upper(hex())
+# on both sides: Spark emits uppercase hex, DuckDB lowercase.
+_SF_CODEC = """
+SELECT p_partkey,
+       BASE64_ENCODE(p_name) AS b64,
+       BASE64_DECODE_STRING(BASE64_ENCODE(p_name)) AS b64_rt,
+       HEX_ENCODE(p_brand) AS hexed,
+       MD5(p_name) AS md5h,
+       SHA2(p_name, 256) AS sha2h,
+       SPLIT_PART(p_type, ' ', 2) AS type_mid,
+       STRTOK(p_type, ' ', 3) AS tok3,
+       REPEAT(p_brand, 2) AS brand2,
+       REVERSE(p_brand) AS rbrand,
+       INSERT(p_brand, 1, 5, 'BRND') AS spliced
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+_SF_CODEC_ORACLE = """
+SELECT p_partkey,
+       base64(encode(p_name)) AS b64,
+       decode(from_base64(base64(encode(p_name)))) AS b64_rt,
+       upper(hex(p_brand)) AS hexed,
+       md5(p_name) AS md5h,
+       sha256(p_name) AS sha2h,
+       split_part(p_type, ' ', 2) AS type_mid,
+       list_filter(string_split_regex(p_type, '[ ]'), x -> x != '')[3] AS tok3,
+       repeat(p_brand, 2) AS brand2,
+       reverse(p_brand) AS rbrand,
+       concat(substr(p_brand, 1, 0), 'BRND', substr(p_brand, 6)) AS spliced
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+# Bitwise / boolean lattice / bucketing. The oracle mirrors Spark's
+# width_bucket float sequence exactly: (v - lo) / ((hi - lo) / n).
+_SF_BITWISE = """
+SELECT o_orderkey,
+       CAST(BITAND(o_orderkey, 255) AS BIGINT) AS band,
+       CAST(BITOR(o_orderkey, 16) AS BIGINT) AS bor,
+       CAST(BITXOR(o_orderkey, 85) AS BIGINT) AS bxor,
+       CAST(BITNOT(o_orderkey) AS BIGINT) AS bnot,
+       CAST(BITSHIFTLEFT(o_orderkey, 2) AS BIGINT) AS shl,
+       CAST(BITSHIFTRIGHT(o_orderkey, 3) AS BIGINT) AS shr,
+       BOOLAND(o_orderkey % 2, 1) AS ba,
+       BOOLOR(o_orderkey % 2, 0) AS bo,
+       BOOLNOT(o_orderkey % 2) AS bn,
+       BOOLXOR(o_orderkey % 2, o_orderkey % 3) AS bx,
+       CAST(WIDTH_BUCKET(o_totalprice, 0, 600000, 12) AS BIGINT) AS price_bucket
+FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey
+"""
+_SF_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS band,
+       CAST(o_orderkey | 16 AS BIGINT) AS bor,
+       CAST(xor(o_orderkey, 85) AS BIGINT) AS bxor,
+       CAST(~o_orderkey AS BIGINT) AS bnot,
+       CAST(o_orderkey << 2 AS BIGINT) AS shl,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shr,
+       ((o_orderkey % 2) <> 0) AND (1 <> 0) AS ba,
+       ((o_orderkey % 2) <> 0) OR (0 <> 0) AS bo,
+       NOT ((o_orderkey % 2) <> 0) AS bn,
+       ((o_orderkey % 2) <> 0) <> ((o_orderkey % 3) <> 0) AS bx,
+       CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 13
+                 ELSE floor((o_totalprice - 0) / ((600000.0 - 0) / 12)) + 1 END AS BIGINT) AS price_bucket
+FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey
+"""
+
+# Datetime constructors / navigation. DuckDB has no add_months /
+# next_day / previous_day — the oracle derives them from isodow
+# arithmetic (strictly-after / strictly-before semantics preserved).
+_SF_DATEBUILD = """
+SELECT o_orderkey,
+       DATE_FROM_PARTS(1995, 3, 15) AS fixed_date,
+       CAST(ADD_MONTHS(CAST(o_orderdate AS DATE), 3) AS DATE) AS plus3m,
+       NEXT_DAY(CAST(o_orderdate AS DATE), 'Friday') AS next_fri,
+       PREVIOUS_DAY(CAST(o_orderdate AS DATE), 'Monday') AS prev_mon,
+       CAST(DAYOFWEEKISO(o_orderdate) AS INTEGER) AS dow_iso,
+       TIMESTAMP_FROM_PARTS(1995, 3, 15, 10, 30, 0) AS fixed_ts
+FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey
+"""
+_SF_DATEBUILD_ORACLE = """
+SELECT o_orderkey,
+       make_date(1995, 3, 15) AS fixed_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(o_orderdate AS DATE)
+         + CAST(((5 - isodow(CAST(o_orderdate AS DATE)) + 6) % 7) + 1 AS INTEGER) AS next_fri,
+       CAST(o_orderdate AS DATE)
+         - CAST(((isodow(CAST(o_orderdate AS DATE)) - 1 + 6) % 7) + 1 AS INTEGER) AS prev_mon,
+       CAST(isodow(o_orderdate) AS INTEGER) AS dow_iso,
+       make_timestamp(1995, 3, 15, 10, 30, 0) AS fixed_ts
+FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey
+"""
+
+# Regression/correlation stats. Native corr()/regr_*() accumulate
+# floats in engine-specific order, so the last bits differ between
+# Spark and DuckDB; identical explicit formulas over decimal-exact
+# sums are bit-reproducible on both (same recipe as _AGG_VARIANCE).
+_AGG_REGR = """
+SELECT l_returnflag,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
+       round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       round((sxy - sx * sy / n) / n, 4) AS covar_pop,
+       round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+       mode_line
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(mode(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS mode_line
+  FROM lineitem GROUP BY l_returnflag
+) ORDER BY l_returnflag
+"""
+
+# RATIO_TO_REPORT window share-of-total. Decimal inner sums make the
+# partition totals order-independent; the translator rewrites to
+# x / sum(x) OVER (w) which Spark executes as a single window over one
+# shuffle on the partition key.
+_WIN_RATIO = """
+SELECT c_custkey, c_mktsegment,
+       round(RATIO_TO_REPORT(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment), 8) AS bal_share
+FROM customer WHERE c_custkey <= 1500 ORDER BY c_custkey
+"""
+_WIN_RATIO_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       round(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(nullif(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment), 0) AS DOUBLE), 8) AS bal_share
+FROM customer WHERE c_custkey <= 1500 ORDER BY c_custkey
+"""
+
+# Semi-structured: OBJECT_KEYS / TYPEOF / GET_PATH / array set ops on
+# the VARIANT-as-JSON-string model (props is a JSON object column).
+_SF_SEMI = """
+SELECT event_id,
+       OBJECT_KEYS(OBJECT_CONSTRUCT('id', event_id, 'kind', event_type)) AS okeys,
+       TYPEOF(props) AS t_obj,
+       TYPEOF(GET_PATH(props, 'k')) AS t_k,
+       GET_PATH(props, 'k') AS k_str,
+       ARRAY_COMPACT(ARRAY_CONSTRUCT(event_type, NULL, 'x')) AS compacted,
+       ARRAY_EXCEPT(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2)) AS aexc,
+       ARRAY_INTERSECTION(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2, 3, 5)) AS aint
+FROM events WHERE event_id <= 3000 ORDER BY event_id
+"""
+_SF_SEMI_ORACLE = """
+SELECT event_id,
+       json_keys(to_json(struct_pack(id := event_id, kind := event_type))) AS okeys,
+       CASE WHEN props IS NULL THEN NULL
+            WHEN left(trim(props), 1) = '{' THEN 'OBJECT'
+            WHEN left(trim(props), 1) = '[' THEN 'ARRAY'
+            ELSE 'VARCHAR' END AS t_obj,
+       CASE WHEN json_extract_string(props, '$.k') IS NULL THEN NULL
+            WHEN try_cast(trim(json_extract_string(props, '$.k')) AS BIGINT) IS NOT NULL THEN 'INTEGER'
+            WHEN try_cast(trim(json_extract_string(props, '$.k')) AS DOUBLE) IS NOT NULL THEN 'DECIMAL'
+            ELSE 'VARCHAR' END AS t_k,
+       json_extract_string(props, '$.k') AS k_str,
+       list_filter([event_type, NULL, 'x'], x -> x IS NOT NULL) AS compacted,
+       list_filter([1, 2, 3], x -> NOT list_contains([2], x)) AS aexc,
+       list_filter([1, 2, 3], x -> list_contains([2, 3, 5], x)) AS aint
+FROM events WHERE event_id <= 3000 ORDER BY event_id
+"""
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1568,6 +1740,12 @@ REGISTRY: dict[str, tuple] = {
     "sf_object_construct": (_snow(_SF_OBJ), _SF_OBJ_ORACLE),
     "sf_double_colon_cast": (_snow(_SF_CAST), _SF_CAST_ORACLE),
     "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
+    "sf_codec_hash_funcs": (_snow(_SF_CODEC), _SF_CODEC_ORACLE),
+    "sf_bitwise_bool_funcs": (_snow(_SF_BITWISE), _SF_BITWISE_ORACLE),
+    "sf_datetime_build_funcs": (_snow(_SF_DATEBUILD), _SF_DATEBUILD_ORACLE),
+    "agg_regression_stats": (_sql(_AGG_REGR), _AGG_REGR),
+    "window_ratio_to_report": (_snow(_WIN_RATIO), _WIN_RATIO_ORACLE),
+    "sf_semistructured_funcs": (_snow(_SF_SEMI), _SF_SEMI_ORACLE),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),

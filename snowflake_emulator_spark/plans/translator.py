@@ -356,6 +356,31 @@ class Translator:
                 k = j
                 while k < n and s[k].isspace():
                     k += 1
+                if k < n and s[k] == "(" and name.upper() == "RATIO_TO_REPORT":
+                    # RATIO_TO_REPORT(x) OVER (w) -> x / sum(x) OVER (w):
+                    # consume the trailing OVER clause too
+                    close = self._match_paren(s, k)
+                    if close != -1:
+                        arg = self._rewrite_calls(
+                            s[k + 1 : close].strip())
+                        j2 = close + 1
+                        while j2 < n and s[j2].isspace():
+                            j2 += 1
+                        if s[j2 : j2 + 4].upper() == "OVER":
+                            j2 += 4
+                            while j2 < n and s[j2].isspace():
+                                j2 += 1
+                            if j2 < n and s[j2] == "(":
+                                oc = self._match_paren(s, j2)
+                                if oc != -1:
+                                    win = self._rewrite_calls(
+                                        s[j2 + 1 : oc].strip())
+                                    result.append(
+                                        f"(CAST({arg} AS DOUBLE) / CAST("
+                                        f"nullif(sum({arg}) OVER ({win}), 0)"
+                                        f" AS DOUBLE))")
+                                    i = oc + 1
+                                    continue
                 if k < n and s[k] == "(" and name.upper() in _REWRITABLE:
                     close = self._match_paren(s, k)
                     if close != -1:
@@ -613,6 +638,114 @@ class Translator:
             return self._emit_dateadd(args)
         if fname == "TIMEADD":
             return self._emit_dateadd(args)
+        # -- string codecs ------------------------------------------------
+        if fname == "BASE64_ENCODE":
+            return f"base64(CAST({args[0]} AS BINARY))"
+        if fname == "BASE64_DECODE_STRING":
+            return f"CAST(unbase64({args[0]}) AS STRING)"
+        if fname == "HEX_ENCODE":
+            # Snowflake defaults to uppercase output (case arg 1)
+            if len(args) == 2 and args[1].strip() == "0":
+                return f"lower(hex({args[0]}))"
+            return f"upper(hex({args[0]}))"
+        if fname == "HEX_DECODE_STRING":
+            return f"CAST(unhex({args[0]}) AS STRING)"
+        if fname == "STRTOK":
+            # STRTOK(s[, delimiters[, part]]) — delimiters is a SET of
+            # single chars; empty tokens are skipped (unlike SPLIT_PART)
+            s = args[0]
+            delim = args[1] if len(args) >= 2 else "' '"
+            part = args[2] if len(args) >= 3 else "1"
+            rx = _regex_charclass(delim)
+            return (
+                f"try_element_at(filter(split({s}, {rx}), "
+                f"x -> x != ''), {part})"
+            )
+        if fname == "INSERT":
+            # INSERT(base, pos, len, repl): splice repl over len chars at
+            # 1-based pos (safe from DML INSERT — classifier routes DML
+            # before translation, and 'INSERT INTO' never parses as a call)
+            b, p, l, r = args
+            return (
+                f"concat(substr({b}, 1, ({p}) - 1), {r}, "
+                f"substr({b}, ({p}) + ({l})))"
+            )
+        # -- bitwise / boolean --------------------------------------------
+        if fname == "BITAND":
+            return f"(({args[0]}) & ({args[1]}))"
+        if fname == "BITOR":
+            return f"(({args[0]}) | ({args[1]}))"
+        if fname == "BITXOR":
+            return f"(({args[0]}) ^ ({args[1]}))"
+        if fname == "BITNOT":
+            return f"(~({args[0]}))"
+        if fname == "BITSHIFTLEFT":
+            return f"shiftleft({args[0]}, {args[1]})"
+        if fname == "BITSHIFTRIGHT":
+            return f"shiftright({args[0]}, {args[1]})"
+        if fname == "BOOLAND":
+            # Kleene logic on "nonzero = true" matches Snowflake's NULL
+            # behavior (FALSE wins over NULL for AND, TRUE for OR)
+            return f"((({args[0]}) <> 0) AND (({args[1]}) <> 0))"
+        if fname == "BOOLOR":
+            return f"((({args[0]}) <> 0) OR (({args[1]}) <> 0))"
+        if fname == "BOOLXOR":
+            return f"((({args[0]}) <> 0) <> (({args[1]}) <> 0))"
+        if fname == "BOOLNOT":
+            return f"(NOT (({args[0]}) <> 0))"
+        if fname == "HAVERSINE":
+            # great-circle km; mirrors Snowflake's spherical-earth formula
+            lat1, lon1, lat2, lon2 = args
+            return (
+                f"(2 * 6371 * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+            )
+        # -- datetime constructors ----------------------------------------
+        if fname == "DATE_FROM_PARTS":
+            return f"make_date({', '.join(args)})"
+        if fname == "TIMESTAMP_FROM_PARTS":
+            return f"make_timestamp({', '.join(args[:6])})"
+        if fname == "PREVIOUS_DAY":
+            # most recent <dow> STRICTLY before d: next_day over the
+            # 7-day window ending the day before d
+            return f"next_day(date_sub(CAST({args[0]} AS DATE), 8), {args[1]})"
+        if fname == "DAYOFWEEKISO":
+            return f"(weekday({args[0]}) + 1)"
+        if fname == "CONVERT_TIMEZONE":
+            if len(args) == 3:
+                return f"convert_timezone({args[0]}, {args[1]}, {args[2]})"
+            # 2-arg converts from the session timezone (UTC here)
+            return f"convert_timezone('UTC', {args[0]}, {args[1]})"
+        # -- semi-structured ----------------------------------------------
+        if fname == "OBJECT_KEYS":
+            return f"json_object_keys({args[0]})"
+        if fname == "GET_PATH":
+            m = re.match(r"^\s*'([^']*)'\s*$", args[1])
+            if m:
+                return f"get_json_object({args[0]}, '$.{m.group(1)}')"
+            return f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+        if fname == "TYPEOF":
+            # VARIANT is a JSON string in this engine: classify by shape
+            v = args[0]
+            t = f"trim({v})"
+            return (
+                f"(CASE WHEN {v} IS NULL THEN NULL"
+                f" WHEN left({t}, 1) = '{{' THEN 'OBJECT'"
+                f" WHEN left({t}, 1) = '[' THEN 'ARRAY'"
+                f" WHEN {t} = 'null' THEN 'NULL_VALUE'"
+                f" WHEN {t} IN ('true', 'false') THEN 'BOOLEAN'"
+                f" WHEN try_cast({t} AS BIGINT) IS NOT NULL THEN 'INTEGER'"
+                f" WHEN try_cast({t} AS DOUBLE) IS NOT NULL THEN 'DECIMAL'"
+                f" ELSE 'VARCHAR' END)"
+            )
+        if fname == "ARRAY_COMPACT":
+            return f"filter({args[0]}, x -> x IS NOT NULL)"
+        if fname == "ARRAY_EXCEPT":
+            return f"array_except({args[0]}, {args[1]})"
+        if fname == "ARRAY_INTERSECTION":
+            return f"array_intersect({args[0]}, {args[1]})"
         raise AssertionError(f"no emitter for {fname}")  # pragma: no cover
 
     def _emit_dateadd(self, args: list[str]) -> str:
@@ -766,7 +899,61 @@ _REWRITABLE = {
     "ARRAY_CAT",
     "ARRAY_TO_STRING",
     "ARRAY_SLICE",
+    "BASE64_ENCODE",
+    "BASE64_DECODE_STRING",
+    "HEX_ENCODE",
+    "HEX_DECODE_STRING",
+    "STRTOK",
+    "INSERT",
+    "BITAND",
+    "BITOR",
+    "BITXOR",
+    "BITNOT",
+    "BITSHIFTLEFT",
+    "BITSHIFTRIGHT",
+    "BOOLAND",
+    "BOOLOR",
+    "BOOLXOR",
+    "BOOLNOT",
+    "HAVERSINE",
+    "DATE_FROM_PARTS",
+    "TIMESTAMP_FROM_PARTS",
+    "PREVIOUS_DAY",
+    "DAYOFWEEKISO",
+    "CONVERT_TIMEZONE",
+    "OBJECT_KEYS",
+    "GET_PATH",
+    "TYPEOF",
+    "ARRAY_COMPACT",
+    "ARRAY_EXCEPT",
+    "ARRAY_INTERSECTION",
 }
+
+
+def _regex_charclass(delim_arg: str) -> str:
+    """Turn a STRTOK delimiter-set literal into a safe regex character
+    class (each char matches individually). Non-literal expressions fall
+    back to a single-char class via regexp escaping at runtime — keep
+    the literal path, which is the overwhelmingly common case."""
+    m = re.match(r"^\s*'([^']*)'\s*$", delim_arg)
+    if not m:
+        return delim_arg
+    chars = m.group(1)
+    if "]" in chars or "\\" in chars or not chars:
+        # backslash escapes do not survive Spark's SQL string lexer
+        # (see _regex_literal) — pass through rather than emit a broken
+        # class; plain split-on-literal still handles the 1-char case
+        return delim_arg
+    # inside a class almost everything is literal; '-' must be last and
+    # '^' must not be first
+    ordered = "".join(c for c in chars if c not in "-^")
+    if "^" in chars:
+        if not ordered and "-" not in chars:
+            return delim_arg  # lone '^' cannot head a class; pass through
+        ordered += "^"
+    if "-" in chars:
+        ordered += "-"
+    return f"'[{ordered}]'"
 
 def _regex_literal(arg: str) -> str:
     """Snowflake SPLIT_TO_TABLE delimiters are literal strings but

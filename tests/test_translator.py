@@ -327,3 +327,79 @@ def test_sample_rows_rewrite():
         "SELECT * FROM t TABLESAMPLE (5 ROWS)"
     assert translate("SELECT * FROM t SAMPLE ROW (10)") == \
         "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("SELECT BASE64_ENCODE(x) FROM t",
+         "SELECT base64(CAST(x AS BINARY)) FROM t"),
+        ("SELECT BASE64_DECODE_STRING(x) FROM t",
+         "SELECT CAST(unbase64(x) AS STRING) FROM t"),
+        ("SELECT HEX_ENCODE(x) FROM t", "SELECT upper(hex(x)) FROM t"),
+        ("SELECT HEX_ENCODE(x, 0) FROM t", "SELECT lower(hex(x)) FROM t"),
+        ("SELECT HEX_DECODE_STRING(x) FROM t",
+         "SELECT CAST(unhex(x) AS STRING) FROM t"),
+        # STRTOK: delimiter set -> char class, empty tokens skipped
+        ("SELECT STRTOK(s, ',.', 2) FROM t",
+         "SELECT try_element_at(filter(split(s, '[,.]'), x -> x != ''), 2) FROM t"),
+        # defaults: space delimiter, part 1
+        ("SELECT STRTOK(s) FROM t",
+         "SELECT try_element_at(filter(split(s, '[ ]'), x -> x != ''), 1) FROM t"),
+        # '-' forced to class tail so it cannot form a range
+        ("SELECT STRTOK(s, '-_', 1) FROM t",
+         "SELECT try_element_at(filter(split(s, '[_-]'), x -> x != ''), 1) FROM t"),
+        ("SELECT INSERT(b, 2, 3, 'XY') FROM t",
+         "SELECT concat(substr(b, 1, (2) - 1), 'XY', substr(b, (2) + (3))) FROM t"),
+    ],
+)
+def test_codec_string_rewrites(sql, expected):
+    assert translate(sql) == expected
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("SELECT BITAND(a, 255) FROM t", "SELECT ((a) & (255)) FROM t"),
+        ("SELECT BITSHIFTLEFT(a, 2) FROM t", "SELECT shiftleft(a, 2) FROM t"),
+        ("SELECT BITSHIFTRIGHT(a, 2) FROM t", "SELECT shiftright(a, 2) FROM t"),
+        ("SELECT BITNOT(a) FROM t", "SELECT (~(a)) FROM t"),
+        ("SELECT BOOLAND(a, b) FROM t",
+         "SELECT (((a) <> 0) AND ((b) <> 0)) FROM t"),
+        ("SELECT BOOLNOT(a) FROM t", "SELECT (NOT ((a) <> 0)) FROM t"),
+        ("SELECT DATE_FROM_PARTS(y, m, d) FROM t",
+         "SELECT make_date(y, m, d) FROM t"),
+        ("SELECT PREVIOUS_DAY(d, 'Monday') FROM t",
+         "SELECT next_day(date_sub(CAST(d AS DATE), 8), 'Monday') FROM t"),
+        ("SELECT DAYOFWEEKISO(d) FROM t", "SELECT (weekday(d) + 1) FROM t"),
+        # 2-arg CONVERT_TIMEZONE converts from the session tz (UTC)
+        ("SELECT CONVERT_TIMEZONE('America/New_York', ts) FROM t",
+         "SELECT convert_timezone('UTC', 'America/New_York', ts) FROM t"),
+        ("SELECT OBJECT_KEYS(v) FROM t", "SELECT json_object_keys(v) FROM t"),
+        ("SELECT GET_PATH(v, 'a.b') FROM t",
+         "SELECT get_json_object(v, '$.a.b') FROM t"),
+        ("SELECT ARRAY_COMPACT(a) FROM t",
+         "SELECT filter(a, x -> x IS NOT NULL) FROM t"),
+    ],
+)
+def test_bitwise_datetime_semi_rewrites(sql, expected):
+    assert translate(sql) == expected
+
+
+def test_ratio_to_report_rewrite():
+    out = translate(
+        "SELECT RATIO_TO_REPORT(bal) OVER (PARTITION BY seg) AS shr FROM t")
+    assert out == (
+        "SELECT (CAST(bal AS DOUBLE) / CAST(nullif(sum(bal) OVER "
+        "(PARTITION BY seg), 0) AS DOUBLE)) AS shr FROM t")
+    # window itself is translated too
+    out2 = translate(
+        "SELECT RATIO_TO_REPORT(x) OVER (PARTITION BY IFF(a, 1, 2)) FROM t")
+    assert "if(a, 1, 2)" in out2
+
+
+def test_haversine_rewrite():
+    out = translate("SELECT HAVERSINE(40.7, -74.0, 51.5, -0.1) FROM t")
+    # spherical-earth formula: radius 6371 km, asin of sqrt of hav terms
+    assert "2 * 6371 * asin(sqrt(" in out
+    assert out.count("radians") == 4
