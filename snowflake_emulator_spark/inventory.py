@@ -1665,6 +1665,80 @@ SELECT event_id,
 FROM events WHERE event_id <= 3000 ORDER BY event_id
 """
 
+# Array family round 2: insert/sort/range/flatten/min/max/append +
+# ARRAYS_TO_OBJECT. ARRAY_GENERATE_RANGE excludes its stop bound
+# (Snowflake) — Spark sequence() includes it, so the translator emits
+# stop-1; DuckDB range() is exclusive natively.
+_SF_ARRAY2 = """
+SELECT n_nationkey,
+       ARRAY_INSERT(ARRAY_CONSTRUCT(1, 2, 3), 1, 99) AS ains,
+       ARRAY_SORT(ARRAY_CONSTRUCT(n_nationkey, 3, 1), TRUE) AS asorted,
+       ARRAY_GENERATE_RANGE(0, n_nationkey % 5 + 2) AS arange,
+       ARRAY_MAX(ARRAY_CONSTRUCT(n_nationkey, 10)) AS amax,
+       ARRAY_MIN(ARRAY_CONSTRUCT(n_nationkey, 10)) AS amin,
+       ARRAY_APPEND(ARRAY_CONSTRUCT(1, 2), n_nationkey) AS aapp,
+       ARRAY_FLATTEN(ARRAY_CONSTRUCT(ARRAY_CONSTRUCT(1, 2), ARRAY_CONSTRUCT(n_nationkey))) AS aflat,
+       ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('a', 'b'), ARRAY_CONSTRUCT(1, n_nationkey)) AS obj
+FROM nation ORDER BY n_nationkey
+"""
+_SF_ARRAY2_ORACLE = """
+SELECT n_nationkey,
+       [1, 99, 2, 3] AS ains,
+       list_sort([n_nationkey, 3, 1]) AS asorted,
+       range(0, n_nationkey % 5 + 2) AS arange,
+       list_max([n_nationkey, 10]) AS amax,
+       list_min([n_nationkey, 10]) AS amin,
+       list_append([1, 2], n_nationkey) AS aapp,
+       flatten([[1, 2], [n_nationkey]]) AS aflat,
+       to_json(map(['a', 'b'], [1, n_nationkey])) AS obj
+FROM nation ORDER BY n_nationkey
+"""
+
+# GREATEST/LEAST null propagation: Snowflake returns NULL when ANY
+# argument is NULL; Spark and DuckDB both skip NULLs, so the translator
+# wraps a CASE and the oracle states the NULL explicitly.
+_SF_GREATEST = """
+SELECT c_custkey,
+       GREATEST(c_custkey % 7, c_nationkey, 3) AS g1,
+       LEAST(c_custkey % 7, c_nationkey, 3) AS l1,
+       GREATEST(c_custkey, NULLIF(c_nationkey, c_nationkey)) AS g_null
+FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
+"""
+_SF_GREATEST_ORACLE = """
+SELECT c_custkey,
+       greatest(c_custkey % 7, c_nationkey, 3) AS g1,
+       least(c_custkey % 7, c_nationkey, 3) AS l1,
+       CAST(NULL AS BIGINT) AS g_null
+FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
+"""
+
+# Recursive CTE (Spark 4 native recursion; ANSI text runs on both
+# engines). The recursion is driver-cheap (25 rows) — the heavy side
+# stays a distributed join/agg.
+_RECURSIVE_CTE = """
+WITH RECURSIVE buckets(n) AS (
+  SELECT 0
+  UNION ALL
+  SELECT n + 1 FROM buckets WHERE n < 24
+)
+SELECT b.n AS bucket,
+       CAST(count(c_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM buckets b LEFT JOIN customer ON c_nationkey = b.n
+GROUP BY b.n ORDER BY b.n
+"""
+
+# GROUPING() flags over ROLLUP (same text both engines)
+_AGG_GROUPING_FN = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1746,6 +1820,10 @@ REGISTRY: dict[str, tuple] = {
     "agg_regression_stats": (_sql(_AGG_REGR), _AGG_REGR),
     "window_ratio_to_report": (_snow(_WIN_RATIO), _WIN_RATIO_ORACLE),
     "sf_semistructured_funcs": (_snow(_SF_SEMI), _SF_SEMI_ORACLE),
+    "sf_array_funcs2": (_snow(_SF_ARRAY2), _SF_ARRAY2_ORACLE),
+    "sf_greatest_least": (_snow(_SF_GREATEST), _SF_GREATEST_ORACLE),
+    "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
+    "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),

@@ -746,6 +746,53 @@ class Translator:
             return f"array_except({args[0]}, {args[1]})"
         if fname == "ARRAY_INTERSECTION":
             return f"array_intersect({args[0]}, {args[1]})"
+        if fname == "ARRAY_INSERT":
+            # Snowflake position is 0-based; Spark's is 1-based
+            return f"array_insert({args[0]}, ({args[1]}) + 1, {args[2]})"
+        if fname == "ARRAY_SORT":
+            if len(args) == 1:
+                return f"array_sort({args[0]})"
+            # 2-/3-arg: sort_array covers the asc flag; Spark pins nulls
+            # to the small end which matches Snowflake's default
+            return f"sort_array({args[0]}, {args[1]})"
+        if fname == "ARRAY_GENERATE_RANGE":
+            # Snowflake excludes the stop bound; Spark sequence includes it
+            if len(args) == 2:
+                return f"sequence({args[0]}, ({args[1]}) - 1)"
+            return (
+                f"sequence({args[0]}, ({args[1]}) - CAST(sign({args[2]}) AS INT), "
+                f"{args[2]})"
+            )
+        if fname == "ARRAY_FLATTEN":
+            return f"flatten({args[0]})"
+        if fname == "ARRAYS_TO_OBJECT":
+            return f"to_json(map_from_arrays({args[0]}, {args[1]}))"
+        if fname in ("GREATEST", "LEAST"):
+            # Snowflake returns NULL when ANY argument is NULL; Spark's
+            # greatest/least skip NULLs
+            nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+            return (
+                f"(CASE WHEN {nulls} THEN NULL "
+                f"ELSE {fname.lower()}({', '.join(args)}) END)"
+            )
+        if fname in ("SYSDATE", "GETDATE", "SYSTIMESTAMP"):
+            return "current_timestamp()"
+        if fname == "TRUNC":
+            # dual-mode: TRUNC(x, 'PART') truncates a date/timestamp;
+            # TRUNC(x, n) truncates a number toward zero (floor rounds
+            # toward -inf, so route through a BIGINT cast instead).
+            # 1-arg numeric TRUNC passes through unhandled — type
+            # information isn't available textually.
+            if len(args) == 2:
+                p = args[1].strip()
+                m = re.match(r"^'(\w+)'$", p)
+                if m and normalize_date_part(m.group(1)) is not None:
+                    return f"date_trunc('{m.group(1)}', {args[0]})"
+                return (
+                    f"(CAST(CAST(({args[0]}) * pow(10, {p}) AS BIGINT) AS DOUBLE)"
+                    f" / pow(10, {p}))"
+                )
+            return f"TRUNC({', '.join(args)})"
         raise AssertionError(f"no emitter for {fname}")  # pragma: no cover
 
     def _emit_dateadd(self, args: list[str]) -> str:
@@ -927,6 +974,17 @@ _REWRITABLE = {
     "ARRAY_COMPACT",
     "ARRAY_EXCEPT",
     "ARRAY_INTERSECTION",
+    "ARRAY_INSERT",
+    "ARRAY_SORT",
+    "ARRAY_GENERATE_RANGE",
+    "ARRAY_FLATTEN",
+    "ARRAYS_TO_OBJECT",
+    "GREATEST",
+    "LEAST",
+    "SYSDATE",
+    "GETDATE",
+    "SYSTIMESTAMP",
+    "TRUNC",
 }
 
 

@@ -403,3 +403,41 @@ def test_haversine_rewrite():
     # spherical-earth formula: radius 6371 km, asin of sqrt of hav terms
     assert "2 * 6371 * asin(sqrt(" in out
     assert out.count("radians") == 4
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        # Snowflake position is 0-based; Spark's 1-based
+        ("SELECT ARRAY_INSERT(a, 1, v) FROM t",
+         "SELECT array_insert(a, (1) + 1, v) FROM t"),
+        ("SELECT ARRAY_SORT(a) FROM t", "SELECT array_sort(a) FROM t"),
+        ("SELECT ARRAY_SORT(a, TRUE) FROM t",
+         "SELECT sort_array(a, TRUE) FROM t"),
+        # Snowflake excludes the stop bound; sequence() includes it
+        ("SELECT ARRAY_GENERATE_RANGE(0, 5) FROM t",
+         "SELECT sequence(0, (5) - 1) FROM t"),
+        ("SELECT ARRAY_GENERATE_RANGE(0, 10, s) FROM t",
+         "SELECT sequence(0, (10) - CAST(sign(s) AS INT), s) FROM t"),
+        ("SELECT ARRAY_FLATTEN(a) FROM t", "SELECT flatten(a) FROM t"),
+        ("SELECT ARRAYS_TO_OBJECT(k, v) FROM t",
+         "SELECT to_json(map_from_arrays(k, v)) FROM t"),
+        # Snowflake GREATEST/LEAST return NULL when ANY arg is NULL
+        ("SELECT GREATEST(a, b) FROM t",
+         "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL THEN NULL"
+         " ELSE greatest(a, b) END) FROM t"),
+        ("SELECT LEAST(a, b, c) FROM t",
+         "SELECT (CASE WHEN (a) IS NULL OR (b) IS NULL OR (c) IS NULL"
+         " THEN NULL ELSE least(a, b, c) END) FROM t"),
+        ("SELECT SYSDATE() FROM t", "SELECT current_timestamp() FROM t"),
+        ("SELECT GETDATE() FROM t", "SELECT current_timestamp() FROM t"),
+        # TRUNC dual mode: date part string vs numeric scale
+        ("SELECT TRUNC(d, 'MONTH') FROM t",
+         "SELECT date_trunc('MONTH', d) FROM t"),
+        ("SELECT TRUNC(x, 2) FROM t",
+         "SELECT (CAST(CAST((x) * pow(10, 2) AS BIGINT) AS DOUBLE)"
+         " / pow(10, 2)) FROM t"),
+    ],
+)
+def test_array2_greatest_trunc_rewrites(sql, expected):
+    assert translate(sql) == expected
