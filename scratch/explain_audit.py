@@ -47,6 +47,19 @@ AUDIT = [
     ("sf_split_to_table", ["Generate", "!BroadcastNestedLoopJoin"]),
     # stratified sample: filter is a map stage feeding partial agg
     ("sample_stratified_hash", ["HashAggregate", "!Exchange hashpartitioning(c_custkey"]),
+    # round-2 function batches: scalar batches must stay map-only
+    # (pushed scan filter + project, no shuffle beyond the final sort)
+    ("sf_codec_hash_funcs", ["PushedFilters", "!BroadcastNestedLoopJoin"]),
+    ("sf_bitwise_bool_funcs", ["PushedFilters"]),
+    ("sf_datetime_build_funcs", ["PushedFilters"]),
+    # regression stats: one partial+final agg pair, no extra shuffle
+    ("agg_regression_stats", ["HashAggregate"]),
+    # share-of-total: a single window over one partition-key exchange
+    ("window_ratio_to_report", ["Window"]),
+    ("sf_semistructured_funcs", ["PushedFilters"]),
+    # recursion is 25 driver-cheap rows; the customer side joins it
+    # broadcast, never shuffling the big table
+    ("recursive_cte_buckets", ["BroadcastHashJoin", "!SortMergeJoin"]),
 ]
 
 
