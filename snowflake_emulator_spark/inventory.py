@@ -1712,6 +1712,51 @@ SELECT c_custkey,
 FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
 """
 
+# Skew-resistant salted join (operators/skew.py): events' hot key
+# ('click' events all collapse onto key 0) joins a per-key dim spread
+# over 8 sub-keys. Results are identical to the plain join — the oracle
+# IS the plain join — only the shuffle distribution differs.
+def _salted_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.col("user_id") % 997)
+        .alias("hk"),
+    )
+    dim = spark.sql(
+        "SELECT o_orderkey % 997 AS hk, "
+        "max(CAST(o_totalprice AS DECIMAL(18,2))) AS dim_val "
+        "FROM orders GROUP BY 1"
+    )
+    j = salted_join(ev, dim, ["hk"], salt=8)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dim_val").cast("double").alias("dim_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dim_val) AS DOUBLE) AS dim_sum
+FROM (
+  SELECT e.event_type, d.dim_val
+  FROM (SELECT event_type,
+               CASE WHEN event_type = 'click' THEN 0 ELSE user_id % 997 END AS hk
+        FROM events) e
+  JOIN (SELECT o_orderkey % 997 AS hk,
+               max(CAST(o_totalprice AS DECIMAL(18,2))) AS dim_val
+        FROM orders GROUP BY 1) d ON e.hk = d.hk
+) GROUP BY event_type ORDER BY event_type
+"""
+
 # Recursive CTE (Spark 4 native recursion; ANSI text runs on both
 # engines). The recursion is driver-cheap (25 rows) — the heavy side
 # stays a distributed join/agg.
@@ -1824,6 +1869,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_greatest_least": (_snow(_SF_GREATEST), _SF_GREATEST_ORACLE),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
+    "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
