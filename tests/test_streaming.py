@@ -105,3 +105,43 @@ def test_streaming_dedup(spark, tmp_path):
     assert ids == [1, 3, 5]
     fps = {r["doc_id"]: r["fp"] for r in rows}
     assert len(set(fps.values())) == 3
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks attribute to impressions
+    of the same user within the interval; out-of-window and other-user
+    impressions are excluded. State bounded by watermark."""
+    from snowflake_emulator_spark.streaming import join_stream
+
+    clicks_dir = tmp_path / "clicks"
+    imps_dir = tmp_path / "imps"
+    clicks_dir.mkdir()
+    imps_dir.mkdir()
+    clicks = [
+        # joins imp at 00:00:10 (40 s gap, within 1 min)
+        {"event_id": 1, "ts": "2024-01-01T00:00:50", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        # no impression within the window (imp is 2 min earlier)
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": 2, "event_type": "click", "value": 2.0, "props": "{}"},
+    ]
+    imps = [
+        {"event_id": 10, "ts": "2024-01-01T00:00:10", "user_id": 1, "event_type": "imp", "value": 0.5, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T00:03:00", "user_id": 2, "event_type": "imp", "value": 0.7, "props": "{}"},
+        # same window but different user: must not join
+        {"event_id": 12, "ts": "2024-01-01T00:00:20", "user_id": 3, "event_type": "imp", "value": 0.9, "props": "{}"},
+    ]
+    with open(clicks_dir / "c.json", "w") as f:
+        for r in clicks:
+            f.write(json.dumps(r) + "\n")
+    with open(imps_dir / "i.json", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+
+    c = events_stream.read_event_stream(spark, str(clicks_dir))
+    i = events_stream.read_event_stream(spark, str(imps_dir))
+    joined = join_stream.interval_join(c, i, watermark="10 minutes", within="1 minute")
+    assert joined.isStreaming
+    events_stream.run_to_memory_sink(joined, name="t_join", timeout_s=120,
+                                     output_mode="append")
+    rows = [tuple(r) for r in spark.sql(
+        "SELECT user_id, click_value, imp_value FROM t_join").collect()]
+    assert rows == [(1, 1.0, 0.5)]
