@@ -1712,6 +1712,27 @@ SELECT c_custkey,
 FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
 """
 
+# Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
+# view→click conversion within 5 minutes, expressed as lag() over the
+# per-user event sequence — one window over one shuffle on user_id,
+# which is exactly the partitioning a 100 TB event log would already
+# have. Deterministic tie-break on event_id.
+_EVENTS_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS conversions
+FROM seq
+WHERE event_type = 'click' AND prev_type = 'view'
+  AND ts <= prev_ts + INTERVAL 5 MINUTE
+GROUP BY user_id
+HAVING count(*) >= 1
+ORDER BY user_id
+"""
+
 # Skew-resistant salted join (operators/skew.py): events' hot key
 # ('click' events all collapse onto key 0) joins a per-key dim spread
 # over 8 sub-keys. Results are identical to the plain join — the oracle
@@ -1870,6 +1891,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
+    "events_funnel_pattern": (_sql(_EVENTS_FUNNEL), _EVENTS_FUNNEL),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),

@@ -777,6 +777,11 @@ class Translator:
             )
         if fname in ("SYSDATE", "GETDATE", "SYSTIMESTAMP"):
             return "current_timestamp()"
+        if fname == "APPROX_PERCENTILE":
+            return f"percentile_approx({', '.join(args)})"
+        if fname == "HLL":
+            # HyperLogLog distinct-count sketch
+            return f"approx_count_distinct({', '.join(args)})"
         if fname == "TRUNC":
             # dual-mode: TRUNC(x, 'PART') truncates a date/timestamp;
             # TRUNC(x, n) truncates a number toward zero (floor rounds
@@ -985,6 +990,8 @@ _REWRITABLE = {
     "GETDATE",
     "SYSTIMESTAMP",
     "TRUNC",
+    "APPROX_PERCENTILE",
+    "HLL",
 }
 
 

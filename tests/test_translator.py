@@ -441,3 +441,10 @@ def test_haversine_rewrite():
 )
 def test_array2_greatest_trunc_rewrites(sql, expected):
     assert translate(sql) == expected
+
+
+def test_approx_sketch_rewrites():
+    assert translate("SELECT APPROX_PERCENTILE(x, 0.9) FROM t") == \
+        "SELECT percentile_approx(x, 0.9) FROM t"
+    assert translate("SELECT HLL(x) FROM t") == \
+        "SELECT approx_count_distinct(x) FROM t"
