@@ -251,6 +251,8 @@ class CopyProcessor:
         writer = df.write.mode(mode)
         if fmt == "PARQUET":
             writer.parquet(target)
+        elif fmt == "ORC":
+            writer.orc(target)
         elif fmt == "JSON":
             writer.json(target)
         elif fmt == "CSV":
@@ -271,6 +273,11 @@ class CopyProcessor:
             return self._read_json(path, stmt, tm)
         if fmt == "PARQUET":
             df = self.spark.read.parquet(path)
+            return self._positional_cast(df, tm)
+        if fmt == "ORC":
+            # beyond reference (it rejects even PARQUET, copy_processor
+            # parity note above); ORC is a first-class Spark source
+            df = self.spark.read.orc(path)
             return self._positional_cast(df, tm)
         raise errors.invalid_parameter(f"unsupported file format: {fmt}")
 

@@ -144,3 +144,23 @@ def test_copy_unload_csv_header(engine, tmp_path):
     content = open(files[0]).read()
     assert content.splitlines()[0] == "ID,V" or content.splitlines()[0] == "id,v"
     assert "7,x" in content
+
+
+def test_copy_orc_roundtrip(engine, tmp_path):
+    """ORC unload + load (beyond reference: Spark-native columnar
+    format alongside PARQUET)."""
+    ctx = SessionContext()
+    engine.execute("CREATE STAGE orc_st", ctx)
+    engine.execute("CREATE TABLE orc_src (id INTEGER, name VARCHAR)", ctx)
+    engine.execute("INSERT INTO orc_src VALUES (1,'a'),(2,'b')", ctx)
+    r = engine.execute(
+        "COPY INTO @orc_st/o FROM orc_src FILE_FORMAT = (TYPE = ORC) "
+        "OVERWRITE = TRUE", ctx)
+    assert r.rows[0][0] == 2
+    engine.execute("CREATE TABLE orc_dst (id INTEGER, name VARCHAR)", ctx)
+    r2 = engine.execute(
+        "COPY INTO orc_dst FROM @orc_st/o FILE_FORMAT = (TYPE = ORC) "
+        "PATTERN = '.*orc'", ctx)
+    assert r2.rows_loaded == 2
+    res = engine.execute("SELECT id, name FROM orc_dst ORDER BY id", ctx)
+    assert [tuple(x) for x in res.rows] == [(1, "a"), (2, "b")]
