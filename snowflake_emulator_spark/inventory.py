@@ -50,8 +50,15 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t == "events":
-            # TIMESTAMP(NANOS) arrives as long; convert to microseconds
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # fixtures have shipped ts as TIMESTAMP(NANOS) (arrives as
+            # long under the nanos-as-long flag) and as TIMESTAMP(MICROS)
+            # (arrives as timestamp_ntz); normalize either to a session-tz
+            # (UTC) microsecond timestamp so downstream queries see one type
+            ts_type = df.schema["ts"].dataType.simpleString()
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         # the driver fixtures are single-row-group parquet files, which
         # Spark cannot split — every scan stage would run as ONE task
         # and serialize all per-row expression work (shingling, date
