@@ -1302,7 +1302,7 @@ def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b",
             F.round(similarity._dot(F.col("va"), F.col("vb"), None) / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.55)
+        .filter(F.col("cosine_sim") >= 0.42)
         .orderBy("id_a", "id_b")
     )
 
@@ -1315,7 +1315,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.55
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.42
 ORDER BY id_a, id_b
 """
 
@@ -1323,7 +1323,7 @@ ORDER BY id_a, id_b
 def _embed_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    return similarity.cosine_near_pairs(e, threshold=0.55, dim=64, n_planes=4).orderBy("id_a", "id_b")
+    return similarity.cosine_near_pairs(e, threshold=0.42, dim=64, n_planes=4).orderBy("id_a", "id_b")
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
