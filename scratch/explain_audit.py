@@ -60,6 +60,22 @@ AUDIT = [
     # recursion is 25 driver-cheap rows; the customer side joins it
     # broadcast, never shuffling the big table
     ("recursive_cte_buckets", ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # TPC-H remainder: subquery decorrelation must plan as hash joins
+    # (the correlated scalar in Q2/Q17 becomes an aggregate joined back;
+    # EXISTS/NOT EXISTS in Q4/Q21/Q22 become semi/anti hash joins)
+    ("q2_min_cost_supplier", ["BroadcastHashJoin", "!CartesianProduct"]),
+    ("q4_order_priority", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    ("q11_important_parts", ["HashAggregate", "!CartesianProduct"]),
+    ("q13_customer_distribution", ["HashAggregate"]),
+    ("q15_top_supplier", ["HashAggregate", "!CartesianProduct"]),
+    ("q16_supplier_part_groups", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    ("q17_small_qty_revenue", ["BroadcastHashJoin", "!CartesianProduct"]),
+    ("q18_large_volume_customers", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # Q19's OR-of-ANDs must stay an equi-join on partkey with the
+    # disjunction as a post-join filter — not degrade to a nested loop
+    ("q19_disjunctive_revenue", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    ("q21_waiting_suppliers", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    ("q22_idle_customers", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
 ]
 
 

@@ -248,6 +248,225 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
 """
 
+#  --- TPC-H remainder (adapted to fixture columns: no partsupp table,
+#  no l_commitdate/l_receiptdate/l_shipmode/c_phone) ---------------------
+#  Each adaptation keeps the ORIGINAL query's optimizer pattern —
+#  correlated scalar subqueries, EXISTS/NOT EXISTS decorrelation,
+#  IN-over-aggregate, OR-of-ANDs pushdown, left-join distributions —
+#  because those shapes, not the literal column names, are what a plan
+#  must survive at 100 TB. Decimal-cast sums keep both engines bit-exact.
+
+#  Q2: min-cost supplier per part (correlated scalar MIN; DISTINCT
+#  because several lineitems can hit the per-part minimum unit price).
+_Q2 = """
+SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 25 AND p.p_type = 'LARGE' AND r.r_name = 'ASIA'
+  AND l.l_extendedprice / l.l_quantity = (
+    SELECT min(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+#  Q4: order-priority checking (EXISTS decorrelation; "late" proxy =
+#  shipped more than 60 days after the order date).
+_Q4 = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+#  Q11: important part values for one nation (GROUP BY ... HAVING
+#  against an uncorrelated scalar-subquery fraction of the global sum).
+_Q11 = """
+SELECT l.l_partkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_partkey
+HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) > (
+  SELECT sum(CAST(l2.l_extendedprice AS DECIMAL(18,2))) * 0.001
+  FROM lineitem l2
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  WHERE n2.n_name = 'NATION_7')
+ORDER BY part_value DESC, l_partkey
+"""
+
+#  Q12: shipping buckets vs order priority (conditional CASE sums over
+#  the orders⋈lineitem backbone; l_returnflag stands in for l_shipmode).
+_Q12 = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l_returnflag
+"""
+
+#  Q13: customer order-count distribution (left join preserving
+#  zero-order customers, then a distribution over the counts).
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+#  Q15: top supplier by quarterly revenue (CTE reused twice: once as
+#  the join input, once inside the scalar MAX — classic view pattern).
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+#  Q16: supplier count per part group, excluding flagged suppliers
+#  (NOT IN subquery + COUNT(DISTINCT) after a dimension join).
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+#  Q17: small-quantity-order revenue (correlated AVG subquery per part;
+#  the decorrelated plan is an aggregate joined back on partkey).
+_Q17 = """
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'MEDIUM'
+  AND l.l_quantity < (
+    SELECT 0.4 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+#  Q18: large-volume customers (IN over a GROUP BY ... HAVING aggregate,
+#  then re-aggregation on the joined backbone).
+_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l2.l_orderkey FROM lineitem l2
+  GROUP BY l2.l_orderkey
+  HAVING sum(CAST(l2.l_quantity AS DECIMAL(18,2))) > 220)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+#  Q19: discounted revenue over an OR of conjunctive brand/size/qty
+#  ranges — the canonical disjunctive-pushdown test: the whole predicate
+#  must reach the join, not turn into a cross product.
+_Q19 = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+#  Q20: suppliers with significant volume of a part family in one year
+#  (IN over nested IN + GROUP BY ... HAVING — two decorrelation layers).
+_Q20 = """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 100)
+ORDER BY s_name
+"""
+
+#  Q21: suppliers who held up multi-supplier orders (EXISTS + NOT EXISTS
+#  pair on the same fact table; "holding up" = shipped strictly after
+#  every other supplier on a finished order).
+_Q21 = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F' AND n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_18', 'NATION_23')
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+#  Q22: lapsed high-balance customers (scalar AVG subquery + NOT EXISTS
+#  anti-join; nation-key buckets stand in for phone country codes; every
+#  fixture customer has SOME order, so 'idle' = none since 1999).
+_Q22 = """
+SELECT c.c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 4, 10, 13, 17, 22)
+  AND c.c_acctbal > (
+    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 4, 10, 13, 17, 22))
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
 #  UNPIVOT (Snowflake/SQL-standard syntax; Spark >= 3.4 and DuckDB both
 #  accept it verbatim): wide metrics -> long (metric, val) rows.
 _UNPIVOT = """
@@ -1825,6 +2044,19 @@ REGISTRY: dict[str, tuple] = {
     "q8_market_share": (_sql(_Q8), _Q8),
     "q9_profit_by_nation": (_sql(_Q9), _Q9),
     "q14_promo_revenue": (_sql(_Q14), _Q14),
+    "q2_min_cost_supplier": (_sql(_Q2), _Q2),
+    "q4_order_priority": (_sql(_Q4), _Q4),
+    "q11_important_parts": (_sql(_Q11), _Q11),
+    "q12_priority_buckets": (_sql(_Q12), _Q12),
+    "q13_customer_distribution": (_sql(_Q13), _Q13),
+    "q15_top_supplier": (_sql(_Q15), _Q15),
+    "q16_supplier_part_groups": (_sql(_Q16), _Q16),
+    "q17_small_qty_revenue": (_sql(_Q17), _Q17),
+    "q18_large_volume_customers": (_sql(_Q18), _Q18),
+    "q19_disjunctive_revenue": (_sql(_Q19), _Q19),
+    "q20_part_family_suppliers": (_sql(_Q20), _Q20),
+    "q21_waiting_suppliers": (_sql(_Q21), _Q21),
+    "q22_idle_customers": (_sql(_Q22), _Q22),
     "unpivot_line_metrics": (_sql(_UNPIVOT), _UNPIVOT),
     "q3_shipping_priority": (_sql(_Q3), _Q3),
     "q5_local_supplier": (_sql(_Q5), _Q5),
