@@ -76,6 +76,9 @@ AUDIT = [
     ("q19_disjunctive_revenue", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
     ("q21_waiting_suppliers", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
     ("q22_idle_customers", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # decontamination: benchmark gram set broadcast against the corpus
+    # gram explosion — never a shuffle of the corpus side for the probe
+    ("text_decontaminate", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
 ]
 
 

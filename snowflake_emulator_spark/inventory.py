@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import chunking, dedup, similarity, textstats
+from .operators import chunking, decontaminate, dedup, similarity, textstats
 from .plans.translator import translate
 
 TABLES = [
@@ -1208,6 +1208,39 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap):
+    every 97th document stands in for the held-out benchmark set; a
+    corpus doc is contaminated if it shares any 4-word-gram with it.
+    Scale shape: corpus grams explode map-side, the benchmark gram set
+    broadcasts, one groupBy(doc_id) shuffle."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate.contaminated_docs(corpus, bench, n=4).orderBy("doc_id")
+
+
+_DECONTAM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, str_split({_NORM_DUCK}, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 3), ' ') AS g
+  FROM norm, unnest(range(1, greatest(len(w) - 2, 1))) AS u(i)
+  WHERE len(w) >= 4),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit_grams
+  FROM grams c JOIN bench b ON c.g = b.g
+  WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id)
+SELECT h.doc_id, h.n_hit_grams, s.n_grams,
+       round(CAST(h.n_hit_grams AS DOUBLE) / s.n_grams, 6) AS hit_ratio
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+ORDER BY h.doc_id
+"""
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: ~10% of each
     market segment, reproducible across engines and runs (the
@@ -1542,7 +1575,11 @@ ORDER BY id_a, id_b
 def _embed_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    return similarity.cosine_near_pairs(e, threshold=0.42, dim=64, n_planes=4).orderBy("id_a", "id_b")
+    # 16 bands x 4 planes: per-band collision p≈0.17 at cos 0.42, so
+    # banding lifts pair recall to 1-(1-p)^16 ≈ 0.95 (vs 0.17 single-band)
+    return similarity.cosine_near_pairs(
+        e, threshold=0.42, dim=64, n_planes=4, n_bands=16
+    ).orderBy("id_a", "id_b")
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2150,6 +2187,7 @@ REGISTRY: dict[str, tuple] = {
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
     "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),
+    "text_decontaminate": (_text_decontaminate, _DECONTAM_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions

@@ -143,7 +143,7 @@ def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
 
 
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
-                      n_planes: int = 6, id_col: str = "vec_id",
+                      n_planes: int = 6, n_bands: int = 1, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold.
 
@@ -151,30 +151,47 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     cosine nearly always share all hyperplane signs); candidates are
     then scored with the vectorized numpy kernel.
 
+    ``n_bands`` is OR-amplification: each band hashes with its own
+    independent set of ``n_planes`` hyperplanes, a pair is a candidate
+    if it collides in ANY band, and cross-band duplicates are dropped.
+    Per-pair recall goes from p = P(all signs agree) to 1-(1-p)^bands —
+    the standard banding trade (bands x the bucketing work, recall →
+    1). One band keeps the original single-signature behavior.
+
     Bucket assignment is Arrow-batched numpy (one BLAS matmul per
-    batch). The JVM alternative (``rp_lsh_bucket``, unrolled codegen)
-    was measured slower end-to-end: the n_planes x dim unrolled
-    expression costs ~5 s of one-time janino compile for <1 s of warm
-    win, and the numpy matmul is already vectorized per batch — both
-    scale linearly, so the cheaper-to-plan form wins."""
+    batch over all bands at once). The JVM alternative
+    (``rp_lsh_bucket``, unrolled codegen) was measured slower
+    end-to-end: the n_planes x dim unrolled expression costs ~5 s of
+    one-time janino compile for <1 s of warm win, and the numpy matmul
+    is already vectorized per batch — both scale linearly, so the
+    cheaper-to-plan form wins."""
     import numpy as np
 
-    planes = np.array([_hyperplane(dim, p) for p in range(n_planes)], dtype="float64")
+    planes = np.array(
+        [_hyperplane(dim, b * n_planes + p) for b in range(n_bands) for p in range(n_planes)],
+        dtype="float64",
+    )
     assign_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField(vec_col, T.ArrayType(T.FloatType())),
+            T.StructField("band", T.IntegerType()),
             T.StructField("bucket", T.IntegerType()),
         ]
     )
 
     def assign(batches):
+        weights = 1 << np.arange(n_planes)
         for pdf in batches:
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            bits = (m @ planes.T) >= 0
-            bucket = bits @ (1 << np.arange(n_planes))
-            yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
-                                "bucket": bucket.astype("int32")})
+            bits = (m @ planes.T) >= 0  # (n, n_bands*n_planes)
+            out = []
+            for band in range(n_bands):
+                bucket = bits[:, band * n_planes : (band + 1) * n_planes] @ weights
+                out.append(pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
+                                         "band": np.int32(band),
+                                         "bucket": bucket.astype("int32")}))
+            yield pd.concat(out, ignore_index=True)
 
     b = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
     out_schema = T.StructType(
@@ -217,7 +234,13 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
             }
         )
 
-    return b.groupBy("bucket").applyInPandas(block, out_schema)
+    pairs = b.groupBy("band", "bucket").applyInPandas(block, out_schema)
+    if n_bands > 1:
+        # a pair colliding in several bands is emitted once per band;
+        # the scores are identical (same rounding), so a distinct on the
+        # id pair dedups exactly — one small shuffle on pair keys
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int = 16,

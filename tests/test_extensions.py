@@ -4,7 +4,13 @@ streaming — verified on the sf0.001 driver fixtures."""
 import pytest
 from pyspark.sql import functions as F
 
-from snowflake_emulator_spark.operators import dedup, multimodal, similarity, textstats
+from snowflake_emulator_spark.operators import (
+    decontaminate,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -218,6 +224,71 @@ def test_cosine_near_pairs_multi_chunk_exact(spark):
     sel = (sims[iu] >= thr) & (bucket[iu[0]] == bucket[iu[1]])
     expect = {(int(a), int(b)) for a, b in zip(iu[0][sel], iu[1][sel])}
     assert len(expect) > 50 and got == expect
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """A corpus doc sharing a benchmark n-gram is flagged with the
+    right counts; clean docs and sub-n-word docs are not flagged."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "quick brown fox jumps" and "brown fox jumps over"
+            (1, "a quick brown fox jumps over fences all day"),
+            (2, "completely unrelated text about databases and joins"),
+            (3, "fox jumps"),  # shorter than n: no grams, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            decontaminate.contaminated_docs(corpus, bench, n=4).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # doc 1 has 6 distinct 4-grams; 2 of them appear in the benchmark
+    assert r["n_grams"] == 6 and r["n_hit_grams"] == 2
+    assert abs(r["hit_ratio"] - round(2 / 6, 6)) < 1e-9
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    """sequence(1,0) descending-gotcha guard: docs shorter than n yield
+    zero grams instead of corrupt slices."""
+    df = spark.createDataFrame([(1, "only three words"), (2, "a b c d")],
+                               ["doc_id", "text"])
+    got = decontaminate.word_ngrams(df, 4).collect()
+    assert [(r["doc_id"], r["gram"]) for r in got] == [(2, "a b c d")]
+
+
+def test_cosine_near_pairs_banding_recall(spark):
+    """OR-amplification: multi-band LSH recovers moderate-similarity
+    pairs a single signature misses, without emitting duplicates or
+    false positives."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    m = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    thr = 0.5  # moderate similarity: single-band recall is poor here
+
+    mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    sims = mn @ mn.T
+    iu = np.triu_indices(n, 1)
+    sel = sims[iu] >= thr
+    truth = {(int(a), int(b)) for a, b in zip(iu[0][sel], iu[1][sel])}
+    assert len(truth) >= 10
+
+    one = similarity.cosine_near_pairs(emb, threshold=thr, dim=dim,
+                                       n_planes=4, n_bands=1).collect()
+    many_rows = similarity.cosine_near_pairs(emb, threshold=thr, dim=dim,
+                                             n_planes=4, n_bands=16).collect()
+    many = {(r["id_a"], r["id_b"]) for r in many_rows}
+    # no cross-band duplicates, no false positives, recall amplified
+    assert len(many_rows) == len(many)
+    assert many.issubset(truth)
+    assert len(many) > len({(r["id_a"], r["id_b"]) for r in one})
+    assert len(many) >= 0.8 * len(truth)
 
 
 def test_connected_components_synthetic(spark):
