@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import chunking, decontaminate, dedup, similarity, textstats
+from .operators import chunking, decontaminate, dedup, mixture, similarity, textstats
 from .plans.translator import translate
 
 TABLES = [
@@ -1241,6 +1241,141 @@ ORDER BY h.doc_id
 """
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: flag docs whose
+    word-2-gram repeat fraction exceeds 5%. Map-only (array ops in
+    codegen); grams go through a projection boundary so the split/
+    normalize runs once per row, not once per reference."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    grams = (
+        d.select("doc_id", F.split(textstats.normalized_text(F.col("text")), " ").alias("__w"))
+        .select("doc_id", textstats.word_ngram_array(F.col("__w"), 2).alias("__g"))
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.size("__g").cast("bigint").alias("n_grams"),
+            textstats.ngram_repetition_ratio(F.col("__g")).alias("rep_ratio"),
+        )
+        .filter(F.col("rep_ratio") > 0.05)
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH w AS (SELECT doc_id, str_split({_NORM_DUCK}, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gr) AS n_distinct
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 1), ' ') AS gr
+    FROM w, unnest(range(1, greatest(len(w), 1))) AS u(i)
+    WHERE len(w) >= 2)
+  GROUP BY doc_id)
+SELECT doc_id, n_grams,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio
+FROM g
+WHERE round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) > 0.05
+ORDER BY doc_id
+"""
+
+
+def _quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate — the keep/drop verdict a training
+    pipeline applies per document: enough tokens, low intra-doc
+    repetition, non-trivial quality score. One scan, one projection
+    chain, zero shuffles before the final order."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    staged = (
+        d.select("doc_id", "source", "text",
+                 F.split(textstats.normalized_text(F.col("text")), " ").alias("__w"))
+        .select("doc_id", "source", "text",
+                textstats.word_ngram_array(F.col("__w"), 2).alias("__g"))
+        .select(
+            "doc_id", "source",
+            textstats.token_count(F.col("text")).alias("n_tok"),
+            textstats.quality_score(F.col("text")).alias("q"),
+            textstats.ngram_repetition_ratio(F.col("__g")).alias("rep"),
+        )
+    )
+    return (
+        staged.select(
+            "doc_id", "source", "n_tok", "q", "rep",
+            (
+                (F.col("n_tok") >= 20) & (F.col("rep") <= 0.05) & (F.col("q") >= 0.3)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    # reuse the exact quality-score SQL the text_quality_score oracle
+    # uses (single source of truth lives in _quality_oracle) plus the
+    # repetition CTE from _REPETITION_ORACLE's logic
+    quality_body = _quality_oracle().strip().replace(
+        "FROM documents ORDER BY doc_id", "FROM documents"
+    )
+    ntok = ("CAST(CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)")
+    return f"""
+WITH q AS ({quality_body}),
+w AS (SELECT doc_id, source, {ntok} AS n_tok, str_split({_NORM_DUCK}, ' ') AS w FROM documents),
+rep AS (
+  SELECT doc_id,
+         round(1.0 - CAST(count(DISTINCT gr) AS DOUBLE) / count(*), 6) AS rep
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(w, CAST(i AS INTEGER), CAST(i AS INTEGER) + 1), ' ') AS gr
+    FROM w, unnest(range(1, greatest(len(w), 1))) AS u(i)
+    WHERE len(w) >= 2)
+  GROUP BY doc_id)
+SELECT w.doc_id, w.source, w.n_tok, q.quality AS q,
+       coalesce(r.rep, 0.0) AS rep,
+       (w.n_tok >= 20 AND coalesce(r.rep, 0.0) <= 0.05 AND q.quality >= 0.3) AS keep
+FROM w
+JOIN q ON q.doc_id = w.doc_id
+LEFT JOIN rep r ON r.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
+def _sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source keep rates applied with
+    the deterministic md5-bucket recipe (reproducible across engines,
+    runs and stage retries — no rand()). The rate table compiles to a
+    CASE expression: a pure map filter, no join."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    rates = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+    kept = mixture.mixture_sample(d, rates, default_rate=0.05)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH rated AS (
+  SELECT *,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.8 WHEN 'src2' THEN 0.5
+                     WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.1 ELSE 0.05 END AS rate,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM rated
+WHERE bucket < CAST(rate * 1000000 AS BIGINT)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: ~10% of each
     market segment, reproducible across engines and runs (the
@@ -1580,6 +1715,43 @@ def _embed_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(
         e, threshold=0.42, dim=64, n_planes=4, n_bands=16
     ).orderBy("id_a", "id_b")
+
+
+def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup — the embedding-space counterpart of
+    dedup_survivors: cosine near-pairs -> connected components -> keep
+    only each cluster's min-id representative. The removal list is tiny
+    next to the corpus, so the final anti-join shuffles on vec_id only."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    pairs = _embed_near_pairs(spark, sf_dir)
+    comps = dedup.connected_components(pairs)
+    removals = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("vec_id")
+    )
+    return e.join(removals, "vec_id", "left_anti").select("vec_id").orderBy("vec_id")
+
+
+def _embed_survivors_oracle() -> str:
+    pairs = _EMBED_NEAR_ORACLE.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS vec_id, least(src, min(dst)) AS comp FROM reach GROUP BY src)
+SELECT e.vec_id
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.vec_id = e.vec_id AND c.comp <> c.vec_id)
+ORDER BY vec_id
+"""
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2188,6 +2360,9 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
     "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),
     "text_decontaminate": (_text_decontaminate, _DECONTAM_ORACLE),
+    "text_repetition_filter": (_text_repetition, _REPETITION_ORACLE),
+    "quality_filter_pipeline": (_quality_filter_pipeline, _quality_filter_oracle()),
+    "sample_domain_mixture": (_sample_mixture, _MIXTURE_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -2199,6 +2374,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
+    "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),

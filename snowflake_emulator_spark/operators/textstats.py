@@ -100,6 +100,35 @@ def language_guess(text: Column) -> Column:
     return language_pick(language_scores(text))
 
 
+def word_ngram_array(words: Column, n: int) -> Column:
+    """Word n-gram array over a *projected* word-array column (see the
+    char_ngrams note on lambda re-evaluation). Docs shorter than n yield
+    an empty array — Spark's sequence(1, 0) is DESCENDING, so the guard
+    is mandatory, not defensive."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition_ratio(grams: Column) -> Column:
+    """Gopher-style intra-document repetition: the fraction of word
+    n-grams that are repeats of an earlier gram (1 - distinct/total).
+    Boilerplate, spam and templated text score high; clean prose scores
+    near 0. Map-only — array ops in codegen, no shuffle, no Python.
+
+    Pass a *projected* gram-array column: the expression references it
+    twice (distinct + total), so an unprojected heavy gram expression
+    would be evaluated twice per row."""
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6)
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Lowercase, strip non-alphanumerics, collapse whitespace — the
     canonical form used for fingerprinting and exact dedup."""
