@@ -555,6 +555,24 @@ SELECT n.n_regionkey AS regionkey,
 FROM nation n GROUP BY n.n_regionkey ORDER BY regionkey
 """
 
+#  Ordered ARRAY_AGG + OBJECT_AGG through the Snowflake translator path
+#  (Spark rejects WITHIN GROUP on array_agg; the translator rebuilds it
+#  as transform(sort_array(collect_list(struct)))). The sort key is
+#  unique per row so Spark's lexicographic struct sort and DuckDB's
+#  ORDER BY agree without tie-break hazards.
+_ORDERED_ARRAY_AGG_SNOW = """
+SELECT l_returnflag,
+       array_join(ARRAY_AGG(l_orderkey::VARCHAR) WITHIN GROUP (ORDER BY l_orderkey * 10 + l_linenumber), ',') AS okeys
+FROM lineitem WHERE l_orderkey <= 100
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+_ORDERED_ARRAY_AGG_ORACLE = """
+SELECT l_returnflag,
+       array_to_string(list(CAST(l_orderkey AS VARCHAR) ORDER BY l_orderkey * 10 + l_linenumber), ',') AS okeys
+FROM lineitem WHERE l_orderkey <= 100
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 _AGG_ROLLUP = """
 SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c
@@ -2284,6 +2302,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_group_having": (_sql(_AGG_HAVING), _AGG_HAVING),
     "agg_count_distinct": (_sql(_AGG_CD), _AGG_CD),
     "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
+    "agg_array_agg_ordered": (_snow(_ORDERED_ARRAY_AGG_SNOW), _ORDERED_ARRAY_AGG_ORACLE),
     "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
     "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),

@@ -134,7 +134,32 @@ class Translator:
         s = self._rewrite_sample(s)
         s = self._rewrite_generator(s)
         s = self._rewrite_split_to_table(s)
+        s = self._rewrite_array_agg_within_group(s)
         return self.translate_expr(s)
+
+    # -- ARRAY_AGG(x) WITHIN GROUP (ORDER BY k [ASC|DESC]) ----------------
+    # Spark's array_agg/collect_list rejects WITHIN GROUP (only
+    # listagg/percentile accept it), so rebuild the ordered aggregate as
+    #   transform(sort_array(collect_list(struct(k, x)), asc), s -> s.v)
+    # struct sort is lexicographic on (k, x) — deterministic even on key
+    # ties, all JVM-side.
+    _ARRAY_AGG_WG_RE = re.compile(
+        r"ARRAY_AGG\s*\(([^()]+)\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+"
+        r"([^()]+?)(\s+ASC|\s+DESC)?\s*\)",
+        re.I,
+    )
+
+    def _rewrite_array_agg_within_group(self, s: str) -> str:
+        if "WITHIN" not in s.upper() or "ARRAY_AGG" not in s.upper():
+            return s
+
+        def repl(m: re.Match) -> str:
+            expr, key = m.group(1).strip(), m.group(2).strip()
+            asc = "false" if (m.group(3) or "").strip().upper() == "DESC" else "true"
+            return (f"transform(sort_array(collect_list(struct({key} AS k, {expr} AS v)), "
+                    f"{asc}), s -> s.v)")
+
+        return self._ARRAY_AGG_WG_RE.sub(repl, s)
 
     # -- LATERAL SPLIT_TO_TABLE(x, d) -> lateral posexplode(split(...)) ----
     # Snowflake's SPLIT_TO_TABLE yields (SEQ, INDEX, VALUE); the rewrite
@@ -522,6 +547,14 @@ class Translator:
             if len(args) == 2:
                 return f"try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"try_to_timestamp({args[0]})"
+        if fname == "SKEW":
+            # Snowflake SKEW == Spark skewness (sample skewness)
+            return f"skewness({', '.join(args)})"
+        if fname == "OBJECT_AGG":
+            # OBJECT_AGG(k, v) -> one JSON object per group; map entries
+            # collected JVM-side, serialized once per group
+            return (f"to_json(map_from_entries(collect_list("
+                    f"struct({args[0]}, {args[1]}))))")
         if fname == "EQUAL_NULL":
             # null-safe equality (EQUAL_NULL(NULL, NULL) is TRUE)
             return f"(({args[0]}) IS NOT DISTINCT FROM ({args[1]}))"
@@ -939,6 +972,8 @@ _REWRITABLE = {
     "TO_DATE",
     "TO_TIMESTAMP",
     "TRY_TO_DATE",
+    "SKEW",
+    "OBJECT_AGG",
     "TRY_TO_TIMESTAMP",
     "EQUAL_NULL",
     "DECODE",

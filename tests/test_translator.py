@@ -448,3 +448,18 @@ def test_approx_sketch_rewrites():
         "SELECT percentile_approx(x, 0.9) FROM t"
     assert translate("SELECT HLL(x) FROM t") == \
         "SELECT approx_count_distinct(x) FROM t"
+
+
+def test_ordered_aggregate_rewrites():
+    assert translate("SELECT SKEW(x) FROM t") == "SELECT skewness(x) FROM t"
+    assert translate("SELECT OBJECT_AGG(k, v) FROM t") == \
+        "SELECT to_json(map_from_entries(collect_list(struct(k, v)))) FROM t"
+    assert translate(
+        "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y DESC) FROM t GROUP BY g"
+    ) == ("SELECT transform(sort_array(collect_list(struct(y AS k, x AS v)), "
+          "false), s -> s.v) FROM t GROUP BY g")
+    # default order is ascending
+    assert "true), s -> s.v)" in translate(
+        "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y) FROM t")
+    # plain ARRAY_AGG (no WITHIN GROUP) passes through to Spark's native
+    assert translate("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
