@@ -79,6 +79,9 @@ AUDIT = [
     # decontamination: benchmark gram set broadcast against the corpus
     # gram explosion — never a shuffle of the corpus side for the probe
     ("text_decontaminate", ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"]),
+    # multi-resolution rollup: GROUPING SETS must plan as ONE scan +
+    # Expand + partial agg + ONE hash exchange (never one job per grain)
+    ("events_multires_rollup", ["Expand", "HashAggregate"]),
 ]
 
 

@@ -683,6 +683,26 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+#  Hypertable-style multi-resolution rollup: hour- and day-grain
+#  aggregates materialize in ONE scan + ONE shuffle via GROUPING SETS
+#  (Spark expands the sets after the partial aggregate, so the fact
+#  table is read once — at 100 TB the alternative, one query per
+#  resolution, multiplies the scan cost by the number of grains).
+_EVENTS_ROLLUP = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN CAST(date_trunc('hour', ts) AS TIMESTAMP) END AS hour,
+       CAST(GROUPING(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+  (date_trunc('day', ts), event_type))
+ORDER BY day, is_day_grain, hour, event_type
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -2338,6 +2358,7 @@ REGISTRY: dict[str, tuple] = {
     "setop_union_distinct": (_sql(_UNION_DISTINCT), _UNION_DISTINCT),
     # events / time / JSON
     "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
+    "events_multires_rollup": (_sql(_EVENTS_ROLLUP), _EVENTS_ROLLUP),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path
