@@ -703,6 +703,27 @@ GROUP BY GROUPING SETS (
 ORDER BY day, is_day_grain, hour, event_type
 """
 
+#  Carry-forward gap fill (Snowflake staple): last non-null purchase
+#  value per user via IGNORE NULLS. Spark puts IGNORE NULLS after the
+#  call, DuckDB inside the argument list — semantics identical; one
+#  window over one user_id exchange.
+_EVENTS_GAPFILL_SPARK = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+FROM events WHERE user_id < 50
+ORDER BY user_id, event_id
+"""
+_EVENTS_GAPFILL_ORACLE = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+FROM events WHERE user_id < 50
+ORDER BY user_id, event_id
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -2359,6 +2380,7 @@ REGISTRY: dict[str, tuple] = {
     # events / time / JSON
     "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
     "events_multires_rollup": (_sql(_EVENTS_ROLLUP), _EVENTS_ROLLUP),
+    "events_gapfill_carry_forward": (_sql(_EVENTS_GAPFILL_SPARK), _EVENTS_GAPFILL_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path

@@ -303,14 +303,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # candidate-driven intersection — the 100 TB path. The r1 form
+        # ran the full shingle-bucket self-join and semi-joined the
+        # candidate pairs afterwards, which still paid the quadratic
+        # hot-shingle blowup before the filter; instead expand each
+        # candidate pair by its LEFT doc's shingles and keep those the
+        # RIGHT doc also has: two hash joins, work linear in
+        # |candidates| x shingles-per-doc, independent of shingle skew.
+        cand = candidates.select("id_a", "id_b").distinct()
+        a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
+        b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        l, r = sh.alias("l"), sh.alias("r")
+        inter = (
+            l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
