@@ -209,8 +209,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     cand = _block(0)
     for i in range(1, n_blocks):
         cand = cand.unionAll(_block(i))
-    xor = F.col("__sim_a").bitwiseXOR(F.col("__sim_b"))
-    hamming = sum(F.shiftright(xor, b).bitwiseAND(F.lit(1)) for b in range(bits))
+    # native popcount: one codegen node vs the 2*bits shift/AND terms of
+    # the unrolled form (which dominated cold-start compile time)
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
     return (
         cand.select(
             "id_a", "id_b", hamming.cast("int").alias("hamming")
