@@ -453,3 +453,36 @@ def test_comment_on_table(engine):
     engine.execute("COMMENT ON TABLE cmt_t IS 'training corpus'", ctx)
     rows = engine.execute("SHOW TABLES LIKE 'cmt_t'", ctx).rows
     assert rows[0][4] == "training corpus"
+
+
+def test_dml_single_pass_no_count_scan(engine, monkeypatch):
+    """Regression for the r1 count-before-write double scan: INSERT
+    ...SELECT / UPDATE / DELETE / MERGE report row counts from
+    Observation metrics on the single write pass — DataFrame.count()
+    (a second scan of the source) must never run inside DML."""
+    import pyspark.sql
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE sp_src (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE sp_dst (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO sp_src VALUES (1,10),(2,20),(3,30)", ctx)
+
+    calls: list[str] = []
+    orig = pyspark.sql.DataFrame.count
+
+    def counting(self):
+        calls.append("count")
+        return orig(self)
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "count", counting)
+    r = engine.execute("INSERT INTO sp_dst SELECT id, v FROM sp_src", ctx)
+    assert r.rows_inserted == 3
+    r = engine.execute("UPDATE sp_dst SET v = v + 1 WHERE id >= 2", ctx)
+    assert r.rows_updated == 2
+    r = engine.execute("DELETE FROM sp_dst WHERE id = 1", ctx)
+    assert r.rows_deleted == 1
+    r = engine.execute(
+        "MERGE INTO sp_dst USING sp_src ON sp_dst.id = sp_src.id "
+        "WHEN MATCHED THEN UPDATE SET v = sp_src.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (sp_src.id, sp_src.v)", ctx)
+    assert calls == [], f"DML issued {len(calls)} extra count() scans"
