@@ -97,3 +97,43 @@ def test_stream_merge_consumption(engine):
     assert r.rows_inserted == 2
     # offset advanced: stream drained
     assert _rows(engine.execute("SELECT count(*) AS n FROM m_s", ctx)) == [(0,)]
+
+
+def test_stream_incremental_rollup_maintenance(engine):
+    """The incremental-materialized-view pattern this engine is built
+    for at 100 TB: a per-key rollup maintained from a CDC stream's
+    delta via MERGE — each refresh touches only changed keys, never
+    rescans the fact table. (Snowflake docs call this the
+    TASK + STREAM + MERGE recipe; here driven manually.)"""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE fact (k INTEGER, amt INTEGER)", ctx)
+    engine.execute("CREATE TABLE roll (k INTEGER, total INTEGER)", ctx)
+    engine.execute("INSERT INTO fact VALUES (1, 10), (2, 20)", ctx)
+    # initial full build, then the stream tracks everything after it
+    engine.execute("INSERT INTO roll SELECT k, sum(amt) FROM fact GROUP BY k", ctx)
+    engine.execute("CREATE STREAM fact_delta ON TABLE fact APPEND_ONLY = TRUE", ctx)
+
+    def refresh():
+        engine.execute(
+            "MERGE INTO roll USING ("
+            "  SELECT k, sum(amt) AS d FROM fact_delta"
+            "  WHERE METADATA$ACTION = 'INSERT' GROUP BY k"
+            ") delta ON roll.k = delta.k "
+            "WHEN MATCHED THEN UPDATE SET total = roll.total + delta.d "
+            "WHEN NOT MATCHED THEN INSERT (k, total) VALUES (delta.k, delta.d)",
+            ctx,
+        )
+
+    engine.execute("INSERT INTO fact VALUES (1, 5), (3, 30)", ctx)
+    refresh()
+    res = engine.execute("SELECT k, total FROM roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 15), (2, 20), (3, 30)]
+    # the MERGE consumed the stream: refresh again is a no-op
+    refresh()
+    res = engine.execute("SELECT k, total FROM roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 15), (2, 20), (3, 30)]
+    # next batch only carries the new delta
+    engine.execute("INSERT INTO fact VALUES (2, -20)", ctx)
+    refresh()
+    res = engine.execute("SELECT k, total FROM roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 15), (2, 0), (3, 30)]
