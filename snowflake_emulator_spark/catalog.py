@@ -76,6 +76,11 @@ class TableMeta:
     # new version: view caches keyed on (uid, version, data_epoch) then
     # refresh their file listing
     data_epoch: int = 0
+    # versions kept for time travel beyond the live one (the
+    # DATA_RETENTION_TIME_IN_DAYS analog in an emulator whose history
+    # unit is the write, not the day); ALTER TABLE ... SET
+    # DATA_RETENTION_VERSIONS = n widens/narrows the AT() window
+    retention_versions: int = 3
 
     @property
     def physical(self) -> str:
@@ -539,7 +544,9 @@ class Catalog:
         for tm in self.tables.values():
             self.register_view(tm)
 
-    def _gc_versions(self, tm: TableMeta, keep: int = 3) -> None:
+    def _gc_versions(self, tm: TableMeta, keep: int | None = None) -> None:
+        if keep is None:
+            keep = max(1, tm.retention_versions)
         if not tm.location or not os.path.isdir(tm.location):
             return
         # never GC a protected version: an open transaction's snapshot

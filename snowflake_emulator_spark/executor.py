@@ -122,6 +122,12 @@ _CREATE_TABLE_LIKE_RE = re.compile(
 _ALTER_TABLE_DROP_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+DROP\s+(?:COLUMN\s+)?([\w\"$]+)\s*$", re.I
 )
+#  time-travel retention knob (DATA_RETENTION_TIME_IN_DAYS analog —
+#  the emulator's history unit is the table version, not the day)
+_ALTER_TABLE_RETENTION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+SET\s+DATA_RETENTION_VERSIONS\s*=\s*(\d+)\s*$",
+    re.I,
+)
 _ALTER_TABLE_RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+COLUMN\s+([\w\"$]+)\s+TO\s+([\w\"$]+)\s*$",
     re.I,
@@ -846,6 +852,14 @@ class Executor:
         m = _COMMENT_ON_RE.match(sql)
         if m:
             self.catalog.alter_table_comment(m.group(1), m.group(2), ctx.database, ctx.schema)
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_RETENTION_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            n = int(m.group(2))
+            if n < 1:
+                raise errors.syntax_error("DATA_RETENTION_VERSIONS must be >= 1")
+            tm.retention_versions = n
             return Result.status("Statement executed successfully.")
         m = _ALTER_TABLE_RENAME_COL_RE.match(sql)
         if m:

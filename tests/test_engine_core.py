@@ -486,3 +486,25 @@ def test_dml_single_pass_no_count_scan(engine, monkeypatch):
         "WHEN MATCHED THEN UPDATE SET v = sp_src.v "
         "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (sp_src.id, sp_src.v)", ctx)
     assert calls == [], f"DML issued {len(calls)} extra count() scans"
+
+
+def test_retention_versions_widens_time_travel(engine):
+    """ALTER TABLE ... SET DATA_RETENTION_VERSIONS controls how many
+    immutable versions GC keeps — i.e. the AT() time-travel window."""
+    import os
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rt (v INTEGER)", ctx)
+    engine.execute("ALTER TABLE rt SET DATA_RETENTION_VERSIONS = 6", ctx)
+    for i in range(6):
+        engine.execute(f"INSERT INTO rt VALUES ({i})", ctx)
+    tm = engine.catalog.get_table("rt", ctx.database, ctx.schema)
+    versions = sorted(int(d[1:]) for d in os.listdir(tm.location) if d.startswith("v"))
+    assert len(versions) == 6  # default keep=3 would have pruned these
+    res = engine.execute("SELECT count(*) AS n FROM rt AT(VERSION => 2)", ctx)
+    assert [tuple(r) for r in res.rows] == [(1,)]
+    # narrowing takes effect on the next write
+    engine.execute("ALTER TABLE rt SET DATA_RETENTION_VERSIONS = 2", ctx)
+    engine.execute("INSERT INTO rt VALUES (99)", ctx)
+    versions = sorted(int(d[1:]) for d in os.listdir(tm.location) if d.startswith("v"))
+    assert len(versions) == 2
