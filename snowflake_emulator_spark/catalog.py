@@ -81,6 +81,9 @@ class TableMeta:
     # unit is the write, not the day); ALTER TABLE ... SET
     # DATA_RETENTION_VERSIONS = n widens/narrows the AT() window
     retention_versions: int = 3
+    # set when the table enters the UNDROP graveyard (SHOW TABLES
+    # HISTORY surfaces it as dropped_on)
+    dropped_on: float | None = None
 
     @property
     def physical(self) -> str:
@@ -367,6 +370,7 @@ class Catalog:
             shutil.rmtree(tm.location, ignore_errors=True)
             return
         tm.location = grave
+        tm.dropped_on = time.time()
         self.dropped_tables[key] = tm
 
     def undrop_table(self, name: str, database: str | None = None,
@@ -390,6 +394,7 @@ class Catalog:
                     tm.location = canonical
                 except OSError:
                     pass  # keep serving from the graveyard dir
+            tm.dropped_on = None
             self.tables[key] = tm
             self.register_view(tm)
             return tm

@@ -1219,11 +1219,29 @@ class Executor:
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
         if "TABLES" in up:
+            # SHOW TABLES HISTORY includes UNDROP-able dropped tables
+            # with their drop marker (Snowflake's dropped_on column)
+            history = "HISTORY" in up
             rows = [
-                [tbl, db, sch, tm.kind, tm.comment]
+                [tbl, db, sch, tm.kind, tm.comment] + ([None] if history else [])
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
                 if db == ctx.database and _match(tbl)
             ]
+            if history:
+                import datetime as _dt
+
+                rows += [
+                    [tbl, db, sch, tm.kind, tm.comment,
+                     _dt.datetime.fromtimestamp(tm.dropped_on).isoformat(sep=" ")
+                     if tm.dropped_on else None]
+                    for (db, sch, tbl), tm in sorted(self.catalog.dropped_tables.items())
+                    if db == ctx.database and _match(tbl)
+                    and (db, sch, tbl) not in self.catalog.tables
+                ]
+                return Result(
+                    columns=["name", "database_name", "schema_name", "kind", "comment", "dropped_on"],
+                    rows=rows,
+                )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
         if "STREAMS" in up:
             rows = [

@@ -508,3 +508,21 @@ def test_retention_versions_widens_time_travel(engine):
     engine.execute("INSERT INTO rt VALUES (99)", ctx)
     versions = sorted(int(d[1:]) for d in os.listdir(tm.location) if d.startswith("v"))
     assert len(versions) == 2
+
+
+def test_show_tables_history_lists_dropped(engine):
+    """SHOW TABLES HISTORY surfaces UNDROP-able tables with a
+    dropped_on marker; UNDROP removes them from the graveyard listing."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE hist_t (id INTEGER)", ctx)
+    engine.execute("DROP TABLE hist_t", ctx)
+    res = engine.execute("SHOW TABLES HISTORY", ctx)
+    assert "dropped_on" in res.columns
+    hist = {r[0]: r[-1] for r in res.rows}
+    assert hist.get("HIST_T") is not None  # dropped, timestamped
+    res = engine.execute("SHOW TABLES", ctx)
+    assert all(r[0] != "HIST_T" for r in res.rows)  # plain SHOW: absent
+    engine.execute("UNDROP TABLE hist_t", ctx)
+    res = engine.execute("SHOW TABLES HISTORY", ctx)
+    live = {r[0]: r[-1] for r in res.rows}
+    assert live.get("HIST_T") is None  # live again, no drop marker
