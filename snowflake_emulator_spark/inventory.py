@@ -724,6 +724,34 @@ FROM events WHERE user_id < 50
 ORDER BY user_id, event_id
 """
 
+#  Cohort retention: users grouped by first-activity week, counted per
+#  week offset. Two aggregations + one self-join on user_id: the
+#  first-seen frame is tiny next to events, so at scale it broadcasts
+#  (or shuffles on user_id once) — never a window over the full table.
+_EVENTS_COHORT = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(datediff(a.active_week, f.cohort_week) / 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a
+JOIN first_seen f ON f.user_id = a.user_id
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+#  identical shape; only the day-difference spelling differs
+#  (Spark datediff(end, start) vs DuckDB datediff('day', start, end))
+_EVENTS_COHORT_ORACLE = _EVENTS_COHORT.replace(
+    "datediff(a.active_week, f.cohort_week)",
+    "datediff('day', f.cohort_week, a.active_week)",
+)
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -2381,6 +2409,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
     "events_multires_rollup": (_sql(_EVENTS_ROLLUP), _EVENTS_ROLLUP),
     "events_gapfill_carry_forward": (_sql(_EVENTS_GAPFILL_SPARK), _EVENTS_GAPFILL_ORACLE),
+    "events_cohort_retention": (_sql(_EVENTS_COHORT), _EVENTS_COHORT_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path

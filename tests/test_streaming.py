@@ -145,3 +145,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = [tuple(r) for r in spark.sql(
         "SELECT user_id, click_value, imp_value FROM t_join").collect()]
     assert rows == [(1, 1.0, 0.5)]
+
+
+def test_streaming_upsert_sink(spark, tmp_path, engine):
+    """foreachBatch MERGE sink: a stream of keyed updates continuously
+    upserts into an engine table; the latest record per key wins within
+    a micro-batch, and later batches update earlier keys."""
+    from pyspark.sql import types as T
+
+    from snowflake_emulator_spark.executor import SessionContext
+    from snowflake_emulator_spark.streaming import upsert_stream
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE kv (k INTEGER, v VARCHAR, seq INTEGER)", ctx)
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+    ])
+    # one file = one micro-batch (maxFilesPerTrigger=1):
+    # batch 1 carries two versions of k=1 — seq 2 must win
+    with open(src / "b1.json", "w") as f:
+        f.write('{"k": 1, "v": "old", "seq": 1}\n')
+        f.write('{"k": 1, "v": "new", "seq": 2}\n')
+        f.write('{"k": 2, "v": "two", "seq": 1}\n')
+    with open(src / "b2.json", "w") as f:
+        f.write('{"k": 2, "v": "two-upd", "seq": 2}\n')
+        f.write('{"k": 3, "v": "three", "seq": 1}\n')
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    upsert_stream.run_upsert_stream(stream, engine, "kv",
+                                    key_cols=["k"], order_col="seq")
+    res = engine.execute("SELECT k, v, seq FROM kv ORDER BY k", SessionContext())
+    assert [tuple(r) for r in res.rows] == [
+        (1, "new", 2), (2, "two-upd", 2), (3, "three", 1)]
