@@ -1047,6 +1047,22 @@ FROM (SELECT unnest(str_split(p_name, ' ')) AS word FROM part)
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
+#  LATERAL FLATTEN(input => ...) — the canonical Snowflake VARIANT/array
+#  explosion idiom, rewritten to a correlated lateral posexplode; INDEX
+#  is 0-based on both sides (Snowflake and Spark pos agree).
+_SF_LATERAL_FLATTEN_SNOW = """
+SELECT d.doc_id, CAST(f.index AS BIGINT) AS idx, f.value AS word
+FROM documents d, LATERAL FLATTEN(input => split(d.text, ' ')) f
+WHERE d.doc_id < 5
+ORDER BY d.doc_id, idx
+"""
+_SF_LATERAL_FLATTEN_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[CAST(i AS INTEGER)] AS word
+FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents WHERE doc_id < 5),
+     unnest(range(1, len(w) + 1)) u(i)
+ORDER BY doc_id, idx
+"""
+
 # GENERATOR date spine (translator maps TABLE(GENERATOR(ROWCOUNT => n))
 # onto Spark's native range() table function — a parallel partitioned
 # source, no driver-side rows): canonical gaps-included daily rollup.
@@ -2440,6 +2456,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_array_funcs": (_snow(_SF_ARRAY), _SF_ARRAY_ORACLE),
     "pivot_segment_balances": (_sql(_PIVOT_SPARK), _PIVOT_ORACLE),
     "flatten_explode_words": (_sql(_SF_FLATTEN_SPARK), _SF_FLATTEN_ORACLE),
+    "sf_lateral_flatten": (_snow(_SF_LATERAL_FLATTEN_SNOW), _SF_LATERAL_FLATTEN_ORACLE),
     "sf_generator_date_spine": (_snow(_SF_GENERATOR), _SF_GENERATOR_ORACLE),
     "sf_split_to_table": (_snow(_SF_SPLIT_TT), _SF_SPLIT_TT_ORACLE),
     # MERGE-equivalent declarative upsert

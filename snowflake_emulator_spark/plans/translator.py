@@ -134,6 +134,7 @@ class Translator:
         s = self._rewrite_sample(s)
         s = self._rewrite_generator(s)
         s = self._rewrite_split_to_table(s)
+        s = self._rewrite_lateral_flatten(s)
         s = self._rewrite_array_agg_within_group(s)
         return self.translate_expr(s)
 
@@ -200,6 +201,47 @@ class Translator:
             out.append(
                 f" JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
                 f" FROM (SELECT posexplode(split({args[0]}, {delim})))) {alias}")
+            i = j
+        return "".join(out)
+
+    # -- LATERAL FLATTEN(input => expr) -> lateral posexplode -------------
+    # The canonical Snowflake VARIANT-explosion idiom. The alias exposes
+    # Snowflake's INDEX (0-based, like Snowflake) and VALUE columns via a
+    # correlated lateral subquery over posexplode — executor-parallel
+    # per input row, same shape as SPLIT_TO_TABLE. The bare positional
+    # form FLATTEN(x) stays on the expression path (-> explode(x)).
+    def _rewrite_lateral_flatten(self, s: str) -> str:
+        if "FLATTEN" not in s.upper():
+            return s
+        out: list[str] = []
+        i = 0
+        while True:
+            m = re.search(r",\s*(?:LATERAL\s+|TABLE\s*\(\s*)?FLATTEN\s*\(\s*INPUT\s*=>", s[i:], re.I)
+            if not m:
+                out.append(s[i:])
+                break
+            out.append(s[i:i + m.start()])
+            table_form = re.search(r"TABLE\s*\(", m.group(0), re.I) is not None
+            open_idx = i + m.start() + m.group(0).rindex("(")
+            close_idx = self._match_paren(s, open_idx)
+            args = self._split_args(s[open_idx + 1:close_idx])
+            expr = re.sub(r"^\s*INPUT\s*=>\s*", "", args[0], flags=re.I)
+            j = close_idx + 1
+            if table_form:  # consume the TABLE( wrapper's closing paren
+                while j < len(s) and s[j].isspace():
+                    j += 1
+                if j < len(s) and s[j] == ")":
+                    j += 1
+            alias = "__flat"
+            am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", s[j:], re.I)
+            if am and am.group(1).upper() not in self._KEYWORDS_AFTER_ALIAS:
+                alias = am.group(1)
+                j += am.end()
+            outer = any(re.match(r"\s*OUTER\s*=>\s*TRUE\s*$", a, re.I) for a in args[1:])
+            fn = "posexplode_outer" if outer else "posexplode"
+            out.append(
+                f" JOIN LATERAL (SELECT pos AS index, col AS value"
+                f" FROM (SELECT {fn}({expr}))) {alias}")
             i = j
         return "".join(out)
 

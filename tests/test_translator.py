@@ -463,3 +463,18 @@ def test_ordered_aggregate_rewrites():
         "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y) FROM t")
     # plain ARRAY_AGG (no WITHIN GROUP) passes through to Spark's native
     assert translate("SELECT ARRAY_AGG(x) FROM t") == "SELECT ARRAY_AGG(x) FROM t"
+
+
+def test_lateral_flatten_rewrites():
+    got = translate(
+        "SELECT d.id, f.index, f.value FROM docs d, "
+        "LATERAL FLATTEN(input => split(d.text, ' ')) f")
+    assert got == (
+        "SELECT d.id, f.index, f.value FROM docs d "
+        "JOIN LATERAL (SELECT pos AS index, col AS value "
+        "FROM (SELECT posexplode(split(d.text, ' ')))) f")
+    # TABLE(...) wrapper + OUTER => TRUE preserves empty-input rows
+    assert "posexplode_outer(arr)" in translate(
+        "SELECT f.value FROM t, TABLE(FLATTEN(INPUT => arr, OUTER => TRUE)) f")
+    # bare positional FLATTEN stays an expression-level explode
+    assert translate("SELECT FLATTEN(a) FROM t") == "SELECT explode(a) FROM t"
