@@ -136,6 +136,10 @@ class Translator:
         s = self._rewrite_split_to_table(s)
         s = self._rewrite_lateral_flatten(s)
         s = self._rewrite_array_agg_within_group(s)
+        # SELECT * EXCLUDE (a, b) -> Spark's * EXCEPT (a, b); Snowflake
+        # also allows the parenless single-column form
+        s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
+        s = re.sub(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", r"\1EXCEPT (\2)", s, flags=re.I)
         return self.translate_expr(s)
 
     # -- ARRAY_AGG(x) WITHIN GROUP (ORDER BY k [ASC|DESC]) ----------------

@@ -478,3 +478,12 @@ def test_lateral_flatten_rewrites():
         "SELECT f.value FROM t, TABLE(FLATTEN(INPUT => arr, OUTER => TRUE)) f")
     # bare positional FLATTEN stays an expression-level explode
     assert translate("SELECT FLATTEN(a) FROM t") == "SELECT explode(a) FROM t"
+
+
+def test_select_star_exclude():
+    assert translate("SELECT * EXCLUDE (a, b) FROM t") == \
+        "SELECT * EXCEPT (a, b) FROM t"
+    assert translate("SELECT t.* EXCLUDE c FROM t") == \
+        "SELECT t.* EXCEPT (c) FROM t"
+    # plain * untouched
+    assert translate("SELECT * FROM t") == "SELECT * FROM t"
