@@ -593,6 +593,41 @@ class Translator:
             if len(args) == 2:
                 return f"try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"try_to_timestamp({args[0]})"
+        if fname == "TO_ARRAY":
+            return f"CASE WHEN ({args[0]}) IS NULL THEN NULL ELSE array({args[0]}) END"
+        if fname == "ARRAY_SUM":
+            return (f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
+                    f"(__acc, __v) -> __acc + CAST(__v AS DOUBLE))")
+        if fname == "GET":
+            # GET(object, 'key') -> JSON path; GET(array, i) -> 0-based
+            # element (Spark element_at is 1-based, Snowflake GET 0-based)
+            key = args[1].strip()
+            if len(key) >= 2 and key[0] == "'" and key[-1] == "'":
+                return f"get_json_object({args[0]}, '$.{key[1:-1]}')"
+            return f"try_element_at({args[0]}, CAST({key} AS INT) + 1)"
+        if fname == "TRY_PARSE_JSON":
+            # VARIANT is JSON text (SURVEY §1.3): pass through when
+            # parseable, NULL otherwise (get_json_object('$') probes)
+            return (f"CASE WHEN get_json_object({args[0]}, '$') IS NOT NULL "
+                    f"THEN CAST({args[0]} AS STRING) END")
+        if fname == "CHECK_JSON":
+            return (f"CASE WHEN ({args[0]}) IS NULL OR get_json_object({args[0]}, '$') "
+                    f"IS NOT NULL THEN NULL ELSE 'invalid JSON' END")
+        if fname == "IS_NULL_VALUE":
+            return f"(({args[0]}) = 'null')"
+        if fname in ("OBJECT_DELETE", "OBJECT_PICK"):
+            # JSON-object key filtering over a variant map: values keep
+            # their JSON types through map<string,variant> round-trip
+            keys = ", ".join(a.strip() for a in args[1:])
+            op = "NOT IN" if fname == "OBJECT_DELETE" else "IN"
+            return (f"to_json(map_filter(from_json({args[0]}, 'map<string,variant>'), "
+                    f"(__k, __v) -> __k {op} ({keys})))")
+        if fname == "OBJECT_INSERT":
+            k, v = args[1].strip(), args[2].strip()
+            return (f"to_json(map_concat("
+                    f"map_filter(from_json({args[0]}, 'map<string,variant>'), "
+                    f"(__k, __v) -> __k != {k}), "
+                    f"from_json(to_json(map({k}, {v})), 'map<string,variant>')))")
         if fname == "SKEW":
             # Snowflake SKEW == Spark skewness (sample skewness)
             return f"skewness({', '.join(args)})"
@@ -1020,6 +1055,15 @@ _REWRITABLE = {
     "TRY_TO_DATE",
     "SKEW",
     "OBJECT_AGG",
+    "TO_ARRAY",
+    "ARRAY_SUM",
+    "GET",
+    "TRY_PARSE_JSON",
+    "CHECK_JSON",
+    "IS_NULL_VALUE",
+    "OBJECT_DELETE",
+    "OBJECT_PICK",
+    "OBJECT_INSERT",
     "TRY_TO_TIMESTAMP",
     "EQUAL_NULL",
     "DECODE",

@@ -110,3 +110,29 @@ def test_result_metadata_type_names(engine, ft):
     res = engine.execute("SELECT id, name, created_at, score FROM function_test LIMIT 1", ft)
     types = {c.name: c.type for c in res.column_types}
     assert types == {"id": "NUMBER", "name": "TEXT", "created_at": "DATE", "score": "NUMBER"}
+
+
+def test_semistructured_round2(engine, ft):
+    """TO_ARRAY/GET/OBJECT_* family over VARIANT-as-JSON-text."""
+    res = engine.execute(
+        """SELECT id,
+                  GET(data, 'role') AS role,
+                  TRY_PARSE_JSON(data) AS parsed,
+                  CHECK_JSON(data) AS err,
+                  OBJECT_DELETE(data, 'role') AS wiped,
+                  OBJECT_INSERT(data, 'lvl', 3) AS with_lvl
+           FROM function_test WHERE id = 1""",
+        SessionContext(),
+    )
+    row = _rows(res)[0]
+    assert row == (1, "admin", '{"role": "admin"}', None, "{}",
+                   '{"role":"admin","lvl":3}')
+    res = engine.execute(
+        """SELECT GET(ARRAY_CONSTRUCT(10, 20, 30), 0) AS first_el,
+                  ARRAY_SUM(ARRAY_CONSTRUCT(1.5, 2.5)) AS asum,
+                  TO_ARRAY(42) AS wrapped,
+                  IS_NULL_VALUE('null') AS jn,
+                  CHECK_JSON('oops') AS bad""",
+        SessionContext(),
+    )
+    assert _rows(res) == [(10, 4.0, [42], True, "invalid JSON")]

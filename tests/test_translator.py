@@ -487,3 +487,19 @@ def test_select_star_exclude():
         "SELECT t.* EXCEPT (c) FROM t"
     # plain * untouched
     assert translate("SELECT * FROM t") == "SELECT * FROM t"
+
+
+def test_semistructured_round2_rewrites():
+    assert translate("SELECT TO_ARRAY(x) FROM t") == \
+        "SELECT CASE WHEN (x) IS NULL THEN NULL ELSE array(x) END FROM t"
+    assert translate("SELECT GET(arr, 0) FROM t") == \
+        "SELECT try_element_at(arr, CAST(0 AS INT) + 1) FROM t"
+    assert translate("SELECT GET(obj, 'k') FROM t") == \
+        "SELECT get_json_object(obj, '$.k') FROM t"
+    assert "map_filter" in translate("SELECT OBJECT_DELETE(o, 'a', 'b') FROM t")
+    assert "IN ('a')" in translate("SELECT OBJECT_PICK(o, 'a') FROM t")
+    assert "map_concat" in translate("SELECT OBJECT_INSERT(o, 'k', 5) FROM t")
+    assert "get_json_object" in translate("SELECT TRY_PARSE_JSON(s) FROM t")
+    assert translate("SELECT IS_NULL_VALUE(v) FROM t") == \
+        "SELECT ((v) = 'null') FROM t"
+    assert "aggregate" in translate("SELECT ARRAY_SUM(a) FROM t")
