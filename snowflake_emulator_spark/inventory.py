@@ -1479,6 +1479,33 @@ ORDER BY source
 """
 
 
+def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column null/distinct/min/max in ONE
+    scan (see operators/profile.py for the single-pass design)."""
+    from .operators import profile
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return profile.profile_columns(d, ["lang", "source", "n_chars"]).orderBy("column_name")
+
+
+_PROFILE_ORACLE = """
+WITH base AS (SELECT lang, source, n_chars, count(*) OVER () AS n FROM documents)
+SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+       CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+ORDER BY column_name
+"""
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: ~10% of each
     market segment, reproducible across engines and runs (the
@@ -2471,6 +2498,7 @@ REGISTRY: dict[str, tuple] = {
     "text_repetition_filter": (_text_repetition, _REPETITION_ORACLE),
     "quality_filter_pipeline": (_quality_filter_pipeline, _quality_filter_oracle()),
     "sample_domain_mixture": (_sample_mixture, _MIXTURE_ORACLE),
+    "profile_table_columns": (_profile_documents, _PROFILE_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
