@@ -752,6 +752,28 @@ _EVENTS_COHORT_ORACLE = _EVENTS_COHORT.replace(
     "datediff('day', f.cohort_week, a.active_week)",
 )
 
+#  CONDITIONAL_TRUE_EVENT (Snowflake-only window event counter) through
+#  the translator: sessions numbered by 30-min inactivity gaps.
+_SF_CTE_EVENT_SNOW = """
+SELECT user_id, event_id,
+       CAST(CONDITIONAL_TRUE_EVENT(is_gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+FROM (
+  SELECT user_id, event_id, ts,
+         COALESCE(ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE, TRUE) AS is_gap
+  FROM events WHERE user_id < 20) flagged
+ORDER BY user_id, event_id
+"""
+_SF_CTE_EVENT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN is_gap THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+FROM (
+  SELECT user_id, event_id, ts,
+         COALESCE(ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE, TRUE) AS is_gap
+  FROM events WHERE user_id < 20) flagged
+ORDER BY user_id, event_id
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -2453,6 +2475,7 @@ REGISTRY: dict[str, tuple] = {
     "events_multires_rollup": (_sql(_EVENTS_ROLLUP), _EVENTS_ROLLUP),
     "events_gapfill_carry_forward": (_sql(_EVENTS_GAPFILL_SPARK), _EVENTS_GAPFILL_ORACLE),
     "events_cohort_retention": (_sql(_EVENTS_COHORT), _EVENTS_COHORT_ORACLE),
+    "sf_conditional_true_event": (_snow(_SF_CTE_EVENT_SNOW), _SF_CTE_EVENT_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path

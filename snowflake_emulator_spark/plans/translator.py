@@ -136,6 +136,7 @@ class Translator:
         s = self._rewrite_split_to_table(s)
         s = self._rewrite_lateral_flatten(s)
         s = self._rewrite_array_agg_within_group(s)
+        s = self._rewrite_conditional_true_event(s)
         # SELECT * EXCLUDE (a, b) -> Spark's * EXCEPT (a, b); Snowflake
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
@@ -247,6 +248,41 @@ class Translator:
                 f" JOIN LATERAL (SELECT pos AS index, col AS value"
                 f" FROM (SELECT {fn}({expr}))) {alias}")
             i = j
+        return "".join(out)
+
+    # -- CONDITIONAL_TRUE_EVENT(expr) OVER (...) --------------------------
+    # Snowflake's window event counter: increments on each row where
+    # expr is true. Equivalent running conditional sum with an explicit
+    # growing frame (Spark's default frame for sum() OVER (ORDER BY) is
+    # RANGE, which double-counts ties — ROWS is the faithful frame).
+    def _rewrite_conditional_true_event(self, s: str) -> str:
+        if "CONDITIONAL_TRUE_EVENT" not in s.upper():
+            return s
+        out: list[str] = []
+        i = 0
+        while True:
+            m = re.search(r"CONDITIONAL_TRUE_EVENT\s*\(", s[i:], re.I)
+            if not m:
+                out.append(s[i:])
+                break
+            out.append(s[i:i + m.start()])
+            open_idx = i + m.end() - 1
+            close_idx = self._match_paren(s, open_idx)
+            expr = s[open_idx + 1:close_idx]
+            j = close_idx + 1
+            om = re.match(r"\s*OVER\s*\(", s[j:], re.I)
+            if not om:  # no OVER clause: leave untouched (invalid anyway)
+                out.append(s[i + m.start():j])
+                i = j
+                continue
+            oopen = j + om.end() - 1
+            oclose = self._match_paren(s, oopen)
+            over = s[oopen + 1:oclose]
+            out.append(
+                f"SUM(CASE WHEN {expr} THEN 1 ELSE 0 END) OVER ({over} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+            i = oclose + 1
         return "".join(out)
 
     # -- TABLE(GENERATOR(ROWCOUNT => n)) -> range(n) ----------------------

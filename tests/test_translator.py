@@ -503,3 +503,11 @@ def test_semistructured_round2_rewrites():
     assert translate("SELECT IS_NULL_VALUE(v) FROM t") == \
         "SELECT ((v) = 'null') FROM t"
     assert "aggregate" in translate("SELECT ARRAY_SUM(a) FROM t")
+
+
+def test_conditional_true_event_rewrite():
+    got = translate(
+        "SELECT CONDITIONAL_TRUE_EVENT(flag) OVER (PARTITION BY u ORDER BY ts) AS sess FROM t")
+    assert got == (
+        "SELECT SUM(CASE WHEN flag THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM t")
