@@ -573,6 +573,17 @@ FROM lineitem WHERE l_orderkey <= 100
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+#  Native SQL PIVOT (Snowflake/Spark/DuckDB share the syntax): priority
+#  x returnflag quantity matrix. Decimal-exact sums, DOUBLE at the edge.
+_PIVOT_SQL = """
+SELECT o_orderpriority, CAST(A AS DOUBLE) AS qty_a, CAST(N AS DOUBLE) AS qty_n, CAST(R AS DOUBLE) AS qty_r
+FROM (
+  SELECT o_orderpriority, l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+PIVOT (sum(qty) FOR l_returnflag IN ('A', 'N', 'R'))
+ORDER BY o_orderpriority
+"""
+
 _AGG_ROLLUP = """
 SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c
@@ -2437,6 +2448,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_count_distinct": (_sql(_AGG_CD), _AGG_CD),
     "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
     "agg_array_agg_ordered": (_snow(_ORDERED_ARRAY_AGG_SNOW), _ORDERED_ARRAY_AGG_ORACLE),
+    "pivot_sql_native": (_sql(_PIVOT_SQL), _PIVOT_SQL),
     "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
     "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),
