@@ -82,6 +82,16 @@ AUDIT = [
     # multi-resolution rollup: GROUPING SETS must plan as ONE scan +
     # Expand + partial agg + ONE hash exchange (never one job per grain)
     ("events_multires_rollup", ["Expand", "HashAggregate"]),
+    # cohort: first-seen agg joins activity — hash join, no full-table
+    # window, no nested loop
+    ("events_cohort_retention", ["HashAggregate", "!BroadcastNestedLoopJoin"]),
+    # carry-forward gap fill: one Window over one user_id exchange
+    ("events_gapfill_carry_forward", ["Window"]),
+    # profiler: ONE scan feeding one partial+final aggregate pair
+    ("profile_table_columns", ["Aggregate", "Expand"]),
+    # lateral flatten: Generate (explode), never a join
+    ("sf_lateral_flatten", ["Generate", "!BroadcastNestedLoopJoin"]),
+    ("pivot_sql_native", ["HashAggregate", "!BroadcastNestedLoopJoin"]),
 ]
 
 
