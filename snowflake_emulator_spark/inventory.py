@@ -584,6 +584,13 @@ PIVOT (sum(qty) FOR l_returnflag IN ('A', 'N', 'R'))
 ORDER BY o_orderpriority
 """
 
+#  GROUP BY ALL (Snowflake/Spark/DuckDB shared modern syntax): group by
+#  every non-aggregate select item.
+_GROUP_BY_ALL = """
+SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+"""
+
 _AGG_ROLLUP = """
 SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
 FROM customer c
@@ -2449,6 +2456,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
     "agg_array_agg_ordered": (_snow(_ORDERED_ARRAY_AGG_SNOW), _ORDERED_ARRAY_AGG_ORACLE),
     "pivot_sql_native": (_sql(_PIVOT_SQL), _PIVOT_SQL),
+    "agg_group_by_all": (_sql(_GROUP_BY_ALL), _GROUP_BY_ALL),
     "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
     "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),
