@@ -288,13 +288,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle: int = 5, threshold: float = 0.6,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     If ``candidates`` (id_a, id_b) is given (e.g. from minhash_lsh_pairs)
     only those pairs are scored — the 100 TB path. Without candidates it
     scores all pairs sharing at least one shingle (exact, bounded by
-    shingle-bucket join, still never a cross join)."""
+    shingle-bucket join, still never a cross join).
+
+    ``max_shingle_df`` bounds the direct mode's hot-shingle hazard: a
+    shingle appearing in more than that many docs generates candidate
+    pairs quadratically ("the ", boilerplate headers, ...). With the cap
+    set, candidate pairs come only from rarer shingles, then every
+    candidate is scored EXACTLY (full intersection incl. hot shingles)
+    via the candidate-driven join — so scores are unchanged; only pairs
+    whose every shared shingle is ubiquitous are skipped, and such pairs
+    are overwhelmingly below any useful threshold anyway. This is the
+    standard stop-shingle trade for running direct mode at scale."""
     # consumed three times (sizes + both join sides); the two join
     # sides share one exchange via ReusedExchange, and the sizes agg
     # re-runs only the cheap scan+explode — no persist (r1 persisted
@@ -304,6 +315,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if candidates is None and max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        rare = sh.join(hot, "sh", "left_anti")
+        lr, rr = rare.alias("l"), rare.alias("r")
+        candidates = (
+            lr.join(rr, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .distinct()
+        )
     if candidates is not None:
         # candidate-driven intersection — the 100 TB path. The r1 form
         # ran the full shingle-bucket self-join and semi-joined the

@@ -344,3 +344,25 @@ def test_pii_redact_and_counts(spark):
     ).collect()[0]
     assert row["clean"] == "mail [EMAIL] or [URL] call [PHONE] done"
     assert (row["email"], row["url"], row["phone"]) == (1, 1, 1)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df: candidates come from rare shingles only, but
+    scores stay EXACT (hot shingles still count in the intersection) —
+    results equal the uncapped run whenever pairs share any rare
+    shingle."""
+    # every doc shares the ubiquitous prefix; near-dup pairs also share
+    # distinctive tails
+    docs = [
+        (1, "common prefix shared by all docs alpha beta gamma delta"),
+        (2, "common prefix shared by all docs alpha beta gamma DELTA"),
+        (3, "common prefix shared by all docs wholly different ending"),
+        (4, "common prefix shared by all docs another unrelated tail x"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                dedup.ngram_jaccard_pairs(df, shingle=5, threshold=0.6).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.ngram_jaccard_pairs(df, shingle=5, threshold=0.6,
+                                        max_shingle_df=3).collect()}
+    assert (1, 2) in uncapped and uncapped == capped
