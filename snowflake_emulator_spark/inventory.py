@@ -1519,6 +1519,30 @@ ORDER BY source
 """
 
 
+#  Corpus vocabulary: term frequency + document frequency in one pass
+#  (explode -> two-level aggregate; the distinct-doc count rides the
+#  same shuffle), then top-k. Vocab building for tokenizer training is
+#  a standard corpus-level pipeline op.
+_VOCAB_SPARK = f"""
+SELECT word, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, explode(split({{norm}}, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY tf DESC, word LIMIT 50
+"""
+
+
+def _vocab_spark_sql() -> str:
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', ''), "
+            "'[ \\t\\n\\r]+', ' '))")
+    return _VOCAB_SPARK.replace("{norm}", norm)
+
+
+_VOCAB_ORACLE = f"""
+SELECT word, CAST(count(*) AS BIGINT) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(str_split({_NORM_DUCK}, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY tf DESC, word LIMIT 50
+"""
+
+
 def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column null/distinct/min/max in ONE
     scan (see operators/profile.py for the single-pass design)."""
@@ -2542,6 +2566,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_filter_pipeline": (_quality_filter_pipeline, _quality_filter_oracle()),
     "sample_domain_mixture": (_sample_mixture, _MIXTURE_ORACLE),
     "profile_table_columns": (_profile_documents, _PROFILE_ORACLE),
+    "text_vocab_topk": (_sql(_vocab_spark_sql()), _VOCAB_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
