@@ -1543,6 +1543,40 @@ GROUP BY word ORDER BY tf DESC, word LIMIT 50
 """
 
 
+#  TF-IDF top terms per document: tokenize once, aggregate tf and df
+#  off the same exploded frame (shared scan via ReusedExchange), idf
+#  from exact integer counts so both engines compute identical doubles.
+#  Scale shape: df table is vocabulary-sized -> broadcasts; the window
+#  ranks within doc_id partitions only.
+_TFIDF_BODY = """
+WITH tokens AS (SELECT doc_id, {word_expr} AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tokens),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored)
+SELECT doc_id, word, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3 AND doc_id < 50
+ORDER BY doc_id, rnk
+"""
+
+
+def _tfidf_spark_sql() -> str:
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', ''), "
+            "'[ \\t\\n\\r]+', ' '))")
+    return _TFIDF_BODY.replace("{word_expr}", f"explode(split({norm}, ' '))")
+
+
+def _tfidf_oracle() -> str:
+    return _TFIDF_BODY.replace("{word_expr}", f"unnest(str_split({_NORM_DUCK}, ' '))")
+
+
 def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column null/distinct/min/max in ONE
     scan (see operators/profile.py for the single-pass design)."""
@@ -2567,6 +2601,7 @@ REGISTRY: dict[str, tuple] = {
     "sample_domain_mixture": (_sample_mixture, _MIXTURE_ORACLE),
     "profile_table_columns": (_profile_documents, _PROFILE_ORACLE),
     "text_vocab_topk": (_sql(_vocab_spark_sql()), _VOCAB_ORACLE),
+    "text_tfidf_topterms": (_sql(_tfidf_spark_sql()), _tfidf_oracle()),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
