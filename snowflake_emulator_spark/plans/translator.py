@@ -130,6 +130,7 @@ class Translator:
         if up.startswith(("CREATE", "DROP", "ALTER")):
             return s  # DDL types handled by the catalog layer
         s = self._rewrite_top(s)
+        s = self._rewrite_connect_by(s)
         s = self._rewrite_qualify(s)
         s = self._rewrite_sample(s)
         s = self._rewrite_generator(s)
@@ -249,6 +250,66 @@ class Translator:
                 f" FROM (SELECT {fn}({expr}))) {alias}")
             i = j
         return "".join(out)
+
+    # -- START WITH ... CONNECT BY PRIOR -> WITH RECURSIVE ----------------
+    # Snowflake hierarchical queries onto Spark's native recursive CTE:
+    #   SELECT <list> FROM t START WITH <seed> CONNECT BY <cond> [tail]
+    # becomes an anchor (seed rows, LEVEL 1) plus a recursive member
+    # joining child rows to the frontier; `PRIOR x` references the
+    # parent side. LEVEL is exposed as a real column. Each recursion
+    # round is one hash join against the (small) frontier — the same
+    # shape Spark gives hand-written WITH RECURSIVE.
+    def _rewrite_connect_by(self, s: str) -> str:
+        up = s.upper()
+        if "CONNECT BY" not in up or "START WITH" not in up:
+            return s
+        sw = self._find_top_level_keyword(s, "START")
+        cb = self._find_top_level_keyword(s, "CONNECT")
+        if sw is None or cb is None or cb < sw:
+            return s
+        swm = re.match(r"START\s+WITH", s[sw:], re.I)
+        cbm = re.match(r"CONNECT\s+BY", s[cb:], re.I)
+        if swm is None or cbm is None:
+            return s
+        head = s[:sw].rstrip()
+        seed = s[sw + swm.end():cb].strip()
+        rest = s[cb + cbm.end():]
+        tail_pos = None
+        for kw in ("ORDER", "LIMIT", "QUALIFY"):
+            p = self._find_top_level_keyword(rest, kw)
+            if p is not None and (tail_pos is None or p < tail_pos):
+                tail_pos = p
+        cond = rest[:tail_pos].strip() if tail_pos is not None else rest.strip()
+        tail = (" " + rest[tail_pos:].strip()) if tail_pos is not None else ""
+        fm = re.search(r"\bFROM\s+([\w.\"$]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$",
+                       head, re.I)
+        if fm is None:
+            return s
+        table = fm.group(1)
+        select_list = head[:fm.start()].strip()  # "SELECT <list>"
+        # PRIOR x -> parent (frontier) side; bare identifiers -> child
+        def side(tok: str) -> str:
+            tok = tok.strip()
+            pm = re.match(r"^PRIOR\s+([\w.]+)$", tok, re.I)
+            if pm:
+                return f"__p.{pm.group(1).split('.')[-1]}"
+            return f"__c.{tok.split('.')[-1]}" if re.fullmatch(r"[\w.]+", tok) else tok
+        join_terms = []
+        for term in re.split(r"\bAND\b", cond, flags=re.I):
+            if "=" in term:
+                lhs, rhs = term.split("=", 1)
+                join_terms.append(f"{side(lhs)} = {side(rhs)}")
+            else:
+                join_terms.append(term.strip())
+        join_cond = " AND ".join(join_terms)
+        return (
+            f"WITH RECURSIVE __hier AS ("
+            f"SELECT __t.*, 1 AS level FROM {table} __t WHERE {seed} "
+            f"UNION ALL "
+            f"SELECT __c.*, __p.level + 1 FROM {table} __c "
+            f"JOIN __hier __p ON {join_cond}) "
+            f"{select_list} FROM __hier{tail}"
+        )
 
     # -- CONDITIONAL_TRUE_EVENT(expr) OVER (...) --------------------------
     # Snowflake's window event counter: increments on each row where

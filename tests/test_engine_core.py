@@ -526,3 +526,18 @@ def test_show_tables_history_lists_dropped(engine):
     res = engine.execute("SHOW TABLES HISTORY", ctx)
     live = {r[0]: r[-1] for r in res.rows}
     assert live.get("HIST_T") is None  # live again, no drop marker
+
+
+def test_connect_by_hierarchy(engine):
+    """START WITH ... CONNECT BY PRIOR runs as a recursive CTE with
+    LEVEL; unreachable rows are excluded."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE org (id INTEGER, parent_id INTEGER, name VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO org VALUES (1, NULL, 'root'), (2, 1, 'child-a'), "
+        "(3, 1, 'child-b'), (4, 2, 'grand-a'), (5, 99, 'orphan')", ctx)
+    res = engine.execute(
+        "SELECT id, name, LEVEL FROM org START WITH parent_id IS NULL "
+        "CONNECT BY PRIOR id = parent_id ORDER BY LEVEL, id", ctx)
+    assert [tuple(r) for r in res.rows] == [
+        (1, "root", 1), (2, "child-a", 2), (3, "child-b", 2), (4, "grand-a", 3)]

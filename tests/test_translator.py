@@ -511,3 +511,17 @@ def test_conditional_true_event_rewrite():
     assert got == (
         "SELECT SUM(CASE WHEN flag THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY ts "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM t")
+
+
+def test_connect_by_rewrite():
+    got = translate(
+        "SELECT id, name, LEVEL FROM org START WITH parent_id IS NULL "
+        "CONNECT BY PRIOR id = parent_id ORDER BY LEVEL, id")
+    assert got.startswith("WITH RECURSIVE __hier AS (")
+    assert "WHERE parent_id IS NULL" in got
+    assert "__p.id = __c.parent_id" in got
+    assert got.endswith("SELECT id, name, LEVEL FROM __hier ORDER BY LEVEL, id")
+    # reversed operand order: PRIOR still marks the parent side
+    got2 = translate(
+        "SELECT id FROM t START WITH pid IS NULL CONNECT BY pid = PRIOR id")
+    assert "__c.pid = __p.id" in got2
