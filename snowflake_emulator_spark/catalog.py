@@ -160,6 +160,25 @@ class SequenceMeta:
 
 
 @dataclass
+class TaskMeta:
+    """CREATE TASK (beyond the reference): stored SQL with a schedule
+    string. The emulator runs tasks on demand (EXECUTE TASK) — the
+    stream+task+MERGE incremental-maintenance triad — rather than
+    hosting a scheduler thread; SCHEDULE is carried as metadata the way
+    the reference carries CLUSTER BY."""
+    database: str
+    schema: str
+    name: str
+    sql_text: str
+    schedule: str | None = None
+    warehouse: str | None = None
+    comment: str | None = None
+    state: str = "suspended"  # Snowflake tasks start suspended
+    created_on: float = field(default_factory=time.time)
+    last_run_on: float | None = None
+
+
+@dataclass
 class StageMeta:
     database: str
     schema: str
@@ -210,6 +229,7 @@ class Catalog:
         # dropped again (older graveyard dir is purged then)
         self.dropped_tables: dict[tuple[str, str, str], TableMeta] = {}
         self.streams: dict[tuple[str, str, str], StreamMeta] = {}
+        self.tasks: dict[tuple[str, str, str], TaskMeta] = {}
         self.views: dict[tuple[str, str, str], ViewMeta] = {}
         # monotonic catalog-state counter, bumped on any table-data or
         # view-definition change; view temp-view registrations cache on
@@ -632,6 +652,39 @@ class Catalog:
         if sm is None:
             raise errors.object_not_found(".".join(key))
         return sm
+
+    def create_task(self, name: str, sql_text: str, database: str | None = None,
+                    schema: str | None = None, schedule: str | None = None,
+                    warehouse: str | None = None, comment: str | None = None,
+                    if_not_exists: bool = False, or_replace: bool = False) -> TaskMeta:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key in self.tasks:
+                if if_not_exists:
+                    return self.tasks[key]
+                if not or_replace:
+                    raise errors.object_exists(".".join(key))
+            t = TaskMeta(*key, sql_text=sql_text, schedule=schedule,
+                         warehouse=warehouse, comment=comment)
+            self.tasks[key] = t
+            return t
+
+    def get_task(self, name: str, database: str | None = None,
+                 schema: str | None = None) -> TaskMeta:
+        key = self.resolve(name, database, schema)
+        if key not in self.tasks:
+            raise errors.object_not_found(".".join(key))
+        return self.tasks[key]
+
+    def drop_task(self, name: str, database: str | None = None,
+                  schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.tasks:
+                if if_exists:
+                    return
+                raise errors.object_not_found(".".join(key))
+            del self.tasks[key]
 
     def drop_stream(self, name: str, database: str | None = None,
                     schema: str | None = None, if_exists: bool = False) -> None:

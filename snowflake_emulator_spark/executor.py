@@ -107,6 +107,15 @@ _CREATE_STREAM_RE = re.compile(
     re.I,
 )
 _DROP_STREAM_RE = re.compile(r"^\s*DROP\s+STREAM\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_TASK_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TASK\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)"
+    r"((?:\s+(?:WAREHOUSE\s*=\s*[\w\"$]+|SCHEDULE\s*=\s*'(?:[^']|'')*'|COMMENT\s*=\s*'(?:[^']|'')*'))*)"
+    r"\s+AS\s+(.+)$",
+    re.I | re.S,
+)
+_DROP_TASK_RE = re.compile(r"^\s*DROP\s+TASK\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_ALTER_TASK_RE = re.compile(r"^\s*ALTER\s+TASK\s+([\w.\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
+_EXECUTE_TASK_RE = re.compile(r"^\s*EXECUTE\s+TASK\s+([\w.\"$]+)\s*$", re.I)
 # Snowflake stream metadata columns: Spark SQL needs them backticked
 # (unquoted identifiers cannot contain '$')
 _STREAM_META_RE = re.compile(r"(?<!`)\bMETADATA\$(ACTION|ISUPDATE|ROW_ID)\b", re.I)
@@ -466,6 +475,14 @@ class Executor:
             return MergeProcessor(self.spark, self.catalog, self).execute(sql, ctx)
         if t == StatementType.TRANSACTION:
             return self._transaction(sql)
+        m = _EXECUTE_TASK_RE.match(sql)
+        if m:
+            import time as _time
+
+            task = self.catalog.get_task(m.group(1), ctx.database, ctx.schema)
+            res = self._dispatch(task.sql_text, ctx, None)
+            task.last_run_on = _time.time()
+            return res
         return self._dml(sql, ctx)
 
     # ------------------------------------------------------------------
@@ -802,6 +819,28 @@ class Executor:
                     except Exception:
                         pass
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_TASK_RE.match(sql)
+        if m:
+            opts = m.group(4) or ""
+            wm = re.search(r"WAREHOUSE\s*=\s*([\w\"$]+)", opts, re.I)
+            sm_ = re.search(r"SCHEDULE\s*=\s*'((?:[^']|'')*)'", opts, re.I)
+            cm_ = re.search(r"COMMENT\s*=\s*'((?:[^']|'')*)'", opts, re.I)
+            self.catalog.create_task(
+                m.group(3), m.group(5).strip(), ctx.database, ctx.schema,
+                schedule=sm_.group(1) if sm_ else None,
+                warehouse=wm.group(1) if wm else None,
+                comment=cm_.group(1) if cm_ else None,
+                if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)))
+            return Result.status(f"Task {m.group(3).upper()} successfully created.")
+        m = _DROP_TASK_RE.match(sql)
+        if m:
+            self.catalog.drop_task(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _ALTER_TASK_RE.match(sql)
+        if m:
+            t = self.catalog.get_task(m.group(1), ctx.database, ctx.schema)
+            t.state = "started" if m.group(2).upper() == "RESUME" else "suspended"
+            return Result.status("Statement executed successfully.")
         m = _CREATE_STREAM_RE.match(sql)
         if m:
             self.catalog.create_stream(
@@ -1243,6 +1282,15 @@ class Executor:
                     rows=rows,
                 )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
+        if "TASKS" in up:
+            rows = [
+                [name, db, sch, t.schedule, t.state, t.warehouse,
+                 t.sql_text[:200], t.comment]
+                for (db, sch, name), t in sorted(self.catalog.tasks.items())
+                if _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "schedule",
+                                   "state", "warehouse", "definition", "comment"], rows=rows)
         if "STREAMS" in up:
             rows = [
                 [name, db, sch, ".".join(sm.src), "APPEND_ONLY" if sm.append_only else "DEFAULT", sm.comment]

@@ -137,3 +137,38 @@ def test_stream_incremental_rollup_maintenance(engine):
     refresh()
     res = engine.execute("SELECT k, total FROM roll ORDER BY k", ctx)
     assert [tuple(r) for r in res.rows] == [(1, 15), (2, 0), (3, 30)]
+
+
+def test_task_lifecycle_and_incremental_refresh(engine):
+    """CREATE TASK stores the refresh SQL; EXECUTE TASK runs it —
+    the Snowflake stream+task+MERGE triad driven on demand."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE f2 (k INTEGER, amt INTEGER)", ctx)
+    engine.execute("CREATE TABLE r2 (k INTEGER, total INTEGER)", ctx)
+    engine.execute("CREATE STREAM f2_delta ON TABLE f2 APPEND_ONLY = TRUE", ctx)
+    engine.execute(
+        "CREATE TASK refresh_r2 SCHEDULE = '5 MINUTE' COMMENT = 'rollup' AS "
+        "MERGE INTO r2 USING ("
+        "  SELECT k, sum(amt) AS d FROM f2_delta"
+        "  WHERE METADATA$ACTION = 'INSERT' GROUP BY k"
+        ") delta ON r2.k = delta.k "
+        "WHEN MATCHED THEN UPDATE SET total = r2.total + delta.d "
+        "WHEN NOT MATCHED THEN INSERT (k, total) VALUES (delta.k, delta.d)",
+        ctx,
+    )
+    res = engine.execute("SHOW TASKS", ctx)
+    row = next(r for r in res.rows if r[0] == "REFRESH_R2")
+    assert row[3] == "5 MINUTE" and row[4] == "suspended"
+    engine.execute("ALTER TASK refresh_r2 RESUME", ctx)
+    assert next(r for r in engine.execute("SHOW TASKS", ctx).rows
+                if r[0] == "REFRESH_R2")[4] == "started"
+    engine.execute("INSERT INTO f2 VALUES (1, 10), (2, 20)", ctx)
+    engine.execute("EXECUTE TASK refresh_r2", ctx)
+    res = engine.execute("SELECT k, total FROM r2 ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 10), (2, 20)]
+    engine.execute("INSERT INTO f2 VALUES (1, 5)", ctx)
+    engine.execute("EXECUTE TASK refresh_r2", ctx)
+    res = engine.execute("SELECT k, total FROM r2 ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 15), (2, 20)]
+    engine.execute("DROP TASK refresh_r2", ctx)
+    assert all(r[0] != "REFRESH_R2" for r in engine.execute("SHOW TASKS", ctx).rows)
