@@ -643,7 +643,7 @@ class Executor:
     # pkg/contentdata/repository_test.go:69; here the views are built
     # from catalog metadata with Snowflake-style logical names, scoped
     # to the session database like Snowflake's per-DB info schema)
-    _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES"}
+    _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES", "STREAMS", "TASKS", "SEQUENCES"}
 
     def _register_info_schema_view(self, which: str, db: str) -> str:
         view = f"__info_schema_{which.lower()}"
@@ -674,6 +674,22 @@ class Executor:
         elif which == "SCHEMATA":
             rows = [(d, s) for (d, s) in c.schemas if d == db]
             schema = "catalog_name string, schema_name string"
+        elif which == "STREAMS":
+            rows = [(sm.database, sm.schema, sm.name, ".".join(sm.src),
+                     "APPEND_ONLY" if sm.append_only else "DEFAULT", sm.comment)
+                    for sm in c.streams.values() if sm.database == db]
+            schema = ("stream_catalog string, stream_schema string, stream_name string, "
+                      "table_name string, mode string, comment string")
+        elif which == "TASKS":
+            rows = [(t.database, t.schema, t.name, t.schedule, t.state, t.sql_text, t.comment)
+                    for t in c.tasks.values() if t.database == db]
+            schema = ("task_catalog string, task_schema string, task_name string, "
+                      "schedule string, state string, definition string, comment string")
+        elif which == "SEQUENCES":
+            rows = [(sq.database, sq.schema, sq.name, sq.start, sq.increment)
+                    for sq in c.sequences.values() if sq.database == db]
+            schema = ("sequence_catalog string, sequence_schema string, sequence_name string, "
+                      "start_value bigint, increment bigint")
         else:  # DATABASES
             rows = [(name, meta.get("comment")) for name, meta in c.databases.items()]
             schema = "database_name string, comment string"

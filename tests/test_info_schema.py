@@ -48,3 +48,21 @@ def test_information_schema_views_and_qualified(engine):
         "SELECT count(*) AS n FROM information_schema.databases WHERE database_name = 'TEST_DB'",
         ctx)
     assert _rows(res) == [(1,)]
+
+
+def test_info_schema_streams_tasks_sequences(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ist (id INTEGER)", ctx)
+    engine.execute("CREATE STREAM ist_s ON TABLE ist", ctx)
+    engine.execute("CREATE TASK ist_t SCHEDULE = '1 HOUR' AS SELECT 1", ctx)
+    engine.execute("CREATE SEQUENCE ist_q START = 5 INCREMENT = 2", ctx)
+    r = engine.execute("SELECT stream_name, mode FROM INFORMATION_SCHEMA.STREAMS", ctx)
+    assert ("IST_S", "DEFAULT") in [tuple(x) for x in r.rows]
+    r = engine.execute(
+        "SELECT task_name, schedule, state FROM INFORMATION_SCHEMA.TASKS", ctx)
+    assert ("IST_T", "1 HOUR", "suspended") in [tuple(x) for x in r.rows]
+    r = engine.execute(
+        "SELECT sequence_name, start_value, increment FROM INFORMATION_SCHEMA.SEQUENCES", ctx)
+    assert ("IST_Q", 5, 2) in [tuple(x) for x in r.rows]
