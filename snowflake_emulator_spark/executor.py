@@ -114,6 +114,16 @@ _CREATE_TASK_RE = re.compile(
     re.I | re.S,
 )
 _DROP_TASK_RE = re.compile(r"^\s*DROP\s+TASK\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_DYNTABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?DYNAMIC\s+TABLE\s+([\w.\"$]+)"
+    r"(?:\s+TARGET_LAG\s*=\s*'((?:[^']|'')*)')?(?:\s+WAREHOUSE\s*=\s*[\w\"$]+)?"
+    r"\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
+_REFRESH_DYNTABLE_RE = re.compile(
+    r"^\s*ALTER\s+DYNAMIC\s+TABLE\s+([\w.\"$]+)\s+REFRESH\s*$", re.I)
+_DROP_DYNTABLE_RE = re.compile(
+    r"^\s*DROP\s+DYNAMIC\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
 _ALTER_TASK_RE = re.compile(r"^\s*ALTER\s+TASK\s+([\w.\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
 _EXECUTE_TASK_RE = re.compile(r"^\s*EXECUTE\s+TASK\s+([\w.\"$]+)\s*$", re.I)
 # Snowflake stream metadata columns: Spark SQL needs them backticked
@@ -201,6 +211,8 @@ class Executor:
         # INFORMATION_SCHEMA registrations: view name -> (database,
         # catalog.mutation) at build time
         self._info_schema_cache: dict[str, tuple[str, int]] = {}
+        # dynamic tables: table key -> (stored SELECT, target_lag)
+        self._dyntable_defs: dict[tuple[str, str, str], tuple[str, str | None]] = {}
         # RESULT_SCAN store: query id -> Result, newest-last, capped.
         # Snowflake's result cache is a remote store; here the rows are
         # already materialized driver-side at the protocol boundary, so
@@ -834,6 +846,49 @@ class Executor:
                         self.spark.catalog.dropTempView(view)
                     except Exception:
                         pass
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_DYNTABLE_RE.match(sql)
+        if m:
+            # DYNAMIC TABLE (beyond-reference): materialized query with
+            # on-demand full refresh (ALTER ... REFRESH re-runs the
+            # stored SELECT into a new immutable version — the coarse
+            # mode of Snowflake's dynamic tables; incremental refresh is
+            # the stream+task+MERGE triad this engine also supports).
+            df = self.query_df(m.group(4), ctx)
+            from .functions.typemap import spark_to_snowflake_name
+
+            cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
+                    for f in df.schema.fields]
+            self.catalog.create_table(m.group(2), cols, ctx.database, ctx.schema,
+                                      or_replace=bool(m.group(1)), df=df)
+            tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+            tm.kind = "DYNAMIC TABLE"
+            self._dyntable_defs[(tm.database, tm.schema, tm.name)] = (
+                m.group(4).strip(), m.group(3))
+            self.sync_namespace_views(ctx)
+            return Result.status(f"Dynamic table {m.group(2).upper()} successfully created.")
+        m = _REFRESH_DYNTABLE_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            key = (tm.database, tm.schema, tm.name)
+            if key not in self._dyntable_defs:
+                raise errors.execution_error(f"{tm.name} is not a dynamic table")
+            df = self.query_df(self._dyntable_defs[key][0], ctx)
+            self.catalog.write_table(tm, df, mode="overwrite")
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        m = _DROP_DYNTABLE_RE.match(sql)
+        if m:
+            tm = None
+            try:
+                tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                if not m.group(1):
+                    raise
+            if tm is not None:
+                self._dyntable_defs.pop((tm.database, tm.schema, tm.name), None)
+                self.spark.catalog.dropTempView(tm.name)
+                self.catalog.drop_table(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CREATE_TASK_RE.match(sql)
         if m:

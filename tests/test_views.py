@@ -100,3 +100,32 @@ def test_describe_view(engine, vctx):
     engine.execute("CREATE VIEW v_desc AS SELECT id, grp FROM vt", vctx)
     res = engine.execute("DESCRIBE VIEW v_desc", vctx)
     assert [r[0] for r in res.rows] == ["ID", "GRP"]
+
+
+def test_dynamic_table_create_refresh_drop(engine):
+    """CREATE DYNAMIC TABLE materializes the query; ALTER ... REFRESH
+    re-runs it against current sources into a new immutable version."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE dt_src (k INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO dt_src VALUES (1, 10), (1, 20), (2, 5)", ctx)
+    engine.execute(
+        "CREATE DYNAMIC TABLE dt_roll TARGET_LAG = '10 minutes' AS "
+        "SELECT k, CAST(sum(v) AS BIGINT) AS total FROM dt_src GROUP BY k", ctx)
+    res = engine.execute("SELECT k, total FROM dt_roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 30), (2, 5)]
+    # stale until refreshed (materialized, not a live view)
+    engine.execute("INSERT INTO dt_src VALUES (2, 95)", ctx)
+    res = engine.execute("SELECT k, total FROM dt_roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 30), (2, 5)]
+    engine.execute("ALTER DYNAMIC TABLE dt_roll REFRESH", ctx)
+    res = engine.execute("SELECT k, total FROM dt_roll ORDER BY k", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, 30), (2, 100)]
+    # listed with its kind; dropping removes the definition
+    res = engine.execute("SHOW TABLES", ctx)
+    assert any(r[0] == "DT_ROLL" and r[3] == "DYNAMIC TABLE" for r in res.rows)
+    engine.execute("DROP DYNAMIC TABLE dt_roll", ctx)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.execute("SELECT * FROM dt_roll", ctx)
