@@ -672,6 +672,30 @@ EXCEPT
 SELECT s_nationkey FROM supplier
 """
 
+#  EXCEPT ALL / INTERSECT ALL (multiset semantics — duplicates carry
+#  multiplicity) + Snowflake's MINUS alias on the Spark side.
+_SET_EXCEPT_ALL_SPARK = """
+SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem WHERE l_orderkey <= 200
+EXCEPT ALL
+SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey <= 100
+ORDER BY rf, ls
+"""
+_SET_INTERSECT_ALL_SPARK = """
+SELECT o_orderpriority AS prio FROM orders WHERE o_orderkey <= 400
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderkey BETWEEN 200 AND 600
+ORDER BY prio
+"""
+#  MINUS == EXCEPT (DISTINCT): Spark accepts MINUS natively; DuckDB
+#  spells it EXCEPT, so the oracle differs only in the keyword.
+_SET_MINUS_SPARK = """
+SELECT p_partkey AS partkey FROM part WHERE p_size > 40
+MINUS
+SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+ORDER BY partkey
+"""
+_SET_MINUS_ORACLE = _SET_MINUS_SPARK.replace("MINUS", "EXCEPT")
+
 # CTE + subqueries
 _CTE = """
 WITH big_orders AS (
@@ -2534,6 +2558,9 @@ REGISTRY: dict[str, tuple] = {
     "setop_union_all": (_sql(_SET_UNION), _SET_UNION),
     "setop_intersect": (_sql(_SET_INTERSECT), _SET_INTERSECT),
     "setop_except": (_sql(_SET_EXCEPT), _SET_EXCEPT),
+    "setop_except_all": (_sql(_SET_EXCEPT_ALL_SPARK), _SET_EXCEPT_ALL_SPARK),
+    "setop_intersect_all": (_sql(_SET_INTERSECT_ALL_SPARK), _SET_INTERSECT_ALL_SPARK),
+    "setop_minus_alias": (_sql(_SET_MINUS_SPARK), _SET_MINUS_ORACLE),
     # CTE / subqueries
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
