@@ -651,6 +651,15 @@ SELECT DISTINCT o_custkey,
 FROM orders
 """
 
+#  NTH_VALUE over the full-partition frame (second order per customer).
+_WIN_NTH_VALUE = """
+SELECT DISTINCT o_custkey,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders WHERE o_custkey < 500
+ORDER BY o_custkey
+"""
+
 # §2.7 set operations
 _SET_UNION = """
 SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
@@ -2561,6 +2570,7 @@ REGISTRY: dict[str, tuple] = {
     "setop_except_all": (_sql(_SET_EXCEPT_ALL_SPARK), _SET_EXCEPT_ALL_SPARK),
     "setop_intersect_all": (_sql(_SET_INTERSECT_ALL_SPARK), _SET_INTERSECT_ALL_SPARK),
     "setop_minus_alias": (_sql(_SET_MINUS_SPARK), _SET_MINUS_ORACLE),
+    "window_nth_value": (_sql(_WIN_NTH_VALUE), _WIN_NTH_VALUE),
     # CTE / subqueries
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
