@@ -660,6 +660,19 @@ FROM orders WHERE o_custkey < 500
 ORDER BY o_custkey
 """
 
+#  Period-over-period: monthly revenue with MoM growth (lag over the
+#  pre-aggregated series — the window runs on ~80 rows, never the fact
+#  table; decimal-exact sums so both engines lag identical values).
+_WIN_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1)
+SELECT month, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) - 1, 6) AS mom_growth
+FROM monthly ORDER BY month
+"""
+
 # §2.7 set operations
 _SET_UNION = """
 SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
@@ -2571,6 +2584,7 @@ REGISTRY: dict[str, tuple] = {
     "setop_intersect_all": (_sql(_SET_INTERSECT_ALL_SPARK), _SET_INTERSECT_ALL_SPARK),
     "setop_minus_alias": (_sql(_SET_MINUS_SPARK), _SET_MINUS_ORACLE),
     "window_nth_value": (_sql(_WIN_NTH_VALUE), _WIN_NTH_VALUE),
+    "window_mom_growth": (_sql(_WIN_MOM_GROWTH), _WIN_MOM_GROWTH),
     # CTE / subqueries
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
