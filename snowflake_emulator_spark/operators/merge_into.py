@@ -295,7 +295,28 @@ class MergeProcessor:
             f"ORDER BY CASE WHEN ({matched_action}) = 'NONE' THEN 1 ELSE 0 END, {s}.__sid) AS __rn "
             f"FROM {tv} AS {t} FULL OUTER JOIN {sv} AS {s} ON ({on})"
         )
-        joined = self.spark.sql(join_sql).filter("__rn = 1")
+        pre = self.spark.sql(join_sql)
+        # ERROR_ON_NONDETERMINISTIC_MERGE=TRUE (Snowflake's default is
+        # the strict mode): a target row matched by MULTIPLE actionable
+        # source rows raises instead of silently applying the first
+        # match. __rn = 2 with an actionable action means at least two
+        # UPDATE/DELETE matches landed on one target partition (the
+        # ORDER BY sorts actionable matches first).
+        strict = str(getattr(ctx, "parameters", {}).get(
+            "ERROR_ON_NONDETERMINISTIC_MERGE", "FALSE")).upper() == "TRUE"
+        if strict:
+            dup = (
+                pre.filter((F.col("__rn") == 2) & F.col("__action").isin("UPDATE", "DELETE"))
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise errors.execution_error(
+                    "Duplicate row detected during DML action: a target row "
+                    "was matched by multiple source rows "
+                    "(ERROR_ON_NONDETERMINISTIC_MERGE=TRUE)"
+                )
+        joined = pre.filter("__rn = 1")
 
         from pyspark.sql import Observation
 

@@ -541,3 +541,28 @@ def test_connect_by_hierarchy(engine):
         "CONNECT BY PRIOR id = parent_id ORDER BY LEVEL, id", ctx)
     assert [tuple(r) for r in res.rows] == [
         (1, "root", 1), (2, "child-a", 2), (3, "child-b", 2), (4, "grand-a", 3)]
+
+
+def test_merge_nondeterministic_strict_mode(engine):
+    """ERROR_ON_NONDETERMINISTIC_MERGE=TRUE raises when one target row
+    is matched by multiple actionable source rows; the default
+    (pick-first) keeps working after UNSET."""
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mt (id INTEGER, v INTEGER)", ctx)
+    engine.execute("CREATE TABLE ms (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO mt VALUES (1, 0)", ctx)
+    engine.execute("INSERT INTO ms VALUES (1, 10), (1, 20)", ctx)
+    merge = ("MERGE INTO mt USING ms ON mt.id = ms.id "
+             "WHEN MATCHED THEN UPDATE SET v = ms.v")
+    engine.execute("ALTER SESSION SET ERROR_ON_NONDETERMINISTIC_MERGE = TRUE", ctx)
+    with _pytest.raises(Exception, match="[Dd]uplicate row"):
+        engine.execute(merge, ctx)
+    engine.execute("ALTER SESSION UNSET ERROR_ON_NONDETERMINISTIC_MERGE", ctx)
+    r = engine.execute(merge, ctx)
+    assert r.rows_updated == 1
+    res = engine.execute("SELECT v FROM mt", ctx)
+    # pick-first applies exactly ONE of the matches (which one is
+    # engine-defined, as in Snowflake's non-strict mode)
+    assert [tuple(x) for x in res.rows] in ([(10,)], [(20,)])
