@@ -1328,6 +1328,29 @@ class Executor:
                 if db == ctx.database and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
+        if "OBJECTS" in up:
+            rows = [
+                [tbl, db, sch, tm.kind, tm.comment]
+                for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
+                if db == ctx.database and _match(tbl)
+            ] + [
+                [name, db, sch, "VIEW", vm.comment]
+                for (db, sch, name), vm in sorted(self.catalog.views.items())
+                if db == ctx.database and _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "kind", "comment"],
+                          rows=sorted(rows))
+        if "DYNAMIC" in up and "TABLES" in up:
+            rows = [
+                [tbl, db, sch,
+                 (self._dyntable_defs.get((db, sch, tbl)) or (None, None))[1],
+                 (self._dyntable_defs.get((db, sch, tbl)) or (None, None))[0],
+                 tm.comment]
+                for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
+                if db == ctx.database and tm.kind == "DYNAMIC TABLE" and _match(tbl)
+            ]
+            return Result(columns=["name", "database_name", "schema_name",
+                                   "target_lag", "text", "comment"], rows=rows)
         if "TABLES" in up:
             # SHOW TABLES HISTORY includes UNDROP-able dropped tables
             # with their drop marker (Snowflake's dropped_on column)

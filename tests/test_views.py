@@ -129,3 +129,20 @@ def test_dynamic_table_create_refresh_drop(engine):
     import pytest as _pytest
     with _pytest.raises(Exception):
         engine.execute("SELECT * FROM dt_roll", ctx)
+
+
+def test_show_dynamic_tables_and_objects(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE sdt_base (k INTEGER)", ctx)
+    engine.execute("INSERT INTO sdt_base VALUES (1)", ctx)
+    engine.execute(
+        "CREATE DYNAMIC TABLE sdt_d TARGET_LAG = '1 hour' AS SELECT k FROM sdt_base", ctx)
+    engine.execute("CREATE VIEW sdt_v AS SELECT k FROM sdt_base", ctx)
+    res = engine.execute("SHOW DYNAMIC TABLES", ctx)
+    assert [r[0] for r in res.rows] == ["SDT_D"]
+    assert res.rows[0][3] == "1 hour"
+    names = {(r[0], r[3]) for r in engine.execute("SHOW OBJECTS", ctx).rows}
+    assert ("SDT_BASE", "TABLE") in names and ("SDT_V", "VIEW") in names \
+        and ("SDT_D", "DYNAMIC TABLE") in names
