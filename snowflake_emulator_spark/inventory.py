@@ -1888,6 +1888,59 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)
 """
 
 
+def _pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: the complete training-data keep set — a document
+    survives iff it (a) is its near-dup cluster's representative
+    (LSH -> exact Jaccard -> connected components), (b) passes the
+    composite quality gate, and (c) lands in the deterministic domain-
+    mixture sample. One corpus scan feeds dedup and quality; the
+    removal list and the gate are both tiny next to the corpus, so the
+    final composition is anti-join + two map filters — exactly how the
+    100 TB job would compose."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5)
+    pairs = dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5, candidates=cands)
+    comps = dedup.connected_components(pairs)
+    removals = (comps.filter(F.col("node") != F.col("comp"))
+                .select(F.col("node").alias("doc_id")).distinct())
+    quality_keep = _quality_filter_pipeline(spark, sf_dir).filter("keep").select("doc_id")
+    rates = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+    sampled = mixture.mixture_sample(d, rates, default_rate=0.05)
+    kept = (
+        sampled.join(removals, "doc_id", "left_anti")
+        .join(quality_keep, "doc_id", "left_semi")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"),
+             F.sum("doc_id").cast("bigint").alias("kept_id_sum"))
+        .orderBy("source")
+    )
+
+
+def _pipeline_keep_oracle() -> str:
+    clusters = _dedup_clusters_oracle().replace("ORDER BY doc_id", "")
+    quality = _quality_filter_oracle().replace("ORDER BY w.doc_id", "")
+    return f"""
+WITH comps AS ({clusters}),
+q AS ({quality}),
+rated AS (
+  SELECT *,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.8 WHEN 'src2' THEN 0.5
+                     WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.1 ELSE 0.05 END AS rate,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM rated
+WHERE bucket < CAST(rate * 1000000 AS BIGINT)
+  AND doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)
+  AND doc_id IN (SELECT doc_id FROM q WHERE keep)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _dedup_pipeline_oracle() -> str:
     minhash = _minhash_oracle().replace("ORDER BY id_a, id_b", "")
     return f"""
@@ -2665,6 +2718,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),
+    "pipeline_keep_set": (_pipeline_keep_set, _pipeline_keep_oracle()),
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
