@@ -673,6 +673,46 @@ SELECT month, CAST(rev AS DOUBLE) AS revenue,
 FROM monthly ORDER BY month
 """
 
+#  Strict 3-step funnel: first view -> first later click -> first later
+#  purchase, per user; stage counts in one row. Each stage is a
+#  groupBy-min against the previous stage's frame — three small
+#  aggregations, no window over the raw fact table.
+_FUNNEL3 = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+"""
+
+#  RFM segmentation: recency/frequency/monetary quartiles per customer,
+#  counted per segment. ntile ties broken by c_custkey so both engines
+#  bucket identically; monetary from decimal-exact sums.
+_RFM = """
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM base)
+SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
 # §2.7 set operations
 _SET_UNION = """
 SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
@@ -2638,6 +2678,8 @@ REGISTRY: dict[str, tuple] = {
     "setop_minus_alias": (_sql(_SET_MINUS_SPARK), _SET_MINUS_ORACLE),
     "window_nth_value": (_sql(_WIN_NTH_VALUE), _WIN_NTH_VALUE),
     "window_mom_growth": (_sql(_WIN_MOM_GROWTH), _WIN_MOM_GROWTH),
+    "events_funnel3_strict": (_sql(_FUNNEL3), _FUNNEL3),
+    "rfm_segmentation": (_sql(_RFM), _RFM),
     # CTE / subqueries
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
