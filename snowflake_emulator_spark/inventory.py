@@ -713,6 +713,42 @@ SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
 FROM scored GROUP BY r, f, m ORDER BY r, f, m
 """
 
+#  Pareto / ABC analysis: parts classified by cumulative revenue share.
+#  One aggregate, one window over the (small) per-part rollup; share
+#  arithmetic on decimal-exact sums cast once.
+_PARETO_ABC = """
+WITH part_rev AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(rev) OVER () AS total_rev
+  FROM part_rev)
+SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.5 THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS DOUBLE) AS class_rev
+FROM ranked GROUP BY 1 ORDER BY abc_class
+"""
+
+#  Market-basket co-occurrence: part pairs bought in the same order.
+#  The self-join is keyed on l_orderkey, so work is bounded by
+#  items-per-basket squared (like the shingle-bucket join) — never a
+#  corpus-level cross product; the pair aggregation map-side combines.
+_BASKET_PAIRS = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 50
+"""
+
 # §2.7 set operations
 _SET_UNION = """
 SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
@@ -2680,6 +2716,8 @@ REGISTRY: dict[str, tuple] = {
     "window_mom_growth": (_sql(_WIN_MOM_GROWTH), _WIN_MOM_GROWTH),
     "events_funnel3_strict": (_sql(_FUNNEL3), _FUNNEL3),
     "rfm_segmentation": (_sql(_RFM), _RFM),
+    "pareto_abc_analysis": (_sql(_PARETO_ABC), _PARETO_ABC),
+    "basket_part_pairs": (_sql(_BASKET_PAIRS), _BASKET_PAIRS),
     # CTE / subqueries
     "cte_join_agg": (_sql(_CTE), _CTE),
     "subquery_scalar": (_sql(_SUBQ_SCALAR), _SUBQ_SCALAR),
