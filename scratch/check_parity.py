@@ -33,6 +33,39 @@ def norm(v):
     return v
 
 
+# Coarse type classes: the driver's value hash is type-sensitive (r2's
+# q12 red row was DuckDB HUGEINT vs Spark BIGINT over identical values),
+# so flag any column whose engine-level types do not land in the same
+# class even when stringified values match.
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "int128", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "uint64",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "BLOB": "bin",
+}
+
+
+def _type_class(type_str: str, table: dict) -> str:
+    t = type_str.strip()
+    up = t.upper()
+    if up.startswith("DECIMAL"):
+        return "dec:" + up.replace(" ", "")
+    if up.startswith(("ARRAY", "LIST")) or "[]" in up:
+        return "list"
+    if up.startswith(("MAP", "STRUCT")):
+        return "nested"
+    return table.get(t, table.get(up, f"other:{t}"))
+
+
 def run():
     spark = build_spark(app_name="parity", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -59,6 +92,16 @@ def run():
             problems = []
             if scols != dcols:
                 problems.append(f"cols spark={scols} duck={dcols}")
+            else:
+                stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
+                dtypes = [str(d[1]) for d in res.description]
+                for c, st, dt in zip(scols, stypes, dtypes):
+                    sc = _type_class(st, _SPARK_CLASS)
+                    dc = _type_class(dt, _DUCK_CLASS)
+                    if sc != dc:
+                        problems.append(
+                            f"type-class mismatch {c}: spark {st}({sc}) vs duck {dt}({dc})"
+                        )
             if len(srows) != len(drows):
                 problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
             if not problems:
