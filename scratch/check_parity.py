@@ -86,15 +86,15 @@ def run():
                 passed.append(name)
                 print(f"PASS {name}: {status} [{time.time()-t0:.1f}s]")
                 continue
-            res = con.execute(oracle)
-            dcols = [d[0].lower() for d in res.description]
-            drows = [tuple(norm(v) for v in r) for r in res.fetchall()]
+            rel = con.sql(oracle)
+            dcols = [c.lower() for c in rel.columns]
+            dtypes = [str(t) for t in rel.types]
+            drows = [tuple(norm(v) for v in r) for r in rel.fetchall()]
             problems = []
             if scols != dcols:
                 problems.append(f"cols spark={scols} duck={dcols}")
             else:
                 stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
-                dtypes = [str(d[1]) for d in res.description]
                 for c, st, dt in zip(scols, stypes, dtypes):
                     sc = _type_class(st, _SPARK_CLASS)
                     dc = _type_class(dt, _DUCK_CLASS)

@@ -50,30 +50,56 @@ def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  shingle: int = 5) -> DataFrame:
+    """The canonical distinct-shingle relation (id, sh): one row per
+    (doc, distinct char shingle of the normalized text).
+
+    This is THE shared upstream of the whole near-dup stack: minhash
+    signatures, LSH banding, and exact-Jaccard scoring all consume it.
+    A pipeline that computes it once (and persists across the stages of
+    one job) scans the corpus ONCE — at 100 TB the corpus scan is the
+    dominant cost, so sharing it beats re-deriving shingles inside each
+    operator. Explode + array_distinct stay per-row (no shuffle)."""
+    return df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"),
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_perm: int = 16, shingle: int = 5) -> DataFrame:
+                       num_perm: int = 16, shingle: int = 5,
+                       shingled: DataFrame | None = None) -> DataFrame:
     """Per-doc minhash signature as ``array<bigint>`` of length num_perm.
 
     Permutation i is ((a_i * h + b_i) mod M61) with a_i, b_i derived
     deterministically from i; h is the md5-int of each shingle. The
     whole pipeline is explode -> groupBy(id) with min-aggregates —
     one shuffle on doc id, partial mins map-side."""
-    # shingle via explode(sequence) + plain substr projection rather
-    # than the HOF transform in char_ngrams: min-aggregation is
-    # duplicate-insensitive so array_distinct is unnecessary here, and
-    # the HOF construct costs ~3 s of one-time codegen compile that
-    # this formulation avoids (2x cold, 2x warm). substr(t, 1, n) == t
-    # when len(t) < n, matching char_ngrams' short-text behavior.
-    shingled = df.select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
-    ).select(
-        F.col(id_col), F.col("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("__t") - (shingle - 1), F.lit(1)))
-        ).alias("__pos"),
-    ).select(
-        F.col(id_col), F.col("__t").substr(F.col("__pos"), F.lit(shingle)).alias("sh")
-    )
+    # `shingled`: optionally supply a pre-computed (id, sh) relation
+    # (shingle_table, typically persisted) so a composed pipeline scans
+    # and shingle-izes the corpus ONCE; min-aggregation is duplicate-
+    # insensitive, so the distinct-shingle table yields identical
+    # signatures.
+    if shingled is None:
+        # shingle via explode(sequence) + plain substr projection rather
+        # than the HOF transform in char_ngrams: min-aggregation is
+        # duplicate-insensitive so array_distinct is unnecessary here, and
+        # the HOF construct costs ~3 s of one-time codegen compile that
+        # this formulation avoids (2x cold, 2x warm). substr(t, 1, n) == t
+        # when len(t) < n, matching char_ngrams' short-text behavior.
+        shingled = df.select(
+            F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
+        ).select(
+            F.col(id_col), F.col("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - (shingle - 1), F.lit(1)))
+            ).alias("__pos"),
+        ).select(
+            F.col(id_col), F.col("__t").substr(F.col("__pos"), F.lit(shingle)).alias("sh")
+        )
     # projection boundary: hash each shingle ONCE into a plain column,
     # then derive the permutations from it. Inlining the md5/conv
     # subtree into all num_perm aggregates multiplies the codegen
@@ -95,7 +121,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_perm: int = 16, bands: int = 4, shingle: int = 5) -> DataFrame:
+                      num_perm: int = 16, bands: int = 4, shingle: int = 5,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     rows_per_band = num_perm / bands; docs sharing any band hash are
@@ -103,7 +130,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Scale path: the self-join is per (band, hash) bucket — skew-safe
     under AQE, never a cross join."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle)
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, shingled=shingled)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -229,24 +256,36 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     component, drop the rest).
 
     Iterative min-label propagation: label(v) <- min(label(v), labels
-    of v's neighbors), repeated to fixpoint. Each round is one shuffle
-    join + one groupBy, both partitioned on node id; converges in
-    O(component diameter) rounds (near-dup clusters are shallow — a few
-    rounds in practice), bounded by ``max_iterations``. Edges and each
-    round's labels are persisted and the previous round unpersisted, so
-    lineage/plan size stays CONSTANT per round — without this the
-    convergence check would re-run the whole upstream LSH pipeline
-    every round. The returned frame is local-checkpointed so all
-    intermediate caches are released (no cache leak in a long-lived
-    server).
+    of v's neighbors), repeated to fixpoint; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — a few rounds in
+    practice), bounded by ``max_iterations``. Per-iteration cost is ONE
+    job running ONE join + ONE groupBy:
+
+    * the convergence check is free — labels only ever decrease, so
+      "anything changed" is computable inside the propagation join
+      itself (old and new label sit in the same row) and is read off
+      that job's ``Observation`` instead of a second join+count job
+      (the r2 shape re-joined new vs old labels every round);
+    * ``edges`` is cached pre-partitioned on the join key (``dst``), so
+      every round's join reuses the cached hash partitioning and only
+      the (much smaller) label frame shuffles — on a 1000-executor
+      cluster this removes the dominant per-round exchange of the edge
+      set;
+    * each round's labels are persisted and the previous round
+      unpersisted, so lineage/plan size stays bounded; the returned
+      frame is local-checkpointed so all intermediate caches are
+      released (no cache leak in a long-lived server).
 
     Returns (node, component): every node that appears in ``pairs``,
     with component = smallest node id reachable from it.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("dst")
         .persist()
     )
     labels = (
@@ -261,35 +300,71 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .groupBy("src")
             .agg(F.min("comp").alias("__nbr"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(prop, labels["node"] == prop["src"], "left")
             .select(
                 labels["node"],
                 F.least(labels["comp"], F.coalesce(prop["__nbr"], labels["comp"])).alias("comp"),
+                (F.coalesce(prop["__nbr"], labels["comp"]) < labels["comp"])
+                .cast("long")
+                .alias("__chg"),
             )
+            .observe(obs, F.sum("__chg").alias("changed"))
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("__old")), "node")
-            .filter(F.col("comp") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+        new_labels.count()  # materialize round + collect the observation
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             break
-    final = labels.localCheckpoint(eager=True)
+    final = labels.select("node", "comp").localCheckpoint(eager=True)
     labels.unpersist()
     edges.unpersist()
     return final
 
 
+def cluster_components(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 16, bands: int = 4, shingle: int = 5,
+                       threshold: float = 0.5) -> DataFrame:
+    """The composed near-dup clustering pipeline: shingle ONCE ->
+    minhash/LSH candidates -> exact-Jaccard filter -> connected
+    components. Returns (node, comp) — materialized (localCheckpoint),
+    all intermediate caches released.
+
+    The corpus is scanned and shingled exactly once: ``shingle_table``
+    is persisted (memory-and-disk — at scale the exploded shingle
+    relation is ~shingle-factor × corpus, so it must be allowed to
+    spill) and feeds signature generation, Jaccard's intersection
+    probes and the per-doc size aggregate. Versus calling the three
+    operators separately this removes three full corpus scans +
+    re-shingle passes — at 100 TB the scan is the dominant cost."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, text_col, id_col, shingle).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cands = minhash_lsh_pairs(
+            df, text_col, id_col, num_perm=num_perm, bands=bands,
+            shingle=shingle, shingled=sh,
+        )
+        pairs = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle=shingle, threshold=threshold,
+            candidates=cands, shingled=sh,
+        )
+        return connected_components(pairs)
+    finally:
+        # connected_components materializes its edge set eagerly, so the
+        # shingle cache is no longer needed once it returns
+        sh.unpersist()
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle: int = 5, threshold: float = 0.6,
                         candidates: DataFrame | None = None,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        shingled: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     If ``candidates`` (id_a, id_b) is given (e.g. from minhash_lsh_pairs)
@@ -309,11 +384,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # consumed three times (sizes + both join sides); the two join
     # sides share one exchange via ReusedExchange, and the sizes agg
     # re-runs only the cheap scan+explode — no persist (r1 persisted
-    # here and leaked cache in a long-lived server)
-    sh = (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__t"))
-        .select(F.col(id_col), F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"))
-    )
+    # here and leaked cache in a long-lived server). A composed
+    # pipeline passes a persisted ``shingle_table`` via ``shingled``
+    # so all three consumers read the cache instead of rescanning.
+    sh = shingled if shingled is not None else shingle_table(df, text_col, id_col, shingle)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is None and max_shingle_df is not None:
         hot = (
