@@ -1979,8 +1979,10 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_clusters_oracle() -> str:
     pairs = _dedup_pipeline_oracle().replace("ORDER BY i.id_a, i.id_b", "")
+    # MATERIALIZED: without it DuckDB inlines the whole LSH+Jaccard
+    # pipeline into every recursion step of `reach` (~20x slower)
     return f"""
-WITH RECURSIVE pairs AS ({pairs}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -2195,8 +2197,9 @@ def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embed_survivors_oracle() -> str:
     pairs = _EMBED_NEAR_ORACLE.replace("ORDER BY id_a, id_b", "")
+    # MATERIALIZED: stop DuckDB re-inlining the cosine join per recursion step
     return f"""
-WITH RECURSIVE pairs AS ({pairs}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -2586,7 +2589,7 @@ SELECT n_nationkey,
        list_min([n_nationkey, 10]) AS amin,
        list_append([1, 2], n_nationkey) AS aapp,
        flatten([[1, 2], [n_nationkey]]) AS aflat,
-       to_json(map(['a', 'b'], [1, n_nationkey])) AS obj
+       CAST(to_json(map(['a', 'b'], [1, n_nationkey])) AS VARCHAR) AS obj
 FROM nation ORDER BY n_nationkey
 """
 

@@ -22,6 +22,12 @@ class ColumnMetadata:
     name: str
     type: str  # Snowflake type name (NUMBER/FLOAT/TEXT/…)
     nullable: bool = True
+    # NUMBER precision/scale carried into rowType (the reference copies
+    # DuckDB's DecimalSize() into ColumnMetadata — type_mapper.go:89-95;
+    # Snowflake itself reports integers as NUMBER(38,0))
+    precision: int = 0
+    scale: int = 0
+    length: int = 0
 
 
 @dataclass
@@ -47,8 +53,7 @@ class Result:
     def from_dataframe(cls, df: DataFrame) -> "Result":
         collected = df.collect()
         cols = [f.name for f in df.schema.fields]
-        ctypes = [ColumnMetadata(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
-                  for f in df.schema.fields]
+        ctypes = [_column_meta(f) for f in df.schema.fields]
         return cls(columns=cols, column_types=ctypes, rows=[list(r) for r in collected],
                    spark_schema=df.schema)
 
@@ -78,22 +83,49 @@ class Result:
     def row_type(self) -> list[dict]:
         return [
             {"name": c.name, "type": c.type, "nullable": c.nullable,
-             "length": 0, "precision": 38 if c.type == "NUMBER" else 0,
-             "scale": 0, "byteLength": 0}
+             "length": c.length, "precision": c.precision,
+             "scale": c.scale, "byteLength": 0}
             for c in self.column_types
         ]
 
 
+def _column_meta(f) -> ColumnMetadata:
+    """Build rowType metadata from a Spark StructField.
+
+    Precision/scale mirror the reference's pass-through of DuckDB's
+    ``DecimalSize()`` (`type_mapper.go:89-95`) — decimals carry their
+    declared (p, s); integer widths report Snowflake's canonical
+    NUMBER(38,0)."""
+    from pyspark.sql import types as T
+
+    sf_name = spark_to_snowflake_name(f.dataType)
+    prec = scale = 0
+    if isinstance(f.dataType, T.DecimalType):
+        prec, scale = f.dataType.precision, f.dataType.scale
+    elif sf_name == "NUMBER":
+        prec, scale = 38, 0
+    length = 16777216 if sf_name == "TEXT" else 0
+    return ColumnMetadata(f.name, sf_name, f.nullable, prec, scale, length)
+
+
 def _stringify(v) -> str | None:
+    """gosnowflake all-strings cell: Go ``fmt.Sprintf("%v", val)`` parity
+    with the reference's `convertRowsToStrings` (query.go:179-193):
+    NULL -> "" (query.go:186), floats in Go shortest-'g' form (no
+    trailing ".0", scientific only below 1e-4 / at 1e21 and above),
+    time values in Go ``time.Time.String()`` form. Bytes diverge
+    deliberately (hex, not Go's space-separated decimal dump)."""
     if v is None:
-        return None
+        return ""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        # Go fmt %v-compatible enough for ints-as-floats; keep repr for rest
-        return repr(v)
-    if isinstance(v, (dt.datetime, dt.date)):
-        return v.isoformat(sep=" ") if isinstance(v, dt.datetime) else v.isoformat()
+        return _go_float(v)
+    if isinstance(v, dt.datetime):
+        return _go_time(v)
+    if isinstance(v, dt.date):
+        # DuckDB DATE scans into a midnight time.Time in Go
+        return f"{v.isoformat()} 00:00:00 +0000 UTC"
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, (bytes, bytearray)):
@@ -105,9 +137,57 @@ def _stringify(v) -> str | None:
     return str(v)
 
 
+def _go_time(v: dt.datetime) -> str:
+    """Go ``time.Time.String()``: ``2006-01-02 15:04:05.999999999 -0700
+    MST`` — fractional seconds trimmed of trailing zeros and omitted when
+    zero; Spark NTZ values surface as UTC like DuckDB's driver."""
+    base = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        base += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+    if v.tzinfo is not None:
+        off = v.utcoffset() or dt.timedelta(0)
+        total = int(off.total_seconds())
+        sign = "+" if total >= 0 else "-"
+        hh, mm = divmod(abs(total) // 60, 60)
+        return f"{base} {sign}{hh:02d}{mm:02d} {v.tzname() or 'UTC'}"
+    return f"{base} +0000 UTC"
+
+
+def _go_float(f: float) -> str:
+    """Go ``strconv.FormatFloat(f, 'g', -1, 64)`` (the %v default):
+    shortest round-trip digits; scientific iff decimal exponent < -4 or
+    >= 21 (Python's repr switches at 1e16, so reformat explicitly)."""
+    import math
+
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "+Inf" if f > 0 else "-Inf"
+    if f == 0.0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    sign = "-" if f < 0 else ""
+    d = decimal.Decimal(repr(abs(f)))
+    _, digits, dexp = d.as_tuple()
+    digits_s = "".join(map(str, digits))
+    exp10 = len(digits_s) + dexp - 1  # exponent of leading digit
+    digits_s = digits_s.rstrip("0") or "0"
+    if exp10 < -4 or exp10 >= 21:
+        mant = digits_s[0] + ("." + digits_s[1:] if len(digits_s) > 1 else "")
+        return f"{sign}{mant}e{'+' if exp10 >= 0 else '-'}{abs(exp10):02d}"
+    if exp10 >= len(digits_s) - 1:
+        return sign + digits_s + "0" * (exp10 - len(digits_s) + 1)
+    if exp10 >= 0:
+        return sign + digits_s[: exp10 + 1] + "." + digits_s[exp10 + 1:]
+    return sign + "0." + "0" * (-exp10 - 1) + digits_s
+
+
 def _jsonify(v):
-    if isinstance(v, (dt.datetime, dt.date)):
-        return _stringify(v)
+    if isinstance(v, dt.datetime):
+        # Go time.Time marshals itself as RFC3339 in the v2 handler's
+        # json.Encoder pass-through (rest_api_v2.go:238-239)
+        return v.isoformat(sep="T") + ("" if v.tzinfo else "Z")
+    if isinstance(v, dt.date):
+        return v.isoformat()
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, (bytes, bytearray)):

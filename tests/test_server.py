@@ -231,6 +231,74 @@ def test_query_abort_request(server):
     assert st == 200 and out["success"]
 
 
+def test_protocol_type_golden_matrix_gosnowflake(server):
+    """Per-type rowType + cell-format golden matrix for the gosnowflake
+    all-strings protocol, porting the value-shape coverage of the
+    reference e2e suites (tests/e2e/gosnowflake_test.go:533-912):
+    rowType names per pkg/query/type_mapper.go:24-56, cell strings per
+    server/handlers/query.go:179-193 (Go fmt %v — floats in shortest
+    'g' form, time values as Go time.Time.String(), NULL as \"\")."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": (
+        "CREATE TABLE type_matrix (i INTEGER, b BIGINT, d DECIMAL(12,2), "
+        "f FLOAT, s VARCHAR, bo BOOLEAN, dt DATE, ts TIMESTAMP_NTZ, "
+        "tm TIME, v VARIANT)")}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": (
+        "INSERT INTO type_matrix VALUES (42, 9007199254740993, 12345.67, 2.5, "
+        "'hello', TRUE, '2024-01-15'::DATE, '2024-01-15 14:30:00'::TIMESTAMP_NTZ, "
+        "'14:30:00', PARSE_JSON('{\"k\":1}'))")}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": ("INSERT INTO type_matrix VALUES "
+                                 "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)")},
+                    token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT * FROM type_matrix ORDER BY i NULLS LAST"}, token)
+    assert out["success"], out
+    rowtype = out["data"]["rowtype"]
+    # type_mapper.go:24-56: every int width -> NUMBER, DOUBLE -> FLOAT,
+    # VARCHAR -> TEXT; TIME and VARIANT are stored as text in this
+    # engine (SURVEY §1.3 JSON-text storage; the reference's canonical
+    # map repository.go:235-237 does the same for VARIANT)
+    assert [c["type"] for c in rowtype] == [
+        "NUMBER", "NUMBER", "NUMBER", "FLOAT", "TEXT", "BOOLEAN",
+        "DATE", "TIMESTAMP_NTZ", "TEXT", "TEXT"]
+    by_name = {c["name"].lower(): c for c in rowtype}
+    assert (by_name["d"]["precision"], by_name["d"]["scale"]) == (12, 2)
+    assert (by_name["i"]["precision"], by_name["i"]["scale"]) == (38, 0)
+    assert by_name["s"]["length"] == 16777216
+    # Go %v cell formats (query.go:179-193)
+    assert out["data"]["rowset"][0] == [
+        "42", "9007199254740993", "12345.67", "2.5", "hello", "true",
+        "2024-01-15 00:00:00 +0000 UTC", "2024-01-15 14:30:00 +0000 UTC",
+        "14:30:00", '{"k":1}']
+    # nil -> "" (query.go:186), never JSON null
+    assert out["data"]["rowset"][1] == [""] * 10
+
+
+def test_protocol_type_golden_matrix_restv2(server):
+    """REST v2 typed-row golden matrix (rest_api_v2.go:223-254): data
+    cells keep native JSON types; rowType carries precision/scale."""
+    st, out = _call(server, "POST", "/api/v2/statements", {"statement": (
+        "SELECT 1 AS i, CAST(2.5 AS FLOAT) AS f, 'x' AS s, TRUE AS bo, "
+        "CAST('2024-01-15' AS DATE) AS dt, "
+        "CAST('2024-01-15 14:30:00' AS TIMESTAMP_NTZ) AS ts, "
+        "CAST(12345.67 AS DECIMAL(12,2)) AS d, CAST(NULL AS INTEGER) AS nl")})
+    assert st == 200, out
+    rt = {c["name"].lower(): c for c in out["resultSetMetaData"]["rowType"]}
+    assert rt["i"]["type"] == "NUMBER" and rt["f"]["type"] == "FLOAT"
+    assert rt["s"]["type"] == "TEXT" and rt["bo"]["type"] == "BOOLEAN"
+    assert rt["dt"]["type"] == "DATE" and rt["ts"]["type"] == "TIMESTAMP_NTZ"
+    assert (rt["d"]["precision"], rt["d"]["scale"]) == (12, 2)
+    # typed cells: ints/floats/bools native, dates ISO, timestamps
+    # RFC3339 (Go time.Time JSON marshalling), decimals as strings
+    assert out["data"] == [[1, 2.5, "x", True, "2024-01-15",
+                            "2024-01-15T14:30:00Z", "12345.67", None]]
+
+
 def test_telemetry_and_health(server):
     code, out = _call(server, "POST", "/telemetry/send", body={"logs": []})
     assert code == 200 and out["success"] is True
