@@ -521,6 +521,17 @@ class Catalog:
                 df = cur.unionByName(aligned, allowMissingColumns=False)
             self._write_version(tm, df)
 
+    def revert_to_version(self, tm: TableMeta, version: int) -> None:
+        """Move the live-version pointer back to ``version`` (statement
+        rollback after a post-write constraint violation, e.g. strict
+        MERGE's nondeterminism check). Versions are immutable dirs, so
+        reverting is metadata-only; the abandoned newer dir is
+        overwritten by the next write (version numbers reuse it)."""
+        with self._table_lock(tm):
+            tm.version = version
+            self._mark_dirty(tm)
+            self.register_view(tm)
+
     def append_files_fast(self, tm: TableMeta, df: DataFrame) -> None:
         """COPY-INTO fast path: append new parquet files into the
         *current* version directory without rewriting existing data.

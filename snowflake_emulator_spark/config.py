@@ -28,6 +28,10 @@ DEFAULT_SESSION_PARAMETERS: dict[str, str] = {
     "CLIENT_SESSION_KEEP_ALIVE": "false",
     "QUERY_TAG": "",
     "GO_QUERY_RESULT_FORMAT": QUERY_RESULT_FORMAT_JSON,
+    # Snowflake's out-of-the-box MERGE is strict: a target row matched
+    # by multiple actionable source rows raises rather than silently
+    # applying one of them
+    "ERROR_ON_NONDETERMINISTIC_MERGE": "TRUE",
 }
 
 # Warehouse sizes accepted by CREATE WAREHOUSE

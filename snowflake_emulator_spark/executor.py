@@ -1377,11 +1377,12 @@ class Executor:
                 )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
         if "TASKS" in up:
+            # per-DB scoping like the other SHOW handlers
             rows = [
                 [name, db, sch, t.schedule, t.state, t.warehouse,
                  t.sql_text[:200], t.comment]
                 for (db, sch, name), t in sorted(self.catalog.tasks.items())
-                if _match(name)
+                if db == ctx.database and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "schedule",
                                    "state", "warehouse", "definition", "comment"], rows=rows)

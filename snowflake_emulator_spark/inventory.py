@@ -2611,6 +2611,130 @@ SELECT c_custkey,
 FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
 """
 
+# HAVERSINE through the translator (translator.py:907 spherical-earth
+# formula) vs the same formula spelled out in DuckDB. Pseudo lat/lon
+# derive deterministically from supplier keys; rounding to 4 digits
+# (0.1 m on km-scale values) absorbs libm last-ulp differences between
+# the two engines' sin/cos/asin implementations — this moves HAVERSINE
+# from unit-test-only to the hash-checked oracle tier.
+_SF_HAVERSINE = """
+SELECT s_suppkey,
+       ROUND(HAVERSINE(s_suppkey % 120 - 60 + 0.5, s_suppkey % 340 - 170 + 0.25,
+                       (s_suppkey * 7) % 120 - 60 + 0.5, (s_suppkey * 13) % 340 - 170 + 0.25),
+             4) AS dist_km
+FROM supplier WHERE s_suppkey <= 500 ORDER BY s_suppkey
+"""
+_SF_HAVERSINE_ORACLE = """
+SELECT s_suppkey,
+       round(2 * 6371 * asin(sqrt(
+           pow(sin(radians(((s_suppkey * 7) % 120 - 60 + 0.5) - (s_suppkey % 120 - 60 + 0.5)) / 2), 2) +
+           cos(radians(s_suppkey % 120 - 60 + 0.5)) * cos(radians((s_suppkey * 7) % 120 - 60 + 0.5)) *
+           pow(sin(radians(((s_suppkey * 13) % 340 - 170 + 0.25) - (s_suppkey % 340 - 170 + 0.25)) / 2), 2))),
+         4) AS dist_km
+FROM supplier WHERE s_suppkey <= 500 ORDER BY s_suppkey
+"""
+
+# Bitwise aggregates (BITAND_AGG family -> Spark bit_and/bit_or/bit_xor;
+# DuckDB has the same natives under Spark's names).
+_SF_BITAGG = """
+SELECT l_returnflag,
+       BITAND_AGG(l_linenumber) AS band,
+       BITOR_AGG(l_linenumber) AS bor,
+       BITXOR_AGG(l_linenumber) AS bxor
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+_SF_BITAGG_ORACLE = """
+SELECT l_returnflag,
+       bit_and(l_linenumber) AS band,
+       bit_or(l_linenumber) AS bor,
+       bit_xor(l_linenumber) AS bxor
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# MD5_NUMBER_LOWER64/UPPER64: engine-neutral (md5 hex slices), both
+# sides surfaced as DECIMAL(20,0) so the unsigned upper half fits.
+_SF_MD5NUM = """
+SELECT c_custkey,
+       MD5_NUMBER_LOWER64(c_name) AS lo64,
+       MD5_NUMBER_UPPER64(c_name) AS hi64
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+"""
+_SF_MD5NUM_ORACLE = """
+SELECT c_custkey,
+       CAST(CAST('0x' || substr(md5(c_name), 17, 16) AS UBIGINT) AS DECIMAL(20,0)) AS lo64,
+       CAST(CAST('0x' || substr(md5(c_name), 1, 16) AS UBIGINT) AS DECIMAL(20,0)) AS hi64
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+"""
+
+# MINHASH aggregate + APPROXIMATE_SIMILARITY (Snowflake's built-in
+# minhash surface, mirroring operators/dedup.py's permutation family).
+# Per-language signatures over document texts, then the pairwise
+# Jaccard estimate between languages; the oracle replays the identical
+# md5/M31 arithmetic and counts agreeing slots via range().
+_SF_MINHASH = """
+WITH sigs AS (
+  SELECT lang, MINHASH(6, text) AS sig FROM documents GROUP BY lang
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       ROUND(APPROXIMATE_SIMILARITY(a.sig, b.sig), 6) AS sim
+FROM sigs a JOIN sigs b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+"""
+_SF_MINHASH_ORACLE = """
+WITH h AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15) AS UBIGINT)
+           % 2147483647 AS hv
+  FROM documents
+),
+sigs AS (
+  SELECT lang, [
+    min((hv * 1 + 7919) % 2147483647), min((hv * 3 + 15838) % 2147483647),
+    min((hv * 5 + 23757) % 2147483647), min((hv * 7 + 31676) % 2147483647),
+    min((hv * 9 + 39595) % 2147483647), min((hv * 11 + 47514) % 2147483647)
+  ] AS sig
+  FROM h GROUP BY lang
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       round((SELECT count(*) FILTER (a.sig[CAST(r.range AS INTEGER) + 1] =
+                                      b.sig[CAST(r.range AS INTEGER) + 1])
+              FROM range(6) r) / 6.0, 6) AS sim
+FROM sigs a JOIN sigs b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+"""
+
+# GEOGRAPHY point family over WKT text storage (§1.3): constructor,
+# accessors and spherical ST_DISTANCE (documented spherical-vs-WGS84
+# divergence), rounded to absorb libm ulps.
+_SF_GEO = """
+WITH pts AS (
+  SELECT n_nationkey,
+         ST_MAKEPOINT(n_nationkey * 13.7 - 170, n_nationkey * 6.1 - 75) AS pt
+  FROM nation
+)
+SELECT a.n_nationkey,
+       ROUND(ST_X(a.pt), 6) AS x, ROUND(ST_Y(a.pt), 6) AS y,
+       ROUND(ST_DISTANCE(a.pt, b.pt) / 1000, 3) AS km_to_next
+FROM pts a JOIN pts b ON b.n_nationkey = a.n_nationkey + 1
+ORDER BY a.n_nationkey
+"""
+_SF_GEO_ORACLE = """
+WITH pts AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey * 13.7 - 170 AS DOUBLE) AS lon,
+         CAST(n_nationkey * 6.1 - 75 AS DOUBLE) AS lat
+  FROM nation
+)
+SELECT a.n_nationkey,
+       round(a.lon, 6) AS x, round(a.lat, 6) AS y,
+       round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) *
+           pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS km_to_next
+FROM pts a JOIN pts b ON b.n_nationkey = a.n_nationkey + 1
+ORDER BY a.n_nationkey
+"""
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -2816,6 +2940,11 @@ REGISTRY: dict[str, tuple] = {
     "sf_semistructured_funcs": (_snow(_SF_SEMI), _SF_SEMI_ORACLE),
     "sf_array_funcs2": (_snow(_SF_ARRAY2), _SF_ARRAY2_ORACLE),
     "sf_greatest_least": (_snow(_SF_GREATEST), _SF_GREATEST_ORACLE),
+    "sf_haversine_distance": (_snow(_SF_HAVERSINE), _SF_HAVERSINE_ORACLE),
+    "sf_bitwise_aggs": (_snow(_SF_BITAGG), _SF_BITAGG_ORACLE),
+    "sf_md5_number_halves": (_snow(_SF_MD5NUM), _SF_MD5NUM_ORACLE),
+    "sf_minhash_similarity": (_snow(_SF_MINHASH), _SF_MINHASH_ORACLE),
+    "sf_geography_points": (_snow(_SF_GEO), _SF_GEO_ORACLE),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),

@@ -296,40 +296,48 @@ class MergeProcessor:
             f"FROM {tv} AS {t} FULL OUTER JOIN {sv} AS {s} ON ({on})"
         )
         pre = self.spark.sql(join_sql)
-        # ERROR_ON_NONDETERMINISTIC_MERGE=TRUE (Snowflake's default is
-        # the strict mode): a target row matched by MULTIPLE actionable
-        # source rows raises instead of silently applying the first
-        # match. __rn = 2 with an actionable action means at least two
-        # UPDATE/DELETE matches landed on one target partition (the
-        # ORDER BY sorts actionable matches first).
+        # ERROR_ON_NONDETERMINISTIC_MERGE (Snowflake defaults to the
+        # strict mode, and so does config.DEFAULT_SESSION_PARAMETERS): a
+        # target row matched by MULTIPLE actionable source rows raises
+        # instead of silently applying the first match. __rn = 2 with an
+        # actionable action means at least two UPDATE/DELETE matches
+        # landed on one target partition (the ORDER BY sorts actionable
+        # matches first). The duplicate probe rides the SAME Observation
+        # as the DML counters — attached below the __rn filter so every
+        # join row flows through it — so strict mode costs zero extra
+        # jobs; on violation the freshly written version is reverted
+        # (versions are immutable dirs, so revert = move the pointer
+        # back) and the statement raises, leaving the table unchanged.
         strict = str(getattr(ctx, "parameters", {}).get(
-            "ERROR_ON_NONDETERMINISTIC_MERGE", "FALSE")).upper() == "TRUE"
-        if strict:
-            dup = (
-                pre.filter((F.col("__rn") == 2) & F.col("__action").isin("UPDATE", "DELETE"))
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise errors.execution_error(
-                    "Duplicate row detected during DML action: a target row "
-                    "was matched by multiple source rows "
-                    "(ERROR_ON_NONDETERMINISTIC_MERGE=TRUE)"
-                )
-        joined = pre.filter("__rn = 1")
+            "ERROR_ON_NONDETERMINISTIC_MERGE", "TRUE")).upper() == "TRUE"
 
         from pyspark.sql import Observation
 
         obs = Observation()
-        observed = joined.observe(
+        rn1 = F.col("__rn") == 1
+        observed = pre.observe(
             obs,
-            F.sum(F.when(F.col("__action") == "UPDATE", 1).otherwise(0)).alias("upd"),
-            F.sum(F.when(F.col("__action") == "DELETE", 1).otherwise(0)).alias("del"),
-            F.sum(F.when(F.col("__action") == "INSERT", 1).otherwise(0)).alias("ins"),
+            F.sum(F.when(rn1 & (F.col("__action") == "UPDATE"), 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(rn1 & (F.col("__action") == "DELETE"), 1).otherwise(0)).alias("del"),
+            F.sum(F.when(rn1 & (F.col("__action") == "INSERT"), 1).otherwise(0)).alias("ins"),
+            F.sum(
+                F.when((F.col("__rn") == 2) & F.col("__action").isin("UPDATE", "DELETE"), 1)
+                .otherwise(0)
+            ).alias("dups"),
         )
-        final = observed.filter("__keep").drop("__keep", "__action", "__rn")
+        final = (
+            observed.filter("__rn = 1").filter("__keep").drop("__keep", "__action", "__rn")
+        )
+        prev_version = tm.version
         self.catalog.write_table(tm, final, mode="overwrite")
         stats = obs.get
+        if strict and int(stats["dups"] or 0):
+            self.catalog.revert_to_version(tm, prev_version)
+            raise errors.execution_error(
+                "Duplicate row detected during DML action: a target row "
+                "was matched by multiple source rows "
+                "(ERROR_ON_NONDETERMINISTIC_MERGE=TRUE)"
+            )
         n_upd = int(stats["upd"] or 0)
         n_del = int(stats["del"] or 0)
         n_ins = int(stats["ins"] or 0)

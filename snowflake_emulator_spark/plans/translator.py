@@ -696,12 +696,23 @@ class Translator:
             return (f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
                     f"(__acc, __v) -> __acc + CAST(__v AS DOUBLE))")
         if fname == "GET":
-            # GET(object, 'key') -> JSON path; GET(array, i) -> 0-based
-            # element (Spark element_at is 1-based, Snowflake GET 0-based)
+            # GET(object, 'key') -> JSON path; GET(array, <int literal>)
+            # -> 0-based element (Spark element_at is 1-based, Snowflake
+            # GET 0-based). A NON-literal key can only be resolved at
+            # runtime: treat the container as VARIANT JSON text (the
+            # §1.3 storage form) and probe object-field first, then
+            # array-index — a genuine Spark-array container with a
+            # computed index still needs the literal form.
             key = args[1].strip()
             if len(key) >= 2 and key[0] == "'" and key[-1] == "'":
                 return f"get_json_object({args[0]}, '$.{key[1:-1]}')"
-            return f"try_element_at({args[0]}, CAST({key} AS INT) + 1)"
+            if key.lstrip("+-").isdigit():
+                return f"try_element_at({args[0]}, CAST({key} AS INT) + 1)"
+            return (
+                f"coalesce("
+                f"get_json_object(CAST({args[0]} AS STRING), concat('$.', CAST({key} AS STRING))), "
+                f"get_json_object(CAST({args[0]} AS STRING), concat('$[', CAST({key} AS STRING), ']')))"
+            )
         if fname == "TRY_PARSE_JSON":
             # VARIANT is JSON text (SURVEY §1.3): pass through when
             # parseable, NULL otherwise (get_json_object('$') probes)
@@ -720,11 +731,24 @@ class Translator:
             return (f"to_json(map_filter(from_json({args[0]}, 'map<string,variant>'), "
                     f"(__k, __v) -> __k {op} ({keys})))")
         if fname == "OBJECT_INSERT":
+            # Snowflake: 3-arg raises on an existing key; only the
+            # 4-arg updateFlag=TRUE form overwrites. Spark's default
+            # mapKeyDedupPolicy=EXCEPTION gives the duplicate-key error
+            # for free via plain map_concat.
             k, v = args[1].strip(), args[2].strip()
-            return (f"to_json(map_concat("
-                    f"map_filter(from_json({args[0]}, 'map<string,variant>'), "
-                    f"(__k, __v) -> __k != {k}), "
-                    f"from_json(to_json(map({k}, {v})), 'map<string,variant>')))")
+            base = f"from_json({args[0]}, 'map<string,variant>')"
+            newe = f"from_json(to_json(map({k}, {v})), 'map<string,variant>')"
+            overwrite = (f"to_json(map_concat("
+                         f"map_filter({base}, (__k, __v) -> __k != {k}), {newe}))")
+            plain = f"to_json(map_concat({base}, {newe}))"
+            if len(args) >= 4:
+                flag = args[3].strip().upper()
+                if flag == "TRUE":
+                    return overwrite
+                if flag == "FALSE":
+                    return plain
+                return f"CASE WHEN ({args[3]}) THEN {overwrite} ELSE {plain} END"
+            return plain
         if fname == "SKEW":
             # Snowflake SKEW == Spark skewness (sample skewness)
             return f"skewness({', '.join(args)})"
@@ -988,6 +1012,70 @@ class Translator:
             )
         if fname in ("SYSDATE", "GETDATE", "SYSTIMESTAMP"):
             return "current_timestamp()"
+        if fname in ("BITAND_AGG", "BITOR_AGG", "BITXOR_AGG"):
+            # Snowflake bitwise aggregates -> Spark bit_and/bit_or/bit_xor
+            return f"bit_{fname[3:-4].lower()}({args[0]})"
+        if fname == "MAP_CAT":
+            return f"map_concat({', '.join(args)})"
+        if fname == "REGEXP_SUBSTR_ALL":
+            # all matches as an array (Snowflake 2-arg form)
+            return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+        if fname in ("MD5_NUMBER_LOWER64", "MD5_NUMBER_UPPER64"):
+            # 64-bit halves of the 128-bit md5: hex slice -> decimal.
+            # conv() returns the two's-complement BIGINT for values with
+            # the top bit set, matching Snowflake's signed NUMBER result.
+            lo = 17 if fname.endswith("LOWER64") else 1
+            return (f"CAST(conv(substr(md5(CAST({args[0]} AS STRING)), {lo}, 16), 16, 10) "
+                    f"AS DECIMAL(20,0))")
+        if fname == "MINHASH":
+            # Snowflake's MINHASH(k, expr) aggregate: k-permutation
+            # minhash signature of the grouped set. Same deterministic
+            # md5-derived permutation family as operators/dedup.py
+            # (md5-int mod M31, odd multipliers), emitted as k parallel
+            # min() aggregates inside array() — map-side combinable.
+            k = int(args[0])
+            base = (f"(conv(substr(md5(CAST({args[1]} AS STRING)), 1, 15), 16, 10) "
+                    f"% 2147483647)")
+            mins = ", ".join(
+                f"min(({base} * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647)"
+                for i in range(k)
+            )
+            return f"array({mins})"
+        if fname == "APPROXIMATE_SIMILARITY":
+            # Jaccard estimate from two equal-length minhash signatures
+            # (the 2-arg scalar form over MINHASH results): fraction of
+            # agreeing permutation slots
+            a, b = args[0], args[1]
+            return (
+                f"(aggregate(zip_with({a}, {b}, (__x, __y) -> "
+                f"CASE WHEN __x = __y THEN 1 ELSE 0 END), 0, "
+                f"(__acc, __v) -> __acc + __v) / CAST(size({a}) AS DOUBLE))"
+            )
+        if fname in ("ST_MAKEPOINT", "ST_POINT"):
+            # GEOGRAPHY is WKT text (SURVEY §1.3 / pkg/types/snowflake.go:71-72)
+            return (f"concat('POINT(', CAST({args[0]} AS STRING), ' ', "
+                    f"CAST({args[1]} AS STRING), ')')")
+        if fname == "TO_GEOGRAPHY":
+            return f"CAST({args[0]} AS STRING)"
+        if fname in ("ST_X", "ST_Y"):
+            idx = 1 if fname == "ST_X" else 2
+            return (f"CAST(regexp_extract({args[0]}, "
+                    f"'POINT\\\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\\\)', {idx}) AS DOUBLE)")
+        if fname == "ST_DISTANCE":
+            # spherical-earth meters between two WKT points (Snowflake
+            # computes geodesic WGS84 distance; spherical is the
+            # documented approximation here, same formula as HAVERSINE)
+            def _coord(g: str, idx: int) -> str:
+                return (f"CAST(regexp_extract({g}, "
+                        f"'POINT\\\\(([-+0-9.eE]+) ([-+0-9.eE]+)\\\\)', {idx}) AS DOUBLE)")
+            lon1, lat1 = _coord(args[0], 1), _coord(args[0], 2)
+            lon2, lat2 = _coord(args[1], 1), _coord(args[1], 2)
+            return (
+                f"(2 * 6371008.8 * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+            )
         if fname == "APPROX_PERCENTILE":
             return f"percentile_approx({', '.join(args)})"
         if fname == "HLL":
@@ -1190,6 +1278,21 @@ _REWRITABLE = {
     "BOOLXOR",
     "BOOLNOT",
     "HAVERSINE",
+    "BITAND_AGG",
+    "BITOR_AGG",
+    "BITXOR_AGG",
+    "MAP_CAT",
+    "REGEXP_SUBSTR_ALL",
+    "MD5_NUMBER_LOWER64",
+    "MD5_NUMBER_UPPER64",
+    "MINHASH",
+    "APPROXIMATE_SIMILARITY",
+    "ST_MAKEPOINT",
+    "ST_POINT",
+    "TO_GEOGRAPHY",
+    "ST_X",
+    "ST_Y",
+    "ST_DISTANCE",
     "DATE_FROM_PARTS",
     "TIMESTAMP_FROM_PARTS",
     "PREVIOUS_DAY",

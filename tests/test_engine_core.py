@@ -188,6 +188,8 @@ def test_merge_multi_match_dedup(engine):
     output row (reference decomposed UPDATE..FROM updates each target
     row once, merge_processor.go:493-548) — r1 duplicated the row."""
     ctx = SessionContext()
+    # pick-first semantics under test -> opt out of the strict default
+    engine.execute("ALTER SESSION SET ERROR_ON_NONDETERMINISTIC_MERGE = FALSE", ctx)
     engine.execute("CREATE TABLE mm_t (id INTEGER, v INTEGER)", ctx)
     engine.execute("CREATE TABLE mm_s (id INTEGER, v INTEGER)", ctx)
     engine.execute("INSERT INTO mm_t VALUES (1,10),(2,20)", ctx)
@@ -544,9 +546,10 @@ def test_connect_by_hierarchy(engine):
 
 
 def test_merge_nondeterministic_strict_mode(engine):
-    """ERROR_ON_NONDETERMINISTIC_MERGE=TRUE raises when one target row
-    is matched by multiple actionable source rows; the default
-    (pick-first) keeps working after UNSET."""
+    """ERROR_ON_NONDETERMINISTIC_MERGE defaults to TRUE (Snowflake's
+    out-of-the-box strictness): a target row matched by multiple
+    actionable source rows raises and leaves the table untouched;
+    SET ... = FALSE opts into pick-first."""
     import pytest as _pytest
 
     ctx = SessionContext()
@@ -556,10 +559,13 @@ def test_merge_nondeterministic_strict_mode(engine):
     engine.execute("INSERT INTO ms VALUES (1, 10), (1, 20)", ctx)
     merge = ("MERGE INTO mt USING ms ON mt.id = ms.id "
              "WHEN MATCHED THEN UPDATE SET v = ms.v")
-    engine.execute("ALTER SESSION SET ERROR_ON_NONDETERMINISTIC_MERGE = TRUE", ctx)
+    # strict by default — no SET needed
     with _pytest.raises(Exception, match="[Dd]uplicate row"):
         engine.execute(merge, ctx)
-    engine.execute("ALTER SESSION UNSET ERROR_ON_NONDETERMINISTIC_MERGE", ctx)
+    # the failed statement reverted its write: target unchanged
+    res = engine.execute("SELECT v FROM mt", ctx)
+    assert [tuple(x) for x in res.rows] == [(0,)]
+    engine.execute("ALTER SESSION SET ERROR_ON_NONDETERMINISTIC_MERGE = FALSE", ctx)
     r = engine.execute(merge, ctx)
     assert r.rows_updated == 1
     res = engine.execute("SELECT v FROM mt", ctx)

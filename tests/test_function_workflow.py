@@ -136,3 +136,37 @@ def test_semistructured_round2(engine, ft):
         SessionContext(),
     )
     assert _rows(res) == [(10, 4.0, [42], True, "invalid JSON")]
+
+
+def test_object_insert_duplicate_key_semantics(engine, ft):
+    """Snowflake OBJECT_INSERT: the 3-arg form RAISES on an existing
+    key (Spark's mapKeyDedupPolicy=EXCEPTION supplies the error); only
+    updateFlag=TRUE overwrites; updateFlag=FALSE behaves like 3-arg."""
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    with _pytest.raises(Exception, match="[Dd]uplicate"):
+        engine.execute(
+            "SELECT OBJECT_INSERT(data, 'role', 'user') AS o "
+            "FROM function_test WHERE id = 1", ctx)
+    res = engine.execute(
+        "SELECT OBJECT_INSERT(data, 'role', 'user', TRUE) AS o "
+        "FROM function_test WHERE id = 1", ctx)
+    assert _rows(res) == [('{"role":"user"}',)]
+    res = engine.execute(
+        "SELECT OBJECT_INSERT(data, 'lvl', 3, FALSE) AS o "
+        "FROM function_test WHERE id = 1", ctx)
+    assert _rows(res) == [('{"role":"admin","lvl":3}',)]
+
+
+def test_get_nonliteral_key(engine, ft):
+    """GET with a computed (non-literal) key resolves at runtime over
+    the VARIANT JSON text: object-field first, then array-index."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "SELECT GET(data, CONCAT('ro', 'le')) AS role "
+        "FROM function_test WHERE id = 1", ctx)
+    assert _rows(res) == [("admin",)]
+    res = engine.execute(
+        "SELECT GET('[10,20,30]', 1 + 1) AS third", ctx)
+    assert _rows(res) == [("30",)]

@@ -172,3 +172,16 @@ def test_task_lifecycle_and_incremental_refresh(engine):
     assert [tuple(r) for r in res.rows] == [(1, 15), (2, 20)]
     engine.execute("DROP TASK refresh_r2", ctx)
     assert all(r[0] != "REFRESH_R2" for r in engine.execute("SHOW TASKS", ctx).rows)
+
+
+def test_show_tasks_scoped_to_current_database(engine):
+    """SHOW TASKS lists only the session database's tasks, like the
+    other SHOW handlers (Snowflake per-DB scoping)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TASK scoped_task SCHEDULE = '1 HOUR' AS SELECT 1", ctx)
+    assert any(r[0] == "SCOPED_TASK" for r in engine.execute("SHOW TASKS", ctx).rows)
+    engine.execute("CREATE DATABASE other_task_db", ctx)
+    other = SessionContext(database="OTHER_TASK_DB")
+    assert all(r[0] != "SCOPED_TASK"
+               for r in engine.execute("SHOW TASKS", other).rows)
+    engine.execute("DROP TASK scoped_task", ctx)

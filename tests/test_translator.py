@@ -525,3 +525,27 @@ def test_connect_by_rewrite():
     got2 = translate(
         "SELECT id FROM t START WITH pid IS NULL CONNECT BY pid = PRIOR id")
     assert "__c.pid = __p.id" in got2
+
+
+def test_round3_function_rewrites():
+    """Bit aggregates, md5 halves, minhash surface, geography points."""
+    assert translate("SELECT BITAND_AGG(x) FROM t") == "SELECT bit_and(x) FROM t"
+    assert translate("SELECT BITOR_AGG(x) FROM t") == "SELECT bit_or(x) FROM t"
+    assert translate("SELECT BITXOR_AGG(x) FROM t") == "SELECT bit_xor(x) FROM t"
+    assert translate("SELECT MAP_CAT(a, b) FROM t") == "SELECT map_concat(a, b) FROM t"
+    assert translate("SELECT REGEXP_SUBSTR_ALL(s, '[0-9]+') FROM t") == \
+        "SELECT regexp_extract_all(s, '[0-9]+', 0) FROM t"
+    lo = translate("SELECT MD5_NUMBER_LOWER64(s) FROM t")
+    hi = translate("SELECT MD5_NUMBER_UPPER64(s) FROM t")
+    assert "substr(md5(CAST(s AS STRING)), 17, 16)" in lo and "DECIMAL(20,0)" in lo
+    assert "substr(md5(CAST(s AS STRING)), 1, 16)" in hi
+    mh = translate("SELECT MINHASH(4, v) FROM t GROUP BY g")
+    # 4 parallel min() aggregates over the md5/M31 permutation family
+    assert mh.count("min(") == 4 and "% 2147483647" in mh
+    sim = translate("SELECT APPROXIMATE_SIMILARITY(a, b) FROM t")
+    assert "zip_with(a, b" in sim and "size(a)" in sim
+    pt = translate("SELECT ST_MAKEPOINT(1.5, 2.5)")
+    assert pt == "SELECT concat('POINT(', CAST(1.5 AS STRING), ' ', CAST(2.5 AS STRING), ')')"
+    assert "regexp_extract" in translate("SELECT ST_X(g) FROM t")
+    assert "asin" in translate("SELECT ST_DISTANCE(g1, g2) FROM t")
+    assert translate("SELECT TO_GEOGRAPHY(w) FROM t") == "SELECT CAST(w AS STRING) FROM t"
