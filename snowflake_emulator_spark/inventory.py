@@ -1848,6 +1848,141 @@ ORDER BY id_a, id_b
 """
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the arriving batch (doc_id % 7 == 0) checked
+    against the already-kept corpus — exact digest tier plus LSH-band +
+    exact-Jaccard near tier, both asymmetric new-vs-corpus joins (the
+    continuously-ingesting pipeline shape; never corpus-vs-corpus)."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    new = d.filter((F.col("doc_id") % 7) == 0)
+    corpus = d.filter((F.col("doc_id") % 7) != 0)
+    return dedup.incremental_dedup(new, corpus, threshold=0.5).orderBy("doc_id")
+
+
+def _incremental_oracle(num_perm: int = 16, bands: int = 4, rows_per_band: int = 4) -> str:
+    M = (1 << 31) - 1
+    mins = ", ".join(
+        f"min((h * {2*i+1} + {7919*(i+1)}) % {M}) AS mh{i}" for i in range(num_perm)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, is_new, {b} AS band, md5(concat_ws('_', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t, doc_id % 7 = 0 AS is_new FROM documents),
+exact_hit AS (
+  SELECT DISTINCT e.doc_id
+  FROM (SELECT doc_id, md5(t) AS fp FROM norm WHERE is_new) e
+  JOIN (SELECT DISTINCT md5(t) AS fp FROM norm WHERE NOT is_new) c USING (fp)
+),
+sh AS (
+  SELECT DISTINCT doc_id, is_new, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+h AS (SELECT doc_id, is_new, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) % {M} AS h FROM sh),
+sig AS (SELECT doc_id, is_new, {mins} FROM h GROUP BY doc_id, is_new),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.is_new AND NOT b.is_new
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.corpus_id, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.corpus_id AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+near_hit AS (
+  SELECT DISTINCT i.new_id AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.new_id JOIN sizes sb ON sb.doc_id = i.corpus_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+)
+SELECT n.doc_id,
+       n.doc_id IN (SELECT doc_id FROM exact_hit) AS exact_dup,
+       n.doc_id IN (SELECT doc_id FROM near_hit)
+         AND n.doc_id NOT IN (SELECT doc_id FROM exact_hit) AS near_dup
+FROM norm n WHERE n.is_new ORDER BY doc_id
+"""
+
+
+def _text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: corpus-trained add-1 char-bigram
+    LM (one aggregation pass, ~1.4k-row model broadcast back), per-doc
+    avg log2 probability. The cheap statistical gate run before any
+    neural quality filter."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return textstats.bigram_logprob_scores(d).orderBy("doc_id")
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {{norm}} AS t FROM documents),
+bg AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+  FROM norm, unnest(range(1, greatest(len(t), 2))) AS u(i)
+  WHERE len(substr(t, CAST(i AS INTEGER), 2)) = 2
+),
+lm0 AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_c1 FROM lm0 GROUP BY 1),
+lm AS (
+  SELECT bg, (n_bg + 1.0) / (n_c1 + 37.0) AS p
+  FROM lm0 JOIN ctx ON substr(lm0.bg, 1, 1) = ctx.c1
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(log2(p)), 6) AS avg_logp
+FROM bg b JOIN lm USING (bg) GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
+def _text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health analytics: per-source Zipf slope — regr_slope of
+    log(term frequency) on log(rank). Natural text sits near -1;
+    templated/synthetic text flattens. One explode + one shuffle on
+    (source, tok); the ranked regression is a window + agg over the
+    (small) per-source term table."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(textstats.normalized_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("source").orderBy(F.desc("n"), "tok")),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.expr("regr_slope(log(n), log(rnk))"), 6).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (SELECT source, unnest(str_split({norm}, ' ')) AS tok FROM documents),
+tf AS (SELECT source, tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1, 2),
+ranked AS (
+  SELECT source, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk
+  FROM tf
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     d = spark.table("documents")
@@ -2135,6 +2270,33 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def _embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: every vector's cosine to its label centroid
+    (outliers = mislabeled/corrupted vectors far from their cluster)."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.centroid_distances(e).orderBy("vec_id")
+
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label, CAST(i AS INTEGER) AS pos,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cen AS (SELECT label, pos, avg(val) AS c FROM ex GROUP BY 1, 2),
+cnorm AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cen GROUP BY 1),
+dots AS (
+  SELECT ex.vec_id, ex.label, sum(ex.val * cen.c) AS dot,
+         sqrt(sum(ex.val * ex.val)) AS nv
+  FROM ex JOIN cen ON ex.label = cen.label AND ex.pos = cen.pos
+  GROUP BY 1, 2
+)
+SELECT d.vec_id, d.label, round(d.dot / (d.nv * c.nc), 6) AS cos_centroid
+FROM dots d JOIN cnorm c USING (label) ORDER BY vec_id
 """
 
 
@@ -2966,6 +3128,9 @@ REGISTRY: dict[str, tuple] = {
     # text analysis extensions
     "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),
     "text_quality_score": (_text_quality, _quality_oracle()),
+    "text_bigram_logprob": (_text_bigram_logprob,
+                            _BIGRAM_LM_ORACLE.format(norm=_NORM_DUCK)),
+    "text_zipf_slope": (_text_zipf_slope, _ZIPF_ORACLE.format(norm=_NORM_DUCK)),
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
     "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),
@@ -2980,6 +3145,7 @@ REGISTRY: dict[str, tuple] = {
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
     "dedup_exact": (_dedup_exact, _DEDUP_EXACT_ORACLE),
+    "dedup_incremental": (_dedup_incremental, _incremental_oracle()),
     "dedup_minhash_lsh": (_dedup_minhash, _minhash_oracle()),
     "dedup_simhash": (_dedup_simhash, _simhash_oracle()),
     "dedup_simhash_pairs": (_dedup_simhash_pairs, _simhash_pairs_oracle()),
@@ -2992,6 +3158,7 @@ REGISTRY: dict[str, tuple] = {
     # similarity extensions
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
+    "embed_centroid_distances": (_embed_centroid_dist, _CENTROID_ORACLE),
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate, rows-only
     "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)

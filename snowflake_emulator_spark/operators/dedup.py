@@ -248,6 +248,99 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 16, bands: int = 4, shingle: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """Incremental (new-batch vs existing-corpus) dedup — the shape every
+    CONTINUOUSLY-INGESTING training pipeline needs: an arriving batch is
+    checked against the already-kept corpus, never corpus-vs-corpus.
+
+    Two tiers, both asymmetric joins keyed to scale:
+
+    * **exact** — normalized-text digest of the new batch anti/semi
+      joined against corpus digests. One shuffle on the digest; at
+      100 TB the corpus digest table is a by-product of the original
+      dedup run (here recomputed for self-containedness).
+    * **near** — the new batch's LSH band hashes joined against the
+      corpus's band hashes (in production the corpus signatures are
+      PRECOMPUTED and stored — signature generation is incremental by
+      construction, which is the whole point of minhash at scale), then
+      candidates exact-Jaccard-scored. The join is per (band, hash)
+      bucket; the new batch is the small side and broadcastable.
+
+    Returns one row per new doc: (doc_id, exact_dup, near_dup) —
+    near_dup means ≥1 corpus doc with Jaccard >= threshold that is not
+    an exact duplicate (exact matches dominate their near tier).
+    """
+    new_fp = new_df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+    corpus_fp = corpus_df.select(F.md5(normalized_text(F.col(text_col))).alias("fp")).distinct()
+    exact = (
+        new_fp.join(corpus_fp, "fp", "left_semi").select(F.col(id_col)).distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    new_sh = shingle_table(new_df, text_col, id_col, shingle)
+    corpus_sh = shingle_table(corpus_df, text_col, id_col, shingle)
+    new_band = _band_hashes(new_sh, id_col, num_perm, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash")
+    corpus_band = _band_hashes(corpus_sh, id_col, num_perm, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_hash")
+    cands = (
+        new_band.join(corpus_band, ["band", "band_hash"])
+        .select("new_id", "corpus_id").distinct()
+    )
+    # exact-Jaccard score each candidate: candidate-driven intersection
+    # (linear in |candidates| x shingles, immune to hot-shingle skew)
+    a_sh = new_sh.select(F.col(id_col).alias("new_id"), "sh").distinct()
+    b_sh = corpus_sh.select(F.col(id_col).alias("corpus_id"), "sh").distinct()
+    inter = (
+        cands.join(a_sh, "new_id")
+        .join(b_sh, ["corpus_id", "sh"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = a_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
+    sb = b_sh.groupBy("corpus_id").agg(F.count("*").alias("n_b"))
+    near = (
+        inter.join(sa, "new_id").join(sb, "corpus_id")
+        .filter(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                >= threshold)
+        .select(F.col("new_id").alias(id_col)).distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        new_df.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            (F.coalesce(F.col("__near"), F.lit(False))
+             & ~F.coalesce(F.col("__exact"), F.lit(False))).alias("near_dup"),
+        )
+    )
+
+
+def _band_hashes(shingled: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) from a pre-shingled relation — the banding
+    half of minhash_lsh_pairs, reusable for asymmetric joins."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(None, id_col=id_col, num_perm=num_perm, shingled=shingled)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("_", *[F.col("signature")[b * rows_per_band + r]
+                                         for r in range(rows_per_band)]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 20) -> DataFrame:
     """Connected components over an undirected near-dup pair graph —

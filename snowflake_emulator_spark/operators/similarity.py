@@ -320,3 +320,36 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def centroid_distances(emb: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector cosine similarity to its label's centroid — embedding
+    QA / outlier detection (mislabeled or corrupted vectors sit far from
+    their cluster center). Returns (id, label, cos_centroid).
+
+    Scale: posexplode to (id, label, pos, val) — D x N rows, the same
+    order as one corpus scan of the vectors; centroids are one
+    groupBy(label, pos) with map-side partial avg; the centroid table
+    (|labels| x D rows) is tiny and BROADCAST back, so the scoring pass
+    is map-side. No driver-side vectors, no UDFs."""
+    from pyspark.sql.functions import broadcast
+
+    ex = emb.select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    cen = ex.groupBy(label_col, "pos").agg(F.avg("val").alias("c"))
+    cnorm = cen.groupBy(label_col).agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    dots = (
+        ex.join(broadcast(cen), [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    return dots.join(broadcast(cnorm), label_col).select(
+        F.col(id_col), F.col(label_col),
+        F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cos_centroid"),
+    )

@@ -194,3 +194,64 @@ def pii_counts(text: Column) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
         for kind, (pattern, _) in PII_PATTERNS.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Statistical-LM quality scoring (perplexity proxy): a char-bigram
+# language model TRAINED ON THE CORPUS ITSELF in one aggregation pass,
+# then every document scored by its average log2 probability under that
+# model. Low scores flag machine-generated gibberish / encoding damage /
+# boilerplate — the classic cheap quality gate before an expensive
+# neural filter. All relational: explode -> two groupBys -> broadcast
+# join back; no Python in the hot path.
+# ---------------------------------------------------------------------------
+
+
+def bigram_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, bg): one row per char-bigram occurrence position of the
+    normalized text (duplicates KEPT — counts need multiplicity)."""
+    return df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col), F.col("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - 1, F.lit(1)))
+        ).alias("__pos"),
+    ).select(
+        F.col(id_col), F.col("__t").substr(F.col("__pos"), F.lit(2)).alias("bg")
+    ).filter(F.length("bg") == 2)
+
+
+def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", alpha: float = 1.0,
+                          vocab: int = 37) -> DataFrame:
+    """Per-doc avg log2 P(c2|c1) under the corpus-trained add-alpha
+    char-bigram LM. Returns (id, n_bigrams, avg_logp).
+
+    Scale: the exploded bigram relation is ~len(text) rows per doc (the
+    same order as the shingle table dedup already builds); the LM itself
+    is at most |alphabet|^2 rows (~1.4k) — broadcast to every executor,
+    so scoring is one map-side join + one groupBy(id). vocab=37 is the
+    normalized alphabet (26 letters + 10 digits + space) for the
+    smoothing denominator."""
+    bg = bigram_table(df, text_col, id_col)
+    lm = (
+        bg.groupBy("bg").agg(F.count("*").alias("n_bg"))
+        .withColumn("c1", F.substring("bg", 1, 1))
+    )
+    ctx = lm.groupBy("c1").agg(F.sum("n_bg").alias("n_c1"))
+    lm = lm.join(ctx, "c1").select(
+        "bg",
+        ((F.col("n_bg") + F.lit(alpha))
+         / (F.col("n_c1") + F.lit(alpha * vocab))).alias("p"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        bg.join(broadcast(lm), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log2("p")), 6).alias("avg_logp"),
+        )
+    )

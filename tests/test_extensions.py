@@ -366,3 +366,47 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
               dedup.ngram_jaccard_pairs(df, shingle=5, threshold=0.6,
                                         max_shingle_df=3).collect()}
     assert (1, 2) in uncapped and uncapped == capped
+
+
+def test_incremental_dedup_tiers(spark):
+    """Exact duplicates of corpus docs land in the exact tier; modified
+    near-copies in the near tier; novel docs in neither."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different corpus content about spark and parquet files")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),  # exact
+         (101, "the quick brown fox jumps over the lazy dog again and AGAIN!"),  # near (norm-equal -> exact)
+         (102, "the quick brown fox jumps over the lazy cat again and again"),  # near
+         (103, "entirely novel text with no overlap whatsoever to anything here")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+           for r in dedup.incremental_dedup(new, corpus, num_perm=16, bands=8,
+                                            threshold=0.4).collect()}
+    assert out[100] == (True, False)
+    assert out[101] == (True, False)  # normalization strips punctuation/case
+    assert out[102] == (False, True)
+    assert out[103] == (False, False)
+
+
+def test_bigram_logprob_orders_gibberish_last(spark):
+    """Docs made of corpus-typical bigrams score higher than gibberish
+    under the corpus-trained bigram LM."""
+    rows = [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(8)]
+    rows.append((100, "zx qv jk wq xx zq kj vv zz qq"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scores = {r["doc_id"]: r["avg_logp"]
+              for r in textstats.bigram_logprob_scores(df).collect()}
+    assert scores[100] < scores[0]
+
+
+def test_centroid_distances_flags_outlier(spark):
+    """A vector opposite its cluster scores far below cluster members."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, [v + 0.01 * i for v in base], 0) for i in range(5)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r["cos_centroid"]
+           for r in similarity.centroid_distances(df).collect()}
+    assert out[99] < 0 < min(out[i] for i in range(5))
