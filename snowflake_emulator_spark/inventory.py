@@ -961,6 +961,28 @@ FROM (
 ORDER BY user_id, event_id
 """
 
+# CONDITIONAL_CHANGE_EVENT: counter bumps when the value changes row to
+# row (NULL transitions don't count) — translated via a two-level
+# lag+running-sum rewrite (translator._rewrite_conditional_change_event).
+_SF_CCE_EVENT_SNOW = """
+SELECT user_id, event_id,
+       CAST(CONDITIONAL_CHANGE_EVENT(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS phase
+FROM events WHERE user_id < 20
+ORDER BY user_id, event_id
+"""
+_SF_CCE_EVENT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND event_type IS NOT NULL AND prev <> event_type
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phase
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 20) flagged
+ORDER BY user_id, event_id
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -2897,6 +2919,22 @@ FROM pts a JOIN pts b ON b.n_nationkey = a.n_nationkey + 1
 ORDER BY a.n_nationkey
 """
 
+# ARRAY_UNIQUE_AGG + TO_BINARY: set-valued aggregation (sorted for
+# determinism — Snowflake leaves the order unspecified) and the binary
+# codec constructor round-tripped through HEX_ENCODE.
+_SF_ARRAGG_BIN = """
+SELECT o_orderpriority,
+       ARRAY_SORT(ARRAY_UNIQUE_AGG(o_orderstatus), TRUE) AS statuses,
+       TO_BINARY(HEX_ENCODE(min(o_orderstatus)), 'HEX') AS first_status_bin
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+_SF_ARRAGG_BIN_ORACLE = """
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       unhex(hex(min(o_orderstatus))) AS first_status_bin
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -3085,6 +3123,7 @@ REGISTRY: dict[str, tuple] = {
     "events_gapfill_carry_forward": (_sql(_EVENTS_GAPFILL_SPARK), _EVENTS_GAPFILL_ORACLE),
     "events_cohort_retention": (_sql(_EVENTS_COHORT), _EVENTS_COHORT_ORACLE),
     "sf_conditional_true_event": (_snow(_SF_CTE_EVENT_SNOW), _SF_CTE_EVENT_ORACLE),
+    "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path
@@ -3107,6 +3146,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_md5_number_halves": (_snow(_SF_MD5NUM), _SF_MD5NUM_ORACLE),
     "sf_minhash_similarity": (_snow(_SF_MINHASH), _SF_MINHASH_ORACLE),
     "sf_geography_points": (_snow(_SF_GEO), _SF_GEO_ORACLE),
+    "sf_array_unique_agg_binary": (_snow(_SF_ARRAGG_BIN), _SF_ARRAGG_BIN_ORACLE),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),

@@ -138,6 +138,7 @@ class Translator:
         s = self._rewrite_lateral_flatten(s)
         s = self._rewrite_array_agg_within_group(s)
         s = self._rewrite_conditional_true_event(s)
+        s = self._rewrite_conditional_change_event(s)
         # SELECT * EXCLUDE (a, b) -> Spark's * EXCEPT (a, b); Snowflake
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
@@ -345,6 +346,73 @@ class Translator:
             )
             i = oclose + 1
         return "".join(out)
+
+    # -- CONDITIONAL_CHANGE_EVENT(expr) OVER (...) ------------------------
+    # Increments when expr's value differs from the previous row's value
+    # (Snowflake: transitions to/from NULL do NOT count). Needs the
+    # previous row's value, and windows cannot nest — so the rewrite
+    # goes two-level like QUALIFY: lag(expr) is computed in an injected
+    # subquery, the running conditional sum in the outer select.
+    # Handled shape: a top-level `SELECT <list> FROM <src> [WHERE …]
+    # [ORDER BY/LIMIT …]` without GROUP BY; other shapes pass through.
+    def _rewrite_conditional_change_event(self, s: str) -> str:
+        if "CONDITIONAL_CHANGE_EVENT" not in s.upper():
+            return s
+        if self._find_top_level_keyword(s, "GROUP") is not None:
+            return s
+        occurrences: list[tuple[int, int, str, str]] = []  # start, end, expr, over
+        i = 0
+        while True:
+            m = re.search(r"CONDITIONAL_CHANGE_EVENT\s*\(", s[i:], re.I)
+            if not m:
+                break
+            open_idx = i + m.end() - 1
+            close_idx = self._match_paren(s, open_idx)
+            expr = s[open_idx + 1:close_idx]
+            j = close_idx + 1
+            om = re.match(r"\s*OVER\s*\(", s[j:], re.I)
+            if not om:
+                i = j
+                continue
+            oopen = j + om.end() - 1
+            oclose = self._match_paren(s, oopen)
+            occurrences.append((i + m.start(), oclose + 1, expr, s[oopen + 1:oclose]))
+            i = oclose + 1
+        if not occurrences:
+            return s
+        # outer text: each occurrence -> running sum over the injected
+        # __cce_k column; inner: SELECT *, lag(expr) OVER (over) AS …
+        out, prev_end, lag_cols = [], 0, []
+        for k, (start, end, expr, over) in enumerate(occurrences):
+            out.append(s[prev_end:start])
+            out.append(
+                f"SUM(CASE WHEN __cce_{k} IS NOT NULL AND ({expr}) IS NOT NULL "
+                f"AND __cce_{k} <> ({expr}) THEN 1 ELSE 0 END) OVER ({over} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+            lag_cols.append(f"lag({expr}) OVER ({over}) AS __cce_{k}")
+            prev_end = end
+        out.append(s[prev_end:])
+        rewritten = "".join(out)
+        from_pos = self._find_top_level_keyword(rewritten, "FROM")
+        if from_pos is None:
+            return s
+        # split the source clause from a top-level ORDER BY/LIMIT tail
+        rest = rewritten[from_pos:]
+        tail_pos = None
+        for kw in ("ORDER", "LIMIT"):
+            p = self._find_top_level_keyword(rest, kw)
+            if p is not None and (tail_pos is None or p < tail_pos):
+                tail_pos = p
+        src = rest[:tail_pos].strip() if tail_pos is not None else rest.strip()
+        tail = (" " + rest[tail_pos:].strip()) if tail_pos is not None else ""
+        select_list = rewritten[:from_pos]
+        inner = f"SELECT *, {', '.join(lag_cols)} {src}"
+        # a bare * in the outer list would leak the helper columns
+        hidden = ", ".join(f"__cce_{k}" for k in range(len(occurrences)))
+        select_list = re.sub(r"(?<![\w.])\*(?!\w)", f"* EXCEPT({hidden})", select_list, count=1) \
+            if re.search(r"(?<![\w.])\*(?!\w)", select_list) else select_list
+        return f"{select_list}FROM ({inner}) __cce_t{tail}"
 
     # -- TABLE(GENERATOR(ROWCOUNT => n)) -> range(n) ----------------------
     # Snowflake's row generator maps onto Spark's native range() table
@@ -1012,6 +1080,23 @@ class Translator:
             )
         if fname in ("SYSDATE", "GETDATE", "SYSTIMESTAMP"):
             return "current_timestamp()"
+        if fname in ("TO_BINARY", "TRY_TO_BINARY"):
+            # 2nd arg selects codec (HEX default, BASE64, UTF-8)
+            fmt = args[1].strip().upper().strip("'") if len(args) > 1 else "HEX"
+            expr = {
+                "HEX": f"unhex({args[0]})",
+                "BASE64": f"unbase64({args[0]})",
+                "UTF-8": f"encode({args[0]}, 'UTF-8')",
+                "UTF8": f"encode({args[0]}, 'UTF-8')",
+            }.get(fmt, f"unhex({args[0]})")
+            if fname == "TRY_TO_BINARY":
+                return f"try_cast({expr} AS BINARY)"
+            return expr
+        if fname == "ARRAY_UNIQUE_AGG":
+            return f"array_distinct(collect_list({args[0]}))"
+        if fname == "ARRAY_UNION_AGG":
+            # union of the grouped arrays' elements, one flatten pass
+            return f"array_distinct(flatten(collect_list({args[0]})))"
         if fname in ("BITAND_AGG", "BITOR_AGG", "BITXOR_AGG"):
             # Snowflake bitwise aggregates -> Spark bit_and/bit_or/bit_xor
             return f"bit_{fname[3:-4].lower()}({args[0]})"
@@ -1281,6 +1366,10 @@ _REWRITABLE = {
     "BITAND_AGG",
     "BITOR_AGG",
     "BITXOR_AGG",
+    "TO_BINARY",
+    "TRY_TO_BINARY",
+    "ARRAY_UNIQUE_AGG",
+    "ARRAY_UNION_AGG",
     "MAP_CAT",
     "REGEXP_SUBSTR_ALL",
     "MD5_NUMBER_LOWER64",

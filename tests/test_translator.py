@@ -549,3 +549,17 @@ def test_round3_function_rewrites():
     assert "regexp_extract" in translate("SELECT ST_X(g) FROM t")
     assert "asin" in translate("SELECT ST_DISTANCE(g1, g2) FROM t")
     assert translate("SELECT TO_GEOGRAPHY(w) FROM t") == "SELECT CAST(w AS STRING) FROM t"
+
+
+def test_conditional_change_event_rewrite():
+    got = translate(
+        "SELECT u, CONDITIONAL_CHANGE_EVENT(kind) OVER (PARTITION BY u ORDER BY ts) AS ph "
+        "FROM t ORDER BY u, ts")
+    # two-level: lag in the injected subquery, running sum outside
+    assert "lag(kind) OVER (PARTITION BY u ORDER BY ts) AS __cce_0" in got
+    assert "SUM(CASE WHEN __cce_0 IS NOT NULL AND (kind) IS NOT NULL" in got
+    assert got.rstrip().endswith("ORDER BY u, ts")
+    # bare * must not leak the helper column
+    star = translate(
+        "SELECT *, CONDITIONAL_CHANGE_EVENT(k) OVER (ORDER BY ts) AS ph FROM t")
+    assert "* EXCEPT(__cce_0)" in star
