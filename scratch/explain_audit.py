@@ -92,13 +92,34 @@ AUDIT = [
     # lateral flatten: Generate (explode), never a join
     ("sf_lateral_flatten", ["Generate", "!BroadcastNestedLoopJoin"]),
     ("pivot_sql_native", ["HashAggregate", "!BroadcastNestedLoopJoin"]),
+    # round-3 additions --------------------------------------------------
+    # incremental new-vs-corpus dedup: every tier is an equi-join
+    # (digest semi join, band-bucket join, candidate-driven Jaccard) —
+    # never a cross/nested-loop anywhere in the plan
+    ("dedup_incremental", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # bigram LM scoring: the ~1.4k-row model must come back BROADCAST so
+    # the scoring join is map-side against the exploded corpus
+    ("text_bigram_logprob", ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # centroid distances: centroid + norm tables broadcast; the big
+    # exploded vector relation never shuffles for the scoring join
+    ("embed_centroid_distances", ["BroadcastHashJoin", "!SortMergeJoin"]),
+    # zipf: one (source, tok) agg exchange + one window + final agg
+    ("text_zipf_slope", ["Window", "HashAggregate"]),
+    # SQL-surface MINHASH agg: k parallel min()s in one partial+final pair
+    ("sf_minhash_similarity", ["HashAggregate", "!CartesianProduct"]),
+    ("sf_geography_points", ["!CartesianProduct"]),
+    # two-level CONDITIONAL_CHANGE_EVENT: both windows share ONE
+    # partition-key exchange (lag inner, running sum outer)
+    ("sf_conditional_change_event", ["Window"]),
+    ("sf_haversine_distance", ["PushedFilters"]),
+    ("sf_array_unique_agg_binary", ["Aggregate"]),
 ]
 
 
 def main():
     spark = build_spark(app_name="explain-audit", master="local[8]", shuffle_partitions=8)
     sf = "/root/testdata/sf0.1"
-    out = ["# Physical plans (sf0.1) — round 2 audit\n"]
+    out = ["# Physical plans (sf0.1) — round 3 audit\n"]
     for name, expect in AUDIT:
         fn, _ = REGISTRY[name]
         df = fn(spark, sf)
@@ -122,7 +143,7 @@ def main():
             out.append("Checks: " + "; ".join(checks) + "\n")
         out.append("```\n" + head.strip()[:4000] + "\n```\n")
         print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
-    with open("/root/repo/docs/PLANS_r2.md", "w") as f:
+    with open("/root/repo/docs/PLANS_r3.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
 
