@@ -160,6 +160,25 @@ class SequenceMeta:
 
 
 @dataclass
+class FunctionMeta:
+    """CREATE FUNCTION — SQL scalar UDF (beyond reference: the
+    reference's README rules UDFs out). The body is a single SQL
+    expression over the named arguments; call sites are expanded by
+    textual macro substitution BEFORE translation, so the body may use
+    the full Snowflake function surface and the expansion stays
+    JVM-side (zero runtime dispatch cost — exactly how Snowflake
+    inlines SQL UDFs into the calling query plan)."""
+    database: str
+    schema: str
+    name: str
+    arg_names: list[str]
+    arg_types: list[str]
+    returns: str
+    body: str
+    comment: str | None = None
+
+
+@dataclass
 class TaskMeta:
     """CREATE TASK (beyond the reference): stored SQL with a schedule
     string. The emulator runs tasks on demand (EXECUTE TASK) — the
@@ -237,6 +256,7 @@ class Catalog:
         self.mutation: int = 0
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
         self.sequences: dict[tuple[str, str, str], SequenceMeta] = {}
+        self.functions: dict[tuple[str, str, str], FunctionMeta] = {}
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
@@ -795,6 +815,32 @@ class Catalog:
             if vm is not None:
                 self.mutation += 1
             return vm
+
+    # ---------------- SQL UDFs (beyond reference) ----------------
+
+    def create_function(self, name: str, arg_names: list[str], arg_types: list[str],
+                        returns: str, body: str, comment: str | None = None,
+                        database: str | None = None, schema: str | None = None,
+                        or_replace: bool = False) -> FunctionMeta:
+        with self._lock:
+            db, sch, fn = self.resolve(name, database, schema)
+            key = (db, sch, fn)
+            if key in self.functions and not or_replace:
+                raise errors.object_exists(f"{db}.{sch}.{fn}")
+            fm = FunctionMeta(db, sch, fn, [a.upper() for a in arg_names],
+                              arg_types, returns, body, comment)
+            self.functions[key] = fm
+            return fm
+
+    def drop_function(self, name: str, database: str | None = None,
+                      schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.functions:
+                if if_exists:
+                    return
+                raise errors.object_not_found(".".join(key))
+            del self.functions[key]
 
     # ---------------- sequences (beyond reference) ----------------
 

@@ -92,6 +92,16 @@ _CREATE_SEQ_RE = re.compile(
     re.I | re.S,
 )
 _DROP_SEQ_RE = re.compile(r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+# SQL scalar UDF: CREATE FUNCTION f(a NUMBER, b VARCHAR) RETURNS NUMBER
+# [LANGUAGE SQL] AS 'expr' | AS $$expr$$
+_CREATE_FUNC_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w.\"$]+)\s*\((.*?)\)\s*"
+    r"RETURNS\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(?:LANGUAGE\s+SQL\s+)?"
+    r"(?:COMMENT\s*=\s*'([^']*)'\s*)?AS\s+(?:\$\$(.*?)\$\$|'(.*?)')\s*$",
+    re.I | re.S,
+)
+_DROP_FUNC_RE = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*(?:\([^)]*\))?\s*$", re.I)
 _NEXTVAL_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*){0,2})\.NEXTVAL\b", re.I)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:SECURE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
@@ -374,6 +384,7 @@ class Executor:
         sql = bindmod.apply_bindings(sql, bindings)
         sql = self._rewrite_result_scan(sql, ctx)
         sql = self._rewrite_nextval(sql, ctx)
+        sql = self._expand_udfs(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
             translated = _STREAM_META_RE.sub(
@@ -381,6 +392,53 @@ class Executor:
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    # ------------------------------------------------------------------
+    # SQL UDF expansion (beyond reference): call sites are inlined by
+    # textual macro substitution BEFORE translation — same strategy as
+    # Snowflake's own SQL-UDF inlining into the calling plan, so the
+    # expanded expression runs entirely JVM-side with zero per-row
+    # dispatch. Bodies may call other UDFs (bounded depth).
+    # ------------------------------------------------------------------
+
+    def _expand_udfs(self, sql: str, ctx: SessionContext) -> str:
+        if not self.catalog.functions:
+            return sql
+        by_name: dict[str, object] = {}
+        for (db, sch, fn), fm in self.catalog.functions.items():
+            if db == ctx.database:
+                by_name[fn] = fm
+        if not by_name:
+            return sql
+        tr = self.translator
+        for _ in range(10):  # nested-UDF bound
+            changed = False
+            for fn, fm in by_name.items():
+                pat = re.compile(rf"(?<![\w.]){re.escape(fn)}\s*\(", re.I)
+                i = 0
+                while True:
+                    m = pat.search(sql, i)
+                    if not m:
+                        break
+                    open_idx = m.end() - 1
+                    close_idx = tr._match_paren(sql, open_idx)
+                    args = tr._split_args(sql[open_idx + 1:close_idx])
+                    if len(args) != len(fm.arg_names):
+                        i = close_idx + 1
+                        continue
+                    body = fm.body
+                    for an, av in zip(fm.arg_names, args):
+                        body = re.sub(rf"(?<![\w.]){re.escape(an)}(?![\w])",
+                                      f"({av.strip()})", body, flags=re.I)
+                    from .functions.typemap import snowflake_to_spark_ddl
+
+                    repl = f"CAST(({body}) AS {snowflake_to_spark_ddl(fm.returns)})"
+                    sql = sql[:m.start()] + repl + sql[close_idx + 1:]
+                    i = m.start() + len(repl)
+                    changed = True
+            if not changed:
+                break
+        return sql
 
     # ------------------------------------------------------------------
     # time travel (beyond-reference: the immutable version dirs ARE a
@@ -802,6 +860,30 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = _CREATE_FUNC_RE.match(sql)
+        if m:
+            arg_names, arg_types = [], []
+            # top-level comma split (arg types may carry parens: NUMBER(12,2))
+            for a in self.translator._split_args(m.group(3) or ""):
+                a = a.strip()
+                if not a:
+                    continue
+                parts = a.split(None, 1)
+                arg_names.append(parts[0].strip('"'))
+                arg_types.append(parts[1].strip() if len(parts) > 1 else "VARCHAR")
+            body = (m.group(6) if m.group(6) is not None else m.group(7) or "").strip()
+            if not body:
+                raise errors.syntax_error("empty function body")
+            self.catalog.create_function(
+                m.group(2), arg_names, arg_types, m.group(4), body,
+                comment=m.group(5), database=ctx.database, schema=ctx.schema,
+                or_replace=bool(m.group(1)))
+            return Result.status(f"Function {m.group(2).upper()} successfully created.")
+        m = _DROP_FUNC_RE.match(sql)
+        if m:
+            self.catalog.drop_function(m.group(2), ctx.database, ctx.schema,
+                                       if_exists=bool(m.group(1)))
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CREATE_SEQ_RE.match(sql)
         if m:
             opts = m.group(4) or ""
@@ -1376,6 +1458,17 @@ class Executor:
                     rows=rows,
                 )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
+        if "FUNCTIONS" in up:
+            # SHOW [USER] FUNCTIONS: per-DB scoped like the other handlers
+            rows = [
+                [name, db, sch,
+                 f"{name}({', '.join(f.arg_types)}) RETURN {f.returns}",
+                 "SQL", f.comment]
+                for (db, sch, name), f in sorted(self.catalog.functions.items())
+                if db == ctx.database and _match(name)
+            ]
+            return Result(columns=["name", "database_name", "schema_name",
+                                   "arguments", "language", "comment"], rows=rows)
         if "TASKS" in up:
             # per-DB scoping like the other SHOW handlers
             rows = [

@@ -170,3 +170,42 @@ def test_get_nonliteral_key(engine, ft):
     res = engine.execute(
         "SELECT GET('[10,20,30]', 1 + 1) AS third", ctx)
     assert _rows(res) == [("30",)]
+
+
+def test_sql_udf_lifecycle(engine):
+    """CREATE FUNCTION (SQL scalar UDF, beyond reference): call sites
+    inline by macro expansion before translation — the body may use the
+    Snowflake function surface, UDFs may call UDFs, NUMBER(p,s) args
+    parse, and SHOW USER FUNCTIONS / DROP FUNCTION manage the catalog."""
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION udf_area(r DOUBLE) RETURNS DOUBLE AS 'PI() * r * r'", ctx)
+    engine.execute(
+        "CREATE FUNCTION udf_tax(amount NUMBER(12,2), rate DOUBLE) "
+        "RETURNS DOUBLE AS $$ amount * rate $$", ctx)
+    engine.execute(
+        "CREATE FUNCTION udf_initials(s VARCHAR) RETURNS VARCHAR "
+        "AS 'UPPER(LEFT(s, 1))'", ctx)  # Snowflake fn in body
+    engine.execute(
+        "CREATE FUNCTION udf_area2(r DOUBLE) RETURNS DOUBLE AS 'udf_area(r) * 2'",
+        ctx)  # nested UDF call
+    res = engine.execute(
+        "SELECT ROUND(udf_area(2.0), 4) AS a, ROUND(udf_tax(100.00, 0.07), 2) AS t, "
+        "udf_initials('hello') AS i, ROUND(udf_area2(1.0), 4) AS a2", ctx)
+    assert _rows(res) == [(12.5664, 7.0, "H", 6.2832)]
+    names = [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
+    assert {"UDF_AREA", "UDF_TAX", "UDF_INITIALS", "UDF_AREA2"} <= set(names)
+    # duplicate without OR REPLACE raises; OR REPLACE swaps the body
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="already exists"):
+        engine.execute(
+            "CREATE FUNCTION udf_area(r DOUBLE) RETURNS DOUBLE AS 'r'", ctx)
+    engine.execute(
+        "CREATE OR REPLACE FUNCTION udf_area(r DOUBLE) RETURNS DOUBLE AS 'r + 1'", ctx)
+    assert _rows(engine.execute("SELECT udf_area(1.0) AS a", ctx)) == [(2.0,)]
+    engine.execute("DROP FUNCTION udf_area2", ctx)
+    assert "UDF_AREA2" not in [
+        r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
+    with _pytest.raises(Exception):
+        engine.execute("DROP FUNCTION udf_missing", ctx)
+    engine.execute("DROP FUNCTION IF EXISTS udf_missing", ctx)  # no raise
