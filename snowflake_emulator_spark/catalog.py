@@ -176,6 +176,9 @@ class FunctionMeta:
     returns: str
     body: str
     comment: str | None = None
+    # RETURNS TABLE(col TYPE, …) — set for SQL UDTFs; the body is then a
+    # SELECT inlined as a derived table at TABLE(f(…)) call sites
+    table_columns: list[tuple[str, str]] | None = None
 
 
 @dataclass
@@ -821,14 +824,16 @@ class Catalog:
     def create_function(self, name: str, arg_names: list[str], arg_types: list[str],
                         returns: str, body: str, comment: str | None = None,
                         database: str | None = None, schema: str | None = None,
-                        or_replace: bool = False) -> FunctionMeta:
+                        or_replace: bool = False,
+                        table_columns: list[tuple[str, str]] | None = None) -> FunctionMeta:
         with self._lock:
             db, sch, fn = self.resolve(name, database, schema)
             key = (db, sch, fn)
             if key in self.functions and not or_replace:
                 raise errors.object_exists(f"{db}.{sch}.{fn}")
             fm = FunctionMeta(db, sch, fn, [a.upper() for a in arg_names],
-                              arg_types, returns, body, comment)
+                              arg_types, returns, body, comment,
+                              table_columns=table_columns)
             self.functions[key] = fm
             return fm
 

@@ -96,7 +96,8 @@ _DROP_SEQ_RE = re.compile(r"^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s
 # [LANGUAGE SQL] AS 'expr' | AS $$expr$$
 _CREATE_FUNC_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w.\"$]+)\s*\((.*?)\)\s*"
-    r"RETURNS\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(?:LANGUAGE\s+SQL\s+)?"
+    r"RETURNS\s+(TABLE\s*\(.*?\)|[\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*"
+    r"(?:LANGUAGE\s+SQL\s+)?"
     r"(?:COMMENT\s*=\s*'([^']*)'\s*)?AS\s+(?:\$\$(.*?)\$\$|'(.*?)')\s*$",
     re.I | re.S,
 )
@@ -411,10 +412,18 @@ class Executor:
         if not by_name:
             return sql
         tr = self.translator
+        from .functions.typemap import snowflake_to_spark_ddl
+
         for _ in range(10):  # nested-UDF bound
             changed = False
             for fn, fm in by_name.items():
-                pat = re.compile(rf"(?<![\w.]){re.escape(fn)}\s*\(", re.I)
+                if fm.table_columns is not None:
+                    # UDTF: TABLE(f(args)) -> derived table; declared
+                    # output names/types applied via column-list alias
+                    pat = re.compile(
+                        rf"\bTABLE\s*\(\s*{re.escape(fn)}\s*\(", re.I)
+                else:
+                    pat = re.compile(rf"(?<![\w.]){re.escape(fn)}\s*\(", re.I)
                 i = 0
                 while True:
                     m = pat.search(sql, i)
@@ -423,17 +432,28 @@ class Executor:
                     open_idx = m.end() - 1
                     close_idx = tr._match_paren(sql, open_idx)
                     args = tr._split_args(sql[open_idx + 1:close_idx])
-                    if len(args) != len(fm.arg_names):
+                    if len(args) != len(fm.arg_names) and not (
+                        len(fm.arg_names) == 0 and args == [""]
+                    ):
                         i = close_idx + 1
                         continue
                     body = fm.body
                     for an, av in zip(fm.arg_names, args):
                         body = re.sub(rf"(?<![\w.]){re.escape(an)}(?![\w])",
                                       f"({av.strip()})", body, flags=re.I)
-                    from .functions.typemap import snowflake_to_spark_ddl
-
-                    repl = f"CAST(({body}) AS {snowflake_to_spark_ddl(fm.returns)})"
-                    sql = sql[:m.start()] + repl + sql[close_idx + 1:]
+                    if fm.table_columns is not None:
+                        outer_close = tr._match_paren(sql, sql.index("(", m.start()))
+                        # consume the wrapping TABLE( ... ) too
+                        names = ", ".join(n for n, _ in fm.table_columns)
+                        casts = ", ".join(
+                            f"CAST({n} AS {snowflake_to_spark_ddl(t)}) AS {n}"
+                            for n, t in fm.table_columns)
+                        repl = (f"(SELECT {casts} FROM ({body}) "
+                                f"AS __udtf_b({names}))")
+                        sql = sql[:m.start()] + repl + sql[outer_close + 1:]
+                    else:
+                        repl = f"CAST(({body}) AS {snowflake_to_spark_ddl(fm.returns)})"
+                        sql = sql[:m.start()] + repl + sql[close_idx + 1:]
                     i = m.start() + len(repl)
                     changed = True
             if not changed:
@@ -874,10 +894,21 @@ class Executor:
             body = (m.group(6) if m.group(6) is not None else m.group(7) or "").strip()
             if not body:
                 raise errors.syntax_error("empty function body")
+            returns = m.group(4).strip()
+            table_columns = None
+            if returns.upper().startswith("TABLE"):
+                inner = returns[returns.index("(") + 1:returns.rindex(")")]
+                table_columns = []
+                for c in self.translator._split_args(inner):
+                    parts = c.strip().split(None, 1)
+                    table_columns.append(
+                        (parts[0].strip('"').upper(),
+                         parts[1].strip() if len(parts) > 1 else "VARCHAR"))
+                returns = "TABLE"
             self.catalog.create_function(
-                m.group(2), arg_names, arg_types, m.group(4), body,
+                m.group(2), arg_names, arg_types, returns, body,
                 comment=m.group(5), database=ctx.database, schema=ctx.schema,
-                or_replace=bool(m.group(1)))
+                or_replace=bool(m.group(1)), table_columns=table_columns)
             return Result.status(f"Function {m.group(2).upper()} successfully created.")
         m = _DROP_FUNC_RE.match(sql)
         if m:

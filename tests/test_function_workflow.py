@@ -209,3 +209,22 @@ def test_sql_udf_lifecycle(engine):
     with _pytest.raises(Exception):
         engine.execute("DROP FUNCTION udf_missing", ctx)
     engine.execute("DROP FUNCTION IF EXISTS udf_missing", ctx)  # no raise
+
+
+def test_sql_udtf_table_function(engine):
+    """CREATE FUNCTION … RETURNS TABLE(…): SQL UDTF inlined as a derived
+    table at TABLE(f(args)) call sites, declared output names/types
+    applied via column-list alias; composes with WHERE and aliases."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE udtf_orders (id INTEGER, amt DOUBLE)", ctx)
+    engine.execute("INSERT INTO udtf_orders VALUES (1, 10.0), (2, 25.0), (3, 50.0)", ctx)
+    engine.execute(
+        "CREATE FUNCTION udtf_big(min_amt DOUBLE) RETURNS TABLE (oid NUMBER, amount DOUBLE) "
+        "AS $$ SELECT id, amt FROM udtf_orders WHERE amt >= min_amt $$", ctx)
+    res = engine.execute(
+        "SELECT oid, amount FROM TABLE(udtf_big(20.0)) ORDER BY oid", ctx)
+    assert [(int(r[0]), r[1]) for r in res.rows] == [(2, 25.0), (3, 50.0)]
+    res = engine.execute(
+        "SELECT t.oid FROM TABLE(udtf_big(5.0)) t WHERE t.amount < 30 ORDER BY 1", ctx)
+    assert [int(r[0]) for r in res.rows] == [1, 2]
+    assert "UDTF_BIG" in [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
