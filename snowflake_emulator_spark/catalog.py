@@ -835,6 +835,7 @@ class Catalog:
                               arg_types, returns, body, comment,
                               table_columns=table_columns)
             self.functions[key] = fm
+            self.mutation += 1
             return fm
 
     def drop_function(self, name: str, database: str | None = None,
@@ -846,6 +847,7 @@ class Catalog:
                     return
                 raise errors.object_not_found(".".join(key))
             del self.functions[key]
+            self.mutation += 1
 
     # ---------------- sequences (beyond reference) ----------------
 

@@ -733,7 +733,8 @@ class Executor:
     # pkg/contentdata/repository_test.go:69; here the views are built
     # from catalog metadata with Snowflake-style logical names, scoped
     # to the session database like Snowflake's per-DB info schema)
-    _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES", "STREAMS", "TASKS", "SEQUENCES"}
+    _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES",
+                          "STREAMS", "TASKS", "SEQUENCES", "FUNCTIONS"}
 
     def _register_info_schema_view(self, which: str, db: str) -> str:
         view = f"__info_schema_{which.lower()}"
@@ -775,6 +776,15 @@ class Executor:
                     for t in c.tasks.values() if t.database == db]
             schema = ("task_catalog string, task_schema string, task_name string, "
                       "schedule string, state string, definition string, comment string")
+        elif which == "FUNCTIONS":
+            rows = [(f.database, f.schema, f.name,
+                     ", ".join(f.arg_types),
+                     "TABLE" if f.table_columns is not None else f.returns,
+                     "SQL", f.body, f.comment)
+                    for f in c.functions.values() if f.database == db]
+            schema = ("function_catalog string, function_schema string, function_name string, "
+                      "argument_signature string, data_type string, function_language string, "
+                      "function_definition string, comment string")
         elif which == "SEQUENCES":
             rows = [(sq.database, sq.schema, sq.name, sq.start, sq.increment)
                     for sq in c.sequences.values() if sq.database == db]

@@ -1991,6 +1991,40 @@ def _text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_max_repeat_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneration detector: longest consecutive repeated-token run
+    per doc (gaps-and-islands over token positions)."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return textstats.max_token_run_lengths(d).orderBy("doc_id")
+
+
+_MAX_RUN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] AS tok, CAST(i AS INTEGER) AS pos
+  FROM (SELECT doc_id, str_split({norm}, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS u(i)
+  WHERE w[CAST(i AS INTEGER)] <> ''
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR tok <> lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 1 ELSE 0 END AS new_run
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_tokens,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM rl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _ZIPF_ORACLE = """
 WITH toks AS (SELECT source, unnest(str_split({norm}, ' ')) AS tok FROM documents),
 tf AS (SELECT source, tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1, 2),
@@ -3171,6 +3205,7 @@ REGISTRY: dict[str, tuple] = {
     "text_bigram_logprob": (_text_bigram_logprob,
                             _BIGRAM_LM_ORACLE.format(norm=_NORM_DUCK)),
     "text_zipf_slope": (_text_zipf_slope, _ZIPF_ORACLE.format(norm=_NORM_DUCK)),
+    "text_max_repeat_run": (_text_max_repeat_run, _MAX_RUN_ORACLE.format(norm=_NORM_DUCK)),
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
     "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),

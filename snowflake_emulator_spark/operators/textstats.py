@@ -255,3 +255,40 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
             F.round(F.avg(F.log2("p")), 6).alias("avg_logp"),
         )
     )
+
+
+def max_token_run_lengths(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Longest run of consecutively repeated tokens per document —
+    the classic degeneration signal ("word word word …") that n-gram
+    repetition ratios under-weight. Returns (id, n_tokens, max_run).
+
+    Gaps-and-islands, fully relational: tokens with positions, a run
+    starts where the token differs from its predecessor (lag), run ids
+    via running sum of starts, then two aggregations. One shuffle on
+    the doc id (the window and both groupBys share it — Catalyst reuses
+    the exchange), no Python anywhere."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = toks.withColumn(
+        "new_run",
+        (F.lag("tok").over(w).isNull() | (F.col("tok") != F.lag("tok").over(w))).cast("int"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        runs.groupBy(id_col, "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_tokens"),
+            F.max("run_len").cast("bigint").alias("max_run"),
+        )
+    )

@@ -237,18 +237,26 @@ class SnowflakeServer:
                     if req_id:
                         self._running.pop(req_id, None)
             sess.database, sess.schema = ctx.database, ctx.schema
-            return {
-                "data": {
-                    "queryId": qid,
-                    "rowtype": res.row_type(),
-                    "rowset": res.rowset_strings(),
-                    "total": res.row_count,
-                    "returned": res.row_count,
-                    "statementTypeId": cls.statement_type_id,
-                    "queryResultFormat": config.QUERY_RESULT_FORMAT_JSON,
-                },
-                "success": True,
-            }, 200
+            data = {
+                "queryId": qid,
+                "rowtype": res.row_type(),
+                "total": res.row_count,
+                "returned": res.row_count,
+                "statementTypeId": cls.statement_type_id,
+            }
+            # Arrow negotiation (beyond reference — it is JSON-only):
+            # when the session's GO_QUERY_RESULT_FORMAT is arrow, ship
+            # the rowset as one base64 Arrow IPC stream like Snowflake
+            fmt = str(ctx.parameters.get(
+                "GO_QUERY_RESULT_FORMAT", config.QUERY_RESULT_FORMAT_JSON)).lower()
+            if fmt == "arrow":
+                data["queryResultFormat"] = "arrow"
+                data["rowsetBase64"] = res.rowset_arrow_base64()
+                data["rowset"] = []
+            else:
+                data["queryResultFormat"] = config.QUERY_RESULT_FORMAT_JSON
+                data["rowset"] = res.rowset_strings()
+            return {"data": data, "success": True}, 200
 
         # query cancellation (query.go:149-166 returns success without
         # cancelling; we actually interrupt the job group when the id is

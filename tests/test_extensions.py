@@ -410,3 +410,13 @@ def test_centroid_distances_flags_outlier(spark):
     out = {r["vec_id"]: r["cos_centroid"]
            for r in similarity.centroid_distances(df).collect()}
     assert out[99] < 0 < min(out[i] for i in range(5))
+
+
+def test_max_token_run_gaps_islands(spark):
+    """Runs of consecutive equal tokens measured exactly."""
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "x y x y x y"), (3, "z")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_tokens"], r["max_run"])
+           for r in textstats.max_token_run_lengths(df).collect()}
+    assert out == {1: (6, 3), 2: (6, 1), 3: (1, 1)}

@@ -66,3 +66,15 @@ def test_info_schema_streams_tasks_sequences(engine):
     r = engine.execute(
         "SELECT sequence_name, start_value, increment FROM INFORMATION_SCHEMA.SEQUENCES", ctx)
     assert ("IST_Q", 5, 2) in [tuple(x) for x in r.rows]
+
+
+def test_info_schema_functions(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION isf_double(x NUMBER) RETURNS NUMBER AS 'x * 2'", ctx)
+    r = engine.execute(
+        "SELECT function_name, argument_signature, data_type, function_language "
+        "FROM INFORMATION_SCHEMA.FUNCTIONS", ctx)
+    assert ("ISF_DOUBLE", "NUMBER", "NUMBER", "SQL") in [tuple(x) for x in r.rows]

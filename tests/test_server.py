@@ -304,3 +304,39 @@ def test_telemetry_and_health(server):
     assert code == 200 and out["success"] is True
     code, out = _call(server, "GET", "/health")
     assert code == 200 and out["status"] == "OK"
+
+
+def test_arrow_result_format_negotiation(server):
+    """GO_QUERY_RESULT_FORMAT=arrow switches the gosnowflake rowset to
+    one base64 Arrow IPC stream (rowsetBase64, queryResultFormat=arrow)
+    with Snowflake logicalType field metadata — beyond reference (the
+    reference is JSON-only; real Snowflake negotiates arrow)."""
+    import base64
+
+    import pyarrow as pa
+
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    _call(server, "POST", "/queries/v1/query-request",
+          {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'arrow'"}, token)
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": ("SELECT 7 AS n, 'x' AS s, CAST(2.5 AS FLOAT) AS f, "
+                                 "CAST('2024-01-15' AS DATE) AS dt, "
+                                 "CAST(NULL AS INTEGER) AS nl")}, token)
+    assert out["success"], out
+    assert out["data"]["queryResultFormat"] == "arrow"
+    assert out["data"]["rowset"] == []
+    buf = base64.b64decode(out["data"]["rowsetBase64"])
+    table = pa.ipc.open_stream(buf).read_all()
+    assert table.num_rows == 1
+    cols = {name.lower(): table.column(i).to_pylist()
+            for i, name in enumerate(table.schema.names)}
+    import datetime as dt_mod
+    assert cols["n"] == [7] and cols["s"] == ["x"] and cols["f"] == [2.5]
+    assert cols["dt"] == [dt_mod.date(2024, 1, 15)] and cols["nl"] == [None]
+    meta = {f.name.lower(): f.metadata[b"logicalType"].decode()
+            for f in table.schema}
+    assert meta["n"] == "FIXED" and meta["s"] == "TEXT" and meta["f"] == "REAL"
+    # back to JSON for the remaining tests on this shared session store
+    _call(server, "POST", "/queries/v1/query-request",
+          {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
