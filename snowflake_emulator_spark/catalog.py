@@ -260,6 +260,9 @@ class Catalog:
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
         self.sequences: dict[tuple[str, str, str], SequenceMeta] = {}
         self.functions: dict[tuple[str, str, str], FunctionMeta] = {}
+        # metadata-only RBAC records: (priv, obj_type, obj_name,
+        # grantee_type, grantee) — recorded + listable, not enforced
+        self.grants: list[tuple[str, str, str, str, str]] = []
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)

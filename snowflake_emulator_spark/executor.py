@@ -103,6 +103,15 @@ _CREATE_FUNC_RE = re.compile(
 )
 _DROP_FUNC_RE = re.compile(
     r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*(?:\([^)]*\))?\s*$", re.I)
+# metadata-only RBAC (beyond reference): grants recorded and listable,
+# not enforced — the single-user emulator has no authz boundary to
+# enforce against, like the reference's single-account model
+_GRANT_RE = re.compile(
+    r"^\s*GRANT\s+([\w\s,]+?)\s+ON\s+(TABLE|VIEW|SCHEMA|DATABASE|WAREHOUSE|FUNCTION)\s+"
+    r"([\w.\"$]+)\s+TO\s+(ROLE|USER)\s+([\w\"$]+)\s*$", re.I)
+_REVOKE_RE = re.compile(
+    r"^\s*REVOKE\s+([\w\s,]+?)\s+ON\s+(TABLE|VIEW|SCHEMA|DATABASE|WAREHOUSE|FUNCTION)\s+"
+    r"([\w.\"$]+)\s+FROM\s+(ROLE|USER)\s+([\w\"$]+)\s*$", re.I)
 _NEXTVAL_RE = re.compile(r"\b([A-Za-z_]\w*(?:\.[A-Za-z_]\w*){0,2})\.NEXTVAL\b", re.I)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:SECURE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
@@ -393,6 +402,16 @@ class Executor:
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    def _qualify(self, name: str, ctx: SessionContext) -> str:
+        """Fully-qualified object name for grant records (db.schema.name
+        for schema-level objects; bare upper name otherwise)."""
+        parts = [p.strip('"').upper() for p in name.split(".")]
+        if len(parts) >= 3:
+            return ".".join(parts[:3])
+        if len(parts) == 2:
+            return f"{ctx.database}.{parts[0]}.{parts[1]}"
+        return f"{ctx.database}.{ctx.schema}.{parts[0]}"
 
     # ------------------------------------------------------------------
     # SQL UDF expansion (beyond reference): call sites are inlined by
@@ -890,6 +909,36 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = _GRANT_RE.match(sql)
+        if m:
+            privs = [p.strip().upper() for p in m.group(1).split(",")]
+            otype = m.group(2).upper()
+            oname = (m.group(3).strip('"').upper()
+                     if otype in ("DATABASE", "WAREHOUSE")
+                     else self._qualify(m.group(3), ctx))
+            obj = (otype, oname)
+            grantee = (m.group(4).upper(), m.group(5).strip('"').upper())
+            with self.catalog._lock:
+                for p in privs:
+                    g = (p, obj[0], obj[1], grantee[0], grantee[1])
+                    if g not in self.catalog.grants:
+                        self.catalog.grants.append(g)
+            return Result.status("Statement executed successfully.")
+        m = _REVOKE_RE.match(sql)
+        if m:
+            privs = {p.strip().upper() for p in m.group(1).split(",")}
+            otype = m.group(2).upper()
+            oname = (m.group(3).strip('"').upper()
+                     if otype in ("DATABASE", "WAREHOUSE")
+                     else self._qualify(m.group(3), ctx))
+            obj = (otype, oname)
+            grantee = (m.group(4).upper(), m.group(5).strip('"').upper())
+            with self.catalog._lock:
+                self.catalog.grants = [
+                    g for g in self.catalog.grants
+                    if not (g[0] in privs and g[1:] == (obj[0], obj[1], *grantee))
+                ]
+            return Result.status("Statement executed successfully.")
         m = _CREATE_FUNC_RE.match(sql)
         if m:
             arg_names, arg_types = [], []
@@ -1499,6 +1548,23 @@ class Executor:
                     rows=rows,
                 )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
+        if "GRANTS" in up:
+            # SHOW GRANTS [ON <type> <name> | TO ROLE|USER <name>]
+            gm = re.search(r"GRANTS\s+ON\s+(\w+)\s+([\w.\"$]+)", up)
+            tm_ = re.search(r"GRANTS\s+TO\s+(ROLE|USER)\s+([\w\"$]+)", up)
+            grants = self.catalog.grants
+            if gm:
+                otype = gm.group(1)
+                oname = (gm.group(2).strip('"')
+                         if otype in ("DATABASE", "WAREHOUSE")
+                         else self._qualify(gm.group(2), ctx))
+                grants = [g for g in grants if g[1] == otype and g[2] == oname]
+            elif tm_:
+                grants = [g for g in grants
+                          if g[3] == tm_.group(1) and g[4] == tm_.group(2).strip('"')]
+            rows = [[p, ot, on, gt, gr] for (p, ot, on, gt, gr) in sorted(grants)]
+            return Result(columns=["privilege", "granted_on", "name",
+                                   "granted_to", "grantee_name"], rows=rows)
         if "FUNCTIONS" in up:
             # SHOW [USER] FUNCTIONS: per-DB scoped like the other handlers
             rows = [

@@ -2356,6 +2356,65 @@ FROM dots d JOIN cnorm c USING (label) ORDER BY vec_id
 """
 
 
+def _embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-round Lloyd k-means (k=4, centroids seeded from
+    the 4 lowest vec_ids) — the distributed clustering step expressed
+    relationally (broadcast centroid join + posexplode mean update),
+    replayed exactly by the DuckDB oracle."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.kmeans_fixed_rounds(e, k=4, rounds=2).orderBy("cluster_id")
+
+
+def _kmeans_oracle(k: int = 4, rounds: int = 2) -> str:
+    # sequential left-to-right list folds on both engines make the
+    # per-pair squared distances bit-identical; centroid means may
+    # differ in ulps (parallel vs serial sums), absorbed by the final
+    # round(…, 6) and the integer cluster sizes
+    def assign(cstep: str, astep: str) -> str:
+        return f"""
+{astep} AS (
+  SELECT vec_id, v, cid AS cluster_id, d2 FROM (
+    SELECT vec_id, v, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT v.vec_id, v.v, c.cid,
+             list_sum(list_transform(list_zip(v.v, c.c),
+                      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+      FROM v CROSS JOIN {cstep} c))
+  WHERE rn = 1
+)"""
+
+    def update(astep: str, cstep: str) -> str:
+        return f"""
+{cstep} AS (
+  SELECT cluster_id AS cid, list(m ORDER BY pos) AS c
+  FROM (
+    SELECT a.cluster_id, CAST(i AS INTEGER) AS pos,
+           avg(a.v[CAST(i AS INTEGER)]) AS m
+    FROM {astep} a, unnest(range(1, len(a.v) + 1)) AS u(i)
+    GROUP BY 1, 2)
+  GROUP BY cluster_id
+)"""
+
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM v WHERE vec_id < {k})",
+    ]
+    for r in range(rounds):
+        parts.append(assign(f"c{r}", f"a{r}").strip())
+        parts.append(update(f"a{r}", f"c{r + 1}").strip())
+    parts.append(assign(f"c{rounds}", "afinal").strip())
+    return (
+        ",\n".join(parts)
+        + """
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sqrt(d2)), 6) AS mean_dist
+FROM afinal GROUP BY cluster_id ORDER BY cluster_id
+"""
+    )
+
+
 def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (oracle-checkable); the LSH-bucketed
     scale path is declared separately as embed_near_pairs_lsh."""
@@ -3234,6 +3293,7 @@ REGISTRY: dict[str, tuple] = {
     "embed_cosine_topk": (_embed_topk, _EMBED_TOPK_ORACLE),
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
     "embed_centroid_distances": (_embed_centroid_dist, _CENTROID_ORACLE),
+    "embed_kmeans_clusters": (_embed_kmeans, _kmeans_oracle()),
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate, rows-only
     "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)

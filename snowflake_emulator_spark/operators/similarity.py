@@ -353,3 +353,57 @@ def centroid_distances(emb: DataFrame, vec_col: str = "embedding",
         F.col(id_col), F.col(label_col),
         F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("cos_centroid"),
     )
+
+
+def kmeans_fixed_rounds(emb: DataFrame, k: int = 4, rounds: int = 2,
+                        vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column, expressed
+    entirely relationally — the distributed clustering step of a
+    semantic-dedup / data-mixing pipeline, with a fixed round count and
+    deterministic seeding (centroids = the k lowest vec_ids) so an
+    external oracle can replay it exactly.
+
+    Per round: assignment is a BROADCAST join of the k-row centroid
+    table against the vectors (argmin via min_by over (dist, cid) —
+    deterministic tie-break on centroid id), update is one
+    posexplode + groupBy(cluster, pos) mean. Nothing driver-side, no
+    UDFs; at 100 TB this is k-means exactly as MLlib runs it, minus
+    sampling-based init. Returns (cluster_id, n_vecs, mean_dist):
+    cluster sizes and mean member distance, rounded for float-ulp
+    tolerance."""
+    from pyspark.sql.functions import broadcast
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("v").alias("c"))
+
+    def _assign(vs: DataFrame, cs: DataFrame) -> DataFrame:
+        # squared L2 via one zip_with/aggregate pass (JVM codegen)
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return (
+            vs.join(broadcast(cs))
+            .select(id_col, "v", F.col("cid"), dist.alias("d2"))
+            .groupBy(id_col, "v")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cluster_id"),
+                 F.min("d2").alias("d2"))
+        )
+
+    for _ in range(rounds):
+        assigned = _assign(vecs, cents)
+        cents = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(F.col("cluster_id").alias("cid"),
+                    F.expr("transform(pm, x -> x.m)").alias("c"))
+        )
+    final = _assign(vecs, cents)
+    return (
+        final.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"),
+             F.round(F.avg(F.sqrt("d2")), 6).alias("mean_dist"))
+    )

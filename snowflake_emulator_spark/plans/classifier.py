@@ -55,6 +55,8 @@ def classify(sql: str) -> ClassifyResult:
         return ClassifyResult(StatementType.DDL_ALTER, config.STATEMENT_TYPE_DDL, is_ddl=True)
     if first == "COMMENT":  # COMMENT ON TABLE ... IS '...'
         return ClassifyResult(StatementType.DDL_ALTER, config.STATEMENT_TYPE_DDL, is_ddl=True)
+    if first in ("GRANT", "REVOKE"):  # metadata-only RBAC (beyond reference)
+        return ClassifyResult(StatementType.DDL_ALTER, config.STATEMENT_TYPE_DDL, is_ddl=True)
     if first == "COPY":
         return ClassifyResult(StatementType.COPY, config.STATEMENT_TYPE_DML, is_dml=True)
     if first == "MERGE":

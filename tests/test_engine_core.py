@@ -572,3 +572,24 @@ def test_merge_nondeterministic_strict_mode(engine):
     # pick-first applies exactly ONE of the matches (which one is
     # engine-defined, as in Snowflake's non-strict mode)
     assert [tuple(x) for x in res.rows] in ([(10,)], [(20,)])
+
+
+def test_grants_metadata_rbac(engine):
+    """GRANT/REVOKE/SHOW GRANTS: metadata-only RBAC (beyond reference)
+    — grants recorded and listable by object or grantee, not enforced
+    (single-user emulator, like the reference's single-account model)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE rbac_t (id INTEGER)", ctx)
+    engine.execute("GRANT SELECT, INSERT ON TABLE rbac_t TO ROLE analyst", ctx)
+    engine.execute("GRANT USAGE ON DATABASE testdb TO ROLE analyst", ctx)
+    r = engine.execute("SHOW GRANTS ON TABLE rbac_t", ctx)
+    got = {(x[0], x[4]) for x in r.rows}
+    assert got == {("SELECT", "ANALYST"), ("INSERT", "ANALYST")}
+    r = engine.execute("SHOW GRANTS TO ROLE analyst", ctx)
+    assert len(r.rows) == 3
+    engine.execute("REVOKE INSERT ON TABLE rbac_t FROM ROLE analyst", ctx)
+    r = engine.execute("SHOW GRANTS ON TABLE rbac_t", ctx)
+    assert {(x[0], x[4]) for x in r.rows} == {("SELECT", "ANALYST")}
+    # idempotent re-grant does not duplicate
+    engine.execute("GRANT SELECT ON TABLE rbac_t TO ROLE analyst", ctx)
+    assert len(engine.execute("SHOW GRANTS ON TABLE rbac_t", ctx).rows) == 1

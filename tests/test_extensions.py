@@ -420,3 +420,15 @@ def test_max_token_run_gaps_islands(spark):
     out = {r["doc_id"]: (r["n_tokens"], r["max_run"])
            for r in textstats.max_token_run_lengths(df).collect()}
     assert out == {1: (6, 3), 2: (6, 1), 3: (1, 1)}
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two well-separated blobs end in different clusters with fixed
+    seeding (first k ids as centroids)."""
+    rows = [(i, [10.0 + 0.1 * i, 0.0]) for i in range(3)]          # blob A
+    rows += [(10 + i, [-10.0 - 0.1 * i, 0.0]) for i in range(3)]   # blob B
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_fixed_rounds(df, k=2, rounds=2).collect()
+    sizes = sorted(r["n_vecs"] for r in out)
+    assert sizes == [3, 3]
+    assert all(r["mean_dist"] < 1.0 for r in out)
