@@ -51,6 +51,9 @@ _CREATE_WH_RE = re.compile(
 _ALTER_WH_RE = re.compile(r"^\s*ALTER\s+WAREHOUSE\s+([\w\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
 _DROP_WH_RE = re.compile(r"^\s*DROP\s+WAREHOUSE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
 _ALTER_SESSION_SET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+SET\s+(.+)$", re.I | re.S)
+# Snowflake session variables: SET v = <expr> / UNSET v / $v substitution
+_SET_VAR_RE = re.compile(r"^\s*SET\s+([A-Za-z_]\w*)\s*=\s*(.+)$", re.I | re.S)
+_UNSET_VAR_RE = re.compile(r"^\s*UNSET\s+([A-Za-z_]\w*)\s*$", re.I)
 _ALTER_SESSION_UNSET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+UNSET\s+(.+)$", re.I | re.S)
 _PARAM_PAIR_RE = re.compile(r"(\w+)\s*=\s*('(?:[^']*)'|[^\s,]+)")
 
@@ -112,6 +115,22 @@ class Engine:
         # session parameters (reference: defaults + login overrides,
         # pkg/config/constants.go:27-57, server/handlers/session.go:111-137;
         # ALTER SESSION extends that to statement-level updates)
+        # Snowflake session variables (beyond reference): SET evaluates
+        # the expression NOW (one scalar query) and stores the value;
+        # references substitute as $var inside later statements
+        m = _SET_VAR_RE.match(s)
+        if m and not up.startswith("SET SESSION"):
+            val = self.executor.query_df(f"SELECT {m.group(2)}", ctx).collect()[0][0]
+            self._session_vars(ctx)[m.group(1).upper()] = val
+            return Result.status("Statement executed successfully.")
+        m = _UNSET_VAR_RE.match(s)
+        if m:
+            self._session_vars(ctx).pop(m.group(1).upper(), None)
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^\s*SHOW\s+VARIABLES\s*$", s, re.I):
+            rows = [[k, "" if v is None else str(v), type(v).__name__]
+                    for k, v in sorted(self._session_vars(ctx).items())]
+            return Result(columns=["name", "value", "type"], rows=rows)
         m = _ALTER_SESSION_SET_RE.match(s)
         if m:
             params = self._session_params(ctx)
@@ -179,6 +198,14 @@ class Engine:
             finally:
                 self.catalog.end_dirty_capture()
         return self.executor.execute(s, ctx, bindings, query_id=query_id)
+
+    @staticmethod
+    def _session_vars(ctx: SessionContext) -> dict:
+        v = getattr(ctx, "variables", None)
+        if v is None:
+            v = {}
+            ctx.variables = v
+        return v
 
     @staticmethod
     def _session_params(ctx: SessionContext) -> dict:

@@ -45,6 +45,8 @@ class SessionContext:
         # most recent query id this session (LAST_QUERY_ID())
         self.last_query_id: str | None = None
         self.parameters: dict[str, str] = dict(config.DEFAULT_SESSION_PARAMETERS)
+        # SET <var> = <expr> session variables ($var substitution)
+        self.variables: dict[str, object] = {}
 
 
 def new_query_id() -> str:
@@ -394,6 +396,7 @@ class Executor:
         sql = bindmod.apply_bindings(sql, bindings)
         sql = self._rewrite_result_scan(sql, ctx)
         sql = self._rewrite_nextval(sql, ctx)
+        sql = self._substitute_variables(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
@@ -402,6 +405,39 @@ class Executor:
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
+
+    def _substitute_variables(self, sql: str, ctx: SessionContext) -> str:
+        """$var -> literal for SET session variables. Name must start
+        with a letter ($1 stage positionals untouched); the lookbehind
+        keeps METADATA$ACTION-style identifiers intact; unknown names
+        pass through (Spark raises its own error)."""
+        variables = getattr(ctx, "variables", None)
+        if not variables or "$" not in sql:
+            return sql
+
+        def _lit(v) -> str:
+            import datetime as _dt
+            import decimal as _decimal
+
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            if isinstance(v, (int, float, _decimal.Decimal)):
+                return str(v)
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v.isoformat()}'"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        return self._SESSION_VAR_RE.sub(
+            lambda m: _lit(variables[m.group(1).upper()])
+            if m.group(1).upper() in variables else m.group(0),
+            sql,
+        )
 
     def _qualify(self, name: str, ctx: SessionContext) -> str:
         """Fully-qualified object name for grant records (db.schema.name

@@ -29,6 +29,7 @@ class Session:
     database: str = config.DEFAULT_DATABASE
     schema: str = config.DEFAULT_SCHEMA
     parameters: dict[str, str] = field(default_factory=lambda: dict(config.DEFAULT_SESSION_PARAMETERS))
+    variables: dict[str, object] = field(default_factory=dict)
     created_at: float = field(default_factory=time.time)
     token_expiry: float = 0.0
     master_expiry: float = 0.0
@@ -36,6 +37,7 @@ class Session:
     def context(self) -> SessionContext:
         ctx = SessionContext(self.database, self.schema)
         ctx.parameters = self.parameters
+        ctx.variables = self.variables
         # keep ctx and session namespace in sync
         ctx._session = self  # type: ignore[attr-defined]
         return ctx

@@ -593,3 +593,25 @@ def test_grants_metadata_rbac(engine):
     # idempotent re-grant does not duplicate
     engine.execute("GRANT SELECT ON TABLE rbac_t TO ROLE analyst", ctx)
     assert len(engine.execute("SHOW GRANTS ON TABLE rbac_t", ctx).rows) == 1
+
+
+def test_session_variables(engine):
+    """SET/UNSET session variables with $var substitution (beyond
+    reference): the expression evaluates at SET time, references inline
+    as typed literals, SHOW VARIABLES lists, UNSET removes."""
+    ctx = SessionContext()
+    engine.execute("SET min_score = 20 + 5", ctx)
+    engine.execute("SET who = 'al''ice'", ctx)
+    engine.execute("CREATE TABLE var_t (id INTEGER, score INTEGER)", ctx)
+    engine.execute("INSERT INTO var_t VALUES (1, 10), (2, 30), (3, 50)", ctx)
+    res = engine.execute("SELECT id FROM var_t WHERE score > $min_score ORDER BY id", ctx)
+    assert _rows(res) == [(2,), (3,)]
+    res = engine.execute("SELECT $who AS w, $min_score + 1 AS m", ctx)
+    assert _rows(res) == [("al'ice", 26)]
+    rows = engine.execute("SHOW VARIABLES", ctx).rows
+    assert {r[0] for r in rows} == {"MIN_SCORE", "WHO"}
+    engine.execute("UNSET who", ctx)
+    assert {r[0] for r in engine.execute("SHOW VARIABLES", ctx).rows} == {"MIN_SCORE"}
+    # per-session isolation: a fresh context sees no variables
+    other = SessionContext()
+    assert engine.execute("SHOW VARIABLES", other).rows == []
