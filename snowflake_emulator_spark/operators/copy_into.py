@@ -72,6 +72,13 @@ _COPY_RE = re.compile(
     r"^\s*COPY\s+INTO\s+([\w.\"$]+)\s+FROM\s+@([\w.\"$]+)((?:/[^\s]*)?)\s*(.*)$",
     re.I | re.S,
 )
+# COPY transformation (real Snowflake; the reference has no transform
+# path): COPY INTO t FROM (SELECT $1, TRIM($2), … FROM @stage[/path])
+_COPY_XFORM_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+([\w.\"$]+)\s+FROM\s*\(\s*SELECT\s+(.*?)\s+FROM\s+@([\w.\"$]+)"
+    r"((?:/[^\s)]*)?)\s*\)\s*(.*)$",
+    re.I | re.S,
+)
 _FF_INLINE_RE = re.compile(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", re.I | re.S)
 _PATTERN_RE = re.compile(r"PATTERN\s*=\s*'((?:[^']|'')*)'", re.I)
 _ON_ERROR_RE = re.compile(r"ON_ERROR\s*=\s*'?(\w+)'?", re.I)
@@ -90,14 +97,27 @@ class CopyStatement:
     on_error: str = "ABORT_STATEMENT"
     purge: bool = False
     validation_mode: str | None = None
+    # COPY transformation select list ($N positional references)
+    select_exprs: str | None = None
 
 
 def parse_copy(sql: str) -> CopyStatement:
+    xm = _COPY_XFORM_RE.match(sql.strip().rstrip(";"))
+    if xm:
+        stmt = CopyStatement(table=xm.group(1), stage=xm.group(3),
+                             path=(xm.group(4) or "").lstrip("/"),
+                             select_exprs=xm.group(2).strip())
+        rest = xm.group(5) or ""
+        return _parse_copy_options(stmt, rest)
     m = _COPY_RE.match(sql.strip().rstrip(";"))
     if not m:
         raise errors.syntax_error(f"cannot parse COPY INTO: {sql[:80]}")
     stmt = CopyStatement(table=m.group(1), stage=m.group(2), path=(m.group(3) or "").lstrip("/"))
     rest = m.group(4) or ""
+    return _parse_copy_options(stmt, rest)
+
+
+def _parse_copy_options(stmt: CopyStatement, rest: str) -> CopyStatement:
     fm = _FF_INLINE_RE.search(rest)
     if fm:
         for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", fm.group(1)):
@@ -267,6 +287,8 @@ class CopyProcessor:
 
     def _read_file(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
         fmt = stmt.format_type
+        if stmt.select_exprs is not None:
+            return self._read_transform(path, stmt, tm)
         if fmt == "CSV":
             return self._read_csv(path, stmt, tm)
         if fmt == "JSON":
@@ -280,6 +302,36 @@ class CopyProcessor:
             df = self.spark.read.orc(path)
             return self._positional_cast(df, tm)
         raise errors.invalid_parameter(f"unsupported file format: {fmt}")
+
+    def _read_transform(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
+        """COPY transformation: read the file RAW (no table-schema
+        mapping), rename columns positionally so ``$N`` resolves, run
+        the translated select list, then cast the output into the table
+        schema positionally — Snowflake's load-time transform. The
+        select list may use the full translated function surface."""
+        o = stmt.options
+        fmt = stmt.format_type
+        if fmt == "CSV":
+            skip_header = int(o.get("SKIP_HEADER", "0") or 0)
+            df = (self.spark.read.option("sep", o.get("FIELD_DELIMITER", ","))
+                  .option("header", "true" if skip_header >= 1 else "false")
+                  .csv(path))
+        elif fmt == "JSON":
+            df = self.spark.read.json(path)
+        elif fmt == "PARQUET":
+            df = self.spark.read.parquet(path)
+        elif fmt == "ORC":
+            df = self.spark.read.orc(path)
+        else:
+            raise errors.invalid_parameter(f"unsupported transform format: {fmt}")
+        renamed = df.toDF(*[f"__c{i + 1}" for i in range(len(df.columns))])
+        sel = re.sub(r"\$(\d+)", lambda m: f"__c{m.group(1)}", stmt.select_exprs)
+        from ..plans.translator import translate
+
+        view = f"__copy_xform_{abs(hash(path)) % 100000}"
+        renamed.createOrReplaceTempView(view)
+        out = self.spark.sql(translate(f"SELECT {sel} FROM {view}"))
+        return self._positional_cast(out, tm)
 
     def _read_csv(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
         o = stmt.options

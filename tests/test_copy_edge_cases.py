@@ -164,3 +164,24 @@ def test_copy_orc_roundtrip(engine, tmp_path):
     assert r2.rows_loaded == 2
     res = engine.execute("SELECT id, name FROM orc_dst ORDER BY id", ctx)
     assert [tuple(x) for x in res.rows] == [(1, "a"), (2, "b")]
+
+
+def test_copy_transformation_select(engine, tmp_path):
+    """COPY INTO t FROM (SELECT $1, <expr>($2), … FROM @stage): real
+    Snowflake load-time transform (beyond reference — it has no
+    transform path). $N positional columns, translated functions in the
+    select list, output cast into the table schema."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE xform_t (id INTEGER, name VARCHAR, score INTEGER)", ctx)
+    engine.execute("CREATE STAGE xform_stage", ctx)
+    stage = engine.catalog.get_stage("xform_stage")
+    (tmp_path / "raw.csv").write_text("1,  alice ,90\n2, bob ,80\n")
+    engine.stages.put_file(stage, str(tmp_path / "raw.csv"))
+    r = engine.execute(
+        "COPY INTO xform_t FROM (SELECT $1, UPPER(TRIM($2)), IFF($3 >= 85, $3 + 10, $3) "
+        "FROM @xform_stage) FILE_FORMAT=(TYPE=CSV)", ctx)
+    assert r.rows_loaded == 2
+    res = engine.execute("SELECT id, name, score FROM xform_t ORDER BY id", ctx)
+    assert [tuple(x) for x in res.rows] == [(1, "ALICE", 100), (2, "BOB", 80)]
