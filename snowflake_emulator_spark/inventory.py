@@ -983,6 +983,43 @@ FROM (
 ORDER BY user_id, event_id
 """
 
+def _events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching (restricted operator,
+    operators/match_recognize.py): V C+ P funnels per user via
+    applyInPandas regex over JVM-classified symbols; per-user match
+    counts so the oracle can replay with string_agg + regexp."""
+    from .operators.match_recognize import match_recognize
+
+    load_views(spark, sf_dir)
+    e = spark.table("events")
+    m = match_recognize(
+        e, "user_id", ["ts", "event_id"],
+        define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                "P": "event_type = 'purchase'"},
+        pattern="V C+ P", measure_cols=["event_id"],
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_matches"),
+             F.sum("n_rows").cast("bigint").alias("n_matched_rows"))
+        .orderBy("user_id")
+    )
+
+
+_MATCH_RECOGNIZE_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                         WHEN 'purchase' THEN 'P' ELSE '.' END AS c
+  FROM events
+),
+s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, 'VC+P') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -3217,6 +3254,7 @@ REGISTRY: dict[str, tuple] = {
     "events_cohort_retention": (_sql(_EVENTS_COHORT), _EVENTS_COHORT_ORACLE),
     "sf_conditional_true_event": (_snow(_SF_CTE_EVENT_SNOW), _SF_CTE_EVENT_ORACLE),
     "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
+    "events_match_recognize_funnel": (_events_match_recognize, _MATCH_RECOGNIZE_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path

@@ -432,3 +432,27 @@ def test_kmeans_separates_obvious_clusters(spark):
     sizes = sorted(r["n_vecs"] for r in out)
     assert sizes == [3, 3]
     assert all(r["mean_dist"] < 1.0 for r in out)
+
+
+def test_match_recognize_funnel_semantics(spark):
+    """V C+ P row-pattern matching: non-overlapping matches, measures
+    from the matched slice, mutual-exclusion violation raises."""
+    from snowflake_emulator_spark.operators.match_recognize import match_recognize
+
+    rows = [(1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+            (1, 5, "view"), (1, 6, "purchase"),
+            (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+            (2, 4, "view"), (2, 5, "click"), (2, 6, "purchase"),
+            (3, 1, "click")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    define = {"V": "event_type = 'view'", "C": "event_type = 'click'",
+              "P": "event_type = 'purchase'"}
+    out = sorted(tuple(r) for r in match_recognize(
+        df, "user_id", ["ts"], define, "V C+ P", measure_cols=["ts"]).collect())
+    # (user, match_no, n_rows, ts_first, ts_last)
+    assert out == [(1, 1, 4, 1, 4), (2, 1, 3, 1, 3), (2, 2, 3, 4, 6)]
+    # overlapping symbol predicates are rejected
+    import pytest as _pytest
+    bad = {"A": "event_type = 'view'", "B": "ts < 100"}
+    with _pytest.raises(Exception, match="mutually exclusive"):
+        match_recognize(df, "user_id", ["ts"], bad, "A B").collect()
