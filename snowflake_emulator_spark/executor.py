@@ -201,6 +201,21 @@ _ALTER_TABLE_RENAME_RE = re.compile(
 )
 
 
+def _inside_string(s: str, pos: int) -> bool:
+    """True when ``pos`` falls inside a single-quoted SQL string
+    (''-escape aware)."""
+    in_str = False
+    i = 0
+    while i < pos:
+        if s[i] == "'":
+            if in_str and i + 1 < len(s) and s[i + 1] == "'":
+                i += 2
+                continue
+            in_str = not in_str
+        i += 1
+    return in_str
+
+
 class Executor:
     def __init__(self, spark: SparkSession, catalog: Catalog):
         self.spark = spark
@@ -397,6 +412,7 @@ class Executor:
         sql = self._rewrite_result_scan(sql, ctx)
         sql = self._rewrite_nextval(sql, ctx)
         sql = self._substitute_variables(sql, ctx)
+        sql = self._rewrite_get_ddl(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
@@ -405,6 +421,55 @@ class Executor:
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    _GET_DDL_RE = re.compile(
+        r"\bGET_DDL\s*\(\s*'(\w+)'\s*,\s*'([\w.\"$]+)'\s*\)", re.I)
+
+    def _rewrite_get_ddl(self, sql: str, ctx: SessionContext) -> str:
+        """GET_DDL('TABLE'|'VIEW'|'FUNCTION', 'name') -> the object's
+        reconstructed CREATE statement as a string literal (resolved at
+        rewrite time against the catalog, like Snowflake's server-side
+        evaluation)."""
+        if "GET_DDL" not in sql.upper():
+            return sql
+
+        def _ddl_text(kind: str, name: str) -> str:
+            kind = kind.upper()
+            if kind == "TABLE":
+                tm = self.catalog.get_table(name, ctx.database, ctx.schema)
+                cols = []
+                for c in tm.columns:
+                    d = f"{c.name} {c.sf_type}"
+                    if not c.nullable:
+                        d += " NOT NULL"
+                    if c.default is not None:
+                        d += f" DEFAULT {c.default}"
+                    if c.primary_key:
+                        d += " PRIMARY KEY"
+                    cols.append(d)
+                ddl = f"CREATE OR REPLACE TABLE {tm.name} (\n\t" + ",\n\t".join(cols) + "\n)"
+                if tm.clustering_key:
+                    ddl += f" CLUSTER BY ({tm.clustering_key})"
+                return ddl + ";"
+            if kind == "VIEW":
+                vm = self.catalog.get_view(name, ctx.database, ctx.schema)
+                return f"CREATE OR REPLACE VIEW {vm.name} AS {vm.sql_text};"
+            if kind == "FUNCTION":
+                key = self.catalog.resolve(name, ctx.database, ctx.schema)
+                fm = self.catalog.functions.get(key)
+                if fm is None:
+                    raise errors.object_not_found(".".join(key))
+                args = ", ".join(f"{n} {t}" for n, t in zip(fm.arg_names, fm.arg_types))
+                ret = ("TABLE (" + ", ".join(f"{n} {t}" for n, t in fm.table_columns) + ")"
+                       if fm.table_columns is not None else fm.returns)
+                return (f"CREATE OR REPLACE FUNCTION {fm.name}({args}) "
+                        f"RETURNS {ret} AS $${fm.body}$$;")
+            raise errors.invalid_parameter(f"GET_DDL: unsupported object type {kind}")
+
+        return self._GET_DDL_RE.sub(
+            lambda m: "'" + _ddl_text(m.group(1), m.group(2)).replace("'", "''") + "'",
+            sql,
+        )
 
     _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 
@@ -484,6 +549,9 @@ class Executor:
                     m = pat.search(sql, i)
                     if not m:
                         break
+                    if _inside_string(sql, m.start()):
+                        i = m.end()
+                        continue
                     open_idx = m.end() - 1
                     close_idx = tr._match_paren(sql, open_idx)
                     args = tr._split_args(sql[open_idx + 1:close_idx])

@@ -435,13 +435,19 @@ class Translator:
     _SAMPLE_ROWS_RE = re.compile(
         r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+)\s+ROWS\s*\)", re.I)
     _SAMPLE_RE = re.compile(r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)", re.I)
+    _SAMPLE_SEED_RE = re.compile(r"\bSEED\s*\(\s*(\d+)\s*\)", re.I)
 
     def _rewrite_sample(self, s: str) -> str:
         """Snowflake ``SAMPLE (p)`` / ``SAMPLE BERNOULLI (p)`` (percent
         row sampling) -> Spark ``TABLESAMPLE (p PERCENT)``; fixed-size
         ``SAMPLE (n ROWS)`` -> ``TABLESAMPLE (n ROWS)``."""
         s = self._SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", s)
-        return self._SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", s)
+        s = self._SAMPLE_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", s)
+        # Snowflake SEED (n) -> Spark REPEATABLE (n), only after a
+        # TABLESAMPLE was produced (bare SEED stays untouched)
+        if "TABLESAMPLE" in s.upper():
+            s = self._SAMPLE_SEED_RE.sub(lambda m: f"REPEATABLE ({m.group(1)})", s)
+        return s
 
     # -- SELECT TOP n -> LIMIT n ------------------------------------------
 
@@ -1043,6 +1049,25 @@ class Translator:
                 f" WHEN try_cast({t} AS DOUBLE) IS NOT NULL THEN 'DECIMAL'"
                 f" ELSE 'VARCHAR' END)"
             )
+        if fname in ("IS_INTEGER", "IS_DECIMAL", "IS_BOOLEAN", "IS_ARRAY",
+                     "IS_OBJECT", "IS_VARCHAR"):
+            # VARIANT type predicates over the JSON-text storage —
+            # same shape classification as TYPEOF
+            v = args[0]
+            t = f"trim({v})"
+            checks = {
+                "IS_OBJECT": f"left({t}, 1) = '{{'",
+                "IS_ARRAY": f"left({t}, 1) = '['",
+                "IS_BOOLEAN": f"{t} IN ('true', 'false')",
+                "IS_INTEGER": (f"left({t}, 1) NOT IN ('{{', '[') AND {t} NOT IN "
+                               f"('true', 'false') AND try_cast({t} AS BIGINT) IS NOT NULL"),
+                "IS_DECIMAL": (f"left({t}, 1) NOT IN ('{{', '[') AND {t} NOT IN "
+                               f"('true', 'false') AND try_cast({t} AS DOUBLE) IS NOT NULL"),
+                "IS_VARCHAR": (f"left({t}, 1) NOT IN ('{{', '[') AND {t} NOT IN "
+                               f"('true', 'false', 'null') AND "
+                               f"try_cast({t} AS DOUBLE) IS NULL"),
+            }
+            return f"(CASE WHEN {v} IS NULL THEN NULL ELSE ({checks[fname]}) END)"
         if fname == "ARRAY_COMPACT":
             return f"filter({args[0]}, x -> x IS NOT NULL)"
         if fname == "ARRAY_EXCEPT":
@@ -1390,6 +1415,12 @@ _REWRITABLE = {
     "OBJECT_KEYS",
     "GET_PATH",
     "TYPEOF",
+    "IS_INTEGER",
+    "IS_DECIMAL",
+    "IS_BOOLEAN",
+    "IS_ARRAY",
+    "IS_OBJECT",
+    "IS_VARCHAR",
     "ARRAY_COMPACT",
     "ARRAY_EXCEPT",
     "ARRAY_INTERSECTION",

@@ -615,3 +615,32 @@ def test_session_variables(engine):
     # per-session isolation: a fresh context sees no variables
     other = SessionContext()
     assert engine.execute("SHOW VARIABLES", other).rows == []
+
+
+def test_get_ddl_and_variant_predicates(engine):
+    """GET_DDL reconstructs CREATE statements from the catalog; IS_*
+    VARIANT predicates classify the JSON-text storage; SAMPLE … SEED
+    maps to TABLESAMPLE … REPEATABLE."""
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE TABLE ddl_t (id INTEGER NOT NULL PRIMARY KEY, "
+        "name VARCHAR DEFAULT 'x') CLUSTER BY (id)", ctx)
+    engine.execute("CREATE VIEW ddl_v AS SELECT id FROM ddl_t", ctx)
+    engine.execute("CREATE FUNCTION ddl_f(x NUMBER) RETURNS NUMBER AS 'x + 1'", ctx)
+    t = engine.execute("SELECT GET_DDL('TABLE', 'ddl_t') AS d", ctx).rows[0][0]
+    assert "CREATE OR REPLACE TABLE DDL_T" in t
+    assert "ID INTEGER NOT NULL PRIMARY KEY" in t
+    assert "NAME VARCHAR DEFAULT 'x'" in t and "CLUSTER BY (id)" in t
+    v = engine.execute("SELECT GET_DDL('VIEW', 'ddl_v') AS d", ctx).rows[0][0]
+    assert v == "CREATE OR REPLACE VIEW DDL_V AS SELECT id FROM ddl_t;"
+    f = engine.execute("SELECT GET_DDL('FUNCTION', 'ddl_f') AS d", ctx).rows[0][0]
+    assert f == "CREATE OR REPLACE FUNCTION DDL_F(X NUMBER) RETURNS NUMBER AS $$x + 1$$;"
+    # a UDF call inside a produced string literal must NOT inline
+    assert engine.execute("SELECT ddl_f(2) AS v", ctx).rows[0][0] == 3
+    res = engine.execute(
+        "SELECT IS_INTEGER('42') AS a, IS_DECIMAL('4.2') AS b, IS_OBJECT('{}') AS c, "
+        "IS_ARRAY('[1]') AS d, IS_BOOLEAN('true') AS e, IS_VARCHAR('hi') AS f, "
+        "IS_INTEGER('hi') AS g, IS_VARCHAR(NULL) AS h", ctx)
+    assert _rows(res) == [(True, True, True, True, True, True, False, None)]
+    # SEED parses (row count is sampling-random; syntax must not error)
+    engine.execute("SELECT * FROM ddl_t SAMPLE (50) SEED (42)", ctx)
