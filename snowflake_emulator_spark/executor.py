@@ -142,6 +142,13 @@ _CREATE_DYNTABLE_RE = re.compile(
     r"\s+AS\s+(SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.\"$]+)\s+AS\s+(.*)$",
+    re.I | re.S)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.\"$]+)\s+REFRESH\s*$", re.I)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
 _REFRESH_DYNTABLE_RE = re.compile(
     r"^\s*ALTER\s+DYNAMIC\s+TABLE\s+([\w.\"$]+)\s+REFRESH\s*$", re.I)
 _DROP_DYNTABLE_RE = re.compile(
@@ -1153,6 +1160,48 @@ class Executor:
             self.catalog.write_table(tm, df, mode="overwrite")
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
+        m = _CREATE_MV_RE.match(sql)
+        if m:
+            # MATERIALIZED VIEW (beyond reference): same machinery as
+            # DYNAMIC TABLE — stored SELECT materialized into an
+            # immutable versioned table; Snowflake's background
+            # auto-refresh becomes explicit ALTER … REFRESH here
+            df = self.query_df(m.group(3), ctx)
+            from .functions.typemap import spark_to_snowflake_name
+
+            cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
+                    for f in df.schema.fields]
+            self.catalog.create_table(m.group(2), cols, ctx.database, ctx.schema,
+                                      or_replace=bool(m.group(1)), df=df)
+            tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+            tm.kind = "MATERIALIZED VIEW"
+            self._dyntable_defs[(tm.database, tm.schema, tm.name)] = (
+                m.group(3).strip(), None)
+            self.sync_namespace_views(ctx)
+            return Result.status(
+                f"Materialized view {m.group(2).upper()} successfully created.")
+        m = _REFRESH_MV_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            key = (tm.database, tm.schema, tm.name)
+            if key not in self._dyntable_defs or tm.kind != "MATERIALIZED VIEW":
+                raise errors.execution_error(f"{tm.name} is not a materialized view")
+            df = self.query_df(self._dyntable_defs[key][0], ctx)
+            self.catalog.write_table(tm, df, mode="overwrite")
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        m = _DROP_MV_RE.match(sql)
+        if m:
+            try:
+                tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
+            except errors.SnowflakeError:
+                if m.group(1):
+                    return Result.status("Drop statement executed successfully.")
+                raise
+            self._dyntable_defs.pop((tm.database, tm.schema, tm.name), None)
+            self.catalog.drop_table(m.group(2), ctx.database, ctx.schema)
+            self.sync_namespace_views(ctx)
+            return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _DROP_DYNTABLE_RE.match(sql)
         if m:
             tm = None
@@ -1597,6 +1646,14 @@ class Executor:
         if "SCHEMAS" in up:
             rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
             return Result(columns=["name", "database_name"], rows=rows)
+        if "MATERIALIZED" in up and "VIEWS" in up:
+            rows = [
+                [tbl, db, sch, self._dyntable_defs.get((db, sch, tbl), ("",))[0][:200],
+                 tm.comment]
+                for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
+                if db == ctx.database and tm.kind == "MATERIALIZED VIEW" and _match(tbl)
+            ]
+            return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
         if "VIEWS" in up:
             rows = [
                 [name, db, sch, vm.sql_text[:200], vm.comment]

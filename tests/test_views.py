@@ -146,3 +146,30 @@ def test_show_dynamic_tables_and_objects(engine):
     names = {(r[0], r[3]) for r in engine.execute("SHOW OBJECTS", ctx).rows}
     assert ("SDT_BASE", "TABLE") in names and ("SDT_V", "VIEW") in names \
         and ("SDT_D", "DYNAMIC TABLE") in names
+
+
+def test_materialized_view_lifecycle(engine):
+    """CREATE MATERIALIZED VIEW materializes the SELECT (same machinery
+    as dynamic tables); querying reads the materialization (stale until
+    ALTER … REFRESH — Snowflake's background refresh made explicit);
+    SHOW MATERIALIZED VIEWS lists it; DROP removes it."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mv_src (id INTEGER, amt INTEGER)", ctx)
+    engine.execute("INSERT INTO mv_src VALUES (1, 10), (2, 20)", ctx)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv_sum AS "
+        "SELECT CAST(sum(amt) AS BIGINT) AS total FROM mv_src", ctx)
+    assert engine.execute("SELECT total FROM mv_sum", ctx).rows == [[30]]
+    engine.execute("INSERT INTO mv_src VALUES (3, 30)", ctx)
+    # stale until refreshed
+    assert engine.execute("SELECT total FROM mv_sum", ctx).rows == [[30]]
+    engine.execute("ALTER MATERIALIZED VIEW mv_sum REFRESH", ctx)
+    assert engine.execute("SELECT total FROM mv_sum", ctx).rows == [[60]]
+    rows = engine.execute("SHOW MATERIALIZED VIEWS", ctx).rows
+    assert any(r[0] == "MV_SUM" and "sum(amt)" in r[3] for r in rows)
+    engine.execute("DROP MATERIALIZED VIEW mv_sum", ctx)
+    assert all(r[0] != "MV_SUM"
+               for r in engine.execute("SHOW MATERIALIZED VIEWS", ctx).rows)
+    engine.execute("DROP MATERIALIZED VIEW IF EXISTS mv_sum", ctx)  # no raise
