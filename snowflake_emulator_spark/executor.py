@@ -203,6 +203,8 @@ _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\s+)?([\w.\"
 _ALTER_TABLE_ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+(?:COLUMN\s+)?([\w\"$]+)\s+(.+?)\s*$", re.I
 )
+_ALTER_TABLE_RECLUSTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RECLUSTER\s*$", re.I)
 _ALTER_TABLE_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+TO\s+([\w.\"$]+)\s*$", re.I
 )
@@ -1351,6 +1353,17 @@ class Executor:
                 self.spark.catalog.dropTempView(tm.name)
                 self.catalog.drop_table(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _ALTER_TABLE_RECLUSTER_RE.match(sql)
+        if m:
+            # RECLUSTER: rewrite the live version in clustering-key
+            # order (write_table already repartition+sorts on the key)
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            if not tm.clustering_key:
+                raise errors.invalid_parameter(
+                    f"{tm.name} has no clustering key")
+            self.catalog.write_table(tm, self.catalog.read_table(tm))
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
         m = _ALTER_TABLE_ADD_COL_RE.match(sql)
         if m and "RENAME" not in up:
             tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
@@ -1646,6 +1659,23 @@ class Executor:
         if "SCHEMAS" in up:
             rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
             return Result(columns=["name", "database_name"], rows=rows)
+        if "COLUMNS" in up:
+            # SHOW COLUMNS [IN <table>]: current DB scope, optional table
+            tm_ = re.search(r"IN\s+(?:TABLE\s+)?([\w.\"$]+)", up)
+            rows = []
+            for (db, sch, tbl), t in sorted(self.catalog.tables.items()):
+                if db != ctx.database:
+                    continue
+                if tm_ and tbl != tm_.group(1).split(".")[-1].strip('"'):
+                    continue
+                if not tm_ and not _match(tbl):
+                    continue
+                for c in t.columns:
+                    rows.append([tbl, sch, c.name, c.sf_type,
+                                 "true" if c.nullable else "false",
+                                 c.default, "COLUMN"])
+            return Result(columns=["table_name", "schema_name", "column_name",
+                                   "data_type", "null?", "default", "kind"], rows=rows)
         if "MATERIALIZED" in up and "VIEWS" in up:
             rows = [
                 [tbl, db, sch, self._dyntable_defs.get((db, sch, tbl), ("",))[0][:200],
@@ -1788,6 +1818,18 @@ class Executor:
                 rows=[[f.name.upper(), spark_to_snowflake_name(f.dataType), "COLUMN",
                        "Y" if f.nullable else "N"] for f in fields],
             )
+        fm_ = re.match(r"^\s*DESC(?:RIBE)?\s+FUNCTION\s+([\w.\"$]+)\s*(?:\([^)]*\))?\s*$",
+                       sql, re.I)
+        if fm_:
+            key = self.catalog.resolve(fm_.group(1), ctx.database, ctx.schema)
+            f = self.catalog.functions.get(key)
+            if f is None:
+                raise errors.object_not_found(".".join(key))
+            ret = ("TABLE (" + ", ".join(f"{n} {t}" for n, t in f.table_columns) + ")"
+                   if f.table_columns is not None else f.returns)
+            rows = [["signature", f"({', '.join(f.arg_types)})"],
+                    ["returns", ret], ["language", "SQL"], ["body", f.body]]
+            return Result(columns=["property", "value"], rows=rows)
         m = re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", sql, re.I)
         if not m:
             raise errors.syntax_error(sql)

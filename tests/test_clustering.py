@@ -30,3 +30,25 @@ def test_cluster_by_recorded_and_applied(engine):
         .collect()
     )
     assert all(r["n_pids"] == 1 for r in parts)
+
+
+def test_show_columns_and_recluster(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE TABLE sc_t (id INTEGER, grp VARCHAR) CLUSTER BY (grp)", ctx)
+    engine.execute(
+        "INSERT INTO sc_t VALUES (3,'b'),(1,'a'),(2,'b'),(4,'a')", ctx)
+    rows = engine.execute("SHOW COLUMNS IN sc_t", ctx).rows
+    assert [(r[2], r[3]) for r in rows] == [("ID", "INTEGER"), ("GRP", "VARCHAR")]
+    v0 = engine.catalog.get_table("sc_t").version
+    engine.execute("ALTER TABLE sc_t RECLUSTER", ctx)
+    tm = engine.catalog.get_table("sc_t")
+    assert tm.version == v0 + 1  # rewritten into a new clustered version
+    res = engine.execute("SELECT id FROM sc_t ORDER BY id", ctx)
+    assert [r[0] for r in res.rows] == [1, 2, 3, 4]
+    import pytest as _pytest
+    engine.execute("CREATE TABLE sc_nok (id INTEGER)", ctx)
+    with _pytest.raises(Exception, match="clustering key"):
+        engine.execute("ALTER TABLE sc_nok RECLUSTER", ctx)

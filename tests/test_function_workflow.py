@@ -228,3 +228,14 @@ def test_sql_udtf_table_function(engine):
         "SELECT t.oid FROM TABLE(udtf_big(5.0)) t WHERE t.amount < 30 ORDER BY 1", ctx)
     assert [int(r[0]) for r in res.rows] == [1, 2]
     assert "UDTF_BIG" in [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
+
+
+def test_describe_function(engine):
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION descf(x NUMBER, s VARCHAR) RETURNS VARCHAR "
+        "AS 'CONCAT(s, x)'", ctx)
+    rows = dict(engine.execute("DESCRIBE FUNCTION descf", ctx).rows)
+    assert rows["signature"] == "(NUMBER, VARCHAR)"
+    assert rows["returns"] == "VARCHAR" and rows["language"] == "SQL"
+    assert rows["body"] == "CONCAT(s, x)"
