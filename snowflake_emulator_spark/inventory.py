@@ -2254,6 +2254,89 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)
 """
 
 
+def _dedup_survivors_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor pick: real pipelines keep each near-dup
+    cluster's HIGHEST-quality member, not its lowest id. Composes the
+    memoized components with the quality score; one max_by per cluster
+    (tie-break: lowest doc_id)."""
+    load_views(spark, sf_dir)
+    comps = _doc_components(spark, sf_dir)
+    quality = _text_quality(spark, sf_dir).withColumnRenamed("doc_id", "node")
+    return (
+        comps.join(quality, "node")
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.max_by("node", F.struct(F.col("quality"), (-F.col("node")).alias("nid")))
+            .alias("keep_id"),
+            F.round(F.max("quality"), 6).alias("best_quality"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _survivors_best_oracle() -> str:
+    clusters = _dedup_clusters_oracle().replace("ORDER BY doc_id", "")
+    quality = _quality_oracle().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comps AS MATERIALIZED ({clusters}),
+q AS ({quality}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         max(q.quality) OVER (PARTITION BY c.cluster_id) AS best_q
+  FROM comps c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_id, round(best_q, 6) AS best_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LAST step before tokenized training data
+    ships: documents greedily packed in deterministic (doc_id) order
+    into fixed-token-budget bins per source shard. Running cumulative
+    token sum partitioned by source (ONE window over the shard key —
+    the partitioning a sharded corpus already has), bin id by integer
+    division; per-bin stats out."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = d.select(
+        "source", "doc_id", textstats.token_count(F.col("text")).alias("ntok"))
+    binned = toks.withColumn("cum", F.sum("ntok").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("ntok")) / F.lit(4096)).cast("bigint"))
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("ntok").cast("bigint").alias("n_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
+_PACK_ORACLE_NTOK = ("CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+                     "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)")
+_PACK_ORACLE = f"""
+WITH toks AS (SELECT source, doc_id, {_PACK_ORACLE_NTOK} AS ntok FROM documents),
+binned AS (
+  SELECT source, doc_id, ntok,
+         CAST(floor((sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok) / 4096)
+           AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens
+FROM binned GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
 def _pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE capstone: the complete training-data keep set — a document
     survives iff it (a) is its near-dup cluster's representative
@@ -3325,6 +3408,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
+    "dedup_survivors_best_quality": (_dedup_survivors_best, _survivors_best_oracle()),
+    "doc_pack_sequences": (_doc_pack_sequences, _PACK_ORACLE),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),
     "pipeline_keep_set": (_pipeline_keep_set, _pipeline_keep_oracle()),
     # similarity extensions
