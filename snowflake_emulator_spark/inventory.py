@@ -3448,27 +3448,31 @@ _SAMPLE_HEAD = [
     # aggregation family
     "agg_group_having", "agg_count_distinct", "agg_listagg",
     "agg_median_percentile", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_min_by_max_by",
+    "agg_grouping_sets",
     # window family
-    "window_row_number_topn", "window_running_sum", "window_lag_delta",
+    "window_row_number_topn", "window_running_sum",
     "window_first_last", "window_distribution",
     # set operations
     "setop_union_all", "setop_intersect", "setop_except",
     # CTE / subqueries
-    "cte_join_agg", "subquery_scalar", "subquery_not_in_null",
+    "cte_join_agg", "subquery_not_in_null",
     # expressions / pivot / date
     "string_functions", "extract_date_parts", "pivot_sql_native",
     "unpivot_line_metrics",
     # events / time / JSON
     "events_hourly_agg", "events_sessionize",
-    "events_gapfill_carry_forward",
     # Snowflake translator path
     "sf_dateadd_datediff", "sf_qualify_window_filter",
     "sf_lateral_flatten", "sf_object_construct",
     # MERGE-equivalent upsert
     "merge_upsert_sim",
-    # LLM-pipeline extensions: dedup / similarity / text / sampling
-    "dedup_exact", "dedup_minhash_lsh", "embed_cosine_topk",
+    # LLM-pipeline extensions: dedup / similarity / text / sampling —
+    # round-3 flagships (incremental dedup, relational k-means,
+    # MATCH_RECOGNIZE funnel, bigram-LM quality) included so the
+    # driver's 50-entry sample exercises every extension family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "embed_cosine_topk", "embed_kmeans_clusters",
+    "events_match_recognize_funnel", "text_bigram_logprob",
     "text_quality_score", "sample_stratified_hash",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
