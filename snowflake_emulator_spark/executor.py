@@ -422,6 +422,7 @@ class Executor:
         sql = self._rewrite_nextval(sql, ctx)
         sql = self._substitute_variables(sql, ctx)
         sql = self._rewrite_get_ddl(sql, ctx)
+        sql = self._rewrite_system_fns(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
@@ -479,6 +480,38 @@ class Executor:
             lambda m: "'" + _ddl_text(m.group(1), m.group(2)).replace("'", "''") + "'",
             sql,
         )
+
+    _CLUSTERING_INFO_RE = re.compile(
+        r"SYSTEM\$CLUSTERING_INFORMATION\s*\(\s*'([\w.\"$]+)'\s*\)", re.I)
+
+    def _rewrite_system_fns(self, sql: str, ctx: SessionContext) -> str:
+        """SYSTEM$CLUSTERING_INFORMATION('t') -> JSON string literal
+        built from catalog + physical layout (file count of the live
+        version = micro-partition count analog)."""
+        if "SYSTEM$CLUSTERING_INFORMATION" not in sql.upper():
+            return sql
+
+        def _info(name: str) -> str:
+            import json as _json
+
+            tm = self.catalog.get_table(name, ctx.database, ctx.schema)
+            n_files = 0
+            try:
+                n_files = sum(
+                    1 for f in os.listdir(tm.version_path())
+                    if f.endswith(".parquet"))
+            except OSError:
+                pass
+            return _json.dumps({
+                "cluster_by_keys": f"LINEAR({tm.clustering_key})"
+                if tm.clustering_key else None,
+                "total_partition_count": n_files,
+                "notes": "partition = parquet file of the live version; "
+                         "rows are co-located on the clustering key at write",
+            })
+
+        return self._CLUSTERING_INFO_RE.sub(
+            lambda m: "'" + _info(m.group(1)).replace("'", "''") + "'", sql)
 
     _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 

@@ -52,3 +52,19 @@ def test_show_columns_and_recluster(engine):
     engine.execute("CREATE TABLE sc_nok (id INTEGER)", ctx)
     with _pytest.raises(Exception, match="clustering key"):
         engine.execute("ALTER TABLE sc_nok RECLUSTER", ctx)
+
+
+def test_system_clustering_information(engine):
+    import json as _json
+
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE TABLE ci_t (id INTEGER, grp VARCHAR) CLUSTER BY (grp)", ctx)
+    engine.execute("INSERT INTO ci_t VALUES (1,'a'),(2,'b')", ctx)
+    out = engine.execute(
+        "SELECT SYSTEM$CLUSTERING_INFORMATION('ci_t') AS info", ctx).rows[0][0]
+    info = _json.loads(out)
+    assert info["cluster_by_keys"] == "LINEAR(grp)"
+    assert info["total_partition_count"] >= 1
