@@ -58,3 +58,35 @@ def test_split_args_nesting_and_quotes():
     }
     for src, want in cases.items():
         assert [p.strip() for p in t._split_args(src)] == want
+
+
+@given(ident, ident, ident)
+@settings(max_examples=50)
+def test_conditional_change_event_property(col, part, order):
+    """CCE rewrite is shape-stable for any identifiers: one injected
+    lag subquery, one running sum, tail preserved."""
+    sql = (f"SELECT {part}, CONDITIONAL_CHANGE_EVENT({col}) "
+           f"OVER (PARTITION BY {part} ORDER BY {order}) AS ph "
+           f"FROM t ORDER BY {part}")
+    out = translate(sql)
+    assert f"lag({col}) OVER (PARTITION BY {part} ORDER BY {order}) AS __cce_0" in out
+    assert out.count("__cce_0") >= 3  # lag alias + two predicate uses
+    assert out.rstrip().endswith(f"ORDER BY {part}")
+
+
+@given(st.integers(min_value=1, max_value=16))
+@settings(max_examples=16)
+def test_minhash_k_parallel_mins(k):
+    out = translate(f"SELECT MINHASH({k}, v) FROM t GROUP BY g")
+    assert out.count("min(") == k
+
+
+@given(st.floats(min_value=-1e25, max_value=1e25, allow_nan=False))
+@settings(max_examples=200)
+def test_go_float_round_trips(f):
+    """The Go-format float string parses back to the exact same double
+    (shortest-round-trip contract of strconv 'g' -1)."""
+    from snowflake_emulator_spark.result import _go_float
+
+    s = _go_float(f)
+    assert float(s) == f
