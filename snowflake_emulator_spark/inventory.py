@@ -1020,6 +1020,61 @@ SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
 FROM m WHERE len(ms) > 0 ORDER BY user_id
 """
 
+# Structured Streaming entry (hash-checked): the events fixture is
+# dumped once per session as a JSON file stream, replayed through
+# readStream -> watermarked tumbling-window agg -> availableNow memory
+# sink. availableNow processes ALL files, so the streaming result must
+# equal the batch aggregation — which IS the DuckDB oracle. This puts
+# the §2.11-extension streaming path under the same hard correctness
+# signal as every batch operator.
+_stream_src_cache: dict[tuple[int, str], str] = {}
+
+
+def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming import events_stream
+
+    load_views(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    src_dir = _stream_src_cache.get(key)
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix="evstream_")
+        base = spark.table("events")
+        # ts is nanos-as-long on a raw fixture read, TIMESTAMP after the
+        # split-cache rewrite — normalize either way
+        ts_col = (
+            (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+            if dict(base.dtypes)["ts"] == "bigint"
+            else F.col("ts").cast("timestamp")
+        )
+        ev = base.select(
+            "event_id", ts_col.alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        ev.coalesce(8).write.mode("overwrite").json(src_dir)
+        _stream_src_cache[key] = src_dir
+    stream = events_stream.read_event_stream(spark, src_dir)
+    agg = events_stream.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    sink = f"stream_hourly_{abs(hash(key)) % 100000}"
+    events_stream.run_to_memory_sink(agg, name=sink, timeout_s=120)
+    return (
+        spark.table(sink)
+        .select(
+            "window_start", "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -3338,6 +3393,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_conditional_true_event": (_snow(_SF_CTE_EVENT_SNOW), _SF_CTE_EVENT_ORACLE),
     "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
     "events_match_recognize_funnel": (_events_match_recognize, _MATCH_RECOGNIZE_ORACLE),
+    "stream_hourly_counts": (_stream_hourly_counts, _STREAM_HOURLY_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path
