@@ -50,6 +50,46 @@ _CREATE_WH_RE = re.compile(
 )
 _ALTER_WH_RE = re.compile(r"^\s*ALTER\s+WAREHOUSE\s+([\w\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
 _DROP_WH_RE = re.compile(r"^\s*DROP\s+WAREHOUSE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
+def _split_statements(sql: str) -> list[str]:
+    """Split a script on top-level ';' — quote- and $$-aware (UDF
+    bodies and string literals keep their semicolons)."""
+    parts, buf = [], []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if sql.startswith("$$", i):
+            j = sql.find("$$", i + 2)
+            j = n - 2 if j < 0 else j
+            buf.append(sql[i:j + 2])
+            i = j + 2
+            continue
+        if c == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                parts.append(stmt)
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 _ALTER_SESSION_SET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+SET\s+(.+)$", re.I | re.S)
 # Snowflake session variables: SET v = <expr> / UNSET v / $v substitution
 _SET_VAR_RE = re.compile(r"^\s*SET\s+([A-Za-z_]\w*)\s*=\s*(.+)$", re.I | re.S)
@@ -77,6 +117,16 @@ class Engine:
     def execute(self, sql: str, ctx: SessionContext | None = None,
                 bindings: dict | None = None, query_id: str | None = None) -> Result:
         ctx = ctx or SessionContext()
+        parts = _split_statements(sql)
+        if len(parts) > 1:
+            # multi-statement script (gosnowflake MULTI_STATEMENT shape;
+            # beyond reference): run sequentially in one session, return
+            # the LAST statement's result (documented simplification of
+            # Snowflake's multiple-result-set handles)
+            res = None
+            for p in parts:
+                res = self.execute(p, ctx, bindings, query_id=query_id)
+            return res
         s = sql.strip().rstrip(";").strip()
         up = s.upper()
         # object-DDL handled at engine level (stage / file format / warehouse)

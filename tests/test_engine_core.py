@@ -644,3 +644,19 @@ def test_get_ddl_and_variant_predicates(engine):
     assert _rows(res) == [(True, True, True, True, True, True, False, None)]
     # SEED parses (row count is sampling-random; syntax must not error)
     engine.execute("SELECT * FROM ddl_t SAMPLE (50) SEED (42)", ctx)
+
+
+def test_multi_statement_script(engine):
+    """';'-separated scripts run sequentially in one session (quote and
+    $$-body aware); the last statement's result is returned."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "CREATE TABLE ms_t (id INTEGER, s VARCHAR); "
+        "INSERT INTO ms_t VALUES (1, 'a;b'), (2, 'c'); "
+        "CREATE FUNCTION ms_f(x NUMBER) RETURNS NUMBER AS $$ x + 1; $$; "
+        "SELECT id, s FROM ms_t WHERE id = 1",
+        ctx)
+    assert _rows(res) == [(1, "a;b")]
+    # the UDF body kept its semicolon... Snowflake would reject ';' in a
+    # scalar expression — just assert the function registered
+    assert "MS_F" in [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
