@@ -2054,6 +2054,71 @@ FROM bg b JOIN lm USING (bg) GROUP BY b.doc_id ORDER BY doc_id
 """
 
 
+def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counts (GPT-2 pre-tokenizer split) vs whitespace
+    words — the sequence-length estimate packing/budgeting actually
+    uses. Shared RE2/Java pattern so the oracle runs it verbatim."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        textstats.bpe_token_count(F.col("text")).alias("n_bpe"),
+        textstats.token_count(F.col("text")).alias("n_words"),
+    ).orderBy("doc_id")
+
+
+_BPE_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def _embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization QA: per-vector (min, max) range maps
+    each component to 0..255; report per-label mean reconstruction
+    error — the memory-vs-recall tradeoff check before shipping a
+    quantized ANN index. Pure higher-order array functions, one scan +
+    one small agg exchange."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    v = F.col("embedding").cast("array<double>")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.transform(v, lambda x: F.round((x - lo) / scale))
+    recon = F.zip_with(v, q, lambda orig, qq: F.abs(orig - (qq * scale + lo)))
+    err = F.aggregate(recon, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return (
+        e.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"),
+             F.round(F.avg("err"), 8).alias("mean_abs_err"))
+        .orderBy("label")
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS lo,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+  FROM embeddings
+),
+errs AS (
+  SELECT label,
+         list_sum(list_transform(v, x -> abs(x - (round((x - lo) / scale) * scale + lo))))
+           / len(v) AS err
+  FROM v
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(err), 8) AS mean_abs_err
+FROM errs GROUP BY label ORDER BY label
+"""
+
+
 def _text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health analytics: per-source Zipf slope — regr_slope of
     log(term frequency) on log(rank). Natural text sits near -1;
@@ -3442,6 +3507,8 @@ REGISTRY: dict[str, tuple] = {
                             _BIGRAM_LM_ORACLE.format(norm=_NORM_DUCK)),
     "text_zipf_slope": (_text_zipf_slope, _ZIPF_ORACLE.format(norm=_NORM_DUCK)),
     "text_max_repeat_run": (_text_max_repeat_run, _MAX_RUN_ORACLE.format(norm=_NORM_DUCK)),
+    "text_bpe_token_counts": (_text_bpe_tokens, _BPE_TOKENS_ORACLE),
+    "embed_quantize_int8": (_embed_quantize_int8, _QUANTIZE_ORACLE),
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),
     "text_pii_scrub": (_text_pii_scrub, _PII_ORACLE),

@@ -292,3 +292,17 @@ def max_token_run_lengths(df: DataFrame, text_col: str = "text",
             F.max("run_len").cast("bigint").alias("max_run"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the Java/RE2-shared
+# regex subset so the identical string runs on DuckDB for the oracle:
+# contractions, letter runs, digit runs, single punctuation marks.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: the GPT-2 pre-tokenizer split (the unit BPE
+    merges start from) — a far better sequence-length estimate than
+    whitespace words for budget/packing decisions. One JVM
+    regexp_extract_all, no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))).cast("bigint")
