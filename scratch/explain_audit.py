@@ -113,6 +113,17 @@ AUDIT = [
     ("sf_conditional_change_event", ["Window"]),
     ("sf_haversine_distance", ["PushedFilters"]),
     ("sf_array_unique_agg_binary", ["Aggregate"]),
+    # k-means assignment is a DELIBERATE broadcast cross join (every
+    # vector x k centroids, k-row build side — same shape as
+    # embed_cosine_topk); must never fall to a non-broadcast cartesian
+    ("embed_kmeans_clusters", ["BroadcastNestedLoopJoin", "!SortMergeJoin", "!CartesianProduct"]),
+    # sequence packing: ONE window over the shard key + final agg
+    ("doc_pack_sequences", ["Window", "HashAggregate"]),
+    # incremental-vs-corpus + quality pick composes equi-joins only
+    ("dedup_survivors_best_quality", ["!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # BPE token counting stays a map-only projection
+    ("text_bpe_token_counts", ["!Exchange hashpartitioning"]),
+    ("embed_quantize_int8", ["HashAggregate"]),
 ]
 
 
