@@ -423,6 +423,7 @@ class Executor:
         sql = self._substitute_variables(sql, ctx)
         sql = self._rewrite_get_ddl(sql, ctx)
         sql = self._rewrite_system_fns(sql, ctx)
+        sql = self._rewrite_pivot_any(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
         translated = self.translator.translate(sql)
         if "$" in translated:
@@ -480,6 +481,38 @@ class Executor:
             lambda m: "'" + _ddl_text(m.group(1), m.group(2)).replace("'", "''") + "'",
             sql,
         )
+
+    _PIVOT_ANY_RE = re.compile(
+        r"FROM\s+([\w.\"$]+)\s+PIVOT\s*\(\s*\w+\s*\([\w.\"$\s]+\)\s+FOR\s+"
+        r"([\w\"$]+)\s+IN\s*\(\s*(ANY)\s*\)\s*\)", re.I)
+
+    def _rewrite_pivot_any(self, sql: str, ctx: SessionContext) -> str:
+        """Snowflake dynamic pivot — ``PIVOT(... FOR col IN (ANY))``:
+        the IN list is resolved at plan time from the source's distinct
+        values (sorted, capped), exactly how Spark's own DataFrame
+        ``pivot(col)`` resolves dynamic columns. Driver-side work is
+        one tiny dimension list by contract. Restricted to the
+        ``FROM <table> PIVOT(...)`` shape."""
+        if "PIVOT" not in sql.upper() or "ANY" not in sql.upper():
+            return sql
+        m = self._PIVOT_ANY_RE.search(sql)
+        if not m:
+            return sql
+        vals = [
+            r[0]
+            for r in self.query_df(
+                f"SELECT DISTINCT {m.group(2)} FROM {m.group(1)} ORDER BY 1",
+                ctx,
+            ).take(1000)
+            if r[0] is not None
+        ]
+        lits = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
+            for v in vals
+        )
+        # replace only the ANY token inside this match
+        any_start = m.start(3)
+        return sql[:any_start] + lits + sql[m.end(3):]
 
     _CLUSTERING_INFO_RE = re.compile(
         r"SYSTEM\$CLUSTERING_INFORMATION\s*\(\s*'([\w.\"$]+)'\s*\)", re.I)

@@ -660,3 +660,17 @@ def test_multi_statement_script(engine):
     # the UDF body kept its semicolon... Snowflake would reject ';' in a
     # scalar expression — just assert the function registered
     assert "MS_F" in [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
+
+
+def test_dynamic_pivot_any(engine):
+    """PIVOT(... FOR col IN (ANY)): the IN list resolves at plan time
+    from the source's distinct values (Snowflake dynamic pivot)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE dp (region VARCHAR, q VARCHAR, amt INTEGER)", ctx)
+    engine.execute(
+        "INSERT INTO dp VALUES ('east','Q1',10),('east','Q2',20),"
+        "('west','Q1',5),('west','Q2',7)", ctx)
+    r = engine.execute(
+        "SELECT * FROM dp PIVOT(sum(amt) FOR q IN (ANY)) ORDER BY region", ctx)
+    assert r.columns == ["REGION", "Q1", "Q2"]
+    assert _rows(r) == [("east", 10, 20), ("west", 5, 7)]
