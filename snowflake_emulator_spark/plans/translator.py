@@ -246,9 +246,25 @@ class Translator:
                 j += am.end()
             outer = any(re.match(r"\s*OUTER\s*=>\s*TRUE\s*$", a, re.I) for a in args[1:])
             fn = "posexplode_outer" if outer else "posexplode"
-            out.append(
-                f" JOIN LATERAL (SELECT pos AS index, col AS value"
-                f" FROM (SELECT {fn}({expr}))) {alias}")
+            mode = next(
+                (re.search(r"'(\w+)'", a).group(1).upper()
+                 for a in args[1:]
+                 if re.match(r"\s*MODE\s*=>", a, re.I) and re.search(r"'(\w+)'", a)),
+                None,
+            )
+            if mode == "OBJECT":
+                # object flattening: KEY + VALUE from the JSON-object
+                # map (Spark explode over a map yields key, value);
+                # INDEX is NULL like Snowflake's object mode
+                efn = "explode_outer" if outer else "explode"
+                out.append(
+                    f" JOIN LATERAL (SELECT key, CAST(NULL AS INT) AS index, value"
+                    f" FROM (SELECT {efn}(from_json({expr}, 'map<string,string>'))))"
+                    f" {alias}")
+            else:
+                out.append(
+                    f" JOIN LATERAL (SELECT pos AS index, col AS value"
+                    f" FROM (SELECT {fn}({expr}))) {alias}")
             i = j
         return "".join(out)
 

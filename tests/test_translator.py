@@ -563,3 +563,13 @@ def test_conditional_change_event_rewrite():
     star = translate(
         "SELECT *, CONDITIONAL_CHANGE_EVENT(k) OVER (ORDER BY ts) AS ph FROM t")
     assert "* EXCEPT(__cce_0)" in star
+
+
+def test_lateral_flatten_object_mode():
+    got = translate(
+        "SELECT f.key, f.value FROM t, LATERAL FLATTEN(INPUT => obj, MODE => 'OBJECT') f")
+    assert "explode(from_json(obj, 'map<string,string>'))" in got
+    assert "CAST(NULL AS INT) AS index" in got
+    # array mode unchanged
+    arr = translate("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => a) f")
+    assert "posexplode(a)" in arr
