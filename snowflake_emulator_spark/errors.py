@@ -78,3 +78,49 @@ def execution_error(msg: str) -> SnowflakeError:
 
 def statement_not_found(handle: str) -> SnowflakeError:
     return SnowflakeError("390144", f"Statement handle {handle} not found", "02000")
+
+
+def invalid_identifier(name: str) -> SnowflakeError:
+    return SnowflakeError(
+        "000904", f"SQL compilation error: error line 1: invalid identifier '{name}'",
+        "42000")
+
+
+def division_by_zero() -> SnowflakeError:
+    return SnowflakeError("100051", "Division by zero", "22012")
+
+
+def numeric_value_error(msg: str) -> SnowflakeError:
+    return SnowflakeError("100038", f"Numeric value error: {msg}", "22018")
+
+
+def from_spark(e: Exception) -> SnowflakeError:
+    """Map a Spark exception onto the Snowflake error model by error
+    class (the reference surfaces DuckDB errors as generic execution
+    errors, query.go error path; this is finer-grained parity with
+    real Snowflake's codes)."""
+    import re as _re
+
+    cls = ""
+    get_cls = getattr(e, "getErrorClass", None)
+    if callable(get_cls):
+        try:
+            cls = get_cls() or ""
+        except Exception:
+            cls = ""
+    msg = str(e)
+    if "TABLE_OR_VIEW_NOT_FOUND" in cls or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+        m = _re.search(r"`+([\w.]+)`+", msg)
+        return object_not_found(m.group(1) if m else "unknown")
+    if "UNRESOLVED_COLUMN" in cls or "UNRESOLVED_COLUMN" in msg:
+        m = _re.search(r"`([\w.]+)`", msg)
+        return invalid_identifier(m.group(1) if m else "unknown")
+    if "PARSE_SYNTAX_ERROR" in cls or "PARSE_SYNTAX_ERROR" in msg:
+        return syntax_error(msg.split("\n")[0][:200])
+    if "DIVIDE_BY_ZERO" in cls or "DIVIDE_BY_ZERO" in msg:
+        return division_by_zero()
+    if ("CAST_INVALID_INPUT" in cls or "CAST_INVALID_INPUT" in msg
+            or "NUMERIC_VALUE_OUT_OF_RANGE" in cls
+            or "NUMERIC_VALUE_OUT_OF_RANGE" in msg):
+        return numeric_value_error(msg.split("\n")[0][:200])
+    return execution_error(msg)

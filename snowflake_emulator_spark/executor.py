@@ -292,10 +292,10 @@ class Executor:
             entry["status"] = "FAILED"
             entry["error"] = str(e)
             raise
-        except Exception as e:  # engine errors -> Snowflake execution error
+        except Exception as e:  # Spark errors -> Snowflake error model
             entry["status"] = "FAILED"
             entry["error"] = str(e)
-            raise errors.execution_error(str(e)) from e
+            raise errors.from_spark(e) from e
         finally:
             entry["ms"] = int((time.time() - started) * 1000)
             self._persist_history(entry)

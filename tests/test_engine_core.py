@@ -674,3 +674,24 @@ def test_dynamic_pivot_any(engine):
         "SELECT * FROM dp PIVOT(sum(amt) FOR q IN (ANY)) ORDER BY region", ctx)
     assert r.columns == ["REGION", "Q1", "Q2"]
     assert _rows(r) == [("east", 10, 20), ("west", 5, 7)]
+
+
+def test_spark_errors_map_to_snowflake_codes(engine):
+    """Spark error classes surface with real Snowflake codes: missing
+    object 002043/02000, invalid identifier 000904, division by zero
+    100051/22012 (the reference collapses all of these to a generic
+    execution error)."""
+    from snowflake_emulator_spark import errors as err
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ec_t (id INTEGER)", ctx)
+    engine.execute("INSERT INTO ec_t VALUES (1)", ctx)
+    with pytest.raises(err.SnowflakeError) as e:
+        engine.execute("SELECT * FROM no_such_table_xyz", ctx)
+    assert e.value.code == "002043" and e.value.sqlstate == "02000"
+    with pytest.raises(err.SnowflakeError) as e:
+        engine.execute("SELECT not_a_column FROM ec_t", ctx)
+    assert e.value.code == "000904"
+    with pytest.raises(err.SnowflakeError) as e:
+        engine.execute("SELECT id / 0 FROM ec_t", ctx)
+    assert e.value.code == "100051" and e.value.sqlstate == "22012"
