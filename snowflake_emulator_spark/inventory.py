@@ -1075,6 +1075,36 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# VARIANT type predicates + object-mode FLATTEN over the events props
+# JSON objects ({"k": <int>}).
+_SF_ISTYPE = """
+SELECT event_id,
+       TYPEOF(props) AS t,
+       IS_OBJECT(props) AS is_obj,
+       IS_INTEGER(GET(props, 'k')) AS k_is_int,
+       IS_VARCHAR(GET(props, 'k')) AS k_is_str
+FROM events WHERE event_id <= 2000 ORDER BY event_id
+"""
+_SF_ISTYPE_ORACLE = """
+SELECT event_id, 'OBJECT' AS t, TRUE AS is_obj,
+       try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS k_is_int,
+       try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NULL AS k_is_str
+FROM events WHERE event_id <= 2000 ORDER BY event_id
+"""
+
+_SF_OBJ_FLATTEN = """
+SELECT event_id, f.key AS k, f.value AS v
+FROM events, LATERAL FLATTEN(INPUT => props, MODE => 'OBJECT') f
+WHERE event_id <= 2000 ORDER BY event_id, k
+"""
+# this DuckDB build has no json_each table function; the fixture's
+# props objects have the single key 'k', so the flattened relation is
+# expressible directly
+_SF_OBJ_FLATTEN_ORACLE = """
+SELECT event_id, 'k' AS k, json_extract_string(props, '$.k') AS v
+FROM events WHERE event_id <= 2000 ORDER BY event_id, k
+"""
+
 _EVENTS_JSON_SPARK = """
 SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1 ORDER BY 1
@@ -3459,6 +3489,8 @@ REGISTRY: dict[str, tuple] = {
     "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
     "events_match_recognize_funnel": (_events_match_recognize, _MATCH_RECOGNIZE_ORACLE),
     "stream_hourly_counts": (_stream_hourly_counts, _STREAM_HOURLY_ORACLE),
+    "sf_variant_type_predicates": (_snow(_SF_ISTYPE), _SF_ISTYPE_ORACLE),
+    "sf_object_mode_flatten": (_snow(_SF_OBJ_FLATTEN), _SF_OBJ_FLATTEN_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
     "events_sessionize": (_sql(_EVENTS_SESSIONS_SPARK), _EVENTS_SESSIONS_ORACLE),
     # Snowflake-function translator path
