@@ -1121,6 +1121,26 @@ class Translator:
             )
         if fname in ("SYSDATE", "GETDATE", "SYSTIMESTAMP"):
             return "current_timestamp()"
+        if fname == "ARRAY_REVERSE":
+            return f"reverse({args[0]})"
+        if fname in ("TO_BOOLEAN", "TRY_TO_BOOLEAN"):
+            # Spark's boolean cast accepts the same literal set as
+            # Snowflake (true/false/t/f/y/n/yes/no/on? -> on/off are
+            # Snowflake-only; normalize them first)
+            norm = (f"CASE WHEN lower(trim(CAST({args[0]} AS STRING))) = 'on' THEN 'true' "
+                    f"WHEN lower(trim(CAST({args[0]} AS STRING))) = 'off' THEN 'false' "
+                    f"ELSE CAST({args[0]} AS STRING) END")
+            cast = "try_cast" if fname.startswith("TRY") else "CAST"
+            return f"{cast}({norm} AS BOOLEAN)"
+        if fname in ("TO_DECIMAL", "TO_NUMERIC", "TRY_TO_DECIMAL", "TRY_TO_NUMERIC"):
+            p = args[1].strip() if len(args) > 1 else "38"
+            sc = args[2].strip() if len(args) > 2 else "0"
+            cast = "try_cast" if fname.startswith("TRY") else "CAST"
+            return f"{cast}({args[0]} AS DECIMAL({p}, {sc}))"
+        if fname in ("TO_TIME", "TRY_TO_TIME"):
+            # TIME is stored as 'HH:MM:SS' text (§1.3); parse + reformat
+            fn_ts = "try_to_timestamp" if fname.startswith("TRY") else "to_timestamp"
+            return f"date_format({fn_ts}({args[0]}, 'HH:mm:ss'), 'HH:mm:ss')"
         if fname in ("TO_BINARY", "TRY_TO_BINARY"):
             # 2nd arg selects codec (HEX default, BASE64, UTF-8)
             fmt = args[1].strip().upper().strip("'") if len(args) > 1 else "HEX"
@@ -1409,6 +1429,15 @@ _REWRITABLE = {
     "BITXOR_AGG",
     "TO_BINARY",
     "TRY_TO_BINARY",
+    "ARRAY_REVERSE",
+    "TO_BOOLEAN",
+    "TRY_TO_BOOLEAN",
+    "TO_DECIMAL",
+    "TO_NUMERIC",
+    "TRY_TO_DECIMAL",
+    "TRY_TO_NUMERIC",
+    "TO_TIME",
+    "TRY_TO_TIME",
     "ARRAY_UNIQUE_AGG",
     "ARRAY_UNION_AGG",
     "MAP_CAT",

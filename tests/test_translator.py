@@ -573,3 +573,16 @@ def test_lateral_flatten_object_mode():
     # array mode unchanged
     arr = translate("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => a) f")
     assert "posexplode(a)" in arr
+
+
+def test_conversion_function_family():
+    assert translate("SELECT ARRAY_REVERSE(a) FROM t") == "SELECT reverse(a) FROM t"
+    b = translate("SELECT TO_BOOLEAN(x) FROM t")
+    assert "AS BOOLEAN" in b and "'on'" in b
+    assert "try_cast" in translate("SELECT TRY_TO_BOOLEAN(x) FROM t")
+    assert translate("SELECT TO_DECIMAL(x, 10, 2) FROM t") == \
+        "SELECT CAST(x AS DECIMAL(10, 2)) FROM t"
+    assert translate("SELECT TRY_TO_DECIMAL(x) FROM t") == \
+        "SELECT try_cast(x AS DECIMAL(38, 0)) FROM t"
+    assert "date_format(to_timestamp(x, 'HH:mm:ss'), 'HH:mm:ss')" in \
+        translate("SELECT TO_TIME(x) FROM t")
