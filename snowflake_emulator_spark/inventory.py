@@ -3298,6 +3298,27 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# Conversion family: TO_DECIMAL/TO_BOOLEAN (incl. Snowflake's on/off
+# literals)/TO_TIME/ARRAY_REVERSE through the translator.
+_SF_CONVERT = """
+SELECT o_orderkey,
+       TO_DECIMAL(o_totalprice, 12, 2) AS price_dec,
+       TO_BOOLEAN(CASE WHEN o_orderkey % 2 = 0 THEN 'yes' ELSE 'off' END) AS flag,
+       TRY_TO_BOOLEAN(o_orderpriority) AS not_bool,
+       TO_TIME('07:45:30') AS t,
+       ARRAY_REVERSE(ARRAY_CONSTRUCT(o_orderkey, 1, 2)) AS rev
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+_SF_CONVERT_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+       CASE WHEN o_orderkey % 2 = 0 THEN TRUE ELSE FALSE END AS flag,
+       CAST(NULL AS BOOLEAN) AS not_bool,
+       '07:45:30' AS t,
+       list_reverse([o_orderkey, 1, 2]) AS rev
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -3514,6 +3535,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_minhash_similarity": (_snow(_SF_MINHASH), _SF_MINHASH_ORACLE),
     "sf_geography_points": (_snow(_SF_GEO), _SF_GEO_ORACLE),
     "sf_array_unique_agg_binary": (_snow(_SF_ARRAGG_BIN), _SF_ARRAGG_BIN_ORACLE),
+    "sf_conversion_funcs": (_snow(_SF_CONVERT), _SF_CONVERT_ORACLE),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
