@@ -2841,8 +2841,25 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.make_fake_media(spark, n=64)
     feats = multimodal.extract_features(media, fake=True)
     return feats.select(
-        "media_id", "decode_ok", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id", "decode_ok",
+        # float32 feature -> double BEFORE rounding (float32 repr noise
+        # would otherwise survive the round)
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     ).orderBy("media_id")
+
+
+# The fake decoder hashes the content's HEX TEXT, so DuckDB replays the
+# whole pipeline (binary synthesis included) — the multimodal plumbing
+# moves from rows-only to hash-checked; only the REAL codec call stays
+# stubbed (no PIL/ffmpeg in env, disclosed in operators/multimodal.py).
+_MULTIMODAL_ORACLE = """
+WITH g AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(64) t(i)),
+c AS (SELECT media_id, unhex(sha256('media' || media_id)) AS d FROM g),
+x AS (SELECT media_id, lower(hex(d || d || d || d)) AS hexstr FROM c)
+SELECT media_id, TRUE AS decode_ok,
+       round(CAST(('0x' || substr(md5(hexstr), 1, 2)) AS INTEGER) / 255.0, 6) AS f0
+FROM x ORDER BY media_id
+"""
 
 
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
@@ -3600,7 +3617,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     "range_join_events": (_range_join_events, _RANGE_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
-    "multimodal_features": (_multimodal_features, None),
+    "multimodal_features": (_multimodal_features, _MULTIMODAL_ORACLE),
 }
 
 

@@ -56,10 +56,12 @@ FEATURE_SCHEMA = T.StructType(
 
 def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: features derived from
-    the content digest, stable across runs and engines."""
+    the content digest, stable across runs and engines. Hashes the HEX
+    TEXT of the content (not raw bytes) so a SQL oracle can replay it —
+    DuckDB's md5() takes VARCHAR only."""
     if content is None:
         raise ValueError("null content")
-    h = hashlib.md5(content).hexdigest()
+    h = hashlib.md5(bytes(content).hex().encode()).hexdigest()
     return [int(h[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(dim)]
 
 
