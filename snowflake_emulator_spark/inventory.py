@@ -2149,6 +2149,40 @@ FROM errs GROUP BY label ORDER BY label
 """
 
 
+def _text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: importance weight of every doc under
+    a target-domain bigram LM (target = source 'src0') vs the corpus
+    LM. The named method behind domain-targeted pretraining mixes."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return textstats.dsir_importance_weights(d, "source = 'src0'").orderBy("doc_id")
+
+
+_DSIR_ORACLE = """
+WITH norm AS (SELECT doc_id, source, {norm} AS t FROM documents),
+bg AS (
+  SELECT doc_id, source, substr(t, CAST(i AS INTEGER), 2) AS bg
+  FROM norm, unnest(range(1, greatest(len(t), 2))) AS u(i)
+  WHERE len(substr(t, CAST(i AS INTEGER), 2)) = 2
+),
+clm0 AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+cctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n) AS nc FROM clm0 GROUP BY 1),
+clm AS (SELECT bg, (n + 1.0) / (nc + 37.0) AS p_corpus
+        FROM clm0 JOIN cctx ON substr(clm0.bg, 1, 1) = cctx.c1),
+tlm0 AS (SELECT bg, count(*) AS n FROM bg WHERE source = 'src0' GROUP BY bg),
+tctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n) AS nc FROM tlm0 GROUP BY 1),
+tlm AS (SELECT bg, (n + 1.0) / (nc + 37.0) AS p_target
+        FROM tlm0 JOIN tctx ON substr(tlm0.bg, 1, 1) = tctx.c1),
+models AS (
+  SELECT clm.bg, clm.p_corpus, coalesce(tlm.p_target, 1.0 / 37.0) AS p_target
+  FROM clm LEFT JOIN tlm ON clm.bg = tlm.bg
+)
+SELECT b.doc_id, round(avg(log2(m.p_target) - log2(m.p_corpus)), 6) AS dsir_weight
+FROM bg b JOIN models m ON b.bg = m.bg
+GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
 def _text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health analytics: per-source Zipf slope — regr_slope of
     log(term frequency) on log(rank). Natural text sits near -1;
@@ -3579,6 +3613,7 @@ REGISTRY: dict[str, tuple] = {
     "text_zipf_slope": (_text_zipf_slope, _ZIPF_ORACLE.format(norm=_NORM_DUCK)),
     "text_max_repeat_run": (_text_max_repeat_run, _MAX_RUN_ORACLE.format(norm=_NORM_DUCK)),
     "text_bpe_token_counts": (_text_bpe_tokens, _BPE_TOKENS_ORACLE),
+    "text_dsir_weights": (_text_dsir_weights, _DSIR_ORACLE.format(norm=_NORM_DUCK)),
     "embed_quantize_int8": (_embed_quantize_int8, _QUANTIZE_ORACLE),
     "text_language_id": (_text_langid, _langid_oracle()),
     "text_fingerprint_dups": (_text_fingerprint, _FINGERPRINT_ORACLE),

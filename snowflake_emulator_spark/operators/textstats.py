@@ -306,3 +306,49 @@ def bpe_token_count(text: Column) -> Column:
     whitespace words for budget/packing decisions. One JVM
     regexp_extract_all, no Python."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))).cast("bigint")
+
+
+def dsir_importance_weights(df: DataFrame, target_filter: str,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            alpha: float = 1.0, vocab: int = 37) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., data selection via
+    importance resampling): score every document by how much more
+    likely its char-bigrams are under a TARGET-domain LM than under the
+    corpus-wide LM — avg( log2 P_target(bg) - log2 P_corpus(bg) ).
+    Positive = looks like the target domain; used to up-sample
+    target-like data in a pretraining mix.
+
+    Scale: both LMs are ≤ |alphabet|² rows regardless of corpus size
+    (one aggregation pass each over the same exploded bigram relation,
+    which is computed ONCE); the joined two-model table broadcasts, so
+    scoring is one map-side join + one groupBy(id)."""
+    from pyspark.sql.functions import broadcast
+
+    bg = bigram_table(df, text_col, id_col)
+    target_ids = df.filter(target_filter).select(id_col)
+    bg_t = bg.join(broadcast(target_ids), id_col, "left_semi")
+
+    def _lm(rel: DataFrame) -> DataFrame:
+        lm = rel.groupBy("bg").agg(F.count("*").alias("n_bg")).withColumn(
+            "c1", F.substring("bg", 1, 1))
+        ctx = lm.groupBy("c1").agg(F.sum("n_bg").alias("n_c1"))
+        return lm.join(ctx, "c1").select(
+            "bg",
+            ((F.col("n_bg") + F.lit(alpha))
+             / (F.col("n_c1") + F.lit(alpha * vocab))).alias("p"),
+        )
+
+    corpus_lm = _lm(bg).withColumnRenamed("p", "p_corpus")
+    target_lm = _lm(bg_t).withColumnRenamed("p", "p_target")
+    # bigrams unseen in the target corpus get the pure-smoothing
+    # probability alpha / (alpha * vocab)
+    models = corpus_lm.join(target_lm, "bg", "left").select(
+        "bg", "p_corpus",
+        F.coalesce("p_target", F.lit(1.0 / vocab)).alias("p_target"),
+    )
+    return (
+        bg.join(broadcast(models), "bg")
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log2("p_target") - F.log2("p_corpus")), 6)
+             .alias("dsir_weight"))
+    )

@@ -456,3 +456,17 @@ def test_match_recognize_funnel_semantics(spark):
     bad = {"A": "event_type = 'view'", "B": "ts < 100"}
     with _pytest.raises(Exception, match="mutually exclusive"):
         match_recognize(df, "user_id", ["ts"], bad, "A B").collect()
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Docs written in the target domain's bigram distribution score
+    higher than off-domain docs."""
+    rows = [(i, "the model trains on tokens and weights and layers", "src0")
+            for i in range(6)]
+    rows += [(100 + i, "zq zq xv xv jj kk qq ww pp", "src9") for i in range(3)]
+    rows.append((200, "the model trains on tokens", "src9"))  # target-like text, other source
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in textstats.dsir_importance_weights(df, "source = 'src0'").collect()}
+    assert out[200] > out[100]           # target-like beats gibberish
+    assert out[0] > out[100]             # in-domain beats off-domain
