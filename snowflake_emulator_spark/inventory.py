@@ -3349,6 +3349,23 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# Snowflake higher-order functions (FILTER/TRANSFORM/REDUCE lambdas)
+# pass through to Spark's same-named natives; DuckDB list_* oracle.
+_SF_HOF = """
+SELECT n_nationkey,
+       FILTER(ARRAY_CONSTRUCT(1, n_nationkey, 5), x -> x > 2) AS gt2,
+       TRANSFORM(ARRAY_CONSTRUCT(1, 2, 3), x -> x * n_nationkey) AS scaled,
+       REDUCE(ARRAY_CONSTRUCT(1, 2, 3, n_nationkey), 0, (a, x) -> a + x) AS s
+FROM nation ORDER BY n_nationkey
+"""
+_SF_HOF_ORACLE = """
+SELECT n_nationkey,
+       list_filter([1, n_nationkey, 5], x -> x > 2) AS gt2,
+       list_transform([1, 2, 3], x -> x * n_nationkey) AS scaled,
+       6 + n_nationkey AS s
+FROM nation ORDER BY n_nationkey
+"""
+
 # Conversion family: TO_DECIMAL/TO_BOOLEAN (incl. Snowflake's on/off
 # literals)/TO_TIME/ARRAY_REVERSE through the translator.
 _SF_CONVERT = """
@@ -3587,6 +3604,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_geography_points": (_snow(_SF_GEO), _SF_GEO_ORACLE),
     "sf_array_unique_agg_binary": (_snow(_SF_ARRAGG_BIN), _SF_ARRAGG_BIN_ORACLE),
     "sf_conversion_funcs": (_snow(_SF_CONVERT), _SF_CONVERT_ORACLE),
+    "sf_higher_order_funcs": (_snow(_SF_HOF), _SF_HOF_ORACLE),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
