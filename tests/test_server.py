@@ -340,3 +340,35 @@ def test_arrow_result_format_negotiation(server):
     # back to JSON for the remaining tests on this shared session store
     _call(server, "POST", "/queries/v1/query-request",
           {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
+
+
+def test_arrow_format_decimal_timestamp_cells(server):
+    """Arrow rowset carries decimals as decimal128 and timestamps as
+    microsecond Arrow timestamps (not strings)."""
+    import base64
+    import datetime as dt_mod
+    import decimal
+
+    import pyarrow as pa
+
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    _call(server, "POST", "/queries/v1/query-request",
+          {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'arrow'"}, token)
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": ("SELECT CAST(12345.67 AS DECIMAL(12,2)) AS d, "
+                                 "CAST('2024-01-15 14:30:00' AS TIMESTAMP_NTZ) AS ts")},
+                    token)
+    assert out["success"], out
+    table = pa.ipc.open_stream(base64.b64decode(out["data"]["rowsetBase64"])).read_all()
+    d_field = table.schema.field("D" if "D" in table.schema.names else "d")
+    assert pa.types.is_decimal(d_field.type)
+    assert d_field.type.precision == 12 and d_field.type.scale == 2
+    ts_field = table.schema.field("TS" if "TS" in table.schema.names else "ts")
+    assert pa.types.is_timestamp(ts_field.type) and ts_field.type.unit == "us"
+    row = {n.lower(): table.column(i).to_pylist()[0]
+           for i, n in enumerate(table.schema.names)}
+    assert row["d"] == decimal.Decimal("12345.67")
+    assert row["ts"] == dt_mod.datetime(2024, 1, 15, 14, 30)
+    _call(server, "POST", "/queries/v1/query-request",
+          {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
