@@ -3349,6 +3349,22 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# Explicit sliding window frames: ROWS BETWEEN n PRECEDING AND
+# CURRENT ROW / 1 PRECEDING AND 1 FOLLOWING — identical SQL both sides.
+_WIN_FRAMES = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sliding_qty,
+       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS centered_sum,
+       CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS n_in_frame,
+       ROUND(MAX(l_discount) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS max_prior_disc
+FROM lineitem WHERE l_orderkey <= 2000
+ORDER BY l_orderkey, l_linenumber
+"""
+
 # Snowflake higher-order functions (FILTER/TRANSFORM/REDUCE lambdas)
 # pass through to Spark's same-named natives; DuckDB list_* oracle.
 _SF_HOF = """
@@ -3605,6 +3621,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_array_unique_agg_binary": (_snow(_SF_ARRAGG_BIN), _SF_ARRAGG_BIN_ORACLE),
     "sf_conversion_funcs": (_snow(_SF_CONVERT), _SF_CONVERT_ORACLE),
     "sf_higher_order_funcs": (_snow(_SF_HOF), _SF_HOF_ORACLE),
+    "window_sliding_frames": (_sql(_WIN_FRAMES), _WIN_FRAMES),
     "agg_grouping_function": (_sql(_AGG_GROUPING_FN), _AGG_GROUPING_FN),
     "recursive_cte_buckets": (_sql(_RECURSIVE_CTE), _RECURSIVE_CTE),
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
