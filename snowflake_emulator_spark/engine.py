@@ -51,12 +51,26 @@ _CREATE_WH_RE = re.compile(
 _ALTER_WH_RE = re.compile(r"^\s*ALTER\s+WAREHOUSE\s+([\w\"$]+)\s+(RESUME|SUSPEND)\s*$", re.I)
 _DROP_WH_RE = re.compile(r"^\s*DROP\s+WAREHOUSE\s+(IF\s+EXISTS\s+)?([\w\"$]+)\s*$", re.I)
 def _split_statements(sql: str) -> list[str]:
-    """Split a script on top-level ';' — quote- and $$-aware (UDF
-    bodies and string literals keep their semicolons)."""
+    """Split a script on top-level ';' — quote-, $$- and comment-aware
+    (UDF bodies and string literals keep their semicolons; a ';' or an
+    apostrophe inside ``-- ...`` / ``/* ... */`` comments must not
+    split or open a string)."""
     parts, buf = [], []
     i, n = 0, len(sql)
     while i < n:
         c = sql[i]
+        if sql.startswith("--", i):
+            j = sql.find("\n", i + 2)
+            j = n if j < 0 else j + 1
+            buf.append(sql[i:j])
+            i = j
+            continue
+        if sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            buf.append(sql[i:j + 2])
+            i = j + 2
+            continue
         if c == "'":
             j = i + 1
             while j < n:
@@ -87,7 +101,27 @@ def _split_statements(sql: str) -> list[str]:
     tail = "".join(buf).strip()
     if tail:
         parts.append(tail)
+    # statements that BEGIN with comment spans would defeat the regex
+    # classifiers (^\s*CREATE ...); strip leading comments, drop
+    # comment-only statements
+    parts = [p for p in (_strip_leading_comments(s) for s in parts) if p]
     return parts
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    i, n = 0, len(stmt)
+    while i < n:
+        if stmt[i].isspace():
+            i += 1
+        elif stmt.startswith("--", i):
+            j = stmt.find("\n", i + 2)
+            i = n if j < 0 else j + 1
+        elif stmt.startswith("/*", i):
+            j = stmt.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            break
+    return stmt[i:].strip()
 
 
 _ALTER_SESSION_SET_RE = re.compile(r"^\s*ALTER\s+SESSION\s+SET\s+(.+)$", re.I | re.S)

@@ -478,7 +478,8 @@ class Executor:
             raise errors.invalid_parameter(f"GET_DDL: unsupported object type {kind}")
 
         return self._GET_DDL_RE.sub(
-            lambda m: "'" + _ddl_text(m.group(1), m.group(2)).replace("'", "''") + "'",
+            lambda m: m.group(0) if _inside_string(sql, m.start())
+            else "'" + _ddl_text(m.group(1), m.group(2)).replace("'", "''") + "'",
             sql,
         )
 
@@ -544,7 +545,8 @@ class Executor:
             })
 
         return self._CLUSTERING_INFO_RE.sub(
-            lambda m: "'" + _info(m.group(1)).replace("'", "''") + "'", sql)
+            lambda m: m.group(0) if _inside_string(sql, m.start())
+            else "'" + _info(m.group(1)).replace("'", "''") + "'", sql)
 
     _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 
@@ -573,9 +575,13 @@ class Executor:
                 return f"DATE '{v.isoformat()}'"
             return "'" + str(v).replace("'", "''") + "'"
 
+        # substitution applies only in identifier/expression positions:
+        # a $var inside a quoted string literal ('cost: $total') stays
+        # verbatim, matching Snowflake
         return self._SESSION_VAR_RE.sub(
             lambda m: _lit(variables[m.group(1).upper()])
-            if m.group(1).upper() in variables else m.group(0),
+            if m.group(1).upper() in variables
+            and not _inside_string(sql, m.start()) else m.group(0),
             sql,
         )
 
@@ -635,10 +641,29 @@ class Executor:
                     ):
                         i = close_idx + 1
                         continue
+                    # Two-phase substitution: param names -> unique
+                    # placeholders first, then placeholders -> argument
+                    # text. A single sequential pass would let a later
+                    # parameter name capture text injected by an earlier
+                    # argument (udf(rate, 0.07) turning the `rate`
+                    # column into 0.07). String literals in the body are
+                    # never rewritten.
                     body = fm.body
-                    for an, av in zip(fm.arg_names, args):
-                        body = re.sub(rf"(?<![\w.]){re.escape(an)}(?![\w])",
-                                      f"({av.strip()})", body, flags=re.I)
+                    for k, an in enumerate(fm.arg_names):
+                        pat_arg = re.compile(
+                            rf"(?<![\w.]){re.escape(an)}(?![\w])", re.I)
+                        out, j = [], 0
+                        for am in pat_arg.finditer(body):
+                            if _inside_string(body, am.start()):
+                                continue
+                            out.append(body[j:am.start()])
+                            out.append(f"\x00udf_arg{k}\x00")
+                            j = am.end()
+                        out.append(body[j:])
+                        body = "".join(out)
+                    for k in range(len(fm.arg_names)):
+                        body = body.replace(f"\x00udf_arg{k}\x00",
+                                            f"({args[k].strip()})")
                     if fm.table_columns is not None:
                         outer_close = tr._match_paren(sql, sql.index("(", m.start()))
                         # consume the wrapping TABLE( ... ) too

@@ -56,10 +56,15 @@ def match_recognize(
     char_of = {s: alphabet[i] for i, s in enumerate(symbols)}
     import re as _re
 
-    rx_text = pattern
-    # longest-name-first so B2 is replaced before B
-    for s in sorted(symbols, key=len, reverse=True):
-        rx_text = _re.sub(rf"\b{_re.escape(s)}\b", char_of[s], rx_text)
+    # Single-pass alternation (longest-name-first inside the
+    # alternation): sequential per-symbol re.sub over the evolving
+    # pattern would let a later substitution rewrite a char produced by
+    # an earlier one when a symbol alias equals another symbol's
+    # assigned alphabet letter (X->A, A->B turning "X A" into "B B").
+    alt = "|".join(
+        _re.escape(s) for s in sorted(symbols, key=len, reverse=True))
+    rx_text = _re.sub(rf"\b(?:{alt})\b",
+                      lambda m: char_of[m.group(0)], pattern)
     rx_text = rx_text.replace(" ", "")
     rx = _re.compile(rx_text)
 

@@ -85,9 +85,17 @@ class Result:
         stream, base64-encoded into ``rowsetBase64`` (what real
         Snowflake sends when the session negotiates
         GO_QUERY_RESULT_FORMAT=arrow — the reference emulator is
-        JSON-only, so this is a beyond-reference upgrade). Each field
-        carries Snowflake's ``logicalType`` metadata key so
-        Arrow-native clients can map types."""
+        JSON-only, so this is a beyond-reference upgrade).
+
+        Columns use Snowflake's PHYSICAL Arrow layout, the concrete
+        array types gosnowflake's ``arrowToValue`` type-asserts
+        (gosnowflake converter.go): FIXED as int64 (scale 0) or
+        decimal128(p,s), both with ``scale``/``precision`` field
+        metadata; TIMESTAMP_NTZ/_LTZ as int64 epoch units at the
+        field's ``scale`` (6 = microseconds here); TIMESTAMP_TZ as
+        struct{epoch int64 seconds, fraction int32 nanos, timezone
+        int32 offset-minutes+1440}; DATE as date32; REAL as float64;
+        TEXT as utf8; BINARY as binary."""
         import base64
         import io
 
@@ -97,14 +105,35 @@ class Result:
         fields, arrays = [], []
         for i, cm in enumerate(self.column_types):
             values = list(cols[i]) if self.rows else []
-            pa_type, logical = _arrow_type_for(cm, self.spark_schema, i)
-            if pa.types.is_string(pa_type):
-                # complex values (arrays/maps/rows) ride as JSON text
-                values = [v if v is None or isinstance(v, str) else _stringify(v)
-                          for v in values]
-            arr = pa.array(values, type=pa_type)
-            fields.append(pa.field(cm.name, pa_type, nullable=True,
-                                   metadata={"logicalType": logical}))
+            pa_type, logical, meta = _arrow_physical_for(cm, self.spark_schema, i)
+            if logical in ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ"):
+                # int64 epoch units at scale=6 (gosnowflake reads the
+                # non-struct branch: extractEpoch(value, scale))
+                arr = pa.array(values, type=pa.timestamp("us")).cast(pa.int64())
+            elif logical == "TIMESTAMP_TZ":
+                us = pa.array(values, type=pa.timestamp("us", tz="UTC")) \
+                    .cast(pa.int64()).to_pylist()
+                # Python floor-div/mod keep fraction in [0, 1e9) for
+                # pre-epoch instants, matching Go time.Unix(epoch, frac)
+                epoch = [None if v is None else v // 1_000_000 for v in us]
+                frac = [None if v is None else (v % 1_000_000) * 1000 for v in us]
+                # Snowflake wire encoding: UTC-offset minutes + 1440
+                tzm = [None if v is None else 1440 for v in us]
+                arr = pa.StructArray.from_arrays(
+                    [pa.array(epoch, pa.int64()), pa.array(frac, pa.int32()),
+                     pa.array(tzm, pa.int32())],
+                    names=["epoch", "fraction", "timezone"],
+                    mask=pa.array([v is None for v in us], pa.bool_()))
+                pa_type = arr.type
+            else:
+                if pa.types.is_string(pa_type):
+                    # complex values (arrays/maps/rows) ride as JSON text
+                    values = [v if v is None or isinstance(v, str) else _stringify(v)
+                              for v in values]
+                arr = pa.array(values, type=pa_type)
+            md = {"logicalType": logical}
+            md.update(meta)
+            fields.append(pa.field(cm.name, arr.type, nullable=True, metadata=md))
             arrays.append(arr)
         table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
         sink = io.BytesIO()
@@ -121,40 +150,42 @@ class Result:
         ]
 
 
-def _arrow_type_for(cm: ColumnMetadata, spark_schema, i: int):
-    """(pyarrow type, Snowflake logicalType) for a result column; uses
-    the original Spark schema when present, else the Snowflake name."""
+def _arrow_physical_for(cm: ColumnMetadata, spark_schema, i: int):
+    """(pyarrow type, Snowflake logicalType, extra field metadata) for a
+    result column in Snowflake's physical Arrow layout; uses the
+    original Spark schema when present, else the Snowflake name.
+    Timestamp columns return their VALUE-side arrow type here — the
+    encoder rewrites them to the int64/struct physical arrays."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
     dt = spark_schema.fields[i].dataType if spark_schema is not None and i < len(
         spark_schema.fields) else None
     if isinstance(dt, T.DecimalType):
-        return pa.decimal128(dt.precision, dt.scale), "FIXED"
+        return (pa.decimal128(dt.precision, dt.scale), "FIXED",
+                {"precision": str(dt.precision), "scale": str(dt.scale)})
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return pa.int64(), "FIXED"
+        return pa.int64(), "FIXED", {"precision": "38", "scale": "0"}
     if isinstance(dt, (T.FloatType, T.DoubleType)):
-        return pa.float64(), "REAL"
+        return pa.float64(), "REAL", {}
     if isinstance(dt, T.BooleanType):
-        return pa.bool_(), "BOOLEAN"
+        return pa.bool_(), "BOOLEAN", {}
     if isinstance(dt, T.DateType):
-        return pa.date32(), "DATE"
+        return pa.date32(), "DATE", {"scale": "0"}
     if isinstance(dt, (T.TimestampNTZType,)):
-        return pa.timestamp("us"), "TIMESTAMP_NTZ"
+        return pa.timestamp("us"), "TIMESTAMP_NTZ", {"scale": "6"}
     if isinstance(dt, T.TimestampType):
-        return pa.timestamp("us", tz="UTC"), "TIMESTAMP_TZ"
+        # struct{epoch, fraction(nanos), timezone}: fraction carries
+        # nanosecond resolution regardless of source precision
+        return pa.timestamp("us", tz="UTC"), "TIMESTAMP_TZ", {"scale": "9"}
     if isinstance(dt, T.BinaryType):
-        return pa.binary(), "BINARY"
+        return pa.binary(), "BINARY", {}
     if dt is None and cm.type == "NUMBER":
-        return pa.int64(), "FIXED"
+        return pa.int64(), "FIXED", {"precision": "38", "scale": "0"}
     if dt is None and cm.type == "FLOAT":
-        return pa.float64(), "REAL"
+        return pa.float64(), "REAL", {}
     # strings, VARIANT-as-text, arrays/maps serialized as JSON text
-    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-        import json
-
-        return pa.string(), "TEXT"
-    return pa.string(), "TEXT"
+    return pa.string(), "TEXT", {}
 
 
 def _column_meta(f) -> ColumnMetadata:

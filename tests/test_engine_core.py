@@ -662,6 +662,32 @@ def test_multi_statement_script(engine):
     assert "MS_F" in [r[0] for r in engine.execute("SHOW USER FUNCTIONS", ctx).rows]
 
 
+def test_script_split_comment_aware(engine):
+    """Statement splitting skips -- and /* */ comment spans: a ';' or
+    an apostrophe (don't) inside a comment must neither split the
+    script nor open a string."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "CREATE TABLE cmt_t (id INTEGER); -- don't split; here\n"
+        "INSERT INTO cmt_t VALUES (1), (2); /* nor here; don't */ "
+        "SELECT count(*) AS n FROM cmt_t",
+        ctx)
+    assert _rows(res) == [(2,)]
+    # commented-out SQL inside a single statement stays inert
+    res = engine.execute(
+        "SELECT id FROM cmt_t /* WHERE id = 99; */ WHERE id = 1", ctx)
+    assert _rows(res) == [(1,)]
+
+
+def test_session_variable_not_substituted_in_string(engine):
+    """$var substitution applies only in expression positions — a $name
+    inside a quoted string literal stays verbatim (Snowflake parity)."""
+    ctx = SessionContext()
+    engine.execute("SET total = 42", ctx)
+    res = engine.execute("SELECT 'cost: $total' AS s, $total AS v", ctx)
+    assert _rows(res) == [("cost: $total", 42)]
+
+
 def test_dynamic_pivot_any(engine):
     """PIVOT(... FOR col IN (ANY)): the IN list resolves at plan time
     from the source's distinct values (Snowflake dynamic pivot)."""

@@ -458,6 +458,22 @@ def test_match_recognize_funnel_semantics(spark):
         match_recognize(df, "user_id", ["ts"], bad, "A B").collect()
 
 
+def test_match_recognize_alias_collision(spark):
+    """A symbol alias that equals another symbol's assigned alphabet
+    letter must not be rewritten twice: define order {X, A} maps
+    X->'A', A->'B'; pattern 'X A' must compile to 'AB' (X-row then
+    A-row), not 'BB'. Single-pass alternation regression test."""
+    from snowflake_emulator_spark.operators.match_recognize import match_recognize
+
+    rows = [(1, 1, "x"), (1, 2, "a"),     # X then A -> one match
+            (2, 1, "a"), (2, 2, "a")]     # A A -> no match under 'X A'
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    define = {"X": "event_type = 'x'", "A": "event_type = 'a'"}
+    out = sorted(tuple(r) for r in match_recognize(
+        df, "user_id", ["ts"], define, "X A", measure_cols=["ts"]).collect())
+    assert out == [(1, 1, 2, 1, 2)]
+
+
 def test_dsir_weights_favor_target_domain(spark):
     """Docs written in the target domain's bigram distribution score
     higher than off-domain docs."""

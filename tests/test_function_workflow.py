@@ -211,6 +211,28 @@ def test_sql_udf_lifecycle(engine):
     engine.execute("DROP FUNCTION IF EXISTS udf_missing", ctx)  # no raise
 
 
+def test_sql_udf_no_macro_capture(engine):
+    """Two-phase argument substitution: an argument whose text is a
+    LATER parameter's name must not be re-substituted by that
+    parameter's value — udf(rate, 0.07) keeps the `rate` COLUMN as the
+    first argument instead of silently computing 0.07 * 0.07. Parameter
+    names inside string literals in the body also stay verbatim."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cap_t (amount DOUBLE, rate DOUBLE)", ctx)
+    engine.execute("INSERT INTO cap_t VALUES (100.0, 0.5)", ctx)
+    engine.execute(
+        "CREATE FUNCTION udf_cap_tax(amount DOUBLE, rate DOUBLE) "
+        "RETURNS DOUBLE AS 'amount * rate'", ctx)
+    res = engine.execute(
+        "SELECT ROUND(udf_cap_tax(rate, 0.07), 4) AS v FROM cap_t", ctx)
+    assert _rows(res) == [(0.035,)]  # rate column (0.5) * 0.07, not 0.0049
+    engine.execute(
+        "CREATE FUNCTION udf_cap_lbl(x VARCHAR) RETURNS VARCHAR "
+        "AS $$ 'x=' || x $$", ctx)
+    res = engine.execute("SELECT udf_cap_lbl('hi') AS v", ctx)
+    assert _rows(res) == [("x=hi",)]
+
+
 def test_sql_udtf_table_function(engine):
     """CREATE FUNCTION … RETURNS TABLE(…): SQL UDTF inlined as a derived
     table at TABLE(f(args)) call sites, declared output names/types

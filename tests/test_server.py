@@ -342,9 +342,81 @@ def test_arrow_result_format_negotiation(server):
           {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
 
 
-def test_arrow_format_decimal_timestamp_cells(server):
-    """Arrow rowset carries decimals as decimal128 and timestamps as
-    microsecond Arrow timestamps (not strings)."""
+def _gosnowflake_decode(field, column):
+    """Simulate gosnowflake ``arrowToValue`` (converter.go): type-assert
+    the CONCRETE physical array per logicalType and rebuild the value —
+    what a real Go client negotiating arrow would execute. AssertionError
+    here means the wire layout would fail Go's type assertions."""
+    import datetime as dt_mod
+
+    import pyarrow as pa
+
+    logical = field.metadata[b"logicalType"].decode()
+    meta = {k.decode(): v.decode() for k, v in field.metadata.items()}
+    vals = column.to_pylist()
+    if logical == "FIXED":
+        assert pa.types.is_int64(field.type) or pa.types.is_decimal(field.type)
+        assert "scale" in meta and "precision" in meta
+        return vals
+    if logical == "REAL":
+        assert pa.types.is_float64(field.type)
+        return vals
+    if logical == "DATE":
+        # gosnowflake asserts *array.Date32
+        assert pa.types.is_date32(field.type)
+        return vals
+    if logical in ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ"):
+        # non-struct branch: *array.Int64 + extractEpoch(value, scale)
+        assert pa.types.is_int64(field.type)
+        scale = int(meta["scale"])
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            epoch, rem = divmod(v, 10 ** scale)
+            nanos = rem * 10 ** (9 - scale)
+            out.append(dt_mod.datetime.fromtimestamp(epoch, dt_mod.timezone.utc)
+                       .replace(tzinfo=None)
+                       + dt_mod.timedelta(microseconds=nanos // 1000))
+        return out
+    if logical == "TIMESTAMP_TZ":
+        # struct branch: epoch int64 (sec), fraction int32 (ns), timezone int32
+        assert pa.types.is_struct(field.type)
+        names = [field.type.field(i).name for i in range(field.type.num_fields)]
+        assert names == ["epoch", "fraction", "timezone"]
+        assert pa.types.is_int64(field.type.field(0).type)
+        assert pa.types.is_int32(field.type.field(1).type)
+        assert pa.types.is_int32(field.type.field(2).type)
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            t = dt_mod.datetime.fromtimestamp(v["epoch"], dt_mod.timezone.utc) \
+                + dt_mod.timedelta(microseconds=v["fraction"] // 1000)
+            offset = dt_mod.timedelta(minutes=v["timezone"] - 1440)
+            out.append(t.astimezone(dt_mod.timezone(offset)))
+        return out
+    if logical == "TEXT":
+        assert pa.types.is_string(field.type)
+        return vals
+    if logical == "BOOLEAN":
+        assert pa.types.is_boolean(field.type)
+        return vals
+    if logical == "BINARY":
+        assert pa.types.is_binary(field.type)
+        return vals
+    raise AssertionError(f"unknown logicalType {logical}")
+
+
+def test_arrow_format_physical_layout_gosnowflake(server):
+    """Arrow rowset uses Snowflake's PHYSICAL encodings — the concrete
+    array types gosnowflake's arrowToValue type-asserts
+    (converter.go): FIXED as int64/decimal128 with scale+precision
+    metadata, TIMESTAMP_NTZ as int64 epoch-micros (scale=6),
+    TIMESTAMP_TZ as struct{epoch,fraction,timezone}, DATE as date32.
+    Values round-trip through a simulation of the Go decoder."""
     import base64
     import datetime as dt_mod
     import decimal
@@ -357,18 +429,26 @@ def test_arrow_format_decimal_timestamp_cells(server):
           {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'arrow'"}, token)
     st, out = _call(server, "POST", "/queries/v1/query-request",
                     {"sqlText": ("SELECT CAST(12345.67 AS DECIMAL(12,2)) AS d, "
-                                 "CAST('2024-01-15 14:30:00' AS TIMESTAMP_NTZ) AS ts")},
+                                 "CAST('2024-01-15 14:30:00.123456' AS TIMESTAMP_NTZ) AS ts, "
+                                 "CAST('2024-01-15 14:30:00' AS TIMESTAMP_TZ) AS tz, "
+                                 "CAST(NULL AS TIMESTAMP_NTZ) AS tsn")},
                     token)
     assert out["success"], out
     table = pa.ipc.open_stream(base64.b64decode(out["data"]["rowsetBase64"])).read_all()
-    d_field = table.schema.field("D" if "D" in table.schema.names else "d")
+    by_name = {n.lower(): (table.schema.field(i), table.column(i))
+               for i, n in enumerate(table.schema.names)}
+    d_field, d_col = by_name["d"]
     assert pa.types.is_decimal(d_field.type)
     assert d_field.type.precision == 12 and d_field.type.scale == 2
-    ts_field = table.schema.field("TS" if "TS" in table.schema.names else "ts")
-    assert pa.types.is_timestamp(ts_field.type) and ts_field.type.unit == "us"
-    row = {n.lower(): table.column(i).to_pylist()[0]
-           for i, n in enumerate(table.schema.names)}
-    assert row["d"] == decimal.Decimal("12345.67")
-    assert row["ts"] == dt_mod.datetime(2024, 1, 15, 14, 30)
+    assert _gosnowflake_decode(d_field, d_col) == [decimal.Decimal("12345.67")]
+    ts_field, ts_col = by_name["ts"]
+    assert _gosnowflake_decode(ts_field, ts_col) == [
+        dt_mod.datetime(2024, 1, 15, 14, 30, 0, 123456)]
+    tz_field, tz_col = by_name["tz"]
+    (decoded_tz,) = _gosnowflake_decode(tz_field, tz_col)
+    assert decoded_tz == dt_mod.datetime(
+        2024, 1, 15, 14, 30, tzinfo=dt_mod.timezone.utc)
+    tsn_field, tsn_col = by_name["tsn"]
+    assert _gosnowflake_decode(tsn_field, tsn_col) == [None]
     _call(server, "POST", "/queries/v1/query-request",
           {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
