@@ -101,14 +101,23 @@ def main() -> None:
     # over the same warm OS page cache any run would see).
     times: dict[str, float] = {}
 
+    def evaluate_full(df) -> None:
+        # Full-output evaluation (r3 verdict fix): .count() let Catalyst
+        # column-prune everything above the count, so a map-only query
+        # benched an empty-schema scan (ReadSchema: struct<>). Hashing
+        # EVERY output column into one aggregate forces the whole
+        # computation to run JVM-side while keeping driver transfer to
+        # a single row.
+        df.select(F.xxhash64(*df.columns).alias("__h")) \
+            .agg(F.bit_xor("__h").alias("__s")).collect()
+
     def run_once(name: str) -> None:
         fn, _oracle = REGISTRY[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        evaluate_full(fn(spark, sf_dir))
         elapsed = round(time.time() - t0, 3)
         if name not in times or elapsed < times[name]:
             times[name] = elapsed
-        _ = n
 
     for attempt in range(3):
         for name in HEADLINE:
@@ -131,7 +140,7 @@ def main() -> None:
             for name in HEADLINE:
                 fn, _oracle = REGISTRY[name]
                 t0 = time.time()
-                fn(spark, sec_dir).count()
+                evaluate_full(fn(spark, sec_dir))
                 elapsed = round(time.time() - t0, 3)
                 if name not in secondary or elapsed < secondary[name]:
                     secondary[name] = elapsed
@@ -154,6 +163,10 @@ def main() -> None:
         "queries": times,
         "runs_per_query": "3 (+1 adaptive if min > 2s)",
         "aggregation": "min",
+        # methodology change vs r1-r3 (which timed .count() — Catalyst
+        # pruned map-only queries to an empty-schema scan): every query
+        # now evaluates its FULL output via xxhash64-of-all-columns bit_xor
+        "evaluation": "xxhash64(all columns) -> bit_xor, single-row collect",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "secondary_sf": 0.01,
         "secondary_queries": secondary,

@@ -127,18 +127,52 @@ AUDIT = [
 ]
 
 
+def _plan(df) -> str:
+    if hasattr(df._sc._jvm, "PythonSQLUtils"):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def audit_benched_plans(spark, sf) -> list[str]:
+    """r3 verdict: audit the BENCHED plan — bench.py's
+    xxhash64-of-all-columns evaluation — not the raw DataFrame. No
+    headline query may column-prune its own computation down to an
+    empty-schema scan (.count() did exactly that to map-only queries:
+    FileScan parquet [] ReadSchema: struct<>)."""
+    from pyspark.sql import functions as F
+
+    import bench
+
+    lines, bad = [], []
+    for name in bench.HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf)
+        benched = df.select(F.xxhash64(*df.columns).alias("__h")) \
+            .agg(F.bit_xor("__h").alias("__s"))
+        plan = _plan(benched)
+        empty_scan = "ReadSchema: struct<>" in plan
+        if empty_scan:
+            bad.append(name)
+        verdict = "EMPTY-SCHEMA SCAN (output pruned!)" if empty_scan else "OK: full output evaluated"
+        lines.append(f"- `{name}`: {verdict}")
+        print("benched", name, "|", verdict, flush=True)
+    assert not bad, f"benched plans with pruned output: {bad}"
+    return lines
+
+
 def main():
     spark = build_spark(app_name="explain-audit", master="local[8]", shuffle_partitions=8)
     sf = "/root/testdata/sf0.1"
-    out = ["# Physical plans (sf0.1) — round 3 audit\n"]
+    out = ["# Physical plans (sf0.1) — round 4 audit\n"]
+    out.append("## Benched-plan check (bench.py evaluation shape)\n")
+    out.extend(audit_benched_plans(spark, sf))
+    out.append("")
     for name, expect in AUDIT:
         fn, _ = REGISTRY[name]
         df = fn(spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted") \
-            if hasattr(df._sc._jvm, "PythonSQLUtils") else None
-        if plan is None:
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        plan = _plan(df)
         checks = []
         for token in expect:
             if token.startswith("!"):
@@ -154,7 +188,7 @@ def main():
             out.append("Checks: " + "; ".join(checks) + "\n")
         out.append("```\n" + head.strip()[:4000] + "\n```\n")
         print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
-    with open("/root/repo/docs/PLANS_r3.md", "w") as f:
+    with open("/root/repo/docs/PLANS_r4.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
 
