@@ -2755,10 +2755,97 @@ def _embed_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
     # 16 bands x 4 planes: per-band collision p≈0.17 at cos 0.42, so
-    # banding lifts pair recall to 1-(1-p)^16 ≈ 0.95 (vs 0.17 single-band)
+    # banding lifts pair recall to 1-(1-p)^16 ≈ 0.95 (vs 0.17 single-band);
+    # exact_rescore makes the output hash-checkable against the DuckDB
+    # replay oracle (numpy only prefilters candidates)
     return similarity.cosine_near_pairs(
-        e, threshold=0.42, dim=64, n_planes=4, n_bands=16
+        e, threshold=0.42, dim=64, n_planes=4, n_bands=16, exact_rescore=True
     ).orderBy("id_a", "id_b")
+
+
+def _lsh_replay_oracle(n_bands: int = 16, n_planes: int = 4, dim: int = 64,
+                       threshold: float = 0.42) -> str:
+    """DuckDB replay of the RP-LSH near-pairs pipeline: the md5-seeded
+    hyperplanes are deterministic (similarity._hyperplane), so the
+    bucket assignment is re-expressed as literal (band, plane, pos, w)
+    weights joined against the unnested vectors; candidates share a
+    (band, bucket) cell, the final cosine is the same sequential
+    list_dot_product the Spark side computes JVM-side."""
+    rows = []
+    for b in range(n_bands):
+        for p in range(n_planes):
+            for i, w in enumerate(similarity._hyperplane(dim, b * n_planes + p)):
+                rows.append(f"({b},{p},{i + 1},{w!r})")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, CAST(u.i AS INTEGER) AS pos, v[CAST(u.i AS INTEGER)] AS val
+       FROM v, unnest(range(1, len(v) + 1)) AS u(i)),
+planes(band, plane, pos, w) AS (VALUES {",".join(rows)}),
+dots AS (SELECT e.vec_id, p.band, p.plane, sum(e.val * p.w) AS d
+         FROM ev e JOIN planes p ON e.pos = p.pos GROUP BY 1, 2, 3),
+buckets AS (SELECT vec_id, band,
+                   sum(CASE WHEN d >= 0 THEN 1 << plane ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cosine_sim
+  FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b)
+SELECT id_a, id_b, cosine_sim FROM scored
+WHERE cosine_sim >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+def _ivf_replay_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 10,
+                       dim: int = 64, query_ids: tuple = (0, 1, 2, 3, 4)) -> str:
+    """DuckDB replay of IVF ANN: deterministic hyperplane-seeded
+    centroids inlined as literals; assignment = argmax centroid dot
+    (ties -> lowest cid, matching np.argmax), probe = top-nprobe
+    centroids per query, scoring = sequential list_dot_product on the
+    probed buckets only."""
+    rows = []
+    for c in range(n_centroids):
+        for i, w in enumerate(similarity._hyperplane(dim, 1000 + c)):
+            rows.append(f"({c},{i + 1},{w!r})")
+    qlist = ",".join(str(q) for q in query_ids)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, CAST(u.i AS INTEGER) AS pos, v[CAST(u.i AS INTEGER)] AS val
+       FROM v, unnest(range(1, len(v) + 1)) AS u(i)),
+cents(cid, pos, w) AS (VALUES {",".join(rows)}),
+cdots AS (SELECT e.vec_id, c.cid, sum(e.val * c.w) AS d
+          FROM ev e JOIN cents c ON e.pos = c.pos GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM cdots) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM cdots WHERE vec_id IN ({qlist})) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cosine_sim
+  FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3681,8 +3768,10 @@ REGISTRY: dict[str, tuple] = {
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
     "embed_centroid_distances": (_embed_centroid_dist, _CENTROID_ORACLE),
     "embed_kmeans_clusters": (_embed_kmeans, _kmeans_oracle()),
-    "embed_near_pairs_lsh": (_embed_near_pairs_lsh, None),  # approximate, rows-only
-    "ann_ivf_topk": (_ann_ivf, None),  # approximate, rows-only
+    # deterministic by construction (md5-seeded hyperplanes/centroids):
+    # hash-checked against full DuckDB replays of the LSH/IVF pipelines
+    "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),
+    "ann_ivf_topk": (_ann_ivf, _ivf_replay_oracle()),
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     "range_join_events": (_range_join_events, _RANGE_ORACLE),

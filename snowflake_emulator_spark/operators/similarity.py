@@ -144,7 +144,8 @@ def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
 
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
                       n_planes: int = 6, n_bands: int = 1, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      exact_rescore: bool = False) -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold.
 
     Bucketed self-join on the RP-LSH signature (vectors with very high
@@ -164,7 +165,15 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     end-to-end: the n_planes x dim unrolled expression costs ~5 s of
     one-time janino compile for <1 s of warm win, and the numpy matmul
     is already vectorized per batch — both scale linearly, so the
-    cheaper-to-plan form wins."""
+    cheaper-to-plan form wins.
+
+    ``exact_rescore=True`` makes the output deterministic against a
+    sequential-fold oracle (DuckDB ``list_dot_product``): buckets emit
+    candidate id pairs with a loose numpy prefilter (threshold − 1e-4,
+    orders of magnitude wider than numpy's pairwise-summation ulp), and
+    the final cosine is recomputed JVM-side in sequential addition
+    order via equi-joins back to the vectors — the numpy score never
+    reaches the output. Same candidate set, engine-exact values."""
     import numpy as np
 
     planes = np.array(
@@ -202,6 +211,11 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         ]
     )
 
+    # with exact rescoring the numpy score is only a candidate
+    # prefilter: widen it far past numpy-vs-sequential ulp so no pair
+    # that the exact score would keep (on the rounded value) is lost
+    pre_threshold = threshold - 1e-4 if exact_rescore else threshold
+
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         # chunked BLAS matmuls per bucket: the full n×n sims matrix of
         # a skewed bucket would be O(bucket²) memory and OOM the task
@@ -219,7 +233,7 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         for s0 in range(0, n, chunk):
             sims = mn[s0 : s0 + chunk] @ mn.T  # (c, n)
             rows = np.arange(s0, s0 + sims.shape[0])
-            mask = (cols[None, :] > rows[:, None]) & (sims >= threshold)
+            mask = (cols[None, :] > rows[:, None]) & (sims >= pre_threshold)
             ri, ci = np.nonzero(mask)
             out_a.append(ids[rows[ri]])
             out_b.append(ids[ci])
@@ -240,7 +254,29 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         # the scores are identical (same rounding), so a distinct on the
         # id pair dedups exactly — one small shuffle on pair keys
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    return pairs
+    if not exact_rescore:
+        return pairs
+    # exact rescore: candidate pairs (small next to the corpus) join
+    # the vectors on their ids and the cosine is recomputed in the JVM
+    # sequential fold — identical addition order to DuckDB's
+    # list_dot_product, so the value hash-checks. Norms are computed
+    # once per projection side, not per pair.
+    va = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va"),
+                    _norm(F.col(vec_col), None).alias("__na"))
+    vb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("__vb"),
+                    _norm(F.col(vec_col), None).alias("__nb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(_dot(F.col("__va"), F.col("__vb"), None)
+                    / (F.col("__na") * F.col("__nb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int = 16,
@@ -249,11 +285,16 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
     """IVF-style ANN: assign every vector to its nearest deterministic
     centroid; search only each query's nprobe nearest centroid buckets.
 
-    Centroids are hyperplane-seeded pseudo-random vectors (stable across
-    runs/engines). At scale, bucket assignment is one scan; per-query
-    work drops by ~n_centroids/nprobe. Approximate by construction, so
-    it carries a rows-only correctness check (recall measured in tests
-    against the brute-force oracle)."""
+    Centroids are hyperplane-seeded pseudo-random vectors (stable
+    across runs/engines), so the whole operator is deterministic by
+    construction and hash-checkable: numpy only picks buckets (argmax /
+    top-nprobe over centroid dots, where an ulp flip would need two
+    dots equal to ~1e-13); the output cosine is computed JVM-side in
+    sequential addition order (DuckDB ``list_dot_product`` parity) via
+    two broadcast joins — probe table (query_id, bucket) and query
+    vectors, both tiny by contract. The 100 TB side (the embedding
+    table) never leaves the executors. Recall vs brute force is
+    measured in tests."""
     import numpy as np
 
     cm = np.array([_hyperplane(dim, 1000 + c) for c in range(n_centroids)], dtype="float64")
@@ -287,33 +328,30 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
         F.col("bucket").isin(wanted)
     )
 
-    score_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine_sim", T.DoubleType()),
-        ]
+    # (query_id, bucket) probe table and the query vectors are tiny by
+    # contract: broadcast both, score in the JVM sequential fold
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        [(int(q), int(b)) for q, row in zip(qids, probe) for b in row],
+        "query_id long, bucket int")
+    qvecs = spark.createDataFrame(
+        [(int(q), [float(x) for x in vec]) for q, vec in
+         zip(qids, (r[1] for r in qrows))],
+        T.StructType([T.StructField("query_id", T.LongType()),
+                      T.StructField("qvec", T.ArrayType(T.DoubleType()))]))
+    qvecs = qvecs.withColumn("qnorm", _norm(F.col("qvec"), None))
+    scored = (
+        assigned.join(F.broadcast(probe_df), "bucket")
+        .filter(F.col("nid") != F.col("query_id"))
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_dot(F.col("vec"), F.col("qvec"), None)
+                    / (_norm(F.col("vec"), None) * F.col("qnorm")), 6)
+            .alias("cosine_sim"),
+        )
     )
-    probe_sets = {int(q): {int(b) for b in row} for q, row in zip(qids, probe)}
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(pdf["bucket"].iloc[0])
-        active = [i for i, q in enumerate(qids) if bucket in probe_sets[int(q)]]
-        if not active:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": []})
-        m = np.stack(pdf["vec"].to_numpy()).astype("float64")
-        mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
-        sims = qn[active] @ mn.T  # (n_active_queries, n_block)
-        out = {"query_id": [], "neighbor_id": [], "cosine_sim": []}
-        nids = pdf["nid"].to_numpy()
-        for row_i, qi in enumerate(active):
-            mask = nids != qids[qi]
-            out["query_id"].extend([qids[qi]] * int(mask.sum()))
-            out["neighbor_id"].extend(nids[mask])
-            out["cosine_sim"].extend(np.round(sims[row_i][mask], 6))
-        return pd.DataFrame(out)
-
-    scored = assigned.groupBy("bucket").applyInPandas(score, score_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
