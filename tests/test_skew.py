@@ -58,3 +58,101 @@ def test_join_condition_includes_salt(skewed):
     left, right = skewed
     plan = salted_join(left, right, ["k"], salt=8)._jdf.queryExecution().toString()
     assert SALT_COL in plan
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket stress for the LSH/banding joins (r3 verdict item 6): the
+# design claims skew-safety under AQE for the per-(band, hash) bucketed
+# self-joins and bounded memory via chunked BLAS in near-pairs scoring.
+# One pathologically hot bucket (~30% identical docs / one shared LSH
+# cell) must complete in bounded time with correct output.
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_hot_bucket_completes(spark):
+    """30% of docs are byte-identical -> every band hash of the hot
+    group collides into ONE (band, hash) bucket. The bucketed self-join
+    must complete (AQE splits the hot bucket; no cross join) and emit
+    exactly the hot clique plus nothing across groups."""
+    import time
+
+    from snowflake_emulator_spark.operators import dedup
+
+    n, hot = 600, 180
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 5)
+            for i in range(hot)]
+    rows += [(i, f"unique document body number {i} with distinct words "
+                 f"{i * 7} {i * 13} {i * 31} and no shared shingles")
+             for i in range(hot, n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(df).collect()
+    elapsed = time.time() - t0
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected_hot = {(a, b) for a in range(hot) for b in range(a + 1, hot)}
+    # the identical clique is fully recalled; nothing links hot to cold
+    assert expected_hot <= got
+    assert all(a < hot and b < hot or (a >= hot and b >= hot) for a, b in got)
+    # bounded completion: a cross-join regression would blow past this
+    assert elapsed < 120, f"hot-bucket LSH join took {elapsed:.0f}s"
+
+
+def test_near_pairs_hot_bucket_chunked_blas(spark):
+    """One bucket holds n=2200 IDENTICAL vectors — far above the
+    chunked-BLAS chunk size (max(64, 4e6/2200) ~ 1818), so the scorer
+    must loop over >=2 chunks rather than materializing the n x n sims
+    matrix. All C(n,2) pairs are near-duplicates; the count must be
+    exact (every chunk boundary handled) and the job must finish in
+    bounded time."""
+    import time
+
+    from snowflake_emulator_spark.operators import similarity
+
+    dim, n = 16, 2200
+    v = [1.0] + [0.5] * (dim - 1)
+    emb = spark.createDataFrame([(i, v) for i in range(n)],
+                                "vec_id long, embedding array<float>")
+    t0 = time.time()
+    got = similarity.cosine_near_pairs(
+        emb, threshold=0.99, dim=dim, n_planes=4, n_bands=2).count()
+    elapsed = time.time() - t0
+    assert got == n * (n - 1) // 2
+    assert elapsed < 120, f"hot-bucket near-pairs took {elapsed:.0f}s"
+
+
+def test_near_pairs_planted_clique_exact(spark):
+    """A planted identical 5-clique among deterministic noise vectors:
+    with a threshold above every cross-pair cosine (asserted with a
+    numpy oracle in-test), the exact-rescore path must return the
+    clique and nothing else, with JVM-exact cosine 1.0."""
+    import numpy as np
+
+    from snowflake_emulator_spark.operators import similarity
+
+    dim, n = 16, 40
+    vecs = []
+    for i in range(n):
+        if i < 5:
+            v = [1.0] + [0.25] * (dim - 1)
+        else:
+            # deterministic signed pseudo-noise (md5-seeded, no RNG
+            # state): random signed 16-dim vectors have pairwise
+            # cosines well below the threshold
+            v = similarity._hyperplane(dim, 5000 + i)
+        vecs.append(v)
+    m = np.array(vecs)
+    mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, 0.0)
+    cross_max = max(sims[i, j] for i in range(n) for j in range(n)
+                    if not (i < 5 and j < 5))
+    threshold = 0.999
+    assert cross_max < threshold - 1e-3, "fixture degenerate"
+    out = similarity.cosine_near_pairs(
+        emb := spark.createDataFrame(list(enumerate(vecs)),
+                                     "vec_id long, embedding array<float>"),
+        threshold=threshold, dim=dim, n_planes=4, n_bands=2,
+        exact_rescore=True).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    clique = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert got == clique
+    assert all(abs(r["cosine_sim"] - 1.0) < 1e-9 for r in out)
