@@ -279,6 +279,40 @@ def test_protocol_type_golden_matrix_gosnowflake(server):
     assert out["data"]["rowset"][1] == [""] * 10
 
 
+def test_protocol_type_golden_matrix_edge_cells(server):
+    """Edge cells for the gosnowflake all-strings matrix (r3 verdict
+    item 7): negative/zero decimals, sub-second timestamps (fraction
+    trimmed of trailing zeros like Go time.Time.String()), offset
+    TIMESTAMP_TZ input (normalized to the UTC session zone, so the Go
+    %v form carries '+0000 UTC'), shortest-'g' float forms incl. the
+    1e-05 scientific switch, pre-epoch dates, FALSE, and the
+    documented gosnowflake ambiguity: empty string == NULL == ''."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request", {"sqlText": (
+        "SELECT CAST(0.00 AS DECIMAL(12,2)) AS d0, "
+        "CAST(-123.45 AS DECIMAL(12,2)) AS dneg, "
+        "CAST('2024-01-15 14:30:00.123456' AS TIMESTAMP_NTZ) AS tsus, "
+        "CAST('2024-01-15 14:30:00.5' AS TIMESTAMP_NTZ) AS tsfrac, "
+        "CAST('2024-01-15 14:30:00+05:30' AS TIMESTAMP_TZ) AS tstz, "
+        "CAST(-2.5 AS FLOAT) AS fneg, CAST(0.00001 AS FLOAT) AS fsci, "
+        "CAST('1969-12-31' AS DATE) AS dpre, FALSE AS bo, "
+        "'' AS semp, CAST(NULL AS VARCHAR) AS snul")}, token)
+    assert out["success"], out
+    assert out["data"]["rowset"][0] == [
+        "0.00", "-123.45",
+        "2024-01-15 14:30:00.123456 +0000 UTC",
+        "2024-01-15 14:30:00.5 +0000 UTC",
+        "2024-01-15 09:00:00 +0000 UTC",
+        "-2.5", "1e-05",
+        "1969-12-31 00:00:00 +0000 UTC", "false",
+        "", ""]
+    rt = {c["name"].lower(): c for c in out["data"]["rowtype"]}
+    assert (rt["d0"]["precision"], rt["d0"]["scale"]) == (12, 2)
+    assert rt["tstz"]["type"] == "TIMESTAMP_TZ"
+    assert rt["dpre"]["type"] == "DATE" and rt["bo"]["type"] == "BOOLEAN"
+
+
 def test_protocol_type_golden_matrix_restv2(server):
     """REST v2 typed-row golden matrix (rest_api_v2.go:223-254): data
     cells keep native JSON types; rowType carries precision/scale."""
@@ -297,6 +331,16 @@ def test_protocol_type_golden_matrix_restv2(server):
     # RFC3339 (Go time.Time JSON marshalling), decimals as strings
     assert out["data"] == [[1, 2.5, "x", True, "2024-01-15",
                             "2024-01-15T14:30:00Z", "12345.67", None]]
+    # edge cells: negative/zero decimals keep their scale as strings,
+    # sub-second timestamps carry RFC3339 fractions, pre-epoch dates ISO
+    st, out = _call(server, "POST", "/api/v2/statements", {"statement": (
+        "SELECT CAST(-123.45 AS DECIMAL(12,2)) AS dneg, "
+        "CAST(0.00 AS DECIMAL(12,2)) AS d0, "
+        "CAST('2024-01-15 14:30:00.123456' AS TIMESTAMP_NTZ) AS tsus, "
+        "CAST('1969-12-31' AS DATE) AS dpre, FALSE AS bo")})
+    assert st == 200, out
+    assert out["data"] == [["-123.45", "0.00", "2024-01-15T14:30:00.123456Z",
+                            "1969-12-31", False]]
 
 
 def test_telemetry_and_health(server):
