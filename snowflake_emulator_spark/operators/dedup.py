@@ -131,12 +131,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     under AQE, never a cross join."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, shingled=shingled)
+    # band_hash is a JOIN KEY only (never output): xxhash64 over the
+    # band's signature slice beats md5(concat_ws(...)) — no string
+    # materialization, an 8-byte shuffle key instead of a 32-char
+    # digest, and identical bucketing (equal slices hash equal; a
+    # 64-bit cross-tuple collision adds a spurious CANDIDATE pair with
+    # ~2^-64 probability, the standard LSH trade)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.md5(F.concat_ws("_", *[F.col("signature")[b * rows_per_band + r]
-                                         for r in range(rows_per_band)]))
+                F.xxhash64(*[F.col("signature")[b * rows_per_band + r]
+                             for r in range(rows_per_band)])
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
@@ -329,12 +335,13 @@ def _band_hashes(shingled: DataFrame, id_col: str, num_perm: int, bands: int) ->
     half of minhash_lsh_pairs, reusable for asymmetric joins."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(None, id_col=id_col, num_perm=num_perm, shingled=shingled)
+    # xxhash64 join key, same rationale as minhash_lsh_pairs
     return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.md5(F.concat_ws("_", *[F.col("signature")[b * rows_per_band + r]
-                                         for r in range(rows_per_band)]))
+                F.xxhash64(*[F.col("signature")[b * rows_per_band + r]
+                             for r in range(rows_per_band)])
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
