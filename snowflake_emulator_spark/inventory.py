@@ -3587,6 +3587,129 @@ ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
 # Registry
 # ---------------------------------------------------------------------------
 
+def _doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb recipe):
+    keep the first corpus occurrence of every 10-token segment,
+    reassemble survivors in document order."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.paragraph_dedup(d, segment_tokens=10).orderBy("doc_id")
+
+
+_PARAGRAPH_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+seg AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS start,
+         array_to_string(list_slice(t, CAST(u.i AS INTEGER),
+                                    CAST(u.i AS INTEGER) + 9), ' ') AS seg
+  FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 10)) AS u(i)),
+ranked AS (
+  SELECT doc_id, start, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, start) AS rn
+  FROM seg)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY start) FILTER (WHERE rn = 1) AS clean_text,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked GROUP BY doc_id
+HAVING count(*) FILTER (WHERE rn = 1) > 0
+ORDER BY doc_id
+"""
+
+
+def _text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus df>=3 vocabulary (noise signal)."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.oov_rate(d, min_df=3).orderBy("doc_id")
+
+
+_OOV_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok)
+  WHERE df >= 3)
+SELECT t.doc_id, count(*) AS n_toks,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+
+_TOKEN_BUDGETS = {"src0": 800, "src3": 600, "src7": 400}
+
+
+def _sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling to a token budget
+    (Dolma-style mixture building): md5-ordered prefix per source."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.token_budget_sample(d, _TOKEN_BUDGETS).orderBy(
+        "source", "cum_toks")
+
+
+def _token_budget_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(_TOKEN_BUDGETS.items()))
+    srcs = ", ".join(f"'{s}'" for s in sorted(_TOKEN_BUDGETS))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS ord,
+         CASE source {case} END AS budget
+  FROM documents WHERE source IN ({srcs})),
+cum AS (
+  SELECT doc_id, source, n_toks, budget,
+         CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+  FROM base)
+SELECT doc_id, source, n_toks, cum_toks
+FROM cum WHERE cum_toks <= budget ORDER BY source, cum_toks
+"""
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-set Jaccard matrix (corpus redundancy)."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.source_overlap(d, shingle=5).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH norm AS (SELECT source, {_NORM_DUCK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         CASE WHEN len(t) < 5 THEN t
+              ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
+  FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -3761,6 +3884,11 @@ REGISTRY: dict[str, tuple] = {
     "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
     "dedup_survivors_best_quality": (_dedup_survivors_best, _survivors_best_oracle()),
     "doc_pack_sequences": (_doc_pack_sequences, _PACK_ORACLE),
+    # round-4 corpus-curation family (operators/corpus.py)
+    "doc_paragraph_dedup": (_doc_paragraph_dedup, _PARAGRAPH_DEDUP_ORACLE),
+    "text_oov_rate": (_text_oov_rate, _OOV_ORACLE),
+    "sample_token_budget": (_sample_token_budget, _token_budget_oracle()),
+    "source_overlap_jaccard": (_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),
     "pipeline_keep_set": (_pipeline_keep_set, _pipeline_keep_oracle()),
     # similarity extensions

@@ -1,0 +1,189 @@
+"""Corpus-level curation operators for LLM training-data pipelines:
+paragraph-level exact dedup, OOV-rate scoring against a corpus
+vocabulary, deterministic token-budget sampling, and cross-source
+overlap measurement.
+
+Beyond the reference (a SQL engine ships none of these); modeled on
+the curation stages described in public pipeline papers (RefinedWeb /
+CCNet paragraph dedup, Gopher/C4 vocabulary filters, Dolma-style
+token-budget mixing). Every operator is pure DataFrame algebra — no
+Python in any hot path — and each shuffle is keyed so the plan holds
+at 100 TB:
+
+* paragraph dedup shuffles SEGMENTS (hash-partitioned by content),
+  then doc ids for reassembly — never more than two exchanges;
+* OOV joins the exploded token relation against the document-frequency
+  vocabulary on the token key (broadcast when the vocabulary is small,
+  shuffle join above the threshold — Catalyst decides);
+* token-budget sampling is one window cumsum per source partition;
+* source overlap shuffles distinct (source, shingle) rows, which is
+  already the minimal relation for exact set intersection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import char_ngrams, normalized_text
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    segment_tokens: int = 10) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb recipe):
+    split each document into non-overlapping ``segment_tokens``-token
+    segments, keep only the FIRST corpus occurrence of every segment
+    (first = lowest (doc_id, position)), and reassemble the surviving
+    segments in document order.
+
+    Returns (id, clean_text, n_kept, n_dropped); a document whose
+    segments are all duplicates of earlier ones disappears entirely —
+    the same semantics a paragraph-hash dedup applies to boilerplate.
+
+    Scale: segments shuffle once partitioned by their content for the
+    first-occurrence window (hot boilerplate segments are single
+    partitions — bounded by AQE skew split), then once by doc id for
+    the ordered reassembly. Nothing is ever O(docs²).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks")) \
+        .withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)),
+                        F.lit(segment_tokens))
+    seg = base.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("__seg_idx", "__start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col), F.col("__start"),
+        F.array_join(F.slice(F.col("__toks"), F.col("__start"),
+                             F.lit(segment_tokens)), " ").alias("__seg"),
+    )
+    w = Window.partitionBy("__seg").orderBy(F.col(id_col), F.col("__start"))
+    ranked = seg.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__rn") == 1,
+                               F.struct("__start", "__seg")))),
+                    lambda s: s["__seg"]),
+                " ").alias("clean_text"),
+            F.sum((F.col("__rn") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("__rn") > 1).cast("bigint")).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
+def oov_rate(df: DataFrame, min_df: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus vocabulary
+    of tokens appearing in at least ``min_df`` distinct documents — a
+    standard garbage/noise signal (high OOV = OCR junk, code dumps,
+    wrong-language text).
+
+    Returns (id, n_toks, oov_rate). Scale: the vocabulary is a
+    (token, df) aggregate — orders of magnitude smaller than the
+    corpus (Heaps' law) — joined back on the token key; everything
+    else is map-side.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        tok.join(vocab, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(
+                F.sum(F.col("__in_vocab").isNull().cast("double"))
+                / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def token_budget_sample(df: DataFrame, budgets: dict[str, int],
+                        source_col: str = "source", id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Deterministic per-source downsampling to a token budget
+    (Dolma/DataComp-style mixture building): within each source, order
+    documents by md5(doc_id) — a stable pseudo-random order that is
+    reproducible across engines, runs and stage retries — and keep
+    documents while the running token total stays within the source's
+    budget. Sources absent from ``budgets`` are dropped.
+
+    Returns (id, source, n_toks, cum_toks). Scale: token counts are a
+    map-side expression; the only exchange is the per-source window
+    (one partition per source — for mixtures with very few huge
+    sources, pre-split budgets across source shards).
+    """
+    budget_expr = F.lit(None).cast("bigint")
+    for src, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(source_col) == src, F.lit(int(b))) \
+            .otherwise(budget_expr)
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(source_col), toks.alias("n_toks"),
+        budget_expr.alias("__budget"),
+        F.md5(F.col(id_col).cast("string")).alias("__order"),
+    ).filter(F.col("__budget").isNotNull())
+    w = Window.partitionBy(source_col).orderBy("__order", id_col)
+    return (
+        base.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= F.col("__budget"))
+        .select(id_col, source_col, "n_toks", "cum_toks")
+    )
+
+
+def source_overlap(df: DataFrame, shingle: int = 5,
+                   source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Pairwise content overlap between sources: exact Jaccard of each
+    source pair's distinct character-shingle sets — the corpus-level
+    contamination / redundancy matrix that decides whether two crawl
+    snapshots are worth keeping both of.
+
+    Returns (source_a, source_b, n_inter, jaccard) for source_a <
+    source_b. Scale: the distinct (source, shingle) relation is the
+    minimal input for exact set intersection; the self-join is keyed
+    on the shingle (hot boilerplate shingles are AQE-split), and the
+    output is |sources|² rows — always tiny.
+    """
+    sh = df.select(
+        F.col(source_col), normalized_text(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(source_col),
+        F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy(source_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(source_col).alias("source_a"), "sh")
+    b = sh.select(F.col(source_col).alias("source_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(source_col).alias("source_a"),
+                           F.col("n_sh").alias("__na")), "source_a")
+        .join(sizes.select(F.col(source_col).alias("source_b"),
+                           F.col("n_sh").alias("__nb")), "source_b")
+        .select(
+            "source_a", "source_b", "n_inter",
+            F.round(F.col("n_inter").cast("double")
+                    / (F.col("__na") + F.col("__nb") - F.col("n_inter")),
+                    6).alias("jaccard"),
+        )
+    )
