@@ -124,6 +124,19 @@ AUDIT = [
     # BPE token counting stays a map-only projection
     ("text_bpe_token_counts", ["!Exchange hashpartitioning"]),
     ("embed_quantize_int8", ["HashAggregate"]),
+    # round-4 corpus family ----------------------------------------------
+    # paragraph dedup: segment window + doc reassembly, no joins at all
+    ("doc_paragraph_dedup", ["Window", "HashAggregate",
+                             "!BroadcastNestedLoopJoin", "!CartesianProduct"]),
+    # OOV: the df>=N vocabulary joins the token relation on the token
+    # key — hash join (broadcast locally), never nested-loop
+    ("text_oov_rate", ["HashAggregate", "!BroadcastNestedLoopJoin",
+                       "!CartesianProduct"]),
+    # token budget: ONE window over the source partition, map filter
+    ("sample_token_budget", ["Window", "!Exchange hashpartitioning(doc_id"]),
+    # source overlap: equi-join on the shingle key only
+    ("source_overlap_jaccard", ["HashAggregate", "!BroadcastNestedLoopJoin",
+                                "!CartesianProduct"]),
 ]
 
 

@@ -24,7 +24,7 @@ integration tests
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import chunking, decontaminate, dedup, mixture, similarity, textstats
@@ -2084,6 +2084,61 @@ FROM bg b JOIN lm USING (bg) GROUP BY b.doc_id ORDER BY doc_id
 """
 
 
+def _text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per source, split documents into
+    head/middle/tail terciles of the bigram-LM score (head = most
+    fluent). The LM scoring is the broadcast-join pipeline of
+    text_bigram_logprob; bucketing adds ONE ntile window per source
+    partition — at 100 TB the per-doc score relation is tiny next to
+    the corpus, so the window shuffle is negligible."""
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    scores = textstats.bigram_logprob_scores(d)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logp"), F.asc("doc_id"))
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn("__t", F.ntile(3).over(w))
+        .select(
+            "doc_id", "source", "avg_logp",
+            F.when(F.col("__t") == 1, F.lit("head"))
+             .when(F.col("__t") == 2, F.lit("middle"))
+             .otherwise(F.lit("tail")).alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {{norm}} AS t FROM documents),
+bg AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bg
+  FROM norm, unnest(range(1, greatest(len(t), 2))) AS u(i)
+  WHERE len(substr(t, CAST(i AS INTEGER), 2)) = 2
+),
+lm0 AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY bg),
+ctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n_bg) AS n_c1 FROM lm0 GROUP BY 1),
+lm AS (
+  SELECT bg, (n_bg + 1.0) / (n_c1 + 37.0) AS p
+  FROM lm0 JOIN ctx ON substr(lm0.bg, 1, 1) = ctx.c1
+),
+scores AS (
+  SELECT b.doc_id, round(avg(log2(p)), 6) AS avg_logp
+  FROM bg b JOIN lm USING (bg) GROUP BY b.doc_id
+),
+tiled AS (
+  SELECT s.doc_id, d.source, s.avg_logp,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY s.avg_logp DESC, s.doc_id ASC) AS t
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, avg_logp,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM tiled ORDER BY doc_id
+"""
+
+
 def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counts (GPT-2 pre-tokenizer split) vs whitespace
     words — the sequence-length estimate packing/budgeting actually
@@ -3886,6 +3941,8 @@ REGISTRY: dict[str, tuple] = {
     "doc_pack_sequences": (_doc_pack_sequences, _PACK_ORACLE),
     # round-4 corpus-curation family (operators/corpus.py)
     "doc_paragraph_dedup": (_doc_paragraph_dedup, _PARAGRAPH_DEDUP_ORACLE),
+    "text_perplexity_buckets": (_text_perplexity_buckets,
+                                _PPL_BUCKETS_ORACLE.format(norm=_NORM_DUCK)),
     "text_oov_rate": (_text_oov_rate, _OOV_ORACLE),
     "sample_token_budget": (_sample_token_budget, _token_budget_oracle()),
     "source_overlap_jaccard": (_source_overlap, _SOURCE_OVERLAP_ORACLE),
