@@ -163,6 +163,15 @@ class Engine:
             return res
         s = sql.strip().rstrip(";").strip()
         up = s.upper()
+        # Snowflake Scripting surface (EXECUTE IMMEDIATE blocks,
+        # CREATE PROCEDURE / CALL) — beyond reference
+        if up.startswith(("EXECUTE", "CREATE", "CALL", "DROP", "SHOW")):
+            from .plans import scripting
+
+            res = scripting.try_handle(self, s, ctx)
+            if res is not None:
+                res.query_id = query_id or ""
+                return res
         # object-DDL handled at engine level (stage / file format / warehouse)
         m = _CREATE_STAGE_RE.match(s)
         if m and "FILE FORMAT" not in up.split("STAGE")[0]:

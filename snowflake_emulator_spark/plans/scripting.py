@@ -1,0 +1,417 @@
+"""Snowflake Scripting — restricted subset (beyond reference: the
+reference emulator passes SQL to DuckDB and has no procedural layer).
+
+Supported surface, modeled on Snowflake's public Scripting docs:
+
+* ``EXECUTE IMMEDIATE '<sql>'`` / ``EXECUTE IMMEDIATE $$ <sql|block> $$``
+* ``CREATE [OR REPLACE] PROCEDURE p(a NUMBER, ...) RETURNS <type>
+  [LANGUAGE SQL] AS $$ <block> $$`` / ``CALL p(<exprs>)`` /
+  ``DROP PROCEDURE [IF EXISTS] p`` / ``SHOW PROCEDURES``
+
+Block grammar::
+
+    [DECLARE  name type [DEFAULT <expr>]; ...]
+    BEGIN
+        <sql statement>;             -- :name binds substitute
+        LET name [type] := <expr>;   -- also `name := <expr>`
+        IF (<cond>) THEN ...;
+        [ELSEIF (<cond>) THEN ...;] [ELSE ...;] END IF;
+        RETURN <expr>;
+    END
+
+v1 restrictions (raise clearly, never silently misexecute): IF blocks
+do not nest, no FOR/WHILE loops, no cursors/RESULTSETs, no EXCEPTION
+sections. Declared types are accepted but values stay dynamically
+typed (every expression evaluates through the engine's full Spark
+path, so type behavior is Spark's).
+
+Variable references follow Snowflake's two scopes: ``:name`` binds
+inside SQL statements; bare ``name`` resolves inside scripting
+expressions (DEFAULT / LET / IF conditions / RETURN). Control flow is
+driver-side (as in Snowflake, where the scripting engine orchestrates
+statements server-side); every statement still executes distributed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..result import ColumnMetadata, Result
+
+_EXEC_IMM_RE = re.compile(r"^\s*EXECUTE\s+IMMEDIATE\s+(.+)$", re.I | re.S)
+_CREATE_PROC_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+([\w.\"$]+)\s*\((.*?)\)\s*"
+    r"RETURNS\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*"
+    r"(?:LANGUAGE\s+SQL\s*)?(?:EXECUTE\s+AS\s+\w+\s*)?"
+    r"AS\s+(?:\$\$(.*?)\$\$|'(.*?)')\s*$",
+    re.I | re.S,
+)
+_CALL_RE = re.compile(r"^\s*CALL\s+([\w.\"$]+)\s*\((.*)\)\s*$", re.I | re.S)
+_DROP_PROC_RE = re.compile(
+    r"^\s*DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*(?:\([^)]*\))?\s*$",
+    re.I,
+)
+_SHOW_PROC_RE = re.compile(r"^\s*SHOW\s+PROCEDURES\s*$", re.I)
+
+
+def try_handle(engine, s: str, ctx) -> Result | None:
+    """Entry point from engine.execute: handle scripting statements,
+    return None for everything else."""
+    m = _EXEC_IMM_RE.match(s)
+    if m:
+        return _execute_immediate(engine, ctx, m.group(1).strip())
+    m = _CREATE_PROC_RE.match(s)
+    if m:
+        return _create_procedure(engine, ctx, m)
+    m = _CALL_RE.match(s)
+    if m:
+        return _call_procedure(engine, ctx, m.group(1), m.group(2))
+    m = _DROP_PROC_RE.match(s)
+    if m:
+        return _drop_procedure(engine, ctx, m.group(2), bool(m.group(1)))
+    if _SHOW_PROC_RE.match(s):
+        return _show_procedures(engine, ctx)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE
+# ---------------------------------------------------------------------------
+
+def _execute_immediate(engine, ctx, payload: str) -> Result:
+    if payload.startswith("$$"):
+        end = payload.rfind("$$")
+        text = payload[2:end] if end > 1 else payload[2:]
+    elif payload.startswith("'"):
+        # ''-escape-aware literal
+        body, i = [], 1
+        while i < len(payload):
+            if payload[i] == "'":
+                if i + 1 < len(payload) and payload[i + 1] == "'":
+                    body.append("'")
+                    i += 2
+                    continue
+                break
+            body.append(payload[i])
+            i += 1
+        text = "".join(body)
+    else:
+        from .. import errors
+
+        raise errors.syntax_error(
+            "EXECUTE IMMEDIATE expects a string literal or $$ block")
+    text = text.strip()
+    if re.match(r"^(DECLARE|BEGIN)\b", text, re.I):
+        return _run_block(engine, ctx, text, {}, result_col="anonymous block")
+    return engine.execute(text, ctx)
+
+
+# ---------------------------------------------------------------------------
+# procedures
+# ---------------------------------------------------------------------------
+
+def _create_procedure(engine, ctx, m: re.Match) -> Result:
+    or_replace = bool(m.group(1))
+    name = m.group(2)
+    args_src = m.group(3).strip()
+    returns = m.group(4)
+    body = (m.group(5) if m.group(5) is not None else m.group(6)).strip()
+    arg_names, arg_types = [], []
+    if args_src:
+        for part in engine.executor.translator._split_args(args_src):
+            am = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)\s*$", part, re.S)
+            if not am:
+                from .. import errors
+
+                raise errors.syntax_error(f"bad procedure argument: {part}")
+            arg_names.append(am.group(1).upper())
+            arg_types.append(am.group(2).strip())
+    procs = _proc_store(engine)
+    key = _resolve(engine, name, ctx)
+    if key in procs and not or_replace:
+        from .. import errors
+
+        raise errors.object_exists(".".join(key))
+    procs[key] = {"arg_names": arg_names, "arg_types": arg_types,
+                  "returns": returns.upper(), "body": body}
+    return Result.status(f"Function {key[-1]} successfully created.")
+
+
+def _call_procedure(engine, ctx, name: str, args_src: str) -> Result:
+    procs = _proc_store(engine)
+    key = _resolve(engine, name, ctx)
+    if key not in procs:
+        from .. import errors
+
+        raise errors.object_not_found(".".join(key))
+    pm = procs[key]
+    args = [a for a in engine.executor.translator._split_args(args_src)
+            if a.strip()] if args_src.strip() else []
+    if len(args) != len(pm["arg_names"]):
+        from .. import errors
+
+        raise errors.invalid_parameter(
+            f"{key[-1]} expects {len(pm['arg_names'])} argument(s), got {len(args)}")
+    values = {an: _eval_expr(engine, ctx, a, {})
+              for an, a in zip(pm["arg_names"], args)}
+    body = pm["body"]
+    if not re.match(r"^(DECLARE|BEGIN)\b", body, re.I):
+        body = f"BEGIN {body}; END"
+    return _run_block(engine, ctx, body, values, result_col=key[-1])
+
+
+def _drop_procedure(engine, ctx, name: str, if_exists: bool) -> Result:
+    procs = _proc_store(engine)
+    key = _resolve(engine, name, ctx)
+    if key not in procs:
+        if if_exists:
+            return Result.status("Drop skipped: procedure does not exist.")
+        from .. import errors
+
+        raise errors.object_not_found(".".join(key))
+    del procs[key]
+    return Result.status(f"{key[-1]} successfully dropped.")
+
+
+def _show_procedures(engine, ctx) -> Result:
+    procs = _proc_store(engine)
+    cols = ["name", "schema_name", "database_name", "arguments", "language"]
+    rows = [
+        [k[2], k[1], k[0],
+         f"{k[2]}({', '.join(p['arg_types'])}) RETURN {p['returns']}", "SQL"]
+        for k, p in sorted(procs.items())
+    ]
+    return Result(columns=cols,
+                  column_types=[ColumnMetadata(c, "TEXT") for c in cols],
+                  rows=rows)
+
+
+def _proc_store(engine) -> dict:
+    if not hasattr(engine.catalog, "procedures"):
+        engine.catalog.procedures = {}
+    return engine.catalog.procedures
+
+
+def _resolve(engine, name: str, ctx) -> tuple:
+    return engine.catalog.resolve(name, ctx.database, ctx.schema)
+
+
+# ---------------------------------------------------------------------------
+# block execution
+# ---------------------------------------------------------------------------
+
+def _run_block(engine, ctx, text: str, variables: dict,
+               result_col: str) -> Result:
+    from ..engine import _split_statements
+
+    text = text.strip().rstrip(";").strip()
+    m = re.match(r"^DECLARE\b(.*?)\bBEGIN\b(.*)\bEND\s*$", text, re.I | re.S)
+    if m:
+        decl_src, body_src = m.group(1), m.group(2)
+    else:
+        m2 = re.match(r"^BEGIN\b(.*)\bEND\s*$", text, re.I | re.S)
+        if not m2:
+            from .. import errors
+
+            raise errors.syntax_error("scripting block must be BEGIN ... END")
+        decl_src, body_src = "", m2.group(1)
+    variables = dict(variables)
+    for d in _split_statements(decl_src):
+        dm = re.match(
+            r"^([A-Za-z_]\w*)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+            r"(?:\s+DEFAULT\s+(.+))?$",
+            d.strip(), re.I | re.S)
+        if not dm:
+            from .. import errors
+
+            raise errors.syntax_error(f"bad DECLARE entry: {d}")
+        variables[dm.group(1).upper()] = (
+            _eval_expr(engine, ctx, dm.group(3), variables)
+            if dm.group(3) else None)
+
+    stmts = _split_statements(body_src)
+    last: Result | None = None
+    i = 0
+    while i < len(stmts):
+        st = stmts[i].strip()
+        if re.match(r"^IF\b", st, re.I):
+            group = [st]
+            while (not re.search(r"\bEND\s+IF$", group[-1].strip(), re.I)
+                   and i + 1 < len(stmts)):
+                i += 1
+                group.append(stmts[i].strip())
+            kind, value = _run_if(engine, ctx, group, variables)
+        else:
+            kind, value = _exec_stmt(engine, ctx, st, variables)
+        if kind == "return":
+            return _value_result(value, result_col)
+        if kind == "result":
+            last = value
+        i += 1
+    if last is not None:
+        return last
+    return _value_result(None, result_col)
+
+
+def _run_if(engine, ctx, group: list[str], variables: dict):
+    """group = the ';'-split pieces of one IF ... END IF construct."""
+    from .. import errors
+
+    first = group[0]
+    open_idx = first.upper().index("IF") + 2
+    while open_idx < len(first) and first[open_idx] != "(":
+        open_idx += 1
+    close_idx = _match_paren(first, open_idx)
+    branches = []  # (cond | None, [stmts])
+    cond = first[open_idx + 1:close_idx]
+    after = re.sub(r"^\s*THEN\b", "", first[close_idx + 1:].strip(), flags=re.I)
+    branches.append((cond, [after.strip()] if after.strip() else []))
+    for part in group[1:]:
+        up = part.upper()
+        if re.match(r"^IF\b", up):
+            raise NotImplementedError(
+                "nested IF blocks are not supported in this scripting subset")
+        if up == "END IF":
+            continue
+        em = re.match(r"^ELSE\s*IF\b|^ELSEIF\b", part, re.I)
+        if em:
+            o = part.index("(")
+            c = _match_paren(part, o)
+            cond2 = part[o + 1:c]
+            after2 = re.sub(r"^\s*THEN\b", "", part[c + 1:].strip(), flags=re.I)
+            branches.append((cond2, [after2.strip()] if after2.strip() else []))
+            continue
+        if re.match(r"^ELSE\b", part, re.I):
+            rest = part[4:].strip()
+            branches.append((None, [rest] if rest else []))
+            continue
+        tail = re.sub(r"\bEND\s+IF$", "", part, flags=re.I).strip()
+        if tail:
+            branches[-1][1].append(tail)
+    for _c, stmts in branches:
+        for st in stmts:
+            if re.match(r"^IF\b", st.strip(), re.I):
+                raise NotImplementedError(
+                    "nested IF blocks are not supported in this scripting subset")
+    for cond, stmts in branches:
+        if cond is None or _eval_cond(engine, ctx, cond, variables):
+            for st in stmts:
+                kind, value = _exec_stmt(engine, ctx, st, variables)
+                if kind == "return":
+                    return "return", value
+            return "none", None
+    return "none", None
+
+
+def _exec_stmt(engine, ctx, st: str, variables: dict):
+    st = st.strip()
+    if not st:
+        return "none", None
+    rm = re.match(r"^RETURN\b(.*)$", st, re.I | re.S)
+    if rm:
+        return "return", _eval_expr(engine, ctx, rm.group(1), variables)
+    lm = re.match(
+        r"^(?:LET\s+)?([A-Za-z_]\w*)\s*"
+        r"(?:[\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?\s+)?:?=\s*(.+)$",
+        st, re.I | re.S) if re.match(r"^(LET\b|[A-Za-z_]\w*\s*:=)", st, re.I) else None
+    if lm:
+        variables[lm.group(1).upper()] = _eval_expr(
+            engine, ctx, lm.group(2), variables)
+        return "none", None
+    return "result", engine.execute(_subst(st, variables, bind_only=True), ctx)
+
+
+# ---------------------------------------------------------------------------
+# expression / variable plumbing
+# ---------------------------------------------------------------------------
+
+def _eval_expr(engine, ctx, expr: str, variables: dict):
+    expr = (expr or "").strip()
+    if not expr:
+        return None
+    res = engine.execute(
+        f"SELECT {_subst(expr, variables, bind_only=False)} AS v", ctx)
+    return res.rows[0][0] if res.rows else None
+
+
+def _eval_cond(engine, ctx, cond: str, variables: dict) -> bool:
+    v = _eval_expr(
+        engine, ctx,
+        f"CASE WHEN ({cond.strip()}) THEN TRUE ELSE FALSE END", variables)
+    return bool(v)
+
+
+def _subst(text: str, variables: dict, bind_only: bool) -> str:
+    """Replace :name (always) and bare name (scripting expressions
+    only) with the variable's literal; string literals untouched."""
+    from ..executor import _inside_string
+
+    if not variables:
+        return text
+
+    def lit(v) -> str:
+        import datetime as _dt
+        import decimal as _decimal
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float, _decimal.Decimal)):
+            return str(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    pattern = (r":([A-Za-z_]\w*)" if bind_only
+               else r"(?::([A-Za-z_]\w*))|(?<![\w.:$])([A-Za-z_]\w*)(?![\w(])")
+
+    def repl(m: re.Match) -> str:
+        if _inside_string(text, m.start()):
+            return m.group(0)
+        name = (m.group(1) or (m.group(2) if m.lastindex and m.lastindex > 1
+                               else None))
+        if name and name.upper() in variables:
+            return lit(variables[name.upper()])
+        return m.group(0)
+
+    return re.sub(pattern, repl, text)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    depth, i = 0, open_idx
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'":
+                    if j + 1 < len(s) and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses")
+
+
+def _value_result(value, col: str) -> Result:
+    if isinstance(value, bool):
+        cm = ColumnMetadata(col, "BOOLEAN")
+    elif isinstance(value, int):
+        cm = ColumnMetadata(col, "NUMBER", precision=38, scale=0)
+    elif isinstance(value, float):
+        cm = ColumnMetadata(col, "FLOAT")
+    else:
+        cm = ColumnMetadata(col, "TEXT", length=16777216)
+    return Result(columns=[col], column_types=[cm], rows=[[value]])

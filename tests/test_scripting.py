@@ -1,0 +1,135 @@
+"""Snowflake Scripting subset (plans/scripting.py): EXECUTE IMMEDIATE
+blocks, CREATE PROCEDURE / CALL / DROP / SHOW PROCEDURES."""
+
+import pytest
+
+from snowflake_emulator_spark.sessions import SessionContext
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_execute_immediate_plain_sql(engine):
+    ctx = SessionContext()
+    res = engine.execute("EXECUTE IMMEDIATE 'SELECT 1 + 1 AS v'", ctx)
+    assert _rows(res) == [(2,)]
+    # $$-quoted variant; quotes inside survive
+    res = engine.execute("EXECUTE IMMEDIATE $$ SELECT 'a''b' AS s $$", ctx)
+    assert _rows(res) == [("a'b",)]
+
+
+def test_execute_immediate_block_declare_if_return(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_t (id INTEGER, amt DOUBLE)", ctx)
+    engine.execute("INSERT INTO scr_t VALUES (1, 10.0), (2, 90.0)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE\n"
+        "  total DOUBLE DEFAULT 0;\n"
+        "  grade VARCHAR;\n"
+        "BEGIN\n"
+        "  LET total := (SELECT SUM(amt) FROM scr_t);\n"
+        "  IF (total > 50) THEN\n"
+        "    LET grade := 'high';\n"
+        "  ELSEIF (total > 10) THEN\n"
+        "    LET grade := 'mid';\n"
+        "  ELSE\n"
+        "    LET grade := 'low';\n"
+        "  END IF;\n"
+        "  RETURN grade || ':' || total;\n"
+        "END\n"
+        "$$", ctx)
+    assert res.columns == ["anonymous block"]
+    assert res.rows[0][0] == "high:100.0"
+
+
+def test_execute_immediate_block_statements_and_binds(engine):
+    """SQL statements inside the block run for effect with :name
+    binds; without RETURN the last statement's result comes back."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_b (id INTEGER, tag VARCHAR)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE n NUMBER DEFAULT 7;\n"
+        "BEGIN\n"
+        "  INSERT INTO scr_b VALUES (:n, 'x');\n"
+        "  INSERT INTO scr_b VALUES (:n + 1, 'y');\n"
+        "  SELECT id, tag FROM scr_b ORDER BY id;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [(7, "x"), (8, "y")]
+
+
+def test_procedure_lifecycle(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_p (id INTEGER, amt DOUBLE)", ctx)
+    engine.execute("INSERT INTO scr_p VALUES (1, 5.0), (2, 15.0)", ctx)
+    engine.execute(
+        "CREATE PROCEDURE scr_total(min_amt DOUBLE) RETURNS DOUBLE "
+        "LANGUAGE SQL AS $$\n"
+        "BEGIN\n"
+        "  RETURN (SELECT SUM(amt) FROM scr_p WHERE amt >= min_amt);\n"
+        "END\n"
+        "$$", ctx)
+    res = engine.execute("CALL scr_total(10.0)", ctx)
+    assert res.columns == ["SCR_TOTAL"] and res.rows[0][0] == 15.0
+    res = engine.execute("CALL scr_total(0.0)", ctx)
+    assert res.rows[0][0] == 20.0
+    # arity mismatch raises
+    with pytest.raises(Exception, match="argument"):
+        engine.execute("CALL scr_total()", ctx)
+    # duplicate without OR REPLACE raises; OR REPLACE swaps
+    with pytest.raises(Exception, match="already exists"):
+        engine.execute(
+            "CREATE PROCEDURE scr_total(min_amt DOUBLE) RETURNS DOUBLE "
+            "AS $$ BEGIN RETURN 0; END $$", ctx)
+    engine.execute(
+        "CREATE OR REPLACE PROCEDURE scr_total(min_amt DOUBLE) "
+        "RETURNS DOUBLE AS $$ BEGIN RETURN min_amt * 2; END $$", ctx)
+    assert engine.execute("CALL scr_total(21.0)", ctx).rows[0][0] == 42.0
+    names = [r[0] for r in engine.execute("SHOW PROCEDURES", ctx).rows]
+    assert "SCR_TOTAL" in names
+    engine.execute("DROP PROCEDURE scr_total", ctx)
+    assert "SCR_TOTAL" not in [
+        r[0] for r in engine.execute("SHOW PROCEDURES", ctx).rows]
+    with pytest.raises(Exception):
+        engine.execute("CALL scr_total(1.0)", ctx)
+    engine.execute("DROP PROCEDURE IF EXISTS scr_total", ctx)  # no raise
+
+
+def test_procedure_dml_side_effects(engine):
+    """A procedure whose body is plain statements (no explicit block)
+    wraps into BEGIN..END; bare arg names resolve in scripting
+    expressions, :binds in SQL."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_log (msg VARCHAR)", ctx)
+    engine.execute(
+        "CREATE PROCEDURE scr_log_it(m VARCHAR) RETURNS VARCHAR AS $$\n"
+        "BEGIN\n"
+        "  INSERT INTO scr_log VALUES (:m);\n"
+        "  RETURN 'logged ' || m;\n"
+        "END\n"
+        "$$", ctx)
+    res = engine.execute("CALL scr_log_it('hello')", ctx)
+    assert res.rows[0][0] == "logged hello"
+    assert _rows(engine.execute("SELECT * FROM scr_log", ctx)) == [("hello",)]
+
+
+def test_scripting_restrictions_raise(engine):
+    ctx = SessionContext()
+    with pytest.raises(NotImplementedError, match="nested IF"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "IF (1 = 1) THEN IF (2 = 2) THEN RETURN 1; END IF; END IF; "
+            "END $$", ctx)
+
+
+def test_scripting_string_literals_not_substituted(engine):
+    """A variable name inside a string literal stays verbatim in both
+    scripting expressions and SQL statements."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE v NUMBER DEFAULT 9; "
+        "BEGIN RETURN 'v is ' || v; END $$", ctx)
+    assert res.rows[0][0] == "v is 9"
