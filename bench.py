@@ -123,9 +123,11 @@ def main() -> None:
         for name in HEADLINE:
             run_once(name)
     # adaptive fourth pass: a steal burst can span several timed runs
-    # of a query; anything still slow gets one more chance spaced in time
+    # of a query; anything still slow gets one more chance spaced in
+    # time (threshold lowered 2.0 -> 1.2 s in r4: under full-output
+    # evaluation more queries sit just above the old bar)
     for name in HEADLINE:
-        if times[name] > 2.0:
+        if times[name] > 1.2:
             run_once(name)
     total = round(sum(times.values()), 3)
     # secondary scale factor: the same queries at sf0.01 separate the
@@ -161,7 +163,7 @@ def main() -> None:
         "unit": "sec",
         "spark_floor_per_query": floor,
         "queries": times,
-        "runs_per_query": "3 (+1 adaptive if min > 2s)",
+        "runs_per_query": "3 (+1 adaptive if min > 1.2s)",
         "aggregation": "min",
         # methodology change vs r1-r3 (which timed .count() — Catalyst
         # pruned map-only queries to an empty-schema scan): every query

@@ -475,6 +475,16 @@ class Executor:
                        if fm.table_columns is not None else fm.returns)
                 return (f"CREATE OR REPLACE FUNCTION {fm.name}({args}) "
                         f"RETURNS {ret} AS $${fm.body}$$;")
+            if kind == "PROCEDURE":
+                key = self.catalog.resolve(name, ctx.database, ctx.schema)
+                pm = getattr(self.catalog, "procedures", {}).get(key)
+                if pm is None:
+                    raise errors.object_not_found(".".join(key))
+                args = ", ".join(
+                    f"{n} {t}" for n, t in zip(pm["arg_names"], pm["arg_types"]))
+                return (f"CREATE OR REPLACE PROCEDURE {key[2]}({args}) "
+                        f"RETURNS {pm['returns']} LANGUAGE SQL AS "
+                        f"$${pm['body']}$$;")
             raise errors.invalid_parameter(f"GET_DDL: unsupported object type {kind}")
 
         return self._GET_DDL_RE.sub(

@@ -79,6 +79,17 @@ def try_handle(engine, s: str, ctx) -> Result | None:
 # ---------------------------------------------------------------------------
 
 def _execute_immediate(engine, ctx, payload: str) -> Result:
+    vm = re.match(r"^\$([A-Za-z_]\w*)$", payload)
+    if vm:
+        # EXECUTE IMMEDIATE $session_var (Snowflake supports running a
+        # SQL string held in a session variable)
+        variables = getattr(ctx, "variables", None) or {}
+        name = vm.group(1).upper()
+        if name not in variables:
+            from .. import errors
+
+            raise errors.object_not_found(name)
+        payload = "'" + str(variables[name]).replace("'", "''") + "'"
     if payload.startswith("$$"):
         end = payload.rfind("$$")
         text = payload[2:end] if end > 1 else payload[2:]

@@ -125,6 +125,25 @@ def test_scripting_restrictions_raise(engine):
             "END $$", ctx)
 
 
+def test_execute_immediate_session_variable(engine):
+    """EXECUTE IMMEDIATE $var runs the SQL held in a session variable."""
+    ctx = SessionContext()
+    engine.execute("SET q = 'SELECT 40 + 2 AS v'", ctx)
+    res = engine.execute("EXECUTE IMMEDIATE $q", ctx)
+    assert _rows(res) == [(42,)]
+
+
+def test_get_ddl_procedure(engine):
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE PROCEDURE ddl_proc(x NUMBER) RETURNS NUMBER AS "
+        "$$ BEGIN RETURN x + 1; END $$", ctx)
+    d = engine.execute("SELECT GET_DDL('PROCEDURE', 'ddl_proc') AS d",
+                       ctx).rows[0][0]
+    assert d.startswith("CREATE OR REPLACE PROCEDURE DDL_PROC(X NUMBER)")
+    assert "RETURN x + 1" in d and "LANGUAGE SQL" in d
+
+
 def test_scripting_string_literals_not_substituted(engine):
     """A variable name inside a string literal stays verbatim in both
     scripting expressions and SQL statements."""
