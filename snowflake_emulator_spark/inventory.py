@@ -3675,6 +3675,39 @@ ORDER BY doc_id
 """
 
 
+def _text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of word 8-gram occurrences shared with any
+    other document (exact-substring-dedup signal)."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.dup_ngram_fraction(d, n=8).orderBy("doc_id")
+
+
+_DUP_NGRAM_ORACLE = f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INTEGER),
+                                    CAST(i AS INTEGER) + 7), ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)),
+shared AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+  WHERE df > 1),
+agg AS (
+  SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(CASE WHEN s.g IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               / count(*), 6) AS dup_frac
+  FROM grams gr LEFT JOIN shared s USING (g) GROUP BY gr.doc_id)
+SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.dup_frac, 0.0) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
 def _text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus df>=3 vocabulary (noise signal)."""
     from .operators import corpus
@@ -3944,6 +3977,7 @@ REGISTRY: dict[str, tuple] = {
     "text_perplexity_buckets": (_text_perplexity_buckets,
                                 _PPL_BUCKETS_ORACLE.format(norm=_NORM_DUCK)),
     "text_oov_rate": (_text_oov_rate, _OOV_ORACLE),
+    "text_dup_ngram_fraction": (_text_dup_ngram_fraction, _DUP_NGRAM_ORACLE),
     "sample_token_budget": (_sample_token_budget, _token_budget_oracle()),
     "source_overlap_jaccard": (_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),

@@ -146,6 +146,51 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
     )
 
 
+def dup_ngram_fraction(df: DataFrame, n: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document fraction of word n-gram occurrences that also
+    appear in at least one OTHER document — the signal exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") acts on, computed relationally: a doc full of
+    corpus-duplicated 8-gram spans is boilerplate even when no whole
+    paragraph matches.
+
+    Returns (id, n_grams, dup_frac); docs shorter than n grams emit
+    (0, 0.0). Scale: the gram doc-frequency table aggregates the
+    distinct (gram, doc) relation — one shuffle on the gram key — and
+    only grams with df > 1 (a small fraction of the gram space) join
+    back against the occurrence relation.
+    """
+    from .textstats import word_ngram_array
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngram_array(toks, n)).alias("g"),
+    )
+    shared = (
+        grams.filter(F.col("g").isNotNull())
+        .select(id_col, "g").distinct()
+        .groupBy("g").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("g", F.lit(True).alias("__shared"))
+    )
+    return (
+        grams.join(shared, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("g").isNotNull().cast("bigint")).alias("n_grams"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("__shared").isNotNull().cast("double"))
+                    / F.nullif(F.sum(F.col("g").isNotNull().cast("double")),
+                               F.lit(0.0)),
+                    F.lit(0.0)),
+                6).alias("dup_frac"),
+        )
+    )
+
+
 def source_overlap(df: DataFrame, shingle: int = 5,
                    source_col: str = "source", text_col: str = "text") -> DataFrame:
     """Pairwise content overlap between sources: exact Jaccard of each

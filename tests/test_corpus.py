@@ -67,6 +67,30 @@ def test_token_budget_sample_prefix_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_dup_ngram_fraction_semantics(spark):
+    """Docs sharing an 8-gram span score it as duplicated in BOTH; a
+    doc with all-unique grams scores 0; too-short docs emit (0, 0.0);
+    intra-doc repetition alone does not count (df is per-document)."""
+    from snowflake_emulator_spark.operators import corpus
+
+    span = "one two three four five six seven eight"   # exactly 8 tokens
+    rows = [
+        (1, f"{span} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"{span} iota kappa lmbda mu nu xi omicron pi"),
+        (3, "totally unique words q w e r t y u i"),
+        (4, "short doc"),                               # < 8 tokens
+        (5, f"rep rep rep rep rep rep rep rep rep"),    # intra-doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.dup_ngram_fraction(df, n=8).collect()}
+    # 16 tokens -> 9 grams; only the first (the shared span) is dup
+    assert out[1]["n_grams"] == 9 and out[1]["dup_frac"] == round(1 / 9, 6)
+    assert out[2]["dup_frac"] == round(1 / 9, 6)
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[5]["dup_frac"] == 0.0      # repeats within one doc only
+
+
 def test_source_overlap_jaccard_bounds(spark):
     """Identical sources -> jaccard 1.0; disjoint -> no row (inner
     join on shared shingles); partial overlap in between."""
