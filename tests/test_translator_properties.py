@@ -90,3 +90,41 @@ def test_go_float_round_trips(f):
 
     s = _go_float(f)
     assert float(s) == f
+
+
+# ---------------------------------------------------------------------------
+# _split_statements: quote/$$/comment-aware splitting (r4 ADVICE fix)
+# ---------------------------------------------------------------------------
+
+_seg = st.one_of(
+    st.text(alphabet="abc XY,=()", min_size=0, max_size=8).map(
+        lambda s: s.replace(";", "")),
+    st.text(alphabet="ab;'", min_size=1, max_size=6).map(
+        lambda s: "'" + s.replace("'", "''") + "'"),      # quoted literal
+    st.text(alphabet="ab; '", min_size=0, max_size=6).map(
+        lambda s: "$$" + s.replace("$$", "") + "$$"),     # dollar body
+    st.text(alphabet="ab;'x", min_size=0, max_size=6).map(
+        lambda s: "-- " + s.replace("\n", "") + "\n"),    # line comment
+    st.text(alphabet="ab;'x", min_size=0, max_size=6).map(
+        lambda s: "/* " + s.replace("*/", "") + " */"),   # block comment
+)
+
+
+@given(st.lists(st.lists(_seg, min_size=1, max_size=4), min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_split_statements_property(stmt_segs):
+    """Joining arbitrary statements (each built from plain text, quoted
+    literals, $$ bodies and comments) with ';' then splitting recovers
+    one piece per non-empty statement: semicolons inside literals,
+    $$ bodies and comments never split; leading comments are stripped;
+    apostrophes in comments never open a string."""
+    from snowflake_emulator_spark.engine import (
+        _split_statements,
+        _strip_leading_comments,
+    )
+
+    stmts = ["".join(segs) for segs in stmt_segs]
+    script = ";".join(stmts)
+    parts = _split_statements(script)
+    expected = [x for x in (_strip_leading_comments(s) for s in stmts) if x]
+    assert parts == expected
