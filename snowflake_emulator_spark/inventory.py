@@ -3798,6 +3798,55 @@ ORDER BY source_a, source_b
 """
 
 
+# round-4 misc scalar batch: functions that pass through to native
+# Spark names (REGEXP_COUNT/INSTR, CBRT, FACTORIAL, WIDTH_BUCKET,
+# ADD_MONTHS, ARRAYS_OVERLAP, ARRAY_REMOVE/MIN/MAX) plus the r4
+# emitters DIV0NULL and YEAROFWEEK; the DuckDB oracle re-expresses
+# each with equivalent-but-differently-named functions
+_SF_MISC_SCALAR = """
+SELECT p_partkey,
+       REGEXP_COUNT(p_name, '[aeiou]+') AS rc,
+       IFF(REGEXP_COUNT(p_name, '[aeiou]') = 0, 0,
+           REGEXP_INSTR(p_name, '[aeiou]')) AS ri,
+       ROUND(CBRT(p_retailprice), 6) AS cb,
+       FACTORIAL(MOD(p_partkey, 10)::INTEGER) AS fact,
+       ROUND(DIV0NULL(p_retailprice, NULLIF(MOD(p_partkey, 3), 2)), 6) AS dn,
+       ADD_MONTHS('2024-01-31'::DATE, MOD(p_partkey, 5)) AS am,
+       YEAROFWEEK('2021-01-01'::DATE) AS yw,
+       ARRAYS_OVERLAP(ARRAY_CONSTRUCT(p_size, 1), ARRAY_CONSTRUCT(1, 2)) AS ao,
+       ARRAY_TO_STRING(ARRAY_REMOVE(ARRAY_CONSTRUCT(p_size, 1, 2), 1), ',') AS ar,
+       ARRAY_MIN(ARRAY_CONSTRUCT(p_size, 5, 9)) AS amn,
+       ARRAY_MAX(ARRAY_CONSTRUCT(p_size, 5, 9)) AS amx,
+       WIDTH_BUCKET(p_retailprice, 900, 1000, 4) AS wb
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+_SF_MISC_SCALAR_ORACLE = """
+SELECT p_partkey,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER) AS rc,
+       CAST(CASE WHEN len(regexp_extract_all(p_name, '[aeiou]')) = 0 THEN 0
+                 ELSE strpos(p_name, regexp_extract(p_name, '[aeiou]'))
+            END AS INTEGER) AS ri,
+       round(cbrt(p_retailprice), 6) AS cb,
+       CAST(factorial(CAST(p_partkey % 10 AS INTEGER)) AS BIGINT) AS fact,
+       round(CASE WHEN nullif(p_partkey % 3, 2) IS NULL
+                    OR nullif(p_partkey % 3, 2) = 0 THEN 0
+                  ELSE p_retailprice / nullif(p_partkey % 3, 2) END, 6) AS dn,
+       CAST(DATE '2024-01-31' + to_months(CAST(p_partkey % 5 AS INTEGER))
+            AS DATE) AS am,
+       2020 AS yw,
+       list_has_any([p_size, 1], [1, 2]) AS ao,
+       array_to_string(list_filter([p_size, 1, 2], x -> x != 1), ',') AS ar,
+       list_min([p_size, 5, 9]) AS amn,
+       list_max([p_size, 5, 9]) AS amx,
+       CAST(CASE WHEN p_retailprice < 900 THEN 0
+                 WHEN p_retailprice >= 1000 THEN 5
+                 ELSE floor((p_retailprice - 900) / ((1000.0 - 900.0) / 4)) + 1
+            END AS BIGINT) AS wb
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -3904,6 +3953,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_double_colon_cast": (_snow(_SF_CAST), _SF_CAST_ORACLE),
     "sf_scalar_funcs": (_snow(_SF_STR), _SF_STR_ORACLE),
     "sf_codec_hash_funcs": (_snow(_SF_CODEC), _SF_CODEC_ORACLE),
+    "sf_misc_scalar_funcs": (_snow(_SF_MISC_SCALAR), _SF_MISC_SCALAR_ORACLE),
     "sf_bitwise_bool_funcs": (_snow(_SF_BITWISE), _SF_BITWISE_ORACLE),
     "sf_datetime_build_funcs": (_snow(_SF_DATEBUILD), _SF_DATEBUILD_ORACLE),
     "agg_regression_stats": (_sql(_AGG_REGR), _AGG_REGR),

@@ -887,6 +887,12 @@ class Translator:
             return f"coalesce({args[0]}, 0)"
         if fname == "DIV0":
             return f"if(({args[1]}) = 0, 0, ({args[0]}) / ({args[1]}))"
+        if fname == "DIV0NULL":
+            # like DIV0 but also returns 0 for a NULL divisor
+            return (f"if(({args[1]}) IS NULL OR ({args[1]}) = 0, 0, "
+                    f"({args[0]}) / ({args[1]}))")
+        if fname == "YEAROFWEEK":
+            return f"extract(YEAROFWEEK FROM {args[0]})"
         if fname == "NULLIFZERO":
             return f"nullif({args[0]}, 0)"
         if fname == "EDITDISTANCE":
@@ -1482,6 +1488,8 @@ _REWRITABLE = {
     "TRUNC",
     "APPROX_PERCENTILE",
     "HLL",
+    "DIV0NULL",
+    "YEAROFWEEK",
 }
 
 

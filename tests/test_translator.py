@@ -102,6 +102,10 @@ from snowflake_emulator_spark.plans.translator import translate
         # misc Snowflake-isms
         ("SELECT ZEROIFNULL(x) FROM t", "SELECT coalesce(x, 0) FROM t"),
         ("SELECT DIV0(a, b) FROM t", "SELECT if((b) = 0, 0, (a) / (b)) FROM t"),
+        ("SELECT DIV0NULL(a, b) FROM t",
+         "SELECT if((b) IS NULL OR (b) = 0, 0, (a) / (b)) FROM t"),
+        ("SELECT YEAROFWEEK(d) FROM t",
+         "SELECT extract(YEAROFWEEK FROM d) FROM t"),
         ("SELECT SQUARE(x) FROM t", "SELECT ((x) * (x)) FROM t"),
         ("SELECT TO_DOUBLE(x) FROM t", "SELECT CAST(x AS DOUBLE) FROM t"),
         ("SELECT LEN(s) FROM t", "SELECT length(s) FROM t"),
