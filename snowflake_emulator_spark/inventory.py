@@ -3767,6 +3767,25 @@ FROM cum WHERE cum_toks <= budget ORDER BY source, cum_toks
 """
 
 
+def _sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source sample (few-shot / eval-set pick)."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return corpus.k_per_group_sample(d, k=5).orderBy("source", "pick_rank")
+
+
+_K_PER_GROUP_ORACLE = """
+SELECT doc_id, source, CAST(rn AS INTEGER) AS pick_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 5 ORDER BY source, pick_rank
+"""
+
+
 def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source shingle-set Jaccard matrix (corpus redundancy)."""
     from .operators import corpus
@@ -4029,6 +4048,7 @@ REGISTRY: dict[str, tuple] = {
     "text_oov_rate": (_text_oov_rate, _OOV_ORACLE),
     "text_dup_ngram_fraction": (_text_dup_ngram_fraction, _DUP_NGRAM_ORACLE),
     "sample_token_budget": (_sample_token_budget, _token_budget_oracle()),
+    "sample_k_per_group": (_sample_k_per_group, _K_PER_GROUP_ORACLE),
     "source_overlap_jaccard": (_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),
     "pipeline_keep_set": (_pipeline_keep_set, _pipeline_keep_oracle()),

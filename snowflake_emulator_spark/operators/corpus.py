@@ -146,6 +146,23 @@ def token_budget_sample(df: DataFrame, budgets: dict[str, int],
     )
 
 
+def k_per_group_sample(df: DataFrame, k: int, group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Deterministic k-per-group sampling (few-shot/eval-set building):
+    within each group, keep the k documents that sort first by
+    md5(doc_id) — a stable pseudo-random pick reproducible across
+    engines, runs and stage retries. One window per group partition;
+    nothing else shuffles.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, group_col, F.col("__rn").alias("pick_rank"))
+    )
+
+
 def dup_ngram_fraction(df: DataFrame, n: int = 8, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Per-document fraction of word n-gram occurrences that also

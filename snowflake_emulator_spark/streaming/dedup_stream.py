@@ -62,3 +62,31 @@ def dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
         .dropDuplicates(["fp"])
         .select("doc_id", "ts", "fp", "text")
     )
+
+
+def incremental_dedup_stream(docs: DataFrame, corpus: DataFrame,
+                             text_col: str = "text",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """New-vs-corpus streaming dedup — the streaming twin of
+    ``operators/dedup.incremental_dedup``'s exact tier: arriving
+    documents whose content fingerprint already exists in the STATIC
+    corpus are dropped (stream-static left-anti join — Structured
+    Streaming re-plans the static side per micro-batch, so a corpus
+    refreshed between batches is picked up), then re-deliveries inside
+    the stream are suppressed by watermark-bounded dropDuplicates
+    state.
+
+    Scale: the corpus side joins on the fingerprint key (broadcast
+    below threshold, shuffled hash join above — per-batch Catalyst
+    choice); streaming state is one entry per NEW unique fingerprint
+    within the watermark horizon, independent of corpus size.
+    """
+    corpus_fp = corpus.select(
+        _fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return (
+        docs.withColumn("fp", _fingerprint(F.col("text")))
+        .withWatermark("ts", watermark)
+        .join(corpus_fp, "fp", "left_anti")
+        .dropDuplicates(["fp"])
+        .select("doc_id", "ts", "fp", "text")
+    )

@@ -107,6 +107,50 @@ def test_streaming_dedup(spark, tmp_path):
     assert len(set(fps.values())) == 3
 
 
+def test_streaming_incremental_dedup_vs_corpus(spark, tmp_path):
+    """Stream-static anti join against corpus fingerprints: arriving
+    docs whose content already exists in the static corpus never
+    emit; within-stream duplicates are still suppressed."""
+    from snowflake_emulator_spark.streaming import dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "existing corpus document"), (101, "another known one")],
+        "doc_id long, text string")
+    src = tmp_path / "incdedup_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            # matches corpus 100 after normalization -> dropped
+            {"doc_id": 1, "ts": "2024-01-01T00:00:00",
+             "text": "Existing   CORPUS document!"},
+            {"doc_id": 2, "ts": "2024-01-01T00:00:05", "text": "brand new"},
+            # duplicate of doc 2 within the stream -> dropped
+            {"doc_id": 3, "ts": "2024-01-01T00:00:10", "text": "BRAND NEW"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    stream = dedup_stream.read_doc_stream(spark, str(src))
+    fresh = dedup_stream.incremental_dedup_stream(
+        stream, corpus, watermark="10 minutes")
+    q = (fresh.writeStream.format("memory").queryName("t_incdedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        with open(src / "b2.json", "w") as f:
+            for r in [
+                # corpus hit again in a later trigger -> dropped
+                {"doc_id": 4, "ts": "2024-01-01T00:01:00",
+                 "text": "another known one"},
+                {"doc_id": 5, "ts": "2024-01-01T00:01:10", "text": "also new"},
+            ]:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r["doc_id"]
+                 for r in spark.sql("SELECT doc_id FROM t_incdedup").collect())
+    assert ids == [2, 5]
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks attribute to impressions
     of the same user within the interval; out-of-window and other-user
