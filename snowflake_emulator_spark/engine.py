@@ -161,7 +161,13 @@ class Engine:
             for p in parts:
                 res = self.execute(p, ctx, bindings, query_id=query_id)
             return res
-        s = sql.strip().rstrip(";").strip()
+        if not parts:
+            # comment-only / empty input (Snowflake: 000900)
+            raise errors.syntax_error("Empty SQL statement.")
+        # use the SPLIT statement, not the raw input: the splitter
+        # strips leading comments and trailing comment-only segments
+        # that would otherwise defeat every ^\s*KEYWORD classifier below
+        s = parts[0].strip().rstrip(";").strip()
         up = s.upper()
         # Snowflake Scripting surface (EXECUTE IMMEDIATE blocks,
         # CREATE PROCEDURE / CALL) — beyond reference

@@ -212,10 +212,20 @@ _ALTER_TABLE_RENAME_RE = re.compile(
 
 def _inside_string(s: str, pos: int) -> bool:
     """True when ``pos`` falls inside a single-quoted SQL string
-    (''-escape aware)."""
+    (''-escape aware). Comment spans (``-- ...`` / ``/* ... */``) are
+    skipped — an apostrophe in a comment (``-- don't``) must not open
+    a string and poison every later guard in the statement."""
     in_str = False
     i = 0
     while i < pos:
+        if not in_str and s.startswith("--", i):
+            j = s.find("\n", i + 2)
+            i = len(s) if j < 0 else j + 1
+            continue
+        if not in_str and s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            i = len(s) if j < 0 else j + 2
+            continue
         if s[i] == "'":
             if in_str and i + 1 < len(s) and s[i + 1] == "'":
                 i += 2
@@ -223,6 +233,25 @@ def _inside_string(s: str, pos: int) -> bool:
             in_str = not in_str
         i += 1
     return in_str
+
+
+def sql_literal(v) -> str:
+    """Render a Python value as a SQL literal (shared by session-var
+    substitution and the scripting engine — one renderer, no drift)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, _decimal.Decimal)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 class Executor:
@@ -569,27 +598,11 @@ class Executor:
         if not variables or "$" not in sql:
             return sql
 
-        def _lit(v) -> str:
-            import datetime as _dt
-            import decimal as _decimal
-
-            if v is None:
-                return "NULL"
-            if isinstance(v, bool):
-                return "TRUE" if v else "FALSE"
-            if isinstance(v, (int, float, _decimal.Decimal)):
-                return str(v)
-            if isinstance(v, _dt.datetime):
-                return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
-            if isinstance(v, _dt.date):
-                return f"DATE '{v.isoformat()}'"
-            return "'" + str(v).replace("'", "''") + "'"
-
         # substitution applies only in identifier/expression positions:
         # a $var inside a quoted string literal ('cost: $total') stays
         # verbatim, matching Snowflake
         return self._SESSION_VAR_RE.sub(
-            lambda m: _lit(variables[m.group(1).upper()])
+            lambda m: sql_literal(variables[m.group(1).upper()])
             if m.group(1).upper() in variables
             and not _inside_string(sql, m.start()) else m.group(0),
             sql,

@@ -180,10 +180,17 @@ def dup_ngram_fraction(df: DataFrame, n: int = 8, id_col: str = "doc_id",
     """
     from .textstats import word_ngram_array
 
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams = df.select(
+    # PROJECT the token array first: word_ngram_array's transform
+    # lambda re-evaluates its argument per element, so an unprojected
+    # normalize+split expression would re-run two regex passes per
+    # gram (O(len^2) per document — see the char_ngrams note)
+    base = df.select(
         F.col(id_col),
-        F.explode_outer(word_ngram_array(toks, n)).alias("g"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__w"),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode_outer(word_ngram_array(F.col("__w"), n)).alias("g"),
     )
     shared = (
         grams.filter(F.col("g").isNotNull())

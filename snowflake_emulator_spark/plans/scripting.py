@@ -145,7 +145,7 @@ def _create_procedure(engine, ctx, m: re.Match) -> Result:
         raise errors.object_exists(".".join(key))
     procs[key] = {"arg_names": arg_names, "arg_types": arg_types,
                   "returns": returns.upper(), "body": body}
-    return Result.status(f"Function {key[-1]} successfully created.")
+    return Result.status(f"Procedure {key[-1]} successfully created.")
 
 
 def _call_procedure(engine, ctx, name: str, args_src: str) -> Result:
@@ -168,7 +168,8 @@ def _call_procedure(engine, ctx, name: str, args_src: str) -> Result:
     body = pm["body"]
     if not re.match(r"^(DECLARE|BEGIN)\b", body, re.I):
         body = f"BEGIN {body}; END"
-    return _run_block(engine, ctx, body, values, result_col=key[-1])
+    return _run_block(engine, ctx, body, values, result_col=key[-1],
+                      declared=pm["returns"])
 
 
 def _drop_procedure(engine, ctx, name: str, if_exists: bool) -> Result:
@@ -212,7 +213,7 @@ def _resolve(engine, name: str, ctx) -> tuple:
 # ---------------------------------------------------------------------------
 
 def _run_block(engine, ctx, text: str, variables: dict,
-               result_col: str) -> Result:
+               result_col: str, declared: str | None = None) -> Result:
     from ..engine import _split_statements
 
     text = text.strip().rstrip(";").strip()
@@ -255,13 +256,13 @@ def _run_block(engine, ctx, text: str, variables: dict,
         else:
             kind, value = _exec_stmt(engine, ctx, st, variables)
         if kind == "return":
-            return _value_result(value, result_col)
+            return _value_result(value, result_col, declared)
         if kind == "result":
             last = value
         i += 1
     if last is not None:
         return last
-    return _value_result(None, result_col)
+    return _value_result(None, result_col, declared)
 
 
 def _run_if(engine, ctx, group: list[str], variables: dict):
@@ -352,54 +353,19 @@ def _eval_cond(engine, ctx, cond: str, variables: dict) -> bool:
     return bool(v)
 
 
-def _subst(text: str, variables: dict, bind_only: bool) -> str:
-    """Replace :name (always) and bare name (scripting expressions
-    only) with the variable's literal; string literals untouched."""
-    from ..executor import _inside_string
-
-    if not variables:
-        return text
-
-    def lit(v) -> str:
-        import datetime as _dt
-        import decimal as _decimal
-
-        if v is None:
-            return "NULL"
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float, _decimal.Decimal)):
-            return str(v)
-        if isinstance(v, _dt.datetime):
-            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
-        if isinstance(v, _dt.date):
-            return f"DATE '{v.isoformat()}'"
-        return "'" + str(v).replace("'", "''") + "'"
-
-    pattern = (r":([A-Za-z_]\w*)" if bind_only
-               else r"(?::([A-Za-z_]\w*))|(?<![\w.:$])([A-Za-z_]\w*)(?![\w(])")
-
-    def repl(m: re.Match) -> str:
-        if _inside_string(text, m.start()):
-            return m.group(0)
-        name = (m.group(1) or (m.group(2) if m.lastindex and m.lastindex > 1
-                               else None))
-        if name and name.upper() in variables:
-            return lit(variables[name.upper()])
-        return m.group(0)
-
-    return re.sub(pattern, repl, text)
-
-
-def _match_paren(s: str, open_idx: int) -> int:
-    depth, i = 0, open_idx
-    while i < len(s):
-        c = s[i]
+def _sql_subquery_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end] index ranges of parenthesized SQL subqueries
+    (``(SELECT ...)`` / ``(WITH ...)``) — inside them Snowflake's SQL
+    scope applies (``:name`` binds only), outside is scripting scope
+    (bare names resolve)."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
         if c == "'":
             j = i + 1
-            while j < len(s):
-                if s[j] == "'":
-                    if j + 1 < len(s) and s[j + 1] == "'":
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
                         j += 2
                         continue
                     break
@@ -407,16 +373,91 @@ def _match_paren(s: str, open_idx: int) -> int:
             i = j + 1
             continue
         if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return i
+            j = i + 1
+            while j < n and text[j].isspace():
+                j += 1
+            head = text[j:j + 6].upper()
+            if head.startswith(("SELECT", "WITH")):
+                try:
+                    end = _match_paren(text, i)
+                except ValueError:
+                    end = n - 1
+                spans.append((i, end))
+                i = end + 1
+                continue
         i += 1
-    raise ValueError("unbalanced parentheses")
+    return spans
 
 
-def _value_result(value, col: str) -> Result:
+def _subst(text: str, variables: dict, bind_only: bool) -> str:
+    """Replace ``:name`` (always) and bare ``name`` (scripting scope
+    only: outside string literals AND outside embedded SQL subqueries,
+    where a bare identifier is a column/alias, not a variable) with
+    the variable's SQL literal."""
+    from ..executor import _inside_string, sql_literal
+
+    if not variables:
+        return text
+    spans = [] if bind_only else _sql_subquery_spans(text)
+
+    def in_sql_scope(pos: int) -> bool:
+        return any(a < pos <= b for a, b in spans)
+
+    pattern = (r":([A-Za-z_]\w*)" if bind_only
+               else r"(?::([A-Za-z_]\w*))|(?<![\w.:$])([A-Za-z_]\w*)(?![\w(])")
+
+    def repl(m: re.Match) -> str:
+        if _inside_string(text, m.start()):
+            return m.group(0)
+        is_bind = m.group(1) is not None
+        name = m.group(1) or (m.group(2) if m.lastindex and m.lastindex > 1
+                              else None)
+        if not is_bind and in_sql_scope(m.start()):
+            return m.group(0)   # bare identifier inside SQL = column ref
+        if name and name.upper() in variables:
+            return sql_literal(variables[name.upper()])
+        return m.group(0)
+
+    return re.sub(pattern, repl, text)
+
+
+def _match_paren(s: str, open_idx: int) -> int:
+    """Shared quote-aware matcher (translator.match_paren); raises on
+    unbalanced input instead of returning -1."""
+    from .translator import match_paren
+
+    i = match_paren(s, open_idx)
+    if i < 0:
+        raise ValueError("unbalanced parentheses")
+    return i
+
+
+def _value_result(value, col: str, declared: str | None = None) -> Result:
+    """One-cell result for RETURN. ``declared`` (a procedure's RETURNS
+    type, Snowflake spelling) wins over Python-type inference so CALL
+    reports the declared wire type (a Decimal returned from RETURNS
+    NUMBER must not surface as TEXT)."""
+    if declared:
+        d = declared.upper()
+        m = re.match(r"^(NUMBER|DECIMAL|NUMERIC)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?$", d)
+        if m:
+            cm = ColumnMetadata(col, "NUMBER",
+                                precision=int(m.group(2) or 38),
+                                scale=int(m.group(3) or 0))
+        elif d in ("INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "BYTEINT"):
+            cm = ColumnMetadata(col, "NUMBER", precision=38, scale=0)
+        elif d in ("FLOAT", "FLOAT4", "FLOAT8", "DOUBLE", "REAL",
+                   "DOUBLE PRECISION"):
+            cm = ColumnMetadata(col, "FLOAT")
+        elif d == "BOOLEAN":
+            cm = ColumnMetadata(col, "BOOLEAN")
+        elif d == "DATE":
+            cm = ColumnMetadata(col, "DATE")
+        elif d.startswith("TIMESTAMP"):
+            cm = ColumnMetadata(col, d.split("(")[0])
+        else:
+            cm = ColumnMetadata(col, "TEXT", length=16777216)
+        return Result(columns=[col], column_types=[cm], rows=[[value]])
     if isinstance(value, bool):
         cm = ColumnMetadata(col, "BOOLEAN")
     elif isinstance(value, int):
@@ -424,5 +465,16 @@ def _value_result(value, col: str) -> Result:
     elif isinstance(value, float):
         cm = ColumnMetadata(col, "FLOAT")
     else:
-        cm = ColumnMetadata(col, "TEXT", length=16777216)
+        import datetime as _dt
+        import decimal as _decimal
+
+        if isinstance(value, _decimal.Decimal):
+            cm = ColumnMetadata(col, "NUMBER", precision=38,
+                                scale=max(0, -value.as_tuple().exponent))
+        elif isinstance(value, _dt.datetime):
+            cm = ColumnMetadata(col, "TIMESTAMP_NTZ")
+        elif isinstance(value, _dt.date):
+            cm = ColumnMetadata(col, "DATE")
+        else:
+            cm = ColumnMetadata(col, "TEXT", length=16777216)
     return Result(columns=[col], column_types=[cm], rows=[[value]])

@@ -80,6 +80,35 @@ _NAME_MAP = {
 }
 
 
+def match_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at ``open_idx`` — quote-aware
+    (''-escaped literals skipped); -1 when unbalanced. Shared by the
+    translator and the scripting engine."""
+    depth = 0
+    i, n = open_idx, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
 def normalize_date_part(part: str) -> str | None:
     p = part.strip().strip("'\"").upper()
     return _DATE_PART.get(p)
@@ -670,21 +699,7 @@ class Translator:
         return n
 
     def _match_paren(self, s: str, open_idx: int) -> int:
-        depth = 0
-        i, n = open_idx, len(s)
-        while i < n:
-            c = s[i]
-            if c == "'":
-                i = self._skip_string(s, i)
-                continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    return i
-            i += 1
-        return -1
+        return match_paren(s, open_idx)
 
     def _split_args(self, s: str) -> list[str]:
         """Split a top-level comma-separated argument list, respecting

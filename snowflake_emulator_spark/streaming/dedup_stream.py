@@ -52,14 +52,16 @@ def _fingerprint(text_col) -> F.Column:
 def dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Emit only the first-seen document per content fingerprint.
 
-    ``dropDuplicates`` on (fp) with an event-time watermark: state is
-    bounded by the watermark horizon; re-deliveries and exact-content
-    duplicates inside the horizon are suppressed.
+    ``dropDuplicatesWithinWatermark`` on (fp): duplicates inside the
+    watermark horizon are suppressed AND state is actually evicted
+    once the watermark passes an entry — plain ``dropDuplicates([fp])``
+    without the event-time column in the key set never cleans state in
+    Structured Streaming, growing forever on a long-running stream.
     """
     return (
         docs.withColumn("fp", _fingerprint(F.col("text")))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "ts", "fp", "text")
     )
 
@@ -79,7 +81,9 @@ def incremental_dedup_stream(docs: DataFrame, corpus: DataFrame,
     Scale: the corpus side joins on the fingerprint key (broadcast
     below threshold, shuffled hash join above — per-batch Catalyst
     choice); streaming state is one entry per NEW unique fingerprint
-    within the watermark horizon, independent of corpus size.
+    within the watermark horizon, independent of corpus size —
+    ``dropDuplicatesWithinWatermark`` evicts entries the watermark has
+    passed (plain dropDuplicates on [fp] would never clean state).
     """
     corpus_fp = corpus.select(
         _fingerprint(F.col(text_col)).alias("fp")).distinct()
@@ -87,6 +91,6 @@ def incremental_dedup_stream(docs: DataFrame, corpus: DataFrame,
         docs.withColumn("fp", _fingerprint(F.col("text")))
         .withWatermark("ts", watermark)
         .join(corpus_fp, "fp", "left_anti")
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "ts", "fp", "text")
     )

@@ -679,6 +679,23 @@ def test_script_split_comment_aware(engine):
     assert _rows(res) == [(1,)]
 
 
+def test_variable_substitution_after_comment_apostrophe(engine):
+    """An apostrophe inside a comment (-- don't) must not open a
+    string and suppress later $var substitution (r4 review fix:
+    _inside_string is now comment-aware)."""
+    ctx = SessionContext()
+    engine.execute("SET v = 5", ctx)
+    res = engine.execute("SELECT 1 AS a, -- don't\n $v AS b", ctx)
+    assert _rows(res) == [(1, 5)]
+
+
+def test_empty_or_comment_only_statement_raises(engine):
+    ctx = SessionContext()
+    for sql in ("", "   ", "-- only a comment", "/* nothing */"):
+        with pytest.raises(Exception, match="Empty SQL statement"):
+            engine.execute(sql, ctx)
+
+
 def test_session_variable_not_substituted_in_string(engine):
     """$var substitution applies only in expression positions — a $name
     inside a quoted string literal stays verbatim (Snowflake parity)."""

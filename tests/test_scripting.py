@@ -69,7 +69,7 @@ def test_procedure_lifecycle(engine):
         "CREATE PROCEDURE scr_total(min_amt DOUBLE) RETURNS DOUBLE "
         "LANGUAGE SQL AS $$\n"
         "BEGIN\n"
-        "  RETURN (SELECT SUM(amt) FROM scr_p WHERE amt >= min_amt);\n"
+        "  RETURN (SELECT SUM(amt) FROM scr_p WHERE amt >= :min_amt);\n"
         "END\n"
         "$$", ctx)
     res = engine.execute("CALL scr_total(10.0)", ctx)
@@ -142,6 +142,59 @@ def test_get_ddl_procedure(engine):
                        ctx).rows[0][0]
     assert d.startswith("CREATE OR REPLACE PROCEDURE DDL_PROC(X NUMBER)")
     assert "RETURN x + 1" in d and "LANGUAGE SQL" in d
+
+
+def test_scripting_sql_scope_protects_columns(engine):
+    """Inside an embedded (SELECT ...) only :name binds substitute — a
+    bare identifier equal to a variable name stays a COLUMN reference
+    (r4 review fix: bare-name substitution corrupted SQL whose columns
+    collided with variable names)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_scope (total DOUBLE)", ctx)
+    engine.execute("INSERT INTO scr_scope VALUES (1.0), (2.0), (100.0)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE total NUMBER DEFAULT 42; "
+        "BEGIN RETURN (SELECT SUM(total) FROM scr_scope "
+        "WHERE total < :total); END $$", ctx)
+    assert res.rows[0][0] == 3.0   # column total < bind 42 -> 1 + 2
+
+
+def test_call_reports_declared_return_type(engine):
+    """CALL's result column carries the procedure's declared RETURNS
+    type, not a Python-type guess (a Decimal from RETURNS NUMBER must
+    not surface as TEXT)."""
+    import decimal
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE scr_d (amt DECIMAL(10,2))", ctx)
+    engine.execute("INSERT INTO scr_d VALUES (1.50), (2.25)", ctx)
+    engine.execute(
+        "CREATE PROCEDURE scr_dsum() RETURNS NUMBER(10,2) AS "
+        "$$ BEGIN RETURN (SELECT SUM(amt) FROM scr_d); END $$", ctx)
+    res = engine.execute("CALL scr_dsum()", ctx)
+    assert res.column_types[0].type == "NUMBER"
+    assert (res.column_types[0].precision, res.column_types[0].scale) == (10, 2)
+    assert res.rows[0][0] == decimal.Decimal("3.75")
+
+
+def test_create_procedure_status_message(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "CREATE PROCEDURE scr_msg() RETURNS NUMBER AS "
+        "$$ BEGIN RETURN 1; END $$", ctx)
+    assert res.rows[0][0] == "Procedure SCR_MSG successfully created."
+
+
+def test_leading_and_trailing_comments_around_statements(engine):
+    """Leading comments must not defeat the CREATE/CALL classifiers;
+    a trailing comment-only segment after ';' must not ride along."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "-- setup\nCREATE PROCEDURE lc_p() RETURNS NUMBER AS "
+        "$$ BEGIN RETURN 7; END $$", ctx)
+    assert "successfully created" in res.rows[0][0]
+    assert engine.execute("/* call it */ CALL lc_p()", ctx).rows[0][0] == 7
+    assert _rows(engine.execute("SELECT 1 AS v; -- done", ctx)) == [(1,)]
 
 
 def test_scripting_string_literals_not_substituted(engine):
