@@ -57,27 +57,6 @@ _SECONDS = {"HOUR": 3600, "MINUTE": 60, "SECOND": 1}
 _IDENT_CALL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 # Simple name-for-name function renames (argument lists preserved).
-_NAME_MAP = {
-    "IFF": "if",
-    "FLATTEN": "explode",
-    "STRTOK_TO_ARRAY": "split",
-    "ARRAY_SIZE": "size",
-    "ARRAY_CONSTRUCT": "array",
-    "CHARINDEX": "instr_swapped",  # handled specially below
-    "LEN": "length",
-    "TO_NUMBER": "to_number_cast",  # handled specially below
-    "TO_DOUBLE": "double",
-    "TO_VARCHAR": "string",
-    "TO_CHAR": "string",
-    "SQUARE": "square",  # handled specially below
-    "TRUNCATE": "trunc_num",  # numeric truncate, handled below
-    "REGEXP_LIKE": "regexp_like",
-    "EDITDISTANCE": "levenshtein",
-    "UUID_STRING": "uuid",
-    "RANDOM": "rand_scaled",  # handled below
-    "ZEROIFNULL": "zeroifnull",  # handled below
-    "DIV0": "div0",  # handled below
-}
 
 
 def match_paren(s: str, open_idx: int) -> int:
@@ -155,7 +134,11 @@ class Translator:
         if up.startswith(("SHOW", "DESCRIBE", "DESC ")):
             return s
         if up.startswith("EXPLAIN"):
-            return s[:7] + self.translate_expr(s[7:])
+            # the body takes the FULL pipeline (QUALIFY, CONNECT BY,
+            # SAMPLE, FLATTEN, ... ) — expression-only translation left
+            # statement-level Snowflake syntax in place, so EXPLAIN of a
+            # query failed where the query itself succeeded
+            return s[:7] + " " + self.translate(s[7:])
         if up.startswith(("CREATE", "DROP", "ALTER")):
             return s  # DDL types handled by the catalog layer
         s = self._rewrite_top(s)
@@ -182,7 +165,7 @@ class Translator:
     # ties, all JVM-side.
     _ARRAY_AGG_WG_RE = re.compile(
         r"ARRAY_AGG\s*\(([^()]+)\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+"
-        r"([^()]+?)(\s+ASC|\s+DESC)?\s*\)",
+        r"([^()]+?)(\s+ASC|\s+DESC)?(\s+NULLS\s+(?:FIRST|LAST))?\s*\)",
         re.I,
     )
 
@@ -191,9 +174,22 @@ class Translator:
             return s
 
         def repl(m: re.Match) -> str:
+            # NULLS FIRST/LAST is consumed OUT of the key expression
+            # (folding it into the struct field was a parse error) and
+            # honored exactly via a leading null-flag struct field:
+            # sorting structs compares fields in order, so (flag, k)
+            # places null keys wherever the flag's boolean ordering
+            # puts them — all four direction x nulls combinations,
+            # including Snowflake's defaults (ASC->NULLS LAST,
+            # DESC->NULLS FIRST), which bare struct sorting gets wrong
             expr, key = m.group(1).strip(), m.group(2).strip()
-            asc = "false" if (m.group(3) or "").strip().upper() == "DESC" else "true"
-            return (f"transform(sort_array(collect_list(struct({key} AS k, {expr} AS v)), "
+            asc_b = (m.group(3) or "").strip().upper() != "DESC"
+            nulls = re.sub(r"\s+", " ", (m.group(4) or "").strip().upper())
+            nf_b = (nulls == "NULLS FIRST") if nulls else (not asc_b)
+            flag = "IS NULL" if asc_b != nf_b else "IS NOT NULL"
+            asc = "true" if asc_b else "false"
+            return (f"transform(sort_array(collect_list(struct("
+                    f"({key}) {flag} AS n, {key} AS k, {expr} AS v)), "
                     f"{asc}), s -> s.v)")
 
         return self._ARRAY_AGG_WG_RE.sub(repl, s)
@@ -341,10 +337,16 @@ class Translator:
                 return f"__p.{pm.group(1).split('.')[-1]}"
             return f"__c.{tok.split('.')[-1]}" if re.fullmatch(r"[\w.]+", tok) else tok
         join_terms = []
+        # split each term on its COMPARISON operator (>=/<=/!=/<> first
+        # so '>=' never splits at the bare '=' leaving '> =' behind);
+        # both operand sides get PRIOR/child qualification
+        cmp_re = re.compile(r"(>=|<=|!=|<>|=|>|<)")
         for term in re.split(r"\bAND\b", cond, flags=re.I):
-            if "=" in term:
-                lhs, rhs = term.split("=", 1)
-                join_terms.append(f"{side(lhs)} = {side(rhs)}")
+            m2 = cmp_re.search(term)
+            if m2:
+                lhs, op, rhs = (term[:m2.start()], m2.group(1),
+                                term[m2.end():])
+                join_terms.append(f"{side(lhs)} {op} {side(rhs)}")
             else:
                 join_terms.append(term.strip())
         join_cond = " AND ".join(join_terms)
@@ -453,11 +455,60 @@ class Translator:
         tail = (" " + rest[tail_pos:].strip()) if tail_pos is not None else ""
         select_list = rewritten[:from_pos]
         inner = f"SELECT *, {', '.join(lag_cols)} {src}"
-        # a bare * in the outer list would leak the helper columns
+        # a bare * PROJECTION ITEM in the outer list would leak the
+        # helper columns. Only a '*' standing alone as a select-list
+        # item qualifies — a naive \*(?!\w) regex also matched the
+        # multiplication operator (price * qty) and COUNT(*)
         hidden = ", ".join(f"__cce_{k}" for k in range(len(occurrences)))
-        select_list = re.sub(r"(?<![\w.])\*(?!\w)", f"* EXCEPT({hidden})", select_list, count=1) \
-            if re.search(r"(?<![\w.])\*(?!\w)", select_list) else select_list
+        star = self._bare_star_item_pos(select_list)
+        if star is not None:
+            select_list = (select_list[:star] + f"* EXCEPT({hidden})"
+                           + select_list[star + 1:])
         return f"{select_list}FROM ({inner}) __cce_t{tail}"
+
+    @staticmethod
+    def _bare_star_item_pos(select_list: str) -> int | None:
+        """Index of a top-level bare-star projection item ('*' alone
+        between SELECT/',' and ','/end), or None. Depth- and
+        string-aware so ``price * qty`` and ``COUNT(*)`` never match."""
+        m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?", select_list, re.I)
+        if not m:
+            return None
+        i, depth, n = m.end(), 0, len(select_list)
+        item_start = True
+        while i < n:
+            c = select_list[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if select_list[j] == "'":
+                        if j + 1 < n and select_list[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j + 1
+                item_start = False
+                continue
+            if c in "([":
+                depth += 1
+                item_start = False
+            elif c in ")]":
+                depth -= 1
+                item_start = False
+            elif c == "," and depth == 0:
+                item_start = True
+            elif c == "*" and depth == 0 and item_start:
+                j = i + 1
+                while j < n and select_list[j].isspace():
+                    j += 1
+                if j >= n or select_list[j] == ",":
+                    return i
+                item_start = False
+            elif not c.isspace():
+                item_start = False
+            i += 1
+        return None
 
     # -- TABLE(GENERATOR(ROWCOUNT => n)) -> range(n) ----------------------
     # Snowflake's row generator maps onto Spark's native range() table
@@ -608,6 +659,19 @@ class Translator:
                     while j < n and (s[j].isalnum() or s[j] in "_.$"):
                         j += 1
                     path = s[i + 1 : j]
+                    # fold [n] element access INTO the JSON path:
+                    # v:items[0].id -> $.items[0].id — leaving the
+                    # subscript outside would subscript the STRING that
+                    # get_json_object returns (AnalysisException)
+                    while j < n and s[j] == "[":
+                        im = re.match(r"\[\s*(\d+)\s*\]", s[j:])
+                        if not im:
+                            break
+                        path += f"[{im.group(1)}]"
+                        j += im.end()
+                        while j < n and (s[j].isalnum() or s[j] in "_.$"):
+                            path += s[j]
+                            j += 1
                     del out[k:]
                     out.append(f"get_json_object({base}, '$.{path}')")
                     i = j
@@ -796,6 +860,13 @@ class Translator:
                 return f"try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"try_to_timestamp({args[0]})"
         if fname == "TO_ARRAY":
+            # Snowflake returns an ARRAY input unchanged (no nesting):
+            # recognize the textual array-producing forms; everything
+            # else wraps (NULL stays NULL, not [NULL])
+            inner = args[0].strip()
+            if re.match(r"^(ARRAY_CONSTRUCT|ARRAY|SEQUENCE|SPLIT|COLLECT_LIST|"
+                        r"ARRAY_AGG)\s*\(", inner, re.I):
+                return inner
             return f"CASE WHEN ({args[0]}) IS NULL THEN NULL ELSE array({args[0]}) END"
         if fname == "ARRAY_SUM":
             return (f"aggregate({args[0]}, CAST(0 AS DOUBLE), "
@@ -812,6 +883,11 @@ class Translator:
             if len(key) >= 2 and key[0] == "'" and key[-1] == "'":
                 return f"get_json_object({args[0]}, '$.{key[1:-1]}')"
             if key.lstrip("+-").isdigit():
+                if int(key) < 0:
+                    # Snowflake GET returns NULL for out-of-range /
+                    # negative indexes; Spark's try_element_at still
+                    # raises on index <= 0, so short-circuit
+                    return "NULL"
                 return f"try_element_at({args[0]}, CAST({key} AS INT) + 1)"
             return (
                 f"coalesce("
@@ -902,6 +978,14 @@ class Translator:
             return f"coalesce({args[0]}, 0)"
         if fname == "DIV0":
             return f"if(({args[1]}) = 0, 0, ({args[0]}) / ({args[1]}))"
+        if fname == "RANDOM":
+            # Snowflake RANDOM([seed]) is a pseudo-random 64-bit
+            # INTEGER; Spark rand() is [0,1) double — scale/center.
+            # 1.8446e19 multiplier keeps the extreme rand() values
+            # inside BIGINT under ANSI mode.
+            seed = f"({args[0]})" if args and args[0].strip() else ""
+            return (f"CAST((rand({seed.strip('()') if seed else ''}) - 0.5) "
+                    f"* 1.844674407370955e19 AS BIGINT)")
         if fname == "DIV0NULL":
             # like DIV0 but also returns 0 for a NULL divisor
             return (f"if(({args[1]}) IS NULL OR ({args[1]}) = 0, 0, "
@@ -1115,11 +1199,24 @@ class Translator:
             # Snowflake position is 0-based; Spark's is 1-based
             return f"array_insert({args[0]}, ({args[1]}) + 1, {args[2]})"
         if fname == "ARRAY_SORT":
+            # Snowflake ARRAY_SORT(a [, sort_asc [, nulls_first]]),
+            # defaults (TRUE, FALSE) = ascending with NULLs LAST. Spark
+            # primitives pin nulls per direction (array_sort: last;
+            # sort_array asc: first, desc: last), so compose all four
+            # quadrants; works for non-literal flags too and constant-
+            # folds when they are literals:
+            #   (asc, nulls_first=T) -> sort_array(a, true)
+            #   (asc, nulls_first=F) -> array_sort(a)
+            #   (desc, nulls_first=T) -> reverse(array_sort(a))
+            #   (desc, nulls_first=F) -> sort_array(a, false)
             if len(args) == 1:
                 return f"array_sort({args[0]})"
-            # 2-/3-arg: sort_array covers the asc flag; Spark pins nulls
-            # to the small end which matches Snowflake's default
-            return f"sort_array({args[0]}, {args[1]})"
+            a = args[0]
+            asc = args[1]
+            nf = args[2] if len(args) >= 3 else "false"
+            return (f"if({asc}, if({nf}, sort_array({a}, true), "
+                    f"array_sort({a})), if({nf}, reverse(array_sort({a})), "
+                    f"sort_array({a}, false)))")
         if fname == "ARRAY_GENERATE_RANGE":
             # Snowflake excludes the stop bound; Spark sequence includes it
             if len(args) == 2:
@@ -1248,7 +1345,7 @@ class Translator:
         if fname == "HLL":
             # HyperLogLog distinct-count sketch
             return f"approx_count_distinct({', '.join(args)})"
-        if fname == "TRUNC":
+        if fname in ("TRUNC", "TRUNCATE"):
             # dual-mode: TRUNC(x, 'PART') truncates a date/timestamp;
             # TRUNC(x, n) truncates a number toward zero (floor rounds
             # toward -inf, so route through a BIGINT cast instead).
@@ -1314,19 +1411,23 @@ class Translator:
         operator. We find the cast target type, then walk left to find
         the operand (identifier / literal / parenthesized expression /
         function call)."""
+        pos = 0
         while True:
-            m = self._DCOLON_RE.search(s)
+            m = self._DCOLON_RE.search(s, pos)
             if m is None:
                 return s
-            # guard: inside a string literal? count quotes before
+            # guard: a ::-looking sequence inside a string literal is
+            # not a cast — SKIP it and keep scanning (bailing out here
+            # used to abandon every later real cast in the statement)
             if s.count("'", 0, m.start()) % 2 == 1:
-                # inside a literal — skip by temporarily masking (rare); bail out
-                return s
+                pos = m.end()
+                continue
             type_txt = m.group(1).strip()
             spark_type = snowflake_to_spark_ddl(type_txt).upper()
             start = self._operand_start(s, m.start())
             operand = s[start : m.start()]
             s = s[:start] + f"CAST({operand} AS {spark_type})" + s[m.end() :]
+            pos = 0
 
     def _operand_start(self, s: str, colon_idx: int) -> int:
         i = colon_idx - 1
@@ -1501,6 +1602,8 @@ _REWRITABLE = {
     "GETDATE",
     "SYSTIMESTAMP",
     "TRUNC",
+    "TRUNCATE",
+    "RANDOM",
     "APPROX_PERCENTILE",
     "HLL",
     "DIV0NULL",
@@ -1543,8 +1646,15 @@ def _regex_literal(arg: str) -> str:
     m = re.match(r"^\s*'([^']*)'\s*$", arg)
     if not m:
         return arg
+    # '[' and ']' cannot be class-wrapped (Java regex parses '[[]' as
+    # a nested-class open and '[]]' as unclosed); emit a DOUBLED
+    # backslash in the SQL text — Spark's string lexer folds it to one,
+    # which is exactly the regex escape. Safe because WE generate this
+    # literal (the docstring's lexer caveat is about user literals we
+    # cannot rewrite).
     escaped = "".join(
-        f"[{c}]" if c in ".|*+?^$(){}" else c for c in m.group(1))
+        "\\\\" + c if c in "[]"
+        else f"[{c}]" if c in ".|*+?^$(){}" else c for c in m.group(1))
     return f"'{escaped}'"
 
 

@@ -416,8 +416,11 @@ def test_haversine_rewrite():
         ("SELECT ARRAY_INSERT(a, 1, v) FROM t",
          "SELECT array_insert(a, (1) + 1, v) FROM t"),
         ("SELECT ARRAY_SORT(a) FROM t", "SELECT array_sort(a) FROM t"),
+        # 2-arg form composes all four null-placement quadrants (r4:
+        # sort_array alone pinned NULLs opposite to Snowflake's default)
         ("SELECT ARRAY_SORT(a, TRUE) FROM t",
-         "SELECT sort_array(a, TRUE) FROM t"),
+         "SELECT if(TRUE, if(false, sort_array(a, true), array_sort(a)), "
+         "if(false, reverse(array_sort(a)), sort_array(a, false))) FROM t"),
         # Snowflake excludes the stop bound; sequence() includes it
         ("SELECT ARRAY_GENERATE_RANGE(0, 5) FROM t",
          "SELECT sequence(0, (5) - 1) FROM t"),
@@ -460,8 +463,8 @@ def test_ordered_aggregate_rewrites():
         "SELECT to_json(map_from_entries(collect_list(struct(k, v)))) FROM t"
     assert translate(
         "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y DESC) FROM t GROUP BY g"
-    ) == ("SELECT transform(sort_array(collect_list(struct(y AS k, x AS v)), "
-          "false), s -> s.v) FROM t GROUP BY g")
+    ) == ("SELECT transform(sort_array(collect_list(struct((y) IS NULL AS n, "
+          "y AS k, x AS v)), false), s -> s.v) FROM t GROUP BY g")
     # default order is ascending
     assert "true), s -> s.v)" in translate(
         "SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY y) FROM t")
@@ -590,3 +593,63 @@ def test_conversion_function_family():
         "SELECT try_cast(x AS DECIMAL(38, 0)) FROM t"
     assert "date_format(to_timestamp(x, 'HH:mm:ss'), 'HH:mm:ss')" in \
         translate("SELECT TO_TIME(x) FROM t")
+
+
+def test_r4_review_fixes():
+    """Regression suite for the r4 high-effort translator review."""
+    # 1. star-guard: multiplication and COUNT(*) untouched; bare star
+    #    projection item still hidden
+    got = translate("SELECT price * qty AS total, "
+                    "CONDITIONAL_CHANGE_EVENT(st) OVER (ORDER BY ts) AS e FROM t")
+    assert "price * qty AS total" in got and "EXCEPT" not in got
+    got = translate("SELECT COUNT(*) AS c, "
+                    "CONDITIONAL_CHANGE_EVENT(st) OVER (ORDER BY ts) AS e FROM t")
+    assert "COUNT(*) AS c" in got and "EXCEPT" not in got
+    got = translate("SELECT *, CONDITIONAL_CHANGE_EVENT(st) "
+                    "OVER (ORDER BY ts) AS e FROM t")
+    assert "* EXCEPT(__cce_0)" in got
+    # 2. :: inside a string literal no longer aborts later casts
+    got = translate("SELECT 'a::b' AS tag, amount::NUMBER(10,2) AS b FROM t")
+    assert "'a::b'" in got and "CAST(amount AS DECIMAL(10,2))" in got
+    # 3. CONNECT BY splits on the full comparison operator
+    got = translate("SELECT id FROM emp START WITH mgr IS NULL "
+                    "CONNECT BY PRIOR id = mgr AND PRIOR depth >= depth")
+    assert "__p.depth >= __c.depth" in got and "> =" not in got
+    # 4. NULLS clause consumed out of the struct key; the
+    #    unrepresentable combination raises instead of misexecuting
+    # explicit DESC NULLS LAST: nulls pinned last via IS NOT NULL flag
+    got = translate("SELECT ARRAY_AGG(x) WITHIN GROUP "
+                    "(ORDER BY k DESC NULLS LAST) FROM t")
+    assert "(k) IS NOT NULL AS n, k AS k, x AS v" in got and "NULLS" not in got
+    # Snowflake defaults: ASC -> NULLS LAST (flag IS NULL under asc)
+    got = translate("SELECT ARRAY_AGG(x) WITHIN GROUP (ORDER BY k) FROM t")
+    assert "(k) IS NULL AS n" in got and ", true)" in got
+    # explicit ASC NULLS FIRST flips the flag
+    got = translate("SELECT ARRAY_AGG(x) WITHIN GROUP "
+                    "(ORDER BY k NULLS FIRST) FROM t")
+    assert "(k) IS NOT NULL AS n" in got
+    # 5. EXPLAIN bodies run the full pipeline (QUALIFY here)
+    got = translate("EXPLAIN SELECT x, ROW_NUMBER() OVER (ORDER BY x) rn "
+                    "FROM t QUALIFY rn = 1")
+    assert got.startswith("EXPLAIN ") and "QUALIFY" not in got
+    # 6. ARRAY_SORT honors the nulls_first flag in every quadrant
+    got = translate("SELECT ARRAY_SORT(a, true, true) FROM t")
+    assert "sort_array(a, true)" in got
+    got = translate("SELECT ARRAY_SORT(a, false, true) FROM t")
+    assert "reverse(array_sort(a))" in got
+    # 7. subscripts fold into the JSON path
+    assert translate("SELECT v:items[0] FROM t") == \
+        "SELECT get_json_object(v, '$.items[0]') FROM t"
+    assert translate("SELECT v:items[2].id FROM t") == \
+        "SELECT get_json_object(v, '$.items[2].id') FROM t"
+    # 8. GET with a negative literal returns NULL (Snowflake), never
+    #    Spark's zero-index error
+    assert translate("SELECT GET(arr, -1) FROM t") == "SELECT NULL FROM t"
+    # 9. TO_ARRAY of an array-producing form does not nest
+    assert translate("SELECT TO_ARRAY(ARRAY_CONSTRUCT(1,2)) FROM t") == \
+        "SELECT array(1, 2) FROM t"
+    # 10. bracket delimiters reach split() as valid char classes
+    got = translate("SELECT * FROM t, LATERAL SPLIT_TO_TABLE(s, '[')")
+    assert "split(s, '\\\\[')" in got
+    got = translate("SELECT * FROM t, LATERAL SPLIT_TO_TABLE(s, ']')")
+    assert "split(s, '\\\\]')" in got
