@@ -251,7 +251,8 @@ class Engine:
             from . import config as _cfg
             params = {**_cfg.DEFAULT_SESSION_PARAMETERS, **self._session_params(ctx)}
             like = re.search(r"LIKE\s+'([^']*)'", s, re.I)
-            pat = like.group(1).replace("%", ".*").replace("_", ".") if like else None
+            pat = (re.escape(like.group(1)).replace("%", ".*")
+           .replace("_", ".")) if like else None
             rows = [[k, v, _cfg.DEFAULT_SESSION_PARAMETERS.get(k, "")]
                     for k, v in sorted(params.items())
                     if pat is None or re.fullmatch(pat, k, re.I)]

@@ -200,8 +200,13 @@ _DELETE_USING_RE = re.compile(
     re.I | re.S,
 )
 _USE_RE = re.compile(r"^\s*USE\s+(?:(DATABASE|SCHEMA|WAREHOUSE|ROLE)\s+)?([\w.\"$]+)\s*$", re.I)
+# negative lookahead: ADD PRIMARY KEY / UNIQUE / CONSTRAINT / FOREIGN
+# KEY must NOT parse as an add-column (the constraint keyword would
+# become a bogus string column and rewrite the table)
 _ALTER_TABLE_ADD_COL_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+(?:COLUMN\s+)?([\w\"$]+)\s+(.+?)\s*$", re.I
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+(?:COLUMN\s+)?"
+    r"(?!(?:PRIMARY|UNIQUE|CONSTRAINT|FOREIGN|CHECK)\b)"
+    r"([\w\"$]+)\s+(.+?)\s*$", re.I
 )
 _ALTER_TABLE_RECLUSTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RECLUSTER\s*$", re.I)
@@ -281,8 +286,10 @@ class Executor:
         # catalog.mutation) at registration — re-planned only when the
         # catalog changed since
         self._view_cache: dict[str, tuple[int, int]] = {}
-        # views currently being planned on this engine (cycle guard)
-        self._views_in_progress: set[tuple[str, str, str]] = set()
+        # views currently being planned (cycle guard) — PER THREAD:
+        # a shared set made two concurrent first queries of the same
+        # view spuriously raise 'cyclic view reference'
+        self._views_in_progress_tl = threading.local()
         # INFORMATION_SCHEMA registrations: view name -> (database,
         # catalog.mutation) at build time
         self._info_schema_cache: dict[str, tuple[str, int]] = {}
@@ -546,10 +553,9 @@ class Executor:
             ).take(1000)
             if r[0] is not None
         ]
-        lits = ", ".join(
-            "'" + str(v).replace("'", "''") + "'" if isinstance(v, str) else str(v)
-            for v in vals
-        )
+        # sql_literal: DATE/TIMESTAMP pivot values must render as typed
+        # literals, not bare tokens (2024-01-15 is integer arithmetic)
+        lits = ", ".join(sql_literal(v) for v in vals)
         # replace only the ANY token inside this match
         any_start = m.start(3)
         return sql[:any_start] + lits + sql[m.end(3):]
@@ -630,8 +636,15 @@ class Executor:
         if not self.catalog.functions:
             return sql
         by_name: dict[str, object] = {}
-        for (db, sch, fn), fm in self.catalog.functions.items():
-            if db == ctx.database:
+        for (db, sch, fn), fm in list(self.catalog.functions.items()):
+            if db != ctx.database:
+                continue
+            # qualified spellings always resolve; the BARE name binds
+            # only to the session schema's function (a same-named UDF
+            # in another schema must not be picked arbitrarily)
+            by_name[f"{sch}.{fn}"] = fm
+            by_name[f"{db}.{sch}.{fn}"] = fm
+            if sch == ctx.schema:
                 by_name[fn] = fm
         if not by_name:
             return sql
@@ -944,22 +957,46 @@ class Executor:
             i += 1
         return "".join(out)
 
+    def _views_in_progress(self) -> set:
+        s = getattr(self._views_in_progress_tl, "s", None)
+        if s is None:
+            s = set()
+            self._views_in_progress_tl.s = s
+        return s
+
     def sync_namespace_views(self, ctx: SessionContext) -> None:
         """Register bare-name aliases for every table in the session's
         current namespace. Version-keyed: a table's alias is
         (re-)registered only when the table is new to the alias, or its
         version changed since registration — repeat statements against
-        an unchanged catalog make zero Spark calls here."""
-        for (db, sch, tbl), tm in self.catalog.tables.items():
-            if db == ctx.database and sch == ctx.schema:
-                state = (tm.uid, tm.version, tm.data_epoch)
-                if self._alias_cache.get(tbl) == state:
-                    continue
+        an unchanged catalog make zero Spark calls here.
+
+        Aliases belonging to OTHER namespaces are dropped first: after
+        USE DATABASE/SCHEMA a stale alias would silently serve the old
+        namespace's rows instead of raising object-not-found.
+        (catalog dicts are snapshotted with list() — another HTTP
+        session may CREATE/DROP concurrently.)"""
+        current = {
+            tbl: tm
+            for (db, sch, tbl), tm in list(self.catalog.tables.items())
+            if db == ctx.database and sch == ctx.schema
+        }
+        for tbl in list(self._alias_cache):
+            if tbl not in current:
                 try:
-                    self.catalog.read_table(tm).createOrReplaceTempView(tbl)
-                    self._alias_cache[tbl] = state
+                    self.spark.catalog.dropTempView(tbl)
                 except Exception:
                     pass
+                del self._alias_cache[tbl]
+        for tbl, tm in current.items():
+            state = (tm.uid, tm.version, tm.data_epoch)
+            if self._alias_cache.get(tbl) == state:
+                continue
+            try:
+                self.catalog.read_table(tm).createOrReplaceTempView(tbl)
+                self._alias_cache[tbl] = state
+            except Exception:
+                pass
         for (db, sch, name), sm in list(self.catalog.streams.items()):
             if db == ctx.database and sch == ctx.schema:
                 try:
@@ -967,7 +1004,7 @@ class Executor:
                 except Exception:
                     pass  # stale stream: query fails on reference instead
         for (db, sch, name), vm in list(self.catalog.views.items()):
-            if db == ctx.database and sch == ctx.schema and (db, sch, name) not in self._views_in_progress:
+            if db == ctx.database and sch == ctx.schema and (db, sch, name) not in self._views_in_progress():
                 try:
                     self._register_named_view(vm, name)
                 except Exception:
@@ -1048,16 +1085,16 @@ class Executor:
         The definition binds to the view's own namespace (Snowflake
         semantics); cyclic view references raise instead of recursing."""
         key = (vm.database, vm.schema, vm.name)
-        if key in self._views_in_progress:
+        if key in self._views_in_progress():
             raise errors.execution_error(f"cyclic view reference involving {vm.name}")
-        self._views_in_progress.add(key)
+        self._views_in_progress().add(key)
         try:
             df = self.query_df(vm.sql_text, SessionContext(vm.database, vm.schema))
             if vm.column_names:
                 df = df.toDF(*vm.column_names)
             return df
         finally:
-            self._views_in_progress.discard(key)
+            self._views_in_progress().discard(key)
 
     def _register_named_view(self, vm, view_name: str) -> str:
         """(Re-)register a temp view for a named view; cached on
@@ -1220,6 +1257,11 @@ class Executor:
         m = _CREATE_VIEW_RE.match(sql)
         if m:
             cols = [c.strip().strip('"').upper() for c in m.group(4).split(",")] if m.group(4) else None
+            # snapshot a pre-existing view so CREATE OR REPLACE with an
+            # INVALID definition restores it — Snowflake leaves the
+            # original view untouched when compilation fails
+            prior_key = self.catalog.resolve(m.group(3), ctx.database, ctx.schema)
+            prior_vm = self.catalog.views.get(prior_key)
             vm = self.catalog.create_view(
                 m.group(3), m.group(6).strip(), ctx.database, ctx.schema,
                 column_names=cols, comment=m.group(5),
@@ -1229,7 +1271,11 @@ class Executor:
                 # at creation); also warms the temp-view registration
                 self._register_named_view(vm, vm.physical)
             except Exception as e:
-                self.catalog.drop_view(vm.name, vm.database, vm.schema, if_exists=True)
+                if prior_vm is not None:
+                    self.catalog.views[prior_key] = prior_vm
+                    self._view_cache.pop(vm.physical, None)
+                else:
+                    self.catalog.drop_view(vm.name, vm.database, vm.schema, if_exists=True)
                 if isinstance(e, errors.SnowflakeError):
                     raise
                 raise errors.execution_error(f"invalid view definition: {e}") from e
@@ -1314,6 +1360,11 @@ class Executor:
                 if m.group(1):
                     return Result.status("Drop statement executed successfully.")
                 raise
+            # kind check: DROP MATERIALIZED VIEW on a base table must
+            # raise, not silently destroy the table (Snowflake parity)
+            if tm.kind != "MATERIALIZED VIEW":
+                raise errors.execution_error(
+                    f"{tm.name} is not a materialized view")
             self._dyntable_defs.pop((tm.database, tm.schema, tm.name), None)
             self.catalog.drop_table(m.group(2), ctx.database, ctx.schema)
             self.sync_namespace_views(ctx)
@@ -1327,6 +1378,9 @@ class Executor:
                 if not m.group(1):
                     raise
             if tm is not None:
+                if tm.kind != "DYNAMIC TABLE":
+                    raise errors.execution_error(
+                        f"{tm.name} is not a dynamic table")
                 self._dyntable_defs.pop((tm.database, tm.schema, tm.name), None)
                 self.spark.catalog.dropTempView(tm.name)
                 self.catalog.drop_table(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
@@ -1478,6 +1532,21 @@ class Executor:
             self.catalog.write_table(tm, self.catalog.read_table(tm))
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+"
+            r"(?:CONSTRAINT\s+[\w\"$]+\s+)?(PRIMARY\s+KEY|UNIQUE)\s*"
+            r"\(\s*([\w\"$,\s]+)\)\s*$", sql, re.I)
+        if m:
+            # metadata-only, like Snowflake (PK/UNIQUE are recorded,
+            # not enforced); previously this misparsed as an
+            # add-column and appended a bogus string column
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            names = {c.strip().strip('"').upper() for c in m.group(3).split(",")}
+            for c in tm.columns:
+                if c.name.upper() in names and m.group(2).upper().startswith("PRIMARY"):
+                    c.primary_key = True
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
         m = _ALTER_TABLE_ADD_COL_RE.match(sql)
         if m and "RENAME" not in up:
             tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
@@ -1509,6 +1578,12 @@ class Executor:
     # ------------------------------------------------------------------
 
     def _dml(self, sql: str, ctx: SessionContext) -> Result:
+        # DML bodies get the same session-variable / SQL-UDF expansion
+        # as queries: INSERT ... VALUES ($v), UPDATE t SET x = my_udf(y)
+        # are valid Snowflake (query_df applies these for SELECTs; the
+        # DML regexes below parse the already-substituted text)
+        sql = self._substitute_variables(sql, ctx)
+        sql = self._expand_udfs(sql, ctx)
         m = _INSERT_RE.match(sql)
         if m:
             return self._insert(m, ctx)
@@ -1566,6 +1641,12 @@ class Executor:
             return src
         if len(col_list) != len(src.columns):
             raise errors.syntax_error("INSERT column list does not match VALUES arity")
+        # every named column must exist on the target — a typo'd name
+        # would otherwise silently insert a row of defaults/NULLs
+        known = {c.name.upper() for c in tm.columns}
+        for name in col_list:
+            if name not in known:
+                raise errors.invalid_identifier(name)
         renamed = src.toDF(*col_list)
         out_cols = []
         for c in tm.columns:
@@ -1759,21 +1840,28 @@ class Executor:
 
     def _show(self, sql: str, ctx: SessionContext) -> Result:
         up = sql.upper()
+        # route on the FIRST keyword after SHOW [TERSE]: substring
+        # matching sent SHOW GRANTS ON TABLE MY_TABLES to the TABLES
+        # handler (the object name contained "TABLES")
+        fm0 = re.match(r"^\s*SHOW\s+(?:TERSE\s+)?([A-Z]+)", up)
+        first = fm0.group(1) if fm0 else ""
         like = None
         lm = re.search(r"LIKE\s+'([^']*)'", sql, re.I)
         if lm:
-            like = lm.group(1).replace("%", ".*").replace("_", ".")
+            # escape regex metacharacters FIRST: names with $ must
+            # match, and a pattern like '(' must not crash re.compile
+            like = re.escape(lm.group(1)).replace("%", ".*").replace("_", ".")
 
         def _match(name: str) -> bool:
             return like is None or re.fullmatch(like, name, re.I) is not None
 
-        if "DATABASES" in up:
+        if first == "DATABASES":
             rows = [[db, v.get("comment")] for db, v in sorted(self.catalog.databases.items()) if _match(db)]
             return Result(columns=["name", "comment"], rows=rows)
-        if "SCHEMAS" in up:
+        if first == "SCHEMAS":
             rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
             return Result(columns=["name", "database_name"], rows=rows)
-        if "COLUMNS" in up:
+        if first == "COLUMNS":
             # SHOW COLUMNS [IN <table>]: current DB scope, optional table
             tm_ = re.search(r"IN\s+(?:TABLE\s+)?([\w.\"$]+)", up)
             rows = []
@@ -1790,7 +1878,7 @@ class Executor:
                                  c.default, "COLUMN"])
             return Result(columns=["table_name", "schema_name", "column_name",
                                    "data_type", "null?", "default", "kind"], rows=rows)
-        if "MATERIALIZED" in up and "VIEWS" in up:
+        if first == "MATERIALIZED":
             rows = [
                 [tbl, db, sch, self._dyntable_defs.get((db, sch, tbl), ("",))[0][:200],
                  tm.comment]
@@ -1798,14 +1886,14 @@ class Executor:
                 if db == ctx.database and tm.kind == "MATERIALIZED VIEW" and _match(tbl)
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
-        if "VIEWS" in up:
+        if first == "VIEWS":
             rows = [
                 [name, db, sch, vm.sql_text[:200], vm.comment]
                 for (db, sch, name), vm in sorted(self.catalog.views.items())
                 if db == ctx.database and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
-        if "OBJECTS" in up:
+        if first == "OBJECTS":
             rows = [
                 [tbl, db, sch, tm.kind, tm.comment]
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
@@ -1817,7 +1905,7 @@ class Executor:
             ]
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"],
                           rows=sorted(rows))
-        if "DYNAMIC" in up and "TABLES" in up:
+        if first == "DYNAMIC":
             rows = [
                 [tbl, db, sch,
                  (self._dyntable_defs.get((db, sch, tbl)) or (None, None))[1],
@@ -1828,7 +1916,7 @@ class Executor:
             ]
             return Result(columns=["name", "database_name", "schema_name",
                                    "target_lag", "text", "comment"], rows=rows)
-        if "TABLES" in up:
+        if first == "TABLES":
             # SHOW TABLES HISTORY includes UNDROP-able dropped tables
             # with their drop marker (Snowflake's dropped_on column)
             history = "HISTORY" in up
@@ -1853,7 +1941,7 @@ class Executor:
                     rows=rows,
                 )
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"], rows=rows)
-        if "GRANTS" in up:
+        if first == "GRANTS":
             # SHOW GRANTS [ON <type> <name> | TO ROLE|USER <name>]
             gm = re.search(r"GRANTS\s+ON\s+(\w+)\s+([\w.\"$]+)", up)
             tm_ = re.search(r"GRANTS\s+TO\s+(ROLE|USER)\s+([\w\"$]+)", up)
@@ -1870,7 +1958,7 @@ class Executor:
             rows = [[p, ot, on, gt, gr] for (p, ot, on, gt, gr) in sorted(grants)]
             return Result(columns=["privilege", "granted_on", "name",
                                    "granted_to", "grantee_name"], rows=rows)
-        if "FUNCTIONS" in up:
+        if first in ("FUNCTIONS", "USER"):
             # SHOW [USER] FUNCTIONS: per-DB scoped like the other handlers
             rows = [
                 [name, db, sch,
@@ -1881,7 +1969,7 @@ class Executor:
             ]
             return Result(columns=["name", "database_name", "schema_name",
                                    "arguments", "language", "comment"], rows=rows)
-        if "TASKS" in up:
+        if first == "TASKS":
             # per-DB scoping like the other SHOW handlers
             rows = [
                 [name, db, sch, t.schedule, t.state, t.warehouse,
@@ -1891,27 +1979,27 @@ class Executor:
             ]
             return Result(columns=["name", "database_name", "schema_name", "schedule",
                                    "state", "warehouse", "definition", "comment"], rows=rows)
-        if "STREAMS" in up:
+        if first == "STREAMS":
             rows = [
                 [name, db, sch, ".".join(sm.src), "APPEND_ONLY" if sm.append_only else "DEFAULT", sm.comment]
                 for (db, sch, name), sm in sorted(self.catalog.streams.items())
                 if _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "table_name", "mode", "comment"], rows=rows)
-        if "STAGES" in up:
+        if first == "STAGES":
             rows = [[stg, db, sch] for (db, sch, stg) in sorted(self.catalog.stages) if _match(stg)]
             return Result(columns=["name", "database_name", "schema_name"], rows=rows)
-        if "SEQUENCES" in up:
+        if first == "SEQUENCES":
             rows = [
                 [name, db, sch, sm.start, sm.increment]
                 for (db, sch, name), sm in sorted(self.catalog.sequences.items())
                 if _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "start", "increment"], rows=rows)
-        if "FILE FORMATS" in up:
+        if first == "FILE":
             rows = [[ff, fm.format_type] for (db, sch, ff), fm in sorted(self.catalog.file_formats.items()) if _match(ff)]
             return Result(columns=["name", "type"], rows=rows)
-        if "QUERY HISTORY" in up:
+        if first == "QUERY":
             # query-history log (reference: pkg/metadata/repository.go:1213-1378)
             rows = [
                 [e["sql"][:200], e["status"], e.get("rows", 0), e.get("ms", 0), e.get("error")]

@@ -1,0 +1,132 @@
+"""Regression suite for the r4 high-effort executor review findings."""
+
+import pytest
+
+from snowflake_emulator_spark.sessions import SessionContext
+
+
+def _rows(res):
+    return [tuple(r) for r in res.rows]
+
+
+def test_namespace_switch_invalidates_bare_aliases(engine):
+    """After USE DATABASE, a bare table name from the OLD namespace
+    must raise object-not-found, not silently serve stale rows."""
+    ctx = SessionContext()
+    engine.execute("CREATE DATABASE IF NOT EXISTS nsdb2", ctx)
+    engine.execute("CREATE TABLE ns_t (id INTEGER)", ctx)
+    engine.execute("INSERT INTO ns_t VALUES (1)", ctx)
+    assert _rows(engine.execute("SELECT * FROM ns_t", ctx)) == [(1,)]
+    engine.execute("USE DATABASE nsdb2", ctx)
+    with pytest.raises(Exception):
+        engine.execute("SELECT * FROM ns_t", ctx)
+
+
+def test_alter_add_primary_key_is_metadata_only(engine):
+    """ALTER TABLE ... ADD PRIMARY KEY must not append a bogus column
+    (the old add-column regex parsed col='PRIMARY', type='KEY (id)')."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE pk_t (id INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO pk_t VALUES (1, 'a')", ctx)
+    engine.execute("ALTER TABLE pk_t ADD PRIMARY KEY (id)", ctx)
+    res = engine.execute("SELECT * FROM pk_t", ctx)
+    assert res.columns == ["ID", "V"] or [c.upper() for c in res.columns] == ["ID", "V"]
+    d = engine.execute("SELECT GET_DDL('TABLE', 'pk_t') AS d", ctx).rows[0][0]
+    assert "PRIMARY KEY" in d
+    engine.execute("ALTER TABLE pk_t ADD UNIQUE (v)", ctx)  # no-op, no error
+    # a real add-column still works
+    engine.execute("ALTER TABLE pk_t ADD COLUMN extra DOUBLE", ctx)
+    assert len(engine.execute("SELECT * FROM pk_t", ctx).columns) == 3
+
+
+def test_drop_mv_refuses_base_table(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE base_t (id INTEGER)", ctx)
+    with pytest.raises(Exception, match="not a materialized view"):
+        engine.execute("DROP MATERIALIZED VIEW base_t", ctx)
+    with pytest.raises(Exception, match="not a dynamic table"):
+        engine.execute("DROP DYNAMIC TABLE base_t", ctx)
+    # the table survived
+    engine.execute("SELECT * FROM base_t", ctx)
+
+
+def test_dml_substitutes_variables_and_udfs(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE dml_t (id INTEGER, v DOUBLE)", ctx)
+    engine.execute("SET n = 7", ctx)
+    engine.execute(
+        "CREATE FUNCTION dml_double(x DOUBLE) RETURNS DOUBLE AS 'x * 2'", ctx)
+    engine.execute("INSERT INTO dml_t VALUES ($n, dml_double(1.5))", ctx)
+    assert _rows(engine.execute("SELECT id, v FROM dml_t", ctx)) == [(7, 3.0)]
+    engine.execute("UPDATE dml_t SET v = dml_double(v) WHERE id = $n", ctx)
+    assert _rows(engine.execute("SELECT v FROM dml_t", ctx)) == [(6.0,)]
+    engine.execute("DELETE FROM dml_t WHERE id = $n", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM dml_t", ctx).rows[0][0] == 0
+
+
+def test_insert_unknown_column_raises(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ic_t (id INTEGER, v VARCHAR)", ctx)
+    with pytest.raises(Exception, match="TYPO_COL"):
+        engine.execute("INSERT INTO ic_t (typo_col) VALUES (1)", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM ic_t", ctx).rows[0][0] == 0
+
+
+def test_create_or_replace_view_invalid_preserves_old(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE vw_t (id INTEGER)", ctx)
+    engine.execute("INSERT INTO vw_t VALUES (1)", ctx)
+    engine.execute("CREATE VIEW vw_v AS SELECT id FROM vw_t", ctx)
+    with pytest.raises(Exception):
+        engine.execute(
+            "CREATE OR REPLACE VIEW vw_v AS SELECT no_such_col FROM vw_t", ctx)
+    # the ORIGINAL view still works
+    assert _rows(engine.execute("SELECT * FROM vw_v", ctx)) == [(1,)]
+
+
+def test_dynamic_pivot_any_date_values(engine):
+    """PIVOT(... FOR d IN (ANY)) over a DATE column renders typed
+    literals, not bare 2024-01-15 arithmetic."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE pv_t (d DATE, amt INTEGER)", ctx)
+    engine.execute(
+        "INSERT INTO pv_t VALUES ('2024-01-15'::DATE, 10), "
+        "('2024-02-01'::DATE, 20)", ctx)
+    r = engine.execute("SELECT * FROM pv_t PIVOT(sum(amt) FOR d IN (ANY))", ctx)
+    assert sorted(r.rows[0]) == [10, 20]
+
+
+def test_qualified_udf_call_and_schema_scoping(engine):
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION qual_f(x NUMBER) RETURNS NUMBER AS 'x + 1'", ctx)
+    # qualified spellings resolve (schema and db.schema)
+    assert engine.execute(
+        "SELECT public.qual_f(1) AS v", ctx).rows[0][0] == 2
+    res = engine.execute("SELECT qual_f(1) AS a, PUBLIC.QUAL_F(2) AS b", ctx)
+    assert _rows(res) == [(2, 3)]
+
+
+def test_show_like_escapes_metacharacters(engine):
+    """LIKE patterns are SQL wildcards, not regex: '.' must be literal
+    (no accidental any-char match) and regex metachars must not crash."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE fooxbar (id INTEGER)", ctx)
+    # unescaped '.' would match the X; escaped it matches nothing
+    assert all(r[0] != "FOOXBAR" for r in
+               engine.execute("SHOW TABLES LIKE 'FOO.BAR'", ctx).rows)
+    names = [r[0] for r in engine.execute("SHOW TABLES LIKE 'FOO%BAR'", ctx).rows]
+    assert "FOOXBAR" in names
+    # regex metacharacters in the pattern must not crash
+    assert engine.execute("SHOW TABLES LIKE '('", ctx).rows == []
+
+
+def test_show_grants_on_table_named_like_tables(engine):
+    """SHOW GRANTS ON TABLE MY_TABLES must hit the GRANTS handler, not
+    SHOW TABLES (substring routing bug)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE my_tables (id INTEGER)", ctx)
+    engine.execute("GRANT SELECT ON TABLE my_tables TO ROLE analyst", ctx)
+    r = engine.execute("SHOW GRANTS ON TABLE my_tables", ctx)
+    assert r.columns[0] == "privilege"
+    assert r.rows and r.rows[0][0] == "SELECT"
