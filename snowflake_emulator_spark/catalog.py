@@ -297,6 +297,10 @@ class Catalog:
             self.schemas = {k: v for k, v in self.schemas.items() if k[0] != db}
             self.stages = {k: v for k, v in self.stages.items() if k[0] != db}
             self.file_formats = {k: v for k, v in self.file_formats.items() if k[0] != db}
+            # every schema-level object namespace must empty too, or a
+            # recreated database inherits stale views/streams/UDFs that
+            # block same-named tables and stay listable forever
+            self._drop_namespace_objects(lambda k: k[0] == db)
             del self.databases[db]
 
     def alter_database_comment(self, name: str, comment: str) -> None:
@@ -327,7 +331,19 @@ class Catalog:
                 raise errors.object_not_found(f"{db}.{sch}")
             for key in [k for k in self.tables if k[0] == db and k[1] == sch]:
                 self._drop_table_key(key)
+            self._drop_namespace_objects(lambda k: k[0] == db and k[1] == sch)
             del self.schemas[(db, sch)]
+
+    def _drop_namespace_objects(self, pred) -> None:
+        """Remove schema-level objects matching the key predicate (used
+        by DROP DATABASE/SCHEMA). Caller holds self._lock."""
+        for store_name in ("views", "streams", "tasks", "sequences",
+                           "functions", "procedures"):
+            store = getattr(self, store_name, None)
+            if isinstance(store, dict):
+                for k in [k for k in store if pred(k)]:
+                    del store[k]
+        self.mutation += 1
 
     # ---------------- tables ----------------
 
@@ -539,11 +555,21 @@ class Catalog:
         Holds only this table's write lock for the duration of the
         Spark job, so concurrent writes to different tables proceed in
         parallel."""
+        if tm.kind == "EXTERNAL" or not tm.location:
+            raise errors.execution_error(
+                f"cannot write to external table {tm.name}")
         with self._table_lock(tm):
             if mode == "append":
                 cur = self.read_table(tm)
+                target_fields = tm.spark_schema().fields
+                if len(df.schema.fields) > len(target_fields):
+                    # zip truncation would silently DISCARD the extra
+                    # values; Snowflake raises 'too many values'
+                    raise errors.execution_error(
+                        f"INSERT has more expressions than target columns "
+                        f"({len(df.schema.fields)} vs {len(target_fields)})")
                 aligned = df.select(*[df[c.name].cast(f.dataType).alias(f.name)
-                                      for c, f in zip(df.schema.fields, tm.spark_schema().fields)])
+                                      for c, f in zip(df.schema.fields, target_fields)])
                 df = cur.unionByName(aligned, allowMissingColumns=False)
             self._write_version(tm, df)
 
@@ -571,6 +597,9 @@ class Catalog:
         would survive the rollback). In that case the existing data
         files are hard-linked into a fresh version dir first — still
         O(files), not O(bytes) — and the append lands there."""
+        if tm.kind == "EXTERNAL" or not tm.location:
+            raise errors.execution_error(
+                f"cannot write to external table {tm.name}")
         with self._table_lock(tm):
             target = tm.spark_schema()
             aligned = df.select(*[df[src.name].cast(f.dataType).alias(f.name)
@@ -583,6 +612,13 @@ class Catalog:
                 src_dir = tm.version_path()
                 new_version = tm.version + 1
                 dst_dir = tm.version_path(new_version)
+                # an abandoned dir from a rolled-back write may already
+                # sit at this version number — reusing it as-is would
+                # RESURRECT the rolled-back rows (the overwrite path
+                # clears it via Spark's mode('overwrite'); this
+                # hard-link path must clear it explicitly)
+                if os.path.isdir(dst_dir):
+                    shutil.rmtree(dst_dir)
                 os.makedirs(dst_dir, exist_ok=True)
                 for fname in os.listdir(src_dir):
                     s, d = os.path.join(src_dir, fname), os.path.join(dst_dir, fname)

@@ -79,7 +79,7 @@ _COPY_XFORM_RE = re.compile(
     r"((?:/[^\s)]*)?)\s*\)\s*(.*)$",
     re.I | re.S,
 )
-_FF_INLINE_RE = re.compile(r"FILE_FORMAT\s*=\s*\(([^)]*)\)", re.I | re.S)
+_FF_INLINE_OPEN_RE = re.compile(r"FILE_FORMAT\s*=\s*\(", re.I)
 _PATTERN_RE = re.compile(r"PATTERN\s*=\s*'((?:[^']|'')*)'", re.I)
 _ON_ERROR_RE = re.compile(r"ON_ERROR\s*=\s*'?(\w+)'?", re.I)
 _PURGE_RE = re.compile(r"PURGE\s*=\s*(TRUE|FALSE)", re.I)
@@ -118,11 +118,25 @@ def parse_copy(sql: str) -> CopyStatement:
 
 
 def _parse_copy_options(stmt: CopyStatement, rest: str) -> CopyStatement:
-    fm = _FF_INLINE_RE.search(rest)
+    fm = _FF_INLINE_OPEN_RE.search(rest)
     if fm:
-        for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", fm.group(1)):
+        # paren-AWARE body extraction: [^)]* stopped at the first ')'
+        # so list-valued options (NULL_IF=('NULL','N/A')) were truncated
+        from ..plans.translator import match_paren
+
+        close = match_paren(rest, fm.end() - 1)
+        body = rest[fm.end():close] if close > 0 else rest[fm.end():]
+        for om in re.finditer(
+                r"(\w+)\s*=\s*(\((?:[^()']|'(?:[^']|'')*')*\)|'(?:[^']|'')*'|[^\s,)]+)",
+                body):
             k = om.group(1).upper()
             v = om.group(2)
+            if v.startswith("("):
+                # list value: parse each quoted element
+                stmt.options[k] = [
+                    e.group(1).replace("''", "'")
+                    for e in re.finditer(r"'((?:[^']|'')*)'", v)]
+                continue
             if v.startswith("'"):
                 v = v[1:-1].replace("''", "'")
             if k == "TYPE":
@@ -178,7 +192,10 @@ class CopyProcessor:
         if stmt.pattern:
             try:
                 rx = re.compile(stmt.pattern)
-                files = [f for f in files if rx.fullmatch(f) or rx.search(f)]
+                # Snowflake applies PATTERN as a FULL-path anchored
+                # regex; an unanchored search fallback loaded files
+                # like data/a.csv.bak for PATTERN='data/a[.]csv'
+                files = [f for f in files if rx.fullmatch(f)]
             except re.error:
                 import fnmatch
 
@@ -194,7 +211,10 @@ class CopyProcessor:
             full = os.path.join(stage.directory, rel)
             try:
                 df = self._read_file(full, stmt, tm)
-                if stmt.validation_mode == "RETURN_ERRORS":
+                if stmt.validation_mode and stmt.validation_mode.startswith("RETURN"):
+                    # RETURN_ERRORS / RETURN_ALL_ERRORS / RETURN_n_ROWS:
+                    # every VALIDATION_MODE validates WITHOUT loading
+                    # (falling through loaded data on a dry run)
                     df.count()  # force read; errors surface, nothing loaded
                     continue
                 # single-pass: count rows as they flow into the append
@@ -245,9 +265,13 @@ class CopyProcessor:
         else:
             df = query_df(f"SELECT * FROM {src_sql}", ctx)
         fmt, options = "CSV", {}
-        fm = _FF_INLINE_RE.search(rest)
+        fm = _FF_INLINE_OPEN_RE.search(rest)
         if fm:
-            for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", fm.group(1)):
+            from ..plans.translator import match_paren
+
+            close = match_paren(rest, fm.end() - 1)
+            body = rest[fm.end():close] if close > 0 else rest[fm.end():]
+            for om in re.finditer(r"(\w+)\s*=\s*('(?:[^']|'')*'|[^\s,)]+)", body):
                 k, v = om.group(1).upper(), om.group(2)
                 if v.startswith("'"):
                     v = v[1:-1].replace("''", "'")
@@ -328,9 +352,24 @@ class CopyProcessor:
         sel = re.sub(r"\$(\d+)", lambda m: f"__c{m.group(1)}", stmt.select_exprs)
         from ..plans.translator import translate
 
-        view = f"__copy_xform_{abs(hash(path)) % 100000}"
+        # per-statement UNIQUE view name: a hash-bucketed name could
+        # collide across concurrent loads (another thread's
+        # createOrReplaceTempView between registration and analysis
+        # would join the wrong file's data); dropped after planning
+        import uuid as _uuid
+
+        view = f"__copy_xform_{_uuid.uuid4().hex[:12]}"
         renamed.createOrReplaceTempView(view)
-        out = self.spark.sql(translate(f"SELECT {sel} FROM {view}"))
+        try:
+            # spark.sql analyzes eagerly: the resolved plan captures
+            # the view's child plan, so dropping the view right after
+            # is safe even though the job runs later
+            out = self.spark.sql(translate(f"SELECT {sel} FROM {view}"))
+        finally:
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
         return self._positional_cast(out, tm)
 
     def _read_csv(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
@@ -355,7 +394,9 @@ class CopyProcessor:
         df = reader.csv(path)
         null_if = o.get("NULL_IF")
         if null_if:
-            tokens = [t.strip().strip("'") for t in null_if.strip("()").split(",")]
+            tokens = (null_if if isinstance(null_if, list)
+                      else [t.strip().strip("'")
+                            for t in null_if.strip("()").split(",")])
             for c in df.columns:
                 df = df.withColumn(
                     c, F.when(F.col(c).isin(tokens), F.lit(None)).otherwise(F.col(c))
@@ -391,10 +432,29 @@ class CopyProcessor:
             import pandas as pd
 
             chunk = 10000
+            decoder = _json.JSONDecoder()
+
+            def _iter_docs(text: str):
+                # STREAMING decode: stage JSON files are usually
+                # newline-delimited (one document per line), which a
+                # single json.loads rejects with 'Extra data'; walk the
+                # text decoding one top-level document at a time
+                idx, n = 0, len(text)
+                while idx < n:
+                    while idx < n and text[idx] in " \t\r\n":
+                        idx += 1
+                    if idx >= n:
+                        break
+                    doc, idx = decoder.raw_decode(text, idx)
+                    yield doc
+
             for pdf in batches:
                 for text in pdf["value"]:
-                    doc = _json.loads(text)
-                    elements = doc if isinstance(doc, list) else [doc]
+                    docs = list(_iter_docs(text))
+                    if len(docs) == 1 and isinstance(docs[0], list):
+                        elements = docs[0]
+                    else:
+                        elements = docs
                     for i in range(0, len(elements), chunk):
                         yield pd.DataFrame({
                             first_col: [

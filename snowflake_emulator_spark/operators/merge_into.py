@@ -180,7 +180,14 @@ class MergeProcessor:
                 source_df = self.executor.query_df(f"SELECT * FROM {stmt.source}", ctx)
 
         t, s = stmt.target_alias, stmt.source_alias
-        tv, sv = "__merge_target_v", "__merge_source_v"
+        # per-statement unique view names: fixed names let a concurrent
+        # MERGE on ANOTHER table replace the view between registration
+        # and plan analysis (per-table write locks deliberately allow
+        # cross-table parallelism) — silent cross-table corruption
+        import uuid as _uuid
+
+        suffix = _uuid.uuid4().hex[:12]
+        tv, sv = f"__merge_target_{suffix}", f"__merge_source_{suffix}"
         from pyspark.sql import functions as F
 
         (
@@ -333,6 +340,11 @@ class MergeProcessor:
         stats = obs.get
         if strict and int(stats["dups"] or 0):
             self.catalog.revert_to_version(tm, prev_version)
+            for v in (tv, sv):
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
             raise errors.execution_error(
                 "Duplicate row detected during DML action: a target row "
                 "was matched by multiple source rows "
@@ -348,4 +360,9 @@ class MergeProcessor:
             rows=[[n_ins, n_upd, n_del]],
         )
         r.rows_inserted, r.rows_updated, r.rows_deleted = n_ins, n_upd, n_del
+        for v in (tv, sv):
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:
+                pass
         return r
