@@ -71,9 +71,11 @@ class Result:
 
     # -- protocol serializations ------------------------------------------
 
-    def rowset_strings(self) -> list[list[str | None]]:
-        """gosnowflake-protocol rowset: every value stringified, NULL as
-        None (query.go:179-193)."""
+    def rowset_strings(self) -> list[list[str]]:
+        """gosnowflake-protocol rowset: every value stringified; NULL
+        encodes as "" (query.go:184-186) — indistinguishable from an
+        empty string on this wire, a documented gosnowflake
+        limitation. The Arrow path carries real nulls."""
         return [[_stringify(v) for v in row] for row in self.rows]
 
     def rowset_typed(self) -> list[list]:
@@ -106,7 +108,7 @@ class Result:
         for i, cm in enumerate(self.column_types):
             values = list(cols[i]) if self.rows else []
             pa_type, logical, meta = _arrow_physical_for(cm, self.spark_schema, i)
-            if logical in ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ"):
+            if logical == "TIMESTAMP_NTZ":
                 # int64 epoch units at scale=6 (gosnowflake reads the
                 # non-struct branch: extractEpoch(value, scale))
                 arr = pa.array(values, type=pa.timestamp("us")).cast(pa.int64())
@@ -173,6 +175,8 @@ def _arrow_physical_for(cm: ColumnMetadata, spark_schema, i: int):
     if isinstance(dt, T.DateType):
         return pa.date32(), "DATE", {"scale": "0"}
     if isinstance(dt, (T.TimestampNTZType,)):
+        # (an LTZ mapping would share this int64-epoch branch; Spark
+        # has no separate LTZ type, so only NTZ/TZ are reachable)
         return pa.timestamp("us"), "TIMESTAMP_NTZ", {"scale": "6"}
     if isinstance(dt, T.TimestampType):
         # struct{epoch, fraction(nanos), timezone}: fraction carries

@@ -114,7 +114,10 @@ class SnowflakeServer:
                 # typed REST error (shape of types.StatementResponse as
                 # used by rest_api_v2.go sendError): 404 for missing
                 # objects, 422 for failed statements, else 400
-                if e.code == "002043":
+                if e.code in ("002043", "390144"):
+                    # missing objects AND missing statement handles are
+                    # 404 (rest_api_v2.go: lookups 404 when absent) —
+                    # only a FAILED statement's payload is 422
                     http = 404
                 elif path.startswith("/api/v2/statements"):
                     http = 422
@@ -144,6 +147,14 @@ class SnowflakeServer:
             "%Y-%m-%dT%H:%M:%SZ"
         )
 
+    @staticmethod
+    def _require_name(body) -> str:
+        """REST v2 create bodies must carry a 'name' — malformed input
+        is a typed 400, not a KeyError-turned-500."""
+        if not isinstance(body, dict) or not body.get("name"):
+            raise errors.invalid_parameter("request body must include 'name'")
+        return body["name"]
+
     def _handle(self, method: str, path: str, headers, body: dict, params: dict | None = None):
         params = params or {}
         # telemetry: accept and ignore, like the reference
@@ -154,10 +165,24 @@ class SnowflakeServer:
             return {"status": "OK"}, 200
         # ---- gosnowflake session endpoints
         if path == "/session/v1/login-request" and method == "POST":
-            data = body.get("data", {})
-            db = data.get("SESSION_PARAMETERS", {}).get("DATABASE") or data.get("DATABASE")
-            schema = data.get("SESSION_PARAMETERS", {}).get("SCHEMA") or data.get("SCHEMA")
+            data = body.get("data") or {}
+            if not isinstance(data, dict):
+                return {"success": False, "message": "malformed login body",
+                        "code": "000900"}, 400
+            sp = data.get("SESSION_PARAMETERS") or {}
+            # gosnowflake carries the login namespace as databaseName/
+            # schemaName (types.go json tags) and ALSO as URL query
+            # params; accept all spellings
+            db = (sp.get("DATABASE") or data.get("DATABASE")
+                  or data.get("databaseName") or params.get("databaseName"))
+            schema = (sp.get("SCHEMA") or data.get("SCHEMA")
+                      or data.get("schemaName") or params.get("schemaName"))
             s = self.sessions.create(db, schema)
+            # client SESSION_PARAMETERS (e.g. GO_QUERY_RESULT_FORMAT)
+            # negotiate at login, not only via later ALTER SESSION
+            for k, v in sp.items():
+                if k.upper() not in ("DATABASE", "SCHEMA"):
+                    s.parameters[k.upper()] = v
             return {
                 "data": {
                     "token": s.token,
@@ -237,6 +262,7 @@ class SnowflakeServer:
                     if req_id:
                         self._running.pop(req_id, None)
             sess.database, sess.schema = ctx.database, ctx.schema
+            sess.last_query_id = getattr(ctx, "last_query_id", None) or sess.last_query_id
             data = {
                 "queryId": qid,
                 "rowtype": res.row_type(),
@@ -321,8 +347,9 @@ class SnowflakeServer:
                      "message": f"{kind} not found: {name}", "sqlState": "02000"}, 404)
 
         if path == "/api/v2/databases" and method == "POST":
-            cat.create_database(body["name"], comment=body.get("comment"))
-            return _db_payload(body["name"].upper()), 201
+            name = self._require_name(body)
+            cat.create_database(name, comment=body.get("comment"))
+            return _db_payload(name.upper()), 201
         if path == "/api/v2/databases" and method == "GET":
             return [_db_payload(db) for db in sorted(cat.databases)], 200
         m = re.match(r"^/api/v2/databases/([\w$]+)$", path)
@@ -341,8 +368,9 @@ class SnowflakeServer:
                 return {}, 204
         m = re.match(r"^/api/v2/databases/([\w$]+)/schemas$", path)
         if m and method == "POST":
-            cat.create_schema(m.group(1), body["name"])
-            return _schema_payload(m.group(1).upper(), body["name"].upper()), 201
+            name = self._require_name(body)
+            cat.create_schema(m.group(1), name)
+            return _schema_payload(m.group(1).upper(), name.upper()), 201
         if m and method == "GET":
             db = m.group(1).upper()
             return [_schema_payload(d, sch) for (d, sch) in sorted(cat.schemas) if d == db], 200
@@ -364,7 +392,7 @@ class SnowflakeServer:
                           nullable=c.get("nullable", True))
                 for c in body.get("columns", [])
             ]
-            tm = cat.create_table(body["name"], cols, m.group(1), m.group(2),
+            tm = cat.create_table(self._require_name(body), cols, m.group(1), m.group(2),
                                   comment=body.get("comment"))
             return _table_payload(tm), 201
         if m and method == "GET":
@@ -389,7 +417,7 @@ class SnowflakeServer:
 
         # ---- REST v2 warehouses
         if path == "/api/v2/warehouses" and method == "POST":
-            w = self.engine.warehouses.create(body["name"], body.get("warehouse_size", "X-SMALL"),
+            w = self.engine.warehouses.create(self._require_name(body), body.get("warehouse_size", "X-SMALL"),
                                               comment=body.get("comment"))
             return _wh_payload(w), 201
         if path == "/api/v2/warehouses" and method == "GET":

@@ -20,6 +20,8 @@ class FileSessionStore:
         self.path = path
 
     def save(self, manager: SessionManager) -> None:
+        with manager._lock:
+            sessions = list(manager._by_id.values())
         payload = [
             {
                 "id": s.id,
@@ -32,7 +34,7 @@ class FileSessionStore:
                 "token_expiry": s.token_expiry,
                 "master_expiry": s.master_expiry,
             }
-            for s in manager._by_id.values()
+            for s in sessions
         ]
         d = os.path.dirname(self.path) or "."
         os.makedirs(d, exist_ok=True)

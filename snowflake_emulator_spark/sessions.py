@@ -33,11 +33,16 @@ class Session:
     created_at: float = field(default_factory=time.time)
     token_expiry: float = 0.0
     master_expiry: float = 0.0
+    # survives across HTTP requests so LAST_QUERY_ID()/RESULT_SCAN
+    # work request-to-request (a fresh ctx per request otherwise
+    # forgets it)
+    last_query_id: str | None = None
 
     def context(self) -> SessionContext:
         ctx = SessionContext(self.database, self.schema)
         ctx.parameters = self.parameters
         ctx.variables = self.variables
+        ctx.last_query_id = self.last_query_id
         # keep ctx and session namespace in sync
         ctx._session = self  # type: ignore[attr-defined]
         return ctx
@@ -77,13 +82,15 @@ class SessionManager:
     def renew(self, master_token: str, old_token: str) -> Session:
         """Issue a fresh token pair given a valid master token
         (manager.go:205-267)."""
-        s = self._by_token.get(old_token)
-        if s is None or s.master_token != master_token:
-            raise errors.invalid_token("Invalid master token")
-        if time.time() > s.master_expiry:
-            raise errors.master_token_expired()
         with self._lock:
-            del self._by_token[s.token]
+            s = self._by_token.get(old_token)
+            if s is None or s.master_token != master_token:
+                raise errors.invalid_token("Invalid master token")
+            if time.time() > s.master_expiry:
+                raise errors.master_token_expired()
+            # pop, not del: a racing logout/renew may have removed the
+            # old token already — a KeyError here surfaced as HTTP 500
+            self._by_token.pop(old_token, None)
             now = time.time()
             s.token = uuid.uuid4().hex + uuid.uuid4().hex
             s.master_token = uuid.uuid4().hex + uuid.uuid4().hex

@@ -56,27 +56,44 @@ class StatementManager:
         return st
 
     def get(self, handle: str) -> Statement:
-        st = self._stmts.get(handle)
+        with self._lock:
+            st = self._stmts.get(handle)
         if st is None:
             raise errors.statement_not_found(handle)
         return st
 
     def run(self, st: Statement, fn) -> Statement:
         """Execute ``fn() -> Result`` under the statement's job group so
-        cancel() can interrupt in-flight Spark jobs."""
-        st.status = StatementStatus.RUNNING
+        cancel() can interrupt in-flight Spark jobs.
+
+        Status transitions happen under the manager lock and CANCELED
+        always wins: a cancel landing before the run starts skips
+        execution, and one landing during/after execution is never
+        overwritten by SUCCESS or FAILED (the interrupt usually
+        surfaces as an exception — reporting that as FAILED hid the
+        cancellation from polling clients)."""
+        with self._lock:
+            if st.status == StatementStatus.CANCELED:
+                return st
+            st.status = StatementStatus.RUNNING
         if self.spark is not None and st.job_group:
             self.spark.sparkContext.setJobGroup(st.job_group, st.sql[:100], interruptOnCancel=True)
         try:
-            st.result = fn()
-            if st.status != StatementStatus.CANCELED:
-                st.status = StatementStatus.SUCCESS
+            result = fn()
+            with self._lock:
+                if st.status != StatementStatus.CANCELED:
+                    st.result = result
+                    st.status = StatementStatus.SUCCESS
         except errors.SnowflakeError as e:
-            st.status = StatementStatus.FAILED
-            st.error = e
+            with self._lock:
+                if st.status != StatementStatus.CANCELED:
+                    st.status = StatementStatus.FAILED
+                    st.error = e
         except Exception as e:  # noqa: BLE001
-            st.status = StatementStatus.FAILED
-            st.error = errors.execution_error(str(e))
+            with self._lock:
+                if st.status != StatementStatus.CANCELED:
+                    st.status = StatementStatus.FAILED
+                    st.error = errors.execution_error(str(e))
         finally:
             if self.spark is not None:
                 self.spark.sparkContext.setJobGroup("", "")
@@ -84,10 +101,13 @@ class StatementManager:
 
     def cancel(self, handle: str) -> Statement:
         st = self.get(handle)
-        if st.status in (StatementStatus.PENDING, StatementStatus.RUNNING):
-            st.status = StatementStatus.CANCELED
-            if self.spark is not None and st.job_group:
-                self.spark.sparkContext.cancelJobGroup(st.job_group)
+        with self._lock:
+            should_interrupt = st.status in (
+                StatementStatus.PENDING, StatementStatus.RUNNING)
+            if should_interrupt:
+                st.status = StatementStatus.CANCELED
+        if should_interrupt and self.spark is not None and st.job_group:
+            self.spark.sparkContext.cancelJobGroup(st.job_group)
         return st
 
     def _gc(self) -> None:

@@ -496,3 +496,41 @@ def test_arrow_format_physical_layout_gosnowflake(server):
     assert _gosnowflake_decode(tsn_field, tsn_col) == [None]
     _call(server, "POST", "/queries/v1/query-request",
           {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
+
+
+def test_r4_protocol_review_fixes(server):
+    """Regression bundle for the r4 protocol review: login namespace +
+    SESSION_PARAMETERS negotiation, cross-request LAST_QUERY_ID, 404
+    for unknown statement handles, 400 for malformed create bodies."""
+    # login with gosnowflake wire keys + arrow negotiation
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {
+        "databaseName": "TEST_DB", "schemaName": "PUBLIC",
+        "SESSION_PARAMETERS": {"GO_QUERY_RESULT_FORMAT": "arrow"}}})
+    assert out["success"]
+    assert out["data"]["sessionInfo"]["databaseName"] == "TEST_DB"
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT 1 AS v"}, token)
+    # arrow negotiated AT LOGIN, not only via ALTER SESSION
+    assert out["data"]["queryResultFormat"] == "arrow"
+    _call(server, "POST", "/queries/v1/query-request",
+          {"sqlText": "ALTER SESSION SET GO_QUERY_RESULT_FORMAT = 'json'"}, token)
+    # LAST_QUERY_ID persists across separate HTTP requests
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT 42 AS answer"}, token)
+    qid = out["data"]["queryId"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT LAST_QUERY_ID() AS q"}, token)
+    assert out["data"]["rowset"][0][0] == qid
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT * FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))"},
+                    token)
+    assert out["success"], out
+    # unknown statement handle -> 404, not 422
+    st, out = _call(server, "GET", "/api/v2/statements/01deadbeef")
+    assert st == 404
+    # malformed create body -> typed 400, not a KeyError 500
+    st, out = _call(server, "POST", "/api/v2/databases", {})
+    assert st == 400 and "name" in out["message"]
+    st, out = _call(server, "POST", "/api/v2/warehouses", {"comment": "x"})
+    assert st == 400
