@@ -83,6 +83,21 @@ def _split_statements(sql: str) -> list[str]:
             buf.append(sql[i:j + 1])
             i = j + 1
             continue
+        if c == '"':
+            # double-quoted IDENTIFIERS ("a;b", "it's") must not split
+            # on their ';' nor open the single-quote scanner on their
+            # apostrophe ("" escapes a quote inside)
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i:j + 1])
+            i = j + 1
+            continue
         if sql.startswith("$$", i):
             j = sql.find("$$", i + 2)
             j = n - 2 if j < 0 else j
@@ -180,7 +195,7 @@ class Engine:
                 return res
         # object-DDL handled at engine level (stage / file format / warehouse)
         m = _CREATE_STAGE_RE.match(s)
-        if m and "FILE FORMAT" not in up.split("STAGE")[0]:
+        if m:
             self.catalog.create_stage(m.group(3), ctx.database, ctx.schema,
                                       or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
             return Result.status(f"Stage area {m.group(3).upper()} successfully created.")
@@ -218,7 +233,7 @@ class Engine:
         # the expression NOW (one scalar query) and stores the value;
         # references substitute as $var inside later statements
         m = _SET_VAR_RE.match(s)
-        if m and not up.startswith("SET SESSION"):
+        if m and not re.match(r"SET\s+SESSION\s", up):
             val = self.executor.query_df(f"SELECT {m.group(2)}", ctx).collect()[0][0]
             self._session_vars(ctx)[m.group(1).upper()] = val
             return Result.status("Statement executed successfully.")
@@ -272,7 +287,13 @@ class Engine:
                 # BEGIN inside an open transaction is a no-op (Snowflake
                 # semantics: the original transaction stays open)
                 if owner not in self._open_txs:
-                    self._open_txs[owner] = (self.catalog.snapshot_versions(), set())
+                    # keep a strong reference to the owning object: the
+                    # tx is keyed by id(), and without the ref CPython
+                    # could reuse the address for an unrelated later
+                    # session, aliasing it onto this stale transaction
+                    owner_obj = getattr(ctx, "_session", ctx)
+                    self._open_txs[owner] = (
+                        self.catalog.snapshot_versions(), set(), owner_obj)
                     self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("COMMIT"):
@@ -283,12 +304,17 @@ class Engine:
         if up.startswith("ROLLBACK"):
             with self._tx_lock:
                 tx = self._open_txs.pop(owner, None)
+                if tx is not None:
+                    snap, dirty, _ref = tx
+                    # restore ONLY tables this transaction wrote
+                    # (interleaved commits from other sessions survive)
+                    # BEFORE unpinning: dropping protection first opened
+                    # a window where a concurrent write's GC could
+                    # delete the snapshot dir and the restore silently
+                    # no-opped, leaving uncommitted writes visible
+                    self.catalog.restore_versions(
+                        {k: v for k, v in snap.items() if k in dirty})
                 self._refresh_protected_locked()
-            if tx is not None:
-                snap, dirty = tx
-                # restore ONLY tables this transaction wrote: interleaved
-                # commits from other sessions must survive
-                self.catalog.restore_versions({k: v for k, v in snap.items() if k in dirty})
             return Result.status("Statement executed successfully.")
         tx = self._open_txs.get(owner)
         if tx is not None:
@@ -328,7 +354,7 @@ class Engine:
         """Recompute the union of snapshot-pinned versions (caller holds
         ``_tx_lock``)."""
         protected: dict[tuple, set[int]] = {}
-        for snap, _dirty in self._open_txs.values():
+        for snap, _dirty, _ref in self._open_txs.values():
             for key, v in snap.items():
                 protected.setdefault(key, set()).add(v)
         self.catalog.set_protected_versions(protected)

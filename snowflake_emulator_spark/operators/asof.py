@@ -32,18 +32,27 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
     semantics). Ties on time resolve to the right row (i.e. a right
     row AT the left timestamp matches)."""
     lcols = left.columns
+    # value columns ride as ONE struct: last(<struct>, ignorenulls)
+    # carries the latest right ROW atomically. Carrying each column
+    # separately skipped per-column NULLs — a matched right row with a
+    # NULL value resurrected an OLDER row's value, and multi-column
+    # outputs could stitch fields from different right rows.
+    rv = F.struct(*[F.col(c) for c in value_cols])
+    rv_type = r"__rv"
     l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(rv.alias(rv_type)).schema[rv_type].dataType
+        ).alias(rv_type),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in by else F.col(c)
           for c in lcols],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        rv.alias(rv_type),
     )
     unioned = l.unionByName(r)
     # right rows (__side=0) sort before left rows at equal time, so a
@@ -56,9 +65,12 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str],
     filled = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in value_cols],
+        F.last(rv_type, ignorenulls=True).over(w).alias("__rv_last"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__rv_last")[c].alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def range_join(left: DataFrame, right: DataFrame, by: list[str],

@@ -30,7 +30,15 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn("__n", F.size("__toks"))
+    # empty/NULL documents emit ZERO chunks: split(trim('')) is ['']
+    # (size 1), which produced a phantom chunk with n_toks=1 and empty
+    # text; NULL text produced a row of NULLs
+    base = (
+        df.filter(F.col(text_col).isNotNull()
+                  & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+    )
     starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride))
     exploded = base.select(
         F.col(id_col), F.col("__toks"),

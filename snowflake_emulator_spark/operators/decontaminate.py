@@ -44,6 +44,9 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text",
     return (
         df.select(F.col(id_col), words.alias("__words"))
         .select(F.col(id_col), F.explode(grams).alias("gram"))
+        # normalized_text('') -> '' -> split -> [''] would make every
+        # blank doc share the empty gram with any blank benchmark doc
+        .filter(F.col("gram") != "")
         .distinct()
     )
 
@@ -59,19 +62,19 @@ def contaminated_docs(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
     hint and let AQE pick the join).
     """
     corpus_grams = word_ngrams(corpus, n, text_col, id_col)
-    bench_grams = word_ngrams(benchmark, n, text_col, id_col).select("gram").distinct()
-    sizes = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_grams"))
-    )
-    return (
-        hits.join(sizes, id_col)
-        .select(
-            id_col,
-            "n_hit_grams",
-            "n_grams",
-            F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("hit_ratio"),
-        )
+    bench_grams = word_ngrams(benchmark, n, text_col, id_col).select(
+        "gram").distinct().withColumn("__hit", F.lit(True))
+    # ONE corpus pass: a LEFT broadcast join marks benchmark grams and
+    # a single groupBy counts totals and hits together (two separate
+    # aggregations re-ran the corpus scan + gram explode + distinct)
+    marked = corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
+    sized = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("__hit").isNotNull().cast("bigint")).alias("n_hit_grams"),
+    ).filter(F.col("n_hit_grams") > 0)
+    return sized.select(
+        id_col,
+        "n_hit_grams",
+        "n_grams",
+        F.round(F.col("n_hit_grams") / F.col("n_grams"), 6).alias("hit_ratio"),
     )

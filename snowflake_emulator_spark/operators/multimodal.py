@@ -108,7 +108,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("meta.duration_ms"), F.lit(0)), F.lit(every_ms))
+                # corrupt metadata must not kill the job: a NEGATIVE
+                # duration makes sequence() raise (illegal boundaries)
+                # and a NULL duration is unknown length — both emit
+                # ZERO frames instead
+                F.when(
+                    F.col("meta.duration_ms") >= 0,
+                    F.sequence(F.lit(0), F.col("meta.duration_ms"),
+                               F.lit(every_ms)),
+                ).otherwise(F.array().cast("array<bigint>"))
             ).alias("frame_ts_ms"),
         )
     )

@@ -32,6 +32,9 @@ def build_spark(app_name: str = "snowflake_emulator_spark", master: str | None =
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Snowflake treats double-quoted tokens as IDENTIFIERS, not
+        # string literals — Spark's ANSI conf matches that exactly
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,4 +47,5 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
     return spark

@@ -130,3 +130,76 @@ def test_show_grants_on_table_named_like_tables(engine):
     r = engine.execute("SHOW GRANTS ON TABLE my_tables", ctx)
     assert r.columns[0] == "privilege"
     assert r.rows and r.rows[0][0] == "SELECT"
+
+
+# ---------------------------------------------------------------------------
+# r4 engine/operators review batch
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matched_null_not_skipped(spark):
+    """The matched right row's NULL value must come through as NULL —
+    not an OLDER row's value — and multi-column outputs must never
+    stitch fields from different right rows."""
+    from snowflake_emulator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, "old"), (1, 2, None, "new")],
+        "k long, ts long, a double, b string")
+    out = asof_join(left, right, by=["k"], left_time="ts", right_time="ts",
+                    value_cols=["a", "b"], suffix="").collect()
+    assert len(out) == 1
+    # DuckDB ASOF JOIN semantics: the t=2 row matches -> a NULL, b 'new'
+    assert out[0]["a"] is None and out[0]["b"] == "new"
+
+
+def test_set_session_prefixed_variable_names(engine):
+    """SET SESSION_START = ... is a session VARIABLE (the 'SET SESSION'
+    parameter guard must not swallow names merely starting with it)."""
+    ctx = SessionContext()
+    engine.execute("SET session_start = '2020-01-01'", ctx)
+    res = engine.execute("SELECT $session_start AS s", ctx)
+    assert res.rows[0][0] == "2020-01-01"
+
+
+def test_split_statements_double_quoted_identifiers(engine):
+    ctx = SessionContext()
+    res = engine.execute('SELECT 1 AS "a;b"', ctx)
+    assert res.columns == ["a;b"] and res.rows == [[1]]
+    # apostrophe inside a quoted identifier must not fuse statements
+    engine.execute('CREATE TABLE dq_t (id INTEGER)', ctx)
+    res = engine.execute(
+        'SELECT 2 AS "it\'s"; INSERT INTO dq_t VALUES (7)', ctx)
+    assert engine.execute("SELECT * FROM dq_t", ctx).rows == [[7]]
+
+
+def test_sample_frames_corrupt_durations(spark):
+    """Negative duration_ms must not kill the job; NULL duration emits
+    no frames."""
+    from snowflake_emulator_spark.operators import multimodal
+    rows = [
+        (1, "video", {"duration_ms": 2000}),
+        (2, "video", {"duration_ms": -1}),    # corrupt
+        (3, "video", {"duration_ms": None}),  # unknown
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, meta struct<duration_ms: long>")
+    out = multimodal.sample_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000]
+    assert 2 not in by_id and 3 not in by_id
+
+
+def test_decontaminate_blank_docs_not_flagged(spark):
+    from snowflake_emulator_spark.operators import decontaminate
+    corpus = spark.createDataFrame(
+        [(1, "   "), (2, "real shared words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "real shared words here")],
+        "doc_id long, text string")
+    out = {r["doc_id"] for r in
+           decontaminate.contaminated_docs(corpus, bench, n=1).collect()}
+    assert out == {2}          # the blank doc never matches via ''

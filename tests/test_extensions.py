@@ -326,8 +326,9 @@ def test_chunk_documents_windows(spark):
     assert got[(1, 3)] == (1, "t9")
     # doc 2: single window, not padded
     assert got[(2, 0)] == (3, "only three tokens")
-    # empty text still yields exactly one (empty-ish) chunk row
-    assert (3, 0) in got and (3, 1) not in got
+    # empty text emits ZERO chunks (r4 fix: the phantom 1-token empty
+    # chunk poisoned token accounting downstream)
+    assert not any(doc == 3 for doc, _ in got)
     with pytest.raises(ValueError):
         chunking.chunk_documents(df, chunk_tokens=0)
 
