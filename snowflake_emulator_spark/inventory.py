@@ -2229,8 +2229,12 @@ tctx AS (SELECT substr(bg, 1, 1) AS c1, sum(n) AS nc FROM tlm0 GROUP BY 1),
 tlm AS (SELECT bg, (n + 1.0) / (nc + 37.0) AS p_target
         FROM tlm0 JOIN tctx ON substr(tlm0.bg, 1, 1) = tctx.c1),
 models AS (
-  SELECT clm.bg, clm.p_corpus, coalesce(tlm.p_target, 1.0 / 37.0) AS p_target
-  FROM clm LEFT JOIN tlm ON clm.bg = tlm.bg
+  SELECT clm.bg, clm.p_corpus,
+         coalesce(tlm.p_target,
+                  1.0 / (coalesce(tctx.nc, 0) + 37.0)) AS p_target
+  FROM clm
+  LEFT JOIN tlm ON clm.bg = tlm.bg
+  LEFT JOIN tctx ON substr(clm.bg, 1, 1) = tctx.c1
 )
 SELECT b.doc_id, round(avg(log2(m.p_target) - log2(m.p_corpus)), 6) AS dsir_weight
 FROM bg b JOIN models m ON b.bg = m.bg
@@ -2758,7 +2762,7 @@ def _kmeans_oracle(k: int = 4, rounds: int = 2) -> str:
 
     parts = [
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM v WHERE vec_id < {k})",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS c FROM v ORDER BY vec_id LIMIT {k})",
     ]
     for r in range(rounds):
         parts.append(assign(f"c{r}", f"a{r}").strip())

@@ -129,24 +129,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     candidates. Returns distinct (id_a, id_b) with id_a < id_b.
     Scale path: the self-join is per (band, hash) bucket — skew-safe
     under AQE, never a cross join."""
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, shingled=shingled)
-    # band_hash is a JOIN KEY only (never output): xxhash64 over the
-    # band's signature slice beats md5(concat_ws(...)) — no string
-    # materialization, an 8-byte shuffle key instead of a 32-char
-    # digest, and identical bucketing (equal slices hash equal; a
-    # 64-bit cross-tuple collision adds a spurious CANDIDATE pair with
-    # ~2^-64 probability, the standard LSH trade)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col("signature")[b * rows_per_band + r]
-                             for r in range(rows_per_band)])
-                for b in range(bands)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded_signature(sig, id_col, num_perm, bands)
     # the self-join consumes `banded` twice, but both sides share an
     # identical subtree up to the groupBy(id) exchange, so Spark's
     # exchange reuse (ReusedExchange) runs the expensive shingle ->
@@ -212,6 +196,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     48 bits / 4 blocks = 12-bit blocks = 4096 buckets per block."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
+    if width < 1:
+        # width 0 would make every block column 0 — a constant join
+        # key, degrading the equi-join to a full O(n^2) cross product
+        raise ValueError(
+            f"bits must be >= max_hamming + 1: bits={bits}, "
+            f"max_hamming={max_hamming}")
     fps = simhash(df, text_col, id_col, bits)
     blocked = fps.select(
         id_col, "simhash",
@@ -333,9 +323,33 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
 def _band_hashes(shingled: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
     """(id, band, band_hash) from a pre-shingled relation — the banding
     half of minhash_lsh_pairs, reusable for asymmetric joins."""
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(None, id_col=id_col, num_perm=num_perm, shingled=shingled)
-    # xxhash64 join key, same rationale as minhash_lsh_pairs
+    return _banded_signature(sig, id_col, num_perm, bands)
+
+
+def _banded_signature(sig: DataFrame, id_col: str, num_perm: int,
+                      bands: int) -> DataFrame:
+    """(id, band, band_hash) from a signature relation — the ONE place
+    the banding key scheme lives (minhash_lsh_pairs and the incremental
+    corpus join must stay band-compatible).
+
+    band_hash is a JOIN KEY only (never output): xxhash64 over the
+    band's signature slice beats md5(concat_ws(...)) — no string
+    materialization, an 8-byte shuffle key instead of a 32-char digest,
+    identical bucketing (a 64-bit cross-tuple collision adds a spurious
+    CANDIDATE with ~2^-64 probability, the standard LSH trade).
+
+    Validation matters: bands > num_perm would give zero rows per band
+    and a CONSTANT hash — every doc pairs with every doc, a silent
+    O(n^2) cross product at corpus scale."""
+    if bands <= 0 or bands > num_perm:
+        raise ValueError(
+            f"bands must be in [1, num_perm]: bands={bands}, num_perm={num_perm}")
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm must divide evenly into bands: {num_perm} % {bands} != 0 "
+            f"(trailing permutations would be silently dropped)")
+    rows_per_band = num_perm // bands
     return sig.select(
         F.col(id_col),
         F.posexplode(

@@ -93,7 +93,15 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort")
         s = "".join(pdf["__sym"].tolist())
         rows = []
-        for i, m in enumerate(rx.finditer(s), start=1):
+        match_no = 0
+        for m in rx.finditer(s):
+            if m.start() == m.end():
+                # fully-optional patterns (A? B?) admit zero-width
+                # matches at every position; real MATCH_RECOGNIZE
+                # never reports empty matches
+                continue
+            match_no += 1
+            i = match_no
             seg = pdf.iloc[m.start():m.end()]
             row = {partition_by: pdf[partition_by].iloc[0],
                    "match_number": i, "n_rows": m.end() - m.start()}

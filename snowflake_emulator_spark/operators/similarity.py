@@ -76,22 +76,6 @@ def _dot_lit(a: Column, values: list[float]) -> Column:
     return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
-
-
-@F.pandas_udf(T.DoubleType())
-def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Arrow-batched numpy cosine for approximate paths."""
-    import numpy as np
-
-    a = np.stack(va.to_numpy()).astype("float64")
-    b = np.stack(vb.to_numpy()).astype("float64")
-    num = (a * b).sum(axis=1)
-    den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
-    return pd.Series(num / den)
-
-
 def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query id.
@@ -107,10 +91,16 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("vnorm").alias("qnorm")
     )
+    # nullif on the norm product: a zero-norm vector (failed/padding
+    # embedding) would make x/0 = NaN, and Spark sorts NaN ABOVE all
+    # doubles — NaN rows would take rank 1 in every query's top-k.
+    # NULL instead ranks last under desc ordering.
     scored = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(_dot(F.col("qvec"), F.col(vec_col), None) / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine_sim"),
+        F.round(_dot(F.col("qvec"), F.col(vec_col), None)
+                / F.nullif(F.col("qnorm") * F.col("vnorm"), F.lit(0.0)),
+                6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -130,16 +120,6 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
         h = hashlib.md5(f"hp{seed}_{j}".encode()).hexdigest()
         vals.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
     return vals
-
-
-def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane sign signature -> bucket id (0..2^n_planes-1)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        d = _dot_lit(vec, plane)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket.cast("int")
 
 
 def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
@@ -280,7 +260,8 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         .select(
             "id_a", "id_b",
             F.round(_dot(F.col("__va"), F.col("__vb"), None)
-                    / (F.col("__na") * F.col("__nb")), 6).alias("cosine_sim"),
+                    / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                    6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -355,7 +336,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
             "query_id",
             F.col("nid").alias("neighbor_id"),
             F.round(_dot(F.col("vec"), F.col("qvec"), None)
-                    / (_norm(F.col("vec"), None) * F.col("qnorm")), 6)
+                    / F.nullif(_norm(F.col("vec"), None) * F.col("qnorm"),
+                               F.lit(0.0)), 6)
             .alias("cosine_sim"),
         )
     )
@@ -420,7 +402,9 @@ def kmeans_fixed_rounds(emb: DataFrame, k: int = 4, rounds: int = 2,
 
     vecs = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    cents = vecs.filter(F.col(id_col) < k).select(
+    # the k LOWEST ids (as documented) — filter(id < k) silently
+    # seeded fewer/zero centroids for non-zero-based id spaces
+    cents = vecs.orderBy(F.col(id_col)).limit(k).select(
         F.col(id_col).cast("int").alias("cid"), F.col("v").alias("c"))
 
     def _assign(vs: DataFrame, cs: DataFrame) -> DataFrame:

@@ -43,7 +43,10 @@ def token_count(text: Column) -> Column:
 
 
 def word_count_distinct(text: Column) -> Column:
-    return F.size(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))).cast("bigint")
+    # same empty guard as token_count: split('') yields [''] (size 1),
+    # which reported one distinct word for an empty document
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -340,11 +343,28 @@ def dsir_importance_weights(df: DataFrame, target_filter: str,
 
     corpus_lm = _lm(bg).withColumnRenamed("p", "p_corpus")
     target_lm = _lm(bg_t).withColumnRenamed("p", "p_target")
-    # bigrams unseen in the target corpus get the pure-smoothing
-    # probability alpha / (alpha * vocab)
-    models = corpus_lm.join(target_lm, "bg", "left").select(
-        "bg", "p_corpus",
-        F.coalesce("p_target", F.lit(1.0 / vocab)).alias("p_target"),
+    # bigrams unseen in the target slice must fall back to the REAL
+    # add-alpha probability alpha / (n_c1_target + alpha*vocab) — a
+    # flat 1/vocab ignored the context count and scored rare gibberish
+    # bigrams far ABOVE their corpus probability, up-weighting exactly
+    # the junk DSIR is supposed to down-weight (1/vocab is correct
+    # only when the context itself is unseen, i.e. n_c1_target = 0)
+    target_ctx = (
+        bg_t.withColumn("c1", F.substring("bg", 1, 1))
+        .groupBy("c1").agg(F.count("*").alias("n_c1_t"))
+    )
+    models = (
+        corpus_lm.withColumn("c1", F.substring("bg", 1, 1))
+        .join(target_lm, "bg", "left")
+        .join(broadcast(target_ctx), "c1", "left")
+        .select(
+            "bg", "p_corpus",
+            F.coalesce(
+                "p_target",
+                F.lit(alpha) / (F.coalesce("n_c1_t", F.lit(0))
+                                + F.lit(alpha * vocab)),
+            ).alias("p_target"),
+        )
     )
     return (
         bg.join(broadcast(models), "bg")

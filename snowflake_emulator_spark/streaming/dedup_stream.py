@@ -37,16 +37,12 @@ def read_doc_stream(spark: SparkSession, path: str, max_files_per_trigger: int =
 
 
 def _fingerprint(text_col) -> F.Column:
-    """Same normalization recipe as the batch exact-dedup operator
-    (lowercase, strip non-alnum, collapse whitespace, md5) so batch and
-    streaming agree on what a duplicate is."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text_col), "[^a-z0-9 \\t\\n\\r]", ""),
-            "[ \\t\\n\\r]+", " ",
-        )
-    )
-    return F.md5(norm)
+    """THE batch normalizer (textstats.normalized_text) + md5: batch
+    and streaming must agree on duplicate identity byte-for-byte — a
+    re-implemented recipe here diverged on \\f/\\x0b whitespace."""
+    from ..operators.textstats import normalized_text
+
+    return F.md5(normalized_text(text_col))
 
 
 def dedup_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -203,3 +203,98 @@ def test_decontaminate_blank_docs_not_flagged(spark):
     out = {r["doc_id"] for r in
            decontaminate.contaminated_docs(corpus, bench, n=1).collect()}
     assert out == {2}          # the blank doc never matches via ''
+
+
+# ---------------------------------------------------------------------------
+# r4 dedup/text/similarity review batch
+# ---------------------------------------------------------------------------
+
+def test_kmeans_seeds_k_lowest_ids_any_base(spark):
+    """Centroid seeding uses the k LOWEST vec_ids — filter(id < k)
+    silently seeded zero centroids for non-zero-based id spaces."""
+    from snowflake_emulator_spark.operators import similarity
+
+    rows = [(1000 + i, [float(i % 2) * 4, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_fixed_rounds(df, k=2, rounds=2).collect()
+    assert sorted(r["n_vecs"] for r in out) == [3, 3]
+
+
+def test_match_recognize_optional_pattern_no_zero_width(spark):
+    """Fully-optional patterns (A? B?) must not emit zero-width
+    matches (IndexError on measures / n_rows=0 garbage rows)."""
+    from snowflake_emulator_spark.operators.match_recognize import match_recognize
+
+    rows = [(1, 1, "x"), (1, 2, "a"), (1, 3, "x")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    define = {"A": "event_type = 'a'", "B": "event_type = 'b'"}
+    out = match_recognize(df, "user_id", ["ts"], define, "A? B?",
+                          measure_cols=["ts"]).collect()
+    assert all(r["n_rows"] >= 1 for r in out)
+    assert len(out) == 1 and out[0]["ts_first"] == 2
+
+
+def test_lsh_band_arithmetic_validated(spark):
+    from snowflake_emulator_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_lsh_pairs(df, num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="evenly"):
+        dedup.minhash_lsh_pairs(df, num_perm=10, bands=4)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_pairs(df, bits=2, max_hamming=3)
+
+
+def test_zero_norm_vector_never_ranks_first(spark):
+    """An all-zero embedding must not capture rank 1 via NaN."""
+    from snowflake_emulator_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk_bruteforce(df, query_ids=[0], k=2).collect()
+    ranked = {r["rank"]: r["neighbor_id"] for r in out}
+    assert ranked[1] == 1          # the real neighbor, not the zero vector
+
+
+def test_batch_and_streaming_fingerprints_agree(spark):
+    """Duplicate identity must be byte-identical across batch and
+    streaming (incl. \\f / \\x0b whitespace)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_emulator_spark.operators.textstats import normalized_text
+    from snowflake_emulator_spark.streaming.dedup_stream import _fingerprint
+
+    df = spark.createDataFrame(
+        [("a\fb",), ("a\x0bb",), ("Plain text!",)], "text string")
+    got = df.select(
+        _fingerprint(F.col("text")).alias("s"),
+        F.md5(normalized_text(F.col("text"))).alias("b")).collect()
+    assert all(r["s"] == r["b"] for r in got)
+
+
+def test_word_count_distinct_empty_text(spark):
+    from pyspark.sql import functions as F
+
+    from snowflake_emulator_spark.operators import textstats
+
+    df = spark.createDataFrame([("",), ("   ",), ("a b a",)], "text string")
+    got = [r[0] for r in df.select(
+        textstats.word_count_distinct(F.col("text"))).collect()]
+    assert got == [0, 0, 2]
+
+
+def test_dsir_unseen_bigram_fallback_uses_context(spark):
+    """Rare gibberish bigrams unseen in the target slice must score
+    BELOW target-like text (the flat 1/vocab fallback scored them
+    above their corpus probability)."""
+    from snowflake_emulator_spark.operators import textstats
+
+    rows = [(i, "the quick brown fox runs fast", "tgt") for i in range(5)]
+    rows += [(100, "the quick brown fox runs fast", "other"),
+             (101, "zq xv jj kk qq ww", "other")]       # junk bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["dsir_weight"] for r in
+           textstats.dsir_importance_weights(df, "source = 'tgt'").collect()}
+    assert out[100] > out[101]     # target-like beats junk
+    assert out[101] < 0            # junk scores negative, not positive
