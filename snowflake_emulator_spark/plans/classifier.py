@@ -42,7 +42,9 @@ _TX_RE = re.compile(r"^(BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.I)
 
 def classify(sql: str) -> ClassifyResult:
     up = sql.strip().upper()
-    first = up.split(None, 1)[0] if up else ""
+    # a parenthesized query — (SELECT ...) — is a query: strip leading
+    # parens for classification only (the executor runs the original)
+    first = up.lstrip("( \t\n\r").split(None, 1)[0] if up.strip("( \t\n\r") else ""
     if first in _QUERY_PREFIXES:
         return ClassifyResult(StatementType.QUERY, config.STATEMENT_TYPE_SELECT, is_query=True)
     if first == "CREATE":

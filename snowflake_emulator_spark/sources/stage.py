@@ -31,14 +31,25 @@ class StageManager:
             raise errors.invalid_parameter(f"illegal stage path: {rel!r}")
         return dest
 
+    @staticmethod
+    def _require_file_dest(stage: StageMeta, dest: str) -> None:
+        """PUT destinations must be files: '' or '/' resolve to the
+        stage root and open(dir) raised a raw IsADirectoryError."""
+        if os.path.normpath(dest) == os.path.normpath(stage.directory) \
+                or os.path.isdir(dest):
+            raise errors.invalid_parameter(
+                "stage PUT destination must be a file path, not a directory")
+
     def put_file(self, stage: StageMeta, local_path: str, dest_rel: str | None = None) -> str:
         dest = self._resolve_inside(stage, dest_rel or os.path.basename(local_path))
+        self._require_file_dest(stage, dest)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.copy2(local_path, dest)
         return dest
 
     def put_bytes(self, stage: StageMeta, data: bytes, dest_rel: str) -> str:
         dest = self._resolve_inside(stage, dest_rel)
+        self._require_file_dest(stage, dest)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         with open(dest, "wb") as f:
             f.write(data)

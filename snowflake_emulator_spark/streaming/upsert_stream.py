@@ -32,7 +32,10 @@ def upsert_writer(engine, table: str, key_cols: list[str], order_col: str):
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.columns:
+        # isEmpty, not columns: a foreachBatch DataFrame always carries
+        # its schema's columns, so the old guard never fired and every
+        # idle trigger paid a window + MERGE for zero rows
+        if batch.isEmpty():
             return
         w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
         latest = (
@@ -44,17 +47,30 @@ def upsert_writer(engine, table: str, key_cols: list[str], order_col: str):
         # plain temp view there is invisible to the engine's session.
         # A GLOBAL temp view lives in the shared global_temp database
         # across all sessions of the SparkContext — the standard bridge.
-        view = f"__upsert_batch_{batch_id}"
+        # table identity + uuid in the view name: two concurrent upsert
+        # streams both start at batch_id 0 — a shared name let stream B
+        # replace the view between A's registration and A's MERGE
+        import re as _re
+        import uuid as _uuid
+
+        view = (f"__upsert_{_re.sub('[^A-Za-z0-9_]', '_', table)}"
+                f"_{batch_id}_{_uuid.uuid4().hex[:8]}")
         latest.createOrReplaceGlobalTempView(view)
         on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
         non_keys = [c for c in latest.columns if c not in key_cols]
-        sets = ", ".join(f"{c} = s.{c}" for c in non_keys)
         cols = ", ".join(latest.columns)
         vals = ", ".join(f"s.{c}" for c in latest.columns)
+        # keys-only streams have nothing to update: an empty
+        # 'UPDATE SET ' clause is a parse error — omit WHEN MATCHED
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"{c} = s.{c}" for c in non_keys) + " "
+            if non_keys else ""
+        )
         try:
             engine.execute(
                 f"MERGE INTO {table} t USING global_temp.{view} s ON {on} "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"{matched}"
                 f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
             )
         finally:
@@ -73,5 +89,11 @@ def run_upsert_stream(stream: DataFrame, engine, table: str, key_cols: list[str]
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     q.stop()
+    if not finished:
+        # a silent stop() here truncated the upsert while the caller
+        # believed the backfill completed
+        raise TimeoutError(
+            f"upsert stream did not finish within {timeout_s}s; "
+            f"remaining micro-batches were NOT applied")

@@ -56,16 +56,22 @@ class WarehouseManager:
 
     def set_state(self, name: str, state: str) -> Warehouse:
         """RESUME -> ACTIVE, SUSPEND -> SUSPENDED
-        (manager.go:111-161 state transitions)."""
-        wh = self.get(name)
+        (manager.go:111-161 state transitions).
+
+        Lookup AND mutation under one lock: the old lookup-outside-lock
+        let a concurrent DROP orphan the object while set_state
+        reported success."""
         with self._lock:
+            wh = self._whs.get(normalize_ident(name))
+            if wh is None:
+                raise errors.object_not_found(normalize_ident(name))
             if state == "RESUME":
                 wh.state = "ACTIVE"
             elif state == "SUSPEND":
                 wh.state = "SUSPENDED"
             else:
                 raise errors.invalid_parameter(f"invalid warehouse state change: {state}")
-        return wh
+            return wh
 
     def drop(self, name: str, if_exists: bool = False) -> None:
         with self._lock:
@@ -73,4 +79,6 @@ class WarehouseManager:
                 raise errors.object_not_found(normalize_ident(name))
 
     def list(self) -> list[Warehouse]:
-        return sorted(self._whs.values(), key=lambda w: w.name)
+        with self._lock:   # snapshot: concurrent create/drop mutates the dict
+            whs = list(self._whs.values())
+        return sorted(whs, key=lambda w: w.name)

@@ -298,3 +298,83 @@ def test_dsir_unseen_bigram_fallback_uses_context(spark):
            textstats.dsir_importance_weights(df, "source = 'tgt'").collect()}
     assert out[100] > out[101]     # target-like beats junk
     assert out[101] < 0            # junk scores negative, not positive
+
+
+# ---------------------------------------------------------------------------
+# r4 bindings/streaming/infra review batch
+# ---------------------------------------------------------------------------
+
+def test_binding_substitution_literal_aware(engine):
+    """:N inside string literals/comments is untouched; a binding VALUE
+    containing ':1' or '?' is never re-substituted; backslashes render
+    safely through Spark's default escape parsing."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "SELECT ':1 not a bind' AS s, :1 AS v",
+        ctx, bindings={"1": {"type": "FIXED", "value": "5"}})
+    assert _rows(res) == [(":1 not a bind", 5)]
+    res = engine.execute(
+        "SELECT :1 AS a, :2 AS b", ctx,
+        bindings={"1": {"type": "TEXT", "value": "x"},
+                  "2": {"type": "TEXT", "value": "a :1 b"}})
+    assert _rows(res) == [("x", "a :1 b")]
+    res = engine.execute(
+        "SELECT 1 /* ok? */ AS c, ? AS d", ctx,
+        bindings={"1": {"type": "FIXED", "value": "9"}})
+    assert _rows(res) == [(1, 9)]
+    res = engine.execute(
+        "SELECT :1 AS p", ctx,
+        bindings={"1": {"type": "TEXT", "value": "C:\\temp"}})
+    assert res.rows[0][0] == "C:\\temp"
+    res = engine.execute(
+        "SELECT :1 AS p", ctx,
+        bindings={"1": {"type": "TEXT", "value": "ends with \\"}})
+    assert res.rows[0][0] == "ends with \\"
+
+
+def test_parenthesized_query_classified_as_query(engine):
+    ctx = SessionContext()
+    res = engine.execute("(SELECT 1 AS v)", ctx)
+    assert _rows(res) == [(1,)]
+
+
+def test_warehouse_state_and_list_thread_safe(engine):
+    """set_state on a dropped warehouse raises instead of mutating an
+    orphan (lookup+mutate now atomic)."""
+    from snowflake_emulator_spark import errors as err
+
+    engine.warehouses.create("wh_race")
+    engine.warehouses.drop("wh_race")
+    with pytest.raises(err.SnowflakeError):
+        engine.warehouses.set_state("wh_race", "SUSPEND")
+
+
+def test_stage_put_to_root_raises_typed_error(engine):
+    from snowflake_emulator_spark import errors as err
+
+    ctx = SessionContext()
+    engine.execute("CREATE STAGE rootput_stage", ctx)
+    stage = engine.catalog.get_stage("rootput_stage", ctx.database, ctx.schema)
+    with pytest.raises(err.SnowflakeError, match="directory"):
+        engine.stages.put_bytes(stage, b"x", "/")
+
+
+def test_upsert_keys_only_stream_merge(engine, spark, tmp_path):
+    """A keys-only micro-batch omits the empty UPDATE SET clause."""
+    import json as _json
+
+    from snowflake_emulator_spark.streaming import upsert_stream
+    from pyspark.sql import types as T
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ko_t (id INTEGER)", ctx)
+    src = tmp_path / "ko_src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for r in [{"id": 1}, {"id": 2}, {"id": 1}]:
+            f.write(_json.dumps(r) + "\n")
+    schema = T.StructType([T.StructField("id", T.IntegerType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    upsert_stream.run_upsert_stream(stream, engine, "ko_t", ["id"], "id")
+    got = sorted(r[0] for r in engine.execute("SELECT id FROM ko_t", ctx).rows)
+    assert got == [1, 2]

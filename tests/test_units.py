@@ -112,7 +112,10 @@ def test_spark_to_snowflake(dt, name):
 # ---- bindings (reference: pkg/query/executor.go:134-280) ----
 
 def test_binding_text_escape():
-    assert format_binding_value("TEXT", "O'Brien") == "'O''Brien'"
+    # backslash-escaped quote form: Spark's default parser treats
+    # backslash as an escape char, so both it AND the quote must escape
+    assert format_binding_value("TEXT", "O'Brien") == "'O\\'Brien'"
+    assert format_binding_value("TEXT", "C:\\temp") == "'C:\\\\temp'"
 
 
 def test_binding_types():
