@@ -38,7 +38,10 @@ TABLES = [
 # session-id -> sf_dir whose fixtures the session's temp views currently
 # point at (views are global per session, so switching sf_dir must
 # re-register them)
-_loaded: dict[int, str] = {}
+# cache values carry the SparkSession object itself: keys use id(),
+# which CPython reuses after GC — holding the reference pins the id,
+# and the identity check rejects a different session at the same address
+_loaded: dict[int, tuple] = {}
 
 # The driver fixtures are single-row-group parquet files, which Spark
 # cannot split — every scan would run as ONE task and serialize all
@@ -91,7 +94,8 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
     per (session, sf_dir))."""
     import os
 
-    if _loaded.get(id(spark)) == sf_dir:
+    cached = _loaded.get(id(spark))
+    if cached is not None and cached[0] is spark and cached[1] == sf_dir:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -115,7 +119,7 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         ):
             df = _ensure_split(spark, df, src, par)
         df.createOrReplaceTempView(t)
-    _loaded[id(spark)] = sf_dir
+    _loaded[id(spark)] = (spark, sf_dir)
 
 
 def _sql(q: str):
@@ -1027,7 +1031,7 @@ FROM m WHERE len(ms) > 0 ORDER BY user_id
 # equal the batch aggregation — which IS the DuckDB oracle. This puts
 # the §2.11-extension streaming path under the same hard correctness
 # signal as every batch operator.
-_stream_src_cache: dict[tuple[int, str], str] = {}
+_stream_src_cache: dict[tuple[int, str], tuple] = {}
 
 
 def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,14 +1041,19 @@ def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_views(spark, sf_dir)
     key = (id(spark), sf_dir)
-    src_dir = _stream_src_cache.get(key)
+    cached_src = _stream_src_cache.get(key)
+    src_dir = (cached_src[1]
+               if cached_src is not None and cached_src[0] is spark else None)
     if src_dir is None:
         src_dir = tempfile.mkdtemp(prefix="evstream_")
         base = spark.table("events")
         # ts is nanos-as-long on a raw fixture read, TIMESTAMP after the
         # split-cache rewrite — normalize either way
         ts_col = (
-            (F.col("ts") / F.lit(1_000_000_000)).cast("timestamp")
+            # nanos-as-long -> microsecond-faithful timestamp (the old
+            # seconds division truncated sub-second precision, unlike
+            # load_views' conversion)
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("bigint"))
             if dict(base.dtypes)["ts"] == "bigint"
             else F.col("ts").cast("timestamp")
         )
@@ -1053,11 +1062,13 @@ def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "value", "props",
         )
         ev.coalesce(8).write.mode("overwrite").json(src_dir)
-        _stream_src_cache[key] = src_dir
+        _stream_src_cache[key] = (spark, src_dir)
     stream = events_stream.read_event_stream(spark, src_dir)
     agg = events_stream.windowed_counts(stream, window="1 hour", watermark="2 hours")
-    sink = f"stream_hourly_{abs(hash(key)) % 100000}"
-    events_stream.run_to_memory_sink(agg, name=sink, timeout_s=120)
+    import uuid as _uuid
+
+    sink = f"stream_hourly_{_uuid.uuid4().hex[:10]}"
+    events_stream.run_to_memory_sink(agg, name=sink, timeout_s=300)
     return (
         spark.table(sink)
         .select(
@@ -1172,11 +1183,29 @@ SELECT l_returnflag, CAST(approx_count_distinct(l_partkey) AS BIGINT) AS approx_
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
-_AGG_MINBY_MAXBY = """
+# deterministic tie-break: the ordering value is the (price, key)
+# STRUCT/ROW, so a group whose min/max price is tied resolves to one
+# specific orderkey on both engines (bare min_by(key, price) picked an
+# engine-arbitrary key on ties)
+_AGG_MINBY_MAXBY_SNOW = """
 SELECT o_orderpriority,
-       min_by(o_orderkey, o_totalprice) AS cheapest_order,
-       max_by(o_orderkey, o_totalprice) AS priciest_order
+       min_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS cheapest_order,
+       max_by(o_orderkey, struct(o_totalprice, o_orderkey)) AS priciest_order
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_AGG_MINBY_MAXBY_ORACLE = """
+SELECT o_orderpriority,
+       min(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS cheapest_order,
+       min(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS priciest_order
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_asc,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_desc
+  FROM orders)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 _AGG_PIVOT_STYLE = """
@@ -1470,9 +1499,13 @@ FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.custkey
 # Extension operators: text analysis / dedup / similarity
 # ---------------------------------------------------------------------------
 
+# whitespace classes mirror Java's \\s EXACTLY (space \\t \\n \\x0B \\f \\r):
+# a narrower class diverged from textstats.normalized_text on
+# form-feed / vertical-tab input
 _NORM_DUCK = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), "
-    "'[ \\t\\n\\r]+', ' ', 'g'))"
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'), "
+    "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 )
 
 
@@ -1820,13 +1853,13 @@ def _sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_ORACLE = """
 WITH rated AS (
   SELECT *,
-         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.8 WHEN 'src2' THEN 0.5
-                     WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.1 ELSE 0.05 END AS rate,
+         CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 800000 WHEN 'src2' THEN 500000
+                     WHEN 'src3' THEN 250000 WHEN 'src4' THEN 100000 ELSE 50000 END AS thr,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1000000 AS bucket
   FROM documents)
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
 FROM rated
-WHERE bucket < CAST(rate * 1000000 AS BIGINT)
+WHERE bucket < thr
 GROUP BY source
 ORDER BY source
 """
@@ -1901,7 +1934,6 @@ def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROFILE_ORACLE = """
-WITH base AS (SELECT lang, source, n_chars, count(*) OVER () AS n FROM documents)
 SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) - count(lang) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
@@ -2423,17 +2455,18 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialize it once and reuse it, so the inventory does the same:
 # memoized per (session, sf_dir), materialized via localCheckpoint
 # inside cluster_components (tiny — one row per near-dup doc).
-_comps_cache: dict[tuple[int, str], DataFrame] = {}
+_comps_cache: dict[tuple[int, str], tuple] = {}
 
 
 def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
-    if key not in _comps_cache:
+    cached = _comps_cache.get(key)
+    if cached is None or cached[0] is not spark:
         d = spark.table("documents")
-        _comps_cache[key] = dedup.cluster_components(
+        _comps_cache[key] = (spark, dedup.cluster_components(
             d, num_perm=16, bands=4, shingle=5, threshold=0.5
-        )
-    return _comps_cache[key]
+        ))
+    return _comps_cache[key][1]
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2617,13 +2650,13 @@ WITH comps AS ({clusters}),
 q AS ({quality}),
 rated AS (
   SELECT *,
-         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.8 WHEN 'src2' THEN 0.5
-                     WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.1 ELSE 0.05 END AS rate,
+         CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 800000 WHEN 'src2' THEN 500000
+                     WHEN 'src3' THEN 250000 WHEN 'src4' THEN 100000 ELSE 50000 END AS thr,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT) % 1000000 AS bucket
   FROM documents)
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
 FROM rated
-WHERE bucket < CAST(rate * 1000000 AS BIGINT)
+WHERE bucket < thr
   AND doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)
   AND doc_id IN (SELECT doc_id FROM q WHERE keep)
 GROUP BY source
@@ -3917,7 +3950,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
     "agg_pivot_style": (_sql(_AGG_PIVOT_STYLE), _AGG_PIVOT_STYLE),
     "agg_approx_count_distinct": (_sql(_AGG_APPROX_CD), None),  # sketch-dependent
-    "agg_min_by_max_by": (_sql(_AGG_MINBY_MAXBY), _AGG_MINBY_MAXBY),
+    "agg_min_by_max_by": (_sql(_AGG_MINBY_MAXBY_SNOW), _AGG_MINBY_MAXBY_ORACLE),
     "agg_rollup": (_sql(_AGG_ROLLUP), _AGG_ROLLUP),
     "agg_cube": (_sql(_AGG_CUBE), _AGG_CUBE),
     "agg_grouping_sets": (_sql(_AGG_GSETS), _AGG_GSETS),

@@ -36,9 +36,14 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], source_col: str = "so
     domains — the safe default for a curated mixture).
     """
     buckets = 1_000_000
-    rate = F.lit(float(default_rate))
+    # thresholds are INTEGERS computed driver-side: engine-side
+    # rate * 1e6 casts diverge (Spark bigint cast truncates, DuckDB
+    # rounds — 0.3 gave 299999 vs 300000), so the double never reaches
+    # either engine
+    thr = F.lit(int(round(float(default_rate) * buckets)))
     for dom, r in sorted(rates.items()):
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {dom!r} must be in [0,1], got {r}")
-        rate = F.when(F.col(source_col) == dom, F.lit(float(r))).otherwise(rate)
-    return df.filter(_bucket(F.col(id_col), buckets) < (rate * buckets).cast("bigint"))
+        thr = F.when(F.col(source_col) == dom,
+                     F.lit(int(round(float(r) * buckets)))).otherwise(thr)
+    return df.filter(_bucket(F.col(id_col), buckets) < thr)

@@ -68,7 +68,12 @@ def run_to_memory_sink(stream_df: DataFrame, name: str = "events_agg", timeout_s
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        # a silent partial read would hash-compare a mid-run snapshot
+        raise TimeoutError(
+            f"memory-sink stream {name!r} did not finish within {timeout_s}s")
     return q
 
 
