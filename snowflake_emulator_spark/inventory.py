@@ -3903,6 +3903,39 @@ FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
 """
 
 
+# per-user ML feature extraction: lifetime aggregates + a trailing
+# 7-day window anchored at each user's LAST event — the canonical
+# feature-engineering query of an events->model pipeline. One window
+# (max ts per user) and one groupBy share the user_id exchange.
+_USER_FEATURES_SPARK = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+       round(avg(value), 4) AS avg_value,
+       round(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAYS THEN value
+                      ELSE 0 END), 4) AS value_7d
+FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
+WHERE user_id < 40
+GROUP BY user_id ORDER BY user_id
+"""
+
+_USER_FEATURES_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+       round(avg(value), 4) AS avg_value,
+       round(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAY THEN value
+                      ELSE 0 END), 4) AS value_7d
+FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
+WHERE user_id < 40
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -3992,6 +4025,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly_agg": (_sql(_EVENTS_HOURLY), _EVENTS_HOURLY),
     "events_multires_rollup": (_sql(_EVENTS_ROLLUP), _EVENTS_ROLLUP),
     "events_gapfill_carry_forward": (_sql(_EVENTS_GAPFILL_SPARK), _EVENTS_GAPFILL_ORACLE),
+    "events_user_features": (_sql(_USER_FEATURES_SPARK), _USER_FEATURES_ORACLE),
     "events_cohort_retention": (_sql(_EVENTS_COHORT), _EVENTS_COHORT_ORACLE),
     "sf_conditional_true_event": (_snow(_SF_CTE_EVENT_SNOW), _SF_CTE_EVENT_ORACLE),
     "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
