@@ -3904,6 +3904,8 @@ FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
 
 
 # per-user ML feature extraction: lifetime aggregates + a trailing
+# (double sums go through DECIMAL so partial-agg order cannot move the
+# rounded value — avg(double) diverged in the 4th decimal at sf0.01)
 # 7-day window anchored at each user's LAST event — the canonical
 # feature-engineering query of an events->model pipeline. One window
 # (max ts per user) and one groupBy share the user_id exchange.
@@ -3913,9 +3915,12 @@ SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_purchases,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
-       round(avg(value), 4) AS avg_value,
-       round(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAYS THEN value
-                      ELSE 0 END), 4) AS value_7d
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS avg_value,
+       round(CAST(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAYS
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+         AS value_7d
 FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
 WHERE user_id < 40
 GROUP BY user_id ORDER BY user_id
@@ -3927,9 +3932,12 @@ SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_purchases,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
-       round(avg(value), 4) AS avg_value,
-       round(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAY THEN value
-                      ELSE 0 END), 4) AS value_7d
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS avg_value,
+       round(CAST(sum(CASE WHEN ts >= max_ts - INTERVAL 7 DAY
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+         AS value_7d
 FROM (SELECT *, max(ts) OVER (PARTITION BY user_id) AS max_ts FROM events)
 WHERE user_id < 40
 GROUP BY user_id ORDER BY user_id
