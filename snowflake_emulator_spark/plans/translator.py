@@ -287,6 +287,14 @@ class Translator:
                     f" FROM (SELECT {efn}(from_json({expr}, 'map<string,string>'))))"
                     f" {alias}")
             else:
+                # a VARIANT path input (v:items) translates to
+                # get_json_object(...) — a JSON STRING that posexplode
+                # rejects; parse it to an array first (scalar-element
+                # arrays, the same support level as OBJECT mode's
+                # map<string,string>)
+                if ":" in expr and re.search(
+                        r"[A-Za-z_\"\)]\s*:\s*[A-Za-z_]", expr):
+                    expr = f"from_json({expr}, 'array<string>')"
                 out.append(
                     f" JOIN LATERAL (SELECT pos AS index, col AS value"
                     f" FROM (SELECT {fn}({expr}))) {alias}")
@@ -328,14 +336,38 @@ class Translator:
         if fm is None:
             return s
         table = fm.group(1)
+        alias = fm.group(2)
         select_list = head[:fm.start()].strip()  # "SELECT <list>"
-        # PRIOR x -> parent (frontier) side; bare identifiers -> child
+        # alias-qualified references: the anchor scans `{table} __t`, so
+        # `e.mgr` in START WITH must become `__t.mgr`; the OUTER query
+        # re-exposes the original alias on __hier so `SELECT e.name`
+        # keeps resolving (dropping the alias broke every aliased query)
+        if alias:
+            seed = re.sub(rf"\b{re.escape(alias)}\.", "__t.", seed)
+
+        _KEYWORD_TOKENS = {"NULL", "TRUE", "FALSE", "AND", "OR", "NOT"}
+
+        # PRIOR x -> parent (frontier) side; bare identifiers -> child.
+        # Numeric/keyword/quoted tokens stay literals — qualifying
+        # `10000` as `__c.10000` produced unparseable SQL.
         def side(tok: str) -> str:
             tok = tok.strip()
             pm = re.match(r"^PRIOR\s+([\w.]+)$", tok, re.I)
             if pm:
                 return f"__p.{pm.group(1).split('.')[-1]}"
-            return f"__c.{tok.split('.')[-1]}" if re.fullmatch(r"[\w.]+", tok) else tok
+            if (not re.fullmatch(r"[\w.]+", tok)
+                    or tok[0].isdigit() or tok[0] in "'\""
+                    or tok.upper() in _KEYWORD_TOKENS):
+                # complex expression: rewrite embedded PRIOR refs to the
+                # frontier side and alias-qualified refs to the child
+                # (e.g. 'e.a - 1' must become '__c.a - 1', not keep the
+                # vanished alias)
+                tok = re.sub(r"\bPRIOR\s+(?:[A-Za-z_]\w*\.)?(\w+)",
+                             r"__p.\1", tok, flags=re.I)
+                if alias:
+                    tok = re.sub(rf"\b{re.escape(alias)}\.", "__c.", tok)
+                return tok
+            return f"__c.{tok.split('.')[-1]}"
         join_terms = []
         # split each term on its COMPARISON operator (>=/<=/!=/<> first
         # so '>=' never splits at the bare '=' leaving '> =' behind);
@@ -356,7 +388,7 @@ class Translator:
             f"UNION ALL "
             f"SELECT __c.*, __p.level + 1 FROM {table} __c "
             f"JOIN __hier __p ON {join_cond}) "
-            f"{select_list} FROM __hier{tail}"
+            f"{select_list} FROM __hier{' ' + alias if alias else ''}{tail}"
         )
 
     # -- CONDITIONAL_TRUE_EVENT(expr) OVER (...) --------------------------
@@ -464,7 +496,17 @@ class Translator:
         if star is not None:
             select_list = (select_list[:star] + f"* EXCEPT({hidden})"
                            + select_list[star + 1:])
-        return f"{select_list}FROM ({inner}) __cce_t{tail}"
+        # re-expose the source's alias (or bare table name) on the
+        # wrapping subquery so qualified references (t.city) in the
+        # outer select list / ORDER BY keep resolving
+        am = re.match(r"FROM\s+([\w.\"$]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$",
+                      src.strip(), re.I)
+        outer_alias = "__cce_t"
+        if am:
+            cand = am.group(2) or am.group(1).split(".")[-1].strip('"')
+            if cand.upper() not in ("WHERE", "GROUP", "QUALIFY", "HAVING"):
+                outer_alias = cand
+        return f"{select_list}FROM ({inner}) {outer_alias}{tail}"
 
     @staticmethod
     def _bare_star_item_pos(select_list: str) -> int | None:
@@ -553,7 +595,19 @@ class Translator:
         m = self._TOP_RE.match(s)
         if not m or re.search(r"\bLIMIT\s+\d+\s*$", s, re.I):
             return s
-        return m.group(1) + s[m.end():] + f" LIMIT {m.group(2)}"
+        body = m.group(1) + s[m.end():]
+        # TOP binds to ITS branch: appending LIMIT to the whole
+        # statement silently limited an entire UNION. Parenthesize the
+        # first set-operation branch with its LIMIT instead.
+        setpos = None
+        for kw in ("UNION", "INTERSECT", "EXCEPT", "MINUS"):
+            p = self._find_top_level_keyword(body, kw)
+            if p is not None and (setpos is None or p < setpos):
+                setpos = p
+        if setpos is not None:
+            return (f"({body[:setpos].rstrip()} LIMIT {m.group(2)}) "
+                    f"{body[setpos:]}")
+        return body + f" LIMIT {m.group(2)}"
 
     # -- QUALIFY -> subquery with computed predicate ----------------------
 
@@ -983,8 +1037,8 @@ class Translator:
             # INTEGER; Spark rand() is [0,1) double — scale/center.
             # 1.8446e19 multiplier keeps the extreme rand() values
             # inside BIGINT under ANSI mode.
-            seed = f"({args[0]})" if args and args[0].strip() else ""
-            return (f"CAST((rand({seed.strip('()') if seed else ''}) - 0.5) "
+            seed = args[0].strip() if args and args[0].strip() else ""
+            return (f"CAST((rand({seed}) - 0.5) "
                     f"* 1.844674407370955e19 AS BIGINT)")
         if fname == "DIV0NULL":
             # like DIV0 but also returns 0 for a NULL divisor
@@ -1025,8 +1079,6 @@ class Translator:
             # Snowflake allows unquoted part names; Spark needs a string
             p = args[0].strip().strip("'\"")
             return f"date_trunc('{p}', {args[1]})"
-        if fname == "LAST_DAY":
-            return f"last_day({', '.join(args)})"
         if fname == "REGEXP_SUBSTR":
             # Snowflake: REGEXP_SUBSTR(subject, pattern[, position
             # [, occurrence]]) — position is a 1-based START OFFSET,
@@ -1292,6 +1344,10 @@ class Translator:
             return (f"CAST(conv(substr(md5(CAST({args[0]} AS STRING)), {lo}, 16), 16, 10) "
                     f"AS DECIMAL(20,0))")
         if fname == "MINHASH":
+            if not args or not args[0].strip().isdigit():
+                # non-literal k cannot unroll into k parallel mins —
+                # pass through instead of crashing the translator
+                return f"MINHASH({', '.join(args)})"
             # Snowflake's MINHASH(k, expr) aggregate: k-permutation
             # minhash signature of the grouped set. Same deterministic
             # md5-derived permutation family as operators/dedup.py
@@ -1429,18 +1485,56 @@ class Translator:
             s = s[:start] + f"CAST({operand} AS {spark_type})" + s[m.end() :]
             pos = 0
 
+    @staticmethod
+    def _string_spans(s: str) -> list[tuple[int, int]]:
+        """[start, end] index ranges of single-quoted literals,
+        ''-escape aware, via ONE forward scan (backward quote scans
+        misread escape pairs)."""
+        spans, i, n = [], 0, len(s)
+        while i < n:
+            if s[i] == "'":
+                j = i + 1
+                while j < n:
+                    if s[j] == "'":
+                        if j + 1 < n and s[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, min(j, n - 1)))
+                i = j + 1
+                continue
+            i += 1
+        return spans
+
     def _operand_start(self, s: str, colon_idx: int) -> int:
+        # forward-computed string spans: the backward scans used to
+        # (a) treat a '(' INSIDE a literal as the operand's paren and
+        # (b) misread ''-escaped quotes, splicing CAST( into literals
+        spans = self._string_spans(s)
+
+        def span_at(pos: int):
+            for a, b in spans:
+                if a <= pos <= b:
+                    return (a, b)
+            return None
+
         i = colon_idx - 1
         while i >= 0 and s[i].isspace():
             i -= 1
         if i < 0:
             return 0
+        sp = span_at(i)
+        if sp is not None:
+            return sp[0]          # operand is the whole string literal
         if s[i] == ")":
-            # match backwards to the opening paren, then include a
-            # preceding function name if present
             depth = 0
             j = i
             while j >= 0:
+                jsp = span_at(j)
+                if jsp is not None:
+                    j = jsp[0] - 1   # hop over the literal
+                    continue
                 if s[j] == ")":
                     depth += 1
                 elif s[j] == "(":
@@ -1452,13 +1546,6 @@ class Translator:
             while k >= 0 and (s[k].isalnum() or s[k] == "_"):
                 k -= 1
             return k + 1
-        if s[i] == "'":
-            j = i - 1
-            while j >= 0:
-                if s[j] == "'" and (j == 0 or s[j - 1] != "'"):
-                    return j
-                j -= 1
-            return 0
         j = i
         while j >= 0 and (s[j].isalnum() or s[j] in "_.$"):
             j -= 1

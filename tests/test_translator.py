@@ -653,3 +653,46 @@ def test_r4_review_fixes():
     assert "split(s, '\\\\[')" in got
     got = translate("SELECT * FROM t, LATERAL SPLIT_TO_TABLE(s, ']')")
     assert "split(s, '\\\\]')" in got
+
+
+def test_r4_review_fixes_round2():
+    """Second max-effort translator review: operand scanning, aliases,
+    set-operation TOP, seed/k pass-through."""
+    # 1-2. :: operand scan is string-aware (forward spans)
+    assert translate("SELECT replace(col, '(', 'x')::INT FROM t") == \
+        "SELECT CAST(replace(col, '(', 'x') AS INT) FROM t"
+    assert translate("SELECT 'it''s'::STRING FROM t") == \
+        "SELECT CAST('it''s' AS STRING) FROM t"
+    # 3-4. CONNECT BY keeps the alias resolvable and never qualifies
+    #      numeric literals; complex terms rewrite embedded refs
+    got = translate("SELECT e.name FROM emp e START WITH e.mgr IS NULL "
+                    "CONNECT BY PRIOR e.id = e.mgr")
+    assert "FROM __hier e" in got and "__t.mgr IS NULL" in got
+    got = translate("SELECT id FROM emp START WITH mgr IS NULL "
+                    "CONNECT BY PRIOR id = mgr AND salary < 10000")
+    assert "__c.salary < 10000" in got and "__c.10000" not in got
+    got = translate("SELECT e.a FROM t e START WITH e.a = 0 "
+                    "CONNECT BY PRIOR e.a = e.a - 1")
+    assert "__p.a = __c.a - 1" in got
+    # 5. FLATTEN over a VARIANT path parses the JSON array first
+    got = translate("SELECT f.value FROM t, LATERAL FLATTEN(input => v:items) f")
+    assert "from_json(get_json_object(v, '$.items'), 'array<string>')" in got
+    # plain array inputs unchanged
+    got = translate("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => split(s, ',')) f")
+    assert "posexplode(split(s, ','))" in got and "from_json" not in got
+    # 6. CONDITIONAL_CHANGE_EVENT re-exposes the source alias
+    got = translate("SELECT t.city, CONDITIONAL_CHANGE_EVENT(t.status) "
+                    "OVER (ORDER BY t.ts) AS e FROM t")
+    assert got.rstrip().endswith(") t")
+    # 7. RANDOM seed expression passes through intact
+    assert translate("SELECT RANDOM(abs(n)) FROM t") == \
+        ("SELECT CAST((rand(abs(n)) - 0.5) * 1.844674407370955e19 "
+         "AS BIGINT) FROM t")
+    # 8. TOP binds to its branch under set operations
+    assert translate("SELECT TOP 3 a FROM t UNION ALL SELECT a FROM u") == \
+        "(SELECT a FROM t LIMIT 3) UNION ALL SELECT a FROM u"
+    # 9. MINHASH with a non-literal k passes through, never crashes
+    assert translate("SELECT MINHASH(k, x) FROM t") == \
+        "SELECT MINHASH(k, x) FROM t"
+    # 10. LAST_DAY passes through to Spark's native function
+    assert translate("SELECT LAST_DAY(d) FROM t") == "SELECT LAST_DAY(d) FROM t"
