@@ -78,6 +78,18 @@ def run():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
+            # Output-shape lint (r4 verdict item 2): the driver's
+            # canonicalizer (pandas sort_values) cannot hash list cells,
+            # so NO registry query may emit array/map/struct columns —
+            # serialize with to_json on both sides instead.
+            bad_shape = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.simpleString().startswith(("array", "map", "struct"))
+            ]
+            if bad_shape:
+                failed.append(name)
+                print(f"FAIL {name}: non-canonicalizable output columns {bad_shape}")
+                continue
             scols = [c.lower() for c in sdf.columns]
             srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
             if oracle is None:

@@ -3312,20 +3312,24 @@ FROM customer WHERE c_custkey <= 1500 ORDER BY c_custkey
 
 # Semi-structured: OBJECT_KEYS / TYPEOF / GET_PATH / array set ops on
 # the VARIANT-as-JSON-string model (props is a JSON object column).
+# Array outputs are TO_JSON-serialized on BOTH sides: the driver's
+# canonicalizer hashes via pandas sort_values, which cannot hash list
+# cells — the JSON string carries identical semantics and is hashable
+# (r4 verdict item 1).
 _SF_SEMI = """
 SELECT event_id,
-       OBJECT_KEYS(OBJECT_CONSTRUCT('id', event_id, 'kind', event_type)) AS okeys,
+       TO_JSON(OBJECT_KEYS(OBJECT_CONSTRUCT('id', event_id, 'kind', event_type))) AS okeys,
        TYPEOF(props) AS t_obj,
        TYPEOF(GET_PATH(props, 'k')) AS t_k,
        GET_PATH(props, 'k') AS k_str,
-       ARRAY_COMPACT(ARRAY_CONSTRUCT(event_type, NULL, 'x')) AS compacted,
-       ARRAY_EXCEPT(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2)) AS aexc,
-       ARRAY_INTERSECTION(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2, 3, 5)) AS aint
+       TO_JSON(ARRAY_COMPACT(ARRAY_CONSTRUCT(event_type, NULL, 'x'))) AS compacted,
+       TO_JSON(ARRAY_EXCEPT(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2))) AS aexc,
+       TO_JSON(ARRAY_INTERSECTION(ARRAY_CONSTRUCT(1, 2, 3), ARRAY_CONSTRUCT(2, 3, 5))) AS aint
 FROM events WHERE event_id <= 3000 ORDER BY event_id
 """
 _SF_SEMI_ORACLE = """
 SELECT event_id,
-       json_keys(to_json(struct_pack(id := event_id, kind := event_type))) AS okeys,
+       CAST(to_json(json_keys(to_json(struct_pack(id := event_id, kind := event_type)))) AS VARCHAR) AS okeys,
        CASE WHEN props IS NULL THEN NULL
             WHEN left(trim(props), 1) = '{' THEN 'OBJECT'
             WHEN left(trim(props), 1) = '[' THEN 'ARRAY'
@@ -3335,9 +3339,9 @@ SELECT event_id,
             WHEN try_cast(trim(json_extract_string(props, '$.k')) AS DOUBLE) IS NOT NULL THEN 'DECIMAL'
             ELSE 'VARCHAR' END AS t_k,
        json_extract_string(props, '$.k') AS k_str,
-       list_filter([event_type, NULL, 'x'], x -> x IS NOT NULL) AS compacted,
-       list_filter([1, 2, 3], x -> NOT list_contains([2], x)) AS aexc,
-       list_filter([1, 2, 3], x -> list_contains([2, 3, 5], x)) AS aint
+       CAST(to_json(list_filter([event_type, NULL, 'x'], x -> x IS NOT NULL)) AS VARCHAR) AS compacted,
+       CAST(to_json(list_filter([1, 2, 3], x -> NOT list_contains([2], x))) AS VARCHAR) AS aexc,
+       CAST(to_json(list_filter([1, 2, 3], x -> list_contains([2, 3, 5], x))) AS VARCHAR) AS aint
 FROM events WHERE event_id <= 3000 ORDER BY event_id
 """
 
@@ -3347,25 +3351,25 @@ FROM events WHERE event_id <= 3000 ORDER BY event_id
 # stop-1; DuckDB range() is exclusive natively.
 _SF_ARRAY2 = """
 SELECT n_nationkey,
-       ARRAY_INSERT(ARRAY_CONSTRUCT(1, 2, 3), 1, 99) AS ains,
-       ARRAY_SORT(ARRAY_CONSTRUCT(n_nationkey, 3, 1), TRUE) AS asorted,
-       ARRAY_GENERATE_RANGE(0, n_nationkey % 5 + 2) AS arange,
+       TO_JSON(ARRAY_INSERT(ARRAY_CONSTRUCT(1, 2, 3), 1, 99)) AS ains,
+       TO_JSON(ARRAY_SORT(ARRAY_CONSTRUCT(n_nationkey, 3, 1), TRUE)) AS asorted,
+       TO_JSON(ARRAY_GENERATE_RANGE(0, n_nationkey % 5 + 2)) AS arange,
        ARRAY_MAX(ARRAY_CONSTRUCT(n_nationkey, 10)) AS amax,
        ARRAY_MIN(ARRAY_CONSTRUCT(n_nationkey, 10)) AS amin,
-       ARRAY_APPEND(ARRAY_CONSTRUCT(1, 2), n_nationkey) AS aapp,
-       ARRAY_FLATTEN(ARRAY_CONSTRUCT(ARRAY_CONSTRUCT(1, 2), ARRAY_CONSTRUCT(n_nationkey))) AS aflat,
+       TO_JSON(ARRAY_APPEND(ARRAY_CONSTRUCT(1, 2), n_nationkey)) AS aapp,
+       TO_JSON(ARRAY_FLATTEN(ARRAY_CONSTRUCT(ARRAY_CONSTRUCT(1, 2), ARRAY_CONSTRUCT(n_nationkey)))) AS aflat,
        ARRAYS_TO_OBJECT(ARRAY_CONSTRUCT('a', 'b'), ARRAY_CONSTRUCT(1, n_nationkey)) AS obj
 FROM nation ORDER BY n_nationkey
 """
 _SF_ARRAY2_ORACLE = """
 SELECT n_nationkey,
-       [1, 99, 2, 3] AS ains,
-       list_sort([n_nationkey, 3, 1]) AS asorted,
-       range(0, n_nationkey % 5 + 2) AS arange,
+       CAST(to_json([1, 99, 2, 3]) AS VARCHAR) AS ains,
+       CAST(to_json(list_sort([n_nationkey, 3, 1])) AS VARCHAR) AS asorted,
+       CAST(to_json(range(0, n_nationkey % 5 + 2)) AS VARCHAR) AS arange,
        list_max([n_nationkey, 10]) AS amax,
        list_min([n_nationkey, 10]) AS amin,
-       list_append([1, 2], n_nationkey) AS aapp,
-       flatten([[1, 2], [n_nationkey]]) AS aflat,
+       CAST(to_json(list_append([1, 2], n_nationkey)) AS VARCHAR) AS aapp,
+       CAST(to_json(flatten([[1, 2], [n_nationkey]])) AS VARCHAR) AS aflat,
        CAST(to_json(map(['a', 'b'], [1, n_nationkey])) AS VARCHAR) AS obj
 FROM nation ORDER BY n_nationkey
 """
@@ -3517,13 +3521,13 @@ ORDER BY a.n_nationkey
 # codec constructor round-tripped through HEX_ENCODE.
 _SF_ARRAGG_BIN = """
 SELECT o_orderpriority,
-       ARRAY_SORT(ARRAY_UNIQUE_AGG(o_orderstatus), TRUE) AS statuses,
+       TO_JSON(ARRAY_SORT(ARRAY_UNIQUE_AGG(o_orderstatus), TRUE)) AS statuses,
        TO_BINARY(HEX_ENCODE(min(o_orderstatus)), 'HEX') AS first_status_bin
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 _SF_ARRAGG_BIN_ORACLE = """
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       CAST(to_json(list_sort(list_distinct(list(o_orderstatus)))) AS VARCHAR) AS statuses,
        unhex(hex(min(o_orderstatus))) AS first_status_bin
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -3548,15 +3552,15 @@ ORDER BY l_orderkey, l_linenumber
 # pass through to Spark's same-named natives; DuckDB list_* oracle.
 _SF_HOF = """
 SELECT n_nationkey,
-       FILTER(ARRAY_CONSTRUCT(1, n_nationkey, 5), x -> x > 2) AS gt2,
-       TRANSFORM(ARRAY_CONSTRUCT(1, 2, 3), x -> x * n_nationkey) AS scaled,
+       TO_JSON(FILTER(ARRAY_CONSTRUCT(1, n_nationkey, 5), x -> x > 2)) AS gt2,
+       TO_JSON(TRANSFORM(ARRAY_CONSTRUCT(1, 2, 3), x -> x * n_nationkey)) AS scaled,
        REDUCE(ARRAY_CONSTRUCT(1, 2, 3, n_nationkey), 0, (a, x) -> a + x) AS s
 FROM nation ORDER BY n_nationkey
 """
 _SF_HOF_ORACLE = """
 SELECT n_nationkey,
-       list_filter([1, n_nationkey, 5], x -> x > 2) AS gt2,
-       list_transform([1, 2, 3], x -> x * n_nationkey) AS scaled,
+       CAST(to_json(list_filter([1, n_nationkey, 5], x -> x > 2)) AS VARCHAR) AS gt2,
+       CAST(to_json(list_transform([1, 2, 3], x -> x * n_nationkey)) AS VARCHAR) AS scaled,
        6 + n_nationkey AS s
 FROM nation ORDER BY n_nationkey
 """
@@ -3569,7 +3573,7 @@ SELECT o_orderkey,
        TO_BOOLEAN(CASE WHEN o_orderkey % 2 = 0 THEN 'yes' ELSE 'off' END) AS flag,
        TRY_TO_BOOLEAN(o_orderpriority) AS not_bool,
        TO_TIME('07:45:30') AS t,
-       ARRAY_REVERSE(ARRAY_CONSTRUCT(o_orderkey, 1, 2)) AS rev
+       TO_JSON(ARRAY_REVERSE(ARRAY_CONSTRUCT(o_orderkey, 1, 2))) AS rev
 FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
 """
 _SF_CONVERT_ORACLE = """
@@ -3578,7 +3582,7 @@ SELECT o_orderkey,
        CASE WHEN o_orderkey % 2 = 0 THEN TRUE ELSE FALSE END AS flag,
        CAST(NULL AS BOOLEAN) AS not_bool,
        '07:45:30' AS t,
-       list_reverse([o_orderkey, 1, 2]) AS rev
+       CAST(to_json(list_reverse([o_orderkey, 1, 2])) AS VARCHAR) AS rev
 FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
 """
 
