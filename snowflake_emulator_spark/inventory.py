@@ -4159,13 +4159,16 @@ REGISTRY: dict[str, tuple] = {
 # verified by scratch/check_parity.py each round — but only these 50
 # reach the driver's hard signal.
 #
-# ROTATION (r4 verdict item 5): one representative per family stays
-# PINNED; the remaining slots rotate each round to queries that have
-# never had a driver-green row, so the whole 170-entry inventory
-# eventually reaches the hard signal. r4 rotates in 28 entries absent
-# from CORRECTNESS_r03 (r03 head preserved in git history).
+# ROTATION (r4 verdict items 1/3/7): one representative per family
+# stays PINNED; the remaining slots rotate each round to queries that
+# have never had a driver-green row, so the whole inventory eventually
+# reaches the hard signal. r5 keeps the three r4 red rows (array
+# outputs now TO_JSON-serialized — they must carry green rows this
+# round) and rotates in 25 entries absent from CORRECTNESS_r01-r04,
+# including the two array-output landmines the judge schema-scan
+# flagged (r4 heads preserved in git history).
 _SAMPLE_HEAD = [
-    # --- pinned family representatives (driver-green in r03) ---------
+    # --- pinned family representatives (driver-green in r03/r04) -----
     "scan_filter_project",            # scan/filter/project
     "q1_pricing_summary",             # TPC-H aggregation backbone
     "q3_shipping_priority",           # TPC-H join chain
@@ -4184,26 +4187,25 @@ _SAMPLE_HEAD = [
     "events_hourly_agg",              # events/time
     "sf_dateadd_datediff",            # Snowflake translator path
     "sf_lateral_flatten",             # FLATTEN/semistructured
-    "merge_upsert_sim",               # MERGE
+    "merge_upsert_sim",               # MERGE (r4 verdict item 7)
     "dedup_exact",                    # dedup family
     "dedup_minhash_lsh",              # LSH dedup
     "embed_cosine_topk",              # similarity family
-    # --- r4 rotation: never driver-green before this round -----------
-    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_forecast",
-    "q10_returned_items", "q16_supplier_part_groups",
-    "q19_disjunctive_revenue",
-    "join_left_outer", "range_join_events", "salted_join_hot_keys",
-    "agg_basic_stats", "agg_min_by_max_by", "agg_variance_stddev",
-    "agg_regression_stats",
-    "window_lag_delta", "window_sliding_frames", "window_ratio_to_report",
-    "setop_except_all",
+    # --- r4 reds, fixed this round (TO_JSON array serialization) -----
     "sf_conversion_funcs", "sf_higher_order_funcs",
-    "sf_semistructured_funcs", "sf_minhash_similarity",
-    "recursive_cte_buckets",
-    "events_cohort_retention", "events_multires_rollup",
-    "text_language_id", "text_bpe_token_counts",
-    # newly hash-checked this round (were rows-only in r3)
-    "embed_near_pairs_lsh", "ann_ivf_topk",
+    "sf_semistructured_funcs",
+    # --- r5 rotation: never driver-sampled before this round ---------
+    "sf_array_funcs2", "sf_array_unique_agg_binary",  # schema-scan landmines
+    "setop_intersect_all", "window_nth_value", "events_user_features",
+    "stream_hourly_counts",
+    "sf_nvl_nvl2", "sf_double_colon_cast", "sf_scalar_funcs",
+    "sf_codec_hash_funcs", "sf_datetime_build_funcs", "sf_greatest_least",
+    "sf_bitwise_aggs", "sf_string_date_funcs", "sf_variant_path_access",
+    "sf_split_to_table",
+    "pivot_segment_balances", "flatten_explode_words",
+    "text_token_counts", "text_pii_scrub", "text_decontaminate",
+    "quality_filter_pipeline",
+    "dedup_simhash", "dedup_clusters", "multimodal_features",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 REGISTRY = {
