@@ -247,17 +247,32 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     # the vectors on their ids and the cosine is recomputed in the JVM
     # sequential fold — identical addition order to DuckDB's
     # list_dot_product, so the value hash-checks. Norms are computed
-    # once per projection side, not per pair.
-    va = emb.select(F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("__va"),
-                    _norm(F.col(vec_col), None).alias("__na"))
-    vb = emb.select(F.col(id_col).alias("id_b"),
-                    F.col(vec_col).alias("__vb"),
-                    _norm(F.col(vec_col), None).alias("__nb"))
+    # once per vector, not per pair. The pair is posexploded into one
+    # row per side so ONE join against ONE vector scan serves both
+    # sides (the previous two-join tree scanned the embedding table
+    # twice — at corpus scale the scan is the dominant cost), then the
+    # sides reassemble with a single groupBy on the pair key; each side
+    # matches exactly one vector row, so first(ignorenulls) is
+    # deterministic.
+    vecs = emb.select(F.col(id_col).alias("__vid"),
+                      F.col(vec_col).alias("__v"),
+                      _norm(F.col(vec_col), None).alias("__n"))
+    sides = pairs.select(
+        "id_a", "id_b",
+        F.posexplode(F.array(F.col("id_a"), F.col("id_b"))).alias("__side", "__vid"),
+    )
+    assembled = (
+        sides.join(vecs, "__vid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("__side") == 0, F.col("__v")), ignorenulls=True).alias("__va"),
+            F.first(F.when(F.col("__side") == 0, F.col("__n")), ignorenulls=True).alias("__na"),
+            F.first(F.when(F.col("__side") == 1, F.col("__v")), ignorenulls=True).alias("__vb"),
+            F.first(F.when(F.col("__side") == 1, F.col("__n")), ignorenulls=True).alias("__nb"),
+        )
+    )
     return (
-        pairs.select("id_a", "id_b")
-        .join(va, "id_a").join(vb, "id_b")
-        .select(
+        assembled.select(
             "id_a", "id_b",
             F.round(_dot(F.col("__va"), F.col("__vb"), None)
                     / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
