@@ -3948,6 +3948,46 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# Scripted multi-statement pipeline (plans/scripting.py v2): a
+# Scripting FOR loop drives one INSERT..SELECT aggregation per orders
+# bucket into a scratch engine table, then the assembled table is read
+# back. Exercises EXECUTE IMMEDIATE block parsing, loop-variable :bind
+# substitution, and engine DML end-to-end; every statement inside the
+# loop still executes as a distributed Spark job (the loop only
+# orchestrates, Snowflake-style). The oracle is the equivalent one-shot
+# GROUP BY — the scripted per-bucket inserts must agree with it exactly.
+def _scripted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+    from .sessions import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="script_wh_"))
+    ctx = SessionContext()
+    eng.execute(
+        "CREATE TABLE script_bucket_rev "
+        "(bucket INTEGER, n_orders BIGINT, revenue DECIMAL(18,2))", ctx)
+    eng.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "FOR b IN 0 TO 4 DO "
+        "INSERT INTO script_bucket_rev "
+        "SELECT :b, count(*), sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "FROM orders WHERE o_orderkey % 5 = :b; "
+        "END FOR; RETURN 'ok'; END $$", ctx)
+    return eng.executor.query_df(
+        "SELECT bucket, n_orders, revenue FROM script_bucket_rev ORDER BY bucket",
+        ctx)
+
+
+_SCRIPTED_PIPELINE_ORACLE = """
+SELECT CAST(o_orderkey % 5 AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -4090,6 +4130,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_split_to_table": (_snow(_SF_SPLIT_TT), _SF_SPLIT_TT_ORACLE),
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
+    "scripted_pipeline_rollup": (_scripted_pipeline, _SCRIPTED_PIPELINE_ORACLE),
     # text analysis extensions
     "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),
     "text_quality_score": (_text_quality, _quality_oracle()),

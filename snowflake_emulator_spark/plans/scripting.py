@@ -16,14 +16,21 @@ Block grammar::
         LET name [type] := <expr>;   -- also `name := <expr>`
         IF (<cond>) THEN ...;
         [ELSEIF (<cond>) THEN ...;] [ELSE ...;] END IF;
+        FOR i IN [REVERSE] <lo> TO <hi> DO ...; END FOR;
+        WHILE (<cond>) DO ...; END WHILE;   -- also LOOP/END LOOP
+        BREAK; CONTINUE;                    -- inside loops
         RETURN <expr>;
     END
 
-v1 restrictions (raise clearly, never silently misexecute): IF blocks
-do not nest, no FOR/WHILE loops, no cursors/RESULTSETs, no EXCEPTION
-sections. Declared types are accepted but values stay dynamically
-typed (every expression evaluates through the engine's full Spark
-path, so type behavior is Spark's).
+Loop bounds/conditions evaluate through the engine's SQL path; range
+bounds evaluate ONCE before the loop (Snowflake semantics). Loops are
+capped at ``_MAX_LOOP_ITER`` iterations — a runaway WHILE raises
+instead of hanging the session. Loop bodies may contain IF blocks;
+v2 restrictions (raise clearly, never silently misexecute): loops do
+not nest, IF blocks do not nest, no cursor/RESULTSET FOR loops, no
+EXCEPTION sections. Declared types are accepted but values stay
+dynamically typed (every expression evaluates through the engine's
+full Spark path, so type behavior is Spark's).
 
 Variable references follow Snowflake's two scopes: ``:name`` binds
 inside SQL statements; bare ``name`` resolves inside scripting
@@ -253,16 +260,137 @@ def _run_block(engine, ctx, text: str, variables: dict,
                 i += 1
                 group.append(stmts[i].strip())
             kind, value = _run_if(engine, ctx, group, variables)
+        elif re.match(r"^(FOR|WHILE)\b", st, re.I):
+            group = [st]
+            while (not re.search(r"\bEND\s+(FOR|WHILE|LOOP)(\s+\w+)?$",
+                                 group[-1].strip(), re.I)
+                   and i + 1 < len(stmts)):
+                i += 1
+                group.append(stmts[i].strip())
+            kind, value = _run_loop(engine, ctx, group, variables)
         else:
             kind, value = _exec_stmt(engine, ctx, st, variables)
         if kind == "return":
             return _value_result(value, result_col, declared)
+        if kind in ("break", "continue"):
+            from .. import errors
+
+            raise errors.syntax_error(f"{kind.upper()} outside of a loop")
         if kind == "result":
             last = value
         i += 1
     if last is not None:
         return last
     return _value_result(None, result_col, declared)
+
+
+# loop-iteration hard cap: a WHILE whose condition never flips must
+# raise, not hang the session (and at 10k iterations of full Spark
+# statements the script is misdesigned anyway — loops orchestrate,
+# the statements inside them do the distributed work)
+_MAX_LOOP_ITER = 10_000
+
+
+def _run_loop(engine, ctx, group: list[str], variables: dict):
+    """group = the ';'-split pieces of one FOR/WHILE ... END FOR/WHILE
+    construct. Returns (kind, value) like _exec_stmt."""
+    from .. import errors
+
+    first = group[0]
+    end_tail = re.compile(r"\bEND\s+(FOR|WHILE|LOOP)(\s+\w+)?$", re.I)
+    if not end_tail.search(group[-1].strip()):
+        raise errors.syntax_error("unterminated loop: missing END FOR/END WHILE")
+
+    def body_pieces(after_do: str) -> list[str]:
+        if len(group) == 1:
+            after_do = end_tail.sub("", after_do).strip()
+            middle, tail = [], ""
+        else:
+            middle = [p.strip() for p in group[1:-1]]
+            tail = end_tail.sub("", group[-1].strip()).strip()
+        return [p for p in [after_do.strip(), *middle, tail] if p]
+
+    fm = re.match(
+        r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s+TO\s+(.+?)\s+"
+        r"(?:DO|LOOP)\b(.*)$",
+        first, re.I | re.S)
+    if fm:
+        var = fm.group(1).upper()
+        lo = int(_eval_expr(engine, ctx, fm.group(3), variables))
+        hi = int(_eval_expr(engine, ctx, fm.group(4), variables))
+        pieces = body_pieces(fm.group(5))
+        rng = range(hi, lo - 1, -1) if fm.group(2) else range(lo, hi + 1)
+        if len(rng) > _MAX_LOOP_ITER:
+            raise errors.invalid_parameter(
+                f"FOR range of {len(rng)} exceeds the loop cap of {_MAX_LOOP_ITER}")
+        _MISSING = object()
+        saved = variables.get(var, _MISSING)
+        try:
+            for v in rng:
+                variables[var] = v
+                kind, value = _run_body(engine, ctx, pieces, variables)
+                if kind == "return":
+                    return "return", value
+                if kind == "break":
+                    break
+        finally:
+            # the counter is scoped to the loop (Snowflake semantics)
+            if saved is _MISSING:
+                variables.pop(var, None)
+            else:
+                variables[var] = saved
+        return "none", None
+    if re.match(r"^FOR\b", first, re.I):
+        raise NotImplementedError(
+            "only range FOR loops (FOR i IN lo TO hi DO ...) are supported; "
+            "cursor/RESULTSET FOR loops are not in this scripting subset")
+    wm = re.match(r"^WHILE\s*\(", first, re.I)
+    if not wm:
+        raise errors.syntax_error(f"bad loop header: {first[:80]}")
+    o = first.index("(")
+    c = _match_paren(first, o)
+    cond = first[o + 1:c]
+    after = re.sub(r"^\s*(DO|LOOP)\b", "", first[c + 1:].strip(), flags=re.I)
+    pieces = body_pieces(after)
+    iters = 0
+    while _eval_cond(engine, ctx, cond, variables):
+        iters += 1
+        if iters > _MAX_LOOP_ITER:
+            raise errors.invalid_parameter(
+                f"WHILE exceeded the loop cap of {_MAX_LOOP_ITER} iterations")
+        kind, value = _run_body(engine, ctx, pieces, variables)
+        if kind == "return":
+            return "return", value
+        if kind == "break":
+            break
+    return "none", None
+
+
+def _run_body(engine, ctx, pieces: list[str], variables: dict):
+    """Execute a loop body (';'-split pieces; may contain IF groups).
+    Returns ('none'|'return'|'break'|'continue', value)."""
+    i = 0
+    while i < len(pieces):
+        st = pieces[i].strip()
+        if not st:
+            i += 1
+            continue
+        if re.match(r"^IF\b", st, re.I):
+            group = [st]
+            while (not re.search(r"\bEND\s+IF$", group[-1].strip(), re.I)
+                   and i + 1 < len(pieces)):
+                i += 1
+                group.append(pieces[i].strip())
+            kind, value = _run_if(engine, ctx, group, variables)
+        elif re.match(r"^(FOR|WHILE)\b", st, re.I):
+            raise NotImplementedError(
+                "nested loops are not supported in this scripting subset")
+        else:
+            kind, value = _exec_stmt(engine, ctx, st, variables)
+        if kind in ("return", "break", "continue"):
+            return kind, value
+        i += 1
+    return "none", None
 
 
 def _run_if(engine, ctx, group: list[str], variables: dict):
@@ -309,8 +437,9 @@ def _run_if(engine, ctx, group: list[str], variables: dict):
         if cond is None or _eval_cond(engine, ctx, cond, variables):
             for st in stmts:
                 kind, value = _exec_stmt(engine, ctx, st, variables)
-                if kind == "return":
-                    return "return", value
+                if kind in ("return", "break", "continue"):
+                    # break/continue propagate to the enclosing loop
+                    return kind, value
             return "none", None
     return "none", None
 
@@ -319,6 +448,10 @@ def _exec_stmt(engine, ctx, st: str, variables: dict):
     st = st.strip()
     if not st:
         return "none", None
+    if re.match(r"^(BREAK|EXIT)$", st, re.I):
+        return "break", None
+    if re.match(r"^CONTINUE$", st, re.I):
+        return "continue", None
     rm = re.match(r"^RETURN\b(.*)$", st, re.I | re.S)
     if rm:
         return "return", _eval_expr(engine, ctx, rm.group(1), variables)

@@ -205,3 +205,117 @@ def test_scripting_string_literals_not_substituted(engine):
         "EXECUTE IMMEDIATE $$ DECLARE v NUMBER DEFAULT 9; "
         "BEGIN RETURN 'v is ' || v; END $$", ctx)
     assert res.rows[0][0] == "v is 9"
+
+
+# ---------------------------------------------------------------------------
+# v2: bounded loops (FOR / WHILE / BREAK / CONTINUE)
+# ---------------------------------------------------------------------------
+
+def test_for_loop_accumulates(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE total NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 5 DO LET total := total + i; END FOR; "
+        "RETURN total; END $$", ctx)
+    assert _rows(res) == [(15,)]
+
+
+def test_for_loop_reverse_and_counter_scope(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE s VARCHAR DEFAULT ''; "
+        "i NUMBER DEFAULT 99; BEGIN "
+        "FOR i IN REVERSE 1 TO 3 DO LET s := s || i; END FOR; "
+        "RETURN s || '|' || i; END $$", ctx)
+    # REVERSE iterates 3,2,1; the counter is loop-scoped so the outer
+    # i (99) is restored after END FOR
+    assert _rows(res) == [("321|99",)]
+
+
+def test_for_loop_drives_dml(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE loop_t (n INTEGER)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "FOR i IN 1 TO 3 DO INSERT INTO loop_t VALUES (:i * 10); END FOR; "
+        "RETURN (SELECT SUM(n) FROM loop_t); END $$", ctx)
+    assert _rows(res) == [(60,)]
+
+
+def test_while_loop_with_break_continue(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE i NUMBER DEFAULT 0; "
+        "acc NUMBER DEFAULT 0; BEGIN "
+        "WHILE (i < 100) DO "
+        "  LET i := i + 1; "
+        "  IF (i = 3) THEN CONTINUE; END IF; "
+        "  IF (i > 5) THEN BREAK; END IF; "
+        "  LET acc := acc + i; "
+        "END WHILE; "
+        "RETURN acc; END $$", ctx)
+    # 1+2+4+5 (3 skipped by CONTINUE, BREAK at 6)
+    assert _rows(res) == [(12,)]
+
+
+def test_while_loop_cap_raises(engine, monkeypatch):
+    from snowflake_emulator_spark.plans import scripting
+
+    # lower the cap so the runaway loop trips it in a handful of
+    # engine statements instead of 10k
+    monkeypatch.setattr(scripting, "_MAX_LOOP_ITER", 7)
+    ctx = SessionContext()
+    with pytest.raises(Exception, match="loop cap"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "WHILE (1 = 1) DO LET x := 1; END WHILE; RETURN 0; END $$", ctx)
+
+
+def test_for_loop_cap_raises(engine, monkeypatch):
+    from snowflake_emulator_spark.plans import scripting
+
+    monkeypatch.setattr(scripting, "_MAX_LOOP_ITER", 7)
+    ctx = SessionContext()
+    with pytest.raises(Exception, match="loop cap"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "FOR i IN 1 TO 1000 DO LET x := 1; END FOR; RETURN 0; END $$", ctx)
+
+
+def test_for_loop_return_inside(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "FOR i IN 1 TO 10 DO "
+        "  IF (i * i > 20) THEN RETURN i; END IF; "
+        "END FOR; "
+        "RETURN -1; END $$", ctx)
+    assert _rows(res) == [(5,)]
+
+
+def test_nested_loops_raise(engine):
+    ctx = SessionContext()
+    with pytest.raises(NotImplementedError, match="nested loops"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "FOR i IN 1 TO 2 DO FOR j IN 1 TO 2 DO LET x := 1; END FOR; END FOR; "
+            "RETURN 0; END $$", ctx)
+
+
+def test_cursor_for_loop_raises(engine):
+    ctx = SessionContext()
+    with pytest.raises(NotImplementedError, match="cursor"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "FOR rec IN cur DO LET x := 1; END FOR; RETURN 0; END $$", ctx)
+
+
+def test_procedure_with_for_loop(engine):
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE PROCEDURE sum_to(n NUMBER) RETURNS NUMBER LANGUAGE SQL AS $$ "
+        "DECLARE acc NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO n DO LET acc := acc + i; END FOR; "
+        "RETURN acc; END $$", ctx)
+    res = engine.execute("CALL sum_to(10)", ctx)
+    assert _rows(res) == [(55,)]
