@@ -201,7 +201,7 @@ def main():
             out.append("Checks: " + "; ".join(checks) + "\n")
         out.append("```\n" + head.strip()[:4000] + "\n```\n")
         print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
-    with open("/root/repo/docs/PLANS_r4.md", "w") as f:
+    with open("/root/repo/docs/PLANS_r5.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
 
