@@ -10,25 +10,36 @@ Supported surface, modeled on Snowflake's public Scripting docs:
 
 Block grammar::
 
-    [DECLARE  name type [DEFAULT <expr>]; ...]
+    [DECLARE  name type [DEFAULT <expr>];
+              cur CURSOR FOR <select>;
+              rs RESULTSET DEFAULT (<select>);
+              exc EXCEPTION [(code, 'msg')]; ...]
     BEGIN
         <sql statement>;             -- :name binds substitute
         LET name [type] := <expr>;   -- also `name := <expr>`
         IF (<cond>) THEN ...;
         [ELSEIF (<cond>) THEN ...;] [ELSE ...;] END IF;
         FOR i IN [REVERSE] <lo> TO <hi> DO ...; END FOR;
+        FOR rec IN cur DO ... rec.col ...; END FOR;
         WHILE (<cond>) DO ...; END WHILE;   -- also LOOP/END LOOP
         BREAK; CONTINUE;                    -- inside loops
+        RAISE exc;  RAISE;                  -- (bare RAISE re-raises)
         RETURN <expr>;
+    [EXCEPTION
+        WHEN exc [OR exc2]... THEN ...;
+        WHEN STATEMENT_ERROR THEN ...;      -- any engine error
+        WHEN OTHER THEN ...;]               -- catch-all
     END
 
 Loop bounds/conditions evaluate through the engine's SQL path; range
 bounds evaluate ONCE before the loop (Snowflake semantics). Loops are
 capped at ``_MAX_LOOP_ITER`` iterations — a runaway WHILE raises
-instead of hanging the session. Loop bodies may contain IF blocks;
-v2 restrictions (raise clearly, never silently misexecute): loops do
-not nest, IF blocks do not nest, no cursor/RESULTSET FOR loops, no
-EXCEPTION sections. Declared types are accepted but values stay
+instead of hanging the session; a cursor FOR loop caps its row fetch
+the same way. Inside a handler ``SQLCODE``/``SQLERRM`` resolve as
+scripting variables. Loop bodies may contain IF blocks; v2
+restrictions (raise clearly, never silently misexecute): loops do not
+nest, IF blocks do not nest, no OPEN/FETCH/CLOSE cursor statements
+(use the FOR form). Declared types are accepted but values stay
 dynamically typed (every expression evaluates through the engine's
 full Spark path, so type behavior is Spark's).
 
@@ -219,6 +230,35 @@ def _resolve(engine, name: str, ctx) -> tuple:
 # block execution
 # ---------------------------------------------------------------------------
 
+class _CursorDef:
+    """DECLAREd cursor/resultset: the (not yet run) SELECT text. Stored
+    under the cursor's name in the variable scope; _subst never renders
+    it, only ``FOR rec IN <name>`` consumes it."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+
+class _ExceptionDef:
+    """DECLAREd user exception (name + optional code/message)."""
+
+    def __init__(self, name: str, code: int = -20000, message: str = ""):
+        self.name = name
+        self.code = code
+        self.message = message
+
+
+class _ScriptRaise(Exception):
+    """In-flight RAISE of a declared exception (caught by the block's
+    EXCEPTION section, or surfaced to the caller as an engine error)."""
+
+    def __init__(self, name: str, code: int, message: str):
+        super().__init__(message or name)
+        self.name = name
+        self.code = code
+        self.message = message
+
+
 def _run_block(engine, ctx, text: str, variables: dict,
                result_col: str, declared: str | None = None) -> Result:
     from ..engine import _split_statements
@@ -236,10 +276,30 @@ def _run_block(engine, ctx, text: str, variables: dict,
         decl_src, body_src = "", m2.group(1)
     variables = dict(variables)
     for d in _split_statements(decl_src):
+        d = d.strip()
+        cm = re.match(r"^([A-Za-z_]\w*)\s+CURSOR\s+FOR\s+(.+)$", d, re.I | re.S)
+        if cm:
+            variables[cm.group(1).upper()] = _CursorDef(cm.group(2).strip())
+            continue
+        rm = re.match(r"^([A-Za-z_]\w*)\s+RESULTSET\s+DEFAULT\s*\((.+)\)\s*$",
+                      d, re.I | re.S)
+        if rm:
+            variables[rm.group(1).upper()] = _CursorDef(rm.group(2).strip())
+            continue
+        em = re.match(
+            r"^([A-Za-z_]\w*)\s+EXCEPTION\s*"
+            r"(?:\(\s*(-?\d+)\s*,\s*'((?:[^']|'')*)'\s*\))?$",
+            d, re.I)
+        if em:
+            variables[em.group(1).upper()] = _ExceptionDef(
+                em.group(1).upper(),
+                int(em.group(2)) if em.group(2) else -20000,
+                (em.group(3) or "").replace("''", "'"))
+            continue
         dm = re.match(
             r"^([A-Za-z_]\w*)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
             r"(?:\s+DEFAULT\s+(.+))?$",
-            d.strip(), re.I | re.S)
+            d, re.I | re.S)
         if not dm:
             from .. import errors
 
@@ -249,6 +309,84 @@ def _run_block(engine, ctx, text: str, variables: dict,
             if dm.group(3) else None)
 
     stmts = _split_statements(body_src)
+    # split off the EXCEPTION handler section (Snowflake: the section
+    # after the last body statement, introduced by EXCEPTION WHEN ...)
+    handler_stmts: list[str] = []
+    for hi, piece in enumerate(stmts):
+        if re.match(r"^\s*EXCEPTION\s+WHEN\b", piece, re.I):
+            handler_stmts = [re.sub(r"^\s*EXCEPTION\s+", "", piece, flags=re.I)] \
+                + [p.strip() for p in stmts[hi + 1:]]
+            stmts = stmts[:hi]
+            break
+    try:
+        return _run_stmts(engine, ctx, stmts, variables, result_col, declared)
+    except Exception as e:
+        handled = _maybe_handle(engine, ctx, e, handler_stmts, variables,
+                                result_col, declared)
+        if handled is not None:
+            return handled
+        if isinstance(e, _ScriptRaise):
+            from .. import errors
+
+            if e.name == "__RERAISE__":
+                raise errors.syntax_error("bare RAISE outside an exception handler")
+            raise errors.execution_error(
+                f"Uncaught exception {e.name} ({e.code}): {e.message}")
+        raise
+
+
+def _maybe_handle(engine, ctx, e: Exception, handler_stmts: list[str],
+                  variables: dict, result_col: str,
+                  declared: str | None) -> Result | None:
+    """Run the matching EXCEPTION handler, or return None to re-raise.
+    NotImplementedError (scripting-subset restrictions) is never
+    handled — it signals misuse of the harness, not a SQL error."""
+    from .. import errors
+
+    if not handler_stmts or isinstance(e, NotImplementedError):
+        return None
+    if isinstance(e, _ScriptRaise):
+        kind, code, msg = e.name, e.code, e.message
+    elif isinstance(e, errors.SnowflakeError):
+        kind = "STATEMENT_ERROR"
+        try:
+            code = int(e.code)
+        except (TypeError, ValueError):
+            code = -1
+        msg = e.message
+    else:
+        kind, code, msg = "STATEMENT_ERROR", -1, str(e)
+    # parse WHEN clauses: (names, [stmts])
+    handlers: list[tuple[list[str], list[str]]] = []
+    for piece in handler_stmts:
+        wm = re.match(r"^WHEN\s+(.+?)\s+THEN\b(.*)$", piece.strip(), re.I | re.S)
+        if wm:
+            names = [n.strip().upper()
+                     for n in re.split(r"\s+OR\s+", wm.group(1), flags=re.I)]
+            body = wm.group(2).strip()
+            handlers.append((names, [body] if body else []))
+        elif handlers:
+            if piece.strip():
+                handlers[-1][1].append(piece.strip())
+        elif piece.strip():
+            raise errors.syntax_error(
+                f"EXCEPTION section must start with WHEN: {piece[:60]}")
+    for names, body in handlers:
+        if kind in names or "OTHER" in names:
+            hv = dict(variables)
+            hv["SQLCODE"] = code
+            hv["SQLERRM"] = msg
+            try:
+                return _run_stmts(engine, ctx, body, hv, result_col, declared)
+            except _ScriptRaise as r2:
+                if r2.name == "__RERAISE__":
+                    return None  # bare RAISE: surface the original
+                raise
+    return None
+
+
+def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
+               result_col: str, declared: str | None) -> Result:
     last: Result | None = None
     i = 0
     while i < len(stmts):
@@ -340,10 +478,16 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
             else:
                 variables[var] = saved
         return "none", None
+    cfm = re.match(
+        r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+([A-Za-z_]\w*)\s+(?:DO|LOOP)\b(.*)$",
+        first, re.I | re.S)
+    if cfm and isinstance(variables.get(cfm.group(2).upper()), _CursorDef):
+        return _run_cursor_loop(engine, ctx, cfm, body_pieces(cfm.group(3)),
+                                variables)
     if re.match(r"^FOR\b", first, re.I):
         raise NotImplementedError(
-            "only range FOR loops (FOR i IN lo TO hi DO ...) are supported; "
-            "cursor/RESULTSET FOR loops are not in this scripting subset")
+            "only range FOR loops (FOR i IN lo TO hi DO ...) and cursor "
+            "FOR loops over a DECLAREd CURSOR/RESULTSET are supported")
     wm = re.match(r"^WHILE\s*\(", first, re.I)
     if not wm:
         raise errors.syntax_error(f"bad loop header: {first[:80]}")
@@ -359,6 +503,51 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
             raise errors.invalid_parameter(
                 f"WHILE exceeded the loop cap of {_MAX_LOOP_ITER} iterations")
         kind, value = _run_body(engine, ctx, pieces, variables)
+        if kind == "return":
+            return "return", value
+        if kind == "break":
+            break
+    return "none", None
+
+
+def _run_cursor_loop(engine, ctx, cfm: re.Match, pieces: list[str],
+                     variables: dict):
+    """FOR rec IN <cursor> DO ... END FOR: run the cursor's SELECT once
+    (row fetch capped at _MAX_LOOP_ITER — the loop is driver-side
+    orchestration; unbounded result iteration belongs in set-based SQL,
+    not a scripting loop), then execute the body once per row with
+    ``rec.col`` references substituted as literals."""
+    from .. import errors
+    from ..executor import _inside_string, sql_literal
+
+    recname = cfm.group(1)
+    cur: _CursorDef = variables[cfm.group(2).upper()]
+    res = engine.execute(
+        f"SELECT * FROM ({_subst(cur.sql, variables, bind_only=True)}) "
+        f"__cur LIMIT {_MAX_LOOP_ITER + 1}", ctx)
+    if len(res.rows) > _MAX_LOOP_ITER:
+        raise errors.invalid_parameter(
+            f"cursor FOR loop over more than {_MAX_LOOP_ITER} rows — "
+            "use set-based SQL for unbounded iteration")
+    cols = [c.upper() for c in res.columns]
+    rec_re = re.compile(rf"(?i):?\b{re.escape(recname)}\.([A-Za-z_]\w*)")
+
+    for row in res.rows:
+        rowmap = dict(zip(cols, row))
+
+        def sub_rec(piece: str) -> str:
+            def repl(m: re.Match) -> str:
+                if _inside_string(piece, m.start()):
+                    return m.group(0)
+                col = m.group(1).upper()
+                if col not in rowmap:
+                    raise errors.invalid_identifier(f"{recname}.{m.group(1)}")
+                return sql_literal(rowmap[col])
+
+            return rec_re.sub(repl, piece)
+
+        kind, value = _run_body(engine, ctx, [sub_rec(p) for p in pieces],
+                                variables)
         if kind == "return":
             return "return", value
         if kind == "break":
@@ -452,6 +641,22 @@ def _exec_stmt(engine, ctx, st: str, variables: dict):
         return "break", None
     if re.match(r"^CONTINUE$", st, re.I):
         return "continue", None
+    if re.match(r"^(OPEN|FETCH|CLOSE)\b", st, re.I):
+        raise NotImplementedError(
+            "OPEN/FETCH/CLOSE cursor statements are not supported in this "
+            "scripting subset — use FOR rec IN <cursor> DO ... END FOR")
+    xm = re.match(r"^RAISE(?:\s+([A-Za-z_]\w*))?$", st, re.I)
+    if xm:
+        if not xm.group(1):
+            # bare RAISE (only valid in a handler): re-raise original
+            raise _ScriptRaise("__RERAISE__", -1, "")
+        name = xm.group(1).upper()
+        exc = variables.get(name)
+        if not isinstance(exc, _ExceptionDef):
+            from .. import errors
+
+            raise errors.object_not_found(f"exception {name}")
+        raise _ScriptRaise(exc.name, exc.code, exc.message)
     rm = re.match(r"^RETURN\b(.*)$", st, re.I | re.S)
     if rm:
         return "return", _eval_expr(engine, ctx, rm.group(1), variables)
@@ -548,7 +753,10 @@ def _subst(text: str, variables: dict, bind_only: bool) -> str:
         if not is_bind and in_sql_scope(m.start()):
             return m.group(0)   # bare identifier inside SQL = column ref
         if name and name.upper() in variables:
-            return sql_literal(variables[name.upper()])
+            value = variables[name.upper()]
+            if isinstance(value, (_CursorDef, _ExceptionDef)):
+                return m.group(0)  # cursors/exceptions never render
+            return sql_literal(value)
         return m.group(0)
 
     return re.sub(pattern, repl, text)

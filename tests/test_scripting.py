@@ -319,3 +319,129 @@ def test_procedure_with_for_loop(engine):
         "RETURN acc; END $$", ctx)
     res = engine.execute("CALL sum_to(10)", ctx)
     assert _rows(res) == [(55,)]
+
+
+# ---------------------------------------------------------------------------
+# v2b: EXCEPTION sections + cursor FOR loops
+# ---------------------------------------------------------------------------
+
+def test_exception_raise_and_handle(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE "
+        "my_ex EXCEPTION (-20002, 'things went sideways'); BEGIN "
+        "IF (1 = 1) THEN RAISE my_ex; END IF; "
+        "RETURN 'not reached'; "
+        "EXCEPTION WHEN my_ex THEN RETURN 'caught:' || SQLCODE || ':' || SQLERRM; "
+        "END $$", ctx)
+    assert _rows(res) == [("caught:-20002:things went sideways",)]
+
+
+def test_exception_statement_error_and_other(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "SELECT * FROM this_table_does_not_exist_xyz; "
+        "RETURN 'not reached'; "
+        "EXCEPTION WHEN STATEMENT_ERROR THEN RETURN 'stmt_err'; "
+        "WHEN OTHER THEN RETURN 'other'; "
+        "END $$", ctx)
+    assert _rows(res) == [("stmt_err",)]
+
+
+def test_exception_when_or_and_other_fallback(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE "
+        "a EXCEPTION (-20001, 'a'); b EXCEPTION (-20002, 'b'); "
+        "c EXCEPTION (-20003, 'c'); BEGIN "
+        "RAISE c; "
+        "EXCEPTION WHEN a OR b THEN RETURN 'ab'; "
+        "WHEN OTHER THEN RETURN 'fallback:' || SQLCODE; "
+        "END $$", ctx)
+    assert _rows(res) == [("fallback:-20003",)]
+
+
+def test_exception_uncaught_surfaces_with_code(engine):
+    ctx = SessionContext()
+    with pytest.raises(Exception, match="-20009"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ DECLARE ex EXCEPTION (-20009, 'boom'); "
+            "BEGIN RAISE ex; END $$", ctx)
+
+
+def test_exception_bare_raise_rethrows_original(engine):
+    ctx = SessionContext()
+    with pytest.raises(Exception, match="-20011"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ DECLARE ex EXCEPTION (-20011, 'orig'); "
+            "BEGIN RAISE ex; "
+            "EXCEPTION WHEN ex THEN RAISE; "
+            "END $$", ctx)
+
+
+def test_cursor_for_loop(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cur_t (id INTEGER, amt INTEGER)", ctx)
+    engine.execute("INSERT INTO cur_t VALUES (1, 10), (2, 20), (3, 30)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE "
+        "total NUMBER DEFAULT 0; "
+        "c CURSOR FOR SELECT id, amt FROM cur_t ORDER BY id; BEGIN "
+        "FOR rec IN c DO LET total := total + rec.id * rec.amt; END FOR; "
+        "RETURN total; END $$", ctx)
+    # 1*10 + 2*20 + 3*30 = 140
+    assert _rows(res) == [(140,)]
+
+
+def test_resultset_for_loop_with_break(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE "
+        "s VARCHAR DEFAULT ''; "
+        "rs RESULTSET DEFAULT (SELECT w FROM "
+        "(VALUES ('a'), ('b'), ('c')) AS t(w) ORDER BY 1); BEGIN "
+        "FOR r IN rs DO "
+        "  IF (r.w = 'c') THEN BREAK; END IF; "
+        "  LET s := s || r.w; "
+        "END FOR; "
+        "RETURN s; END $$", ctx)
+    assert _rows(res) == [("ab",)]
+
+
+def test_cursor_row_cap(engine, monkeypatch):
+    from snowflake_emulator_spark.plans import scripting
+
+    monkeypatch.setattr(scripting, "_MAX_LOOP_ITER", 3)
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cur_big (id INTEGER)", ctx)
+    engine.execute("INSERT INTO cur_big VALUES (1),(2),(3),(4),(5)", ctx)
+    with pytest.raises(Exception, match="more than 3 rows"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ DECLARE c CURSOR FOR SELECT id FROM cur_big; "
+            "BEGIN FOR r IN c DO LET x := r.id; END FOR; RETURN 0; END $$", ctx)
+
+
+def test_open_fetch_close_raise(engine):
+    ctx = SessionContext()
+    with pytest.raises(NotImplementedError, match="OPEN/FETCH/CLOSE"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ DECLARE c CURSOR FOR SELECT 1 AS v; BEGIN "
+            "OPEN c; RETURN 0; END $$", ctx)
+
+
+def test_cursor_ref_in_sql_statement(engine):
+    """rec.col substitutes inside embedded SQL statements too (the
+    common scripted-ETL shape: per-row DML driven by a cursor)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cur_src (id INTEGER)", ctx)
+    engine.execute("INSERT INTO cur_src VALUES (1), (2)", ctx)
+    engine.execute("CREATE TABLE cur_dst (id INTEGER, sq INTEGER)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE "
+        "c CURSOR FOR SELECT id FROM cur_src ORDER BY id; BEGIN "
+        "FOR rec IN c DO "
+        "INSERT INTO cur_dst VALUES (rec.id, rec.id * rec.id); "
+        "END FOR; "
+        "RETURN (SELECT SUM(sq) FROM cur_dst); END $$", ctx)
+    assert _rows(res) == [(5,)]
