@@ -2940,6 +2940,60 @@ ORDER BY query_id, rank
 """
 
 
+def _embed_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage/diversity sampling (operators/similarity.py
+    coverage_sample): k most prototypical vectors per deterministic
+    centroid bucket — the training-data knob that keeps a small sample
+    covering the whole embedding space."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.coverage_sample(
+        e, k=3, n_centroids=8, dim=64
+    ).orderBy("bucket", "rk")
+
+
+def _coverage_replay_oracle(n_centroids: int = 8, k: int = 3,
+                            dim: int = 64) -> str:
+    """DuckDB replay of coverage sampling: same literal centroid
+    weights as the IVF oracle; assignment = argmax centroid dot (ties
+    -> lowest cid, matching np.argmax); prototypicality = sequential
+    list_dot_product cosine to the own centroid; per-bucket top-k by
+    (proto DESC, vec_id ASC)."""
+    rows, cvec_rows = [], []
+    for c in range(n_centroids):
+        ws = similarity._hyperplane(dim, 1000 + c)
+        cvec_rows.append(f"({c}, ARRAY[{','.join(repr(w) for w in ws)}]::DOUBLE[])")
+        for i, w in enumerate(ws):
+            rows.append(f"({c},{i + 1},{w!r})")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, CAST(u.i AS INTEGER) AS pos, v[CAST(u.i AS INTEGER)] AS val
+       FROM v, unnest(range(1, len(v) + 1)) AS u(i)),
+cents(cid, pos, w) AS (VALUES {",".join(rows)}),
+cdots AS (SELECT e.vec_id, c.cid, sum(e.val * c.w) AS d
+          FROM ev e JOIN cents c ON e.pos = c.pos GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM cdots) WHERE rn = 1),
+cvecs(cid, cv) AS (VALUES {",".join(cvec_rows)}),
+scored AS (
+  SELECT a.bucket, a.vec_id,
+         round(list_dot_product(v.v, c.cv) /
+               nullif(sqrt(list_dot_product(v.v, v.v)) *
+                      sqrt(list_dot_product(c.cv, c.cv)), 0.0), 6) AS proto
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id JOIN cvecs c ON c.cid = a.bucket)
+SELECT CAST(bucket AS INTEGER) AS bucket, vec_id, CAST(rk AS INTEGER) AS rk, proto
+FROM (SELECT bucket, vec_id, proto,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY proto DESC, vec_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {k}
+ORDER BY bucket, rk
+"""
+
+
 def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup — the embedding-space counterpart of
     dedup_survivors: cosine near-pairs -> connected components -> keep
@@ -4185,6 +4239,7 @@ REGISTRY: dict[str, tuple] = {
     # hash-checked against full DuckDB replays of the LSH/IVF pipelines
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),
     "ann_ivf_topk": (_ann_ivf, _ivf_replay_oracle()),
+    "embed_coverage_sample": (_embed_coverage_sample, _coverage_replay_oracle()),
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     "range_join_events": (_range_join_events, _RANGE_ORACLE),

@@ -364,6 +364,64 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
     )
 
 
+def coverage_sample(emb: DataFrame, k: int = 3, n_centroids: int = 8,
+                    dim: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space coverage / diversity sampling: keep the k most
+    prototypical vectors of every centroid bucket (SemDeDup-style
+    prototype selection — a small sample that still covers the
+    embedding space, the opposite knob from random sampling).
+
+    Deterministic by construction: centroids are the same
+    hyperplane-seeded vectors as ``ivf_topk`` (stable across
+    runs/engines); assignment is argmax over centroid dots (ties ->
+    lowest centroid id, matching np.argmax); prototypicality is the
+    cosine to the OWN centroid, computed in the JVM sequential fold
+    (DuckDB ``list_dot_product`` addition order) so the operator
+    hash-checks against a literal-weight replay oracle.
+
+    Scale: ONE Arrow pass assigns buckets (numpy matmul per batch), the
+    |centroids| x dim table broadcasts back for scoring, and the only
+    shuffle is the per-bucket top-k window on the bucket key. No
+    driver-side vectors."""
+    import numpy as np
+
+    cm = np.array([_hyperplane(dim, 1000 + c) for c in range(n_centroids)],
+                  dtype="float64")
+    assign_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(vec_col, T.ArrayType(T.FloatType())),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bucket = np.argmax(m @ cm.T, axis=1).astype("int32")
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
+                                "bucket": bucket})
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    spark = emb.sparkSession
+    cvecs = spark.createDataFrame(
+        [(c, [float(x) for x in cm[c]]) for c in range(n_centroids)],
+        T.StructType([T.StructField("bucket", T.IntegerType()),
+                      T.StructField("cvec", T.ArrayType(T.DoubleType()))]))
+    cvecs = cvecs.withColumn("cnorm", _norm(F.col("cvec"), None))
+    scored = assigned.join(F.broadcast(cvecs), "bucket").select(
+        "bucket", F.col(id_col),
+        F.round(_dot(F.col(vec_col), F.col("cvec"), None)
+                / F.nullif(_norm(F.col(vec_col), None) * F.col("cnorm"),
+                           F.lit(0.0)), 6).alias("proto"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("proto"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("bucket", id_col, F.col("rk").cast("int").alias("rk"), "proto")
+    )
+
+
 def centroid_distances(emb: DataFrame, vec_col: str = "embedding",
                        label_col: str = "label", id_col: str = "vec_id") -> DataFrame:
     """Per-vector cosine similarity to its label's centroid — embedding

@@ -487,3 +487,24 @@ def test_dsir_weights_favor_target_domain(spark):
            for r in textstats.dsir_importance_weights(df, "source = 'src0'").collect()}
     assert out[200] > out[100]           # target-like beats gibberish
     assert out[0] > out[100]             # in-domain beats off-domain
+
+
+def test_coverage_sample_properties(emb):
+    """Coverage sampling keeps <= k prototypes per bucket, every kept
+    vector exists in the corpus, ranks are 1..k by descending
+    prototypicality, and the selection is deterministic across runs."""
+    out = similarity.coverage_sample(emb, k=2, n_centroids=4)
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for b, rs in by_bucket.items():
+        assert 1 <= len(rs) <= 2
+        rs = sorted(rs, key=lambda x: x["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        protos = [r["proto"] for r in rs]
+        assert protos == sorted(protos, reverse=True)
+        assert all(r["vec_id"] in all_ids for r in rs)
+    again = similarity.coverage_sample(emb, k=2, n_centroids=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
