@@ -4002,6 +4002,37 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# Curriculum interleave (operators/mixture.py curriculum_interleave):
+# stride-scheduled deterministic training order — weight-3 sources
+# appear 3x as often as weight-1 sources at every prefix. Integer
+# weights keep the virtual times' decimal expansions off the 6-dp
+# rounding boundary, so round() agrees across engines.
+def _sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mixture import curriculum_interleave
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return curriculum_interleave(
+        d, {"src0": 3.0, "src1": 3.0, "src2": 2.0, "src3": 2.0},
+        default_weight=1.0,
+    ).orderBy("global_pos")
+
+
+_CURRICULUM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS DOUBLE)
+         / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 3.0
+                       WHEN 'src2' THEN 2.0 WHEN 'src3' THEN 2.0
+                       ELSE 1.0 END AS vt
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT) AS global_pos,
+       doc_id, source, round(vt, 6) AS vtime
+FROM ranked ORDER BY global_pos
+"""
+
+
 # Scripted multi-statement pipeline (plans/scripting.py v2): a
 # Scripting FOR loop drives one INSERT..SELECT aggregation per orders
 # bucket into a scratch engine table, then the assembled table is read
@@ -4226,6 +4257,7 @@ REGISTRY: dict[str, tuple] = {
     "text_oov_rate": (_text_oov_rate, _OOV_ORACLE),
     "text_dup_ngram_fraction": (_text_dup_ngram_fraction, _DUP_NGRAM_ORACLE),
     "sample_token_budget": (_sample_token_budget, _token_budget_oracle()),
+    "sample_curriculum_interleave": (_sample_curriculum, _CURRICULUM_ORACLE),
     "sample_k_per_group": (_sample_k_per_group, _K_PER_GROUP_ORACLE),
     "source_overlap_jaccard": (_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "embed_semantic_survivors": (_embed_semantic_survivors, _embed_survivors_oracle()),

@@ -47,3 +47,50 @@ def mixture_sample(df: DataFrame, rates: dict[str, float], source_col: str = "so
         thr = F.when(F.col(source_col) == dom,
                      F.lit(int(round(float(r) * buckets)))).otherwise(thr)
     return df.filter(_bucket(F.col(id_col), buckets) < thr)
+
+
+def curriculum_interleave(df: DataFrame, weights: dict[str, float],
+                          source_col: str = "source", id_col: str = "doc_id",
+                          default_weight: float = 1.0) -> DataFrame:
+    """Deterministic curriculum ordering: stride-schedule the sources
+    into one interleaved training sequence at the given weights (a
+    weight-3 source appears 3x as often as a weight-1 source at every
+    prefix of the stream — the data-mixing step between sampling and
+    sequence packing).
+
+    Classic stride scheduling: each doc takes within-source position p
+    (ordered by md5(id) — deterministic, engine-neutral, no rand());
+    its virtual time is p / weight; the curriculum is the ascending
+    virtual-time order, ties broken by (source, id). Every engine,
+    run, and stage retry produces the identical order.
+
+    Scale: one shuffle for the per-source ranking window, then a
+    TOTAL-order sort — Spark range-partitions that sort, so it scales;
+    the single-partition ``global_pos`` ordinal window materialized
+    here is the demo-sized convenience (a real 100 TB pipeline keeps
+    the (virtual, source, id) sort KEY and lets downstream sequence
+    packing consume the range-partitioned order directly, never a
+    global row number)."""
+    from pyspark.sql import Window
+
+    w_expr = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        if wt <= 0:
+            raise ValueError(f"weight for {src!r} must be > 0, got {wt}")
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w_expr)
+    key = F.md5(F.col(id_col).cast("string"))
+    pw = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col), F.col(source_col),
+        F.row_number().over(pw).cast("double").alias("__p"),
+        w_expr.alias("__w"),
+    ).select(
+        F.col(id_col), F.col(source_col),
+        (F.col("__p") / F.col("__w")).alias("virtual"),
+    )
+    gw = Window.orderBy("virtual", source_col, id_col)
+    return ranked.select(
+        F.row_number().over(gw).cast("bigint").alias("global_pos"),
+        F.col(id_col), F.col(source_col),
+        F.round("virtual", 6).alias("vtime"),
+    )

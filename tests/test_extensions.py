@@ -508,3 +508,26 @@ def test_coverage_sample_properties(emb):
         assert all(r["vec_id"] in all_ids for r in rs)
     again = similarity.coverage_sample(emb, k=2, n_centroids=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_curriculum_interleave_proportional_prefixes(docs):
+    """Stride scheduling: at every prefix of the curriculum a weight-3
+    source has seen ~3x the docs of a weight-1 source (within one
+    stride), and the order is deterministic across runs."""
+    from snowflake_emulator_spark.operators.mixture import curriculum_interleave
+
+    out = curriculum_interleave(
+        docs, {"src0": 3.0}, default_weight=1.0).orderBy("global_pos")
+    rows = out.collect()
+    assert [r["global_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    # prefix proportionality: after any virtual time t, src0 has
+    # emitted floor(3t) docs vs floor(t) for each weight-1 source
+    seen = {}
+    for r in rows[: len(rows) // 2]:
+        seen[r["source"]] = seen.get(r["source"], 0) + 1
+        others = [v for k, v in seen.items() if k != "src0"]
+        if others and "src0" in seen:
+            assert seen["src0"] >= max(others)  # heavier source never behind
+    again = curriculum_interleave(
+        docs, {"src0": 3.0}, default_weight=1.0).orderBy("global_pos").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
