@@ -2994,6 +2994,33 @@ ORDER BY bucket, rk
 """
 
 
+def _embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (operators/similarity.py
+    semantic_decontaminate): vec_id % 40 == 0 plays the benchmark set;
+    corpus vectors with cosine >= 0.35 to any benchmark vector are
+    flagged with hit count and max similarity."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.semantic_decontaminate(
+        e, F.col("vec_id") % 40 == 0, threshold=0.35
+    ).orderBy("vec_id")
+
+
+_EMBED_DECON_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT * FROM v WHERE vec_id % 40 = 0),
+c AS (SELECT * FROM v WHERE vec_id % 40 <> 0),
+s AS (SELECT c.vec_id,
+             round(list_dot_product(c.v, b.v) /
+                   nullif(sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(b.v, b.v)), 0.0), 6) AS cos
+      FROM c, b)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_sim
+FROM s WHERE cos >= 0.35
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup — the embedding-space counterpart of
     dedup_survivors: cosine near-pairs -> connected components -> keep
@@ -4272,6 +4299,7 @@ REGISTRY: dict[str, tuple] = {
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),
     "ann_ivf_topk": (_ann_ivf, _ivf_replay_oracle()),
     "embed_coverage_sample": (_embed_coverage_sample, _coverage_replay_oracle()),
+    "embed_decontaminate": (_embed_decontaminate, _EMBED_DECON_ORACLE),
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     "range_join_events": (_range_join_events, _RANGE_ORACLE),

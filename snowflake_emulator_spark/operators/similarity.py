@@ -422,6 +422,44 @@ def coverage_sample(emb: DataFrame, k: int = 3, n_centroids: int = 8,
     )
 
 
+def semantic_decontaminate(emb: DataFrame, bench_pred: Column,
+                           threshold: float = 0.35, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to ANY benchmark vector meets the threshold —
+    the semantic complement of n-gram decontamination
+    (operators/decontaminate.py), catching paraphrased eval leakage
+    that exact n-grams miss. Returns (id, n_hits, max_sim) for flagged
+    vectors only.
+
+    ``bench_pred`` is a Column predicate selecting the benchmark rows
+    out of the embedding table; benchmark sets are small by contract
+    (eval suites are thousands of rows against a 100 TB corpus), so
+    the benchmark side BROADCASTS and the scan of the corpus is the
+    only big-data pass — a deliberate broadcast nested loop, same
+    shape as cosine_topk_bruteforce. For a large benchmark side use
+    the LSH-bucketed ``cosine_near_pairs`` path instead. Cosines are
+    JVM sequential folds (DuckDB ``list_dot_product`` parity), so the
+    operator hash-checks; max over the ROUNDED value keeps the
+    aggregate engine-exact."""
+    bench = emb.filter(bench_pred).select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col), None).alias("__bn"))
+    corpus = emb.filter(~bench_pred).select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col), None).alias("__n"))
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("__bv"), None)
+        / F.nullif(F.col("__n") * F.col("__bn"), F.lit(0.0)), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(F.col(id_col), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+             F.max("cos").alias("max_sim"))
+    )
+
+
 def centroid_distances(emb: DataFrame, vec_col: str = "embedding",
                        label_col: str = "label", id_col: str = "vec_id") -> DataFrame:
     """Per-vector cosine similarity to its label's centroid — embedding

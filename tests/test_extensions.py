@@ -531,3 +531,17 @@ def test_curriculum_interleave_proportional_prefixes(docs):
     again = curriculum_interleave(
         docs, {"src0": 3.0}, default_weight=1.0).orderBy("global_pos").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark, emb):
+    """A corpus vector identical to a benchmark vector must be flagged
+    with max_sim 1.0; benchmark rows themselves never appear."""
+    bench_row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    leaked = spark.createDataFrame(
+        [(9999, bench_row["embedding"])], emb.select("vec_id", "embedding").schema)
+    corpus = emb.select("vec_id", "embedding").union(leaked)
+    out = similarity.semantic_decontaminate(
+        corpus, F.col("vec_id") < 3, threshold=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert 9999 in rows and rows[9999]["max_sim"] == 1.0
+    assert all(v >= 3 for v in rows)  # benchmark side excluded
