@@ -56,6 +56,9 @@ class SnowflakeServer:
         self.engine = engine
         self.sessions = SessionManager()
         self.statements = StatementManager(engine.spark)
+        # one transaction owner for the connectionless REST v2 surface
+        # (see the /api/v2/statements handler)
+        self._restv2_tx_owner = object()
         self.host = host
         self.port = port
         self._httpd: ThreadingHTTPServer | None = None
@@ -304,6 +307,12 @@ class SnowflakeServer:
             db = body.get("database")
             schema = body.get("schema")
             ctx = SessionContext(db, schema)
+            # REST v2 is connectionless, but the reference executes every
+            # statement against ONE shared engine handle, so transactions
+            # span successive POSTs (rest_api_v2_test.go BEGIN/COMMIT
+            # choreography). Thread a server-lifetime owner object so the
+            # engine's tx bookkeeping sees one owner across requests.
+            ctx._session = self._restv2_tx_owner
             self.statements.run(st, lambda: self.engine.execute(sql, ctx, bindings,
                                                                 query_id=st.handle))
             return self._statement_payload(st)

@@ -153,3 +153,63 @@ def test_e2e_all_sql_operations(server):
     st, out = _call(server, "POST", "/queries/v1/query-request",
                     {"sqlText": "SELECT * FROM test_operations"}, token)
     assert out["success"] is False  # table truly gone
+
+
+def test_e2e_rest_v2_all_sql_operations(server):
+    """REST v2 counterpart (rest_api_v2_test.go:1194-1405,
+    TestRESTAPIV2_AllSQLOperations): the same choreography over
+    /api/v2/statements with TYPED data rows. REST v2 is connectionless,
+    but the reference executes every statement against one shared
+    handle, so BEGIN/COMMIT/ROLLBACK span successive POSTs — the
+    server threads one transaction owner across requests to match."""
+
+    def q(sql, expect_error=False):
+        st, out = _call(server, "POST", "/api/v2/statements",
+                        {"statement": sql})
+        if expect_error:
+            assert st != 200 or out.get("status") == "failed", (sql, out)
+            return out
+        assert st == 200 and out["status"] == "success", (sql, st, out)
+        return out
+
+    # DDL_CREATE_TABLE (:1217-1223)
+    q("CREATE TABLE ops_test (id INTEGER PRIMARY KEY, name VARCHAR, value DOUBLE)")
+    # DML_INSERT (:1227-1232)
+    q("INSERT INTO ops_test VALUES (1, 'Alice', 100.5), (2, 'Bob', 200.0), (3, 'Charlie', 150.0)")
+    # Query_SELECT (:1236-1245): 3 typed rows
+    out = q("SELECT * FROM ops_test ORDER BY id")
+    assert len(out["data"]) == 3
+    assert out["data"][0][0] == 1 and out["data"][0][1] == "Alice"
+    # Query_IFF_Translation (:1249-1268): Alice LOW, Bob HIGH
+    out = q("SELECT name, IFF(value > 150, 'HIGH', 'LOW') AS tier "
+            "FROM ops_test ORDER BY id")
+    assert out["data"][0][1] == "LOW" and out["data"][1][1] == "HIGH"
+    # Query_NVL_Translation (:1272-1285)
+    q("INSERT INTO ops_test VALUES (4, NULL, 400.0)")
+    out = q("SELECT id, NVL(name, 'Unknown') AS name FROM ops_test WHERE id = 4")
+    assert out["data"][0][1] == "Unknown"
+    # DML_UPDATE (:1289-1303)
+    q("UPDATE ops_test SET value = 999.0 WHERE id = 1")
+    out = q("SELECT value FROM ops_test WHERE id = 1")
+    assert float(out["data"][0][0]) == 999.0
+    # DML_DELETE (:1307-1320)
+    q("DELETE FROM ops_test WHERE id = 4")
+    out = q("SELECT COUNT(*) AS n FROM ops_test WHERE id = 4")
+    assert int(out["data"][0][0]) == 0
+    # Transaction_BEGIN_COMMIT (:1324-1349): spans three POSTs
+    q("BEGIN")
+    q("INSERT INTO ops_test VALUES (5, 'Eve', 500.0)")
+    q("COMMIT")
+    out = q("SELECT COUNT(*) AS n FROM ops_test WHERE id = 5")
+    assert int(out["data"][0][0]) == 1
+    # Transaction_BEGIN_ROLLBACK (:1353-1378)
+    q("BEGIN")
+    q("INSERT INTO ops_test VALUES (99, 'Rollback', 999.0)")
+    q("ROLLBACK")
+    out = q("SELECT COUNT(*) AS n FROM ops_test WHERE id = 99")
+    assert int(out["data"][0][0]) == 0
+    # DDL_ALTER_TABLE (:1382-1389)
+    q("ALTER TABLE ops_test ADD COLUMN email VARCHAR(255)")
+    # DDL_DROP_TABLE (:1393-1398) + IF EXISTS on a missing table (:1402)
+    q("DROP TABLE ops_test")
+    q("DROP TABLE IF EXISTS nonexistent_table")
