@@ -462,6 +462,9 @@ class SnowflakeServer:
             "statementHandle": st.handle,
             "status": st.status.value,
             "statementStatusUrl": f"/api/v2/statements/{st.handle}",
+            # epoch MILLISECONDS (rest_api_v2.go:35 CreatedOn int64;
+            # the reference's e2e asserts the ms range explicitly)
+            "createdOn": int(st.created_at * 1000),
         }
         if st.result is not None:
             payload["resultSetMetaData"] = {

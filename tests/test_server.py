@@ -534,3 +534,18 @@ def test_r4_protocol_review_fixes(server):
     assert st == 400 and "name" in out["message"]
     st, out = _call(server, "POST", "/api/v2/warehouses", {"comment": "x"})
     assert st == 400
+
+
+def test_rest_v2_created_on_milliseconds_and_status_url(server):
+    """rest_api_v2_test.go:841-880 + :1031-1063: createdOn is epoch
+    MILLISECONDS (not seconds) and statementStatusUrl points at the
+    statement's poll endpoint."""
+    import time as _time
+
+    before = int(_time.time() * 1000)
+    st, out = _call(server, "POST", "/api/v2/statements",
+                    {"statement": "SELECT 1 AS num"})
+    after = int(_time.time() * 1000)
+    assert st == 200
+    assert before <= out["createdOn"] <= after
+    assert out["statementStatusUrl"] == f"/api/v2/statements/{out['statementHandle']}"
