@@ -549,3 +549,28 @@ def test_rest_v2_created_on_milliseconds_and_status_url(server):
     assert st == 200
     assert before <= out["createdOn"] <= after
     assert out["statementStatusUrl"] == f"/api/v2/statements/{out['statementHandle']}"
+
+
+def test_rest_v2_binding_validation_matrix(server):
+    """rest_api_v2_test.go:881-1030 (TestRESTAPIV2_BindingValidation):
+    DATE/TIME/TIMESTAMP bindings validate format — valid values bind
+    (incl. a Zulu-suffixed timestamp, executor.go:24), invalid dates
+    and injection attempts are rejected with an error, never success."""
+    ok_cases = [
+        ("SELECT :1 AS dt", {"1": {"type": "DATE", "value": "2024-01-15"}}),
+        ("SELECT :1 AS tm", {"1": {"type": "TIME", "value": "14:30:00"}}),
+        ("SELECT :1 AS ts",
+         {"1": {"type": "TIMESTAMP", "value": "2024-01-15T14:30:00Z"}}),
+    ]
+    for sql, binds in ok_cases:
+        st, out = _call(server, "POST", "/api/v2/statements",
+                        {"statement": sql, "bindings": binds})
+        assert st == 200 and out["status"] == "success", (sql, out)
+    bad_cases = [
+        {"1": {"type": "DATE", "value": "invalid-date"}},
+        {"1": {"type": "DATE", "value": "2024-01-15'; DROP TABLE users; --"}},
+    ]
+    for binds in bad_cases:
+        st, out = _call(server, "POST", "/api/v2/statements",
+                        {"statement": "SELECT :1 AS dt", "bindings": binds})
+        assert out.get("status") != "success", (binds, out)
