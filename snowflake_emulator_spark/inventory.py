@@ -4029,6 +4029,34 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# Regexp family (r5): Snowflake REGEXP_LIKE/RLIKE are FULL-string
+# matches (Spark's same-named functions are partial — the translator
+# anchors with a non-capturing group), REGEXP_COUNT/REGEXP_INSTR with
+# the position arg, UNICODE first-code-point. DuckDB oracle uses
+# regexp_full_match / regexp_extract_all; the REGEXP_INSTR oracle uses
+# strpos, valid because the pattern here is a plain literal word.
+_SF_REGEXP = """
+SELECT doc_id,
+       REGEXP_LIKE(lang, '[a-z]{2}') AS lang_ok,
+       RLIKE(text, '.*merge.*') AS has_merge,
+       REGEXP_COUNT(text, 'data') AS n_data,
+       REGEXP_COUNT(text, 'a', 3) AS n_a_from3,
+       REGEXP_INSTR(text, 'join') AS pos_join,
+       UNICODE(text) AS first_cp
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+_SF_REGEXP_ORACLE = """
+SELECT doc_id,
+       regexp_full_match(lang, '[a-z]{2}') AS lang_ok,
+       regexp_full_match(text, '.*merge.*') AS has_merge,
+       CAST(len(regexp_extract_all(text, 'data')) AS INTEGER) AS n_data,
+       CAST(len(regexp_extract_all(substr(text, 3), 'a')) AS INTEGER) AS n_a_from3,
+       CAST(CASE WHEN text LIKE '%join%' THEN strpos(text, 'join') ELSE 0 END AS INTEGER) AS pos_join,
+       unicode(text) AS first_cp
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
 # Curriculum interleave (operators/mixture.py curriculum_interleave):
 # stride-scheduled deterministic training order — weight-3 sources
 # appear 3x as often as weight-1 sources at every prefix. Integer
@@ -4229,6 +4257,7 @@ REGISTRY: dict[str, tuple] = {
     "salted_join_hot_keys": (_salted_join_hot, _SALTED_JOIN_ORACLE),
     "events_funnel_pattern": (_sql(_EVENTS_FUNNEL), _EVENTS_FUNNEL),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
+    "sf_regexp_funcs": (_snow(_SF_REGEXP), _SF_REGEXP_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
     "sf_decode_split_equalnull": (_snow(_SF_DECODE), _SF_DECODE_ORACLE),

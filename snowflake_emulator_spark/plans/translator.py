@@ -1050,6 +1050,39 @@ class Translator:
             return f"nullif({args[0]}, 0)"
         if fname == "EDITDISTANCE":
             return f"levenshtein({', '.join(args)})"
+        if fname in ("REGEXP_LIKE", "RLIKE"):
+            # Snowflake REGEXP_LIKE/RLIKE match the ENTIRE subject;
+            # Spark's regexp_like/rlike are partial-match — anchor with
+            # a non-capturing group so alternations stay scoped. An
+            # optional literal parameters arg maps to inline flags
+            # (i/m/s; 'c' = case-sensitive is the default).
+            flags = ""
+            if len(args) == 3:
+                pm = re.match(r"^'([icsme]*)'$", args[2].strip(), re.I)
+                if not pm:
+                    raise NotImplementedError(
+                        "REGEXP_LIKE parameters must be a string literal")
+                letters = set(pm.group(1).lower()) - {"c", "e"}
+                flags = f"(?{''.join(sorted(letters))})" if letters else ""
+            return (f"regexp_like({args[0]}, "
+                    f"concat('{flags}^(?:', {args[1]}, ')$'))")
+        if fname == "REGEXP_COUNT":
+            if len(args) >= 3:
+                # position arg: count within the suffix starting there
+                return (f"regexp_count(substr({args[0]}, {args[2]}), "
+                        f"{args[1]})")
+            return f"regexp_count({args[0]}, {args[1]})"
+        if fname == "REGEXP_INSTR":
+            if len(args) >= 3:
+                # position arg: 1-based offset into the original string
+                return (f"(CASE WHEN regexp_instr(substr({args[0]}, {args[2]}), {args[1]}) = 0 "
+                        f"THEN 0 ELSE regexp_instr(substr({args[0]}, {args[2]}), {args[1]}) "
+                        f"+ {args[2]} - 1 END)")
+            return f"regexp_instr({args[0]}, {args[1]})"
+        if fname == "UNICODE":
+            # code point of the first character (Spark ascii() returns
+            # the full code point despite its name)
+            return f"ascii({args[0]})"
         if fname == "UUID_STRING":
             return "uuid()"
         if fname == "STRTOK_TO_ARRAY":
@@ -1575,6 +1608,11 @@ _REWRITABLE = {
     "DIV0",
     "NULLIFZERO",
     "EDITDISTANCE",
+    "REGEXP_LIKE",
+    "RLIKE",
+    "REGEXP_COUNT",
+    "REGEXP_INSTR",
+    "UNICODE",
     "UUID_STRING",
     "STRTOK_TO_ARRAY",
     "ARRAY_SIZE",

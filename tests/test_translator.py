@@ -110,6 +110,19 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT TO_DOUBLE(x) FROM t", "SELECT CAST(x AS DOUBLE) FROM t"),
         ("SELECT LEN(s) FROM t", "SELECT length(s) FROM t"),
         ("SELECT EDITDISTANCE(a, b) FROM t", "SELECT levenshtein(a, b) FROM t"),
+        # Snowflake REGEXP_LIKE/RLIKE are FULL matches; Spark's are
+        # partial, so the translator anchors with a non-capturing group
+        ("SELECT REGEXP_LIKE(s, '[a-z]+') FROM t",
+         "SELECT regexp_like(s, concat('^(?:', '[a-z]+', ')$')) FROM t"),
+        ("SELECT RLIKE(s, 'x.*', 'i') FROM t",
+         "SELECT regexp_like(s, concat('(?i)^(?:', 'x.*', ')$')) FROM t"),
+        ("SELECT REGEXP_COUNT(s, 'a') FROM t",
+         "SELECT regexp_count(s, 'a') FROM t"),
+        ("SELECT REGEXP_COUNT(s, 'a', 3) FROM t",
+         "SELECT regexp_count(substr(s, 3), 'a') FROM t"),
+        ("SELECT REGEXP_INSTR(s, 'a') FROM t",
+         "SELECT regexp_instr(s, 'a') FROM t"),
+        ("SELECT UNICODE(s) FROM t", "SELECT ascii(s) FROM t"),
         # DDL / SHOW / DESCRIBE skip translation (translator.go:108-117)
         ("SHOW TABLES", "SHOW TABLES"),
         ("DESCRIBE TABLE t", "DESCRIBE TABLE t"),
