@@ -4383,14 +4383,19 @@ _SAMPLE_HEAD = [
     "sf_array_funcs2", "sf_array_unique_agg_binary",  # schema-scan landmines
     "setop_intersect_all", "window_nth_value", "events_user_features",
     "stream_hourly_counts",
-    "sf_nvl_nvl2", "sf_double_colon_cast", "sf_scalar_funcs",
-    "sf_codec_hash_funcs", "sf_datetime_build_funcs", "sf_greatest_least",
+    "sf_greatest_least",
     "sf_bitwise_aggs", "sf_string_date_funcs", "sf_variant_path_access",
     "sf_split_to_table",
     "pivot_segment_balances", "flatten_explode_words",
     "text_token_counts", "text_pii_scrub", "text_decontaminate",
     "quality_filter_pipeline",
     "dedup_simhash", "dedup_clusters", "multimodal_features",
+    # --- new in r5 (never existed before): one slot per new family ---
+    "scripted_pipeline_rollup",       # Scripting v2 loop pipeline
+    "embed_coverage_sample",          # diversity sampling
+    "sample_curriculum_interleave",   # training-order mixing
+    "embed_decontaminate",            # semantic decontamination
+    "sf_regexp_funcs",                # regexp translator batch
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 REGISTRY = {
