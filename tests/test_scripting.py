@@ -445,3 +445,37 @@ def test_cursor_ref_in_sql_statement(engine):
         "END FOR; "
         "RETURN (SELECT SUM(sq) FROM cur_dst); END $$", ctx)
     assert _rows(res) == [(5,)]
+
+
+def test_for_loop_edge_bounds(engine):
+    """Empty range (lo > hi) runs zero iterations; lo == hi runs one;
+    negative bounds walk correctly; REVERSE with equal bounds runs
+    once."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 5 TO 1 DO LET n := n + 100; END FOR; "      # empty
+        "FOR i IN 2 TO 2 DO LET n := n + 10; END FOR; "       # single
+        "FOR i IN -2 TO 1 DO LET n := n + 1; END FOR; "       # 4 iters
+        "FOR i IN REVERSE 7 TO 7 DO LET n := n + 1000; END FOR; "
+        "RETURN n; END $$", ctx)
+    assert _rows(res) == [(1014,)]
+
+
+def test_loop_break_first_and_continue_all(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 9 DO BREAK; END FOR; "              # n unchanged
+        "FOR i IN 1 TO 3 DO CONTINUE; LET n := n + 50; END FOR; "
+        "RETURN n; END $$", ctx)
+    # CONTINUE skips the accumulation every iteration
+    assert _rows(res) == [(0,)]
+
+
+def test_while_false_condition_never_runs(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 7; BEGIN "
+        "WHILE (1 = 2) DO LET n := 0; END WHILE; RETURN n; END $$", ctx)
+    assert _rows(res) == [(7,)]
