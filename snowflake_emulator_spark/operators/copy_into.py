@@ -302,6 +302,10 @@ class CopyProcessor:
         elif fmt == "CSV":
             delim = options.get("FIELD_DELIMITER", ",")
             writer.option("header", header).option("sep", delim).csv(target)
+        elif fmt == "XML":
+            (writer.format("xml")
+             .option("rootTag", options.get("ROOT_TAG", "rows"))
+             .option("rowTag", options.get("ROW_TAG", "row")).save(target))
         else:
             raise errors.execution_error(f"unsupported unload format: {fmt}")
         n = int(obs.get["n"])
@@ -325,7 +329,30 @@ class CopyProcessor:
             # parity note above); ORC is a first-class Spark source
             df = self.spark.read.orc(path)
             return self._positional_cast(df, tm)
+        if fmt == "XML":
+            # Spark 4 ships the XML source built-in; ROW_TAG selects
+            # the per-record element (Snowflake's XML loads are
+            # element-per-row too)
+            row_tag = stmt.options.get("ROW_TAG", "row")
+            df = self.spark.read.format("xml").option("rowTag", row_tag).load(path)
+            return self._positional_cast(df, tm)
+        if fmt == "AVRO":
+            return self._read_avro(path, tm)
         raise errors.invalid_parameter(f"unsupported file format: {fmt}")
+
+    def _read_avro(self, path: str, tm: TableMeta) -> DataFrame:
+        # the spark-avro module is external to the Spark distribution;
+        # raise a clear capability error when the jar is absent rather
+        # than a raw ClassNotFound stack
+        try:
+            df = self.spark.read.format("avro").load(path)
+        except Exception as e:
+            if "avro" in str(e).lower():
+                raise errors.execution_error(
+                    "AVRO requires the spark-avro module, which is not "
+                    "deployed in this Spark distribution") from e
+            raise
+        return self._positional_cast(df, tm)
 
     def _read_transform(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
         """COPY transformation: read the file RAW (no table-schema
@@ -346,6 +373,9 @@ class CopyProcessor:
             df = self.spark.read.parquet(path)
         elif fmt == "ORC":
             df = self.spark.read.orc(path)
+        elif fmt == "XML":
+            df = (self.spark.read.format("xml")
+                  .option("rowTag", o.get("ROW_TAG", "row")).load(path))
         else:
             raise errors.invalid_parameter(f"unsupported transform format: {fmt}")
         renamed = df.toDF(*[f"__c{i + 1}" for i in range(len(df.columns))])

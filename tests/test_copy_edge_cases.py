@@ -185,3 +185,48 @@ def test_copy_transformation_select(engine, tmp_path):
     assert r.rows_loaded == 2
     res = engine.execute("SELECT id, name, score FROM xform_t ORDER BY id", ctx)
     assert [tuple(x) for x in res.rows] == [(1, "ALICE", 100), (2, "BOB", 80)]
+
+
+def test_copy_xml_load_and_unload(engine, tmp_path, ctx):
+    """XML round trip — beyond reference (it supports only CSV/JSON):
+    COPY INTO table FROM @stage with TYPE=XML + ROW_TAG, and COPY INTO
+    @stage unload with ROOT_TAG/ROW_TAG. Spark 4 ships the XML source
+    built-in."""
+    engine.execute("CREATE TABLE x1 (id BIGINT, name VARCHAR)", ctx)
+    xml = ("<rows><row><id>1</id><name>x</name></row>"
+           "<row><id>2</id><name>y</name></row></rows>")
+    local = tmp_path / "data.xml"
+    local.write_text(xml)
+    engine.execute("CREATE STAGE sx1", ctx)
+    engine.stages.put_file(engine.catalog.get_stage("sx1"), str(local), "data.xml")
+    r = engine.execute(
+        "COPY INTO x1 FROM @sx1 FILE_FORMAT=(TYPE=XML ROW_TAG='row')", ctx)
+    assert r.rows_loaded == 2
+    rows = [tuple(x) for x in
+            engine.execute("SELECT * FROM x1 ORDER BY id", ctx).rows]
+    assert rows == [(1, "x"), (2, "y")]
+    # unload back out as XML and re-read via Spark to close the loop
+    r = engine.execute(
+        "COPY INTO @sx1/out/ FROM x1 FILE_FORMAT=(TYPE=XML ROW_TAG='row')", ctx)
+    assert r.rows_loaded == 2
+    stage_dir = engine.catalog.get_stage("sx1").directory
+    back = (engine.spark.read.format("xml").option("rowTag", "row")
+            .load(stage_dir + "/out"))
+    # unloaded tags carry the catalog's uppercase column names
+    assert sorted((x["ID"], x["NAME"]) for x in back.collect()) == [
+        (1, "x"), (2, "y")]
+
+
+def test_copy_avro_raises_capability_error(engine, tmp_path, ctx):
+    """The spark-avro module is external to this Spark distribution —
+    COPY TYPE=AVRO must raise a clear capability error, not a raw
+    ClassNotFound stack."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE av1 (id BIGINT)", ctx)
+    local = tmp_path / "a.avro"
+    local.write_bytes(b"Obj\x01fake")
+    engine.execute("CREATE STAGE sav", ctx)
+    engine.stages.put_file(engine.catalog.get_stage("sav"), str(local), "a.avro")
+    with _pytest.raises(Exception, match="spark-avro"):
+        engine.execute("COPY INTO av1 FROM @sav FILE_FORMAT=(TYPE=AVRO)", ctx)
