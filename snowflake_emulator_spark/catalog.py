@@ -264,6 +264,10 @@ class Catalog:
         # grantee_type, grantee) — recorded + listable, not enforced
         self.grants: list[tuple[str, str, str, str, str]] = []
         self.file_formats: dict[tuple[str, str, str], FileFormatMeta] = {}
+        # TEMPORARY tables -> owning session object (strong ref: the
+        # owner is compared by identity at cleanup, and holding the
+        # ref prevents CPython id-reuse confusing ownership)
+        self.temp_owners: dict[tuple[str, str, str], object] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
         self.create_database(config.DEFAULT_DATABASE, if_not_exists=True)
@@ -412,8 +416,31 @@ class Catalog:
                 raise errors.object_not_found(".".join(key))
             self._drop_table_key(key)
 
+    def mark_table_kind(self, tm: TableMeta, kindkw: str, owner: object) -> None:
+        """Apply a CREATE-time table kind (TEMP/TEMPORARY/TRANSIENT)."""
+        with self._lock:
+            if kindkw in ("TEMP", "TEMPORARY"):
+                tm.kind = "TEMPORARY"
+                self.temp_owners[(tm.database, tm.schema, tm.name)] = owner
+            elif kindkw == "TRANSIENT":
+                tm.kind = "TRANSIENT"
+                tm.retention_versions = 1
+            self.mutation += 1
+
+    def drop_temp_tables(self, owner: object) -> list[tuple[str, str, str]]:
+        """Drop every TEMPORARY table owned by ``owner`` (identity
+        compare); called at session close. Returns the dropped keys."""
+        with self._lock:
+            keys = [k for k, o in self.temp_owners.items() if o is owner]
+            for k in keys:
+                self.temp_owners.pop(k, None)
+                if k in self.tables:
+                    self._drop_table_key(k)
+            return keys
+
     def _drop_table_key(self, key: tuple[str, str, str]) -> None:
         tm = self.tables.pop(key)
+        self.temp_owners.pop(key, None)
         self.mutation += 1
         self.spark.catalog.dropTempView(tm.physical)
         if not tm.location or not os.path.exists(tm.location) or tm.kind == "EXTERNAL":
@@ -1012,6 +1039,70 @@ class Catalog:
                 raise errors.object_not_found(".".join(key))
 
     # ---------------- external registration (driver fixtures) ----------------
+
+    def register_external_source(self, name: str, path: str, fmt: str = "PARQUET",
+                                 options: dict | None = None,
+                                 database: str | None = None,
+                                 schema: str | None = None,
+                                 or_replace: bool = False) -> TableMeta:
+        """CREATE EXTERNAL TABLE: a read-only table over files at
+        ``path`` (a resolved stage directory). The file list snapshots
+        at CREATE (Snowflake external tables do the same — new files
+        appear after ALTER EXTERNAL TABLE ... REFRESH, see
+        ``refresh_external``). Reads are zero-copy Spark scans of the
+        stage directory; writes are rejected by the EXTERNAL kind."""
+        options = options or {}
+        with self._lock:
+            db, sch, tbl = self.resolve(name, database, schema)
+            if (db, sch, tbl) in self.tables and not or_replace:
+                raise errors.object_exists(".".join((db, sch, tbl)))
+            df = self._read_external(path, fmt.upper(), options)
+            cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
+                    for f in df.schema.fields]
+            tm = TableMeta(db, sch, tbl, columns=cols, kind="EXTERNAL", location=None)
+            df.createOrReplaceTempView(tm.physical)
+            tm.read_df = df  # type: ignore[attr-defined]
+            tm.external_path = path  # type: ignore[attr-defined]
+            tm.external_format = fmt.upper()  # type: ignore[attr-defined]
+            tm.external_options = dict(options)  # type: ignore[attr-defined]
+            self.tables[(db, sch, tbl)] = tm
+            self.mutation += 1
+            return tm
+
+    def refresh_external(self, tm: TableMeta) -> None:
+        """ALTER EXTERNAL TABLE ... REFRESH: re-snapshot the file list
+        (and schema) from the external location."""
+        with self._lock:
+            if tm.kind != "EXTERNAL" or not getattr(tm, "external_path", None):
+                raise errors.invalid_parameter(f"{tm.name} is not an external table")
+            df = self._read_external(tm.external_path, tm.external_format,
+                                     tm.external_options)
+            tm.columns = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
+                          for f in df.schema.fields]
+            df.createOrReplaceTempView(tm.physical)
+            tm.read_df = df  # type: ignore[attr-defined]
+            # namespace-view caches key on (uid, version, data_epoch);
+            # the refresh changes data without a new version
+            tm.data_epoch += 1
+            self.mutation += 1
+
+    def _read_external(self, path: str, fmt: str, options: dict) -> DataFrame:
+        if fmt == "PARQUET":
+            return self.spark.read.parquet(path)
+        if fmt == "ORC":
+            return self.spark.read.orc(path)
+        if fmt == "JSON":
+            return self.spark.read.json(path)
+        if fmt == "CSV":
+            skip_header = int(options.get("SKIP_HEADER", "1") or 0)
+            return (self.spark.read
+                    .option("header", "true" if skip_header >= 1 else "false")
+                    .option("sep", options.get("FIELD_DELIMITER", ","))
+                    .option("inferSchema", "true").csv(path))
+        if fmt == "XML":
+            return (self.spark.read.format("xml")
+                    .option("rowTag", options.get("ROW_TAG", "row")).load(path))
+        raise errors.invalid_parameter(f"unsupported external table format: {fmt}")
 
     def register_external_parquet(self, name: str, path: str, database: str | None = None,
                                   schema: str | None = None) -> TableMeta:

@@ -359,6 +359,18 @@ class Engine:
                 protected.setdefault(key, set()).add(v)
         self.catalog.set_protected_versions(protected)
 
+    def cleanup_session(self, session) -> None:
+        """End-of-session housekeeping: drop the session's TEMPORARY
+        tables (Snowflake temp-table lifetime). Safe to call with None
+        or an already-cleaned session."""
+        if session is None:
+            return
+        for _db, _sch, tbl in self.catalog.drop_temp_tables(session):
+            try:
+                self.spark.catalog.dropTempView(tbl)
+            except Exception:
+                pass
+
     def sql(self, sql: str, ctx: SessionContext | None = None) -> DataFrame:
         """Query entry returning the lazy DataFrame (Snowflake SQL in)."""
         return self.executor.query_df(sql, ctx)

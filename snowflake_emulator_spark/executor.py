@@ -74,15 +74,24 @@ _CREATE_SCHEMA_RE = re.compile(
 )
 _DROP_SCHEMA_RE = re.compile(r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
 _CREATE_TABLE_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:(?:LOCAL|GLOBAL)\s+)?(?:(?:TEMP|TEMPORARY|TRANSIENT)\s+)?TABLE\s+"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:(?:LOCAL|GLOBAL)\s+)?(?:(?P<kind>TEMP|TEMPORARY|TRANSIENT)\s+)?TABLE\s+"
     r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s*\((.*)\)\s*(?:COMMENT\s*=\s*'((?:[^']|'')*)')?\s*$",
     re.I | re.S,
 )
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+AS\s+(SELECT\b.*|WITH\b.*|VALUES\b.*)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:(?:LOCAL|GLOBAL)\s+)?(?:(?P<kind>TEMP|TEMPORARY|TRANSIENT)\s+)?TABLE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+AS\s+(SELECT\b.*|WITH\b.*|VALUES\b.*)$",
     re.I | re.S,
 )
 _DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_EXT_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
+    r"(?:WITH\s+)?LOCATION\s*=\s*@([\w.\"$]+)(/\S*)?\s*"
+    r"(?:FILE_FORMAT\s*=\s*\(([^)]*)\))?\s*$",
+    re.I | re.S,
+)
+_ALTER_EXT_REFRESH_RE = re.compile(
+    r"^\s*ALTER\s+EXTERNAL\s+TABLE\s+([\w.\"$]+)\s+REFRESH\s*(?:'[^']*')?\s*$", re.I)
 _CLONE_TABLE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
     r"CLONE\s+([\w.\"$]+)\s*(?:AT\s*\(\s*(VERSION|OFFSET|TIMESTAMP)\s*=>\s*([^)]+)\))?\s*$",
@@ -448,6 +457,23 @@ class Executor:
                     f.write(json.dumps(entry, default=str) + "\n")
         except Exception:
             pass  # history is best-effort; never fail the statement
+
+    def _apply_table_kind(self, kindkw: str | None, name: str,
+                          ctx: SessionContext) -> None:
+        """Record TEMP/TEMPORARY/TRANSIENT on a just-created table
+        (beyond reference — its DDL has no table kinds). TEMPORARY
+        tables are dropped when their owning session closes; the owner
+        is the Session object the HTTP layer threads through the ctx
+        (direct Engine callers own theirs for the engine's lifetime —
+        the single-process emulator does not isolate temp-table
+        NAMES between sessions, documented restriction). TRANSIENT is
+        Snowflake's no-fail-safe flavor: recorded in SHOW TABLES and
+        retention tightened to 1 version."""
+        if not kindkw:
+            return
+        tm = self.catalog.get_table(name, ctx.database, ctx.schema)
+        self.catalog.mark_table_kind(
+            tm, kindkw.upper(), owner=getattr(ctx, "_session", ctx))
 
     def query_df(self, sql: str, ctx: SessionContext | None = None,
                  bindings: dict | None = None) -> DataFrame:
@@ -1434,15 +1460,16 @@ class Executor:
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CTAS_RE.match(sql)
         if m and " AS " in up:
-            df = self.query_df(m.group(4), ctx)
+            df = self.query_df(m.group(5), ctx)
             from .functions.typemap import spark_to_snowflake_name
 
             cols = [ColumnDef(f.name, spark_to_snowflake_name(f.dataType), f.nullable)
                     for f in df.schema.fields]
-            self.catalog.create_table(m.group(3), cols, ctx.database, ctx.schema,
-                                      if_not_exists=bool(m.group(2)), or_replace=bool(m.group(1)), df=df)
+            self.catalog.create_table(m.group(4), cols, ctx.database, ctx.schema,
+                                      if_not_exists=bool(m.group(3)), or_replace=bool(m.group(1)), df=df)
+            self._apply_table_kind(m.group("kind"), m.group(4), ctx)
             self.sync_namespace_views(ctx)
-            return Result.status(f"Table {m.group(3).upper()} successfully created.")
+            return Result.status(f"Table {m.group(4).upper()} successfully created.")
         m = _CREATE_TABLE_LIKE_RE.match(sql)
         if m:
             src = self.catalog.get_table(m.group(4), ctx.database, ctx.schema)
@@ -1500,15 +1527,45 @@ class Executor:
         if cm:
             clustering_key = cm.group(1).strip()
             sql = sql[: cm.start()] + sql[cm.end():]
+        m = _CREATE_EXT_TABLE_RE.match(sql)
+        if m:
+            # CREATE EXTERNAL TABLE over a stage directory — beyond
+            # reference (no external tables there). Schema inferred from
+            # the files; file list snapshots at CREATE, REFRESH re-reads.
+            from .sources.stage import StageManager
+
+            stage = self.catalog.get_stage(m.group(4), ctx.database, ctx.schema)
+            path = StageManager(self.catalog)._resolve_inside(
+                stage, (m.group(5) or "").lstrip("/"))
+            ff_opts: dict[str, str] = {}
+            fmt = "PARQUET"
+            for part in re.findall(r"(\w+)\s*=\s*'?([\w,.;|-]*)'?", m.group(6) or ""):
+                if part[0].upper() == "TYPE":
+                    fmt = part[1].upper()
+                else:
+                    ff_opts[part[0].upper()] = part[1]
+            self.catalog.register_external_source(
+                m.group(3), path, fmt, ff_opts, ctx.database, ctx.schema,
+                or_replace=bool(m.group(1)))
+            self.sync_namespace_views(ctx)
+            return Result.status(
+                f"Table {m.group(3).upper()} successfully created.")
+        m = _ALTER_EXT_REFRESH_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            self.catalog.refresh_external(tm)
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
         m = _CREATE_TABLE_RE.match(sql)
         if m:
             or_replace = bool(re.match(r"^\s*CREATE\s+OR\s+REPLACE", sql, re.I))
-            cols = parse_column_defs(m.group(3))
-            self.catalog.create_table(m.group(2), cols, ctx.database, ctx.schema,
-                                      comment=m.group(4), if_not_exists=bool(m.group(1)),
+            cols = parse_column_defs(m.group(4))
+            self.catalog.create_table(m.group(3), cols, ctx.database, ctx.schema,
+                                      comment=m.group(5), if_not_exists=bool(m.group(2)),
                                       or_replace=or_replace, clustering_key=clustering_key)
+            self._apply_table_kind(m.group("kind"), m.group(3), ctx)
             self.sync_namespace_views(ctx)
-            return Result.status(f"Table {m.group(2).upper()} successfully created.")
+            return Result.status(f"Table {m.group(3).upper()} successfully created.")
         m = _DROP_TABLE_RE.match(sql)
         if m:
             tm = None

@@ -217,9 +217,9 @@ class SnowflakeServer:
         # /session/logout-request kept as a tolerant alias
         if path in ("/session/logout", "/session/logout-request") and method == "POST":
             try:
-                self.sessions.logout(
+                self.engine.cleanup_session(self.sessions.logout(
                     body.get("token") or extract_token(headers.get("Authorization"))
-                )
+                ))
             except errors.SnowflakeError:
                 pass
             return {"success": True}, 200
@@ -233,7 +233,8 @@ class SnowflakeServer:
         # sessions still report success
         if path == "/session" and method == "POST":
             try:
-                self.sessions.logout(extract_token(headers.get("Authorization")))
+                self.engine.cleanup_session(
+                    self.sessions.logout(extract_token(headers.get("Authorization"))))
             except errors.SnowflakeError:
                 pass
             return {"success": True, "data": None}, 200

@@ -103,11 +103,15 @@ class SessionManager:
         s = self.validate(token)
         s.token_expiry = time.time() + self.validity
 
-    def logout(self, token: str) -> None:
+    def logout(self, token: str) -> "Session | None":
+        """Close the session; returns the closed Session (or None if
+        already gone) so callers can run end-of-session cleanup
+        (temporary-table drop)."""
         with self._lock:
             s = self._by_token.pop(token, None)
             if s is not None:
                 self._by_id.pop(s.id, None)
+            return s
 
     def use(self, token: str, database: str | None = None, schema: str | None = None) -> Session:
         s = self.validate(token)

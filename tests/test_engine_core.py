@@ -773,3 +773,58 @@ def test_version_gc_bounds_disk_under_update_merge_churn(engine):
     assert _rows(res) == [(12,)]
     res = engine.execute("SELECT v FROM churn WHERE id = 2", ctx)
     assert _rows(res) == [(0,)]
+
+
+def test_transient_and_temp_ctas_kinds(engine):
+    """TRANSIENT is recorded (SHOW TABLES kind) and tightens retention
+    to 1 version; CREATE TEMP TABLE AS SELECT carries the kind too."""
+    ctx = SessionContext()
+    engine.execute("CREATE TRANSIENT TABLE tr_k (id INTEGER)", ctx)
+    tm = engine.catalog.get_table("tr_k", ctx.database, ctx.schema)
+    assert tm.kind == "TRANSIENT" and tm.retention_versions == 1
+    engine.execute("CREATE TEMPORARY TABLE AS_T AS SELECT 1 AS v", ctx)
+    tm2 = engine.catalog.get_table("as_t", ctx.database, ctx.schema)
+    assert tm2.kind == "TEMPORARY"
+    rows = {r[0]: r[3] for r in engine.execute("SHOW TABLES", ctx).rows}
+    assert rows["TR_K"] == "TRANSIENT" and rows["AS_T"] == "TEMPORARY"
+    # engine-level owner is the ctx itself; cleanup drops its temps only
+    engine.cleanup_session(ctx)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        engine.execute("SELECT * FROM as_t", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM tr_k", ctx).rows == [[0]]
+
+
+def test_external_table_over_stage(engine, tmp_path):
+    """CREATE EXTERNAL TABLE over a stage directory: zero-copy reads,
+    snapshot-at-create file list, ALTER ... REFRESH picks up new files,
+    writes rejected (EXTERNAL kind)."""
+    ctx = SessionContext()
+    engine.execute("CREATE STAGE ext_s", ctx)
+    stage = engine.catalog.get_stage("ext_s")
+    df = engine.spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    import glob
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p1"))
+    src = glob.glob(str(tmp_path / "p1" / "*.parquet"))[0]
+    engine.stages.put_file(stage, src, "ext/one.parquet")
+    engine.execute(
+        "CREATE EXTERNAL TABLE ext_t LOCATION=@ext_s/ext "
+        "FILE_FORMAT=(TYPE=PARQUET)", ctx)
+    r = engine.execute("SELECT count(*) AS n FROM ext_t", ctx)
+    assert r.rows == [[2]]
+    rows = {x[0]: x[3] for x in engine.execute("SHOW TABLES", ctx).rows}
+    assert rows["EXT_T"] == "EXTERNAL"
+    # new file invisible until REFRESH (snapshot semantics)
+    df2 = engine.spark.createDataFrame([(3, "c")], "id long, v string")
+    df2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    src2 = glob.glob(str(tmp_path / "p2" / "*.parquet"))[0]
+    engine.stages.put_file(stage, src2, "ext/two.parquet")
+    engine.execute("ALTER EXTERNAL TABLE ext_t REFRESH", ctx)
+    r = engine.execute("SELECT count(*) AS n FROM ext_t", ctx)
+    assert r.rows == [[3]]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.execute("INSERT INTO ext_t VALUES (9, 'z')", ctx)

@@ -574,3 +574,33 @@ def test_rest_v2_binding_validation_matrix(server):
         st, out = _call(server, "POST", "/api/v2/statements",
                         {"statement": "SELECT :1 AS dt", "bindings": binds})
         assert out.get("status") != "success", (binds, out)
+
+
+def test_temporary_table_dropped_on_logout(server):
+    """CREATE TEMPORARY TABLE lives for its session: usable until
+    logout, dropped at session close; permanent tables survive.
+    (Beyond reference — its DDL has no table kinds.)"""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+
+    def q(sql, tok=None, ok=True):
+        st, out = _call(server, "POST", "/queries/v1/query-request",
+                        {"sqlText": sql}, tok or token)
+        assert out["success"] is ok, (sql, out)
+        return out
+
+    q("CREATE TEMPORARY TABLE tmp_sess (id INTEGER)")
+    q("INSERT INTO tmp_sess VALUES (1), (2)")
+    d = q("SELECT COUNT(*) AS n FROM tmp_sess")["data"]
+    assert d["rowset"] == [["2"]]
+    q("CREATE TABLE perm_keep (id INTEGER)")
+    # SHOW TABLES marks the kind
+    rows = q("SHOW TABLES")["data"]["rowset"]
+    kinds = {r[0]: r[3] for r in rows}
+    assert kinds.get("TMP_SESS") == "TEMPORARY"
+    # logout closes the session and drops its temp tables
+    _call(server, "POST", "/session/logout", {"token": token})
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token2 = out["data"]["token"]
+    q("SELECT * FROM tmp_sess", tok=token2, ok=False)      # gone
+    q("SELECT COUNT(*) AS n FROM perm_keep", tok=token2)   # survives
