@@ -268,6 +268,15 @@ class Catalog:
         # owner is compared by identity at cleanup, and holding the
         # ref prevents CPython id-reuse confusing ownership)
         self.temp_owners: dict[tuple[str, str, str], object] = {}
+        # COPY load history per table: stage-relative file -> (size,
+        # mtime_ns) signature. Snowflake skips already-loaded files on
+        # re-COPY unless FORCE=TRUE; keyed per table, cleared on drop.
+        # In-memory for the process lifetime (Snowflake's is 64 days).
+        self.copy_load_history: dict[tuple[str, str, str], dict[str, tuple]] = {}
+        # CREATE PIPE name AS COPY INTO ... — stored COPY text,
+        # executed by ALTER PIPE ... REFRESH (Snowpipe's REFRESH
+        # trigger; no auto-ingest daemon in this emulator)
+        self.pipes: dict[tuple[str, str, str], str] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
         self.create_database(config.DEFAULT_DATABASE, if_not_exists=True)
@@ -441,6 +450,7 @@ class Catalog:
     def _drop_table_key(self, key: tuple[str, str, str]) -> None:
         tm = self.tables.pop(key)
         self.temp_owners.pop(key, None)
+        self.copy_load_history.pop(key, None)
         self.mutation += 1
         self.spark.catalog.dropTempView(tm.physical)
         if not tm.location or not os.path.exists(tm.location) or tm.kind == "EXTERNAL":

@@ -92,6 +92,16 @@ _CREATE_EXT_TABLE_RE = re.compile(
 )
 _ALTER_EXT_REFRESH_RE = re.compile(
     r"^\s*ALTER\s+EXTERNAL\s+TABLE\s+([\w.\"$]+)\s+REFRESH\s*(?:'[^']*')?\s*$", re.I)
+_CREATE_PIPE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?PIPE\s+([\w.\"$]+)\s+"
+    r"(?:AUTO_INGEST\s*=\s*\w+\s+)?(?:COMMENT\s*=\s*'[^']*'\s+)?"
+    r"AS\s+(COPY\s+INTO\b.*)$",
+    re.I | re.S,
+)
+_DROP_PIPE_RE = re.compile(
+    r"^\s*DROP\s+PIPE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_ALTER_PIPE_REFRESH_RE = re.compile(
+    r"^\s*ALTER\s+PIPE\s+([\w.\"$]+)\s+REFRESH\s*$", re.I)
 _CLONE_TABLE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+"
     r"CLONE\s+([\w.\"$]+)\s*(?:AT\s*\(\s*(VERSION|OFFSET|TIMESTAMP)\s*=>\s*([^)]+)\))?\s*$",
@@ -1556,6 +1566,41 @@ class Executor:
             self.catalog.refresh_external(tm)
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
+        # ---- PIPE (Snowpipe-lite, beyond reference): a stored COPY
+        # executed by ALTER PIPE ... REFRESH. No auto-ingest daemon —
+        # REFRESH is the trigger (Snowflake's REFRESH exists for the
+        # same catch-up purpose); COPY load history makes each REFRESH
+        # load only files not yet in the target table.
+        m = _CREATE_PIPE_RE.match(sql)
+        if m:
+            from .operators.copy_into import parse_copy
+
+            parse_copy(m.group(3))  # validate the COPY text up front
+            key = self.catalog.resolve(m.group(2), ctx.database, ctx.schema)
+            if key in self.catalog.pipes and not m.group(1):
+                raise errors.object_exists(".".join(key))
+            self.catalog.pipes[key] = m.group(3).strip()
+            self.catalog.mutation += 1
+            return Result.status(f"Pipe {key[-1]} successfully created.")
+        m = _ALTER_PIPE_REFRESH_RE.match(sql)
+        if m:
+            key = self.catalog.resolve(m.group(1), ctx.database, ctx.schema)
+            if key not in self.catalog.pipes:
+                raise errors.object_not_found(".".join(key))
+            from .operators.copy_into import CopyProcessor
+
+            return CopyProcessor(self.spark, self.catalog).execute(
+                self.catalog.pipes[key], ctx, query_df=self.query_df)
+        m = _DROP_PIPE_RE.match(sql)
+        if m:
+            key = self.catalog.resolve(m.group(2), ctx.database, ctx.schema)
+            if key not in self.catalog.pipes:
+                if m.group(1):
+                    return Result.status("Drop skipped: pipe does not exist.")
+                raise errors.object_not_found(".".join(key))
+            del self.catalog.pipes[key]
+            self.catalog.mutation += 1
+            return Result.status(f"{key[-1]} successfully dropped.")
         m = _CREATE_TABLE_RE.match(sql)
         if m:
             or_replace = bool(re.match(r"^\s*CREATE\s+OR\s+REPLACE", sql, re.I))
@@ -1918,6 +1963,11 @@ class Executor:
         if first == "SCHEMAS":
             rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
             return Result(columns=["name", "database_name"], rows=rows)
+        if first == "PIPES":
+            rows = [[k[2], k[0], k[1], v]
+                    for k, v in sorted(self.catalog.pipes.items()) if _match(k[2])]
+            return Result(columns=["name", "database_name", "schema_name",
+                                   "definition"], rows=rows)
         if first == "COLUMNS":
             # SHOW COLUMNS [IN <table>]: current DB scope, optional table
             tm_ = re.search(r"IN\s+(?:TABLE\s+)?([\w.\"$]+)", up)

@@ -83,6 +83,7 @@ _FF_INLINE_OPEN_RE = re.compile(r"FILE_FORMAT\s*=\s*\(", re.I)
 _PATTERN_RE = re.compile(r"PATTERN\s*=\s*'((?:[^']|'')*)'", re.I)
 _ON_ERROR_RE = re.compile(r"ON_ERROR\s*=\s*'?(\w+)'?", re.I)
 _PURGE_RE = re.compile(r"PURGE\s*=\s*(TRUE|FALSE)", re.I)
+_FORCE_RE = re.compile(r"FORCE\s*=\s*(TRUE|FALSE)", re.I)
 _VALIDATION_RE = re.compile(r"VALIDATION_MODE\s*=\s*'?(\w+)'?", re.I)
 
 
@@ -96,6 +97,7 @@ class CopyStatement:
     pattern: str | None = None
     on_error: str = "ABORT_STATEMENT"
     purge: bool = False
+    force: bool = False
     validation_mode: str | None = None
     # COPY transformation select list ($N positional references)
     select_exprs: str | None = None
@@ -154,6 +156,9 @@ def _parse_copy_options(stmt: CopyStatement, rest: str) -> CopyStatement:
     gm = _PURGE_RE.search(rest)
     if gm:
         stmt.purge = gm.group(1).upper() == "TRUE"
+    fo = _FORCE_RE.search(rest)
+    if fo:
+        stmt.force = fo.group(1).upper() == "TRUE"
     vm = _VALIDATION_RE.search(rest)
     if vm:
         stmt.validation_mode = vm.group(1).upper()
@@ -200,7 +205,32 @@ class CopyProcessor:
                 import fnmatch
 
                 files = [f for f in files if fnmatch.fnmatch(f, stmt.pattern)]
-        if not files:
+        # load history (Snowflake semantics): a file already loaded
+        # into this table is SKIPPED on re-COPY unless FORCE=TRUE; the
+        # signature is (size, mtime_ns) so an overwritten same-name
+        # file re-qualifies. VALIDATION_MODE dry runs never consult or
+        # write history.
+        tkey = (tm.database, tm.schema, tm.name)
+        hist = self.catalog.copy_load_history.setdefault(tkey, {})
+        force = stmt.force or str(stmt.options.get("FORCE", "FALSE")).upper() in ("TRUE", "1")
+
+        def _sig(rel: str):
+            try:
+                st_ = os.stat(os.path.join(stage.directory, rel))
+                return (st_.st_size, st_.st_mtime_ns)
+            except OSError:
+                return None
+
+        skipped: list[str] = []
+        if not force and not stmt.validation_mode:
+            fresh = []
+            for rel in files:
+                if hist.get(rel) is not None and hist.get(rel) == _sig(rel):
+                    skipped.append(rel)
+                else:
+                    fresh.append(rel)
+            files = fresh
+        if not files and not skipped:
             return Result.status("Copy executed with 0 files processed.")
 
         rows_loaded = 0
@@ -227,6 +257,8 @@ class CopyProcessor:
                 rows_loaded += int(obs.get["n"])
                 files_loaded += 1
                 loaded_paths.append(full)
+                if not stmt.validation_mode:
+                    hist[rel] = _sig(rel)
             except Exception as e:
                 if stmt.on_error in ("CONTINUE", "SKIP_FILE"):
                     errs.append(f"{rel}: {e}")
@@ -240,7 +272,8 @@ class CopyProcessor:
                     pass
         r = Result(
             columns=["file", "status", "rows_loaded"],
-            rows=[[os.path.basename(p), "LOADED", None] for p in loaded_paths],
+            rows=[[os.path.basename(p), "LOADED", None] for p in loaded_paths]
+            + [[os.path.basename(s), "LOAD_SKIPPED", None] for s in skipped],
         )
         r.rows_loaded = rows_loaded
         r.rows_inserted = rows_loaded

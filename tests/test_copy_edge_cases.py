@@ -230,3 +230,63 @@ def test_copy_avro_raises_capability_error(engine, tmp_path, ctx):
     engine.stages.put_file(engine.catalog.get_stage("sav"), str(local), "a.avro")
     with _pytest.raises(Exception, match="spark-avro"):
         engine.execute("COPY INTO av1 FROM @sav FILE_FORMAT=(TYPE=AVRO)", ctx)
+
+
+def test_copy_load_history_and_force(engine, tmp_path, ctx):
+    """Snowflake load-history semantics: re-running the same COPY
+    skips already-loaded files (LOAD_SKIPPED), FORCE=TRUE reloads, and
+    an overwritten file (new signature) re-qualifies."""
+    engine.execute("CREATE TABLE lh (id INTEGER, name VARCHAR)", ctx)
+    _stage_with(engine, tmp_path, "slh", {"a.csv": "1,x\n2,y\n"})
+    r = engine.execute("COPY INTO lh FROM @slh FILE_FORMAT=(TYPE=CSV)", ctx)
+    assert r.rows_loaded == 2
+    # identical re-COPY: nothing loads, the file reports LOAD_SKIPPED
+    r = engine.execute("COPY INTO lh FROM @slh FILE_FORMAT=(TYPE=CSV)", ctx)
+    assert r.rows_loaded == 0
+    assert [row[1] for row in r.rows] == ["LOAD_SKIPPED"]
+    n = engine.execute("SELECT count(*) AS n FROM lh", ctx).rows[0][0]
+    assert n == 2
+    # FORCE=TRUE reloads regardless of history
+    r = engine.execute(
+        "COPY INTO lh FROM @slh FILE_FORMAT=(TYPE=CSV) FORCE=TRUE", ctx)
+    assert r.rows_loaded == 2
+    # an overwritten file (different content/signature) re-qualifies
+    import time as _time
+
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    stage = engine.catalog.get_stage("slh")
+    local = tmp_path / "a2.csv"
+    local.write_text("1,x\n2,y\n3,z\n")
+    engine.stages.put_file(stage, str(local), "a.csv")
+    r = engine.execute("COPY INTO lh FROM @slh FILE_FORMAT=(TYPE=CSV)", ctx)
+    assert r.rows_loaded == 3
+
+
+def test_pipe_create_refresh_show_drop(engine, tmp_path, ctx):
+    """Snowpipe-lite: CREATE PIPE stores a COPY; ALTER PIPE REFRESH
+    runs it, and load history makes each refresh incremental (only
+    files not yet in the table load)."""
+    import pytest as _pytest
+
+    engine.execute("CREATE TABLE pt (id INTEGER, name VARCHAR)", ctx)
+    _stage_with(engine, tmp_path, "sp", {"f1.csv": "1,a\n"})
+    engine.execute(
+        "CREATE PIPE p1 AS COPY INTO pt FROM @sp FILE_FORMAT=(TYPE=CSV)", ctx)
+    rows = engine.execute("SHOW PIPES", ctx).rows
+    assert any(r[0] == "P1" and "COPY INTO" in r[3] for r in rows)
+    engine.execute("ALTER PIPE p1 REFRESH", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM pt", ctx).rows == [[1]]
+    # a second refresh with no new files loads nothing
+    engine.execute("ALTER PIPE p1 REFRESH", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM pt", ctx).rows == [[1]]
+    # new file arrives -> only it loads on the next refresh
+    stage = engine.catalog.get_stage("sp")
+    local = tmp_path / "f2.csv"
+    local.write_text("2,b\n3,c\n")
+    engine.stages.put_file(stage, str(local), "f2.csv")
+    engine.execute("ALTER PIPE p1 REFRESH", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM pt", ctx).rows == [[3]]
+    engine.execute("DROP PIPE p1", ctx)
+    with _pytest.raises(Exception):
+        engine.execute("ALTER PIPE p1 REFRESH", ctx)
+    engine.execute("DROP PIPE IF EXISTS p1", ctx)  # no raise
