@@ -557,6 +557,12 @@ class Executor:
                 return (f"CREATE OR REPLACE PROCEDURE {key[2]}({args}) "
                         f"RETURNS {pm['returns']} LANGUAGE SQL AS "
                         f"$${pm['body']}$$;")
+            if kind == "PIPE":
+                key = self.catalog.resolve(name, ctx.database, ctx.schema)
+                body = self.catalog.pipes.get(key)
+                if body is None:
+                    raise errors.object_not_found(".".join(key))
+                return f"CREATE OR REPLACE PIPE {key[2]} AS {body};"
             raise errors.invalid_parameter(f"GET_DDL: unsupported object type {kind}")
 
         return self._GET_DDL_RE.sub(

@@ -290,3 +290,12 @@ def test_pipe_create_refresh_show_drop(engine, tmp_path, ctx):
     with _pytest.raises(Exception):
         engine.execute("ALTER PIPE p1 REFRESH", ctx)
     engine.execute("DROP PIPE IF EXISTS p1", ctx)  # no raise
+
+
+def test_get_ddl_pipe(engine, tmp_path, ctx):
+    engine.execute("CREATE TABLE gd_t (id INTEGER)", ctx)
+    _stage_with(engine, tmp_path, "sgd", {"x.csv": "1\n"})
+    engine.execute(
+        "CREATE PIPE gd_p AS COPY INTO gd_t FROM @sgd FILE_FORMAT=(TYPE=CSV)", ctx)
+    d = engine.execute("SELECT GET_DDL('PIPE', 'gd_p') AS d", ctx).rows[0][0]
+    assert d.startswith("CREATE OR REPLACE PIPE GD_P AS COPY INTO gd_t")
