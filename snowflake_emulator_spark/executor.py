@@ -1059,7 +1059,7 @@ class Executor:
     # from catalog metadata with Snowflake-style logical names, scoped
     # to the session database like Snowflake's per-DB info schema)
     _INFO_SCHEMA_VIEWS = {"TABLES", "COLUMNS", "VIEWS", "SCHEMATA", "DATABASES",
-                          "STREAMS", "TASKS", "SEQUENCES", "FUNCTIONS"}
+                          "STREAMS", "TASKS", "SEQUENCES", "FUNCTIONS", "PIPES"}
 
     def _register_info_schema_view(self, which: str, db: str) -> str:
         view = f"__info_schema_{which.lower()}"
@@ -1068,12 +1068,18 @@ class Executor:
             return view
         c = self.catalog
         if which == "TABLES":
-            rows = [(tm.database, tm.schema, tm.name, "BASE TABLE", tm.comment)
+            # table_type per Snowflake: BASE TABLE (incl. transient,
+            # which it flags via is_transient), LOCAL TEMPORARY,
+            # EXTERNAL TABLE, VIEW
+            _TYPE = {"TEMPORARY": "LOCAL TEMPORARY", "EXTERNAL": "EXTERNAL TABLE"}
+            rows = [(tm.database, tm.schema, tm.name,
+                     _TYPE.get(tm.kind, "BASE TABLE"),
+                     "YES" if tm.kind == "TRANSIENT" else "NO", tm.comment)
                     for tm in c.tables.values() if tm.database == db]
-            rows += [(vm.database, vm.schema, vm.name, "VIEW", vm.comment)
+            rows += [(vm.database, vm.schema, vm.name, "VIEW", "NO", vm.comment)
                      for vm in c.views.values() if vm.database == db]
             schema = ("table_catalog string, table_schema string, table_name string, "
-                      "table_type string, comment string")
+                      "table_type string, is_transient string, comment string")
         elif which == "COLUMNS":
             rows = [(tm.database, tm.schema, tm.name, col.name, i + 1,
                      col.sf_type, "YES" if col.nullable else "NO")
@@ -1115,6 +1121,11 @@ class Executor:
                     for sq in c.sequences.values() if sq.database == db]
             schema = ("sequence_catalog string, sequence_schema string, sequence_name string, "
                       "start_value bigint, increment bigint")
+        elif which == "PIPES":
+            rows = [(k[0], k[1], k[2], v)
+                    for k, v in c.pipes.items() if k[0] == db]
+            schema = ("pipe_catalog string, pipe_schema string, pipe_name string, "
+                      "definition string")
         else:  # DATABASES
             rows = [(name, meta.get("comment")) for name, meta in c.databases.items()]
             schema = "database_name string, comment string"

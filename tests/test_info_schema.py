@@ -78,3 +78,29 @@ def test_info_schema_functions(engine):
         "SELECT function_name, argument_signature, data_type, function_language "
         "FROM INFORMATION_SCHEMA.FUNCTIONS", ctx)
     assert ("ISF_DOUBLE", "NUMBER", "NUMBER", "SQL") in [tuple(x) for x in r.rows]
+
+
+def test_info_schema_pipes_and_table_kinds(engine, tmp_path):
+    """information_schema.pipes lists pipe definitions; .tables carries
+    Snowflake table_type values for temporary/external/transient."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE isk_base (id INTEGER)", ctx)
+    engine.execute("CREATE TEMPORARY TABLE isk_tmp (id INTEGER)", ctx)
+    engine.execute("CREATE TRANSIENT TABLE isk_tr (id INTEGER)", ctx)
+    engine.execute("CREATE STAGE isk_s", ctx)
+    p = tmp_path / "one.csv"
+    p.write_text("1\n")
+    engine.stages.put_file(engine.catalog.get_stage("isk_s"), str(p))
+    engine.execute(
+        "CREATE PIPE isk_p AS COPY INTO isk_base FROM @isk_s "
+        "FILE_FORMAT=(TYPE=CSV)", ctx)
+    rows = _rows(engine.execute(
+        "SELECT table_name, table_type, is_transient "
+        "FROM information_schema.tables WHERE table_name LIKE 'ISK%' "
+        "ORDER BY table_name", ctx))
+    assert ("ISK_BASE", "BASE TABLE", "NO") in rows
+    assert ("ISK_TMP", "LOCAL TEMPORARY", "NO") in rows
+    assert ("ISK_TR", "BASE TABLE", "YES") in rows
+    rows = _rows(engine.execute(
+        "SELECT pipe_name, definition FROM information_schema.pipes", ctx))
+    assert any(r[0] == "ISK_P" and "COPY INTO" in r[1] for r in rows)
