@@ -277,6 +277,7 @@ class Catalog:
         # executed by ALTER PIPE ... REFRESH (Snowpipe's REFRESH
         # trigger; no auto-ingest daemon in this emulator)
         self.pipes: dict[tuple[str, str, str], str] = {}
+        self._copy_locks: dict[tuple[str, str, str], threading.Lock] = {}
         # default namespace exists from the start, like the reference's
         # auto-created TEST_DB.PUBLIC (server/handlers/session.go:94-102)
         self.create_database(config.DEFAULT_DATABASE, if_not_exists=True)
@@ -424,6 +425,12 @@ class Catalog:
                     return
                 raise errors.object_not_found(".".join(key))
             self._drop_table_key(key)
+
+    def copy_table_lock(self, key: tuple[str, str, str]) -> threading.Lock:
+        """Per-table mutex serializing COPY's history-check/load/record
+        sequence (see CopyProcessor.execute)."""
+        with self._lock:
+            return self._copy_locks.setdefault(key, threading.Lock())
 
     def mark_table_kind(self, tm: TableMeta, kindkw: str, owner: object) -> None:
         """Apply a CREATE-time table kind (TEMP/TEMPORARY/TRANSIENT)."""

@@ -176,6 +176,13 @@ class CopyProcessor:
             return self._unload(um, ctx, query_df)
         stmt = parse_copy(sql)
         tm = self.catalog.get_table(stmt.table, ctx.database, ctx.schema)
+        # per-table COPY mutex: the load-history check -> load -> record
+        # sequence must be atomic or two concurrent identical COPYs both
+        # see an empty history and double-load (Snowflake dedups)
+        with self.catalog.copy_table_lock((tm.database, tm.schema, tm.name)):
+            return self._execute_load(stmt, tm, ctx)
+
+    def _execute_load(self, stmt: CopyStatement, tm: TableMeta, ctx) -> Result:
         stage = self.catalog.get_stage(stmt.stage, ctx.database, ctx.schema)
         if "FORMAT_NAME" in stmt.options:
             ff = self.catalog.get_file_format(stmt.options["FORMAT_NAME"], ctx.database, ctx.schema)

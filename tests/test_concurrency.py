@@ -53,3 +53,36 @@ def test_concurrent_sessions_isolated_namespaces(engine):
     r2 = engine.execute("SELECT count(*) AS n FROM cdb2.public.t", ctx2)
     assert tuple(r1.rows[0]) == (1,)
     assert tuple(r2.rows[0]) == (2,)
+
+
+def test_concurrent_identical_copy_loads_once(engine, tmp_path):
+    """Two threads racing the SAME COPY must load the file once — the
+    per-table COPY mutex makes the history check/load/record sequence
+    atomic (Snowflake load-history semantics)."""
+    import threading
+
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cc_lh (id INTEGER)", ctx)
+    engine.execute("CREATE STAGE cc_s", ctx)
+    p = tmp_path / "r.csv"
+    p.write_text("1\n2\n3\n")
+    engine.stages.put_file(engine.catalog.get_stage("cc_s"), str(p))
+    errs = []
+
+    def run():
+        try:
+            engine.execute(
+                "COPY INTO cc_lh FROM @cc_s FILE_FORMAT=(TYPE=CSV)",
+                SessionContext())
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert engine.execute("SELECT count(*) AS n FROM cc_lh", ctx).rows == [[3]]
