@@ -228,11 +228,14 @@ class CopyProcessor:
             except OSError:
                 return None
 
+        # history keys are ABSOLUTE paths: two stages can hold files
+        # with the same relative name, and those are distinct loads
         skipped: list[str] = []
         if not force and not stmt.validation_mode:
             fresh = []
             for rel in files:
-                if hist.get(rel) is not None and hist.get(rel) == _sig(rel):
+                hk = os.path.join(stage.directory, rel)
+                if hist.get(hk) is not None and hist.get(hk) == _sig(rel):
                     skipped.append(rel)
                 else:
                     fresh.append(rel)
@@ -265,7 +268,7 @@ class CopyProcessor:
                 files_loaded += 1
                 loaded_paths.append(full)
                 if not stmt.validation_mode:
-                    hist[rel] = _sig(rel)
+                    hist[os.path.join(stage.directory, rel)] = _sig(rel)
             except Exception as e:
                 if stmt.on_error in ("CONTINUE", "SKIP_FILE"):
                     errs.append(f"{rel}: {e}")
