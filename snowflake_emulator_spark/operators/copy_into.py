@@ -541,10 +541,27 @@ class CopyProcessor:
 
     def _positional_cast(self, df: DataFrame, tm: TableMeta) -> DataFrame:
         target = tm.spark_schema()
+        if len(df.columns) != len(target.fields) and len(target.fields) == 1:
+            src0 = target.fields[0]
+            if src0.dataType.simpleString() == "string":
+                # Snowflake semistructured loads (XML/nested JSON) put
+                # the WHOLE record into one VARIANT column; in the
+                # VARIANT-as-JSON-string model that is to_json of the
+                # full row struct
+                return df.select(
+                    F.to_json(F.struct(*df.columns)).alias(src0.name))
         if len(df.columns) != len(target.fields):
             raise errors.execution_error(
                 f"file column count {len(df.columns)} != table column count {len(target.fields)}"
             )
-        return df.select(
-            *[df[s].cast(f.dataType).alias(f.name) for s, f in zip(df.columns, target.fields)]
-        )
+
+        def conv(src: str, f):
+            # a nested source column (XML elements, JSON objects)
+            # loading into a VARCHAR/VARIANT target serializes as JSON
+            # instead of failing the struct->string cast
+            if (df.schema[src].dataType.simpleString().startswith(("struct", "array", "map"))
+                    and f.dataType.simpleString() == "string"):
+                return F.to_json(df[src]).alias(f.name)
+            return df[src].cast(f.dataType).alias(f.name)
+
+        return df.select(*[conv(s, f) for s, f in zip(df.columns, target.fields)])

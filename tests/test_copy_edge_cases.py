@@ -299,3 +299,22 @@ def test_get_ddl_pipe(engine, tmp_path, ctx):
         "CREATE PIPE gd_p AS COPY INTO gd_t FROM @sgd FILE_FORMAT=(TYPE=CSV)", ctx)
     d = engine.execute("SELECT GET_DDL('PIPE', 'gd_p') AS d", ctx).rows[0][0]
     assert d.startswith("CREATE OR REPLACE PIPE GD_P AS COPY INTO gd_t")
+
+
+def test_copy_xml_nested_into_variant(engine, tmp_path, ctx):
+    """Semistructured XML into a single VARIANT column: the whole
+    record serializes as JSON (Snowflake's one-VARIANT-per-row XML
+    load); a nested element becomes a JSON object, not a cast error."""
+    engine.execute("CREATE TABLE xv (v VARIANT)", ctx)
+    xml = ("<rows><row><id>1</id><who><name>ann</name><age>7</age></who></row>"
+           "<row><id>2</id><who><name>bo</name><age>9</age></who></row></rows>")
+    local = tmp_path / "n.xml"
+    local.write_text(xml)
+    engine.execute("CREATE STAGE sxv", ctx)
+    engine.stages.put_file(engine.catalog.get_stage("sxv"), str(local), "n.xml")
+    r = engine.execute(
+        "COPY INTO xv FROM @sxv FILE_FORMAT=(TYPE=XML ROW_TAG='row')", ctx)
+    assert r.rows_loaded == 2
+    rows = engine.execute(
+        "SELECT GET_PATH(v, 'who.name') AS nm FROM xv ORDER BY nm", ctx).rows
+    assert [x[0] for x in rows] == ["ann", "bo"]
