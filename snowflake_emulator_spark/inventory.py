@@ -4057,6 +4057,35 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+# Date-part family r5 batch 2: DAYOFWEEK (Snowflake legacy Sunday=0,
+# Spark dayofweek-1), ISO week numbers, 2-arg LAST_DAY over
+# YEAR/QUARTER/WEEK parts (Spark lacks those interval units — the
+# translator routes months through add_months and weeks through
+# INTERVAL 7 DAY), TO_TIMESTAMP_NTZ.
+_SF_DATEPARTS2 = """
+SELECT o_orderkey,
+       DAYOFWEEK(o_orderdate) AS dow,
+       WEEKISO(o_orderdate) AS wk,
+       LAST_DAY(o_orderdate) AS eom,
+       LAST_DAY(o_orderdate, 'YEAR') AS eoy,
+       LAST_DAY(o_orderdate, 'QUARTER') AS eoq,
+       LAST_DAY(o_orderdate, 'WEEK') AS eow,
+       TO_TIMESTAMP_NTZ(TO_VARCHAR(o_orderdate::DATE) || ' 12:30:00') AS ts_mid
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+_SF_DATEPARTS2_ORACLE = """
+SELECT o_orderkey,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+       last_day(o_orderdate) AS eom,
+       (CAST(date_trunc('YEAR', o_orderdate) + INTERVAL 1 YEAR AS DATE) - 1) AS eoy,
+       (CAST(date_trunc('QUARTER', o_orderdate) + INTERVAL 3 MONTH AS DATE) - 1) AS eoq,
+       (CAST(date_trunc('WEEK', o_orderdate) + INTERVAL 7 DAY AS DATE) - 1) AS eow,
+       CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' 12:30:00' AS TIMESTAMP) AS ts_mid
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+
+
 # Curriculum interleave (operators/mixture.py curriculum_interleave):
 # stride-scheduled deterministic training order — weight-3 sources
 # appear 3x as often as weight-1 sources at every prefix. Integer
@@ -4258,6 +4287,7 @@ REGISTRY: dict[str, tuple] = {
     "events_funnel_pattern": (_sql(_EVENTS_FUNNEL), _EVENTS_FUNNEL),
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_regexp_funcs": (_snow(_SF_REGEXP), _SF_REGEXP_ORACLE),
+    "sf_dateparts2": (_snow(_SF_DATEPARTS2), _SF_DATEPARTS2_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
     "sf_decode_split_equalnull": (_snow(_SF_DECODE), _SF_DECODE_ORACLE),

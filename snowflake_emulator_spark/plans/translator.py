@@ -901,7 +901,10 @@ class Translator:
             if len(args) == 2:
                 return f"to_date({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"to_date({args[0]})"
-        if fname == "TO_TIMESTAMP":
+        if fname in ("TO_TIMESTAMP", "TO_TIMESTAMP_NTZ", "TO_TIMESTAMP_LTZ",
+                     "TO_TIMESTAMP_TZ"):
+            # the session timezone is pinned UTC (protocol semantics),
+            # so the NTZ/LTZ/TZ flavors coincide in this engine
             if len(args) == 2:
                 return f"to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"to_timestamp({args[0]})"
@@ -1228,6 +1231,30 @@ class Translator:
             return f"next_day(date_sub(CAST({args[0]} AS DATE), 8), {args[1]})"
         if fname == "DAYOFWEEKISO":
             return f"(weekday({args[0]}) + 1)"
+        if fname == "DAYOFWEEK":
+            # Snowflake legacy default (WEEK_START=0): Sunday=0 ..
+            # Saturday=6; Spark dayofweek is Sunday=1 .. Saturday=7
+            return f"(dayofweek({args[0]}) - 1)"
+        if fname in ("WEEK", "WEEKOFYEAR", "WEEKISO"):
+            # ISO week number (Snowflake's WEEK_OF_YEAR_POLICY=0
+            # default); Spark weekofyear is ISO already
+            return f"weekofyear({args[0]})"
+        if fname == "LAST_DAY":
+            if len(args) == 1:
+                return f"last_day({args[0]})"
+            part = args[1].strip().strip("'\"").upper()
+            # last day of the date part containing d: truncate to the
+            # part, advance one part, step back one day. Spark's ANSI
+            # interval literals lack WEEK/QUARTER units, so months
+            # advance via add_months and weeks via INTERVAL 7 DAY.
+            months = {"YEAR": 12, "QUARTER": 3, "MONTH": 1}
+            if part in months:
+                return (f"(CAST(add_months(date_trunc('{part}', {args[0]}), "
+                        f"{months[part]}) AS DATE) - 1)")
+            if part == "WEEK":
+                return (f"(CAST(date_trunc('WEEK', {args[0]}) "
+                        f"+ INTERVAL 7 DAY AS DATE) - 1)")
+            raise NotImplementedError(f"LAST_DAY part {part!r} not supported")
         if fname == "CONVERT_TIMEZONE":
             if len(args) == 3:
                 return f"convert_timezone({args[0]}, {args[1]}, {args[2]})"
@@ -1703,6 +1730,14 @@ _REWRITABLE = {
     "TIMESTAMP_FROM_PARTS",
     "PREVIOUS_DAY",
     "DAYOFWEEKISO",
+    "DAYOFWEEK",
+    "WEEK",
+    "WEEKOFYEAR",
+    "WEEKISO",
+    "LAST_DAY",
+    "TO_TIMESTAMP_NTZ",
+    "TO_TIMESTAMP_LTZ",
+    "TO_TIMESTAMP_TZ",
     "CONVERT_TIMEZONE",
     "OBJECT_KEYS",
     "GET_PATH",

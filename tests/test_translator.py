@@ -123,6 +123,16 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT REGEXP_INSTR(s, 'a') FROM t",
          "SELECT regexp_instr(s, 'a') FROM t"),
         ("SELECT UNICODE(s) FROM t", "SELECT ascii(s) FROM t"),
+        # Snowflake DAYOFWEEK is Sunday=0..6 (legacy WEEK_START=0);
+        # Spark dayofweek is Sunday=1..7
+        ("SELECT DAYOFWEEK(d) FROM t", "SELECT (dayofweek(d) - 1) FROM t"),
+        ("SELECT WEEKISO(d) FROM t", "SELECT weekofyear(d) FROM t"),
+        ("SELECT LAST_DAY(d) FROM t", "SELECT last_day(d) FROM t"),
+        ("SELECT LAST_DAY(d, 'YEAR') FROM t",
+         "SELECT (CAST(add_months(date_trunc('YEAR', d), 12) AS DATE) - 1) FROM t"),
+        ("SELECT LAST_DAY(d, 'WEEK') FROM t",
+         "SELECT (CAST(date_trunc('WEEK', d) + INTERVAL 7 DAY AS DATE) - 1) FROM t"),
+        ("SELECT TO_TIMESTAMP_NTZ(s) FROM t", "SELECT to_timestamp(s) FROM t"),
         # DDL / SHOW / DESCRIBE skip translation (translator.go:108-117)
         ("SHOW TABLES", "SHOW TABLES"),
         ("DESCRIBE TABLE t", "DESCRIBE TABLE t"),
@@ -707,5 +717,6 @@ def test_r4_review_fixes_round2():
     # 9. MINHASH with a non-literal k passes through, never crashes
     assert translate("SELECT MINHASH(k, x) FROM t") == \
         "SELECT MINHASH(k, x) FROM t"
-    # 10. LAST_DAY passes through to Spark's native function
-    assert translate("SELECT LAST_DAY(d) FROM t") == "SELECT LAST_DAY(d) FROM t"
+    # 10. LAST_DAY(d) maps to Spark's native function (the 2-arg
+    # YEAR/QUARTER/WEEK flavor rewrites, see the r5 golden cases)
+    assert translate("SELECT LAST_DAY(d) FROM t") == "SELECT last_day(d) FROM t"
