@@ -4057,6 +4057,32 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+# SPLIT / TRIM family (r5): Snowflake SPLIT's delimiter is a LITERAL
+# ('.' must not behave as a regex wildcard — the translator \Q-quotes
+# it) and 2-arg TRIM/LTRIM/RTRIM take (expr, chars) while Spark's
+# deprecated 2-arg form is reversed (translated to the SQL-standard
+# BOTH/LEADING/TRAILING ... FROM syntax). DuckDB's string_split and
+# 2-arg trims are literal/Snowflake-ordered natively.
+_SF_SPLIT_TRIM = """
+SELECT p_partkey,
+       TO_JSON(SPLIT(p_type, ' ')) AS type_words,
+       TO_JSON(SPLIT(p_name || '.x', '.')) AS dot_parts,
+       TRIM(p_name, 'aeiou ') AS trimmed,
+       LTRIM(p_name, 'abcdef') AS ltrimmed,
+       RTRIM(p_name, 'aeiouy') AS rtrimmed
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+_SF_SPLIT_TRIM_ORACLE = """
+SELECT p_partkey,
+       CAST(to_json(string_split(p_type, ' ')) AS VARCHAR) AS type_words,
+       CAST(to_json(string_split(p_name || '.x', '.')) AS VARCHAR) AS dot_parts,
+       trim(p_name, 'aeiou ') AS trimmed,
+       ltrim(p_name, 'abcdef') AS ltrimmed,
+       rtrim(p_name, 'aeiouy') AS rtrimmed
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+
 # Date-part family r5 batch 2: DAYOFWEEK (Snowflake legacy Sunday=0,
 # Spark dayofweek-1), ISO week numbers, 2-arg LAST_DAY over
 # YEAR/QUARTER/WEEK parts (Spark lacks those interval units — the
@@ -4288,6 +4314,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_string_date_funcs": (_snow(_SF_STR2), _SF_STR2_ORACLE),
     "sf_regexp_funcs": (_snow(_SF_REGEXP), _SF_REGEXP_ORACLE),
     "sf_dateparts2": (_snow(_SF_DATEPARTS2), _SF_DATEPARTS2_ORACLE),
+    "sf_split_trim_funcs": (_snow(_SF_SPLIT_TRIM), _SF_SPLIT_TRIM_ORACLE),
     "sf_variant_path_access": (_snow(_SF_VARIANT_PATH), _SF_VARIANT_PATH_ORACLE),
     "sf_qualify_window_filter": (_snow(_SF_QUALIFY), _SF_QUALIFY),
     "sf_decode_split_equalnull": (_snow(_SF_DECODE), _SF_DECODE_ORACLE),

@@ -230,9 +230,12 @@ class Translator:
                 alias = am.group(1)
                 j += am.end()
             delim = _regex_literal(args[1]) if len(args) > 1 else "' '"
+            # __SPLIT_RAW__: the delimiter here is ALREADY regex-escaped
+            # by _regex_literal; the sentinel stops the later SPLIT
+            # literal-quoting pass from double-wrapping it
             out.append(
                 f" JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
-                f" FROM (SELECT posexplode(split({args[0]}, {delim})))) {alias}")
+                f" FROM (SELECT posexplode(__SPLIT_RAW__({args[0]}, {delim})))) {alias}")
             i = j
         return "".join(out)
 
@@ -1086,12 +1089,38 @@ class Translator:
             # code point of the first character (Spark ascii() returns
             # the full code point despite its name)
             return f"ascii({args[0]})"
+        if fname == "__SPLIT_RAW__":
+            # internal sentinel: a split() whose delimiter was already
+            # regex-escaped by an earlier rewrite pass
+            return f"split({', '.join(args)})"
+        if fname == "SPLIT" and len(args) == 2:
+            # Snowflake SPLIT's delimiter is a LITERAL string; Spark's
+            # split() takes a regex — \Q...\E quotes the delimiter
+            # (works for expressions too; the '\\Q' in the emitted SQL
+            # is one backslash after Spark's string-literal escaping)
+            return f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+        if fname in ("TRIM", "LTRIM", "RTRIM"):
+            if len(args) == 2:
+                # Snowflake: TRIM(expr, chars); Spark's deprecated
+                # 2-arg form is trim(trimStr, srcStr) — REVERSED — so
+                # emit the unambiguous SQL-standard syntax instead
+                mode = {"TRIM": "BOTH", "LTRIM": "LEADING",
+                        "RTRIM": "TRAILING"}[fname]
+                return f"trim({mode} {args[1]} FROM {args[0]})"
+            # 1-arg (and the SQL-standard BOTH/LEADING ... FROM form,
+            # which parses as a single argument) pass through
+            return f"{fname.lower()}({', '.join(args)})"
         if fname == "UUID_STRING":
             return "uuid()"
         if fname == "STRTOK_TO_ARRAY":
-            if len(args) == 2:
-                return f"split({args[0]}, {args[1]})"
-            return f"split({args[0]}, ' ')"
+            # same delimiter-SET semantics as STRTOK (each char of the
+            # delimiter string splits; empty tokens are dropped) — the
+            # previous plain split() treated the whole delimiter string
+            # as one regex, wrong for multi-char sets and metachars
+            s = args[0]
+            delim = args[1] if len(args) >= 2 else "' '"
+            rx = _regex_charclass(delim)
+            return f"filter(split({s}, {rx}), x -> x != '')"
         if fname == "STARTSWITH":
             return f"startswith({', '.join(args)})"
         if fname == "ENDSWITH":
@@ -1730,6 +1759,11 @@ _REWRITABLE = {
     "TIMESTAMP_FROM_PARTS",
     "PREVIOUS_DAY",
     "DAYOFWEEKISO",
+    "__SPLIT_RAW__",
+    "SPLIT",
+    "TRIM",
+    "LTRIM",
+    "RTRIM",
     "DAYOFWEEK",
     "WEEK",
     "WEEKOFYEAR",

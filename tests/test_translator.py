@@ -123,6 +123,16 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT REGEXP_INSTR(s, 'a') FROM t",
          "SELECT regexp_instr(s, 'a') FROM t"),
         ("SELECT UNICODE(s) FROM t", "SELECT ascii(s) FROM t"),
+        # Snowflake SPLIT delimiters are LITERAL (Spark's are regex);
+        # 2-arg TRIM is (expr, chars) vs Spark's reversed legacy form
+        ("SELECT SPLIT(s, '.') FROM t",
+         "SELECT split(s, concat('\\\\Q', '.', '\\\\E')) FROM t"),
+        ("SELECT TRIM(s, 'xy') FROM t", "SELECT trim(BOTH 'xy' FROM s) FROM t"),
+        ("SELECT LTRIM(s, '0') FROM t", "SELECT trim(LEADING '0' FROM s) FROM t"),
+        ("SELECT RTRIM(s, 'z') FROM t", "SELECT trim(TRAILING 'z' FROM s) FROM t"),
+        ("SELECT TRIM(s) FROM t", "SELECT trim(s) FROM t"),
+        ("SELECT STRTOK_TO_ARRAY(s, ',;') FROM t",
+         "SELECT filter(split(s, '[,;]'), x -> x != '') FROM t"),
         # Snowflake DAYOFWEEK is Sunday=0..6 (legacy WEEK_START=0);
         # Spark dayofweek is Sunday=1..7
         ("SELECT DAYOFWEEK(d) FROM t", "SELECT (dayofweek(d) - 1) FROM t"),
@@ -502,7 +512,8 @@ def test_lateral_flatten_rewrites():
     assert got == (
         "SELECT d.id, f.index, f.value FROM docs d "
         "JOIN LATERAL (SELECT pos AS index, col AS value "
-        "FROM (SELECT posexplode(split(d.text, ' ')))) f")
+        "FROM (SELECT posexplode(split(d.text, "
+        "concat('\\\\Q', ' ', '\\\\E'))))) f")
     # TABLE(...) wrapper + OUTER => TRUE preserves empty-input rows
     assert "posexplode_outer(arr)" in translate(
         "SELECT f.value FROM t, TABLE(FLATTEN(INPUT => arr, OUTER => TRUE)) f")
@@ -702,7 +713,7 @@ def test_r4_review_fixes_round2():
     assert "from_json(get_json_object(v, '$.items'), 'array<string>')" in got
     # plain array inputs unchanged
     got = translate("SELECT f.value FROM t, LATERAL FLATTEN(INPUT => split(s, ',')) f")
-    assert "posexplode(split(s, ','))" in got and "from_json" not in got
+    assert "posexplode(split(s, concat('\\\\Q', ',', '\\\\E')))" in got and "from_json" not in got
     # 6. CONDITIONAL_CHANGE_EVENT re-exposes the source alias
     got = translate("SELECT t.city, CONDITIONAL_CHANGE_EVENT(t.status) "
                     "OVER (ORDER BY t.ts) AS e FROM t")
