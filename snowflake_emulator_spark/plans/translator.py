@@ -891,6 +891,13 @@ class Translator:
             return f"CAST({args[0]} AS DOUBLE)"
         if fname in ("TO_VARCHAR", "TO_CHAR"):
             if len(args) == 2:
+                # NUMERIC format models (9/0 digit placeholders, $ , .
+                # S MI etc.) route to Spark's numeric to_char; anything
+                # else is a date/time format picture
+                fmt = re.match(r"^\s*'([^']*)'\s*$", args[1])
+                if fmt and re.fullmatch(r"[09$,.DGSB#]*(MI)?", fmt.group(1)) \
+                        and re.search(r"[09]", fmt.group(1)):
+                    return f"to_char({args[0]}, {args[1]})"
                 return f"date_format({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"CAST({args[0]} AS STRING)"
         if fname == "TRY_CAST":

@@ -133,6 +133,14 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT TRIM(s) FROM t", "SELECT trim(s) FROM t"),
         ("SELECT STRTOK_TO_ARRAY(s, ',;') FROM t",
          "SELECT filter(split(s, '[,;]'), x -> x != '') FROM t"),
+        # TO_CHAR numeric format models route to Spark's numeric
+        # to_char; date pictures still go to date_format
+        ("SELECT TO_CHAR(n, '999.99') FROM t",
+         "SELECT to_char(n, '999.99') FROM t"),
+        ("SELECT TO_CHAR(n, '$9,999.00') FROM t",
+         "SELECT to_char(n, '$9,999.00') FROM t"),
+        ("SELECT TO_CHAR(d, 'MM-DD') FROM t",
+         "SELECT date_format(d, 'MM-dd') FROM t"),
         # Snowflake DAYOFWEEK is Sunday=0..6 (legacy WEEK_START=0);
         # Spark dayofweek is Sunday=1..7
         ("SELECT DAYOFWEEK(d) FROM t", "SELECT (dayofweek(d) - 1) FROM t"),
