@@ -261,3 +261,40 @@ def test_describe_function(engine):
     assert rows["signature"] == "(NUMBER, VARCHAR)"
     assert rows["returns"] == "VARCHAR" and rows["language"] == "SQL"
     assert rows["body"] == "CONCAT(s, x)"
+
+
+def test_split_literal_semantics_matrix(engine):
+    """SPLIT treats its delimiter as a LITERAL for every regex
+    metacharacter (Spark's split is regex-based — the translator
+    \\Q-quotes); compared cell-for-cell against Python str.split."""
+    ctx = SessionContext()
+    cases = [
+        ("a.b.c", "."), ("a|b|c", "|"), ("a*b", "*"), ("x+y+z", "+"),
+        ("p(q)r", "("), ("p(q)r", ")"), ("m[n]o", "["), ("m[n]o", "]"),
+        ("u{v}w", "{"), ("a^b", "^"), ("a$b", "$"), ("a?b", "?"),
+        ("a..b", ".."), ("nosep", ","), ("a--b--c", "--"),
+    ]
+    for s, d in cases:
+        res = engine.execute(
+            f"SELECT TO_JSON(SPLIT('{s}', '{d}')) AS v", ctx)
+        import json as _json
+
+        got = _json.loads(res.rows[0][0])
+        assert got == s.split(d), (s, d, got)
+
+
+def test_trim_charset_semantics_matrix(engine):
+    """2-arg TRIM/LTRIM/RTRIM trim the CHARACTER SET from the first
+    argument (Spark's deprecated 2-arg form has reversed args);
+    compared against Python strip/lstrip/rstrip."""
+    ctx = SessionContext()
+    cases = [("xyhixy", "xy"), ("0042.00", "0"), ("  pad  ", " "),
+             ("aabZbaa", "ab"), ("hi", "xyz")]
+    for s, chars in cases:
+        res = engine.execute(
+            f"SELECT TRIM('{s}', '{chars}') AS t, "
+            f"LTRIM('{s}', '{chars}') AS l, "
+            f"RTRIM('{s}', '{chars}') AS r", ctx)
+        t, l, r = res.rows[0]
+        assert t == s.strip(chars) and l == s.lstrip(chars) \
+            and r == s.rstrip(chars), (s, chars, t, l, r)
