@@ -1085,6 +1085,20 @@ class Translator:
                 return (f"regexp_count(substr({args[0]}, {args[2]}), "
                         f"{args[1]})")
             return f"regexp_count({args[0]}, {args[1]})"
+        if fname == "REGEXP_REPLACE":
+            # Snowflake's 2-arg form REMOVES matches (replacement
+            # defaults to ''); Spark requires 3 args. The 4-arg
+            # position offset splices the untouched prefix back on.
+            if len(args) == 2:
+                return f"regexp_replace({args[0]}, {args[1]}, '')"
+            if len(args) == 3:
+                return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+            if len(args) == 4:
+                return (f"concat(substr({args[0]}, 1, ({args[3]}) - 1), "
+                        f"regexp_replace(substr({args[0]}, {args[3]}), "
+                        f"{args[1]}, {args[2]}))")
+            raise NotImplementedError(
+                "REGEXP_REPLACE occurrence/parameters arguments are not supported")
         if fname == "REGEXP_INSTR":
             if len(args) >= 3:
                 # position arg: 1-based offset into the original string
@@ -1156,10 +1170,14 @@ class Translator:
             # [, occurrence]]) — position is a 1-based START OFFSET,
             # not a capture-group index (Spark regexp_extract's 3rd
             # arg), so 3-/4-arg forms substring first
+            # no-match returns NULL in Snowflake; Spark regexp_extract
+            # returns '' — nullif approximates (an actual empty-string
+            # match only arises from empty-matching patterns)
             if len(args) == 2:
-                return f"regexp_extract({args[0]}, {args[1]}, 0)"
+                return f"nullif(regexp_extract({args[0]}, {args[1]}, 0), '')"
             if len(args) == 3:
-                return f"regexp_extract(substr({args[0]}, {args[2]}), {args[1]}, 0)"
+                return (f"nullif(regexp_extract(substr({args[0]}, {args[2]}), "
+                        f"{args[1]}, 0), '')")
             return (
                 f"try_element_at(regexp_extract_all("
                 f"substr({args[0]}, {args[2]}), {args[1]}, 0), {args[3]})"
@@ -1672,6 +1690,7 @@ _REWRITABLE = {
     "NULLIFZERO",
     "EDITDISTANCE",
     "REGEXP_LIKE",
+    "REGEXP_REPLACE",
     "RLIKE",
     "REGEXP_COUNT",
     "REGEXP_INSTR",

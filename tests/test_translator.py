@@ -141,6 +141,17 @@ from snowflake_emulator_spark.plans.translator import translate
          "SELECT to_char(n, '$9,999.00') FROM t"),
         ("SELECT TO_CHAR(d, 'MM-DD') FROM t",
          "SELECT date_format(d, 'MM-dd') FROM t"),
+        # REGEXP_SUBSTR: NULL on no match (Spark regexp_extract gives '');
+        # REGEXP_REPLACE: 2-arg removes matches, 4-arg position splices
+        ("SELECT REGEXP_SUBSTR(s, 'a+') FROM t",
+         "SELECT nullif(regexp_extract(s, 'a+', 0), '') FROM t"),
+        ("SELECT REGEXP_REPLACE(s, 'a+') FROM t",
+         "SELECT regexp_replace(s, 'a+', '') FROM t"),
+        ("SELECT REGEXP_REPLACE(s, 'a+', 'X') FROM t",
+         "SELECT regexp_replace(s, 'a+', 'X') FROM t"),
+        ("SELECT REGEXP_REPLACE(s, 'a+', 'X', 3) FROM t",
+         "SELECT concat(substr(s, 1, (3) - 1), "
+         "regexp_replace(substr(s, 3), 'a+', 'X')) FROM t"),
         # Snowflake DAYOFWEEK is Sunday=0..6 (legacy WEEK_START=0);
         # Spark dayofweek is Sunday=1..7
         ("SELECT DAYOFWEEK(d) FROM t", "SELECT (dayofweek(d) - 1) FROM t"),
@@ -168,10 +179,10 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT DATE_PART(month, d) FROM t", "SELECT extract(MONTH FROM d) FROM t"),
         ("SELECT DATE_TRUNC(day, d) FROM t", "SELECT date_trunc('day', d) FROM t"),
         ("SELECT DATE_TRUNC('month', d) FROM t", "SELECT date_trunc('month', d) FROM t"),
-        ("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t", "SELECT regexp_extract(s, '[0-9]+', 0) FROM t"),
+        ("SELECT REGEXP_SUBSTR(s, '[0-9]+') FROM t", "SELECT nullif(regexp_extract(s, '[0-9]+', 0), '') FROM t"),
         # 3rd arg is a 1-based start POSITION (not Spark's group index)
         ("SELECT REGEXP_SUBSTR(s, '[0-9]+', 3) FROM t",
-         "SELECT regexp_extract(substr(s, 3), '[0-9]+', 0) FROM t"),
+         "SELECT nullif(regexp_extract(substr(s, 3), '[0-9]+', 0), '') FROM t"),
         # 4th arg is the occurrence number
         ("SELECT REGEXP_SUBSTR(s, '[0-9]+', 1, 2) FROM t",
          "SELECT try_element_at(regexp_extract_all(substr(s, 1), '[0-9]+', 0), 2) FROM t"),
