@@ -674,7 +674,84 @@ class Translator:
         out = self._rewrite_calls(s)
         out = self._rewrite_variant_paths(out)
         out = self._rewrite_double_colon_casts(out)
+        out = self._rewrite_order_by_nulls(out)
         return out
+
+    # sort items end at a clause keyword, a frame spec (inside OVER),
+    # or the enclosing paren
+    _ORDER_STOP_KWS = ("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
+                       "GROUPS", "UNION", "INTERSECT", "EXCEPT", "MINUS",
+                       "WINDOW", "QUALIFY", "HAVING", "FOR")
+
+    def _rewrite_order_by_nulls(self, s: str) -> str:
+        """Append Snowflake's default null ordering to every ORDER BY
+        item that lacks an explicit NULLS clause: ASC sorts NULLS LAST
+        and DESC sorts NULLS FIRST (DuckDB/Postgres agree), while
+        Spark's defaults are the opposite — without this, a query like
+        ``ORDER BY nullable_col LIMIT 10`` returns the nulls first and
+        therefore DIFFERENT ROWS than Snowflake would."""
+        up = s.upper()
+        if "ORDER" not in up:
+            return s
+        out, i, n = [], 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = self._skip_string(s, i)
+                out.append(s[i:j])
+                i = j
+                continue
+            m = re.match(r"ORDER\s+BY\s+", s[i:], re.I)
+            if not (m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))):
+                out.append(c)
+                i += 1
+                continue
+            out.append(s[i:i + m.end()])
+            i += m.end()
+            # parse comma-separated sort items at this nesting level
+            item_start, depth = i, 0
+            items: list[str] = []
+
+            def flush(end: int) -> None:
+                if s[item_start:end].strip():
+                    items.append(s[item_start:end])
+
+            while i < n:
+                c = s[i]
+                if c == "'":
+                    i = self._skip_string(s, i)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif c == "," and depth == 0:
+                    flush(i)
+                    item_start = i + 1
+                elif depth == 0 and c.isalpha():
+                    km = re.match(r"[A-Za-z_]+", s[i:])
+                    kw = km.group(0).upper()
+                    before_ok = not (s[i - 1].isalnum() or s[i - 1] == "_")
+                    if before_ok and kw in self._ORDER_STOP_KWS:
+                        break
+                    i += km.end()
+                    continue
+                i += 1
+            flush(i)
+
+            def fix(item: str) -> str:
+                body = item.rstrip()
+                trail = item[len(body):]
+                if re.search(r"NULLS\s+(FIRST|LAST)\s*$", body, re.I):
+                    return item
+                if re.search(r"\bDESC\s*$", body, re.I):
+                    return f"{body} NULLS FIRST{trail}"
+                return f"{body} NULLS LAST{trail}"
+
+            out.append(",".join(fix(it) for it in items))
+        return "".join(out)
 
     # -- VARIANT path access (col:field[.sub] -> get_json_object) ---------
 

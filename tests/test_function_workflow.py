@@ -298,3 +298,20 @@ def test_trim_charset_semantics_matrix(engine):
         t, l, r = res.rows[0]
         assert t == s.strip(chars) and l == s.lstrip(chars) \
             and r == s.rstrip(chars), (s, chars, t, l, r)
+
+
+def test_order_by_null_defaults_snowflake(engine):
+    """Snowflake sorts NULLS LAST on ASC and NULLS FIRST on DESC by
+    default — the opposite of Spark — so ORDER BY ... LIMIT must pick
+    the non-null rows first."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE nulls_t (id INTEGER, v INTEGER)", ctx)
+    engine.execute(
+        "INSERT INTO nulls_t VALUES (1, 10), (2, NULL), (3, 5), (4, NULL)", ctx)
+    r = engine.execute("SELECT id FROM nulls_t ORDER BY v LIMIT 2", ctx)
+    assert [x[0] for x in r.rows] == [3, 1]          # nulls last on ASC
+    r = engine.execute("SELECT id FROM nulls_t ORDER BY v DESC, id LIMIT 3", ctx)
+    assert [x[0] for x in r.rows] == [2, 4, 1]       # nulls first on DESC
+    r = engine.execute(
+        "SELECT id FROM nulls_t ORDER BY v NULLS FIRST, id LIMIT 2", ctx)
+    assert [x[0] for x in r.rows] == [2, 4]          # explicit wins

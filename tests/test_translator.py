@@ -79,7 +79,7 @@ from snowflake_emulator_spark.plans.translator import translate
         ),
         (
             "SELECT a FROM t ORDER BY IFF(a > 1, a, -a)",
-            "SELECT a FROM t ORDER BY if(a > 1, a, -a)",
+            "SELECT a FROM t ORDER BY if(a > 1, a, -a) NULLS LAST",
         ),
         # pass-through: plain SQL unchanged (translator_test.go:884-900)
         ("SELECT * FROM users", "SELECT * FROM users"),
@@ -152,6 +152,13 @@ from snowflake_emulator_spark.plans.translator import translate
         ("SELECT REGEXP_REPLACE(s, 'a+', 'X', 3) FROM t",
          "SELECT concat(substr(s, 1, (3) - 1), "
          "regexp_replace(substr(s, 3), 'a+', 'X')) FROM t"),
+        # Snowflake default null ordering (ASC->NULLS LAST,
+        # DESC->NULLS FIRST) is appended wherever absent — Spark's
+        # defaults are the opposite, which flips ORDER BY ... LIMIT
+        ("SELECT a FROM t ORDER BY a, b DESC",
+         "SELECT a FROM t ORDER BY a NULLS LAST, b DESC NULLS FIRST"),
+        ("SELECT a FROM t ORDER BY a NULLS FIRST",
+         "SELECT a FROM t ORDER BY a NULLS FIRST"),
         # Snowflake DAYOFWEEK is Sunday=0..6 (legacy WEEK_START=0);
         # Spark dayofweek is Sunday=1..7
         ("SELECT DAYOFWEEK(d) FROM t", "SELECT (dayofweek(d) - 1) FROM t"),
@@ -224,15 +231,15 @@ def test_graceful_degradation_unknown():
 
 def test_top_rewrite():
     assert translate("SELECT TOP 5 a, b FROM t ORDER BY a") == \
-        "SELECT a, b FROM t ORDER BY a LIMIT 5"
+        "SELECT a, b FROM t ORDER BY a NULLS LAST LIMIT 5"
 
 
 def test_qualify_rewrite():
     out = translate("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) <= 3 ORDER BY a")
     assert out == (
         "SELECT * EXCEPT(__qualify) FROM (SELECT a, "
-        "(row_number() OVER (ORDER BY a) <= 3) AS __qualify FROM t) "
-        "WHERE __qualify ORDER BY a"
+        "(row_number() OVER (ORDER BY a NULLS LAST) <= 3) AS __qualify FROM t) "
+        "WHERE __qualify ORDER BY a NULLS LAST"
     )
 
 
@@ -569,7 +576,7 @@ def test_conditional_true_event_rewrite():
     got = translate(
         "SELECT CONDITIONAL_TRUE_EVENT(flag) OVER (PARTITION BY u ORDER BY ts) AS sess FROM t")
     assert got == (
-        "SELECT SUM(CASE WHEN flag THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY ts "
+        "SELECT SUM(CASE WHEN flag THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY ts NULLS LAST "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM t")
 
 
@@ -580,7 +587,7 @@ def test_connect_by_rewrite():
     assert got.startswith("WITH RECURSIVE __hier AS (")
     assert "WHERE parent_id IS NULL" in got
     assert "__p.id = __c.parent_id" in got
-    assert got.endswith("SELECT id, name, LEVEL FROM __hier ORDER BY LEVEL, id")
+    assert got.endswith("SELECT id, name, LEVEL FROM __hier ORDER BY LEVEL NULLS LAST, id NULLS LAST")
     # reversed operand order: PRIOR still marks the parent side
     got2 = translate(
         "SELECT id FROM t START WITH pid IS NULL CONNECT BY pid = PRIOR id")
@@ -616,9 +623,9 @@ def test_conditional_change_event_rewrite():
         "SELECT u, CONDITIONAL_CHANGE_EVENT(kind) OVER (PARTITION BY u ORDER BY ts) AS ph "
         "FROM t ORDER BY u, ts")
     # two-level: lag in the injected subquery, running sum outside
-    assert "lag(kind) OVER (PARTITION BY u ORDER BY ts) AS __cce_0" in got
+    assert "lag(kind) OVER (PARTITION BY u ORDER BY ts NULLS LAST) AS __cce_0" in got
     assert "SUM(CASE WHEN __cce_0 IS NOT NULL AND (kind) IS NOT NULL" in got
-    assert got.rstrip().endswith("ORDER BY u, ts")
+    assert got.rstrip().endswith("ORDER BY u NULLS LAST, ts NULLS LAST")
     # bare * must not leak the helper column
     star = translate(
         "SELECT *, CONDITIONAL_CHANGE_EVENT(k) OVER (ORDER BY ts) AS ph FROM t")

@@ -69,9 +69,10 @@ def test_conditional_change_event_property(col, part, order):
            f"OVER (PARTITION BY {part} ORDER BY {order}) AS ph "
            f"FROM t ORDER BY {part}")
     out = translate(sql)
-    assert f"lag({col}) OVER (PARTITION BY {part} ORDER BY {order}) AS __cce_0" in out
+    assert (f"lag({col}) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} NULLS LAST) AS __cce_0") in out
     assert out.count("__cce_0") >= 3  # lag alias + two predicate uses
-    assert out.rstrip().endswith(f"ORDER BY {part}")
+    assert out.rstrip().endswith(f"ORDER BY {part} NULLS LAST")
 
 
 @given(st.integers(min_value=1, max_value=16))
