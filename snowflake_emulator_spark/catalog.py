@@ -179,6 +179,10 @@ class FunctionMeta:
     # RETURNS TABLE(col TYPE, …) — set for SQL UDTFs; the body is then a
     # SELECT inlined as a derived table at TABLE(f(…)) call sites
     table_columns: list[tuple[str, str]] | None = None
+    # LANGUAGE PYTHON functions register as Spark Python UDFs instead
+    # of macro-expanding; ``handler`` names the entry point in the body
+    language: str = "SQL"
+    handler: str | None = None
 
 
 @dataclass
@@ -908,7 +912,9 @@ class Catalog:
                         returns: str, body: str, comment: str | None = None,
                         database: str | None = None, schema: str | None = None,
                         or_replace: bool = False,
-                        table_columns: list[tuple[str, str]] | None = None) -> FunctionMeta:
+                        table_columns: list[tuple[str, str]] | None = None,
+                        language: str = "SQL",
+                        handler: str | None = None) -> FunctionMeta:
         with self._lock:
             db, sch, fn = self.resolve(name, database, schema)
             key = (db, sch, fn)
@@ -916,7 +922,8 @@ class Catalog:
                 raise errors.object_exists(f"{db}.{sch}.{fn}")
             fm = FunctionMeta(db, sch, fn, [a.upper() for a in arg_names],
                               arg_types, returns, body, comment,
-                              table_columns=table_columns)
+                              table_columns=table_columns,
+                              language=language.upper(), handler=handler)
             self.functions[key] = fm
             self.mutation += 1
             return fm

@@ -315,3 +315,55 @@ def test_order_by_null_defaults_snowflake(engine):
     r = engine.execute(
         "SELECT id FROM nulls_t ORDER BY v NULLS FIRST, id LIMIT 2", ctx)
     assert [x[0] for x in r.rows] == [2, 4]          # explicit wins
+
+
+def test_python_udf_create_call_dropped(engine):
+    """CREATE FUNCTION ... LANGUAGE PYTHON HANDLER='f' registers a
+    Spark Python UDF callable from SQL (Snowflake-real surface the
+    reference rules out entirely); GET_DDL reconstructs the statement;
+    a missing handler raises."""
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION py_double(x NUMBER) RETURNS NUMBER "
+        "LANGUAGE PYTHON RUNTIME_VERSION='3.11' HANDLER='dbl' AS $$\n"
+        "def dbl(x):\n"
+        "    return None if x is None else x * 2\n"
+        "$$", ctx)
+    engine.execute("CREATE TABLE pyt (n INTEGER)", ctx)
+    engine.execute("INSERT INTO pyt VALUES (1), (2), (NULL)", ctx)
+    r = engine.execute(
+        "SELECT n, py_double(n) AS d FROM pyt ORDER BY n", ctx)
+    assert [tuple(x) for x in r.rows] == [(1, 2), (2, 4), (None, None)]
+    d = engine.execute("SELECT GET_DDL('FUNCTION', 'py_double') AS d",
+                       ctx).rows[0][0]
+    assert "LANGUAGE PYTHON" in d and "HANDLER='dbl'" in d
+    rows = engine.execute(
+        "SELECT function_language FROM information_schema.functions "
+        "WHERE function_name = 'PY_DOUBLE'", ctx).rows
+    assert rows == [["PYTHON"]]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="HANDLER"):
+        engine.execute(
+            "CREATE FUNCTION py_bad(x NUMBER) RETURNS NUMBER "
+            "LANGUAGE PYTHON HANDLER='missing' AS $$\n"
+            "def other(x):\n"
+            "    return x\n"
+            "$$", ctx)
+    engine.execute("DROP FUNCTION py_double", ctx)
+
+
+def test_python_udf_string_and_sql_udf_coexist(engine):
+    """A Python UDF and a SQL macro UDF compose in one query."""
+    ctx = SessionContext()
+    engine.execute(
+        "CREATE FUNCTION py_shout(s VARCHAR) RETURNS VARCHAR "
+        "LANGUAGE PYTHON HANDLER='go' AS $$\n"
+        "def go(s):\n"
+        "    return None if s is None else s.upper() + '!'\n"
+        "$$", ctx)
+    engine.execute(
+        "CREATE FUNCTION sql_wrap(s VARCHAR) RETURNS VARCHAR AS "
+        "$$ '<' || s || '>' $$", ctx)
+    r = engine.execute("SELECT sql_wrap(py_shout('hi')) AS v", ctx)
+    assert r.rows == [["<HI!>"]]
