@@ -4143,6 +4143,39 @@ FROM ranked ORDER BY global_pos
 """
 
 
+# Python UDF end-to-end (executor LANGUAGE PYTHON path): a scalar
+# handler registered as a Spark Python UDF scores documents; the
+# oracle replays the same arithmetic in pure SQL. Deterministic by
+# construction (length/codepoint arithmetic only).
+def _python_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+    from .sessions import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="pyudf_wh_"))
+    ctx = SessionContext()
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION py_doc_score(t VARCHAR) RETURNS NUMBER "
+        "LANGUAGE PYTHON HANDLER='score' AS $$\n"
+        "def score(t):\n"
+        "    if t is None:\n"
+        "        return None\n"
+        "    return (len(t) % 97) * 3 + (ord(t[0]) if t else 0)\n"
+        "$$", ctx)
+    return eng.executor.query_df(
+        "SELECT doc_id, CAST(py_doc_score(text) AS INTEGER) AS score "
+        "FROM documents WHERE doc_id < 300 ORDER BY doc_id", ctx)
+
+
+_PYTHON_UDF_ORACLE = """
+SELECT doc_id,
+       CAST((length(text) % 97) * 3 + unicode(text) AS INTEGER) AS score
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+"""
+
+
 # Scripted multi-statement pipeline (plans/scripting.py v2): a
 # Scripting FOR loop drives one INSERT..SELECT aggregation per orders
 # bucket into a scratch engine table, then the assembled table is read
@@ -4329,6 +4362,7 @@ REGISTRY: dict[str, tuple] = {
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
     "scripted_pipeline_rollup": (_scripted_pipeline, _SCRIPTED_PIPELINE_ORACLE),
+    "python_udf_score": (_python_udf_score, _PYTHON_UDF_ORACLE),
     # text analysis extensions
     "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),
     "text_quality_score": (_text_quality, _quality_oracle()),
