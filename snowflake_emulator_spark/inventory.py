@@ -3021,6 +3021,61 @@ GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def _embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality as a hash-checked metric: exact
+    near-pairs (brute force) vs the multi-band RP-LSH candidates at the
+    same threshold — pair counts, overlap, and recall. The measured
+    recall is what the 16x4 banding design predicts (~0.95 at cosine
+    0.42), turning the 'LSH is sound' claim into an oracle-checked
+    number instead of a comment."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    base = e.select("vec_id", "embedding",
+                    similarity._norm(F.col("embedding"), None).alias("nrm"))
+    l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                    F.col("nrm").alias("na"))
+    r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    exact = (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(similarity._dot(F.col("va"), F.col("vb"), None)
+                        / (F.col("na") * F.col("nb")), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.42)
+        .select("id_a", "id_b")
+    )
+    lsh = similarity.cosine_near_pairs(
+        e, threshold=0.42, dim=64, n_planes=4, n_bands=16, exact_rescore=True
+    ).select("id_a", "id_b")
+    common = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+        .select(
+            "n_exact", "n_lsh", "n_common",
+            F.round(F.col("n_common").cast("double")
+                    / F.col("n_exact").cast("double"), 4).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    exact = _EMBED_NEAR_ORACLE.replace("ORDER BY id_a, id_b", "")
+    lsh = _lsh_replay_oracle()
+    return f"""
+WITH exact AS ({exact}),
+lsh AS ({lsh}),
+common AS (SELECT e.id_a, e.id_b FROM exact e
+           JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM lsh) AS n_lsh,
+       (SELECT count(*) FROM common) AS n_common,
+       round(CAST((SELECT count(*) FROM common) AS DOUBLE)
+             / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
+"""
+
+
 def _embed_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup — the embedding-space counterpart of
     dedup_survivors: cosine near-pairs -> connected components -> keep
@@ -4420,6 +4475,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (_ann_ivf, _ivf_replay_oracle()),
     "embed_coverage_sample": (_embed_coverage_sample, _coverage_replay_oracle()),
     "embed_decontaminate": (_embed_decontaminate, _EMBED_DECON_ORACLE),
+    "embed_lsh_recall": (_embed_lsh_recall, _lsh_recall_oracle()),
     # temporal as-of join (operator Spark lacks; DuckDB ASOF JOIN oracle)
     "asof_join_events": (_asof_join_events, _ASOF_ORACLE),
     "range_join_events": (_range_join_events, _RANGE_ORACLE),
