@@ -1274,10 +1274,12 @@ class Translator:
         if fname == "ARRAY_CAT":
             return f"concat({args[0]}, {args[1]})"
         if fname == "ARRAY_TO_STRING":
-            # Snowflake stringifies elements; Spark array_join requires
-            # string elements
+            # Snowflake stringifies elements AND renders NULL elements
+            # as empty strings between separators ('1,,2'); Spark's
+            # array_join DROPS nulls ('1,2') — coalesce keeps the slot
             return (
-                f"array_join(transform({args[0]}, x -> CAST(x AS STRING)), {args[1]})"
+                f"array_join(transform({args[0]}, "
+                f"x -> coalesce(CAST(x AS STRING), '')), {args[1]})"
             )
         if fname == "ARRAY_SLICE":
             # Snowflake: 0-based from (inclusive) .. to (exclusive);

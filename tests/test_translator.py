@@ -326,7 +326,7 @@ def test_round2_function_surface(sql, expected):
         ("SELECT ARRAY_CAT(a, b) FROM t", "SELECT concat(a, b) FROM t"),
         (
             "SELECT ARRAY_TO_STRING(arr, ',') FROM t",
-            "SELECT array_join(transform(arr, x -> CAST(x AS STRING)), ',') FROM t",
+            "SELECT array_join(transform(arr, x -> coalesce(CAST(x AS STRING), '')), ',') FROM t",
         ),
         # from-inclusive/to-exclusive 0-based -> 1-based start + length
         (
