@@ -78,13 +78,16 @@ def run():
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            # Output-shape lint (r4 verdict item 2): the driver's
-            # canonicalizer (pandas sort_values) cannot hash list cells,
-            # so NO registry query may emit array/map/struct columns —
-            # serialize with to_json on both sides instead.
+            # Output-shape lint (r4 verdict item 2, extended r6): the
+            # driver's canonicalizer (pandas sort_values) cannot hash
+            # list/bytearray cells and canonicalizes Decimal differently
+            # per engine, so NO registry query may emit
+            # array/map/struct/decimal/binary columns — serialize with
+            # to_json / CAST DOUBLE-or-VARCHAR / hex on both sides.
             bad_shape = [
                 f.name for f in sdf.schema.fields
-                if f.dataType.simpleString().startswith(("array", "map", "struct"))
+                if f.dataType.simpleString().startswith(
+                    ("array", "map", "struct", "decimal", "binary"))
             ]
             if bad_shape:
                 failed.append(name)
