@@ -175,10 +175,22 @@ def audit_benched_plans(spark, sf) -> list[str]:
     return lines
 
 
+def _round_number() -> int:
+    """Current round = latest BENCH_r{N}.json + 1 (the audit runs
+    before the driver records this round's bench)."""
+    import glob
+    import re as _re
+
+    ns = [int(_re.search(r"r(\d+)", p).group(1))
+          for p in glob.glob("/root/repo/BENCH_r*.json")]
+    return (max(ns) + 1) if ns else 1
+
+
 def main():
     spark = build_spark(app_name="explain-audit", master="local[8]", shuffle_partitions=8)
     sf = "/root/testdata/sf0.1"
-    out = ["# Physical plans (sf0.1) — round 4 audit\n"]
+    rnd = _round_number()
+    out = [f"# Physical plans (sf0.1) — round {rnd} audit\n"]
     out.append("## Benched-plan check (bench.py evaluation shape)\n")
     out.extend(audit_benched_plans(spark, sf))
     out.append("")
@@ -201,7 +213,7 @@ def main():
             out.append("Checks: " + "; ".join(checks) + "\n")
         out.append("```\n" + head.strip()[:4000] + "\n```\n")
         print(name, "|", "; ".join(checks) if checks else "(no checks)", flush=True)
-    with open("/root/repo/docs/PLANS_r5.md", "w") as f:
+    with open(f"/root/repo/docs/PLANS_r{rnd}.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
 

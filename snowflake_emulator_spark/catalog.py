@@ -736,6 +736,30 @@ class Catalog:
         with self._lock:
             return {k: tm.version for k, tm in self.tables.items()}
 
+    def snapshot_load_history(self) -> dict[tuple[str, str, str], dict]:
+        """Per-table COPY load-history snapshot, taken at BEGIN so a
+        ROLLBACK can revert the history entries alongside the data —
+        otherwise a rolled-back COPY leaves its files marked loaded and
+        the retry silently reports LOAD_SKIPPED."""
+        with self._lock:
+            return {k: dict(v) for k, v in self.copy_load_history.items()}
+
+    def restore_load_history(self, snap: dict[tuple[str, str, str], dict],
+                             keys: set[tuple[str, str, str]]) -> None:
+        """Restore COPY load history for ``keys`` (the transaction's
+        dirty tables) to its snapshotted state."""
+        with self._lock:
+            for key in keys:
+                prior = snap.get(key)
+                if prior is None:
+                    self.copy_load_history.pop(key, None)
+                else:
+                    # replace contents in place: copy_into holds a live
+                    # reference from setdefault()
+                    live = self.copy_load_history.setdefault(key, {})
+                    live.clear()
+                    live.update(prior)
+
     def restore_versions(self, snap: dict[tuple[str, str, str], int]) -> None:
         """Best-effort rollback: restore version pointers for tables that
         still exist and whose snapshotted version dir is still on disk."""

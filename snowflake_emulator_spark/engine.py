@@ -157,8 +157,10 @@ class Engine:
         # open transactions keyed by owner id: id(Session) for HTTP
         # sessions (stable across requests), id(ctx) for direct callers
         # holding one SessionContext. Value: (version snapshot, dirty
-        # table keys written by this transaction).
-        self._open_txs: dict[int, tuple[dict, set]] = {}
+        # table keys written by this transaction, owner ref, COPY
+        # load-history snapshot — rolled back alongside the data so a
+        # reverted COPY does not leave LOAD_SKIPPED markers behind).
+        self._open_txs: dict[int, tuple[dict, set, object, dict]] = {}
         self._tx_lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -293,7 +295,8 @@ class Engine:
                     # session, aliasing it onto this stale transaction
                     owner_obj = getattr(ctx, "_session", ctx)
                     self._open_txs[owner] = (
-                        self.catalog.snapshot_versions(), set(), owner_obj)
+                        self.catalog.snapshot_versions(), set(), owner_obj,
+                        self.catalog.snapshot_load_history())
                     self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("COMMIT"):
@@ -305,7 +308,7 @@ class Engine:
             with self._tx_lock:
                 tx = self._open_txs.pop(owner, None)
                 if tx is not None:
-                    snap, dirty, _ref = tx
+                    snap, dirty, _ref, hist_snap = tx
                     # restore ONLY tables this transaction wrote
                     # (interleaved commits from other sessions survive)
                     # BEFORE unpinning: dropping protection first opened
@@ -314,6 +317,10 @@ class Engine:
                     # no-opped, leaving uncommitted writes visible
                     self.catalog.restore_versions(
                         {k: v for k, v in snap.items() if k in dirty})
+                    # revert COPY load-history for the reverted tables:
+                    # without this a rolled-back COPY would report
+                    # LOAD_SKIPPED on retry and the data never loads
+                    self.catalog.restore_load_history(hist_snap, dirty)
                 self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         tx = self._open_txs.get(owner)
@@ -354,7 +361,7 @@ class Engine:
         """Recompute the union of snapshot-pinned versions (caller holds
         ``_tx_lock``)."""
         protected: dict[tuple, set[int]] = {}
-        for snap, _dirty, _ref in self._open_txs.values():
+        for snap, _dirty, _ref, _hist in self._open_txs.values():
             for key, v in snap.items():
                 protected.setdefault(key, set()).add(v)
         self.catalog.set_protected_versions(protected)

@@ -693,15 +693,31 @@ class Executor:
     # dispatch. Bodies may call other UDFs (bounded depth).
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _py_udf_spark_name(db: str, sch: str, fn: str) -> str:
+        """Session-wide Spark registration name for a PYTHON UDF:
+        uid-mangled with the full namespace so same-named functions in
+        different schemas/databases never clobber each other, and DROP
+        FUNCTION can deregister exactly one of them."""
+        return re.sub(r"\W", "_", f"__pyudf__{db}__{sch}__{fn}".lower())
+
     def _expand_udfs(self, sql: str, ctx: SessionContext) -> str:
         if not self.catalog.functions:
             return sql
         by_name: dict[str, object] = {}
+        py_names: dict[str, str] = {}
         for (db, sch, fn), fm in list(self.catalog.functions.items()):
             if db != ctx.database:
                 continue
             if fm.language != "SQL":
-                # PYTHON UDFs resolve natively as registered Spark UDFs
+                # PYTHON UDFs resolve as registered Spark UDFs under
+                # their mangled session-wide name: rewrite call sites
+                # (same binding rules as SQL UDFs)
+                mangled = self._py_udf_spark_name(db, sch, fn)
+                py_names[f"{sch}.{fn}"] = mangled
+                py_names[f"{db}.{sch}.{fn}"] = mangled
+                if sch == ctx.schema:
+                    py_names[fn] = mangled
                 continue
             # qualified spellings always resolve; the BARE name binds
             # only to the session schema's function (a same-named UDF
@@ -710,6 +726,18 @@ class Executor:
             by_name[f"{db}.{sch}.{fn}"] = fm
             if sch == ctx.schema:
                 by_name[fn] = fm
+        # longest spelling first so DB.SCH.F is not half-matched as F
+        for spelled in sorted(py_names, key=len, reverse=True):
+            pat = re.compile(rf"(?<![\w.]){re.escape(spelled)}\s*\(", re.I)
+            out, i = [], 0
+            for m in pat.finditer(sql):
+                if _inside_string(sql, m.start()):
+                    continue
+                out.append(sql[i:m.start()])
+                out.append(f"{py_names[spelled]}(")
+                i = m.end()
+            out.append(sql[i:])
+            sql = "".join(out)
         if not by_name:
             return sql
         tr = self.translator
@@ -1319,9 +1347,13 @@ class Executor:
                 def fn(*a, __inner=inner):  # noqa: ANN002
                     r = __inner(*a)
                     return None if r is None else _decimal.Decimal(str(r))
-            # Spark registration is session-wide by bare name; the
-            # catalog entry carries namespace + DDL reconstruction
-            self.spark.udf.register(fm.name, fn, spark_t)
+            # Spark registration is session-wide, so the name is
+            # uid-mangled with the namespace; call sites are rewritten
+            # via the catalog in _expand_udfs (the catalog entry carries
+            # the user-facing name + DDL reconstruction)
+            self.spark.udf.register(
+                self._py_udf_spark_name(fm.database, fm.schema, fm.name),
+                fn, spark_t)
             return Result.status(
                 f"Function {m.group(2).upper()} successfully created.")
         m = _CREATE_FUNC_RE.match(sql)
@@ -1356,8 +1388,16 @@ class Executor:
             return Result.status(f"Function {m.group(2).upper()} successfully created.")
         m = _DROP_FUNC_RE.match(sql)
         if m:
+            key = self.catalog.resolve(m.group(2), ctx.database, ctx.schema)
+            fm = self.catalog.functions.get(key)
             self.catalog.drop_function(m.group(2), ctx.database, ctx.schema,
                                        if_exists=bool(m.group(1)))
+            if fm is not None and fm.language == "PYTHON":
+                # deregister the Spark-side UDF too: without this the
+                # function would keep resolving after DROP
+                self.spark.sql(
+                    "DROP TEMPORARY FUNCTION IF EXISTS "
+                    + self._py_udf_spark_name(*key))
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
         m = _CREATE_SEQ_RE.match(sql)
         if m:
@@ -1674,8 +1714,14 @@ class Executor:
                 raise errors.object_not_found(".".join(key))
             from .operators.copy_into import CopyProcessor
 
+            # Snowflake resolves a pipe's COPY definition in the PIPE's
+            # own schema, not the refreshing session's: run with a
+            # context pinned to the pipe's database/schema so unqualified
+            # table/stage names resolve as they did at CREATE PIPE time
+            pipe_ctx = SessionContext(database=key[0], schema=key[1])
+            pipe_ctx.parameters = ctx.parameters
             return CopyProcessor(self.spark, self.catalog).execute(
-                self.catalog.pipes[key], ctx, query_df=self.query_df)
+                self.catalog.pipes[key], pipe_ctx, query_df=self.query_df)
         m = _DROP_PIPE_RE.match(sql)
         if m:
             key = self.catalog.resolve(m.group(2), ctx.database, ctx.schema)

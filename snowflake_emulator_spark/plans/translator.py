@@ -701,6 +701,11 @@ class Translator:
                 out.append(s[i:j])
                 i = j
                 continue
+            if c == '"':
+                j = self._skip_quoted_ident(s, i)
+                out.append(s[i:j])
+                i = j
+                continue
             m = re.match(r"ORDER\s+BY\s+", s[i:], re.I)
             if not (m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))):
                 out.append(c)
@@ -720,6 +725,11 @@ class Translator:
                 c = s[i]
                 if c == "'":
                     i = self._skip_string(s, i)
+                    continue
+                if c == '"':
+                    # quoted identifier: never a stop keyword, even if
+                    # its text equals one (e.g. ORDER BY "FOR")
+                    i = self._skip_quoted_ident(s, i)
                     continue
                 if c == "(":
                     depth += 1
@@ -890,6 +900,21 @@ class Translator:
         while j < n:
             if s[j] == "'":
                 if j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+
+    @staticmethod
+    def _skip_quoted_ident(s: str, i: int) -> int:
+        """Return index one past the end of the double-quoted identifier
+        at i (handles "" escapes)."""
+        j = i + 1
+        n = len(s)
+        while j < n:
+            if s[j] == '"':
+                if j + 1 < n and s[j + 1] == '"':
                     j += 2
                     continue
                 return j + 1
@@ -1157,11 +1182,24 @@ class Translator:
             return (f"regexp_like({args[0]}, "
                     f"concat('{flags}^(?:', {args[1]}, ')$'))")
         if fname == "REGEXP_COUNT":
+            # REGEXP_COUNT(subject, pattern[, position[, parameters]])
+            if len(args) > 4:
+                raise NotImplementedError(
+                    "REGEXP_COUNT supports at most 4 arguments "
+                    "(subject, pattern, position, parameters)")
+            pat = args[1]
+            if len(args) == 4:
+                pm = re.match(r"^'([icsme]*)'$", args[3].strip(), re.I)
+                if not pm:
+                    raise NotImplementedError(
+                        "REGEXP_COUNT parameters must be a string literal")
+                letters = set(pm.group(1).lower()) - {"c", "e"}
+                if letters:
+                    pat = f"concat('(?{''.join(sorted(letters))})', {pat})"
             if len(args) >= 3:
                 # position arg: count within the suffix starting there
-                return (f"regexp_count(substr({args[0]}, {args[2]}), "
-                        f"{args[1]})")
-            return f"regexp_count({args[0]}, {args[1]})"
+                return f"regexp_count(substr({args[0]}, {args[2]}), {pat})"
+            return f"regexp_count({args[0]}, {pat})"
         if fname == "REGEXP_REPLACE":
             # Snowflake's 2-arg form REMOVES matches (replacement
             # defaults to ''); Spark requires 3 args. The 4-arg
@@ -1177,6 +1215,19 @@ class Translator:
             raise NotImplementedError(
                 "REGEXP_REPLACE occurrence/parameters arguments are not supported")
         if fname == "REGEXP_INSTR":
+            # REGEXP_INSTR(subject, pattern[, position[, occurrence
+            # [, option[, parameters[, group_num]]]]]) — occurrence 1 /
+            # option 0 are the Snowflake defaults and fold away; any
+            # other value raises rather than silently misexecuting.
+            if len(args) >= 4 and args[3].strip() != "1":
+                raise NotImplementedError(
+                    "REGEXP_INSTR occurrence other than 1 is not supported")
+            if len(args) >= 5 and args[4].strip() != "0":
+                raise NotImplementedError(
+                    "REGEXP_INSTR option other than 0 is not supported")
+            if len(args) >= 6:
+                raise NotImplementedError(
+                    "REGEXP_INSTR parameters/group_num arguments are not supported")
             if len(args) >= 3:
                 # position arg: 1-based offset into the original string
                 return (f"(CASE WHEN regexp_instr(substr({args[0]}, {args[2]}), {args[1]}) = 0 "

@@ -318,3 +318,65 @@ def test_copy_xml_nested_into_variant(engine, tmp_path, ctx):
     rows = engine.execute(
         "SELECT GET_PATH(v, 'who.name') AS nm FROM xv ORDER BY nm", ctx).rows
     assert [x[0] for x in rows] == ["ann", "bo"]
+
+
+def test_copy_load_history_rolls_back_with_transaction(engine, tmp_path, ctx):
+    """A COPY inside BEGIN...ROLLBACK reverts BOTH the rows and the
+    per-file load-history entry: the retried COPY must actually load
+    the file again, not report LOAD_SKIPPED over an empty table
+    (r5 ADVICE item)."""
+    engine.execute("CREATE TABLE ch1 (id INTEGER)", ctx)
+    _stage_with(engine, tmp_path, "sh1", {"h.csv": "1\n2\n"})
+    engine.execute("BEGIN", ctx)
+    r = engine.execute("COPY INTO ch1 FROM @sh1", ctx)
+    assert r.rows_loaded == 2
+    engine.execute("ROLLBACK", ctx)
+    assert engine.execute("SELECT count(*) AS n FROM ch1", ctx).rows[0][0] == 0
+    # retry outside the transaction: history was reverted, so it loads
+    r2 = engine.execute("COPY INTO ch1 FROM @sh1", ctx)
+    assert r2.rows_loaded == 2
+    assert [row[1] for row in r2.rows] == ["LOADED"]
+    assert engine.execute("SELECT count(*) AS n FROM ch1", ctx).rows[0][0] == 2
+    # and a third run IS dedup-skipped (committed history persists)
+    r3 = engine.execute("COPY INTO ch1 FROM @sh1", ctx)
+    assert [row[1] for row in r3.rows] == ["LOAD_SKIPPED"]
+
+
+def test_copy_history_commit_preserved_across_other_tx_rollback(engine, tmp_path, ctx):
+    """ROLLBACK only reverts history for tables the transaction wrote:
+    a committed COPY on another table keeps its dedup marker."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    engine.execute("CREATE TABLE ch2 (id INTEGER)", ctx)
+    engine.execute("CREATE TABLE ch3 (id INTEGER)", ctx)
+    _stage_with(engine, tmp_path, "sh2", {"x.csv": "1\n"})
+    engine.execute("COPY INTO ch2 FROM @sh2", ctx)  # committed load
+    engine.execute("BEGIN", ctx)
+    engine.execute("COPY INTO ch3 FROM @sh2", ctx)
+    engine.execute("ROLLBACK", ctx)
+    # ch2's committed history survives the unrelated rollback
+    r = engine.execute("COPY INTO ch2 FROM @sh2", ctx)
+    assert [row[1] for row in r.rows] == ["LOAD_SKIPPED"]
+
+
+def test_pipe_refresh_resolves_in_pipe_schema(engine, tmp_path, ctx):
+    """ALTER PIPE ... REFRESH executes the stored COPY in the PIPE's
+    own database/schema, so unqualified names resolve as they did at
+    CREATE PIPE time even when the refreshing session has switched
+    schema (r5 ADVICE item; Snowflake pins a pipe to its schema)."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    engine.execute("CREATE SCHEMA pipe_sch", ctx)
+    pctx = SessionContext(schema="PIPE_SCH")
+    engine.execute("CREATE TABLE pp (id INTEGER)", pctx)
+    _stage_with(engine, tmp_path, "pipe_sch.spp", {"p.csv": "7\n8\n"})
+    engine.execute(
+        "CREATE PIPE pipe_sch.pr AS COPY INTO pp FROM @spp "
+        "FILE_FORMAT=(TYPE=CSV)", pctx)
+    # a decoy same-named table in the refreshing session's schema must
+    # NOT receive the rows
+    engine.execute("CREATE TABLE pp (id INTEGER)", ctx)
+    engine.execute("ALTER PIPE pipe_sch.pr REFRESH", ctx)
+    assert engine.execute(
+        "SELECT count(*) AS n FROM pipe_sch.pp", ctx).rows[0][0] == 2
+    assert engine.execute("SELECT count(*) AS n FROM pp", ctx).rows[0][0] == 0

@@ -367,3 +367,38 @@ def test_python_udf_string_and_sql_udf_coexist(engine):
         "$$ '<' || s || '>' $$", ctx)
     r = engine.execute("SELECT sql_wrap(py_shout('hi')) AS v", ctx)
     assert r.rows == [["<HI!>"]]
+
+
+def test_python_udf_drop_deregisters_and_schemas_isolate(engine):
+    """DROP FUNCTION on a PYTHON UDF must stop it resolving (the Spark
+    registration is removed, not just the catalog row), and same-named
+    PYTHON UDFs in different schemas must not clobber one another
+    (r5 ADVICE: uid-mangled registration + catalog call-site rewrite)."""
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    engine.execute("CREATE SCHEMA other_sch", ctx)
+    engine.execute(
+        "CREATE FUNCTION py_tag(x NUMBER) RETURNS VARCHAR "
+        "LANGUAGE PYTHON HANDLER='f' AS $$\n"
+        "def f(x):\n"
+        "    return f'public:{x}'\n"
+        "$$", ctx)
+    engine.execute(
+        "CREATE FUNCTION other_sch.py_tag(x NUMBER) RETURNS VARCHAR "
+        "LANGUAGE PYTHON HANDLER='f' AS $$\n"
+        "def f(x):\n"
+        "    return f'other:{x}'\n"
+        "$$", ctx)
+    # bare name binds to the session schema; qualified names pick each
+    r = engine.execute("SELECT py_tag(1) AS a, other_sch.py_tag(1) AS b", ctx)
+    assert [tuple(x) for x in r.rows] == [("public:1", "other:1")]
+    # dropping the other-schema one leaves the session one resolving
+    engine.execute("DROP FUNCTION other_sch.py_tag", ctx)
+    assert engine.execute("SELECT py_tag(2) AS a", ctx).rows == [["public:2"]]
+    with _pytest.raises(Exception):
+        engine.execute("SELECT other_sch.py_tag(2) AS b", ctx)
+    # dropping the last one stops bare-name resolution too
+    engine.execute("DROP FUNCTION py_tag", ctx)
+    with _pytest.raises(Exception):
+        engine.execute("SELECT py_tag(3) AS a", ctx)

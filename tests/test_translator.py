@@ -120,8 +120,17 @@ from snowflake_emulator_spark.plans.translator import translate
          "SELECT regexp_count(s, 'a') FROM t"),
         ("SELECT REGEXP_COUNT(s, 'a', 3) FROM t",
          "SELECT regexp_count(substr(s, 3), 'a') FROM t"),
+        # 4-arg REGEXP_COUNT parameters -> inline flags ('c' is default)
+        ("SELECT REGEXP_COUNT(s, 'a', 1, 'i') FROM t",
+         "SELECT regexp_count(substr(s, 1), concat('(?i)', 'a')) FROM t"),
+        ("SELECT REGEXP_COUNT(s, 'a', 1, 'c') FROM t",
+         "SELECT regexp_count(substr(s, 1), 'a') FROM t"),
         ("SELECT REGEXP_INSTR(s, 'a') FROM t",
          "SELECT regexp_instr(s, 'a') FROM t"),
+        # occurrence=1 / option=0 are Snowflake defaults and fold away
+        ("SELECT REGEXP_INSTR(s, 'a', 2, 1, 0) FROM t",
+         "SELECT (CASE WHEN regexp_instr(substr(s, 2), 'a') = 0 "
+         "THEN 0 ELSE regexp_instr(substr(s, 2), 'a') + 2 - 1 END) FROM t"),
         ("SELECT UNICODE(s) FROM t", "SELECT ascii(s) FROM t"),
         # Snowflake SPLIT delimiters are LITERAL (Spark's are regex);
         # 2-arg TRIM is (expr, chars) vs Spark's reversed legacy form
@@ -757,3 +766,31 @@ def test_r4_review_fixes_round2():
     # 10. LAST_DAY(d) maps to Spark's native function (the 2-arg
     # YEAR/QUARTER/WEEK flavor rewrites, see the r5 golden cases)
     assert translate("SELECT LAST_DAY(d) FROM t") == "SELECT last_day(d) FROM t"
+
+
+def test_regexp_unsupported_args_raise():
+    """REGEXP_COUNT/REGEXP_INSTR must raise on argument forms they
+    cannot honor — never silently drop occurrence/option/group args
+    (r5 ADVICE item: silent misexecution is worse than an error)."""
+    for sql in [
+        "SELECT REGEXP_COUNT(s, 'a', 1, 'i', 2) FROM t",   # >4 args
+        "SELECT REGEXP_COUNT(s, 'a', 1, flags) FROM t",    # non-literal
+        "SELECT REGEXP_INSTR(s, 'a', 1, 2) FROM t",        # occurrence!=1
+        "SELECT REGEXP_INSTR(s, 'a', 1, 1, 1) FROM t",     # option!=0
+        "SELECT REGEXP_INSTR(s, 'a', 1, 1, 0, 'i') FROM t",  # parameters
+    ]:
+        with pytest.raises(NotImplementedError):
+            translate(sql)
+
+
+def test_order_by_quoted_identifier_stop_keyword():
+    """A double-quoted identifier equal to a stop keyword must not end
+    the ORDER BY item scan or be split mid-identifier (r5 ADVICE)."""
+    got = translate('SELECT 1 FROM t ORDER BY "FOR"')
+    assert got == 'SELECT 1 FROM t ORDER BY "FOR" NULLS LAST'
+    got = translate('SELECT 1 FROM t ORDER BY "ROWS" DESC, a')
+    assert got == ('SELECT 1 FROM t ORDER BY "ROWS" DESC NULLS FIRST,'
+                   ' a NULLS LAST')
+    # quoted identifier elsewhere in the statement stays untouched
+    got = translate('SELECT "LIMIT" FROM t ORDER BY a')
+    assert got == 'SELECT "LIMIT" FROM t ORDER BY a NULLS LAST'
