@@ -335,6 +335,7 @@ class CopyProcessor:
         target = StageManager(self.catalog)._resolve_inside(stage, prefix)
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        n_override: int | None = None
         writer = df.write.mode(mode)
         if fmt == "PARQUET":
             writer.parquet(target)
@@ -349,9 +350,31 @@ class CopyProcessor:
             (writer.format("xml")
              .option("rootTag", options.get("ROOT_TAG", "rows"))
              .option("rowTag", options.get("ROW_TAG", "row")).save(target))
+        elif fmt == "AVRO":
+            # distributed when spark-avro is deployed; otherwise the
+            # pure-Python OCF writer emits one container file (unload
+            # targets are driver-local stage paths here — see
+            # sources/avro_ocf.py scale note)
+            try:
+                writer.format("avro").save(target)
+            except Exception as e:
+                if "avro" not in str(e).lower() or "Failed to find" not in str(e):
+                    raise
+                from ..sources.avro_ocf import write_ocf
+
+                os.makedirs(target, exist_ok=True)
+                names = df.columns
+                stypes = [f.dataType.simpleString() for f in df.schema.fields]
+                # count from the writer: toLocalIterator never
+                # finalizes the Observation (it runs per-partition
+                # jobs), so obs.get would block forever here
+                n_override = write_ocf(
+                    os.path.join(target, "data_0_0_0.avro"),
+                    names, stypes,
+                    (tuple(row) for row in df.toLocalIterator()))
         else:
             raise errors.execution_error(f"unsupported unload format: {fmt}")
-        n = int(obs.get["n"])
+        n = int(obs.get["n"]) if n_override is None else n_override
         r = Result(columns=["rows_unloaded"], rows=[[n]])
         r.rows_loaded = n
         return r
@@ -384,18 +407,48 @@ class CopyProcessor:
         raise errors.invalid_parameter(f"unsupported file format: {fmt}")
 
     def _read_avro(self, path: str, tm: TableMeta) -> DataFrame:
-        # the spark-avro module is external to the Spark distribution;
-        # raise a clear capability error when the jar is absent rather
-        # than a raw ClassNotFound stack
+        """AVRO COPY load (beyond reference — it supports CSV/JSON only,
+        copy_processor.go:266-268). Preferred path: the spark-avro
+        DataSource (fully distributed) when the jar is deployed.
+        Fallback: the pure-Python OCF codec (sources/avro_ocf.py,
+        validated byte-for-byte against the official Java Avro library)
+        — it runs on the driver, which matches how stage files are
+        loaded here (driver-local files, same as the reference's
+        per-file loads); a cluster deployment ships spark-avro and
+        never hits the fallback."""
+        return self._positional_cast(self._read_avro_raw(path), tm)
+
+    def _read_avro_raw(self, path: str) -> DataFrame:
         try:
-            df = self.spark.read.format("avro").load(path)
+            return self.spark.read.format("avro").load(path)
         except Exception as e:
-            if "avro" in str(e).lower():
-                raise errors.execution_error(
-                    "AVRO requires the spark-avro module, which is not "
-                    "deployed in this Spark distribution") from e
-            raise
-        return self._positional_cast(df, tm)
+            if "avro" not in str(e).lower() or "Failed to find" not in str(e):
+                raise
+        from ..sources.avro_ocf import read_ocf
+
+        fields, rows = read_ocf(path)
+        from pyspark.sql import types as T
+
+        _PRIM = {"boolean": T.BooleanType(), "int": T.IntegerType(),
+                 "long": T.LongType(), "float": T.FloatType(),
+                 "double": T.DoubleType(), "bytes": T.BinaryType(),
+                 "string": T.StringType(), "null": T.NullType()}
+        schema = T.StructType()
+        for i, (name, prim, _nullable) in enumerate(fields):
+            dt = _PRIM.get(prim, T.StringType())
+            # logical date/timestamp decode to Python date/datetime
+            if rows:
+                import datetime as _dt
+
+                sample = next((r[i] for r in rows if r[i] is not None), None)
+                if isinstance(sample, _dt.datetime):
+                    dt = T.TimestampNTZType()
+                elif isinstance(sample, _dt.date):
+                    dt = T.DateType()
+            schema.add(name, dt, True)
+        rows = [tuple(bytes(v) if isinstance(v, bytearray) else v for v in r)
+                for r in rows]
+        return self.spark.createDataFrame(rows, schema)
 
     def _read_transform(self, path: str, stmt: CopyStatement, tm: TableMeta) -> DataFrame:
         """COPY transformation: read the file RAW (no table-schema
@@ -419,6 +472,10 @@ class CopyProcessor:
         elif fmt == "XML":
             df = (self.spark.read.format("xml")
                   .option("rowTag", o.get("ROW_TAG", "row")).load(path))
+        elif fmt == "AVRO":
+            # raw read via the same dual path as _read_avro, without
+            # the table-schema cast (the transform SELECT shapes it)
+            df = self._read_avro_raw(path)
         else:
             raise errors.invalid_parameter(f"unsupported transform format: {fmt}")
         renamed = df.toDF(*[f"__c{i + 1}" for i in range(len(df.columns))])

@@ -217,19 +217,18 @@ def test_copy_xml_load_and_unload(engine, tmp_path, ctx):
         (1, "x"), (2, "y")]
 
 
-def test_copy_avro_raises_capability_error(engine, tmp_path, ctx):
-    """The spark-avro module is external to this Spark distribution —
-    COPY TYPE=AVRO must raise a clear capability error, not a raw
-    ClassNotFound stack."""
+def test_copy_avro_corrupt_file_clear_error(engine, tmp_path, ctx):
+    """A corrupt AVRO file raises a clear COPY error (truncated
+    metadata), not a silent partial load."""
     import pytest as _pytest
 
-    engine.execute("CREATE TABLE av1 (id BIGINT)", ctx)
+    engine.execute("CREATE TABLE avbad (id BIGINT)", ctx)
     local = tmp_path / "a.avro"
     local.write_bytes(b"Obj\x01fake")
-    engine.execute("CREATE STAGE sav", ctx)
-    engine.stages.put_file(engine.catalog.get_stage("sav"), str(local), "a.avro")
-    with _pytest.raises(Exception, match="spark-avro"):
-        engine.execute("COPY INTO av1 FROM @sav FILE_FORMAT=(TYPE=AVRO)", ctx)
+    engine.execute("CREATE STAGE savbad", ctx)
+    engine.stages.put_file(engine.catalog.get_stage("savbad"), str(local), "a.avro")
+    with _pytest.raises(Exception, match="(?i)avro|truncated|COPY failed"):
+        engine.execute("COPY INTO avbad FROM @savbad FILE_FORMAT=(TYPE=AVRO)", ctx)
 
 
 def test_copy_load_history_and_force(engine, tmp_path, ctx):
@@ -380,3 +379,59 @@ def test_pipe_refresh_resolves_in_pipe_schema(engine, tmp_path, ctx):
     assert engine.execute(
         "SELECT count(*) AS n FROM pipe_sch.pp", ctx).rows[0][0] == 2
     assert engine.execute("SELECT count(*) AS n FROM pp", ctx).rows[0][0] == 0
+
+
+def test_copy_avro_load_and_unload(engine, tmp_path, ctx):
+    """AVRO load + unload via the pure-Python OCF codec fallback
+    (sources/avro_ocf.py — validated against the official Java Avro
+    library; spark-avro takes over transparently when deployed).
+    Beyond reference: it supports CSV/JSON only
+    (copy_processor.go:266-268)."""
+    from snowflake_emulator_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    engine.execute("CREATE TABLE av1 (id BIGINT, name VARCHAR, score DOUBLE)", ctx)
+    src = tmp_path / "in.avro"
+    write_ocf(str(src), ["id", "name", "score"],
+              ["bigint", "string", "double"],
+              [(1, "a", 0.5), (2, None, -1.25), (None, "c", None)])
+    _stage_with(engine, tmp_path, "sav", {})
+    engine.stages.put_file(engine.catalog.get_stage("sav"), str(src), "in.avro")
+    r = engine.execute("COPY INTO av1 FROM @sav FILE_FORMAT=(TYPE=AVRO)", ctx)
+    assert r.rows_loaded == 3
+    rows = [tuple(x) for x in engine.execute(
+        "SELECT * FROM av1 ORDER BY id NULLS FIRST", ctx).rows]
+    assert rows == [(None, "c", None), (1, "a", 0.5), (2, None, -1.25)]
+    # unload back to a stage prefix and re-read with the codec
+    engine.execute(
+        "COPY INTO @sav/out FROM av1 FILE_FORMAT=(TYPE=AVRO) OVERWRITE=TRUE", ctx)
+    import glob
+    import os as _os
+
+    stage_dir = engine.catalog.get_stage("sav").directory
+    files = glob.glob(_os.path.join(stage_dir, "out", "*.avro"))
+    assert files
+    got = []
+    for f in files:
+        _fields, rws = read_ocf(f)
+        got.extend(rws)
+    assert sorted(got, key=lambda r: (r[0] is None, r[0] or 0)) == [
+        (1, "a", 0.5), (2, None, -1.25), (None, "c", None)]
+
+
+def test_copy_avro_transform_select(engine, tmp_path, ctx):
+    """COPY transform SELECT over an AVRO source ($N positional refs)."""
+    from snowflake_emulator_spark.sources.avro_ocf import write_ocf
+
+    engine.execute("CREATE TABLE av2 (id BIGINT, shout VARCHAR)", ctx)
+    src = tmp_path / "t.avro"
+    write_ocf(str(src), ["id", "name"], ["bigint", "string"],
+              [(7, "abc"), (8, "xyz")], codec="null")
+    _stage_with(engine, tmp_path, "sav2", {})
+    engine.stages.put_file(engine.catalog.get_stage("sav2"), str(src), "t.avro")
+    r = engine.execute(
+        "COPY INTO av2 FROM (SELECT $1, UPPER($2) FROM @sav2) "
+        "FILE_FORMAT=(TYPE=AVRO)", ctx)
+    assert r.rows_loaded == 2
+    rows = [tuple(x) for x in engine.execute(
+        "SELECT * FROM av2 ORDER BY id", ctx).rows]
+    assert rows == [(7, "ABC"), (8, "XYZ")]
