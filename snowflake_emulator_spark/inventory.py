@@ -4283,6 +4283,51 @@ FROM orders GROUP BY 1 ORDER BY bucket
 """
 
 
+# Nested-loop scripted pipeline (Scripting v3, r6): a 2-level FOR grid
+# drives one INSERT..SELECT per (priority-bucket, status) cell —
+# depth-aware construct grouping with both counters visible to the
+# inner body. Each INSERT is a full distributed Spark job; the loops
+# are driver-side orchestration only (SURVEY §2 scripting family).
+def _scripted_nested_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+    from .sessions import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="script_grid_"))
+    ctx = SessionContext()
+    eng.execute(
+        "CREATE TABLE script_grid "
+        "(pbucket INTEGER, sbucket INTEGER, n_orders BIGINT)", ctx)
+    eng.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "FOR p IN 0 TO 2 DO "
+        "FOR s IN 0 TO 1 DO "
+        "INSERT INTO script_grid "
+        "SELECT :p AS pb, :s AS sb, count(*) AS n FROM orders "
+        "WHERE o_orderkey % 3 = :p AND ascii(o_orderstatus) % 2 = :s; "
+        "END FOR; "
+        "END FOR; RETURN 'ok'; END $$", ctx)
+    return eng.executor.query_df(
+        "SELECT pbucket, sbucket, n_orders FROM script_grid "
+        "ORDER BY pbucket, sbucket", ctx)
+
+
+_SCRIPTED_NESTED_GRID_ORACLE = """
+WITH grid AS (
+  SELECT p.range AS pbucket, s.range AS sbucket
+  FROM range(3) p, range(2) s
+)
+SELECT CAST(g.pbucket AS INTEGER) AS pbucket,
+       CAST(g.sbucket AS INTEGER) AS sbucket,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_orderkey % 3 = g.pbucket
+          AND ascii(o.o_orderstatus) % 2 = g.sbucket) AS n_orders
+FROM grid g ORDER BY pbucket, sbucket
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -4429,6 +4474,7 @@ REGISTRY: dict[str, tuple] = {
     # MERGE-equivalent declarative upsert
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
     "scripted_pipeline_rollup": (_scripted_pipeline, _SCRIPTED_PIPELINE_ORACLE),
+    "scripted_nested_grid": (_scripted_nested_grid, _SCRIPTED_NESTED_GRID_ORACLE),
     "python_udf_score": (_python_udf_score, _PYTHON_UDF_ORACLE),
     # text analysis extensions
     "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),

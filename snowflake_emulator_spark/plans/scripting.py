@@ -36,10 +36,13 @@ bounds evaluate ONCE before the loop (Snowflake semantics). Loops are
 capped at ``_MAX_LOOP_ITER`` iterations — a runaway WHILE raises
 instead of hanging the session; a cursor FOR loop caps its row fetch
 the same way. Inside a handler ``SQLCODE``/``SQLERRM`` resolve as
-scripting variables. Loop bodies may contain IF blocks; v2
-restrictions (raise clearly, never silently misexecute): loops do not
-nest, IF blocks do not nest, no OPEN/FETCH/CLOSE cursor statements
-(use the FOR form). Declared types are accepted but values stay
+scripting variables. Loops and IF blocks NEST arbitrarily (v3):
+construct grouping is depth-aware, and BREAK/CONTINUE bind to the
+innermost enclosing loop (Snowflake's unlabeled semantics). Remaining
+restrictions (raise clearly, never silently misexecute): labeled
+BREAK/CONTINUE and OPEN/FETCH/CLOSE cursor statements raise
+NotImplementedError (use bare BREAK/CONTINUE and the FOR-cursor
+form). Declared types are accepted but values stay
 dynamically typed (every expression evaluates through the engine's
 full Spark path, so type behavior is Spark's).
 
@@ -385,6 +388,49 @@ def _maybe_handle(engine, ctx, e: Exception, handler_stmts: list[str],
     return None
 
 
+# construct-boundary token patterns (counted OUTSIDE string literals so
+# nested constructs group to their own END, not the first one seen)
+_LOOP_OPEN_RE = re.compile(r"\b(?:FOR\s+[A-Za-z_]\w*\s+IN\b|WHILE\s*\()", re.I)
+_LOOP_CLOSE_RE = re.compile(r"\bEND\s+(?:FOR|WHILE|LOOP)\b", re.I)
+_IF_OPEN_RE = re.compile(r"\bIF\s*\(", re.I)
+_IF_CLOSE_RE = re.compile(r"\bEND\s+IF\b", re.I)
+
+
+def _net_depth(piece: str, open_re: re.Pattern, close_re: re.Pattern,
+               skip_else_if: bool = False) -> int:
+    """opens - closes for one ';'-split piece, skipping string literals
+    (and ``ELSE IF (`` when counting IF opens — it continues the same
+    IF construct rather than opening a nested one)."""
+    from ..executor import _inside_string
+
+    opens = 0
+    for m in open_re.finditer(piece):
+        if _inside_string(piece, m.start()):
+            continue
+        if skip_else_if and re.search(r"\bELSE\s*$", piece[:m.start()], re.I):
+            continue
+        opens += 1
+    closes = sum(1 for m in close_re.finditer(piece)
+                 if not _inside_string(piece, m.start()))
+    return opens - closes
+
+
+def _collect_construct(stmts: list[str], i: int, open_re: re.Pattern,
+                       close_re: re.Pattern,
+                       skip_else_if: bool = False) -> tuple[list[str], int]:
+    """Collect the pieces of one construct starting at stmts[i] until
+    its opens and closes balance (depth-aware: nested same-kind
+    constructs inside the body are swallowed into the group)."""
+    group = [stmts[i].strip()]
+    depth = _net_depth(group[0], open_re, close_re, skip_else_if)
+    while depth > 0 and i + 1 < len(stmts):
+        i += 1
+        piece = stmts[i].strip()
+        group.append(piece)
+        depth += _net_depth(piece, open_re, close_re, skip_else_if)
+    return group, i
+
+
 def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
                result_col: str, declared: str | None) -> Result:
     last: Result | None = None
@@ -392,19 +438,12 @@ def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
     while i < len(stmts):
         st = stmts[i].strip()
         if re.match(r"^IF\b", st, re.I):
-            group = [st]
-            while (not re.search(r"\bEND\s+IF$", group[-1].strip(), re.I)
-                   and i + 1 < len(stmts)):
-                i += 1
-                group.append(stmts[i].strip())
+            group, i = _collect_construct(stmts, i, _IF_OPEN_RE,
+                                          _IF_CLOSE_RE, skip_else_if=True)
             kind, value = _run_if(engine, ctx, group, variables)
         elif re.match(r"^(FOR|WHILE)\b", st, re.I):
-            group = [st]
-            while (not re.search(r"\bEND\s+(FOR|WHILE|LOOP)(\s+\w+)?$",
-                                 group[-1].strip(), re.I)
-                   and i + 1 < len(stmts)):
-                i += 1
-                group.append(stmts[i].strip())
+            group, i = _collect_construct(stmts, i, _LOOP_OPEN_RE,
+                                          _LOOP_CLOSE_RE)
             kind, value = _run_loop(engine, ctx, group, variables)
         else:
             kind, value = _exec_stmt(engine, ctx, st, variables)
@@ -448,6 +487,15 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
             tail = end_tail.sub("", group[-1].strip()).strip()
         return [p for p in [after_do.strip(), *middle, tail] if p]
 
+    # cursor form FIRST: with nested loops, the non-greedy range regex
+    # could otherwise span the cursor header's DO to find a nested
+    # loop's TO ("FOR rec IN cur DO FOR i IN 1 TO n DO ...")
+    cfm = re.match(
+        r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+([A-Za-z_]\w*)\s+(?:DO|LOOP)\b(.*)$",
+        first, re.I | re.S)
+    if cfm and isinstance(variables.get(cfm.group(2).upper()), _CursorDef):
+        return _run_cursor_loop(engine, ctx, cfm, body_pieces(cfm.group(3)),
+                                variables)
     fm = re.match(
         r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s+TO\s+(.+?)\s+"
         r"(?:DO|LOOP)\b(.*)$",
@@ -478,12 +526,6 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
             else:
                 variables[var] = saved
         return "none", None
-    cfm = re.match(
-        r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+([A-Za-z_]\w*)\s+(?:DO|LOOP)\b(.*)$",
-        first, re.I | re.S)
-    if cfm and isinstance(variables.get(cfm.group(2).upper()), _CursorDef):
-        return _run_cursor_loop(engine, ctx, cfm, body_pieces(cfm.group(3)),
-                                variables)
     if re.match(r"^FOR\b", first, re.I):
         raise NotImplementedError(
             "only range FOR loops (FOR i IN lo TO hi DO ...) and cursor "
@@ -556,7 +598,10 @@ def _run_cursor_loop(engine, ctx, cfm: re.Match, pieces: list[str],
 
 
 def _run_body(engine, ctx, pieces: list[str], variables: dict):
-    """Execute a loop body (';'-split pieces; may contain IF groups).
+    """Execute a loop or IF-branch body (';'-split pieces; may contain
+    nested IF and FOR/WHILE groups — BREAK/CONTINUE bind to the
+    INNERMOST enclosing loop, Snowflake semantics: an inner loop's
+    _run_loop consumes its own break/continue and returns 'none').
     Returns ('none'|'return'|'break'|'continue', value)."""
     i = 0
     while i < len(pieces):
@@ -565,15 +610,13 @@ def _run_body(engine, ctx, pieces: list[str], variables: dict):
             i += 1
             continue
         if re.match(r"^IF\b", st, re.I):
-            group = [st]
-            while (not re.search(r"\bEND\s+IF$", group[-1].strip(), re.I)
-                   and i + 1 < len(pieces)):
-                i += 1
-                group.append(pieces[i].strip())
+            group, i = _collect_construct(pieces, i, _IF_OPEN_RE,
+                                          _IF_CLOSE_RE, skip_else_if=True)
             kind, value = _run_if(engine, ctx, group, variables)
         elif re.match(r"^(FOR|WHILE)\b", st, re.I):
-            raise NotImplementedError(
-                "nested loops are not supported in this scripting subset")
+            group, i = _collect_construct(pieces, i, _LOOP_OPEN_RE,
+                                          _LOOP_CLOSE_RE)
+            kind, value = _run_loop(engine, ctx, group, variables)
         else:
             kind, value = _exec_stmt(engine, ctx, st, variables)
         if kind in ("return", "break", "continue"):
@@ -583,7 +626,11 @@ def _run_body(engine, ctx, pieces: list[str], variables: dict):
 
 
 def _run_if(engine, ctx, group: list[str], variables: dict):
-    """group = the ';'-split pieces of one IF ... END IF construct."""
+    """group = the ';'-split pieces of one IF ... END IF construct
+    (depth-collected, so it may contain NESTED IF and loop groups).
+    Branch boundaries (ELSEIF/ELSE/END IF) are recognized only at
+    nesting depth 0; the chosen branch runs through _run_body, which
+    recursively handles inner constructs."""
     from .. import errors
 
     first = group[0]
@@ -595,41 +642,45 @@ def _run_if(engine, ctx, group: list[str], variables: dict):
     cond = first[open_idx + 1:close_idx]
     after = re.sub(r"^\s*THEN\b", "", first[close_idx + 1:].strip(), flags=re.I)
     branches.append((cond, [after.strip()] if after.strip() else []))
-    for part in group[1:]:
-        up = part.upper()
-        if re.match(r"^IF\b", up):
-            raise NotImplementedError(
-                "nested IF blocks are not supported in this scripting subset")
-        if up == "END IF":
+    # depth of nested IFs already opened inside the first piece's tail
+    depth = _net_depth(after, _IF_OPEN_RE, _IF_CLOSE_RE, skip_else_if=True)
+    parts = list(group[1:])
+    if parts:
+        # the final outer END IF terminates the construct; inner END IFs
+        # remain as body pieces for the recursive _run_body pass
+        parts[-1] = re.sub(r"\bEND\s+IF$", "", parts[-1].strip(),
+                           flags=re.I).strip()
+    for part in parts:
+        if not part:
             continue
-        em = re.match(r"^ELSE\s*IF\b|^ELSEIF\b", part, re.I)
-        if em:
-            o = part.index("(")
-            c = _match_paren(part, o)
-            cond2 = part[o + 1:c]
-            after2 = re.sub(r"^\s*THEN\b", "", part[c + 1:].strip(), flags=re.I)
-            branches.append((cond2, [after2.strip()] if after2.strip() else []))
-            continue
-        if re.match(r"^ELSE\b", part, re.I):
-            rest = part[4:].strip()
-            branches.append((None, [rest] if rest else []))
-            continue
-        tail = re.sub(r"\bEND\s+IF$", "", part, flags=re.I).strip()
-        if tail:
-            branches[-1][1].append(tail)
-    for _c, stmts in branches:
-        for st in stmts:
-            if re.match(r"^IF\b", st.strip(), re.I):
-                raise NotImplementedError(
-                    "nested IF blocks are not supported in this scripting subset")
+        if depth == 0:
+            em = re.match(r"^ELSE\s*IF\b|^ELSEIF\b", part, re.I)
+            if em:
+                o = part.index("(")
+                c = _match_paren(part, o)
+                cond2 = part[o + 1:c]
+                after2 = re.sub(r"^\s*THEN\b", "", part[c + 1:].strip(),
+                                flags=re.I)
+                branches.append(
+                    (cond2, [after2.strip()] if after2.strip() else []))
+                depth += _net_depth(after2, _IF_OPEN_RE, _IF_CLOSE_RE,
+                                    skip_else_if=True)
+                continue
+            if re.match(r"^ELSE\b", part, re.I):
+                rest = part[4:].strip()
+                branches.append((None, [rest] if rest else []))
+                depth += _net_depth(rest, _IF_OPEN_RE, _IF_CLOSE_RE,
+                                    skip_else_if=True)
+                continue
+        branches[-1][1].append(part)
+        depth += _net_depth(part, _IF_OPEN_RE, _IF_CLOSE_RE,
+                            skip_else_if=True)
+    if depth != 0:
+        raise errors.syntax_error("unbalanced IF/END IF nesting")
     for cond, stmts in branches:
         if cond is None or _eval_cond(engine, ctx, cond, variables):
-            for st in stmts:
-                kind, value = _exec_stmt(engine, ctx, st, variables)
-                if kind in ("return", "break", "continue"):
-                    # break/continue propagate to the enclosing loop
-                    return kind, value
-            return "none", None
+            # break/continue propagate to the enclosing loop
+            return _run_body(engine, ctx, stmts, variables)
     return "none", None
 
 
@@ -637,9 +688,13 @@ def _exec_stmt(engine, ctx, st: str, variables: dict):
     st = st.strip()
     if not st:
         return "none", None
+    if re.match(r"^(BREAK|EXIT|CONTINUE|ITERATE)\s+[A-Za-z_]\w*$", st, re.I):
+        raise NotImplementedError(
+            "labeled BREAK/CONTINUE is not supported in this scripting "
+            "subset — bare BREAK/CONTINUE binds to the innermost loop")
     if re.match(r"^(BREAK|EXIT)$", st, re.I):
         return "break", None
-    if re.match(r"^CONTINUE$", st, re.I):
+    if re.match(r"^(CONTINUE|ITERATE)$", st, re.I):
         return "continue", None
     if re.match(r"^(OPEN|FETCH|CLOSE)\b", st, re.I):
         raise NotImplementedError(

@@ -117,12 +117,18 @@ def test_procedure_dml_side_effects(engine):
 
 
 def test_scripting_restrictions_raise(engine):
+    """Nested IF now WORKS (v3 depth-aware grouping); the remaining
+    restriction is labeled BREAK/CONTINUE."""
     ctx = SessionContext()
-    with pytest.raises(NotImplementedError, match="nested IF"):
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "IF (1 = 1) THEN IF (2 = 2) THEN RETURN 1; END IF; END IF; "
+        "RETURN 0; END $$", ctx)
+    assert _rows(res) == [(1,)]
+    with pytest.raises(NotImplementedError, match="labeled"):
         engine.execute(
             "EXECUTE IMMEDIATE $$ BEGIN "
-            "IF (1 = 1) THEN IF (2 = 2) THEN RETURN 1; END IF; END IF; "
-            "END $$", ctx)
+            "WHILE (1 = 1) DO CONTINUE lbl; END WHILE; END $$", ctx)
 
 
 def test_execute_immediate_session_variable(engine):
@@ -293,13 +299,15 @@ def test_for_loop_return_inside(engine):
     assert _rows(res) == [(5,)]
 
 
-def test_nested_loops_raise(engine):
+def test_nested_loops_single_piece_header(engine):
+    """Nested loops work even when both headers share one ';'-piece
+    (the depth counter counts per-piece opens, not pieces)."""
     ctx = SessionContext()
-    with pytest.raises(NotImplementedError, match="nested loops"):
-        engine.execute(
-            "EXECUTE IMMEDIATE $$ BEGIN "
-            "FOR i IN 1 TO 2 DO FOR j IN 1 TO 2 DO LET x := 1; END FOR; END FOR; "
-            "RETURN 0; END $$", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE x NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 2 DO FOR j IN 1 TO 2 DO LET x := x + 1; END FOR; END FOR; "
+        "RETURN x; END $$", ctx)
+    assert _rows(res) == [(4,)]
 
 
 def test_cursor_for_loop_raises(engine):
@@ -479,3 +487,130 @@ def test_while_false_condition_never_runs(engine):
         "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 7; BEGIN "
         "WHILE (1 = 2) DO LET n := 0; END WHILE; RETURN n; END $$", ctx)
     assert _rows(res) == [(7,)]
+
+
+def test_nested_for_loops(engine):
+    """2-level FOR nesting: depth-aware grouping sends each END FOR to
+    its own loop (r5 verdict item 5)."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 3 DO "
+        "  FOR j IN 1 TO 4 DO LET n := n + 1; END FOR; "
+        "END FOR; RETURN n; END $$", ctx)
+    assert _rows(res) == [(12,)]
+
+
+def test_nested_loop_counters_compose(engine):
+    """Inner body sees BOTH counters; the inner counter is re-scoped
+    per outer iteration."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 3 DO "
+        "  FOR j IN 1 TO 2 DO LET n := n + i * 10 + j; END FOR; "
+        "END FOR; RETURN n; END $$", ctx)
+    # sum over i=1..3, j=1..2 of (10i + j) = 20+40+60 + 3*(1+2) wait:
+    # per i: (10i+1)+(10i+2) = 20i+3 -> 23+43+63 = 129
+    assert _rows(res) == [(129,)]
+
+
+def test_nested_break_binds_innermost(engine):
+    """BREAK exits only the INNER loop: the outer completes all its
+    iterations (Snowflake unlabeled-BREAK semantics)."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 3 DO "
+        "  FOR j IN 1 TO 100 DO LET n := n + 1; BREAK; END FOR; "
+        "  LET n := n + 10; "
+        "END FOR; RETURN n; END $$", ctx)
+    # inner contributes 1 per outer iter (break after first), +10 after
+    assert _rows(res) == [(33,)]
+
+
+def test_nested_continue_binds_innermost(engine):
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 2 DO "
+        "  FOR j IN 1 TO 3 DO CONTINUE; LET n := n + 100; END FOR; "
+        "  LET n := n + 1; "
+        "END FOR; RETURN n; END $$", ctx)
+    assert _rows(res) == [(2,)]
+
+
+def test_nested_while_in_for_with_if(engine):
+    """FOR wrapping WHILE wrapping IF: three construct kinds nested."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; "
+        "k NUMBER DEFAULT 0; BEGIN "
+        "FOR i IN 1 TO 2 DO "
+        "  LET k := 0; "
+        "  WHILE (k < 3) DO "
+        "    LET k := k + 1; "
+        "    IF (k = 2) THEN CONTINUE; END IF; "
+        "    LET n := n + 1; "
+        "  END WHILE; "
+        "END FOR; RETURN n; END $$", ctx)
+    # per outer iter: k=1 count, k=2 skipped, k=3 count -> 2; total 4
+    assert _rows(res) == [(4,)]
+
+
+def test_nested_if_blocks(engine):
+    """Nested IF inside IF, including an inner ELSE that must not be
+    mistaken for the outer IF's ELSE."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; BEGIN "
+        "IF (1 = 1) THEN "
+        "  IF (2 = 3) THEN LET n := 100; "
+        "  ELSE LET n := 5; "
+        "  END IF; "
+        "  LET n := n + 1; "
+        "ELSE "
+        "  LET n := 999; "
+        "END IF; RETURN n; END $$", ctx)
+    assert _rows(res) == [(6,)]
+
+
+def test_nested_return_from_inner_loop(engine):
+    """RETURN inside the innermost loop unwinds the whole block."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ BEGIN "
+        "FOR i IN 1 TO 100 DO "
+        "  FOR j IN 1 TO 100 DO "
+        "    IF (i * 10 + j = 23) THEN RETURN i * 100 + j; END IF; "
+        "  END FOR; "
+        "END FOR; RETURN -1; END $$", ctx)
+    # first hit is i=1, j=13 (1*10+13 = 23) -> 1*100+13
+    assert _rows(res) == [(113,)]
+
+
+def test_labeled_break_raises(engine):
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    with _pytest.raises(NotImplementedError, match="labeled"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ BEGIN "
+            "FOR i IN 1 TO 2 DO BREAK outer_label; END FOR; "
+            "RETURN 0; END $$", ctx)
+
+
+def test_nested_cursor_loop_with_inner_for(engine):
+    """Cursor FOR loop wrapping a range FOR loop: rec.col substitution
+    must survive into the nested body."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE nst_t (v INTEGER)", ctx)
+    engine.execute("INSERT INTO nst_t VALUES (2), (3)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE n NUMBER DEFAULT 0; "
+        "cur CURSOR FOR SELECT v FROM nst_t ORDER BY v; BEGIN "
+        "FOR rec IN cur DO "
+        "  FOR i IN 1 TO rec.v DO LET n := n + rec.v; END FOR; "
+        "END FOR; RETURN n; END $$", ctx)
+    # v=2: 2 iters of +2 = 4; v=3: 3 iters of +3 = 9 -> 13
+    assert _rows(res) == [(13,)]
