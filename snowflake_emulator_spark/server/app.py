@@ -44,7 +44,7 @@ from urllib.parse import parse_qs
 from .. import config, errors
 from ..engine import Engine
 from ..executor import SessionContext
-from ..plans.classifier import classify
+from ..plans.classifier import StatementType, classify
 from ..sessions import SessionManager, extract_token
 from ..statements import StatementManager, StatementStatus
 
@@ -247,6 +247,24 @@ class SnowflakeServer:
             ctx = sess.context()
             cls = classify(sql)
             qid = "01" + format(int(time.time() * 1000), "x") + "-" + uuid.uuid4().hex[:12]
+            # describeOnly (gosnowflake PrepareContext / metadata
+            # pre-fetch): return the result schema WITHOUT executing —
+            # a LIMIT 0 plan for queries (no data scanned, no side
+            # effects), and an empty statement-shaped payload otherwise
+            if body.get("describeOnly"):
+                data = {"queryId": qid, "total": 0, "returned": 0,
+                        "statementTypeId": cls.statement_type_id,
+                        "queryResultFormat": config.QUERY_RESULT_FORMAT_JSON,
+                        "rowset": []}
+                if cls.type == StatementType.QUERY:
+                    df = self.engine.executor.query_df(sql, ctx, bindings)
+                    from ..result import Result as _R
+
+                    data["rowtype"] = _R.from_dataframe(
+                        df.limit(0)).row_type()
+                else:
+                    data["rowtype"] = []
+                return {"data": data, "success": True}, 200
             # run inside a per-query Spark job group so an abort-request
             # (by gosnowflake requestId or by our queryId) can interrupt
             # the running jobs from another thread
