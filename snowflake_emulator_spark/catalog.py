@@ -242,6 +242,9 @@ class Catalog:
         # -> set of protected version numbers): GC must not delete them
         # and COPY fast-append must not mutate them
         self._protected: dict[tuple[str, str, str], set[int]] = {}
+        # time-travel read pins: key -> {version: [pin timestamps]}
+        # (see pin_version_for_read below)
+        self._tt_pins: dict[tuple[str, str, str], dict[int, list[float]]] = {}
         # thread-local sink collecting table keys written by the
         # statement currently executing on this thread (set by
         # Engine.execute while a transaction is open, so ROLLBACK can
@@ -655,7 +658,8 @@ class Catalog:
             key = (tm.database, tm.schema, tm.name)
             with self._lock:
                 pinned = tm.version in (
-                    self._protected.get(key, set()) | self._stream_pins(key))
+                    self._protected.get(key, set()) | self._stream_pins(key)
+                    | self._read_pins(key))
             if pinned:
                 src_dir = tm.version_path()
                 new_version = tm.version + 1
@@ -700,13 +704,44 @@ class Catalog:
         # restore it (see Engine transaction handling); likewise a
         # stream's offset version must stay readable for the diff
         key = (tm.database, tm.schema, tm.name)
-        protected = self._protected.get(key, set()) | self._stream_pins(key)
+        protected = (self._protected.get(key, set()) | self._stream_pins(key)
+                     | self._read_pins(key))
         versions = sorted(
             (int(d[1:]) for d in os.listdir(tm.location) if re.fullmatch(r"v\d+", d)),
         )
         for v in versions[:-keep]:
             if v != tm.version and v not in protected:
                 shutil.rmtree(os.path.join(tm.location, f"v{v}"), ignore_errors=True)
+
+    # ---------------- time-travel read pins ----------------
+    # an AT(...) read pins its resolved version for the duration of the
+    # executing statement so concurrent writers' GC cannot delete the
+    # version dir mid-read. Pins are counted (concurrent readers of the
+    # same version) and carry a timestamp: a pin older than
+    # _READ_PIN_TTL seconds is ignored by GC, so a leaked pin (a lazy
+    # DataFrame handed out by query_df and never consumed) degrades to
+    # the old behavior instead of pinning disk forever.
+
+    _READ_PIN_TTL = 600.0
+
+    def pin_version_for_read(self, key: tuple[str, str, str], v: int) -> None:
+        with self._lock:
+            self._tt_pins.setdefault(key, {}).setdefault(v, []).append(time.time())
+
+    def unpin_version_for_read(self, key: tuple[str, str, str], v: int) -> None:
+        with self._lock:
+            stamps = self._tt_pins.get(key, {}).get(v)
+            if stamps:
+                stamps.pop()
+                if not stamps:
+                    self._tt_pins[key].pop(v, None)
+                    if not self._tt_pins[key]:
+                        self._tt_pins.pop(key, None)
+
+    def _read_pins(self, key: tuple[str, str, str]) -> set[int]:
+        now = time.time()
+        return {v for v, stamps in self._tt_pins.get(key, {}).items()
+                if any(now - t < self._READ_PIN_TTL for t in stamps)}
 
     def set_protected_versions(self, protected: dict[tuple[str, str, str], set[int]] | None) -> None:
         """Versions pinned by open transaction snapshots (union over all

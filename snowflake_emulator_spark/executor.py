@@ -59,6 +59,14 @@ def _result_scan_view_name(qid: str) -> str:
     return "__result_scan_" + re.sub(r"\W", "_", qid.lower())
 
 
+# Snowflake's time-travel error shape (error 002003-adjacent wording):
+# raised when the requested version/timestamp falls outside retention
+# or the version dir was GC'd before the read could pin it
+_TT_UNAVAILABLE = ("Time travel data is not available for table {}. "
+                   "The requested time is either beyond the allowed time "
+                   "travel period or before the object creation time.")
+
+
 _LAST_QID_RE = re.compile(r"\bLAST_QUERY_ID\s*\(\s*\)", re.I)
 
 _CREATE_DB_RE = re.compile(
@@ -298,6 +306,11 @@ class Executor:
         self.spark = spark
         self.catalog = catalog
         self.translator = Translator()
+        # per-thread stack of (table key, version) pins taken by AT()
+        # time-travel reads in the statement currently executing on
+        # this thread; released in execute()'s finally (recursion-safe
+        # via depth snapshots)
+        self._tt_local = threading.local()
         # query-history log (reference persists to its metadata store,
         # pkg/metadata/repository.go:1213-1378). Persisted as an
         # append-only JSONL under the warehouse dir — the metadata-store
@@ -350,6 +363,9 @@ class Executor:
         entry = {"sql": sql, "status": "RUNNING", "start": started, "rows": 0,
                  "error": None, "query_id": qid}
         self.history.append(entry)
+        if getattr(self._tt_local, "pins", None) is None:
+            self._tt_local.pins = []
+        tt_depth = len(self._tt_local.pins)
         try:
             res = self._dispatch(sql, ctx, bindings)
             entry["status"] = "SUCCESS"
@@ -367,6 +383,11 @@ class Executor:
             entry["error"] = str(e)
             raise errors.from_spark(e) from e
         finally:
+            # release the AT() read pins THIS call took (recursion-safe:
+            # a nested execute releases only pins above its own depth)
+            while len(self._tt_local.pins) > tt_depth:
+                key, version = self._tt_local.pins.pop()
+                self.catalog.unpin_version_for_read(key, version)
             entry["ms"] = int((time.time() - started) * 1000)
             self._persist_history(entry)
 
@@ -837,6 +858,19 @@ class Executor:
             except errors.SnowflakeError:
                 return m.group(0)  # not a catalog table: leave untouched
             version = self._pick_version(tm, kind, value)
+            # pin the resolved version so a concurrent writer's GC
+            # cannot delete the dir mid-read; released at the end of
+            # the executing statement (execute()'s finally). Pin FIRST,
+            # then re-check the dir: if GC won the race the check
+            # fails and we raise the Snowflake-shaped error instead of
+            # reading a half-deleted version.
+            key = (tm.database, tm.schema, tm.name)
+            self.catalog.pin_version_for_read(key, version)
+            if getattr(self._tt_local, "pins", None) is None:
+                self._tt_local.pins = []
+            self._tt_local.pins.append((key, version))
+            if not os.path.isdir(tm.version_path(version)):
+                raise errors.execution_error(_TT_UNAVAILABLE.format(tm.name))
             view = f"{tm.physical}__at_v{version}"
             self.spark.read.schema(tm.spark_schema()).parquet(
                 tm.version_path(version)
@@ -857,8 +891,8 @@ class Executor:
             v = int(value.strip().strip("'\""))
             if v not in versions:
                 raise errors.execution_error(
-                    f"time travel: version {v} of {tm.name} not in retention "
-                    f"(available: {versions})"
+                    _TT_UNAVAILABLE.format(tm.name)
+                    + f" (version {v} requested; retained: {versions})"
                 )
             return v
         if kind == "OFFSET":
@@ -877,8 +911,8 @@ class Executor:
         ]
         if not eligible:
             raise errors.execution_error(
-                f"time travel: no version of {tm.name} at or before the requested time "
-                f"(earliest retained version is v{versions[0]})"
+                _TT_UNAVAILABLE.format(tm.name)
+                + f" (earliest retained version is v{versions[0]})"
             )
         return eligible[-1]
 

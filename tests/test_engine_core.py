@@ -828,3 +828,86 @@ def test_external_table_over_stage(engine, tmp_path):
 
     with _pytest.raises(Exception):
         engine.execute("INSERT INTO ext_t VALUES (9, 'z')", ctx)
+
+
+def test_time_travel_error_shape_out_of_retention(engine):
+    """AT() beyond retention raises Snowflake's 'Time travel data is
+    not available' message shape (r5 verdict item 8)."""
+    import pytest as _pytest
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tt_err (id INTEGER)", ctx)
+    engine.execute("INSERT INTO tt_err VALUES (1)", ctx)
+    with _pytest.raises(Exception, match="Time travel data is not available"):
+        engine.execute("SELECT * FROM tt_err AT(VERSION => 999)", ctx)
+    with _pytest.raises(Exception, match="Time travel data is not available"):
+        engine.execute(
+            "SELECT * FROM tt_err AT(TIMESTAMP => '1990-01-01 00:00:00')", ctx)
+
+
+def test_time_travel_read_pin_blocks_gc(engine):
+    """A pinned AT() version survives _gc_versions even when retention
+    would collect it; unpinning releases it to the next GC."""
+    import os
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tt_pin (id INTEGER)", ctx)
+    engine.execute("INSERT INTO tt_pin VALUES (1)", ctx)
+    engine.execute("ALTER TABLE tt_pin SET DATA_RETENTION_VERSIONS = 1", ctx)
+    tm = engine.catalog.get_table("tt_pin", ctx.database, ctx.schema)
+    key = (tm.database, tm.schema, tm.name)
+    pinned_v = tm.version
+    engine.catalog.pin_version_for_read(key, pinned_v)
+    try:
+        for i in range(4):
+            engine.execute(f"UPDATE tt_pin SET id = {i + 10}", ctx)
+        assert os.path.isdir(tm.version_path(pinned_v)), (
+            "GC deleted a version pinned by an in-flight AT() read")
+    finally:
+        engine.catalog.unpin_version_for_read(key, pinned_v)
+    engine.execute("UPDATE tt_pin SET id = 99", ctx)
+    assert not os.path.isdir(tm.version_path(pinned_v)), (
+        "unpinned version should be GC'd on the next write")
+
+
+def test_time_travel_reads_concurrent_with_gc_churn(engine):
+    """r5 verdict item 8: AT-version readers racing an UPDATE/MERGE
+    churn loop under retention=1 must never observe a half-deleted
+    version — every read either succeeds with consistent rows or
+    raises the Snowflake 'Time travel data is not available' error."""
+    import threading
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tt_race (id INTEGER, v INTEGER)", ctx)
+    engine.execute("INSERT INTO tt_race VALUES (1, 0), (2, 0)", ctx)
+    engine.execute("ALTER TABLE tt_race SET DATA_RETENTION_VERSIONS = 1", ctx)
+    tm = engine.catalog.get_table("tt_race", ctx.database, ctx.schema)
+
+    stop = threading.Event()
+    bad: list[str] = []
+
+    def reader():
+        rctx = SessionContext()
+        while not stop.is_set():
+            v = tm.version  # race on purpose: may be GC'd mid-read
+            try:
+                res = engine.execute(
+                    f"SELECT count(*) AS n FROM tt_race AT(VERSION => {v})",
+                    rctx)
+                if res.rows[0][0] != 2:
+                    bad.append(f"row-count {res.rows[0][0]} at v{v}")
+            except Exception as e:
+                if "Time travel data is not available" not in str(e):
+                    bad.append(f"v{v}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(10):
+            engine.execute(f"UPDATE tt_race SET v = {i} WHERE id = 1", ctx)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not bad, bad
