@@ -82,6 +82,10 @@ AUDIT = [
     # multi-resolution rollup: GROUPING SETS must plan as ONE scan +
     # Expand + partial agg + ONE hash exchange (never one job per grain)
     ("events_multires_rollup", ["Expand", "HashAggregate"]),
+    # multi-distinct: Expand is DELIBERATE and measured-minimal (one
+    # fact scan; shuffle carries only distinct pairs — see the r6 plan
+    # note at inventory._AGG_CD; two-pipeline rewrite was 30% slower)
+    ("agg_count_distinct", ["Expand", "HashAggregate"]),
     # cohort: first-seen agg joins activity — hash join, no full-table
     # window, no nested loop
     ("events_cohort_retention", ["HashAggregate", "!BroadcastNestedLoopJoin"]),

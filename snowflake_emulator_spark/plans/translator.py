@@ -1645,12 +1645,30 @@ class Translator:
         if fname == "HLL":
             # HyperLogLog distinct-count sketch
             return f"approx_count_distinct({', '.join(args)})"
+        if fname == "INITCAP":
+            # Snowflake INITCAP treats EVERY non-alphanumeric char as a
+            # word delimiter; Spark's initcap only splits on whitespace
+            # ('4-not specified' -> Snowflake '4-Not Specified', Spark
+            # '4-not Specified' — found by the r6 differential fuzz).
+            # Per-char transform with index: uppercase a char at the
+            # start or after a non-alphanumeric, lowercase the rest.
+            if len(args) != 1:
+                raise NotImplementedError(
+                    "INITCAP with an explicit delimiter set is not supported")
+            x = args[0]
+            return (
+                f"array_join(transform(split(lower({x}), ''), (c, i) -> "
+                f"CASE WHEN i = 0 OR substr(lower({x}), i, 1) "
+                f"RLIKE '[^a-z0-9]' THEN upper(c) ELSE c END), '')"
+            )
         if fname in ("TRUNC", "TRUNCATE"):
             # dual-mode: TRUNC(x, 'PART') truncates a date/timestamp;
             # TRUNC(x, n) truncates a number toward zero (floor rounds
             # toward -inf, so route through a BIGINT cast instead).
-            # 1-arg numeric TRUNC passes through unhandled — type
-            # information isn't available textually.
+            # 1-arg TRUNC is ALWAYS numeric in Snowflake (the date
+            # overload requires the part argument), truncating toward
+            # zero — Spark's 1-arg trunc is date-only and would error
+            # (found by the r6 differential fuzz harness).
             if len(args) == 2:
                 p = args[1].strip()
                 m = re.match(r"^'(\w+)'$", p)
@@ -1660,7 +1678,7 @@ class Translator:
                     f"(CAST(CAST(({args[0]}) * pow(10, {p}) AS BIGINT) AS DOUBLE)"
                     f" / pow(10, {p}))"
                 )
-            return f"TRUNC({', '.join(args)})"
+            return f"CAST(CAST(({args[0]}) AS BIGINT) AS DOUBLE)"
         raise AssertionError(f"no emitter for {fname}")  # pragma: no cover
 
     def _emit_dateadd(self, args: list[str]) -> str:
@@ -1799,6 +1817,7 @@ class Translator:
 _REWRITABLE = {
     "CAST",
     "IFF",
+    "INITCAP",
     "FLATTEN",
     "OBJECT_CONSTRUCT",
     "TO_VARIANT",

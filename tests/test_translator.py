@@ -314,8 +314,12 @@ def test_qualify_ignores_nested():
         ),
         # pass-throughs shared by Spark and Snowflake
         ("SELECT SPLIT_PART(s, '-', 2) FROM t", "SELECT SPLIT_PART(s, '-', 2) FROM t"),
+        # INITCAP rewrites to Snowflake's any-non-alphanumeric-delimiter
+        # semantics (Spark's initcap only splits on whitespace)
         ("SELECT INITCAP(s), TRANSLATE(s, 'ab', 'xy') FROM t",
-         "SELECT INITCAP(s), TRANSLATE(s, 'ab', 'xy') FROM t"),
+         "SELECT array_join(transform(split(lower(s), ''), (c, i) -> "
+         "CASE WHEN i = 0 OR substr(lower(s), i, 1) RLIKE '[^a-z0-9]' "
+         "THEN upper(c) ELSE c END), ''), TRANSLATE(s, 'ab', 'xy') FROM t"),
     ],
 )
 def test_round2_function_surface(sql, expected):
