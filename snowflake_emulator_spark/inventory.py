@@ -99,6 +99,9 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from .functions.textsim import register_text_similarity
+
+    register_text_similarity(spark)
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
@@ -3740,6 +3743,82 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
 """
 
+# Text-similarity family (r6): JAROWINKLER_SIMILARITY (Arrow-batched
+# pandas UDF, functions/textsim.py — Snowflake's case-insensitive
+# 0-100 integer) + EDITDISTANCE over adjacent customer-name pairs.
+# Oracle: DuckDB's native jaro_winkler_similarity over lowercased
+# inputs + levenshtein.
+_SF_TEXTSIM = """
+WITH pairs AS (
+  SELECT c_custkey, c_name,
+         LEAD(c_name) OVER (ORDER BY c_custkey) AS next_name
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT c_custkey,
+       CAST(JAROWINKLER_SIMILARITY(c_name, next_name) AS BIGINT) AS jw,
+       CAST(EDITDISTANCE(c_name, next_name) AS BIGINT) AS ed
+FROM pairs WHERE next_name IS NOT NULL ORDER BY c_custkey
+"""
+_SF_TEXTSIM_ORACLE = """
+WITH pairs AS (
+  SELECT c_custkey, c_name,
+         LEAD(c_name) OVER (ORDER BY c_custkey) AS next_name
+  FROM customer WHERE c_custkey <= 300
+)
+SELECT c_custkey,
+       CAST(round(jaro_winkler_similarity(lower(c_name), lower(next_name)) * 100) AS BIGINT) AS jw,
+       CAST(levenshtein(c_name, next_name) AS BIGINT) AS ed
+FROM pairs WHERE next_name IS NOT NULL ORDER BY c_custkey
+"""
+
+# Sample-moment aggregates (r6): Snowflake SKEW/KURTOSIS are SAMPLE
+# statistics (the translator converts Spark's population builtins with
+# the exact G1/G2 formulas); DuckDB's skewness/kurtosis are sample
+# statistics natively, so they oracle directly. Rounded to absorb the
+# different summation orders' ulps.
+_SF_MOMENTS = """
+SELECT l_returnflag,
+       ROUND(SKEW(l_extendedprice), 6) AS skew_price,
+       ROUND(KURTOSIS(l_extendedprice), 6) AS kurt_price,
+       ROUND(SKEW(l_quantity), 6) AS skew_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+_SF_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       round(skewness(l_extendedprice), 6) AS skew_price,
+       round(kurtosis(l_extendedprice), 6) AS kurt_price,
+       round(skewness(l_quantity), 6) AS skew_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# Hyperbolic + bit functions + fractional month arithmetic (r6 batch):
+# all Spark-native passthroughs; DuckDB lacks sinh/cosh/tanh so the
+# oracle replays the exp() definitions.
+_SF_HYPERBOLIC = """
+SELECT n_nationkey,
+       ROUND(SINH(n_nationkey / 10.0), 6) AS sh,
+       ROUND(COSH(n_nationkey / 10.0), 6) AS ch,
+       ROUND(TANH(n_nationkey / 10.0), 6) AS th,
+       CAST(GETBIT(n_nationkey, 2) AS INTEGER) AS bit2,
+       BITSHIFTLEFT(n_nationkey, 3) AS shl,
+       BITSHIFTRIGHT(n_nationkey, 1) AS shr,
+       CAST(MONTHS_BETWEEN(DATE_TRUNC('month', DATE '1998-06-01'),
+            DATE_TRUNC('month', DATEADD(month, -n_nationkey, DATE '1998-06-01'))) AS BIGINT) AS mb
+FROM nation ORDER BY n_nationkey
+"""
+_SF_HYPERBOLIC_ORACLE = """
+SELECT n_nationkey,
+       round((exp(n_nationkey / 10.0) - exp(-n_nationkey / 10.0)) / 2, 6) AS sh,
+       round((exp(n_nationkey / 10.0) + exp(-n_nationkey / 10.0)) / 2, 6) AS ch,
+       round((exp(n_nationkey / 5.0) - 1) / (exp(n_nationkey / 5.0) + 1), 6) AS th,
+       CAST((n_nationkey >> 2) & 1 AS INTEGER) AS bit2,
+       n_nationkey << 3 AS shl,
+       n_nationkey >> 1 AS shr,
+       CAST(n_nationkey AS BIGINT) AS mb
+FROM nation ORDER BY n_nationkey
+"""
+
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -4456,6 +4535,9 @@ REGISTRY: dict[str, tuple] = {
     "sf_haversine_distance": (_snow(_SF_HAVERSINE), _SF_HAVERSINE_ORACLE),
     "sf_bitwise_aggs": (_snow(_SF_BITAGG), _SF_BITAGG_ORACLE),
     "sf_md5_number_halves": (_snow(_SF_MD5NUM), _SF_MD5NUM_ORACLE),
+    "sf_text_similarity": (_snow(_SF_TEXTSIM), _SF_TEXTSIM_ORACLE),
+    "sf_sample_moments": (_snow(_SF_MOMENTS), _SF_MOMENTS_ORACLE),
+    "sf_hyperbolic_bitops": (_snow(_SF_HYPERBOLIC), _SF_HYPERBOLIC_ORACLE),
     "sf_minhash_similarity": (_snow(_SF_MINHASH), _SF_MINHASH_ORACLE),
     "sf_geography_points": (_snow(_SF_GEO), _SF_GEO_ORACLE),
     "sf_array_unique_agg_binary": (_snow(_SF_ARRAGG_BIN), _SF_ARRAGG_BIN_ORACLE),
@@ -4598,7 +4680,10 @@ _SAMPLE_HEAD = [
     "setop_minus_alias", "window_mom_growth", "events_funnel3_strict",
     "rfm_segmentation", "pareto_abc_analysis", "basket_part_pairs",
     "events_gapfill_carry_forward", "sf_conditional_change_event",
-    "sf_nvl_nvl2", "sf_double_colon_cast", "sf_scalar_funcs",
+    # --- new in r6 (never existed before): one slot per new family ---
+    "sf_text_similarity",             # JAROWINKLER pandas UDF + editdist
+    "sf_sample_moments",              # SKEW/KURTOSIS sample-statistic fix
+    "scripted_nested_grid",           # Scripting v3 nested loops
     "sf_codec_hash_funcs", "sf_datetime_build_funcs",
     "sf_haversine_distance", "sf_geography_points",
     "agg_grouping_function", "sf_time_slice_rollup",

@@ -1100,8 +1100,24 @@ class Translator:
                 return f"CASE WHEN ({args[3]}) THEN {overwrite} ELSE {plain} END"
             return plain
         if fname == "SKEW":
-            # Snowflake SKEW == Spark skewness (sample skewness)
-            return f"skewness({', '.join(args)})"
+            # Snowflake SKEW is the SAMPLE skewness G1; Spark's
+            # skewness is the population g1 (verified numerically
+            # against DuckDB's sample skewness, r6). Convert:
+            # G1 = sqrt(n(n-1))/(n-2) * g1, NULL when n < 3.
+            x = args[0]
+            n = f"count({x})"
+            return (f"(CASE WHEN {n} < 3 THEN NULL ELSE "
+                    f"skewness({x}) * sqrt({n} * ({n} - 1.0)) / ({n} - 2.0) "
+                    f"END)")
+        if fname == "KURTOSIS":
+            # Snowflake KURTOSIS is the SAMPLE excess kurtosis G2;
+            # Spark's kurtosis is the population excess g2. Convert:
+            # G2 = ((n-1)/((n-2)(n-3))) * ((n+1) g2 + 6), NULL if n < 4.
+            x = args[0]
+            n = f"count({x})"
+            return (f"(CASE WHEN {n} < 4 THEN NULL ELSE "
+                    f"(({n} - 1.0) / (({n} - 2.0) * ({n} - 3.0))) * "
+                    f"(({n} + 1.0) * kurtosis({x}) + 6.0) END)")
         if fname == "OBJECT_AGG":
             # OBJECT_AGG(k, v) -> one JSON object per group; map entries
             # collected JVM-side, serialized once per group
@@ -1863,6 +1879,7 @@ _REWRITABLE = {
     "TO_TIMESTAMP",
     "TRY_TO_DATE",
     "SKEW",
+    "KURTOSIS",
     "OBJECT_AGG",
     "TO_ARRAY",
     "ARRAY_SUM",

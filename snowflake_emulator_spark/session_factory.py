@@ -38,6 +38,9 @@ def build_spark(app_name: str = "snowflake_emulator_spark", master: str | None =
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from .functions.textsim import register_text_similarity
+
+    register_text_similarity(spark)
     return spark
 
 
@@ -48,4 +51,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    from .functions.textsim import register_text_similarity
+
+    register_text_similarity(spark)
     return spark

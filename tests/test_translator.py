@@ -530,7 +530,16 @@ def test_approx_sketch_rewrites():
 
 
 def test_ordered_aggregate_rewrites():
-    assert translate("SELECT SKEW(x) FROM t") == "SELECT skewness(x) FROM t"
+    # Snowflake SKEW/KURTOSIS are SAMPLE statistics; Spark's builtins
+    # are population — the emitter applies the exact conversion
+    assert translate("SELECT SKEW(x) FROM t") == (
+        "SELECT (CASE WHEN count(x) < 3 THEN NULL ELSE "
+        "skewness(x) * sqrt(count(x) * (count(x) - 1.0)) / (count(x) - 2.0) "
+        "END) FROM t")
+    assert translate("SELECT KURTOSIS(x) FROM t") == (
+        "SELECT (CASE WHEN count(x) < 4 THEN NULL ELSE "
+        "((count(x) - 1.0) / ((count(x) - 2.0) * (count(x) - 3.0))) * "
+        "((count(x) + 1.0) * kurtosis(x) + 6.0) END) FROM t")
     assert translate("SELECT OBJECT_AGG(k, v) FROM t") == \
         "SELECT to_json(map_from_entries(collect_list(struct(k, v)))) FROM t"
     assert translate(
