@@ -3819,6 +3819,35 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# Snowflake-native ASOF JOIN syntax (r6): translator rewrites
+# `ASOF JOIN ... MATCH_CONDITION(l.ts >= r.ts) ON keys` onto the
+# union + last()-window algorithm (one shuffle on the ON keys, no
+# range-join blowup — operators/asof.py's design expressed in SQL).
+# Left-outer semantics like Snowflake; oracle is DuckDB's native
+# ASOF LEFT JOIN. Purchases matched to the user's latest prior view.
+_ASOF_SQL_SYNTAX = """
+SELECT l.event_id, l.user_id,
+       CAST(r.event_id AS BIGINT) AS prior_view_id,
+       DATEDIFF(second, r.ts, l.ts) AS gap_s
+FROM events l ASOF JOIN events r
+MATCH_CONDITION (l.ts > r.ts)
+ON l.user_id = r.user_id
+WHERE l.event_type = 'purchase' AND l.user_id <= 20
+  AND (r.event_type = 'view' OR r.event_type IS NULL)
+ORDER BY l.user_id, l.event_id
+"""
+_ASOF_SQL_SYNTAX_ORACLE = """
+SELECT l.event_id, l.user_id,
+       CAST(r.event_id AS BIGINT) AS prior_view_id,
+       CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS gap_s
+FROM events l ASOF LEFT JOIN events r
+ON l.user_id = r.user_id AND l.ts > r.ts
+WHERE l.event_type = 'purchase' AND l.user_id <= 20
+  AND (r.event_type = 'view' OR r.event_type IS NULL)
+ORDER BY l.user_id, l.event_id
+"""
+
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -4535,6 +4564,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_haversine_distance": (_snow(_SF_HAVERSINE), _SF_HAVERSINE_ORACLE),
     "sf_bitwise_aggs": (_snow(_SF_BITAGG), _SF_BITAGG_ORACLE),
     "sf_md5_number_halves": (_snow(_SF_MD5NUM), _SF_MD5NUM_ORACLE),
+    "asof_join_sql_syntax": (_snow(_ASOF_SQL_SYNTAX), _ASOF_SQL_SYNTAX_ORACLE),
     "sf_text_similarity": (_snow(_SF_TEXTSIM), _SF_TEXTSIM_ORACLE),
     "sf_sample_moments": (_snow(_SF_MOMENTS), _SF_MOMENTS_ORACLE),
     "sf_hyperbolic_bitops": (_snow(_SF_HYPERBOLIC), _SF_HYPERBOLIC_ORACLE),

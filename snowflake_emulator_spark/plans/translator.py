@@ -142,6 +142,7 @@ class Translator:
         if up.startswith(("CREATE", "DROP", "ALTER")):
             return s  # DDL types handled by the catalog layer
         s = self._rewrite_top(s)
+        s = self._rewrite_asof_join(s)
         s = self._rewrite_connect_by(s)
         s = self._rewrite_qualify(s)
         s = self._rewrite_sample(s)
@@ -156,6 +157,109 @@ class Translator:
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
         s = re.sub(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", r"\1EXCEPT (\2)", s, flags=re.I)
         return self.translate_expr(s)
+
+    # -- ASOF JOIN ... MATCH_CONDITION (Snowflake native syntax) ----------
+    # Rewritten onto the union + last()-window algorithm of
+    # operators/asof.py — ONE shuffle on the ON keys, no range-join
+    # blowup (each side is scanned once; the window carries the latest
+    # eligible right ROW as a struct). The right side of a left row
+    # with no eligible match is a NULL struct (Snowflake's outer
+    # semantics). The rewrite exposes each input as a STRUCT column
+    # named by its alias, so qualified references (l.a, r.b, l.*)
+    # resolve as field accesses in the enclosing query; unqualified
+    # column references are not supported (documented restriction).
+    _ASOF_RE = re.compile(
+        r"([\w.\"$]+)\s+(?:AS\s+)?(\w+)\s+ASOF\s+JOIN\s+"
+        r"([\w.\"$]+)\s+(?:AS\s+)?(\w+)\s+MATCH_CONDITION\s*\(",
+        re.I,
+    )
+    _ASOF_ON_RE = re.compile(
+        r"^\s*ON\s+(.*?)(?=\s+(?:WHERE|GROUP|HAVING|QUALIFY|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|MINUS)\b|$)",
+        re.I | re.S,
+    )
+
+    def _rewrite_asof_join(self, s: str) -> str:
+        if "ASOF" not in s.upper():
+            return s
+        m = self._ASOF_RE.search(s)
+        if not m:
+            return s
+        ltab, la, rtab, ra = m.group(1), m.group(2), m.group(3), m.group(4)
+        open_idx = m.end() - 1
+        close_idx = self._match_paren(s, open_idx)
+        cond = s[open_idx + 1:close_idx].strip()
+        cm = re.match(
+            rf"^{re.escape(la)}\.([\w\"$]+)\s*(>=|<=|>|<)\s*"
+            rf"{re.escape(ra)}\.([\w\"$]+)$", cond, re.I)
+        if not cm:
+            # also accept the reversed spelling r.ts <= l.ts etc.
+            cm2 = re.match(
+                rf"^{re.escape(ra)}\.([\w\"$]+)\s*(>=|<=|>|<)\s*"
+                rf"{re.escape(la)}\.([\w\"$]+)$", cond, re.I)
+            if not cm2:
+                raise NotImplementedError(
+                    "ASOF JOIN MATCH_CONDITION must be a single "
+                    "alias-qualified comparison (l.ts >= r.ts)")
+            flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+            lcol, op, rcol = cm2.group(3), flip[cm2.group(2)], cm2.group(1)
+        else:
+            lcol, op, rcol = cm.group(1), cm.group(2), cm.group(3)
+        rest = s[close_idx + 1:]
+        keys: list[tuple[str, str]] = []
+        on_m = self._ASOF_ON_RE.match(rest)
+        consumed = close_idx + 1
+        if on_m:
+            consumed = close_idx + 1 + on_m.end()
+            for part in re.split(r"\s+AND\s+", on_m.group(1).strip(), flags=re.I):
+                km = re.match(
+                    rf"^\s*{re.escape(la)}\.([\w\"$]+)\s*=\s*"
+                    rf"{re.escape(ra)}\.([\w\"$]+)\s*$", part, re.I)
+                if not km:
+                    km2 = re.match(
+                        rf"^\s*{re.escape(ra)}\.([\w\"$]+)\s*=\s*"
+                        rf"{re.escape(la)}\.([\w\"$]+)\s*$", part, re.I)
+                    if not km2:
+                        raise NotImplementedError(
+                            "ASOF JOIN ON must be an AND of alias-"
+                            "qualified equalities")
+                    keys.append((km2.group(2), km2.group(1)))
+                else:
+                    keys.append((km.group(1), km.group(2)))
+        # window direction: >=/> look BACKWARD (latest right at-or-
+        # before); <=/< look FORWARD (earliest right at-or-after).
+        # Ties resolve by ordering the right row before the left one
+        # exactly when the comparison is inclusive.
+        direction = "ASC" if op in (">=", ">") else "DESC"
+        inclusive = op in (">=", "<=")
+        tie = ("ASC" if inclusive else "DESC")  # side 0 (right) first when inclusive
+        part_by = ""
+        if keys:
+            part_by = "PARTITION BY " + ", ".join(
+                f"__k{i}" for i in range(len(keys))) + " "
+        lkeys = ", ".join(f"{la}.{lk} AS __k{i}" for i, (lk, _rk) in enumerate(keys))
+        rkeys = ", ".join(f"{ra}.{rk} AS __k{i}" for i, (_lk, rk) in enumerate(keys))
+        lk_prefix = f"{lkeys}, " if keys else ""
+        rk_prefix = f"{rkeys}, " if keys else ""
+        derived = (
+            f"(SELECT __x.__lrow AS {la}, __x.__m AS {ra} FROM ("
+            f"SELECT __side, __lrow, last(__rrow, true) OVER ({part_by}"
+            f"ORDER BY __t {direction}, __side {tie} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m "
+            f"FROM ("
+            f"SELECT {lk_prefix}{la}.{lcol} AS __t, 1 AS __side, "
+            f"struct({la}.*) AS __lrow, "
+            f"(SELECT first(struct({ra}.*)) FROM {rtab} {ra} WHERE 1=0) AS __rrow "
+            f"FROM {ltab} {la} "
+            f"UNION ALL "
+            f"SELECT {rk_prefix}{ra}.{rcol}, 0, "
+            f"(SELECT first(struct({la}.*)) FROM {ltab} {la} WHERE 1=0), "
+            f"struct({ra}.*) "
+            f"FROM {rtab} {ra}"
+            f") __in) __x WHERE __x.__side = 1) __asof"
+        )
+        out = s[:m.start()] + derived + s[consumed:]
+        # a second ASOF JOIN in the same statement recurses
+        return self._rewrite_asof_join(out)
 
     # -- ARRAY_AGG(x) WITHIN GROUP (ORDER BY k [ASC|DESC]) ----------------
     # Spark's array_agg/collect_list rejects WITHIN GROUP (only
