@@ -461,6 +461,11 @@ class Executor:
                 sm = self.catalog.get_sequence(m.group(1), ctx.database, ctx.schema)
             except errors.SnowflakeError:
                 return m.group(0)  # not a sequence: leave for Spark to resolve
+            if getattr(self._tt_local, "describe_only", False):
+                # describeOnly preparation must not consume sequence
+                # values; the zero-based expression is schema-identical
+                return (f"CAST(0 + monotonically_increasing_id() * "
+                        f"{sm.increment} AS BIGINT)")
             base = self.catalog.reserve_sequence_block(sm)
             return f"CAST({base} + monotonically_increasing_id() * {sm.increment} AS BIGINT)"
 
@@ -540,6 +545,32 @@ class Executor:
         translated = self._resolve_time_travel(translated, ctx)
         resolved = self._resolve_names(translated, ctx)
         return self.spark.sql(resolved)
+
+    def describe_result(self, sql: str, ctx: SessionContext | None = None,
+                        bindings: dict | None = None) -> Result:
+        """Schema-only preparation (REST describeOnly) with NO side
+        effects: seq.NEXTVAL does not reserve a sequence block (the
+        rewrite substitutes a schema-identical zero-based expression),
+        and AT() time-travel read pins taken while resolving the plan
+        are released HERE — query_df alone relies on execute()'s
+        finally for that, which describeOnly never reaches (r6
+        advice)."""
+        ctx = ctx or SessionContext()
+        if getattr(self._tt_local, "pins", None) is None:
+            self._tt_local.pins = []
+        tt_depth = len(self._tt_local.pins)
+        prev_flag = getattr(self._tt_local, "describe_only", False)
+        self._tt_local.describe_only = True
+        try:
+            df = self.query_df(sql, ctx, bindings)
+            # materialize the schema (and the empty rowset) while the
+            # pins still hold the version dirs alive
+            return Result.from_dataframe(df.limit(0))
+        finally:
+            self._tt_local.describe_only = prev_flag
+            while len(self._tt_local.pins) > tt_depth:
+                key, version = self._tt_local.pins.pop()
+                self.catalog.unpin_version_for_read(key, version)
 
     _GET_DDL_RE = re.compile(
         r"\bGET_DDL\s*\(\s*'(\w+)'\s*,\s*'([\w.\"$]+)'\s*\)", re.I)

@@ -21,11 +21,13 @@ def jaro_winkler(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler similarity in [0, 1] (public algorithm:
     Winkler 1990; match window max(|s1|,|s2|)/2 - 1, transpositions
     halved, prefix bonus capped at 4 chars, p = 0.1)."""
-    if s1 == s2:
-        return 1.0
     n1, n2 = len(s1), len(s2)
     if n1 == 0 or n2 == 0:
+        # empty input scores 0 even against another empty string
+        # (DuckDB jaro_winkler_similarity('','') = 0)
         return 0.0
+    if s1 == s2:
+        return 1.0
     window = max(n1, n2) // 2 - 1
     if window < 0:
         window = 0
@@ -55,6 +57,10 @@ def jaro_winkler(s1: str, s2: str) -> float:
             k += 1
     t //= 2
     jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3.0
+    # Winkler's prefix bonus only applies above the 0.7 boost
+    # threshold (Winkler 1990; DuckDB jaro_winkler_similarity agrees)
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:

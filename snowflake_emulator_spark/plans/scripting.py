@@ -400,15 +400,24 @@ def _net_depth(piece: str, open_re: re.Pattern, close_re: re.Pattern,
                skip_else_if: bool = False) -> int:
     """opens - closes for one ';'-split piece, skipping string literals
     (and ``ELSE IF (`` when counting IF opens — it continues the same
-    IF construct rather than opening a nested one)."""
+    IF construct rather than opening a nested one). IF opens count
+    only at a statement boundary (piece start or right after
+    THEN/ELSE/DO/LOOP): a scalar ``IF(cond, a, b)`` call embedded in a
+    SQL statement body is an expression, not a construct open, and
+    counting it swallowed the rest of the script (r6 advice)."""
     from ..executor import _inside_string
 
     opens = 0
     for m in open_re.finditer(piece):
         if _inside_string(piece, m.start()):
             continue
-        if skip_else_if and re.search(r"\bELSE\s*$", piece[:m.start()], re.I):
-            continue
+        prefix = piece[:m.start()]
+        if skip_else_if:
+            if re.search(r"\bELSE\s*$", prefix, re.I):
+                continue
+            if prefix.strip() and not re.search(
+                    r"\b(?:THEN|DO|LOOP)\s*$", prefix, re.I):
+                continue
         opens += 1
     closes = sum(1 for m in close_re.finditer(piece)
                  if not _inside_string(piece, m.start()))

@@ -240,10 +240,18 @@ class Translator:
         rkeys = ", ".join(f"{ra}.{rk} AS __k{i}" for i, (_lk, rk) in enumerate(keys))
         lk_prefix = f"{lkeys}, " if keys else ""
         rk_prefix = f"{rkeys}, " if keys else ""
+        # NULL semantics (Snowflake comparison: NULL >= x is NULL -> no
+        # match): right rows whose timestamp or any ON key is NULL can
+        # never match, so they are filtered out of the union; left rows
+        # with a NULL timestamp sort FIRST regardless of direction so
+        # the running last() sees no right row before them.
+        r_null_guard = " AND ".join(
+            [f"{ra}.{rcol} IS NOT NULL"]
+            + [f"{ra}.{rk} IS NOT NULL" for (_lk, rk) in keys])
         derived = (
             f"(SELECT __x.__lrow AS {la}, __x.__m AS {ra} FROM ("
             f"SELECT __side, __lrow, last(__rrow, true) OVER ({part_by}"
-            f"ORDER BY __t {direction}, __side {tie} "
+            f"ORDER BY __t {direction} NULLS FIRST, __side {tie} "
             f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m "
             f"FROM ("
             f"SELECT {lk_prefix}{la}.{lcol} AS __t, 1 AS __side, "
@@ -254,7 +262,7 @@ class Translator:
             f"SELECT {rk_prefix}{ra}.{rcol}, 0, "
             f"(SELECT first(struct({la}.*)) FROM {ltab} {la} WHERE 1=0), "
             f"struct({ra}.*) "
-            f"FROM {rtab} {ra}"
+            f"FROM {rtab} {ra} WHERE {r_null_guard}"
             f") __in) __x WHERE __x.__side = 1) __asof"
         )
         out = s[:m.start()] + derived + s[consumed:]

@@ -257,11 +257,10 @@ class SnowflakeServer:
                         "queryResultFormat": config.QUERY_RESULT_FORMAT_JSON,
                         "rowset": []}
                 if cls.type == StatementType.QUERY:
-                    df = self.engine.executor.query_df(sql, ctx, bindings)
-                    from ..result import Result as _R
-
-                    data["rowtype"] = _R.from_dataframe(
-                        df.limit(0)).row_type()
+                    # side-effect-free path: no sequence block draw, no
+                    # leaked time-travel read pins (executor.describe_result)
+                    data["rowtype"] = self.engine.executor.describe_result(
+                        sql, ctx, bindings).row_type()
                 else:
                     data["rowtype"] = []
                 return {"data": data, "success": True}, 200

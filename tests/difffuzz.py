@@ -203,6 +203,21 @@ TEMPLATES = [
     ("regexp", "REGEXP_COUNT({sc}, '\\\\d+')",
      "len(regexp_extract_all({sc}, '\\d+'))",
      lambda r: {"sc": r.choice(_STR_COLS)}),
+    # ---- textsim family -----------------------------------------------
+    # low-similarity pairs on purpose: the Winkler prefix bonus only
+    # applies above jaro 0.7 (r6 advice) — short substrings vs unrelated
+    # words land on both sides of the threshold
+    ("textsim", "JAROWINKLER_SIMILARITY(SUBSTR({sc}, {p}, {ln}), '{w}')",
+     "CAST(round(jaro_winkler_similarity(lower(substr({sc}, {p}, {ln})), "
+     "lower('{w}')) * 100) AS INTEGER)",
+     lambda r: {"sc": r.choice(_STR_COLS), "p": _pos(r),
+                "ln": r.choice([1, 2, 3, 5]),
+                "w": r.choice(["zz", "qx#", "Customer", "eu", "9", "BUILD"])}),
+    ("textsim", "EDITDISTANCE(SUBSTR({sc}, {p}, {ln}), '{w}')",
+     "levenshtein(substr({sc}, {p}, {ln}), '{w}')",
+     lambda r: {"sc": r.choice(_STR_COLS), "p": _pos(r),
+                "ln": r.choice([1, 3, 6]),
+                "w": r.choice(["zz", "Custom", "e", ""])}),
     # ---- codec family -------------------------------------------------
     ("codec", "MD5({sc})", "md5({sc})",
      lambda r: {"sc": r.choice(_STR_COLS)}),

@@ -378,3 +378,49 @@ def test_upsert_keys_only_stream_merge(engine, spark, tmp_path):
     upsert_stream.run_upsert_stream(stream, engine, "ko_t", ["id"], "id")
     got = sorted(r[0] for r in engine.execute("SELECT id FROM ko_t", ctx).rows)
     assert got == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# r6 advice batch
+# ---------------------------------------------------------------------------
+
+def test_asof_join_null_semantics(engine):
+    """Snowflake comparison semantics under the ASOF rewrite (r6
+    advice): NULL >= x is NULL -> a left row with a NULL match-
+    condition column matches nothing; a right row with a NULL
+    timestamp or NULL ON key can never be the match; NULL ON keys do
+    not match each other."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE asof_l (k INTEGER, ts INTEGER)", ctx)
+    engine.execute(
+        "INSERT INTO asof_l VALUES (1, 10), (1, NULL), (NULL, 10)", ctx)
+    engine.execute("CREATE TABLE asof_r (k INTEGER, ts INTEGER, v VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO asof_r VALUES (1, 5, 'a'), (1, NULL, 'z'), "
+        "(NULL, 5, 'n')", ctx)
+    res = engine.execute(
+        "SELECT l.k AS lk, l.ts AS lts, r.v AS rv "
+        "FROM asof_l l ASOF JOIN asof_r r "
+        "MATCH_CONDITION(l.ts >= r.ts) ON l.k = r.k "
+        "ORDER BY lk NULLS LAST, lts NULLS LAST", ctx)
+    assert _rows(res) == [
+        (1, 10, "a"),   # normal backward match
+        (1, None, None),  # NULL left ts: no match (not the NULL-ts 'z' row)
+        (None, 10, None),  # NULL ON key never equals NULL ON key
+    ]
+
+
+def test_asof_join_null_semantics_forward(engine):
+    """Forward direction (<=): Spark DESC sorts NULL last, so without
+    the NULLS FIRST pin a NULL-ts left row would steal the final
+    right row as its match."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE asof_fl (k INTEGER, ts INTEGER)", ctx)
+    engine.execute("INSERT INTO asof_fl VALUES (1, 3), (1, NULL)", ctx)
+    engine.execute("CREATE TABLE asof_fr (k INTEGER, ts INTEGER, v VARCHAR)", ctx)
+    engine.execute("INSERT INTO asof_fr VALUES (1, 5, 'fwd')", ctx)
+    res = engine.execute(
+        "SELECT l.ts AS lts, r.v AS rv FROM asof_fl l ASOF JOIN asof_fr r "
+        "MATCH_CONDITION(l.ts <= r.ts) ON l.k = r.k "
+        "ORDER BY lts NULLS LAST", ctx)
+    assert _rows(res) == [(3, "fwd"), (None, None)]

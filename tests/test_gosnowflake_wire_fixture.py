@@ -235,3 +235,30 @@ def test_wire_error_envelope_shape(server):
     assert isinstance(out["code"], str) and out["code"].isdigit()
     assert isinstance(out["message"], str) and out["message"]
     assert "sqlState" in (out.get("data") or {})
+
+
+def test_wire_describe_only_no_side_effects(server):
+    """describeOnly is truly side-effect-free (r6 advice): a NEXTVAL in
+    the prepared query must not advance the sequence, and an AT()
+    time-travel read must not leave a read pin behind."""
+    data = _login(server)
+    token = data["token"]
+    _query(server, token, "CREATE SEQUENCE wire_seq START = 100")
+    # describe a query containing NEXTVAL — no block reservation
+    st, out = _query(server, token,
+                     "SELECT wire_seq.NEXTVAL AS nv", describeOnly=True)
+    assert out["success"], out
+    assert [rt["name"] for rt in out["data"]["rowtype"]] == ["nv"]
+    st, out = _query(server, token, "SELECT wire_seq.NEXTVAL AS nv")
+    assert out["data"]["rowset"] == [["100"]], out["data"]["rowset"]
+    # describe an AT() read — pin stack must come back empty
+    _query(server, token, "CREATE TABLE wire_tt (id INTEGER)")
+    _query(server, token, "INSERT INTO wire_tt VALUES (1)")
+    _query(server, token, "INSERT INTO wire_tt VALUES (2)")
+    st, out = _query(
+        server, token,
+        "SELECT * FROM wire_tt AT(VERSION => 2)", describeOnly=True)
+    assert out["success"], out
+    eng = server.engine
+    assert getattr(eng.executor._tt_local, "pins", []) == []
+    assert not eng.catalog._tt_pins

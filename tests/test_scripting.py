@@ -614,3 +614,22 @@ def test_nested_cursor_loop_with_inner_for(engine):
         "END FOR; RETURN n; END $$", ctx)
     # v=2: 2 iters of +2 = 4; v=3: 3 iters of +3 = 9 -> 13
     assert _rows(res) == [(13,)]
+
+
+def test_scalar_if_function_inside_statement_body(engine):
+    """A scalar IF(cond, a, b) call inside a SQL statement body is an
+    expression, not an IF-construct open (r6 advice): it must not
+    swallow the rest of the script into an unbalanced IF group."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "BEGIN\n"
+        "  LET x := (SELECT IF(1 < 2, 'yes', 'no'));\n"
+        "  LET y := 0;\n"
+        "  IF (x = 'yes') THEN\n"
+        "    LET y := (SELECT IF(2 > 1, 10, 20));\n"
+        "  END IF;\n"
+        "  RETURN x || ':' || y;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [("yes:10",)]
