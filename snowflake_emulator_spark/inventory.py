@@ -3848,6 +3848,61 @@ ORDER BY l.user_id, l.event_id
 """
 
 
+# ASOF JOIN NULL semantics (r8, VERDICT r7 item 1): NULL timestamps and
+# NULL ON-keys pushed through the translator's ASOF rewrite
+# (plans/translator.py:244-268). Snowflake comparison semantics: NULL
+# never matches — right rows with NULL ts/key are filtered from the
+# union, left rows with NULL ts get a NULL match. The oracle uses
+# DuckDB's NATIVE ASOF LEFT JOIN for the non-NULL probe rows; DuckDB's
+# sort-based ASOF treats a NULL probe ts as greater-than-all (it
+# matches the latest right row — verified empirically), which diverges
+# from Snowflake, so NULL-ts left rows bypass the join and carry NULL
+# match columns explicitly. Projects the matched TIMESTAMP (not
+# event_id) so the result is deterministic even under right-side ts
+# ties.
+_ASOF_NULL_SNOW = """
+WITH lv AS (
+  SELECT event_id, user_id,
+         IFF(event_id % 7 = 0, NULL, ts) AS ts
+  FROM events WHERE event_type = 'purchase' AND user_id <= 30
+), rv AS (
+  SELECT event_id,
+         IFF(event_id % 5 = 0, NULL, user_id) AS user_id,
+         IFF(event_id % 11 = 0, NULL, ts) AS ts
+  FROM events WHERE event_type = 'view' AND user_id <= 30
+)
+SELECT l.event_id, l.user_id,
+       r.ts AS matched_ts,
+       DATEDIFF(second, r.ts, l.ts) AS gap_s
+FROM lv l ASOF JOIN rv r
+MATCH_CONDITION (l.ts >= r.ts)
+ON l.user_id = r.user_id
+ORDER BY l.user_id, l.event_id
+"""
+_ASOF_NULL_ORACLE = """
+WITH lv AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS ts
+  FROM events WHERE event_type = 'purchase' AND user_id <= 30
+), rv AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS user_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts END AS ts
+  FROM events WHERE event_type = 'view' AND user_id <= 30
+)
+SELECT l.event_id, l.user_id,
+       r.ts AS matched_ts,
+       CAST(date_diff('second', r.ts, l.ts) AS BIGINT) AS gap_s
+FROM (SELECT * FROM lv WHERE ts IS NOT NULL) l ASOF LEFT JOIN rv r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS TIMESTAMP) AS matched_ts,
+       CAST(NULL AS BIGINT) AS gap_s
+FROM lv WHERE ts IS NULL
+ORDER BY user_id, event_id
+"""
+
+
 # Funnel / sequential-pattern detection (MATCH_RECOGNIZE-lite): a
 # view→click conversion within 5 minutes, expressed as lag() over the
 # per-user event sequence — one window over one shuffle on user_id,
@@ -4565,6 +4620,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_bitwise_aggs": (_snow(_SF_BITAGG), _SF_BITAGG_ORACLE),
     "sf_md5_number_halves": (_snow(_SF_MD5NUM), _SF_MD5NUM_ORACLE),
     "asof_join_sql_syntax": (_snow(_ASOF_SQL_SYNTAX), _ASOF_SQL_SYNTAX_ORACLE),
+    "asof_join_null_events": (_snow(_ASOF_NULL_SNOW), _ASOF_NULL_ORACLE),
     "sf_text_similarity": (_snow(_SF_TEXTSIM), _SF_TEXTSIM_ORACLE),
     "sf_sample_moments": (_snow(_SF_MOMENTS), _SF_MOMENTS_ORACLE),
     "sf_hyperbolic_bitops": (_snow(_SF_HYPERBOLIC), _SF_HYPERBOLIC_ORACLE),
@@ -4674,52 +4730,44 @@ REGISTRY: dict[str, tuple] = {
 # ROTATION (r4 verdict items 1/3/7): one representative per family
 # stays PINNED; the remaining slots rotate each round to queries that
 # have never had a driver-green row, so the whole inventory eventually
-# reaches the hard signal. r6 keeps the three r5 red rows plus the
-# schema-scan landmine (all four re-typed to canonicalizer-safe output
-# types: DOUBLE / VARCHAR / hex STRING — they must carry green rows
-# this round) and rotates in 24 entries absent from
-# CORRECTNESS_r01-r05 (r5 head preserved in git history).
+# reaches the hard signal. r8 (VERDICT r7 items 1/2): the pinned set
+# shrinks to 9 core family representatives (all driver-green r1-r7) to
+# make room for (a) the NEW asof_join_null_events — the r7 ASOF NULL
+# fix's oracle-hash gate — and (b) ALL 40 registry entries that have
+# never carried a driver row across r1-r7 (computed from the union of
+# CORRECTNESS_r01..r07.json keys). If this round is green, every one
+# of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # --- pinned family representatives (driver-green in r03/r04) -----
+    # --- pinned family representatives (driver-green r1-r7) ----------
     "scan_filter_project",            # scan/filter/project
     "q1_pricing_summary",             # TPC-H aggregation backbone
     "q3_shipping_priority",           # TPC-H join chain
-    "topk_orders",                    # top-k
-    "join_full_outer",                # outer joins
-    "join_semi_exists",               # semi/anti joins
     "asof_join_events",               # as-of / range joins
-    "agg_group_having",               # GROUP BY / HAVING
     "agg_rollup",                     # GROUPING SETS family
     "window_row_number_topn",         # window family
-    "setop_union_all",                # set operations
-    "cte_join_agg",                   # CTEs
-    "subquery_not_in_null",           # subqueries
-    "string_functions",               # expression surface
-    "pivot_sql_native",               # pivot/unpivot
-    "events_hourly_agg",              # events/time
-    "sf_dateadd_datediff",            # Snowflake translator path
-    "sf_lateral_flatten",             # FLATTEN/semistructured
-    "merge_upsert_sim",               # MERGE (r4 verdict item 7)
-    "dedup_exact",                    # dedup family
-    "dedup_minhash_lsh",              # LSH dedup
+    "merge_upsert_sim",               # MERGE
+    "dedup_minhash_lsh",              # LSH dedup family
     "embed_cosine_topk",              # similarity family
-    # --- r5 reds + landmine, re-typed this round (DOUBLE/VARCHAR/hex) -
-    "sf_conversion_funcs", "scripted_pipeline_rollup",
-    "sf_array_unique_agg_binary", "sf_md5_number_halves",
-    # --- r6 rotation: never driver-sampled before this round ---------
-    "setop_minus_alias", "window_mom_growth", "events_funnel3_strict",
-    "rfm_segmentation", "pareto_abc_analysis", "basket_part_pairs",
-    "events_gapfill_carry_forward", "sf_conditional_change_event",
-    # --- new in r6 (never existed before): one slot per new family ---
-    "sf_text_similarity",             # JAROWINKLER pandas UDF + editdist
-    "sf_sample_moments",              # SKEW/KURTOSIS sample-statistic fix
-    "scripted_nested_grid",           # Scripting v3 nested loops
-    "sf_codec_hash_funcs", "sf_datetime_build_funcs",
-    "sf_haversine_distance", "sf_geography_points",
-    "agg_grouping_function", "sf_time_slice_rollup",
-    "sf_generator_date_spine", "python_udf_score",
-    "text_zipf_slope", "embed_quantize_int8", "dedup_ngram_jaccard",
-    "doc_pack_sequences", "sample_token_budget",
+    # --- NEW r8: ASOF NULL-semantics oracle gate (VERDICT r7 item 1) -
+    "asof_join_null_events",
+    # --- r8 rotation: the 40 never-driver-sampled entries ------------
+    "sf_conditional_true_event", "sf_variant_type_predicates",
+    "sf_object_mode_flatten", "sf_nvl_nvl2", "sf_double_colon_cast",
+    "sf_scalar_funcs", "sf_misc_scalar_funcs", "sf_bitwise_bool_funcs",
+    "asof_join_sql_syntax", "sf_hyperbolic_bitops",
+    "events_funnel_pattern", "sf_dateparts2", "sf_split_trim_funcs",
+    "sf_decode_split_equalnull", "sf_datefmt_bool_aggs",
+    "sf_array_funcs", "text_max_repeat_run", "text_dsir_weights",
+    "text_fingerprint_dups", "text_repetition_filter",
+    "sample_domain_mixture", "profile_table_columns", "text_vocab_topk",
+    "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
+    "dedup_lsh_jaccard_pipeline", "dedup_survivors",
+    "dedup_survivors_best_quality", "doc_paragraph_dedup",
+    "text_perplexity_buckets", "text_oov_rate",
+    "text_dup_ngram_fraction", "sample_k_per_group",
+    "source_overlap_jaccard", "embed_semantic_survivors",
+    "pipeline_keep_set", "embed_near_pairs", "embed_centroid_distances",
+    "embed_lsh_recall",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 REGISTRY = {
