@@ -4501,6 +4501,56 @@ FROM grid g ORDER BY pbucket, sbucket
 """
 
 
+# Scripting r8 surface: OPEN/FETCH/CLOSE cursor walk + labeled nested
+# loops (BREAK lp on fetch-past-end NULL, CONTINUE lp from the INNER
+# FOR targeting the labeled outer WHILE — plans/scripting.py r8).
+# Region rk contributes rows j = 0..rk, so 1+2+3+4+5 = 15 rows total.
+# Each INSERT is a distributed Spark job; the loops orchestrate.
+def _scripted_labeled_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .engine import Engine
+    from .sessions import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="script_lbl_"))
+    ctx = SessionContext()
+    eng.execute(
+        "CREATE TABLE script_lbl (rk INTEGER, j INTEGER, n BIGINT)", ctx)
+    eng.execute(
+        "EXECUTE IMMEDIATE $$ "
+        "DECLARE c1 CURSOR FOR "
+        "  SELECT r_regionkey FROM region ORDER BY r_regionkey; "
+        "BEGIN "
+        "OPEN c1; "
+        "lp: WHILE (1 = 1) DO "
+        "  FETCH c1 INTO rk; "
+        "  IF (rk IS NULL) THEN BREAK lp; END IF; "
+        "  FOR j IN 0 TO 4 DO "
+        "    IF (j > rk) THEN CONTINUE lp; END IF; "
+        "    INSERT INTO script_lbl "
+        "    SELECT :rk AS rk, :j AS j, count(*) AS n FROM nation "
+        "    WHERE n_regionkey = :rk AND n_nationkey % 5 = :j; "
+        "  END FOR; "
+        "END WHILE lp; "
+        "CLOSE c1; RETURN 'ok'; END $$", ctx)
+    return eng.executor.query_df(
+        "SELECT rk, j, n FROM script_lbl ORDER BY rk, j", ctx)
+
+
+_SCRIPTED_LABELED_ORACLE = """
+WITH grid AS (
+  SELECT r.r_regionkey AS rk, j.range AS j
+  FROM region r, range(5) j
+  WHERE j.range <= r.r_regionkey
+)
+SELECT CAST(g.rk AS INTEGER) AS rk, CAST(g.j AS INTEGER) AS j,
+       (SELECT count(*) FROM nation n
+        WHERE n.n_regionkey = g.rk AND n.n_nationkey % 5 = g.j) AS n
+FROM grid g ORDER BY rk, j
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -4653,6 +4703,7 @@ REGISTRY: dict[str, tuple] = {
     "merge_upsert_sim": (_sql(_MERGE_SIM_SPARK), _MERGE_SIM_SPARK),
     "scripted_pipeline_rollup": (_scripted_pipeline, _SCRIPTED_PIPELINE_ORACLE),
     "scripted_nested_grid": (_scripted_nested_grid, _SCRIPTED_NESTED_GRID_ORACLE),
+    "scripted_labeled_cursor": (_scripted_labeled_cursor, _SCRIPTED_LABELED_ORACLE),
     "python_udf_score": (_python_udf_score, _PYTHON_UDF_ORACLE),
     # text analysis extensions
     "text_token_counts": (_text_tokens, _TEXT_TOKENS_ORACLE),

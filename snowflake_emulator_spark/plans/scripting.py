@@ -22,7 +22,9 @@ Block grammar::
         FOR i IN [REVERSE] <lo> TO <hi> DO ...; END FOR;
         FOR rec IN cur DO ... rec.col ...; END FOR;
         WHILE (<cond>) DO ...; END WHILE;   -- also LOOP/END LOOP
-        BREAK; CONTINUE;                    -- inside loops
+        lbl: FOR/WHILE ... END FOR [lbl];   -- loop labels (r8)
+        BREAK [lbl]; CONTINUE [lbl];        -- inside loops
+        OPEN cur; FETCH cur INTO a, b; CLOSE cur;   -- (r8)
         RAISE exc;  RAISE;                  -- (bare RAISE re-raises)
         RETURN <expr>;
     [EXCEPTION
@@ -37,12 +39,17 @@ capped at ``_MAX_LOOP_ITER`` iterations — a runaway WHILE raises
 instead of hanging the session; a cursor FOR loop caps its row fetch
 the same way. Inside a handler ``SQLCODE``/``SQLERRM`` resolve as
 scripting variables. Loops and IF blocks NEST arbitrarily (v3):
-construct grouping is depth-aware, and BREAK/CONTINUE bind to the
-innermost enclosing loop (Snowflake's unlabeled semantics). Remaining
-restrictions (raise clearly, never silently misexecute): labeled
-BREAK/CONTINUE and OPEN/FETCH/CLOSE cursor statements raise
-NotImplementedError (use bare BREAK/CONTINUE and the FOR-cursor
-form). Declared types are accepted but values stay
+construct grouping is depth-aware, and bare BREAK/CONTINUE bind to
+the innermost enclosing loop (Snowflake's unlabeled semantics).
+Labeled loops (r8): ``lbl: FOR ...`` with ``BREAK lbl`` /
+``CONTINUE lbl`` targeting any enclosing labeled loop; a label that
+matches no enclosing loop raises a syntax error. OPEN/FETCH/CLOSE
+(r8): OPEN materializes the DECLAREd cursor's rows (row count capped
+at ``_MAX_LOOP_ITER``, binds resolved at OPEN — Snowflake
+semantics), FETCH past the last row sets its targets to NULL, FETCH
+on an unopened cursor errors. Remaining restriction (raises clearly,
+never silently misexecutes): ``OPEN ... USING`` bind lists.
+Declared types are accepted but values stay
 dynamically typed (every expression evaluates through the engine's
 full Spark path, so type behavior is Spark's).
 
@@ -236,10 +243,16 @@ def _resolve(engine, name: str, ctx) -> tuple:
 class _CursorDef:
     """DECLAREd cursor/resultset: the (not yet run) SELECT text. Stored
     under the cursor's name in the variable scope; _subst never renders
-    it, only ``FOR rec IN <name>`` consumes it."""
+    it. Consumed by ``FOR rec IN <name>`` (self-contained loop) or by
+    OPEN/FETCH/CLOSE (r8): OPEN materializes the rows (binds resolved
+    at OPEN time, Snowflake semantics) into ``rows``/``cols`` with a
+    fetch position; CLOSE resets them."""
 
     def __init__(self, sql: str):
         self.sql = sql
+        self.rows: list | None = None   # None = not open
+        self.cols: list[str] | None = None
+        self.pos = 0
 
 
 class _ExceptionDef:
@@ -396,15 +409,43 @@ _IF_OPEN_RE = re.compile(r"\bIF\s*\(", re.I)
 _IF_CLOSE_RE = re.compile(r"\bEND\s+IF\b", re.I)
 
 
+def _expr_context(piece: str, pos: int) -> bool:
+    """True when position ``pos`` of ``piece`` sits inside an
+    expression context rather than at a scripting statement boundary:
+    either inside unbalanced open parentheses (``LET y := (SELECT
+    ... IF(...)``) or inside an open CASE...END expression (``CASE
+    WHEN a THEN IF(b,1,2)`` — that THEN belongs to CASE, not to a
+    scripting IF). Both counted outside string literals. (r7 advice:
+    the statement-boundary guard alone still miscounted an IF( whose
+    prefix ended with a CASE-branch THEN.)"""
+    from ..executor import _inside_string
+
+    prefix = piece[:pos]
+    parens = 0
+    for i, ch in enumerate(prefix):
+        if ch in "()" and not _inside_string(prefix, i):
+            parens += 1 if ch == "(" else -1
+    if parens > 0:
+        return True
+    case_depth = 0
+    for m in re.finditer(r"\bCASE\b|\bEND\b(?!\s+(?:IF|FOR|WHILE|LOOP)\b)",
+                         prefix, re.I):
+        if _inside_string(prefix, m.start()):
+            continue
+        case_depth += 1 if m.group(0).upper() == "CASE" else -1
+    return case_depth > 0
+
+
 def _net_depth(piece: str, open_re: re.Pattern, close_re: re.Pattern,
                skip_else_if: bool = False) -> int:
     """opens - closes for one ';'-split piece, skipping string literals
     (and ``ELSE IF (`` when counting IF opens — it continues the same
     IF construct rather than opening a nested one). IF opens count
     only at a statement boundary (piece start or right after
-    THEN/ELSE/DO/LOOP): a scalar ``IF(cond, a, b)`` call embedded in a
-    SQL statement body is an expression, not a construct open, and
-    counting it swallowed the rest of the script (r6 advice)."""
+    THEN/ELSE/DO/LOOP) and outside any expression context (unbalanced
+    parens / open CASE...END): a scalar ``IF(cond, a, b)`` embedded in
+    a SQL statement body is an expression, not a construct open, and
+    counting it swallowed the rest of the script (r6 + r7 advice)."""
     from ..executor import _inside_string
 
     opens = 0
@@ -417,6 +458,8 @@ def _net_depth(piece: str, open_re: re.Pattern, close_re: re.Pattern,
                 continue
             if prefix.strip() and not re.search(
                     r"\b(?:THEN|DO|LOOP)\s*$", prefix, re.I):
+                continue
+            if _expr_context(piece, m.start()):
                 continue
         opens += 1
     closes = sum(1 for m in close_re.finditer(piece)
@@ -450,7 +493,7 @@ def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
             group, i = _collect_construct(stmts, i, _IF_OPEN_RE,
                                           _IF_CLOSE_RE, skip_else_if=True)
             kind, value = _run_if(engine, ctx, group, variables)
-        elif re.match(r"^(FOR|WHILE)\b", st, re.I):
+        elif re.match(r"^(FOR|WHILE)\b", st, re.I) or _LABEL_RE.match(st):
             group, i = _collect_construct(stmts, i, _LOOP_OPEN_RE,
                                           _LOOP_CLOSE_RE)
             kind, value = _run_loop(engine, ctx, group, variables)
@@ -461,7 +504,9 @@ def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
         if kind in ("break", "continue"):
             from .. import errors
 
-            raise errors.syntax_error(f"{kind.upper()} outside of a loop")
+            target = f" {value}" if value else ""
+            raise errors.syntax_error(
+                f"{kind.upper()}{target} outside of a matching loop")
         if kind == "result":
             last = value
         i += 1
@@ -477,12 +522,36 @@ def _run_stmts(engine, ctx, stmts: list[str], variables: dict,
 _MAX_LOOP_ITER = 10_000
 
 
+# optional loop label: ``mylbl: FOR i IN ...`` (the ``(?=...)`` keeps
+# plain assignments ``x := 1`` from matching — a label is only a label
+# when a loop keyword follows)
+_LABEL_RE = re.compile(r"^([A-Za-z_]\w*)\s*:\s*(?=(?:FOR|WHILE)\b)", re.I)
+
+
+def _loop_signal(kind: str, value, label: str | None):
+    """Interpret a break/continue signal inside a loop labeled
+    ``label``: 'break'/'continue' = consume here (bare signal or
+    matching label), 'propagate' = re-raise to the enclosing loop
+    (labeled signal for an outer loop), 'none' = not a loop signal."""
+    if kind not in ("break", "continue"):
+        return "none"
+    if value is None or value == label:
+        return kind
+    return "propagate"
+
+
 def _run_loop(engine, ctx, group: list[str], variables: dict):
     """group = the ';'-split pieces of one FOR/WHILE ... END FOR/WHILE
-    construct. Returns (kind, value) like _exec_stmt."""
+    construct (optionally ``label:``-prefixed). Returns (kind, value)
+    like _exec_stmt."""
     from .. import errors
 
     first = group[0]
+    label = None
+    lbm = _LABEL_RE.match(first)
+    if lbm:
+        label = lbm.group(1).upper()
+        first = first[lbm.end():].lstrip()
     end_tail = re.compile(r"\bEND\s+(FOR|WHILE|LOOP)(\s+\w+)?$", re.I)
     if not end_tail.search(group[-1].strip()):
         raise errors.syntax_error("unterminated loop: missing END FOR/END WHILE")
@@ -504,7 +573,7 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
         first, re.I | re.S)
     if cfm and isinstance(variables.get(cfm.group(2).upper()), _CursorDef):
         return _run_cursor_loop(engine, ctx, cfm, body_pieces(cfm.group(3)),
-                                variables)
+                                variables, label)
     fm = re.match(
         r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s+TO\s+(.+?)\s+"
         r"(?:DO|LOOP)\b(.*)$",
@@ -526,8 +595,11 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
                 kind, value = _run_body(engine, ctx, pieces, variables)
                 if kind == "return":
                     return "return", value
-                if kind == "break":
+                sig = _loop_signal(kind, value, label)
+                if sig == "break":
                     break
+                if sig == "propagate":
+                    return kind, value
         finally:
             # the counter is scoped to the loop (Snowflake semantics)
             if saved is _MISSING:
@@ -556,13 +628,16 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
         kind, value = _run_body(engine, ctx, pieces, variables)
         if kind == "return":
             return "return", value
-        if kind == "break":
+        sig = _loop_signal(kind, value, label)
+        if sig == "break":
             break
+        if sig == "propagate":
+            return kind, value
     return "none", None
 
 
 def _run_cursor_loop(engine, ctx, cfm: re.Match, pieces: list[str],
-                     variables: dict):
+                     variables: dict, label: str | None = None):
     """FOR rec IN <cursor> DO ... END FOR: run the cursor's SELECT once
     (row fetch capped at _MAX_LOOP_ITER — the loop is driver-side
     orchestration; unbounded result iteration belongs in set-based SQL,
@@ -601,8 +676,11 @@ def _run_cursor_loop(engine, ctx, cfm: re.Match, pieces: list[str],
                                 variables)
         if kind == "return":
             return "return", value
-        if kind == "break":
+        sig = _loop_signal(kind, value, label)
+        if sig == "break":
             break
+        if sig == "propagate":
+            return kind, value
     return "none", None
 
 
@@ -622,7 +700,7 @@ def _run_body(engine, ctx, pieces: list[str], variables: dict):
             group, i = _collect_construct(pieces, i, _IF_OPEN_RE,
                                           _IF_CLOSE_RE, skip_else_if=True)
             kind, value = _run_if(engine, ctx, group, variables)
-        elif re.match(r"^(FOR|WHILE)\b", st, re.I):
+        elif re.match(r"^(FOR|WHILE)\b", st, re.I) or _LABEL_RE.match(st):
             group, i = _collect_construct(pieces, i, _LOOP_OPEN_RE,
                                           _LOOP_CLOSE_RE)
             kind, value = _run_loop(engine, ctx, group, variables)
@@ -697,18 +775,72 @@ def _exec_stmt(engine, ctx, st: str, variables: dict):
     st = st.strip()
     if not st:
         return "none", None
-    if re.match(r"^(BREAK|EXIT|CONTINUE|ITERATE)\s+[A-Za-z_]\w*$", st, re.I):
-        raise NotImplementedError(
-            "labeled BREAK/CONTINUE is not supported in this scripting "
-            "subset — bare BREAK/CONTINUE binds to the innermost loop")
-    if re.match(r"^(BREAK|EXIT)$", st, re.I):
-        return "break", None
-    if re.match(r"^(CONTINUE|ITERATE)$", st, re.I):
-        return "continue", None
+    from .. import errors
+
+    bm = re.match(r"^(BREAK|EXIT|CONTINUE|ITERATE)(?:\s+([A-Za-z_]\w*))?$",
+                  st, re.I)
+    if bm:
+        # labeled form (r8): the label travels as the signal's value;
+        # each _run_loop consumes a matching (or bare) signal and
+        # propagates non-matching labels to its enclosing loop
+        kind = ("break" if bm.group(1).upper() in ("BREAK", "EXIT")
+                else "continue")
+        return kind, (bm.group(2).upper() if bm.group(2) else None)
+    om = re.match(r"^OPEN\s+([A-Za-z_]\w*)(\s+USING\b.*)?$", st, re.I | re.S)
+    if om:
+        cur = variables.get(om.group(1).upper())
+        if not isinstance(cur, _CursorDef):
+            raise errors.object_not_found(f"cursor {om.group(1)}")
+        if om.group(2):
+            raise NotImplementedError(
+                "OPEN ... USING binds are not supported — interpolate via "
+                ":name substitution in the DECLARE'd cursor SQL instead")
+        res = engine.execute(
+            f"SELECT * FROM ({_subst(cur.sql, variables, bind_only=True)}) "
+            f"__cur LIMIT {_MAX_LOOP_ITER + 1}", ctx)
+        if len(res.rows) > _MAX_LOOP_ITER:
+            raise errors.invalid_parameter(
+                f"OPEN cursor over more than {_MAX_LOOP_ITER} rows — "
+                "use set-based SQL for unbounded iteration")
+        cur.rows = list(res.rows)
+        cur.cols = [c.upper() for c in res.columns]
+        cur.pos = 0
+        return "none", None
+    fm = re.match(r"^FETCH\s+([A-Za-z_]\w*)\s+INTO\s+(.+)$", st, re.I | re.S)
+    if fm:
+        cur = variables.get(fm.group(1).upper())
+        if not isinstance(cur, _CursorDef):
+            raise errors.object_not_found(f"cursor {fm.group(1)}")
+        if cur.rows is None:
+            raise errors.invalid_parameter(
+                f"cursor {fm.group(1)} is not open")
+        targets = []
+        for t in fm.group(2).split(","):
+            t = t.strip().lstrip(":")
+            if not re.match(r"^[A-Za-z_]\w*$", t):
+                raise errors.syntax_error(f"bad FETCH target: {t[:40]}")
+            targets.append(t.upper())
+        row = cur.rows[cur.pos] if cur.pos < len(cur.rows) else None
+        if row is not None and len(targets) > len(row):
+            raise errors.invalid_parameter(
+                f"FETCH names {len(targets)} targets but the cursor has "
+                f"only {len(row)} columns")
+        for j, t in enumerate(targets):
+            # past the last row the targets are set to NULL (Snowflake)
+            variables[t] = row[j] if row is not None else None
+        if row is not None:
+            cur.pos += 1
+        return "none", None
+    clm = re.match(r"^CLOSE\s+([A-Za-z_]\w*)$", st, re.I)
+    if clm:
+        cur = variables.get(clm.group(1).upper())
+        if not isinstance(cur, _CursorDef):
+            raise errors.object_not_found(f"cursor {clm.group(1)}")
+        cur.rows, cur.cols, cur.pos = None, None, 0
+        return "none", None
     if re.match(r"^(OPEN|FETCH|CLOSE)\b", st, re.I):
-        raise NotImplementedError(
-            "OPEN/FETCH/CLOSE cursor statements are not supported in this "
-            "scripting subset — use FOR rec IN <cursor> DO ... END FOR")
+        raise errors.syntax_error(
+            f"bad OPEN/FETCH/CLOSE statement: {st[:60]}")
     xm = re.match(r"^RAISE(?:\s+([A-Za-z_]\w*))?$", st, re.I)
     if xm:
         if not xm.group(1):

@@ -117,18 +117,25 @@ def test_procedure_dml_side_effects(engine):
 
 
 def test_scripting_restrictions_raise(engine):
-    """Nested IF now WORKS (v3 depth-aware grouping); the remaining
-    restriction is labeled BREAK/CONTINUE."""
+    """Nested IF now WORKS (v3 depth-aware grouping); labeled
+    BREAK/CONTINUE WORKS (r8) — an unmatched label is a syntax error;
+    the remaining restriction is OPEN ... USING."""
+    from snowflake_emulator_spark.errors import SnowflakeError
+
     ctx = SessionContext()
     res = engine.execute(
         "EXECUTE IMMEDIATE $$ BEGIN "
         "IF (1 = 1) THEN IF (2 = 2) THEN RETURN 1; END IF; END IF; "
         "RETURN 0; END $$", ctx)
     assert _rows(res) == [(1,)]
-    with pytest.raises(NotImplementedError, match="labeled"):
+    with pytest.raises(SnowflakeError, match="LBL"):
         engine.execute(
             "EXECUTE IMMEDIATE $$ BEGIN "
             "WHILE (1 = 1) DO CONTINUE lbl; END WHILE; END $$", ctx)
+    with pytest.raises(NotImplementedError, match="USING"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$ DECLARE c1 CURSOR FOR SELECT 1; BEGIN "
+            "OPEN c1 USING (1); RETURN 0; END $$", ctx)
 
 
 def test_execute_immediate_session_variable(engine):
@@ -430,12 +437,14 @@ def test_cursor_row_cap(engine, monkeypatch):
             "BEGIN FOR r IN c DO LET x := r.id; END FOR; RETURN 0; END $$", ctx)
 
 
-def test_open_fetch_close_raise(engine):
+def test_open_fetch_close_works(engine):
+    """OPEN/FETCH/CLOSE are supported as of r8 (was
+    NotImplementedError); the minimal open-return round trip runs."""
     ctx = SessionContext()
-    with pytest.raises(NotImplementedError, match="OPEN/FETCH/CLOSE"):
-        engine.execute(
-            "EXECUTE IMMEDIATE $$ DECLARE c CURSOR FOR SELECT 1 AS v; BEGIN "
-            "OPEN c; RETURN 0; END $$", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$ DECLARE c CURSOR FOR SELECT 1 AS v; BEGIN "
+        "OPEN c; FETCH c INTO x; CLOSE c; RETURN x; END $$", ctx)
+    assert _rows(res) == [(1,)]
 
 
 def test_cursor_ref_in_sql_statement(engine):
@@ -589,15 +598,141 @@ def test_nested_return_from_inner_loop(engine):
     assert _rows(res) == [(113,)]
 
 
-def test_labeled_break_raises(engine):
+def test_labeled_break_unmatched_label_raises(engine):
+    """BREAK with a label that matches no enclosing loop escapes every
+    loop and surfaces as a syntax error (was NotImplementedError
+    pre-r8)."""
     import pytest as _pytest
 
+    from snowflake_emulator_spark.errors import SnowflakeError
+
     ctx = SessionContext()
-    with _pytest.raises(NotImplementedError, match="labeled"):
+    with _pytest.raises(SnowflakeError, match="OUTER_LABEL"):
         engine.execute(
             "EXECUTE IMMEDIATE $$ BEGIN "
             "FOR i IN 1 TO 2 DO BREAK outer_label; END FOR; "
             "RETURN 0; END $$", ctx)
+
+
+def test_labeled_break_exits_outer_loop(engine):
+    """BREAK <label> from the inner loop exits the labeled OUTER loop
+    directly (bare BREAK would only exit the inner one)."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE n NUMBER DEFAULT 0;\n"
+        "BEGIN\n"
+        "  outer_l: FOR i IN 1 TO 10 DO\n"
+        "    FOR j IN 1 TO 10 DO\n"
+        "      LET n := n + 1;\n"
+        "      IF (n >= 7) THEN BREAK outer_l; END IF;\n"
+        "    END FOR;\n"
+        "  END FOR outer_l;\n"
+        "  RETURN n;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [(7,)]
+
+
+def test_labeled_continue_iterates_outer_loop(engine):
+    """CONTINUE <label> from the inner loop resumes the labeled OUTER
+    loop's next iteration: the inner loop contributes exactly one
+    count per outer iteration and post-inner statements are skipped."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE n NUMBER DEFAULT 0; skipped NUMBER DEFAULT 0;\n"
+        "BEGIN\n"
+        "  outer_l: FOR i IN 1 TO 3 DO\n"
+        "    FOR j IN 1 TO 5 DO\n"
+        "      LET n := n + 1;\n"
+        "      CONTINUE outer_l;\n"
+        "    END FOR;\n"
+        "    LET skipped := skipped + 1;\n"
+        "  END FOR outer_l;\n"
+        "  RETURN n || ':' || skipped;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [("3:0",)]
+
+
+def test_labeled_break_matching_innermost(engine):
+    """A label on the innermost loop behaves like bare BREAK."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE n NUMBER DEFAULT 0;\n"
+        "BEGIN\n"
+        "  lp: WHILE (n < 100) DO\n"
+        "    LET n := n + 1;\n"
+        "    IF (n = 4) THEN BREAK lp; END IF;\n"
+        "  END WHILE lp;\n"
+        "  RETURN n;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [(4,)]
+
+
+def test_open_fetch_close_cursor(engine):
+    """OPEN/FETCH/CLOSE: sequential fetches walk the cursor rows;
+    fetching past the last row sets the targets to NULL."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ofc_t (id INTEGER, v VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO ofc_t VALUES (1, 'a'), (2, 'b')", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE c1 CURSOR FOR SELECT id, v FROM ofc_t ORDER BY id;\n"
+        "BEGIN\n"
+        "  OPEN c1;\n"
+        "  FETCH c1 INTO i1, v1;\n"
+        "  FETCH c1 INTO i2, v2;\n"
+        "  FETCH c1 INTO i3, v3;\n"
+        "  CLOSE c1;\n"
+        "  RETURN i1 || v1 || ':' || i2 || v2 || ':' ||"
+        " COALESCE(i3 || v3, 'null');\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [("1a:2b:null",)]
+
+
+def test_fetch_unopened_cursor_errors(engine):
+    import pytest as _pytest
+
+    from snowflake_emulator_spark.errors import SnowflakeError
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ofc_u (id INTEGER)", ctx)
+    with _pytest.raises(SnowflakeError, match="not open"):
+        engine.execute(
+            "EXECUTE IMMEDIATE $$\n"
+            "DECLARE c1 CURSOR FOR SELECT id FROM ofc_u;\n"
+            "BEGIN\n"
+            "  FETCH c1 INTO x;\n"
+            "  RETURN x;\n"
+            "END\n"
+            "$$", ctx)
+
+
+def test_open_cursor_binds_resolved_at_open(engine):
+    """:name binds in the DECLAREd cursor SQL resolve to the variable
+    values AT OPEN time (Snowflake semantics), not DECLARE time."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ofc_b (id INTEGER)", ctx)
+    engine.execute("INSERT INTO ofc_b VALUES (1), (2), (3)", ctx)
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "DECLARE lo NUMBER DEFAULT 0;\n"
+        "  c1 CURSOR FOR SELECT COUNT(*) AS n FROM ofc_b WHERE id > :lo;\n"
+        "BEGIN\n"
+        "  LET lo := 1;\n"
+        "  OPEN c1;\n"
+        "  FETCH c1 INTO n;\n"
+        "  CLOSE c1;\n"
+        "  RETURN n;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [(2,)]
 
 
 def test_nested_cursor_loop_with_inner_for(engine):
@@ -633,3 +768,45 @@ def test_scalar_if_function_inside_statement_body(engine):
         "END\n"
         "$$", ctx)
     assert _rows(res) == [("yes:10",)]
+
+
+def test_scalar_if_after_case_then_inside_if_body(engine):
+    """A scalar IF( directly following a CASE expression's THEN must
+    not count as a construct open (r7 advice): the THEN belongs to
+    CASE, so without the expression-context guard _net_depth saw 2
+    opens and _collect_construct swallowed the rest of the script."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "BEGIN\n"
+        "  LET x := 1;\n"
+        "  IF (x = 1) THEN\n"
+        "    LET y := (SELECT CASE WHEN 1 < 2 THEN IF(2 > 1, 10, 20)"
+        " ELSE 3 END);\n"
+        "  ELSE\n"
+        "    LET y := -1;\n"
+        "  END IF;\n"
+        "  RETURN y;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [(10,)]
+
+
+def test_scalar_if_after_bare_case_then(engine):
+    """Same failure mode without any enclosing parens: a bare
+    CASE WHEN ... THEN IF(...) END in a LET body — caught by the
+    CASE...END depth tracking rather than the paren-balance guard."""
+    ctx = SessionContext()
+    res = engine.execute(
+        "EXECUTE IMMEDIATE $$\n"
+        "BEGIN\n"
+        "  LET x := 2;\n"
+        "  IF (x = 2) THEN\n"
+        "    LET y := (SELECT CASE WHEN 2 = 2 THEN IF(3 > 1, 'hi', 'lo')"
+        " ELSE 'none' END);\n"
+        "    LET z := y || '!';\n"
+        "  END IF;\n"
+        "  RETURN z;\n"
+        "END\n"
+        "$$", ctx)
+    assert _rows(res) == [("hi!",)]
