@@ -21,6 +21,15 @@ STATEMENT_TYPE_DROP = 5
 
 QUERY_RESULT_FORMAT_JSON = "json"
 
+# Large-result streaming (r8, beyond reference — the reference fully
+# materializes every rowset, pkg/query/executor.go:99-119): a SELECT
+# whose row count exceeds the threshold is NOT collect()ed on the
+# driver; Result keeps the DataFrame and the protocol layer serializes
+# it batch-by-batch from toLocalIterator, so driver memory is bounded
+# by one batch regardless of result size.
+RESULT_STREAM_THRESHOLD = 100_000
+RESULT_STREAM_BATCH = 10_000
+
 # Session parameter defaults (reference: pkg/config/constants.go:28-56).
 DEFAULT_SESSION_PARAMETERS: dict[str, str] = {
     "TIMEZONE": "UTC",

@@ -416,7 +416,11 @@ class Executor:
                 f"Result for query id {qid or '<none>'} not found or expired")
         view = _result_scan_view_name(qid)
         if view not in self._result_views:
-            if res.spark_schema is not None:
+            if getattr(res, "_df", None) is not None:
+                # StreamedResult: re-serve straight from the DataFrame —
+                # RESULT_SCAN over a large result never materializes it
+                df = res._df
+            elif res.spark_schema is not None:
                 df = self.spark.createDataFrame(res.rows, res.spark_schema)
             else:  # status/DML results: string rows, like the protocol shape
                 from pyspark.sql import types as T

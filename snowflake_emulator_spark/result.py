@@ -50,12 +50,30 @@ class Result:
     spark_schema: object | None = None
 
     @classmethod
-    def from_dataframe(cls, df: DataFrame) -> "Result":
-        collected = df.collect()
+    def from_dataframe(cls, df: DataFrame,
+                       stream_threshold: int | None = None) -> "Result":
+        """Materialize small results; keep large ones streaming.
+
+        Probes with ``limit(threshold+1).collect()`` — when the result
+        fits the threshold that probe IS the full rowset (byte-
+        identical to the historical ``df.collect()`` path, and Spark
+        executes CollectLimit incrementally so small results stay one
+        cheap job). Above the threshold the rows are NOT held on the
+        driver: a :class:`StreamedResult` keeps the DataFrame and the
+        protocol layer drains it batch-by-batch (r8, beyond reference
+        — the reference buffers every rowset,
+        pkg/query/executor.go:99-119)."""
+        from . import config
+
+        threshold = (config.RESULT_STREAM_THRESHOLD
+                     if stream_threshold is None else stream_threshold)
         cols = [f.name for f in df.schema.fields]
         ctypes = [_column_meta(f) for f in df.schema.fields]
-        return cls(columns=cols, column_types=ctypes, rows=[list(r) for r in collected],
-                   spark_schema=df.schema)
+        probe = df.limit(threshold + 1).collect()
+        if len(probe) <= threshold:
+            return cls(columns=cols, column_types=ctypes,
+                       rows=[list(r) for r in probe], spark_schema=df.schema)
+        return StreamedResult(df, columns=cols, column_types=ctypes)
 
     @classmethod
     def status(cls, message: str, **counters) -> "Result":
@@ -68,6 +86,24 @@ class Result:
     @property
     def row_count(self) -> int:
         return len(self.rows)
+
+    # -- batched iteration (shared by the streaming protocol path) --------
+
+    def iter_rows(self, batch_size: int | None = None):
+        """Yield the rows as lists in batches of ``batch_size``. The
+        base implementation slices the materialized list; StreamedResult
+        overrides it to drain toLocalIterator without materializing."""
+        from . import config
+
+        bs = batch_size or config.RESULT_STREAM_BATCH
+        for i in range(0, len(self.rows), bs):
+            yield self.rows[i:i + bs]
+
+    def iter_rowset_strings(self, batch_size: int | None = None):
+        """Batched gosnowflake all-strings serialization — one batch of
+        stringified rows at a time, for chunked HTTP emission."""
+        for batch in self.iter_rows(batch_size):
+            yield [[_stringify(v) for v in row] for row in batch]
 
     # -- protocol serializations ------------------------------------------
 
@@ -150,6 +186,63 @@ class Result:
              "scale": c.scale, "byteLength": 0}
             for c in self.column_types
         ]
+
+
+class StreamedResult(Result):
+    """A SELECT result above ``config.RESULT_STREAM_THRESHOLD`` rows:
+    holds the DataFrame instead of the rowset. ``iter_rows`` drains
+    ``toLocalIterator(prefetchPartitions=True)`` so driver memory is
+    bounded by one batch; ``row_count`` is a distributed ``count()``
+    (cached), not a materialization. Accessing ``.rows`` directly is a
+    COMPATIBILITY FALLBACK that materializes once and caches — the
+    protocol paths (server/app.py streaming JSON emission) never touch
+    it; RESULT_SCAN re-serves and REST v2 typed rows may. (r8, beyond
+    reference — the reference buffers every rowset.)"""
+
+    def __init__(self, df: DataFrame, columns: list[str],
+                 column_types: list[ColumnMetadata]):
+        self._rows_cache: list | None = None
+        self._df = df
+        self._total: int | None = None
+        super().__init__(columns=columns, column_types=column_types,
+                         rows=[], spark_schema=df.schema)
+
+    # dataclass __init__ assigns the ``rows`` field; route it through a
+    # property so the assignment of the empty default keeps the result
+    # lazy while a genuine replacement (nobody does today) sticks
+    @property
+    def rows(self) -> list:  # type: ignore[override]
+        if self._rows_cache is None:
+            self._rows_cache = [list(r) for r in
+                                self._df.toLocalIterator(prefetchPartitions=True)]
+            self._total = len(self._rows_cache)
+        return self._rows_cache
+
+    @rows.setter
+    def rows(self, v) -> None:
+        self._rows_cache = v if v else None
+
+    @property
+    def row_count(self) -> int:  # type: ignore[override]
+        if self._total is None:
+            self._total = self._df.count()
+        return self._total
+
+    def iter_rows(self, batch_size: int | None = None):
+        from . import config
+
+        if self._rows_cache is not None:  # already materialized: slice
+            yield from super().iter_rows(batch_size)
+            return
+        bs = batch_size or config.RESULT_STREAM_BATCH
+        batch: list[list] = []
+        for r in self._df.toLocalIterator(prefetchPartitions=True):
+            batch.append(list(r))
+            if len(batch) >= bs:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
 
 
 def _arrow_physical_for(cm: ColumnMetadata, spark_schema, i: int):

@@ -45,8 +45,41 @@ from .. import config, errors
 from ..engine import Engine
 from ..executor import SessionContext
 from ..plans.classifier import StatementType, classify
+from ..result import StreamedResult
 from ..sessions import SessionManager, extract_token
 from ..statements import StatementManager, StatementStatus
+
+
+class _StreamingJSONBody:
+    """HTTP body for a large (StreamedResult) gosnowflake rowset:
+    serializes the JSON envelope once with a collision-proof sentinel
+    where ``data.rowset`` goes, then writes prefix + batched rows +
+    suffix incrementally — the full rowset never exists in driver
+    memory (r8; the reference buffers every response,
+    server/handlers/query.go:179-193). Sent with ``Connection: close``
+    and no Content-Length; the client reads to EOF."""
+
+    def __init__(self, envelope: dict, result):
+        self.envelope = envelope   # data dict WITHOUT the rowset key
+        self.result = result
+
+    def write_to(self, wfile) -> None:
+        sentinel = "@@ROWSET-" + uuid.uuid4().hex + "@@"
+        env = dict(self.envelope)
+        env_data = dict(env["data"])
+        env_data["rowset"] = sentinel
+        env["data"] = env_data
+        prefix, suffix = json.dumps(env, default=str).split(
+            '"' + sentinel + '"')
+        wfile.write(prefix.encode() + b"[")
+        first = True
+        for batch in self.result.iter_rowset_strings():
+            payload = ",".join(json.dumps(r) for r in batch)
+            if not first:
+                payload = "," + payload
+            first = False
+            wfile.write(payload.encode())
+        wfile.write(b"]" + suffix.encode())
 
 
 class SnowflakeServer:
@@ -134,6 +167,15 @@ class SnowflakeServer:
         if status == 204:  # No Content must not carry a body
             h.send_response(status)
             h.end_headers()
+            return
+        if isinstance(out, _StreamingJSONBody):
+            # large rowset: incremental write, connection-delimited body
+            h.send_response(status)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Connection", "close")
+            h.end_headers()
+            out.write_to(h.wfile)
+            h.close_connection = True
             return
         data = json.dumps(out, default=str).encode()
         h.send_response(status)
@@ -302,6 +344,11 @@ class SnowflakeServer:
                 data["rowset"] = []
             else:
                 data["queryResultFormat"] = config.QUERY_RESULT_FORMAT_JSON
+                if isinstance(res, StreamedResult):
+                    # above-threshold result: stream the rowset to the
+                    # wire batch-by-batch (never materialized)
+                    return _StreamingJSONBody(
+                        {"data": data, "success": True}, res), 200
                 data["rowset"] = res.rowset_strings()
             return {"data": data, "success": True}, 200
 
