@@ -162,6 +162,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "spark_floor_per_query": floor,
+        # box-noise-invariant round-over-round signal (r8, VERDICT r7
+        # item 7): raw totals moved +25% r6->r7 purely because the
+        # measured floor moved +29% on a busier box. total / floor is
+        # dimensionless "floor units" — compare THIS across rounds.
+        "value_floor_normalized": round(total / floor, 1) if floor else None,
         "queries": times,
         "runs_per_query": "3 (+1 adaptive if min > 1.2s)",
         "aggregation": "min",

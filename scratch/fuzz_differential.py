@@ -1,11 +1,13 @@
-"""Open-ended differential fuzz runner (r5 verdict item 10).
+"""Open-ended differential fuzz runner (r5 verdict item 10; r8
+families: +window NULL orderings, +variant paths, +ASOF configs).
 
 Usage: python scratch/fuzz_differential.py [seed] [count] [sf_dir]
 
-Generates `count` random Snowflake expressions from the template table
-in tests/difffuzz.py, executes them on Spark (through the translator)
-and on DuckDB (oracle form), and reports mismatches. The pytest entry
-(tests/test_differential_fuzz.py) pins one seed for CI; this runner is
+Generates `count` random Snowflake expressions per probe family from
+the template tables in tests/difffuzz.py (plus count//20 full ASOF
+join configs), executes them on Spark (through the translator) and on
+DuckDB (oracle form), and reports mismatches. The pytest entry
+(tests/test_differential_fuzz.py) pins seeds for CI; this runner is
 for exploratory sweeps with any seed.
 """
 
@@ -16,7 +18,15 @@ sys.path.insert(0, "/root/repo/tests")
 
 import duckdb
 
-from difffuzz import PROBE_SQL, generate, normalize
+from difffuzz import (
+    PROBE_EVENTS_SQL,
+    PROBE_SQL,
+    TEMPLATES_EVENTS,
+    generate,
+    generate_asof_cases,
+    run_asof_cases,
+    run_probe_cases,
+)
 from snowflake_emulator_spark.inventory import load_views
 from snowflake_emulator_spark.plans.translator import translate
 from snowflake_emulator_spark.session_factory import build_spark
@@ -31,39 +41,32 @@ def main():
                         shuffle_partitions=8)
     load_views(spark, SF_DIR)
     con = duckdb.connect()
-    for t in ("customer", "orders"):
+    for t in ("customer", "orders", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    cases = generate(SEED, COUNT)
+
     failures = []
-    batch = 20
-    for i in range(0, len(cases), batch):
-        chunk = cases[i:i + batch]
-        snow_sql = PROBE_SQL.replace(
-            "SELECT ", "SELECT " + ", ".join(
-                f"{s} AS fz_{j}" for j, (_f, s, _d) in enumerate(chunk)) + ", ", 1)
-        duck_sql = PROBE_SQL.replace(
-            "SELECT ", "SELECT " + ", ".join(
-                f"{d} AS fz_{j}" for j, (_f, _s, d) in enumerate(chunk)) + ", ", 1)
-        order = " ORDER BY o_orderkey"
-        try:
-            srows = [tuple(normalize(v) for v in r)
-                     for r in spark.sql(translate(snow_sql + order)).collect()]
-            drows = [tuple(normalize(v) for v in r)
-                     for r in con.sql(duck_sql + order).fetchall()]
-        except Exception as e:
-            failures.append(f"batch {i // batch} ERROR: {e}")
-            continue
-        for si, di in zip(srows, drows):
-            for j in range(len(chunk)):
-                if si[j] != di[j]:
-                    fam, s, d = chunk[j]
-                    failures.append(
-                        f"[{fam}] {s!r}: spark={si[j]!r} duck={di[j]!r}")
-                    break
-        print(f"batch {i // batch + 1}/{(len(cases) + batch - 1) // batch} done",
-              flush=True)
+    n_cases = 0
+
+    cases = generate(SEED, COUNT)
+    n_cases += len(cases)
+    failures += run_probe_cases(spark, con, translate, cases,
+                                PROBE_SQL, "o_orderkey")
+    print(f"scalar/window sweep: {len(cases)} cases done", flush=True)
+
+    ev_cases = generate(SEED + 1, max(COUNT // 3, 20),
+                        templates=TEMPLATES_EVENTS)
+    n_cases += len(ev_cases)
+    failures += run_probe_cases(spark, con, translate, ev_cases,
+                                PROBE_EVENTS_SQL, "event_id")
+    print(f"variant sweep: {len(ev_cases)} cases done", flush=True)
+
+    asof_cases = generate_asof_cases(SEED + 2, max(COUNT // 20, 4))
+    n_cases += len(asof_cases)
+    failures += run_asof_cases(spark, con, translate, asof_cases)
+    print(f"asof sweep: {len(asof_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
-    print(f"\nseed={SEED} count={COUNT}: {len(uniq)} unique mismatches")
+    print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:
         print(" ", f)
     sys.exit(1 if uniq else 0)

@@ -227,18 +227,174 @@ TEMPLATES = [
      lambda r: {"sc": r.choice(_STR_COLS)}),
     ("codec", "HEX_ENCODE({sc})", "upper(hex(CAST({sc} AS BLOB)))",
      lambda r: {"sc": r.choice(_STR_COLS)}),
+    # ---- window family (r8 verdict item 6): NULL orderings ------------
+    # Snowflake ORDER BY defaults (ASC -> NULLS LAST, DESC -> NULLS
+    # FIRST) differ from Spark's (ASC -> NULLS FIRST); the Snowflake
+    # side leaves the nulls clause OFF so the translator's default
+    # injection is what's under test, while the oracle spells the
+    # Snowflake semantics explicitly. NULLIF manufactures the NULLs;
+    # o_orderkey (unique) tie-breaks wherever per-row output matters.
+    ("window",
+     "ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m}, 0) {dir}, o_orderkey)",
+     "ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m}, 0) {dir} NULLS {nulls}, o_orderkey)",
+     lambda r: (lambda d: {"m": r.choice([2, 3, 5]), "dir": d,
+                           "nulls": "LAST" if d == "ASC" else "FIRST"})(
+         r.choice(["ASC", "DESC"]))),
+    ("window",
+     "RANK() OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m}, 0) {dir})",
+     "RANK() OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m}, 0) {dir} NULLS {nulls})",
+     lambda r: (lambda d: {"m": r.choice([2, 3, 7]), "dir": d,
+                           "nulls": "LAST" if d == "ASC" else "FIRST"})(
+         r.choice(["ASC", "DESC"]))),
+    ("window",
+     "FIRST_VALUE(NULLIF({nc} % {m}, 0)) OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m2}, 0) {dir}, o_orderkey)",
+     "FIRST_VALUE(NULLIF({nc} % {m}, 0)) OVER (PARTITION BY c_nationkey "
+     "ORDER BY NULLIF(o_orderkey % {m2}, 0) {dir} NULLS {nulls}, o_orderkey)",
+     lambda r: (lambda d: {"nc": r.choice(_NUM_COLS), "m": r.choice([2, 3]),
+                           "m2": r.choice([2, 5]), "dir": d,
+                           "nulls": "LAST" if d == "ASC" else "FIRST"})(
+         r.choice(["ASC", "DESC"]))),
+    ("window",
+     "LAG({sc}, {k}, '<none>') OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
+     "lag({sc}, {k}, '<none>') OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
+     lambda r: {"sc": r.choice(_STR_COLS), "k": r.choice([1, 2, 3])}),
+    ("window",
+     "NVL(LEAD(NULLIF({sc}, '{w}'), {k}) OVER "
+     "(PARTITION BY c_nationkey ORDER BY o_orderkey), '<end>')",
+     "coalesce(lead(nullif({sc}, '{w}'), {k}) OVER "
+     "(PARTITION BY c_nationkey ORDER BY o_orderkey), '<end>')",
+     lambda r: {"sc": r.choice(_STR_COLS), "w": r.choice(_WORDS),
+                "k": r.choice([1, 2])}),
+    ("window",
+     "SUM({nc} % {m}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)",
+     "sum({nc} % {m}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([5, 11]),
+                "k": r.choice([1, 3, 10])}),
+    ("window",
+     "NTILE({k}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
+     "NTILE({k}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
+     lambda r: {"k": r.choice([2, 3, 4, 7])}),
+]
+
+# ---- variant family (r8 verdict item 6): JSON path access over the
+# events.props column ('{"k": N}' — the missing-key probes exercise the
+# NULL path). Runs on its own probe row set (PROBE_EVENTS_SQL).
+TEMPLATES_EVENTS = [
+    ("variant", "props:k::NUMBER(18,0) % {m}",
+     "CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) % {m}",
+     lambda r: {"m": r.choice([2, 3, 7, 10])}),
+    ("variant", "ROUND(props:k::DOUBLE / {m}, 4)",
+     "round(CAST(json_extract_string(props, '$.k') AS DOUBLE) / {m}, 4)",
+     lambda r: {"m": r.choice([3, 7, 10])}),
+    ("variant", "props:k::STRING",
+     "json_extract_string(props, '$.k')", lambda r: {}),
+    ("variant", "props:{miss}::STRING",
+     "json_extract_string(props, '$.{miss}')",
+     lambda r: {"miss": r.choice(["missing", "q", "z9"])}),
+    ("variant", "GET_PATH(PARSE_JSON(props), 'k')::STRING",
+     "json_extract_string(props, '$.k')", lambda r: {}),
+    ("variant", "NVL(props:{miss}::STRING, '<absent>')",
+     "coalesce(json_extract_string(props, '$.{miss}'), '<absent>')",
+     lambda r: {"miss": r.choice(["missing", "nope"])}),
+    ("variant", "IFF(props:k::NUMBER(18,0) > {m}, 'hi', 'lo')",
+     "CASE WHEN CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) "
+     "> {m} THEN 'hi' ELSE 'lo' END",
+     lambda r: {"m": r.choice([10, 50, 90])}),
 ]
 
 
-def generate(seed: int, count: int) -> list[tuple[str, str, str]]:
+def generate(seed: int, count: int,
+             templates: list | None = None) -> list[tuple[str, str, str]]:
     """Return ``count`` randomized (family, snow_expr, duck_expr)
     triples, deterministic for a given seed."""
     rng = random.Random(seed)
+    pool = TEMPLATES if templates is None else templates
     out = []
     for _ in range(count):
-        family, snow_t, duck_t, arggen = rng.choice(TEMPLATES)
+        family, snow_t, duck_t, arggen = rng.choice(pool)
         args = arggen(rng)
         out.append((family, snow_t.format(**args), duck_t.format(**args)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ASOF-join fuzz (r8 verdict item 6): randomized direction / ON keys /
+# NULL-injection configs for the translator's ASOF rewrite, against
+# DuckDB's NATIVE ASOF LEFT JOIN. DuckDB's sort-based ASOF matches a
+# NULL probe timestamp to the extreme right row (verified r8), which
+# diverges from Snowflake's NULL-never-matches comparison semantics —
+# so NULL-ts left rows bypass the oracle join explicitly. The matched
+# TIMESTAMP (not event_id) is projected so right-side ts ties stay
+# deterministic.
+# ---------------------------------------------------------------------------
+
+def generate_asof_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
+    """Return (description, snowflake_sql, duckdb_sql) full-query
+    triples; compare row-sets sorted."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(count):
+        op = rng.choice([">=", ">", "<=", "<"])
+        keyed = rng.choice([True, False])
+        lmod = rng.choice([0, 5, 7])      # 0 = no NULL injection
+        rmod = rng.choice([0, 9, 11])
+        kmod = rng.choice([0, 4]) if keyed else 0
+        ltype = rng.choice(["purchase", "click"])
+        rtype = rng.choice(["view", "error"])
+        umax = rng.choice([15, 30])
+
+        def null_ts(mod):
+            return f"IFF(event_id % {mod} = 0, NULL, ts)" if mod else "ts"
+
+        def null_ts_duck(mod):
+            return (f"CASE WHEN event_id % {mod} = 0 THEN NULL ELSE ts END"
+                    if mod else "ts")
+
+        ukey = (f"IFF(event_id % {kmod} = 0, NULL, user_id)"
+                if kmod else "user_id")
+        ukey_duck = (f"CASE WHEN event_id % {kmod} = 0 THEN NULL "
+                     f"ELSE user_id END" if kmod else "user_id")
+        on_snow = "ON l.user_id = r.user_id " if keyed else ""
+        on_duck = ("l.user_id = r.user_id AND " if keyed else "")
+        snow = f"""
+WITH lv AS (
+  SELECT event_id, user_id, {null_ts(lmod)} AS ts
+  FROM events WHERE event_type = '{ltype}' AND user_id <= {umax}
+), rv AS (
+  SELECT event_id, {ukey} AS user_id, {null_ts(rmod)} AS ts
+  FROM events WHERE event_type = '{rtype}' AND user_id <= {umax}
+)
+SELECT l.event_id, l.user_id, r.ts AS matched_ts
+FROM lv l ASOF JOIN rv r
+MATCH_CONDITION (l.ts {op} r.ts)
+{on_snow}ORDER BY l.event_id
+"""
+        duck = f"""
+WITH lv AS (
+  SELECT event_id, user_id, {null_ts_duck(lmod)} AS ts
+  FROM events WHERE event_type = '{ltype}' AND user_id <= {umax}
+), rv AS (
+  SELECT event_id, {ukey_duck} AS user_id, {null_ts_duck(rmod)} AS ts
+  FROM events WHERE event_type = '{rtype}' AND user_id <= {umax}
+)
+SELECT l.event_id, l.user_id, r.ts AS matched_ts
+FROM (SELECT * FROM lv WHERE ts IS NOT NULL) l ASOF LEFT JOIN rv r
+ON {on_duck}l.ts {op} r.ts
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS TIMESTAMP) AS matched_ts
+FROM lv WHERE ts IS NULL
+ORDER BY event_id
+"""
+        desc = (f"asof op={op} keyed={keyed} lmod={lmod} rmod={rmod} "
+                f"kmod={kmod} {ltype}->{rtype} umax={umax}")
+        out.append((desc, snow, duck))
     return out
 
 
@@ -251,6 +407,70 @@ PROBE_SQL = (
     "FROM customer JOIN orders ON o_custkey = c_custkey "
     "WHERE o_orderkey <= 160 "
 )
+
+# variant-family probe: events carries the JSON props column
+PROBE_EVENTS_SQL = (
+    "SELECT event_id, user_id, event_type, props, ts "
+    "FROM events WHERE event_id <= 200 "
+)
+
+
+def run_probe_cases(spark, con, translate, cases, probe_sql, order_col,
+                    batch: int = 20) -> list[str]:
+    """Execute (family, snow_expr, duck_expr) cases batched into one
+    SELECT per engine per chunk over ``probe_sql``; return mismatch
+    descriptions (empty = clean)."""
+    failures = []
+    for i in range(0, len(cases), batch):
+        chunk = cases[i:i + batch]
+        snow_sql = probe_sql.replace(
+            "SELECT ", "SELECT " + ", ".join(
+                f"{s} AS fz_{j}" for j, (_f, s, _d) in enumerate(chunk))
+            + ", ", 1)
+        duck_sql = probe_sql.replace(
+            "SELECT ", "SELECT " + ", ".join(
+                f"{d} AS fz_{j}" for j, (_f, _s, d) in enumerate(chunk))
+            + ", ", 1)
+        order = f" ORDER BY {order_col}"
+        try:
+            srows = [tuple(normalize(v) for v in r)
+                     for r in spark.sql(translate(snow_sql + order)).collect()]
+            drows = [tuple(normalize(v) for v in r)
+                     for r in con.sql(duck_sql + order).fetchall()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"batch {i // batch} ERROR: {e}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(
+                f"batch {i // batch}: row count {len(srows)} != {len(drows)}")
+            continue
+        for si, di in zip(srows, drows):
+            for j in range(len(chunk)):
+                if si[j] != di[j]:
+                    fam, s, d = chunk[j]
+                    failures.append(
+                        f"[{fam}] {s!r}: spark={si[j]!r} duck={di[j]!r}")
+                    break
+    return failures
+
+
+def run_asof_cases(spark, con, translate, cases) -> list[str]:
+    """Execute full-query ASOF cases; compare sorted row sets."""
+    failures = []
+    for desc, snow, duck in cases:
+        try:
+            srows = sorted(tuple(normalize(v) for v in r)
+                           for r in spark.sql(translate(snow)).collect())
+            drows = sorted(tuple(normalize(v) for v in r)
+                           for r in con.sql(duck).fetchall())
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{desc} ERROR: {e}")
+            continue
+        if srows != drows:
+            diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            failures.append(
+                f"{desc}: {len(srows)} vs {len(drows)} rows, first diffs {diff}")
+    return failures
 
 
 def normalize(v):

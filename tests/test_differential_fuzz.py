@@ -1,6 +1,12 @@
 """Differential fuzz: randomized translator expressions vs DuckDB
-(r5 verdict item 10). Fixed seed for CI determinism; run
-``scratch/fuzz_differential.py`` for open-ended sweeps."""
+(r5 verdict item 10; families grown per r6/r7 verdicts). Fixed seeds
+for CI determinism; run ``scratch/fuzz_differential.py`` for
+open-ended sweeps.
+
+r8 additions (VERDICT r7 item 6): window functions with NULL
+orderings (Snowflake ORDER BY defaults vs Spark's), VARIANT path
+access over events.props, and randomized ASOF-join configs against
+DuckDB's native ASOF JOIN; fixed-seed case count raised 80 -> 300."""
 
 import os
 
@@ -10,19 +16,29 @@ import pytest
 from snowflake_emulator_spark.inventory import load_views
 from snowflake_emulator_spark.plans.translator import translate
 
-from difffuzz import PROBE_SQL, generate, normalize
+from difffuzz import (
+    PROBE_EVENTS_SQL,
+    PROBE_SQL,
+    TEMPLATES_EVENTS,
+    generate,
+    generate_asof_cases,
+    run_asof_cases,
+    run_probe_cases,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 SEED = 20260814
-COUNT = 80
+COUNT = 300          # r8: raised from 80
+COUNT_EVENTS = 60
+COUNT_ASOF = 6       # each is a full two-engine query; sweep runs more
 
 
 @pytest.fixture(scope="module")
 def probes(spark):
     load_views(spark, SF_DIR)
     con = duckdb.connect()
-    for t in ("customer", "orders"):
+    for t in ("customer", "orders", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     yield spark, con
@@ -32,35 +48,24 @@ def probes(spark):
 def test_differential_fuzz_fixed_seed(probes):
     spark, con = probes
     cases = generate(SEED, COUNT)
-    # one batched query per engine per family-batch: run all exprs in a
-    # single SELECT to keep this at a handful of Spark jobs, not 80
-    failures = []
-    batch = 20
-    for i in range(0, len(cases), batch):
-        chunk = cases[i:i + batch]
-        snow_sql = PROBE_SQL.replace(
-            "SELECT ",
-            "SELECT " + ", ".join(
-                f"{s} AS fz_{j}" for j, (_f, s, _d) in enumerate(chunk))
-            + ", ", 1)
-        duck_sql = PROBE_SQL.replace(
-            "SELECT ",
-            "SELECT " + ", ".join(
-                f"{d} AS fz_{j}" for j, (_f, _s, d) in enumerate(chunk))
-            + ", ", 1)
-        order = " ORDER BY o_orderkey"
-        srows = [tuple(normalize(v) for v in r)
-                 for r in spark.sql(translate(snow_sql + order)).collect()]
-        drows = [tuple(normalize(v) for v in r)
-                 for r in con.sql(duck_sql + order).fetchall()]
-        assert len(srows) == len(drows)
-        ncols = len(chunk)
-        for si, di in zip(srows, drows):
-            for j in range(ncols):
-                if si[j] != di[j]:
-                    fam, s, d = chunk[j]
-                    failures.append(
-                        f"[{fam}] {s!r}: spark={si[j]!r} duck={di[j]!r}")
-                    break
+    failures = run_probe_cases(spark, con, translate, cases,
+                               PROBE_SQL, "o_orderkey")
     assert not failures, (
         f"{len(failures)} differential mismatches:\n" + "\n".join(failures[:20]))
+
+
+def test_differential_fuzz_variant_paths(probes):
+    spark, con = probes
+    cases = generate(SEED + 1, COUNT_EVENTS, templates=TEMPLATES_EVENTS)
+    failures = run_probe_cases(spark, con, translate, cases,
+                               PROBE_EVENTS_SQL, "event_id")
+    assert not failures, (
+        f"{len(failures)} variant-path mismatches:\n" + "\n".join(failures[:20]))
+
+
+def test_differential_fuzz_asof(probes):
+    spark, con = probes
+    cases = generate_asof_cases(SEED + 2, COUNT_ASOF)
+    failures = run_asof_cases(spark, con, translate, cases)
+    assert not failures, (
+        f"{len(failures)} ASOF mismatches:\n" + "\n".join(failures[:10]))
