@@ -1680,9 +1680,17 @@ class Translator:
             cast = "try_cast" if fname.startswith("TRY") else "CAST"
             return f"{cast}({args[0]} AS DECIMAL({p}, {sc}))"
         if fname in ("TO_TIME", "TRY_TO_TIME"):
-            # TIME is stored as 'HH:MM:SS' text (§1.3); parse + reformat
+            # TIME is stored as 'HH:MM:SS' text (§1.3); parse + reformat.
+            # Snowflake accepts unpadded fields ('7:5:9') — Spark's 'H:m:s'
+            # pattern matches 1-2 digits per field (r8 fix: the former
+            # 'HH:mm:ss' parse raised on unpadded input). Full timestamp
+            # strings fall back to the default parser (Snowflake TO_TIME
+            # of a timestamp takes its time portion); TO_TIME stays
+            # strict on garbage via the non-try final branch.
             fn_ts = "try_to_timestamp" if fname.startswith("TRY") else "to_timestamp"
-            return f"date_format({fn_ts}({args[0]}, 'HH:mm:ss'), 'HH:mm:ss')"
+            return (f"date_format(coalesce("
+                    f"try_to_timestamp({args[0]}, 'H:m:s'), "
+                    f"{fn_ts}({args[0]})), 'HH:mm:ss')")
         if fname in ("TO_BINARY", "TRY_TO_BINARY"):
             # 2nd arg selects codec (HEX default, BASE64, UTF-8)
             fmt = args[1].strip().upper().strip("'") if len(args) > 1 else "HEX"
