@@ -31,15 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 from . import errors
 from .catalog import Catalog
 from .executor import Executor, SessionContext
-from .result import Result
+from .result import ColumnMetadata, Result
 from .session_factory import build_spark, ensure_engine_confs
 from .sources.stage import StageManager
 from .warehouse import WarehouseManager
 
 _CREATE_STAGE_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?STAGE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)", re.I
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+|TEMP\s+)?STAGE\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)", re.I
 )
 _DROP_STAGE_RE = re.compile(r"^\s*DROP\s+STAGE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+# stage file statements (gosnowflake sends these as plain sqlText)
+_PUT_RE = re.compile(
+    r"^\s*PUT\s+('?file://[^\s']+'?)\s+@([\w.\"$/\-]+)"
+    r"(?:\s+.*)?$", re.I | re.S)
+_LIST_STAGE_RE = re.compile(r"^\s*(?:LIST|LS)\s+@([\w.\"$/\-]+)\s*$", re.I)
+_REMOVE_STAGE_RE = re.compile(r"^\s*(?:REMOVE|RM)\s+@([\w.\"$/\-]+)\s*$", re.I)
 _CREATE_FF_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+(.*)$",
     re.I | re.S,
@@ -165,6 +172,64 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def execute_bind_stage(self, sql: str, bind_stage: str,
+                           ctx: SessionContext | None = None,
+                           query_id: str | None = None) -> Result:
+        """gosnowflake bulk array binds (bind_uploader.go): above the
+        client-side threshold the driver CSV-uploads the bind rows to a
+        stage and sends ``bindStage: "STAGE_NAME/prefix"`` instead of
+        inline bindings. Each CSV row is one execution of the statement
+        with positional TEXT binds; the common ``INSERT ... VALUES
+        (?, ...)`` shape is rewritten into multi-row VALUES batches so
+        a bulk insert stays a handful of distributed statements, not
+        one Spark job per row."""
+        import csv
+        import io
+
+        ctx = ctx or SessionContext()
+        path = bind_stage.strip().lstrip("@")
+        name, _, prefix = path.partition("/")
+        stage = self.catalog.get_stage(name, ctx.database, ctx.schema)
+        rows: list[list[str]] = []
+        for rel in self.stages.list_files(stage, prefix=prefix or None):
+            data = self.stages.get_file(stage, rel)
+            rows.extend(csv.reader(io.StringIO(data.decode("utf-8"))))
+        if not rows:
+            raise errors.invalid_parameter(
+                f"bind stage {bind_stage!r} contains no bind rows")
+        s = sql.strip().rstrip(";")
+        # INSERT ... VALUES (?, ...) — one tuple, all placeholders:
+        # expand to multi-row VALUES in batches of 1000 tuples
+        m = re.match(r"^(INSERT\s+INTO\s+[^()]+?(?:\([^)]*\))?\s*VALUES\s*)"
+                     r"(\(.*\))\s*$", s, re.I | re.S)
+        if m and m.group(2).count("(") == 1:
+            from .plans.bindings import apply_bindings
+
+            head, tmpl = m.group(1), m.group(2)
+            total = None
+            for i in range(0, len(rows), 1000):
+                tuples = []
+                for row in rows[i:i + 1000]:
+                    binds = {str(j + 1): {"type": "TEXT", "value": v}
+                             for j, v in enumerate(row)}
+                    tuples.append(apply_bindings(tmpl, binds))
+                res = self.execute(head + ", ".join(tuples), ctx,
+                                   query_id=query_id)
+                total = (total or 0) + (res.rows_inserted or 0)
+            res.rows_inserted = total or 0
+            return res
+        # general statement: one execution per bind row (bounded)
+        if len(rows) > 10_000:
+            raise errors.invalid_parameter(
+                "bind stage row-per-statement execution is capped at "
+                "10000 rows for non-INSERT statements")
+        res = None
+        for row in rows:
+            binds = {str(j + 1): {"type": "TEXT", "value": v}
+                     for j, v in enumerate(row)}
+            res = self.execute(s, ctx, binds, query_id=query_id)
+        return res
+
     def execute(self, sql: str, ctx: SessionContext | None = None,
                 bindings: dict | None = None, query_id: str | None = None) -> Result:
         ctx = ctx or SessionContext()
@@ -201,6 +266,56 @@ class Engine:
             self.catalog.create_stage(m.group(3), ctx.database, ctx.schema,
                                       or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
             return Result.status(f"Stage area {m.group(3).upper()} successfully created.")
+        m = _PUT_RE.match(s)
+        if m:
+            # local emulation of the client upload: both ends share a
+            # filesystem, so PUT reads the file:// source directly (the
+            # reference exposes PutFile as an API, manager.go:89; the
+            # SQL statement surface is what gosnowflake sends)
+            import os as _os
+            import urllib.parse as _up
+
+            local = _up.unquote(_up.urlparse(m.group(1).strip("'")).path)
+            name, _, prefix = m.group(2).partition("/")
+            stage = self.catalog.get_stage(name, ctx.database, ctx.schema)
+            base = _os.path.basename(local)
+            dest = f"{prefix.rstrip('/')}/{base}" if prefix else base
+            self.stages.put_file(stage, local, dest)
+            size = _os.path.getsize(local)
+            r = Result(
+                columns=["source", "target", "source_size", "target_size",
+                         "source_compression", "target_compression",
+                         "status", "message"],
+                column_types=[ColumnMetadata(c, "TEXT") for c in
+                              ("source", "target", "source_size",
+                               "target_size", "source_compression",
+                               "target_compression", "status", "message")],
+                rows=[[base, dest, str(size), str(size),
+                       "NONE", "NONE", "UPLOADED", ""]])
+            return r
+        m = _LIST_STAGE_RE.match(s)
+        if m:
+            name, _, prefix = m.group(1).partition("/")
+            stage = self.catalog.get_stage(name, ctx.database, ctx.schema)
+            import os as _os
+
+            files = self.stages.list_files(stage, prefix=prefix or None)
+            return Result(
+                columns=["name", "size", "md5", "last_modified"],
+                column_types=[ColumnMetadata(c, "TEXT") for c in
+                              ("name", "size", "md5", "last_modified")],
+                rows=[[f"{name.lower()}/{rel}",
+                       str(_os.path.getsize(self.stages._resolve_inside(stage, rel))),
+                       "", ""] for rel in files])
+        m = _REMOVE_STAGE_RE.match(s)
+        if m:
+            name, _, prefix = m.group(1).partition("/")
+            stage = self.catalog.get_stage(name, ctx.database, ctx.schema)
+            removed = 0
+            for rel in self.stages.list_files(stage, prefix=prefix or None):
+                self.stages.remove_file(stage, rel)
+                removed += 1
+            return Result.status(f"removed {removed} file(s)")
         m = _DROP_STAGE_RE.match(s)
         if m:
             self.catalog.drop_stage(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))

@@ -317,7 +317,14 @@ class SnowflakeServer:
                     self._running[req_id] = group
             self.engine.spark.sparkContext.setJobGroup(group, sql[:100], True)
             try:
-                res = self.engine.execute(sql, ctx, bindings, query_id=qid)
+                bind_stage = body.get("bindStage") or ""
+                if bind_stage:
+                    # gosnowflake bulk array binds: rows live in a
+                    # staged CSV, not the inline bindings field
+                    res = self.engine.execute_bind_stage(
+                        sql, bind_stage, ctx, query_id=qid)
+                else:
+                    res = self.engine.execute(sql, ctx, bindings, query_id=qid)
             finally:
                 self.engine.spark.sparkContext.setJobGroup("", "")
                 with self._running_lock:

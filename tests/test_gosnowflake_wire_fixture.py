@@ -262,3 +262,81 @@ def test_wire_describe_only_no_side_effects(server):
     eng = server.engine
     assert getattr(eng.executor._tt_local, "pins", []) == []
     assert not eng.catalog._tt_pins
+
+
+def test_wire_arrow_negotiation_at_login(server):
+    """gosnowflake requests the Arrow result format via the login
+    body's SESSION_PARAMETERS (connection_util.go populates
+    GO_QUERY_RESULT_FORMAT); a subsequent query must answer
+    queryResultFormat=arrow with a rowsetBase64 IPC stream whose
+    physical layout is what arrowToValue type-asserts: FIXED as int64
+    with precision/scale field metadata, TEXT as utf8 (r8, VERDICT r7
+    item 9)."""
+    import base64
+
+    import pyarrow as pa
+
+    body = json.loads(json.dumps(_LOGIN_BODY))  # deep copy
+    body["data"]["SESSION_PARAMETERS"]["GO_QUERY_RESULT_FORMAT"] = "arrow"
+    qp = f"?databaseName=TEST_DB&schemaName=PUBLIC&request_id={uuid.uuid4()}"
+    st, out = _post(server, "/session/v1/login-request" + qp, body)
+    assert st == 200 and out["success"], out
+    token = out["data"]["token"]
+
+    st, out = _query(server, token,
+                     "SELECT 42 AS n, 'hi' AS s, 2.5 AS f")
+    assert out["success"], out
+    assert out["data"]["queryResultFormat"] == "arrow"
+    assert out["data"]["rowset"] == []
+    raw = base64.b64decode(out["data"]["rowsetBase64"])
+    table = pa.ipc.open_stream(raw).read_all()
+    assert table.num_rows == 1
+    n_field = table.schema.field("n")
+    assert pa.types.is_int64(n_field.type) or pa.types.is_decimal(n_field.type)
+    meta = {k.decode(): v.decode() for k, v in n_field.metadata.items()}
+    assert meta["logicalType"] == "FIXED"
+    assert "precision" in meta and "scale" in meta
+    s_field = table.schema.field("s")
+    smeta = {k.decode(): v.decode() for k, v in s_field.metadata.items()}
+    assert pa.types.is_string(s_field.type) and smeta["logicalType"] == "TEXT"
+    assert table.column("s").to_pylist() == ["hi"]
+
+
+def test_wire_bind_stage_bulk_insert(server):
+    """gosnowflake bulk array binds (bind_uploader.go): the driver
+    creates the SYSTEM$BIND stage, PUTs the bind rows as CSV, then
+    sends the INSERT with ``bindStage: "SYSTEM$BIND/<requestId>"`` and
+    NO inline bindings. The server must load every staged row (r8,
+    VERDICT r7 item 9)."""
+    import csv
+    import io
+    import tempfile
+
+    data = _login(server)
+    token = data["token"]
+    _query(server, token,
+           "CREATE TABLE wire_bulk (id INTEGER, name VARCHAR, score DOUBLE)")
+    # the driver's implicit stage bootstrap
+    st, out = _query(
+        server, token,
+        "CREATE TEMPORARY STAGE IF NOT EXISTS SYSTEM$BIND")
+    assert out["success"], out
+    # CSV-encode the bind rows exactly like bind_uploader.go (encoding/csv)
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    rows = [[str(i), f"name-{i}", str(i * 1.5)] for i in range(1, 26)]
+    w.writerows(rows)
+    req_id = str(uuid.uuid4())
+    with tempfile.NamedTemporaryFile("w", suffix="_0.csv", delete=False) as f:
+        f.write(buf.getvalue())
+        local = f.name
+    st, out = _query(server, token,
+                     f"PUT file://{local} @SYSTEM$BIND/{req_id}")
+    assert out["success"], out
+    st, out = _query(server, token,
+                     "INSERT INTO wire_bulk VALUES (?, ?, ?)",
+                     bindStage=f"SYSTEM$BIND/{req_id}")
+    assert out["success"], out
+    st, out = _query(server, token,
+                     "SELECT count(*) AS n, sum(id) AS s FROM wire_bulk")
+    assert out["data"]["rowset"] == [["25", "325"]], out["data"]["rowset"]
