@@ -390,7 +390,10 @@ class SnowflakeServer:
             return self._statement_payload(st)
         m = re.match(r"^/api/v2/statements/([\w-]+)$", path)
         if m and method == "GET":
-            return self._statement_payload(self.statements.get(m.group(1)))
+            part = params.get("partition")
+            return self._statement_payload(
+                self.statements.get(m.group(1)),
+                partition=int(part) if part is not None else None)
         m = re.match(r"^/api/v2/statements/([\w-]+)/cancel$", path)
         if m and method == "POST":
             st = self.statements.cancel(m.group(1))
@@ -521,7 +524,7 @@ class SnowflakeServer:
 
         raise errors.SnowflakeError("390404", f"unknown endpoint {method} {path}", "02000")
 
-    def _statement_payload(self, st):
+    def _statement_payload(self, st, partition: int | None = None):
         if st.status == StatementStatus.FAILED and st.error is not None:
             return {
                 "statementHandle": st.handle,
@@ -539,10 +542,55 @@ class SnowflakeServer:
             "createdOn": int(st.created_at * 1000),
         }
         if st.result is not None:
+            res = st.result
+            total = res.row_count
+            bs = config.RESULT_STREAM_BATCH
+            from ..result import StreamedResult, _jsonify
+
+            streamed = isinstance(res, StreamedResult)
+            if streamed:
+                # Snowflake SQL-API partition shape: clients fetch
+                # ?partition=N per entry; a streamed result never holds
+                # the full rowset (r8 — beyond reference)
+                n_parts = max(1, (total + bs - 1) // bs)
+                counts = ([bs] * (total // bs)
+                          + ([total % bs] if total % bs else []))
+            else:
+                n_parts, counts = 1, [total]
             payload["resultSetMetaData"] = {
-                "numRows": st.result.row_count,
+                "numRows": total,
                 "format": "jsonv2",
-                "rowType": st.result.row_type(),
+                "rowType": res.row_type(),
+                "partitionInfo": [{"rowCount": c} for c in counts],
             }
-            payload["data"] = st.result.rowset_typed()
+            want = partition or 0
+            if want < 0 or want >= n_parts:
+                raise errors.invalid_parameter(
+                    f"partition {want} out of range (0..{n_parts - 1})")
+            if streamed:
+                rows = self._fetch_partition(st, want, bs)
+                payload["data"] = [[_jsonify(v) for v in r] for r in rows]
+            else:
+                payload["data"] = res.rowset_typed()
         return payload, 200
+
+    def _fetch_partition(self, st, n: int, bs: int) -> list:
+        """Sequential partition cursor over a StreamedResult: serves
+        partition N by draining the result's batched iterator forward,
+        caching only the LAST served partition (bounded memory).
+        Fetching an earlier partition restarts the iterator — clients
+        walk partitions in order, so the common path is one pass."""
+        cur = getattr(st, "_part_cursor", None)
+        if cur is None:
+            cur = st._part_cursor = {"gen": None, "next": 0, "last": (None, None)}
+        if cur["last"][0] == n:
+            return cur["last"][1]
+        if cur["gen"] is None or n < cur["next"]:
+            cur["gen"] = st.result.iter_rows(bs)
+            cur["next"] = 0
+        rows: list = []
+        while cur["next"] <= n:
+            rows = next(cur["gen"], [])
+            cur["next"] += 1
+        cur["last"] = (n, rows)
+        return rows

@@ -99,3 +99,52 @@ def test_server_streams_large_rowset(spark, tmp_path, low_threshold):
         assert out["data"]["rowset"] == [["1"]]
     finally:
         srv.stop()
+
+
+def test_restv2_partitioned_fetch(spark, tmp_path, low_threshold):
+    """REST v2 partition-style fetch (Snowflake SQL-API shape): a
+    streamed result advertises partitionInfo and serves each
+    ?partition=N on demand; walking the partitions reassembles the
+    full rowset without the server ever holding it whole."""
+    from snowflake_emulator_spark.engine import Engine
+    from snowflake_emulator_spark.result import StreamedResult
+    from snowflake_emulator_spark.server.app import SnowflakeServer
+
+    eng = Engine(spark, base_dir=str(tmp_path / "wh2"))
+    srv = SnowflakeServer(eng, port=0)
+    srv.start()
+    try:
+        def call(method, path, body=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}",
+                data=json.dumps(body).encode() if body is not None else None,
+                method=method)
+            req.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        st, out = call("POST", "/api/v2/statements", {
+            "statement":
+                "SELECT seq4() AS n FROM TABLE(GENERATOR(ROWCOUNT => 100))"})
+        assert out["status"] == "success", out
+        handle = out["statementHandle"]
+        # the result is streamed (threshold 50, batch 16)
+        assert isinstance(srv.statements.get(handle).result, StreamedResult)
+        meta = out["resultSetMetaData"]
+        assert meta["numRows"] == 100
+        counts = [p["rowCount"] for p in meta["partitionInfo"]]
+        assert sum(counts) == 100 and all(c <= 16 for c in counts)
+        # partition 0 data came inline; fetch the rest in order
+        rows = list(out["data"])
+        for i in range(1, len(counts)):
+            st2, page = call("GET", f"/api/v2/statements/{handle}?partition={i}")
+            assert len(page["data"]) == counts[i]
+            rows.extend(page["data"])
+        assert sorted(int(r[0]) for r in rows) == list(range(100))
+        # re-fetching an EARLIER partition restarts the cursor but
+        # still returns the right rows
+        st3, page1 = call("GET", f"/api/v2/statements/{handle}?partition=1")
+        assert len(page1["data"]) == counts[1]
+        assert page1["data"] == rows[counts[0]:counts[0] + counts[1]]
+    finally:
+        srv.stop()
