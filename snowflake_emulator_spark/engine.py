@@ -46,6 +46,8 @@ _PUT_RE = re.compile(
     r"^\s*PUT\s+('?file://[^\s']+'?)\s+@([\w.\"$/\-]+)"
     r"(?:\s+.*)?$", re.I | re.S)
 _LIST_STAGE_RE = re.compile(r"^\s*(?:LIST|LS)\s+@([\w.\"$/\-]+)\s*$", re.I)
+_GET_STAGE_RE = re.compile(
+    r"^\s*GET\s+@([\w.\"$/\-]+)\s+('?file://[^\s']+'?)(?:\s+.*)?$", re.I | re.S)
 _REMOVE_STAGE_RE = re.compile(r"^\s*(?:REMOVE|RM)\s+@([\w.\"$/\-]+)\s*$", re.I)
 _CREATE_FF_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?FILE\s+FORMAT\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+(.*)$",
@@ -316,6 +318,29 @@ class Engine:
                 self.stages.remove_file(stage, rel)
                 removed += 1
             return Result.status(f"removed {removed} file(s)")
+        m = _GET_STAGE_RE.match(s)
+        if m:
+            # local emulation of the client download (complement of PUT)
+            import os as _os
+            import urllib.parse as _up
+
+            dest_dir = _up.unquote(_up.urlparse(m.group(2).strip("'")).path)
+            _os.makedirs(dest_dir, exist_ok=True)
+            name, _, prefix = m.group(1).partition("/")
+            stage = self.catalog.get_stage(name, ctx.database, ctx.schema)
+            rows = []
+            for rel in self.stages.list_files(stage, prefix=prefix or None):
+                data = self.stages.get_file(stage, rel)
+                out_path = _os.path.join(dest_dir, _os.path.basename(rel))
+                with open(out_path, "wb") as fh:
+                    fh.write(data)
+                rows.append([_os.path.basename(rel), str(len(data)),
+                             "DOWNLOADED", ""])
+            return Result(
+                columns=["file", "size", "status", "message"],
+                column_types=[ColumnMetadata(c, "TEXT") for c in
+                              ("file", "size", "status", "message")],
+                rows=rows)
         m = _DROP_STAGE_RE.match(s)
         if m:
             self.catalog.drop_stage(m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))

@@ -911,3 +911,29 @@ def test_time_travel_reads_concurrent_with_gc_churn(engine):
         for t in threads:
             t.join(timeout=60)
     assert not bad, bad
+
+
+def test_stage_file_sql_statements(engine, tmp_path):
+    """SQL surface for stage file ops (r8): PUT file:// upload, LIST,
+    GET download, REMOVE — what gosnowflake sends as plain sqlText
+    (the reference exposes PutFile as a Go API only, manager.go:89)."""
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE STAGE sql_stage", ctx)
+    src = tmp_path / "up.csv"
+    src.write_text("1,a\n2,b\n")
+    res = engine.execute(f"PUT file://{src} @sql_stage/sub", ctx)
+    assert [r[0] for r in res.rows] == ["up.csv"]
+    assert res.rows[0][6] == "UPLOADED"
+    res = engine.execute("LIST @sql_stage", ctx)
+    assert [r[0] for r in res.rows] == ["sql_stage/sub/up.csv"]
+    assert res.rows[0][1] == str(len("1,a\n2,b\n"))
+    dl = tmp_path / "down"
+    res = engine.execute(f"GET @sql_stage/sub file://{dl}", ctx)
+    assert res.rows[0][2] == "DOWNLOADED"
+    assert (dl / "up.csv").read_text() == "1,a\n2,b\n"
+    res = engine.execute("REMOVE @sql_stage/sub", ctx)
+    assert "removed 1" in res.rows[0][0]
+    res = engine.execute("LIST @sql_stage", ctx)
+    assert res.rows == []
