@@ -19,8 +19,10 @@ sys.path.insert(0, "/root/repo/tests")
 import duckdb
 
 from difffuzz import (
+    PROBE_AGG_SQL,
     PROBE_EVENTS_SQL,
     PROBE_SQL,
+    TEMPLATES_AGG,
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
@@ -59,6 +61,13 @@ def main():
     failures += run_probe_cases(spark, con, translate, ev_cases,
                                 PROBE_EVENTS_SQL, "event_id")
     print(f"variant sweep: {len(ev_cases)} cases done", flush=True)
+
+    agg_cases = generate(SEED + 3, max(COUNT // 3, 20),
+                         templates=TEMPLATES_AGG)
+    n_cases += len(agg_cases)
+    failures += run_probe_cases(spark, con, translate, agg_cases,
+                                PROBE_AGG_SQL, "c_nationkey")
+    print(f"aggregate sweep: {len(agg_cases)} cases done", flush=True)
 
     asof_cases = generate_asof_cases(SEED + 2, max(COUNT // 20, 4))
     n_cases += len(asof_cases)

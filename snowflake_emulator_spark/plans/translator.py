@@ -149,6 +149,7 @@ class Translator:
         s = self._rewrite_generator(s)
         s = self._rewrite_split_to_table(s)
         s = self._rewrite_lateral_flatten(s)
+        s = self._rewrite_listagg_distinct_within_group(s)
         s = self._rewrite_array_agg_within_group(s)
         s = self._rewrite_conditional_true_event(s)
         s = self._rewrite_conditional_change_event(s)
@@ -280,6 +281,36 @@ class Translator:
         r"([^()]+?)(\s+ASC|\s+DESC)?(\s+NULLS\s+(?:FIRST|LAST))?\s*\)",
         re.I,
     )
+
+    # -- LISTAGG(DISTINCT x, d) WITHIN GROUP (ORDER BY x) -----------------
+    # Spark 4's native ListAgg crashes (ClassCastException in
+    # withNewChildrenInternal) when DISTINCT and WITHIN GROUP combine
+    # (found by the r8 aggregate fuzz family). Snowflake requires the
+    # ORDER BY expression of a DISTINCT LISTAGG to BE the aggregated
+    # expression, so the ordered distinct aggregate is exactly
+    # array_join(array_sort(collect_set(x)), d) — all JVM-side, one
+    # partial-aggregated pass, no Spark ListAgg involved.
+    _LISTAGG_DISTINCT_WG_RE = re.compile(
+        r"LISTAGG\s*\(\s*DISTINCT\s+([^(),]+?)\s*(?:,\s*('(?:[^']|'')*'))?"
+        r"\s*\)\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+[^()]+?"
+        r"(\s+ASC|\s+DESC)?\s*\)",
+        re.I,
+    )
+
+    def _rewrite_listagg_distinct_within_group(self, s: str) -> str:
+        if "LISTAGG" not in s.upper() or "WITHIN" not in s.upper():
+            return s
+
+        def repl(m: re.Match) -> str:
+            expr = m.group(1).strip()
+            delim = m.group(2) or "''"
+            desc = (m.group(3) or "").strip().upper() == "DESC"
+            arr = f"array_sort(collect_set({expr}))"
+            if desc:
+                arr = f"reverse({arr})"
+            return f"array_join({arr}, {delim})"
+
+        return self._LISTAGG_DISTINCT_WG_RE.sub(repl, s)
 
     def _rewrite_array_agg_within_group(self, s: str) -> str:
         if "WITHIN" not in s.upper() or "ARRAY_AGG" not in s.upper():

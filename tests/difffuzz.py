@@ -283,6 +283,56 @@ TEMPLATES = [
      lambda r: {"k": r.choice([2, 3, 4, 7])}),
 ]
 
+# ---- aggregate family (r8): Snowflake-dialect aggregates through the
+# translator over a GROUP BY c_nationkey probe — DISTINCT, conditional
+# aggregation, MEDIAN, sample stats, MIN_BY/MAX_BY. Each template is
+# one aggregate expression; the probe supplies the grouping.
+TEMPLATES_AGG = [
+    ("agg", "CAST(SUM(DISTINCT {nc} % {m}) AS BIGINT)",
+     "CAST(SUM(DISTINCT {nc} % {m}) AS BIGINT)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([3, 7, 11])}),
+    ("agg", "COUNT_IF({nc} % {m} = 0)",
+     "CAST(count(*) FILTER (WHERE {nc} % {m} = 0) AS BIGINT)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([2, 3, 5])}),
+    ("agg", "ROUND(AVG(NULLIF({nc} % {m}, 0)), 6)",
+     "round(AVG(NULLIF({nc} % {m}, 0)), 6)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([4, 9])}),
+    ("agg", "CAST(MEDIAN({nc} % {m}) AS DOUBLE)",
+     "CAST(MEDIAN({nc} % {m}) AS DOUBLE)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([5, 13])}),
+    ("agg", "ROUND(STDDEV_SAMP({fc}), 4)", "round(stddev_samp({fc}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS)}),
+    ("agg", "ROUND(VAR_POP({fc} / 100), 4)", "round(var_pop({fc} / 100), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS)}),
+    # BY key must be UNIQUE (o_orderkey) — under key ties the chosen
+    # value is engine-arbitrary, which is nondeterminism, not a bug
+    ("agg", "MIN_BY({sc}, o_orderkey)", "min_by({sc}, o_orderkey)",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("agg", "MAX_BY({sc}, o_orderkey)", "max_by({sc}, o_orderkey)",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("agg", "CAST(COUNT(DISTINCT {sc}) AS BIGINT)",
+     "CAST(COUNT(DISTINCT {sc}) AS BIGINT)",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("agg", "BOOLOR_AGG({nc} % {m} = 0)", "bool_or({nc} % {m} = 0)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([2, 7])}),
+    ("agg", "BOOLAND_AGG({nc} >= 0)", "bool_and({nc} >= 0)",
+     lambda r: {"nc": r.choice(_NUM_COLS)}),
+    ("agg",
+     "LISTAGG(DISTINCT {sc2}, '|') WITHIN GROUP (ORDER BY {sc2})",
+     "string_agg(DISTINCT {sc2}, '|' ORDER BY {sc2})",
+     lambda r: {"sc2": r.choice(["c_mktsegment", "o_orderstatus",
+                                 "o_orderpriority"])}),
+]
+
+# aggregate-family probe: grouped on nation, deterministic group order
+PROBE_AGG_SQL = (
+    "SELECT c_nationkey "
+    "FROM customer JOIN orders ON o_custkey = c_custkey "
+    "WHERE o_orderkey <= 2000 "
+    "GROUP BY c_nationkey "
+)
+
+
 # ---- variant family (r8 verdict item 6): JSON path access over the
 # events.props column ('{"k": N}' — the missing-key probes exercise the
 # NULL path). Runs on its own probe row set (PROBE_EVENTS_SQL).

@@ -17,8 +17,10 @@ from snowflake_emulator_spark.inventory import load_views
 from snowflake_emulator_spark.plans.translator import translate
 
 from difffuzz import (
+    PROBE_AGG_SQL,
     PROBE_EVENTS_SQL,
     PROBE_SQL,
+    TEMPLATES_AGG,
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
@@ -31,6 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SEED = 20260814
 COUNT = 300          # r8: raised from 80
 COUNT_EVENTS = 60
+COUNT_AGG = 60
 COUNT_ASOF = 6       # each is a full two-engine query; sweep runs more
 
 
@@ -61,6 +64,15 @@ def test_differential_fuzz_variant_paths(probes):
                                PROBE_EVENTS_SQL, "event_id")
     assert not failures, (
         f"{len(failures)} variant-path mismatches:\n" + "\n".join(failures[:20]))
+
+
+def test_differential_fuzz_aggregates(probes):
+    spark, con = probes
+    cases = generate(SEED + 3, COUNT_AGG, templates=TEMPLATES_AGG)
+    failures = run_probe_cases(spark, con, translate, cases,
+                               PROBE_AGG_SQL, "c_nationkey")
+    assert not failures, (
+        f"{len(failures)} aggregate mismatches:\n" + "\n".join(failures[:20]))
 
 
 def test_differential_fuzz_asof(probes):

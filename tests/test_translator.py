@@ -810,3 +810,20 @@ def test_order_by_quoted_identifier_stop_keyword():
     # quoted identifier elsewhere in the statement stays untouched
     got = translate('SELECT "LIMIT" FROM t ORDER BY a')
     assert got == 'SELECT "LIMIT" FROM t ORDER BY a NULLS LAST'
+
+
+def test_listagg_distinct_within_group_rewrite():
+    """Spark 4's native ListAgg throws ClassCastException when DISTINCT
+    combines with WITHIN GROUP (r8 aggregate-fuzz find); the translator
+    rewrites the combo onto array_join(array_sort(collect_set(..)))."""
+    out = translate(
+        "SELECT LISTAGG(DISTINCT c_mktsegment, '|') "
+        "WITHIN GROUP (ORDER BY c_mktsegment) FROM customer GROUP BY 1")
+    assert "array_join(array_sort(collect_set(c_mktsegment)), '|')" in out
+    out = translate(
+        "SELECT LISTAGG(DISTINCT x) WITHIN GROUP (ORDER BY x DESC) FROM t")
+    assert "array_join(reverse(array_sort(collect_set(x))), '')" in out
+    # non-DISTINCT WITHIN GROUP stays on Spark's native listagg
+    out = translate(
+        "SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
+    assert "listagg(x, ',')" in out
