@@ -26,6 +26,7 @@ from difffuzz import (
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
+    generate_nullsem_cases,
     run_asof_cases,
     run_probe_cases,
 )
@@ -73,6 +74,11 @@ def main():
     n_cases += len(asof_cases)
     failures += run_asof_cases(spark, con, translate, asof_cases)
     print(f"asof sweep: {len(asof_cases)} cases done", flush=True)
+
+    ns_cases = generate_nullsem_cases(SEED + 4, max(COUNT // 10, 8))
+    n_cases += len(ns_cases)
+    failures += run_asof_cases(spark, con, translate, ns_cases)
+    print(f"null-semantics sweep: {len(ns_cases)} cases done", flush=True)
 
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")

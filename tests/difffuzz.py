@@ -504,15 +504,71 @@ def run_probe_cases(spark, con, translate, cases, probe_sql, order_col,
     return failures
 
 
+def generate_nullsem_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
+    """NULL-semantics full-query family (r8): NOT IN with NULLs in the
+    subquery (three-valued logic empties the result), set operations
+    where NULLs compare EQUAL (INTERSECT/EXCEPT), GROUP BY collapsing
+    NULL keys, and anti-join NULL keys. Snowflake, Spark and DuckDB all
+    follow ANSI here, so both engines run the same shape — the fuzz
+    guards the translator passthrough and the engines' agreement."""
+    rng = random.Random(seed)
+    shapes = [
+        ("nullsem-notin",
+         "SELECT c_custkey FROM customer WHERE c_custkey <= {k} AND "
+         "c_custkey NOT IN (SELECT NULLIF(o_custkey, {v}) FROM orders "
+         "WHERE o_orderkey <= {j}) ORDER BY c_custkey",
+         lambda r: {"k": r.choice([50, 200]), "v": r.choice([0, 7, 13]),
+                    "j": r.choice([40, 400])}),
+        ("nullsem-in",
+         "SELECT count(*) AS n FROM customer WHERE "
+         "NULLIF(c_nationkey, {v}) IN (SELECT NULLIF(o_custkey % 25, {w}) "
+         "FROM orders WHERE o_orderkey <= {j})",
+         lambda r: {"v": r.choice([3, 9]), "w": r.choice([5, 11]),
+                    "j": r.choice([80, 800])}),
+        ("nullsem-intersect",
+         "SELECT NULLIF(c_nationkey, {v}) AS k FROM customer "
+         "INTERSECT SELECT NULLIF(c_nationkey, {w}) FROM customer "
+         "ORDER BY k",
+         lambda r: {"v": r.choice([2, 8, 14]), "w": r.choice([2, 5, 20])}),
+        ("nullsem-except",
+         "SELECT NULLIF(c_nationkey % {m}, {v}) AS k FROM customer "
+         "EXCEPT SELECT NULLIF(c_nationkey % {m}, {w}) FROM customer "
+         "ORDER BY k",
+         lambda r: {"m": r.choice([5, 9]), "v": r.choice([0, 2]),
+                    "w": r.choice([1, 3])}),
+        ("nullsem-groupby",
+         "SELECT NULLIF(c_nationkey % {m}, {v}) AS k, "
+         "CAST(count(*) AS BIGINT) AS n, "
+         "CAST(count(NULLIF(c_custkey % {m2}, 0)) AS BIGINT) AS nn "
+         "FROM customer GROUP BY 1 ORDER BY 1",
+         lambda r: {"m": r.choice([4, 7]), "v": r.choice([0, 1, 3]),
+                    "m2": r.choice([2, 3])}),
+        ("nullsem-antijoin",
+         "SELECT count(*) AS n FROM customer c WHERE NOT EXISTS ("
+         "SELECT 1 FROM orders o WHERE NULLIF(o.o_custkey, {v}) = "
+         "c.c_custkey AND o.o_orderkey <= {j})",
+         lambda r: {"v": r.choice([1, 10, 25]), "j": r.choice([100, 1000])}),
+    ]
+    out = []
+    for _ in range(count):
+        fam, tmpl, arggen = rng.choice(shapes)
+        args = arggen(rng)
+        sql = tmpl.format(**args)
+        out.append((f"{fam} {args}", sql, sql))
+    return out
+
+
 def run_asof_cases(spark, con, translate, cases) -> list[str]:
     """Execute full-query ASOF cases; compare sorted row sets."""
     failures = []
     for desc, snow, duck in cases:
         try:
-            srows = sorted(tuple(normalize(v) for v in r)
-                           for r in spark.sql(translate(snow)).collect())
-            drows = sorted(tuple(normalize(v) for v in r)
-                           for r in con.sql(duck).fetchall())
+            # repr-keyed sort: total order even across None/mixed types
+            srows = sorted((tuple(normalize(v) for v in r)
+                            for r in spark.sql(translate(snow)).collect()),
+                           key=repr)
+            drows = sorted((tuple(normalize(v) for v in r)
+                            for r in con.sql(duck).fetchall()), key=repr)
         except Exception as e:  # noqa: BLE001
             failures.append(f"{desc} ERROR: {e}")
             continue

@@ -24,6 +24,7 @@ from difffuzz import (
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
+    generate_nullsem_cases,
     run_asof_cases,
     run_probe_cases,
 )
@@ -34,7 +35,8 @@ SEED = 20260814
 COUNT = 300          # r8: raised from 80
 COUNT_EVENTS = 60
 COUNT_AGG = 60
-COUNT_ASOF = 6       # each is a full two-engine query; sweep runs more
+COUNT_ASOF = 6
+COUNT_NULLSEM = 12       # each is a full two-engine query; sweep runs more
 
 
 @pytest.fixture(scope="module")
@@ -81,3 +83,11 @@ def test_differential_fuzz_asof(probes):
     failures = run_asof_cases(spark, con, translate, cases)
     assert not failures, (
         f"{len(failures)} ASOF mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_null_semantics(probes):
+    spark, con = probes
+    cases = generate_nullsem_cases(SEED + 4, COUNT_NULLSEM)
+    failures = run_asof_cases(spark, con, translate, cases)
+    assert not failures, (
+        f"{len(failures)} NULL-semantics mismatches:\n" + "\n".join(failures[:10]))
