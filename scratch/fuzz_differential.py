@@ -26,6 +26,7 @@ from difffuzz import (
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
+    generate_join_cases,
     generate_nullsem_cases,
     run_asof_cases,
     run_probe_cases,
@@ -79,6 +80,11 @@ def main():
     n_cases += len(ns_cases)
     failures += run_asof_cases(spark, con, translate, ns_cases)
     print(f"null-semantics sweep: {len(ns_cases)} cases done", flush=True)
+
+    join_cases = generate_join_cases(SEED + 5, max(COUNT // 10, 8))
+    n_cases += len(join_cases)
+    failures += run_asof_cases(spark, con, translate, join_cases)
+    print(f"join-type sweep: {len(join_cases)} cases done", flush=True)
 
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")

@@ -558,6 +558,51 @@ def generate_nullsem_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
     return out
 
 
+def generate_join_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
+    """Join-type fuzz (r8): INNER/LEFT/RIGHT/FULL equi-joins plus
+    semi/anti shapes over NULL-injected keys — NULL keys never match
+    in any join type; outer sides fill with NULLs. Same ANSI SQL on
+    both engines (translator passthrough + engine agreement)."""
+    rng = random.Random(seed)
+    out = []
+    jtypes = ["INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+    for _ in range(count):
+        jt = rng.choice(jtypes)
+        v = rng.choice([0, 5, 9])       # customer-side NULL injection
+        w = rng.choice([0, 3, 7])       # orders-side NULL injection
+        k = rng.choice([200, 1000])
+        shape = rng.choice(["plain", "agg", "semi", "anti"])
+        ckey = (f"NULLIF(c_custkey % 50, {v})" if v else "c_custkey % 50")
+        okey = (f"NULLIF(o_custkey % 50, {w})" if w else "o_custkey % 50")
+        if shape == "plain":
+            sql = (
+                f"SELECT c.c_custkey, CAST(o.o_orderkey AS BIGINT) AS ok "
+                f"FROM (SELECT c_custkey, {ckey} AS jk FROM customer "
+                f"WHERE c_custkey <= 40) c "
+                f"{jt} (SELECT o_orderkey, o_custkey, {okey} AS jk "
+                f"FROM orders WHERE o_orderkey <= {k}) o "
+                f"ON c.jk = o.jk ORDER BY 1, 2")
+        elif shape == "agg":
+            sql = (
+                f"SELECT c.jk AS k, CAST(count(o.o_orderkey) AS BIGINT) AS n "
+                f"FROM (SELECT {ckey} AS jk FROM customer "
+                f"WHERE c_custkey <= 60) c "
+                f"{jt} (SELECT o_orderkey, {okey} AS jk FROM orders "
+                f"WHERE o_orderkey <= {k}) o "
+                f"ON c.jk = o.jk GROUP BY 1 ORDER BY 1")
+        elif shape == "semi":
+            sql = (
+                f"SELECT count(*) AS n FROM customer c WHERE {ckey} IN "
+                f"(SELECT {okey} FROM orders WHERE o_orderkey <= {k})")
+        else:
+            sql = (
+                f"SELECT count(*) AS n FROM customer c WHERE NOT EXISTS "
+                f"(SELECT 1 FROM orders o WHERE {okey} = {ckey} "
+                f"AND o.o_orderkey <= {k})")
+        out.append((f"join {jt} v={v} w={w} k={k} {shape}", sql, sql))
+    return out
+
+
 def run_asof_cases(spark, con, translate, cases) -> list[str]:
     """Execute full-query ASOF cases; compare sorted row sets."""
     failures = []

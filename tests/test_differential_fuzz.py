@@ -24,6 +24,7 @@ from difffuzz import (
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
+    generate_join_cases,
     generate_nullsem_cases,
     run_asof_cases,
     run_probe_cases,
@@ -36,7 +37,8 @@ COUNT = 300          # r8: raised from 80
 COUNT_EVENTS = 60
 COUNT_AGG = 60
 COUNT_ASOF = 6
-COUNT_NULLSEM = 12       # each is a full two-engine query; sweep runs more
+COUNT_NULLSEM = 12
+COUNT_JOIN = 12       # each is a full two-engine query; sweep runs more
 
 
 @pytest.fixture(scope="module")
@@ -91,3 +93,11 @@ def test_differential_fuzz_null_semantics(probes):
     failures = run_asof_cases(spark, con, translate, cases)
     assert not failures, (
         f"{len(failures)} NULL-semantics mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_join_types(probes):
+    spark, con = probes
+    cases = generate_join_cases(SEED + 5, COUNT_JOIN)
+    failures = run_asof_cases(spark, con, translate, cases)
+    assert not failures, (
+        f"{len(failures)} join-type mismatches:\n" + "\n".join(failures[:10]))
