@@ -648,6 +648,21 @@ PIVOT (sum(qty) FOR l_returnflag IN ('A', 'N', 'R'))
 ORDER BY o_orderpriority
 """
 
+#  Native SQL UNPIVOT (r8; Snowflake/Spark/DuckDB share the syntax):
+#  wide per-segment metric columns back to tall (metric, value) rows —
+#  Spark plans it as one Expand over the aggregated input (no join,
+#  no shuffle beyond the aggregation's own).
+_UNPIVOT_SQL = """
+SELECT c_mktsegment, metric, CAST(val AS DOUBLE) AS v
+FROM (SELECT c_mktsegment,
+             CAST(count(*) AS DOUBLE) AS n_cust,
+             CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_bal,
+             CAST(round(max(c_acctbal), 2) AS DOUBLE) AS max_bal
+      FROM customer GROUP BY c_mktsegment)
+UNPIVOT (val FOR metric IN (n_cust, avg_bal, max_bal))
+ORDER BY c_mktsegment, metric
+"""
+
 #  GROUP BY ALL (Snowflake/Spark/DuckDB shared modern syntax): group by
 #  every non-aggregate select item.
 _GROUP_BY_ALL = """
@@ -4593,6 +4608,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_listagg": (_sql(_AGG_LISTAGG_SPARK), _AGG_LISTAGG_ORACLE),
     "agg_array_agg_ordered": (_snow(_ORDERED_ARRAY_AGG_SNOW), _ORDERED_ARRAY_AGG_ORACLE),
     "pivot_sql_native": (_sql(_PIVOT_SQL), _PIVOT_SQL),
+    "unpivot_sql_native": (_sql(_UNPIVOT_SQL), _UNPIVOT_SQL),
     "agg_group_by_all": (_sql(_GROUP_BY_ALL), _GROUP_BY_ALL),
     "agg_variance_stddev": (_sql(_AGG_VARIANCE), _AGG_VARIANCE),
     "agg_median_percentile": (_sql(_AGG_MEDIAN_SPARK), _AGG_MEDIAN_ORACLE),
