@@ -139,44 +139,74 @@ class Result:
 
         import pyarrow as pa
 
-        cols = list(zip(*self.rows)) if self.rows else [[] for _ in self.columns]
-        fields, arrays = [], []
+        fields, encoders = [], []
         for i, cm in enumerate(self.column_types):
-            values = list(cols[i]) if self.rows else []
             pa_type, logical, meta = _arrow_physical_for(cm, self.spark_schema, i)
+            md = {"logicalType": logical}
+            md.update(meta)
             if logical == "TIMESTAMP_NTZ":
                 # int64 epoch units at scale=6 (gosnowflake reads the
                 # non-struct branch: extractEpoch(value, scale))
-                arr = pa.array(values, type=pa.timestamp("us")).cast(pa.int64())
+                def enc_ntz(values):
+                    return pa.array(values, type=pa.timestamp("us")) \
+                        .cast(pa.int64())
+
+                field_type, enc = pa.int64(), enc_ntz
             elif logical == "TIMESTAMP_TZ":
-                us = pa.array(values, type=pa.timestamp("us", tz="UTC")) \
-                    .cast(pa.int64()).to_pylist()
-                # Python floor-div/mod keep fraction in [0, 1e9) for
-                # pre-epoch instants, matching Go time.Unix(epoch, frac)
-                epoch = [None if v is None else v // 1_000_000 for v in us]
-                frac = [None if v is None else (v % 1_000_000) * 1000 for v in us]
-                # Snowflake wire encoding: UTC-offset minutes + 1440
-                tzm = [None if v is None else 1440 for v in us]
-                arr = pa.StructArray.from_arrays(
-                    [pa.array(epoch, pa.int64()), pa.array(frac, pa.int32()),
-                     pa.array(tzm, pa.int32())],
-                    names=["epoch", "fraction", "timezone"],
-                    mask=pa.array([v is None for v in us], pa.bool_()))
-                pa_type = arr.type
+                struct_t = pa.struct([
+                    pa.field("epoch", pa.int64()),
+                    pa.field("fraction", pa.int32()),
+                    pa.field("timezone", pa.int32())])
+
+                def enc_tz(values):
+                    us = pa.array(values, type=pa.timestamp("us", tz="UTC")) \
+                        .cast(pa.int64()).to_pylist()
+                    # Python floor-div/mod keep fraction in [0, 1e9)
+                    # for pre-epoch instants, matching Go
+                    # time.Unix(epoch, frac)
+                    epoch = [None if v is None else v // 1_000_000 for v in us]
+                    frac = [None if v is None else (v % 1_000_000) * 1000
+                            for v in us]
+                    # Snowflake wire encoding: UTC-offset minutes + 1440
+                    tzm = [None if v is None else 1440 for v in us]
+                    return pa.StructArray.from_arrays(
+                        [pa.array(epoch, pa.int64()),
+                         pa.array(frac, pa.int32()),
+                         pa.array(tzm, pa.int32())],
+                        names=["epoch", "fraction", "timezone"],
+                        mask=pa.array([v is None for v in us], pa.bool_()))
+
+                field_type, enc = struct_t, enc_tz
             else:
-                if pa.types.is_string(pa_type):
-                    # complex values (arrays/maps/rows) ride as JSON text
-                    values = [v if v is None or isinstance(v, str) else _stringify(v)
-                              for v in values]
-                arr = pa.array(values, type=pa_type)
-            md = {"logicalType": logical}
-            md.update(meta)
-            fields.append(pa.field(cm.name, arr.type, nullable=True, metadata=md))
-            arrays.append(arr)
-        table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+                def enc_plain(values, _t=pa_type):
+                    if pa.types.is_string(_t):
+                        # complex values (arrays/maps/rows) ride as JSON
+                        values = [v if v is None or isinstance(v, str)
+                                  else _stringify(v) for v in values]
+                    return pa.array(values, type=_t)
+
+                field_type, enc = pa_type, enc_plain
+            fields.append(pa.field(cm.name, field_type, nullable=True,
+                                   metadata=md))
+            encoders.append(enc)
+        schema = pa.schema(fields)
         sink = io.BytesIO()
-        with pa.ipc.new_stream(sink, table.schema) as writer:
-            writer.write_table(table)
+        # batch-by-batch encoding (r8): a StreamedResult's iter_rows
+        # drains toLocalIterator, so even the Arrow path never holds
+        # the row objects — peak memory is one batch + the IPC payload
+        wrote = False
+        with pa.ipc.new_stream(sink, schema) as writer:
+            for batch in self.iter_rows():
+                cols = list(zip(*batch)) if batch else []
+                arrays = [encoders[i](list(cols[i]) if batch else [])
+                          for i in range(len(self.column_types))]
+                writer.write_batch(
+                    pa.record_batch(arrays, schema=schema))
+                wrote = True
+            if not wrote:
+                arrays = [encoders[i]([]) for i in
+                          range(len(self.column_types))]
+                writer.write_batch(pa.record_batch(arrays, schema=schema))
         return base64.b64encode(sink.getvalue()).decode("ascii")
 
     def row_type(self) -> list[dict]:

@@ -148,3 +148,23 @@ def test_restv2_partitioned_fetch(spark, tmp_path, low_threshold):
         assert page1["data"] == rows[counts[0]:counts[0] + counts[1]]
     finally:
         srv.stop()
+
+
+def test_streamed_arrow_encoding_does_not_materialize(spark, low_threshold):
+    """The Arrow wire path encodes batch-by-batch from iter_rows — a
+    streamed result's .rows cache stays empty after encoding, and the
+    IPC stream round-trips every row."""
+    import base64
+
+    import pyarrow as pa
+
+    from snowflake_emulator_spark.result import Result, StreamedResult
+
+    df = spark.range(150).selectExpr("id", "CAST(id AS STRING) AS s")
+    res = Result.from_dataframe(df)
+    assert isinstance(res, StreamedResult)
+    raw = base64.b64decode(res.rowset_arrow_base64())
+    assert res._rows_cache is None
+    table = pa.ipc.open_stream(raw).read_all()
+    assert table.num_rows == 150
+    assert sorted(table.column("id").to_pylist()) == list(range(150))
