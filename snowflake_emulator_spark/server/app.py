@@ -582,15 +582,18 @@ class SnowflakeServer:
         walk partitions in order, so the common path is one pass."""
         cur = getattr(st, "_part_cursor", None)
         if cur is None:
-            cur = st._part_cursor = {"gen": None, "next": 0, "last": (None, None)}
-        if cur["last"][0] == n:
-            return cur["last"][1]
-        if cur["gen"] is None or n < cur["next"]:
-            cur["gen"] = st.result.iter_rows(bs)
-            cur["next"] = 0
-        rows: list = []
-        while cur["next"] <= n:
-            rows = next(cur["gen"], [])
-            cur["next"] += 1
-        cur["last"] = (n, rows)
-        return rows
+            cur = st._part_cursor = {"gen": None, "next": 0,
+                                     "last": (None, None),
+                                     "lock": threading.Lock()}
+        with cur["lock"]:  # concurrent fetches of one handle serialize
+            if cur["last"][0] == n:
+                return cur["last"][1]
+            if cur["gen"] is None or n < cur["next"]:
+                cur["gen"] = st.result.iter_rows(bs)
+                cur["next"] = 0
+            rows: list = []
+            while cur["next"] <= n:
+                rows = next(cur["gen"], [])
+                cur["next"] += 1
+            cur["last"] = (n, rows)
+            return rows
