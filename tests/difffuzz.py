@@ -322,6 +322,16 @@ TEMPLATES_AGG = [
      "string_agg(DISTINCT {sc2}, '|' ORDER BY {sc2})",
      lambda r: {"sc2": r.choice(["c_mktsegment", "o_orderstatus",
                                  "o_orderpriority"])}),
+    ("agg",
+     "ROUND(PERCENTILE_CONT({p}) WITHIN GROUP (ORDER BY {fc}), 3)",
+     "round(percentile_cont({p}) WITHIN GROUP (ORDER BY {fc}), 3)",
+     lambda r: {"p": r.choice(["0.1", "0.25", "0.5", "0.9"]),
+                "fc": r.choice(_FLOAT_COLS)}),
+    ("agg",
+     "ROUND(PERCENTILE_DISC({p}) WITHIN GROUP (ORDER BY {fc}), 3)",
+     "round(percentile_disc({p}) WITHIN GROUP (ORDER BY {fc}), 3)",
+     lambda r: {"p": r.choice(["0.25", "0.5", "0.75"]),
+                "fc": r.choice(_FLOAT_COLS)}),
 ]
 
 # aggregate-family probe: grouped on nation, deterministic group order
