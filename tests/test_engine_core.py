@@ -937,3 +937,23 @@ def test_stage_file_sql_statements(engine, tmp_path):
     assert "removed 1" in res.rows[0][0]
     res = engine.execute("LIST @sql_stage", ctx)
     assert res.rows == []
+
+
+def test_bind_stage_non_insert_statement(engine, tmp_path):
+    """bindStage with a non-INSERT statement executes once per staged
+    CSV row with positional TEXT binds (engine.execute_bind_stage)."""
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE bs_upd (id INTEGER, v VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO bs_upd VALUES (1, 'old'), (2, 'old'), (3, 'keep')", ctx)
+    engine.execute("CREATE STAGE bs_stage", ctx)
+    src = tmp_path / "binds_0.csv"
+    src.write_text("one,1\ntwo,2\n")
+    engine.execute(f"PUT file://{src} @bs_stage/req1", ctx)
+    engine.execute_bind_stage(
+        "UPDATE bs_upd SET v = ? WHERE id = ?", "bs_stage/req1", ctx)
+    res = engine.execute("SELECT id, v FROM bs_upd ORDER BY id", ctx)
+    assert [tuple(r) for r in res.rows] == [(1, "one"), (2, "two"),
+                                            (3, "keep")]
