@@ -281,6 +281,19 @@ TEMPLATES = [
      "NTILE({k}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
      "NTILE({k}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey)",
      lambda r: {"k": r.choice([2, 3, 4, 7])}),
+    ("window",
+     "CAST(SUM({nc} % {m}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT)",
+     "CAST(SUM({nc} % {m}) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([5, 9]),
+                "k": r.choice([10, 100, 1000])}),
+    ("window",
+     "CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "RANGE BETWEEN CURRENT ROW AND {k} FOLLOWING) AS BIGINT)",
+     "CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY o_orderkey "
+     "RANGE BETWEEN CURRENT ROW AND {k} FOLLOWING) AS BIGINT)",
+     lambda r: {"k": r.choice([5, 50, 500])}),
 ]
 
 # ---- aggregate family (r8): Snowflake-dialect aggregates through the
