@@ -238,12 +238,26 @@ class Engine:
         parts = _split_statements(sql)
         if len(parts) > 1:
             # multi-statement script (gosnowflake MULTI_STATEMENT shape;
-            # beyond reference): run sequentially in one session, return
-            # the LAST statement's result (documented simplification of
-            # Snowflake's multiple-result-set handles)
+            # beyond reference): run sequentially in one session. Each
+            # statement gets its OWN query id and lands in the result
+            # store, so every child result is independently fetchable
+            # via RESULT_SCAN('<id>'); the returned result is the LAST
+            # statement's (Snowflake returns a summary + child handles —
+            # the protocol layer exposes ours as data.resultIds, r8).
+            from .executor import new_query_id
+
             res = None
+            child_ids: list[str] = []
             for p in parts:
-                res = self.execute(p, ctx, bindings, query_id=query_id)
+                cid = new_query_id()
+                res = self.execute(p, ctx, bindings, query_id=cid)
+                child_ids.append(cid)
+            if query_id:
+                # the parent id must also resolve (RESULT_SCAN of the
+                # request's own queryId -> last statement's result)
+                res.query_id = query_id
+                self.executor._store_result(query_id, res)
+            res.child_result_ids = child_ids
             return res
         if not parts:
             # comment-only / empty input (Snowflake: 000900)

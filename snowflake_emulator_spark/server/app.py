@@ -340,6 +340,17 @@ class SnowflakeServer:
                 "returned": res.row_count,
                 "statementTypeId": cls.statement_type_id,
             }
+            child_ids = getattr(res, "child_result_ids", None)
+            if child_ids and len(child_ids) > 1:
+                # multi-statement request: every child result is
+                # independently fetchable via RESULT_SCAN('<id>')
+                # (gosnowflake reads data.resultIds for MULTI_STATEMENT)
+                from ..engine import _split_statements
+
+                data["resultIds"] = ",".join(child_ids)
+                data["resultTypes"] = ",".join(
+                    str(classify(p).statement_type_id)
+                    for p in _split_statements(sql))
             # Arrow negotiation (beyond reference — it is JSON-only):
             # when the session's GO_QUERY_RESULT_FORMAT is arrow, ship
             # the rowset as one base64 Arrow IPC stream like Snowflake

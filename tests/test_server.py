@@ -604,3 +604,26 @@ def test_temporary_table_dropped_on_logout(server):
     token2 = out["data"]["token"]
     q("SELECT * FROM tmp_sess", tok=token2, ok=False)      # gone
     q("SELECT COUNT(*) AS n FROM perm_keep", tok=token2)   # survives
+
+
+def test_multi_statement_result_ids(server):
+    """Multi-statement request (gosnowflake MULTI_STATEMENT shape, r8):
+    the response carries data.resultIds and every child result is
+    independently fetchable via RESULT_SCAN('<id>'); the inline rowset
+    is the LAST statement's."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(
+        server, "POST", "/queries/v1/query-request",
+        {"sqlText": "SELECT 1 AS a; SELECT 2 AS b; SELECT 3 AS c"}, token)
+    assert out["success"], out
+    assert out["data"]["rowset"] == [["3"]]
+    ids = out["data"]["resultIds"].split(",")
+    assert len(ids) == 3
+    assert out["data"]["resultTypes"] == "1,1,1"
+    for i, expect in zip(ids, ("1", "2", "3")):
+        st, child = _call(
+            server, "POST", "/queries/v1/query-request",
+            {"sqlText": f"SELECT * FROM TABLE(RESULT_SCAN('{i}'))"}, token)
+        assert child["success"], child
+        assert child["data"]["rowset"] == [[expect]]
