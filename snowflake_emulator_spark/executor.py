@@ -348,6 +348,15 @@ class Executor:
         # retaining the last N Result objects costs no extra compute.
         self._result_store: "OrderedDict[str, Result]" = OrderedDict()
         self._result_store_cap = 100
+        # query result cache (r8; Snowflake USE_CACHED_RESULT): an
+        # identical SELECT against an unchanged catalog re-serves the
+        # stored Result instead of re-executing. Keyed on the bound
+        # SQL + session namespace + session variables; invalidated by
+        # comparing the catalog's mutation counter (every DDL/DML bumps
+        # it, so any write anywhere invalidates — conservative and
+        # correct). LRU-capped.
+        self._query_cache: "OrderedDict[str, tuple[int, Result]]" = OrderedDict()
+        self._query_cache_cap = 50
         # temp views registered for RESULT_SCAN (dropped on eviction)
         self._result_views: set[str] = set()
 
@@ -529,6 +538,39 @@ class Executor:
         tm = self.catalog.get_table(name, ctx.database, ctx.schema)
         self.catalog.mark_table_kind(
             tm, kindkw.upper(), owner=getattr(ctx, "_session", ctx))
+
+    # tokens whose presence makes a query's result time-, session- or
+    # randomness-dependent — never served from the result cache
+    # (Snowflake's own USE_CACHED_RESULT exclusions, plus our
+    # query-history/INFORMATION_SCHEMA surfaces which change without a
+    # catalog mutation)
+    _UNCACHEABLE_RE = re.compile(
+        r"\b(?:RANDOM|RAND|UUID_STRING|UUID|CURRENT_TIMESTAMP|CURRENT_DATE|"
+        r"CURRENT_TIME|LOCALTIME(?:STAMP)?|SYSDATE|GETDATE|SYSTIMESTAMP|NOW|"
+        r"NEXTVAL|SEQ[148]|GENERATOR|RESULT_SCAN|LAST_QUERY_ID|SAMPLE|"
+        r"TABLESAMPLE|INFORMATION_SCHEMA|QUERY_HISTORY)\b"
+        r"|\bAT\s*\(|\bBEFORE\s*\(",
+        re.I)
+
+    def _query_cache_key(self, sql: str, ctx: SessionContext) -> str | None:
+        """Cache key for a bound SELECT, or None when the query is not
+        safely cacheable: nondeterministic/time-travel tokens, or any
+        reference to a registered UDF (bodies may be volatile —
+        Snowflake treats volatile-UDF queries as uncacheable too)."""
+        if str(ctx.parameters.get("USE_CACHED_RESULT", "true")).lower() not in (
+                "true", "1", "yes", "on"):
+            return None
+        if self._UNCACHEABLE_RE.search(sql):
+            return None
+        for (_db, _sch, fn) in self.catalog.functions:
+            if re.search(rf"\b{re.escape(fn)}\s*\(", sql, re.I):
+                return None
+        import hashlib
+
+        variables = getattr(ctx, "variables", None) or {}
+        payload = "|".join([sql, str(ctx.database), str(ctx.schema),
+                            repr(sorted(variables.items()))])
+        return hashlib.md5(payload.encode()).hexdigest()
 
     def query_df(self, sql: str, ctx: SessionContext | None = None,
                  bindings: dict | None = None) -> DataFrame:
@@ -969,7 +1011,26 @@ class Executor:
                 return self._describe(sql, ctx)
             if up.startswith("EXPLAIN"):
                 return self._explain(sql, ctx)
-            return Result.from_dataframe(self.query_df(sql, ctx))
+            key = self._query_cache_key(sql, ctx)
+            if key is not None:
+                hit = self._query_cache.get(key)
+                if hit is not None and hit[0] == self.catalog.mutation:
+                    try:  # racing LRU eviction on another thread is fine
+                        self._query_cache.move_to_end(key)
+                    except KeyError:
+                        pass
+                    # shallow copy: rows are shared (that IS the cache
+                    # win) but each execution keeps its own query id,
+                    # so RESULT_SCAN('<old id>') semantics hold
+                    import copy
+
+                    return copy.copy(hit[1])
+            res = Result.from_dataframe(self.query_df(sql, ctx))
+            if key is not None:
+                self._query_cache[key] = (self.catalog.mutation, res)
+                while len(self._query_cache) > self._query_cache_cap:
+                    self._query_cache.popitem(last=False)
+            return res
         if t == StatementType.USE:
             return self._use(sql, ctx)
         if t in (StatementType.DDL_CREATE, StatementType.DDL_DROP, StatementType.DDL_ALTER):

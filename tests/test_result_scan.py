@@ -74,3 +74,52 @@ def test_result_store_eviction(engine):
             engine.execute(f"SELECT * FROM TABLE(RESULT_SCAN('{first.query_id}'))", ctx)
     finally:
         ex._result_store_cap = cap
+
+
+def test_query_result_cache_hit_and_invalidation(engine):
+    """USE_CACHED_RESULT (r8): an identical SELECT against an
+    unchanged catalog re-serves the SAME Result object; any catalog
+    mutation invalidates; nondeterministic tokens and the session
+    parameter opt-out bypass the cache."""
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE qrc_t (id INTEGER)", ctx)
+    engine.execute("INSERT INTO qrc_t VALUES (1), (2)", ctx)
+    r1 = engine.execute("SELECT sum(id) AS s FROM qrc_t", ctx)
+    r2 = engine.execute("SELECT sum(id) AS s FROM qrc_t", ctx)
+    # served from cache: rows list is SHARED, result object is a copy
+    # with its own query id (RESULT_SCAN semantics)
+    assert r2.rows is r1.rows and r2 is not r1
+    assert r2.query_id != r1.query_id
+    # a write invalidates
+    engine.execute("INSERT INTO qrc_t VALUES (3)", ctx)
+    r3 = engine.execute("SELECT sum(id) AS s FROM qrc_t", ctx)
+    assert r3.rows is not r1.rows
+    assert [tuple(r) for r in r3.rows] == [(6,)]
+    # nondeterministic queries never cache
+    n1 = engine.execute("SELECT RANDOM() AS r", ctx)
+    n2 = engine.execute("SELECT RANDOM() AS r", ctx)
+    assert n1.rows is not n2.rows
+    # session opt-out
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = false", ctx)
+    r4 = engine.execute("SELECT sum(id) AS s FROM qrc_t", ctx)
+    r5 = engine.execute("SELECT sum(id) AS s FROM qrc_t", ctx)
+    assert r4.rows is not r5.rows
+    engine.execute("ALTER SESSION SET USE_CACHED_RESULT = true", ctx)
+
+
+def test_query_cache_respects_session_variables(engine):
+    """Two sessions with different variable values must not share a
+    cache entry (the key includes the variable bindings)."""
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE qrc_v (id INTEGER)", ctx)
+    engine.execute("INSERT INTO qrc_v VALUES (1), (2), (3)", ctx)
+    engine.execute("SET lim = 1", ctx)
+    a = engine.execute("SELECT count(*) AS n FROM qrc_v WHERE id <= $lim", ctx)
+    engine.execute("SET lim = 3", ctx)
+    b = engine.execute("SELECT count(*) AS n FROM qrc_v WHERE id <= $lim", ctx)
+    assert [tuple(r) for r in a.rows] == [(1,)]
+    assert [tuple(r) for r in b.rows] == [(3,)]
