@@ -123,3 +123,26 @@ def test_query_cache_respects_session_variables(engine):
     b = engine.execute("SELECT count(*) AS n FROM qrc_v WHERE id <= $lim", ctx)
     assert [tuple(r) for r in a.rows] == [(1,)]
     assert [tuple(r) for r in b.rows] == [(3,)]
+
+
+def test_query_cache_safe_across_transaction_rollback(engine):
+    """The stale-cache hazard scenario: SELECT (cached) -> BEGIN ->
+    INSERT -> SELECT (cached with in-tx data) -> ROLLBACK -> SELECT.
+    The rollback's restore_versions re-registers views (bumping the
+    mutation counter), so the post-rollback SELECT must re-execute and
+    see the restored data, not the in-tx cached rows."""
+    from snowflake_emulator_spark.sessions import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE qrc_tx (id INTEGER)", ctx)
+    engine.execute("INSERT INTO qrc_tx VALUES (1)", ctx)
+    pre = engine.execute("SELECT count(*) AS n FROM qrc_tx", ctx)
+    assert [tuple(r) for r in pre.rows] == [(1,)]
+    engine.execute("BEGIN", ctx)
+    engine.execute("INSERT INTO qrc_tx VALUES (2)", ctx)
+    mid = engine.execute("SELECT count(*) AS n FROM qrc_tx", ctx)
+    assert [tuple(r) for r in mid.rows] == [(2,)]
+    engine.execute("ROLLBACK", ctx)
+    post = engine.execute("SELECT count(*) AS n FROM qrc_tx", ctx)
+    assert [tuple(r) for r in post.rows] == [(1,)]
+    assert post.rows is not mid.rows
