@@ -23,6 +23,7 @@ from difffuzz import (
     PROBE_EVENTS_SQL,
     PROBE_SQL,
     TEMPLATES_AGG,
+    TEMPLATES_DATEFMT,
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
@@ -70,6 +71,13 @@ def main():
     failures += run_probe_cases(spark, con, translate, agg_cases,
                                 PROBE_AGG_SQL, "c_nationkey")
     print(f"aggregate sweep: {len(agg_cases)} cases done", flush=True)
+
+    fmt_cases = generate(SEED + 6, max(COUNT // 5, 20),
+                         templates=TEMPLATES_DATEFMT)
+    n_cases += len(fmt_cases)
+    failures += run_probe_cases(spark, con, translate, fmt_cases,
+                                PROBE_SQL, "o_orderkey")
+    print(f"datefmt sweep: {len(fmt_cases)} cases done", flush=True)
 
     asof_cases = generate_asof_cases(SEED + 2, max(COUNT // 20, 4))
     n_cases += len(asof_cases)

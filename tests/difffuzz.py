@@ -356,6 +356,39 @@ PROBE_AGG_SQL = (
 )
 
 
+# ---- datefmt family (r8): TO_CHAR/TO_VARCHAR format pictures through
+# convert_snowflake_datefmt vs DuckDB strftime. Each case composes 2-3
+# random (Snowflake picture, strftime) fragments with a separator.
+_FMT_PAIRS = [
+    ("YYYY", "%Y"), ("YY", "%y"), ("MM", "%m"), ("MON", "%b"),
+    ("DD", "%d"), ("DY", "%a"), ("HH24", "%H"), ("MI", "%M"),
+    ("SS", "%S"),
+]
+
+
+def _datefmt_args(r):
+    frags = r.sample(_FMT_PAIRS, r.choice([2, 3]))
+    sep = r.choice(["-", "/", " ", ":"])
+    return {"snowfmt": sep.join(s for s, _d in frags),
+            "duckfmt": sep.join(d for _s, d in frags)}
+
+
+TEMPLATES_DATEFMT = [
+    ("datefmt", "TO_CHAR({ts}, '{snowfmt}')",
+     "strftime({ts}, '{duckfmt}')",
+     lambda r: {**_datefmt_args(r), "ts": _TS_COL}),
+    ("datefmt", "TO_VARCHAR(CAST({ts} AS DATE), '{snowfmt}')",
+     "strftime(CAST({ts} AS DATE), '{duckfmt}')",
+     lambda r: {**_datefmt_args(r), "ts": _TS_COL}),
+    ("datefmt", "TO_DATE(TO_CHAR({ts}, 'YYYY-MM-DD'))",
+     "CAST({ts} AS DATE)",
+     lambda r: {"ts": _TS_COL}),
+    ("datefmt", "TO_TIMESTAMP(TO_CHAR({ts}, 'YYYY-MM-DD HH24:MI:SS'))",
+     "date_trunc('second', {ts})",
+     lambda r: {"ts": _TS_COL}),
+]
+
+
 # ---- variant family (r8 verdict item 6): JSON path access over the
 # events.props column ('{"k": N}' — the missing-key probes exercise the
 # NULL path). Runs on its own probe row set (PROBE_EVENTS_SQL).

@@ -21,6 +21,7 @@ from difffuzz import (
     PROBE_EVENTS_SQL,
     PROBE_SQL,
     TEMPLATES_AGG,
+    TEMPLATES_DATEFMT,
     TEMPLATES_EVENTS,
     generate,
     generate_asof_cases,
@@ -36,6 +37,7 @@ SEED = 20260814
 COUNT = 300          # r8: raised from 80
 COUNT_EVENTS = 60
 COUNT_AGG = 60
+COUNT_DATEFMT = 40
 COUNT_ASOF = 6
 COUNT_NULLSEM = 12
 COUNT_JOIN = 12       # each is a full two-engine query; sweep runs more
@@ -77,6 +79,15 @@ def test_differential_fuzz_aggregates(probes):
                                PROBE_AGG_SQL, "c_nationkey")
     assert not failures, (
         f"{len(failures)} aggregate mismatches:\n" + "\n".join(failures[:20]))
+
+
+def test_differential_fuzz_datefmt(probes):
+    spark, con = probes
+    cases = generate(SEED + 6, COUNT_DATEFMT, templates=TEMPLATES_DATEFMT)
+    failures = run_probe_cases(spark, con, translate, cases,
+                               PROBE_SQL, "o_orderkey")
+    assert not failures, (
+        f"{len(failures)} datefmt mismatches:\n" + "\n".join(failures[:20]))
 
 
 def test_differential_fuzz_asof(probes):
