@@ -627,3 +627,22 @@ def test_multi_statement_result_ids(server):
             {"sqlText": f"SELECT * FROM TABLE(RESULT_SCAN('{i}'))"}, token)
         assert child["success"], child
         assert child["data"]["rowset"] == [[expect]]
+
+
+def test_multi_statement_with_scripting_block(server):
+    """$$-quoted scripting blocks contain semicolons; the statement
+    splitter must keep the block whole while still splitting the
+    surrounding statements (each with its own child result id)."""
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(
+        server, "POST", "/queries/v1/query-request",
+        {"sqlText":
+         "CREATE TABLE ms_mix (id INTEGER); "
+         "EXECUTE IMMEDIATE $$ BEGIN "
+         "FOR i IN 1 TO 3 DO INSERT INTO ms_mix VALUES (:i); END FOR; "
+         "RETURN 'ok'; END $$; "
+         "SELECT CAST(sum(id) AS BIGINT) AS s FROM ms_mix"}, token)
+    assert out["success"], out
+    assert out["data"]["rowset"] == [["6"]]
+    assert len(out["data"]["resultIds"].split(",")) == 3
