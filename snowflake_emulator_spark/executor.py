@@ -545,7 +545,8 @@ class Executor:
     # query-history/INFORMATION_SCHEMA surfaces which change without a
     # catalog mutation)
     _UNCACHEABLE_RE = re.compile(
-        r"\b(?:RANDOM|RAND|UUID_STRING|UUID|CURRENT_TIMESTAMP|CURRENT_DATE|"
+        r"\b(?:RANDOM|RAND|RANDSTR|RANDN|UNIFORM|NORMAL|ZIPF|"
+        r"UUID_STRING|UUID|CURRENT_TIMESTAMP|CURRENT_DATE|"
         r"CURRENT_TIME|LOCALTIME(?:STAMP)?|SYSDATE|GETDATE|SYSTIMESTAMP|NOW|"
         r"NEXTVAL|SEQ[148]|GENERATOR|RESULT_SCAN|LAST_QUERY_ID|SAMPLE|"
         r"TABLESAMPLE|INFORMATION_SCHEMA|QUERY_HISTORY)\b"

@@ -4567,6 +4567,91 @@ FROM grid g ORDER BY rk, j
 
 
 # name -> (spark_fn, oracle_sql | None)
+# r8b scalar/table-function family: PARSE_URL (OBJECT result with
+# Snowflake's fixed key set), STRTOK_SPLIT_TO_TABLE (delimiter SET,
+# empty tokens dropped, 1-based post-drop index), COLLATE (postfix
+# 'spec' syntax + function form -> Spark 4 collations), and the
+# RANDOM-generator family UNIFORM/RANDSTR/NORMAL (nondeterministic, so
+# the declared query asserts deterministic PROPERTIES — bounds
+# inclusivity, length/charset, same-seed repeatability — that DuckDB
+# oracles as constants). Reference scope: translator function surface
+# (/root/reference/pkg/query/translator.go); these four are
+# beyond-reference Snowflake-parity additions.
+_SF_PARSE_URL = """
+SELECT doc_id,
+       PARSE_URL('https://' || source || '.example.com:' || (8000 + doc_id % 3) ||
+                 '/docs/d' || doc_id || '?lang=' || lang || '#s' || (doc_id % 5)) AS parsed
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+_SF_PARSE_URL_ORACLE = """
+SELECT doc_id,
+       '{"fragment":"s' || (doc_id % 5) || '","host":"' || source ||
+       '.example.com","parameters":{"lang":"' || lang || '"},"path":"docs/d' || doc_id ||
+       '","port":"' || (8000 + doc_id % 3) || '","query":"lang=' || lang ||
+       '","scheme":"https"}' AS parsed
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+
+_SF_STRTOK_TABLE = """
+SELECT d.lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t.value) AS n_distinct,
+       CAST(MAX(t.index) AS BIGINT) AS max_idx
+FROM documents d, TABLE(STRTOK_SPLIT_TO_TABLE(d.text, ' ,.')) t
+GROUP BY d.lang ORDER BY d.lang
+"""
+_SF_STRTOK_TABLE_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(toklist) AS value, len(toklist) AS n
+  FROM (SELECT lang, list_filter(string_split_regex(text, '[ ,.]'), x -> x <> '') AS toklist
+        FROM documents)
+)
+SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT value) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS max_idx
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+_SF_COLLATE = """
+SELECT lang,
+       COUNT_IF(source = 'SRC1' COLLATE 'en-ci') AS n_src1_ci,
+       COUNT_IF(COLLATE(source, 'ci') = 'Src2') AS n_src2_ci,
+       COUNT_IF(source = 'src1') AS n_src1_cs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+_SF_COLLATE_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) FILTER (lower(source) = 'src1') AS BIGINT) AS n_src1_ci,
+       CAST(COUNT(*) FILTER (lower(source) = 'src2') AS BIGINT) AS n_src2_ci,
+       CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS n_src1_cs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+# hits_max/hits_min pin UNIFORM's INCLUSIVE integer bounds (Spark's
+# uniform() upper bound is exclusive; the translator bumps it) —
+# P(miss over 500 draws of 1..10) ~ 1e-23. seeded_repeatable pins that
+# two UNIFORM(..., RANDOM(42)) columns in one row agree (per-partition
+# deterministic seeding).
+_SF_RANDGEN = """
+SELECT COUNT(*) AS n,
+       COUNT_IF(u >= 1 AND u <= 10) AS u_in_range,
+       COUNT_IF(u = 10) > 0 AS hits_max,
+       COUNT_IF(u = 1) > 0 AS hits_min,
+       COUNT_IF(LENGTH(r) = 12) AS r_len_ok,
+       COUNT_IF(r RLIKE '^[A-Za-z0-9]{12}$') AS r_alnum,
+       COUNT_IF(ABS(z) < 8) AS z_sane,
+       COUNT_IF(u2 = u2r) AS seeded_repeatable
+FROM (SELECT UNIFORM(1, 10, RANDOM()) AS u, RANDSTR(12, RANDOM()) AS r,
+             NORMAL(0, 1, RANDOM()) AS z,
+             UNIFORM(1, 1000000, RANDOM(42)) AS u2,
+             UNIFORM(1, 1000000, RANDOM(42)) AS u2r
+      FROM orders LIMIT 500)
+"""
+_SF_RANDGEN_ORACLE = """
+SELECT CAST(500 AS BIGINT) AS n, CAST(500 AS BIGINT) AS u_in_range,
+       true AS hits_max, true AS hits_min,
+       CAST(500 AS BIGINT) AS r_len_ok, CAST(500 AS BIGINT) AS r_alnum,
+       CAST(500 AS BIGINT) AS z_sane, CAST(500 AS BIGINT) AS seeded_repeatable
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
     "scan_filter_project": (_sql(_SCAN_SPARK), _SCAN_SPARK),
@@ -4688,6 +4773,10 @@ REGISTRY: dict[str, tuple] = {
     "asof_join_sql_syntax": (_snow(_ASOF_SQL_SYNTAX), _ASOF_SQL_SYNTAX_ORACLE),
     "asof_join_null_events": (_snow(_ASOF_NULL_SNOW), _ASOF_NULL_ORACLE),
     "sf_text_similarity": (_snow(_SF_TEXTSIM), _SF_TEXTSIM_ORACLE),
+    "sf_parse_url": (_snow(_SF_PARSE_URL), _SF_PARSE_URL_ORACLE),
+    "sf_strtok_split_table": (_snow(_SF_STRTOK_TABLE), _SF_STRTOK_TABLE_ORACLE),
+    "sf_collate_compare": (_snow(_SF_COLLATE), _SF_COLLATE_ORACLE),
+    "sf_random_generators": (_snow(_SF_RANDGEN), _SF_RANDGEN_ORACLE),
     "sf_sample_moments": (_snow(_SF_MOMENTS), _SF_MOMENTS_ORACLE),
     "sf_hyperbolic_bitops": (_snow(_SF_HYPERBOLIC), _SF_HYPERBOLIC_ORACLE),
     "sf_minhash_similarity": (_snow(_SF_MINHASH), _SF_MINHASH_ORACLE),
@@ -4810,11 +4899,15 @@ _SAMPLE_HEAD = [
     "q1_pricing_summary",             # TPC-H aggregation backbone
     "q3_shipping_priority",           # TPC-H join chain
     "asof_join_events",               # as-of / range joins
-    "agg_rollup",                     # GROUPING SETS family
-    "window_row_number_topn",         # window family
-    "merge_upsert_sim",               # MERGE
     "dedup_minhash_lsh",              # LSH dedup family
-    "embed_cosine_topk",              # similarity family
+    # --- NEW r8b: never-sampled function-family additions ------------
+    # (displaced agg_rollup / window_row_number_topn / merge_upsert_sim
+    # / embed_cosine_topk — each driver-green r1-r7 — so the brand-new
+    # entries get their first driver row this round)
+    "sf_parse_url",
+    "sf_strtok_split_table",
+    "sf_collate_compare",
+    "sf_random_generators",
     # --- NEW r8: ASOF NULL-semantics oracle gate (VERDICT r7 item 1) -
     "asof_join_null_events",
     # --- r8 rotation: the 40 never-driver-sampled entries ------------

@@ -157,6 +157,13 @@ class Translator:
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
         s = re.sub(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", r"\1EXCEPT (\2)", s, flags=re.I)
+        # expr COLLATE 'spec' (Snowflake quoted specification) -> Spark
+        # collation name (unquoted); the COLLATE(expr, 'spec') function
+        # form goes through _emit
+        s = re.sub(
+            r"\bCOLLATE\s+'([^']*)'",
+            lambda m: f"COLLATE {_spark_collation(m.group(1))}",
+            s, flags=re.I)
         return self.translate_expr(s)
 
     # -- ASOF JOIN ... MATCH_CONDITION (Snowflake native syntax) ----------
@@ -352,12 +359,21 @@ class Translator:
         out: list[str] = []
         i = 0
         while True:
-            m = re.search(r",\s*(LATERAL\s+|TABLE\s*\(\s*)SPLIT_TO_TABLE\s*\(", s[i:], re.I)
+            m = re.search(
+                r"(,\s*|\bFROM\s+)(LATERAL\s+|TABLE\s*\(\s*)"
+                r"(STRTOK_)?SPLIT_TO_TABLE\s*\(", s[i:], re.I)
             if not m:
                 out.append(s[i:])
                 break
+            # FROM-first form (no preceding table): the split is the sole
+            # source, so emit a plain derived table instead of a lateral
+            # join — the input expression is necessarily uncorrelated
+            from_form = m.group(1).strip().upper() == "FROM"
             out.append(s[i:i + m.start()])
-            table_form = m.group(1).strip().upper().startswith("TABLE")
+            if from_form:
+                out.append(m.group(1))  # keep the FROM keyword
+            table_form = m.group(2).strip().upper().startswith("TABLE")
+            strtok_form = bool(m.group(3))
             open_idx = i + m.end() - 1
             close_idx = self._match_paren(s, open_idx)
             args = self._split_args(s[open_idx + 1:close_idx])
@@ -372,13 +388,24 @@ class Translator:
             if am and am.group(1).upper() not in self._KEYWORDS_AFTER_ALIAS:
                 alias = am.group(1)
                 j += am.end()
-            delim = _regex_literal(args[1]) if len(args) > 1 else "' '"
             # __SPLIT_RAW__: the delimiter here is ALREADY regex-escaped
-            # by _regex_literal; the sentinel stops the later SPLIT
-            # literal-quoting pass from double-wrapping it
+            # (_regex_literal / _regex_charclass); the sentinel stops
+            # the later SPLIT literal-quoting pass from double-wrapping
+            # it. STRTOK_SPLIT_TO_TABLE treats the delimiter as a SET
+            # of single characters and DROPS empty tokens (tokeN number
+            # reflects the post-drop sequence) — SPLIT_TO_TABLE splits
+            # on the whole literal and keeps empties.
+            if strtok_form:
+                delim = _regex_charclass(args[1]) if len(args) > 1 else "' '"
+                tokens = (f"filter(__SPLIT_RAW__({args[0]}, {delim}), "
+                          f"x -> x != '')")
+            else:
+                delim = _regex_literal(args[1]) if len(args) > 1 else "' '"
+                tokens = f"__SPLIT_RAW__({args[0]}, {delim})"
+            head = "" if from_form else " JOIN LATERAL"
             out.append(
-                f" JOIN LATERAL (SELECT pos + 1 AS index, col AS value"
-                f" FROM (SELECT posexplode(__SPLIT_RAW__({args[0]}, {delim})))) {alias}")
+                f"{head} (SELECT pos + 1 AS index, col AS value"
+                f" FROM (SELECT posexplode({tokens}))) {alias}")
             i = j
         return "".join(out)
 
@@ -1097,6 +1124,18 @@ class Translator:
 
     # -- emitters ---------------------------------------------------------
 
+    @staticmethod
+    def _rand_seed(gen: str) -> str | None:
+        """Recover the RANDOM([seed]) seed from an already-expanded
+        generator argument (UNIFORM/RANDSTR/NORMAL's third arg arrives
+        post-RANDOM-rewrite as ``CAST((rand(seed) - 0.5) ...``). A
+        seedless rand() or an unrecognized generator expression maps to
+        None (session-random, Snowflake's default behavior)."""
+        m = re.search(r"\brandn?\((\d*)\)", gen)
+        if m and m.group(1):
+            return m.group(1)
+        return None
+
     def _emit(self, fname: str, args: list[str]) -> str:
         if fname == "CAST":
             # map Snowflake type names (VARCHAR w/o length, NUMBER,
@@ -1314,6 +1353,75 @@ class Translator:
             seed = args[0].strip() if args and args[0].strip() else ""
             return (f"CAST((rand({seed}) - 0.5) "
                     f"* 1.844674407370955e19 AS BIGINT)")
+        if fname == "UNIFORM":
+            # Snowflake UNIFORM(min, max, gen): integer bounds are
+            # INCLUSIVE both ends; Spark's uniform() upper bound is
+            # exclusive for integers (verified empirically on 4.1) —
+            # bump integer-literal max by one. The gen arg arrives with
+            # RANDOM([seed]) already expanded; recover the seed.
+            seed = self._rand_seed(args[2]) if len(args) > 2 else None
+            lo, hi = args[0].strip(), args[1].strip()
+            if re.fullmatch(r"-?\d+", hi):
+                hi = str(int(hi) + 1)
+            elif re.fullmatch(r"-?\d+", lo):
+                # integer bounds as expressions: stay inclusive
+                hi = f"({hi}) + 1"
+            tail = f", {seed}" if seed is not None else ""
+            return f"uniform({lo}, {hi}{tail})"
+        if fname == "RANDSTR":
+            # RANDSTR(length, gen) -> Spark randstr(length[, seed]):
+            # both return mixed-case alphanumerics of that length
+            seed = self._rand_seed(args[1]) if len(args) > 1 else None
+            tail = f", {seed}" if seed is not None else ""
+            return f"randstr({args[0]}{tail})"
+        if fname == "NORMAL":
+            # NORMAL(mean, stddev, gen) -> mean + stddev * randn(seed)
+            seed = self._rand_seed(args[2]) if len(args) > 2 else None
+            gen = f"randn({seed})" if seed is not None else "randn()"
+            return f"(({args[0]}) + ({args[1]}) * {gen})"
+        if fname == "PARSE_URL":
+            # Snowflake PARSE_URL returns an OBJECT with the keys
+            # fragment/host/parameters/path/port/query/scheme (path has
+            # no leading '/', port is a string, parameters is an OBJECT
+            # built from the query string, absent parts are null and
+            # KEPT in the output). Spark's parse_url extracts parts;
+            # port comes off AUTHORITY (no PORT part in Hive's
+            # parse_url). Always permissive (Snowflake's 2-arg form;
+            # the strict 1-arg form errors on malformed URLs — we
+            # return nulls instead, documented divergence). Repeated-
+            # key query strings collapse to the last value (Snowflake
+            # builds an array; documented divergence).
+            u = f"({args[0]})"
+            q = f"parse_url({u}, 'QUERY')"
+            return (
+                "to_json(named_struct("
+                f"'fragment', parse_url({u}, 'REF'), "
+                f"'host', parse_url({u}, 'HOST'), "
+                f"'parameters', if({q} IS NULL, NULL, str_to_map({q}, '&', '=')), "
+                f"'path', regexp_replace(parse_url({u}, 'PATH'), '^/', ''), "
+                f"'port', nullif(regexp_extract(parse_url({u}, 'AUTHORITY'), ':([0-9]+)$', 1), ''), "
+                f"'query', {q}, "
+                f"'scheme', parse_url({u}, 'PROTOCOL')"
+                "), map('ignoreNullFields', 'false'))"
+            )
+        if fname == "APPROX_TOP_K":
+            # Snowflake returns a VARIANT array of [value, count]
+            # pairs, most frequent first. Spark's approx_top_k shares
+            # the (expr[, k[, maxItemsTracked]]) signature but returns
+            # array<struct<item,count>> — serialize to Snowflake's
+            # JSON shape. The named_struct/substr dance JSON-escapes
+            # the item without quoting numerics.
+            call = f"approx_top_k({', '.join(args)})"
+            item_json = ("substr(to_json(named_struct('v', s.item)), 6, "
+                         "length(to_json(named_struct('v', s.item))) - 6)")
+            return (
+                f"concat('[', array_join(transform({call}, "
+                f"s -> concat('[', {item_json}, ',', CAST(s.count AS STRING), ']')"
+                f"), ','), ']')"
+            )
+        if fname == "COLLATE":
+            # COLLATE(expr, 'spec') function form
+            return f"collate({args[0]}, '{_spark_collation(args[1])}')"
         if fname == "DIV0NULL":
             # like DIV0 but also returns 0 for a NULL divisor
             return (f"if(({args[1]}) IS NULL OR ({args[1]}) = 0, 0, "
@@ -2141,11 +2249,61 @@ _REWRITABLE = {
     "TRUNC",
     "TRUNCATE",
     "RANDOM",
+    "UNIFORM",
+    "RANDSTR",
+    "NORMAL",
+    "PARSE_URL",
+    "APPROX_TOP_K",
+    "COLLATE",
     "APPROX_PERCENTILE",
     "HLL",
     "DIV0NULL",
     "YEAROFWEEK",
 }
+
+
+def _spark_collation(spec_arg: str) -> str:
+    """Map a Snowflake collation specification ('en-ci', 'utf8',
+    'ci-ai', ...) onto a Spark 4 collation name (UTF8_BINARY,
+    UTF8_LCASE, UNICODE_CI, en_CI, de_CI_AI, ...). Supported
+    specifiers: a locale tag plus ci/cs (case) and ai/as (accent);
+    the punctuation/first-letter/trim/case-conversion specifiers
+    (pi/ps/fl/fu/trim/upper/lower) change comparison or value
+    semantics Spark collations cannot express and raise cleanly."""
+    spec = spec_arg.strip().strip("'\"").lower()
+    if not spec or spec == "utf8":
+        return "UTF8_BINARY"
+    locale = None
+    ci = ai = False
+    for tok in spec.split("-"):
+        if not tok or tok in ("cs", "as"):  # the defaults
+            continue
+        if tok == "ci":
+            ci = True
+        elif tok == "ai":
+            ai = True
+        elif tok == "utf8":
+            pass
+        elif re.fullmatch(r"[a-z]{2,3}(?:_[a-z]{2,4})*", tok) and locale is None:
+            locale = tok
+        else:
+            raise ValueError(
+                f"COLLATE specifier '{tok}' is not supported "
+                "(supported: locale, ci/cs, ai/as)")
+    if locale is None:
+        if ci and ai:
+            return "UNICODE_CI_AI"
+        if ci:
+            return "UTF8_LCASE"
+        if ai:
+            return "UNICODE_AI"
+        return "UTF8_BINARY"
+    name = locale
+    if ci:
+        name += "_CI"
+    if ai:
+        name += "_AI"
+    return name
 
 
 def _regex_charclass(delim_arg: str) -> str:

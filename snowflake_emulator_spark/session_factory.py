@@ -38,9 +38,11 @@ def build_spark(app_name: str = "snowflake_emulator_spark", master: str | None =
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from .functions.extras import register_extras
     from .functions.textsim import register_text_similarity
 
     register_text_similarity(spark)
+    register_extras(spark)
     return spark
 
 
@@ -51,7 +53,9 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    from .functions.extras import register_extras
     from .functions.textsim import register_text_similarity
 
     register_text_similarity(spark)
+    register_extras(spark)
     return spark
