@@ -840,8 +840,204 @@ class Translator:
 
     # -- expression-level translation ------------------------------------
 
+    # words after which a '[' opens an ARRAY CONSTANT rather than a
+    # subscript (an expression may start after any of these)
+    _KW_BEFORE_LITERAL = {
+        "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT",
+        "IN", "VALUES", "BY", "ON", "HAVING", "SET", "RETURN", "UNION",
+        "ALL", "DISTINCT", "CASE", "LIKE", "BETWEEN", "IS", "QUALIFY",
+        "COALESCE", "IFF", "ELSEIF", "DO", "LOOP", "USING",
+    }
+
+    def _starts_expression(self, s: str, i: int) -> bool:
+        """True when position ``i`` is a place an expression can START
+        (so a '[' there is an array constant, not a subscript)."""
+        j = i - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j < 0:
+            return True
+        c = s[j]
+        if c in "(,=<>+-*/%|&:[{":
+            return True
+        if c.isalnum() or c == "_":
+            m = re.search(r"[A-Za-z_][A-Za-z_0-9]*$", s[:j + 1])
+            return bool(m) and m.group(0).upper() in self._KW_BEFORE_LITERAL
+        return False  # ')', ']', '"', "'" -> subscript position
+
+    def _match_bracket(self, s: str, i: int, op: str, cl: str) -> int:
+        """Index of the ``cl`` matching the ``op`` at ``i`` (string- and
+        quoted-identifier-aware), or -1 if unbalanced."""
+        depth, j, n = 0, i, len(s)
+        while j < n:
+            c = s[j]
+            if c == "'":
+                j = self._skip_string(s, j)
+                continue
+            if c == '"':
+                j = self._skip_quoted_ident(s, j)
+                continue
+            if c == op:
+                depth += 1
+            elif c == cl:
+                depth -= 1
+                if depth == 0:
+                    return j
+            j += 1
+        return -1
+
+    def _object_literal(self, content: str) -> str | None:
+        """Rewrite the body of a ``{...}`` OBJECT constant onto an
+        OBJECT_CONSTRUCT argument list; None when the body does not
+        parse as ``key: value, ...`` (leave the braces untouched)."""
+        if not content.strip():
+            return "OBJECT_CONSTRUCT()"
+        parts: list[str] = []
+        depth, start, j, n = 0, 0, 0, len(content)
+        while j < n:
+            c = content[j]
+            if c == "'":
+                j = self._skip_string(content, j)
+                continue
+            if c == '"':
+                j = self._skip_quoted_ident(content, j)
+                continue
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(content[start:j])
+                start = j + 1
+            j += 1
+        parts.append(content[start:])
+        kvs: list[str] = []
+        for part in parts:
+            m = re.match(
+                r"\s*(?:'((?:[^']|'')*)'|\"([^\"]*)\"|([A-Za-z_]\w*))"
+                r"\s*:(.+)$", part, re.S)
+            if not m:
+                return None
+            key = next(g for g in m.group(1, 2, 3) if g is not None)
+            val = self._rewrite_const_literals(m.group(4)).strip()
+            kvs.append(f"'{key}', {val}")
+        return f"OBJECT_CONSTRUCT({', '.join(kvs)})"
+
+    def _rewrite_const_literals(self, s: str) -> str:
+        """Snowflake constant syntax: ``[e1, e2, ...]`` array constants
+        -> ``array(...)`` and ``{'k': v, ...}`` object constants ->
+        ``OBJECT_CONSTRUCT(...)`` (picked up by the normal call-rewrite
+        pass downstream). Subscript access ``expr[i]`` is left alone —
+        a '[' only counts as a constant at expression-start positions."""
+        if "[" not in s and "{" not in s:
+            return s
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = self._skip_string(s, i)
+                out.append(s[i:j])
+                i = j
+                continue
+            if c == '"':
+                j = self._skip_quoted_ident(s, i)
+                out.append(s[i:j])
+                i = j
+                continue
+            if c == "[" and self._starts_expression(s, i):
+                j = self._match_bracket(s, i, "[", "]")
+                if j != -1:
+                    inner = self._rewrite_const_literals(s[i + 1:j])
+                    out.append(f"array({inner})")
+                    i = j + 1
+                    continue
+            if c == "{":
+                j = self._match_bracket(s, i, "{", "}")
+                if j != -1:
+                    obj = self._object_literal(s[i + 1:j])
+                    if obj is not None:
+                        out.append(obj)
+                        i = j + 1
+                        continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    # VARIANT-producing call heads whose result is JSON text (§1.3), so
+    # a '[...]' subscript on them must become a JSON-path probe rather
+    # than a native Spark array subscript
+    _VARIANT_HEADS = ("PARSE_JSON", "TRY_PARSE_JSON", "OBJECT_CONSTRUCT",
+                      "OBJECT_CONSTRUCT_KEEP_NULL", "TO_VARIANT")
+
+    def _rewrite_variant_subscripts(self, s: str) -> str:
+        """``PARSE_JSON(x)[0]['k'][2]`` -> ``get_json_object(PARSE_JSON(x),
+        '$[0].k[2]')`` — consecutive int-literal / string-literal
+        subscripts on a VARIANT-producing call compose into one JSON
+        path (Snowflake element access; a native Spark subscript on the
+        JSON text would be a type error). Non-literal subscripts fall
+        back to the runtime object-then-array probe GET uses."""
+        up = s.upper()
+        out: list[str] = []
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = self._skip_string(s, i)
+                out.append(s[i:j]); i = j
+                continue
+            hit = None
+            if c.isalpha() and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                for h in self._VARIANT_HEADS:
+                    if up.startswith(h, i) and not (up.startswith("OBJECT_CONSTRUCT_KEEP_NULL", i) and h == "OBJECT_CONSTRUCT"):
+                        k = i + len(h)
+                        while k < n and s[k].isspace():
+                            k += 1
+                        if k < n and s[k] == "(":
+                            hit = (h, k)
+                            break
+            if hit is None:
+                out.append(c); i += 1
+                continue
+            h, op = hit
+            cl = self._match_bracket(s, op, "(", ")")
+            if cl == -1 or cl + 1 >= n or s[cl + 1] != "[":
+                # no subscript: keep scanning INSIDE the argument list
+                # (a nested variant subscript may live there)
+                out.append(s[i:op + 1])
+                i = op + 1
+                continue
+            call = self._rewrite_variant_subscripts(s[i:cl + 1])
+            path, j = [], cl + 1
+            while j < n and s[j] == "[":
+                e = self._match_bracket(s, j, "[", "]")
+                if e == -1:
+                    break
+                sub = s[j + 1:e].strip()
+                if sub.lstrip("+-").isdigit() and not sub.startswith("-"):
+                    path.append(f"[{sub}]")
+                elif len(sub) >= 2 and sub[0] == "'" and sub[-1] == "'" and "'" not in sub[1:-1]:
+                    path.append(f".{sub[1:-1]}")
+                else:
+                    break
+                j = e + 1
+            if not path:
+                # non-literal subscript: runtime object/array probe
+                e = self._match_bracket(s, cl + 1, "[", "]")
+                key = self._rewrite_variant_subscripts(s[cl + 2:e])
+                out.append(
+                    f"coalesce(get_json_object({call}, concat('$.', CAST({key} AS STRING))), "
+                    f"get_json_object({call}, concat('$[', CAST({key} AS STRING), ']')))")
+                i = e + 1
+                continue
+            out.append(f"get_json_object({call}, '${''.join(path)}')")
+            i = j
+        return "".join(out)
+
     def translate_expr(self, s: str) -> str:
-        out = self._rewrite_calls(s)
+        out = self._rewrite_const_literals(s)
+        out = self._rewrite_variant_subscripts(out)
+        out = self._rewrite_calls(out)
         out = self._rewrite_variant_paths(out)
         out = self._rewrite_double_colon_casts(out)
         out = self._rewrite_order_by_nulls(out)
@@ -1920,6 +2116,48 @@ class Translator:
         if fname == "HLL":
             # HyperLogLog distinct-count sketch
             return f"approx_count_distinct({', '.join(args)})"
+        if fname == "HLL_ACCUMULATE":
+            # mergeable HLL sketch state (Snowflake BINARY; Spark's
+            # DataSketches binary image). The two-level pattern —
+            # per-partition HLL_ACCUMULATE, then HLL_COMBINE +
+            # HLL_ESTIMATE — is the scale path for distinct counts:
+            # sketches merge associatively, so a 100 TB distinct-count
+            # is one map-side sketch pass + a tiny merge.
+            return f"hll_sketch_agg({', '.join(args)})"
+        if fname == "HLL_COMBINE":
+            return f"hll_union_agg({args[0]})"
+        if fname == "HLL_ESTIMATE":
+            return f"hll_sketch_estimate({args[0]})"
+        if fname in ("HLL_EXPORT", "HLL_IMPORT"):
+            raise NotImplementedError(
+                f"{fname} is not supported: sketch states are Spark "
+                "DataSketches binary images, not Snowflake's OBJECT "
+                "export format (HLL_ACCUMULATE/COMBINE/ESTIMATE are)")
+        if fname == "VECTOR_INNER_PRODUCT":
+            return self._vector_dot(args[0], args[1])
+        if fname == "VECTOR_L2_DISTANCE":
+            a, b = args[0], args[1]
+            return (
+                f"sqrt(reduce(zip_with({a}, {b}, (_x, _y) -> "
+                f"(CAST(_x AS DOUBLE) - _y) * (CAST(_x AS DOUBLE) - _y)), "
+                f"0D, (_acc, _v) -> _acc + _v))")
+        if fname == "VECTOR_COSINE_SIMILARITY":
+            a, b = args[0], args[1]
+            return (f"({self._vector_dot(a, b)} / "
+                    f"(sqrt({self._vector_dot(a, a)}) * "
+                    f"sqrt({self._vector_dot(b, b)})))")
+        if fname == "ARRAY_REMOVE_AT":
+            # drop the element at a 0-based position; negative counts
+            # from the end; out-of-range returns the array unchanged
+            # (filter never matches). Snowflake returns NULL for a NULL
+            # position, so guard explicitly (a NULL inside the filter
+            # lambda would otherwise drop every element).
+            arr, pos = args[0], args[1]
+            return (
+                f"CASE WHEN ({pos}) IS NULL THEN NULL ELSE "
+                f"filter({arr}, (_v, _ix) -> _ix != "
+                f"(CASE WHEN ({pos}) < 0 THEN size({arr}) + ({pos}) "
+                f"ELSE ({pos}) END)) END")
         if fname == "INITCAP":
             # Snowflake INITCAP treats EVERY non-alphanumeric char as a
             # word delimiter; Spark's initcap only splits on whitespace
@@ -1955,6 +2193,13 @@ class Translator:
                 )
             return f"CAST(CAST(({args[0]}) AS BIGINT) AS DOUBLE)"
         raise AssertionError(f"no emitter for {fname}")  # pragma: no cover
+
+    @staticmethod
+    def _vector_dot(a: str, b: str) -> str:
+        """Element-wise dot product over array columns — stays in
+        whole-stage codegen (zip_with + reduce), no Python boundary."""
+        return (f"reduce(zip_with({a}, {b}, (_x, _y) -> "
+                f"CAST(_x AS DOUBLE) * _y), 0D, (_acc, _v) -> _acc + _v)")
 
     def _emit_dateadd(self, args: list[str]) -> str:
         if len(args) != 3:
@@ -2255,6 +2500,15 @@ _REWRITABLE = {
     "PARSE_URL",
     "APPROX_TOP_K",
     "COLLATE",
+    "HLL_ACCUMULATE",
+    "HLL_COMBINE",
+    "HLL_ESTIMATE",
+    "HLL_EXPORT",
+    "HLL_IMPORT",
+    "VECTOR_INNER_PRODUCT",
+    "VECTOR_L2_DISTANCE",
+    "VECTOR_COSINE_SIMILARITY",
+    "ARRAY_REMOVE_AT",
     "APPROX_PERCENTILE",
     "HLL",
     "DIV0NULL",
