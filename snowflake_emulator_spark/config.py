@@ -30,6 +30,19 @@ QUERY_RESULT_FORMAT_JSON = "json"
 RESULT_STREAM_THRESHOLD = 100_000
 RESULT_STREAM_BATCH = 10_000
 
+# Session identity defaults (beyond reference: the reference accepts
+# ACCOUNT_NAME/LOGIN_NAME in the login body — server/types/types.go:16-17 —
+# but exposes no context functions; we surface them via
+# CURRENT_USER/CURRENT_ACCOUNT/... with these fallbacks when a login
+# body did not provide values).
+DEFAULT_USER = "EMULATOR"
+DEFAULT_ROLE = "ACCOUNTADMIN"
+DEFAULT_WAREHOUSE = "COMPUTE_WH"
+DEFAULT_ACCOUNT = "EMULATOR"
+DEFAULT_REGION = "AWS_US_WEST_2"
+# CURRENT_VERSION() shape: Snowflake returns "major.minor.patch"
+EMULATOR_VERSION = "8.0.0"
+
 # Session parameter defaults (reference: pkg/config/constants.go:28-56).
 DEFAULT_SESSION_PARAMETERS: dict[str, str] = {
     "TIMEZONE": "UTC",

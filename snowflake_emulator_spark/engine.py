@@ -170,6 +170,9 @@ class Engine:
         # load-history snapshot — rolled back alongside the data so a
         # reverted COPY does not leave LOAD_SKIPPED markers behind).
         self._open_txs: dict[int, tuple[dict, set, object, dict]] = {}
+        # CURRENT_TRANSACTION() ids: Snowflake returns an epoch-millis
+        # numeric string for the open transaction, NULL outside one
+        self._tx_ids: dict[int, str] = {}
         self._tx_lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -451,15 +454,20 @@ class Engine:
                     self._open_txs[owner] = (
                         self.catalog.snapshot_versions(), set(), owner_obj,
                         self.catalog.snapshot_load_history())
+                    import time as _time
+
+                    self._tx_ids[owner] = str(int(_time.time() * 1000))
                     self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("COMMIT"):
             with self._tx_lock:
                 self._open_txs.pop(owner, None)
+                self._tx_ids.pop(owner, None)
                 self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         if up.startswith("ROLLBACK"):
             with self._tx_lock:
+                self._tx_ids.pop(owner, None)
                 tx = self._open_txs.pop(owner, None)
                 if tx is not None:
                     snap, dirty, _ref, hist_snap = tx
@@ -478,6 +486,7 @@ class Engine:
                 self._refresh_protected_locked()
             return Result.status("Statement executed successfully.")
         tx = self._open_txs.get(owner)
+        ctx._open_tx_id = self._tx_ids.get(owner)  # CURRENT_TRANSACTION()
         if tx is not None:
             self.catalog.begin_dirty_capture(tx[1])
             try:

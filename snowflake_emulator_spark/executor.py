@@ -25,7 +25,7 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import errors
+from . import config, errors
 from .catalog import Catalog, ColumnDef
 from .plans import bindings as bindmod
 from .plans.classifier import StatementType, classify
@@ -42,6 +42,14 @@ class SessionContext:
 
         self.database = database or config.DEFAULT_DATABASE
         self.schema = schema or config.DEFAULT_SCHEMA
+        # session identity surfaced by context functions
+        # (CURRENT_USER/ROLE/WAREHOUSE/ACCOUNT/...); HTTP sessions
+        # override from the login body, USE WAREHOUSE/ROLE mutate
+        self.user: str = config.DEFAULT_USER
+        self.role: str = config.DEFAULT_ROLE
+        self.warehouse: str = config.DEFAULT_WAREHOUSE
+        self.account: str = config.DEFAULT_ACCOUNT
+        self.session_id: str | None = None
         # most recent query id this session (LAST_QUERY_ID())
         self.last_query_id: str | None = None
         self.parameters: dict[str, str] = dict(config.DEFAULT_SESSION_PARAMETERS)
@@ -549,7 +557,13 @@ class Executor:
         r"UUID_STRING|UUID|CURRENT_TIMESTAMP|CURRENT_DATE|"
         r"CURRENT_TIME|LOCALTIME(?:STAMP)?|SYSDATE|GETDATE|SYSTIMESTAMP|NOW|"
         r"NEXTVAL|SEQ[148]|GENERATOR|RESULT_SCAN|LAST_QUERY_ID|SAMPLE|"
-        r"TABLESAMPLE|INFORMATION_SCHEMA|QUERY_HISTORY)\b"
+        r"TABLESAMPLE|INFORMATION_SCHEMA|QUERY_HISTORY|"
+        # context functions: user/role/warehouse/session are NOT part
+        # of the cache key payload, so queries reading them must never
+        # be served from cache (db/schema ARE keyed, but keep the
+        # exclusion uniform — these queries are trivially cheap anyway)
+        r"CURRENT_USER|CURRENT_ROLE|CURRENT_WAREHOUSE|CURRENT_SESSION|"
+        r"CURRENT_TRANSACTION|CURRENT_CLIENT|CURRENT_AVAILABLE_ROLES)\b"
         r"|\bAT\s*\(|\bBEFORE\s*\(",
         re.I)
 
@@ -580,6 +594,7 @@ class Executor:
         sql = bindmod.apply_bindings(sql, bindings)
         sql = self._rewrite_result_scan(sql, ctx)
         sql = self._rewrite_nextval(sql, ctx)
+        sql = self._rewrite_context_fns(sql, ctx)
         sql = self._substitute_variables(sql, ctx)
         sql = self._rewrite_get_ddl(sql, ctx)
         sql = self._rewrite_system_fns(sql, ctx)
@@ -752,6 +767,70 @@ class Executor:
         return self._CLUSTERING_INFO_RE.sub(
             lambda m: m.group(0) if _inside_string(sql, m.start())
             else "'" + _info(m.group(1)).replace("'", "''") + "'", sql)
+
+    # context functions (beyond reference: the reference accepts
+    # ACCOUNT_NAME/LOGIN_NAME in the login body — server/types/types.go:16-17
+    # — but exposes no context functions). Parenthesized forms for all;
+    # CURRENT_USER/CURRENT_ROLE additionally accept the bare ANSI form,
+    # matching Snowflake's "can be called without parentheses" list.
+    _CONTEXT_FN_RE = re.compile(
+        r"\b(CURRENT_(?:USER|ROLE|WAREHOUSE|DATABASE|SCHEMA|ACCOUNT_NAME|"
+        r"ACCOUNT|REGION|VERSION|CLIENT|SESSION|TRANSACTION|"
+        r"AVAILABLE_ROLES|IP_ADDRESS))\s*\(\s*\)"
+        r"|\b(CURRENT_(?:USER|ROLE))\b(?!\s*\()",
+        re.I)
+
+    def _rewrite_context_fns(self, sql: str, ctx: SessionContext) -> str:
+        """CURRENT_USER()/CURRENT_ROLE()/CURRENT_DATABASE()/... ->
+        session-identity string literals. Evaluated at query time (so a
+        view body sees the QUERYING session, like Snowflake), skipped
+        inside string literals. CURRENT_TRANSACTION() is NULL outside an
+        open transaction."""
+        if "CURRENT_" not in sql.upper():
+            return sql
+
+        def _value(name: str) -> str:
+            if name == "CURRENT_USER":
+                return sql_literal(ctx.user)
+            if name == "CURRENT_ROLE":
+                return sql_literal(ctx.role)
+            if name == "CURRENT_WAREHOUSE":
+                return sql_literal(ctx.warehouse) if ctx.warehouse else "NULL"
+            if name == "CURRENT_DATABASE":
+                return sql_literal(ctx.database)
+            if name == "CURRENT_SCHEMA":
+                return sql_literal(ctx.schema)
+            if name in ("CURRENT_ACCOUNT", "CURRENT_ACCOUNT_NAME"):
+                return sql_literal(ctx.account)
+            if name == "CURRENT_REGION":
+                return sql_literal(config.DEFAULT_REGION)
+            if name == "CURRENT_VERSION":
+                return sql_literal(config.EMULATOR_VERSION)
+            if name == "CURRENT_CLIENT":
+                app = ctx.parameters.get("CLIENT_APP_ID") or "SnowflakeEmulatorSpark"
+                ver = ctx.parameters.get("CLIENT_APP_VERSION") or config.EMULATOR_VERSION
+                return sql_literal(f"{app} {ver}")
+            if name == "CURRENT_SESSION":
+                sid = ctx.session_id or getattr(
+                    getattr(ctx, "_session", None), "id", None)
+                return sql_literal(str(sid)) if sid else "NULL"
+            if name == "CURRENT_TRANSACTION":
+                txid = getattr(ctx, "_open_tx_id", None)
+                return sql_literal(str(txid)) if txid else "NULL"
+            if name == "CURRENT_AVAILABLE_ROLES":
+                import json as _json
+
+                return sql_literal(_json.dumps([ctx.role]))
+            if name == "CURRENT_IP_ADDRESS":
+                return sql_literal("127.0.0.1")
+            return "NULL"
+
+        def _sub(m: re.Match) -> str:
+            if _inside_string(sql, m.start()):
+                return m.group(0)
+            return _value((m.group(1) or m.group(2)).upper())
+
+        return self._CONTEXT_FN_RE.sub(_sub, sql)
 
     _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 
@@ -1160,7 +1239,7 @@ class Executor:
                         vkey, vtail = (ctx.database, ids[0], ids[1]), parts[1][1]
                     if vkey is not None:
                         vm = views[vkey]
-                        out.append(self._register_named_view(vm, vm.physical) + sql[vtail:j])
+                        out.append(self._register_named_view(vm, vm.physical, ctx) + sql[vtail:j])
                         rewrote = True
                 if not rewrote and len(ids) >= 2 and "INFORMATION_SCHEMA" in ids[:2]:
                     idb = itail = None
@@ -1229,7 +1308,7 @@ class Executor:
         for (db, sch, name), vm in list(self.catalog.views.items()):
             if db == ctx.database and sch == ctx.schema and (db, sch, name) not in self._views_in_progress():
                 try:
-                    self._register_named_view(vm, name)
+                    self._register_named_view(vm, name, ctx)
                 except Exception:
                     pass  # invalid view (e.g. dropped base table): the
                     #       query fails at reference with not-found instead
@@ -1314,29 +1393,46 @@ class Executor:
         self._info_schema_cache[view] = state
         return view
 
-    def _view_df(self, vm) -> DataFrame:
+    def _view_df(self, vm, caller_ctx: SessionContext | None = None) -> DataFrame:
         """Plan a view's stored SELECT against current table versions.
         The definition binds to the view's own namespace (Snowflake
-        semantics); cyclic view references raise instead of recursing."""
+        semantics); cyclic view references raise instead of recursing.
+        Context functions in the body evaluate with the CALLER's
+        identity (Snowflake: CURRENT_ROLE() in a view is query-time)."""
         key = (vm.database, vm.schema, vm.name)
         if key in self._views_in_progress():
             raise errors.execution_error(f"cyclic view reference involving {vm.name}")
         self._views_in_progress().add(key)
         try:
-            df = self.query_df(vm.sql_text, SessionContext(vm.database, vm.schema))
+            vctx = SessionContext(vm.database, vm.schema)
+            if caller_ctx is not None:
+                for f in ("user", "role", "warehouse", "account", "session_id"):
+                    setattr(vctx, f, getattr(caller_ctx, f, None))
+            df = self.query_df(vm.sql_text, vctx)
             if vm.column_names:
                 df = df.toDF(*vm.column_names)
             return df
         finally:
             self._views_in_progress().discard(key)
 
-    def _register_named_view(self, vm, view_name: str) -> str:
+    @staticmethod
+    def _view_identity(vm, ctx: SessionContext | None):
+        """Session-identity component of a view's registration cache key
+        — non-None only when the body reads context functions, so the
+        common no-context view still caches purely on (uid, mutation)."""
+        if ctx is None or "CURRENT_" not in vm.sql_text.upper():
+            return None
+        return (ctx.user, ctx.role, ctx.warehouse, ctx.account, ctx.session_id)
+
+    def _register_named_view(self, vm, view_name: str,
+                             ctx: SessionContext | None = None) -> str:
         """(Re-)register a temp view for a named view; cached on
-        (view uid, catalog mutation counter) so repeated statements
-        against an unchanged catalog make zero Spark calls."""
-        state = (vm.uid, self.catalog.mutation)
+        (view uid, catalog mutation counter [, caller identity when the
+        body reads context functions]) so repeated statements against an
+        unchanged catalog make zero Spark calls."""
+        state = (vm.uid, self.catalog.mutation, self._view_identity(vm, ctx))
         if self._view_cache.get(view_name) != state:
-            self._view_df(vm).createOrReplaceTempView(view_name)
+            self._view_df(vm, ctx).createOrReplaceTempView(view_name)
             # record AFTER planning succeeds, using the pre-registration
             # mutation value (registration itself does not mutate data)
             self._view_cache[view_name] = state
@@ -1946,6 +2042,7 @@ class Executor:
         # as queries: INSERT ... VALUES ($v), UPDATE t SET x = my_udf(y)
         # are valid Snowflake (query_df applies these for SELECTs; the
         # DML regexes below parse the already-substituted text)
+        sql = self._rewrite_context_fns(sql, ctx)
         sql = self._substitute_variables(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
         m = _INSERT_RE.match(sql)
@@ -2196,8 +2293,16 @@ class Executor:
                 ctx.schema = normalize_ident(parts[1])
             else:
                 ctx.schema = normalize_ident(name)
-        elif kind == "WAREHOUSE" or kind == "ROLE":
-            pass  # metadata-only
+        elif kind == "WAREHOUSE":
+            ctx.warehouse = normalize_ident(name)
+            sess = getattr(ctx, "_session", None)
+            if sess is not None:
+                sess.warehouse = ctx.warehouse
+        elif kind == "ROLE":
+            ctx.role = normalize_ident(name)
+            sess = getattr(ctx, "_session", None)
+            if sess is not None:
+                sess.role = ctx.role
         else:
             ctx.database = normalize_ident(name)
         return Result.status("Statement executed successfully.")

@@ -223,10 +223,27 @@ class SnowflakeServer:
             schema = (sp.get("SCHEMA") or data.get("SCHEMA")
                       or data.get("schemaName") or params.get("schemaName"))
             s = self.sessions.create(db, schema)
+            # identity fields from the login body (gosnowflake sends
+            # LOGIN_NAME/ACCOUNT_NAME — reference server/types/types.go:16-17
+            # — plus warehouse/role as URL params or body keys)
+            login = data.get("LOGIN_NAME") or data.get("loginName")
+            if login:
+                s.user = str(login).upper()
+            acct = data.get("ACCOUNT_NAME") or data.get("accountName")
+            if acct:
+                s.account = str(acct).upper()
+            wh = (sp.get("WAREHOUSE") or data.get("warehouseName")
+                  or params.get("warehouseName") or params.get("warehouse"))
+            if wh:
+                s.warehouse = str(wh).upper()
+            role = (sp.get("ROLE") or data.get("roleName")
+                    or params.get("roleName") or params.get("role"))
+            if role:
+                s.role = str(role).upper()
             # client SESSION_PARAMETERS (e.g. GO_QUERY_RESULT_FORMAT)
             # negotiate at login, not only via later ALTER SESSION
             for k, v in sp.items():
-                if k.upper() not in ("DATABASE", "SCHEMA"):
+                if k.upper() not in ("DATABASE", "SCHEMA", "WAREHOUSE", "ROLE"):
                     s.parameters[k.upper()] = v
             return {
                 "data": {

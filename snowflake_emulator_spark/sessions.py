@@ -28,6 +28,13 @@ class Session:
     master_token: str
     database: str = config.DEFAULT_DATABASE
     schema: str = config.DEFAULT_SCHEMA
+    # identity from the login body (LOGIN_NAME/ACCOUNT_NAME, reference
+    # server/types/types.go:16-17) / USE WAREHOUSE / USE ROLE — read
+    # back by the CURRENT_* context functions
+    user: str = config.DEFAULT_USER
+    role: str = config.DEFAULT_ROLE
+    warehouse: str = config.DEFAULT_WAREHOUSE
+    account: str = config.DEFAULT_ACCOUNT
     parameters: dict[str, str] = field(default_factory=lambda: dict(config.DEFAULT_SESSION_PARAMETERS))
     variables: dict[str, object] = field(default_factory=dict)
     created_at: float = field(default_factory=time.time)
@@ -43,6 +50,11 @@ class Session:
         ctx.parameters = self.parameters
         ctx.variables = self.variables
         ctx.last_query_id = self.last_query_id
+        ctx.user = self.user
+        ctx.role = self.role
+        ctx.warehouse = self.warehouse
+        ctx.account = self.account
+        ctx.session_id = self.id
         # keep ctx and session namespace in sync
         ctx._session = self  # type: ignore[attr-defined]
         return ctx

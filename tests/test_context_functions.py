@@ -1,0 +1,147 @@
+"""Context functions (CURRENT_USER/ROLE/WAREHOUSE/DATABASE/...).
+
+Beyond reference: the reference accepts ACCOUNT_NAME/LOGIN_NAME in the
+login body (`/root/reference/server/types/types.go:16-17`) but exposes
+no context functions; we evaluate them per-session at query time, the
+way Snowflake does (a view body sees the QUERYING session's identity).
+"""
+
+import json
+import urllib.request
+
+import pytest
+
+from snowflake_emulator_spark import config
+from snowflake_emulator_spark.executor import SessionContext
+
+
+def _rows(engine, sql, ctx):
+    return engine.execute(sql, ctx).rows
+
+
+def test_defaults(engine):
+    ctx = SessionContext()
+    assert _rows(engine, "SELECT CURRENT_USER() AS u, CURRENT_ROLE() AS r", ctx) == [
+        [config.DEFAULT_USER, config.DEFAULT_ROLE]]
+    assert _rows(engine, "SELECT CURRENT_DATABASE() AS d, CURRENT_SCHEMA() AS s", ctx) == [
+        ["TEST_DB", "PUBLIC"]]
+    assert _rows(engine, "SELECT CURRENT_WAREHOUSE() AS w, CURRENT_ACCOUNT() AS a", ctx) == [
+        [config.DEFAULT_WAREHOUSE, config.DEFAULT_ACCOUNT]]
+    assert _rows(engine, "SELECT CURRENT_VERSION() AS v", ctx) == [
+        [config.EMULATOR_VERSION]]
+
+
+def test_bare_ansi_forms(engine):
+    """CURRENT_USER / CURRENT_ROLE are valid without parentheses."""
+    ctx = SessionContext()
+    assert _rows(engine, "SELECT CURRENT_USER AS u, CURRENT_ROLE AS r", ctx) == [
+        [config.DEFAULT_USER, config.DEFAULT_ROLE]]
+
+
+def test_string_literals_untouched(engine):
+    ctx = SessionContext()
+    assert _rows(engine, "SELECT 'CURRENT_USER() kept' AS s", ctx) == [
+        ["CURRENT_USER() kept"]]
+
+
+def test_use_warehouse_and_role(engine):
+    ctx = SessionContext()
+    engine.execute("USE WAREHOUSE etl_wh", ctx)
+    engine.execute("USE ROLE sysadmin", ctx)
+    assert _rows(engine, "SELECT CURRENT_WAREHOUSE() AS w, CURRENT_ROLE() AS r", ctx) == [
+        ["ETL_WH", "SYSADMIN"]]
+
+
+def test_current_transaction_null_outside_tx(engine):
+    ctx = SessionContext()
+    assert _rows(engine, "SELECT CURRENT_TRANSACTION() AS t", ctx) == [[None]]
+    engine.execute("BEGIN", ctx)
+    txid = _rows(engine, "SELECT CURRENT_TRANSACTION() AS t", ctx)[0][0]
+    assert txid is not None and txid.isdigit()
+    # stable for the life of the transaction
+    assert _rows(engine, "SELECT CURRENT_TRANSACTION() AS t", ctx)[0][0] == txid
+    engine.execute("COMMIT", ctx)
+    assert _rows(engine, "SELECT CURRENT_TRANSACTION() AS t", ctx) == [[None]]
+
+
+def test_context_fns_in_dml(engine):
+    """INSERT audit-column pattern: VALUES (CURRENT_USER())."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ctx_audit (who VARCHAR, act VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO ctx_audit VALUES (CURRENT_USER(), 'create')", ctx)
+    assert _rows(engine, "SELECT who FROM ctx_audit", ctx) == [
+        [config.DEFAULT_USER]]
+
+
+def test_view_sees_querying_session(engine):
+    """Snowflake semantics: CURRENT_ROLE() inside a view evaluates at
+    query time with the caller's session, not the view creator's."""
+    ctx = SessionContext()
+    engine.execute("CREATE VIEW ctx_v AS SELECT CURRENT_ROLE() AS r", ctx)
+    engine.execute("USE ROLE analyst", ctx)
+    assert _rows(engine, "SELECT r FROM ctx_v", ctx) == [["ANALYST"]]
+
+
+def test_not_served_from_result_cache(engine):
+    """Two sessions, same SQL text: each must see its own identity."""
+    ctx1, ctx2 = SessionContext(), SessionContext()
+    engine.execute("USE ROLE role_one", ctx1)
+    engine.execute("USE ROLE role_two", ctx2)
+    sql = "SELECT CURRENT_ROLE() AS r"
+    assert _rows(engine, sql, ctx1) == [["ROLE_ONE"]]
+    assert _rows(engine, sql, ctx2) == [["ROLE_TWO"]]
+
+
+# ---------------------------------------------------------------------
+# protocol layer: login-body identity -> context functions
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    from snowflake_emulator_spark.engine import Engine
+    from snowflake_emulator_spark.server.app import SnowflakeServer
+
+    eng = Engine(spark, base_dir=str(tmp_path_factory.mktemp("ctx_wh")))
+    srv = SnowflakeServer(eng, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _call(server, method, path, body=None, token=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(
+        url, data=data if method != "GET" else None, method=method)
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f'Snowflake Token="{token}"')
+    with urllib.request.urlopen(req) as resp:
+        raw = resp.read()
+        return resp.status, json.loads(raw) if raw else None
+
+
+def test_login_identity_flows_to_context_fns(server):
+    st, out = _call(server, "POST", "/session/v1/login-request", {
+        "data": {"LOGIN_NAME": "testuser", "ACCOUNT_NAME": "testaccount",
+                 "warehouseName": "wh_login", "roleName": "r_login"}})
+    assert st == 200 and out["success"]
+    token = out["data"]["token"]
+    sid = out["data"]["sessionId"]
+
+    st, out = _call(server, "POST", "/queries/v1/query-request", {
+        "sqlText": "SELECT CURRENT_USER() AS u, CURRENT_ACCOUNT() AS a, "
+                   "CURRENT_WAREHOUSE() AS w, CURRENT_ROLE() AS r, "
+                   "CURRENT_SESSION() AS s"}, token)
+    assert out["success"], out
+    assert out["data"]["rowset"] == [
+        ["TESTUSER", "TESTACCOUNT", "WH_LOGIN", "R_LOGIN", sid]]
+
+    # USE ROLE persists across requests on the same session
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "USE ROLE later_role"}, token)
+    assert out["success"], out
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT CURRENT_ROLE() AS r"}, token)
+    assert out["data"]["rowset"] == [["LATER_ROLE"]]
