@@ -4652,6 +4652,110 @@ SELECT CAST(500 AS BIGINT) AS n, CAST(500 AS BIGINT) AS u_in_range,
 """
 
 
+# Linear-regression aggregate family (r8 batch): CORR/COVAR/REGR_* are
+# Spark-native passthroughs (one shuffle, map-side partials); DuckDB has
+# the same ANSI functions. ROUND(6) absorbs summation-order ulps.
+_SF_REGR = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qe,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covp_qe,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covs_qe,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avgx,
+       ROUND(REGR_AVGY(l_extendedprice, l_quantity), 4) AS avgy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+_SF_REGR_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qe,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qe,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# String splice/position family (r8): INSERT has no DuckDB counterpart
+# (replayed as substr concatenation); the rest are shared-name natives.
+_SF_STR3 = """
+SELECT c_custkey,
+       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       ASCII(c_mktsegment) AS seg_ascii,
+       CHR(ASCII(c_mktsegment) + 32) AS seg_lower_initial,
+       INSERT(c_name, 1, 8, 'Cust') AS renamed,
+       POSITION('#' IN c_name) AS hash_pos,
+       POSITION('0', c_name) AS zero_pos,
+       LENGTH(SPACE(MOD(c_custkey, 4))) AS pad_len
+FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+"""
+_SF_STR3_ORACLE = """
+SELECT c_custkey,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+       ascii(c_mktsegment) AS seg_ascii,
+       chr(ascii(c_mktsegment) + 32) AS seg_lower_initial,
+       'Cust' || substr(c_name, 9) AS renamed,
+       CAST(position('#' IN c_name) AS BIGINT) AS hash_pos,
+       CAST(position('0' IN c_name) AS BIGINT) AS zero_pos,
+       CAST(length(repeat(' ', CAST(c_custkey % 4 AS INTEGER))) AS BIGINT) AS pad_len
+FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+"""
+
+# Digest family (r8): SHA2 (default 256) / MD5 / _HEX aliases vs
+# DuckDB's sha256/md5; base64 decode roundtrip; HASH checked as a
+# 64-bit injective-on-this-data fingerprint (DuckDB's hash() values
+# differ, so the oracle counts the underlying distinct keys).
+_SF_DIGEST = """
+SELECT COUNT(DISTINCT SHA2(c_name)) AS n_sha2,
+       COUNT(DISTINCT MD5(c_name)) AS n_md5,
+       COUNT(DISTINCT HASH(c_name)) AS n_hash64,
+       MIN(SHA2_HEX(c_mktsegment)) AS min_seg_sha,
+       MIN(MD5_HEX(c_mktsegment)) AS min_seg_md5,
+       COUNT_IF(TRY_BASE64_DECODE_STRING(BASE64_ENCODE(c_name)) = c_name) AS b64_roundtrip,
+       COUNT_IF(TRY_HEX_DECODE_STRING(HEX_ENCODE(c_name)) = c_name) AS hex_roundtrip
+FROM customer
+"""
+_SF_DIGEST_ORACLE = """
+SELECT COUNT(DISTINCT sha256(c_name)) AS n_sha2,
+       COUNT(DISTINCT md5(c_name)) AS n_md5,
+       COUNT(DISTINCT c_name) AS n_hash64,
+       MIN(sha256(c_mktsegment)) AS min_seg_sha,
+       MIN(md5(c_mktsegment)) AS min_seg_md5,
+       COUNT(*) AS b64_roundtrip,
+       COUNT(*) AS hex_roundtrip
+FROM customer
+"""
+
+# Higher-order lambda family (r8): FILTER/TRANSFORM/REDUCE share names
+# and arrow syntax across Snowflake and Spark (all codegen, zero Python);
+# DuckDB replays via list_filter/list_transform/list_reduce.
+_SF_LAMBDA = """
+SELECT n_nationkey,
+       ARRAY_TO_STRING(TRANSFORM(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7),
+                                 x -> x * 2), ',') AS doubled,
+       ARRAY_TO_STRING(FILTER(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7),
+                              x -> x > 3), ',') AS big,
+       REDUCE(ARRAY_CONSTRUCT(n_nationkey, n_regionkey, 7), 0,
+              (acc, x) -> acc + x) AS total
+FROM nation ORDER BY n_nationkey
+"""
+_SF_LAMBDA_ORACLE = """
+SELECT n_nationkey,
+       array_to_string(list_transform([n_nationkey, n_regionkey, 7],
+                                      x -> x * 2), ',') AS doubled,
+       array_to_string(list_filter([n_nationkey, n_regionkey, 7],
+                                   x -> x > 3), ',') AS big,
+       CAST(n_nationkey + n_regionkey + 7 AS BIGINT) AS total
+FROM nation ORDER BY n_nationkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
     "scan_filter_project": (_sql(_SCAN_SPARK), _SCAN_SPARK),
@@ -4873,6 +4977,11 @@ REGISTRY: dict[str, tuple] = {
     "range_join_events": (_range_join_events, _RANGE_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
     "multimodal_features": (_multimodal_features, _MULTIMODAL_ORACLE),
+    # r8 session-2 function batches (rotate into the r9 driver head)
+    "agg_regression_stats": (_snow(_SF_REGR), _SF_REGR_ORACLE),
+    "sf_string_splice_position": (_snow(_SF_STR3), _SF_STR3_ORACLE),
+    "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
+    "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
 }
 
 

@@ -1815,6 +1815,44 @@ class Translator:
             return f"upper(hex({args[0]}))"
         if fname == "HEX_DECODE_STRING":
             return f"CAST(unhex({args[0]}) AS STRING)"
+        if fname == "BASE64_DECODE_BINARY":
+            return f"unbase64({args[0]})"
+        if fname == "HEX_DECODE_BINARY":
+            return f"unhex({args[0]})"
+        if fname == "TRY_BASE64_DECODE_STRING":
+            return f"CAST(try_to_binary({args[0]}, 'base64') AS STRING)"
+        if fname == "TRY_BASE64_DECODE_BINARY":
+            return f"try_to_binary({args[0]}, 'base64')"
+        if fname == "TRY_HEX_DECODE_STRING":
+            return f"CAST(try_to_binary({args[0]}, 'hex') AS STRING)"
+        if fname == "TRY_HEX_DECODE_BINARY":
+            return f"try_to_binary({args[0]}, 'hex')"
+        # -- digests --------------------------------------------------------
+        # Snowflake SHA2 family defaults to 256 bits; _HEX aliases return
+        # the same hex text as the base form, _BINARY the raw bytes
+        if fname in ("SHA2", "SHA2_HEX"):
+            return f"sha2({args[0]}, {args[1] if len(args) > 1 else 256})"
+        if fname == "SHA1_HEX":
+            return f"sha1({args[0]})"
+        if fname == "SHA1_BINARY":
+            return f"unhex(sha1({args[0]}))"
+        if fname == "SHA2_BINARY":
+            return f"unhex(sha2({args[0]}, {args[1] if len(args) > 1 else 256}))"
+        if fname == "MD5_HEX":
+            return f"md5({args[0]})"
+        if fname == "MD5_BINARY":
+            return f"unhex(md5({args[0]}))"
+        if fname == "HASH":
+            # Snowflake HASH: stable signed 64-bit, NOT cryptographic and
+            # NOT the same values as Snowflake's (unpublished) function —
+            # xxhash64 gives the same contract at full 64-bit width
+            return f"xxhash64({', '.join(args)})"
+        if fname == "HASH_AGG":
+            # order-independent signed-64 aggregate over row hashes:
+            # sum in DECIMAL(38,0) (ANSI bigint SUM would overflow),
+            # folded back into the signed-63 range
+            return (f"CAST(sum(CAST(xxhash64({', '.join(args)}) AS "
+                    f"DECIMAL(38,0))) % 9223372036854775808 AS BIGINT)")
         if fname == "STRTOK":
             # STRTOK(s[, delimiters[, part]]) — delimiters is a SET of
             # single chars; empty tokens are skipped (unlike SPLIT_PART)
@@ -2513,6 +2551,21 @@ _REWRITABLE = {
     "HLL",
     "DIV0NULL",
     "YEAROFWEEK",
+    "BASE64_DECODE_BINARY",
+    "HEX_DECODE_BINARY",
+    "TRY_BASE64_DECODE_STRING",
+    "TRY_BASE64_DECODE_BINARY",
+    "TRY_HEX_DECODE_STRING",
+    "TRY_HEX_DECODE_BINARY",
+    "SHA2",
+    "SHA2_HEX",
+    "SHA1_HEX",
+    "SHA1_BINARY",
+    "SHA2_BINARY",
+    "MD5_HEX",
+    "MD5_BINARY",
+    "HASH",
+    "HASH_AGG",
 }
 
 
