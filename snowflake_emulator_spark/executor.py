@@ -2480,9 +2480,32 @@ class Executor:
                 for e in self.history[-100:]
             ]
             return Result(columns=["query_text", "status", "rows", "total_elapsed_time", "error_message"], rows=rows)
+        if first == "ROLES":
+            return Result(columns=["name", "is_current"],
+                          rows=[[ctx.role, "Y"]])
+        if first == "USERS":
+            return Result(columns=["name", "default_role"],
+                          rows=[[ctx.user, ctx.role]])
         raise errors.syntax_error(f"unsupported SHOW: {sql[:60]}")
 
     def _describe(self, sql: str, ctx: SessionContext) -> Result:
+        rm_ = re.match(
+            r"^\s*DESC(?:RIBE)?\s+RESULT\s+(?:'([^']+)'|LAST_QUERY_ID\s*\(\s*\))\s*$",
+            sql, re.I)
+        if rm_:
+            qid = rm_.group(1) or ctx.last_query_id
+            res = self._result_store.get(qid or "")
+            if res is None:
+                raise errors.execution_error(
+                    f"Result for query {qid or '<none>'} has expired or does not exist")
+            from .functions.typemap import spark_to_snowflake_name
+
+            if getattr(res, "spark_schema", None) is not None:
+                rows = [[f.name.upper(), spark_to_snowflake_name(f.dataType), "COLUMN",
+                         "Y" if f.nullable else "N"] for f in res.spark_schema.fields]
+            else:
+                rows = [[c.upper(), "VARCHAR", "COLUMN", "Y"] for c in res.columns]
+            return Result(columns=["name", "type", "kind", "null?"], rows=rows)
         vm_ = re.match(r"^\s*DESC(?:RIBE)?\s+VIEW\s+([\w.\"$]+)\s*$", sql, re.I)
         if vm_:
             vm = self.catalog.get_view(vm_.group(1), ctx.database, ctx.schema)

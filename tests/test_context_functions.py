@@ -93,6 +93,38 @@ def test_not_served_from_result_cache(engine):
     assert _rows(engine, sql, ctx2) == [["ROLE_TWO"]]
 
 
+def test_show_roles_and_users(engine):
+    ctx = SessionContext()
+    engine.execute("USE ROLE pipeline_role", ctx)
+    r = engine.execute("SHOW ROLES", ctx)
+    assert r.columns == ["name", "is_current"]
+    assert r.rows == [["PIPELINE_ROLE", "Y"]]
+    u = engine.execute("SHOW USERS", ctx)
+    assert u.rows == [[config.DEFAULT_USER, "PIPELINE_ROLE"]]
+
+
+def test_describe_result(engine):
+    ctx = SessionContext()
+    res = engine.execute("SELECT 1 AS one, 'a' AS letter", ctx)
+    d = engine.execute(f"DESCRIBE RESULT '{res.query_id}'", ctx)
+    assert d.columns == ["name", "type", "kind", "null?"]
+    assert [r[0] for r in d.rows] == ["ONE", "LETTER"]
+    assert d.rows[0][1] == "NUMBER" and d.rows[1][1] == "TEXT"
+    # LAST_QUERY_ID() form describes the most recent result
+    engine.execute("SELECT CAST(2.5 AS DOUBLE) AS dbl", ctx)
+    d2 = engine.execute("DESCRIBE RESULT LAST_QUERY_ID()", ctx)
+    assert d2.rows[0][0] == "DBL"
+
+
+def test_describe_result_expired(engine):
+    ctx = SessionContext()
+    import pytest as _pytest
+
+    from snowflake_emulator_spark import errors
+    with _pytest.raises(errors.SnowflakeError):
+        engine.execute("DESCRIBE RESULT '01gone-doesnotexist'", ctx)
+
+
 # ---------------------------------------------------------------------
 # protocol layer: login-body identity -> context functions
 # ---------------------------------------------------------------------
