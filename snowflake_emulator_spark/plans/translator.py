@@ -1847,6 +1847,16 @@ class Translator:
             # NOT the same values as Snowflake's (unpublished) function —
             # xxhash64 gives the same contract at full 64-bit width
             return f"xxhash64({', '.join(args)})"
+        if fname == "CORR":
+            # Spark 4 ANSI corr() raises DIVIDE_BY_ZERO when either side
+            # has zero variance; Snowflake (and DuckDB) return NULL.
+            # Rebuild from the pair-filtered regr_* sums (identical
+            # formula, regr_sxy/sqrt(regr_sxx*regr_syy)) with try_divide
+            # so the zero-variance case degrades to NULL. Caught by the
+            # r8 differential-fuzz aggregate family.
+            a, b = args[0], args[1]
+            return (f"try_divide(regr_sxy({a}, {b}), "
+                    f"sqrt(regr_sxx({a}, {b}) * regr_syy({a}, {b})))")
         if fname == "HASH_AGG":
             # order-independent signed-64 aggregate over row hashes:
             # sum in DECIMAL(38,0) (ANSI bigint SUM would overflow),
@@ -2566,6 +2576,7 @@ _REWRITABLE = {
     "MD5_BINARY",
     "HASH",
     "HASH_AGG",
+    "CORR",
 }
 
 

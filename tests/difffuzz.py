@@ -227,6 +227,50 @@ TEMPLATES = [
      lambda r: {"sc": r.choice(_STR_COLS)}),
     ("codec", "HEX_ENCODE({sc})", "upper(hex(CAST({sc} AS BLOB)))",
      lambda r: {"sc": r.choice(_STR_COLS)}),
+    # r8 session-2: digest aliases + decode roundtrips (TRY_ variants
+    # must be the identity on well-formed encodings of any column)
+    ("codec", "SHA2_HEX({sc})", "sha256({sc})",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("codec", "MD5_HEX({sc})", "md5({sc})",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("codec", "TRY_BASE64_DECODE_STRING(BASE64_ENCODE({sc}))", "{sc}",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("codec", "TRY_HEX_DECODE_STRING(HEX_ENCODE({sc}))", "{sc}",
+     lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("codec", "CAST(BASE64_DECODE_BINARY(BASE64_ENCODE({sc})) AS STRING)",
+     "{sc}", lambda r: {"sc": r.choice(_STR_COLS)}),
+    ("codec", "ASCII(SUBSTR({sc}, {p}))", "ascii(substr({sc}, {p}))",
+     lambda r: {"sc": r.choice(_STR_COLS), "p": _pos(r)}),
+    ("codec", "CHR(CAST({nc} % 26 AS INTEGER) + 65)",
+     "chr(CAST({nc} % 26 AS INTEGER) + 65)",
+     lambda r: {"nc": r.choice(_NUM_COLS)}),
+    ("codec", "LENGTH(SPACE(CAST({nc} % 5 AS INTEGER)))",
+     "CAST(length(repeat(' ', CAST({nc} % 5 AS INTEGER))) AS INTEGER)",
+     lambda r: {"nc": r.choice(_NUM_COLS)}),
+    # ---- lambda family (r8 session-2): higher-order FILTER/TRANSFORM/
+    # REDUCE share arrow syntax with Spark; DuckDB replays via list_* —
+    # string-serialized so list-vs-array typing stays out of the compare
+    ("lambda",
+     "ARRAY_TO_STRING(TRANSFORM(ARRAY_CONSTRUCT({nc} % {m}, {p}, 7), "
+     "x -> x * {k}), ',')",
+     "array_to_string(list_transform([{nc} % {m}, {p}, 7], x -> x * {k}), ',')",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([3, 5, 11]),
+                "p": _pos(r), "k": r.choice([2, 3, 10])}),
+    ("lambda",
+     "ARRAY_TO_STRING(FILTER(ARRAY_CONSTRUCT({nc} % {m}, {p}, 7), "
+     "x -> x > {k}), ',')",
+     "array_to_string(list_filter([{nc} % {m}, {p}, 7], x -> x > {k}), ',')",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([3, 5, 11]),
+                "p": _pos(r), "k": r.choice([0, 2, 4])}),
+    # Spark's reduce() requires the merge lambda's return type to match
+    # the initial-value type EXACTLY (BIGINT elements + INT 0 raises) —
+    # the init is cast to keep the template well-typed over BIGINT cols
+    ("lambda",
+     "CAST(REDUCE(ARRAY_CONSTRUCT({nc} % {m}, {p}, 7), CAST(0 AS BIGINT), "
+     "(acc, x) -> acc + x) AS BIGINT)",
+     "CAST({nc} % {m} + {p} + 7 AS BIGINT)",
+     lambda r: {"nc": r.choice(_NUM_COLS), "m": r.choice([3, 5, 11]),
+                "p": _pos(r)}),
     # ---- window family (r8 verdict item 6): NULL orderings ------------
     # Snowflake ORDER BY defaults (ASC -> NULLS LAST, DESC -> NULLS
     # FIRST) differ from Spark's (ASC -> NULLS FIRST); the Snowflake
@@ -345,6 +389,34 @@ TEMPLATES_AGG = [
      "round(percentile_disc({p}) WITHIN GROUP (ORDER BY {fc}), 3)",
      lambda r: {"p": r.choice(["0.25", "0.5", "0.75"]),
                 "fc": r.choice(_FLOAT_COLS)}),
+    # r8 session-2: linear-regression aggregate family (ANSI shared
+    # names across all three engines; ROUND absorbs summation ulps)
+    ("agg", "ROUND(CORR({fc}, {nc} % {m}), 5)",
+     "round(corr({fc}, {nc} % {m}), 5)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([7, 13])}),
+    ("agg", "ROUND(COVAR_POP({fc}, {nc} % {m}), 4)",
+     "round(covar_pop({fc}, {nc} % {m}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([5, 9])}),
+    ("agg", "ROUND(COVAR_SAMP({fc}, {nc} % {m}), 4)",
+     "round(covar_samp({fc}, {nc} % {m}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([5, 9])}),
+    ("agg", "ROUND(REGR_SLOPE({fc}, {nc} % {m}), 4)",
+     "round(regr_slope({fc}, {nc} % {m}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([7, 11])}),
+    ("agg", "ROUND(REGR_INTERCEPT({fc}, {nc} % {m}), 4)",
+     "round(regr_intercept({fc}, {nc} % {m}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([7, 11])}),
+    ("agg", "REGR_COUNT({fc}, {nc})", "regr_count({fc}, {nc})",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS)}),
+    ("agg", "ROUND(REGR_AVGX({fc}, {nc} % {m}), 4)",
+     "round(regr_avgx({fc}, {nc} % {m}), 4)",
+     lambda r: {"fc": r.choice(_FLOAT_COLS), "nc": r.choice(_NUM_COLS),
+                "m": r.choice([5, 13])}),
 ]
 
 # aggregate-family probe: grouped on nation, deterministic group order

@@ -137,6 +137,20 @@ def test_regression_aggregates(engine):
     assert got == (1.0, 2.0, 1.0, 3, 1.0)
 
 
+def test_corr_zero_variance_returns_null(engine):
+    """Spark 4 ANSI corr() raises DIVIDE_BY_ZERO on zero-variance input;
+    Snowflake returns NULL — the translator rebuilds corr from the
+    pair-filtered regr_* sums with try_divide (r8 fuzz finding)."""
+    engine.execute("CREATE TABLE corr_t (x DOUBLE, y DOUBLE)")
+    engine.execute("INSERT INTO corr_t VALUES (1.0, 5.0), (1.0, 7.0), (1.0, 9.0)")
+    assert one(engine, "SELECT CORR(x, y) AS c FROM corr_t") == (None,)
+    assert one(engine, "SELECT CORR(y, x) AS c FROM corr_t") == (None,)
+    # non-degenerate input still matches the closed form exactly
+    engine.execute("INSERT INTO corr_t VALUES (2.0, 11.0)")
+    [(c,)] = rows(engine, "SELECT ROUND(CORR(x, y), 6) AS c FROM corr_t")
+    assert c is not None
+
+
 def test_percentile_within_group(engine):
     engine.execute("CREATE TABLE pct_t (x DOUBLE)")
     engine.execute("INSERT INTO pct_t VALUES (1.0), (2.0), (10.0)")
