@@ -52,6 +52,8 @@ class ColumnDef:
     nullable: bool = True
     default: str | None = None
     primary_key: bool = False
+    # ALTER TABLE ... ALTER COLUMN c COMMENT 'x' (surfaced by DESCRIBE)
+    comment: str | None = None
 
     def spark_field(self) -> T.StructField:
         return T.StructField(self.name, snowflake_to_spark(self.sf_type), self.nullable)
@@ -597,6 +599,40 @@ class Catalog:
         key = (tm.database, tm.schema, tm.name)
         with self._lock:
             return self._table_locks.setdefault(key, threading.Lock())
+
+    def swap_tables(self, name_a: str, name_b: str,
+                    database: str | None = None, schema: str | None = None) -> tuple:
+        """ALTER TABLE a SWAP WITH b (Snowflake): atomically exchange the
+        two tables' contents AND metadata. Pure pointer swap — the
+        TableMeta objects (location, versions, columns, uid) trade
+        catalog keys and identity fields; no data is read or rewritten,
+        exactly like Snowflake's metadata-only swap. DDL is
+        non-transactional (Snowflake: implicit commit), so an open
+        transaction's per-key snapshots intentionally track the KEY, not
+        the swapped object."""
+        key_a = self.resolve(name_a, database, schema)
+        key_b = self.resolve(name_b, database, schema)
+        if key_a == key_b:
+            raise errors.execution_error(
+                f"cannot swap table {'.'.join(key_a)} with itself")
+        with self._lock:
+            ta = self.tables.get(key_a)
+            tb = self.tables.get(key_b)
+            if ta is None:
+                raise errors.object_not_found(".".join(key_a))
+            if tb is None:
+                raise errors.object_not_found(".".join(key_b))
+            # both write locks, key-ordered to dodge AB/BA deadlock
+            locks = sorted((key_a, key_b))
+            l0 = self._table_locks.setdefault(locks[0], threading.Lock())
+            l1 = self._table_locks.setdefault(locks[1], threading.Lock())
+        with l0, l1:
+            with self._lock:
+                self.tables[key_a], self.tables[key_b] = tb, ta
+                (tb.database, tb.schema, tb.name) = key_a
+                (ta.database, ta.schema, ta.name) = key_b
+                self.mutation += 1
+        return ta, tb
 
     def write_table(self, tm: TableMeta, df: DataFrame, mode: str = "overwrite") -> None:
         """``mode`` 'overwrite' replaces contents; 'append' unions with

@@ -263,6 +263,16 @@ _ALTER_TABLE_RECLUSTER_RE = re.compile(
 _ALTER_TABLE_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+TO\s+([\w.\"$]+)\s*$", re.I
 )
+_ALTER_TABLE_SWAP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s+SWAP\s+WITH\s+([\w.\"$]+)\s*$",
+    re.I,
+)
+# ALTER TABLE t ALTER|MODIFY [COLUMN] c  SET DATA TYPE X | TYPE X |
+#   [SET|DROP] NOT NULL | SET DEFAULT e | DROP DEFAULT | COMMENT 'x'
+_ALTER_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+(?:ALTER|MODIFY)\s+(?:COLUMN\s+)?([\w\"$]+)\s+(.+?)\s*$",
+    re.I | re.S,
+)
 
 
 def _inside_string(s: str, pos: int) -> bool:
@@ -2030,8 +2040,89 @@ class Executor:
             self.catalog.drop_table(m.group(1), ctx.database, ctx.schema)
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_SWAP_RE.match(sql)
+        if m:
+            if m.group(1) and not self.catalog.has_table(
+                    m.group(2), ctx.database, ctx.schema):
+                return Result.status("Statement executed successfully.")
+            ta, tb = self.catalog.swap_tables(
+                m.group(2), m.group(3), ctx.database, ctx.schema)
+            # re-register both temp views: each physical name now serves
+            # the OTHER table's current version
+            self.catalog.register_view(ta)
+            self.catalog.register_view(tb)
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_COLUMN_RE.match(sql)
+        if m:
+            return self._alter_column(m.group(1), m.group(2), m.group(3), ctx)
         # stages / file formats / warehouses are handled by Engine wrappers
         raise errors.syntax_error(f"unsupported DDL: {sql[:80]}")
+
+    def _alter_column(self, tname: str, colname: str, rest: str,
+                      ctx: SessionContext) -> Result:
+        """ALTER TABLE t ALTER|MODIFY [COLUMN] c <action> (beyond
+        reference; Snowflake contract). SET DATA TYPE rewrites the data
+        through a cast (ANSI cast surfaces lossy narrowing as an error,
+        like Snowflake's own restriction); the NOT NULL / DEFAULT /
+        COMMENT forms are metadata-only."""
+        from .functions.typemap import snowflake_to_spark
+        from .naming import normalize_ident
+
+        tm = self.catalog.get_table(tname, ctx.database, ctx.schema)
+        cname = normalize_ident(colname)
+        col = next((c for c in tm.columns if c.name.upper() == cname), None)
+        if col is None:
+            raise errors.object_not_found(f"column {cname} in {tm.name}")
+        r = rest.strip().rstrip(";").strip()
+        # keyworded (SET DATA TYPE x) and bare (MODIFY COLUMN c x) forms —
+        # both are valid Snowflake
+        mt = re.match(r"^(?:(?:SET\s+DATA\s+TYPE|SET\s+TYPE|TYPE|DATA\s+TYPE)\s+)?"
+                      r"([A-Za-z_]\w*(?:\s+PRECISION)?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+                      r, re.I)
+        if mt and mt.group(1).split("(")[0].strip().upper() in (
+                "SET", "DROP", "COMMENT", "UNSET", "NOT"):
+            mt = None  # an action keyword, not a bare type name
+        if mt:
+            new_sf = mt.group(1).upper()
+            df = self.catalog.read_table(tm)
+            df = df.withColumn(col.name, df[col.name].cast(snowflake_to_spark(new_sf)))
+            col.sf_type = new_sf
+            self.catalog.write_table(tm, df)
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^SET\s+NOT\s+NULL$", r, re.I):
+            nulls = self.catalog.read_table(tm).where(
+                f"`{col.name}` IS NULL").limit(1).count()
+            if nulls:
+                raise errors.execution_error(
+                    f"column '{col.name}' contains NULL values; cannot SET NOT NULL")
+            col.nullable = False
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^DROP\s+NOT\s+NULL$", r, re.I):
+            col.nullable = True
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        md = re.match(r"^SET\s+DEFAULT\s+(.+)$", r, re.I | re.S)
+        if md:
+            col.default = md.group(1).strip()
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^DROP\s+DEFAULT$", r, re.I):
+            col.default = None
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        mc = re.match(r"^COMMENT\s+'([^']*)'$", r, re.I)
+        if mc:
+            col.comment = mc.group(1)
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^UNSET\s+COMMENT$", r, re.I):
+            col.comment = None
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        raise errors.syntax_error(f"unsupported ALTER COLUMN action: {rest[:60]}")
 
     # ------------------------------------------------------------------
     # DML
