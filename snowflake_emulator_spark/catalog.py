@@ -54,6 +54,9 @@ class ColumnDef:
     primary_key: bool = False
     # ALTER TABLE ... ALTER COLUMN c COMMENT 'x' (surfaced by DESCRIBE)
     comment: str | None = None
+    # attached masking policy name (ALTER TABLE ... SET MASKING POLICY);
+    # resolved in the owning table's namespace, enforced on every read
+    masking_policy: str | None = None
 
     def spark_field(self) -> T.StructField:
         return T.StructField(self.name, snowflake_to_spark(self.sf_type), self.nullable)
@@ -159,6 +162,25 @@ class SequenceMeta:
     start: int = 1
     increment: int = 1
     next_base: int = 0  # statements reserve [next_base, next_base+block)
+
+
+@dataclass
+class MaskingPolicyMeta:
+    """CREATE MASKING POLICY p AS (val <type>) RETURNS <type> -> <body>
+    (beyond reference; Snowflake dynamic data masking). The body is a
+    Snowflake-SQL expression over the single argument; the executor
+    substitutes the masked column for the argument and evaluates the
+    expression — including CURRENT_ROLE()-style context functions —
+    with the QUERYING session's identity at read time."""
+    database: str
+    schema: str
+    name: str
+    arg_name: str
+    arg_type: str
+    returns: str
+    body: str
+    comment: str | None = None
+    created_on: float = field(default_factory=time.time)
 
 
 @dataclass
@@ -269,6 +291,9 @@ class Catalog:
         self.stages: dict[tuple[str, str, str], StageMeta] = {}
         self.sequences: dict[tuple[str, str, str], SequenceMeta] = {}
         self.functions: dict[tuple[str, str, str], FunctionMeta] = {}
+        # column masking policies (beyond reference; Snowflake dynamic
+        # data masking): enforced at read time by the executor
+        self.masking_policies: dict[tuple[str, str, str], MaskingPolicyMeta] = {}
         # metadata-only RBAC records: (priv, obj_type, obj_name,
         # grantee_type, grantee) — recorded + listable, not enforced
         self.grants: list[tuple[str, str, str, str, str]] = []
@@ -361,7 +386,7 @@ class Catalog:
         """Remove schema-level objects matching the key predicate (used
         by DROP DATABASE/SCHEMA). Caller holds self._lock."""
         for store_name in ("views", "streams", "tasks", "sequences",
-                           "functions", "procedures"):
+                           "functions", "procedures", "masking_policies"):
             store = getattr(self, store_name, None)
             if isinstance(store, dict):
                 for k in [k for k in store if pred(k)]:
@@ -599,6 +624,54 @@ class Catalog:
         key = (tm.database, tm.schema, tm.name)
         with self._lock:
             return self._table_locks.setdefault(key, threading.Lock())
+
+    # ---------------- masking policies ----------------
+
+    def create_masking_policy(self, name: str, arg_name: str, arg_type: str,
+                              returns: str, body: str,
+                              database: str | None = None, schema: str | None = None,
+                              or_replace: bool = False, if_not_exists: bool = False,
+                              comment: str | None = None) -> MaskingPolicyMeta:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key in self.masking_policies:
+                if if_not_exists:
+                    return self.masking_policies[key]
+                if not or_replace:
+                    raise errors.object_exists(".".join(key))
+            pm = MaskingPolicyMeta(key[0], key[1], key[2], arg_name.upper(),
+                                   arg_type.upper(), returns.upper(), body.strip(),
+                                   comment=comment)
+            self.masking_policies[key] = pm
+            self.mutation += 1
+            return pm
+
+    def drop_masking_policy(self, name: str, database: str | None = None,
+                            schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.masking_policies:
+                if if_exists:
+                    return
+                raise errors.object_not_found(".".join(key))
+            # Snowflake refuses to drop a policy still attached to a column
+            for tm in self.tables.values():
+                for c in tm.columns:
+                    if c.masking_policy and self.resolve(
+                            c.masking_policy, tm.database, tm.schema) == key:
+                        raise errors.execution_error(
+                            f"masking policy {key[2]} is attached to "
+                            f"{tm.name}.{c.name}; detach it first")
+            del self.masking_policies[key]
+            self.mutation += 1
+
+    def get_masking_policy(self, name: str, database: str | None = None,
+                           schema: str | None = None) -> MaskingPolicyMeta:
+        key = self.resolve(name, database, schema)
+        pm = self.masking_policies.get(key)
+        if pm is None:
+            raise errors.object_not_found(".".join(key))
+        return pm
 
     def swap_tables(self, name_a: str, name_b: str,
                     database: str | None = None, schema: str | None = None) -> tuple:

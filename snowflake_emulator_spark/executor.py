@@ -263,6 +263,14 @@ _ALTER_TABLE_RECLUSTER_RE = re.compile(
 _ALTER_TABLE_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+RENAME\s+TO\s+([\w.\"$]+)\s*$", re.I
 )
+_CREATE_MASKING_POLICY_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MASKING\s+POLICY\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"$]+)\s+AS\s*\(\s*([\w\"$]+)\s+([A-Za-z_]\w*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)\s*"
+    r"RETURNS\s+([A-Za-z_]\w*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*->\s*(.+?)\s*$",
+    re.I | re.S,
+)
+_DROP_MASKING_POLICY_RE = re.compile(
+    r"^\s*DROP\s+MASKING\s+POLICY\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
 _ALTER_TABLE_SWAP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s+SWAP\s+WITH\s+([\w.\"$]+)\s*$",
     re.I,
@@ -595,6 +603,11 @@ class Executor:
         variables = getattr(ctx, "variables", None) or {}
         payload = "|".join([sql, str(ctx.database), str(ctx.schema),
                             repr(sorted(variables.items()))])
+        # masked reads depend on session identity even when the query
+        # text mentions no context function: key per role/user whenever
+        # any masking policy exists (zero-cost when the feature is unused)
+        if self.catalog.masking_policies:
+            payload += f"|{ctx.role}|{ctx.user}"
         return hashlib.md5(payload.encode()).hexdigest()
 
     def query_df(self, sql: str, ctx: SessionContext | None = None,
@@ -1218,12 +1231,12 @@ class Executor:
                 if len(ids) >= 3:
                     key = (ids[0], ids[1], ids[2])
                     if key in tables:
-                        out.append(tables[key].physical + sql[parts[2][1]:j])
+                        out.append(self._table_ref(tables[key], ctx) + sql[parts[2][1]:j])
                         rewrote = True
                 if not rewrote and len(ids) >= 2:
                     key = (ctx.database, ids[0], ids[1])
                     if key in tables:
-                        out.append(tables[key].physical + sql[parts[1][1]:j])
+                        out.append(self._table_ref(tables[key], ctx) + sql[parts[1][1]:j])
                         rewrote = True
                 if not rewrote and streams:
                     # qualified stream references rewrite onto the
@@ -1276,6 +1289,74 @@ class Executor:
             self._views_in_progress_tl.s = s
         return s
 
+    # ------------------------------------------------------------------
+    # dynamic data masking (beyond reference; Snowflake masking policies)
+    # ------------------------------------------------------------------
+
+    def _masking_state(self, tm, ctx: SessionContext):
+        """Identity+policy component of a masked table's registration
+        cache key, or None when no column carries a policy (the common
+        case stays on the pure (uid, version, epoch) key)."""
+        bound = tuple(
+            (c.name, c.masking_policy,
+             self.catalog.masking_policies.get(
+                 self.catalog.resolve(c.masking_policy, tm.database, tm.schema))
+             and self.catalog.masking_policies[
+                 self.catalog.resolve(c.masking_policy, tm.database, tm.schema)].body)
+            for c in tm.columns if c.masking_policy)
+        if not bound:
+            return None
+        return (bound, ctx.role, ctx.user)
+
+    def _masked_df(self, tm, ctx: SessionContext) -> DataFrame:
+        """Apply attached masking policies to a table read: each masked
+        column is replaced by the policy body with the column substituted
+        for the policy argument, context functions evaluated with the
+        QUERYING session's identity (Snowflake evaluation model). The
+        whole projection stays a translated Spark SQL expression —
+        JVM-side, zero per-row Python."""
+        df = self.catalog.read_table(tm)
+        exprs = []
+        for c in tm.columns:
+            if not c.masking_policy:
+                exprs.append(f"`{c.name}`")
+                continue
+            pm = self.catalog.get_masking_policy(
+                c.masking_policy, tm.database, tm.schema)
+            body = re.sub(rf"(?<![\w$]){re.escape(pm.arg_name)}(?![\w$])",
+                          f"`{c.name}`", pm.body, flags=re.I)
+            body = self._rewrite_context_fns(body, ctx)
+            exprs.append(f"({body}) AS `{c.name}`")
+        src = tm.physical + "__premask"
+        df.createOrReplaceTempView(src)
+        sel = self.translator.translate(
+            f"SELECT {', '.join(exprs)} FROM {src}")
+        return self.spark.sql(sel)
+
+    def _register_masked_view(self, tm, ctx: SessionContext) -> str:
+        """Register (cached) the per-identity masked projection of ``tm``
+        under ``<physical>__masked`` and return that name. Same
+        single-process registration model as context-function views:
+        the view is (re-)registered immediately before the statement
+        that reads it."""
+        name = tm.physical + "__masked"
+        state = (tm.uid, tm.version, tm.data_epoch, self._masking_state(tm, ctx))
+        if self._view_cache.get(name) != state:
+            self._masked_df(tm, ctx).createOrReplaceTempView(name)
+            self._view_cache[name] = state
+        return name
+
+    def _table_has_masking(self, tm) -> bool:
+        return any(c.masking_policy for c in tm.columns)
+
+    def _table_ref(self, tm, ctx: SessionContext) -> str:
+        """Temp-view name a qualified table reference resolves to:
+        the physical view normally, the per-identity masked projection
+        when a masking policy is attached."""
+        if self._table_has_masking(tm):
+            return self._register_masked_view(tm, ctx)
+        return tm.physical
+
     def sync_namespace_views(self, ctx: SessionContext) -> None:
         """Register bare-name aliases for every table in the session's
         current namespace. Version-keyed: a table's alias is
@@ -1301,11 +1382,14 @@ class Executor:
                     pass
                 del self._alias_cache[tbl]
         for tbl, tm in current.items():
-            state = (tm.uid, tm.version, tm.data_epoch)
+            state = (tm.uid, tm.version, tm.data_epoch,
+                     self._masking_state(tm, ctx))
             if self._alias_cache.get(tbl) == state:
                 continue
             try:
-                self.catalog.read_table(tm).createOrReplaceTempView(tbl)
+                src = (self._masked_df(tm, ctx) if state[3] is not None
+                       else self.catalog.read_table(tm))
+                src.createOrReplaceTempView(tbl)
                 self._alias_cache[tbl] = state
             except Exception:
                 pass
@@ -1476,6 +1560,20 @@ class Executor:
         if m:
             self.catalog.drop_database(m.group(2), if_exists=bool(m.group(1)))
             return Result.status(f"{m.group(2).upper()} successfully dropped.")
+        m = _CREATE_MASKING_POLICY_RE.match(sql)
+        if m:
+            pm = self.catalog.create_masking_policy(
+                m.group(3), m.group(4), m.group(5), m.group(6),
+                m.group(7).rstrip(";").strip(),
+                ctx.database, ctx.schema,
+                or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
+            return Result.status(
+                f"Masking policy {pm.name} successfully created.")
+        m = _DROP_MASKING_POLICY_RE.match(sql)
+        if m:
+            self.catalog.drop_masking_policy(
+                m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status("Statement executed successfully.")
         m = _CREATE_SCHEMA_RE.match(sql)
         if m:
             name = m.group(3)
@@ -2113,6 +2211,17 @@ class Executor:
             col.default = None
             self.catalog.mutation += 1
             return Result.status("Statement executed successfully.")
+        mp = re.match(r"^SET\s+MASKING\s+POLICY\s+([\w.\"$]+)(?:\s+FORCE)?$", r, re.I)
+        if mp:
+            pm = self.catalog.get_masking_policy(
+                mp.group(1), tm.database, tm.schema)  # raises if absent
+            col.masking_policy = mp.group(1).upper()
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        if re.match(r"^UNSET\s+MASKING\s+POLICY$", r, re.I):
+            col.masking_policy = None
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
         mc = re.match(r"^COMMENT\s+'([^']*)'$", r, re.I)
         if mc:
             col.comment = mc.group(1)
@@ -2571,6 +2680,14 @@ class Executor:
                 for e in self.history[-100:]
             ]
             return Result(columns=["query_text", "status", "rows", "total_elapsed_time", "error_message"], rows=rows)
+        if first == "MASKING":
+            rows = [[pm.name, db, sch, f"({pm.arg_name} {pm.arg_type})",
+                     pm.returns, pm.body, pm.comment]
+                    for (db, sch, _n), pm in sorted(self.catalog.masking_policies.items())
+                    if _match(pm.name)]
+            return Result(columns=["name", "database_name", "schema_name",
+                                   "signature", "return_type", "body", "comment"],
+                          rows=rows)
         if first == "ROLES":
             return Result(columns=["name", "is_current"],
                           rows=[[ctx.role, "Y"]])

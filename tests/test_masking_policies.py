@@ -1,0 +1,106 @@
+"""Dynamic data masking (r8 session 2, beyond reference): CREATE/DROP
+MASKING POLICY, ALTER COLUMN SET/UNSET MASKING POLICY, read-time
+enforcement with the QUERYING session's identity (Snowflake evaluation
+model). Policies are Snowflake-SQL expressions translated into the read
+projection — JVM-side, zero per-row Python, so enforcement costs one
+extra projection node at any scale."""
+
+import pytest
+
+from snowflake_emulator_spark import errors
+from snowflake_emulator_spark.executor import SessionContext
+
+
+def rows(engine, sql, ctx):
+    return [tuple(r) for r in engine.execute(sql, ctx).rows]
+
+
+@pytest.fixture()
+def masked(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE pii_users (id INTEGER, email VARCHAR, ssn VARCHAR)", ctx)
+    engine.execute("INSERT INTO pii_users VALUES "
+                   "(1, 'a@x.com', '123-45-6789'), (2, 'b@y.org', '987-65-4321')", ctx)
+    engine.execute(
+        "CREATE MASKING POLICY email_mask AS (val VARCHAR) RETURNS VARCHAR -> "
+        "CASE WHEN CURRENT_ROLE() IN ('PII_READER') THEN val "
+        "ELSE REGEXP_REPLACE(val, '.+@', '*****@') END", ctx)
+    engine.execute(
+        "CREATE MASKING POLICY full_mask AS (val VARCHAR) RETURNS VARCHAR -> "
+        "IFF(CURRENT_ROLE() = 'PII_READER', val, '***MASKED***')", ctx)
+    engine.execute("ALTER TABLE pii_users ALTER COLUMN email SET MASKING POLICY email_mask", ctx)
+    engine.execute("ALTER TABLE pii_users MODIFY COLUMN ssn SET MASKING POLICY full_mask", ctx)
+    return engine, ctx
+
+
+def test_masked_for_default_role(masked):
+    engine, ctx = masked
+    assert rows(engine, "SELECT email, ssn FROM pii_users ORDER BY id", ctx) == [
+        ("*****@x.com", "***MASKED***"), ("*****@y.org", "***MASKED***")]
+
+
+def test_qualified_reference_also_masked(masked):
+    engine, ctx = masked
+    assert rows(engine, "SELECT email FROM TEST_DB.PUBLIC.PII_USERS ORDER BY id",
+                ctx) == [("*****@x.com",), ("*****@y.org",)]
+
+
+def test_privileged_role_sees_cleartext(masked):
+    engine, ctx = masked
+    engine.execute("USE ROLE pii_reader", ctx)
+    assert rows(engine, "SELECT email, ssn FROM pii_users ORDER BY id", ctx) == [
+        ("a@x.com", "123-45-6789"), ("b@y.org", "987-65-4321")]
+    # and the result cache must not leak across a role change
+    engine.execute("USE ROLE nobody", ctx)
+    assert rows(engine, "SELECT email, ssn FROM pii_users ORDER BY id", ctx)[0] == (
+        "*****@x.com", "***MASKED***")
+
+
+def test_masking_applies_in_joins_and_aggregates(masked):
+    engine, ctx = masked
+    assert rows(engine, "SELECT COUNT(DISTINCT ssn) AS n FROM pii_users", ctx) == [(1,)]
+    got = rows(engine,
+               "SELECT a.id, b.email FROM pii_users a JOIN pii_users b ON a.id = b.id "
+               "ORDER BY a.id", ctx)
+    assert got == [(1, "*****@x.com"), (2, "*****@y.org")]
+
+
+def test_writes_bypass_masking(masked):
+    engine, ctx = masked
+    engine.execute("UPDATE pii_users SET email = 'new@z.io' WHERE id = 1", ctx)
+    engine.execute("USE ROLE pii_reader", ctx)
+    assert rows(engine, "SELECT email FROM pii_users WHERE id = 1", ctx) == [
+        ("new@z.io",)]
+
+
+def test_unset_and_drop(masked):
+    engine, ctx = masked
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("DROP MASKING POLICY email_mask", ctx)  # attached
+    engine.execute("ALTER TABLE pii_users ALTER COLUMN email UNSET MASKING POLICY", ctx)
+    engine.execute("DROP MASKING POLICY email_mask", ctx)
+    assert rows(engine, "SELECT email FROM pii_users ORDER BY id", ctx) == [
+        ("a@x.com",), ("b@y.org",)]
+
+
+def test_set_missing_policy_errors(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mp_t (v VARCHAR)", ctx)
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("ALTER TABLE mp_t ALTER COLUMN v SET MASKING POLICY ghost", ctx)
+
+
+def test_show_masking_policies(masked):
+    engine, ctx = masked
+    r = engine.execute("SHOW MASKING POLICIES", ctx)
+    assert [row[0] for row in r.rows] == ["EMAIL_MASK", "FULL_MASK"]
+    assert r.columns[0] == "name" and r.rows[0][3] == "(VAL VARCHAR)"
+
+
+def test_or_replace_changes_enforcement(masked):
+    engine, ctx = masked
+    engine.execute(
+        "CREATE OR REPLACE MASKING POLICY full_mask AS (val VARCHAR) "
+        "RETURNS VARCHAR -> 'REDACTED'", ctx)
+    assert rows(engine, "SELECT ssn FROM pii_users WHERE id = 1", ctx) == [
+        ("REDACTED",)]
