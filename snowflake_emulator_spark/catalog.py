@@ -89,6 +89,10 @@ class TableMeta:
     # set when the table enters the UNDROP graveyard (SHOW TABLES
     # HISTORY surfaces it as dropped_on)
     dropped_on: float | None = None
+    # attached row access policy (ALTER TABLE ... ADD ROW ACCESS POLICY
+    # p ON (cols)): policy name + the table columns bound to its args
+    row_access_policy: str | None = None
+    row_access_columns: list[str] = field(default_factory=list)
 
     @property
     def physical(self) -> str:
@@ -178,6 +182,24 @@ class MaskingPolicyMeta:
     arg_name: str
     arg_type: str
     returns: str
+    body: str
+    comment: str | None = None
+    created_on: float = field(default_factory=time.time)
+
+
+@dataclass
+class RowAccessPolicyMeta:
+    """CREATE ROW ACCESS POLICY p AS (a <t> [, b <t> ...]) RETURNS
+    BOOLEAN -> <predicate> (beyond reference; Snowflake row-level
+    security). Attached to a table with ALTER TABLE ... ADD ROW ACCESS
+    POLICY p ON (col [, col ...]); reads keep only rows where the
+    predicate — evaluated with the querying session's identity — is
+    true."""
+    database: str
+    schema: str
+    name: str
+    arg_names: list[str]
+    arg_types: list[str]
     body: str
     comment: str | None = None
     created_on: float = field(default_factory=time.time)
@@ -294,6 +316,7 @@ class Catalog:
         # column masking policies (beyond reference; Snowflake dynamic
         # data masking): enforced at read time by the executor
         self.masking_policies: dict[tuple[str, str, str], MaskingPolicyMeta] = {}
+        self.row_access_policies: dict[tuple[str, str, str], RowAccessPolicyMeta] = {}
         # metadata-only RBAC records: (priv, obj_type, obj_name,
         # grantee_type, grantee) — recorded + listable, not enforced
         self.grants: list[tuple[str, str, str, str, str]] = []
@@ -386,7 +409,8 @@ class Catalog:
         """Remove schema-level objects matching the key predicate (used
         by DROP DATABASE/SCHEMA). Caller holds self._lock."""
         for store_name in ("views", "streams", "tasks", "sequences",
-                           "functions", "procedures", "masking_policies"):
+                           "functions", "procedures", "masking_policies",
+                           "row_access_policies"):
             store = getattr(self, store_name, None)
             if isinstance(store, dict):
                 for k in [k for k in store if pred(k)]:
@@ -669,6 +693,51 @@ class Catalog:
                            schema: str | None = None) -> MaskingPolicyMeta:
         key = self.resolve(name, database, schema)
         pm = self.masking_policies.get(key)
+        if pm is None:
+            raise errors.object_not_found(".".join(key))
+        return pm
+
+    def create_row_access_policy(self, name: str, arg_names: list[str],
+                                 arg_types: list[str], body: str,
+                                 database: str | None = None, schema: str | None = None,
+                                 or_replace: bool = False, if_not_exists: bool = False,
+                                 comment: str | None = None) -> RowAccessPolicyMeta:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key in self.row_access_policies:
+                if if_not_exists:
+                    return self.row_access_policies[key]
+                if not or_replace:
+                    raise errors.object_exists(".".join(key))
+            pm = RowAccessPolicyMeta(
+                key[0], key[1], key[2],
+                [a.upper() for a in arg_names],
+                [t.upper() for t in arg_types], body.strip(), comment=comment)
+            self.row_access_policies[key] = pm
+            self.mutation += 1
+            return pm
+
+    def drop_row_access_policy(self, name: str, database: str | None = None,
+                               schema: str | None = None, if_exists: bool = False) -> None:
+        with self._lock:
+            key = self.resolve(name, database, schema)
+            if key not in self.row_access_policies:
+                if if_exists:
+                    return
+                raise errors.object_not_found(".".join(key))
+            for tm in self.tables.values():
+                if tm.row_access_policy and self.resolve(
+                        tm.row_access_policy, tm.database, tm.schema) == key:
+                    raise errors.execution_error(
+                        f"row access policy {key[2]} is attached to "
+                        f"{tm.name}; detach it first")
+            del self.row_access_policies[key]
+            self.mutation += 1
+
+    def get_row_access_policy(self, name: str, database: str | None = None,
+                              schema: str | None = None) -> RowAccessPolicyMeta:
+        key = self.resolve(name, database, schema)
+        pm = self.row_access_policies.get(key)
         if pm is None:
             raise errors.object_not_found(".".join(key))
         return pm

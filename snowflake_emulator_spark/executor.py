@@ -271,6 +271,19 @@ _CREATE_MASKING_POLICY_RE = re.compile(
 )
 _DROP_MASKING_POLICY_RE = re.compile(
     r"^\s*DROP\s+MASKING\s+POLICY\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_CREATE_ROW_POLICY_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?ROW\s+ACCESS\s+POLICY\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"$]+)\s+AS\s*\(([^)]*)\)\s*RETURNS\s+BOOLEAN\s*->\s*(.+?)\s*$",
+    re.I | re.S,
+)
+_DROP_ROW_POLICY_RE = re.compile(
+    r"^\s*DROP\s+ROW\s+ACCESS\s+POLICY\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
+_ALTER_TABLE_ADD_ROW_POLICY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+ADD\s+ROW\s+ACCESS\s+POLICY\s+([\w.\"$]+)"
+    r"\s+ON\s*\(([^)]*)\)\s*$", re.I)
+_ALTER_TABLE_DROP_ROW_POLICY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+DROP\s+(?:ALL\s+)?ROW\s+ACCESS\s+"
+    r"POLIC(?:Y\s+[\w.\"$]+|IES)\s*$", re.I)
 _ALTER_TABLE_SWAP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"$]+)\s+SWAP\s+WITH\s+([\w.\"$]+)\s*$",
     re.I,
@@ -606,7 +619,7 @@ class Executor:
         # masked reads depend on session identity even when the query
         # text mentions no context function: key per role/user whenever
         # any masking policy exists (zero-cost when the feature is unused)
-        if self.catalog.masking_policies:
+        if self.catalog.masking_policies or self.catalog.row_access_policies:
             payload += f"|{ctx.role}|{ctx.user}"
         return hashlib.md5(payload.encode()).hexdigest()
 
@@ -1304,9 +1317,15 @@ class Executor:
              and self.catalog.masking_policies[
                  self.catalog.resolve(c.masking_policy, tm.database, tm.schema)].body)
             for c in tm.columns if c.masking_policy)
-        if not bound:
+        row = None
+        if tm.row_access_policy:
+            rp = self.catalog.row_access_policies.get(
+                self.catalog.resolve(tm.row_access_policy, tm.database, tm.schema))
+            row = (tm.row_access_policy, tuple(tm.row_access_columns),
+                   rp.body if rp else None)
+        if not bound and row is None:
             return None
-        return (bound, ctx.role, ctx.user)
+        return (bound, row, ctx.role, ctx.user)
 
     def _masked_df(self, tm, ctx: SessionContext) -> DataFrame:
         """Apply attached masking policies to a table read: each masked
@@ -1314,8 +1333,24 @@ class Executor:
         for the policy argument, context functions evaluated with the
         QUERYING session's identity (Snowflake evaluation model). The
         whole projection stays a translated Spark SQL expression —
-        JVM-side, zero per-row Python."""
+        JVM-side, zero per-row Python. A row access policy filters FIRST,
+        over cleartext values (Snowflake: row policies see unmasked
+        data), then masking projects."""
         df = self.catalog.read_table(tm)
+        if tm.row_access_policy:
+            rp = self.catalog.get_row_access_policy(
+                tm.row_access_policy, tm.database, tm.schema)
+            pred = rp.body
+            for arg, coln in zip(rp.arg_names, tm.row_access_columns):
+                pred = re.sub(rf"(?<![\w$]){re.escape(arg)}(?![\w$])",
+                              f"`{coln}`", pred, flags=re.I)
+            pred = self._rewrite_context_fns(pred, ctx)
+            src0 = tm.physical + "__prerow"
+            df.createOrReplaceTempView(src0)
+            df = self.spark.sql(self.translator.translate(
+                f"SELECT * FROM {src0} WHERE {pred}"))
+        if not self._table_has_masking(tm):
+            return df
         exprs = []
         for c in tm.columns:
             if not c.masking_policy:
@@ -1349,11 +1384,14 @@ class Executor:
     def _table_has_masking(self, tm) -> bool:
         return any(c.masking_policy for c in tm.columns)
 
+    def _table_governed(self, tm) -> bool:
+        return self._table_has_masking(tm) or bool(tm.row_access_policy)
+
     def _table_ref(self, tm, ctx: SessionContext) -> str:
         """Temp-view name a qualified table reference resolves to:
-        the physical view normally, the per-identity masked projection
-        when a masking policy is attached."""
-        if self._table_has_masking(tm):
+        the physical view normally, the per-identity governed projection
+        when a masking or row access policy is attached."""
+        if self._table_governed(tm):
             return self._register_masked_view(tm, ctx)
         return tm.physical
 
@@ -1573,6 +1611,50 @@ class Executor:
         if m:
             self.catalog.drop_masking_policy(
                 m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status("Statement executed successfully.")
+        m = _CREATE_ROW_POLICY_RE.match(sql)
+        if m:
+            names, types = [], []
+            for part in m.group(4).split(","):
+                bits = part.strip().split(None, 1)
+                if len(bits) != 2:
+                    raise errors.syntax_error(f"bad policy signature: ({m.group(4)})")
+                names.append(bits[0])
+                types.append(bits[1])
+            pm = self.catalog.create_row_access_policy(
+                m.group(3), names, types, m.group(5).rstrip(";").strip(),
+                ctx.database, ctx.schema,
+                or_replace=bool(m.group(1)), if_not_exists=bool(m.group(2)))
+            return Result.status(
+                f"Row access policy {pm.name} successfully created.")
+        m = _DROP_ROW_POLICY_RE.match(sql)
+        if m:
+            self.catalog.drop_row_access_policy(
+                m.group(2), ctx.database, ctx.schema, if_exists=bool(m.group(1)))
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_ADD_ROW_POLICY_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            pm = self.catalog.get_row_access_policy(m.group(2), tm.database, tm.schema)
+            cols = [c.strip().strip('"').upper() for c in m.group(3).split(",") if c.strip()]
+            if len(cols) != len(pm.arg_names):
+                raise errors.execution_error(
+                    f"row access policy {pm.name} takes {len(pm.arg_names)} "
+                    f"columns, {len(cols)} bound")
+            have = {c.name.upper() for c in tm.columns}
+            for c in cols:
+                if c not in have:
+                    raise errors.object_not_found(f"column {c} in {tm.name}")
+            tm.row_access_policy = m.group(2).upper()
+            tm.row_access_columns = cols
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_TABLE_DROP_ROW_POLICY_RE.match(sql)
+        if m:
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            tm.row_access_policy = None
+            tm.row_access_columns = []
+            self.catalog.mutation += 1
             return Result.status("Statement executed successfully.")
         m = _CREATE_SCHEMA_RE.match(sql)
         if m:
@@ -2680,6 +2762,16 @@ class Executor:
                 for e in self.history[-100:]
             ]
             return Result(columns=["query_text", "status", "rows", "total_elapsed_time", "error_message"], rows=rows)
+        if first == "ROW":  # SHOW ROW ACCESS POLICIES
+            rows = [[pm.name, db, sch,
+                     "(" + ", ".join(f"{n} {t}" for n, t in
+                                     zip(pm.arg_names, pm.arg_types)) + ")",
+                     "BOOLEAN", pm.body, pm.comment]
+                    for (db, sch, _n), pm in sorted(self.catalog.row_access_policies.items())
+                    if _match(pm.name)]
+            return Result(columns=["name", "database_name", "schema_name",
+                                   "signature", "return_type", "body", "comment"],
+                          rows=rows)
         if first == "MASKING":
             rows = [[pm.name, db, sch, f"({pm.arg_name} {pm.arg_type})",
                      pm.returns, pm.body, pm.comment]

@@ -1847,16 +1847,42 @@ class Translator:
             # NOT the same values as Snowflake's (unpublished) function —
             # xxhash64 gives the same contract at full 64-bit width
             return f"xxhash64({', '.join(args)})"
-        if fname == "CORR":
-            # Spark 4 ANSI corr() raises DIVIDE_BY_ZERO when either side
-            # has zero variance; Snowflake (and DuckDB) return NULL.
-            # Rebuild from the pair-filtered regr_* sums (identical
-            # formula, regr_sxy/sqrt(regr_sxx*regr_syy)) with try_divide
-            # so the zero-variance case degrades to NULL. Caught by the
-            # r8 differential-fuzz aggregate family.
-            a, b = args[0], args[1]
-            return (f"try_divide(regr_sxy({a}, {b}), "
-                    f"sqrt(regr_sxx({a}, {b}) * regr_syy({a}, {b})))")
+        # -- correlation / regression family --------------------------------
+        # Two Spark 4 defects, both caught by the r8 differential-fuzz
+        # aggregate family and both NULL in Snowflake and DuckDB:
+        #   1. ANSI corr() raises DIVIDE_BY_ZERO on zero-variance input.
+        #   2. When a DISTINCT aggregate shares the Aggregate node
+        #      (Expand rewrite), CentralMomentAgg's merge leaks a tiny
+        #      nonzero m2 (~1e-30) for a CONSTANT column, so native
+        #      regr_slope/intercept/r2 (and a naive sxy/sxx rebuild)
+        #      return garbage like -2.47e17 instead of NULL.
+        # Fix: rebuild all four from the pair-filtered regr_* sums with
+        # a RELATIVE epsilon snap — a spread below (avg² + 1)·n·1e-12
+        # is numerical noise (double eps is 2.2e-16; genuine variance at
+        # 1e-6 relative scale stays 4+ orders above the threshold).
+        if fname in ("CORR", "REGR_SLOPE", "REGR_INTERCEPT", "REGR_R2"):
+            y, x = args[0], args[1]
+
+            def _snap(sum_fn: str, avg_fn: str) -> str:
+                s = f"{sum_fn}({y}, {x})"
+                a = f"{avg_fn}({y}, {x})"
+                return (f"if({s} <= ({a} * {a} + 1d) * "
+                        f"regr_count({y}, {x}) * 1e-12d, 0d, {s})")
+
+            gsxx = _snap("regr_sxx", "regr_avgx")
+            gsyy = _snap("regr_syy", "regr_avgy")
+            sxy = f"regr_sxy({y}, {x})"
+            if fname == "CORR":
+                return f"try_divide({sxy}, sqrt({gsxx} * {gsyy}))"
+            if fname == "REGR_SLOPE":
+                return f"try_divide({sxy}, {gsxx})"
+            if fname == "REGR_INTERCEPT":
+                return (f"(regr_avgy({y}, {x}) - "
+                        f"try_divide({sxy}, {gsxx}) * regr_avgx({y}, {x}))")
+            # REGR_R2: NULL when x is constant; 1.0 when only y is
+            return (f"(CASE WHEN {gsxx} = 0d THEN NULL "
+                    f"WHEN {gsyy} = 0d THEN 1.0d "
+                    f"ELSE ({sxy} * {sxy}) / ({gsxx} * {gsyy}) END)")
         if fname == "HASH_AGG":
             # order-independent signed-64 aggregate over row hashes:
             # sum in DECIMAL(38,0) (ANSI bigint SUM would overflow),
@@ -2577,6 +2603,9 @@ _REWRITABLE = {
     "HASH",
     "HASH_AGG",
     "CORR",
+    "REGR_SLOPE",
+    "REGR_INTERCEPT",
+    "REGR_R2",
 }
 
 

@@ -104,3 +104,67 @@ def test_or_replace_changes_enforcement(masked):
         "RETURNS VARCHAR -> 'REDACTED'", ctx)
     assert rows(engine, "SELECT ssn FROM pii_users WHERE id = 1", ctx) == [
         ("REDACTED",)]
+
+
+# ---------------------------------------------------------------------
+# row access policies
+# ---------------------------------------------------------------------
+
+@pytest.fixture()
+def row_guarded(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE region_sales (region VARCHAR, amt DOUBLE)", ctx)
+    engine.execute("INSERT INTO region_sales VALUES "
+                   "('EU', 10.0), ('EU', 20.0), ('US', 7.0)", ctx)
+    engine.execute(
+        "CREATE ROW ACCESS POLICY region_rls AS (r VARCHAR) RETURNS BOOLEAN -> "
+        "CURRENT_ROLE() = 'GLOBAL_READER' OR r = 'EU'", ctx)
+    engine.execute(
+        "ALTER TABLE region_sales ADD ROW ACCESS POLICY region_rls ON (region)", ctx)
+    return engine, ctx
+
+
+def test_row_policy_filters_by_identity(row_guarded):
+    engine, ctx = row_guarded
+    assert rows(engine, "SELECT region, amt FROM region_sales ORDER BY amt", ctx) == [
+        ("EU", 10.0), ("EU", 20.0)]
+    engine.execute("USE ROLE global_reader", ctx)
+    assert len(rows(engine, "SELECT * FROM region_sales", ctx)) == 3
+    engine.execute("USE ROLE other", ctx)
+    assert rows(engine, "SELECT SUM(amt) AS s FROM region_sales", ctx) == [(30.0,)]
+
+
+def test_row_policy_composes_with_masking(row_guarded):
+    engine, ctx = row_guarded
+    engine.execute(
+        "CREATE MASKING POLICY amt_mask AS (v DOUBLE) RETURNS DOUBLE -> "
+        "IFF(CURRENT_ROLE() = 'FINANCE', v, -1)", ctx)
+    engine.execute(
+        "ALTER TABLE region_sales ALTER COLUMN amt SET MASKING POLICY amt_mask", ctx)
+    # default role: EU rows only, amounts masked
+    assert rows(engine, "SELECT region, amt FROM region_sales ORDER BY region", ctx) == [
+        ("EU", -1.0), ("EU", -1.0)]
+
+
+def test_row_policy_detach_and_drop(row_guarded):
+    engine, ctx = row_guarded
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("DROP ROW ACCESS POLICY region_rls", ctx)
+    engine.execute("ALTER TABLE region_sales DROP ROW ACCESS POLICY region_rls", ctx)
+    engine.execute("DROP ROW ACCESS POLICY region_rls", ctx)
+    assert len(rows(engine, "SELECT * FROM region_sales", ctx)) == 3
+
+
+def test_row_policy_arity_mismatch_errors(row_guarded):
+    engine, ctx = row_guarded
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute(
+            "ALTER TABLE region_sales ADD ROW ACCESS POLICY region_rls "
+            "ON (region, amt)", ctx)
+
+
+def test_show_row_access_policies(row_guarded):
+    engine, ctx = row_guarded
+    r = engine.execute("SHOW ROW ACCESS POLICIES", ctx)
+    assert [row[0] for row in r.rows] == ["REGION_RLS"]
+    assert r.rows[0][3] == "(R VARCHAR)" and r.rows[0][4] == "BOOLEAN"
