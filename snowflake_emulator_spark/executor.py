@@ -868,6 +868,8 @@ class Executor:
 
         return self._CONTEXT_FN_RE.sub(_sub, sql)
 
+    _GETVARIABLE_RE = re.compile(r"\bGETVARIABLE\s*\(\s*'([^']*)'\s*\)", re.I)
+
     _SESSION_VAR_RE = re.compile(r"(?<![\w$])\$([A-Za-z_]\w*)")
 
     def _substitute_variables(self, sql: str, ctx: SessionContext) -> str:
@@ -876,6 +878,15 @@ class Executor:
         keeps METADATA$ACTION-style identifiers intact; unknown names
         pass through (Spark raises its own error)."""
         variables = getattr(ctx, "variables", None)
+        if "GETVARIABLE" in sql.upper():
+            # GETVARIABLE('NAME') -> literal value, NULL when unset
+            # (Snowflake returns NULL for an unset variable name)
+            sql = self._GETVARIABLE_RE.sub(
+                lambda m: m.group(0) if _inside_string(sql, m.start())
+                else sql_literal((variables or {}).get(m.group(1).upper()))
+                if (variables or {}).get(m.group(1).upper()) is not None
+                else "NULL",
+                sql)
         if not variables or "$" not in sql:
             return sql
 

@@ -1402,7 +1402,8 @@ class Translator:
             if len(args) == 2:
                 return f"to_date(try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])}))"
             return f"try_cast({args[0]} AS DATE)"
-        if fname == "TRY_TO_TIMESTAMP":
+        if fname in ("TRY_TO_TIMESTAMP", "TRY_TO_TIMESTAMP_NTZ",
+                     "TRY_TO_TIMESTAMP_LTZ", "TRY_TO_TIMESTAMP_TZ"):
             if len(args) == 2:
                 return f"try_to_timestamp({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"try_to_timestamp({args[0]})"
@@ -1519,6 +1520,12 @@ class Translator:
             )
             tail = f" ELSE {default}" if default is not None else ""
             return f"(CASE{whens}{tail} END)"
+        if fname == "BOOLXOR_AGG":
+            # Snowflake: XOR over non-null booleans (true when an odd
+            # number are true), NULL when no non-null input
+            a = args[0]
+            return (f"(CASE WHEN count({a}) = 0 THEN NULL "
+                    f"ELSE (count_if({a}) % 2) = 1 END)")
         if fname == "BOOLOR_AGG":
             return f"bool_or({args[0]})"
         if fname == "BOOLAND_AGG":
@@ -1749,9 +1756,34 @@ class Translator:
             return f"date_format({args[0]}, 'EEE')"
         if fname == "MONTHNAME":
             return f"date_format({args[0]}, 'MMM')"
-        if fname == "DATE_PART":
-            part = normalize_date_part(args[0])
-            return f"extract({part or args[0]} FROM {args[1]})"
+        if fname in ("DATE_PART", "EXTRACT"):
+            # EXTRACT(part FROM x) arrives as ONE arg; DATE_PART as two
+            if fname == "EXTRACT":
+                em = re.match(r"^\s*'?(\w+)'?\s+FROM\s+(.+)$", args[0],
+                              re.I | re.S)
+                if not em:
+                    return f"extract({args[0]})"
+                pname, expr = em.group(1), em.group(2)
+            else:
+                pname, expr = args[0], args[1]
+            p = pname.strip().strip("'\"").upper()
+            # Snowflake-only parts Spark's extract lacks
+            if p in ("EPOCH", "EPOCH_SECOND", "EPOCH_SECONDS"):
+                return f"unix_seconds(CAST({expr} AS TIMESTAMP))"
+            if p in ("EPOCH_MILLISECOND", "EPOCH_MILLISECONDS"):
+                return f"unix_millis(CAST({expr} AS TIMESTAMP))"
+            if p in ("EPOCH_MICROSECOND", "EPOCH_MICROSECONDS"):
+                return f"unix_micros(CAST({expr} AS TIMESTAMP))"
+            if p in ("EPOCH_NANOSECOND", "EPOCH_NANOSECONDS"):
+                return f"(unix_micros(CAST({expr} AS TIMESTAMP)) * 1000)"
+            if p in ("NANOSECOND", "NANOSECONDS", "NS", "NSEC", "NSECONDS",
+                     "NANOSECS", "NSECS"):
+                return (f"((unix_micros(CAST({expr} AS TIMESTAMP)) % 1000000)"
+                        f" * 1000)")
+            if p in ("DAYOFYEAR", "YEARDAY", "DOY", "DY"):
+                return f"dayofyear({expr})"
+            part = normalize_date_part(pname)
+            return f"extract({part or pname} FROM {expr})"
         if fname == "DATE_TRUNC":
             # Snowflake allows unquoted part names; Spark needs a string
             p = args[0].strip().strip("'\"")
@@ -1769,9 +1801,31 @@ class Translator:
             if len(args) == 3:
                 return (f"nullif(regexp_extract(substr({args[0]}, {args[2]}), "
                         f"{args[1]}, 0), '')")
+            # 4/5/6-arg: occurrence [, regex_parameters [, group_num]].
+            # Flags i/s/m become inline (?ism) prefixes on a literal
+            # pattern; 'e' switches extraction to a capture group
+            # (default 1, overridden by group_num).
+            pattern, group = args[1], "0"
+            if len(args) >= 5:
+                params = args[4].strip()
+                flags = ""
+                if params.startswith("'") and params.endswith("'"):
+                    fl = "".join(ch for ch in params.strip("'").lower()
+                                 if ch in "ism")
+                    if fl:
+                        flags = f"(?{fl})"
+                    if "e" in params.lower():
+                        group = "1"
+                if flags:
+                    if pattern.startswith("'"):
+                        pattern = f"'{flags}" + pattern[1:]
+                    else:
+                        pattern = f"concat('{flags}', {pattern})"
+            if len(args) == 6:
+                group = args[5]
             return (
                 f"try_element_at(regexp_extract_all("
-                f"substr({args[0]}, {args[2]}), {args[1]}, 0), {args[3]})"
+                f"substr({args[0]}, {args[2]}), {pattern}, {group}), {args[3]})"
             )
         if fname == "ARRAY_SIZE":
             return f"size({args[0]})"
@@ -2469,6 +2523,11 @@ _REWRITABLE = {
     "OBJECT_PICK",
     "OBJECT_INSERT",
     "TRY_TO_TIMESTAMP",
+    "TRY_TO_TIMESTAMP_NTZ",
+    "TRY_TO_TIMESTAMP_LTZ",
+    "TRY_TO_TIMESTAMP_TZ",
+    "EXTRACT",
+    "BOOLXOR_AGG",
     "EQUAL_NULL",
     "DECODE",
     "BOOLOR_AGG",

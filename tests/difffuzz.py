@@ -185,6 +185,21 @@ TEMPLATES = [
     ("date", "CAST(DATE_PART(day, {ts}) AS BIGINT)",
      "CAST(date_part('day', {ts}) AS BIGINT)",
      lambda r: {"ts": _TS_COL}),
+    # r8 session-2: epoch/doy parts through DATE_PART and EXTRACT
+    ("date", "DATE_PART('epoch_second', {ts})",
+     "CAST(epoch({ts}) AS BIGINT)", lambda r: {"ts": _TS_COL}),
+    ("date", "DATE_PART(epoch_millisecond, {ts})",
+     "epoch_ms({ts})", lambda r: {"ts": _TS_COL}),
+    ("date", "EXTRACT(EPOCH FROM {ts})",
+     "CAST(epoch({ts}) AS BIGINT)", lambda r: {"ts": _TS_COL}),
+    ("date", "CAST(DATE_PART('dayofyear', {ts}) AS BIGINT)",
+     "CAST(dayofyear({ts}) AS BIGINT)", lambda r: {"ts": _TS_COL}),
+    # r8 session-2: REGEXP_SUBSTR capture-group forms
+    ("regexp", "REGEXP_SUBSTR({sc}, '([a-z])([a-z])', 1, {occ}, 'e', {grp})",
+     "regexp_extract(regexp_extract_all({sc}, '([a-z])([a-z])')[{occ}], "
+     "'([a-z])([a-z])', {grp})",
+     lambda r: {"sc": r.choice(_STR_COLS), "occ": r.choice([1, 2]),
+                "grp": r.choice([1, 2])}),
     # ---- regexp family ------------------------------------------------
     ("regexp", "REGEXP_COUNT({sc}, '{pat}')",
      "len(regexp_extract_all({sc}, '{pat}'))",

@@ -1,0 +1,82 @@
+"""r8 session-2 batch 2: epoch/doy/nanosecond date parts (DATE_PART +
+EXTRACT spellings), TRY_TO_TIMESTAMP_* aliases, BOOLXOR_AGG,
+GETVARIABLE, and the REGEXP_SUBSTR capture-group forms (5th/6th args —
+previously the group/params args were silently ignored and the whole
+match came back).
+
+Behavior contracts are public Snowflake docs; beyond-reference
+additions to the translator surface."""
+
+
+def rows(engine, sql):
+    return [tuple(r) for r in engine.execute(sql).rows]
+
+
+def one(engine, sql):
+    return rows(engine, sql)[0]
+
+
+def test_epoch_parts(engine):
+    ts = "'2024-01-01 00:00:10.123456'::TIMESTAMP"
+    assert one(engine, f"SELECT DATE_PART('epoch_second', {ts}) AS a, "
+                       f"DATE_PART('epoch_millisecond', {ts}) AS b, "
+                       f"DATE_PART('epoch_microsecond', {ts}) AS c, "
+                       f"DATE_PART('epoch_nanosecond', {ts}) AS d") == (
+        1704067210, 1704067210123, 1704067210123456, 1704067210123456000)
+
+
+def test_extract_epoch_and_quoted_part(engine):
+    assert one(engine, "SELECT EXTRACT(EPOCH FROM '2024-01-01'::TIMESTAMP) AS v") == (
+        1704067200,)
+    assert one(engine, "SELECT EXTRACT('month' FROM '2024-03-05'::DATE) AS v") == (3,)
+    assert one(engine, "SELECT EXTRACT(YEAR FROM '2024-01-01'::DATE) AS v") == (2024,)
+
+
+def test_dayofyear_and_nanosecond_parts(engine):
+    assert one(engine, "SELECT DATE_PART('dayofyear', '2024-02-01'::DATE) AS a, "
+                       "DATE_PART(doy, '2024-02-01'::DATE) AS b") == (32, 32)
+    assert one(engine, "SELECT DATE_PART('nanosecond', "
+                       "'2024-01-01 00:00:00.123456'::TIMESTAMP) AS v") == (
+        123456000,)
+
+
+def test_try_to_timestamp_flavors(engine):
+    assert one(engine, "SELECT TRY_TO_TIMESTAMP_NTZ('garbage') AS a, "
+                       "TRY_TO_TIMESTAMP_LTZ('garbage') AS b, "
+                       "TRY_TO_TIMESTAMP_TZ('garbage') AS c") == (None, None, None)
+    [(v,)] = rows(engine, "SELECT TRY_TO_TIMESTAMP_NTZ('2024-01-01 10:00:00') AS v")
+    assert v is not None
+
+
+def test_boolxor_agg(engine):
+    engine.execute("CREATE TABLE bx_t (g INTEGER, x BOOLEAN)")
+    engine.execute("INSERT INTO bx_t VALUES (1, true), (1, true), "
+                   "(2, true), (2, false), (3, NULL)")
+    got = rows(engine, "SELECT g, BOOLXOR_AGG(x) AS v FROM bx_t GROUP BY g ORDER BY g")
+    assert got == [(1, False), (2, True), (3, None)]
+
+
+def test_getvariable(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("SET tier = 'gold'", ctx)
+    assert [tuple(r) for r in engine.execute(
+        "SELECT GETVARIABLE('TIER') AS a, GETVARIABLE('tier') AS b, "
+        "GETVARIABLE('MISSING') AS c", ctx).rows] == [("gold", "gold", None)]
+    # inside a string literal the call text is data, not a call
+    assert engine.execute("SELECT 'GETVARIABLE(''TIER'')' AS s", ctx).rows == [
+        ["GETVARIABLE('TIER')"]]
+
+
+def test_regexp_substr_group_forms(engine):
+    # 6-arg: explicit group_num
+    assert one(engine, "SELECT REGEXP_SUBSTR('a1b2', '([a-z])(\\\\d)', 1, 1, 'e', 2) AS v") == ("1",)
+    # 5-arg with 'e': defaults to group 1, occurrence honored
+    assert one(engine, "SELECT REGEXP_SUBSTR('a1b2', '([a-z])\\\\d', 1, 2, 'e') AS v") == ("b",)
+    # 'i' flag
+    assert one(engine, "SELECT REGEXP_SUBSTR('XAY', '(a)', 1, 1, 'ie', 1) AS v") == ("A",)
+    # 4-arg keeps whole-match semantics
+    assert one(engine, "SELECT REGEXP_SUBSTR('a1b2', '[a-z]\\\\d', 1, 2) AS v") == ("b2",)
+    # no match -> NULL
+    assert one(engine, "SELECT REGEXP_SUBSTR('abc', '(\\\\d)', 1, 1, 'e') AS v") == (None,)
