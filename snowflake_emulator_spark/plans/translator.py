@@ -1364,6 +1364,13 @@ class Translator:
         if fname == "SQUARE":
             return f"(({args[0]}) * ({args[0]}))"
         if fname == "TO_NUMBER":
+            # 2nd arg may be a numeric-format picture ('99,999.99' —
+            # routes to Spark's to_number parser) or precision[, scale]
+            if len(args) >= 2 and re.match(r"^\s*'[^']*'\s*$", args[1]):
+                prec_scale = (f"DECIMAL({args[2]}, {args[3]})" if len(args) >= 4
+                              else f"DECIMAL({args[2]}, 0)" if len(args) == 3
+                              else "DECIMAL(38, 0)")
+                return f"CAST(to_number({args[0]}, {args[1]}) AS {prec_scale})"
             if len(args) >= 3:
                 return f"CAST({args[0]} AS DECIMAL({args[-2]}, {args[-1]}))"
             return f"CAST({args[0]} AS DECIMAL(38, 0))"
@@ -1377,7 +1384,14 @@ class Translator:
                 fmt = re.match(r"^\s*'([^']*)'\s*$", args[1])
                 if fmt and re.fullmatch(r"[09$,.DGSB#]*(MI)?", fmt.group(1)) \
                         and re.search(r"[09]", fmt.group(1)):
-                    return f"to_char({args[0]}, {args[1]})"
+                    # Spark's to_char does NOT round to the picture's
+                    # scale — extra decimals overflow to '###' where
+                    # Snowflake rounds half-up. Pre-cast to a DECIMAL of
+                    # the picture's scale (decimal cast rounds half-up).
+                    dm = re.search(r"[.D]([09]+)", fmt.group(1))
+                    scale = len(dm.group(1)) if dm else 0
+                    return (f"to_char(CAST({args[0]} AS DECIMAL(38, {scale})), "
+                            f"{args[1]})")
                 return f"date_format({args[0]}, {convert_snowflake_datefmt(args[1])})"
             return f"CAST({args[0]} AS STRING)"
         if fname == "TRY_CAST":
@@ -1747,6 +1761,11 @@ class Translator:
         if fname == "CONTAINS":
             return f"contains({', '.join(args)})"
         if fname == "TRY_TO_NUMBER":
+            if len(args) >= 2 and re.match(r"^\s*'[^']*'\s*$", args[1]):
+                prec_scale = (f"DECIMAL({args[2]}, {args[3]})" if len(args) >= 4
+                              else f"DECIMAL({args[2]}, 0)" if len(args) == 3
+                              else "DECIMAL(38, 0)")
+                return f"try_cast(try_to_number({args[0]}, {args[1]}) AS {prec_scale})"
             if len(args) >= 3:
                 return f"try_cast({args[0]} AS DECIMAL({args[-2]}, {args[-1]}))"
             return f"try_cast({args[0]} AS DECIMAL(38, 0))"

@@ -69,6 +69,44 @@ def test_getvariable(engine):
         ["GETVARIABLE('TIER')"]]
 
 
+def test_to_char_numeric_rounds_to_picture_scale(engine):
+    """Spark's to_char overflows to '###' when the value has more
+    decimals than the picture; Snowflake rounds half-up — the
+    translator pre-casts to the picture's scale."""
+    assert one(engine, "SELECT TO_CHAR(12345.678, '999,999.99') AS v") == (
+        " 12,345.68",)
+    assert one(engine, "SELECT TO_CHAR(12345.678, '$99,999.99') AS v") == (
+        "$12,345.68",)
+    assert one(engine, "SELECT TO_CHAR(454.5, '999') AS v") == ("455",)
+    assert one(engine, "SELECT TO_CHAR(42, '00000') AS v") == ("00042",)
+    # date pictures still route to date_format
+    assert one(engine, "SELECT TO_CHAR('2024-01-05'::DATE, 'YYYY-MM') AS v") == (
+        "2024-01",)
+
+
+def test_to_number_format_picture(engine):
+    import decimal
+
+    assert one(engine, "SELECT TO_NUMBER('12,345', '99,999') AS v") == (
+        decimal.Decimal("12345"),)
+    assert one(engine, "SELECT TO_NUMBER('12,345.67', '99,999.99', 10, 2) AS v") == (
+        decimal.Decimal("12345.67"),)
+    assert one(engine, "SELECT TRY_TO_NUMBER('garbage', '99,999') AS v") == (None,)
+    # precision/scale (numeric-arg) form unchanged
+    assert one(engine, "SELECT TO_NUMBER('123.456', 10, 2) AS v") == (
+        decimal.Decimal("123.46"),)
+
+
+def test_connect_by_level(engine):
+    engine.execute("CREATE TABLE cb_emp (id INTEGER, mgr INTEGER, name VARCHAR)")
+    engine.execute("INSERT INTO cb_emp VALUES (1, NULL, 'ceo'), (2, 1, 'vp'), "
+                   "(3, 2, 'ic'), (4, 2, 'ic2')")
+    got = rows(engine, "SELECT id, LEVEL AS lvl FROM cb_emp "
+                       "START WITH mgr IS NULL CONNECT BY PRIOR id = mgr "
+                       "ORDER BY id")
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 3)]
+
+
 def test_regexp_substr_group_forms(engine):
     # 6-arg: explicit group_num
     assert one(engine, "SELECT REGEXP_SUBSTR('a1b2', '([a-z])(\\\\d)', 1, 1, 'e', 2) AS v") == ("1",)

@@ -144,10 +144,12 @@ from snowflake_emulator_spark.plans.translator import translate
          "SELECT filter(split(s, '[,;]'), x -> x != '') FROM t"),
         # TO_CHAR numeric format models route to Spark's numeric
         # to_char; date pictures still go to date_format
+        # numeric pictures pre-cast to the picture's scale so extra
+        # decimals round (Snowflake) instead of overflowing to ### (Spark)
         ("SELECT TO_CHAR(n, '999.99') FROM t",
-         "SELECT to_char(n, '999.99') FROM t"),
+         "SELECT to_char(CAST(n AS DECIMAL(38, 2)), '999.99') FROM t"),
         ("SELECT TO_CHAR(n, '$9,999.00') FROM t",
-         "SELECT to_char(n, '$9,999.00') FROM t"),
+         "SELECT to_char(CAST(n AS DECIMAL(38, 2)), '$9,999.00') FROM t"),
         ("SELECT TO_CHAR(d, 'MM-DD') FROM t",
          "SELECT date_format(d, 'MM-dd') FROM t"),
         # REGEXP_SUBSTR: NULL on no match (Spark regexp_extract gives '');
