@@ -4756,6 +4756,30 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# Hierarchical query (r8 s2): Snowflake START WITH / CONNECT BY PRIOR
+# through the translator's WITH RECURSIVE rewrite (each recursion round
+# is one hash join against the small frontier); DuckDB replays the
+# recursion natively. Synthetic binary tree over nation (parent(k) =
+# floor(k/2), rooted at 0).
+_SF_CONNECT_BY = """
+SELECT n.n_nationkey AS node_id, n.n_name AS node_name, LEVEL AS lvl
+FROM nation n
+START WITH n.n_nationkey = 0
+CONNECT BY PRIOR n_nationkey = FLOOR(n.n_nationkey / 2) AND n.n_nationkey > 0
+ORDER BY node_id
+"""
+_SF_CONNECT_BY_ORACLE = """
+WITH RECURSIVE h AS (
+  SELECT n_nationkey AS node_id, n_name AS node_name, 1 AS lvl
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT c.n_nationkey, c.n_name, h.lvl + 1
+  FROM nation c JOIN h ON floor(c.n_nationkey / 2) = h.node_id AND c.n_nationkey > 0
+)
+SELECT node_id, node_name, lvl FROM h ORDER BY node_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
     "scan_filter_project": (_sql(_SCAN_SPARK), _SCAN_SPARK),
@@ -4982,6 +5006,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_string_splice_position": (_snow(_SF_STR3), _SF_STR3_ORACLE),
     "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
+    "hierarchy_connect_by": (_snow(_SF_CONNECT_BY), _SF_CONNECT_BY_ORACLE),
 }
 
 
