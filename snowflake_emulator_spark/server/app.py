@@ -99,8 +99,56 @@ class SnowflakeServer:
         # running gosnowflake queries: requestId/queryId -> Spark job group
         self._running: dict[str, str] = {}
         self._running_lock = threading.Lock()
+        # async queries (gosnowflake asyncExec, beyond reference):
+        # queryId -> {status, result|error, cls, sql} — the submit
+        # returns code 333334 immediately; the client polls
+        # GET /monitoring/queries/{qid} and fetches the finished rowset
+        # from GET /queries/{qid}/result
+        self._async: dict[str, dict] = {}
+        self._async_lock = threading.Lock()
 
     # ------------------------------------------------------------------
+
+    def _query_result_payload(self, res, qid: str, cls, ctx, sql: str):
+        """Standard gosnowflake query-response data payload for a
+        finished Result — shared by the synchronous path and the async
+        getResultUrl fetch (same shape either way)."""
+        data = {
+            "queryId": qid,
+            "rowtype": res.row_type(),
+            "total": res.row_count,
+            "returned": res.row_count,
+            "statementTypeId": cls.statement_type_id,
+        }
+        child_ids = getattr(res, "child_result_ids", None)
+        if child_ids and len(child_ids) > 1:
+            # multi-statement request: every child result is
+            # independently fetchable via RESULT_SCAN('<id>')
+            # (gosnowflake reads data.resultIds for MULTI_STATEMENT)
+            from ..engine import _split_statements
+
+            data["resultIds"] = ",".join(child_ids)
+            data["resultTypes"] = ",".join(
+                str(classify(p).statement_type_id)
+                for p in _split_statements(sql))
+        # Arrow negotiation (beyond reference — it is JSON-only):
+        # when the session's GO_QUERY_RESULT_FORMAT is arrow, ship
+        # the rowset as one base64 Arrow IPC stream like Snowflake
+        fmt = str(ctx.parameters.get(
+            "GO_QUERY_RESULT_FORMAT", config.QUERY_RESULT_FORMAT_JSON)).lower()
+        if fmt == "arrow":
+            data["queryResultFormat"] = "arrow"
+            data["rowsetBase64"] = res.rowset_arrow_base64()
+            data["rowset"] = []
+        else:
+            data["queryResultFormat"] = config.QUERY_RESULT_FORMAT_JSON
+            if isinstance(res, StreamedResult):
+                # above-threshold result: stream the rowset to the
+                # wire batch-by-batch (never materialized)
+                return _StreamingJSONBody(
+                    {"data": data, "success": True}, res), 200
+            data["rowset"] = res.rowset_strings()
+        return {"data": data, "success": True}, 200
 
     def start(self) -> None:
         server = self
@@ -323,6 +371,42 @@ class SnowflakeServer:
                 else:
                     data["rowtype"] = []
                 return {"data": data, "success": True}, 200
+            # asyncExec (gosnowflake WithAsyncMode, beyond reference):
+            # run on a worker thread, return code 333334 + getResultUrl
+            # immediately; the client polls /monitoring/queries/{qid}
+            # and fetches the rowset from /queries/{qid}/result
+            if body.get("asyncExec"):
+                entry = {"status": "RUNNING", "cls": cls, "ctx": ctx, "sql": sql}
+                with self._async_lock:
+                    self._async[qid] = entry
+                    while len(self._async) > 200:  # bounded like results
+                        self._async.pop(next(iter(self._async)))
+
+                def _worker():
+                    group_a = f"qreq-{qid}"
+                    with self._running_lock:
+                        self._running[qid] = group_a
+                    self.engine.spark.sparkContext.setJobGroup(group_a, sql[:100], True)
+                    try:
+                        r = self.engine.execute(sql, ctx, bindings, query_id=qid)
+                        sess.database, sess.schema = ctx.database, ctx.schema
+                        sess.last_query_id = (getattr(ctx, "last_query_id", None)
+                                              or sess.last_query_id)
+                        with self._async_lock:
+                            entry.update(status="SUCCESS", result=r)
+                    except Exception as e:  # noqa: BLE001 — surfaced to poller
+                        with self._async_lock:
+                            entry.update(status="FAILED_WITH_ERROR", error=e)
+                    finally:
+                        self.engine.spark.sparkContext.setJobGroup("", "")
+                        with self._running_lock:
+                            self._running.pop(qid, None)
+
+                threading.Thread(target=_worker, daemon=True,
+                                 name=f"async-{qid}").start()
+                return {"code": "333334", "success": True,
+                        "data": {"queryId": qid,
+                                 "getResultUrl": f"/queries/{qid}/result"}}, 200
             # run inside a per-query Spark job group so an abort-request
             # (by gosnowflake requestId or by our queryId) can interrupt
             # the running jobs from another thread
@@ -350,43 +434,47 @@ class SnowflakeServer:
                         self._running.pop(req_id, None)
             sess.database, sess.schema = ctx.database, ctx.schema
             sess.last_query_id = getattr(ctx, "last_query_id", None) or sess.last_query_id
-            data = {
-                "queryId": qid,
-                "rowtype": res.row_type(),
-                "total": res.row_count,
-                "returned": res.row_count,
-                "statementTypeId": cls.statement_type_id,
-            }
-            child_ids = getattr(res, "child_result_ids", None)
-            if child_ids and len(child_ids) > 1:
-                # multi-statement request: every child result is
-                # independently fetchable via RESULT_SCAN('<id>')
-                # (gosnowflake reads data.resultIds for MULTI_STATEMENT)
-                from ..engine import _split_statements
+            return self._query_result_payload(res, qid, cls, ctx, sql)
 
-                data["resultIds"] = ",".join(child_ids)
-                data["resultTypes"] = ",".join(
-                    str(classify(p).statement_type_id)
-                    for p in _split_statements(sql))
-            # Arrow negotiation (beyond reference — it is JSON-only):
-            # when the session's GO_QUERY_RESULT_FORMAT is arrow, ship
-            # the rowset as one base64 Arrow IPC stream like Snowflake
-            fmt = str(ctx.parameters.get(
-                "GO_QUERY_RESULT_FORMAT", config.QUERY_RESULT_FORMAT_JSON)).lower()
-            if fmt == "arrow":
-                data["queryResultFormat"] = "arrow"
-                data["rowsetBase64"] = res.rowset_arrow_base64()
-                data["rowset"] = []
-            else:
-                data["queryResultFormat"] = config.QUERY_RESULT_FORMAT_JSON
-                if isinstance(res, StreamedResult):
-                    # above-threshold result: stream the rowset to the
-                    # wire batch-by-batch (never materialized)
-                    return _StreamingJSONBody(
-                        {"data": data, "success": True}, res), 200
-                data["rowset"] = res.rowset_strings()
-            return {"data": data, "success": True}, 200
+        # async result fetch (gosnowflake getResultUrl, beyond reference)
+        m = re.match(r"^/queries/([\w-]+)/result$", path)
+        if m and method == "GET":
+            self.sessions.validate(extract_token(headers.get("Authorization")))
+            with self._async_lock:
+                entry = self._async.get(m.group(1))
+            if entry is None:
+                return {"success": False, "message": f"unknown query {m.group(1)}",
+                        "code": "000605"}, 200
+            if entry["status"] == "RUNNING":
+                return {"code": "333334", "success": True,
+                        "data": {"queryId": m.group(1),
+                                 "getResultUrl": f"/queries/{m.group(1)}/result"}}, 200
+            if entry["status"] != "SUCCESS":
+                err = entry["error"]
+                return {"success": False, "message": str(err),
+                        "code": getattr(err, "code", "100037"),
+                        "data": {"queryId": m.group(1),
+                                 "sqlState": getattr(err, "sqlstate", "P0000")}}, 200
+            return self._query_result_payload(
+                entry["result"], m.group(1), entry["cls"], entry["ctx"], entry["sql"])
 
+        # async status poll (gosnowflake checkQueryStatus shape)
+        m = re.match(r"^/monitoring/queries/([\w-]+)$", path)
+        if m and method == "GET":
+            self.sessions.validate(extract_token(headers.get("Authorization")))
+            with self._async_lock:
+                entry = self._async.get(m.group(1))
+            if entry is None:
+                return {"data": {"queries": []}, "success": True}, 200
+            err = entry.get("error")
+            return {"data": {"queries": [{
+                "id": m.group(1),
+                "status": entry["status"],
+                "errorCode": getattr(err, "code", "") if err else "",
+                "errorMessage": str(err) if err else "",
+            }]}, "success": True}, 200
+
+        # (async routes above; cancellation below)
         # query cancellation (query.go:149-166 returns success without
         # cancelling; we actually interrupt the job group when the id is
         # known, and stay lenient — success either way — like the ref)

@@ -38,6 +38,62 @@ def _call(server, method, path, body=None, token=None):
         return e.code, json.loads(raw) if raw else None
 
 
+def test_async_query_workflow(server):
+    """gosnowflake asyncExec (beyond reference): submit returns code
+    333334 + getResultUrl immediately; /monitoring/queries/{qid} serves
+    the status; the getResultUrl serves the standard rowset payload."""
+    import time as _time
+
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT 21 * 2 AS answer", "asyncExec": True}, token)
+    assert out["success"] and out["code"] == "333334", out
+    qid = out["data"]["queryId"]
+    url = out["data"]["getResultUrl"]
+    assert url == f"/queries/{qid}/result"
+
+    status = None
+    for _ in range(300):
+        st, mon = _call(server, "GET", f"/monitoring/queries/{qid}", token=token)
+        qs = mon["data"]["queries"]
+        if qs and qs[0]["status"] != "RUNNING":
+            status = qs[0]["status"]
+            break
+        _time.sleep(0.1)
+    assert status == "SUCCESS", mon
+
+    st, res = _call(server, "GET", url, token=token)
+    assert res["success"], res
+    assert res["data"]["rowset"] == [["42"]]
+    assert res["data"]["rowtype"][0]["name"].upper() == "ANSWER"
+    # the result is also RESULT_SCAN-able by its query id
+    st, rs = _call(server, "POST", "/queries/v1/query-request",
+                   {"sqlText": f"SELECT * FROM TABLE(RESULT_SCAN('{qid}'))"}, token)
+    assert rs["success"] and rs["data"]["rowset"] == [["42"]]
+
+
+def test_async_query_failure_surfaces(server):
+    import time as _time
+
+    st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
+    token = out["data"]["token"]
+    st, out = _call(server, "POST", "/queries/v1/query-request",
+                    {"sqlText": "SELECT * FROM table_that_is_not_there",
+                     "asyncExec": True}, token)
+    qid = out["data"]["queryId"]
+    for _ in range(300):
+        st, mon = _call(server, "GET", f"/monitoring/queries/{qid}", token=token)
+        qs = mon["data"]["queries"]
+        if qs and qs[0]["status"] != "RUNNING":
+            break
+        _time.sleep(0.1)
+    assert qs[0]["status"] == "FAILED_WITH_ERROR"
+    assert qs[0]["errorMessage"]
+    st, res = _call(server, "GET", f"/queries/{qid}/result", token=token)
+    assert res["success"] is False and res["message"]
+
+
 def test_login_query_workflow(server):
     st, out = _call(server, "POST", "/session/v1/login-request", {"data": {}})
     assert st == 200 and out["success"]
