@@ -623,11 +623,123 @@ class Executor:
             payload += f"|{ctx.role}|{ctx.user}"
         return hashlib.md5(payload.encode()).hexdigest()
 
+    # SQL-level MATCH_RECOGNIZE (beyond reference; restricted to the
+    # operator's contract: ONE ROW PER MATCH, SKIP PAST LAST ROW,
+    # mutually-exclusive symbols). FROM t MATCH_RECOGNIZE (...) [alias]
+    # is rewritten onto a temp view produced by the applyInPandas
+    # operator; MEASURES supports FIRST(col)/LAST(col)/COUNT(*)/
+    # MATCH_NUMBER() mapped onto the operator's output columns.
+    _MATCH_RECOGNIZE_RE = re.compile(
+        r"\bFROM\s+([\w.\"$]+)\s+MATCH_RECOGNIZE\s*\(", re.I)
+
+    def _rewrite_match_recognize(self, sql: str, ctx: SessionContext) -> str:
+        if "MATCH_RECOGNIZE" not in sql.upper():
+            return sql
+        m = self._MATCH_RECOGNIZE_RE.search(sql)
+        if not m or _inside_string(sql, m.start()):
+            return sql
+        from .plans.translator import match_paren
+
+        open_idx = sql.index("(", m.end() - 1)
+        close_idx = match_paren(sql, open_idx)
+        if close_idx < 0:
+            raise errors.syntax_error("unbalanced MATCH_RECOGNIZE clause")
+        body = sql[open_idx + 1:close_idx]
+        tail = sql[close_idx + 1:]
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", tail)
+        alias = ""
+        if am and am.group(1).upper() not in (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "HAVING",
+                "UNION", "INTERSECT", "EXCEPT", "MINUS", "JOIN", "LEFT",
+                "RIGHT", "INNER", "FULL", "CROSS", "ON"):
+            alias = " " + am.group(1)
+            tail = tail[am.end():]
+
+        def _sect(kw: str, stop: str) -> str:
+            sm = re.search(rf"\b{kw}\b(.*?)(?={stop}|$)", body, re.I | re.S)
+            return sm.group(1).strip() if sm else ""
+
+        part = _sect("PARTITION\\s+BY", r"\bORDER\b|\bMEASURES\b|\bPATTERN\b")
+        order = _sect("ORDER\\s+BY",
+                      r"\bMEASURES\b|\bONE\b|\bAFTER\b|\bPATTERN\b")
+        measures = _sect("MEASURES",
+                         r"\bONE\s+ROW\b|\bAFTER\s+MATCH\b|\bPATTERN\b")
+        pm = re.search(r"\bPATTERN\s*\(([^)]*)\)", body, re.I)
+        dm = re.search(r"\bDEFINE\b(.*)$", body, re.I | re.S)
+        if not order or not pm or not dm:
+            raise errors.syntax_error(
+                "MATCH_RECOGNIZE requires ORDER BY, PATTERN and DEFINE")
+        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I):
+            raise errors.syntax_error(
+                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+        part_cols = [c.strip().strip('"') for c in part.split(",") if c.strip()]
+        if len(part_cols) != 1:
+            raise errors.syntax_error(
+                "MATCH_RECOGNIZE: exactly one PARTITION BY column is required")
+        order_cols = [re.sub(r"\s+(ASC|DESC)\s*$", "", c.strip(), flags=re.I)
+                      for c in order.split(",") if c.strip()]
+        define: dict[str, str] = {}
+        t = Translator()
+        for piece in t._split_args(dm.group(1)):
+            dmm = re.match(r"^\s*([A-Za-z_]\w*)\s+AS\s+(.+)$", piece.strip(),
+                           re.I | re.S)
+            if not dmm:
+                raise errors.syntax_error(f"bad DEFINE entry: {piece[:40]}")
+            define[dmm.group(1).upper()] = t.translate_expr(dmm.group(2).strip())
+        # measures -> operator output columns
+        sel = [part_cols[0], "match_number", "n_rows"]
+        renames: list[str] = []
+        measure_cols: list[str] = []
+        if measures:
+            for piece in t._split_args(measures):
+                mm = re.match(
+                    r"^\s*(FIRST|LAST|COUNT|MATCH_NUMBER)\s*\(\s*"
+                    r"(\*|[\w\"$]*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$",
+                    piece.strip(), re.I)
+                if not mm:
+                    raise errors.syntax_error(
+                        "MATCH_RECOGNIZE MEASURES supports FIRST(col)/"
+                        f"LAST(col)/COUNT(*)/MATCH_NUMBER(): {piece[:40]}")
+                fn, arg, out = (mm.group(1).upper(), mm.group(2).strip('"'),
+                                mm.group(3))
+                if fn == "COUNT":
+                    renames.append(f"n_rows AS {out}")
+                elif fn == "MATCH_NUMBER":
+                    renames.append(f"match_number AS {out}")
+                else:
+                    col = arg.lower()
+                    if col not in [c.lower() for c in measure_cols]:
+                        measure_cols.append(arg)
+                    renames.append(f"{col}_{fn.lower()} AS {out}")
+        src_df = self.query_df(f"SELECT * FROM {m.group(1)}", ctx)
+        from .operators.match_recognize import match_recognize as _mr
+
+        # the operator indexes df.schema by exact name; resolve the
+        # SQL-typed identifiers onto the DataFrame's actual casing
+        actual = {c.lower(): c for c in src_df.columns}
+
+        def _col(name: str) -> str:
+            got = actual.get(name.lower().strip('"'))
+            if got is None:
+                raise errors.object_not_found(
+                    f"column {name} in MATCH_RECOGNIZE input")
+            return got
+
+        out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
+                     define, pm.group(1).strip(),
+                     [_col(c) for c in measure_cols] or None)
+        if renames:
+            out_df = out_df.selectExpr(*sel, *renames)
+        view = "__match_recognize_" + uuid.uuid4().hex[:10]
+        out_df.createOrReplaceTempView(view)
+        return sql[:m.start()] + f"FROM {view}{alias}" + tail
+
     def query_df(self, sql: str, ctx: SessionContext | None = None,
                  bindings: dict | None = None) -> DataFrame:
         """Translate + resolve a SELECT and return the (lazy) DataFrame."""
         ctx = ctx or SessionContext()
         sql = bindmod.apply_bindings(sql, bindings)
+        sql = self._rewrite_match_recognize(sql, ctx)
         sql = self._rewrite_result_scan(sql, ctx)
         sql = self._rewrite_nextval(sql, ctx)
         sql = self._rewrite_context_fns(sql, ctx)

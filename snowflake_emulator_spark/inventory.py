@@ -1038,6 +1038,38 @@ def _events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level MATCH_RECOGNIZE (r8 s2): the FROM t MATCH_RECOGNIZE
+    (...) clause is parsed by the executor and routed onto the same
+    applyInPandas operator; identical funnel + aggregation as the
+    operator-API entry, same DuckDB string_agg+regexp oracle."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mr_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (V C+ P)
+    DEFINE V AS event_type = 'view', C AS event_type = 'click',
+           P AS event_type = 'purchase'
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
+
+
 _MATCH_RECOGNIZE_ORACLE = """
 WITH symd AS (
   SELECT user_id, ts, event_id,
@@ -5007,6 +5039,7 @@ REGISTRY: dict[str, tuple] = {
     "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
     "hierarchy_connect_by": (_snow(_SF_CONNECT_BY), _SF_CONNECT_BY_ORACLE),
+    "sql_match_recognize_funnel": (_sql_match_recognize, _MATCH_RECOGNIZE_ORACLE),
 }
 
 

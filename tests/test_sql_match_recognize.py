@@ -1,0 +1,98 @@
+"""SQL-level MATCH_RECOGNIZE clause (r8 s2, beyond reference): the
+FROM t MATCH_RECOGNIZE (...) [alias] clause parses in the executor and
+routes onto the restricted applyInPandas operator
+(operators/match_recognize.py — ONE ROW PER MATCH, SKIP PAST LAST ROW,
+mutually exclusive symbols). MEASURES supports FIRST/LAST/COUNT(*)/
+MATCH_NUMBER()."""
+
+import pytest
+
+from snowflake_emulator_spark import errors
+
+
+def rows(engine, sql):
+    return [tuple(r) for r in engine.execute(sql).rows]
+
+
+@pytest.fixture()
+def clicks(engine):
+    engine.execute("CREATE TABLE mr_clicks (user_id INTEGER, seq INTEGER, etype VARCHAR)")
+    engine.execute("INSERT INTO mr_clicks VALUES "
+                   "(1, 1, 'view'), (1, 2, 'cart'), (1, 3, 'cart'), (1, 4, 'buy'), "
+                   "(1, 5, 'view'), (2, 1, 'view'), (2, 2, 'buy'), (3, 1, 'cart')")
+    return engine
+
+
+def test_full_clause(clicks):
+    got = rows(clicks, """
+        SELECT user_id, mn, n, first_seq, last_seq
+        FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY seq
+          MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n,
+                   FIRST(seq) AS first_seq, LAST(seq) AS last_seq
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V C+ B)
+          DEFINE V AS etype = 'view', C AS etype = 'cart', B AS etype = 'buy'
+        ) mr
+        ORDER BY user_id""")
+    assert got == [(1, 1, 4, 1, 4)]
+
+
+def test_minimal_clause_default_columns(clicks):
+    got = rows(clicks, """
+        SELECT * FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY seq
+          PATTERN (V B)
+          DEFINE V AS etype = 'view', B AS etype = 'buy'
+        ) ORDER BY user_id""")
+    assert got == [(2, 1, 2)]  # user_id, match_number, n_rows
+
+
+def test_multiple_matches_per_partition(clicks):
+    clicks.execute("INSERT INTO mr_clicks VALUES (2, 3, 'view'), (2, 4, 'buy')")
+    got = rows(clicks, """
+        SELECT user_id, mn FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY seq
+          MEASURES MATCH_NUMBER() AS mn
+          PATTERN (V B)
+          DEFINE V AS etype = 'view', B AS etype = 'buy'
+        ) ORDER BY user_id, mn""")
+    assert got == [(2, 1), (2, 2)]
+
+
+def test_where_on_output(clicks):
+    got = rows(clicks, """
+        SELECT user_id FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY seq
+          MEASURES COUNT(*) AS n
+          PATTERN (C+)
+          DEFINE C AS etype = 'cart'
+        ) WHERE n >= 2 ORDER BY user_id""")
+    assert got == [(1,)]
+
+
+def test_all_rows_per_match_rejected(clicks):
+    with pytest.raises(errors.SnowflakeError):
+        clicks.execute("""
+            SELECT * FROM mr_clicks MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY seq
+              ALL ROWS PER MATCH
+              PATTERN (V) DEFINE V AS etype = 'view')""")
+
+
+def test_missing_define_rejected(clicks):
+    with pytest.raises(errors.SnowflakeError):
+        clicks.execute("""
+            SELECT * FROM mr_clicks MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY seq PATTERN (V))""")
+
+
+def test_unknown_measure_fn_rejected(clicks):
+    with pytest.raises(errors.SnowflakeError):
+        clicks.execute("""
+            SELECT * FROM mr_clicks MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY seq
+              MEASURES AVG(seq) AS a
+              PATTERN (V) DEFINE V AS etype = 'view')""")
