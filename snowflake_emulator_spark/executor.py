@@ -2356,6 +2356,23 @@ class Executor:
             self.catalog.register_view(tb)
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
+        mm_ = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.\"$]+)\s+(?:ALTER|MODIFY)\s*\((.*)\)\s*$",
+            sql, re.I | re.S)
+        if mm_:
+            # parenthesized multi-column form:
+            # ALTER TABLE t ALTER (COLUMN a SET ..., COLUMN b ...)
+            t = Translator()
+            res = None
+            for piece in t._split_args(mm_.group(2)):
+                pm_ = re.match(r"^\s*(?:COLUMN\s+)?([\w\"$]+)\s+(.+?)\s*$",
+                               piece.strip(), re.I | re.S)
+                if not pm_:
+                    raise errors.syntax_error(f"bad ALTER column entry: {piece[:40]}")
+                res = self._alter_column(mm_.group(1), pm_.group(1), pm_.group(2), ctx)
+            if res is None:
+                raise errors.syntax_error("empty ALTER column list")
+            return res
         m = _ALTER_COLUMN_RE.match(sql)
         if m:
             return self._alter_column(m.group(1), m.group(2), m.group(3), ctx)

@@ -743,9 +743,16 @@ class Translator:
 
     # -- SAMPLE (n) -> TABLESAMPLE (n PERCENT) ----------------------------
 
+    # SYSTEM/BLOCK sampling emulated as row sampling (the emulator's
+    # storage unit is the parquet file, not a Snowflake micro-partition;
+    # the sampled FRACTION contract still holds). Bare TABLESAMPLE is a
+    # Snowflake synonym of SAMPLE.
     _SAMPLE_ROWS_RE = re.compile(
-        r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+)\s+ROWS\s*\)", re.I)
-    _SAMPLE_RE = re.compile(r"\bSAMPLE\s*(?:BERNOULLI\s*|ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*\)", re.I)
+        r"\b(?:TABLE)?SAMPLE\s*(?:BERNOULLI\s*|ROW\s*|SYSTEM\s*|BLOCK\s*)?"
+        r"\(\s*(\d+)\s+ROWS\s*\)", re.I)
+    _SAMPLE_RE = re.compile(
+        r"\b(?:TABLE)?SAMPLE\s*(?:BERNOULLI\s*|ROW\s*|SYSTEM\s*|BLOCK\s*)?"
+        r"\(\s*(\d+(?:\.\d+)?)\s*\)", re.I)
     _SAMPLE_SEED_RE = re.compile(r"\bSEED\s*\(\s*(\d+)\s*\)", re.I)
 
     def _rewrite_sample(self, s: str) -> str:

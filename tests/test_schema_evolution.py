@@ -97,6 +97,27 @@ def test_alter_column_default_and_comment(engine):
     engine.execute("ALTER TABLE dc_t ALTER COLUMN v UNSET COMMENT")
 
 
+def test_alter_multi_column_paren_form(engine):
+    engine.execute("CREATE TABLE mc_t (a INTEGER, b INTEGER NOT NULL)")
+    engine.execute("ALTER TABLE mc_t ALTER (COLUMN a SET NOT NULL, "
+                   "COLUMN b DROP NOT NULL)")
+    d = engine.execute("DESCRIBE TABLE mc_t")
+    assert [(r[0], r[3]) for r in d.rows] == [("A", "N"), ("B", "Y")]
+
+
+def test_sample_system_block_tablesample(engine):
+    """SYSTEM/BLOCK sampling emulated as row sampling; bare TABLESAMPLE
+    is the Snowflake synonym of SAMPLE."""
+    engine.execute("CREATE TABLE smp_t (id INTEGER)")
+    engine.execute("INSERT INTO smp_t SELECT EXPLODE(SEQUENCE(1, 100)) AS id")
+    for q in ["SELECT COUNT(*) AS n FROM smp_t SAMPLE SYSTEM (50)",
+              "SELECT COUNT(*) AS n FROM smp_t SAMPLE BLOCK (50) SEED (7)",
+              "SELECT COUNT(*) AS n FROM smp_t TABLESAMPLE (50)"]:
+        [(n,)] = rows(engine, q)
+        assert 20 <= n <= 80
+    assert rows(engine, "SELECT COUNT(*) AS n FROM smp_t TABLESAMPLE (10 ROWS)") == [(10,)]
+
+
 def test_alter_column_unknown_column_errors(engine):
     engine.execute("CREATE TABLE uk_t (id INTEGER)")
     with pytest.raises(errors.SnowflakeError):
