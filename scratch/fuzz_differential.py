@@ -94,6 +94,17 @@ def main():
     failures += run_asof_cases(spark, con, translate, join_cases)
     print(f"join-type sweep: {len(join_cases)} cases done", flush=True)
 
+    import tempfile
+
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_mr_cases, run_mr_cases
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="fuzz_mr_wh_"))
+    mr_cases = generate_mr_cases(SEED + 7, max(COUNT // 40, 4))
+    n_cases += len(mr_cases)
+    failures += run_mr_cases(eng.executor, con, mr_cases)
+    print(f"match-recognize sweep: {len(mr_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

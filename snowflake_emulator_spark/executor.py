@@ -664,9 +664,16 @@ class Executor:
                       r"\bMEASURES\b|\bONE\b|\bAFTER\b|\bPATTERN\b")
         measures = _sect("MEASURES",
                          r"\bONE\s+ROW\b|\bAFTER\s+MATCH\b|\bPATTERN\b")
-        pm = re.search(r"\bPATTERN\s*\(([^)]*)\)", body, re.I)
+        pkw = re.search(r"\bPATTERN\s*\(", body, re.I)
+        pattern_text = None
+        if pkw:
+            popen = body.index("(", pkw.start())
+            pclose = match_paren(body, popen)
+            if pclose < 0:
+                raise errors.syntax_error("unbalanced PATTERN clause")
+            pattern_text = body[popen + 1:pclose]
         dm = re.search(r"\bDEFINE\b(.*)$", body, re.I | re.S)
-        if not order or not pm or not dm:
+        if not order or pattern_text is None or not dm:
             raise errors.syntax_error(
                 "MATCH_RECOGNIZE requires ORDER BY, PATTERN and DEFINE")
         if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I):
@@ -726,7 +733,7 @@ class Executor:
             return got
 
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
-                     define, pm.group(1).strip(),
+                     define, pattern_text.strip(),
                      [_col(c) for c in measure_cols] or None)
         if renames:
             out_df = out_df.selectExpr(*sel, *renames)

@@ -759,6 +759,70 @@ def generate_join_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
     return out
 
 
+def generate_mr_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
+    """SQL-level MATCH_RECOGNIZE configs (r8 s2): randomized pattern ×
+    user-range funnels over events, replayed in DuckDB as
+    string_agg + regexp_extract_all (identical non-overlapping
+    leftmost-match semantics)."""
+    rng = random.Random(seed)
+    pats = ["V C+ P", "V P", "C{2}", "V C* P", "V+ P", "(V|C) P"]
+    out = []
+    for _ in range(count):
+        pat = rng.choice(pats)
+        rx = pat.replace(" ", "")
+        umax = rng.choice([20, 50])
+        snow = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(n) AS BIGINT) AS n_rows_tot
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    PATTERN ({pat})
+    DEFINE V AS event_type = 'view', C AS event_type = 'click',
+           P AS event_type = 'purchase'
+  )
+) WHERE user_id <= {umax} GROUP BY user_id ORDER BY user_id"""
+        duck = f"""
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                         WHEN 'purchase' THEN 'P' ELSE '.' END AS c
+  FROM events),
+s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, '{rx}') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(list_sum(list_transform(ms, x -> len(x))) AS BIGINT) AS n_rows_tot
+FROM m WHERE len(ms) > 0 AND user_id <= {umax} ORDER BY user_id"""
+        out.append((f"mr[{pat} u<={umax}]", snow, duck))
+    return out
+
+
+def run_mr_cases(executor, con, cases) -> list[str]:
+    """Execute MATCH_RECOGNIZE full-query cases through the EXECUTOR
+    (the clause parses above the translator) vs the DuckDB replay."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    failures = []
+    for desc, snow, duck in cases:
+        try:
+            srows = sorted((tuple(normalize(v) for v in r)
+                            for r in executor.query_df(
+                                snow, SessionContext()).collect()), key=repr)
+            drows = sorted((tuple(normalize(v) for v in r)
+                            for r in con.sql(duck).fetchall()), key=repr)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{desc} ERROR: {e}")
+            continue
+        if srows != drows:
+            diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            failures.append(
+                f"{desc}: {len(srows)} vs {len(drows)} rows, first diffs {diff}")
+    return failures
+
+
 def run_asof_cases(spark, con, translate, cases) -> list[str]:
     """Execute full-query ASOF cases; compare sorted row sets."""
     failures = []

@@ -18,6 +18,8 @@ from snowflake_emulator_spark.plans.translator import translate
 
 from difffuzz import (
     PROBE_AGG_SQL,
+    generate_mr_cases,
+    run_mr_cases,
     PROBE_EVENTS_SQL,
     PROBE_SQL,
     TEMPLATES_AGG,
@@ -96,6 +98,17 @@ def test_differential_fuzz_asof(probes):
     failures = run_asof_cases(spark, con, translate, cases)
     assert not failures, (
         f"{len(failures)} ASOF mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_match_recognize(probes, tmp_path):
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mr_wh"))
+    cases = generate_mr_cases(SEED + 7, 6)
+    failures = run_mr_cases(eng.executor, con, cases)
+    assert not failures, (
+        f"{len(failures)} MATCH_RECOGNIZE mismatches:\n" + "\n".join(failures[:10]))
 
 
 def test_differential_fuzz_null_semantics(probes):
