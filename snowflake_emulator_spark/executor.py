@@ -2753,11 +2753,43 @@ class Executor:
         def _match(name: str) -> bool:
             return like is None or re.fullmatch(like, name, re.I) is not None
 
+        # SHOW ... IN ACCOUNT | DATABASE <db> | SCHEMA [<db>.]<sch> |
+        # <schema-name> — Snowflake scope override; without one the
+        # handlers scope to the session's current database (and the
+        # ACCOUNT form lifts the filter entirely)
+        scope_db, scope_sch = ctx.database, None
+        sm_ = re.search(
+            r"\bIN\s+(ACCOUNT|DATABASE\s+[\w.\"$]+|SCHEMA\s+[\w.\"$]+|[\w.\"$]+)\s*$",
+            sql, re.I)
+        if sm_:
+            tok = sm_.group(1)
+            up_tok = tok.upper()
+            from .naming import normalize_ident
+
+            if up_tok == "ACCOUNT":
+                scope_db = None
+            elif up_tok.startswith("DATABASE"):
+                scope_db = normalize_ident(tok.split(None, 1)[1])
+            else:
+                name = tok.split(None, 1)[1] if up_tok.startswith("SCHEMA") else tok
+                parts = [normalize_ident(p) for p in name.split(".")]
+                if len(parts) == 2:
+                    scope_db, scope_sch = parts[0], parts[1]
+                else:
+                    scope_sch = parts[0]
+
+        def _in_scope(db: str, sch: str) -> bool:
+            if scope_db is not None and db != scope_db:
+                return False
+            return scope_sch is None or sch == scope_sch
+
         if first == "DATABASES":
             rows = [[db, v.get("comment")] for db, v in sorted(self.catalog.databases.items()) if _match(db)]
             return Result(columns=["name", "comment"], rows=rows)
         if first == "SCHEMAS":
-            rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas) if _match(sch)]
+            rows = [[sch, db] for (db, sch) in sorted(self.catalog.schemas)
+                    if _match(sch) and (scope_db is None or db == scope_db
+                                        or not sm_)]
             return Result(columns=["name", "database_name"], rows=rows)
         if first == "PIPES":
             rows = [[k[2], k[0], k[1], v]
@@ -2786,25 +2818,25 @@ class Executor:
                 [tbl, db, sch, self._dyntable_defs.get((db, sch, tbl), ("",))[0][:200],
                  tm.comment]
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
-                if db == ctx.database and tm.kind == "MATERIALIZED VIEW" and _match(tbl)
+                if _in_scope(db, sch) and tm.kind == "MATERIALIZED VIEW" and _match(tbl)
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
         if first == "VIEWS":
             rows = [
                 [name, db, sch, vm.sql_text[:200], vm.comment]
                 for (db, sch, name), vm in sorted(self.catalog.views.items())
-                if db == ctx.database and _match(name)
+                if _in_scope(db, sch) and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "text", "comment"], rows=rows)
         if first == "OBJECTS":
             rows = [
                 [tbl, db, sch, tm.kind, tm.comment]
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
-                if db == ctx.database and _match(tbl)
+                if _in_scope(db, sch) and _match(tbl)
             ] + [
                 [name, db, sch, "VIEW", vm.comment]
                 for (db, sch, name), vm in sorted(self.catalog.views.items())
-                if db == ctx.database and _match(name)
+                if _in_scope(db, sch) and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "kind", "comment"],
                           rows=sorted(rows))
@@ -2815,7 +2847,7 @@ class Executor:
                  (self._dyntable_defs.get((db, sch, tbl)) or (None, None))[0],
                  tm.comment]
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
-                if db == ctx.database and tm.kind == "DYNAMIC TABLE" and _match(tbl)
+                if _in_scope(db, sch) and tm.kind == "DYNAMIC TABLE" and _match(tbl)
             ]
             return Result(columns=["name", "database_name", "schema_name",
                                    "target_lag", "text", "comment"], rows=rows)
@@ -2826,7 +2858,7 @@ class Executor:
             rows = [
                 [tbl, db, sch, tm.kind, tm.comment] + ([None] if history else [])
                 for (db, sch, tbl), tm in sorted(self.catalog.tables.items())
-                if db == ctx.database and _match(tbl)
+                if _in_scope(db, sch) and _match(tbl)
             ]
             if history:
                 import datetime as _dt
@@ -2836,7 +2868,7 @@ class Executor:
                      _dt.datetime.fromtimestamp(tm.dropped_on).isoformat(sep=" ")
                      if tm.dropped_on else None]
                     for (db, sch, tbl), tm in sorted(self.catalog.dropped_tables.items())
-                    if db == ctx.database and _match(tbl)
+                    if _in_scope(db, sch) and _match(tbl)
                     and (db, sch, tbl) not in self.catalog.tables
                 ]
                 return Result(
@@ -2868,7 +2900,7 @@ class Executor:
                  f"{name}({', '.join(f.arg_types)}) RETURN {f.returns}",
                  "SQL", f.comment]
                 for (db, sch, name), f in sorted(self.catalog.functions.items())
-                if db == ctx.database and _match(name)
+                if _in_scope(db, sch) and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name",
                                    "arguments", "language", "comment"], rows=rows)
@@ -2878,7 +2910,7 @@ class Executor:
                 [name, db, sch, t.schedule, t.state, t.warehouse,
                  t.sql_text[:200], t.comment]
                 for (db, sch, name), t in sorted(self.catalog.tasks.items())
-                if db == ctx.database and _match(name)
+                if _in_scope(db, sch) and _match(name)
             ]
             return Result(columns=["name", "database_name", "schema_name", "schedule",
                                    "state", "warehouse", "definition", "comment"], rows=rows)

@@ -177,3 +177,30 @@ def test_login_identity_flows_to_context_fns(server):
     st, out = _call(server, "POST", "/queries/v1/query-request",
                     {"sqlText": "SELECT CURRENT_ROLE() AS r"}, token)
     assert out["data"]["rowset"] == [["LATER_ROLE"]]
+
+
+def test_show_in_scope(engine):
+    """SHOW <objects> IN ACCOUNT | DATABASE d | SCHEMA d.s scoping
+    (previously the IN clause was ignored and the CURRENT database's
+    objects came back)."""
+    ctx = SessionContext()
+    engine.execute("CREATE DATABASE scope_db", ctx)
+    engine.execute("CREATE SCHEMA scope_db.s1", ctx)
+    engine.execute("CREATE TABLE scope_db.s1.remote_t (id INTEGER)", ctx)
+    engine.execute("CREATE TABLE local_scope_t (id INTEGER)", ctx)
+
+    def names(r):
+        return sorted({row[0] for row in r.rows})
+
+    assert names(engine.execute("SHOW TABLES IN DATABASE scope_db", ctx)) == [
+        "REMOTE_T"]
+    assert names(engine.execute("SHOW TABLES IN SCHEMA scope_db.s1", ctx)) == [
+        "REMOTE_T"]
+    in_account = names(engine.execute("SHOW TABLES IN ACCOUNT", ctx))
+    assert "REMOTE_T" in in_account and "LOCAL_SCOPE_T" in in_account
+    assert "REMOTE_T" not in names(engine.execute("SHOW TABLES", ctx))
+    assert names(engine.execute("SHOW SCHEMAS IN DATABASE scope_db", ctx)) == [
+        "PUBLIC", "S1"]
+    # SHOW COLUMNS IN <table> keeps its table-form IN
+    cols = engine.execute("SHOW COLUMNS IN local_scope_t", ctx)
+    assert [r[2] for r in cols.rows] == ["ID"]
