@@ -661,9 +661,9 @@ class Executor:
 
         part = _sect("PARTITION\\s+BY", r"\bORDER\b|\bMEASURES\b|\bPATTERN\b")
         order = _sect("ORDER\\s+BY",
-                      r"\bMEASURES\b|\bONE\b|\bAFTER\b|\bPATTERN\b")
+                      r"\bMEASURES\b|\bONE\b|\bALL\b|\bAFTER\b|\bPATTERN\b")
         measures = _sect("MEASURES",
-                         r"\bONE\s+ROW\b|\bAFTER\s+MATCH\b|\bPATTERN\b")
+                         r"\bONE\s+ROW\b|\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|\bPATTERN\b")
         pkw = re.search(r"\bPATTERN\s*\(", body, re.I)
         pattern_text = None
         if pkw:
@@ -676,9 +676,7 @@ class Executor:
         if not order or pattern_text is None or not dm:
             raise errors.syntax_error(
                 "MATCH_RECOGNIZE requires ORDER BY, PATTERN and DEFINE")
-        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I):
-            raise errors.syntax_error(
-                "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+        all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I))
         part_cols = [c.strip().strip('"') for c in part.split(",") if c.strip()]
         if len(part_cols) != 1:
             raise errors.syntax_error(
@@ -697,6 +695,11 @@ class Executor:
         sel = [part_cols[0], "match_number", "n_rows"]
         renames: list[str] = []
         measure_cols: list[str] = []
+        if all_rows and measures:
+            raise errors.syntax_error(
+                "MATCH_RECOGNIZE: MEASURES with ALL ROWS PER MATCH is not "
+                "supported (every input column plus MATCH_NUMBER and "
+                "CLASSIFIER is already in the output)")
         if measures:
             for piece in t._split_args(measures):
                 mm = re.match(
@@ -734,7 +737,8 @@ class Executor:
 
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
                      define, pattern_text.strip(),
-                     [_col(c) for c in measure_cols] or None)
+                     [_col(c) for c in measure_cols] or None,
+                     all_rows=all_rows)
         if renames:
             out_df = out_df.selectExpr(*sel, *renames)
         view = "__match_recognize_" + uuid.uuid4().hex[:10]
@@ -851,6 +855,17 @@ class Executor:
                 if body is None:
                     raise errors.object_not_found(".".join(key))
                 return f"CREATE OR REPLACE PIPE {key[2]} AS {body};"
+            if kind in ("POLICY", "MASKING_POLICY"):
+                pm = self.catalog.get_masking_policy(name, ctx.database, ctx.schema)
+                return (f"CREATE OR REPLACE MASKING POLICY {pm.name} AS "
+                        f"({pm.arg_name} {pm.arg_type}) RETURNS {pm.returns} "
+                        f"-> {pm.body};")
+            if kind == "ROW_ACCESS_POLICY":
+                rp = self.catalog.get_row_access_policy(name, ctx.database, ctx.schema)
+                args = ", ".join(f"{n} {t}" for n, t in
+                                 zip(rp.arg_names, rp.arg_types))
+                return (f"CREATE OR REPLACE ROW ACCESS POLICY {rp.name} AS "
+                        f"({args}) RETURNS BOOLEAN -> {rp.body};")
             raise errors.invalid_parameter(f"GET_DDL: unsupported object type {kind}")
 
         return self._GET_DDL_RE.sub(

@@ -39,6 +39,7 @@ def match_recognize(
     define: dict[str, str],
     pattern: str,
     measure_cols: list[str] | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """ONE ROW PER MATCH row-pattern matching.
 
@@ -78,6 +79,40 @@ def match_recognize(
     for s in symbols:
         n_matching = n_matching + F.expr(define[s]).cast("int")
     work = df.withColumn("__sym", sym).withColumn("__nmatch", n_matching)
+
+    sym_of_char = {c: s for s, c in char_of.items()}
+    if all_rows:
+        # ALL ROWS PER MATCH: every matched input row comes back with
+        # its match_number and CLASSIFIER (the symbol it matched as)
+        out_fields = list(df.schema.fields) + [
+            T.StructField("match_number", T.LongType()),
+            T.StructField("classifier", T.StringType())]
+        out_schema = T.StructType(out_fields)
+        in_cols = [f.name for f in df.schema.fields]
+
+        def _match_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            if (pdf["__nmatch"] > 1).any():
+                raise ValueError(
+                    "match_recognize: symbol predicates must be mutually exclusive")
+            pdf = pdf.sort_values(order_by, kind="mergesort")
+            s = "".join(pdf["__sym"].tolist())
+            outs = []
+            match_no = 0
+            for m in rx.finditer(s):
+                if m.start() == m.end():
+                    continue
+                match_no += 1
+                seg = pdf.iloc[m.start():m.end()][in_cols].copy()
+                seg["match_number"] = match_no
+                seg["classifier"] = [sym_of_char[ch]
+                                     for ch in s[m.start():m.end()]]
+                outs.append(seg)
+            if not outs:
+                return pd.DataFrame(columns=[f.name for f in out_fields])
+            return pd.concat(outs, ignore_index=True)
+
+        return work.groupBy(partition_by).applyInPandas(
+            _match_all, schema=out_schema)
 
     out_fields = [df.schema[partition_by], T.StructField("match_number", T.LongType()),
                   T.StructField("n_rows", T.LongType())]

@@ -73,11 +73,26 @@ def test_where_on_output(clicks):
     assert got == [(1,)]
 
 
-def test_all_rows_per_match_rejected(clicks):
+def test_all_rows_per_match(clicks):
+    got = rows(clicks, """
+        SELECT user_id, seq, etype, match_number, classifier
+        FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY seq
+          ALL ROWS PER MATCH
+          PATTERN (V C+ B)
+          DEFINE V AS etype = 'view', C AS etype = 'cart', B AS etype = 'buy'
+        ) ORDER BY user_id, seq""")
+    assert got == [
+        (1, 1, "view", 1, "V"), (1, 2, "cart", 1, "C"),
+        (1, 3, "cart", 1, "C"), (1, 4, "buy", 1, "B")]
+
+
+def test_all_rows_with_measures_rejected(clicks):
     with pytest.raises(errors.SnowflakeError):
         clicks.execute("""
             SELECT * FROM mr_clicks MATCH_RECOGNIZE (
               PARTITION BY user_id ORDER BY seq
+              MEASURES COUNT(*) AS n
               ALL ROWS PER MATCH
               PATTERN (V) DEFINE V AS etype = 'view')""")
 
