@@ -168,3 +168,14 @@ def test_show_row_access_policies(row_guarded):
     r = engine.execute("SHOW ROW ACCESS POLICIES", ctx)
     assert [row[0] for row in r.rows] == ["REGION_RLS"]
     assert r.rows[0][3] == "(R VARCHAR)" and r.rows[0][4] == "BOOLEAN"
+
+
+def test_get_ddl_for_policies(masked):
+    engine, ctx = masked
+    [(ddl,)] = rows(engine, "SELECT GET_DDL('MASKING_POLICY', 'email_mask') AS d", ctx)
+    assert ddl.startswith("CREATE OR REPLACE MASKING POLICY EMAIL_MASK AS (VAL VARCHAR)")
+    assert "RETURNS VARCHAR" in ddl
+    engine.execute(
+        "CREATE ROW ACCESS POLICY ddl_rls AS (r VARCHAR) RETURNS BOOLEAN -> r = 'EU'", ctx)
+    [(ddl2,)] = rows(engine, "SELECT GET_DDL('ROW_ACCESS_POLICY', 'ddl_rls') AS d", ctx)
+    assert "ROW ACCESS POLICY DDL_RLS AS (R VARCHAR) RETURNS BOOLEAN" in ddl2
