@@ -157,6 +157,31 @@ class Translator:
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
         s = re.sub(r"(\*\s+)EXCLUDE\s+([A-Za-z_]\w*)", r"\1EXCEPT (\2)", s, flags=re.I)
+        # SELECT * [EXCEPT (...)] RENAME (a AS x[, ...]) — Spark has no
+        # star-RENAME: fold the rename sources into the EXCEPT list and
+        # append aliased projections. (Snowflake keeps the renamed
+        # column's ordinal position; here it moves to the end — the
+        # emulator's column-name-sorted comparisons are unaffected.)
+        def _star_rename(m: re.Match) -> str:
+            existing = [c.strip() for c in (m.group(2) or "").split(",")
+                        if c.strip()]
+            pairs = []
+            for item in m.group(3).split(","):
+                rm = re.match(r"^\s*([\w\"$]+)\s+AS\s+([\w\"$]+)\s*$",
+                              item, re.I)
+                if not rm:
+                    return m.group(0)  # unparseable: leave for Spark to report
+                pairs.append((rm.group(1), rm.group(2)))
+            except_list = existing + [src for src, _ in pairs]
+            aliases = ", ".join(f"{src} AS {dst}" for src, dst in pairs)
+            return f"* EXCEPT ({', '.join(except_list)}), {aliases}"
+
+        s = re.sub(
+            r"\*\s*(EXCEPT\s*\(([^)]*)\)\s*)?RENAME\s*\(([^)]*)\)",
+            _star_rename, s, flags=re.I)
+        s = re.sub(
+            r"\*\s*(EXCEPT\s*\(([^)]*)\)\s*)?RENAME\s+(([\w\"$]+\s+AS\s+[\w\"$]+))",
+            _star_rename, s, flags=re.I)
         # expr COLLATE 'spec' (Snowflake quoted specification) -> Spark
         # collation name (unquoted); the COLLATE(expr, 'spec') function
         # form goes through _emit

@@ -118,3 +118,18 @@ def test_regexp_substr_group_forms(engine):
     assert one(engine, "SELECT REGEXP_SUBSTR('a1b2', '[a-z]\\\\d', 1, 2) AS v") == ("b2",)
     # no match -> NULL
     assert one(engine, "SELECT REGEXP_SUBSTR('abc', '(\\\\d)', 1, 1, 'e') AS v") == (None,)
+
+
+def test_select_star_rename(engine):
+    """SELECT * RENAME (a AS x) — Spark has no star-RENAME; the
+    translator folds the sources into EXCEPT and appends aliases (the
+    renamed column moves to the end; Snowflake keeps its position —
+    documented divergence, name-sorted comparisons unaffected)."""
+    engine.execute("CREATE TABLE sr_t (a INTEGER, b VARCHAR, c DOUBLE)")
+    engine.execute("INSERT INTO sr_t VALUES (1, 'x', 1.5)")
+    r = engine.execute("SELECT * RENAME (b AS name) FROM sr_t")
+    assert [c.upper() for c in r.columns] == ["A", "C", "NAME"]
+    r = engine.execute("SELECT * EXCLUDE (c) RENAME (b AS name) FROM sr_t")
+    assert [c.upper() for c in r.columns] == ["A", "NAME"]
+    r = engine.execute("SELECT * RENAME b AS name FROM sr_t")
+    assert [c.upper() for c in r.columns] == ["A", "C", "NAME"]
