@@ -1407,7 +1407,7 @@ class Executor:
                         skey, tail = (ctx.database, ids[0], ids[1]), parts[1][1]
                     if skey is not None:
                         sm = streams[skey]
-                        out.append(self._register_stream_view(sm, sm.physical) + sql[tail:j])
+                        out.append(self._register_stream_view(sm, sm.physical, ctx) + sql[tail:j])
                         rewrote = True
                 if not rewrote and views:
                     # qualified view references rewrite onto the lazily
@@ -1481,7 +1481,14 @@ class Executor:
         JVM-side, zero per-row Python. A row access policy filters FIRST,
         over cleartext values (Snowflake: row policies see unmasked
         data), then masking projects."""
-        df = self.catalog.read_table(tm)
+        return self._governed_projection(self.catalog.read_table(tm), tm, ctx)
+
+    def _governed_projection(self, df: DataFrame, tm,
+                             ctx: SessionContext) -> DataFrame:
+        """Apply ``tm``'s row access policy + masking policies to an
+        arbitrary DataFrame carrying the table's columns (the table read
+        itself, or a stream's change diff — whose METADATA$ columns pass
+        through untouched)."""
         if tm.row_access_policy:
             rp = self.catalog.get_row_access_policy(
                 tm.row_access_policy, tm.database, tm.schema)
@@ -1496,6 +1503,7 @@ class Executor:
                 f"SELECT * FROM {src0} WHERE {pred}"))
         if not self._table_has_masking(tm):
             return df
+        table_cols = {c.name.upper() for c in tm.columns}
         exprs = []
         for c in tm.columns:
             if not c.masking_policy:
@@ -1507,6 +1515,8 @@ class Executor:
                           f"`{c.name}`", pm.body, flags=re.I)
             body = self._rewrite_context_fns(body, ctx)
             exprs.append(f"({body}) AS `{c.name}`")
+        # passthrough for non-table columns (stream METADATA$ACTION etc.)
+        exprs += [f"`{f}`" for f in df.columns if f.upper() not in table_cols]
         src = tm.physical + "__premask"
         df.createOrReplaceTempView(src)
         sel = self.translator.translate(
@@ -1579,7 +1589,7 @@ class Executor:
         for (db, sch, name), sm in list(self.catalog.streams.items()):
             if db == ctx.database and sch == ctx.schema:
                 try:
-                    self._register_stream_view(sm, name)
+                    self._register_stream_view(sm, name, ctx)
                 except Exception:
                     pass  # stale stream: query fails on reference instead
         for (db, sch, name), vm in list(self.catalog.views.items()):
@@ -1715,16 +1725,25 @@ class Executor:
             self._view_cache[view_name] = state
         return view_name
 
-    def _register_stream_view(self, sm, view_name: str) -> str:
+    def _register_stream_view(self, sm, view_name: str,
+                              ctx: SessionContext | None = None) -> str:
         """(Re-)register a temp view holding the stream's change diff;
-        cached on (offset, source identity/version) so an unchanged
-        stream costs zero Spark calls."""
+        cached on (offset, source identity/version[, caller identity
+        when the source table is governed]) so an unchanged stream
+        costs zero Spark calls. Masking / row access policies on the
+        SOURCE table apply to the diff like Snowflake (METADATA$
+        columns pass through)."""
         tm = self.catalog.tables.get(sm.src)
         if tm is None:
             raise errors.execution_error(f"stream {sm.name} is stale")
-        state = (sm.offset_version, tm.uid, tm.version, tm.data_epoch)
+        gstate = (self._masking_state(tm, ctx)
+                  if ctx is not None and self._table_governed(tm) else None)
+        state = (sm.offset_version, tm.uid, tm.version, tm.data_epoch, gstate)
         if self._stream_view_cache.get(view_name) != state:
-            self.catalog.stream_changes_df(sm).createOrReplaceTempView(view_name)
+            df = self.catalog.stream_changes_df(sm)
+            if gstate is not None:
+                df = self._governed_projection(df, tm, ctx)
+            df.createOrReplaceTempView(view_name)
             self._stream_view_cache[view_name] = state
         return view_name
 
