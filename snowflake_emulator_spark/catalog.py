@@ -589,7 +589,12 @@ class Catalog:
             tm = TableMeta(db, sch, tbl, columns=_copy.deepcopy(src.columns),
                            comment=src.comment, clustering_key=src.clustering_key,
                            location=os.path.join(self.base_dir, db, sch, tbl),
-                           version=1)
+                           version=1,
+                           # Snowflake: a clone retains the source's
+                           # masking (deep-copied columns) AND row
+                           # access policy associations
+                           row_access_policy=src.row_access_policy,
+                           row_access_columns=list(src.row_access_columns))
             src_dir = src.version_path(at_version)
             if not os.path.isdir(src_dir):
                 raise errors.execution_error(

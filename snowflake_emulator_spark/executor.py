@@ -1210,9 +1210,16 @@ class Executor:
             if not os.path.isdir(tm.version_path(version)):
                 raise errors.execution_error(_TT_UNAVAILABLE.format(tm.name))
             view = f"{tm.physical}__at_v{version}"
-            self.spark.read.schema(tm.spark_schema()).parquet(
-                tm.version_path(version)
-            ).createOrReplaceTempView(view)
+            df = self.spark.read.schema(tm.spark_schema()).parquet(
+                tm.version_path(version))
+            if self._table_governed(tm):
+                # time-travel reads honor the CURRENT policies with the
+                # querying identity (Snowflake: policies are evaluated
+                # at query time, even against historical data); the
+                # view is re-registered per statement so identity is
+                # never stale
+                df = self._governed_projection(df, tm, ctx)
+            df.createOrReplaceTempView(view)
             return view
 
         return self._AT_RE.sub(repl, sql)

@@ -236,3 +236,43 @@ def test_unload_honors_masking(engine, tmp_path):
                 if "leak@x.com" in data:
                     raise AssertionError("unload leaked cleartext")
     assert found_masked or files  # masked content verified when readable
+
+
+def test_time_travel_read_is_governed(engine):
+    """AT(VERSION => n) reads honor the CURRENT policies with the
+    querying identity — historical data is not a bypass."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE tt_pii (id INTEGER, email VARCHAR)", ctx)
+    engine.execute("INSERT INTO tt_pii VALUES (1, 'old@x.com')", ctx)
+    engine.execute("INSERT INTO tt_pii VALUES (2, 'new@y.com')", ctx)
+    engine.execute(
+        "CREATE MASKING POLICY tt_mask AS (v VARCHAR) RETURNS VARCHAR -> "
+        "IFF(CURRENT_ROLE() = 'PII_READER', v, '***')", ctx)
+    engine.execute(
+        "ALTER TABLE tt_pii ALTER COLUMN email SET MASKING POLICY tt_mask", ctx)
+    got = rows(engine, "SELECT email FROM tt_pii AT(VERSION => 2) ORDER BY id", ctx)
+    assert got == [("***",)]
+    engine.execute("USE ROLE pii_reader", ctx)
+    got = rows(engine, "SELECT email FROM tt_pii AT(VERSION => 2) ORDER BY id", ctx)
+    assert got == [("old@x.com",)]
+
+
+def test_clone_retains_policies(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cl_pii (region VARCHAR, email VARCHAR)", ctx)
+    engine.execute("INSERT INTO cl_pii VALUES ('EU', 'a@x.com'), ('US', 'b@y.com')", ctx)
+    engine.execute(
+        "CREATE MASKING POLICY cl_mask AS (v VARCHAR) RETURNS VARCHAR -> '***'", ctx)
+    engine.execute(
+        "CREATE ROW ACCESS POLICY cl_rls AS (r VARCHAR) RETURNS BOOLEAN -> r = 'EU'", ctx)
+    engine.execute("ALTER TABLE cl_pii ALTER COLUMN email SET MASKING POLICY cl_mask", ctx)
+    engine.execute("ALTER TABLE cl_pii ADD ROW ACCESS POLICY cl_rls ON (region)", ctx)
+    engine.execute("CREATE TABLE cl_pii_copy CLONE cl_pii", ctx)
+    # the clone is governed by the same policies
+    assert rows(engine, "SELECT region, email FROM cl_pii_copy", ctx) == [
+        ("EU", "***")]
+    # and detaching on the clone does not affect the source
+    engine.execute("ALTER TABLE cl_pii_copy ALTER COLUMN email UNSET MASKING POLICY", ctx)
+    engine.execute("ALTER TABLE cl_pii_copy DROP ROW ACCESS POLICY cl_rls", ctx)
+    assert len(rows(engine, "SELECT * FROM cl_pii_copy", ctx)) == 2
+    assert rows(engine, "SELECT region, email FROM cl_pii", ctx) == [("EU", "***")]
