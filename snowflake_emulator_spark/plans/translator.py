@@ -1185,7 +1185,7 @@ class Translator:
             if (
                 c == ":"
                 and i + 1 < n
-                and (s[i + 1].isalpha() or s[i + 1] == "_")
+                and (s[i + 1].isalpha() or s[i + 1] in '_"')
                 and (i + 1 >= n or s[i + 1] != ":")
                 and (i == 0 or s[i - 1] != ":")
             ):
@@ -1197,25 +1197,50 @@ class Translator:
                     k -= 1
                 base = "".join(base_chars)
                 if base and (base[0].isalpha() or base[0] in "_\"$"):
-                    j = i + 1
-                    while j < n and (s[j].isalnum() or s[j] in "_.$"):
-                        j += 1
-                    path = s[i + 1 : j]
-                    # fold [n] element access INTO the JSON path:
-                    # v:items[0].id -> $.items[0].id — leaving the
-                    # subscript outside would subscript the STRING that
+                    # segment walk: bare identifiers AND "quoted"
+                    # segments (props:"a"."b"), with [n] element access
+                    # folded INTO the JSON path — leaving the subscript
+                    # outside would subscript the STRING that
                     # get_json_object returns (AnalysisException)
-                    while j < n and s[j] == "[":
-                        im = re.match(r"\[\s*(\d+)\s*\]", s[j:])
-                        if not im:
-                            break
-                        path += f"[{im.group(1)}]"
-                        j += im.end()
-                        while j < n and (s[j].isalnum() or s[j] in "_.$"):
-                            path += s[j]
+                    j = i + 1
+                    path = ""
+                    while j < n:
+                        if s[j] == '"':
+                            k2 = s.find('"', j + 1)
+                            if k2 < 0:
+                                break
+                            seg = s[j + 1:k2]
+                            j = k2 + 1
+                            path += (("." if path else "") + seg
+                                     if re.fullmatch(r"[A-Za-z_$][\w$]*", seg)
+                                     else f"['{seg}']")
+                        else:
+                            sm2 = re.match(r"[A-Za-z_$][\w$]*", s[j:])
+                            if not sm2:
+                                break
+                            path += ("." if path else "") + sm2.group(0)
+                            j += sm2.end()
+                        while j < n and s[j] == "[":
+                            im = re.match(r"\[\s*(\d+)\s*\]", s[j:])
+                            if not im:
+                                break
+                            path += f"[{im.group(1)}]"
+                            j += im.end()
+                        if j < n and s[j] == "." and j + 1 < n and (
+                                s[j + 1].isalpha() or s[j + 1] in '_$"'):
                             j += 1
+                            continue
+                        break
+                    if not path:
+                        out.append(c)
+                        i += 1
+                        continue
                     del out[k:]
-                    out.append(f"get_json_object({base}, '$.{path}')")
+                    lead = "" if path.startswith("[") else "."
+                    # bracket segments carry single quotes — double them
+                    # so the emitted SQL string literal stays well-formed
+                    lit = f"${lead}{path}".replace("'", "''")
+                    out.append(f"get_json_object({base}, '{lit}')")
                     i = j
                     continue
             out.append(c)
@@ -1379,6 +1404,12 @@ class Translator:
         if fname == "FLATTEN":
             return f"explode({', '.join(args)})"
         if fname == "OBJECT_CONSTRUCT":
+            if len(args) == 1 and args[0].strip() == "*":
+                # OBJECT_CONSTRUCT(*): one object from all columns.
+                # to_json(struct(*)) drops NULL fields like Snowflake's
+                # non-KEEP_NULL form; key order follows column order
+                # (Snowflake sorts keys — documented divergence)
+                return "to_json(struct(*))"
             return f"to_json(named_struct({', '.join(args)}))"
         if fname == "TO_VARIANT" or fname == "PARSE_JSON":
             return f"CAST({args[0]} AS STRING)"

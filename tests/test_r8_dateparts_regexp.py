@@ -133,3 +133,18 @@ def test_select_star_rename(engine):
     assert [c.upper() for c in r.columns] == ["A", "NAME"]
     r = engine.execute("SELECT * RENAME b AS name FROM sr_t")
     assert [c.upper() for c in r.columns] == ["A", "C", "NAME"]
+
+
+def test_quoted_variant_path_segments(engine):
+    """props:"a"."b" and segments with spaces (bracket JSON-path form,
+    quote-escaped in the emitted literal); OBJECT_CONSTRUCT(*) builds
+    one object from all columns (null fields dropped)."""
+    engine.execute("CREATE TABLE qvp_t (id INTEGER, props VARIANT)")
+    engine.execute("""INSERT INTO qvp_t SELECT 1 AS id,
+        PARSE_JSON('{"a": {"b": 7}, "odd key": 5}') AS props""")
+    assert one(engine, 'SELECT props:"a"."b" AS v FROM qvp_t') == ("7",)
+    assert one(engine, 'SELECT props:"odd key" AS v FROM qvp_t') == ("5",)
+    assert one(engine, 'SELECT props:a."b" AS v FROM qvp_t') == ("7",)
+    [(o,)] = rows(engine, "SELECT OBJECT_CONSTRUCT(*) AS o FROM "
+                          "(SELECT 1 AS x, 'y' AS s, CAST(NULL AS INTEGER) AS z)")
+    assert o == '{"x":1,"s":"y"}'
