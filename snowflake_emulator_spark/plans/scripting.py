@@ -47,8 +47,11 @@ matches no enclosing loop raises a syntax error. OPEN/FETCH/CLOSE
 (r8): OPEN materializes the DECLAREd cursor's rows (row count capped
 at ``_MAX_LOOP_ITER``, binds resolved at OPEN — Snowflake
 semantics), FETCH past the last row sets its targets to NULL, FETCH
-on an unopened cursor errors. Remaining restriction (raises clearly,
-never silently misexecutes): ``OPEN ... USING`` bind lists.
+on an unopened cursor errors. OPEN ... USING (e1, e2) (r8 s2)
+evaluates each expression with script variables in scope and
+substitutes the cursor query's positional ``?`` binds in order —
+the scripting surface has no remaining NotImplementedError
+boundaries.
 Declared types are accepted but values stay
 dynamically typed (every expression evaluates through the engine's
 full Spark path, so type behavior is Spark's).
@@ -791,12 +794,37 @@ def _exec_stmt(engine, ctx, st: str, variables: dict):
         cur = variables.get(om.group(1).upper())
         if not isinstance(cur, _CursorDef):
             raise errors.object_not_found(f"cursor {om.group(1)}")
+        cur_sql = _subst(cur.sql, variables, bind_only=True)
         if om.group(2):
-            raise NotImplementedError(
-                "OPEN ... USING binds are not supported — interpolate via "
-                ":name substitution in the DECLARE'd cursor SQL instead")
+            # OPEN c USING (e1, e2, ...): each expression is evaluated
+            # with the script's variables in scope and substituted for
+            # the DECLARE'd query's positional `?` placeholders in order
+            # (Snowflake bind semantics; literal-injected like the
+            # engine's bindings layer)
+            from ..executor import _inside_string, sql_literal
+
+            ulist = re.sub(r"^\s*USING\s*", "", om.group(2).strip(), flags=re.I)
+            if ulist.startswith("(") and ulist.endswith(")"):
+                ulist = ulist[1:-1]
+            from .translator import Translator
+
+            vals = [_eval_expr(engine, ctx, piece.strip(), variables)
+                    for piece in Translator()._split_args(ulist) if piece.strip()]
+            qmarks = [idx for idx, ch in enumerate(cur_sql)
+                      if ch == "?" and not _inside_string(cur_sql, idx)]
+            if len(qmarks) != len(vals):
+                raise errors.invalid_parameter(
+                    f"OPEN {om.group(1)} USING supplies {len(vals)} values "
+                    f"but the cursor query has {len(qmarks)} '?' binds")
+            out_sql, prev = [], 0
+            for idx, v in zip(qmarks, vals):
+                out_sql.append(cur_sql[prev:idx])
+                out_sql.append(sql_literal(v))
+                prev = idx + 1
+            out_sql.append(cur_sql[prev:])
+            cur_sql = "".join(out_sql)
         res = engine.execute(
-            f"SELECT * FROM ({_subst(cur.sql, variables, bind_only=True)}) "
+            f"SELECT * FROM ({cur_sql}) "
             f"__cur LIMIT {_MAX_LOOP_ITER + 1}", ctx)
         if len(res.rows) > _MAX_LOOP_ITER:
             raise errors.invalid_parameter(

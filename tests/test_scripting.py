@@ -119,7 +119,8 @@ def test_procedure_dml_side_effects(engine):
 def test_scripting_restrictions_raise(engine):
     """Nested IF now WORKS (v3 depth-aware grouping); labeled
     BREAK/CONTINUE WORKS (r8) — an unmatched label is a syntax error;
-    the remaining restriction is OPEN ... USING."""
+    OPEN ... USING works (r8 s2) — no NotImplementedError boundaries
+    remain; a bind-count mismatch raises cleanly."""
     from snowflake_emulator_spark.errors import SnowflakeError
 
     ctx = SessionContext()
@@ -132,10 +133,38 @@ def test_scripting_restrictions_raise(engine):
         engine.execute(
             "EXECUTE IMMEDIATE $$ BEGIN "
             "WHILE (1 = 1) DO CONTINUE lbl; END WHILE; END $$", ctx)
-    with pytest.raises(NotImplementedError, match="USING"):
+    with pytest.raises(SnowflakeError, match="USING supplies"):
         engine.execute(
             "EXECUTE IMMEDIATE $$ DECLARE c1 CURSOR FOR SELECT 1; BEGIN "
             "OPEN c1 USING (1); RETURN 0; END $$", ctx)
+
+
+def test_open_cursor_using_binds(engine):
+    """OPEN c USING (e1, e2): expressions evaluate with script
+    variables in scope and substitute the cursor query's positional
+    `?` binds in order (r8 s2 — last scripting boundary lifted)."""
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE cur_using_t (id INTEGER, v VARCHAR)", ctx)
+    engine.execute(
+        "INSERT INTO cur_using_t VALUES (1,'a'),(2,'b'),(3,'c')", ctx)
+    res = engine.execute("""EXECUTE IMMEDIATE $$
+DECLARE
+  lo INTEGER DEFAULT 1;
+  total INTEGER DEFAULT 0;
+  got VARCHAR DEFAULT '';
+  c CURSOR FOR SELECT id, v FROM cur_using_t WHERE id > ? AND id <= ? ORDER BY id;
+  rid INTEGER; rv VARCHAR;
+BEGIN
+  OPEN c USING (lo, lo + 2);
+  FETCH c INTO rid, rv;
+  LET total := rid;  LET got := rv;
+  FETCH c INTO rid, rv;
+  LET total := total + rid;  LET got := got || rv;
+  CLOSE c;
+  RETURN total || ':' || got;
+END
+$$""", ctx)
+    assert _rows(res) == [("5:bc",)]
 
 
 def test_execute_immediate_session_variable(engine):
