@@ -75,7 +75,7 @@ _TT_UNAVAILABLE = ("Time travel data is not available for table {}. "
                    "travel period or before the object creation time.")
 
 
-_LAST_QID_RE = re.compile(r"\bLAST_QUERY_ID\s*\(\s*\)", re.I)
+_LAST_QID_RE = re.compile(r"\bLAST_QUERY_ID\s*\(\s*(-?\d+)?\s*\)", re.I)
 
 _CREATE_DB_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"$]+)"
@@ -527,7 +527,13 @@ class Executor:
         up = sql.upper()
         if "RESULT_SCAN" not in up and "LAST_QUERY_ID" not in up:
             return sql
-        sql = _LAST_QID_RE.sub(f"'{ctx.last_query_id or ''}'", sql)
+        # LAST_QUERY_ID() / LAST_QUERY_ID(-1) -> the session's most
+        # recent query id; other offsets (deeper history) return NULL
+        # (only the last id is tracked per session)
+        sql = _LAST_QID_RE.sub(
+            lambda m: (f"'{ctx.last_query_id or ''}'"
+                       if m.group(1) in (None, "-1", "1") else "NULL"),
+            sql)
 
         def repl(m: re.Match) -> str:
             return self._result_scan_view(m.group(1))

@@ -153,6 +153,7 @@ class Translator:
         s = self._rewrite_array_agg_within_group(s)
         s = self._rewrite_conditional_true_event(s)
         s = self._rewrite_conditional_change_event(s)
+        s = self._rewrite_interval_literals(s)
         # SELECT * EXCLUDE (a, b) -> Spark's * EXCEPT (a, b); Snowflake
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)
@@ -507,6 +508,60 @@ class Translator:
     # parent side. LEVEL is exposed as a real column. Each recursion
     # round is one hash join against the (small) frontier — the same
     # shape Spark gives hand-written WITH RECURSIVE.
+    # Snowflake interval literals: comma-separated multi-part bodies
+    # ('1 day, 2 hours') and abbreviated/short units ('3 h', '90 s',
+    # bare quantity = seconds). Spark's parser wants space-separated
+    # full unit names.
+    _INTERVAL_LIT_RE = re.compile(r"\bINTERVAL\s+'([^']*)'", re.I)
+    _INTERVAL_UNITS = {
+        "y": "year", "yy": "year", "yyy": "year", "yyyy": "year",
+        "yr": "year", "yrs": "years", "year": "year", "years": "years",
+        "q": "quarter", "qtr": "quarter", "qtrs": "quarters",
+        "quarter": "quarter", "quarters": "quarters",
+        "mm": "month", "mon": "month", "mons": "months",
+        "month": "month", "months": "months",
+        "w": "week", "wk": "week", "weekofyear": "week",
+        "week": "week", "weeks": "weeks",
+        "d": "day", "dd": "day", "day": "day", "days": "days",
+        "h": "hour", "hh": "hour", "hr": "hour", "hrs": "hours",
+        "hour": "hour", "hours": "hours",
+        "m": "minute", "mi": "minute", "min": "minute", "mins": "minutes",
+        "minute": "minute", "minutes": "minutes",
+        "s": "second", "sec": "second", "secs": "seconds",
+        "second": "second", "seconds": "seconds",
+        "ms": "millisecond", "msec": "millisecond",
+        "millisecond": "millisecond", "milliseconds": "milliseconds",
+        "us": "microsecond", "usec": "microsecond",
+        "microsecond": "microsecond", "microseconds": "microseconds",
+    }
+
+    def _rewrite_interval_literals(self, s: str) -> str:
+        if "INTERVAL" not in s.upper():
+            return s
+
+        def repl(m: re.Match) -> str:
+            # odd count of quotes before the match = inside a string
+            # literal (''-escapes contribute two, preserving parity)
+            if s[:m.start()].count("'") % 2 == 1:
+                return m.group(0)
+            parts_out = []
+            for part in m.group(1).split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                pm = re.match(r"^(-?\d+(?:\.\d+)?)\s*([A-Za-z]+)?$", part)
+                if not pm:
+                    return m.group(0)  # not a Snowflake quantity form
+                unit = self._INTERVAL_UNITS.get((pm.group(2) or "s").lower())
+                if unit is None:
+                    return m.group(0)
+                parts_out.append(f"{pm.group(1)} {unit}")
+            if not parts_out:
+                return m.group(0)
+            return f"INTERVAL '{' '.join(parts_out)}'"
+
+        return self._INTERVAL_LIT_RE.sub(repl, s)
+
     def _rewrite_connect_by(self, s: str) -> str:
         up = s.upper()
         if "CONNECT BY" not in up or "START WITH" not in up:
@@ -2233,6 +2288,10 @@ class Translator:
             # of a timestamp takes its time portion); TO_TIME stays
             # strict on garbage via the non-try final branch.
             fn_ts = "try_to_timestamp" if fname.startswith("TRY") else "to_timestamp"
+            if len(args) == 2:
+                # TO_TIME(s, 'HH24-MI-SS'): Snowflake format picture
+                return (f"date_format({fn_ts}({args[0]}, "
+                        f"{convert_snowflake_datefmt(args[1])}), 'HH:mm:ss')")
             return (f"date_format(coalesce("
                     f"try_to_timestamp({args[0]}, 'H:m:s'), "
                     f"{fn_ts}({args[0]})), 'HH:mm:ss')")

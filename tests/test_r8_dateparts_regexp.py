@@ -148,3 +148,37 @@ def test_quoted_variant_path_segments(engine):
     [(o,)] = rows(engine, "SELECT OBJECT_CONSTRUCT(*) AS o FROM "
                           "(SELECT 1 AS x, 'y' AS s, CAST(NULL AS INTEGER) AS z)")
     assert o == '{"x":1,"s":"y"}'
+
+
+def test_snowflake_interval_literal_forms(engine):
+    """Comma-separated multi-part bodies and abbreviated units map onto
+    Spark's space-separated full-name interval grammar; a bare quantity
+    means seconds (Snowflake default)."""
+    import datetime
+
+    assert one(engine, "SELECT '2024-01-01'::TIMESTAMP + "
+                       "INTERVAL '1 day, 2 hours' AS v") == (
+        datetime.datetime(2024, 1, 2, 2, 0),)
+    assert one(engine, "SELECT '2024-01-01'::TIMESTAMP + INTERVAL '3 h' AS v") == (
+        datetime.datetime(2024, 1, 1, 3, 0),)
+    assert one(engine, "SELECT '2024-01-01'::TIMESTAMP + INTERVAL '90' AS v") == (
+        datetime.datetime(2024, 1, 1, 0, 1, 30),)
+    # interval text inside a string literal is data, not a literal
+    assert one(engine, "SELECT 'INTERVAL ''3 h''' AS v") == ("INTERVAL '3 h'",)
+
+
+def test_to_time_with_format_picture(engine):
+    assert one(engine, "SELECT TO_TIME('13-45-10', 'HH24-MI-SS') AS v") == (
+        "13:45:10",)
+    assert one(engine, "SELECT TRY_TO_TIME('13-45-10', 'HH24-MI-SS') AS v") == (
+        "13:45:10",)
+
+
+def test_last_query_id_offsets(engine):
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    res = engine.execute("SELECT 1 AS x", ctx)
+    assert engine.execute("SELECT LAST_QUERY_ID(-1) AS v", ctx).rows[0][0] == res.query_id
+    # deeper history is not tracked per session: NULL, not an error
+    assert engine.execute("SELECT LAST_QUERY_ID(-2) AS v", ctx).rows[0][0] is None
