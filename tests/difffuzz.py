@@ -194,6 +194,19 @@ TEMPLATES = [
      "CAST(epoch({ts}) AS BIGINT)", lambda r: {"ts": _TS_COL}),
     ("date", "CAST(DATE_PART('dayofyear', {ts}) AS BIGINT)",
      "CAST(dayofyear({ts}) AS BIGINT)", lambda r: {"ts": _TS_COL}),
+    # r8 s2: Snowflake interval-literal forms (comma multi-part, short
+    # units, bare-quantity seconds) vs DuckDB's native interval grammar
+    ("date", "{ts} + INTERVAL '{n} {u}'",
+     "{ts} + INTERVAL '{n}' {ud}",
+     lambda r: (lambda n, pair: {"ts": _TS_COL, "n": n,
+                                 "u": pair[0], "ud": pair[1]})(
+         r.choice([1, 3, 12, -2]),
+         r.choice([("d", "DAY"), ("h", "HOUR"), ("mm", "MONTH"),
+                   ("min", "MINUTE"), ("s", "SECOND"), ("wk", "WEEK")]))),
+    ("date", "{ts} + INTERVAL '{n} day, {h} hours'",
+     "{ts} + INTERVAL '{n}' DAY + INTERVAL '{h}' HOUR",
+     lambda r: {"ts": _TS_COL, "n": r.choice([1, 5]),
+                "h": r.choice([2, 26])}),
     # r8 session-2: REGEXP_SUBSTR capture-group forms
     ("regexp", "REGEXP_SUBSTR({sc}, '([a-z])([a-z])', 1, {occ}, 'e', {grp})",
      "regexp_extract(regexp_extract_all({sc}, '([a-z])([a-z])')[{occ}], "
