@@ -213,6 +213,18 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(OVERWRITE\s+)?INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
+# Snowflake multi-table insert: INSERT [OVERWRITE] ALL|FIRST
+#   [WHEN cond THEN] INTO t [(cols)] [VALUES (exprs)] ...
+#   [ELSE INTO t ...] SELECT ...
+_INSERT_MULTI_RE = re.compile(
+    r"^\s*INSERT\s+(OVERWRITE\s+)?(ALL|FIRST)\s+(.+?)\s*((?:SELECT|WITH)\b.*)$",
+    re.I | re.S,
+)
+_INSERT_MULTI_CLAUSE_RE = re.compile(
+    r"(?:(ELSE)\s+|WHEN\s+(.+?)\s+THEN\s+)?INTO\s+([\w.\"$]+)\s*"
+    r"(?:\(([^)]*)\)\s*)?(?:VALUES\s*\(([^)]*)\)\s*)?",
+    re.I | re.S,
+)
 _CREATE_TABLE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.\"$]+)\s+LIKE\s+([\w.\"$]+)\s*$",
     re.I,
@@ -1765,6 +1777,10 @@ class Executor:
     # ------------------------------------------------------------------
 
     def _ddl(self, sql: str, ctx: SessionContext) -> Result:
+        # COPY GRANTS is metadata-only here (grants are unenforced
+        # records): accept and strip it anywhere in a CREATE statement
+        if re.search(r"\bCOPY\s+GRANTS\b", sql, re.I):
+            sql = re.sub(r"\s*\bCOPY\s+GRANTS\b", "", sql, flags=re.I)
         up = sql.upper()
         m = _CREATE_DB_RE.match(sql)
         if m:
@@ -2521,6 +2537,9 @@ class Executor:
         sql = self._rewrite_context_fns(sql, ctx)
         sql = self._substitute_variables(sql, ctx)
         sql = self._expand_udfs(sql, ctx)
+        m = _INSERT_MULTI_RE.match(sql)
+        if m:
+            return self._insert_multi(m, ctx)
         m = _INSERT_RE.match(sql)
         if m:
             return self._insert(m, ctx)
@@ -2544,11 +2563,123 @@ class Executor:
             return Result.status("Statement executed successfully.")
         raise errors.syntax_error(f"unsupported DML: {sql[:80]}")
 
+    def _fill_values_defaults(self, body: str, tm, col_list) -> str:
+        """Replace bare DEFAULT tokens in a VALUES body with the target
+        column's declared default (or NULL) by position."""
+        if not re.search(r"\bDEFAULT\b", body, re.I):
+            return body
+        from .plans.translator import match_paren
+
+        t = Translator()
+        names = col_list or [c.name.upper() for c in tm.columns]
+        defaults = {c.name.upper(): (c.default if c.default is not None else "NULL")
+                    for c in tm.columns}
+        out, i, n = [], 0, len(body)
+        while i < n:
+            ch = body[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if body[j] == "'":
+                        if j + 1 < n and body[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(body[i:j + 1])
+                i = j + 1
+                continue
+            if ch == "(":
+                close = match_paren(body, i)
+                if close > i:
+                    args = t._split_args(body[i + 1:close])
+                    if any(a.strip().upper() == "DEFAULT" for a in args):
+                        filled = [
+                            defaults.get(names[k], "NULL")
+                            if (a.strip().upper() == "DEFAULT" and k < len(names))
+                            else a
+                            for k, a in enumerate(args)]
+                        out.append("(" + ", ".join(x.strip() for x in filled) + ")")
+                        i = close + 1
+                        continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def _insert_multi(self, m: re.Match, ctx: SessionContext) -> Result:
+        """Snowflake multi-table INSERT ALL|FIRST (beyond reference):
+        the source SELECT is scanned ONCE (cached), each INTO clause
+        appends its (optionally WHEN-filtered, optionally VALUES-mapped)
+        projection. FIRST routes each row to only the first matching
+        WHEN branch (implemented as cumulative NOT-previous filters);
+        ELSE catches rows no WHEN matched."""
+        overwrite = bool(m.group(1))
+        first_mode = m.group(2).upper() == "FIRST"
+        clauses_src, select_src = m.group(3), m.group(4)
+        clauses = []
+        pos = 0
+        while pos < len(clauses_src):
+            cm = _INSERT_MULTI_CLAUSE_RE.match(clauses_src, pos)
+            if not cm or cm.end() == pos:
+                if clauses_src[pos:].strip():
+                    raise errors.syntax_error(
+                        f"bad multi-insert clause: {clauses_src[pos:pos + 50]}")
+                break
+            clauses.append((bool(cm.group(1)), cm.group(2), cm.group(3),
+                            cm.group(4), cm.group(5)))
+            pos = cm.end()
+        if not clauses:
+            raise errors.syntax_error("multi-insert has no INTO clause")
+        src = self.query_df(select_src, ctx)
+        src = src.cache()
+        try:
+            total = 0
+            prev_conds: list[str] = []
+            for is_else, cond, tname, cols, values in clauses:
+                tm = self.catalog.get_table(tname, ctx.database, ctx.schema)
+                branch = src
+                cond_expr = (self.translator.translate_expr(cond)
+                             if cond else None)
+                if is_else:
+                    # rows no WHEN matched
+                    if prev_conds:
+                        branch = branch.filter(
+                            "NOT (" + " OR ".join(f"({c})" for c in prev_conds) + ")")
+                elif cond_expr is not None:
+                    f = cond_expr
+                    if first_mode and prev_conds:
+                        f = (f"({f}) AND NOT ("
+                             + " OR ".join(f"({c})" for c in prev_conds) + ")")
+                    branch = branch.filter(f)
+                    prev_conds.append(cond_expr)
+                if values:
+                    exprs = [self.translator.translate_expr(a.strip())
+                             for a in Translator()._split_args(values)]
+                    branch = branch.selectExpr(*[
+                        f"({e}) AS __mi_{k}" for k, e in enumerate(exprs)])
+                col_list = ([c.strip().upper() for c in cols.split(",")]
+                            if cols else None)
+                n = branch.count()
+                aligned = self._align_insert_columns(
+                    tm, branch.toDF(*[c.name for c in tm.columns][:len(branch.columns)])
+                    if col_list is None and values else branch, col_list)
+                self.catalog.write_table(
+                    tm, aligned, mode="overwrite" if overwrite else "append")
+                total += n
+            self.sync_namespace_views(ctx)
+            r = Result(columns=["number of rows inserted"], rows=[[total]])
+            r.rows_inserted = total
+            return r
+        finally:
+            src.unpersist()
+
     def _insert(self, m: re.Match, ctx: SessionContext) -> Result:
         overwrite = bool(m.group(1))  # INSERT OVERWRITE truncates first
         tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
         col_list = [c.strip().upper() for c in m.group(3).split(",")] if m.group(3) else None
         body = m.group(4)
+        if body.upper().startswith("VALUES"):
+            body = self._fill_values_defaults(body, tm, col_list)
         src = self.query_df(body, ctx) if not body.upper().startswith("VALUES") else self.spark.sql(
             self.translator.translate_expr(self._rewrite_nextval_literal(body, ctx))
         )

@@ -1,0 +1,71 @@
+"""Snowflake multi-table INSERT ALL|FIRST (r8 s2, beyond reference):
+one source scan (cached), per-clause WHEN filters and VALUES mappings,
+FIRST's first-match-only routing, ELSE catch-all. Plus DEFAULT tokens
+in single-table VALUES and COPY GRANTS acceptance."""
+
+import pytest
+
+from snowflake_emulator_spark import errors
+
+
+def rows(engine, sql):
+    return [tuple(r) for r in engine.execute(sql).rows]
+
+
+def test_unconditional_all(engine):
+    engine.execute("CREATE TABLE mt_a (a INTEGER, b VARCHAR)")
+    engine.execute("CREATE TABLE mt_b (a INTEGER, b VARCHAR)")
+    r = engine.execute("INSERT ALL INTO mt_a INTO mt_b SELECT 1 AS a, 'x' AS b")
+    assert r.rows == [[2]]
+    assert rows(engine, "SELECT * FROM mt_a") == [(1, "x")]
+    assert rows(engine, "SELECT * FROM mt_b") == [(1, "x")]
+
+
+def test_conditional_all_with_else_and_values(engine):
+    engine.execute("CREATE TABLE mt_small (x INTEGER)")
+    engine.execute("CREATE TABLE mt_big (x INTEGER)")
+    engine.execute("CREATE TABLE mt_other (x INTEGER)")
+    r = engine.execute("""INSERT ALL
+      WHEN v < 10 THEN INTO mt_small (x) VALUES (v)
+      WHEN v < 100 THEN INTO mt_big (x) VALUES (v * 10)
+      ELSE INTO mt_other (x) VALUES (v)
+    SELECT v FROM (SELECT 5 AS v UNION ALL SELECT 50 UNION ALL SELECT 500)""")
+    assert r.rows == [[4]]
+    assert rows(engine, "SELECT * FROM mt_small") == [(5,)]
+    assert rows(engine, "SELECT * FROM mt_big ORDER BY x") == [(50,), (500,)]
+    assert rows(engine, "SELECT * FROM mt_other") == [(500,)]
+
+
+def test_first_routes_to_first_match_only(engine):
+    engine.execute("CREATE TABLE mt_f1 (x INTEGER)")
+    engine.execute("CREATE TABLE mt_f2 (x INTEGER)")
+    r = engine.execute("""INSERT FIRST
+      WHEN v < 100 THEN INTO mt_f1 (x) VALUES (v)
+      WHEN v < 1000 THEN INTO mt_f2 (x) VALUES (v)
+    SELECT v FROM (SELECT 5 AS v UNION ALL SELECT 500)""")
+    assert r.rows == [[2]]
+    assert rows(engine, "SELECT * FROM mt_f1") == [(5,)]
+    assert rows(engine, "SELECT * FROM mt_f2") == [(500,)]
+
+
+def test_multi_insert_without_into_errors(engine):
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("INSERT ALL SELECT 1 AS v")
+
+
+def test_values_default_token(engine):
+    engine.execute("CREATE TABLE dv_t (a INTEGER, b VARCHAR DEFAULT 'dd')")
+    engine.execute("INSERT INTO dv_t VALUES (1, DEFAULT), (2, 'x')")
+    assert rows(engine, "SELECT * FROM dv_t ORDER BY a") == [
+        (1, "dd"), (2, "x")]
+    # DEFAULT on a column without a declared default becomes NULL
+    engine.execute("INSERT INTO dv_t VALUES (DEFAULT, 'y')")
+    assert rows(engine, "SELECT b FROM dv_t WHERE a IS NULL") == [("y",)]
+    # the word DEFAULT inside a string literal is data
+    engine.execute("INSERT INTO dv_t VALUES (4, 'DEFAULT')")
+    assert rows(engine, "SELECT b FROM dv_t WHERE a = 4") == [("DEFAULT",)]
+
+
+def test_copy_grants_accepted(engine):
+    engine.execute("CREATE OR REPLACE TABLE cg_t COPY GRANTS AS SELECT 1 AS k")
+    assert rows(engine, "SELECT COUNT(*) AS n FROM cg_t") == [(1,)]
