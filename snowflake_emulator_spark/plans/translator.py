@@ -154,6 +154,16 @@ class Translator:
         s = self._rewrite_conditional_true_event(s)
         s = self._rewrite_conditional_change_event(s)
         s = self._rewrite_interval_literals(s)
+        # Snowflake allows IGNORE|RESPECT NULLS INSIDE the window
+        # function's parens (LAST_VALUE(v IGNORE NULLS)); Spark wants it
+        # outside — move it (args without nested parens only: the inner
+        # form with complex args still parses via the postfix spelling)
+        s = re.sub(
+            r"\b(FIRST_VALUE|LAST_VALUE|NTH_VALUE|LAG|LEAD)\s*"
+            r"\(([^()']*?)\s+(IGNORE|RESPECT)\s+NULLS\s*\)",
+            lambda m: (m.group(0) if s[:m.start()].count("'") % 2 == 1
+                       else f"{m.group(1)}({m.group(2)}) {m.group(3)} NULLS"),
+            s, flags=re.I)
         # SELECT * EXCLUDE (a, b) -> Spark's * EXCEPT (a, b); Snowflake
         # also allows the parenless single-column form
         s = re.sub(r"(\*\s+)EXCLUDE\s*\(", r"\1EXCEPT (", s, flags=re.I)

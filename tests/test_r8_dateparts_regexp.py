@@ -182,3 +182,17 @@ def test_last_query_id_offsets(engine):
     assert engine.execute("SELECT LAST_QUERY_ID(-1) AS v", ctx).rows[0][0] == res.query_id
     # deeper history is not tracked per session: NULL, not an error
     assert engine.execute("SELECT LAST_QUERY_ID(-2) AS v", ctx).rows[0][0] is None
+
+
+def test_ignore_nulls_inside_parens(engine):
+    """Snowflake allows IGNORE|RESPECT NULLS inside the window
+    function's parens; Spark wants it outside — the translator moves it
+    (string literals untouched)."""
+    engine.execute("CREATE TABLE inw_t (g INTEGER, v INTEGER)")
+    engine.execute("INSERT INTO inw_t VALUES (1,10),(1,NULL),(1,30)")
+    assert one(engine,
+               "SELECT LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY v "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv "
+               "FROM inw_t LIMIT 1") == (30,)
+    assert one(engine, "SELECT 'LAST_VALUE(v IGNORE NULLS)' AS s") == (
+        "LAST_VALUE(v IGNORE NULLS)",)
