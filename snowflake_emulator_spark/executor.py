@@ -2659,13 +2659,18 @@ class Executor:
                         f"({e}) AS __mi_{k}" for k, e in enumerate(exprs)])
                 col_list = ([c.strip().upper() for c in cols.split(",")]
                             if cols else None)
-                n = branch.count()
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                # count rides the write (no extra action per target)
+                obs = Observation()
+                branch = branch.observe(obs, F.count(F.lit(1)).alias("n"))
                 aligned = self._align_insert_columns(
                     tm, branch.toDF(*[c.name for c in tm.columns][:len(branch.columns)])
                     if col_list is None and values else branch, col_list)
                 self.catalog.write_table(
                     tm, aligned, mode="overwrite" if overwrite else "append")
-                total += n
+                total += int(obs.get["n"])
             self.sync_namespace_views(ctx)
             r = Result(columns=["number of rows inserted"], rows=[[total]])
             r.rows_inserted = total
