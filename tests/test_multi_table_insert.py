@@ -69,3 +69,19 @@ def test_values_default_token(engine):
 def test_copy_grants_accepted(engine):
     engine.execute("CREATE OR REPLACE TABLE cg_t COPY GRANTS AS SELECT 1 AS k")
     assert rows(engine, "SELECT COUNT(*) AS n FROM cg_t") == [(1,)]
+
+
+def test_multi_insert_rolls_back_atomically(engine):
+    """Both targets' writes are dirty-captured under an open
+    transaction; ROLLBACK restores both."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE mtx1 (x INTEGER)", ctx)
+    engine.execute("CREATE TABLE mtx2 (x INTEGER)", ctx)
+    engine.execute("BEGIN", ctx)
+    engine.execute("INSERT ALL INTO mtx1 INTO mtx2 SELECT 7 AS x", ctx)
+    assert rows(engine, "SELECT COUNT(*) AS n FROM mtx1") == [(1,)]
+    engine.execute("ROLLBACK", ctx)
+    assert rows(engine, "SELECT COUNT(*) AS n FROM mtx1") == [(0,)]
+    assert rows(engine, "SELECT COUNT(*) AS n FROM mtx2") == [(0,)]
