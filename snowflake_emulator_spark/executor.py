@@ -208,7 +208,8 @@ _EXECUTE_TASK_RE = re.compile(r"^\s*EXECUTE\s+TASK\s+([\w.\"$]+)\s*$", re.I)
 # Snowflake stream metadata columns: Spark SQL needs them backticked
 # (unquoted identifiers cannot contain '$')
 _STREAM_META_RE = re.compile(r"(?<!`)\bMETADATA\$(ACTION|ISUPDATE|ROW_ID)\b", re.I)
-_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"$]+)\s*$", re.I)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(IF\s+EXISTS\s+)?([\w.\"$]+)\s*$", re.I)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(OVERWRITE\s+)?INTO\s+([\w.\"$]+)\s*(?:\(([^)]*)\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
@@ -245,6 +246,12 @@ _ALTER_TABLE_RENAME_COL_RE = re.compile(
 _COMMENT_ON_RE = re.compile(
     r"^\s*COMMENT\s+ON\s+TABLE\s+([\w.\"$]+)\s+IS\s+'([^']*)'\s*$", re.I
 )
+_COMMENT_ON_COLUMN_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+COLUMN\s+([\w.\"$]+)\.([\w\"$]+)\s+IS\s+'([^']*)'\s*$",
+    re.I,
+)
+_ALTER_VIEW_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+([\w.\"$]+)\s+RENAME\s+TO\s+([\w.\"$]+)\s*$", re.I)
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([\w.\"$]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", re.I | re.S
 )
@@ -2230,6 +2237,36 @@ class Executor:
         if m:
             self.catalog.alter_table_comment(m.group(1), m.group(2), ctx.database, ctx.schema)
             return Result.status("Statement executed successfully.")
+        m = _COMMENT_ON_COLUMN_RE.match(sql)
+        if m:
+            from .naming import normalize_ident
+
+            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            cname = normalize_ident(m.group(2))
+            col = next((c for c in tm.columns if c.name.upper() == cname), None)
+            if col is None:
+                raise errors.object_not_found(f"column {cname} in {tm.name}")
+            col.comment = m.group(3)
+            self.catalog.mutation += 1
+            return Result.status("Statement executed successfully.")
+        m = _ALTER_VIEW_RENAME_RE.match(sql)
+        if m:
+            vm = self.catalog.get_view(m.group(1), ctx.database, ctx.schema)
+            new_key = self.catalog.resolve(m.group(2), ctx.database, ctx.schema)
+            with self.catalog._lock:
+                if new_key in self.catalog.views or new_key in self.catalog.tables:
+                    raise errors.object_exists(".".join(new_key))
+                old_key = (vm.database, vm.schema, vm.name)
+                del self.catalog.views[old_key]
+                vm.database, vm.schema, vm.name = new_key
+                self.catalog.views[new_key] = vm
+                self.catalog.mutation += 1
+            try:  # the old bare-name registration must stop resolving
+                self.spark.catalog.dropTempView(old_key[2])
+            except Exception:
+                pass
+            self.sync_namespace_views(ctx)
+            return Result.status("Statement executed successfully.")
         m = _ALTER_TABLE_RETENTION_RE.match(sql)
         if m:
             tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
@@ -2557,7 +2594,10 @@ class Executor:
             return self._delete(m, ctx)
         m = _TRUNCATE_RE.match(sql)
         if m:
-            tm = self.catalog.get_table(m.group(1), ctx.database, ctx.schema)
+            if m.group(1) and not self.catalog.has_table(
+                    m.group(2), ctx.database, ctx.schema):
+                return Result.status("Statement executed successfully.")
+            tm = self.catalog.get_table(m.group(2), ctx.database, ctx.schema)
             self.catalog.write_table(tm, self.spark.createDataFrame([], tm.spark_schema()))
             self.sync_namespace_views(ctx)
             return Result.status("Statement executed successfully.")
@@ -3151,6 +3191,32 @@ class Executor:
         raise errors.syntax_error(f"unsupported SHOW: {sql[:60]}")
 
     def _describe(self, sql: str, ctx: SessionContext) -> Result:
+        dbm_ = re.match(r"^\s*DESC(?:RIBE)?\s+DATABASE\s+([\w\"$]+)\s*$", sql, re.I)
+        if dbm_:
+            from .naming import normalize_ident
+
+            db = normalize_ident(dbm_.group(1))
+            if db not in self.catalog.databases:
+                raise errors.object_not_found(db)
+            rows = [[sch, "SCHEMA"] for (d, sch) in sorted(self.catalog.schemas)
+                    if d == db]
+            return Result(columns=["name", "kind"], rows=rows)
+        scm_ = re.match(
+            r"^\s*DESC(?:RIBE)?\s+SCHEMA\s+([\w.\"$]+)\s*$", sql, re.I)
+        if scm_:
+            from .naming import normalize_ident
+
+            parts = [normalize_ident(p) for p in scm_.group(1).split(".")]
+            db, sch = (parts[0], parts[1]) if len(parts) == 2 else (ctx.database, parts[0])
+            if (db, sch) not in self.catalog.schemas:
+                raise errors.object_not_found(f"{db}.{sch}")
+            rows = [[name, tm.kind]
+                    for (d, s, name), tm in sorted(self.catalog.tables.items())
+                    if d == db and s == sch]
+            rows += [[name, "VIEW"]
+                     for (d, s, name) in sorted(self.catalog.views)
+                     if d == db and s == sch]
+            return Result(columns=["name", "kind"], rows=rows)
         rm_ = re.match(
             r"^\s*DESC(?:RIBE)?\s+RESULT\s+(?:'([^']+)'|LAST_QUERY_ID\s*\(\s*\))\s*$",
             sql, re.I)

@@ -122,3 +122,27 @@ def test_alter_column_unknown_column_errors(engine):
     engine.execute("CREATE TABLE uk_t (id INTEGER)")
     with pytest.raises(errors.SnowflakeError):
         engine.execute("ALTER TABLE uk_t ALTER COLUMN ghost SET NOT NULL")
+
+
+def test_comment_on_column_and_desc_namespace(engine):
+    engine.execute("CREATE TABLE cc_t (a INTEGER)")
+    engine.execute("COMMENT ON COLUMN cc_t.a IS 'the a column'")
+    d = engine.execute("DESCRIBE DATABASE test_db")
+    assert ["PUBLIC"] == sorted({r[0] for r in d.rows if r[0] == "PUBLIC"})
+    s = engine.execute("DESCRIBE SCHEMA public")
+    assert ("CC_T", "TABLE") in {tuple(r) for r in s.rows}
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("COMMENT ON COLUMN cc_t.ghost IS 'x'")
+
+
+def test_truncate_if_exists_and_alter_view_rename(engine):
+    engine.execute("CREATE TABLE tr_t (a INTEGER)")
+    engine.execute("INSERT INTO tr_t VALUES (1)")
+    engine.execute("TRUNCATE TABLE IF EXISTS tr_t")
+    assert rows(engine, "SELECT COUNT(*) AS n FROM tr_t") == [(0,)]
+    engine.execute("TRUNCATE TABLE IF EXISTS ghost_t")  # silent no-op
+    engine.execute("CREATE VIEW rv AS SELECT 7 AS x")
+    engine.execute("ALTER VIEW rv RENAME TO rv2")
+    assert rows(engine, "SELECT x FROM rv2") == [(7,)]
+    with pytest.raises(errors.SnowflakeError):
+        engine.execute("SELECT x FROM rv")
