@@ -1893,6 +1893,36 @@ class Executor:
             self._alias_cache.pop(tm.name, None)
             self.sync_namespace_views(ctx)
             return Result.status(f"Table {m.group(1).upper()} successfully restored.")
+        m = re.match(
+            r"^\s*GRANT\s+([\w\s,]+?)\s+ON\s+(ALL|FUTURE)\s+"
+            r"(TABLES|VIEWS)\s+IN\s+SCHEMA\s+([\w.\"$]+)\s+TO\s+"
+            r"(ROLE|USER)\s+([\w\"$]+)\s*$", sql, re.I)
+        if m:
+            # GRANT ... ON ALL|FUTURE TABLES|VIEWS IN SCHEMA s: ALL
+            # expands to one record per existing object; FUTURE records
+            # a schema-level marker (grants are unenforced metadata —
+            # reference parity is the record + SHOW GRANTS surface)
+            privs = [p.strip().upper() for p in m.group(1).split(",")]
+            scope_kind = m.group(2).upper()
+            otype = m.group(3).upper().rstrip("S")
+            parts = [p.strip('"').upper() for p in m.group(4).split(".")]
+            db, sch = (parts[0], parts[1]) if len(parts) == 2 else (ctx.database, parts[0])
+            grantee = (m.group(5).upper(), m.group(6).strip('"').upper())
+            with self.catalog._lock:
+                if scope_kind == "FUTURE":
+                    targets = [f"{db}.{sch}.<FUTURE {otype}S>"]
+                elif otype == "TABLE":
+                    targets = [f"{d}.{s}.{t}" for (d, s, t) in self.catalog.tables
+                               if d == db and s == sch]
+                else:
+                    targets = [f"{d}.{s}.{v}" for (d, s, v) in self.catalog.views
+                               if d == db and s == sch]
+                for p in privs:
+                    for t in targets:
+                        g = (p, otype, t, grantee[0], grantee[1])
+                        if g not in self.catalog.grants:
+                            self.catalog.grants.append(g)
+            return Result.status("Statement executed successfully.")
         m = _GRANT_RE.match(sql)
         if m:
             privs = [p.strip().upper() for p in m.group(1).split(",")]

@@ -204,3 +204,18 @@ def test_show_in_scope(engine):
     # SHOW COLUMNS IN <table> keeps its table-form IN
     cols = engine.execute("SHOW COLUMNS IN local_scope_t", ctx)
     assert [r[2] for r in cols.rows] == ["ID"]
+
+
+def test_grant_all_and_future_in_schema(engine):
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE gr_a (x INTEGER)", ctx)
+    engine.execute("CREATE TABLE gr_b (x INTEGER)", ctx)
+    engine.execute("GRANT SELECT ON ALL TABLES IN SCHEMA public TO ROLE an1", ctx)
+    got = {r[2] for r in engine.execute("SHOW GRANTS TO ROLE an1", ctx).rows}
+    assert {"TEST_DB.PUBLIC.GR_A", "TEST_DB.PUBLIC.GR_B"} <= got
+    engine.execute("GRANT SELECT, INSERT ON FUTURE TABLES IN SCHEMA public "
+                   "TO ROLE ld1", ctx)
+    rows_ = engine.execute("SHOW GRANTS TO ROLE ld1", ctx).rows
+    assert {(r[0], r[2]) for r in rows_} == {
+        ("SELECT", "TEST_DB.PUBLIC.<FUTURE TABLES>"),
+        ("INSERT", "TEST_DB.PUBLIC.<FUTURE TABLES>")}
