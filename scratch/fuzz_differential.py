@@ -105,6 +105,12 @@ def main():
     failures += run_mr_cases(eng.executor, con, mr_cases)
     print(f"match-recognize sweep: {len(mr_cases)} cases done", flush=True)
 
+    from difffuzz import generate_script_cases, run_script_cases
+    sc_cases = generate_script_cases(SEED + 8, max(COUNT // 20, 8))
+    n_cases += len(sc_cases)
+    failures += run_script_cases(eng, sc_cases)
+    print(f"scripting sweep: {len(sc_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

@@ -813,6 +813,92 @@ FROM m WHERE len(ms) > 0 AND user_id <= {umax} ORDER BY user_id"""
     return out
 
 
+def generate_script_cases(seed: int, count: int) -> list[tuple[str, str, int]]:
+    """Generative Snowflake-Scripting cases (r8 s2): random small
+    control-flow scripts (FOR ranges, nested grids, IF filters,
+    CONTINUE, WHILE counters, labeled BREAK) whose integer result is
+    computed independently in Python — a differential gate for the
+    scripting engine itself, not just the SQL it embeds."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(count):
+        kind = rng.choice(["for_sum", "for_if", "nested", "while",
+                           "continue", "labeled_break"])
+        if kind == "for_sum":
+            a, b, k = rng.randint(0, 3), rng.randint(4, 9), rng.randint(1, 5)
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"FOR i IN {a} TO {b} DO LET t := t + i * {k}; END FOR; "
+                      f"RETURN t; END")
+            expect = sum(i * k for i in range(a, b + 1))
+        elif kind == "for_if":
+            a, b, m = 0, rng.randint(6, 12), rng.choice([2, 3])
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"FOR i IN {a} TO {b} DO "
+                      f"IF (i % {m} = 0) THEN LET t := t + i; END IF; "
+                      f"END FOR; RETURN t; END")
+            expect = sum(i for i in range(a, b + 1) if i % m == 0)
+        elif kind == "nested":
+            n1, n2 = rng.randint(2, 4), rng.randint(2, 4)
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"FOR i IN 1 TO {n1} DO FOR j IN 1 TO {n2} DO "
+                      f"LET t := t + i * j; END FOR; END FOR; RETURN t; END")
+            expect = sum(i * j for i in range(1, n1 + 1)
+                         for j in range(1, n2 + 1))
+        elif kind == "while":
+            lim, step = rng.randint(5, 20), rng.choice([2, 3, 5])
+            script = (f"DECLARE t INTEGER DEFAULT 0; c INTEGER DEFAULT 0; BEGIN "
+                      f"WHILE (c < {lim}) DO LET c := c + {step}; "
+                      f"LET t := t + c; END WHILE; RETURN t; END")
+            expect, c = 0, 0
+            while c < lim:
+                c += step
+                expect += c
+        elif kind == "continue":
+            b, m = rng.randint(5, 10), rng.choice([2, 3])
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"FOR i IN 1 TO {b} DO "
+                      f"IF (i % {m} = 0) THEN CONTINUE; END IF; "
+                      f"LET t := t + i; END FOR; RETURN t; END")
+            expect = sum(i for i in range(1, b + 1) if i % m != 0)
+        else:  # labeled_break from the inner loop out of BOTH loops
+            n, stop = rng.randint(3, 5), rng.randint(2, 3)
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"outer_l: FOR i IN 1 TO {n} DO FOR j IN 1 TO {n} DO "
+                      f"IF (i = {stop} AND j = {stop}) THEN BREAK outer_l; END IF; "
+                      f"LET t := t + 1; END FOR; END FOR; RETURN t; END")
+            expect, done = 0, False
+            for i in range(1, n + 1):
+                for j in range(1, n + 1):
+                    if i == stop and j == stop:
+                        done = True
+                        break
+                    expect += 1
+                if done:
+                    break
+        out.append((f"script[{kind}]", script, expect))
+    return out
+
+
+def run_script_cases(engine, cases) -> list[str]:
+    """Execute scripting cases via EXECUTE IMMEDIATE and compare the
+    RETURN value to the Python-computed expectation."""
+    from snowflake_emulator_spark.executor import SessionContext
+
+    failures = []
+    for desc, script, expect in cases:
+        try:
+            res = engine.execute(f"EXECUTE IMMEDIATE $$ {script} $$",
+                                 SessionContext())
+            got = res.rows[0][0]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{desc} ERROR: {e}")
+            continue
+        if str(got) != str(expect):
+            failures.append(f"{desc}: got {got!r} expected {expect!r} "
+                            f"[{script[:90]}]")
+    return failures
+
+
 def run_mr_cases(executor, con, cases) -> list[str]:
     """Execute MATCH_RECOGNIZE full-query cases through the EXECUTOR
     (the clause parses above the translator) vs the DuckDB replay."""

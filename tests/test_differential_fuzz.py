@@ -19,7 +19,9 @@ from snowflake_emulator_spark.plans.translator import translate
 from difffuzz import (
     PROBE_AGG_SQL,
     generate_mr_cases,
+    generate_script_cases,
     run_mr_cases,
+    run_script_cases,
     PROBE_EVENTS_SQL,
     PROBE_SQL,
     TEMPLATES_AGG,
@@ -109,6 +111,17 @@ def test_differential_fuzz_match_recognize(probes, tmp_path):
     failures = run_mr_cases(eng.executor, con, cases)
     assert not failures, (
         f"{len(failures)} MATCH_RECOGNIZE mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_scripting(probes, tmp_path):
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    eng = Engine(spark, base_dir=str(tmp_path / "scr_wh"))
+    cases = generate_script_cases(SEED + 8, 12)
+    failures = run_script_cases(eng, cases)
+    assert not failures, (
+        f"{len(failures)} scripting mismatches:\n" + "\n".join(failures[:10]))
 
 
 def test_differential_fuzz_null_semantics(probes):
