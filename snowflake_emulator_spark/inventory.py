@@ -5033,8 +5033,11 @@ REGISTRY: dict[str, tuple] = {
     "range_join_events": (_range_join_events, _RANGE_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
     "multimodal_features": (_multimodal_features, _MULTIMODAL_ORACLE),
-    # r8 session-2 function batches (rotate into the r9 driver head)
-    "agg_regression_stats": (_snow(_SF_REGR), _SF_REGR_ORACLE),
+    # r8 session-2 function batches (rotated into the r10 driver head).
+    # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
+    # entry at the _AGG_REGR line above, which it silently shadowed for two
+    # rounds — judge VERDICT r8/r9 item 1). Snowflake-dialect REGR_* batch.
+    "sf_regression_stats": (_snow(_SF_REGR), _SF_REGR_ORACLE),
     "sf_string_splice_position": (_snow(_SF_STR3), _SF_STR3_ORACLE),
     "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
@@ -5077,7 +5080,18 @@ _SAMPLE_HEAD = [
     "sf_random_generators",
     # --- NEW r8: ASOF NULL-semantics oracle gate (VERDICT r7 item 1) -
     "asof_join_null_events",
-    # --- r8 rotation: the 40 never-driver-sampled entries ------------
+    # --- r10 rotation (VERDICT r9 item 2): the 8 entries that have ----
+    # --- NEVER carried a driver CORRECTNESS row across r1-r9 ----------
+    "unpivot_sql_native", "scripted_labeled_cursor",
+    "sf_string_splice_position", "sf_digest_hash_funcs",
+    "sf_array_lambda_funcs", "hierarchy_connect_by",
+    "sql_match_recognize_funnel", "sf_regression_stats",
+    # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
+    # --- head spanning every family). Displaced to make room for the --
+    # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
+    # --- source_overlap_jaccard, embed_semantic_survivors, ------------
+    # --- pipeline_keep_set, embed_near_pairs, embed_centroid_distances,
+    # --- embed_lsh_recall (all driver-green r8 AND r9). ---------------
     "sf_conditional_true_event", "sf_variant_type_predicates",
     "sf_object_mode_flatten", "sf_nvl_nvl2", "sf_double_colon_cast",
     "sf_scalar_funcs", "sf_misc_scalar_funcs", "sf_bitwise_bool_funcs",
@@ -5091,12 +5105,50 @@ _SAMPLE_HEAD = [
     "dedup_lsh_jaccard_pipeline", "dedup_survivors",
     "dedup_survivors_best_quality", "doc_paragraph_dedup",
     "text_perplexity_buckets", "text_oov_rate",
-    "text_dup_ngram_fraction", "sample_k_per_group",
-    "source_overlap_jaccard", "embed_semantic_survivors",
-    "pipeline_keep_set", "embed_near_pairs", "embed_centroid_distances",
-    "embed_lsh_recall",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
+
+
+def _assert_no_duplicate_registry_keys():
+    """Guard against silent dict-literal key collisions (VERDICT r8/r9 #1).
+
+    A Python dict literal dedups duplicate keys silently (later wins), which
+    shadowed ``agg_regression_stats`` for two rounds. Parse this module's own
+    source and raise if the REGISTRY literal declares any key twice.
+    """
+    import ast
+    import pathlib
+
+    tree = ast.parse(pathlib.Path(__file__).read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            target = node.targets[0]
+        elif isinstance(node, ast.AnnAssign):
+            target = node.target
+        else:
+            continue
+        if (
+            isinstance(target, ast.Name)
+            and target.id == "REGISTRY"
+            and isinstance(node.value, ast.Dict)
+        ):
+            keys = [k.value for k in node.value.keys if isinstance(k, ast.Constant)]
+            dupes = sorted({k for k in keys if keys.count(k) > 1})
+            if dupes:
+                raise AssertionError(
+                    f"duplicate REGISTRY keys (dict literal silently drops "
+                    f"the earlier entry): {dupes}"
+                )
+            return len(keys)
+    raise AssertionError("REGISTRY dict literal not found in module source")
+
+
+_DECLARED_KEYS = _assert_no_duplicate_registry_keys()
+assert _DECLARED_KEYS == len(REGISTRY) == 206, (
+    f"registry contract: expected 206 declared == effective entries, got "
+    f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
+)
+assert all(name in REGISTRY for name in _SAMPLE_HEAD)
 REGISTRY = {
     name: REGISTRY[name]
     for name in _SAMPLE_HEAD + [n for n in REGISTRY if n not in _SAMPLE_HEAD]
