@@ -111,6 +111,20 @@ def main():
     failures += run_script_cases(eng, sc_cases)
     print(f"scripting sweep: {len(sc_cases)} cases done", flush=True)
 
+    # r10 (VERDICT r9 item 4): MERGE vs pure-Python simulator,
+    # UPDATE/DELETE (incl. FROM/USING) vs DuckDB natively
+    from difffuzz import (generate_dml_cases, generate_merge_cases,
+                          run_dml_cases, run_merge_cases)
+    mg_cases = generate_merge_cases(SEED + 9, max(COUNT // 10, 10))
+    n_cases += len(mg_cases)
+    failures += run_merge_cases(eng, mg_cases)
+    print(f"merge-dml sweep: {len(mg_cases)} cases done", flush=True)
+
+    dml_cases = generate_dml_cases(SEED + 10, max(COUNT // 10, 10))
+    n_cases += len(dml_cases)
+    failures += run_dml_cases(eng, dml_cases)
+    print(f"update/delete sweep: {len(dml_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

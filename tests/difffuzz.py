@@ -965,3 +965,388 @@ def normalize(v):
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return v
+
+
+# ---------------------------------------------------------------------
+# DML differential family (r10, VERDICT r9 item 4): random MERGE
+# statements executed by the engine vs an INDEPENDENT pure-Python
+# implementation of Snowflake MERGE semantics (DuckDB 1.0.0 has no
+# native MERGE), plus random UPDATE/DELETE (simple + FROM/USING forms)
+# vs DuckDB natively. Compares FINAL TABLE STATES and the engine's
+# inserted/updated/deleted counters, including strict
+# ERROR_ON_NONDETERMINISTIC_MERGE error-vs-rollback behavior.
+# Pattern precedent: the r8 generative scripting family (Python-computed
+# expectations) found 3 real bugs.
+
+_DML_W_POOL = ["a", "b", "c", "x", None]
+
+
+def _dml_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v + "'"
+    return str(v)
+
+
+def _cmp3(a, op, b) -> bool:
+    """SQL three-valued comparison reduced to clause satisfaction:
+    NULL on either side -> unknown -> clause NOT satisfied."""
+    if a is None or b is None:
+        return False
+    return {"=": a == b, "<>": a != b, ">": a > b,
+            ">=": a >= b, "<": a < b, "<=": a <= b}[op]
+
+
+def _rand_rows(rng, ids):
+    return [
+        {
+            "id": i,
+            "v": None if rng.random() < 0.10 else rng.randint(0, 20),
+            "w": rng.choice(_DML_W_POOL),
+        }
+        for i in ids
+    ]
+
+
+def _matched_cond(rng):
+    """(sql_or_None, fn(t_row, s_row) -> bool) for WHEN MATCHED AND."""
+    c = rng.randint(2, 15)
+    pool = [
+        (None, lambda t, s: True),
+        ("s.v > t.v", lambda t, s: _cmp3(s["v"], ">", t["v"])),
+        ("s.v % 2 = 0",
+         lambda t, s: s["v"] is not None and s["v"] % 2 == 0),
+        (f"t.v < {c}", lambda t, s: _cmp3(t["v"], "<", c)),
+        ("s.w = 'a'", lambda t, s: _cmp3(s["w"], "=", "a")),
+        ("t.w <> s.w", lambda t, s: _cmp3(t["w"], "<>", s["w"])),
+        (f"s.v + t.v > {c}",
+         lambda t, s: s["v"] is not None and t["v"] is not None
+         and s["v"] + t["v"] > c),
+    ]
+    return rng.choice(pool)
+
+
+def _update_sets(rng):
+    """1-2 SET clauses: {col: (sql_expr, fn(t_row, s_row) -> value)}."""
+    k = rng.randint(1, 9)
+    v_pool = [
+        ("s.v", lambda t, s: s["v"]),
+        (f"s.v + {k}",
+         lambda t, s: None if s["v"] is None else s["v"] + k),
+        ("t.v + s.v",
+         lambda t, s: None if (t["v"] is None or s["v"] is None)
+         else t["v"] + s["v"]),
+        ("t.v * 2", lambda t, s: None if t["v"] is None else t["v"] * 2),
+    ]
+    w_pool = [
+        ("s.w", lambda t, s: s["w"]),
+        ("'upd'", lambda t, s: "upd"),
+        ("CONCAT(t.w, s.w)",
+         lambda t, s: None if (t["w"] is None or s["w"] is None)
+         else t["w"] + s["w"]),
+    ]
+    sets = {}
+    which = rng.choice(["v", "w", "vw"])
+    if "v" in which:
+        sets["V"] = rng.choice(v_pool)
+    if "w" in which:
+        sets["W"] = rng.choice(w_pool)
+    return sets
+
+
+def _not_matched_cond(rng):
+    c = rng.randint(2, 15)
+    pool = [
+        (None, lambda s: True),
+        (f"s.v > {c}", lambda s: _cmp3(s["v"], ">", c)),
+        ("s.w = 'b'", lambda s: _cmp3(s["w"], "=", "b")),
+        ("s.v % 2 = 1",
+         lambda s: s["v"] is not None and s["v"] % 2 == 1),
+    ]
+    return rng.choice(pool)
+
+
+def _insert_clause(rng):
+    """(sql_tail, fn(s_row) -> (id, v, w) inserted values)."""
+    pool = [
+        ("(ID, V, W) VALUES (s.id, s.v, s.w)",
+         lambda s: (s["id"], s["v"], s["w"])),
+        ("(ID, V, W) VALUES (s.id, s.v * 2, 'new')",
+         lambda s: (s["id"], None if s["v"] is None else s["v"] * 2, "new")),
+        ("(ID, V) VALUES (s.id, s.v)", lambda s: (s["id"], s["v"], None)),
+        ("(ID, W, V) VALUES (s.id, s.w, 0)",
+         lambda s: (s["id"], 0, s["w"])),
+    ]
+    return rng.choice(pool)
+
+
+def _sim_merge(target, source, on_fn, matched, not_matched):
+    """Independent Snowflake-MERGE simulator, strict
+    ERROR_ON_NONDETERMINISTIC_MERGE=TRUE semantics.
+
+    matched: list of (cond_fn, action, payload) where payload is the
+    SET dict for UPDATE (col -> (sql, fn)) or None for DELETE.
+    not_matched: list of (cond_fn, insert_fn).
+    Returns ("error", original_sorted) or
+    ("ok", final_sorted, (n_ins, n_upd, n_del)).
+    """
+    orig = sorted(((r["id"], r["v"], r["w"]) for r in target), key=repr)
+    out, matched_src = [], set()
+    n_ins = n_upd = n_del = 0
+    for t in target:
+        actionable = []
+        for si, s in enumerate(source):
+            if not on_fn(t, s):
+                continue
+            matched_src.add(si)
+            for cond_fn, action, payload in matched:
+                if cond_fn(t, s):
+                    actionable.append((action, payload, s))
+                    break
+        if len(actionable) >= 2:
+            return ("error", orig)
+        if not actionable:
+            out.append((t["id"], t["v"], t["w"]))
+            continue
+        action, payload, s = actionable[0]
+        if action == "DELETE":
+            n_del += 1
+            continue
+        n_upd += 1
+        new = dict(t)
+        for col, (_sql, fn) in payload.items():
+            new[col.lower()] = fn(t, s)
+        out.append((new["id"], new["v"], new["w"]))
+    for si, s in enumerate(source):
+        if si in matched_src:
+            continue
+        for cond_fn, ins_fn in not_matched:
+            if cond_fn(s):
+                out.append(ins_fn(s))
+                n_ins += 1
+                break
+    return ("ok", sorted(out, key=repr), (n_ins, n_upd, n_del))
+
+
+def generate_merge_cases(seed: int, count: int,
+                         tname: str = "fz_mrg_t",
+                         sname: str = "fz_mrg_s") -> list[dict]:
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(count):
+        target = _rand_rows(rng, rng.sample(range(0, 40),
+                                            rng.randint(8, 20)))
+        n_src = rng.randint(4, 14)
+        if rng.random() < 0.30:  # duplicate source ids -> strict-mode food
+            src_ids = [rng.randrange(0, 50) for _ in range(n_src)]
+        else:
+            src_ids = rng.sample(range(0, 50), n_src)
+        source = _rand_rows(rng, src_ids)
+
+        # source relation: bare table or filtering subquery
+        if rng.random() < 0.25:
+            src_sql = f"(SELECT * FROM {sname} WHERE v IS NOT NULL)"
+            src_rows = [r for r in source if r["v"] is not None]
+        else:
+            src_sql = sname
+            src_rows = source
+
+        # ON condition
+        if rng.random() < 0.20:
+            c = rng.randint(2, 12)
+            on_sql = f"t.id = s.id AND s.v >= {c}"
+            on_fn = (lambda t, s, c=c: t["id"] == s["id"]
+                     and s["v"] is not None and s["v"] >= c)
+        else:
+            on_sql = "t.id = s.id"
+            on_fn = lambda t, s: t["id"] == s["id"]  # noqa: E731
+
+        n_matched = rng.choice([0, 1, 1, 1, 2])
+        n_not = rng.choice([0, 1, 1, 2])
+        if n_matched == 0 and n_not == 0:
+            n_matched = 1
+
+        matched, not_matched, when_sql = [], [], []
+        for mi in range(n_matched):
+            # first of two clauses always gets a condition (else the
+            # second is dead code in BOTH implementations anyway)
+            force_cond = n_matched == 2 and mi == 0
+            cond_sql, cond_fn = _matched_cond(rng)
+            while force_cond and cond_sql is None:
+                cond_sql, cond_fn = _matched_cond(rng)
+            and_part = f" AND {cond_sql}" if cond_sql else ""
+            if rng.random() < 0.70:
+                sets = _update_sets(rng)
+                set_sql = ", ".join(f"{c2} = {sql}"
+                                    for c2, (sql, _f) in sets.items())
+                when_sql.append(
+                    f"WHEN MATCHED{and_part} THEN UPDATE SET {set_sql}")
+                matched.append((cond_fn, "UPDATE", sets))
+            else:
+                when_sql.append(f"WHEN MATCHED{and_part} THEN DELETE")
+                matched.append((cond_fn, "DELETE", None))
+        for ni in range(n_not):
+            force_cond = n_not == 2 and ni == 0
+            cond_sql, cond_fn = _not_matched_cond(rng)
+            while force_cond and cond_sql is None:
+                cond_sql, cond_fn = _not_matched_cond(rng)
+            and_part = f" AND {cond_sql}" if cond_sql else ""
+            ins_sql, ins_fn = _insert_clause(rng)
+            when_sql.append(
+                f"WHEN NOT MATCHED{and_part} THEN INSERT {ins_sql}")
+            not_matched.append((cond_fn, ins_fn))
+
+        sql = (f"MERGE INTO {tname} t USING {src_sql} s ON {on_sql} "
+               + " ".join(when_sql))
+        expect = _sim_merge(target, src_rows, on_fn, matched, not_matched)
+        cases.append({"desc": f"merge[m{n_matched}n{n_not}]",
+                      "target": target, "source": source,
+                      "sql": sql, "expect": expect})
+    return cases
+
+
+def _seed_dml_table(engine, name: str, rows: list[dict]) -> None:
+    engine.execute(
+        f"CREATE OR REPLACE TABLE {name} (ID INTEGER, V INTEGER, W VARCHAR)")
+    if rows:
+        vals = ", ".join(
+            f"({_dml_lit(r['id'])}, {_dml_lit(r['v'])}, {_dml_lit(r['w'])})"
+            for r in rows)
+        engine.execute(f"INSERT INTO {name} VALUES {vals}")
+
+
+def run_merge_cases(engine, cases, tname: str = "fz_mrg_t",
+                    sname: str = "fz_mrg_s") -> list[str]:
+    from snowflake_emulator_spark import errors as _errors
+
+    failures = []
+    for case in cases:
+        _seed_dml_table(engine, tname, case["target"])
+        _seed_dml_table(engine, sname, case["source"])
+        err = None
+        counts = None
+        try:
+            r = engine.execute(case["sql"])
+            counts = tuple(int(x) for x in r.rows[0])  # (ins, upd, del)
+        except _errors.SnowflakeError as e:
+            err = str(e)
+        final = sorted(
+            (tuple(normalize(v) for v in row)
+             for row in engine.execute(f"SELECT ID, V, W FROM {tname}").rows),
+            key=repr)
+        expect = case["expect"]
+        if expect[0] == "error":
+            if err is None:
+                failures.append(
+                    f"{case['desc']}: expected strict-mode duplicate error, "
+                    f"got success {counts} [{case['sql'][:120]}]")
+            elif final != expect[1]:
+                failures.append(
+                    f"{case['desc']}: table CHANGED after strict error "
+                    f"(rollback broken) [{case['sql'][:120]}]")
+        else:
+            _ok, want_rows, want_counts = expect
+            if err is not None:
+                failures.append(
+                    f"{case['desc']}: unexpected error {err[:80]} "
+                    f"[{case['sql'][:120]}]")
+            elif final != want_rows:
+                diff = [(a, b) for a, b in zip(final, want_rows)
+                        if a != b][:3]
+                failures.append(
+                    f"{case['desc']}: {len(final)} vs {len(want_rows)} rows, "
+                    f"first diffs {diff} [{case['sql'][:160]}]")
+            elif counts != want_counts:
+                failures.append(
+                    f"{case['desc']}: counts {counts} != {want_counts} "
+                    f"[{case['sql'][:120]}]")
+    return failures
+
+
+def generate_dml_cases(seed: int, count: int,
+                       tname: str = "fz_dml_t",
+                       sname: str = "fz_dml_s") -> list[dict]:
+    """Random UPDATE/DELETE (simple + FROM/USING) statements; the SAME
+    statement text runs on the engine and on DuckDB natively, comparing
+    affected-row counts and final table states."""
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(count):
+        target = _rand_rows(rng, rng.sample(range(0, 40),
+                                            rng.randint(8, 20)))
+        source = _rand_rows(rng, rng.sample(range(0, 50),
+                                            rng.randint(4, 12)))
+        c = rng.randint(1, 15)
+        k = rng.randint(1, 9)
+        kind = rng.choice(["upd_where", "upd_multi", "upd_case",
+                           "upd_all", "del_where", "del_null",
+                           "upd_from", "del_using"])
+        if kind == "upd_where":
+            sql = f"UPDATE {tname} SET V = V + {k} WHERE V % 2 = 0"
+        elif kind == "upd_multi":
+            sql = (f"UPDATE {tname} SET W = 'z', V = V * 2 "
+                   f"WHERE V > {c}")
+        elif kind == "upd_case":
+            sql = (f"UPDATE {tname} SET V = CASE WHEN V > {c} "
+                   f"THEN V + 1 ELSE V - 1 END WHERE V IS NOT NULL")
+        elif kind == "upd_all":
+            sql = f"UPDATE {tname} SET W = 'all'"
+        elif kind == "del_where":
+            sql = f"DELETE FROM {tname} WHERE V > {c}"
+        elif kind == "del_null":
+            sql = f"DELETE FROM {tname} WHERE W = 'a' OR V IS NULL"
+        elif kind == "upd_from":
+            sql = (f"UPDATE {tname} SET V = s.V + {k} FROM {sname} AS s "
+                   f"WHERE {tname}.ID = s.ID AND s.V > {c}")
+        else:  # del_using
+            sql = (f"DELETE FROM {tname} USING {sname} AS s "
+                   f"WHERE {tname}.ID = s.ID AND s.V >= {c}")
+        cases.append({"desc": f"dml[{kind}]", "target": target,
+                      "source": source, "sql": sql})
+    return cases
+
+
+def run_dml_cases(engine, cases, tname: str = "fz_dml_t",
+                  sname: str = "fz_dml_s") -> list[str]:
+    import duckdb as _duckdb
+
+    failures = []
+    con = _duckdb.connect()
+    con.execute(f"CREATE TABLE {tname} (ID INTEGER, V INTEGER, W VARCHAR)")
+    con.execute(f"CREATE TABLE {sname} (ID INTEGER, V INTEGER, W VARCHAR)")
+    for case in cases:
+        _seed_dml_table(engine, tname, case["target"])
+        _seed_dml_table(engine, sname, case["source"])
+        for name, rows_ in ((tname, case["target"]), (sname, case["source"])):
+            con.execute(f"DELETE FROM {name}")
+            if rows_:
+                con.execute(f"INSERT INTO {name} VALUES " + ", ".join(
+                    f"({_dml_lit(r['id'])}, {_dml_lit(r['v'])}, "
+                    f"{_dml_lit(r['w'])})" for r in rows_))
+        try:
+            r = engine.execute(case["sql"])
+            eng_count = int(r.rows[0][0])
+            duck_count = int(con.execute(case["sql"]).fetchall()[0][0])
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{case['desc']} ERROR: {e} [{case['sql'][:120]}]")
+            continue
+        eng_rows = sorted(
+            (tuple(normalize(v) for v in row)
+             for row in engine.execute(f"SELECT ID, V, W FROM {tname}").rows),
+            key=repr)
+        duck_rows = sorted(
+            (tuple(normalize(v) for v in row) for row in
+             con.execute(f"SELECT ID, V, W FROM {tname}").fetchall()),
+            key=repr)
+        if eng_rows != duck_rows:
+            diff = [(a, b) for a, b in zip(eng_rows, duck_rows) if a != b][:3]
+            failures.append(
+                f"{case['desc']}: {len(eng_rows)} vs {len(duck_rows)} rows, "
+                f"first diffs {diff} [{case['sql'][:160]}]")
+        elif eng_count != duck_count:
+            failures.append(
+                f"{case['desc']}: affected-count {eng_count} != "
+                f"{duck_count} [{case['sql'][:120]}]")
+    con.close()
+    return failures

@@ -138,3 +138,36 @@ def test_differential_fuzz_join_types(probes):
     failures = run_asof_cases(spark, con, translate, cases)
     assert not failures, (
         f"{len(failures)} join-type mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_merge_dml(probes, tmp_path):
+    """r10 (VERDICT r9 item 4): random MERGE statements vs a pure-Python
+    implementation of Snowflake MERGE semantics (DuckDB 1.0.0 has no
+    native MERGE), comparing final table states, DML counters, and
+    strict nondeterministic-merge error/rollback behavior."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_merge_cases, run_merge_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mrg_wh"))
+    cases = generate_merge_cases(SEED + 9, 12)
+    failures = run_merge_cases(eng, cases)
+    assert not failures, (
+        f"{len(failures)} MERGE mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_update_delete(probes, tmp_path):
+    """r10: random UPDATE/DELETE (simple + FROM/USING forms) — the same
+    statement runs on the engine and DuckDB natively; compares affected
+    counts and final table states."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_dml_cases, run_dml_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "dml_wh"))
+    cases = generate_dml_cases(SEED + 10, 12)
+    failures = run_dml_cases(eng, cases)
+    assert not failures, (
+        f"{len(failures)} UPDATE/DELETE mismatches:\n" + "\n".join(failures[:10]))
