@@ -125,6 +125,13 @@ def main():
     failures += run_dml_cases(eng, dml_cases)
     print(f"update/delete sweep: {len(dml_cases)} cases done", flush=True)
 
+    # r10 (VERDICT r9 item 5): overlapping-DEFINE MATCH_RECOGNIZE
+    from difffuzz import generate_mr_overlap_cases, run_mr_overlap_cases
+    mro_cases = generate_mr_overlap_cases(SEED + 11, max(COUNT // 20, 6))
+    n_cases += len(mro_cases)
+    failures += run_mr_overlap_cases(eng.executor, con, mro_cases)
+    print(f"mr-overlap sweep: {len(mro_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

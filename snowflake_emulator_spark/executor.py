@@ -648,9 +648,10 @@ class Executor:
             payload += f"|{ctx.role}|{ctx.user}"
         return hashlib.md5(payload.encode()).hexdigest()
 
-    # SQL-level MATCH_RECOGNIZE (beyond reference; restricted to the
-    # operator's contract: ONE ROW PER MATCH, SKIP PAST LAST ROW,
-    # mutually-exclusive symbols). FROM t MATCH_RECOGNIZE (...) [alias]
+    # SQL-level MATCH_RECOGNIZE (beyond reference). r10: overlapping
+    # DEFINE predicates are supported (bitmask + greedy backtracking
+    # matcher), as is AFTER MATCH SKIP TO NEXT ROW; ONE/ALL ROWS PER
+    # MATCH both work. FROM t MATCH_RECOGNIZE (...) [alias]
     # is rewritten onto a temp view produced by the applyInPandas
     # operator; MEASURES supports FIRST(col)/LAST(col)/COUNT(*)/
     # MATCH_NUMBER() mapped onto the operator's output columns.
@@ -702,6 +703,11 @@ class Executor:
             raise errors.syntax_error(
                 "MATCH_RECOGNIZE requires ORDER BY, PATTERN and DEFINE")
         all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I))
+        skip_m = re.search(
+            r"\bAFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            body, re.I)
+        after_match = ("next_row" if skip_m
+                       and "NEXT" in skip_m.group(1).upper() else "past_last")
         part_cols = [c.strip().strip('"') for c in part.split(",") if c.strip()]
         if len(part_cols) != 1:
             raise errors.syntax_error(
@@ -763,8 +769,14 @@ class Executor:
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
                      define, pattern_text.strip(),
                      [_col(c) for c in measure_cols] or None,
-                     all_rows=all_rows)
+                     all_rows=all_rows, after_match=after_match)
         if renames:
+            # a measure alias may equal a base output column (e.g.
+            # MATCH_NUMBER() AS match_number) — drop the shadowed base
+            # column or selectExpr would emit an ambiguous duplicate
+            targets = {re.split(r"\s+AS\s+", r, flags=re.I)[-1]
+                       .strip().lower() for r in renames}
+            sel = [c for c in sel if c.lower() not in targets]
             out_df = out_df.selectExpr(*sel, *renames)
         view = "__match_recognize_" + uuid.uuid4().hex[:10]
         out_df.createOrReplaceTempView(view)

@@ -1084,6 +1084,60 @@ SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
 FROM m WHERE len(ms) > 0 ORDER BY user_id
 """
 
+
+def _sql_match_recognize_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (VERDICT r9 item 5): OVERLAPPING DEFINE predicates — symbol A
+    (value > 10) can hold on the same rows as V/P, so the old
+    one-symbol-per-row classification is impossible; the bitmask +
+    greedy-backtracking matcher resolves symbols by pattern position.
+    Oracle: DuckDB encodes each row's candidate bitmask as one byte and
+    replays the pattern as a regex over character classes."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mro_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (V A+ P)
+    DEFINE V AS event_type = 'view',
+           A AS value > 10,
+           P AS event_type = 'purchase'
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
+
+
+# byte-encoded bitmask replay: V=bit0, A=bit1, P=bit2; row char =
+# chr(65+mask); V -> [BDFH], A -> [CDGH], P -> [EFGH]
+_MR_OVERLAP_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+          + CASE WHEN value > 10 THEN 2 ELSE 0 END
+          + CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END) AS m
+  FROM events
+),
+s AS (SELECT user_id, string_agg(chr(65 + m), '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, '[BDFH][CDGH]+[EFGH]') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
 # Structured Streaming entry (hash-checked): the events fixture is
 # dumped once per session as a JSON file stream, replayed through
 # readStream -> watermarked tumbling-window agg -> availableNow memory
@@ -5043,6 +5097,9 @@ REGISTRY: dict[str, tuple] = {
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
     "hierarchy_connect_by": (_snow(_SF_CONNECT_BY), _SF_CONNECT_BY_ORACLE),
     "sql_match_recognize_funnel": (_sql_match_recognize, _MATCH_RECOGNIZE_ORACLE),
+    # r10: overlapping DEFINE predicates + bitmask backtracking matcher
+    "sql_match_recognize_overlap": (_sql_match_recognize_overlap,
+                                    _MR_OVERLAP_ORACLE),
 }
 
 
@@ -5086,6 +5143,8 @@ _SAMPLE_HEAD = [
     "sf_string_splice_position", "sf_digest_hash_funcs",
     "sf_array_lambda_funcs", "hierarchy_connect_by",
     "sql_match_recognize_funnel", "sf_regression_stats",
+    # --- NEW r10: overlapping-DEFINE MATCH_RECOGNIZE (VERDICT item 5) -
+    "sql_match_recognize_overlap",
     # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
     # --- head spanning every family). Displaced to make room for the --
     # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
@@ -5104,7 +5163,7 @@ _SAMPLE_HEAD = [
     "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
     "dedup_lsh_jaccard_pipeline", "dedup_survivors",
     "dedup_survivors_best_quality", "doc_paragraph_dedup",
-    "text_perplexity_buckets", "text_oov_rate",
+    "text_perplexity_buckets",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5144,8 +5203,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 206, (
-    f"registry contract: expected 206 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 207, (
+    f"registry contract: expected 207 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

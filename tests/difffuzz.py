@@ -1350,3 +1350,133 @@ def run_dml_cases(engine, cases, tname: str = "fz_dml_t",
                 f"{duck_count} [{case['sql'][:120]}]")
     con.close()
     return failures
+
+
+# ---------------------------------------------------------------------
+# Overlapping-DEFINE MATCH_RECOGNIZE family (r10, VERDICT r9 item 5):
+# random patterns over symbols whose predicates OVERLAP per row, plus
+# AFTER MATCH SKIP TO NEXT ROW. Oracle: DuckDB evaluates the predicate
+# booleans (independent predicate semantics), each row is encoded as a
+# bitmask byte, and PYTHON'S re module — an independent mature greedy
+# backtracking engine with the same preference order — finds the match
+# spans over the byte string via per-symbol character classes.
+# ---------------------------------------------------------------------
+
+_MR_OVERLAP_PREDS = [
+    ("event_type = 'view'", "A"),
+    ("event_type IN ('view','click')", "B"),
+    ("value > 50", "C"),
+    ("event_type <> 'purchase'", "D"),
+    ("value <= 80", "E"),
+]
+
+_MR_OVERLAP_PATTERNS = [
+    "A B", "A B+", "B+ C", "A B? C", "(A|C) B", "A{2}", "B{2,3}",
+    "A+? B", "C B* A", "(A B)+", "B C?",
+]
+
+
+def generate_mr_overlap_cases(seed: int, count: int) -> list[dict]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(count):
+        n_sym = rng.randint(2, 3)
+        picks = rng.sample(_MR_OVERLAP_PREDS, n_sym)
+        # rename to S1..Sn so patterns are independent of the pool letters
+        syms = [f"S{i+1}" for i in range(n_sym)]
+        preds = {s: p for s, (p, _tag) in zip(syms, picks)}
+        pat = rng.choice(_MR_OVERLAP_PATTERNS)
+        # map pattern letters A/B/C onto the drawn symbols (cyclic)
+        letmap = {"A": syms[0], "B": syms[1 % n_sym],
+                  "C": syms[2 % n_sym]}
+        pattern = "".join(letmap.get(ch, ch) for ch in pat)
+        skip_next = rng.random() < 0.4
+        umax = rng.choice([15, 30])
+        out.append({
+            "desc": f"mr_overlap[{pat} n{n_sym}"
+                    f"{' skip_next' if skip_next else ''}]",
+            "preds": preds, "pattern": pattern, "skip_next": skip_next,
+            "umax": umax,
+        })
+    return out
+
+
+def run_mr_overlap_cases(executor, con, cases) -> list[str]:
+    import re as _re2
+
+    from snowflake_emulator_spark.executor import SessionContext
+
+    failures = []
+    for case in cases:
+        preds, pattern = case["preds"], case["pattern"]
+        syms = list(preds)
+        skip_sql = ("AFTER MATCH SKIP TO NEXT ROW "
+                    if case["skip_next"] else "")
+        define_sql = ", ".join(f"{s} AS {p}" for s, p in preds.items())
+        snow = f"""
+SELECT user_id, match_number, n, fid, lid
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id ORDER BY ts, event_id
+  MEASURES COUNT(*) AS n, FIRST(event_id) AS fid, LAST(event_id) AS lid,
+           MATCH_NUMBER() AS match_number
+  ONE ROW PER MATCH
+  {skip_sql}PATTERN ({pattern})
+  DEFINE {define_sql}
+) WHERE user_id <= {case['umax']} ORDER BY user_id, match_number"""
+        pred_cols = ", ".join(
+            f"COALESCE(({p}), FALSE) AS p{i}"
+            for i, p in enumerate(preds.values()))
+        duck_rows = con.execute(
+            f"SELECT user_id, event_id, {pred_cols} FROM events "
+            f"WHERE user_id <= {case['umax']} "
+            f"ORDER BY user_id, ts, event_id").fetchall()
+        # oracle: byte-encode candidate masks, Python re over char classes
+        n_sym = len(syms)
+        classes = []
+        for i in range(n_sym):
+            chars = "".join(chr(65 + m) for m in range(1 << n_sym)
+                            if (m >> i) & 1)
+            classes.append(f"[{chars}]")
+        # longest-name-first single-pass replacement (S10 vs S1 safety)
+        alt = "|".join(sorted((_re2.escape(s) for s in syms),
+                              key=len, reverse=True))
+        sym_rx = {s: classes[i] for i, s in enumerate(syms)}
+        rx_text = _re2.sub(rf"\b(?:{alt})\b",
+                           lambda m: sym_rx[m.group(0)], pattern)
+        rx = _re2.compile(rx_text.replace(" ", ""))
+        by_user: dict = {}
+        for r in duck_rows:
+            uid, eid = r[0], r[1]
+            mask2 = sum((1 << i) if r[2 + i] else 0 for i in range(n_sym))
+            by_user.setdefault(uid, []).append((eid, mask2))
+        want = []
+        for uid in sorted(by_user):
+            rows_ = by_user[uid]
+            s2 = "".join(chr(65 + m) for _eid, m in rows_)
+            pos2, mno = 0, 0
+            while pos2 < len(s2):
+                m2 = rx.match(s2, pos2)
+                if m2 is None or m2.end() == m2.start():
+                    pos2 += 1
+                    continue
+                mno += 1
+                st, en = m2.start(), m2.end()
+                want.append((uid, mno, en - st,
+                             rows_[st][0], rows_[en - 1][0]))
+                pos2 = pos2 + 1 if case["skip_next"] else en
+        try:
+            got = [tuple(normalize(v) for v in r)
+                   for r in executor.query_df(snow, SessionContext())
+                   .collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{case['desc']} ERROR: {e}")
+            continue
+        want = [tuple(normalize(v) for v in r) for r in want]
+        if sorted(got, key=repr) != sorted(want, key=repr):
+            diff = [(a, b) for a, b in zip(sorted(got, key=repr),
+                                           sorted(want, key=repr))
+                    if a != b][:3]
+            failures.append(
+                f"{case['desc']}: {len(got)} vs {len(want)} matches, "
+                f"first diffs {diff}")
+    return failures

@@ -171,3 +171,20 @@ def test_differential_fuzz_update_delete(probes, tmp_path):
     failures = run_dml_cases(eng, cases)
     assert not failures, (
         f"{len(failures)} UPDATE/DELETE mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_mr_overlap(probes, tmp_path):
+    """r10 (VERDICT r9 item 5): overlapping DEFINE predicates + SKIP TO
+    NEXT ROW vs a byte-encoded character-class replay through Python's
+    re engine (independent backtracking implementation), with DuckDB
+    evaluating the predicate booleans."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_mr_overlap_cases, run_mr_overlap_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mro_wh"))
+    cases = generate_mr_overlap_cases(SEED + 11, 8)
+    failures = run_mr_overlap_cases(eng.executor, con, cases)
+    assert not failures, (
+        f"{len(failures)} MR-overlap mismatches:\n" + "\n".join(failures[:10]))

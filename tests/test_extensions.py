@@ -452,11 +452,22 @@ def test_match_recognize_funnel_semantics(spark):
         df, "user_id", ["ts"], define, "V C+ P", measure_cols=["ts"]).collect())
     # (user, match_no, n_rows, ts_first, ts_last)
     assert out == [(1, 1, 4, 1, 4), (2, 1, 3, 1, 3), (2, 2, 3, 4, 6)]
-    # overlapping symbol predicates are rejected
-    import pytest as _pytest
-    bad = {"A": "event_type = 'view'", "B": "ts < 100"}
-    with _pytest.raises(Exception, match="mutually exclusive"):
-        match_recognize(df, "user_id", ["ts"], bad, "A B").collect()
+    # r10: overlapping symbol predicates work (pattern position decides —
+    # B matches EVERY row here, the bitmask matcher resolves A-then-B)
+    over = {"A": "event_type = 'view'", "B": "ts < 100"}
+    out2 = sorted(tuple(r) for r in match_recognize(
+        df, "user_id", ["ts"], over, "A B", measure_cols=["ts"]).collect())
+    assert out2 == [(1, 1, 2, 1, 2), (1, 2, 2, 5, 6),
+                    (2, 1, 2, 1, 2), (2, 2, 2, 4, 5)]
+    # r10: AFTER MATCH SKIP TO NEXT ROW yields overlapping matches
+    allb = {"B": "ts < 100"}
+    out3 = sorted(tuple(r) for r in match_recognize(
+        df, "user_id", ["ts"], allb, "B B", measure_cols=["ts"],
+        after_match="next_row").collect())
+    assert [t[:2] for t in out3 if t[0] == 3] == []  # 1-row group: no pair
+    assert [t for t in out3 if t[0] == 1] == [
+        (1, 1, 2, 1, 2), (1, 2, 2, 2, 3), (1, 3, 2, 3, 4),
+        (1, 4, 2, 4, 5), (1, 5, 2, 5, 6)]
 
 
 def test_match_recognize_alias_collision(spark):
