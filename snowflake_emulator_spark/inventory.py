@@ -4865,6 +4865,34 @@ WITH RECURSIVE h AS (
 SELECT node_id, node_name, lvl FROM h ORDER BY node_id
 """
 
+# r10 (VERDICT r9 item 6): CONNECT BY completeness — SYS_CONNECT_BY_PATH,
+# CONNECT_BY_ROOT, and PRIOR in the SELECT list, each carried as an
+# accumulated column of the recursive CTE (path concatenates per round,
+# root copies from the anchor, PRIOR reads the parent's column).
+_SF_CONNECT_BY_PATH = """
+SELECT n.n_nationkey AS node_id,
+       SYS_CONNECT_BY_PATH(n_name, ' -> ') AS path,
+       CONNECT_BY_ROOT n_name AS root_name,
+       PRIOR n_nationkey AS parent_id,
+       LEVEL AS lvl
+FROM nation n
+START WITH n.n_nationkey = 0
+CONNECT BY PRIOR n_nationkey = FLOOR(n.n_nationkey / 2) AND n.n_nationkey > 0
+ORDER BY node_id
+"""
+_SF_CONNECT_BY_PATH_ORACLE = """
+WITH RECURSIVE h AS (
+  SELECT n_nationkey AS node_id, concat(' -> ', n_name) AS path,
+         n_name AS root_name, CAST(NULL AS BIGINT) AS parent_id, 1 AS lvl
+  FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT c.n_nationkey, concat(h.path, ' -> ', c.n_name), h.root_name,
+         h.node_id, h.lvl + 1
+  FROM nation c JOIN h ON floor(c.n_nationkey / 2) = h.node_id AND c.n_nationkey > 0
+)
+SELECT node_id, path, root_name, parent_id, lvl FROM h ORDER BY node_id
+"""
+
 
 REGISTRY: dict[str, tuple] = {
     # scans / filters / projections
@@ -5096,6 +5124,9 @@ REGISTRY: dict[str, tuple] = {
     "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
     "hierarchy_connect_by": (_snow(_SF_CONNECT_BY), _SF_CONNECT_BY_ORACLE),
+    # r10: SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT / PRIOR in SELECT list
+    "hierarchy_connect_by_path": (_snow(_SF_CONNECT_BY_PATH),
+                                  _SF_CONNECT_BY_PATH_ORACLE),
     "sql_match_recognize_funnel": (_sql_match_recognize, _MATCH_RECOGNIZE_ORACLE),
     # r10: overlapping DEFINE predicates + bitmask backtracking matcher
     "sql_match_recognize_overlap": (_sql_match_recognize_overlap,
@@ -5145,6 +5176,8 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_funnel", "sf_regression_stats",
     # --- NEW r10: overlapping-DEFINE MATCH_RECOGNIZE (VERDICT item 5) -
     "sql_match_recognize_overlap",
+    # --- NEW r10: CONNECT BY path/root/prior columns (VERDICT item 6) -
+    "hierarchy_connect_by_path",
     # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
     # --- head spanning every family). Displaced to make room for the --
     # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
@@ -5163,7 +5196,6 @@ _SAMPLE_HEAD = [
     "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
     "dedup_lsh_jaccard_pipeline", "dedup_survivors",
     "dedup_survivors_best_quality", "doc_paragraph_dedup",
-    "text_perplexity_buckets",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5203,8 +5235,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 207, (
-    f"registry contract: expected 207 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 208, (
+    f"registry contract: expected 208 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -608,6 +608,67 @@ class Translator:
         if alias:
             seed = re.sub(rf"\b{re.escape(alias)}\.", "__t.", seed)
 
+        # r10 (VERDICT r9 item 6): SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT /
+        # PRIOR in the SELECT list (and ORDER BY tail) become accumulated
+        # columns of the recursive CTE: the path concatenates down each
+        # frontier round, the root value is carried from the anchor, and
+        # PRIOR reads the parent's column. Arguments are restricted to
+        # simple column references (documented boundary — arbitrary
+        # expressions would be ambiguous between the child/parent scans).
+        extras: list[tuple[str, str, str]] = []  # (name, anchor, recursive)
+        extra_of: dict[str, str] = {}
+
+        def _add_extra(key: str, anchor_expr: str, rec_expr: str,
+                       prefix: str) -> str:
+            if key in extra_of:
+                return extra_of[key]
+            name = f"__{prefix}_{len(extras)}"
+            extras.append((name, anchor_expr, rec_expr))
+            extra_of[key] = name
+            return name
+
+        def _cbcol(raw: str) -> str:
+            return raw.strip().split(".")[-1].strip('"')
+
+        _CBP_RE = re.compile(
+            r"\bSYS_CONNECT_BY_PATH\s*\(\s*([\w.\"]+)\s*,\s*"
+            r"('(?:[^']|'')*')\s*\)", re.I)
+        _CBR_PAREN_RE = re.compile(
+            r"\bCONNECT_BY_ROOT\s*\(\s*([\w.\"]+)\s*\)", re.I)
+        _CBR_BARE_RE = re.compile(r"\bCONNECT_BY_ROOT\s+([\w.\"]+)", re.I)
+        _PRIOR_SEL_RE = re.compile(r"\bPRIOR\s+([\w.\"]+)", re.I)
+
+        def _rewrite_hier_fns(text: str) -> str:
+            def cbp(m: re.Match) -> str:
+                col, sep = _cbcol(m.group(1)), m.group(2)
+                return _add_extra(
+                    f"cbp:{col}:{sep}",
+                    f"CONCAT({sep}, CAST(__t.{col} AS STRING))",
+                    f"CONCAT(__p.{{self}}, {sep}, CAST(__c.{col} AS STRING))",
+                    "cbpath")
+
+            def cbr(m: re.Match) -> str:
+                col = _cbcol(m.group(1))
+                return _add_extra(f"cbr:{col}", f"__t.{col}",
+                                  "__p.{self}", "cbroot")
+
+            def pri(m: re.Match) -> str:
+                col = _cbcol(m.group(1))
+                # anchor rows have no parent: NULL, typed via IF so the
+                # UNION resolves to the column's real type
+                return _add_extra(f"prior:{col}",
+                                  f"IF(FALSE, __t.{col}, NULL)",
+                                  f"__p.{col}", "cbprior")
+
+            text = _CBP_RE.sub(cbp, text)
+            text = _CBR_PAREN_RE.sub(cbr, text)
+            text = _CBR_BARE_RE.sub(cbr, text)
+            text = _PRIOR_SEL_RE.sub(pri, text)
+            return text
+
+        select_list = _rewrite_hier_fns(select_list)
+        tail = _rewrite_hier_fns(tail)
+
         _KEYWORD_TOKENS = {"NULL", "TRUE", "FALSE", "AND", "OR", "NOT"}
 
         # PRIOR x -> parent (frontier) side; bare identifiers -> child.
@@ -645,11 +706,16 @@ class Translator:
             else:
                 join_terms.append(term.strip())
         join_cond = " AND ".join(join_terms)
+        anchor_extra = "".join(
+            f", {a} AS {name}" for name, a, _r in extras)
+        rec_extra = "".join(
+            f", {r.replace('{self}', name)}" for name, _a, r in extras)
         return (
             f"WITH RECURSIVE __hier AS ("
-            f"SELECT __t.*, 1 AS level FROM {table} __t WHERE {seed} "
+            f"SELECT __t.*, 1 AS level{anchor_extra} "
+            f"FROM {table} __t WHERE {seed} "
             f"UNION ALL "
-            f"SELECT __c.*, __p.level + 1 FROM {table} __c "
+            f"SELECT __c.*, __p.level + 1{rec_extra} FROM {table} __c "
             f"JOIN __hier __p ON {join_cond}) "
             f"{select_list} FROM __hier{' ' + alias if alias else ''}{tail}"
         )
