@@ -1,19 +1,29 @@
-"""Scale-stress harness (r8): run the heavy pipeline operators at ~10x
-the bench scale (sf0.1 replicated 10x => ~sf1-equivalent row counts)
-to verify the plans hold when the data grows — candidate counts stay
-bucketed (no quadratic blowup), wall time grows roughly linearly, and
+"""Scale-stress harness (r8 item 7, executed r10): run the SIX most
+expensive registry operators at sf0.1 and at ~sf1 (sf0.1 replicated
+REPLICAS times with re-salted ids) through the SAME registry code path
+the bench uses, and report the sf1/sf0.1 wall-time ratios. A plan that
+holds at scale should grow roughly linearly (ratio ≲ REPLICAS, with
+~12x the working tolerance from the r8 plan): candidate sets stay
+bucketed (no quadratic blowup), per-user/partition state stays bounded,
 nothing collects unbounded driver state.
 
 Synthesizes the scaled tables in /tmp (NEVER touches /root/testdata):
-documents replicated with doc_id offsets and per-replica text salting
-(so MinHash/SimHash signatures differ across replicas and near-dup
-structure is preserved within each replica, not trivially multiplied
-across them); embeddings replicated with id offsets and a tiny
-per-replica rotation of the vector values.
+- documents: doc_id offset per replica + per-replica salt token in the
+  text, so MinHash/SimHash near-dup structure is preserved WITHIN each
+  replica and cross-replica pairs stay below any shingle threshold
+  (otherwise 10x data would also mean 10x-squared duplicate pairs and
+  the ratio would measure the data, not the plan).
+- embeddings: vec_id offset + tiny per-replica vector perturbation.
+- events: user_id/event_id offsets per replica — 10x the data as 10x
+  the USERS, so per-user sessionization state stays constant (the
+  realistic scale-out axis for event logs).
+- all other tables: symlinked unchanged.
 
-Usage: python scratch/scale_stress.py [replicas=10]
+Usage: python scratch/scale_stress.py [replicas=10] [runs=2]
+Emits one JSON line at the end for the round notes.
 """
 
+import json
 import os
 import shutil
 import sys
@@ -24,81 +34,108 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from snowflake_emulator_spark.operators import dedup, similarity
-from snowflake_emulator_spark.inventory import load_views
+from snowflake_emulator_spark.inventory import REGISTRY, TABLES, load_views
 from snowflake_emulator_spark.session_factory import build_spark
 
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 SRC = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_survivors",
+    "embed_near_pairs_lsh",
+    "pipeline_keep_set",
+    "text_tfidf_topterms",
+    "events_sessionize",
+]
+RATIO_TOLERANCE = 12.0  # r8 plan: sf1/sf0.1 <= ~12x on a 10x replica
+
+
+def evaluate_full(df) -> None:
+    """Same full-output evaluation as bench.py: hash every output column
+    into one aggregate so nothing gets column-pruned away."""
+    df.select(F.xxhash64(*df.columns).alias("__h")) \
+        .agg(F.bit_xor("__h").alias("__s")).collect()
+
+
+def time_queries(spark, sf_dir: str, label: str) -> dict:
+    out = {}
+    for name in QUERIES:
+        fn, _oracle = REGISTRY[name]
+        best = None
+        for _ in range(RUNS):
+            t0 = time.time()
+            evaluate_full(fn(spark, sf_dir))
+            e = time.time() - t0
+            best = e if best is None or e < best else best
+        out[name] = round(best, 2)
+        print(f"  {label} {name}: {out[name]}s", flush=True)
+    return out
+
+
+def build_scaled(spark, workdir: str) -> None:
+    load_views(spark, SRC)
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+
+    docs = spark.table("documents")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    (docs.crossJoin(F.broadcast(reps))
+         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
+         .withColumn("text", F.concat_ws(
+             " ", F.col("text"), F.concat(F.lit("repsalt"), F.col("rep"))))
+         .drop("rep")
+         .write.mode("overwrite").parquet(f"{workdir}/documents.parquet"))
+
+    emb = spark.table("embeddings")
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    (emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
+        .withColumn("embedding", F.transform(
+            "embedding",
+            lambda v, i: (v + (F.col("rep") % 7).cast("float") * 0.01
+                          * F.when(i % 2 == 0, F.lit(1.0))
+                          .otherwise(F.lit(-1.0))).cast("float")))
+        .drop("rep")
+        .write.mode("overwrite").parquet(f"{workdir}/embeddings.parquet"))
+
+    ev = spark.table("events")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    (ev.crossJoin(F.broadcast(reps))
+       .withColumn("user_id", F.col("user_id") + F.col("rep") * n_users)
+       .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
+       .drop("rep")
+       .write.mode("overwrite").parquet(f"{workdir}/events.parquet"))
+
+    for t in TABLES:
+        dst = f"{workdir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
 
 
 def main() -> None:
     spark = build_spark(app_name="scale_stress")
-    load_views(spark, SRC)
+    print(f"baseline at {SRC} (best of {RUNS}):", flush=True)
+    base = time_queries(spark, SRC, "sf0.1")
+
     workdir = tempfile.mkdtemp(prefix="scale_stress_")
     try:
-        docs = spark.table("documents")
-        n_docs = docs.count()
-        reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-        scaled_docs = (
-            docs.crossJoin(F.broadcast(reps))
-            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * (n_docs + 1))
-            # per-replica salt token keeps cross-replica pairs below
-            # any shingle-overlap threshold
-            .withColumn("text", F.concat_ws(" ", F.col("text"),
-                                            F.concat(F.lit("rep"), F.col("rep"))))
-            .drop("rep"))
-        scaled_docs.write.mode("overwrite").parquet(f"{workdir}/documents")
-        emb = spark.table("embeddings")
-        n_emb = emb.count()
-        scaled_emb = (
-            emb.crossJoin(F.broadcast(reps))
-            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * (n_emb + 1))
-            .withColumn("embedding", F.transform(
-                "embedding",
-                lambda v, i: v + (F.col("rep") % 7).cast("float") * 0.01
-                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))))
-            .drop("rep"))
-        scaled_emb.write.mode("overwrite").parquet(f"{workdir}/embeddings")
-
-        sdocs = spark.read.parquet(f"{workdir}/documents")
-        semb = spark.read.parquet(f"{workdir}/embeddings")
-        sdocs.createOrReplaceTempView("documents")
-        semb.createOrReplaceTempView("embeddings")
-        nd, ne = sdocs.count(), semb.count()
-        print(f"scaled: {nd} documents, {ne} embeddings "
-              f"({REPLICAS}x sf0.1)", flush=True)
-
-        results = {}
-
-        def timed(label, fn):
-            t0 = time.time()
-            out = fn()
-            e = round(time.time() - t0, 1)
-            results[label] = (out, e)
-            print(f"{label}: {out} in {e}s", flush=True)
-
-        d = spark.table("documents")
-        timed("dedup_exact_groups", lambda: dedup.exact_dedup_keys(d).count())
-        timed("minhash_lsh_candidates",
-              lambda: dedup.minhash_lsh_pairs(
-                  d, num_perm=16, bands=4, shingle=5).count())
-        timed("ngram_jaccard_pairs(prefiltered)",
-              lambda: dedup.ngram_jaccard_pairs(
-                  d, shingle=5, threshold=0.5,
-                  candidates=dedup.minhash_lsh_pairs(
-                      d, num_perm=16, bands=4, shingle=5)).count())
-        e_df = spark.table("embeddings")
-        timed("rp_lsh_near_pairs",
-              lambda: similarity.cosine_near_pairs(
-                  e_df, threshold=0.92, n_planes=8, n_bands=2).count())
-        timed("ivf_topk(50q)",
-              lambda: similarity.ivf_topk(
-                  e_df, query_ids=list(range(0, 50)), k=10,
-                  n_centroids=16, nprobe=4).count())
+        t0 = time.time()
+        build_scaled(spark, workdir)
+        print(f"scaled tables built ({REPLICAS}x) in "
+              f"{time.time()-t0:.0f}s", flush=True)
+        scaled = time_queries(spark, workdir, f"sf0.1x{REPLICAS}")
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-        spark.stop()
+
+    ratios = {n: round(scaled[n] / base[n], 2) for n in QUERIES}
+    flagged = {n: r for n, r in ratios.items() if r > RATIO_TOLERANCE}
+    print(json.dumps({
+        "replicas": REPLICAS, "runs": RUNS,
+        "base_sec": base, "scaled_sec": scaled, "ratios": ratios,
+        "tolerance": RATIO_TOLERANCE, "superlinear": flagged,
+    }))
+    sys.exit(1 if flagged else 0)
 
 
 if __name__ == "__main__":

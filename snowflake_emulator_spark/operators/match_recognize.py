@@ -22,8 +22,10 @@ Supported surface:
 * ``AFTER MATCH SKIP PAST LAST ROW`` (default) and
   ``AFTER MATCH SKIP TO NEXT ROW`` (overlapping matches).
 * Pattern operators: sequence, alternation ``|``, grouping, ``*``,
-  ``+``, ``?``, ``{m}``, ``{m,}``, ``{m,n}``, and reluctant variants.
-  ``PERMUTE``/anchors (``^``/``$``) raise NotImplementedError.
+  ``+``, ``?``, ``{m}``, ``{m,}``, ``{m,n}``, reluctant variants, and
+  ``PERMUTE(...)`` (expanded to the lexicographic alternation of every
+  ordering per SQL:2016, ≤ 6 elements). Anchors (``^``/``$``) raise
+  NotImplementedError.
 * DEFINE predicates are per-row boolean expressions (no PRIOR/NEXT
   navigation inside DEFINE — documented capability boundary).
 
@@ -81,7 +83,7 @@ class _Quant:
 
 
 _TOKEN_RE = _re.compile(
-    r"\s*(?:([A-Za-z_]\w*)|(\{\s*\d+\s*(?:,\s*\d*\s*)?\})|([()|*+?^$]))")
+    r"\s*(?:([A-Za-z_]\w*)|(\{\s*\d+\s*(?:,\s*\d*\s*)?\})|([()|*+?^$,]))")
 
 
 def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
@@ -102,9 +104,9 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
         pos = m.end()
         if m.group(1):
             if m.group(1).upper() == "PERMUTE":
-                raise NotImplementedError(
-                    "MATCH_RECOGNIZE: PERMUTE patterns are not supported")
-            tokens.append(("sym", m.group(1)))
+                tokens.append(("permute", m.group(1)))
+            else:
+                tokens.append(("sym", m.group(1)))
         elif m.group(2):
             tokens.append(("rep", m.group(2)))
         else:
@@ -129,11 +131,36 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
     def parse_seq():
         nonlocal ti
         atoms = []
-        while peek() in ("sym", "("):
+        while peek() in ("sym", "(", "permute"):
             atoms.append(parse_quantified())
         if not atoms:
             raise ValueError("empty PATTERN sequence")
         return atoms[0] if len(atoms) == 1 else _Seq(atoms)
+
+    def parse_permute():
+        """PERMUTE(A, B, ...) — lexicographic-preference expansion into
+        an alternation of every ordering (SQL:2016 defines PERMUTE as
+        exactly this expansion; capped at 6 elements = 720 branches)."""
+        nonlocal ti
+        ti += 1  # PERMUTE
+        if peek() != "(":
+            raise ValueError("PERMUTE requires a parenthesized list")
+        ti += 1
+        elems = [parse_alt()]
+        while peek() == ",":
+            ti += 1
+            elems.append(parse_alt())
+        if peek() != ")":
+            raise ValueError("unbalanced ( in PERMUTE")
+        ti += 1
+        if len(elems) > 6:
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE: PERMUTE supports at most 6 elements")
+        import itertools
+
+        alts = [_Seq(list(p)) if len(p) > 1 else p[0]
+                for p in itertools.permutations(elems)]
+        return alts[0] if len(alts) == 1 else _Alt(alts)
 
     def parse_quantified():
         nonlocal ti
@@ -144,6 +171,8 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
             if name not in symbol_index:
                 symbol_index[name] = len(symbol_index)
             node = _Sym(symbol_index[name])
+        elif kind == "permute":
+            node = parse_permute()
         else:  # "("
             ti += 1
             node = parse_alt()

@@ -111,3 +111,23 @@ def test_unknown_measure_fn_rejected(clicks):
               PARTITION BY user_id ORDER BY seq
               MEASURES AVG(seq) AS a
               PATTERN (V) DEFINE V AS etype = 'view')""")
+
+
+def test_match_recognize_permute_sql(engine):
+    """r10: PERMUTE(...) expands to the lexicographic alternation of
+    every ordering (SQL:2016); both A-then-B and B-then-A sequences
+    match, classifier reflects the actual per-row symbols."""
+    engine.execute("CREATE TABLE mr_perm (g INTEGER, seq INTEGER, k VARCHAR)")
+    engine.execute("""INSERT INTO mr_perm VALUES
+      (1, 1, 'a'), (1, 2, 'b'),
+      (2, 1, 'b'), (2, 2, 'a'),
+      (3, 1, 'a'), (3, 2, 'c')""")
+    rows = engine.execute("""
+      SELECT g, match_number, n FROM mr_perm MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (PERMUTE(A, B))
+        DEFINE A AS k = 'a', B AS k = 'b'
+      ) ORDER BY g""").rows
+    assert [tuple(r) for r in rows] == [(1, 1, 2), (2, 1, 2)]
