@@ -26,8 +26,12 @@ Supported surface:
   ``PERMUTE(...)`` (expanded to the lexicographic alternation of every
   ordering per SQL:2016, ≤ 6 elements). Anchors (``^``/``$``) raise
   NotImplementedError.
-* DEFINE predicates are per-row boolean expressions (no PRIOR/NEXT
-  navigation inside DEFINE — documented capability boundary).
+* DEFINE predicates may use ``PRIOR col`` navigation (r10): matches are
+  contiguous, so PRIOR equals the previous PARTITION row (a JVM-side
+  lag column) for every non-first match row, and NULL on the match's
+  first row — implemented as a second start-position bitmask, exact
+  SQL:2016 semantics. NEXT navigation is not supported (documented
+  capability boundary).
 
 Scale: one shuffle on the partition key; each group is matched locally
 in a single pass over its Arrow batch (groups = users/sessions — small
@@ -212,15 +216,25 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
 # Greedy backtracking matcher over candidate bitmasks
 # ---------------------------------------------------------------------
 
-def _gen(node, pos: int, masks, cls: list):
+def _gen(node, pos: int, ctx: tuple, cls: list):
     """Yield match end positions in SQL preference order. ``cls`` is a
     shared classifier stack: while a yield is suspended it holds the bit
-    index of every row consumed by the current parse, in row order."""
+    index of every row consumed by the current parse, in row order.
+
+    ``masks`` carries each row's candidate bits with PRIOR resolved to
+    the previous PARTITION row; ``start_masks`` carries the variant with
+    PRIOR resolved to NULL. A match's FIRST row has no prior row inside
+    the match, so position ``start`` reads ``start_masks`` — exact
+    SQL:2016 PRIOR semantics for contiguous matches."""
+    masks, start_masks, start = ctx
+
     if isinstance(node, _Sym):
-        if pos < len(masks) and (masks[pos] >> node.idx) & 1:
-            cls.append(node.idx)
-            yield pos + 1
-            cls.pop()
+        if pos < len(masks):
+            row = start_masks[pos] if pos == start else masks[pos]
+            if (row >> node.idx) & 1:
+                cls.append(node.idx)
+                yield pos + 1
+                cls.pop()
         return
     if isinstance(node, _Seq):
         parts = node.parts
@@ -229,14 +243,14 @@ def _gen(node, pos: int, masks, cls: list):
             if i == len(parts):
                 yield p
                 return
-            for q in _gen(parts[i], p, masks, cls):
+            for q in _gen(parts[i], p, ctx, cls):
                 yield from rec(i + 1, q)
 
         yield from rec(0, pos)
         return
     if isinstance(node, _Alt):
         for alt in node.alts:
-            yield from _gen(alt, pos, masks, cls)
+            yield from _gen(alt, pos, ctx, cls)
         return
     # _Quant — iterative fast path for a quantified single symbol (the
     # common B+/C{2,5} shape): run length is precomputed, no recursion
@@ -245,7 +259,10 @@ def _gen(node, pos: int, masks, cls: list):
         run = 0
         p = pos
         limit = node.hi if node.hi is not None else len(masks) - pos
-        while p < len(masks) and run < limit and (masks[p] >> idx) & 1:
+        while p < len(masks) and run < limit:
+            row = start_masks[p] if p == start else masks[p]
+            if not (row >> idx) & 1:
+                break
             run += 1
             p += 1
         if run < node.lo:
@@ -264,7 +281,7 @@ def _gen(node, pos: int, masks, cls: list):
         done_ok = n_done >= node.lo
 
         def more():
-            for q in _gen(node.node, p, masks, cls):
+            for q in _gen(node.node, p, ctx, cls):
                 if q == p:  # zero-width repetition guard
                     continue
                 yield from rep(n_done + 1, q)
@@ -283,17 +300,22 @@ def _gen(node, pos: int, masks, cls: list):
     yield from rep(0, pos)
 
 
-def find_matches(ast, masks, skip_to_next_row: bool = False):
+def find_matches(ast, masks, skip_to_next_row: bool = False,
+                 start_masks=None):
     """Return [(start, end, classifier_bits)] in match order. Zero-width
     matches are skipped (real MATCH_RECOGNIZE never reports empty
     matches). SKIP PAST LAST ROW resumes at ``end``; SKIP TO NEXT ROW
-    resumes at ``start + 1`` (overlapping matches)."""
+    resumes at ``start + 1`` (overlapping matches). ``start_masks`` is
+    the PRIOR->NULL candidate variant applied to each attempt's first
+    row (defaults to ``masks`` when no DEFINE uses PRIOR)."""
+    if start_masks is None:
+        start_masks = masks
     out = []
     pos, n = 0, len(masks)
     while pos < n:
         cls: list[int] = []
         hit = None
-        for e in _gen(ast, pos, masks, cls):
+        for e in _gen(ast, pos, (masks, start_masks, pos), cls):
             if e > pos:
                 hit = (pos, e, cls.copy())
                 break
@@ -339,16 +361,61 @@ def match_recognize(
     # JVM-side candidate bitmask: bit i set when DEFINE predicate i holds
     # (NULL -> false); symbols with no DEFINE entry match every row.
     mask = F.lit(0).cast("long")
-    for name, i in symbol_index.items():
-        pred = define_uc.get(name)
-        bit = F.lit(1 << i).cast("long")
+    # PRIOR navigation inside DEFINE (r10): `PRIOR col` resolves to the
+    # previous row of the match. Matches are contiguous, so for every
+    # non-first row that equals the previous PARTITION row — precomputed
+    # JVM-side as a lag column. A match's FIRST row has no prior row:
+    # the predicate is re-evaluated with PRIOR -> NULL into a second
+    # bitmask that the matcher applies at each attempt's start position.
+    _PRIOR_DEF_RE = _re.compile(
+        r"\bPRIOR\s*\(\s*([\w.\"]+)\s*\)|\bPRIOR\s+([\w.\"]+)", _re.I)
+    src = df
+    lag_cols: set[str] = set()
+    preds_lag: dict[str, str] = {}
+    preds_null: dict[str, str] = {}
+    uses_prior = False
+    for name, pred in define_uc.items():
         if pred is None:
-            mask = mask + bit
+            continue
+
+        def _sub_lag(m: _re.Match) -> str:
+            col = (m.group(1) or m.group(2)).split(".")[-1].strip('"')
+            lag_cols.add(col)
+            return f"__lag_{col}"
+
+        new_lag = _PRIOR_DEF_RE.sub(_sub_lag, pred)
+        if new_lag != pred:
+            uses_prior = True
+            preds_lag[name] = new_lag
+            preds_null[name] = _PRIOR_DEF_RE.sub("NULL", pred)
         else:
-            mask = mask + F.when(
-                F.coalesce(F.expr(pred), F.lit(False)), bit
-            ).otherwise(F.lit(0).cast("long"))
-    work = df.withColumn("__mask", mask)
+            preds_lag[name] = pred
+            preds_null[name] = pred
+    if lag_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(partition_by).orderBy(
+            *[F.col(c) for c in order_by])
+        for col in sorted(lag_cols):
+            src = src.withColumn(f"__lag_{col}", F.lag(F.col(col)).over(w))
+
+    def _build_mask(preds: dict[str, str]):
+        m = F.lit(0).cast("long")
+        for name, i in symbol_index.items():
+            pred = preds.get(name)
+            bit = F.lit(1 << i).cast("long")
+            if pred is None:
+                m = m + bit
+            else:
+                m = m + F.when(
+                    F.coalesce(F.expr(pred), F.lit(False)), bit
+                ).otherwise(F.lit(0).cast("long"))
+        return m
+
+    work = src.withColumn("__mask", _build_mask(preds_lag))
+    work = work.withColumn(
+        "__mask0", _build_mask(preds_null) if uses_prior
+        else F.col("__mask"))
 
     name_of_bit = {i: name for name, i in symbol_index.items()}
     if all_rows:
@@ -363,9 +430,10 @@ def match_recognize(
         def _match_all(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_by, kind="mergesort")
             masks = pdf["__mask"].tolist()
+            masks0 = pdf["__mask0"].tolist()
             outs = []
             for match_no, (st, en, bits) in enumerate(
-                    find_matches(ast, masks, skip_next), start=1):
+                    find_matches(ast, masks, skip_next, masks0), start=1):
                 seg = pdf.iloc[st:en][in_cols].copy()
                 seg["match_number"] = match_no
                 seg["classifier"] = [name_of_bit[b] for b in bits]
@@ -389,9 +457,10 @@ def match_recognize(
     def _match(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
         masks = pdf["__mask"].tolist()
+        masks0 = pdf["__mask0"].tolist()
         rows = []
         for match_no, (st, en, _bits) in enumerate(
-                find_matches(ast, masks, skip_next), start=1):
+                find_matches(ast, masks, skip_next, masks0), start=1):
             seg = pdf.iloc[st:en]
             row = {partition_by: pdf[partition_by].iloc[0],
                    "match_number": match_no, "n_rows": en - st}

@@ -131,3 +131,36 @@ def test_match_recognize_permute_sql(engine):
         DEFINE A AS k = 'a', B AS k = 'b'
       ) ORDER BY g""").rows
     assert [tuple(r) for r in rows] == [(1, 1, 2), (2, 1, 2)]
+
+
+def test_match_recognize_prior_in_define(engine):
+    """r10: PRIOR navigation inside DEFINE — rising-price runs. PRIOR
+    equals the previous match row (== previous partition row, matches
+    are contiguous) and NULL on the match's FIRST row, so a pattern
+    whose first symbol needs PRIOR can never start a match."""
+    engine.execute("CREATE TABLE mr_px (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_px VALUES
+      (1, 1, 10.0), (1, 2, 12.0), (1, 3, 15.0), (1, 4, 9.0), (1, 5, 11.0),
+      (2, 1, 5.0), (2, 2, 4.0), (2, 3, 3.0), (2, 4, 7.0)""")
+    rows = engine.execute("""
+      SELECT g, match_number, n, f, l FROM mr_px MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n, FIRST(price) AS f, LAST(price) AS l
+        ONE ROW PER MATCH
+        PATTERN (S UP+)
+        DEFINE UP AS price > PRIOR price
+      ) ORDER BY g, match_number""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 3, 10.0, 15.0),   # 10 < 12 < 15
+        (1, 2, 2, 9.0, 11.0),    # 9 < 11 (PRIOR resets at match start)
+        (2, 1, 2, 3.0, 7.0)]     # 3 < 7
+    # a match can never START on a PRIOR-using symbol (PRIOR -> NULL)
+    rows = engine.execute("""
+      SELECT g, match_number FROM mr_px MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        PATTERN (UP+)
+        DEFINE UP AS price > PRIOR price
+      )""").rows
+    assert rows == []
