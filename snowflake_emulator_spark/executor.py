@@ -726,24 +726,26 @@ class Executor:
         sel = [part_cols[0], "match_number", "n_rows"]
         renames: list[str] = []
         measure_cols: list[str] = []
-        if all_rows and measures:
-            raise errors.syntax_error(
-                "MATCH_RECOGNIZE: MEASURES with ALL ROWS PER MATCH is not "
-                "supported (every input column plus MATCH_NUMBER and "
-                "CLASSIFIER is already in the output)")
+        all_rows_measures: list[tuple] = []
+        _MEASURE_RE = re.compile(
+            r"^\s*(?:(FINAL|RUNNING)\s+)?(FIRST|LAST|COUNT|MATCH_NUMBER)"
+            r"\s*\(\s*(\*|[\w\"$]*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$", re.I)
         if measures:
             for piece in t._split_args(measures):
-                mm = re.match(
-                    r"^\s*(FIRST|LAST|COUNT|MATCH_NUMBER)\s*\(\s*"
-                    r"(\*|[\w\"$]*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$",
-                    piece.strip(), re.I)
+                mm = _MEASURE_RE.match(piece.strip())
                 if not mm:
                     raise errors.syntax_error(
-                        "MATCH_RECOGNIZE MEASURES supports FIRST(col)/"
-                        f"LAST(col)/COUNT(*)/MATCH_NUMBER(): {piece[:40]}")
-                fn, arg, out = (mm.group(1).upper(), mm.group(2).strip('"'),
-                                mm.group(3))
-                if fn == "COUNT":
+                        "MATCH_RECOGNIZE MEASURES supports [FINAL|RUNNING] "
+                        "FIRST(col)/LAST(col)/COUNT(*)/MATCH_NUMBER(): "
+                        f"{piece[:40]}")
+                mode, fn, arg, out = (mm.group(1), mm.group(2).upper(),
+                                      mm.group(3).strip('"'), mm.group(4))
+                if all_rows:
+                    # r10: ALL ROWS PER MATCH measures — RUNNING default
+                    # (SQL:2016), FINAL via the explicit keyword
+                    final = (mode or "RUNNING").upper() == "FINAL"
+                    all_rows_measures.append((fn, arg, out, final))
+                elif fn == "COUNT":
                     renames.append(f"n_rows AS {out}")
                 elif fn == "MATCH_NUMBER":
                     renames.append(f"match_number AS {out}")
@@ -766,10 +768,13 @@ class Executor:
                     f"column {name} in MATCH_RECOGNIZE input")
             return got
 
+        arm = [(fn, _col(arg) if fn in ("FIRST", "LAST") else arg, out, fin)
+               for fn, arg, out, fin in all_rows_measures]
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
                      define, pattern_text.strip(),
                      [_col(c) for c in measure_cols] or None,
-                     all_rows=all_rows, after_match=after_match)
+                     all_rows=all_rows, after_match=after_match,
+                     all_rows_measures=arm or None)
         if renames:
             # a measure alias may equal a base output column (e.g.
             # MATCH_NUMBER() AS match_number) — drop the shadowed base

@@ -340,6 +340,7 @@ def match_recognize(
     measure_cols: list[str] | None = None,
     all_rows: bool = False,
     after_match: str = "past_last",
+    all_rows_measures: list[tuple] | None = None,
 ) -> DataFrame:
     """Row-pattern matching over ``partition_by`` groups.
 
@@ -349,7 +350,11 @@ def match_recognize(
     ONE ROW PER MATCH output: partition key, ``match_number`` (1-based
     per partition), ``n_rows``, and ``m_first``/``m_last`` per measure
     column. ALL ROWS PER MATCH output: every matched input row plus
-    ``match_number`` and ``classifier``.
+    ``match_number`` and ``classifier``; ``all_rows_measures`` adds
+    per-row measure columns as ``(fn, col, outname, final)`` tuples with
+    fn in FIRST/LAST/COUNT/MATCH_NUMBER — RUNNING semantics by default
+    (SQL:2016's ALL ROWS default: LAST/COUNT see rows up to the current
+    one), FINAL when ``final`` is true.
     """
     define_uc = {k.upper(): v for k, v in define.items()}
     symbol_index: dict[str, int] = {s: i for i, s in enumerate(define_uc)}
@@ -420,10 +425,22 @@ def match_recognize(
     name_of_bit = {i: name for name, i in symbol_index.items()}
     if all_rows:
         # ALL ROWS PER MATCH: every matched input row comes back with
-        # its match_number and CLASSIFIER (the symbol it matched as)
+        # its match_number and CLASSIFIER (the symbol it matched as),
+        # plus any requested per-row measures (RUNNING or FINAL)
+        ms = all_rows_measures or []
+        in_names = {f.name for f in df.schema.fields}
         out_fields = list(df.schema.fields) + [
             T.StructField("match_number", T.LongType()),
             T.StructField("classifier", T.StringType())]
+        for fn, col, outname, _final in ms:
+            if outname in in_names:
+                raise ValueError(
+                    f"measure alias {outname!r} collides with an input column")
+            if fn in ("COUNT", "MATCH_NUMBER"):
+                out_fields.append(T.StructField(outname, T.LongType()))
+            else:  # FIRST / LAST carry the column's type
+                out_fields.append(T.StructField(outname,
+                                                df.schema[col].dataType))
         out_schema = T.StructType(out_fields)
         in_cols = [f.name for f in df.schema.fields]
 
@@ -437,6 +454,17 @@ def match_recognize(
                 seg = pdf.iloc[st:en][in_cols].copy()
                 seg["match_number"] = match_no
                 seg["classifier"] = [name_of_bit[b] for b in bits]
+                n = en - st
+                for fn, col, outname, final in ms:
+                    if fn == "MATCH_NUMBER":
+                        seg[outname] = match_no
+                    elif fn == "COUNT":
+                        seg[outname] = n if final else range(1, n + 1)
+                    elif fn == "FIRST":  # running == final for FIRST
+                        seg[outname] = pdf[col].iloc[st]
+                    else:  # LAST
+                        seg[outname] = (pdf[col].iloc[en - 1] if final
+                                        else pdf[col].iloc[st:en].values)
                 outs.append(seg)
             if not outs:
                 return pd.DataFrame(columns=[f.name for f in out_fields])

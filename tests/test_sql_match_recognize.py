@@ -87,14 +87,16 @@ def test_all_rows_per_match(clicks):
         (1, 3, "cart", 1, "C"), (1, 4, "buy", 1, "B")]
 
 
-def test_all_rows_with_measures_rejected(clicks):
-    with pytest.raises(errors.SnowflakeError):
-        clicks.execute("""
-            SELECT * FROM mr_clicks MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY seq
-              MEASURES COUNT(*) AS n
-              ALL ROWS PER MATCH
-              PATTERN (V) DEFINE V AS etype = 'view')""")
+def test_all_rows_with_measures_works(clicks):
+    """r10: MEASURES + ALL ROWS PER MATCH is now supported (was
+    rejected through r9); running COUNT over a single-symbol match."""
+    rows = clicks.execute("""
+        SELECT user_id, n FROM mr_clicks MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY seq
+          MEASURES COUNT(*) AS n
+          ALL ROWS PER MATCH
+          PATTERN (V) DEFINE V AS etype = 'view')""").rows
+    assert rows and all(r[1] == 1 for r in rows)
 
 
 def test_missing_define_rejected(clicks):
@@ -164,3 +166,29 @@ def test_match_recognize_prior_in_define(engine):
         DEFINE UP AS price > PRIOR price
       )""").rows
     assert rows == []
+
+
+def test_match_recognize_all_rows_measures(engine):
+    """r10: MEASURES with ALL ROWS PER MATCH — RUNNING semantics by
+    default (SQL:2016: COUNT/LAST see rows up to the current one),
+    FINAL via the keyword; FIRST and MATCH_NUMBER are start/constant."""
+    engine.execute("CREATE TABLE mr_arm (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_arm VALUES
+      (1, 1, 10.0), (1, 2, 12.0), (1, 3, 15.0), (1, 4, 9.0), (1, 5, 11.0)""")
+    rows = engine.execute("""
+      SELECT seq, classifier, mno, rcount, fcount, rlast, flast, fprice
+      FROM mr_arm MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mno, COUNT(*) AS rcount,
+                 FINAL COUNT(*) AS fcount, LAST(price) AS rlast,
+                 FINAL LAST(price) AS flast, FIRST(price) AS fprice
+        ALL ROWS PER MATCH
+        PATTERN (S UP+)
+        DEFINE UP AS price > PRIOR price
+      ) ORDER BY mno, seq""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, "S", 1, 1, 3, 10.0, 15.0, 10.0),
+        (2, "UP", 1, 2, 3, 12.0, 15.0, 10.0),
+        (3, "UP", 1, 3, 3, 15.0, 15.0, 10.0),
+        (4, "S", 2, 1, 2, 9.0, 11.0, 9.0),
+        (5, "UP", 2, 2, 2, 11.0, 11.0, 9.0)]
