@@ -574,18 +574,25 @@ class Translator:
 
     def _rewrite_connect_by(self, s: str) -> str:
         up = s.upper()
-        if "CONNECT BY" not in up or "START WITH" not in up:
+        if "CONNECT BY" not in up:
             return s
-        sw = self._find_top_level_keyword(s, "START")
+        sw = (self._find_top_level_keyword(s, "START")
+              if "START WITH" in up else None)
         cb = self._find_top_level_keyword(s, "CONNECT")
-        if sw is None or cb is None or cb < sw:
+        if cb is None or (sw is not None and cb < sw):
             return s
-        swm = re.match(r"START\s+WITH", s[sw:], re.I)
+        swm = re.match(r"START\s+WITH", s[sw:], re.I) if sw is not None else None
         cbm = re.match(r"CONNECT\s+BY", s[cb:], re.I)
-        if swm is None or cbm is None:
+        if cbm is None or (sw is not None and swm is None):
             return s
-        head = s[:sw].rstrip()
-        seed = s[sw + swm.end():cb].strip()
+        if sw is not None:
+            head = s[:sw].rstrip()
+            seed = s[sw + swm.end():cb].strip()
+        else:
+            # r10: omitted START WITH — every row is a root (Oracle/
+            # Snowflake hierarchical-query default)
+            head = s[:cb].rstrip()
+            seed = "TRUE"
         rest = s[cb + cbm.end():]
         tail_pos = None
         for kw in ("ORDER", "LIMIT", "QUALIFY"):
@@ -594,6 +601,19 @@ class Translator:
                 tail_pos = p
         cond = rest[:tail_pos].strip() if tail_pos is not None else rest.strip()
         tail = (" " + rest[tail_pos:].strip()) if tail_pos is not None else ""
+        # r10: WHERE between FROM and START WITH/CONNECT BY filters the
+        # RESULT after hierarchy construction (Oracle/Snowflake apply
+        # WHERE post-CONNECT BY, unlike join conditions)
+        post_where = None
+        wm_pos = self._find_top_level_keyword(head, "WHERE")
+        if wm_pos is not None:
+            post_where = head[wm_pos:].strip()
+            pwm = re.match(r"WHERE\s+", post_where, re.I)
+            if pwm:
+                post_where = post_where[pwm.end():].strip()
+                head = head[:wm_pos].rstrip()
+            else:
+                post_where = None
         fm = re.search(r"\bFROM\s+([\w.\"$]+)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$",
                        head, re.I)
         if fm is None:
@@ -710,6 +730,7 @@ class Translator:
             f", {a} AS {name}" for name, a, _r in extras)
         rec_extra = "".join(
             f", {r.replace('{self}', name)}" for name, _a, r in extras)
+        where_sql = f" WHERE {post_where}" if post_where else ""
         return (
             f"WITH RECURSIVE __hier AS ("
             f"SELECT __t.*, 1 AS level{anchor_extra} "
@@ -717,7 +738,8 @@ class Translator:
             f"UNION ALL "
             f"SELECT __c.*, __p.level + 1{rec_extra} FROM {table} __c "
             f"JOIN __hier __p ON {join_cond}) "
-            f"{select_list} FROM __hier{' ' + alias if alias else ''}{tail}"
+            f"{select_list} FROM __hier{' ' + alias if alias else ''}"
+            f"{where_sql}{tail}"
         )
 
     # -- CONDITIONAL_TRUE_EVENT(expr) OVER (...) --------------------------

@@ -829,3 +829,29 @@ def test_listagg_distinct_within_group_rewrite():
     out = translate(
         "SELECT LISTAGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
     assert "listagg(x, ',')" in out
+
+
+def test_connect_by_path_root_prior_select_list():
+    """r10: SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT / PRIOR in the SELECT
+    list become accumulated recursive-CTE columns."""
+    out = translate(
+        "SELECT id, SYS_CONNECT_BY_PATH(name, '/') AS p, "
+        "CONNECT_BY_ROOT name AS r, PRIOR id AS pid, LEVEL AS lvl "
+        "FROM t START WITH id = 0 CONNECT BY PRIOR id = pid2")
+    assert "WITH RECURSIVE __hier" in out
+    assert "CONCAT('/', CAST(__t.name AS STRING)) AS __cbpath_0" in out
+    assert "CONCAT(__p.__cbpath_0, '/', CAST(__c.name AS STRING))" in out
+    assert "__t.name AS __cbroot_1" in out and "__p.__cbroot_1" in out
+    assert "IF(FALSE, __t.id, NULL) AS __cbprior_2" in out
+    assert "__cbpath_0 AS p" in out and "__cbprior_2 AS pid" in out
+
+
+def test_connect_by_without_start_with_and_where():
+    """r10: omitted START WITH -> every row is a root; WHERE between
+    FROM and CONNECT BY filters AFTER hierarchy construction."""
+    out = translate(
+        "SELECT id, LEVEL AS lvl FROM t WHERE id < 6 "
+        "CONNECT BY PRIOR id = parent_id")
+    assert "WITH RECURSIVE __hier" in out
+    assert "FROM t __t WHERE TRUE" in out
+    assert out.rstrip().endswith("FROM __hier WHERE id < 6")
