@@ -132,6 +132,15 @@ def main():
     failures += run_mr_overlap_cases(eng.executor, con, mro_cases)
     print(f"mr-overlap sweep: {len(mro_cases)} cases done", flush=True)
 
+    # r10: CONNECT BY hierarchical configs vs DuckDB recursive CTEs
+    from difffuzz import generate_connectby_cases
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS nation AS SELECT * FROM '{SF_DIR}/nation.parquet'")
+    cb_cases = generate_connectby_cases(SEED + 12, max(COUNT // 20, 6))
+    n_cases += len(cb_cases)
+    failures += run_asof_cases(spark, con, translate, cb_cases)
+    print(f"connect-by sweep: {len(cb_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

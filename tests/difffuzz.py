@@ -1480,3 +1480,69 @@ FROM events MATCH_RECOGNIZE (
                 f"{case['desc']}: {len(got)} vs {len(want)} matches, "
                 f"first diffs {diff}")
     return failures
+
+
+# ---------------------------------------------------------------------
+# CONNECT BY hierarchical-query family (r10): randomized tree shapes
+# (parent(k) = floor(k/d)), START WITH present/omitted, post-hierarchy
+# WHERE, and the r10 SELECT-list functions (SYS_CONNECT_BY_PATH,
+# CONNECT_BY_ROOT, PRIOR) vs a hand-rolled DuckDB recursive CTE.
+# Runs through run_asof_cases (full-query two-engine compare).
+# ---------------------------------------------------------------------
+
+def generate_connectby_cases(seed: int, count: int) -> list[tuple[str, str, str]]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(count):
+        d = rng.choice([2, 3, 4])
+        start_with = rng.random() < 0.7
+        use_path = rng.random() < 0.5
+        use_root = rng.random() < 0.4
+        use_prior = rng.random() < 0.4
+        where_c = rng.choice([None, None, 8, 15])
+        sep = rng.choice([" -> ", "/", "."])
+
+        sel_snow = ["n.n_nationkey AS node_id", "LEVEL AS lvl"]
+        sel_duck_anchor = ["n_nationkey AS node_id", "1 AS lvl"]
+        sel_duck_rec = ["c.n_nationkey", "h.lvl + 1"]
+        duck_out = ["node_id", "lvl"]
+        if use_path:
+            sel_snow.append(f"SYS_CONNECT_BY_PATH(n_name, '{sep}') AS path")
+            sel_duck_anchor.append(f"concat('{sep}', n_name) AS path")
+            sel_duck_rec.append(f"concat(h.path, '{sep}', c.n_name)")
+            duck_out.append("path")
+        if use_root:
+            sel_snow.append("CONNECT_BY_ROOT n_name AS root_name")
+            sel_duck_anchor.append("n_name AS root_name")
+            sel_duck_rec.append("h.root_name")
+            duck_out.append("root_name")
+        if use_prior:
+            sel_snow.append("PRIOR n_nationkey AS parent_id")
+            sel_duck_anchor.append("CAST(NULL AS BIGINT) AS parent_id")
+            sel_duck_rec.append("h.node_id")
+            duck_out.append("parent_id")
+
+        where_snow = f"WHERE n.n_nationkey < {where_c} " if where_c else ""
+        start_snow = "START WITH n.n_nationkey = 0 " if start_with else ""
+        snow = (f"SELECT {', '.join(sel_snow)} FROM nation n "
+                f"{where_snow}{start_snow}"
+                f"CONNECT BY PRIOR n_nationkey = FLOOR(n.n_nationkey / {d}) "
+                f"AND n.n_nationkey > 0")
+
+        anchor_where = ("WHERE n_nationkey = 0" if start_with else "")
+        duck_where = f"WHERE node_id < {where_c}" if where_c else ""
+        duck = (
+            f"WITH RECURSIVE h AS ("
+            f"SELECT {', '.join(sel_duck_anchor)} FROM nation {anchor_where} "
+            f"UNION ALL "
+            f"SELECT {', '.join(sel_duck_rec)} FROM nation c "
+            f"JOIN h ON floor(c.n_nationkey / {d}) = h.node_id "
+            f"AND c.n_nationkey > 0) "
+            f"SELECT {', '.join(duck_out)} FROM h {duck_where}")
+        out.append((
+            f"connectby[d{d}{' sw' if start_with else ''}"
+            f"{' path' if use_path else ''}{' root' if use_root else ''}"
+            f"{' prior' if use_prior else ''}"
+            f"{f' w<{where_c}' if where_c else ''}]",
+            snow, duck))
+    return out

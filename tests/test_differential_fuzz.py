@@ -188,3 +188,19 @@ def test_differential_fuzz_mr_overlap(probes, tmp_path):
     failures = run_mr_overlap_cases(eng.executor, con, cases)
     assert not failures, (
         f"{len(failures)} MR-overlap mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_connect_by(probes):
+    """r10: randomized CONNECT BY configs (tree arity, START WITH
+    present/omitted, post-hierarchy WHERE, SYS_CONNECT_BY_PATH /
+    CONNECT_BY_ROOT / PRIOR select-list functions) vs hand-rolled
+    DuckDB recursive CTEs."""
+    spark, con = probes
+    from difffuzz import generate_connectby_cases
+
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS nation AS SELECT * FROM '{SF_DIR}/nation.parquet'")
+    cases = generate_connectby_cases(SEED + 12, 10)
+    failures = run_asof_cases(spark, con, translate, cases)
+    assert not failures, (
+        f"{len(failures)} CONNECT BY mismatches:\n" + "\n".join(failures[:10]))
