@@ -24,8 +24,8 @@ Supported surface:
 * Pattern operators: sequence, alternation ``|``, grouping, ``*``,
   ``+``, ``?``, ``{m}``, ``{m,}``, ``{m,n}``, reluctant variants, and
   ``PERMUTE(...)`` (expanded to the lexicographic alternation of every
-  ordering per SQL:2016, ≤ 6 elements). Anchors (``^``/``$``) raise
-  NotImplementedError.
+  ordering per SQL:2016, ≤ 6 elements), and ``^``/``$`` anchors
+  (partition start/end, zero-width).
 * DEFINE predicates may use ``PRIOR col`` navigation (r10): matches are
   contiguous, so PRIOR equals the previous PARTITION row (a JVM-side
   lag column) for every non-first match row, and NULL on the match's
@@ -86,6 +86,14 @@ class _Quant:
         self.greedy = greedy
 
 
+class _Anchor:
+    """``^`` (partition start) / ``$`` (partition end) — zero-width."""
+    __slots__ = ("end",)
+
+    def __init__(self, end: bool):
+        self.end = end
+
+
 _TOKEN_RE = _re.compile(
     r"\s*(?:([A-Za-z_]\w*)|(\{\s*\d+\s*(?:,\s*\d*\s*)?\})|([()|*+?^$,]))")
 
@@ -114,11 +122,7 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
         elif m.group(2):
             tokens.append(("rep", m.group(2)))
         else:
-            ch = m.group(3)
-            if ch in "^$":
-                raise NotImplementedError(
-                    "MATCH_RECOGNIZE: ^/$ anchors are not supported")
-            tokens.append((ch, ch))
+            tokens.append((m.group(3), m.group(3)))
     ti = 0
 
     def peek():
@@ -135,7 +139,11 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
     def parse_seq():
         nonlocal ti
         atoms = []
-        while peek() in ("sym", "(", "permute"):
+        while peek() in ("sym", "(", "permute", "^", "$"):
+            if peek() in ("^", "$"):
+                atoms.append(_Anchor(peek() == "$"))
+                ti += 1
+                continue
             atoms.append(parse_quantified())
         if not atoms:
             raise ValueError("empty PATTERN sequence")
@@ -235,6 +243,11 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
                 cls.append(node.idx)
                 yield pos + 1
                 cls.pop()
+        return
+    if isinstance(node, _Anchor):
+        # zero-width: ^ holds only at partition start, $ only at its end
+        if (pos == len(masks)) if node.end else (pos == 0):
+            yield pos
         return
     if isinstance(node, _Seq):
         parts = node.parts

@@ -192,3 +192,32 @@ def test_match_recognize_all_rows_measures(engine):
         (3, "UP", 1, 3, 3, 15.0, 15.0, 10.0),
         (4, "S", 2, 1, 2, 9.0, 11.0, 9.0),
         (5, "UP", 2, 2, 2, 11.0, 11.0, 9.0)]
+
+
+def test_match_recognize_anchors(engine):
+    """r10: ^/$ anchors — ^ holds only at partition start, $ only at
+    partition end (zero-width, SQL:2016)."""
+    engine.execute("CREATE TABLE mr_anc (g INTEGER, seq INTEGER, k VARCHAR)")
+    engine.execute("""INSERT INTO mr_anc VALUES
+      (1, 1, 'a'), (1, 2, 'a'), (1, 3, 'b'),
+      (2, 1, 'b'), (2, 2, 'a')""")
+    # ^ A: only the partition-leading 'a' run start matches
+    rows = engine.execute("""
+      SELECT g, n FROM mr_anc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (^ A+)
+        DEFINE A AS k = 'a'
+      ) ORDER BY g""").rows
+    assert [tuple(r) for r in rows] == [(1, 2)]   # g=2 starts with 'b'
+    # B $: only a partition-ending 'b' matches
+    rows = engine.execute("""
+      SELECT g, n FROM mr_anc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (B $)
+        DEFINE B AS k = 'b'
+      ) ORDER BY g""").rows
+    assert [tuple(r) for r in rows] == [(1, 1)]   # g=2 ends with 'a'
