@@ -1370,9 +1370,17 @@ _MR_OVERLAP_PREDS = [
     ("value <= 80", "E"),
 ]
 
+# (spark_pattern, oracle_regex_pattern) — identical except PERMUTE,
+# which the oracle expands to its alternation (Python re has no PERMUTE)
 _MR_OVERLAP_PATTERNS = [
-    "A B", "A B+", "B+ C", "A B? C", "(A|C) B", "A{2}", "B{2,3}",
-    "A+? B", "C B* A", "(A B)+", "B C?",
+    ("A B", "A B"), ("A B+", "A B+"), ("B+ C", "B+ C"),
+    ("A B? C", "A B? C"), ("(A|C) B", "(A|C) B"), ("A{2}", "A{2}"),
+    ("B{2,3}", "B{2,3}"), ("A+? B", "A+? B"), ("C B* A", "C B* A"),
+    ("(A B)+", "(A B)+"), ("B C?", "B C?"),
+    # r10: anchors (partition start/end) and PERMUTE
+    ("^ A B", "^ A B"), ("A B $", "A B $"),
+    ("PERMUTE(A, B)", "(A B|B A)"),
+    ("PERMUTE(A, B) C", "(A B|B A) C"),
 ]
 
 
@@ -1385,17 +1393,20 @@ def generate_mr_overlap_cases(seed: int, count: int) -> list[dict]:
         # rename to S1..Sn so patterns are independent of the pool letters
         syms = [f"S{i+1}" for i in range(n_sym)]
         preds = {s: p for s, (p, _tag) in zip(syms, picks)}
-        pat = rng.choice(_MR_OVERLAP_PATTERNS)
-        # map pattern letters A/B/C onto the drawn symbols (cyclic)
+        pat, pat_rx = rng.choice(_MR_OVERLAP_PATTERNS)
+        # map pattern letters A/B/C onto the drawn symbols (cyclic);
+        # PERMUTE stays a keyword on the Spark side only
         letmap = {"A": syms[0], "B": syms[1 % n_sym],
                   "C": syms[2 % n_sym]}
         pattern = "".join(letmap.get(ch, ch) for ch in pat)
+        pattern_rx = "".join(letmap.get(ch, ch) for ch in pat_rx)
         skip_next = rng.random() < 0.4
         umax = rng.choice([15, 30])
         out.append({
             "desc": f"mr_overlap[{pat} n{n_sym}"
                     f"{' skip_next' if skip_next else ''}]",
-            "preds": preds, "pattern": pattern, "skip_next": skip_next,
+            "preds": preds, "pattern": pattern,
+            "pattern_rx": pattern_rx, "skip_next": skip_next,
             "umax": umax,
         })
     return out
@@ -1442,7 +1453,8 @@ FROM events MATCH_RECOGNIZE (
                               key=len, reverse=True))
         sym_rx = {s: classes[i] for i, s in enumerate(syms)}
         rx_text = _re2.sub(rf"\b(?:{alt})\b",
-                           lambda m: sym_rx[m.group(0)], pattern)
+                           lambda m: sym_rx[m.group(0)],
+                           case.get("pattern_rx", pattern))
         rx = _re2.compile(rx_text.replace(" ", ""))
         by_user: dict = {}
         for r in duck_rows:
