@@ -141,6 +141,17 @@ AUDIT = [
     # source overlap: equi-join on the shingle key only
     ("source_overlap_jaccard", ["HashAggregate", "!BroadcastNestedLoopJoin",
                                 "!CartesianProduct"]),
+    # r10 additions -------------------------------------------------------
+    # overlapping-DEFINE MATCH_RECOGNIZE: ONE grouped Arrow pass
+    # (FlatMapGroupsInPandas) over the partition-key exchange; the
+    # bitmask is computed JVM-side, never a join
+    ("sql_match_recognize_overlap", ["FlatMapGroupsInPandas",
+                                     "!BroadcastNestedLoopJoin",
+                                     "!CartesianProduct"]),
+    # CONNECT BY path/root/prior: recursive CTE — each round joins the
+    # child scan to the small frontier, never a cross product
+    ("hierarchy_connect_by_path", ["!BroadcastNestedLoopJoin",
+                                   "!CartesianProduct"]),
 ]
 
 
