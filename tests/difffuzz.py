@@ -1144,10 +1144,26 @@ def generate_merge_cases(seed: int, count: int,
             src_ids = rng.sample(range(0, 50), n_src)
         source = _rand_rows(rng, src_ids)
 
-        # source relation: bare table or filtering subquery
-        if rng.random() < 0.25:
+        # source relation: bare table, filtering subquery, or an
+        # AGGREGATING subquery (unique ids by construction — exercises
+        # subquery execution inside MERGE without strict-mode noise)
+        src_kind = rng.random()
+        if src_kind < 0.20:
             src_sql = f"(SELECT * FROM {sname} WHERE v IS NOT NULL)"
             src_rows = [r for r in source if r["v"] is not None]
+        elif src_kind < 0.35:
+            src_sql = (f"(SELECT id, MAX(v) AS v, MAX(w) AS w "
+                       f"FROM {sname} GROUP BY id)")
+            grouped: dict = {}
+            for r in source:
+                grouped.setdefault(r["id"], []).append(r)
+            src_rows = []
+            for gid, rows_ in grouped.items():
+                vs = [r["v"] for r in rows_ if r["v"] is not None]
+                ws = [r["w"] for r in rows_ if r["w"] is not None]
+                src_rows.append({"id": gid,
+                                 "v": max(vs) if vs else None,
+                                 "w": max(ws) if ws else None})
         else:
             src_sql = sname
             src_rows = source
