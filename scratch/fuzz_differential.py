@@ -141,6 +141,13 @@ def main():
     failures += run_asof_cases(spark, con, translate, cb_cases)
     print(f"connect-by sweep: {len(cb_cases)} cases done", flush=True)
 
+    # r10: multi-table INSERT ALL|FIRST vs DuckDB decomposed replay
+    from difffuzz import generate_mti_cases, run_mti_cases
+    mti_cases = generate_mti_cases(SEED + 13, max(COUNT // 15, 8))
+    n_cases += len(mti_cases)
+    failures += run_mti_cases(eng, mti_cases)
+    print(f"multi-table-insert sweep: {len(mti_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

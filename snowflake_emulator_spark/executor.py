@@ -2727,16 +2727,23 @@ class Executor:
                 branch = src
                 cond_expr = (self.translator.translate_expr(cond)
                              if cond else None)
+                # "not matched" means "condition not TRUE": a NULL WHEN
+                # condition must still route the row to ELSE (and, in
+                # FIRST mode, to a later matching branch) — bare
+                # NOT (c1 OR c2) propagates NULL and silently DROPS the
+                # row (r10 mti fuzz family found this)
+                def _none_matched(conds: list[str]) -> str:
+                    return "NOT (" + " OR ".join(
+                        f"coalesce(({c}), FALSE)" for c in conds) + ")"
+
                 if is_else:
                     # rows no WHEN matched
                     if prev_conds:
-                        branch = branch.filter(
-                            "NOT (" + " OR ".join(f"({c})" for c in prev_conds) + ")")
+                        branch = branch.filter(_none_matched(prev_conds))
                 elif cond_expr is not None:
                     f = cond_expr
                     if first_mode and prev_conds:
-                        f = (f"({f}) AND NOT ("
-                             + " OR ".join(f"({c})" for c in prev_conds) + ")")
+                        f = f"({f}) AND {_none_matched(prev_conds)}"
                     branch = branch.filter(f)
                     prev_conds.append(cond_expr)
                 if values:

@@ -1574,3 +1574,108 @@ def generate_connectby_cases(seed: int, count: int) -> list[tuple[str, str, str]
             f"{f' w<{where_c}' if where_c else ''}]",
             snow, duck))
     return out
+
+
+# ---------------------------------------------------------------------
+# Multi-table INSERT ALL|FIRST family (r10): random WHEN routing vs a
+# DuckDB DECOMPOSED replay (each WHEN clause becomes INSERT..SELECT with
+# the first-match guard for FIRST and the none-matched guard for ELSE).
+# ---------------------------------------------------------------------
+
+def generate_mti_cases(seed: int, count: int,
+                       sname: str = "fz_mti_s") -> list[dict]:
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(count):
+        source = _rand_rows(rng, rng.sample(range(0, 40),
+                                            rng.randint(8, 20)))
+        n_when = rng.randint(1, 3)
+        conds = []
+        for _i in range(n_when):
+            c = rng.randint(2, 15)
+            conds.append(rng.choice([
+                f"v < {c}", "v % 2 = 0", "w = 'a'", f"v + id > {c}"]))
+        vals = [rng.choice(["v", "v * 2", "id + v", "id"]) for _ in conds]
+        wvals = [rng.choice(["w", "'k'", "w || 'x'"]) for _ in conds]
+        use_else = rng.random() < 0.4
+        first = rng.random() < 0.5
+        cases.append({"desc": f"mti[{'FIRST' if first else 'ALL'} "
+                              f"n{n_when}{' else' if use_else else ''}]",
+                      "source": source, "conds": conds, "vals": vals,
+                      "wvals": wvals, "use_else": use_else, "first": first})
+    return cases
+
+
+def run_mti_cases(engine, cases, sname: str = "fz_mti_s") -> list[str]:
+    import duckdb as _duckdb
+
+    failures = []
+    con = _duckdb.connect()
+    con.execute(f"CREATE TABLE {sname} (ID INTEGER, V INTEGER, W VARCHAR)")
+    n_tgts = 4  # t0..t2 for WHEN clauses, t3 for ELSE
+    for i in range(n_tgts):
+        con.execute(f"CREATE TABLE fz_mti_t{i} (X INTEGER, Y VARCHAR)")
+    for case in cases:
+        _seed_dml_table(engine, sname, case["source"])
+        con.execute(f"DELETE FROM {sname}")
+        if case["source"]:
+            con.execute(f"INSERT INTO {sname} VALUES " + ", ".join(
+                f"({_dml_lit(r['id'])}, {_dml_lit(r['v'])}, "
+                f"{_dml_lit(r['w'])})" for r in case["source"]))
+        for i in range(n_tgts):
+            engine.execute(f"CREATE OR REPLACE TABLE fz_mti_t{i} "
+                           f"(X INTEGER, Y VARCHAR)")
+            con.execute(f"DELETE FROM fz_mti_t{i}")
+        conds, vals, wvals = case["conds"], case["vals"], case["wvals"]
+        whens = " ".join(
+            f"WHEN {c} THEN INTO fz_mti_t{i} (X, Y) VALUES ({v}, {wv})"
+            for i, (c, v, wv) in enumerate(zip(conds, vals, wvals)))
+        els = " ELSE INTO fz_mti_t3 (X, Y) VALUES (id, w)" \
+            if case["use_else"] else ""
+        stmt = (f"INSERT {'FIRST' if case['first'] else 'ALL'} "
+                f"{whens}{els} SELECT id, v, w FROM {sname}")
+        try:
+            r = engine.execute(stmt)
+            eng_count = int(r.rows[0][0])
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{case['desc']} ERROR: {e} [{stmt[:140]}]")
+            continue
+        # DuckDB decomposed replay
+        duck_count = 0
+        for i, (c, v, wv) in enumerate(zip(conds, vals, wvals)):
+            guard = c
+            if case["first"] and i:
+                guard = c + "".join(
+                    f" AND NOT coalesce({p}, FALSE)" for p in conds[:i])
+            duck_count += con.execute(
+                f"INSERT INTO fz_mti_t{i} SELECT {v}, {wv} FROM {sname} "
+                f"WHERE {guard}").fetchall()[0][0]
+        if case["use_else"]:
+            guard = " AND ".join(
+                f"NOT coalesce({p}, FALSE)" for p in conds)
+            duck_count += con.execute(
+                f"INSERT INTO fz_mti_t3 SELECT id, w FROM {sname} "
+                f"WHERE {guard}").fetchall()[0][0]
+        for i in range(n_tgts):
+            eng_rows = sorted(
+                (tuple(normalize(x) for x in row) for row in
+                 engine.execute(f"SELECT X, Y FROM fz_mti_t{i}").rows),
+                key=repr)
+            duck_rows = sorted(
+                (tuple(normalize(x) for x in row) for row in
+                 con.execute(f"SELECT X, Y FROM fz_mti_t{i}").fetchall()),
+                key=repr)
+            if eng_rows != duck_rows:
+                diff = [(a, b) for a, b in zip(eng_rows, duck_rows)
+                        if a != b][:3]
+                failures.append(
+                    f"{case['desc']} t{i}: {len(eng_rows)} vs "
+                    f"{len(duck_rows)} rows, diffs {diff} [{stmt[:140]}]")
+                break
+        else:
+            if eng_count != duck_count:
+                failures.append(
+                    f"{case['desc']}: inserted-count {eng_count} != "
+                    f"{duck_count} [{stmt[:140]}]")
+    con.close()
+    return failures

@@ -204,3 +204,20 @@ def test_differential_fuzz_connect_by(probes):
     failures = run_asof_cases(spark, con, translate, cases)
     assert not failures, (
         f"{len(failures)} CONNECT BY mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_multi_table_insert(probes, tmp_path):
+    """r10: random INSERT ALL|FIRST routing (WHEN conds, ELSE,
+    value mappings) vs a DuckDB decomposed-insert replay. This family
+    found the NULL-WHEN-condition row-drop bug on its first run."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_mti_cases, run_mti_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mti_wh"))
+    cases = generate_mti_cases(SEED + 13, 10)
+    failures = run_mti_cases(eng, cases)
+    assert not failures, (
+        f"{len(failures)} multi-table INSERT mismatches:\n"
+        + "\n".join(failures[:10]))

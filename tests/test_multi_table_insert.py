@@ -85,3 +85,31 @@ def test_multi_insert_rolls_back_atomically(engine):
     engine.execute("ROLLBACK", ctx)
     assert rows(engine, "SELECT COUNT(*) AS n FROM mtx1") == [(0,)]
     assert rows(engine, "SELECT COUNT(*) AS n FROM mtx2") == [(0,)]
+
+
+def test_null_when_condition_routes_to_else_and_later_first(engine):
+    """r10 (found by the mti fuzz family): a NULL WHEN condition is
+    "not matched", so the row must still reach ELSE — and in FIRST
+    mode a later matching branch. Bare NOT (c1 OR c2) propagated NULL
+    and silently dropped the row."""
+    engine.execute("CREATE TABLE mt_n1 (x INTEGER)")
+    engine.execute("CREATE TABLE mt_n2 (x INTEGER)")
+    engine.execute("CREATE TABLE mt_nelse (x INTEGER)")
+    r = engine.execute("""INSERT ALL
+      WHEN v % 2 = 0 THEN INTO mt_n1 (x) VALUES (v)
+      ELSE INTO mt_nelse (x) VALUES (id)
+    SELECT id, v FROM (SELECT 1 AS id, CAST(NULL AS INTEGER) AS v
+                       UNION ALL SELECT 2, 4 UNION ALL SELECT 3, 5)""")
+    assert r.rows == [[3]]
+    assert rows(engine, "SELECT * FROM mt_n1") == [(4,)]
+    # NULL-cond row (id=1) and odd row (id=3) both land in ELSE
+    assert rows(engine, "SELECT * FROM mt_nelse ORDER BY x") == [(1,), (3,)]
+    # FIRST: NULL first-clause condition must not block later branches
+    engine.execute("CREATE TABLE mt_f1 (x INTEGER)")
+    engine.execute("CREATE TABLE mt_f2 (x INTEGER)")
+    r = engine.execute("""INSERT FIRST
+      WHEN v > 100 THEN INTO mt_f1 (x) VALUES (v)
+      WHEN id = 1 THEN INTO mt_f2 (x) VALUES (id)
+    SELECT id, v FROM (SELECT 1 AS id, CAST(NULL AS INTEGER) AS v)""")
+    assert r.rows == [[1]]
+    assert rows(engine, "SELECT * FROM mt_f2") == [(1,)]
