@@ -8,11 +8,14 @@ bucketed (no quadratic blowup), per-user/partition state stays bounded,
 nothing collects unbounded driver state.
 
 Synthesizes the scaled tables in /tmp (NEVER touches /root/testdata):
-- documents: doc_id offset per replica + per-replica salt token in the
-  text, so MinHash/SimHash near-dup structure is preserved WITHIN each
-  replica and cross-replica pairs stay below any shingle threshold
-  (otherwise 10x data would also mean 10x-squared duplicate pairs and
-  the ratio would measure the data, not the plan).
+- documents: doc_id offset per replica + EVERY WORD suffixed with the
+  replica id, so every shingle differs across replicas: near-dup
+  structure is preserved exactly WITHIN each replica and cross-replica
+  similarity is zero. (The r8 version appended ONE salt token to the
+  end of the text — cross-replica copies remained genuine near-dups,
+  so candidate pairs and true components grew QUADRATICALLY in the
+  replica count and the run measured the data, not the plan; the first
+  r10 execution hung on exactly that.)
 - embeddings: vec_id offset + tiny per-replica vector perturbation.
 - events: user_id/event_id offsets per replica — 10x the data as 10x
   the USERS, so per-user sessionization state stays constant (the
@@ -81,9 +84,17 @@ def build_scaled(spark, workdir: str) -> None:
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     (docs.crossJoin(F.broadcast(reps))
          .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
-         .withColumn("text", F.concat_ws(
-             " ", F.col("text"), F.concat(F.lit("repsalt"), F.col("rep"))))
+         # suffix EVERY word with the replica id: all shingles differ
+         # across replicas, within-replica near-dup structure unchanged
+         .withColumn("text", F.array_join(F.transform(
+             F.split(F.col("text"), " "),
+             lambda w: F.concat(w, F.lit("_"),
+                                F.col("rep").cast("string"))), " "))
          .drop("rep")
+         # spread the 10x corpus over the executor width: the scaled
+         # parquet is only ~6 MB compressed, which would otherwise scan
+         # as 1-2 input partitions and serialize the shingle explosion
+         .repartition(32)
          .write.mode("overwrite").parquet(f"{workdir}/documents.parquet"))
 
     emb = spark.table("embeddings")
@@ -96,6 +107,7 @@ def build_scaled(spark, workdir: str) -> None:
                           * F.when(i % 2 == 0, F.lit(1.0))
                           .otherwise(F.lit(-1.0))).cast("float")))
         .drop("rep")
+        .repartition(32)
         .write.mode("overwrite").parquet(f"{workdir}/embeddings.parquet"))
 
     ev = spark.table("events")
@@ -105,6 +117,7 @@ def build_scaled(spark, workdir: str) -> None:
        .withColumn("user_id", F.col("user_id") + F.col("rep") * n_users)
        .withColumn("event_id", F.col("event_id") + F.col("rep") * n_ev)
        .drop("rep")
+       .repartition(32)
        .write.mode("overwrite").parquet(f"{workdir}/events.parquet"))
 
     for t in TABLES:
