@@ -8,14 +8,15 @@ bucketed (no quadratic blowup), per-user/partition state stays bounded,
 nothing collects unbounded driver state.
 
 Synthesizes the scaled tables in /tmp (NEVER touches /root/testdata):
-- documents: doc_id offset per replica + EVERY WORD suffixed with the
-  replica id, so every shingle differs across replicas: near-dup
-  structure is preserved exactly WITHIN each replica and cross-replica
-  similarity is zero. (The r8 version appended ONE salt token to the
-  end of the text — cross-replica copies remained genuine near-dups,
-  so candidate pairs and true components grew QUADRATICALLY in the
-  replica count and the run measured the data, not the plan; the first
-  r10 execution hung on exactly that.)
+- documents: doc_id offset per replica + a per-replica ALPHABET
+  ROTATION of the text (caesar shift of a-z by the replica index), so
+  cross-replica documents share essentially NO character shingles
+  while within-replica near-dup structure is preserved exactly (the
+  dedup stack shingles CHARACTERS, dedup.shingle_table). Two earlier
+  attempts measured the data instead of the plan: a one-token end
+  salt (r8) left cross-replica copies as genuine near-dups, and a
+  per-word suffix (first r10 run) still shared every in-word char
+  gram — both inflate candidates QUADRATICALLY in the replica count.
 - embeddings: vec_id offset + tiny per-replica vector perturbation.
 - events: user_id/event_id offsets per replica — 10x the data as 10x
   the USERS, so per-user sessionization state stays constant (the
@@ -93,14 +94,18 @@ def build_scaled(spark, workdir: str) -> None:
 
     docs = spark.table("documents")
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def _rot(r: int) -> str:
+        return alpha[r % 26:] + alpha[: r % 26]
+
     (docs.crossJoin(F.broadcast(reps))
          .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
-         # suffix EVERY word with the replica id: all shingles differ
-         # across replicas, within-replica near-dup structure unchanged
-         .withColumn("text", F.array_join(F.transform(
-             F.split(F.col("text"), " "),
-             lambda w: F.concat(w, F.lit("_"),
-                                F.col("rep").cast("string"))), " "))
+         # per-replica caesar rotation: char shingles are disjoint
+         # across replicas, identical structure within each replica
+         .withColumn("text", F.element_at(F.array(*[
+             F.translate(F.lower(F.col("text")), alpha, _rot(r))
+             for r in range(REPLICAS)]), F.col("rep").cast("int") + 1))
          .drop("rep")
          # spread the 10x corpus over the executor width: the scaled
          # parquet is only ~6 MB compressed, which would otherwise scan
