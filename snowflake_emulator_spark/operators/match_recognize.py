@@ -94,8 +94,23 @@ class _Anchor:
         self.end = end
 
 
+class _Excl:
+    """``{- pattern -}`` exclusion (SQL:2016): rows matched inside are
+    part of the match (navigation/COUNT still see them) but are dropped
+    from ALL ROWS PER MATCH output."""
+    __slots__ = ("node",)
+
+    def __init__(self, node):
+        self.node = node
+
+
+# classifier entries carry this flag when the row was matched inside a
+# {- -} exclusion (bit 62 — symbol indices are capped at 60)
+EXCL_FLAG = 1 << 62
+
 _TOKEN_RE = _re.compile(
-    r"\s*(?:([A-Za-z_]\w*)|(\{\s*\d+\s*(?:,\s*\d*\s*)?\})|([()|*+?^$,]))")
+    r"\s*(?:([A-Za-z_]\w*)|(\{\s*\d+\s*(?:,\s*\d*\s*)?\})"
+    r"|(\{-|-\})|([()|*+?^$,]))")
 
 
 def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
@@ -121,8 +136,10 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
                 tokens.append(("sym", m.group(1)))
         elif m.group(2):
             tokens.append(("rep", m.group(2)))
+        elif m.group(3):
+            tokens.append((m.group(3), m.group(3)))  # "{-" / "-}"
         else:
-            tokens.append((m.group(3), m.group(3)))
+            tokens.append((m.group(4), m.group(4)))
     ti = 0
 
     def peek():
@@ -139,9 +156,16 @@ def parse_pattern(text: str, symbol_index: dict[str, int]) -> tuple:
     def parse_seq():
         nonlocal ti
         atoms = []
-        while peek() in ("sym", "(", "permute", "^", "$"):
+        while peek() in ("sym", "(", "permute", "^", "$", "{-"):
             if peek() in ("^", "$"):
                 atoms.append(_Anchor(peek() == "$"))
+                ti += 1
+                continue
+            if peek() == "{-":
+                ti += 1
+                atoms.append(_Excl(parse_alt()))
+                if peek() != "-}":
+                    raise ValueError("unbalanced {- in PATTERN")
                 ti += 1
                 continue
             atoms.append(parse_quantified())
@@ -234,15 +258,27 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
     PRIOR resolved to NULL. A match's FIRST row has no prior row inside
     the match, so position ``start`` reads ``start_masks`` — exact
     SQL:2016 PRIOR semantics for contiguous matches."""
-    masks, start_masks, start = ctx
+    masks, start_masks, start, excl = ctx
 
     if isinstance(node, _Sym):
         if pos < len(masks):
             row = start_masks[pos] if pos == start else masks[pos]
             if (row >> node.idx) & 1:
-                cls.append(node.idx)
+                cls.append(node.idx | (EXCL_FLAG if excl[0] else 0))
                 yield pos + 1
                 cls.pop()
+        return
+    if isinstance(node, _Excl):
+        # rows consumed inside the exclusion carry EXCL_FLAG; the
+        # counter is decremented while suspended at a yield so symbols
+        # matched AFTER the exclusion are not flagged, and re-raised on
+        # resume so backtracking INTO the body flags correctly again
+        excl[0] += 1
+        for q in _gen(node.node, pos, ctx, cls):
+            excl[0] -= 1
+            yield q
+            excl[0] += 1
+        excl[0] -= 1
         return
     if isinstance(node, _Anchor):
         # zero-width: ^ holds only at partition start, $ only at its end
@@ -282,8 +318,9 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
             return
         counts = range(run, node.lo - 1, -1) if node.greedy else \
             range(node.lo, run + 1)
+        mark = idx | (EXCL_FLAG if excl[0] else 0)
         for n_rep in counts:
-            cls.extend([idx] * n_rep)
+            cls.extend([mark] * n_rep)
             yield pos + n_rep
             if n_rep:
                 del cls[-n_rep:]
@@ -328,7 +365,7 @@ def find_matches(ast, masks, skip_to_next_row: bool = False,
     while pos < n:
         cls: list[int] = []
         hit = None
-        for e in _gen(ast, pos, (masks, start_masks, pos), cls):
+        for e in _gen(ast, pos, (masks, start_masks, pos, [0]), cls):
             if e > pos:
                 hit = (pos, e, cls.copy())
                 break
@@ -466,7 +503,8 @@ def match_recognize(
                     find_matches(ast, masks, skip_next, masks0), start=1):
                 seg = pdf.iloc[st:en][in_cols].copy()
                 seg["match_number"] = match_no
-                seg["classifier"] = [name_of_bit[b] for b in bits]
+                seg["classifier"] = [name_of_bit[b & ~EXCL_FLAG]
+                                     for b in bits]
                 n = en - st
                 for fn, col, outname, final in ms:
                     if fn == "MATCH_NUMBER":
@@ -478,6 +516,12 @@ def match_recognize(
                     else:  # LAST
                         seg[outname] = (pdf[col].iloc[en - 1] if final
                                         else pdf[col].iloc[st:en].values)
+                # {- -} exclusion: drop excluded rows from the OUTPUT
+                # only — measures above were computed over the full
+                # match (SQL:2016 exclusion semantics)
+                if any(b & EXCL_FLAG for b in bits):
+                    keep = [not (b & EXCL_FLAG) for b in bits]
+                    seg = seg.iloc[[i for i, k in enumerate(keep) if k]]
                 outs.append(seg)
             if not outs:
                 return pd.DataFrame(columns=[f.name for f in out_fields])

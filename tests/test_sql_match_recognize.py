@@ -221,3 +221,31 @@ def test_match_recognize_anchors(engine):
         DEFINE B AS k = 'b'
       ) ORDER BY g""").rows
     assert [tuple(r) for r in rows] == [(1, 1)]   # g=2 ends with 'a'
+
+
+def test_match_recognize_exclusion_syntax(engine):
+    """r10: {- pattern -} exclusion — excluded rows are matched
+    (COUNT/measures see them) but dropped from ALL ROWS PER MATCH
+    output; ONE ROW PER MATCH is unaffected."""
+    engine.execute("CREATE TABLE mr_exc (g INTEGER, seq INTEGER, k VARCHAR)")
+    engine.execute("""INSERT INTO mr_exc VALUES
+      (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'b'), (1, 4, 'c')""")
+    rows = engine.execute("""
+      SELECT seq, classifier, fn FROM mr_exc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FINAL COUNT(*) AS fn
+        ALL ROWS PER MATCH
+        PATTERN (A {- B+ -} C)
+        DEFINE A AS k = 'a', B AS k = 'b', C AS k = 'c'
+      ) ORDER BY seq""").rows
+    # rows 2-3 (the B run) are excluded from output; FINAL COUNT still 4
+    assert [tuple(r) for r in rows] == [(1, "A", 4), (4, "C", 4)]
+    rows = engine.execute("""
+      SELECT g, n FROM mr_exc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (A {- B+ -} C)
+        DEFINE A AS k = 'a', B AS k = 'b', C AS k = 'c'
+      )""").rows
+    assert [tuple(r) for r in rows] == [(1, 4)]
