@@ -1120,6 +1120,97 @@ GROUP BY user_id ORDER BY user_id
         "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
 
 
+def _sql_match_recognize_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: PRIOR navigation inside DEFINE — rising-value runs per user
+    (the canonical MATCH_RECOGNIZE shape). UP := value > PRIOR value is
+    computed from a lag column for non-first match rows; because UP is
+    never the match's FIRST symbol here (S starts every match), the
+    DuckDB replay with a partition-ordered lag() is exact."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrp_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    PATTERN (S UP+)
+    DEFINE UP AS value > PRIOR value
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
+
+
+# replay: S matches any row -> bit0 always set; UP = value > lag(value)
+# (NULL-safe FALSE) -> bit1. chars: B (S only) / D (S+UP).
+# Pattern S UP+ -> [BD]D+
+_MR_PRIOR_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         (1 + CASE WHEN value > lag(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+               THEN 2 ELSE 0 END) AS m
+  FROM events
+),
+s AS (SELECT user_id, string_agg(chr(65 + m), '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, '[BD]D+') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
+
+def _sql_match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: PERMUTE(V, P) — view/purchase adjacency in either order,
+    SQL:2016 lexicographic expansion; DuckDB replays as (VP|PV)."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrperm_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches
+FROM (
+  SELECT user_id FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    PATTERN (PERMUTE(V, P))
+    DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches")
+
+
+_MR_PERMUTE_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'V'
+                         WHEN 'purchase' THEN 'P' ELSE '.' END AS c
+  FROM events
+),
+s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, '(?:VP|PV)') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
+
 # byte-encoded bitmask replay: V=bit0, A=bit1, P=bit2; row char =
 # chr(65+mask); V -> [BDFH], A -> [CDGH], P -> [EFGH]
 _MR_OVERLAP_ORACLE = """
@@ -5131,6 +5222,11 @@ REGISTRY: dict[str, tuple] = {
     # r10: overlapping DEFINE predicates + bitmask backtracking matcher
     "sql_match_recognize_overlap": (_sql_match_recognize_overlap,
                                     _MR_OVERLAP_ORACLE),
+    # r10: PRIOR inside DEFINE (rising runs) + PERMUTE patterns
+    "sql_match_recognize_prior": (_sql_match_recognize_prior,
+                                  _MR_PRIOR_ORACLE),
+    "sql_match_recognize_permute": (_sql_match_recognize_permute,
+                                    _MR_PERMUTE_ORACLE),
 }
 
 
@@ -5178,6 +5274,8 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_overlap",
     # --- NEW r10: CONNECT BY path/root/prior columns (VERDICT item 6) -
     "hierarchy_connect_by_path",
+    # --- NEW r10: PRIOR-in-DEFINE + PERMUTE MATCH_RECOGNIZE -----------
+    "sql_match_recognize_prior", "sql_match_recognize_permute",
     # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
     # --- head spanning every family). Displaced to make room for the --
     # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
@@ -5195,7 +5293,6 @@ _SAMPLE_HEAD = [
     "sample_domain_mixture", "profile_table_columns", "text_vocab_topk",
     "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
     "dedup_lsh_jaccard_pipeline", "dedup_survivors",
-    "dedup_survivors_best_quality", "doc_paragraph_dedup",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5235,8 +5332,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 208, (
-    f"registry contract: expected 208 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 210, (
+    f"registry contract: expected 210 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)
