@@ -148,6 +148,13 @@ def main():
     failures += run_mti_cases(eng, mti_cases)
     print(f"multi-table-insert sweep: {len(mti_cases)} cases done", flush=True)
 
+    # r10: PRIOR-in-DEFINE MATCH_RECOGNIZE vs DuckDB lag replay
+    from difffuzz import generate_mr_prior_cases
+    mrp_cases = generate_mr_prior_cases(SEED + 14, max(COUNT // 20, 6))
+    n_cases += len(mrp_cases)
+    failures += run_mr_overlap_cases(eng.executor, con, mrp_cases)
+    print(f"mr-prior sweep: {len(mrp_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

@@ -1450,9 +1450,13 @@ FROM events MATCH_RECOGNIZE (
   {skip_sql}PATTERN ({pattern})
   DEFINE {define_sql}
 ) WHERE user_id <= {case['umax']} ORDER BY user_id, match_number"""
+        # PRIOR-in-DEFINE cases carry a separate DuckDB predicate form
+        # (partition-ordered lag window) — exact when no PRIOR-using
+        # symbol can be a match's first row (generator guarantees it)
+        duck_preds = case.get("duck_preds", preds)
         pred_cols = ", ".join(
             f"COALESCE(({p}), FALSE) AS p{i}"
-            for i, p in enumerate(preds.values()))
+            for i, p in enumerate(duck_preds.values()))
         duck_rows = con.execute(
             f"SELECT user_id, event_id, {pred_cols} FROM events "
             f"WHERE user_id <= {case['umax']} "
@@ -1679,3 +1683,37 @@ def run_mti_cases(engine, cases, sname: str = "fz_mti_s") -> list[str]:
                     f"{duck_count} [{stmt[:140]}]")
     con.close()
     return failures
+
+
+def generate_mr_prior_cases(seed: int, count: int) -> list[dict]:
+    """PRIOR-navigation DEFINE fuzz (r10): rising/falling-run patterns
+    whose PRIOR-using symbols never start a match, so the DuckDB lag()
+    replay through run_mr_overlap_cases is exact."""
+    rng = random.Random(seed)
+    lag = ("lag(value) OVER (PARTITION BY user_id "
+           "ORDER BY ts, event_id)")
+    out = []
+    for _ in range(count):
+        k = rng.choice([0, 0, 5, 10])
+        up_sql = (f"value > PRIOR value + {k}" if k
+                  else "value > PRIOR value")
+        up_duck = f"value > {lag} + {k}" if k else f"value > {lag}"
+        dn_sql = "value < PRIOR value"
+        dn_duck = f"value < {lag}"
+        start = rng.choice([
+            ("event_type = 'view'", "event_type = 'view'"),
+            ("value IS NOT NULL", "value IS NOT NULL"),
+            ("value <= 100", "value <= 100"),
+        ])
+        pat = rng.choice(["S U+", "S U{2,3}", "S U+ D", "S U U",
+                          "S (U|D)+"])
+        skip_next = rng.random() < 0.3
+        out.append({
+            "desc": f"mr_prior[{pat} k{k}"
+                    f"{' skip_next' if skip_next else ''}]",
+            "preds": {"S": start[0], "U": up_sql, "D": dn_sql},
+            "duck_preds": {"S": start[1], "U": up_duck, "D": dn_duck},
+            "pattern": pat, "pattern_rx": pat,
+            "skip_next": skip_next, "umax": rng.choice([15, 30]),
+        })
+    return out

@@ -221,3 +221,19 @@ def test_differential_fuzz_multi_table_insert(probes, tmp_path):
     assert not failures, (
         f"{len(failures)} multi-table INSERT mismatches:\n"
         + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_mr_prior(probes, tmp_path):
+    """r10: PRIOR navigation inside DEFINE — rising/falling-run
+    patterns vs the DuckDB lag() byte-mask replay (exact because
+    PRIOR-using symbols never start a match in these patterns)."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_mr_prior_cases, run_mr_overlap_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mrp_wh"))
+    cases = generate_mr_prior_cases(SEED + 14, 8)
+    failures = run_mr_overlap_cases(eng.executor, con, cases)
+    assert not failures, (
+        f"{len(failures)} MR-PRIOR mismatches:\n" + "\n".join(failures[:10]))
