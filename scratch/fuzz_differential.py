@@ -155,6 +155,14 @@ def main():
     failures += run_mr_overlap_cases(eng.executor, con, mrp_cases)
     print(f"mr-prior sweep: {len(mrp_cases)} cases done", flush=True)
 
+    # r10: non-strict MERGE invariants (duplicate actionable matches)
+    from difffuzz import (generate_merge_nonstrict_cases,
+                          run_merge_nonstrict_cases)
+    ns_cases = generate_merge_nonstrict_cases(SEED + 15, max(COUNT // 20, 6))
+    n_cases += len(ns_cases)
+    failures += run_merge_nonstrict_cases(eng, ns_cases)
+    print(f"merge-nonstrict sweep: {len(ns_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

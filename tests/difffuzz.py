@@ -1218,7 +1218,12 @@ def generate_merge_cases(seed: int, count: int,
         expect = _sim_merge(target, src_rows, on_fn, matched, not_matched)
         cases.append({"desc": f"merge[m{n_matched}n{n_not}]",
                       "target": target, "source": source,
-                      "sql": sql, "expect": expect})
+                      "sql": sql, "expect": expect,
+                      # building blocks for the non-strict property
+                      # recompute (src_rows = what MERGE actually sees
+                      # after any subquery filtering/aggregation)
+                      "src_rows": src_rows, "on_fn": on_fn,
+                      "matched": matched, "not_matched": not_matched})
     return cases
 
 
@@ -1717,3 +1722,124 @@ def generate_mr_prior_cases(seed: int, count: int) -> list[dict]:
             "skip_next": skip_next, "umax": rng.choice([15, 30]),
         })
     return out
+
+
+def run_merge_nonstrict_cases(engine, cases, tname: str = "fz_mrg_t",
+                              sname: str = "fz_mrg_s") -> list[str]:
+    """ERROR_ON_NONDETERMINISTIC_MERGE=FALSE property check: a target
+    row matched by MULTIPLE actionable sources applies exactly ONE
+    first-match action instead of raising. WHICH action wins can be
+    engine-order-dependent, so the gate is invariants, not exact rows:
+    (a) the statement succeeds; (b) n_upd + n_del == #targets with >=1
+    actionable match (deterministic); (c) n_ins == the simulator's
+    insert count; (d) final rowcount == orig - n_del + n_ins."""
+    from snowflake_emulator_spark import errors as _errors
+    from snowflake_emulator_spark.executor import SessionContext
+
+    failures = []
+    for case in cases:
+        _seed_dml_table(engine, tname, case["target"])
+        _seed_dml_table(engine, sname, case["source"])
+        ctx = SessionContext()
+        ctx.parameters["ERROR_ON_NONDETERMINISTIC_MERGE"] = "FALSE"
+        try:
+            r = engine.execute(case["sql"], ctx)
+            n_ins, n_upd, n_del = (int(x) for x in r.rows[0])
+        except _errors.SnowflakeError as e:
+            failures.append(
+                f"{case['desc']}: non-strict mode raised {str(e)[:80]} "
+                f"[{case['sql'][:120]}]")
+            continue
+        exp = case["nonstrict_expect"]
+        final_n = len(engine.execute(f"SELECT 1 FROM {tname}").rows)
+        if n_upd + n_del != exp["n_actioned"]:
+            failures.append(
+                f"{case['desc']}: upd+del {n_upd}+{n_del} != "
+                f"{exp['n_actioned']} actioned targets [{case['sql'][:120]}]")
+        elif n_ins != exp["n_ins"]:
+            failures.append(
+                f"{case['desc']}: ins {n_ins} != {exp['n_ins']}")
+        elif final_n != exp["n_orig"] - n_del + n_ins:
+            failures.append(
+                f"{case['desc']}: final rowcount {final_n} != "
+                f"{exp['n_orig']} - {n_del} + {n_ins}")
+    return failures
+
+
+def generate_merge_nonstrict_cases(seed: int, count: int,
+                                   tname: str = "fz_mrg_t",
+                                   sname: str = "fz_mrg_s") -> list[dict]:
+    """Merge cases with GUARANTEED duplicate actionable matches: the
+    source duplicates 2-4 target ids 2-3x each with a broadly-true
+    matched clause, so strict mode must raise and non-strict mode must
+    apply exactly one action per target. Carries the deterministic
+    non-strict invariants."""
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(count):
+        target = _rand_rows(rng, rng.sample(range(0, 30),
+                                            rng.randint(6, 14)))
+        dup_ids = rng.sample([t["id"] for t in target],
+                             rng.randint(2, 4))
+        src_ids = []
+        for d in dup_ids:
+            src_ids += [d] * rng.randint(2, 3)
+        src_ids += rng.sample([i for i in range(30, 50)],
+                              rng.randint(2, 5))
+        source = _rand_rows(rng, src_ids)
+        on_fn = lambda t, s: t["id"] == s["id"]  # noqa: E731
+        matched = []
+        when_sql = []
+        if rng.random() < 0.6:
+            sets = _update_sets(rng)
+            set_sql = ", ".join(f"{c2} = {sql}"
+                                for c2, (sql, _f) in sets.items())
+            when_sql.append(f"WHEN MATCHED THEN UPDATE SET {set_sql}")
+            matched.append((lambda t, s: True, "UPDATE", sets))
+        else:
+            when_sql.append("WHEN MATCHED THEN DELETE")
+            matched.append((lambda t, s: True, "DELETE", None))
+        not_matched = []
+        if rng.random() < 0.7:
+            cond_sql, cond_fn = _not_matched_cond(rng)
+            and_part = f" AND {cond_sql}" if cond_sql else ""
+            ins_sql, ins_fn = _insert_clause(rng)
+            when_sql.append(
+                f"WHEN NOT MATCHED{and_part} THEN INSERT {ins_sql}")
+            not_matched.append((cond_fn, ins_fn))
+        sql = (f"MERGE INTO {tname} t USING {sname} s ON t.id = s.id "
+               + " ".join(when_sql))
+        cases.append({"desc": "merge_nonstrict", "target": target,
+                      "source": source, "src_rows": source, "sql": sql,
+                      "on_fn": on_fn, "matched": matched,
+                      "not_matched": not_matched})
+    for case in cases:
+        target, source = case["target"], case["src_rows"]
+        on_fn = case["on_fn"]
+        matched, not_matched = case["matched"], case["not_matched"]
+        matched_src = set()
+        n_actioned = 0
+        for t in target:
+            act = 0
+            for si, s in enumerate(source):
+                if not on_fn(t, s):
+                    continue
+                matched_src.add(si)
+                for cond_fn, _action, _payload in matched:
+                    if cond_fn(t, s):
+                        act += 1
+                        break
+            if act:
+                n_actioned += 1
+        n_ins = 0
+        for si, s in enumerate(source):
+            if si in matched_src:
+                continue
+            for cond_fn, _ins_fn in not_matched:
+                if cond_fn(s):
+                    n_ins += 1
+                    break
+        case["nonstrict_expect"] = {
+            "n_actioned": n_actioned, "n_ins": n_ins,
+            "n_orig": len(target)}
+    return cases

@@ -237,3 +237,22 @@ def test_differential_fuzz_mr_prior(probes, tmp_path):
     failures = run_mr_overlap_cases(eng.executor, con, cases)
     assert not failures, (
         f"{len(failures)} MR-PRIOR mismatches:\n" + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_merge_nonstrict(probes, tmp_path):
+    """r10: ERROR_ON_NONDETERMINISTIC_MERGE=FALSE — duplicate
+    actionable matches apply exactly ONE first-match action per target
+    row instead of raising; invariant-checked (upd+del == actioned
+    targets, ins == simulator, final rowcount arithmetic)."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import (generate_merge_nonstrict_cases,
+                          run_merge_nonstrict_cases)
+
+    eng = Engine(spark, base_dir=str(tmp_path / "ns_wh"))
+    cases = generate_merge_nonstrict_cases(SEED + 15, 10)
+    failures = run_merge_nonstrict_cases(eng, cases)
+    assert not failures, (
+        f"{len(failures)} non-strict MERGE violations:\n"
+        + "\n".join(failures[:10]))
