@@ -1211,6 +1211,50 @@ FROM m WHERE len(ms) > 0 ORDER BY user_id
 """
 
 
+def _sql_match_recognize_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: {- -} exclusion under ALL ROWS PER MATCH — the excluded
+    C+ run is matched (spans/skip behave identically) but its rows are
+    dropped from the output, so every V {- C+ -} P match contributes
+    exactly 2 output rows (its V and P). Oracle: the plain regexp
+    match count x 2."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrx_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_output_rows
+FROM (
+  SELECT user_id FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ALL ROWS PER MATCH
+    PATTERN (V {- C+ -} P)
+    DEFINE V AS event_type = 'view', C AS event_type = 'click',
+           P AS event_type = 'purchase'
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_output_rows AS BIGINT) AS n_output_rows")
+
+
+_MR_EXCL_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                         WHEN 'purchase' THEN 'P' ELSE '.' END AS c
+  FROM events
+),
+s AS (SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, 'VC+P') AS ms FROM s)
+SELECT user_id, CAST(2 * len(ms) AS BIGINT) AS n_output_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
+
 # byte-encoded bitmask replay: V=bit0, A=bit1, P=bit2; row char =
 # chr(65+mask); V -> [BDFH], A -> [CDGH], P -> [EFGH]
 _MR_OVERLAP_ORACLE = """
@@ -5227,6 +5271,10 @@ REGISTRY: dict[str, tuple] = {
                                   _MR_PRIOR_ORACLE),
     "sql_match_recognize_permute": (_sql_match_recognize_permute,
                                     _MR_PERMUTE_ORACLE),
+    # r10: {- -} exclusion — ALL ROWS output drops the excluded run,
+    # so each V{-C+-}P match contributes exactly its V and P rows
+    "sql_match_recognize_exclusion": (_sql_match_recognize_exclusion,
+                                      _MR_EXCL_ORACLE),
 }
 
 
@@ -5274,8 +5322,9 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_overlap",
     # --- NEW r10: CONNECT BY path/root/prior columns (VERDICT item 6) -
     "hierarchy_connect_by_path",
-    # --- NEW r10: PRIOR-in-DEFINE + PERMUTE MATCH_RECOGNIZE -----------
+    # --- NEW r10: PRIOR-in-DEFINE + PERMUTE + exclusion MR ------------
     "sql_match_recognize_prior", "sql_match_recognize_permute",
+    "sql_match_recognize_exclusion",
     # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
     # --- head spanning every family). Displaced to make room for the --
     # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
@@ -5292,7 +5341,7 @@ _SAMPLE_HEAD = [
     "text_fingerprint_dups", "text_repetition_filter",
     "sample_domain_mixture", "profile_table_columns", "text_vocab_topk",
     "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
-    "dedup_lsh_jaccard_pipeline", "dedup_survivors",
+    "dedup_lsh_jaccard_pipeline",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5332,8 +5381,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 210, (
-    f"registry contract: expected 210 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 211, (
+    f"registry contract: expected 211 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)
