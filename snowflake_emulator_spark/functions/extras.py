@@ -122,6 +122,100 @@ def register_extras(spark) -> None:
         return pd.Series(
             [get_ignore_case(a, b) for a, b in zip(v, k)], dtype="object")
 
+    @pandas_udf("string")
+    def _sf_regexp_replace(subj: pd.Series, pat: pd.Series, rep: pd.Series,
+                           pos: pd.Series, occ: pd.Series,
+                           prm: pd.Series) -> pd.Series:
+        return pd.Series([
+            sf_regexp_replace_py(a, b, c, d, e, f)
+            for a, b, c, d, e, f in zip(subj, pat, rep, pos, occ, prm)])
+
+    @pandas_udf("long")
+    def _sf_regexp_instr(subj: pd.Series, pat: pd.Series, pos: pd.Series,
+                         occ: pd.Series, opt: pd.Series, prm: pd.Series,
+                         grp: pd.Series) -> pd.Series:
+        return pd.Series([
+            sf_regexp_instr_py(a, b, c, d, e, f, g)
+            for a, b, c, d, e, f, g in zip(subj, pat, pos, occ, opt,
+                                           prm, grp)],
+            dtype="object")
+
     spark.udf.register("soundex_p123", _soundex_p123)
     spark.udf.register("get_ignore_case", _get_ignore_case)
+    spark.udf.register("sf_regexp_replace", _sf_regexp_replace)
+    spark.udf.register("sf_regexp_instr", _sf_regexp_instr)
     spark._sf_extras_registered = True
+
+
+# ---------------------------------------------------------------------
+# r10: full-surface REGEXP_REPLACE / REGEXP_INSTR kernels. The common
+# argument forms stay pure Spark SQL (translator fast paths); only the
+# occurrence/option/group_num forms Spark cannot express route here —
+# cold path by construction, Arrow-batched like every other UDF.
+# Semantics per public Snowflake docs:
+# - parameters: 'c' case-sensitive (default) / 'i' insensitive (last
+#   one wins), 's' dot-matches-newline, 'm' multi-line, 'e' ignored.
+# - REGEXP_REPLACE occurrence: 0 = all (default), N = only the Nth
+#   match at/after position; backreferences \\1..\\9 in replacement.
+# - REGEXP_INSTR returns the 1-based start (option=0) or end+1
+#   (option=1) of the occurrence-th match, 0 when absent; group_num
+#   addresses a capture group's span.
+# ---------------------------------------------------------------------
+
+import re as _re_mod
+
+
+def _sf_re_flags(params: str | None) -> int:
+    flags = 0
+    ci = False
+    for ch in (params or "c").lower():
+        if ch == "i":
+            ci = True
+        elif ch == "c":
+            ci = False
+        elif ch == "s":
+            flags |= _re_mod.DOTALL
+        elif ch == "m":
+            flags |= _re_mod.MULTILINE
+    return flags | (_re_mod.IGNORECASE if ci else 0)
+
+
+def sf_regexp_replace_py(subject, pattern, repl, pos, occ, params):
+    if subject is None or pattern is None:
+        return None
+    pos = 1 if pos is None else int(pos)
+    occ = 0 if occ is None else int(occ)
+    repl = "" if repl is None else str(repl)
+    rx = _re_mod.compile(str(pattern), _sf_re_flags(params))
+    prefix, body = str(subject)[: pos - 1], str(subject)[pos - 1:]
+    if occ == 0:
+        return prefix + rx.sub(lambda m: m.expand(repl), body)
+    n = 0
+
+    def one(m):
+        nonlocal n
+        n += 1
+        return m.expand(repl) if n == occ else m.group(0)
+
+    return prefix + rx.sub(one, body)
+
+
+def sf_regexp_instr_py(subject, pattern, pos, occ, option, params, group):
+    if subject is None or pattern is None:
+        return None
+    pos = 1 if pos is None else int(pos)
+    occ = 1 if occ is None else int(occ)
+    option = 0 if option is None else int(option)
+    group = 0 if group is None else int(group)
+    rx = _re_mod.compile(str(pattern), _sf_re_flags(params))
+    body = str(subject)[pos - 1:]
+    for i, m in enumerate(rx.finditer(body), 1):
+        if i == occ:
+            try:
+                st, en = m.span(group) if group > 0 else m.span()
+            except (IndexError, _re_mod.error):
+                return 0
+            if st < 0:  # group did not participate in the match
+                return 0
+            return (pos - 1) + (en if option else st) + 1
+    return 0

@@ -1912,22 +1912,38 @@ class Translator:
                 return (f"concat(substr({args[0]}, 1, ({args[3]}) - 1), "
                         f"regexp_replace(substr({args[0]}, {args[3]}), "
                         f"{args[1]}, {args[2]}))")
+            if len(args) in (5, 6):
+                # occurrence / parameters: full-surface Arrow UDF kernel
+                # (cold path — the common forms above stay pure SQL)
+                prm = args[5] if len(args) == 6 else "'c'"
+                return (f"sf_regexp_replace({args[0]}, {args[1]}, "
+                        f"{args[2]}, CAST({args[3]} AS BIGINT), "
+                        f"CAST({args[4]} AS BIGINT), {prm})")
             raise NotImplementedError(
-                "REGEXP_REPLACE occurrence/parameters arguments are not supported")
+                "REGEXP_REPLACE takes at most 6 arguments")
         if fname == "REGEXP_INSTR":
             # REGEXP_INSTR(subject, pattern[, position[, occurrence
             # [, option[, parameters[, group_num]]]]]) — occurrence 1 /
             # option 0 are the Snowflake defaults and fold away; any
             # other value raises rather than silently misexecuting.
-            if len(args) >= 4 and args[3].strip() != "1":
-                raise NotImplementedError(
-                    "REGEXP_INSTR occurrence other than 1 is not supported")
-            if len(args) >= 5 and args[4].strip() != "0":
-                raise NotImplementedError(
-                    "REGEXP_INSTR option other than 0 is not supported")
-            if len(args) >= 6:
-                raise NotImplementedError(
-                    "REGEXP_INSTR parameters/group_num arguments are not supported")
+            if (len(args) >= 6
+                    or (len(args) >= 4 and args[3].strip() != "1")
+                    or (len(args) >= 5 and args[4].strip() != "0")):
+                # occurrence/option/parameters/group_num: full-surface
+                # Arrow UDF kernel (cold path; defaults fold to pure
+                # SQL below)
+                if len(args) > 7:
+                    raise NotImplementedError(
+                        "REGEXP_INSTR takes at most 7 arguments")
+                pos = args[2] if len(args) >= 3 else "1"
+                occ = args[3] if len(args) >= 4 else "1"
+                opt = args[4] if len(args) >= 5 else "0"
+                prm = args[5] if len(args) >= 6 else "'c'"
+                grp = args[6] if len(args) >= 7 else "0"
+                return (f"sf_regexp_instr({args[0]}, {args[1]}, "
+                        f"CAST({pos} AS BIGINT), CAST({occ} AS BIGINT), "
+                        f"CAST({opt} AS BIGINT), {prm}, "
+                        f"CAST({grp} AS BIGINT))")
             if len(args) >= 3:
                 # position arg: 1-based offset into the original string
                 return (f"(CASE WHEN regexp_instr(substr({args[0]}, {args[2]}), {args[1]}) = 0 "

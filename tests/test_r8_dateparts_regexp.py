@@ -196,3 +196,28 @@ def test_ignore_nulls_inside_parens(engine):
                "FROM inw_t LIMIT 1") == (30,)
     assert one(engine, "SELECT 'LAST_VALUE(v IGNORE NULLS)' AS s") == (
         "LAST_VALUE(v IGNORE NULLS)",)
+
+
+def test_regexp_replace_instr_full_surface(spark):
+    """r10: REGEXP_REPLACE occurrence/parameters and REGEXP_INSTR
+    occurrence/option/parameters/group_num — previously documented
+    NotImplementedError boundaries, now routed to Arrow-batched UDF
+    kernels (common forms keep their pure-SQL fast paths)."""
+    from snowflake_emulator_spark.plans.translator import translate
+
+    def q(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+
+    assert q("REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 2)") == "a1bXc3"
+    assert q("REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 1, 0)") == "aXbXcX"
+    assert q("REGEXP_REPLACE('a1b2c3', '[0-9]', 'X', 4, 1)") == "a1bXc3"
+    assert q("REGEXP_REPLACE('AbAb', 'a', 'x', 1, 0, 'i')") == "xbxb"
+    assert q(r"REGEXP_REPLACE('john smith', '(\\w+) (\\w+)', "
+             r"'\\2 \\1', 1, 1)") == "smith john"
+    assert q("REGEXP_INSTR('a1b2c3', '[0-9]', 1, 2)") == 4
+    assert q("REGEXP_INSTR('a1b2c3', '[0-9]', 1, 2, 1)") == 5
+    assert q("REGEXP_INSTR('a1b2c3', '[0-9]', 1, 9)") == 0
+    assert q("REGEXP_INSTR('nevermore1, nevermore2', "
+             "'nevermore(\\\\d)', 1, 2, 0, 'e', 1)") == 22
+    # NULL subject propagates
+    assert q("REGEXP_REPLACE(CAST(NULL AS STRING), 'a', 'b', 1, 2)") is None
