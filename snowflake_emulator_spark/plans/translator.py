@@ -2548,10 +2548,22 @@ class Translator:
             # '4-not Specified' — found by the r6 differential fuzz).
             # Per-char transform with index: uppercase a char at the
             # start or after a non-alphanumeric, lowercase the rest.
-            if len(args) != 1:
-                raise NotImplementedError(
-                    "INITCAP with an explicit delimiter set is not supported")
             x = args[0]
+            if len(args) == 2:
+                # r10: explicit delimiter set — only characters IN the
+                # set start a new word; NULL delimiters = one word
+                # (only the first character is capitalized), '' = same
+                d = args[1]
+                return (
+                    f"CASE WHEN ({d}) IS NULL THEN "
+                    f"concat(upper(substr({x}, 1, 1)), lower(substr({x}, 2))) "
+                    f"ELSE array_join(transform(split(lower({x}), ''), "
+                    f"(c, i) -> CASE WHEN i = 0 OR "
+                    f"contains({d}, substr({x}, i, 1)) "
+                    f"THEN upper(c) ELSE c END), '') END"
+                )
+            if len(args) != 1:
+                raise NotImplementedError("INITCAP takes 1 or 2 arguments")
             return (
                 f"array_join(transform(split(lower({x}), ''), (c, i) -> "
                 f"CASE WHEN i = 0 OR substr(lower({x}), i, 1) "

@@ -208,3 +208,17 @@ def test_get_ignore_case_unit():
     assert get_ignore_case("not json", "a") is None
     assert get_ignore_case(None, "a") is None
     assert get_ignore_case('{"a":null}', "a") is None
+
+
+def test_initcap_delimiter_form(spark):
+    """r10: INITCAP(expr, delimiters) — only characters in the set
+    start words; NULL delimiters capitalizes the first char only."""
+    from snowflake_emulator_spark.plans.translator import translate
+
+    def q(expr):
+        return spark.sql(translate(f"SELECT {expr} AS r")).collect()[0][0]
+
+    assert q("INITCAP('the sky  is-blue', ' ')") == "The Sky  Is-blue"
+    assert q("INITCAP('the sky  is-blue', '-')") == "The sky  is-Blue"
+    assert q("INITCAP('TEST', '')") == "Test"
+    assert q("INITCAP('one two-three', CAST(NULL AS STRING))") == "One two-three"
