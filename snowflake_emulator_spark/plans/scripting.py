@@ -575,8 +575,21 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
         r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+([A-Za-z_]\w*)\s+(?:DO|LOOP)\b(.*)$",
         first, re.I | re.S)
     if cfm and isinstance(variables.get(cfm.group(2).upper()), _CursorDef):
-        return _run_cursor_loop(engine, ctx, cfm, body_pieces(cfm.group(3)),
-                                variables, label)
+        return _run_cursor_loop(engine, ctx, cfm.group(1),
+                                variables[cfm.group(2).upper()],
+                                body_pieces(cfm.group(3)), variables, label)
+    # r10: inline-query FOR loop — FOR rec IN (SELECT ...) DO ...
+    # (Snowflake allows the query directly; same row-capped cursor path)
+    qfm = re.match(r"^FOR\s+([A-Za-z_]\w*)\s+IN\s*\(", first, re.I)
+    if qfm:
+        o = first.index("(", qfm.end() - 1)
+        c = _match_paren(first, o)
+        if c > o:
+            after = re.sub(r"^\s*(DO|LOOP)\b", "", first[c + 1:].strip(),
+                           flags=re.I)
+            return _run_cursor_loop(engine, ctx, qfm.group(1),
+                                    _CursorDef(first[o + 1:c].strip()),
+                                    body_pieces(after), variables, label)
     fm = re.match(
         r"^FOR\s+([A-Za-z_]\w*)\s+IN\s+(REVERSE\s+)?(.+?)\s+TO\s+(.+?)\s+"
         r"(?:DO|LOOP)\b(.*)$",
@@ -612,8 +625,9 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
         return "none", None
     if re.match(r"^FOR\b", first, re.I):
         raise NotImplementedError(
-            "only range FOR loops (FOR i IN lo TO hi DO ...) and cursor "
-            "FOR loops over a DECLAREd CURSOR/RESULTSET are supported")
+            "FOR supports range loops (FOR i IN lo TO hi DO ...), cursor "
+            "loops over a DECLAREd CURSOR/RESULTSET, and inline-query "
+            "loops (FOR rec IN (SELECT ...) DO ...)")
     wm = re.match(r"^WHILE\s*\(", first, re.I)
     if not wm:
         raise errors.syntax_error(f"bad loop header: {first[:80]}")
@@ -639,18 +653,16 @@ def _run_loop(engine, ctx, group: list[str], variables: dict):
     return "none", None
 
 
-def _run_cursor_loop(engine, ctx, cfm: re.Match, pieces: list[str],
-                     variables: dict, label: str | None = None):
-    """FOR rec IN <cursor> DO ... END FOR: run the cursor's SELECT once
-    (row fetch capped at _MAX_LOOP_ITER — the loop is driver-side
+def _run_cursor_loop(engine, ctx, recname: str, cur: "_CursorDef",
+                     pieces: list[str], variables: dict,
+                     label: str | None = None):
+    """FOR rec IN <cursor or (query)> DO ... END FOR: run the SELECT
+    once (row fetch capped at _MAX_LOOP_ITER — the loop is driver-side
     orchestration; unbounded result iteration belongs in set-based SQL,
     not a scripting loop), then execute the body once per row with
     ``rec.col`` references substituted as literals."""
     from .. import errors
     from ..executor import _inside_string, sql_literal
-
-    recname = cfm.group(1)
-    cur: _CursorDef = variables[cfm.group(2).upper()]
     res = engine.execute(
         f"SELECT * FROM ({_subst(cur.sql, variables, bind_only=True)}) "
         f"__cur LIMIT {_MAX_LOOP_ITER + 1}", ctx)

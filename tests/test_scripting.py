@@ -839,3 +839,31 @@ def test_scalar_if_after_bare_case_then(engine):
         "END\n"
         "$$", ctx)
     assert _rows(res) == [("hi!",)]
+
+
+def test_for_loop_over_inline_query(engine):
+    """r10: FOR rec IN (SELECT ...) DO — the query form of the cursor
+    loop (previously required a DECLAREd CURSOR)."""
+    r = engine.execute("""EXECUTE IMMEDIATE $$
+DECLARE t INTEGER DEFAULT 0;
+BEGIN
+  FOR rec IN (SELECT id, id * 2 AS d FROM range(5)) DO
+    LET t := t + rec.d;
+  END FOR;
+  RETURN t;
+END $$""")
+    assert str(r.rows[0][0]) == "20"
+    # nested inside an inline-query loop; BREAK binds to the inner loop
+    r = engine.execute("""EXECUTE IMMEDIATE $$
+DECLARE t INTEGER DEFAULT 0;
+BEGIN
+  FOR rec IN (SELECT id FROM range(3)) DO
+    FOR i IN 1 TO 5 DO
+      IF (i = 3) THEN BREAK; END IF;
+      LET t := t + rec.id + i;
+    END FOR;
+  END FOR;
+  RETURN t;
+END $$""")
+    # per rec: (id+1)+(id+2); ids 0,1,2 -> 3 + 5 + 7 = 15
+    assert str(r.rows[0][0]) == "15"
