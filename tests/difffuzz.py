@@ -823,7 +823,7 @@ def generate_script_cases(seed: int, count: int) -> list[tuple[str, str, int]]:
     out = []
     for _ in range(count):
         kind = rng.choice(["for_sum", "for_if", "nested", "while",
-                           "continue", "labeled_break"])
+                           "continue", "labeled_break", "query_for"])
         if kind == "for_sum":
             a, b, k = rng.randint(0, 3), rng.randint(4, 9), rng.randint(1, 5)
             script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
@@ -860,6 +860,14 @@ def generate_script_cases(seed: int, count: int) -> list[tuple[str, str, int]]:
                       f"IF (i % {m} = 0) THEN CONTINUE; END IF; "
                       f"LET t := t + i; END FOR; RETURN t; END")
             expect = sum(i for i in range(1, b + 1) if i % m != 0)
+        elif kind == "query_for":
+            # r10: inline-query FOR loop — sum a computed column
+            n, k = rng.randint(3, 8), rng.randint(1, 5)
+            script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
+                      f"FOR rec IN (SELECT id, id * {k} AS d "
+                      f"FROM range({n})) DO "
+                      f"LET t := t + rec.d; END FOR; RETURN t; END")
+            expect = sum(i * k for i in range(n))
         else:  # labeled_break from the inner loop out of BOTH loops
             n, stop = rng.randint(3, 5), rng.randint(2, 3)
             script = (f"DECLARE t INTEGER DEFAULT 0; BEGIN "
