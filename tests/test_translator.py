@@ -787,18 +787,24 @@ def test_r4_review_fixes_round2():
 
 
 def test_regexp_unsupported_args_raise():
-    """REGEXP_COUNT/REGEXP_INSTR must raise on argument forms they
-    cannot honor — never silently drop occurrence/option/group args
-    (r5 ADVICE item: silent misexecution is worse than an error)."""
+    """REGEXP_COUNT must still raise on argument forms it cannot honor
+    — never silently drop args (r5 ADVICE: silent misexecution is
+    worse than an error). REGEXP_INSTR's occurrence/option/parameters/
+    group_num forms are SUPPORTED since r10 (sf_regexp_instr kernel) —
+    assert they route there instead of raising."""
     for sql in [
         "SELECT REGEXP_COUNT(s, 'a', 1, 'i', 2) FROM t",   # >4 args
         "SELECT REGEXP_COUNT(s, 'a', 1, flags) FROM t",    # non-literal
+        "SELECT REGEXP_INSTR(s, 'a', 1, 1, 0, 'i', 1, 9) FROM t",  # >7
+    ]:
+        with pytest.raises(NotImplementedError):
+            translate(sql)
+    for sql in [
         "SELECT REGEXP_INSTR(s, 'a', 1, 2) FROM t",        # occurrence!=1
         "SELECT REGEXP_INSTR(s, 'a', 1, 1, 1) FROM t",     # option!=0
         "SELECT REGEXP_INSTR(s, 'a', 1, 1, 0, 'i') FROM t",  # parameters
     ]:
-        with pytest.raises(NotImplementedError):
-            translate(sql)
+        assert "sf_regexp_instr(" in translate(sql)
 
 
 def test_order_by_quoted_identifier_stop_keyword():
