@@ -726,6 +726,7 @@ class Executor:
         sel = [part_cols[0], "match_number", "n_rows"]
         renames: list[str] = []
         measure_cols: list[str] = []
+        count_cols: list[str] = []
         all_rows_measures: list[tuple] = []
         _MEASURE_RE = re.compile(
             r"^\s*(?:(FINAL|RUNNING)\s+)?(FIRST|LAST|COUNT|MATCH_NUMBER)"
@@ -745,8 +746,15 @@ class Executor:
                     # (SQL:2016), FINAL via the explicit keyword
                     final = (mode or "RUNNING").upper() == "FINAL"
                     all_rows_measures.append((fn, arg, out, final))
-                elif fn == "COUNT":
+                elif fn == "COUNT" and arg in ("", "*"):
                     renames.append(f"n_rows AS {out}")
+                elif fn == "COUNT":
+                    # r11: COUNT(col) skips NULLs — routed to the
+                    # operator's count_cols output, not n_rows
+                    col = arg.lower()
+                    if col not in [c.lower() for c in count_cols]:
+                        count_cols.append(arg)
+                    renames.append(f"{col}_count AS {out}")
                 elif fn == "MATCH_NUMBER":
                     renames.append(f"match_number AS {out}")
                 else:
@@ -768,13 +776,16 @@ class Executor:
                     f"column {name} in MATCH_RECOGNIZE input")
             return got
 
-        arm = [(fn, _col(arg) if fn in ("FIRST", "LAST") else arg, out, fin)
+        arm = [(fn, _col(arg) if fn in ("FIRST", "LAST")
+                or (fn == "COUNT" and arg not in ("", "*")) else arg,
+                out, fin)
                for fn, arg, out, fin in all_rows_measures]
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
                      define, pattern_text.strip(),
                      [_col(c) for c in measure_cols] or None,
                      all_rows=all_rows, after_match=after_match,
-                     all_rows_measures=arm or None)
+                     all_rows_measures=arm or None,
+                     count_cols=[_col(c) for c in count_cols] or None)
         if renames:
             # a measure alias may equal a base output column (e.g.
             # MATCH_NUMBER() AS match_number) — drop the shadowed base

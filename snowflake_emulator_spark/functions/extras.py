@@ -154,7 +154,10 @@ def register_extras(spark) -> None:
 # cold path by construction, Arrow-batched like every other UDF.
 # Semantics per public Snowflake docs:
 # - parameters: 'c' case-sensitive (default) / 'i' insensitive (last
-#   one wins), 's' dot-matches-newline, 'm' multi-line, 'e' ignored.
+#   one wins), 's' dot-matches-newline, 'm' multi-line; 'e' (extract)
+#   defaults REGEXP_INSTR's group_num to 1 when it is omitted (r11).
+# - position < 1 raises (Snowflake: invalid-argument error) instead of
+#   silently slicing from the string's end (r11).
 # - REGEXP_REPLACE occurrence: 0 = all (default), N = only the Nth
 #   match at/after position; backreferences \\1..\\9 in replacement.
 # - REGEXP_INSTR returns the 1-based start (option=0) or end+1
@@ -184,6 +187,10 @@ def sf_regexp_replace_py(subject, pattern, repl, pos, occ, params):
     if subject is None or pattern is None:
         return None
     pos = 1 if pos is None else int(pos)
+    if pos < 1:
+        raise ValueError(
+            f"Invalid argument: REGEXP_REPLACE position must be >= 1, "
+            f"got {pos}")
     occ = 0 if occ is None else int(occ)
     repl = "" if repl is None else str(repl)
     rx = _re_mod.compile(str(pattern), _sf_re_flags(params))
@@ -204,9 +211,19 @@ def sf_regexp_instr_py(subject, pattern, pos, occ, option, params, group):
     if subject is None or pattern is None:
         return None
     pos = 1 if pos is None else int(pos)
+    if pos < 1:
+        raise ValueError(
+            f"Invalid argument: REGEXP_INSTR position must be >= 1, "
+            f"got {pos}")
     occ = 1 if occ is None else int(occ)
     option = 0 if option is None else int(option)
-    group = 0 if group is None else int(group)
+    if group is None or pd.isna(group):
+        # group_num omitted (NULL sentinel from the translator; NaN
+        # after Arrow null transport): 'e' (extract) defaults it to
+        # capture group 1 (Snowflake semantics, r11); else full match
+        group = 1 if "e" in (params or "").lower() else 0
+    else:
+        group = int(group)
     rx = _re_mod.compile(str(pattern), _sf_re_flags(params))
     body = str(subject)[pos - 1:]
     for i, m in enumerate(rx.finditer(body), 1):

@@ -1121,11 +1121,11 @@ GROUP BY user_id ORDER BY user_id
 
 
 def _sql_match_recognize_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r10: PRIOR navigation inside DEFINE — rising-value runs per user
-    (the canonical MATCH_RECOGNIZE shape). UP := value > PRIOR value is
-    computed from a lag column for non-first match rows; because UP is
-    never the match's FIRST symbol here (S starts every match), the
-    DuckDB replay with a partition-ordered lag() is exact."""
+    """r10 (semantics corrected r11): PRIOR navigation inside DEFINE —
+    rising-value runs per user (the canonical MATCH_RECOGNIZE shape).
+    SQL:2016 PREV navigates the partition PHYSICALLY: UP := value >
+    PRIOR value reads the previous partition row (NULL only at row 0),
+    so the DuckDB replay with a partition-ordered lag() is exact."""
     import tempfile
 
     from .engine import Engine
@@ -1164,6 +1164,109 @@ WITH symd AS (
 s AS (SELECT user_id, string_agg(chr(65 + m), '' ORDER BY ts, event_id) AS seq
       FROM symd GROUP BY user_id),
 m AS (SELECT user_id, regexp_extract_all(seq, '[BD]D+') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
+
+def _sql_match_recognize_prior_start(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """r11 (ADVICE high): a PRIOR-using symbol STARTS the match — the
+    canonical V-shape PATTERN (DOWN+ UP+). Under physical PREV
+    navigation (SQL:2016), DOWN on the match's first row compares
+    against the partition row BEFORE the match start; the old
+    PRIOR->NULL-at-match-start variant returned zero matches here."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrps_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    PATTERN (DOWN+ UP+)
+    DEFINE DOWN AS value < PRIOR value,
+           UP AS value > PRIOR value
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
+
+
+# replay: per-row char over (DOWN, UP) bits from physical lag —
+# A neither, B DOWN, C UP (exclusive: value can't be both < and >).
+# PATTERN (DOWN+ UP+) -> B+C+ , non-overlapping left-to-right ==
+# AFTER MATCH SKIP PAST LAST ROW.
+_MR_PRIOR_START_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         (CASE WHEN value < lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) THEN 1
+               WHEN value > lag(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) THEN 2
+               ELSE 0 END) AS m
+  FROM events
+),
+s AS (SELECT user_id, string_agg(chr(65 + m), '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, 'B+C+') AS ms FROM s)
+SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
+FROM m WHERE len(ms) > 0 ORDER BY user_id
+"""
+
+
+def _sql_match_recognize_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT item 3): NEXT navigation inside DEFINE — the
+    symmetric physical lead column, NULL only at the partition's LAST
+    row. PEAK := value > NEXT value (a local drop ahead); runs of
+    PEAKs are counted per user. DuckDB replays with lead()."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrnx_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows
+FROM (
+  SELECT user_id, n FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n
+    ONE ROW PER MATCH
+    PATTERN (PEAK+)
+    DEFINE PEAK AS value > NEXT value
+  )
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows")
+
+
+# replay: D when value > lead(value) (NULL-safe false; NULL lead at the
+# partition's last row -> false), else A. PATTERN (PEAK+) -> D+.
+_MR_NEXT_ORACLE = """
+WITH symd AS (
+  SELECT user_id, ts, event_id,
+         (CASE WHEN value > lead(value) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+               THEN 3 ELSE 0 END) AS m
+  FROM events
+),
+s AS (SELECT user_id, string_agg(chr(65 + m), '' ORDER BY ts, event_id) AS seq
+      FROM symd GROUP BY user_id),
+m AS (SELECT user_id, regexp_extract_all(seq, 'D+') AS ms FROM s)
 SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
        CAST(coalesce(list_sum(list_transform(ms, x -> len(x))), 0) AS BIGINT) AS n_matched_rows
 FROM m WHERE len(ms) > 0 ORDER BY user_id
@@ -5269,6 +5372,12 @@ REGISTRY: dict[str, tuple] = {
     # r10: PRIOR inside DEFINE (rising runs) + PERMUTE patterns
     "sql_match_recognize_prior": (_sql_match_recognize_prior,
                                   _MR_PRIOR_ORACLE),
+    # r11: physical PREV semantics — PRIOR-using symbol STARTS the
+    # match (V-shape DOWN+ UP+); NEXT navigation via physical lead
+    "sql_match_recognize_prior_start": (_sql_match_recognize_prior_start,
+                                        _MR_PRIOR_START_ORACLE),
+    "sql_match_recognize_next": (_sql_match_recognize_next,
+                                 _MR_NEXT_ORACLE),
     "sql_match_recognize_permute": (_sql_match_recognize_permute,
                                     _MR_PERMUTE_ORACLE),
     # r10: {- -} exclusion — ALL ROWS output drops the excluded run,
@@ -5381,8 +5490,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 211, (
-    f"registry contract: expected 211 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 213, (
+    f"registry contract: expected 213 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -26,12 +26,16 @@ Supported surface:
   ``PERMUTE(...)`` (expanded to the lexicographic alternation of every
   ordering per SQL:2016, ≤ 6 elements), and ``^``/``$`` anchors
   (partition start/end, zero-width).
-* DEFINE predicates may use ``PRIOR col`` navigation (r10): matches are
-  contiguous, so PRIOR equals the previous PARTITION row (a JVM-side
-  lag column) for every non-first match row, and NULL on the match's
-  first row — implemented as a second start-position bitmask, exact
-  SQL:2016 semantics. NEXT navigation is not supported (documented
-  capability boundary).
+* DEFINE predicates may use ``PRIOR col`` navigation (r10; semantics
+  corrected r11): SQL:2016 PREV / Snowflake LAG-in-DEFINE navigate the
+  PARTITION physically — the value is the previous partition row even
+  when that row precedes the match start, and is NULL only at the
+  partition's first row. Implemented as a JVM-side ``F.lag`` column
+  (lag is NULL exactly at partition row 0), so patterns whose first
+  symbol uses PRIOR (``PATTERN(DOWN+ UP+)`` with
+  ``DOWN AS price < PRIOR price``) match correctly.
+* ``NEXT col`` navigation in DEFINE (r11): the symmetric physical
+  ``F.lead`` column — NULL only at the partition's last row.
 
 Scale: one shuffle on the partition key; each group is matched locally
 in a single pass over its Arrow batch (groups = users/sessions — small
@@ -253,16 +257,14 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
     shared classifier stack: while a yield is suspended it holds the bit
     index of every row consumed by the current parse, in row order.
 
-    ``masks`` carries each row's candidate bits with PRIOR resolved to
-    the previous PARTITION row; ``start_masks`` carries the variant with
-    PRIOR resolved to NULL. A match's FIRST row has no prior row inside
-    the match, so position ``start`` reads ``start_masks`` — exact
-    SQL:2016 PRIOR semantics for contiguous matches."""
-    masks, start_masks, start, excl = ctx
+    ``masks`` carries each row's candidate bits; PRIOR/NEXT navigation
+    is already resolved JVM-side (physical partition lag/lead columns),
+    so the mask is position-independent — SQL:2016 PREV/NEXT semantics."""
+    masks, excl = ctx
 
     if isinstance(node, _Sym):
         if pos < len(masks):
-            row = start_masks[pos] if pos == start else masks[pos]
+            row = masks[pos]
             if (row >> node.idx) & 1:
                 cls.append(node.idx | (EXCL_FLAG if excl[0] else 0))
                 yield pos + 1
@@ -309,8 +311,7 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
         p = pos
         limit = node.hi if node.hi is not None else len(masks) - pos
         while p < len(masks) and run < limit:
-            row = start_masks[p] if p == start else masks[p]
-            if not (row >> idx) & 1:
+            if not (masks[p] >> idx) & 1:
                 break
             run += 1
             p += 1
@@ -350,22 +351,17 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
     yield from rep(0, pos)
 
 
-def find_matches(ast, masks, skip_to_next_row: bool = False,
-                 start_masks=None):
+def find_matches(ast, masks, skip_to_next_row: bool = False):
     """Return [(start, end, classifier_bits)] in match order. Zero-width
     matches are skipped (real MATCH_RECOGNIZE never reports empty
     matches). SKIP PAST LAST ROW resumes at ``end``; SKIP TO NEXT ROW
-    resumes at ``start + 1`` (overlapping matches). ``start_masks`` is
-    the PRIOR->NULL candidate variant applied to each attempt's first
-    row (defaults to ``masks`` when no DEFINE uses PRIOR)."""
-    if start_masks is None:
-        start_masks = masks
+    resumes at ``start + 1`` (overlapping matches)."""
     out = []
     pos, n = 0, len(masks)
     while pos < n:
         cls: list[int] = []
         hit = None
-        for e in _gen(ast, pos, (masks, start_masks, pos, [0]), cls):
+        for e in _gen(ast, pos, (masks, [0]), cls):
             if e > pos:
                 hit = (pos, e, cls.copy())
                 break
@@ -391,6 +387,7 @@ def match_recognize(
     all_rows: bool = False,
     after_match: str = "past_last",
     all_rows_measures: list[tuple] | None = None,
+    count_cols: list[str] | None = None,
 ) -> DataFrame:
     """Row-pattern matching over ``partition_by`` groups.
 
@@ -398,8 +395,9 @@ def match_recognize(
     predicates allowed); ``pattern`` is a row-pattern over the aliases
     (e.g. ``"V C+ P"``). ``after_match``: ``"past_last"`` | ``"next_row"``.
     ONE ROW PER MATCH output: partition key, ``match_number`` (1-based
-    per partition), ``n_rows``, and ``m_first``/``m_last`` per measure
-    column. ALL ROWS PER MATCH output: every matched input row plus
+    per partition), ``n_rows``, ``m_first``/``m_last`` per measure
+    column, and ``c_count`` (non-null COUNT(col)) per ``count_cols``
+    entry. ALL ROWS PER MATCH output: every matched input row plus
     ``match_number`` and ``classifier``; ``all_rows_measures`` adds
     per-row measure columns as ``(fn, col, outname, final)`` tuples with
     fn in FIRST/LAST/COUNT/MATCH_NUMBER — RUNNING semantics by default
@@ -415,20 +413,21 @@ def match_recognize(
 
     # JVM-side candidate bitmask: bit i set when DEFINE predicate i holds
     # (NULL -> false); symbols with no DEFINE entry match every row.
-    mask = F.lit(0).cast("long")
-    # PRIOR navigation inside DEFINE (r10): `PRIOR col` resolves to the
-    # previous row of the match. Matches are contiguous, so for every
-    # non-first row that equals the previous PARTITION row — precomputed
-    # JVM-side as a lag column. A match's FIRST row has no prior row:
-    # the predicate is re-evaluated with PRIOR -> NULL into a second
-    # bitmask that the matcher applies at each attempt's start position.
+    # PRIOR/NEXT navigation inside DEFINE (r10, semantics fixed r11):
+    # SQL:2016 PREV/NEXT navigate the PARTITION physically — `PRIOR col`
+    # is the previous partition row (NULL only at partition row 0, even
+    # when that row precedes the match start) and `NEXT col` is the next
+    # partition row (NULL only at the partition's last row). Both are
+    # precomputed JVM-side as lag/lead window columns, so the candidate
+    # mask is position-independent.
     _PRIOR_DEF_RE = _re.compile(
         r"\bPRIOR\s*\(\s*([\w.\"]+)\s*\)|\bPRIOR\s+([\w.\"]+)", _re.I)
+    _NEXT_DEF_RE = _re.compile(
+        r"\bNEXT\s*\(\s*([\w.\"]+)\s*\)|\bNEXT\s+([\w.\"]+)", _re.I)
     src = df
     lag_cols: set[str] = set()
-    preds_lag: dict[str, str] = {}
-    preds_null: dict[str, str] = {}
-    uses_prior = False
+    lead_cols: set[str] = set()
+    preds_nav: dict[str, str] = {}
     for name, pred in define_uc.items():
         if pred is None:
             continue
@@ -438,39 +437,35 @@ def match_recognize(
             lag_cols.add(col)
             return f"__lag_{col}"
 
-        new_lag = _PRIOR_DEF_RE.sub(_sub_lag, pred)
-        if new_lag != pred:
-            uses_prior = True
-            preds_lag[name] = new_lag
-            preds_null[name] = _PRIOR_DEF_RE.sub("NULL", pred)
-        else:
-            preds_lag[name] = pred
-            preds_null[name] = pred
-    if lag_cols:
+        def _sub_lead(m: _re.Match) -> str:
+            col = (m.group(1) or m.group(2)).split(".")[-1].strip('"')
+            lead_cols.add(col)
+            return f"__lead_{col}"
+
+        pred = _PRIOR_DEF_RE.sub(_sub_lag, pred)
+        pred = _NEXT_DEF_RE.sub(_sub_lead, pred)
+        preds_nav[name] = pred
+    if lag_cols or lead_cols:
         from pyspark.sql import Window
 
         w = Window.partitionBy(partition_by).orderBy(
             *[F.col(c) for c in order_by])
         for col in sorted(lag_cols):
             src = src.withColumn(f"__lag_{col}", F.lag(F.col(col)).over(w))
+        for col in sorted(lead_cols):
+            src = src.withColumn(f"__lead_{col}", F.lead(F.col(col)).over(w))
 
-    def _build_mask(preds: dict[str, str]):
-        m = F.lit(0).cast("long")
-        for name, i in symbol_index.items():
-            pred = preds.get(name)
-            bit = F.lit(1 << i).cast("long")
-            if pred is None:
-                m = m + bit
-            else:
-                m = m + F.when(
-                    F.coalesce(F.expr(pred), F.lit(False)), bit
-                ).otherwise(F.lit(0).cast("long"))
-        return m
-
-    work = src.withColumn("__mask", _build_mask(preds_lag))
-    work = work.withColumn(
-        "__mask0", _build_mask(preds_null) if uses_prior
-        else F.col("__mask"))
+    mask = F.lit(0).cast("long")
+    for name, i in symbol_index.items():
+        pred = preds_nav.get(name)
+        bit = F.lit(1 << i).cast("long")
+        if pred is None:
+            mask = mask + bit
+        else:
+            mask = mask + F.when(
+                F.coalesce(F.expr(pred), F.lit(False)), bit
+            ).otherwise(F.lit(0).cast("long"))
+    work = src.withColumn("__mask", mask)
 
     name_of_bit = {i: name for name, i in symbol_index.items()}
     if all_rows:
@@ -497,10 +492,9 @@ def match_recognize(
         def _match_all(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_by, kind="mergesort")
             masks = pdf["__mask"].tolist()
-            masks0 = pdf["__mask0"].tolist()
             outs = []
             for match_no, (st, en, bits) in enumerate(
-                    find_matches(ast, masks, skip_next, masks0), start=1):
+                    find_matches(ast, masks, skip_next), start=1):
                 seg = pdf.iloc[st:en][in_cols].copy()
                 seg["match_number"] = match_no
                 seg["classifier"] = [name_of_bit[b & ~EXCL_FLAG]
@@ -510,7 +504,15 @@ def match_recognize(
                     if fn == "MATCH_NUMBER":
                         seg[outname] = match_no
                     elif fn == "COUNT":
-                        seg[outname] = n if final else range(1, n + 1)
+                        # COUNT(*) counts rows; COUNT(col) skips NULLs
+                        # (r11 — Snowflake/SQL:2016 COUNT semantics)
+                        if col in (None, "", "*"):
+                            seg[outname] = n if final else range(1, n + 1)
+                        else:
+                            nn = pdf[col].iloc[st:en].notna()
+                            seg[outname] = (int(nn.sum()) if final
+                                            else nn.cumsum().astype("int64")
+                                            .values)
                     elif fn == "FIRST":  # running == final for FIRST
                         seg[outname] = pdf[col].iloc[st]
                     else:  # LAST
@@ -531,27 +533,32 @@ def match_recognize(
             _match_all, schema=out_schema)
 
     measure_cols = measure_cols or []
+    count_cols = count_cols or []
     out_fields = [df.schema[partition_by],
                   T.StructField("match_number", T.LongType()),
                   T.StructField("n_rows", T.LongType())]
     for m in measure_cols:
         out_fields.append(T.StructField(f"{m}_first", df.schema[m].dataType))
         out_fields.append(T.StructField(f"{m}_last", df.schema[m].dataType))
+    for m in count_cols:
+        out_fields.append(T.StructField(f"{m}_count", T.LongType()))
     out_schema = T.StructType(out_fields)
 
     def _match(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
         masks = pdf["__mask"].tolist()
-        masks0 = pdf["__mask0"].tolist()
         rows = []
         for match_no, (st, en, _bits) in enumerate(
-                find_matches(ast, masks, skip_next, masks0), start=1):
+                find_matches(ast, masks, skip_next), start=1):
             seg = pdf.iloc[st:en]
             row = {partition_by: pdf[partition_by].iloc[0],
                    "match_number": match_no, "n_rows": en - st}
             for c in measure_cols:
                 row[f"{c}_first"] = seg[c].iloc[0]
                 row[f"{c}_last"] = seg[c].iloc[-1]
+            for c in count_cols:
+                # COUNT(col) skips NULLs (r11)
+                row[f"{c}_count"] = int(seg[c].notna().sum())
             rows.append(row)
         cols = [f.name for f in out_fields]
         return pd.DataFrame(rows, columns=cols)

@@ -688,6 +688,12 @@ class Translator:
 
         select_list = _rewrite_hier_fns(select_list)
         tail = _rewrite_hier_fns(tail)
+        # r11 (ADVICE): the post-hierarchy WHERE may also reference
+        # SYS_CONNECT_BY_PATH/CONNECT_BY_ROOT/PRIOR — rewrite it to the
+        # same accumulated CTE columns (extras are materialized below,
+        # after all three rewrites ran)
+        if post_where:
+            post_where = _rewrite_hier_fns(post_where)
 
         _KEYWORD_TOKENS = {"NULL", "TRUE", "FALSE", "AND", "OR", "NOT"}
 
@@ -1939,7 +1945,10 @@ class Translator:
                 occ = args[3] if len(args) >= 4 else "1"
                 opt = args[4] if len(args) >= 5 else "0"
                 prm = args[5] if len(args) >= 6 else "'c'"
-                grp = args[6] if len(args) >= 7 else "0"
+                # group_num omitted -> NULL sentinel: the kernel
+                # defaults it to 1 when parameters contain 'e'
+                # (Snowflake extract semantics), else 0 (r11)
+                grp = args[6] if len(args) >= 7 else "NULL"
                 return (f"sf_regexp_instr({args[0]}, {args[1]}, "
                         f"CAST({pos} AS BIGINT), CAST({occ} AS BIGINT), "
                         f"CAST({opt} AS BIGINT), {prm}, "

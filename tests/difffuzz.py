@@ -1699,12 +1699,18 @@ def run_mti_cases(engine, cases, sname: str = "fz_mti_s") -> list[str]:
 
 
 def generate_mr_prior_cases(seed: int, count: int) -> list[dict]:
-    """PRIOR-navigation DEFINE fuzz (r10): rising/falling-run patterns
-    whose PRIOR-using symbols never start a match, so the DuckDB lag()
-    replay through run_mr_overlap_cases is exact."""
+    """PRIOR/NEXT-navigation DEFINE fuzz (r10; extended r11): SQL:2016
+    PREV/NEXT navigate the partition PHYSICALLY (NULL only at the
+    partition's first/last row), so the DuckDB lag()/lead() replay
+    through run_mr_overlap_cases is exact for EVERY pattern — including
+    the canonical ``DOWN+ UP+`` shape where a navigation-using symbol
+    starts the match (the r10 generator avoided that case; the r11
+    semantics fix makes it correct)."""
     rng = random.Random(seed)
     lag = ("lag(value) OVER (PARTITION BY user_id "
            "ORDER BY ts, event_id)")
+    lead = ("lead(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)")
     out = []
     for _ in range(count):
         k = rng.choice([0, 0, 5, 10])
@@ -1713,13 +1719,20 @@ def generate_mr_prior_cases(seed: int, count: int) -> list[dict]:
         up_duck = f"value > {lag} + {k}" if k else f"value > {lag}"
         dn_sql = "value < PRIOR value"
         dn_duck = f"value < {lag}"
+        # r11: NEXT navigation (physical lead) as an alternative D
+        if rng.random() < 0.4:
+            dn_sql = "value < NEXT value"
+            dn_duck = f"value < {lead}"
         start = rng.choice([
             ("event_type = 'view'", "event_type = 'view'"),
             ("value IS NOT NULL", "value IS NOT NULL"),
             ("value <= 100", "value <= 100"),
         ])
-        pat = rng.choice(["S U+", "S U{2,3}", "S U+ D", "S U U",
-                          "S (U|D)+"])
+        pat = rng.choice([
+            "S U+", "S U{2,3}", "S U+ D", "S U U", "S (U|D)+",
+            # r11: navigation-using symbol STARTS the match
+            "U+", "U+ D", "D+ U+", "U U", "(U|D){2,4}", "D U+",
+        ])
         skip_next = rng.random() < 0.3
         out.append({
             "desc": f"mr_prior[{pat} k{k}"

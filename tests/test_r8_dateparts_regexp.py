@@ -219,5 +219,22 @@ def test_regexp_replace_instr_full_surface(spark):
     assert q("REGEXP_INSTR('a1b2c3', '[0-9]', 1, 9)") == 0
     assert q("REGEXP_INSTR('nevermore1, nevermore2', "
              "'nevermore(\\\\d)', 1, 2, 0, 'e', 1)") == 22
+    # r11: 'e' with group_num OMITTED defaults to capture group 1
+    # (Snowflake extract semantics), not the full match
+    assert q("REGEXP_INSTR('nevermore1, nevermore2', "
+             "'nevermore(\\\\d)', 1, 2, 0, 'e')") == 22
+    # without 'e' the omitted group_num still means the full match
+    assert q("REGEXP_INSTR('nevermore1, nevermore2', "
+             "'nevermore(\\\\d)', 1, 2, 0, 'i')") == 13
     # NULL subject propagates
     assert q("REGEXP_REPLACE(CAST(NULL AS STRING), 'a', 'b', 1, 2)") is None
+    # r11: position < 1 raises (Snowflake invalid-argument), never
+    # silently slices from the string's end
+    import pytest as _pytest
+
+    from snowflake_emulator_spark.functions.extras import (
+        sf_regexp_instr_py, sf_regexp_replace_py)
+    with _pytest.raises(ValueError, match="position"):
+        sf_regexp_replace_py("abc", "b", "x", 0, 0, "c")
+    with _pytest.raises(ValueError, match="position"):
+        sf_regexp_instr_py("abc", "b", -1, 1, 0, "c", 0)

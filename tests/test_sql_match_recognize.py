@@ -136,10 +136,12 @@ def test_match_recognize_permute_sql(engine):
 
 
 def test_match_recognize_prior_in_define(engine):
-    """r10: PRIOR navigation inside DEFINE — rising-price runs. PRIOR
-    equals the previous match row (== previous partition row, matches
-    are contiguous) and NULL on the match's FIRST row, so a pattern
-    whose first symbol needs PRIOR can never start a match."""
+    """r10, semantics corrected r11: PRIOR navigation inside DEFINE.
+    SQL:2016 PREV / Snowflake LAG-in-DEFINE navigate the partition
+    PHYSICALLY — the value is the previous partition row even when that
+    row precedes the match start, and NULL only at the partition's
+    first row. So the canonical PATTERN (UP+) rising-run query matches
+    starting on a PRIOR-using symbol."""
     engine.execute("CREATE TABLE mr_px (g INTEGER, seq INTEGER, price DOUBLE)")
     engine.execute("""INSERT INTO mr_px VALUES
       (1, 1, 10.0), (1, 2, 12.0), (1, 3, 15.0), (1, 4, 9.0), (1, 5, 11.0),
@@ -154,18 +156,89 @@ def test_match_recognize_prior_in_define(engine):
       ) ORDER BY g, match_number""").rows
     assert [tuple(r) for r in rows] == [
         (1, 1, 3, 10.0, 15.0),   # 10 < 12 < 15
-        (1, 2, 2, 9.0, 11.0),    # 9 < 11 (PRIOR resets at match start)
+        (1, 2, 2, 9.0, 11.0),    # 9 < 11
         (2, 1, 2, 3.0, 7.0)]     # 3 < 7
-    # a match can never START on a PRIOR-using symbol (PRIOR -> NULL)
+    # a match CAN start on a PRIOR-using symbol: PRIOR sees the
+    # partition row before the match start (physical navigation)
     rows = engine.execute("""
-      SELECT g, match_number FROM mr_px MATCH_RECOGNIZE (
+      SELECT g, match_number, n FROM mr_px MATCH_RECOGNIZE (
         PARTITION BY g ORDER BY seq
-        MEASURES MATCH_NUMBER() AS mno
+        MEASURES MATCH_NUMBER() AS mno, COUNT(*) AS n
         ONE ROW PER MATCH
         PATTERN (UP+)
         DEFINE UP AS price > PRIOR price
+      ) ORDER BY g, match_number""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 2),   # 12,15 (PRIOR of 12 = 10, before the match)
+        (1, 2, 1),   # 11 (PRIOR = 9)
+        (2, 1, 1)]   # 7 (PRIOR = 3)
+    # partition row 0 is the ONLY place PRIOR is NULL: a run starting
+    # at the partition head never includes row 0 itself
+    rows = engine.execute("""
+      SELECT g, f FROM mr_px MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(seq) AS f
+        ONE ROW PER MATCH
+        PATTERN (UP+)
+        DEFINE UP AS price > PRIOR price
+      ) WHERE g = 1 ORDER BY f""").rows
+    assert [tuple(r)[1] for r in rows] == [2, 5]
+
+
+def test_match_recognize_next_in_define(engine):
+    """r11: NEXT navigation inside DEFINE — physical lead column, NULL
+    only at the partition's LAST row (SQL:2016 NEXT default offset 1)."""
+    engine.execute("CREATE TABLE mr_nx (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_nx VALUES
+      (1, 1, 10.0), (1, 2, 12.0), (1, 3, 9.0), (1, 4, 11.0), (1, 5, 8.0)""")
+    # PEAK: next price drops. Holds at seq 2 (12>9) and seq 4 (11>8);
+    # NULL lead at seq 5 -> false.
+    rows = engine.execute("""
+      SELECT g, match_number, f FROM mr_nx MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(seq) AS f
+        ONE ROW PER MATCH
+        PATTERN (PEAK)
+        DEFINE PEAK AS price > NEXT price
+      ) ORDER BY match_number""").rows
+    assert [tuple(r) for r in rows] == [(1, 1, 2), (1, 2, 4)]
+    # combined PRIOR + NEXT in one DEFINE: local maximum
+    rows = engine.execute("""
+      SELECT g, f FROM mr_nx MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(seq) AS f
+        ONE ROW PER MATCH
+        PATTERN (TOP)
+        DEFINE TOP AS price > NEXT price AND price > PRIOR price
+      ) ORDER BY f""").rows
+    assert [tuple(r)[1] for r in rows] == [2, 4]
+
+
+def test_match_recognize_count_col_measure(engine):
+    """r11: MEASURES COUNT(col) skips NULLs (Snowflake semantics),
+    unlike COUNT(*) — both ONE ROW and ALL ROWS (running/final)."""
+    engine.execute("CREATE TABLE mr_cc (g INTEGER, seq INTEGER, v DOUBLE)")
+    engine.execute("""INSERT INTO mr_cc VALUES
+      (1, 1, 10.0), (1, 2, NULL), (1, 3, 15.0), (1, 4, NULL)""")
+    rows = engine.execute("""
+      SELECT g, nstar, nv FROM mr_cc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS nstar, COUNT(v) AS nv
+        ONE ROW PER MATCH
+        PATTERN (A+)
+        DEFINE A AS seq >= 1
       )""").rows
-    assert rows == []
+    assert [tuple(r) for r in rows] == [(1, 4, 2)]
+    rows = engine.execute("""
+      SELECT seq, rnv, fnv FROM mr_cc MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(v) AS rnv, FINAL COUNT(v) AS fnv
+        ALL ROWS PER MATCH
+        PATTERN (A+)
+        DEFINE A AS seq >= 1
+      ) ORDER BY seq""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 2), (2, 1, 2), (3, 2, 2), (4, 2, 2)]
 
 
 def test_match_recognize_all_rows_measures(engine):

@@ -861,3 +861,19 @@ def test_connect_by_without_start_with_and_where():
     assert "WITH RECURSIVE __hier" in out
     assert "FROM t __t WHERE TRUE" in out
     assert out.rstrip().endswith("FROM __hier WHERE id < 6")
+
+
+def test_connect_by_hier_fns_in_where():
+    """r11 (ADVICE): SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT / PRIOR in
+    the post-hierarchy WHERE rewrite to the accumulated CTE columns
+    instead of leaking unrewritten into the generated SQL."""
+    out = translate(
+        "SELECT id, SYS_CONNECT_BY_PATH(name, '/') AS p FROM t "
+        "WHERE CONNECT_BY_ROOT name = 'a' AND PRIOR id = 3 "
+        "START WITH id = 0 CONNECT BY PRIOR id = parent_id")
+    assert "SYS_CONNECT_BY_PATH" not in out.upper().replace(
+        "__CBPATH", "")  # no unrewritten call survives
+    assert "WHERE __cbroot_1 = 'a' AND __cbprior_2 = 3" in out
+    # the WHERE-referenced extras are materialized in the CTE
+    assert "__t.name AS __cbroot_1" in out
+    assert "IF(FALSE, __t.id, NULL) AS __cbprior_2" in out
