@@ -2406,11 +2406,17 @@ exact_hit AS (
   FROM (SELECT doc_id, md5(t) AS fp FROM norm WHERE is_new) e
   JOIN (SELECT DISTINCT md5(t) AS fp FROM norm WHERE NOT is_new) c USING (fp)
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, is_new, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
   FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
 ),
-h AS (SELECT doc_id, is_new, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) % {M} AS h FROM sh),
+-- r11: replay shingle_table's string-distinct-then-hash (see
+-- _dedup_pipeline_oracle); the minhash base is then just (sh mod M)
+sh AS (
+  SELECT doc_id, is_new, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) AS sh
+  FROM sh0
+),
+h AS (SELECT doc_id, is_new, sh % {M} AS h FROM sh),
 sig AS (SELECT doc_id, is_new, {mins} FROM h GROUP BY doc_id, is_new),
 banded AS ({band_rows}),
 cand AS (
@@ -2770,9 +2776,15 @@ def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
   FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+-- r11: replay shingle_table's string-distinct-then-hash (see
+-- _dedup_pipeline_oracle)
+sh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) AS sh
+  FROM sh0
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -3021,9 +3033,16 @@ def _dedup_pipeline_oracle() -> str:
     return f"""
 WITH cand AS ({minhash}),
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS sh
   FROM norm, unnest(range(1, greatest(len(t) - 3, 2))) AS u(i)
+),
+-- r11: Spark's shingle_table hashes each distinct shingle string to a
+-- 60-bit int BEFORE any shuffle; replay the identical hash (distinct
+-- on strings first, hash second) so both engines agree bit-for-bit
+sh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT) AS sh
+  FROM sh0
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (

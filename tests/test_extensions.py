@@ -292,8 +292,9 @@ def test_cosine_near_pairs_banding_recall(spark):
 
 
 def test_connected_components_synthetic(spark):
-    """Min-label propagation finds transitive clusters: a 4-chain (whose
-    endpoints never share an LSH bucket) collapses to one component."""
+    """Large-star/small-star (r11) finds transitive clusters: a 4-chain
+    (whose endpoints never share an LSH bucket) collapses to one
+    component."""
     from snowflake_emulator_spark.operators import dedup
 
     pairs = spark.createDataFrame(
