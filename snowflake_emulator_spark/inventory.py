@@ -4865,6 +4865,9 @@ FROM grid g ORDER BY pbucket, sbucket
 # Region rk contributes rows j = 0..rk, so 1+2+3+4+5 = 15 rows total.
 # Each INSERT is a distributed Spark job; the loops orchestrate.
 def _scripted_labeled_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled loops + OPEN/FETCH/CLOSE cursor; r11: the OPEN carries a
+    USING bind list so the declared query also hash-gates positional
+    `?` binding at OPEN time (r8 s2 feature, previously pytest-only)."""
     import tempfile
 
     from .engine import Engine
@@ -4875,12 +4878,19 @@ def _scripted_labeled_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = SessionContext()
     eng.execute(
         "CREATE TABLE script_lbl (rk INTEGER, j INTEGER, n BIGINT)", ctx)
+    # r11: the cursor query carries positional `?` binds resolved by
+    # OPEN ... USING with script expressions (lo, lo + 4) — the bind
+    # list evaluates in script scope at OPEN time (Snowflake semantics)
     eng.execute(
         "EXECUTE IMMEDIATE $$ "
-        "DECLARE c1 CURSOR FOR "
-        "  SELECT r_regionkey FROM region ORDER BY r_regionkey; "
+        "DECLARE "
+        "  lo INTEGER DEFAULT 0; "
+        "  c1 CURSOR FOR "
+        "    SELECT r_regionkey FROM region "
+        "    WHERE r_regionkey >= ? AND r_regionkey <= ? "
+        "    ORDER BY r_regionkey; "
         "BEGIN "
-        "OPEN c1; "
+        "OPEN c1 USING (lo, lo + 4); "
         "lp: WHILE (1 = 1) DO "
         "  FETCH c1 INTO rk; "
         "  IF (rk IS NULL) THEN BREAK lp; END IF; "

@@ -422,27 +422,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     k the DRIVER pays O(plan^k) optimizer time even though executors
     read the cache (measured: round 1 cost 4x round 0 on a 243-edge
     graph purely in driver planning). Truncating lineage each round
-    keeps every round's plan constant-size; ``checkpoint_every`` is
-    retained for API compatibility but 1 is the right default.
+    keeps every round's plan constant-size. The checkpoints are LAZY —
+    the round's fixpoint-signature aggregate is the one materializing
+    job — so a round costs exactly one Spark job; the (potentially
+    enormous) candidate-pair pipeline upstream is evaluated exactly
+    once, into the eager ``base`` checkpoint both the edge relation and
+    the output node set derive from. Previous rounds' checkpoint
+    storage is released deterministically (``checkpoint_every`` is
+    retained for API compatibility; every round is checkpointed).
 
     Returns (node, component): every node that appears in ``pairs``,
     with component = smallest node id reachable from it.
     """
+    # ONE evaluation of the upstream pair pipeline; everything below
+    # (node set, initial edges, every round) derives from this
+    # materialized frame, and every round's plan stays constant-size
+    base = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .unionAll(pairs.select(F.col(id_b).alias("node")))
+        base.select(F.col("a").alias("node"))
+        .unionAll(base.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # canonical orientation (big -> small); self-loops dropped.
-    # localCheckpoint also cuts the (potentially huge) candidate-pair
-    # pipeline out of every round's plan.
+    # canonical orientation (big -> small); self-loops dropped
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        base.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     for it in range(max_iterations):
@@ -471,12 +479,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             .unionAll(smins.select("src", F.col("__m").alias("dst")))
             .distinct()
         )
-        # truncate lineage EVERY round (see docstring) — the eager
-        # checkpoint is also the round's materializing action
-        new_edges = new_edges.localCheckpoint(eager=True)
-        # fixpoint check on the materialized round: equal (count, hash
-        # xor) signature == identical edge set (whp) — one cheap agg
-        # over the checkpointed partitions, no join-against-previous
+        # truncate lineage EVERY round (see docstring); the checkpoint
+        # is lazy — the fixpoint-signature aggregate below is the
+        # round's single materializing job. Equal (count, hash xor)
+        # signature == identical edge set (whp).
+        new_edges = new_edges.localCheckpoint(eager=False)
         sig = tuple(new_edges.agg(
             F.count("*"), F.bit_xor(F.xxhash64("src", "dst"))).collect()[0])
         _release_local_checkpoint(edges)  # previous round: done with it
@@ -492,7 +499,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .localCheckpoint(eager=True)
     )
     _release_local_checkpoint(edges)
-    _release_local_checkpoint(nodes)
+    _release_local_checkpoint(base)
     return final
 
 
