@@ -3028,6 +3028,85 @@ ORDER BY source
 """
 
 
+def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT item 7): exact-substring dedup (Lee et al. 2022) —
+    corpus-duplicated >=40-char spans are located via hashed anchor
+    windows + gaps-and-islands merge, then spliced out of each doc's
+    text. The hash gate covers the CLEANED TEXT itself (md5), not just
+    counts, so the splice arithmetic is fully oracle-checked."""
+    from .operators import dedup as _dd
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    out = _dd.substring_dedup(d, gram=40)
+    return out.select(
+        "doc_id", "n_spans", "n_removed",
+        F.length("cleaned").cast("bigint").alias("kept_len"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+_SUBSTR_DEDUP_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 40)), 1, 15)) AS UBIGINT) AS gh
+  FROM documents, unnest(range(1, greatest(len(text) - 38, 1))) AS u(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM h
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+segs AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 1) AS prev
+  FROM spans sp
+),
+pieces AS (
+  SELECT sg.doc_id, sg.s AS ord, substr(d.text, sg.prev, sg.s - sg.prev) AS piece
+  FROM segs sg JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647, substr(d.text, m.last_e) AS piece
+  FROM (SELECT doc_id, max(e) AS last_e FROM spans GROUP BY doc_id) m
+  JOIN documents d USING (doc_id)
+),
+clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned
+  FROM pieces GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_removed
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(st.n_spans, 0) AS n_spans,
+       coalesce(st.n_removed, 0) AS n_removed,
+       CAST(len(coalesce(c.cleaned, d.text)) AS BIGINT) AS kept_len,
+       md5(coalesce(c.cleaned, d.text)) AS cleaned_md5
+FROM documents d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _dedup_pipeline_oracle() -> str:
     minhash = _minhash_oracle().replace("ORDER BY id_a, id_b", "")
     return f"""
@@ -3579,6 +3658,54 @@ x AS (SELECT media_id, lower(hex(d || d || d || d)) AS hexstr FROM c)
 SELECT media_id, TRUE AS decode_ok,
        round(CAST(('0x' || substr(md5(hexstr), 1, 2)) AS INTEGER) / 255.0, 6) AS f0
 FROM x ORDER BY media_id
+"""
+
+
+def _multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT item 6): REAL PNG decode in the multimodal kernel —
+    pure-stdlib zlib/struct decoder (all five scanline filters) behind
+    mapInPandas. The fixture encodes closed-form pixels into PNGs
+    (filters rotating y%5); the oracle replays the pixel arithmetic
+    directly, so the hash gate verifies the full encode->decode round
+    trip against independent math. See operators/multimodal.py."""
+    from .operators import multimodal
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 0")
+    media = multimodal.synth_png_media(ids)
+    return (
+        multimodal.png_features(media)
+        .select(
+            "media_id", "width", "height", "channels",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+            "min_px", "max_px",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_PNG_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 11 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (7 * d.doc_id + 3 * x.xv + 5 * y.yv) % 256 AS r,
+         (11 * d.doc_id + 2 * x.xv + y.yv) % 256 AS g,
+         (13 * d.doc_id + x.xv + 4 * y.yv) % 256 AS b
+  FROM d, range(0, d.w) AS x(xv), range(0, d.h) AS y(yv)
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b,
+       CAST(min(least(r, g, b)) AS INTEGER) AS min_px,
+       CAST(max(greatest(r, g, b)) AS INTEGER) AS max_px
+FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
@@ -5348,6 +5475,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (_dedup_simhash, _simhash_oracle()),
     "dedup_simhash_pairs": (_dedup_simhash_pairs, _simhash_pairs_oracle()),
     "dedup_ngram_jaccard": (_dedup_jaccard, _JACCARD_ORACLE),
+    # r11: exact-substring span removal (Lee et al. 2022), cleaned-text
+    # md5 hash-gated
+    "doc_substring_dedup": (_doc_substring_dedup, _SUBSTR_DEDUP_ORACLE),
     "dedup_lsh_jaccard_pipeline": (_dedup_pipeline, _dedup_pipeline_oracle()),
     "dedup_clusters": (_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_survivors": (_dedup_survivors, _dedup_survivors_oracle()),
@@ -5382,6 +5512,9 @@ REGISTRY: dict[str, tuple] = {
     "range_join_events": (_range_join_events, _RANGE_ORACLE),
     # multimodal plumbing (no fixture table -> rows-only)
     "multimodal_features": (_multimodal_features, _MULTIMODAL_ORACLE),
+    # r11: REAL pure-stdlib PNG decode, hash-gated vs pixel arithmetic
+    "multimodal_png_features": (_multimodal_png_features,
+                                _MULTIMODAL_PNG_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -5434,52 +5567,55 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # --- pinned family representatives (driver-green r1-r7) ----------
-    "scan_filter_project",            # scan/filter/project
-    "q1_pricing_summary",             # TPC-H aggregation backbone
-    "q3_shipping_priority",           # TPC-H join chain
-    "asof_join_events",               # as-of / range joins
-    "dedup_minhash_lsh",              # LSH dedup family
-    # --- NEW r8b: never-sampled function-family additions ------------
-    # (displaced agg_rollup / window_row_number_topn / merge_upsert_sim
-    # / embed_cosine_topk — each driver-green r1-r7 — so the brand-new
-    # entries get their first driver row this round)
-    "sf_parse_url",
-    "sf_strtok_split_table",
-    "sf_collate_compare",
-    "sf_random_generators",
-    # --- NEW r8: ASOF NULL-semantics oracle gate (VERDICT r7 item 1) -
-    "asof_join_null_events",
-    # --- r10 rotation (VERDICT r9 item 2): the 8 entries that have ----
-    # --- NEVER carried a driver CORRECTNESS row across r1-r9 ----------
-    "unpivot_sql_native", "scripted_labeled_cursor",
-    "sf_string_splice_position", "sf_digest_hash_funcs",
-    "sf_array_lambda_funcs", "hierarchy_connect_by",
-    "sql_match_recognize_funnel", "sf_regression_stats",
-    # --- NEW r10: overlapping-DEFINE MATCH_RECOGNIZE (VERDICT item 5) -
-    "sql_match_recognize_overlap",
-    # --- NEW r10: CONNECT BY path/root/prior columns (VERDICT item 6) -
-    "hierarchy_connect_by_path",
-    # --- NEW r10: PRIOR-in-DEFINE + PERMUTE + exclusion MR ------------
-    "sql_match_recognize_prior", "sql_match_recognize_permute",
-    "sql_match_recognize_exclusion",
-    # --- retained r8 rotation entries (driver-green r8/r9; keep the ---
-    # --- head spanning every family). Displaced to make room for the --
-    # --- 8 above: text_dup_ngram_fraction, sample_k_per_group, --------
-    # --- source_overlap_jaccard, embed_semantic_survivors, ------------
-    # --- pipeline_keep_set, embed_near_pairs, embed_centroid_distances,
-    # --- embed_lsh_recall (all driver-green r8 AND r9). ---------------
-    "sf_conditional_true_event", "sf_variant_type_predicates",
-    "sf_object_mode_flatten", "sf_nvl_nvl2", "sf_double_colon_cast",
-    "sf_scalar_funcs", "sf_misc_scalar_funcs", "sf_bitwise_bool_funcs",
-    "asof_join_sql_syntax", "sf_hyperbolic_bitops",
-    "events_funnel_pattern", "sf_dateparts2", "sf_split_trim_funcs",
-    "sf_decode_split_equalnull", "sf_datefmt_bool_aggs",
-    "sf_array_funcs", "text_max_repeat_run", "text_dsir_weights",
-    "text_fingerprint_dups", "text_repetition_filter",
-    "sample_domain_mixture", "profile_table_columns", "text_vocab_topk",
-    "text_tfidf_topterms", "doc_chunk_windows", "dedup_simhash_pairs",
-    "dedup_lsh_jaccard_pipeline",
+    # r11 rotation (VERDICT item 2) with a freshness discipline: every
+    # entry is annotated with the round it last carried a driver row
+    # (from the union of CORRECTNESS_r*.json); cumulative driver
+    # coverage is 211/211 from r10, so this head prioritizes (a) the
+    # four NEW r11 entries, (b) every entry whose code path changed in
+    # r11 (MATCH_RECOGNIZE physical-PREV rewrite, CONNECT BY post-WHERE
+    # fix, regexp kernels, int64 shingles + star components, curriculum
+    # range ordinal, OPEN..USING), and (c) the 22 least-recently-
+    # sampled entries (all r1-r2).
+    # --- pinned family representatives (driver-green every round) ----
+    "scan_filter_project",            # last r10
+    "q1_pricing_summary",             # last r10
+    "q3_shipping_priority",           # last r10
+    "asof_join_events",               # last r10
+    "dedup_minhash_lsh",              # last r10
+    # --- NEW r11 entries (first driver row this round) ---------------
+    "sql_match_recognize_prior_start",  # NEW r11 (physical PREV)
+    "sql_match_recognize_next",         # NEW r11 (NEXT navigation)
+    "multimodal_png_features",          # NEW r11 (real PNG decode)
+    "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
+    # --- r11-changed code paths (re-gate after this round's edits) ---
+    "sql_match_recognize_prior",      # last r10; MR engine rewritten r11
+    "sql_match_recognize_overlap",    # last r10; MR engine rewritten r11
+    "sql_match_recognize_permute",    # last r10; MR engine rewritten r11
+    "sql_match_recognize_exclusion",  # last r10; MR engine rewritten r11
+    "sql_match_recognize_funnel",     # last r10; MR engine rewritten r11
+    "events_match_recognize_funnel",  # last r7;  MR engine rewritten r11
+    "hierarchy_connect_by",           # last r10; post-WHERE hier fns r11
+    "hierarchy_connect_by_path",      # last r10; post-WHERE hier fns r11
+    "scripted_labeled_cursor",        # last r10; OPEN..USING added r11
+    "sample_curriculum_interleave",   # last r8;  range ordinal r11
+    "dedup_clusters",                 # last r5;  star components r11
+    "dedup_survivors",                # last r9;  star components r11
+    "dedup_survivors_best_quality",   # last r9;  star components r11
+    "pipeline_keep_set",              # last r9;  star components r11
+    "dedup_ngram_jaccard",            # last r4;  int64 shingles r11
+    "dedup_incremental",              # last r5;  int64 shingles r11
+    "dedup_lsh_jaccard_pipeline",     # last r10; int64 shingles r11
+    "regexp_functions",               # last r3;  instr 'e'/pos kernel r11
+    "sf_regexp_funcs",                # last r7;  instr 'e'/pos kernel r11
+    # --- least-recently-sampled fill (last driver row r1-r2) ----------
+    "case_in_list", "events_json_access", "math_functions",
+    "setop_union_distinct", "sf_iff_buckets", "subquery_in",
+    "subquery_scalar", "values_inline_join", "agg_approx_count_distinct",
+    "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
+    "distinct_segments", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q20_part_family_suppliers", "q22_idle_customers", "q7_nation_volume",
+    "q8_market_share",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5519,8 +5655,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 213, (
-    f"registry contract: expected 213 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 215, (
+    f"registry contract: expected 215 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -539,6 +539,101 @@ def cluster_components(df: DataFrame, text_col: str = "text", id_col: str = "doc
         sh.unpersist()
 
 
+def substring_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    gram: int = 50) -> DataFrame:
+    """Exact-substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022 — r11, VERDICT
+    item 7): find character SPANS duplicated anywhere in the corpus and
+    emit each document's cleaned text with those spans removed — the
+    span-removal family the repo's paragraph-dedup and dup-ngram
+    fraction operators don't cover.
+
+    Relational formulation (the suffix-array construction of the paper
+    is an offline batch artifact; this is the Spark-native equivalent):
+
+    1. **anchor**: every ``gram``-char window of every doc, hashed to
+       int64 BEFORE the shuffle (explode + substr + md5 stay per-row);
+    2. **df-filter**: windows whose hash occurs more than once in the
+       corpus (within- or cross-doc) are duplicate anchors;
+    3. **gaps-and-islands**: per doc, overlapping/adjacent anchor
+       windows merge into maximal spans (running-max window + island
+       sum — one doc-keyed exchange);
+    4. **splice**: cleaned text = the segments between spans, assembled
+       with one ``aggregate`` HOF over the doc's sorted span array (no
+       Python in the loop).
+
+    EVERY occurrence of a duplicated span is removed (the conservative
+    choice — also what the paper's released tool does in practice;
+    keeping one representative occurrence is a trivial variant on the
+    df-filter). Returns (id, n_spans, n_removed, cleaned) for EVERY
+    input doc (n_spans = 0 and cleaned = text when nothing matched).
+    Scale: the anchor relation is len(text) rows/doc of 8-byte hashes —
+    the standard trade for exact substring coverage; at 100 TB shard
+    the anchor table by hash range and run per-shard df-filters,
+    everything downstream is doc-keyed."""
+    from pyspark.sql import Window
+
+    tlen = F.length(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(tlen >= gram,
+                   F.sequence(F.lit(1), tlen - (gram - 1)))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col), F.col("pos"),
+        md5_int(F.col(text_col).substr(F.col("pos"), F.lit(gram))).alias("gh"),
+    )
+    dup = (grams.groupBy("gh").agg(F.count("*").alias("__c"))
+           .filter(F.col("__c") > 1).select("gh"))
+    hits = grams.join(dup, "gh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + gram).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.select(
+        F.col(id_col), F.col("pos"),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0).alias("__brk"),
+    ).select(
+        F.col(id_col), F.col("pos"),
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__island"),
+    )
+    spans = (
+        isl.groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("start"), (F.max("pos") + gram).alias("end"))
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start")).cast("bigint").alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__spans"),
+    )
+    joined = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    spliced = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit("").alias("out"), F.lit(1).alias("prev")),
+        lambda acc, s: F.struct(
+            F.concat(acc["out"],
+                     F.col(text_col).substr(acc["prev"],
+                                            s["start"] - acc["prev"])).alias("out"),
+            s["end"].alias("prev")),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col(text_col).substr(acc["prev"],
+                                   F.length(text_col) - acc["prev"] + 1)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(spliced).alias("cleaned"),
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle: int = 5, threshold: float = 0.6,
                         candidates: DataFrame | None = None,

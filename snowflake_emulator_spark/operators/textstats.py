@@ -104,17 +104,29 @@ def language_guess(text: Column) -> Column:
 
 
 def word_ngram_array(words: Column, n: int) -> Column:
-    """Word n-gram array over a *projected* word-array column (see the
-    char_ngrams note on lambda re-evaluation). Docs shorter than n yield
-    an empty array — Spark's sequence(1, 0) is DESCENDING, so the guard
-    is mandatory, not defensive."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram array. Docs shorter than n yield an empty array —
+    Spark's sequence(1, 0) is DESCENDING, so the guard is mandatory,
+    not defensive.
+
+    Built as a ``zip_with`` chain over n shifted slices (r11), NOT a
+    ``transform`` whose lambda slices ``words`` per element: Catalyst's
+    predicate pushdown substitutes alias definitions into filter
+    conditions with no cost guard, so a downstream ``filter`` on a
+    derived boolean (quality_filter_pipeline's ``keep``) inlines the
+    whole expression INTO the lambda — the per-element slice then
+    re-evaluates the words expression per gram, O(len²) per row
+    (measured 40x on pipeline_keep_set at sf0.1x10). zip_with evaluates
+    its array arguments ONCE per row and its lambda is element-wise, so
+    the expression stays O(len) per row no matter where the optimizer
+    inlines it. Equivalent to array_join(slice(words, i, n), ' ') for
+    NULL-free word arrays (split() output — our only caller shape)."""
+    m = F.size(words) - (n - 1)
+    acc = F.slice(words, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(words, k + 1, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(words) >= n, acc) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def ngram_repetition_ratio(grams: Column) -> Column:

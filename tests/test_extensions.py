@@ -557,3 +557,46 @@ def test_semantic_decontaminate_flags_planted_leak(spark, emb):
     rows = {r["vec_id"]: r for r in out.collect()}
     assert 9999 in rows and rows[9999]["max_sim"] == 1.0
     assert all(v >= 3 for v in rows)  # benchmark side excluded
+
+
+def test_substring_dedup_spans(spark):
+    """r11: exact-substring dedup (Lee et al.) — duplicated >=gram-char
+    spans are found via hashed anchors, merged by gaps-and-islands, and
+    spliced out; unique docs pass through untouched."""
+    shared = "0123456789" * 3  # 30 chars duplicated across docs 1 and 2
+    d1 = "AAAA" + shared + "BBBB"
+    d2 = "CCCCCC" + shared + "DD"
+    d3 = "completely unique text with no repeats at all!"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup(df, gram=20).collect()}
+    # every 20-gram inside `shared` occurs in both docs -> one merged
+    # span covering exactly the 30 shared chars in each
+    assert got[1]["n_spans"] == 1 and got[1]["n_removed"] == 30
+    assert got[1]["cleaned"] == "AAAA" + "BBBB"
+    assert got[2]["n_spans"] == 1 and got[2]["n_removed"] == 30
+    assert got[2]["cleaned"] == "CCCCCC" + "DD"
+    assert got[3]["n_spans"] == 0 and got[3]["cleaned"] == d3
+    # doc shorter than the gram emits no anchors and passes through
+    short = spark.createDataFrame([(9, "tiny")], ["doc_id", "text"])
+    r = dedup.substring_dedup(short, gram=20).collect()[0]
+    assert r["n_spans"] == 0 and r["cleaned"] == "tiny"
+
+
+def test_substring_dedup_within_doc_and_multi_span(spark):
+    # within-doc repetition: the same 25-char run appears twice in ONE
+    # doc -> both occurrences are duplicated anchors
+    run = "abcdefghijklmnopqrstuvwxy"  # 25 chars
+    d1 = run + "-MIDDLE-" + run
+    df = spark.createDataFrame([(1, d1)], ["doc_id", "text"])
+    r = dedup.substring_dedup(df, gram=25).collect()[0]
+    assert r["n_spans"] == 2 and r["n_removed"] == 50
+    assert r["cleaned"] == "-MIDDLE-"
+    # fully-duplicated docs clean to the empty string
+    df2 = spark.createDataFrame(
+        [(1, "Z" * 40), (2, "Z" * 40)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup(df2, gram=30).collect()}
+    assert got[1]["cleaned"] == "" and got[2]["cleaned"] == ""
+    assert got[1]["n_removed"] == 40
