@@ -3696,7 +3696,7 @@ px AS (
          (7 * d.doc_id + 3 * x.xv + 5 * y.yv) % 256 AS r,
          (11 * d.doc_id + 2 * x.xv + y.yv) % 256 AS g,
          (13 * d.doc_id + x.xv + 4 * y.yv) % 256 AS b
-  FROM d, range(0, d.w) AS x(xv), range(0, d.h) AS y(yv)
+  FROM d, unnest(range(0, d.w)) AS x(xv), unnest(range(0, d.h)) AS y(yv)
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
