@@ -703,11 +703,23 @@ class Executor:
             raise errors.syntax_error(
                 "MATCH_RECOGNIZE requires ORDER BY, PATTERN and DEFINE")
         all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.I))
+        # r11: AFTER MATCH SKIP TO [FIRST|LAST] <symbol> (SQL:2016 —
+        # bare `SKIP TO <symbol>` means SKIP TO LAST per the standard);
+        # NEXT ROW / PAST LAST ROW parsed first so `TO NEXT` is never
+        # read as a symbol
         skip_m = re.search(
-            r"\bAFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)",
+            r"\bAFTER\s+MATCH\s+SKIP\s+(?:(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)"
+            r"|TO\s+(?:(FIRST|LAST)\s+)?([A-Za-z_]\w*))",
             body, re.I)
-        after_match = ("next_row" if skip_m
-                       and "NEXT" in skip_m.group(1).upper() else "past_last")
+        after_match = "past_last"
+        skip_to_symbol = None
+        if skip_m:
+            if skip_m.group(1):
+                if "NEXT" in skip_m.group(1).upper():
+                    after_match = "next_row"
+            else:
+                mode = (skip_m.group(2) or "LAST").lower()
+                skip_to_symbol = (mode, skip_m.group(3))
         part_cols = [c.strip().strip('"') for c in part.split(",") if c.strip()]
         if len(part_cols) != 1:
             raise errors.syntax_error(
@@ -728,19 +740,39 @@ class Executor:
         measure_cols: list[str] = []
         count_cols: list[str] = []
         all_rows_measures: list[tuple] = []
+        symbol_measures: list[tuple] = []  # (fn, sym, col, out, final)
         _MEASURE_RE = re.compile(
             r"^\s*(?:(FINAL|RUNNING)\s+)?(FIRST|LAST|COUNT|MATCH_NUMBER)"
-            r"\s*\(\s*(\*|[\w\"$]*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$", re.I)
+            r"\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?(\*|[\w\"$]*)\s*\)"
+            r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.I)
         if measures:
             for piece in t._split_args(measures):
                 mm = _MEASURE_RE.match(piece.strip())
                 if not mm:
                     raise errors.syntax_error(
                         "MATCH_RECOGNIZE MEASURES supports [FINAL|RUNNING] "
-                        "FIRST(col)/LAST(col)/COUNT(*)/MATCH_NUMBER(): "
+                        "FIRST(col)/LAST(col)/COUNT(*)/MATCH_NUMBER() and "
+                        "symbol-qualified FIRST/LAST/COUNT(SYM.col|SYM.*): "
                         f"{piece[:40]}")
-                mode, fn, arg, out = (mm.group(1), mm.group(2).upper(),
-                                      mm.group(3).strip('"'), mm.group(4))
+                mode, fn, qual, arg, out = (
+                    mm.group(1), mm.group(2).upper(), mm.group(3),
+                    mm.group(4).strip('"'), mm.group(5))
+                if qual is not None:
+                    # r11: symbol-qualified measure — over the rows
+                    # mapped to the symbol (FIRST/LAST/COUNT only)
+                    if fn == "MATCH_NUMBER":
+                        raise errors.syntax_error(
+                            "MATCH_NUMBER() takes no symbol qualifier")
+                    final = (mode or
+                             ("RUNNING" if all_rows else "FINAL")
+                             ).upper() == "FINAL"
+                    symbol_measures.append((fn, qual, arg, out, final))
+                    if not all_rows:
+                        # ONE ROW: the kernel emits `out` directly; list
+                        # it in the projection (ALL ROWS output already
+                        # carries every measure column)
+                        renames.append(out)
+                    continue
                 if all_rows:
                     # r10: ALL ROWS PER MATCH measures — RUNNING default
                     # (SQL:2016), FINAL via the explicit keyword
@@ -780,12 +812,17 @@ class Executor:
                 or (fn == "COUNT" and arg not in ("", "*")) else arg,
                 out, fin)
                for fn, arg, out, fin in all_rows_measures]
+        sym_ms = [(fn, sym, _col(arg) if arg not in ("", "*") else arg,
+                   out, fin)
+                  for fn, sym, arg, out, fin in symbol_measures]
         out_df = _mr(src_df, _col(part_cols[0]), [_col(c) for c in order_cols],
                      define, pattern_text.strip(),
                      [_col(c) for c in measure_cols] or None,
                      all_rows=all_rows, after_match=after_match,
                      all_rows_measures=arm or None,
-                     count_cols=[_col(c) for c in count_cols] or None)
+                     count_cols=[_col(c) for c in count_cols] or None,
+                     skip_to_symbol=skip_to_symbol,
+                     symbol_measures=sym_ms or None)
         if renames:
             # a measure alias may equal a base output column (e.g.
             # MATCH_NUMBER() AS match_number) — drop the shadowed base

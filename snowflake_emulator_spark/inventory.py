@@ -1273,6 +1273,180 @@ FROM m WHERE len(ms) > 0 ORDER BY user_id
 """
 
 
+def _sql_match_recognize_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: AFTER MATCH SKIP TO LAST <symbol> — the classic ticker
+    pattern (STRT DOWN+ UP+): the scan resumes AT the V-shape's peak
+    row, which STRT re-binds, so adjacent Vs overlap on the peak.
+    DuckDB replays the scan with a recursive CTE stepping a per-user
+    symbol string: anchored regexp at pos, resume = pos + len - 1 on a
+    match (the last UP row), pos + 1 otherwise."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrskip_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches, SUM(n) AS n_matched_rows,
+       SUM(fid) AS fid_sum, SUM(lid) AS lid_sum
+FROM (
+  SELECT user_id, n, fid, lid FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(*) AS n, FIRST(event_id) AS fid, LAST(event_id) AS lid
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO LAST UP
+    PATTERN (STRT DOWN+ UP+)
+    DEFINE DOWN AS value < PRIOR value, UP AS value > PRIOR value
+  ) WHERE user_id <= 40
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(n_matched_rows AS BIGINT) AS n_matched_rows",
+        "CAST(fid_sum AS BIGINT) AS fid_sum",
+        "CAST(lid_sum AS BIGINT) AS lid_sum")
+
+
+# per-user symbol string (A = neither, B = DOWN, C = UP — D/U are
+# mutually exclusive so one char suffices); recursive scan: anchored
+# `.B+C+` at pos, on match resume AT the last UP row (pos + len - 1,
+# the SKIP TO LAST UP semantics), else pos + 1. Event ids replay via a
+# per-user array indexed by match position.
+_MR_SKIP_TO_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id <= 40
+),
+s AS (
+  SELECT user_id,
+         string_agg(CASE WHEN value < lv THEN 'B'
+                         WHEN value > lv THEN 'C' ELSE 'A' END,
+                    '' ORDER BY rn) AS str,
+         list(event_id ORDER BY rn) AS eids
+  FROM ordered GROUP BY user_id
+),
+scan(user_id, pos, mstart, m) AS (
+  SELECT user_id, 1, 0, '' FROM s
+  UNION ALL
+  SELECT t.user_id,
+         CASE WHEN t.m2 <> '' THEN t.pos + len(t.m2) - 1
+              ELSE t.pos + 1 END,
+         t.pos, t.m2
+  FROM (
+    SELECT sc.user_id, sc.pos,
+           regexp_extract(substr(s.str, CAST(sc.pos AS INTEGER)),
+                          '^(.B+C+)') AS m2
+    FROM scan sc JOIN s ON s.user_id = sc.user_id
+    WHERE sc.pos <= len(s.str)
+  ) t
+),
+matches AS (
+  SELECT sc.user_id, sc.mstart, len(sc.m) AS n,
+         s.eids[CAST(sc.mstart AS INTEGER)] AS fid,
+         s.eids[CAST(sc.mstart + len(sc.m) - 1 AS INTEGER)] AS lid
+  FROM scan sc JOIN s ON s.user_id = sc.user_id
+  WHERE sc.m <> ''
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(n) AS BIGINT) AS n_matched_rows,
+       CAST(sum(fid) AS BIGINT) AS fid_sum,
+       CAST(sum(lid) AS BIGINT) AS lid_sum
+FROM matches GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _sql_match_recognize_sym_measures(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """r11: symbol-qualified MEASURES — FIRST(DOWN.value),
+    LAST(UP.value), COUNT(DOWN.*) over each V-shape's own symbol rows.
+    DuckDB replays with non-overlapping regexp_extract_all (SKIP PAST
+    LAST ROW) plus per-match position arithmetic on the value array."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrsym_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches,
+       ROUND(SUM(fdown), 4) AS fdown_sum,
+       ROUND(SUM(lup), 4) AS lup_sum,
+       SUM(ndown) AS ndown_total
+FROM (
+  SELECT user_id, fdown, lup, ndown FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(DOWN.value) AS fdown, LAST(UP.value) AS lup,
+             COUNT(DOWN.*) AS ndown
+    ONE ROW PER MATCH
+    PATTERN (STRT DOWN+ UP+)
+    DEFINE DOWN AS value < PRIOR value, UP AS value > PRIOR value
+  ) WHERE user_id <= 40
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(fdown_sum AS DOUBLE) AS fdown_sum",
+        "CAST(lup_sum AS DOUBLE) AS lup_sum",
+        "CAST(ndown_total AS BIGINT) AS ndown_total")
+
+
+# non-overlapping scan == regexp_extract_all; per match m at position
+# p (prefix-sum of previous matches is not enough — positions recover
+# via the same recursive scan with resume = pos + len, i.e. PAST LAST)
+_MR_SYM_MEASURES_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id <= 40
+),
+s AS (
+  SELECT user_id,
+         string_agg(CASE WHEN value < lv THEN 'B'
+                         WHEN value > lv THEN 'C' ELSE 'A' END,
+                    '' ORDER BY rn) AS str,
+         list(value ORDER BY rn) AS vals
+  FROM ordered GROUP BY user_id
+),
+scan(user_id, pos, mstart, m) AS (
+  SELECT user_id, 1, 0, '' FROM s
+  UNION ALL
+  SELECT t.user_id,
+         CASE WHEN t.m2 <> '' THEN t.pos + len(t.m2)
+              ELSE t.pos + 1 END,
+         t.pos, t.m2
+  FROM (
+    SELECT sc.user_id, sc.pos,
+           regexp_extract(substr(s.str, CAST(sc.pos AS INTEGER)),
+                          '^(.B+C+)') AS m2
+    FROM scan sc JOIN s ON s.user_id = sc.user_id
+    WHERE sc.pos <= len(s.str)
+  ) t
+),
+matches AS (
+  SELECT sc.user_id,
+         s.vals[CAST(sc.mstart + 1 AS INTEGER)] AS fdown,
+         s.vals[CAST(sc.mstart + len(sc.m) - 1 AS INTEGER)] AS lup,
+         -- DOWN+ starts at the match's SECOND row: the STRT row's own
+         -- char may be 'B' (it satisfies DOWN's predicate) but the
+         -- engine classifies it STRT, so the B-run must anchor at
+         -- offset 2, not at the first B anywhere in m
+         len(regexp_extract(substr(sc.m, 2), '^(B+)')) AS ndown
+  FROM scan sc JOIN s ON s.user_id = sc.user_id
+  WHERE sc.m <> ''
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       round(sum(fdown), 4) AS fdown_sum,
+       round(sum(lup), 4) AS lup_sum,
+       CAST(sum(ndown) AS BIGINT) AS ndown_total
+FROM matches GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _sql_match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: PERMUTE(V, P) — view/purchase adjacency in either order,
     SQL:2016 lexicographic expansion; DuckDB replays as (VP|PV)."""
@@ -5540,6 +5714,12 @@ REGISTRY: dict[str, tuple] = {
                                         _MR_PRIOR_START_ORACLE),
     "sql_match_recognize_next": (_sql_match_recognize_next,
                                  _MR_NEXT_ORACLE),
+    # r11: AFTER MATCH SKIP TO LAST <sym> (overlapping ticker Vs) and
+    # symbol-qualified measures — recursive-CTE scan replays in DuckDB
+    "sql_match_recognize_skip_to": (_sql_match_recognize_skip_to,
+                                    _MR_SKIP_TO_ORACLE),
+    "sql_match_recognize_sym_measures": (_sql_match_recognize_sym_measures,
+                                         _MR_SYM_MEASURES_ORACLE),
     "sql_match_recognize_permute": (_sql_match_recognize_permute,
                                     _MR_PERMUTE_ORACLE),
     # r10: {- -} exclusion — ALL ROWS output drops the excluded run,
@@ -5585,6 +5765,8 @@ _SAMPLE_HEAD = [
     # --- NEW r11 entries (first driver row this round) ---------------
     "sql_match_recognize_prior_start",  # NEW r11 (physical PREV)
     "sql_match_recognize_next",         # NEW r11 (NEXT navigation)
+    "sql_match_recognize_skip_to",      # NEW r11 (SKIP TO LAST sym)
+    "sql_match_recognize_sym_measures", # NEW r11 (symbol measures)
     "multimodal_png_features",          # NEW r11 (real PNG decode)
     "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
     # --- r11-changed code paths (re-gate after this round's edits) ---
@@ -5614,8 +5796,7 @@ _SAMPLE_HEAD = [
     "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
     "distinct_segments", "q11_important_parts", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q20_part_family_suppliers", "q22_idle_customers", "q7_nation_volume",
-    "q8_market_share",
+    "q20_part_family_suppliers", "q22_idle_customers",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5655,8 +5836,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 215, (
-    f"registry contract: expected 215 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 217, (
+    f"registry contract: expected 217 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -19,8 +19,14 @@ symbol used in PATTERN but absent from DEFINE matches every row
 Supported surface:
 
 * ``ONE ROW PER MATCH`` and ``ALL ROWS PER MATCH`` (+ CLASSIFIER).
-* ``AFTER MATCH SKIP PAST LAST ROW`` (default) and
-  ``AFTER MATCH SKIP TO NEXT ROW`` (overlapping matches).
+* ``AFTER MATCH SKIP PAST LAST ROW`` (default),
+  ``AFTER MATCH SKIP TO NEXT ROW`` (overlapping matches), and
+  ``AFTER MATCH SKIP TO [FIRST|LAST] <symbol>`` (r11: resume at the
+  first/last row mapped to the symbol; unbound symbol or resuming at
+  the match's own first row raises — SQL:2016 runtime errors).
+* Symbol-qualified MEASURES (r11): ``FIRST(SYM.col)``,
+  ``LAST(SYM.col)``, ``COUNT(SYM.*)``/``COUNT(SYM.col)`` over the rows
+  mapped to SYM, with RUNNING/FINAL semantics in ALL ROWS mode.
 * Pattern operators: sequence, alternation ``|``, grouping, ``*``,
   ``+``, ``?``, ``{m}``, ``{m,}``, ``{m,n}``, reluctant variants, and
   ``PERMUTE(...)`` (expanded to the lexicographic alternation of every
@@ -351,11 +357,19 @@ def _gen(node, pos: int, ctx: tuple, cls: list):
     yield from rep(0, pos)
 
 
-def find_matches(ast, masks, skip_to_next_row: bool = False):
+def find_matches(ast, masks, skip_to_next_row: bool = False,
+                 skip_to: tuple | None = None):
     """Return [(start, end, classifier_bits)] in match order. Zero-width
     matches are skipped (real MATCH_RECOGNIZE never reports empty
     matches). SKIP PAST LAST ROW resumes at ``end``; SKIP TO NEXT ROW
-    resumes at ``start + 1`` (overlapping matches)."""
+    resumes at ``start + 1`` (overlapping matches).
+
+    ``skip_to`` = ("first"|"last", symbol_bit) implements SQL:2016
+    AFTER MATCH SKIP TO FIRST|LAST <symbol>: the scan resumes AT the
+    first/last match row mapped to the symbol (that row may start the
+    next match). Per the standard, resuming at the match's own first
+    row would loop forever and raises, as does a match in which the
+    symbol was not bound."""
     out = []
     pos, n = 0, len(masks)
     while pos < n:
@@ -369,7 +383,25 @@ def find_matches(ast, masks, skip_to_next_row: bool = False):
             pos += 1
             continue
         out.append(hit)
-        pos = pos + 1 if skip_to_next_row else hit[1]
+        if skip_to is not None:
+            mode, sym = skip_to
+            rows = [i for i, b in enumerate(hit[2])
+                    if (b & ~EXCL_FLAG) == sym]
+            if not rows:
+                raise ValueError(
+                    "AFTER MATCH SKIP TO: the symbol was not bound in "
+                    "the match (SQL:2016 runtime error)")
+            rel = rows[0] if mode == "first" else rows[-1]
+            if rel == 0:
+                raise ValueError(
+                    "AFTER MATCH SKIP TO FIRST/LAST would resume at the "
+                    "match's first row (infinite loop — SQL:2016 "
+                    "runtime error)")
+            pos = hit[0] + rel
+        elif skip_to_next_row:
+            pos = pos + 1
+        else:
+            pos = hit[1]
     return out
 
 
@@ -388,12 +420,17 @@ def match_recognize(
     after_match: str = "past_last",
     all_rows_measures: list[tuple] | None = None,
     count_cols: list[str] | None = None,
+    skip_to_symbol: tuple | None = None,
+    symbol_measures: list[tuple] | None = None,
 ) -> DataFrame:
     """Row-pattern matching over ``partition_by`` groups.
 
     ``define`` maps symbol alias -> SQL boolean expression (overlapping
     predicates allowed); ``pattern`` is a row-pattern over the aliases
-    (e.g. ``"V C+ P"``). ``after_match``: ``"past_last"`` | ``"next_row"``.
+    (e.g. ``"V C+ P"``). ``after_match``: ``"past_last"`` | ``"next_row"``;
+    ``skip_to_symbol`` = ("first"|"last", SYMBOL) implements SQL:2016
+    AFTER MATCH SKIP TO FIRST|LAST <symbol> (r11) and overrides
+    ``after_match``.
     ONE ROW PER MATCH output: partition key, ``match_number`` (1-based
     per partition), ``n_rows``, ``m_first``/``m_last`` per measure
     column, and ``c_count`` (non-null COUNT(col)) per ``count_cols``
@@ -403,6 +440,13 @@ def match_recognize(
     fn in FIRST/LAST/COUNT/MATCH_NUMBER — RUNNING semantics by default
     (SQL:2016's ALL ROWS default: LAST/COUNT see rows up to the current
     one), FINAL when ``final`` is true.
+    ``symbol_measures`` (r11) adds SYMBOL-QUALIFIED measures as
+    ``(fn, symbol, col, outname, final)`` tuples with fn in
+    FIRST/LAST/COUNT — computed over the match rows MAPPED TO that
+    symbol (``LAST(UP.price)``, ``COUNT(UP.*)``; col "*" counts rows).
+    In ONE ROW output they are final by definition; in ALL ROWS they
+    honor running/final like the unqualified forms (a row before the
+    symbol's first binding sees NULL / 0).
     """
     define_uc = {k.upper(): v for k, v in define.items()}
     symbol_index: dict[str, int] = {s: i for i, s in enumerate(define_uc)}
@@ -410,6 +454,25 @@ def match_recognize(
     if len(symbol_index) > 60:
         raise ValueError("too many symbols")
     skip_next = {"past_last": False, "next_row": True}[after_match]
+    skip_to = None
+    if skip_to_symbol is not None:
+        mode, sym_name = skip_to_symbol
+        if mode not in ("first", "last"):
+            raise ValueError(f"skip_to_symbol mode must be first|last: {mode}")
+        sym_uc = sym_name.upper()
+        if sym_uc not in symbol_index:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO references undefined symbol {sym_name}")
+        skip_to = (mode, symbol_index[sym_uc])
+    symbol_measures = symbol_measures or []
+    sym_ms: list[tuple] = []  # (fn, sym_bit, col, outname, final)
+    for fn, sym_name, col, outname, final in symbol_measures:
+        sym_uc = sym_name.upper()
+        if sym_uc not in symbol_index:
+            raise ValueError(
+                f"measure references undefined symbol {sym_name}")
+        sym_ms.append((fn.upper(), symbol_index[sym_uc], col, outname,
+                       bool(final)))
 
     # JVM-side candidate bitmask: bit i set when DEFINE predicate i holds
     # (NULL -> false); symbols with no DEFINE entry match every row.
@@ -486,6 +549,15 @@ def match_recognize(
             else:  # FIRST / LAST carry the column's type
                 out_fields.append(T.StructField(outname,
                                                 df.schema[col].dataType))
+        for fn, _sym, col, outname, _final in sym_ms:
+            if outname in in_names:
+                raise ValueError(
+                    f"measure alias {outname!r} collides with an input column")
+            if fn == "COUNT":
+                out_fields.append(T.StructField(outname, T.LongType()))
+            else:
+                out_fields.append(T.StructField(outname,
+                                                df.schema[col].dataType))
         out_schema = T.StructType(out_fields)
         in_cols = [f.name for f in df.schema.fields]
 
@@ -494,7 +566,7 @@ def match_recognize(
             masks = pdf["__mask"].tolist()
             outs = []
             for match_no, (st, en, bits) in enumerate(
-                    find_matches(ast, masks, skip_next), start=1):
+                    find_matches(ast, masks, skip_next, skip_to), start=1):
                 seg = pdf.iloc[st:en][in_cols].copy()
                 seg["match_number"] = match_no
                 seg["classifier"] = [name_of_bit[b & ~EXCL_FLAG]
@@ -518,6 +590,43 @@ def match_recognize(
                     else:  # LAST
                         seg[outname] = (pdf[col].iloc[en - 1] if final
                                         else pdf[col].iloc[st:en].values)
+                # symbol-qualified measures (r11): over the rows MAPPED
+                # TO the symbol; running forms see only bindings at or
+                # before the current row (NULL / 0 before the first)
+                for fn, sym, col, outname, final in sym_ms:
+                    srows = [i for i, b in enumerate(bits)
+                             if (b & ~EXCL_FLAG) == sym]
+                    if fn == "COUNT":
+                        def _cnt_upto(k):
+                            sel = [i for i in srows if i <= k]
+                            if col in (None, "", "*"):
+                                return len(sel)
+                            return int(pdf[col].iloc[
+                                [st + i for i in sel]].notna().sum())
+                        seg[outname] = ([_cnt_upto(n - 1)] * n if final
+                                        else [_cnt_upto(k)
+                                              for k in range(n)])
+                    elif fn == "FIRST":
+                        v = (pdf[col].iloc[st + srows[0]]
+                             if srows else None)
+                        if final:
+                            seg[outname] = [v] * n
+                        else:
+                            seg[outname] = [
+                                v if srows and srows[0] <= k else None
+                                for k in range(n)]
+                    else:  # LAST
+                        if final:
+                            seg[outname] = [
+                                pdf[col].iloc[st + srows[-1]]
+                                if srows else None] * n
+                        else:
+                            vals = []
+                            for k in range(n):
+                                sel = [i for i in srows if i <= k]
+                                vals.append(pdf[col].iloc[st + sel[-1]]
+                                            if sel else None)
+                            seg[outname] = vals
                 # {- -} exclusion: drop excluded rows from the OUTPUT
                 # only — measures above were computed over the full
                 # match (SQL:2016 exclusion semantics)
@@ -542,14 +651,19 @@ def match_recognize(
         out_fields.append(T.StructField(f"{m}_last", df.schema[m].dataType))
     for m in count_cols:
         out_fields.append(T.StructField(f"{m}_count", T.LongType()))
+    for fn, _sym, col, outname, _final in sym_ms:
+        if fn == "COUNT":
+            out_fields.append(T.StructField(outname, T.LongType()))
+        else:
+            out_fields.append(T.StructField(outname, df.schema[col].dataType))
     out_schema = T.StructType(out_fields)
 
     def _match(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort")
         masks = pdf["__mask"].tolist()
         rows = []
-        for match_no, (st, en, _bits) in enumerate(
-                find_matches(ast, masks, skip_next), start=1):
+        for match_no, (st, en, bits) in enumerate(
+                find_matches(ast, masks, skip_next, skip_to), start=1):
             seg = pdf.iloc[st:en]
             row = {partition_by: pdf[partition_by].iloc[0],
                    "match_number": match_no, "n_rows": en - st}
@@ -559,6 +673,22 @@ def match_recognize(
             for c in count_cols:
                 # COUNT(col) skips NULLs (r11)
                 row[f"{c}_count"] = int(seg[c].notna().sum())
+            # symbol-qualified measures (r11): rows MAPPED TO the symbol
+            for fn, sym, col, outname, _final in sym_ms:
+                srows = [i for i, b in enumerate(bits)
+                         if (b & ~EXCL_FLAG) == sym]
+                if fn == "COUNT":
+                    if col in (None, "", "*"):
+                        row[outname] = len(srows)
+                    else:
+                        row[outname] = int(pdf[col].iloc[
+                            [st + i for i in srows]].notna().sum())
+                elif fn == "FIRST":
+                    row[outname] = (pdf[col].iloc[st + srows[0]]
+                                    if srows else None)
+                else:  # LAST
+                    row[outname] = (pdf[col].iloc[st + srows[-1]]
+                                    if srows else None)
             rows.append(row)
         cols = [f.name for f in out_fields]
         return pd.DataFrame(rows, columns=cols)

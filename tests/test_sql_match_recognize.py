@@ -322,3 +322,118 @@ def test_match_recognize_exclusion_syntax(engine):
         DEFINE A AS k = 'a', B AS k = 'b', C AS k = 'c'
       )""").rows
     assert [tuple(r) for r in rows] == [(1, 4)]
+
+
+def test_match_recognize_skip_to_last_symbol(engine):
+    """r11: AFTER MATCH SKIP TO LAST <symbol> — the classic ticker
+    W-shape (STRT DOWN+ UP+): the scan resumes AT the peak row, which
+    STRT re-binds, so adjacent V-shapes overlap on the peak."""
+    engine.execute("CREATE TABLE mr_tk (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_tk VALUES
+      (1, 1, 12.0), (1, 2, 8.0), (1, 3, 10.0), (1, 4, 5.0), (1, 5, 11.0)""")
+    rows = engine.execute("""
+      SELECT g, match_number, f, l, n FROM mr_tk MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(seq) AS f, LAST(seq) AS l, COUNT(*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST UP
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      ) ORDER BY match_number""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 1, 3, 3),   # 12 8 10
+        (1, 2, 3, 5, 3)]   # 10 5 11 — starts at the prior peak
+    # PAST LAST ROW finds only the first V
+    rows = engine.execute("""
+      SELECT g, match_number FROM mr_tk MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      )""").rows
+    assert len(rows) == 1
+    # bare SKIP TO <symbol> means SKIP TO LAST (SQL:2016)
+    rows = engine.execute("""
+      SELECT g, match_number FROM mr_tk MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO UP
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      )""").rows
+    assert len(rows) == 2
+
+
+def test_match_recognize_skip_to_errors(engine):
+    """r11: SQL:2016 runtime errors — SKIP TO a symbol whose first/only
+    binding is the match's first row (infinite loop), and SKIP TO a
+    symbol not bound in the match."""
+    engine.execute("CREATE TABLE mr_ske (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_ske VALUES
+      (1, 1, 12.0), (1, 2, 8.0), (1, 3, 10.0)""")
+    with pytest.raises(Exception, match="first row|not bound"):
+        engine.execute("""
+          SELECT g FROM mr_ske MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO FIRST STRT
+            PATTERN (STRT DOWN+ UP+)
+            DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+          )""")
+    with pytest.raises(Exception, match="not bound"):
+        engine.execute("""
+          SELECT g FROM mr_ske MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY seq
+            MEASURES COUNT(*) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST Z
+            PATTERN (STRT DOWN+ Z?)
+            DEFINE DOWN AS price < PRIOR price, Z AS price > 1000
+          )""")
+
+
+def test_match_recognize_symbol_measures_one_row(engine):
+    """r11: symbol-qualified MEASURES over the rows mapped to a symbol
+    — FIRST(SYM.col) / LAST(SYM.col) / COUNT(SYM.*) / COUNT(SYM.col)."""
+    engine.execute("CREATE TABLE mr_sm (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_sm VALUES
+      (1, 1, 12.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 10.0), (1, 5, 11.0)""")
+    rows = engine.execute("""
+      SELECT g, fdown, ldown, fup, lup, ndown, nup
+      FROM mr_sm MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES FIRST(DOWN.price) AS fdown, LAST(DOWN.price) AS ldown,
+                 FIRST(UP.price) AS fup, LAST(UP.price) AS lup,
+                 COUNT(DOWN.*) AS ndown, COUNT(UP.price) AS nup
+        ONE ROW PER MATCH
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      )""").rows
+    # match: 12 (STRT), 8 6 (DOWN), 10 11 (UP)
+    assert [tuple(r) for r in rows] == [(1, 8.0, 6.0, 10.0, 11.0, 2, 2)]
+
+
+def test_match_recognize_symbol_measures_all_rows(engine):
+    """r11: symbol-qualified measures in ALL ROWS mode — RUNNING by
+    default (NULL/0 before the symbol's first binding), FINAL keyword."""
+    engine.execute("CREATE TABLE mr_sma (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_sma VALUES
+      (1, 1, 12.0), (1, 2, 8.0), (1, 3, 10.0), (1, 4, 11.0)""")
+    rows = engine.execute("""
+      SELECT seq, classifier, rlup, flup, rnd
+      FROM mr_sma MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES LAST(UP.price) AS rlup, FINAL LAST(UP.price) AS flup,
+                 COUNT(DOWN.*) AS rnd
+        ALL ROWS PER MATCH
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      ) ORDER BY seq""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, "STRT", None, 11.0, 0),
+        (2, "DOWN", None, 11.0, 1),
+        (3, "UP", 10.0, 11.0, 1),
+        (4, "UP", 11.0, 11.0, 1)]
