@@ -1560,35 +1560,41 @@ FROM m WHERE len(ms) > 0 ORDER BY user_id
 _stream_src_cache: dict[tuple[int, str], tuple] = {}
 
 
-def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_hourly_src(spark: SparkSession, sf_dir: str) -> str:
+    """Dump the events fixture as a JSON stream source (memoized per
+    session+dir; shared by every streaming declared query)."""
     import tempfile
-
-    from .streaming import events_stream
 
     load_views(spark, sf_dir)
     key = (id(spark), sf_dir)
     cached_src = _stream_src_cache.get(key)
-    src_dir = (cached_src[1]
-               if cached_src is not None and cached_src[0] is spark else None)
-    if src_dir is None:
-        src_dir = tempfile.mkdtemp(prefix="evstream_")
-        base = spark.table("events")
-        # ts is nanos-as-long on a raw fixture read, TIMESTAMP after the
-        # split-cache rewrite — normalize either way
-        ts_col = (
-            # nanos-as-long -> microsecond-faithful timestamp (the old
-            # seconds division truncated sub-second precision, unlike
-            # load_views' conversion)
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("bigint"))
-            if dict(base.dtypes)["ts"] == "bigint"
-            else F.col("ts").cast("timestamp")
-        )
-        ev = base.select(
-            "event_id", ts_col.alias("ts"),
-            "user_id", "event_type", "value", "props",
-        )
-        ev.coalesce(8).write.mode("overwrite").json(src_dir)
-        _stream_src_cache[key] = (spark, src_dir)
+    if cached_src is not None and cached_src[0] is spark:
+        return cached_src[1]
+    src_dir = tempfile.mkdtemp(prefix="evstream_")
+    base = spark.table("events")
+    # ts is nanos-as-long on a raw fixture read, TIMESTAMP after the
+    # split-cache rewrite — normalize either way
+    ts_col = (
+        # nanos-as-long -> microsecond-faithful timestamp (the old
+        # seconds division truncated sub-second precision, unlike
+        # load_views' conversion)
+        F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("bigint"))
+        if dict(base.dtypes)["ts"] == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    ev = base.select(
+        "event_id", ts_col.alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    ev.coalesce(8).write.mode("overwrite").json(src_dir)
+    _stream_src_cache[key] = (spark, src_dir)
+    return src_dir
+
+
+def _stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import events_stream
+
+    src_dir = _stream_hourly_src(spark, sf_dir)
     stream = events_stream.read_event_stream(spark, src_dir)
     agg = events_stream.windowed_counts(stream, window="1 hour", watermark="2 hours")
     import uuid as _uuid
@@ -1610,6 +1616,101 @@ _STREAM_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: STREAMING MATCH_RECOGNIZE (streaming/pattern_stream.py) —
+    V C* B funnels per user, detected by the batch matcher over
+    watermark-finalized state in applyInPandasWithState.
+
+    Deterministic replay contract this oracle encodes: the whole JSON
+    source lands in ONE trigger (watermark still 0 — nothing emits),
+    then the no-data micro-batch advances the watermark to
+    global_max_ts - delay and fires each user's event-time timeout
+    (set to last_ts + 1 ms), FULL-flushing that user's buffer. So the
+    emitted set == all batch matches for users whose last event
+    precedes the final watermark; users near the stream's head emit
+    nothing (their state is still open — correct streaming behavior).
+    DuckDB replays the scan with the recursive-CTE stepper and the
+    same ms-resolution timeout inequality."""
+    import uuid as _uuid
+
+    from .streaming import events_stream, pattern_stream
+
+    # reuse the hourly query's JSON source dump (same per-session cache)
+    src_dir = _stream_hourly_src(spark, sf_dir)
+    stream = events_stream.read_event_stream(spark, src_dir)
+    out = pattern_stream.pattern_detect_stream(
+        stream, "V C* B",
+        {"V": "event_type = 'view'", "C": "event_type = 'cart'",
+         "B": "event_type = 'purchase'"},
+        partition_col="user_id", watermark="31 minutes")
+    sink = f"stream_pat_{_uuid.uuid4().hex[:10]}"
+    events_stream.run_to_memory_sink(out, name=sink, timeout_s=300,
+                                     output_mode="append")
+    return (
+        spark.table(sink)
+        .select(
+            "user_id", "match_number",
+            # the JSON stream source round-trips timestamps at .SSS
+            # (millisecond) precision — compare at that grain
+            F.date_trunc("millisecond", "start_ts").alias("start_ts"),
+            F.date_trunc("millisecond", "end_ts").alias("end_ts"),
+            F.col("n_rows").cast("bigint").alias("n_rows"))
+        .orderBy("user_id", "match_number")
+    )
+
+
+# chars: V/C/B for view/cart/purchase, A otherwise; scan `^(VC*B)`
+# with SKIP PAST LAST ROW (resume = pos + len). A user's matches emit
+# only if the final watermark (global max ts - 31 min, ms resolution)
+# passed their event-time timeout (last event + 1 ms).
+_STREAM_PATTERN_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'V'
+                                    WHEN 'cart' THEN 'C'
+                                    WHEN 'purchase' THEN 'B'
+                                    ELSE 'A' END, '' ORDER BY rn) AS str,
+         list(ts ORDER BY rn) AS tss,
+         max(ts) AS last_ts
+  FROM ordered GROUP BY user_id
+),
+flushed AS (
+  SELECT * FROM s
+  WHERE (SELECT epoch_ms(max(ts)) FROM events) - 31 * 60 * 1000
+        > epoch_ms(last_ts) + 1
+),
+scan(user_id, pos, mstart, m) AS (
+  SELECT user_id, 1, 0, '' FROM flushed
+  UNION ALL
+  SELECT t.user_id,
+         CASE WHEN t.m2 <> '' THEN t.pos + len(t.m2)
+              ELSE t.pos + 1 END,
+         t.pos, t.m2
+  FROM (
+    SELECT sc.user_id, sc.pos,
+           regexp_extract(substr(f.str, CAST(sc.pos AS INTEGER)),
+                          '^(VC*B)') AS m2
+    FROM scan sc JOIN flushed f ON f.user_id = sc.user_id
+    WHERE sc.pos <= len(f.str)
+  ) t
+)
+SELECT sc.user_id,
+       CAST(row_number() OVER (PARTITION BY sc.user_id ORDER BY sc.mstart)
+            AS BIGINT) AS match_number,
+       date_trunc('milliseconds', f.tss[CAST(sc.mstart AS INTEGER)]) AS start_ts,
+       date_trunc('milliseconds', f.tss[CAST(sc.mstart + len(sc.m) - 1 AS INTEGER)]) AS end_ts,
+       CAST(len(sc.m) AS BIGINT) AS n_rows
+FROM scan sc JOIN flushed f ON f.user_id = sc.user_id
+WHERE sc.m <> ''
+ORDER BY sc.user_id, match_number
 """
 
 # VARIANT type predicates + object-mode FLATTEN over the events props
@@ -5557,6 +5658,8 @@ REGISTRY: dict[str, tuple] = {
     "sf_conditional_change_event": (_snow(_SF_CCE_EVENT_SNOW), _SF_CCE_EVENT_ORACLE),
     "events_match_recognize_funnel": (_events_match_recognize, _MATCH_RECOGNIZE_ORACLE),
     "stream_hourly_counts": (_stream_hourly_counts, _STREAM_HOURLY_ORACLE),
+    # r11: streaming MATCH_RECOGNIZE — timeout-flush replay contract
+    "stream_pattern_funnel": (_stream_pattern_funnel, _STREAM_PATTERN_ORACLE),
     "sf_variant_type_predicates": (_snow(_SF_ISTYPE), _SF_ISTYPE_ORACLE),
     "sf_object_mode_flatten": (_snow(_SF_OBJ_FLATTEN), _SF_OBJ_FLATTEN_ORACLE),
     "events_json_access": (_sql(_EVENTS_JSON_SPARK), _EVENTS_JSON_ORACLE),
@@ -5767,6 +5870,7 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_next",         # NEW r11 (NEXT navigation)
     "sql_match_recognize_skip_to",      # NEW r11 (SKIP TO LAST sym)
     "sql_match_recognize_sym_measures", # NEW r11 (symbol measures)
+    "stream_pattern_funnel",            # NEW r11 (streaming MR)
     "multimodal_png_features",          # NEW r11 (real PNG decode)
     "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
     # --- r11-changed code paths (re-gate after this round's edits) ---
@@ -5796,7 +5900,7 @@ _SAMPLE_HEAD = [
     "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
     "distinct_segments", "q11_important_parts", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q20_part_family_suppliers", "q22_idle_customers",
+    "q20_part_family_suppliers",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5836,8 +5940,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 217, (
-    f"registry contract: expected 217 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 218, (
+    f"registry contract: expected 218 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

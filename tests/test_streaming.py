@@ -227,3 +227,71 @@ def test_streaming_upsert_sink(spark, tmp_path, engine):
     res = engine.execute("SELECT k, v, seq FROM kv ORDER BY k", SessionContext())
     assert [tuple(r) for r in res.rows] == [
         (1, "new", 2), (2, "two-upd", 2), (3, "three", 1)]
+
+
+def test_streaming_pattern_detect(spark, tmp_path):
+    """r11: streaming MATCH_RECOGNIZE — the batch matcher over
+    watermark-finalized buffered rows in applyInPandasWithState. A
+    match emits only once it cannot change (its end precedes the
+    finalized frontier); state survives across triggers."""
+    import json as _json
+
+    from snowflake_emulator_spark.streaming import events_stream, pattern_stream
+
+    src = tmp_path / "pat_src"
+    src.mkdir()
+    # trigger 1: user 1 starts a funnel view -> cart -> cart -> buy
+    with open(src / "b1.json", "w") as f:
+        for r in [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "cart", "value": 1.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "cart", "value": 1.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "buy", "value": 1.0, "props": "{}"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    # trigger 2: a second funnel for user 1 plus user 2 noise; pushes
+    # the watermark past the first funnel
+    with open(src / "b2.json", "w") as f:
+        for r in [
+            {"event_id": 5, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+            {"event_id": 6, "ts": "2024-01-01T02:05:00", "user_id": 1, "event_type": "buy", "value": 1.0, "props": "{}"},
+            {"event_id": 7, "ts": "2024-01-01T02:06:00", "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    # trigger 3: far-future heartbeat pushes the watermark past batch 2
+    with open(src / "b3.json", "w") as f:
+        f.write(_json.dumps(
+            {"event_id": 8, "ts": "2024-01-01T06:00:00", "user_id": 99,
+             "event_type": "view", "value": 1.0, "props": "{}"}) + "\n")
+
+    stream = events_stream.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = pattern_stream.pattern_detect_stream(
+        stream, "V C* B",
+        {"V": "event_type = 'view'", "C": "event_type = 'cart'",
+         "B": "event_type = 'buy'"},
+        partition_col="user_id", watermark="10 minutes")
+    events_stream.run_to_memory_sink(out, name="t_patterns", timeout_s=240,
+                                     output_mode="append")
+    got = {(r["user_id"], r["match_number"]):
+           (r["start_ts"].isoformat(), r["end_ts"].isoformat(), r["n_rows"])
+           for r in spark.sql("SELECT * FROM t_patterns").collect()}
+    # funnel 1: view..buy spanning 00:00-00:30 (4 rows incl. two carts);
+    # funnel 2: 02:00-02:05 (2 rows). user 2 never completes a pattern.
+    assert got[(1, 1)] == ("2024-01-01T00:00:00", "2024-01-01T00:30:00", 4)
+    assert got[(1, 2)] == ("2024-01-01T02:00:00", "2024-01-01T02:05:00", 2)
+    assert not any(u == 2 for u, _m in got)
+
+
+def test_streaming_pattern_detect_restrictions(spark):
+    import pytest
+    from snowflake_emulator_spark.streaming import pattern_stream
+
+    df = spark.readStream.format("rate").load() \
+        .selectExpr("value AS user_id", "timestamp AS ts",
+                    "'x' AS event_type")
+    with pytest.raises(NotImplementedError, match="PRIOR"):
+        pattern_stream.pattern_detect_stream(
+            df, "A+", {"A": "value > PRIOR value"})
+    with pytest.raises(ValueError, match="anchors"):
+        pattern_stream.pattern_detect_stream(
+            df, "^ A", {"A": "event_type = 'x'"})
