@@ -36,8 +36,12 @@ def main() -> int:
     if rc != 0 or not os.path.exists(plans):
         print(f"FAIL: plan audit did not produce {plans} (rc={rc})")
         return 1
+    # r11: MISSING (an expected plan marker absent) counts as hard as
+    # VIOLATION (a forbidden marker present) — a missing positive check
+    # silently weakened the gate before
     violations = sum(1 for line in open(plans)
-                     if "VIOLATION" in line or "FAIL" in line)
+                     if "VIOLATION" in line or "FAIL" in line
+                     or "MISSING" in line)
     print(f"plan audit: {plans} written, {violations} violations")
     changes = f"{REPO}/docs/CHANGES_r{rnd}.md"
     if not os.path.exists(changes):

@@ -152,6 +152,30 @@ AUDIT = [
     # child scan to the small frontier, never a cross product
     ("hierarchy_connect_by_path", ["!BroadcastNestedLoopJoin",
                                    "!CartesianProduct"]),
+    # r11 additions --------------------------------------------------------
+    # exact-substring dedup: anchor df-filter + candidate join are
+    # equi-joins on the int64 gram hash; span merge is ONE doc-keyed
+    # window; splice is an aggregate HOF projection — no nested loop
+    ("doc_substring_dedup", ["Window", "HashAggregate",
+                             "!BroadcastNestedLoopJoin",
+                             "!CartesianProduct"]),
+    # PNG decode: two chained Arrow map passes (encode fixture +
+    # decode/features), no join, no shuffle before the final sort
+    ("multimodal_png_features", ["MapInPandas",
+                                 "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
+    # curriculum ordinal (r11 rewrite): the range-partitioned sort is
+    # materialized behind a localCheckpoint (monotonic ids + sampled
+    # boundaries are only stable on a materialized frame), so the final
+    # plan reads the checkpoint RDD — and must contain NO window at all
+    # (the pre-r11 shape was a single-partition global Window)
+    ("sample_curriculum_interleave", ["Scan ExistingRDD", "!Window",
+                                      "!BroadcastNestedLoopJoin"]),
+    # skip-to / symbol-measure MATCH_RECOGNIZE: same single grouped
+    # Arrow pass as the overlap entry
+    ("sql_match_recognize_skip_to", ["FlatMapGroupsInPandas",
+                                     "!BroadcastNestedLoopJoin",
+                                     "!CartesianProduct"]),
 ]
 
 
