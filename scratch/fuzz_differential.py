@@ -163,6 +163,14 @@ def main():
     failures += run_merge_nonstrict_cases(eng, ns_cases)
     print(f"merge-nonstrict sweep: {len(ns_cases)} cases done", flush=True)
 
+    # r11: exact-substring dedup (planted duplicate spans) vs full
+    # DuckDB replay — anchors, df>1, islands merge, cleaned-text splice
+    from difffuzz import generate_substr_cases, run_substr_cases
+    sb_cases = generate_substr_cases(SEED + 16, max(COUNT // 20, 6))
+    n_cases += len(sb_cases)
+    failures += run_substr_cases(spark, con, sb_cases)
+    print(f"substring-dedup sweep: {len(sb_cases)} cases done", flush=True)
+
     uniq = sorted(set(failures))
     print(f"\nseed={SEED} cases={n_cases}: {len(uniq)} unique mismatches")
     for f in uniq[:40]:

@@ -1864,3 +1864,107 @@ def generate_merge_nonstrict_cases(seed: int, count: int,
             "n_actioned": n_actioned, "n_ins": n_ins,
             "n_orig": len(target)}
     return cases
+
+
+# ---------------------------------------------------------------------
+# Exact-substring dedup family (r11): random small corpora with PLANTED
+# duplicate spans (cross-doc and within-doc), Spark substring_dedup vs
+# a full DuckDB replay (anchors -> df>1 -> gaps-and-islands -> splice).
+# ---------------------------------------------------------------------
+
+_SUBSTR_FUZZ_ORACLE = """
+WITH g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), {G})), 1, 15)) AS UBIGINT) AS gh
+  FROM {T}, unnest(range(1, greatest(len(text) - {G2}, 1))) AS u(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {G}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {G}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM h),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {G} AS e
+  FROM isl2 GROUP BY doc_id, island),
+segs AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 1) AS prev
+  FROM spans sp),
+pieces AS (
+  SELECT sg.doc_id, sg.s AS ord, substr(d.text, sg.prev, sg.s - sg.prev) AS piece
+  FROM segs sg JOIN {T} d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 2147483647, substr(d.text, m.last_e) AS piece
+  FROM (SELECT doc_id, max(e) AS last_e FROM spans GROUP BY doc_id) m
+  JOIN {T} d USING (doc_id)),
+clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned
+  FROM pieces GROUP BY doc_id),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS n_removed
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+       coalesce(st.n_removed, 0) AS n_removed,
+       coalesce(c.cleaned, d.text) AS cleaned
+FROM {T} d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def generate_substr_cases(seed: int, count: int) -> list[dict]:
+    rng = random.Random(seed)
+    out = []
+    for ci in range(count):
+        gram = rng.choice([6, 8, 12])
+        n_docs = rng.randint(4, 12)
+        vocab = "abcdef "
+        phrases = ["".join(rng.choice(vocab) for _ in range(
+            rng.randint(gram, gram * 3))) for _ in range(3)]
+        docs = []
+        for d in range(n_docs):
+            parts = []
+            for _ in range(rng.randint(1, 4)):
+                if rng.random() < 0.55:
+                    parts.append(rng.choice(phrases))   # planted dup
+                else:
+                    parts.append("".join(rng.choice(vocab) for _ in range(
+                        rng.randint(0, gram * 2))))
+            text = "".join(parts)
+            if rng.random() < 0.1:
+                text = text[: gram - 1]   # shorter than one anchor
+            docs.append((d, text))
+        out.append({"desc": f"substr[g{gram} n{n_docs} c{ci}]",
+                    "gram": gram, "docs": docs})
+    return out
+
+
+def run_substr_cases(spark, con, cases) -> list[str]:
+    from snowflake_emulator_spark.operators import dedup as _dd
+
+    failures = []
+    for case in cases:
+        df = spark.createDataFrame(case["docs"], "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["n_spans"], r["n_removed"], r["cleaned"])
+            for r in _dd.substring_dedup(df, gram=case["gram"]).collect())
+        con.execute("CREATE OR REPLACE TABLE __substr_t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO __substr_t VALUES (?, ?)", case["docs"])
+        want = [tuple(r) for r in con.execute(
+            _SUBSTR_FUZZ_ORACLE.format(T="__substr_t", G=case["gram"],
+                                       G2=case["gram"] - 2)).fetchall()]
+        if got != sorted(want):
+            diff = [(a, b) for a, b in zip(got, sorted(want)) if a != b][:2]
+            failures.append(f"{case['desc']}: {diff}")
+    return failures

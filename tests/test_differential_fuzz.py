@@ -224,9 +224,10 @@ def test_differential_fuzz_multi_table_insert(probes, tmp_path):
 
 
 def test_differential_fuzz_mr_prior(probes, tmp_path):
-    """r10: PRIOR navigation inside DEFINE — rising/falling-run
-    patterns vs the DuckDB lag() byte-mask replay (exact because
-    PRIOR-using symbols never start a match in these patterns)."""
+    """r10, semantics corrected r11: PRIOR/NEXT navigation inside
+    DEFINE — physical partition lag/lead, so the DuckDB byte-mask
+    replay is exact for EVERY pattern, including navigation-starting
+    ones (the r11 generator emits those)."""
     spark, con = probes
     from snowflake_emulator_spark.engine import Engine
 
@@ -255,4 +256,18 @@ def test_differential_fuzz_merge_nonstrict(probes, tmp_path):
     failures = run_merge_nonstrict_cases(eng, cases)
     assert not failures, (
         f"{len(failures)} non-strict MERGE violations:\n"
+        + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_substring_dedup(probes):
+    """r11: exact-substring dedup over random corpora with planted
+    duplicate spans — cleaned text, span counts and removed-char totals
+    vs a full DuckDB replay (anchors -> df>1 -> islands -> splice)."""
+    spark, con = probes
+    from difffuzz import generate_substr_cases, run_substr_cases
+
+    cases = generate_substr_cases(SEED + 16, 10)
+    failures = run_substr_cases(spark, con, cases)
+    assert not failures, (
+        f"{len(failures)} substring-dedup mismatches:\n"
         + "\n".join(failures[:10]))
