@@ -1,9 +1,11 @@
-"""SQL-level MATCH_RECOGNIZE clause (r8 s2, beyond reference): the
-FROM t MATCH_RECOGNIZE (...) [alias] clause parses in the executor and
-routes onto the restricted applyInPandas operator
-(operators/match_recognize.py — ONE ROW PER MATCH, SKIP PAST LAST ROW,
-mutually exclusive symbols). MEASURES supports FIRST/LAST/COUNT(*)/
-MATCH_NUMBER()."""
+"""SQL-level MATCH_RECOGNIZE clause (r8 s2, beyond reference; grown
+through r11): FROM t MATCH_RECOGNIZE (...) [alias] parses in the
+executor and routes onto the applyInPandas operator
+(operators/match_recognize.py). Surface: ONE/ALL ROWS PER MATCH,
+overlapping DEFINEs, physical PRIOR/NEXT navigation, AFTER MATCH SKIP
+PAST LAST ROW / TO NEXT ROW / TO [FIRST|LAST] <symbol>, PERMUTE,
+anchors, {- -} exclusion, and MEASURES incl. FINAL/RUNNING,
+COUNT(col) NULL-skipping and symbol-qualified FIRST/LAST/COUNT."""
 
 import pytest
 
