@@ -101,3 +101,36 @@ def test_png_features_spark(spark):
         [(98, None)], "media_id long, content binary")
     r = png_features(nul).collect()[0]
     assert not r["decode_ok"]
+
+
+def test_png_decoder_mutation_robustness(spark):
+    """Byte-mutation fuzz: randomly corrupted PNGs must fail CLEANLY —
+    per-row decode_ok=False in the kernel (never a task crash) and only
+    controlled exception types from the decoder itself. Rows whose
+    mutation lands outside the CRC-verified payload may legitimately
+    still decode; the invariant is no crash and no silent garbage with
+    a wrong pixel count."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(60):
+        w, h = rng.randint(1, 9), rng.randint(1, 7)
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        blob = bytearray(png_encode(w, h, px, 2, lambda y: y % 5))
+        pos = rng.randrange(len(blob))
+        blob[pos] ^= 1 << rng.randrange(8)
+        rows.append((i, blob, w, h))
+    # driver-side: decoder raises only controlled types or round-trips
+    for i, blob, w, h in rows:
+        try:
+            w2, h2, ch2, px2 = png_decode(bytes(blob))
+            assert len(px2) == w2 * h2 * ch2  # never a short buffer
+        except (ValueError, NotImplementedError, zlib.error):
+            pass
+    # Spark-side: the kernel survives the whole corrupted batch
+    df = spark.createDataFrame([(i, b) for i, b, _w, _h in rows],
+                               "media_id long, content binary")
+    out = png_features(df).collect()
+    assert len(out) == 60
+    assert all(isinstance(r["decode_ok"], bool) for r in out)
