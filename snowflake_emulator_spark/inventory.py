@@ -5511,6 +5511,43 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# r11 array-function batch: ARRAYS_OVERLAP (NULL==NULL element
+# semantics), ARRAY_DISTINCT/MAX/MIN/REMOVE/REMOVE_AT/APPEND/PREPEND
+# over deterministic numeric arrays derived from doc_id.
+_SF_ARRAY3 = """
+SELECT doc_id,
+       ARRAYS_OVERLAP(a, b) AS overlaps,
+       ARRAY_SIZE(ARRAY_DISTINCT(ARRAY_CAT(a, b))) AS n_dist,
+       ARRAY_MAX(b) AS mx, ARRAY_MIN(b) AS mn,
+       ARRAY_TO_STRING(ARRAY_REMOVE(a, doc_id % 5 + 2), ',') AS removed,
+       ARRAY_TO_STRING(ARRAY_REMOVE_AT(a, 1), ',') AS removed_at,
+       ARRAY_TO_STRING(ARRAY_REMOVE_AT(a, -1), ',') AS removed_last,
+       ARRAY_TO_STRING(ARRAY_PREPEND(ARRAY_APPEND(b, 99), -1), ',') AS wrapped
+FROM (SELECT doc_id,
+             ARRAY_GENERATE_RANGE(doc_id % 5, doc_id % 5 + 6) AS a,
+             ARRAY_GENERATE_RANGE(doc_id % 7, doc_id % 7 + 4) AS b
+      FROM documents)
+WHERE doc_id % 3 = 0 ORDER BY doc_id
+"""
+_SF_ARRAY3_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         range(doc_id % 5, doc_id % 5 + 6) AS a,
+         range(doc_id % 7, doc_id % 7 + 4) AS b
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id,
+       len(list_intersect(a, b)) > 0 AS overlaps,
+       CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_dist,
+       list_aggregate(b, 'max') AS mx, list_aggregate(b, 'min') AS mn,
+       array_to_string(list_filter(a, x -> x <> doc_id % 5 + 2), ',') AS removed,
+       array_to_string(list_concat(a[1:1], a[3:]), ',') AS removed_at,
+       array_to_string(a[1:len(a) - 1], ',') AS removed_last,
+       array_to_string(list_prepend(-1, list_append(b, 99)), ',') AS wrapped
+FROM base ORDER BY doc_id
+"""
+
+
 # Hierarchical query (r8 s2): Snowflake START WITH / CONNECT BY PRIOR
 # through the translator's WITH RECURSIVE rewrite (each recursion round
 # is one hash join against the small frontier); DuckDB replays the
@@ -5800,6 +5837,8 @@ REGISTRY: dict[str, tuple] = {
     "sf_string_splice_position": (_snow(_SF_STR3), _SF_STR3_ORACLE),
     "sf_digest_hash_funcs": (_snow(_SF_DIGEST), _SF_DIGEST_ORACLE),
     "sf_array_lambda_funcs": (_snow(_SF_LAMBDA), _SF_LAMBDA_ORACLE),
+    # r11: ARRAYS_OVERLAP + distinct/max/min/remove[_at]/append/prepend
+    "sf_array_funcs3": (_snow(_SF_ARRAY3), _SF_ARRAY3_ORACLE),
     "hierarchy_connect_by": (_snow(_SF_CONNECT_BY), _SF_CONNECT_BY_ORACLE),
     # r10: SYS_CONNECT_BY_PATH / CONNECT_BY_ROOT / PRIOR in SELECT list
     "hierarchy_connect_by_path": (_snow(_SF_CONNECT_BY_PATH),
@@ -5871,6 +5910,7 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_skip_to",      # NEW r11 (SKIP TO LAST sym)
     "sql_match_recognize_sym_measures", # NEW r11 (symbol measures)
     "stream_pattern_funnel",            # NEW r11 (streaming MR)
+    "sf_array_funcs3",                  # NEW r11 (array batch 3)
     "multimodal_png_features",          # NEW r11 (real PNG decode)
     "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
     # --- r11-changed code paths (re-gate after this round's edits) ---
@@ -5900,7 +5940,6 @@ _SAMPLE_HEAD = [
     "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
     "distinct_segments", "q11_important_parts", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q20_part_family_suppliers",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5940,8 +5979,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 218, (
-    f"registry contract: expected 218 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 219, (
+    f"registry contract: expected 219 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -2374,6 +2374,44 @@ class Translator:
             )
         if fname == "ARRAY_FLATTEN":
             return f"flatten({args[0]})"
+        # r11 array-function batch (public Snowflake semantics):
+        if fname == "ARRAY_DISTINCT":
+            # first-occurrence order preserved in both engines; one
+            # NULL survives (Spark matches Snowflake here)
+            return f"array_distinct({args[0]})"
+        if fname in ("ARRAY_MAX", "ARRAY_MIN"):
+            # NULL elements ignored in both engines
+            return f"array_{fname[6:].lower()}({args[0]})"
+        if fname == "ARRAY_REMOVE":
+            return f"array_remove({args[0]}, {args[1]})"
+        if fname == "ARRAY_APPEND":
+            return f"array_append({args[0]}, {args[1]})"
+        if fname == "ARRAY_PREPEND":
+            return f"array_prepend({args[0]}, {args[1]})"
+        if fname == "ARRAYS_OVERLAP":
+            # Snowflake: TRUE when the arrays share an element, with
+            # NULL considered EQUAL to NULL (docs example); Spark's
+            # arrays_overlap returns NULL when no non-null overlap
+            # exists and either side contains NULL — compose the exact
+            # semantics, NULL only when an ARGUMENT is NULL
+            a, b = args[0], args[1]
+            return (
+                f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                f"ELSE coalesce(arrays_overlap({a}, {b}), false) "
+                f"OR (exists({a}, x -> x IS NULL) "
+                f"AND exists({b}, x -> x IS NULL)) END)"
+            )
+        if fname == "ARRAY_REMOVE_AT":
+            # 0-based position, negative counts from the end,
+            # out-of-range returns the array unchanged (Snowflake docs)
+            a, p = args[0], args[1]
+            pos = f"(CASE WHEN ({p}) < 0 THEN size({a}) + ({p}) ELSE ({p}) END)"
+            return (
+                f"(CASE WHEN ({p}) IS NULL THEN NULL "
+                f"WHEN {pos} < 0 OR {pos} >= size({a}) THEN {a} "
+                f"ELSE concat(slice({a}, 1, {pos}), "
+                f"slice({a}, {pos} + 2, size({a}) - {pos} - 1)) END)"
+            )
         if fname == "ARRAYS_TO_OBJECT":
             return f"to_json(map_from_arrays({args[0]}, {args[1]}))"
         if fname in ("GREATEST", "LEAST"):
@@ -2895,6 +2933,14 @@ _REWRITABLE = {
     "ARRAY_GENERATE_RANGE",
     "ARRAY_FLATTEN",
     "ARRAYS_TO_OBJECT",
+    "ARRAY_DISTINCT",
+    "ARRAY_MAX",
+    "ARRAY_MIN",
+    "ARRAY_REMOVE",
+    "ARRAY_REMOVE_AT",
+    "ARRAY_APPEND",
+    "ARRAY_PREPEND",
+    "ARRAYS_OVERLAP",
     "GREATEST",
     "LEAST",
     "SYSDATE",

@@ -877,3 +877,24 @@ def test_connect_by_hier_fns_in_where():
     # the WHERE-referenced extras are materialized in the CTE
     assert "__t.name AS __cbroot_1" in out
     assert "IF(FALSE, __t.id, NULL) AS __cbprior_2" in out
+
+
+def test_array_function_batch_r11():
+    """r11 array batch: ARRAY_DISTINCT/MAX/MIN/REMOVE/REMOVE_AT/
+    APPEND/PREPEND/ARRAYS_OVERLAP map to Spark builtins with Snowflake
+    argument/NULL semantics composed where they diverge."""
+    assert translate("SELECT ARRAY_DISTINCT(a) FROM t") == \
+        "SELECT array_distinct(a) FROM t"
+    assert translate("SELECT ARRAY_MAX(a), ARRAY_MIN(a) FROM t") == \
+        "SELECT array_max(a), array_min(a) FROM t"
+    assert translate("SELECT ARRAY_REMOVE(a, 3) FROM t") == \
+        "SELECT array_remove(a, 3) FROM t"
+    assert translate("SELECT ARRAY_APPEND(a, 9) FROM t") == \
+        "SELECT array_append(a, 9) FROM t"
+    assert translate("SELECT ARRAY_PREPEND(a, 9) FROM t") == \
+        "SELECT array_prepend(a, 9) FROM t"
+    out = translate("SELECT ARRAYS_OVERLAP(a, b) FROM t")
+    # NULL-equals-NULL composition, NULL only for NULL arguments
+    assert "arrays_overlap(a, b)" in out and "exists(a, x -> x IS NULL)" in out
+    out = translate("SELECT ARRAY_REMOVE_AT(a, -1) FROM t")
+    assert "slice(a" in out and "size(a)" in out
