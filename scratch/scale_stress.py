@@ -51,6 +51,9 @@ QUERIES = [
     "pipeline_keep_set",
     "text_tfidf_topterms",
     "events_sessionize",
+    # r11 addition: exact-substring span removal (anchor relation is
+    # the largest exploded intermediate in the repo)
+    "doc_substring_dedup",
 ]
 RATIO_TOLERANCE = 12.0  # r8 plan: sf1/sf0.1 <= ~12x on a 10x replica
 
