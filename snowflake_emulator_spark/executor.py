@@ -1266,26 +1266,33 @@ class Executor:
     # ------------------------------------------------------------------
 
     _AT_RE = re.compile(
-        r"([A-Za-z_][\w.$]*)\s+AT\s*\(\s*(VERSION|OFFSET|TIMESTAMP)\s*=>\s*([^)]+)\)",
+        r"([A-Za-z_][\w.$]*)\s+(AT|BEFORE)\s*\(\s*"
+        r"(VERSION|OFFSET|TIMESTAMP|STATEMENT)\s*=>\s*([^)]+)\)",
         re.I,
     )
 
     def _resolve_time_travel(self, sql: str, ctx: SessionContext) -> str:
-        """Rewrite ``FROM t AT(VERSION => n | OFFSET => -secs |
-        TIMESTAMP => 'ts')`` onto a temp view over the matching
-        immutable version dir. OFFSET/TIMESTAMP pick the newest version
-        whose write time is <= the target instant (version-dir mtimes —
-        the write moment — are the history timeline). The window is
-        bounded by version GC (keep=3 by default), mirroring Snowflake's
-        bounded retention."""
+        """Rewrite ``FROM t AT|BEFORE(VERSION => n | OFFSET => -secs |
+        TIMESTAMP => 'ts' | STATEMENT => 'qid')`` onto a temp view over
+        the matching immutable version dir. AT picks the newest version
+        whose write time is <= the target instant; BEFORE (r11) is
+        STRICT — the newest version written before it (Snowflake
+        semantics: BEFORE excludes the target statement's changes, AT
+        includes them). STATEMENT (r11) resolves the instant from the
+        query-history entry: its END for AT, its START for BEFORE.
+        Version-dir mtimes — the write moment — are the history
+        timeline; the window is bounded by version GC (keep=3 by
+        default), mirroring Snowflake's bounded retention."""
 
         def repl(m: re.Match) -> str:
-            name, kind, value = m.group(1), m.group(2).upper(), m.group(3).strip()
+            name, mode, kind, value = (m.group(1), m.group(2).upper(),
+                                       m.group(3).upper(), m.group(4).strip())
             try:
                 tm = self.catalog.get_table(name, ctx.database, ctx.schema)
             except errors.SnowflakeError:
                 return m.group(0)  # not a catalog table: leave untouched
-            version = self._pick_version(tm, kind, value)
+            version = self._pick_version(tm, kind, value,
+                                         before=(mode == "BEFORE"))
             # pin the resolved version so a concurrent writer's GC
             # cannot delete the dir mid-read; released at the end of
             # the executing statement (execute()'s finally). Pin FIRST,
@@ -1314,7 +1321,8 @@ class Executor:
 
         return self._AT_RE.sub(repl, sql)
 
-    def _pick_version(self, tm, kind: str, value: str) -> int:
+    def _pick_version(self, tm, kind: str, value: str,
+                      before: bool = False) -> int:
         versions = sorted(
             int(d[1:])
             for d in os.listdir(tm.location or "")
@@ -1324,6 +1332,14 @@ class Executor:
             raise errors.object_not_found(tm.physical)
         if kind == "VERSION":
             v = int(value.strip().strip("'\""))
+            if before:
+                # BEFORE(VERSION => n): newest retained version < n
+                prior = [x for x in versions if x < v]
+                if not prior:
+                    raise errors.execution_error(
+                        _TT_UNAVAILABLE.format(tm.name)
+                        + f" (no version before v{v}; retained: {versions})")
+                return prior[-1]
             if v not in versions:
                 raise errors.execution_error(
                     _TT_UNAVAILABLE.format(tm.name)
@@ -1332,6 +1348,22 @@ class Executor:
             return v
         if kind == "OFFSET":
             target = time.time() + float(value)  # value is negative seconds
+        elif kind == "STATEMENT":
+            # r11: resolve the instant from query history — the query's
+            # END for AT (its changes included), its START for BEFORE
+            # (its changes excluded; Snowflake semantics)
+            qid = value.strip().strip("'\"")
+            entry = next((e for e in reversed(self.history)
+                          if e.get("query_id") == qid), None)
+            if entry is None:
+                raise errors.execution_error(
+                    f"statement {qid} not found in query history")
+            if before:
+                target = float(entry["start"])
+            else:
+                # ms is floor-rounded; pad one tick so a write landing
+                # in the final fraction of the statement still counts
+                target = float(entry["start"]) + (entry.get("ms", 0) + 1) / 1000.0
         else:  # TIMESTAMP
             from datetime import datetime, timezone
 
@@ -1340,10 +1372,20 @@ class Executor:
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=timezone.utc)
             target = dt.timestamp()
-        eligible = [
-            v for v in versions
-            if os.path.getmtime(os.path.join(tm.location, f"v{v}")) <= target
-        ]
+        if before and kind != "STATEMENT":
+            eligible = [
+                v for v in versions
+                if os.path.getmtime(os.path.join(tm.location, f"v{v}")) < target
+            ]
+        else:
+            # AT is inclusive; BEFORE(STATEMENT) already uses the strict
+            # start instant, and a version written at EXACTLY the start
+            # belongs to the statement itself -> still excluded
+            cmp_target = target - 1e-9 if before else target
+            eligible = [
+                v for v in versions
+                if os.path.getmtime(os.path.join(tm.location, f"v{v}")) <= cmp_target
+            ]
         if not eligible:
             raise errors.execution_error(
                 _TT_UNAVAILABLE.format(tm.name)

@@ -370,6 +370,46 @@ def test_time_travel_version_and_timestamp(engine):
         engine.execute("SELECT v FROM tt AT(VERSION => 99)", ctx)
 
 
+def test_time_travel_before_and_statement(engine):
+    """r11: BEFORE(...) is STRICT (excludes the target instant /
+    statement's changes) and STATEMENT => 'qid' resolves the instant
+    from query history — AT includes that statement's writes, BEFORE
+    excludes them (Snowflake semantics)."""
+    import time as _time
+
+    ctx = SessionContext()
+    engine.execute("CREATE TABLE ttb (id INTEGER, v VARCHAR)", ctx)     # v1
+    engine.execute("INSERT INTO ttb VALUES (1, 'first')", ctx)          # v2
+    _time.sleep(0.05)
+    upd = engine.execute("UPDATE ttb SET v = 'second' WHERE id = 1", ctx)  # v3
+    qid = upd.query_id
+    # AT(STATEMENT) includes the update's effect; BEFORE excludes it
+    res = engine.execute(
+        f"SELECT v FROM ttb AT(STATEMENT => '{qid}')", ctx)
+    assert _rows(res) == [("second",)]
+    res = engine.execute(
+        f"SELECT v FROM ttb BEFORE(STATEMENT => '{qid}')", ctx)
+    assert _rows(res) == [("first",)]
+    # BEFORE(VERSION => 3) = newest version strictly below 3
+    res = engine.execute("SELECT v FROM ttb BEFORE(VERSION => 3)", ctx)
+    assert _rows(res) == [("first",)]
+    # BEFORE a timestamp taken AFTER the update still strictly precedes
+    # any LATER write; before the first insert -> empty table version
+    from datetime import datetime, timezone
+
+    engine.execute("SELECT 1", ctx)
+    hist = [e for e in engine.executor.history if "INSERT INTO ttb" in e["sql"]]
+    ins_start = hist[0]["start"]
+    iso = datetime.fromtimestamp(ins_start, tz=timezone.utc).isoformat()
+    res = engine.execute(
+        f"SELECT count(*) AS n FROM ttb BEFORE(TIMESTAMP => '{iso}')", ctx)
+    assert _rows(res) == [(0,)]
+    # unknown statement id -> clean error
+    with pytest.raises(Exception, match="not found"):
+        engine.execute(
+            "SELECT v FROM ttb BEFORE(STATEMENT => '01-no-such')", ctx)
+
+
 def test_clone_table_zero_copy_and_divergence(engine):
     """CREATE TABLE ... CLONE is a zero-copy hard-link of the source
     version dir; afterwards the tables diverge independently."""
