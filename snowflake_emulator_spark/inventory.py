@@ -3536,6 +3536,73 @@ FROM afinal GROUP BY cluster_id ORDER BY cluster_id
     )
 
 
+def _embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: product-quantization ANN (Jégou et al. 2011) — vectors
+    encode to m=4 codebook ids; query-time distance is the ADC sum of
+    per-subspace lookup entries, so the corpus scan touches CODES only
+    (4 bytes/vector — the memory scale path for 100 TB embeddings).
+    Deterministic seed codebooks => DuckDB replays encode + ADC + scan
+    bit-for-bit (sequential list folds on both engines)."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.pq_topk(e, query_ids=[0, 1, 2, 3, 4], k=10).orderBy(
+        "query_id", "rank")
+
+
+_PQ_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM v ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT CAST(s.range AS INTEGER) AS sub, code,
+         v[CAST(s.range * 16 + 1 AS INTEGER):CAST(s.range * 16 + 16 AS INTEGER)] AS c
+  FROM seeds, range(4) s
+),
+subs AS (
+  SELECT vec_id, CAST(s.range AS INTEGER) AS sub,
+         v[CAST(s.range * 16 + 1 AS INTEGER):CAST(s.range * 16 + 16 AS INTEGER)] AS sv
+  FROM v, range(4) s
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT subs.vec_id, subs.sub, cb.code,
+           list_sum(list_transform(list_zip(sv, c),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2,
+           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                              ORDER BY list_sum(list_transform(list_zip(sv, c),
+                                       z -> (z[1] - z[2]) * (z[1] - z[2]))), cb.code) AS rn
+    FROM subs JOIN cb ON cb.sub = subs.sub)
+  WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, q.sub, cb.code,
+         list_sum(list_transform(list_zip(q.sv, cb.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2c
+  FROM subs q JOIN cb ON cb.sub = q.sub
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT a.query_id, c.vec_id AS neighbor_id,
+         round(max(CASE WHEN c.sub = 0 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 1 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 2 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 3 THEN a.d2c END), 6) AS approx_d2
+  FROM codes c
+  JOIN adc a ON a.sub = c.sub AND a.code = c.code
+  WHERE c.vec_id <> a.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, approx_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (oracle-checkable); the LSH-bucketed
     scale path is declared separately as embed_near_pairs_lsh."""
@@ -5814,6 +5881,8 @@ REGISTRY: dict[str, tuple] = {
     "embed_near_pairs": (_embed_near_pairs, _EMBED_NEAR_ORACLE),
     "embed_centroid_distances": (_embed_centroid_dist, _CENTROID_ORACLE),
     "embed_kmeans_clusters": (_embed_kmeans, _kmeans_oracle()),
+    # r11: product-quantization ANN (codes-only corpus scan + ADC)
+    "embed_pq_topk": (_embed_pq_topk, _PQ_TOPK_ORACLE),
     # deterministic by construction (md5-seeded hyperplanes/centroids):
     # hash-checked against full DuckDB replays of the LSH/IVF pipelines
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),
@@ -5911,6 +5980,7 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_sym_measures", # NEW r11 (symbol measures)
     "stream_pattern_funnel",            # NEW r11 (streaming MR)
     "sf_array_funcs3",                  # NEW r11 (array batch 3)
+    "embed_pq_topk",                    # NEW r11 (PQ ANN)
     "multimodal_png_features",          # NEW r11 (real PNG decode)
     "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
     # --- r11-changed code paths (re-gate after this round's edits) ---
@@ -5939,7 +6009,7 @@ _SAMPLE_HEAD = [
     "subquery_scalar", "values_inline_join", "agg_approx_count_distinct",
     "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
     "distinct_segments", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q15_top_supplier", "q18_large_volume_customers",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -5979,8 +6049,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 219, (
-    f"registry contract: expected 219 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 220, (
+    f"registry contract: expected 220 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

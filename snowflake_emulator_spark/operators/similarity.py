@@ -364,6 +364,90 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
     )
 
 
+def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = 4, ksub: int = 16, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN top-k (r11) — the classical MEMORY
+    scale path for vector search at 100 TB: each vector is encoded as
+    ``m`` sub-space codebook ids (here m=4 over dim/m-wide slices,
+    ksub=16 codes => 4 bytes/vector instead of 256), and query-time
+    distance is the Asymmetric Distance Computation (ADC) sum of
+    per-subspace lookup-table entries — the corpus scan touches CODES
+    only, never raw floats (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Deterministic-by-construction so a SQL oracle can replay it
+    exactly: codebooks are the ``ksub`` lowest vec_ids' sub-vectors
+    (production would Lloyd-train them; the encode/ADC/scan plumbing is
+    identical), argmin ties break on the lowest code id, and the ADC
+    sum adds the m contributions in FIXED subspace order (a groupBy
+    float sum would re-associate). Plan shape: one broadcast join
+    against the (m*ksub)-row codebook to ENCODE, one broadcast join
+    against the (|queries|*m*ksub)-row ADC table to SCORE, window
+    top-k. Returns (query_id, neighbor_id, rank, approx_d2)."""
+    sub_d = dim // m
+    if sub_d * m != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # (id, sub, subvec): explode the m slices — per-row, no shuffle
+    subs = vecs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.slice("v", s * sub_d + 1, sub_d) for s in range(m)
+        ])).alias("sub", "sv"),
+    )
+    codebook = (
+        vecs.orderBy(F.col(id_col)).limit(ksub)
+        .select(F.col(id_col), F.posexplode(F.array(*[
+            F.slice("v", s * sub_d + 1, sub_d) for s in range(m)
+        ])).alias("sub", "c"))
+    )
+    # stable code ids 0..ksub-1 by seed vec_id order
+    cw = Window.partitionBy("sub").orderBy(id_col)
+    codebook = codebook.select(
+        "sub", (F.row_number().over(cw) - 1).alias("code"), "c")
+    d2 = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    codes = (
+        subs.join(F.broadcast(codebook), "sub")
+        .select(id_col, "sub", F.col("code"), d2.alias("d2"))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    # ADC lookup table: |queries| x m x ksub rows — tiny, broadcast.
+    # Built relationally from the same codebook (no driver math).
+    queries = subs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qv"))
+    qd2 = F.aggregate(
+        F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    adc = queries.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code", qd2.alias("d2c"))
+    # score: join codes -> one ADC entry per (vec, sub); FIXED-ORDER
+    # addition via per-subspace conditional sums (each sums ONE value)
+    scored = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(*[F.sum(F.when(F.col("sub") == s, F.col("d2c"))).alias(f"__s{s}")
+               for s in range(m)])
+    )
+    total = F.col("__s0")
+    for s in range(1, m):
+        total = total + F.col(f"__s{s}")
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(total, 6).alias("approx_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
 def coverage_sample(emb: DataFrame, k: int = 3, n_centroids: int = 8,
                     dim: int = 64, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

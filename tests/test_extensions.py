@@ -600,3 +600,25 @@ def test_substring_dedup_within_doc_and_multi_span(spark):
            dedup.substring_dedup(df2, gram=30).collect()}
     assert got[1]["cleaned"] == "" and got[2]["cleaned"] == ""
     assert got[1]["n_removed"] == 40
+
+
+def test_pq_topk_recall_and_shape(emb):
+    """r11: product-quantization ANN — top-k by ADC code distance must
+    recall a reasonable fraction of the exact cosine top-k (seeded
+    codebooks, no training — the floor for recall), and the scoring
+    join must be broadcast (codes-only corpus scan, no nested loop over
+    raw vectors)."""
+    exact = similarity.cosine_topk_bruteforce(emb, [0, 1, 2], k=10)
+    approx = similarity.pq_topk(emb, [0, 1, 2], k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"PQ recall too low even for seed codebooks: {recall}"
+    # determinism: same inputs -> identical ranked lists
+    r1 = [tuple(r) for r in similarity.pq_topk(emb, [0], k=5).collect()]
+    r2 = [tuple(r) for r in similarity.pq_topk(emb, [0], k=5).collect()]
+    assert sorted(r1) == sorted(r2)
+    plan = similarity.pq_topk(emb, [0], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
