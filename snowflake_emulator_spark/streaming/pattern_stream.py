@@ -166,8 +166,15 @@ def pattern_detect_stream(
             out = None
         state.update((buf_ts, buf_mask, n_matches))
         if buf_ts:
-            # flush when the watermark passes the newest buffered row
-            state.setTimeoutTimestamp(buf_ts[-1] // 1000 + 1)
+            # flush when the watermark passes the newest buffered row.
+            # Clamped above the CURRENT watermark: when every buffered
+            # row is already final (the watermark raced ahead — e.g.
+            # another partition's much-newer data advanced it in the
+            # same trigger), a timestamp at/below the watermark is an
+            # error; wm+1 fires on the next watermark advance instead.
+            state.setTimeoutTimestamp(
+                max(buf_ts[-1] // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
         if out is not None:
             yield out
 

@@ -264,6 +264,14 @@ def test_streaming_pattern_detect(spark, tmp_path):
             {"event_id": 8, "ts": "2024-01-01T06:00:00", "user_id": 99,
              "event_type": "view", "value": 1.0, "props": "{}"}) + "\n")
 
+    # file-source trigger order follows modification time; equal mtimes
+    # make the order undefined (the far-future heartbeat processed FIRST
+    # advances the watermark past the funnel rows) — force a strict order
+    import os as _os
+    for i, fname in enumerate(["b1.json", "b2.json", "b3.json"]):
+        t = 1700000000 + i * 10
+        _os.utime(src / fname, (t, t))
+
     stream = events_stream.read_event_stream(spark, str(src), max_files_per_trigger=1)
     out = pattern_stream.pattern_detect_stream(
         stream, "V C* B",
