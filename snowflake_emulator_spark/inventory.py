@@ -3603,6 +3603,103 @@ WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def _embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: IVF-PQ — the FAISS composition: coarse hyperplane-seeded
+    IVF restricts the scan to nprobe buckets; vectors inside are
+    PQ-encoded on their RESIDUALS (v - bucket centroid); query distance
+    is the per-(query, bucket) ADC table. Codes-only scan over a
+    bucket-pruned corpus. DuckDB replays the whole composition."""
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    return similarity.ivfpq_topk(
+        e, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, nprobe=3
+    ).orderBy("query_id", "rank")
+
+
+def _ivfpq_replay_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 10,
+                         m: int = 4, ksub: int = 16, dim: int = 64,
+                         query_ids: tuple = (0, 1, 2, 3, 4)) -> str:
+    sub_d = dim // m
+    rows = []
+    for c in range(n_centroids):
+        for i, w in enumerate(similarity._hyperplane(dim, 1000 + c)):
+            rows.append(f"({c},{i + 1},{w!r})")
+    qlist = ",".join(str(q) for q in query_ids)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id, CAST(u.i AS INTEGER) AS pos, v[CAST(u.i AS INTEGER)] AS val
+       FROM v, unnest(range(1, len(v) + 1)) AS u(i)),
+cents(cid, pos, w) AS (VALUES {",".join(rows)}),
+cvec AS (SELECT cid, list(w ORDER BY pos) AS c FROM cents GROUP BY cid),
+cdots AS (SELECT e.vec_id, c.cid, sum(e.val * c.w) AS d
+          FROM ev e JOIN cents c ON e.pos = c.pos GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM cdots) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid AS bucket FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+    FROM cdots WHERE vec_id IN ({qlist})) WHERE rn <= {nprobe}),
+resid AS (
+  SELECT a.vec_id, a.bucket,
+         list_transform(list_zip(v.v, cv.c), z -> z[1] - z[2]) AS r
+  FROM assigned a JOIN v USING (vec_id) JOIN cvec cv ON cv.cid = a.bucket),
+seeds AS (
+  SELECT vec_id, r, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+  FROM resid ORDER BY vec_id LIMIT {ksub}),
+cb AS (
+  SELECT CAST(s.range AS INTEGER) AS sub, code,
+         r[CAST(s.range * {sub_d} + 1 AS INTEGER):CAST(s.range * {sub_d} + {sub_d} AS INTEGER)] AS c
+  FROM seeds, range({m}) s),
+subs AS (
+  SELECT vec_id, bucket, CAST(s.range AS INTEGER) AS sub,
+         r[CAST(s.range * {sub_d} + 1 AS INTEGER):CAST(s.range * {sub_d} + {sub_d} AS INTEGER)] AS sv
+  FROM resid, range({m}) s
+  WHERE bucket IN (SELECT DISTINCT bucket FROM probe)),
+codes AS (
+  SELECT vec_id, bucket, sub, code FROM (
+    SELECT subs.vec_id, subs.bucket, subs.sub, cb.code,
+           row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+             ORDER BY list_sum(list_transform(list_zip(sv, c),
+                      z -> (z[1] - z[2]) * (z[1] - z[2]))), cb.code) AS rn
+    FROM subs JOIN cb ON cb.sub = subs.sub)
+  WHERE rn = 1),
+qres AS (
+  SELECT p.query_id, p.bucket,
+         list_transform(list_zip(v.v, cv.c), z -> z[1] - z[2]) AS qr
+  FROM probe p JOIN v ON v.vec_id = p.query_id
+  JOIN cvec cv ON cv.cid = p.bucket),
+qsubs AS (
+  SELECT query_id, bucket, CAST(s.range AS INTEGER) AS sub,
+         qr[CAST(s.range * {sub_d} + 1 AS INTEGER):CAST(s.range * {sub_d} + {sub_d} AS INTEGER)] AS sv
+  FROM qres, range({m}) s),
+adc AS (
+  SELECT q.query_id, q.bucket, q.sub, cb.code,
+         list_sum(list_transform(list_zip(q.sv, cb.c),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2c
+  FROM qsubs q JOIN cb ON cb.sub = q.sub),
+scored AS (
+  SELECT a.query_id, c.vec_id AS neighbor_id,
+         round(max(CASE WHEN c.sub = 0 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 1 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 2 THEN a.d2c END)
+               + max(CASE WHEN c.sub = 3 THEN a.d2c END), 6) AS approx_d2
+  FROM codes c
+  JOIN adc a ON a.bucket = c.bucket AND a.sub = c.sub AND a.code = c.code
+  WHERE c.vec_id <> a.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, approx_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (oracle-checkable); the LSH-bucketed
     scale path is declared separately as embed_near_pairs_lsh."""
@@ -5883,6 +5980,8 @@ REGISTRY: dict[str, tuple] = {
     "embed_kmeans_clusters": (_embed_kmeans, _kmeans_oracle()),
     # r11: product-quantization ANN (codes-only corpus scan + ADC)
     "embed_pq_topk": (_embed_pq_topk, _PQ_TOPK_ORACLE),
+    # r11: IVF-PQ residual composition (bucket-pruned codes-only scan)
+    "embed_ivfpq_topk": (_embed_ivfpq_topk, _ivfpq_replay_oracle()),
     # deterministic by construction (md5-seeded hyperplanes/centroids):
     # hash-checked against full DuckDB replays of the LSH/IVF pipelines
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),
@@ -5981,6 +6080,7 @@ _SAMPLE_HEAD = [
     "stream_pattern_funnel",            # NEW r11 (streaming MR)
     "sf_array_funcs3",                  # NEW r11 (array batch 3)
     "embed_pq_topk",                    # NEW r11 (PQ ANN)
+    "embed_ivfpq_topk",                 # NEW r11 (IVF-PQ residuals)
     "multimodal_png_features",          # NEW r11 (real PNG decode)
     "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
     # --- r11-changed code paths (re-gate after this round's edits) ---
@@ -6009,7 +6109,7 @@ _SAMPLE_HEAD = [
     "subquery_scalar", "values_inline_join", "agg_approx_count_distinct",
     "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
     "distinct_segments", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_volume_customers",
+    "q15_top_supplier",
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -6049,8 +6149,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 220, (
-    f"registry contract: expected 220 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 221, (
+    f"registry contract: expected 221 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

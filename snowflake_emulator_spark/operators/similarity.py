@@ -448,6 +448,129 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+               n_centroids: int = 8, nprobe: int = 3, m: int = 4,
+               ksub: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ ANN (r11) — the composition FAISS actually ships: an IVF
+    coarse quantizer restricts the search to ``nprobe`` buckets, and
+    within them vectors are PQ-encoded on their RESIDUALS (v minus the
+    bucket centroid), so the scan reads 4-byte codes AND skips
+    (1 - nprobe/n_centroids) of the corpus. Query-time distance is the
+    per-(query, bucket) ADC table over residual codebooks.
+
+    Deterministic by construction (hyperplane-seeded coarse centroids —
+    same as ``ivf_topk`` — and seed residual codebooks from the ksub
+    lowest vec_ids), so DuckDB replays coarse assignment + residuals +
+    encode + ADC bit-for-bit (sequential list folds; ADC sums add the m
+    subspace terms in fixed order). Seed (untrained) codebooks are the
+    recall FLOOR — measured ~0.1 vs exact cosine top-10 on the test
+    fixture (plain pq_topk ~0.3); production Lloyd-trains codebooks,
+    which changes quality, not the plumbing verified here. Returns
+    (query_id, neighbor_id, rank, approx_d2)."""
+    import numpy as np
+
+    sub_d = dim // m
+    if sub_d * m != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    cm = np.array([_hyperplane(dim, 1000 + c) for c in range(n_centroids)],
+                  dtype="float64")
+
+    qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+    probe = np.argsort(-(qn @ cm.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probe for b in row})
+
+    assign_schema = T.StructType([
+        T.StructField("nid", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            mtx = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bucket = np.argmax(mtx @ cm.T, axis=1).astype("int32")
+            yield pd.DataFrame({"nid": pdf[id_col], "vec": pdf[vec_col],
+                                "bucket": bucket})
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(w)) for w in cm[c]]) for c in range(n_centroids)])
+    resid = F.zip_with(
+        F.col("vec").cast("array<double>"),
+        F.element_at(cent_lit, F.col("bucket") + 1),
+        lambda a, b: a - b)
+    rv = assigned.select("nid", "bucket", resid.alias("r"))
+
+    def _slices(col: str):
+        return F.posexplode(F.array(*[
+            F.slice(col, s * sub_d + 1, sub_d) for s in range(m)]))
+
+    # residual codebooks: the ksub lowest ids' residual slices
+    cw = Window.partitionBy("sub").orderBy("nid")
+    codebook = (
+        rv.orderBy("nid").limit(ksub)
+        .select("nid", _slices("r").alias("sub", "c"))
+        .select("sub", (F.row_number().over(cw) - 1).alias("code"), "c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    codes = (
+        rv.filter(F.col("bucket").isin(wanted))
+        .select("nid", "bucket", _slices("r").alias("sub", "sv"))
+        .join(F.broadcast(codebook), "sub")
+        .select("nid", "bucket", "sub", "code", d2.alias("d2"))
+        .groupBy("nid", "bucket", "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    # per-(query, probed bucket) residual -> ADC table, built
+    # relationally from literal query vectors (tiny by contract)
+    spark = emb.sparkSession
+    qvecs = spark.createDataFrame(
+        [(q, [float(x) for x in vec]) for q, vec in
+         zip(qids, (r[1] for r in qrows))],
+        T.StructType([T.StructField("query_id", T.LongType()),
+                      T.StructField("qv", T.ArrayType(T.DoubleType()))]))
+    probe_df = spark.createDataFrame(
+        [(q, int(b)) for q, row in zip(qids, probe) for b in row],
+        "query_id long, bucket int")
+    qres = probe_df.join(qvecs, "query_id").select(
+        "query_id", "bucket",
+        F.zip_with("qv", F.element_at(cent_lit, F.col("bucket") + 1),
+                   lambda a, b: a - b).alias("qr"))
+    qd2 = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    adc = (
+        qres.select("query_id", "bucket", _slices("qr").alias("sub", "sv"))
+        .join(F.broadcast(codebook), "sub")
+        .select("query_id", "bucket", "sub", "code", qd2.alias("d2c"))
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["bucket", "sub", "code"])
+        .filter(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(*[F.sum(F.when(F.col("sub") == s, F.col("d2c"))).alias(f"__s{s}")
+               for s in range(m)])
+    )
+    total = F.col("__s0")
+    for s in range(1, m):
+        total = total + F.col(f"__s{s}")
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(total, 6).alias("approx_d2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
 def coverage_sample(emb: DataFrame, k: int = 3, n_centroids: int = 8,
                     dim: int = 64, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
