@@ -455,7 +455,10 @@ class Executor:
             while len(self._tt_local.pins) > tt_depth:
                 key, version = self._tt_local.pins.pop()
                 self.catalog.unpin_version_for_read(key, version)
-            entry["ms"] = int((time.time() - started) * 1000)
+            # precise end instant (float seconds) for AT(STATEMENT =>)
+            # resolution; "ms" stays the history-display duration
+            entry["end"] = time.time()
+            entry["ms"] = int((entry["end"] - started) * 1000)
             self._persist_history(entry)
 
     # ------------------------------------------------------------------
@@ -1361,9 +1364,15 @@ class Executor:
             if before:
                 target = float(entry["start"])
             else:
-                # ms is floor-rounded; pad one tick so a write landing
-                # in the final fraction of the statement still counts
-                target = float(entry["start"]) + (entry.get("ms", 0) + 1) / 1000.0
+                # r12 (ADVICE): use the statement's precise recorded end
+                # instant — the old floor-rounded ms + 1ms pad wrongly
+                # included a DIFFERENT statement's version written within
+                # 1ms after the target statement ended. Fall back to the
+                # padded form only for pre-r12 persisted history entries.
+                if "end" in entry:
+                    target = float(entry["end"])
+                else:
+                    target = float(entry["start"]) + (entry.get("ms", 0) + 1) / 1000.0
         else:  # TIMESTAMP
             from datetime import datetime, timezone
 

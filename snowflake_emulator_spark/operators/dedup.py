@@ -453,6 +453,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .localCheckpoint(eager=False)
     )
     prev_sig = None
+    converged = False
     for it in range(max_iterations):
         # -- large-star: symmetric neighborhoods; re-point every
         #    LARGER neighbor at the neighborhood minimum ---------------
@@ -489,15 +490,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         _release_local_checkpoint(edges)  # previous round: done with it
         edges = new_edges
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
     # at the fixpoint every non-root points straight at its component
     # min; roots (the minima) map to themselves
-    final = (
+    mapping = (
         nodes.join(edges, nodes["node"] == edges["src"], "left")
         .select(nodes["node"], F.coalesce(edges["dst"], nodes["node"]).alias("comp"))
-        .localCheckpoint(eager=True)
     )
+    if not converged:
+        # r12 (ADVICE): max_iterations exhausted before the fixpoint —
+        # the edge set may not be rooted stars yet, so a node can carry
+        # MULTIPLE outgoing edges and the join above would emit
+        # conflicting component rows silently. Min-aggregate per node as
+        # the safety net: one (possibly non-minimal but consistent)
+        # label per node, never duplicates. O(log n) star-round theory
+        # makes this unreachable for max_iterations >= ~2*log2(n).
+        mapping = mapping.groupBy("node").agg(F.min("comp").alias("comp"))
+    final = mapping.localCheckpoint(eager=True)
     _release_local_checkpoint(edges)
     _release_local_checkpoint(base)
     return final

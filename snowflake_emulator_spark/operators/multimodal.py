@@ -187,9 +187,13 @@ def png_decode(content: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos:pos + 4])
         ctype = content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + length]
-        if len(data) != length:
+        # r12 (ADVICE): one bound check covers data AND the 4 CRC bytes —
+        # a corrupted length whose data barely fits but leaves <4 CRC
+        # bytes previously escaped as struct.error (outside the
+        # documented ValueError/NotImplementedError/zlib.error set)
+        if pos + 12 + length > len(content):
             raise ValueError("truncated PNG chunk")
+        data = content[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", content[pos + 8 + length:pos + 12 + length])
         if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):

@@ -54,6 +54,10 @@ MATCH_SCHEMA_FIELDS = [
 _STATE_SCHEMA = T.StructType([
     T.StructField("ts_us", T.ArrayType(T.LongType()), True),
     T.StructField("masks", T.ArrayType(T.LongType()), True),
+    # r12 (ADVICE): stable tiebreak key per buffered row — same-timestamp
+    # rows must order exactly like the batch operator's ORDER BY
+    # (ts, event_id), not by mask value
+    T.StructField("keys", T.ArrayType(T.LongType()), True),
     T.StructField("n_matches", T.LongType(), True),
 ])
 
@@ -66,6 +70,7 @@ def pattern_detect_stream(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
     max_buffer: int = 10_000,
+    order_col: str | None = "event_id",
 ) -> DataFrame:
     """Emit one row per completed pattern match per partition:
     (partition, match_number, start_ts, end_ts, n_rows).
@@ -73,7 +78,12 @@ def pattern_detect_stream(
     ``define`` maps symbol -> row-local SQL boolean over the stream's
     columns; ``pattern`` uses the batch operator's full grammar
     (quantifiers, alternation, PERMUTE, anchors are meaningless on an
-    unbounded stream and rejected). AFTER MATCH SKIP PAST LAST ROW."""
+    unbounded stream and rejected). AFTER MATCH SKIP PAST LAST ROW.
+
+    ``order_col`` (r12): stable tiebreak for same-timestamp rows within
+    a partition, mirroring the batch operator's ORDER BY (ts, event_id);
+    falls back to arrival order (lit 0, stable sort) when the stream has
+    no such column."""
     import re as _re
 
     for sym, pred in define.items():
@@ -118,7 +128,7 @@ def pattern_detect_stream(
     def fn(key, pdfs, state):
         pk = key[0]
         if state.hasTimedOut:
-            ts_us, masks, n_matches = state.get
+            ts_us, masks, _keys, n_matches = state.get
             state.remove()
             if ts_us:
                 # the stream went quiet past the buffer: everything is
@@ -127,20 +137,29 @@ def pattern_detect_stream(
                 if matches:
                     yield _emit(pk, list(ts_us), n_matches, matches)
             return
-        buf_ts, buf_mask, n_matches = (list(state.get[0]), list(state.get[1]),
-                                       state.get[2]) if state.exists \
-            else ([], [], 0)
+        buf_ts, buf_mask, buf_key, n_matches = (
+            list(state.get[0]), list(state.get[1]), list(state.get[2]),
+            state.get[3]) if state.exists else ([], [], [], 0)
         new = pd.concat(list(pdfs))
         if len(new):
+            # sort by (ts, key) — the batch operator's ORDER BY; the
+            # mask rides along OUTSIDE the sort key (same-ts rows must
+            # not order by mask value). Python's sort is stable, so
+            # exact (ts, key) ties keep buffer-then-arrival order.
             merged = sorted(
-                zip(buf_ts, buf_mask)) + sorted(
+                zip(buf_ts, buf_key, buf_mask),
+                key=lambda r: (r[0], r[1])) + sorted(
                 zip((new["ts"].astype("int64") // 1000).tolist(),
-                    new["__mask"].astype("int64").tolist()))
-            merged.sort()
-            buf_ts = [t for t, _m in merged]
-            buf_mask = [m for _t, m in merged]
+                    new["__key"].astype("int64").tolist(),
+                    new["__mask"].astype("int64").tolist()),
+                key=lambda r: (r[0], r[1]))
+            merged.sort(key=lambda r: (r[0], r[1]))
+            buf_ts = [t for t, _k, _m in merged]
+            buf_key = [k for _t, k, _m in merged]
+            buf_mask = [m for _t, _k, m in merged]
         if len(buf_ts) > max_buffer:
             buf_ts = buf_ts[-max_buffer:]
+            buf_key = buf_key[-max_buffer:]
             buf_mask = buf_mask[-max_buffer:]
         wm_us = state.getCurrentWatermarkMs() * 1000
         n_final = 0
@@ -161,10 +180,11 @@ def pattern_detect_stream(
             out = _emit(pk, buf_ts, n_matches, emit)
             n_matches += len(emit)
             buf_ts = buf_ts[consumed:]
+            buf_key = buf_key[consumed:]
             buf_mask = buf_mask[consumed:]
         else:
             out = None
-        state.update((buf_ts, buf_mask, n_matches))
+        state.update((buf_ts, buf_mask, buf_key, n_matches))
         if buf_ts:
             # flush when the watermark passes the newest buffered row.
             # Clamped above the CURRENT watermark: when every buffered
@@ -178,10 +198,14 @@ def pattern_detect_stream(
         if out is not None:
             yield out
 
+    key_expr = (F.col(order_col).cast("long")
+                if order_col and order_col in events.columns
+                else F.lit(0).cast("long"))
     work = (
         events.withWatermark(ts_col, watermark)
         .withColumn("__mask", mask)
-        .select(partition_col, F.col(ts_col).alias("ts"), "__mask")
+        .withColumn("__key", key_expr)
+        .select(partition_col, F.col(ts_col).alias("ts"), "__mask", "__key")
     )
     return work.groupBy(partition_col).applyInPandasWithState(
         fn,

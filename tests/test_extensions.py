@@ -642,3 +642,21 @@ def test_ivfpq_topk_recall_and_shape(emb):
     plan = similarity.ivfpq_topk(emb, [0], k=5, n_centroids=8, nprobe=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_nonconvergence_safety_net(spark):
+    """r12 (ADVICE): when max_iterations exhausts before the star-round
+    fixpoint, the final mapping must still emit EXACTLY one row per node
+    (min-aggregate safety net), never silent conflicting duplicates."""
+    from snowflake_emulator_spark.operators import dedup
+
+    # a 12-node chain: one star round cannot root it
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"])
+    rows = dedup.connected_components(pairs, max_iterations=1).collect()
+    assert len(rows) == 12
+    assert len({r["node"] for r in rows}) == 12  # one row per node
+    # converged run still gives the exact minimum labels
+    rows2 = dedup.connected_components(pairs).collect()
+    assert {(r["node"], r["comp"]) for r in rows2} == {
+        (i, 1) for i in range(1, 13)}

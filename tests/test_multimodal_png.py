@@ -134,3 +134,20 @@ def test_png_decoder_mutation_robustness(spark):
     out = png_features(df).collect()
     assert len(out) == 60
     assert all(isinstance(r["decode_ok"], bool) for r in out)
+
+
+def test_png_truncated_crc_raises_value_error():
+    """r12 (ADVICE): a corrupted length field whose chunk data fits but
+    leaves <4 CRC bytes must raise ValueError('truncated PNG chunk'),
+    not an undocumented struct.error."""
+    blob = png_encode(2, 2, bytes(range(12)), 2)
+    # cut into IEND's CRC: data (0 bytes) still "fits", CRC does not
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        png_decode(blob[:-2])
+    # also with a length field inflated to swallow the tail
+    b2 = bytearray(blob)
+    # first chunk after sig is IHDR at offset 8; set its length so data
+    # ends exactly at EOF leaving no CRC bytes
+    struct.pack_into(">I", b2, 8, len(b2) - 8 - 8)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        png_decode(bytes(b2))

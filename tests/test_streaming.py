@@ -303,3 +303,48 @@ def test_streaming_pattern_detect_restrictions(spark):
     with pytest.raises(ValueError, match="anchors"):
         pattern_stream.pattern_detect_stream(
             df, "^ A", {"A": "event_type = 'x'"})
+
+
+def test_streaming_pattern_tied_timestamp_tiebreak(spark, tmp_path):
+    """r12 (ADVICE): same-timestamp rows within a partition must order
+    by the stable key (event_id) — mirroring batch ORDER BY (ts,
+    event_id) — not by symbol mask value. Here 'Y X' only matches when
+    the id order (y first) wins over the mask order (x's bit is lower)."""
+    import json as _json
+    import os as _os
+
+    from snowflake_emulator_spark.streaming import events_stream, pattern_stream
+
+    src = tmp_path / "tie_src"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        # SAME timestamp; event_id order is y(1) then x(2). The X symbol
+        # is declared first (bit 0 < Y's bit 1), so a mask-ordered sort
+        # would flip them and 'Y X' would never match.
+        for r in [
+            {"event_id": 2, "ts": "2024-01-01T00:00:00", "user_id": 7,
+             "event_type": "x", "value": 1.0, "props": "{}"},
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7,
+             "event_type": "y", "value": 1.0, "props": "{}"},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+    with open(src / "b2.json", "w") as f:
+        # heartbeat far ahead: watermark passes, timeout flushes user 7
+        f.write(_json.dumps(
+            {"event_id": 9, "ts": "2024-01-01T06:00:00", "user_id": 99,
+             "event_type": "y", "value": 1.0, "props": "{}"}) + "\n")
+    for i, fname in enumerate(["b1.json", "b2.json"]):
+        t = 1710000000 + i * 10
+        _os.utime(src / fname, (t, t))
+
+    stream = events_stream.read_event_stream(spark, str(src),
+                                             max_files_per_trigger=1)
+    out = pattern_stream.pattern_detect_stream(
+        stream, "Y X",
+        {"X": "event_type = 'x'", "Y": "event_type = 'y'"},
+        partition_col="user_id", watermark="10 minutes")
+    events_stream.run_to_memory_sink(out, name="t_tiebreak", timeout_s=240,
+                                     output_mode="append")
+    got = [(r["user_id"], r["n_rows"])
+           for r in spark.sql("SELECT * FROM t_tiebreak").collect()]
+    assert got == [(7, 2)]
