@@ -364,8 +364,97 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
     )
 
 
+def _lloyd_train_codebook(subs: DataFrame, codebook: DataFrame,
+                          rounds: int) -> DataFrame:
+    """Fixed-round Lloyd refinement of a per-subspace PQ codebook
+    (r13, VERDICT r11/r12 item 1).
+
+    ``subs`` is the (id, sub, sv) sub-vector relation (one row per
+    vector per subspace); ``codebook`` is the seed (sub, code, c)
+    relation. Each round runs the classical two steps relationally:
+
+    * ASSIGN — broadcast a per-sub centroid ARRAY (ordered by code
+      id) against the sub-vectors; per row the nearest code is
+      ``array_position(d2s, array_min(d2s)) - 1`` — a pure map-side
+      argmin (no 1-to-ksub row multiplication, no shuffle) whose
+      first-index tie-break equals the lowest code id. Each d2 is the
+      sequential ``zip_with``/``aggregate`` JVM fold, bit-identical to
+      DuckDB's ``list_sum(list_transform(list_zip(...)))`` replay.
+    * UPDATE — new centroid = element-wise mean of the assigned
+      sub-vectors, ROUNDED to 6 decimals. The rounding is what makes
+      training engine-replayable: Spark's parallel partial sums and
+      DuckDB's serial sums agree on the rounded value (ulp differences
+      sit ~9 orders of magnitude below the rounding grain), so both
+      engines iterate from bit-identical codebooks. Codes that attract
+      no members keep their previous centroid (left-join coalesce).
+
+    The refined codebook is COLLECTED to the driver between rounds and
+    re-broadcast as a literal — the same structure MLlib's KMeans uses
+    (centroids are a driver-side model artifact, tiny by definition:
+    m*ksub rows regardless of corpus size). Each round is therefore one
+    map-side job over the sub-vector relation plus one partial-agg
+    shuffle of m*ksub*sub_d cells; at 100 TB you train on a
+    deterministic sample (e.g. ``id % mod = 0``) exactly as FAISS
+    trains on ~1M vectors, then encode the full corpus once."""
+    spark = subs.sparkSession
+    cb_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("c", T.ArrayType(T.DoubleType())),
+    ])
+    current = {(r["sub"], r["code"]): [float(x) for x in r["c"]]
+               for r in codebook.collect()}
+    sub_d = len(next(iter(current.values())))
+    carr_schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("carr", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    subs = subs.select("sub", F.col("sv").cast("array<double>").alias("sv"))
+    subs.persist()
+    try:
+        for _ in range(rounds):
+            # per-sub centroid ARRAY (ordered by code id) instead of one
+            # row per code: assignment is then a per-row argmin over the
+            # array — no 1-to-ksub row multiplication and no shuffle
+            by_sub: dict[int, list[list[float]]] = {}
+            for (s, c), v in sorted(current.items()):
+                by_sub.setdefault(s, []).append(v)
+            carr_df = spark.createDataFrame(sorted(by_sub.items()), carr_schema)
+            d2s = F.transform(
+                "carr",
+                lambda c: F.aggregate(
+                    F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x))
+            # first index holding the min == lowest code id on ties —
+            # the same tie-break as the oracle's ORDER BY d2, code
+            assigned = (
+                subs.join(F.broadcast(carr_df), "sub")
+                .select("sub", "sv", d2s.alias("d2s"))
+                .select("sub", "sv",
+                        (F.array_position("d2s", F.array_min("d2s")) - 1)
+                        .cast("int").alias("code"))
+            )
+            # element-wise mean per (sub, code), rounded: ONE small
+            # shuffle of n*sub_d cells; empty codes keep their centroid
+            upd = (
+                assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("mval"))
+            )
+            fresh: dict[tuple[int, int], list[float]] = {}
+            for r in upd.collect():
+                fresh.setdefault((r["sub"], r["code"]),
+                                 [0.0] * sub_d)[r["pos"]] = float(r["mval"])
+            current.update(fresh)
+    finally:
+        subs.unpersist()
+    return spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(current.items())], cb_schema)
+
+
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             m: int = 4, ksub: int = 16, dim: int = 64,
+            train_rounds: int = 0,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Product-quantization ANN top-k (r11) — the classical MEMORY
     scale path for vector search at 100 TB: each vector is encoded as
@@ -377,14 +466,19 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     Nearest Neighbor Search", TPAMI 2011).
 
     Deterministic-by-construction so a SQL oracle can replay it
-    exactly: codebooks are the ``ksub`` lowest vec_ids' sub-vectors
-    (production would Lloyd-train them; the encode/ADC/scan plumbing is
-    identical), argmin ties break on the lowest code id, and the ADC
-    sum adds the m contributions in FIXED subspace order (a groupBy
-    float sum would re-associate). Plan shape: one broadcast join
-    against the (m*ksub)-row codebook to ENCODE, one broadcast join
-    against the (|queries|*m*ksub)-row ADC table to SCORE, window
-    top-k. Returns (query_id, neighbor_id, rank, approx_d2)."""
+    exactly: codebooks seed from the ``ksub`` lowest vec_ids'
+    sub-vectors and (r13) optionally refine through ``train_rounds``
+    fixed Lloyd iterations (``_lloyd_train_codebook`` — rounded
+    centroid means keep both engines on bit-identical codebooks, so
+    DuckDB replays TRAINING end-to-end, not just encode/scan); argmin
+    ties break on the lowest code id, and the ADC sum adds the m
+    contributions in FIXED subspace order (a groupBy float sum would
+    re-associate). Plan shape: one broadcast join against the
+    (m*ksub)-row codebook to ENCODE, one broadcast join against the
+    (|queries|*m*ksub)-row ADC table to SCORE, window top-k.
+    Trained recall (m=32, ksub=64, 10 rounds, sf0.01 fixture) is
+    ~0.8 vs exact cosine top-10; untrained seeds are the ~0.3 floor.
+    Returns (query_id, neighbor_id, rank, approx_d2)."""
     sub_d = dim // m
     if sub_d * m != dim:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -407,14 +501,28 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     cw = Window.partitionBy("sub").orderBy(id_col)
     codebook = codebook.select(
         "sub", (F.row_number().over(cw) - 1).alias("code"), "c")
-    d2 = F.aggregate(
-        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    if train_rounds > 0:
+        codebook = _lloyd_train_codebook(subs, codebook, train_rounds)
+    # ENCODE via per-sub centroid ARRAY + per-row argmin (r13): no
+    # 1-to-ksub row multiplication and no shuffle — the old
+    # join+groupBy(min_by) form shuffled n*m*ksub rows. First-index
+    # tie-break == lowest code id == the oracle's ORDER BY d2, code.
+    carr = (
+        codebook.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "c"))).alias("cc"))
+        .select("sub", F.expr("transform(cc, x -> x.c)").alias("carr"))
+    )
+    d2s = F.transform(
+        "carr",
+        lambda c: F.aggregate(
+            F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
     codes = (
-        subs.join(F.broadcast(codebook), "sub")
-        .select(id_col, "sub", F.col("code"), d2.alias("d2"))
-        .groupBy(id_col, "sub")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        subs.join(F.broadcast(carr), "sub")
+        .select(id_col, "sub", d2s.alias("d2s"))
+        .select(id_col, "sub",
+                (F.array_position("d2s", F.array_min("d2s")) - 1)
+                .cast("int").alias("code"))
     )
     # ADC lookup table: |queries| x m x ksub rows — tiny, broadcast.
     # Built relationally from the same codebook (no driver math).
@@ -450,7 +558,7 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                n_centroids: int = 8, nprobe: int = 3, m: int = 4,
-               ksub: int = 16, dim: int = 64,
+               ksub: int = 16, dim: int = 64, train_rounds: int = 0,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ ANN (r11) — the composition FAISS actually ships: an IVF
     coarse quantizer restricts the search to ``nprobe`` buckets, and
@@ -463,10 +571,12 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     same as ``ivf_topk`` — and seed residual codebooks from the ksub
     lowest vec_ids), so DuckDB replays coarse assignment + residuals +
     encode + ADC bit-for-bit (sequential list folds; ADC sums add the m
-    subspace terms in fixed order). Seed (untrained) codebooks are the
-    recall FLOOR — measured ~0.1 vs exact cosine top-10 on the test
-    fixture (plain pq_topk ~0.3); production Lloyd-trains codebooks,
-    which changes quality, not the plumbing verified here. Returns
+    subspace terms in fixed order). ``train_rounds`` (r13) refines the
+    residual codebooks through fixed Lloyd iterations over ALL
+    residuals (``_lloyd_train_codebook`` — rounded centroid means keep
+    the training itself engine-replayable). Trained recall (nc=4,
+    nprobe=3, m=32, ksub=128, 8 rounds, sf0.01 fixture) is ~0.66 vs
+    exact cosine top-10; untrained seeds are the ~0.1 floor. Returns
     (query_id, neighbor_id, rank, approx_d2)."""
     import numpy as np
 
@@ -516,16 +626,31 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         .select("nid", _slices("r").alias("sub", "c"))
         .select("sub", (F.row_number().over(cw) - 1).alias("code"), "c")
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    if train_rounds > 0:
+        # train on ALL residuals (not just probed buckets): the
+        # codebook is query-independent, exactly as FAISS trains it
+        rsubs = rv.select("nid", _slices("r").alias("sub", "sv"))
+        codebook = _lloyd_train_codebook(rsubs, codebook, train_rounds)
+    # ENCODE via per-sub centroid ARRAY + per-row argmin (r13, same as
+    # pq_topk): map-side, no shuffle, oracle-identical tie-break
+    carr = (
+        codebook.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "c"))).alias("cc"))
+        .select("sub", F.expr("transform(cc, x -> x.c)").alias("carr"))
+    )
+    d2s = F.transform(
+        "carr",
+        lambda c: F.aggregate(
+            F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x))
     codes = (
         rv.filter(F.col("bucket").isin(wanted))
         .select("nid", "bucket", _slices("r").alias("sub", "sv"))
-        .join(F.broadcast(codebook), "sub")
-        .select("nid", "bucket", "sub", "code", d2.alias("d2"))
-        .groupBy("nid", "bucket", "sub")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        .join(F.broadcast(carr), "sub")
+        .select("nid", "bucket", "sub", d2s.alias("d2s"))
+        .select("nid", "bucket", "sub",
+                (F.array_position("d2s", F.array_min("d2s")) - 1)
+                .cast("int").alias("code"))
     )
     # per-(query, probed bucket) residual -> ADC table, built
     # relationally from literal query vectors (tiny by contract)
