@@ -737,6 +737,21 @@ class Executor:
             if not dmm:
                 raise errors.syntax_error(f"bad DEFINE entry: {piece[:40]}")
             define[dmm.group(1).upper()] = t.translate_expr(dmm.group(2).strip())
+        # r13: SUBSET union symbols (SQL:2016) — `SUBSET S = (A, B),
+        # T = (C)` between PATTERN and DEFINE; usable as a measure
+        # qualifier and in AFTER MATCH SKIP TO (operator validates)
+        subsets: dict[str, list[str]] = {}
+        sub_m = re.search(r"\bSUBSET\b(.*?)(?=\bDEFINE\b|$)", body,
+                          re.I | re.S)
+        if sub_m:
+            for piece in t._split_args(sub_m.group(1)):
+                smm = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*\((.*)\)\s*$",
+                               piece.strip(), re.S)
+                if not smm:
+                    raise errors.syntax_error(
+                        f"bad SUBSET entry: {piece[:40]}")
+                subsets[smm.group(1).upper()] = [
+                    x.strip() for x in smm.group(2).split(",") if x.strip()]
         # measures -> operator output columns
         sel = [part_cols[0], "match_number", "n_rows"]
         renames: list[str] = []
@@ -825,7 +840,8 @@ class Executor:
                      all_rows_measures=arm or None,
                      count_cols=[_col(c) for c in count_cols] or None,
                      skip_to_symbol=skip_to_symbol,
-                     symbol_measures=sym_ms or None)
+                     symbol_measures=sym_ms or None,
+                     subsets=subsets or None)
         if renames:
             # a measure alias may equal a base output column (e.g.
             # MATCH_NUMBER() AS match_number) — drop the shadowed base

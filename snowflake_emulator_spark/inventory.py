@@ -1447,6 +1447,111 @@ FROM matches GROUP BY user_id ORDER BY user_id
 """
 
 
+def _sql_match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 (VERDICT r11/r12 item 3): SQL:2016 SUBSET union symbols —
+    the last MATCH_RECOGNIZE feature. ``SUBSET MOVE = (DOWN, UP),
+    STALL = (STRT, FLAT)`` makes a union symbol usable as a measure
+    qualifier: a row is mapped to MOVE when its CLASSIFIER is any
+    member (bitmask-OR over member symbols, generalizing the r11
+    symbol-qualified-measure machinery from `== bit` to `in bits`).
+    Pattern STRT (DOWN|FLAT)+ UP+ interleaves the members, so
+    FIRST(MOVE.value) genuinely skips leading FLAT rows. DuckDB
+    replays with the recursive-CTE stepper (PAST LAST scan) over a
+    4-char symbol string and per-match substring arithmetic."""
+    import tempfile
+
+    from .engine import Engine
+    from .executor import SessionContext
+
+    load_views(spark, sf_dir)
+    eng = Engine(spark, base_dir=tempfile.mkdtemp(prefix="mrsub_wh_"))
+    return eng.executor.query_df("""
+SELECT user_id, COUNT(*) AS n_matches,
+       ROUND(SUM(fmove), 4) AS fmove_sum,
+       ROUND(SUM(lmove), 4) AS lmove_sum,
+       SUM(nmove) AS nmove_total,
+       SUM(nstall) AS nstall_total
+FROM (
+  SELECT user_id, fmove, lmove, nmove, nstall FROM events MATCH_RECOGNIZE (
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(MOVE.value) AS fmove, LAST(MOVE.value) AS lmove,
+             COUNT(MOVE.*) AS nmove, COUNT(STALL.*) AS nstall
+    ONE ROW PER MATCH
+    PATTERN (STRT (DOWN | FLAT)+ UP+)
+    SUBSET MOVE = (DOWN, UP), STALL = (STRT, FLAT)
+    DEFINE DOWN AS value < PRIOR value, FLAT AS value = PRIOR value,
+           UP AS value > PRIOR value
+  ) WHERE user_id <= 40
+)
+GROUP BY user_id ORDER BY user_id
+""", SessionContext()).selectExpr(
+        "user_id", "CAST(n_matches AS BIGINT) AS n_matches",
+        "CAST(fmove_sum AS DOUBLE) AS fmove_sum",
+        "CAST(lmove_sum AS DOUBLE) AS lmove_sum",
+        "CAST(nmove_total AS BIGINT) AS nmove_total",
+        "CAST(nstall_total AS BIGINT) AS nstall_total")
+
+
+# symbol string: B = DOWN (value < prior), C = UP (>), D = FLAT (=),
+# A = first row / no prior. PATTERN (STRT (DOWN|FLAT)+ UP+) -> anchored
+# `.[BD]+C+`, PAST LAST resume. Subset arithmetic per match m at
+# 1-based position mstart: MOVE rows are the B/C chars at offsets >= 2
+# (the STRT row's own char never counts, whatever it is); the leading
+# run of D after STRT delays FIRST(MOVE.value) to vals[mstart+1+f].
+_MR_SUBSET_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id <= 40
+),
+s AS (
+  SELECT user_id,
+         string_agg(CASE WHEN value < lv THEN 'B'
+                         WHEN value > lv THEN 'C'
+                         WHEN value = lv THEN 'D' ELSE 'A' END,
+                    '' ORDER BY rn) AS str,
+         list(value ORDER BY rn) AS vals
+  FROM ordered GROUP BY user_id
+),
+scan(user_id, pos, mstart, m) AS (
+  SELECT user_id, 1, 0, '' FROM s
+  UNION ALL
+  SELECT t.user_id,
+         CASE WHEN t.m2 <> '' THEN t.pos + len(t.m2)
+              ELSE t.pos + 1 END,
+         t.pos, t.m2
+  FROM (
+    SELECT sc.user_id, sc.pos,
+           regexp_extract(substr(s.str, CAST(sc.pos AS INTEGER)),
+                          '^(.[BD]+C+)') AS m2
+    FROM scan sc JOIN s ON s.user_id = sc.user_id
+    WHERE sc.pos <= len(s.str)
+  ) t
+),
+matches AS (
+  SELECT sc.user_id,
+         -- leading FLAT run after the STRT row delays the first MOVE
+         s.vals[CAST(sc.mstart + 1
+                + len(regexp_extract(substr(sc.m, 2), '^(D*)'))
+                AS INTEGER)] AS fmove,
+         -- the match always ends on an UP row
+         s.vals[CAST(sc.mstart + len(sc.m) - 1 AS INTEGER)] AS lmove,
+         -- MOVE = B/C chars at offsets >= 2; STALL = STRT + D chars
+         len(replace(substr(sc.m, 2), 'D', '')) AS nmove,
+         1 + len(sc.m) - 1 - len(replace(substr(sc.m, 2), 'D', '')) AS nstall
+  FROM scan sc JOIN s ON s.user_id = sc.user_id
+  WHERE sc.m <> ''
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       round(sum(fmove), 4) AS fmove_sum,
+       round(sum(lmove), 4) AS lmove_sum,
+       CAST(sum(nmove) AS BIGINT) AS nmove_total,
+       CAST(sum(nstall) AS BIGINT) AS nstall_total
+FROM matches GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _sql_match_recognize_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: PERMUTE(V, P) — view/purchase adjacency in either order,
     SQL:2016 lexicographic expansion; DuckDB replays as (VP|PV)."""
@@ -6088,6 +6193,10 @@ REGISTRY: dict[str, tuple] = {
                                     _MR_SKIP_TO_ORACLE),
     "sql_match_recognize_sym_measures": (_sql_match_recognize_sym_measures,
                                          _MR_SYM_MEASURES_ORACLE),
+    # r13: SUBSET union symbols (SQL:2016) — measure qualifiers over
+    # bitmask-OR'd member symbols; recursive-CTE stepper oracle
+    "sql_match_recognize_subset": (_sql_match_recognize_subset,
+                                   _MR_SUBSET_ORACLE),
     "sql_match_recognize_permute": (_sql_match_recognize_permute,
                                     _MR_PERMUTE_ORACLE),
     # r10: {- -} exclusion — ALL ROWS output drops the excluded run,
@@ -6207,8 +6316,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 221, (
-    f"registry contract: expected 221 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 222, (
+    f"registry contract: expected 222 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -364,10 +364,13 @@ def find_matches(ast, masks, skip_to_next_row: bool = False,
     matches). SKIP PAST LAST ROW resumes at ``end``; SKIP TO NEXT ROW
     resumes at ``start + 1`` (overlapping matches).
 
-    ``skip_to`` = ("first"|"last", symbol_bit) implements SQL:2016
+    ``skip_to`` = ("first"|"last", symbol_bits) implements SQL:2016
     AFTER MATCH SKIP TO FIRST|LAST <symbol>: the scan resumes AT the
     first/last match row mapped to the symbol (that row may start the
-    next match). Per the standard, resuming at the match's own first
+    next match). ``symbol_bits`` is a SET of symbol indices — one
+    element for a plain symbol, several for a SUBSET union symbol
+    (r13: a row is mapped to the subset when its classifier is ANY
+    member). Per the standard, resuming at the match's own first
     row would loop forever and raises, as does a match in which the
     symbol was not bound."""
     out = []
@@ -386,7 +389,7 @@ def find_matches(ast, masks, skip_to_next_row: bool = False,
         if skip_to is not None:
             mode, sym = skip_to
             rows = [i for i, b in enumerate(hit[2])
-                    if (b & ~EXCL_FLAG) == sym]
+                    if (b & ~EXCL_FLAG) in sym]
             if not rows:
                 raise ValueError(
                     "AFTER MATCH SKIP TO: the symbol was not bound in "
@@ -422,6 +425,7 @@ def match_recognize(
     count_cols: list[str] | None = None,
     skip_to_symbol: tuple | None = None,
     symbol_measures: list[tuple] | None = None,
+    subsets: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Row-pattern matching over ``partition_by`` groups.
 
@@ -447,12 +451,40 @@ def match_recognize(
     In ONE ROW output they are final by definition; in ALL ROWS they
     honor running/final like the unqualified forms (a row before the
     symbol's first binding sees NULL / 0).
+    ``subsets`` (r13, SQL:2016 SUBSET clause) maps a UNION-symbol name
+    to its member symbols (``{"MOVE": ["DOWN", "UP"]}``); a match row
+    is mapped to the subset when its CLASSIFIER is any member, i.e.
+    the subset is a bitmask-OR over member symbols. Subset names are
+    valid wherever a symbol qualifier is: ``symbol_measures``
+    (``FIRST(MOVE.value)``, ``COUNT(MOVE.*)``) and
+    ``skip_to_symbol`` (``AFTER MATCH SKIP TO LAST MOVE``). They are
+    NOT usable inside DEFINE or PATTERN (matching Snowflake's surface).
     """
     define_uc = {k.upper(): v for k, v in define.items()}
     symbol_index: dict[str, int] = {s: i for i, s in enumerate(define_uc)}
     ast = parse_pattern(pattern, symbol_index)
     if len(symbol_index) > 60:
         raise ValueError("too many symbols")
+    # r13 SUBSET: resolve union symbols to frozensets of member bits;
+    # a plain symbol qualifier resolves to a one-element set, so every
+    # downstream mapped-row test is uniformly `classifier_bit in set`
+    union_bits: dict[str, frozenset] = {
+        s: frozenset((i,)) for s, i in symbol_index.items()}
+    for sname, members in (subsets or {}).items():
+        s_uc = sname.upper()
+        if s_uc in symbol_index:
+            raise ValueError(
+                f"SUBSET name {sname} collides with a pattern symbol")
+        if not members:
+            raise ValueError(f"SUBSET {sname} has no member symbols")
+        bits = set()
+        for mem in members:
+            m_uc = mem.upper()
+            if m_uc not in symbol_index:
+                raise ValueError(
+                    f"SUBSET {sname} references undefined symbol {mem}")
+            bits.add(symbol_index[m_uc])
+        union_bits[s_uc] = frozenset(bits)
     skip_next = {"past_last": False, "next_row": True}[after_match]
     skip_to = None
     if skip_to_symbol is not None:
@@ -460,18 +492,18 @@ def match_recognize(
         if mode not in ("first", "last"):
             raise ValueError(f"skip_to_symbol mode must be first|last: {mode}")
         sym_uc = sym_name.upper()
-        if sym_uc not in symbol_index:
+        if sym_uc not in union_bits:
             raise ValueError(
                 f"AFTER MATCH SKIP TO references undefined symbol {sym_name}")
-        skip_to = (mode, symbol_index[sym_uc])
+        skip_to = (mode, union_bits[sym_uc])
     symbol_measures = symbol_measures or []
-    sym_ms: list[tuple] = []  # (fn, sym_bit, col, outname, final)
+    sym_ms: list[tuple] = []  # (fn, sym_bits, col, outname, final)
     for fn, sym_name, col, outname, final in symbol_measures:
         sym_uc = sym_name.upper()
-        if sym_uc not in symbol_index:
+        if sym_uc not in union_bits:
             raise ValueError(
                 f"measure references undefined symbol {sym_name}")
-        sym_ms.append((fn.upper(), symbol_index[sym_uc], col, outname,
+        sym_ms.append((fn.upper(), union_bits[sym_uc], col, outname,
                        bool(final)))
 
     # JVM-side candidate bitmask: bit i set when DEFINE predicate i holds
@@ -595,7 +627,7 @@ def match_recognize(
                 # before the current row (NULL / 0 before the first)
                 for fn, sym, col, outname, final in sym_ms:
                     srows = [i for i, b in enumerate(bits)
-                             if (b & ~EXCL_FLAG) == sym]
+                             if (b & ~EXCL_FLAG) in sym]
                     if fn == "COUNT":
                         def _cnt_upto(k):
                             sel = [i for i in srows if i <= k]
@@ -676,7 +708,7 @@ def match_recognize(
             # symbol-qualified measures (r11): rows MAPPED TO the symbol
             for fn, sym, col, outname, _final in sym_ms:
                 srows = [i for i, b in enumerate(bits)
-                         if (b & ~EXCL_FLAG) == sym]
+                         if (b & ~EXCL_FLAG) in sym]
                 if fn == "COUNT":
                     if col in (None, "", "*"):
                         row[outname] = len(srows)

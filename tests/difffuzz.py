@@ -1968,3 +1968,113 @@ def run_substr_cases(spark, con, cases) -> list[str]:
             diff = [(a, b) for a, b in zip(got, sorted(want)) if a != b][:2]
             failures.append(f"{case['desc']}: {diff}")
     return failures
+
+
+# ---------------------------------------------------------------------
+# MATCH_RECOGNIZE SUBSET family (r13): union symbols as measure
+# qualifiers. Symbols are MUTUALLY EXCLUSIVE value bins, so each
+# matched row's CLASSIFIER is determined by its own predicate and the
+# Python re replay can compute subset measures (COUNT/FIRST/LAST over
+# member rows) exactly from the matched char span.
+# ---------------------------------------------------------------------
+
+_MR_SUBSET_PATTERNS = [
+    # (engine pattern over L/M/H, regex over chars l/m/h; 'z' = no bin)
+    ("L M+ H", "lm+h"),
+    ("L+ (M | H)+", "l+[mh]+"),
+    ("(L | M)+ H+", "[lm]+h+"),
+    ("M (L | H)+ M?", "m[lh]+m?"),
+]
+
+
+def generate_mr_subset_cases(seed: int, count: int) -> list[dict]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(count):
+        lo = rng.choice([15.0, 20.0, 25.0])
+        hi = rng.choice([45.0, 55.0, 65.0])
+        pat, rx = rng.choice(_MR_SUBSET_PATTERNS)
+        # the union symbol covers a random >=2-symbol subset of L/M/H
+        members = rng.sample(["L", "M", "H"], rng.randint(2, 3))
+        skip_next = rng.random() < 0.3
+        out.append({
+            "desc": f"mr_subset[{pat} U=({','.join(members)})"
+                    f"{' skip_next' if skip_next else ''}]",
+            "lo": lo, "hi": hi, "pattern": pat, "rx": rx,
+            "members": members, "skip_next": skip_next,
+            "umax": rng.choice([15, 30]),
+        })
+    return out
+
+
+def run_mr_subset_cases(executor, con, cases) -> list[str]:
+    import re as _re2
+
+    from snowflake_emulator_spark.executor import SessionContext
+
+    failures = []
+    for case in cases:
+        lo, hi = case["lo"], case["hi"]
+        members = case["members"]
+        skip_sql = ("AFTER MATCH SKIP TO NEXT ROW "
+                    if case["skip_next"] else "")
+        snow = f"""
+SELECT user_id, match_number, n, nu, fu, lu
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_number, COUNT(*) AS n,
+           COUNT(U.*) AS nu, FIRST(U.event_id) AS fu,
+           LAST(U.event_id) AS lu
+  ONE ROW PER MATCH
+  {skip_sql}PATTERN ({case['pattern']})
+  SUBSET U = ({', '.join(members)})
+  DEFINE L AS value < {lo},
+         M AS value >= {lo} AND value < {hi},
+         H AS value >= {hi}
+) WHERE user_id <= {case['umax']} ORDER BY user_id, match_number"""
+        duck_rows = con.execute(
+            f"SELECT user_id, event_id, "
+            f"CASE WHEN value < {lo} THEN 'l' "
+            f"     WHEN value < {hi} THEN 'm' ELSE 'h' END AS ch "
+            f"FROM events WHERE user_id <= {case['umax']} "
+            f"ORDER BY user_id, ts, event_id").fetchall()
+        rx = _re2.compile(case["rx"])
+        member_chars = {s.lower() for s in members}
+        by_user: dict = {}
+        for uid, eid, ch in duck_rows:
+            by_user.setdefault(uid, []).append((eid, ch))
+        want = []
+        for uid in sorted(by_user):
+            rows_ = by_user[uid]
+            s2 = "".join(ch for _eid, ch in rows_)
+            pos2, mno = 0, 0
+            while pos2 < len(s2):
+                m2 = rx.match(s2, pos2)
+                if m2 is None or m2.end() == m2.start():
+                    pos2 += 1
+                    continue
+                mno += 1
+                st, en = m2.start(), m2.end()
+                urows = [i for i in range(st, en)
+                         if s2[i] in member_chars]
+                want.append((
+                    uid, mno, en - st, len(urows),
+                    rows_[urows[0]][0] if urows else None,
+                    rows_[urows[-1]][0] if urows else None))
+                pos2 = pos2 + 1 if case["skip_next"] else en
+        try:
+            got = [tuple(normalize(v) for v in r)
+                   for r in executor.query_df(snow, SessionContext())
+                   .collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{case['desc']} ERROR: {e}")
+            continue
+        want = [tuple(normalize(v) for v in r) for r in want]
+        if sorted(got, key=repr) != sorted(want, key=repr):
+            diff = [(a, b) for a, b in zip(sorted(got, key=repr),
+                                           sorted(want, key=repr))
+                    if a != b][:3]
+            failures.append(
+                f"{case['desc']}: {len(got)} vs {len(want)} matches, "
+                f"first diffs {diff}")
+    return failures

@@ -271,3 +271,20 @@ def test_differential_fuzz_substring_dedup(probes):
     assert not failures, (
         f"{len(failures)} substring-dedup mismatches:\n"
         + "\n".join(failures[:10]))
+
+
+def test_differential_fuzz_mr_subset(probes, tmp_path):
+    """r13: SUBSET union symbols — mutually exclusive value-bin symbols
+    make each matched row's classifier recoverable from its own char,
+    so the Python re replay computes COUNT/FIRST/LAST over the subset's
+    member rows exactly."""
+    spark, con = probes
+    from snowflake_emulator_spark.engine import Engine
+
+    from difffuzz import generate_mr_subset_cases, run_mr_subset_cases
+
+    eng = Engine(spark, base_dir=str(tmp_path / "mrsub_wh"))
+    cases = generate_mr_subset_cases(SEED + 14, 8)
+    failures = run_mr_subset_cases(eng.executor, con, cases)
+    assert not failures, (
+        f"{len(failures)} MR-SUBSET mismatches:\n" + "\n".join(failures[:10]))

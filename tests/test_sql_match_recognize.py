@@ -439,3 +439,109 @@ def test_match_recognize_symbol_measures_all_rows(engine):
         (2, "DOWN", None, 11.0, 1),
         (3, "UP", 10.0, 11.0, 1),
         (4, "UP", 11.0, 11.0, 1)]
+
+
+def test_match_recognize_subset_one_row(engine):
+    """r13: SQL:2016 SUBSET union symbols — a row maps to the subset
+    when its CLASSIFIER is any member, so FIRST/LAST/COUNT over the
+    subset skip non-member rows interleaved inside the match."""
+    engine.execute("CREATE TABLE mr_sub (g INTEGER, seq INTEGER, price DOUBLE)")
+    # chars: A D B D C C | B D C  (A=no prior, B=down, C=up, D=flat)
+    engine.execute("""INSERT INTO mr_sub VALUES
+      (1, 1, 10.0), (1, 2, 10.0), (1, 3, 8.0), (1, 4, 8.0), (1, 5, 9.0),
+      (1, 6, 12.0), (1, 7, 11.0), (1, 8, 11.0), (1, 9, 13.0)""")
+    rows = engine.execute("""
+      SELECT g, mn, fmove, lmove, nmove, nstall
+      FROM mr_sub MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mn, FIRST(MOVE.price) AS fmove,
+                 LAST(MOVE.price) AS lmove, COUNT(MOVE.*) AS nmove,
+                 COUNT(STALL.*) AS nstall
+        ONE ROW PER MATCH
+        PATTERN (STRT (DOWN | FLAT)+ UP+)
+        SUBSET MOVE = (DOWN, UP), STALL = (STRT, FLAT)
+        DEFINE DOWN AS price < PRIOR price, FLAT AS price = PRIOR price,
+               UP AS price > PRIOR price
+      ) ORDER BY mn""").rows
+    # match 1 = rows 1-6 (STRT FLAT DOWN FLAT UP UP): MOVE rows are
+    # seq 3,5,6 (leading FLAT delays FIRST to the DOWN at 8.0);
+    # match 2 = rows 7-9 (STRT FLAT UP): MOVE = just the UP at 13.0
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 8.0, 12.0, 3, 3),
+        (1, 2, 13.0, 13.0, 1, 2)]
+
+
+def test_match_recognize_subset_all_rows_running(engine):
+    """r13: subset-qualified measures honor RUNNING semantics in ALL
+    ROWS mode — NULL/0 before the first member binding."""
+    engine.execute("CREATE TABLE mr_suba (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_suba VALUES
+      (1, 1, 10.0), (1, 2, 10.0), (1, 3, 8.0), (1, 4, 9.0)""")
+    rows = engine.execute("""
+      SELECT seq, classifier, rlm, fnm
+      FROM mr_suba MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES LAST(MOVE.price) AS rlm, FINAL COUNT(MOVE.*) AS fnm
+        ALL ROWS PER MATCH
+        PATTERN (STRT (DOWN | FLAT)+ UP+)
+        SUBSET MOVE = (DOWN, UP)
+        DEFINE DOWN AS price < PRIOR price, FLAT AS price = PRIOR price,
+               UP AS price > PRIOR price
+      ) ORDER BY seq""").rows
+    assert [tuple(r) for r in rows] == [
+        (1, "STRT", None, 2),
+        (2, "FLAT", None, 2),
+        (3, "DOWN", 8.0, 2),
+        (4, "UP", 9.0, 2)]
+
+
+def test_match_recognize_subset_skip_to(engine):
+    """r13: a SUBSET name is a valid AFTER MATCH SKIP TO target — the
+    scan resumes at the first/last row mapped to ANY member symbol."""
+    engine.execute("CREATE TABLE mr_subs (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_subs VALUES
+      (1, 1, 10.0), (1, 2, 8.0), (1, 3, 9.0), (1, 4, 7.0), (1, 5, 9.0)""")
+    subset_rows = engine.execute("""
+      SELECT mn, f, l FROM mr_subs MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mn, FIRST(seq) AS f, LAST(seq) AS l
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST MOVE
+        PATTERN (STRT DOWN+ UP+)
+        SUBSET MOVE = (DOWN, UP)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      ) ORDER BY mn""").rows
+    # LAST MOVE row == the last UP row, so the V-shapes overlap on the
+    # peak exactly as SKIP TO LAST UP
+    explicit = engine.execute("""
+      SELECT mn, f, l FROM mr_subs MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mn, FIRST(seq) AS f, LAST(seq) AS l
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST UP
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      ) ORDER BY mn""").rows
+    assert [tuple(r) for r in subset_rows] == [tuple(r) for r in explicit]
+    assert [tuple(r) for r in subset_rows] == [(1, 1, 3), (2, 3, 5)]
+
+
+def test_match_recognize_subset_errors(engine):
+    """r13: SUBSET validation — undefined members and name collisions
+    with pattern symbols are rejected."""
+    engine.execute("CREATE TABLE mr_sube (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("INSERT INTO mr_sube VALUES (1, 1, 1.0), (1, 2, 0.5)")
+    with pytest.raises(Exception, match="undefined symbol"):
+        engine.execute("""
+          SELECT g FROM mr_sube MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY seq
+            MEASURES COUNT(M.*) AS n
+            PATTERN (D+) SUBSET M = (D, NOPE)
+            DEFINE D AS price < PRIOR price)""")
+    with pytest.raises(Exception, match="collides"):
+        engine.execute("""
+          SELECT g FROM mr_sube MATCH_RECOGNIZE (
+            PARTITION BY g ORDER BY seq
+            MEASURES COUNT(D.*) AS n
+            PATTERN (D+) SUBSET D = (D)
+            DEFINE D AS price < PRIOR price)""")
