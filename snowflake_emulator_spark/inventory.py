@@ -4292,10 +4292,19 @@ WITH d AS (
   FROM documents WHERE doc_id % 11 = 0
 ),
 px AS (
+  -- r13 variant rotation: doc_id%3=1 is PALETTE (rgb = pal[idx]),
+  -- 0/2 are direct formulas (depth 16's high byte == the depth-8
+  -- values, so both replay identically)
   SELECT d.doc_id, d.w, d.h,
-         (7 * d.doc_id + 3 * x.xv + 5 * y.yv) % 256 AS r,
-         (11 * d.doc_id + 2 * x.xv + y.yv) % 256 AS g,
-         (13 * d.doc_id + x.xv + 4 * y.yv) % 256 AS b
+         CASE WHEN d.doc_id % 3 = 1
+              THEN (7 * d.doc_id + 11 * ((d.doc_id + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (7 * d.doc_id + 3 * x.xv + 5 * y.yv) % 256 END AS r,
+         CASE WHEN d.doc_id % 3 = 1
+              THEN (11 * d.doc_id + 5 * ((d.doc_id + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (11 * d.doc_id + 2 * x.xv + y.yv) % 256 END AS g,
+         CASE WHEN d.doc_id % 3 = 1
+              THEN (13 * d.doc_id + 3 * ((d.doc_id + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (13 * d.doc_id + x.xv + 4 * y.yv) % 256 END AS b
   FROM d, unnest(range(0, d.w)) AS x(xv), unnest(range(0, d.h)) AS y(yv)
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id,

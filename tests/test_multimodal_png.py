@@ -63,10 +63,11 @@ def test_png_multi_idat_and_errors():
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad))
     # documented boundaries raise NotImplementedError, not garbage
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    png16 = _PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    # (r13: 16-bit is now SUPPORTED; sub-byte grayscale is the boundary)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    png4 = _PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="bit depth"):
-        png_decode(png16)
+        png_decode(png4)
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     png_i = _PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="interlace"):
@@ -87,9 +88,14 @@ def test_png_features_spark(spark):
         assert r["decode_ok"] and r["channels"] == 3
         assert r["width"] == 4 + i % 5 and r["height"] == 3 + i % 4
         # independent pixel arithmetic for the mean of channel r
+        # (r13: the fixture rotates RGB8/palette/RGB16 by id%3)
         w, h = 4 + i % 5, 3 + i % 4
-        exp = sum((7 * i + 3 * x + 5 * y) % 256
-                  for x in range(w) for y in range(h)) / (w * h)
+        if i % 3 == 1:
+            exp = sum((7 * i + 11 * ((i + 3 * x + 5 * y) % 16)) % 256
+                      for x in range(w) for y in range(h)) / (w * h)
+        else:
+            exp = sum((7 * i + 3 * x + 5 * y) % 256
+                      for x in range(w) for y in range(h)) / (w * h)
         assert abs(r["mean_r"] - exp) < 1e-9
     # corrupt content -> decode_ok False, job survives
     bad = spark.createDataFrame(
@@ -151,3 +157,128 @@ def test_png_truncated_crc_raises_value_error():
     struct.pack_into(">I", b2, 8, len(b2) - 8 - 8)
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         png_decode(bytes(b2))
+
+
+def test_png_16bit_roundtrip_and_reduction():
+    """r13: depth-16 decode — big-endian samples reduce to their HIGH
+    byte across all color types and every filter path."""
+    import random
+
+    rng = random.Random(31)
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, h = rng.randint(1, 9), rng.randint(1, 7)
+        hi = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        px16 = bytearray()
+        for b in hi:
+            px16 += bytes([b, rng.randrange(256)])  # junk low bytes
+        got = png_decode(png_encode(w, h, bytes(px16), ct,
+                                    lambda y: y % 5, bit_depth=16))
+        assert got == (w, h, ch, hi)
+
+
+def test_png_palette_roundtrip_and_subbyte():
+    """r13: color type 3 — PLTE expansion at depth 8 (our encoder) and
+    a hand-packed depth-4 stream (sub-byte indices, MSB-first, rows
+    padded to byte boundaries)."""
+    import random
+
+    rng = random.Random(32)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(16)]
+    w, h = 5, 4
+    idx = bytes(rng.randrange(16) for _ in range(w * h))
+    got = png_decode(png_encode(w, h, idx, 3, lambda y: y % 5, palette=pal))
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert got == (w, h, 3, want)
+    # depth 4, width 3 (odd -> padded rows): indices 1,2,3 / 4,5,6
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    plte = b"".join(bytes(pal[i]) for i in range(16))
+    scan = b"\x00\x12\x30" + b"\x00\x45\x60"  # filter 0 + packed nibbles
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"IDAT", zlib.compress(scan)) + _chunk(b"IEND", b""))
+    w2, h2, ch2, px2 = png_decode(png)
+    assert (w2, h2, ch2) == (3, 2, 3)
+    assert px2 == b"".join(bytes(pal[i]) for i in (1, 2, 3, 4, 5, 6))
+    # depth 1: width 10 -> 2 bytes per row, MSB-first
+    pal2 = [(0, 0, 0), (255, 128, 7)]
+    ihdr1 = struct.pack(">IIBBBBB", 10, 1, 1, 3, 0, 0, 0)
+    scan1 = b"\x00\xc1\x40"  # bits 1100000101 -> 1,1,0,0,0,0,0,1,0,1
+    png1 = (_PNG_SIG + _chunk(b"IHDR", ihdr1)
+            + _chunk(b"PLTE", b"".join(bytes(c) for c in pal2))
+            + _chunk(b"IDAT", zlib.compress(scan1)) + _chunk(b"IEND", b""))
+    _, _, _, px1 = png_decode(png1)
+    bits = [1, 1, 0, 0, 0, 0, 0, 1, 0, 1]
+    assert px1 == b"".join(bytes(pal2[b]) for b in bits)
+
+
+def test_png_palette_errors():
+    """r13: palette validation — missing PLTE, bad PLTE length, and
+    out-of-range indices are clean ValueErrors."""
+    pal = [(1, 2, 3), (4, 5, 6)]
+    blob = png_encode(2, 2, bytes([0, 1, 1, 0]), 3, palette=pal)
+    # strip the PLTE chunk -> missing
+    plte_at = blob.index(b"PLTE") - 4
+    (plen,) = struct.unpack(">I", blob[plte_at:plte_at + 4])
+    no_plte = blob[:plte_at] + blob[plte_at + 12 + plen:]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        png_decode(no_plte)
+    # PLTE length not divisible by 3
+    bad = (blob[:plte_at]
+           + _chunk(b"PLTE", b"\x01\x02\x03\x04")
+           + blob[plte_at + 12 + plen:])
+    with pytest.raises(ValueError, match="PLTE length"):
+        png_decode(bad)
+    # index out of range: 2-entry palette, index 7 in the stream
+    oor = png_encode(2, 1, bytes([0, 7]), 3, palette=pal)
+    with pytest.raises(ValueError, match="out of range"):
+        png_decode(oor)
+    # 16-bit palette is invalid per spec -> ValueError, not silence
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    png16 = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="palette bit depth"):
+        png_decode(png16)
+
+
+def test_png_palette_mutation_robustness():
+    """r13: byte-mutation fuzz over PALETTE PNGs — mutations landing in
+    PLTE or the packed index stream must fail cleanly (controlled
+    exception types) or decode to a correctly-sized buffer."""
+    import random
+
+    rng = random.Random(133)
+    for i in range(60):
+        w, h = rng.randint(1, 9), rng.randint(1, 7)
+        n_pal = rng.choice([2, 7, 16])
+        pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(n_pal)]
+        idx = bytes(rng.randrange(n_pal) for _ in range(w * h))
+        blob = bytearray(png_encode(w, h, idx, 3, lambda y: y % 5,
+                                    palette=pal))
+        pos = rng.randrange(len(blob))
+        blob[pos] ^= 1 << rng.randrange(8)
+        try:
+            w2, h2, ch2, px2 = png_decode(bytes(blob))
+            assert len(px2) == w2 * h2 * ch2
+        except (ValueError, NotImplementedError, zlib.error):
+            pass
+
+
+def test_synth_media_variant_rotation(spark):
+    """r13: the fixture rotates RGB8 / palette / RGB16 by id%3 and all
+    three decode to the closed-form pixel values."""
+    import pandas as pd
+
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": [33, 22, 11]}))
+    media = synth_png_media(ids)
+    rows = {r["media_id"]: r for r in png_features(media).collect()}
+    for i in (33, 22, 11):
+        r = rows[i]
+        assert r["decode_ok"] and r["channels"] == 3
+        w, h = 4 + i % 5, 3 + i % 4
+        if i % 3 == 1:  # palette
+            exp = sum((7 * i + 11 * ((i + 3 * x + 5 * y) % 16)) % 256
+                      for x in range(w) for y in range(h)) / (w * h)
+        else:  # rgb8 / rgb16 high byte
+            exp = sum((7 * i + 3 * x + 5 * y) % 256
+                      for x in range(w) for y in range(h)) / (w * h)
+        assert abs(r["mean_r"] - exp) < 1e-9, (i, r["mean_r"], exp)
