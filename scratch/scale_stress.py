@@ -54,7 +54,16 @@ QUERIES = [
     # r11 addition: exact-substring span removal (anchor relation is
     # the largest exploded intermediate in the repo)
     "doc_substring_dedup",
+    # r13 (VERDICT item 6): the trained ANN paths — newest scale-path
+    # claims; training cost is corpus-size-bound (one argmin pass +
+    # one tiny partial-agg shuffle per round)
+    "embed_pq_topk",
+    "embed_ivfpq_topk",
 ]
+# SCALE_STRESS_ONLY=a,b,c restricts the run for focused profiling
+_only = os.environ.get("SCALE_STRESS_ONLY")
+if _only:
+    QUERIES = [q for q in QUERIES if q in set(_only.split(","))]
 RATIO_TOLERANCE = 12.0  # r8 plan: sf1/sf0.1 <= ~12x on a 10x replica
 
 

@@ -6233,59 +6233,64 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r11 rotation (VERDICT item 2) with a freshness discipline: every
-    # entry is annotated with the round it last carried a driver row
-    # (from the union of CORRECTNESS_r*.json); cumulative driver
-    # coverage is 211/211 from r10, so this head prioritizes (a) the
-    # four NEW r11 entries, (b) every entry whose code path changed in
-    # r11 (MATCH_RECOGNIZE physical-PREV rewrite, CONNECT BY post-WHERE
-    # fix, regexp kernels, int64 shingles + star components, curriculum
-    # range ordinal, OPEN..USING), and (c) the 22 least-recently-
-    # sampled entries (all r1-r2).
+    # r13 rotation (VERDICT r12 item 2 — the r12 head was byte-identical
+    # to r11's; this one differs by 42 of 50 entries). Annotations give
+    # each entry's last driver-green round (union of CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
-    "scan_filter_project",            # last r10
-    "q1_pricing_summary",             # last r10
-    "q3_shipping_priority",           # last r10
-    "asof_join_events",               # last r10
-    "dedup_minhash_lsh",              # last r10
-    # --- NEW r11 entries (first driver row this round) ---------------
-    "sql_match_recognize_prior_start",  # NEW r11 (physical PREV)
-    "sql_match_recognize_next",         # NEW r11 (NEXT navigation)
-    "sql_match_recognize_skip_to",      # NEW r11 (SKIP TO LAST sym)
-    "sql_match_recognize_sym_measures", # NEW r11 (symbol measures)
-    "stream_pattern_funnel",            # NEW r11 (streaming MR)
-    "sf_array_funcs3",                  # NEW r11 (array batch 3)
-    "embed_pq_topk",                    # NEW r11 (PQ ANN)
-    "embed_ivfpq_topk",                 # NEW r11 (IVF-PQ residuals)
-    "multimodal_png_features",          # NEW r11 (real PNG decode)
-    "doc_substring_dedup",              # NEW r11 (Lee et al. spans)
-    # --- r11-changed code paths (re-gate after this round's edits) ---
-    "sql_match_recognize_prior",      # last r10; MR engine rewritten r11
-    "sql_match_recognize_overlap",    # last r10; MR engine rewritten r11
-    "sql_match_recognize_permute",    # last r10; MR engine rewritten r11
-    "sql_match_recognize_exclusion",  # last r10; MR engine rewritten r11
-    "sql_match_recognize_funnel",     # last r10; MR engine rewritten r11
-    "events_match_recognize_funnel",  # last r7;  MR engine rewritten r11
-    "hierarchy_connect_by",           # last r10; post-WHERE hier fns r11
-    "hierarchy_connect_by_path",      # last r10; post-WHERE hier fns r11
-    "scripted_labeled_cursor",        # last r10; OPEN..USING added r11
-    "sample_curriculum_interleave",   # last r8;  range ordinal r11
-    "dedup_clusters",                 # last r5;  star components r11
-    "dedup_survivors",                # last r9;  star components r11
-    "dedup_survivors_best_quality",   # last r9;  star components r11
-    "pipeline_keep_set",              # last r9;  star components r11
-    "dedup_ngram_jaccard",            # last r4;  int64 shingles r11
-    "dedup_incremental",              # last r5;  int64 shingles r11
-    "dedup_lsh_jaccard_pipeline",     # last r10; int64 shingles r11
-    "regexp_functions",               # last r3;  instr 'e'/pos kernel r11
-    "sf_regexp_funcs",                # last r7;  instr 'e'/pos kernel r11
-    # --- least-recently-sampled fill (last driver row r1-r2) ----------
-    "case_in_list", "events_json_access", "math_functions",
-    "setop_union_distinct", "sf_iff_buckets", "subquery_in",
-    "subquery_scalar", "values_inline_join", "agg_approx_count_distinct",
-    "agg_array_agg_ordered", "agg_group_by_all", "agg_pivot_style",
-    "distinct_segments", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier",
+    "scan_filter_project",            # last r12
+    "q1_pricing_summary",             # last r12
+    "q3_shipping_priority",           # last r12
+    "asof_join_events",               # last r12
+    "dedup_minhash_lsh",              # last r12
+    # --- NEW r13 / r13-changed code paths (re-gate this round) -------
+    "sql_match_recognize_subset",     # NEW r13 (SUBSET union symbols)
+    "embed_pq_topk",                  # r13: Lloyd-trained codebooks
+    "embed_ivfpq_topk",               # r13: trained residual codebooks
+    "multimodal_png_features",        # r13: palette/16-bit variants
+    # --- judge-flagged stale paths (r11/r12 verdicts sampled these
+    # manually every round; rotate them into the hard signal) ---------
+    "dedup_simhash",                  # last r5
+    "dedup_simhash_pairs",            # last r10
+    "text_repetition_filter",         # last r10
+    "stream_hourly_counts",           # last r5
+    "window_sliding_frames",          # last r4 (r8 window batch)
+    "sf_qualify_window_filter",       # last r3
+    # --- least-recently-sampled fill (last driver row r2-r4) ----------
+    "q17_small_qty_revenue",          # last r2
+    "q18_large_volume_customers",     # last r2
+    "q20_part_family_suppliers",      # last r2
+    "q22_idle_customers",             # last r2
+    "q7_nation_volume",               # last r2
+    "q8_market_share",                # last r2
+    "q9_profit_by_nation",            # last r2
+    "window_rank_dense",              # last r2
+    "agg_count_distinct",             # last r3 (also VERDICT item 9 watch)
+    "agg_cube",                       # last r3
+    "agg_grouping_sets",              # last r3
+    "agg_listagg",                    # last r3
+    "agg_median_percentile",          # last r3
+    "embed_kmeans_clusters",          # last r3
+    "events_sessionize",              # last r3
+    "extract_date_parts",             # last r3
+    "join_anti_not_exists",           # last r3
+    "join_theta",                     # last r3
+    "limit_offset",                   # last r3
+    "q12_priority_buckets",           # last r3
+    "q13_customer_distribution",      # last r3
+    "q21_waiting_suppliers",          # last r3
+    "q5_local_supplier",              # last r3
+    "sample_stratified_hash",         # last r3
+    "setop_except",                   # last r3
+    "setop_intersect",                # last r3
+    "sf_object_construct",            # last r3
+    "text_bigram_logprob",            # last r3
+    "text_quality_score",             # last r3
+    "unpivot_line_metrics",           # last r3
+    "window_distribution",            # last r3
+    "window_first_last",              # last r3
+    "window_running_sum",             # last r3
+    "agg_basic_stats",                # last r4
+    "agg_min_by_max_by",              # last r4
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 

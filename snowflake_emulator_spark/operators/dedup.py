@@ -504,9 +504,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # the edge set may not be rooted stars yet, so a node can carry
         # MULTIPLE outgoing edges and the join above would emit
         # conflicting component rows silently. Min-aggregate per node as
-        # the safety net: one (possibly non-minimal but consistent)
-        # label per node, never duplicates. O(log n) star-round theory
+        # the safety net: one deterministic label PER NODE, never
+        # duplicates. r13 (ADVICE): note this is deterministic per node,
+        # NOT component-consistent — two nodes of one true component can
+        # still carry different labels, silently splitting the component
+        # for callers using comp as a cluster key; warn loudly so a
+        # too-low max_iterations is visible. O(log n) star-round theory
         # makes this unreachable for max_iterations >= ~2*log2(n).
+        import warnings
+
+        warnings.warn(
+            "connected_components: max_iterations exhausted before the "
+            "star-contraction fixpoint — labels are deterministic per "
+            "node but components may be SPLIT; raise max_iterations "
+            "(>= ~2*log2(n) rounds suffice)",
+            RuntimeWarning, stacklevel=2)
         mapping = mapping.groupBy("node").agg(F.min("comp").alias("comp"))
     final = mapping.localCheckpoint(eager=True)
     _release_local_checkpoint(edges)

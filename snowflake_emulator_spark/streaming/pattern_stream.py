@@ -83,7 +83,13 @@ def pattern_detect_stream(
     ``order_col`` (r12): stable tiebreak for same-timestamp rows within
     a partition, mirroring the batch operator's ORDER BY (ts, event_id);
     falls back to arrival order (lit 0, stable sort) when the stream has
-    no such column."""
+    no such column, and (r13) for NULL or non-castable values within it.
+
+    CHECKPOINT COMPATIBILITY: r12 added the 'keys' array to the state
+    schema, changing the applyInPandasWithState state layout — a query
+    restored from a pre-r12 checkpoint fails on the state-schema
+    mismatch. Discard the old checkpoint directory (start fresh); the
+    operator is otherwise drop-in compatible."""
     import re as _re
 
     for sym, pred in define.items():
@@ -198,7 +204,12 @@ def pattern_detect_stream(
         if out is not None:
             yield out
 
-    key_expr = (F.col(order_col).cast("long")
+    # r13 (ADVICE): coalesce the cast — a non-numeric (string) or NULL
+    # order column yields SQL NULL, which arrives in pandas as NaN and
+    # made astype('int64') raise at runtime; NULL/uncastable values now
+    # fall back to 0 (arrival order via the stable sort), matching the
+    # column-absent fallback
+    key_expr = (F.coalesce(F.col(order_col).cast("long"), F.lit(0))
                 if order_col and order_col in events.columns
                 else F.lit(0).cast("long"))
     work = (
