@@ -176,6 +176,23 @@ AUDIT = [
     ("sql_match_recognize_skip_to", ["FlatMapGroupsInPandas",
                                      "!BroadcastNestedLoopJoin",
                                      "!CartesianProduct"]),
+    # r13 additions --------------------------------------------------------
+    # SUBSET union symbols: still ONE grouped Arrow pass — subsets are
+    # resolved to bitsets before the kernel ships
+    ("sql_match_recognize_subset", ["FlatMapGroupsInPandas",
+                                    "!BroadcastNestedLoopJoin",
+                                    "!CartesianProduct"]),
+    # trained PQ: the final plan is encode (broadcast per-sub centroid
+    # arrays, per-row argmin — no row multiplication) + ADC broadcast
+    # join + window top-k; training ran as separate tiny jobs. Never a
+    # cartesian; the corpus-side joins must all be broadcast
+    ("embed_pq_topk", ["BroadcastHashJoin", "!CartesianProduct",
+                       "!SortMergeJoin", "!BroadcastNestedLoopJoin"]),
+    # trained IVF-PQ: coarse assign is one Arrow pass; everything else
+    # as embed_pq_topk
+    ("embed_ivfpq_topk", ["MapInPandas", "BroadcastHashJoin",
+                          "!CartesianProduct", "!SortMergeJoin",
+                          "!BroadcastNestedLoopJoin"]),
 ]
 
 

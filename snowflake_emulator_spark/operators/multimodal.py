@@ -13,9 +13,10 @@ content-hash pseudo-features). **PNG decoding is REAL** (r11, VERDICT
 item 6): a pure-stdlib decoder (``zlib`` inflate + ``struct`` chunk
 parsing, all five scanline filter reconstructions — None/Sub/Up/
 Average/Paeth) runs behind the same mapInPandas kernel shape, with a
-matching pure-stdlib encoder used by the test fixtures. Documented
-boundaries: bit depth 8, color types 0/2/6 (gray/RGB/RGBA), no
-interlace, no palette — each raises clearly.
+matching pure-stdlib encoder used by the test fixtures. r13 completes
+the decode surface: palette (PLTE, depths 1/2/4/8), 16-bit (high-byte
+reduction), sub-byte grayscale, and Adam7 interlace — the full
+spec-valid combination table; only unknown color types raise.
 """
 
 from __future__ import annotations
@@ -130,37 +131,23 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_encode(width: int, height: int, pixels: bytes, color_type: int = 2,
-               filter_of_row=None, bit_depth: int = 8,
-               palette: list[tuple] | None = None) -> bytes:
-    """Encode raw pixels (row-major) into a PNG. ``filter_of_row(y) ->
-    0..4`` selects each scanline's filter (default 0/None) — the test
-    fixtures rotate through all five so the decoder's every
-    reconstruction path is exercised.
+# Adam7 interlace passes: (x0, y0, dx, dy) — pass p covers pixels at
+# (x0 + i*dx, y0 + j*dy); the IDAT stream concatenates each pass's
+# independently-filtered scanlines (W3C PNG 4.5.2 / RFC 2083 2.6)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    r13: ``color_type=3`` takes one palette INDEX byte per pixel plus a
-    ``palette`` list of (r, g, b) tuples (encoder writes depth-8
-    indices; the decoder additionally reads 1/2/4-bit palettes);
-    ``bit_depth=16`` takes big-endian 2-byte samples
-    (``width*height*channels*2`` bytes)."""
-    channels = _PNG_CHANNELS[color_type]
-    if color_type == 3:
-        if bit_depth != 8:
-            raise ValueError("encoder writes palette PNGs at depth 8 only")
-        if not palette or len(palette) > 256:
-            raise ValueError("palette PNG requires 1..256 palette entries")
-    elif bit_depth not in (8, 16):
-        raise ValueError(f"unsupported encode bit depth {bit_depth}")
-    bpp = channels * (bit_depth // 8)
-    stride = width * bpp
-    if len(pixels) != stride * height:
-        raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes, expected {stride * height}")
+
+def _filter_rows(pixels: bytes, stride: int, height: int, bpp: int,
+                 filter_of_row, y_base: int = 0) -> bytearray:
+    """Filter a (sub-)image's rows into scanlines (1 filter byte +
+    stride bytes each). ``y_base`` keeps fixture filter rotation
+    continuous across interlace passes."""
     raw = bytearray()
     prior = bytes(stride)
     for y in range(height):
         line = pixels[y * stride:(y + 1) * stride]
-        f = (filter_of_row(y) if filter_of_row else 0) % 5
+        f = (filter_of_row(y_base + y) if filter_of_row else 0) % 5
         raw.append(f)
         if f == 0:
             raw += line
@@ -178,13 +165,119 @@ def png_encode(width: int, height: int, pixels: bytes, color_type: int = 2,
                 else:  # 4 Paeth
                     raw.append((line[i] - _paeth(left, up, ul)) & 0xFF)
         prior = line
+    return raw
+
+
+def _defilter_rows(raw: bytes, pos: int, stride: int, height: int,
+                   bpp: int) -> tuple[bytearray, int]:
+    """Reconstruct ``height`` scanlines of ``stride`` bytes starting at
+    ``raw[pos]``; returns (pixels, next_pos). Filter-byte prefix per row,
+    all five filter types."""
+    need = (stride + 1) * height
+    if pos + need > len(raw):
+        raise ValueError(
+            f"inflated stream is {len(raw)} bytes, expected >= {pos + need}")
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for y in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter type {f}")
+        out[y * stride:(y + 1) * stride] = line
+        prior = bytes(line)
+    return out, pos
+
+
+def _unpack_row(row: bytes, width: int, depth: int,
+                channels: int) -> bytes:
+    """One defiltered scanline -> unpacked per-pixel groups: ``g`` bytes
+    per pixel (g = channels * depth//8 for byte depths; 1 VALUE byte per
+    pixel for sub-byte depths, MSB-first unpacking)."""
+    if depth >= 8:
+        g = channels * (depth // 8)
+        return bytes(row[:width * g])
+    per_byte = 8 // depth
+    maxval = (1 << depth) - 1
+    out = bytearray(width)
+    for x in range(width):
+        b = row[x // per_byte]
+        shift = 8 - depth * (x % per_byte + 1)
+        out[x] = (b >> shift) & maxval
+    return bytes(out)
+
+
+def png_encode(width: int, height: int, pixels: bytes, color_type: int = 2,
+               filter_of_row=None, bit_depth: int = 8,
+               palette: list[tuple] | None = None,
+               interlace: bool = False) -> bytes:
+    """Encode raw pixels (row-major) into a PNG. ``filter_of_row(y) ->
+    0..4`` selects each scanline's filter (default 0/None) — the test
+    fixtures rotate through all five so the decoder's every
+    reconstruction path is exercised.
+
+    r13: ``color_type=3`` takes one palette INDEX byte per pixel plus a
+    ``palette`` list of (r, g, b) tuples (encoder writes depth-8
+    indices; the decoder additionally reads 1/2/4-bit palettes);
+    ``bit_depth=16`` takes big-endian 2-byte samples
+    (``width*height*channels*2`` bytes); ``interlace=True`` writes
+    Adam7 passes (each pass filtered independently, filter rotation
+    continuing across passes)."""
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if bit_depth != 8:
+            raise ValueError("encoder writes palette PNGs at depth 8 only")
+        if not palette or len(palette) > 256:
+            raise ValueError("palette PNG requires 1..256 palette entries")
+    elif bit_depth not in (8, 16):
+        raise ValueError(f"unsupported encode bit depth {bit_depth}")
+    bpp = channels * (bit_depth // 8)
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected {stride * height}")
+    if interlace:
+        raw = bytearray()
+        y_base = 0
+        for x0, y0, dx, dy in _ADAM7:
+            subw = (width - x0 + dx - 1) // dx
+            subh = (height - y0 + dy - 1) // dy
+            if subw <= 0 or subh <= 0:
+                continue
+            sub = bytearray(subw * subh * bpp)
+            for j in range(subh):
+                for i in range(subw):
+                    src = ((y0 + j * dy) * width + (x0 + i * dx)) * bpp
+                    dst = (j * subw + i) * bpp
+                    sub[dst:dst + bpp] = pixels[src:src + bpp]
+            raw += _filter_rows(bytes(sub), subw * bpp, subh, bpp,
+                                filter_of_row, y_base)
+            y_base += subh
+    else:
+        raw = _filter_rows(pixels, stride, height, bpp, filter_of_row)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
-                       0, 0, 0)
+                       0, 0, 1 if interlace else 0)
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
@@ -196,14 +289,15 @@ def png_decode(content: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, raw_pixels)`` —
     row-major 8-bit samples after filter reconstruction.
 
-    Supported (r13 widened — VERDICT r11/r12 item 4): bit depths 8 and
-    16 for color types 0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA);
-    palette (color type 3) at bit depths 1/2/4/8, expanded through the
-    PLTE chunk to 3-channel RGB. 16-bit samples reduce to their HIGH
-    byte (the standard 16->8 reduction; features are 8-bit means).
-    Sub-byte GRAYSCALE (depths 1/2/4 on type 0) and Adam7 interlace
-    remain ``NotImplementedError`` boundaries (rare in real corpora; a
-    production pipeline swaps a C codec into the same kernel)."""
+    Supported (r13 widened — VERDICT r11/r12 item 4, then completed):
+    the FULL spec-valid combination table — color types 0 (gray) /
+    2 (RGB) / 4 (gray+alpha) / 6 (RGBA) at depths 8/16 plus gray at
+    1/2/4; palette (color type 3) at depths 1/2/4/8 expanded through
+    the PLTE chunk to 3-channel RGB; Adam7 interlace for all of the
+    above. 16-bit samples reduce to their HIGH byte (the standard
+    16->8 reduction; features are 8-bit means); sub-byte grayscale
+    scales to 8-bit (v * 255 / maxval). No NotImplementedError decode
+    boundaries remain except unknown color types."""
     if content is None or len(content) < 8 or bytes(content[:8]) != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     content = bytes(content)
@@ -234,12 +328,14 @@ def png_decode(content: bytes) -> tuple[int, int, int, bytes]:
             if color_type == 3:
                 if depth not in (1, 2, 4, 8):
                     raise ValueError(f"invalid palette bit depth {depth}")
+            elif color_type == 0:
+                if depth not in (1, 2, 4, 8, 16):
+                    raise ValueError(f"invalid grayscale bit depth {depth}")
             elif depth not in (8, 16):
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} for color type {color_type} "
-                    "(8/16 supported; sub-byte grayscale is not)")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG (Adam7)")
+                raise ValueError(
+                    f"invalid bit depth {depth} for color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
             if comp != 0 or filt != 0:
                 raise ValueError("bad IHDR compression/filter method")
         elif ctype == b"PLTE":
@@ -259,62 +355,63 @@ def png_decode(content: bytes) -> tuple[int, int, int, bytes]:
     # bpp the byte distance between corresponding bytes of adjacent
     # pixels (1 for sub-byte packing, per the PNG spec)
     bits_per_pixel = depth * channels
-    stride = (width * bits_per_pixel + 7) // 8
-    bpp = max(1, bits_per_pixel // 8)
+    # unpacked per-pixel group size in the assembly grid: VALUE byte(s)
+    # per pixel (sub-byte depths unpack to one byte per pixel)
+    g = channels * (depth // 8) if depth >= 8 else 1
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"inflated stream is {len(raw)} bytes, expected {(stride + 1) * height}")
-    out = bytearray(stride * height)
-    prior = bytes(stride)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prior[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad scanline filter type {f}")
-        out[y * stride:(y + 1) * stride] = line
-        prior = bytes(line)
+    grid = bytearray(width * height * g)
+    if interlace == 0:
+        stride = (width * bits_per_pixel + 7) // 8
+        rows, end = _defilter_rows(raw, 0, stride, height,
+                                   max(1, bits_per_pixel // 8))
+        if end != len(raw):
+            raise ValueError(
+                f"inflated stream is {len(raw)} bytes, expected {end}")
+        for y in range(height):
+            grid[y * width * g:(y + 1) * width * g] = _unpack_row(
+                rows[y * stride:(y + 1) * stride], width, depth, channels)
+    else:
+        # Adam7: each pass is an independently-filtered sub-image whose
+        # pixels scatter back to (x0 + i*dx, y0 + j*dy)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            subw = (width - x0 + dx - 1) // dx
+            subh = (height - y0 + dy - 1) // dy
+            if subw <= 0 or subh <= 0:
+                continue
+            sub_stride = (subw * bits_per_pixel + 7) // 8
+            rows, pos = _defilter_rows(raw, pos, sub_stride, subh,
+                                       max(1, bits_per_pixel // 8))
+            for j in range(subh):
+                up = _unpack_row(rows[j * sub_stride:(j + 1) * sub_stride],
+                                 subw, depth, channels)
+                for i in range(subw):
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * g
+                    grid[dst:dst + g] = up[i * g:(i + 1) * g]
+        if pos != len(raw):
+            raise ValueError(
+                f"inflated stream is {len(raw)} bytes, expected {pos}")
     if color_type == 3:
-        # unpack indices (MSB-first within each byte, rows padded to a
-        # byte boundary), then expand through PLTE to RGB
+        # expand indices through PLTE to RGB
         n_pal = len(plte) // 3
         rgb = bytearray(width * height * 3)
-        per_byte = 8 // depth
-        maxval = (1 << depth) - 1
-        for y in range(height):
-            base = y * stride
-            for x in range(width):
-                if depth == 8:
-                    idx = out[base + x]
-                else:
-                    b = out[base + x // per_byte]
-                    shift = 8 - depth * (x % per_byte + 1)
-                    idx = (b >> shift) & maxval
-                if idx >= n_pal:
-                    raise ValueError(
-                        f"palette index {idx} out of range ({n_pal} entries)")
-                o = (y * width + x) * 3
-                rgb[o:o + 3] = plte[idx * 3:idx * 3 + 3]
+        for p_i in range(width * height):
+            idx = grid[p_i]
+            if idx >= n_pal:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_pal} entries)")
+            rgb[p_i * 3:p_i * 3 + 3] = plte[idx * 3:idx * 3 + 3]
         return width, height, 3, bytes(rgb)
     if depth == 16:
         # big-endian samples -> high byte (standard 16->8 reduction)
-        return width, height, channels, bytes(out[::2])
-    return width, height, channels, bytes(out)
+        return width, height, channels, bytes(grid[::2])
+    if depth < 8:
+        # sub-byte grayscale -> 8-bit (v * 255 / maxval, exact for the
+        # power-of-two-minus-one maxima: 1->255, 3->85x, 15->17x)
+        maxval = (1 << depth) - 1
+        return width, height, 1, bytes(
+            (v * 255) // maxval for v in grid)
+    return width, height, channels, bytes(grid)
 
 
 PNG_FEATURE_SCHEMA = T.StructType([
@@ -425,9 +522,13 @@ def synth_png_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                 px.append(v)
                                 if variant == 2:
                                     px.append((i + x * y) % 256)
+                    # the RGB8 variant alternates Adam7 interlace by
+                    # id%2 — the DECODED pixels (and so the oracle) are
+                    # identical; only the wire layout differs
                     content = png_encode(
                         w, h, bytes(px), 2, lambda yy: yy % 5,
-                        bit_depth=16 if variant == 2 else 8)
+                        bit_depth=16 if variant == 2 else 8,
+                        interlace=(variant == 0 and i % 2 == 0))
                 rows.append((i, bytearray(content)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 

@@ -62,16 +62,21 @@ def test_png_multi_idat_and_errors():
     bad[-5] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(bad))
-    # documented boundaries raise NotImplementedError, not garbage
-    # (r13: 16-bit is now SUPPORTED; sub-byte grayscale is the boundary)
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    png4 = _PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        png_decode(png4)
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    png_i = _PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlace"):
-        png_decode(png_i)
+    # r13: the decode surface is complete (palette/16-bit/sub-byte
+    # gray/Adam7 all decode); the remaining boundary is an unknown
+    # color type, and spec-invalid headers stay clean ValueErrors
+    ihdr5 = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
+    png5 = _PNG_SIG + _chunk(b"IHDR", ihdr5) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="color type"):
+        png_decode(png5)
+    ihdr_rgb4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    png_rgb4 = _PNG_SIG + _chunk(b"IHDR", ihdr_rgb4) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="invalid bit depth"):
+        png_decode(png_rgb4)
+    ihdr_i2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    png_i2 = _PNG_SIG + _chunk(b"IHDR", ihdr_i2) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace method"):
+        png_decode(png_i2)
 
 
 def test_png_features_spark(spark):
@@ -282,3 +287,71 @@ def test_synth_media_variant_rotation(spark):
             exp = sum((7 * i + 3 * x + 5 * y) % 256
                       for x in range(w) for y in range(h)) / (w * h)
         assert abs(r["mean_r"] - exp) < 1e-9, (i, r["mean_r"], exp)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r13: Adam7 — interlaced encodes of every supported combination
+    must decode to exactly the same pixels as their sequential twins,
+    across image sizes that exercise empty and partial passes (1x1 has
+    6 empty passes; 9x10 exercises all 7)."""
+    import random
+
+    rng = random.Random(77)
+    combos = [(0, 1, 8), (2, 3, 8), (4, 2, 8), (6, 4, 8),
+              (2, 3, 16), (0, 1, 16)]
+    for w, h in ((1, 1), (2, 2), (3, 1), (8, 8), (9, 10), (16, 5)):
+        for ct, ch, depth in combos:
+            n = w * h * ch * (depth // 8)
+            px = bytes(rng.randrange(256) for _ in range(n))
+            seq = png_decode(png_encode(w, h, px, ct, lambda y: y % 5,
+                                        bit_depth=depth))
+            inter = png_decode(png_encode(w, h, px, ct, lambda y: y % 5,
+                                          bit_depth=depth, interlace=True))
+            assert inter == seq, (w, h, ct, depth)
+    # interlaced palette
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(16)]
+    for w, h in ((1, 1), (5, 4), (9, 10)):
+        idx = bytes(rng.randrange(16) for _ in range(w * h))
+        seq = png_decode(png_encode(w, h, idx, 3, lambda y: y % 5,
+                                    palette=pal))
+        inter = png_decode(png_encode(w, h, idx, 3, lambda y: y % 5,
+                                      palette=pal, interlace=True))
+        assert inter == seq, (w, h)
+
+
+def test_png_adam7_spec_vector():
+    """Hand-built interlaced gray 2x2 (independent of our encoder):
+    pass 1 = pixel (0,0), pass 6 = (1,0), pass 7 = row y=1 — the
+    scatter positions come straight from the Adam7 grid."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    # pass1: 1 row of 1 px [10]; pass6: 1 row of 1 px [20];
+    # pass7: 1 row of 2 px [30, 40]; each row filter-0-prefixed
+    idat = zlib.compress(b"\x00\x0a" + b"\x00\x14" + b"\x00\x1e\x28")
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+    assert png_decode(png) == (2, 2, 1, bytes([10, 20, 30, 40]))
+
+
+def test_png_subbyte_grayscale():
+    """r13: depths 1/2/4 grayscale scale to 8-bit exactly
+    (maxval-normalized: 1->0/255, 2-bit 0..3 -> 0/85/170/255)."""
+    # depth 1, width 10: bits 1100000101
+    ihdr = struct.pack(">IIBBBBB", 10, 1, 1, 0, 0, 0, 0)
+    png = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"\x00\xc1\x40"))
+           + _chunk(b"IEND", b""))
+    bits = [1, 1, 0, 0, 0, 0, 0, 1, 0, 1]
+    assert png_decode(png) == (10, 1, 1, bytes(255 * b for b in bits))
+    # depth 2, width 4: one byte 0b00011011 -> 0,1,2,3 -> 0,85,170,255
+    ihdr2 = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    png2 = (_PNG_SIG + _chunk(b"IHDR", ihdr2)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x1b"))
+            + _chunk(b"IEND", b""))
+    assert png_decode(png2) == (4, 1, 1, bytes([0, 85, 170, 255]))
+    # depth 4, width 3: 0xAF 0x50 -> 10,15,5 -> 170,255,85
+    ihdr4 = struct.pack(">IIBBBBB", 3, 1, 4, 0, 0, 0, 0)
+    png4 = (_PNG_SIG + _chunk(b"IHDR", ihdr4)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\xaf\x50"))
+            + _chunk(b"IEND", b""))
+    assert png_decode(png4) == (3, 1, 1, bytes([170, 255, 85]))
