@@ -2655,6 +2655,71 @@ def _tfidf_oracle() -> str:
     return _TFIDF_BODY.replace("{word_expr}", f"unnest(str_split({_NORM_DUCK}, ' '))")
 
 
+def _text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: corpus-level BPE merge TRAINING (Sennrich et al. 2016) — 6
+    fixed rounds of count-adjacent-pairs -> pick-max (ties to the
+    lexicographically smallest pair) -> greedy left-to-right
+    non-overlapping merge, all relational (the run-parity trick turns
+    the sequential greedy pass into two windows). DuckDB replays the
+    whole training loop, so the merge table hash-gates end-to-end —
+    the tokenizer-training sibling of the Lloyd-trained PQ oracle."""
+    from .operators import textstats
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return textstats.bpe_train_merges(d, rounds=6).orderBy("merge_round")
+
+
+def _bpe_train_oracle(rounds: int = 6) -> str:
+    ctes = [f"""WITH t0 AS MATERIALIZED (
+  SELECT doc_id, w, CAST(row_number() OVER (PARTITION BY doc_id, w
+                         ORDER BY ci) AS INTEGER) AS pos,
+         substr(word, CAST(ci AS INTEGER), 1) AS tok
+  FROM (
+    SELECT doc_id, CAST(wi.i AS INTEGER) AS w,
+           words[CAST(wi.i AS INTEGER)] AS word
+    FROM (SELECT doc_id, str_split({_NORM_DUCK}, ' ') AS words
+          FROM documents),
+         unnest(range(1, len(words) + 1)) AS wi(i)
+    WHERE len(words[CAST(wi.i AS INTEGER)]) > 0),
+  unnest(range(1, len(word) + 1)) AS u(ci))"""]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, w, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id, w ORDER BY pos) AS nxt
+  FROM t{r})""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+  SELECT tok AS l_tok, nxt AS r_tok, count(*) AS freq FROM p{r}
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY freq DESC, l_tok, r_tok LIMIT 1)""")
+        ctes.append(f"""k{r} AS MATERIALIZED (
+  SELECT doc_id, w, pos, tok, nxt, hit,
+         CASE WHEN hit = 1 AND (row_number() OVER (
+                PARTITION BY doc_id, w, hit, grp ORDER BY pos) - 1) % 2 = 0
+              THEN 1 ELSE 0 END AS mrg
+  FROM (
+    SELECT m.*, pos - row_number() OVER (
+             PARTITION BY doc_id, w, hit ORDER BY pos) AS grp
+    FROM (
+      SELECT p.doc_id, p.w, p.pos, p.tok, p.nxt,
+             CASE WHEN b.l_tok IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM p{r} p LEFT JOIN b{r} b
+        ON p.tok = b.l_tok AND p.nxt = b.r_tok) m))""")
+        ctes.append(f"""t{r + 1} AS MATERIALIZED (
+  SELECT doc_id, w, CAST(row_number() OVER (PARTITION BY doc_id, w
+                         ORDER BY pos) AS INTEGER) AS pos,
+         CASE WHEN mrg = 1 THEN tok || nxt ELSE tok END AS tok
+  FROM (SELECT *, lag(mrg) OVER (PARTITION BY doc_id, w ORDER BY pos)
+               AS pmrg
+        FROM k{r})
+  WHERE pmrg IS NULL OR pmrg = 0)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS merge_round, l_tok, r_tok, "
+        f"CAST(freq AS BIGINT) AS freq FROM b{r}"
+        for r in range(rounds))
+    return ",\n".join(ctes) + "\n" + unions + "\nORDER BY merge_round\n"
+
+
 def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column null/distinct/min/max in ONE
     scan (see operators/profile.py for the single-pass design)."""
@@ -6114,6 +6179,8 @@ REGISTRY: dict[str, tuple] = {
     "profile_table_columns": (_profile_documents, _PROFILE_ORACLE),
     "text_vocab_topk": (_sql(_vocab_spark_sql()), _VOCAB_ORACLE),
     "text_tfidf_topterms": (_sql(_tfidf_spark_sql()), _tfidf_oracle()),
+    # r13: relational BPE merge training, oracle replays the training
+    "text_bpe_train_merges": (_text_bpe_train, _bpe_train_oracle()),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -6330,8 +6397,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 222, (
-    f"registry contract: expected 222 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 223, (
+    f"registry contract: expected 223 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -16,8 +16,9 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language stopword marker sets for the heuristic language id.
 # Counting is done with the replace-length trick so the identical SQL runs
@@ -384,3 +385,101 @@ def dsir_importance_weights(df: DataFrame, target_filter: str,
         .agg(F.round(F.avg(F.log2("p_target") - F.log2("p_corpus")), 6)
              .alias("dsir_weight"))
     )
+
+
+def bpe_train_merges(df: DataFrame, rounds: int = 6,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level BPE merge training (r13) — ``rounds`` fixed
+    iterations of the classical byte-pair-encoding trainer (Sennrich et
+    al. 2016), expressed relationally so an external SQL engine replays
+    TRAINING end-to-end (the same design as the Lloyd-trained PQ
+    codebooks in operators/similarity.py):
+
+    * tokenize: lowercase/strip-normalized text -> words -> one CHAR
+      token per (doc, word, pos); merges never cross word boundaries.
+    * per round: count adjacent (tok, next) pairs over the whole
+      corpus (one window + one partial-agg shuffle), pick the most
+      frequent pair — ties break on the lexicographically smallest
+      (l, r), so both engines pick identically — and REWRITE the token
+      relation by greedy LEFT-TO-RIGHT non-overlapping merging. The
+      greedy pass is the subtle part relationally: consecutive
+      pair-start runs ("aaaa" has three overlapping "aa" starts) keep
+      only EVEN offsets within each run (pos - row_number run
+      grouping), which is exactly the sequential left-to-right result.
+    * the winning pair is COLLECTED per round (the merge table IS the
+      model artifact — k rows regardless of corpus size, like MLlib
+      centroids), and the token relation is localCheckpoint'ed so k
+      rounds cost k linear passes, not a k^2 lineage recompute.
+
+    Returns the merge table: (merge_round, l_tok, r_tok, freq). Stops
+    early if no adjacent pairs remain."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    norm = ("trim(regexp_replace(regexp_replace(lower(" + text_col
+            + "), '[^a-z0-9 \\\\t\\\\n\\\\r]', ''), '[ \\\\t\\\\n\\\\r]+', ' '))")
+    words = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.expr(norm), " "))
+                  .alias("w", "word"))
+        .filter(F.length("word") > 0)
+    )
+    toks = (
+        words.select(id_col, "w",
+                     F.posexplode(F.split("word", "")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+    )
+    ww = Window.partitionBy(id_col, "w").orderBy("pos")
+    merges: list[tuple] = []
+    prev_ckpt = None
+    for r in range(rounds):
+        pairs = toks.withColumn("nxt", F.lead("tok").over(ww))
+        best = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt").count()
+            .orderBy(F.desc("count"), "tok", "nxt").limit(1).collect()
+        )
+        if not best:
+            break
+        l_tok, r_tok, freq = best[0][0], best[0][1], int(best[0][2])
+        merges.append((r + 1, l_tok, r_tok, freq))
+        hit = ((F.col("tok") == l_tok) & (F.col("nxt") == r_tok)) \
+            .cast("int")
+        marked = pairs.withColumn("hit", hit)
+        runs = marked.withColumn(
+            "grp", F.col("pos") - F.row_number().over(
+                Window.partitionBy(id_col, "w", "hit").orderBy("pos")))
+        keep = runs.withColumn(
+            "mrg",
+            F.when((F.col("hit") == 1)
+                   & ((F.row_number().over(
+                       Window.partitionBy(id_col, "w", "hit", "grp")
+                       .orderBy("pos")) - 1) % 2 == 0),
+                   1).otherwise(0))
+        toks = (
+            keep.withColumn("pmrg", F.lag("mrg").over(ww))
+            .filter((F.col("pmrg").isNull()) | (F.col("pmrg") == 0))
+            .select(
+                id_col, "w",
+                F.row_number().over(ww).alias("pos"),
+                F.when(F.col("mrg") == 1, F.concat("tok", "nxt"))
+                .otherwise(F.col("tok")).alias("tok"))
+        )
+        # bound lineage: k linear materializations instead of a k^2
+        # recompute chain (each round's collect() is an action anyway)
+        new_ckpt = toks.localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            try:
+                prev_ckpt._jdf.rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
+        toks = new_ckpt
+        prev_ckpt = new_ckpt
+    return spark.createDataFrame(
+        merges,
+        T.StructType([
+            T.StructField("merge_round", T.IntegerType()),
+            T.StructField("l_tok", T.StringType()),
+            T.StructField("r_tok", T.StringType()),
+            T.StructField("freq", T.LongType()),
+        ]))

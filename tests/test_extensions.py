@@ -719,3 +719,34 @@ def test_connected_components_nonconvergence_safety_net(spark):
     rows2 = dedup.connected_components(pairs).collect()
     assert {(r["node"], r["comp"]) for r in rows2} == {
         (i, 1) for i in range(1, 13)}
+
+
+def test_bpe_train_merges_greedy_semantics(spark):
+    """r13: relational BPE trainer — greedy LEFT-TO-RIGHT
+    non-overlapping merging (run-parity trick), lexicographic
+    tie-break, cross-round token composition, word-boundary isolation,
+    early stop when no pairs remain."""
+    from snowflake_emulator_spark.operators import textstats
+
+    # "aaaa" has three overlapping 'aa' starts; greedy merges exactly
+    # two: [aa][aa]. 'aa' count is 3 (overlapping counting), beating
+    # 'ab' (2). Word boundary: 'a b' contributes no cross-word pair.
+    df = spark.createDataFrame(
+        [(1, "aaaa ab ab"), (2, "a b")], ["doc_id", "text"])
+    got = [tuple(r) for r in
+           textstats.bpe_train_merges(df, rounds=2).collect()]
+    assert got[0] == (1, "a", "a", 3)
+    # round 2: tokens are now [aa, aa] [a, b] [a, b] [a] [b] ->
+    # pairs: (aa,aa)=1, (a,b)=2 -> 'ab' wins
+    assert got[1] == (2, "a", "b", 2)
+    # cross-round composition: after merging 'ab', a third round on
+    # "ababab" composes (ab, ab)
+    df2 = spark.createDataFrame([(1, "ababab xy")], ["doc_id", "text"])
+    got2 = [tuple(r) for r in
+            textstats.bpe_train_merges(df2, rounds=2).collect()]
+    assert got2[0] == (1, "a", "b", 3)
+    # [ab][ab][ab] -> two overlapping (ab,ab) pair starts
+    assert got2[1] == (2, "ab", "ab", 2)
+    # early stop: single-char words have no pairs at all
+    df3 = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert textstats.bpe_train_merges(df3, rounds=3).count() == 0
