@@ -663,7 +663,9 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     probe_df = spark.createDataFrame(
         [(q, int(b)) for q, row in zip(qids, probe) for b in row],
         "query_id long, bucket int")
-    qres = probe_df.join(qvecs, "query_id").select(
+    # both sides are driver-side literals (ExistingRDD — no stats), so
+    # hint the broadcast or the planner falls back to a sort-merge join
+    qres = probe_df.join(F.broadcast(qvecs), "query_id").select(
         "query_id", "bucket",
         F.zip_with("qv", F.element_at(cent_lit, F.col("bucket") + 1),
                    lambda a, b: a - b).alias("qr"))
