@@ -127,13 +127,27 @@ def build_scaled(spark, workdir: str) -> None:
 
     emb = spark.table("embeddings")
     n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # r13: per-replica coordinate ROTATION (circular shift by rep*7)
+    # instead of the old tiny per-replica perturbation. The perturbation
+    # kept every vector's 10 replica copies mutual near-dups (cos~0.999
+    # and exact twins at rep%7 collisions), so pair-emitting queries
+    # measured QUADRATIC pair growth in the data, not the plan: 424
+    # pairs at sf0.1 ballooned to 328,856 at 10x (the same class of
+    # artifact the documents build fixed twice — one-token salt, then
+    # per-word suffix). A coordinate permutation is ORTHOGONAL: every
+    # within-replica cosine is preserved EXACTLY (per-replica pair
+    # structure == base), while cross-replica copies decorrelate to
+    # ~random cosine — 10x data means ~10x pairs, which is what a
+    # plan-scaling harness must hold constant.
+    dim = len(emb.select("embedding").first()[0])
+    shifted = F.array(*[
+        F.array(*[F.col("embedding")[(i + r * 7) % dim]
+                  for i in range(dim)])
+        for r in range(REPLICAS)])
     (emb.crossJoin(F.broadcast(reps))
         .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
-        .withColumn("embedding", F.transform(
-            "embedding",
-            lambda v, i: (v + (F.col("rep") % 7).cast("float") * 0.01
-                          * F.when(i % 2 == 0, F.lit(1.0))
-                          .otherwise(F.lit(-1.0))).cast("float")))
+        .withColumn("embedding",
+                    F.element_at(shifted, F.col("rep").cast("int") + 1))
         .drop("rep")
         .repartition(32)
         .write.mode("overwrite").parquet(f"{workdir}/embeddings.parquet"))

@@ -2670,7 +2670,44 @@ def _text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train_merges(d, rounds=6).orderBy("merge_round")
 
 
-def _bpe_train_oracle(rounds: int = 6) -> str:
+def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: BPE ENCODE output — per-source token counts before/after
+    the 6 trained merges (the compression-ratio view a tokenizer
+    pipeline reports). Rides the same training loop; the oracle reuses
+    the training CTE chain's final token relation."""
+    from .operators import textstats
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    _merges, toks = textstats.bpe_train_merges(d, rounds=6,
+                                               return_tokens=True)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"))
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum(F.coalesce("n_tok", F.lit(0))).cast("bigint")
+             .alias("n_tokens"))
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_oracle(rounds: int = 6) -> str:
+    # the same training CTE chain, finishing with a per-source count
+    # over the FINAL token relation instead of the merge table
+    return ",\n".join(_bpe_train_ctes(rounds)) + f"""
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(t.n), 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n FROM t{rounds} GROUP BY doc_id) t
+  ON d.doc_id = t.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def _bpe_train_ctes(rounds: int = 6) -> list:
     ctes = [f"""WITH t0 AS MATERIALIZED (
   SELECT doc_id, w, CAST(row_number() OVER (PARTITION BY doc_id, w
                          ORDER BY ci) AS INTEGER) AS pos,
@@ -2713,11 +2750,16 @@ def _bpe_train_oracle(rounds: int = 6) -> str:
                AS pmrg
         FROM k{r})
   WHERE pmrg IS NULL OR pmrg = 0)""")
+    return ctes
+
+
+def _bpe_train_oracle(rounds: int = 6) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({r + 1} AS INTEGER) AS merge_round, l_tok, r_tok, "
         f"CAST(freq AS BIGINT) AS freq FROM b{r}"
         for r in range(rounds))
-    return ",\n".join(ctes) + "\n" + unions + "\nORDER BY merge_round\n"
+    return (",\n".join(_bpe_train_ctes(rounds))
+            + "\n" + unions + "\nORDER BY merge_round\n")
 
 
 def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6181,6 +6223,8 @@ REGISTRY: dict[str, tuple] = {
     "text_tfidf_topterms": (_sql(_tfidf_spark_sql()), _tfidf_oracle()),
     # r13: relational BPE merge training, oracle replays the training
     "text_bpe_train_merges": (_text_bpe_train, _bpe_train_oracle()),
+    # r13: BPE encode view (per-source token counts after the merges)
+    "text_bpe_encode_counts": (_text_bpe_encode, _bpe_encode_oracle()),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -6397,8 +6441,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 223, (
-    f"registry contract: expected 223 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 224, (
+    f"registry contract: expected 224 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

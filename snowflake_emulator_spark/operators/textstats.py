@@ -389,7 +389,8 @@ def dsir_importance_weights(df: DataFrame, target_filter: str,
 
 def bpe_train_merges(df: DataFrame, rounds: int = 6,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     return_tokens: bool = False):
     """Corpus-level BPE merge training (r13) — ``rounds`` fixed
     iterations of the classical byte-pair-encoding trainer (Sennrich et
     al. 2016), expressed relationally so an external SQL engine replays
@@ -413,7 +414,10 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
       rounds cost k linear passes, not a k^2 lineage recompute.
 
     Returns the merge table: (merge_round, l_tok, r_tok, freq). Stops
-    early if no adjacent pairs remain."""
+    early if no adjacent pairs remain. ``return_tokens=True``
+    additionally returns the post-merge token relation
+    (id, w, pos, tok) as a second value — the ENCODE output for
+    token-count / compression-ratio analyses."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -475,7 +479,7 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
                 pass
         toks = new_ckpt
         prev_ckpt = new_ckpt
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         T.StructType([
             T.StructField("merge_round", T.IntegerType()),
@@ -483,3 +487,6 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
             T.StructField("r_tok", T.StringType()),
             T.StructField("freq", T.LongType()),
         ]))
+    if return_tokens:
+        return merges_df, toks
+    return merges_df

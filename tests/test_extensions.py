@@ -750,3 +750,22 @@ def test_bpe_train_merges_greedy_semantics(spark):
     # early stop: single-char words have no pairs at all
     df3 = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     assert textstats.bpe_train_merges(df3, rounds=3).count() == 0
+
+
+def test_bpe_encode_token_counts(spark):
+    """r13: return_tokens=True exposes the post-merge token relation —
+    token counts shrink by exactly the number of applied merges."""
+    from snowflake_emulator_spark.operators import textstats
+
+    df = spark.createDataFrame([(1, "aaaa ab ab")], ["doc_id", "text"])
+    # before any merge: 4 + 2 + 2 = 8 char tokens
+    _m0, t0 = textstats.bpe_train_merges(df, rounds=0, return_tokens=True)
+    assert t0.count() == 8
+    # round 1 merges 'aa' twice (greedy on "aaaa"): 8 - 2 = 6
+    _m1, t1 = textstats.bpe_train_merges(df, rounds=1, return_tokens=True)
+    assert t1.count() == 6
+    # round 2 merges 'ab' twice more: 6 - 2 = 4
+    _m2, t2 = textstats.bpe_train_merges(df, rounds=2, return_tokens=True)
+    assert t2.count() == 4
+    toks = sorted(r["tok"] for r in t2.collect())
+    assert toks == ["aa", "aa", "ab", "ab"]
