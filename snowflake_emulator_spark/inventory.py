@@ -6357,7 +6357,9 @@ _SAMPLE_HEAD = [
     "sql_match_recognize_subset",     # NEW r13 (SUBSET union symbols)
     "embed_pq_topk",                  # r13: Lloyd-trained codebooks
     "embed_ivfpq_topk",               # r13: trained residual codebooks
-    "multimodal_png_features",        # r13: palette/16-bit variants
+    "multimodal_png_features",        # r13: palette/16-bit/Adam7 variants
+    "text_bpe_train_merges",          # NEW r13 (relational BPE training)
+    "text_bpe_encode_counts",         # NEW r13 (BPE encode view)
     # --- judge-flagged stale paths (r11/r12 verdicts sampled these
     # manually every round; rotate them into the hard signal) ---------
     "dedup_simhash",                  # last r5
@@ -6400,8 +6402,6 @@ _SAMPLE_HEAD = [
     "window_distribution",            # last r3
     "window_first_last",              # last r3
     "window_running_sum",             # last r3
-    "agg_basic_stats",                # last r4
-    "agg_min_by_max_by",              # last r4
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
