@@ -2670,6 +2670,38 @@ def _text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train_merges(d, rounds=6).orderBy("merge_round")
 
 
+def _sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: Efraimidis–Spirakis weighted sampling without replacement —
+    key = u^(1/w) with deterministic md5 uniforms, k largest keys win
+    (inclusion probability ∝ weight; here w = n_chars, the
+    length-weighted corpus draw). Keys round to 9 decimals before
+    ranking so cross-engine pow ulps cannot flip ranks."""
+    from .operators import mixture
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return (
+        mixture.weighted_sample_k(d, k=50, weight_col="n_chars")
+        .select("rank", "doc_id", "source",
+                F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("rank")
+    )
+
+
+_SAMPLE_WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS UBIGINT) + 1) / 1152921504606846977.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS key
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
 def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13: BPE ENCODE output — per-source token counts before/after
     the 6 trained merges (the compression-ratio view a tokenizer
@@ -6225,6 +6257,8 @@ REGISTRY: dict[str, tuple] = {
     "text_bpe_train_merges": (_text_bpe_train, _bpe_train_oracle()),
     # r13: BPE encode view (per-source token counts after the merges)
     "text_bpe_encode_counts": (_text_bpe_encode, _bpe_encode_oracle()),
+    # r13: Efraimidis-Spirakis weighted sampling (deterministic md5 u)
+    "sample_weighted_topk": (_sample_weighted_topk, _SAMPLE_WEIGHTED_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -6441,8 +6475,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 224, (
-    f"registry contract: expected 224 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 225, (
+    f"registry contract: expected 225 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -123,3 +123,44 @@ def curriculum_interleave(df: DataFrame, weights: dict[str, float],
         F.col(id_col), F.col(source_col),
         F.round("virtual", 6).alias("vtime"),
     )
+
+
+def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (r13) —
+    Efraimidis & Spirakis 2006: each row draws key = u^(1/w) with u a
+    uniform in (0,1) and the k LARGEST keys win; inclusion probability
+    is proportional to weight, exactly the quality-weighted corpus
+    sampling a data-mixing pipeline needs.
+
+    Spark-first and engine-neutral: u derives from the md5 of the id
+    ((h + 1) / (2^60 + 1) over the first 15 hex digits — the same
+    no-rand() recipe as ``mixture_sample``, so the identical sample
+    falls out on every engine/run/stage-retry), and the key is ROUNDED
+    to 9 decimals before ranking (pow may differ across engines in the
+    last ulp; the grain is ~1e7x the ulp and ~1e6x smaller than
+    typical key gaps, ties break on id). One map pass + one top-k —
+    no shuffle beyond TakeOrderedAndProject at 100 TB.
+
+    Rows with weight <= 0 are excluded (u^(1/w) is undefined/degenerate
+    there, matching the algorithm's w > 0 precondition)."""
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("bigint"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9)
+    keyed = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__key", key)
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-task
+    # heaps, no global shuffle), then rank only the k survivors; a
+    # row_number over an unpartitioned window would drag every row
+    # through one partition
+    top = keyed.orderBy(F.desc("__key"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("__key"), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .drop("__key")
+    )

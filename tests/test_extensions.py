@@ -769,3 +769,41 @@ def test_bpe_encode_token_counts(spark):
     assert t2.count() == 4
     toks = sorted(r["tok"] for r in t2.collect())
     assert toks == ["aa", "aa", "ab", "ab"]
+
+
+def test_weighted_sample_k_es_properties(spark):
+    """r13: Efraimidis-Spirakis sampling — key monotone in weight for a
+    fixed id (raising a doc's weight never worsens its rank),
+    deterministic across runs, w<=0 rows excluded, distributed top-k
+    plan (TakeOrderedAndProject, no global-window shuffle of the
+    corpus)."""
+    from snowflake_emulator_spark.operators import mixture
+
+    rows = [(i, "s", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    got1 = [(r["rank"], r["doc_id"]) for r in
+            mixture.weighted_sample_k(df, 20, "w").collect()]
+    got2 = [(r["rank"], r["doc_id"]) for r in
+            mixture.weighted_sample_k(df, 20, "w").collect()]
+    assert got1 == got2 and len(got1) == 20
+    # monotone in weight: multiply doc 0's weight by 100 -> its rank
+    # can only improve (u is fixed by the id, key = u^(1/w) grows in w)
+    base_rank = {d: rk for rk, d in got1}
+    boosted = spark.createDataFrame(
+        [(i, "s", (100.0 if i == 0 else 1.0) * (1 + i % 7))
+         for i in range(200)], ["doc_id", "source", "w"])
+    brank = {r["doc_id"]: r["rank"] for r in
+             mixture.weighted_sample_k(boosted, 200, "w").collect()}
+    full = {r["doc_id"]: r["rank"] for r in
+            mixture.weighted_sample_k(df, 200, "w").collect()}
+    assert brank[0] <= full[0]
+    # zero/negative weights excluded
+    dfz = spark.createDataFrame(
+        [(1, "s", 0.0), (2, "s", -1.0), (3, "s", 2.0)],
+        ["doc_id", "source", "w"])
+    out = mixture.weighted_sample_k(dfz, 10, "w").collect()
+    assert [r["doc_id"] for r in out] == [3]
+    # plan: distributed top-k, not a global window over the corpus
+    plan = mixture.weighted_sample_k(df, 5, "w") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
