@@ -193,6 +193,10 @@ AUDIT = [
     ("embed_ivfpq_topk", ["MapInPandas", "BroadcastHashJoin",
                           "!CartesianProduct", "!SortMergeJoin",
                           "!BroadcastNestedLoopJoin"]),
+    # E-S weighted sampling: distributed top-k (per-task heaps), never
+    # a corpus-wide hash exchange; the rank window sees only k rows
+    ("sample_weighted_topk", ["TakeOrderedAndProject",
+                              "!Exchange hashpartitioning"]),
 ]
 
 

@@ -6394,6 +6394,7 @@ _SAMPLE_HEAD = [
     "multimodal_png_features",        # r13: palette/16-bit/Adam7 variants
     "text_bpe_train_merges",          # NEW r13 (relational BPE training)
     "text_bpe_encode_counts",         # NEW r13 (BPE encode view)
+    "sample_weighted_topk",           # NEW r13 (E-S weighted sampling)
     # --- judge-flagged stale paths (r11/r12 verdicts sampled these
     # manually every round; rotate them into the hard signal) ---------
     "dedup_simhash",                  # last r5
@@ -6418,7 +6419,6 @@ _SAMPLE_HEAD = [
     "agg_median_percentile",          # last r3
     "embed_kmeans_clusters",          # last r3
     "events_sessionize",              # last r3
-    "extract_date_parts",             # last r3
     "join_anti_not_exists",           # last r3
     "join_theta",                     # last r3
     "limit_offset",                   # last r3
