@@ -2688,6 +2688,36 @@ def _sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: temperature-based mixture reweighting (mBERT/XLM sampling,
+    alpha=0.7) — p_i ∝ n_i^alpha flattens the domain distribution;
+    upsample_factor = p_temp / p_natural is the per-source repeat
+    rate a data loader applies."""
+    from .operators import mixture
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    return mixture.temperature_weights(d, alpha=0.7).orderBy("source")
+
+
+_SAMPLE_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(count(doc_id) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_docs) AS n, sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+  FROM counts
+)
+SELECT c.source, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / t.n, 6) AS p_natural,
+       round(pow(CAST(c.n_docs AS DOUBLE), 0.7) / t.z, 6) AS p_temp,
+       round((pow(CAST(c.n_docs AS DOUBLE), 0.7) / t.z)
+             / (CAST(c.n_docs AS DOUBLE) / t.n), 6) AS upsample_factor
+FROM counts c CROSS JOIN tot t ORDER BY c.source
+"""
+
+
 _SAMPLE_WEIGHTED_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
@@ -6259,6 +6289,9 @@ REGISTRY: dict[str, tuple] = {
     "text_bpe_encode_counts": (_text_bpe_encode, _bpe_encode_oracle()),
     # r13: Efraimidis-Spirakis weighted sampling (deterministic md5 u)
     "sample_weighted_topk": (_sample_weighted_topk, _SAMPLE_WEIGHTED_ORACLE),
+    # r13: temperature mixture reweighting (p_i ~ n_i^alpha, mBERT/XLM)
+    "sample_temperature_weights": (_sample_temperature,
+                                   _SAMPLE_TEMPERATURE_ORACLE),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -6475,8 +6508,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 225, (
-    f"registry contract: expected 225 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 226, (
+    f"registry contract: expected 226 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -164,3 +164,40 @@ def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
         top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .drop("__key")
     )
+
+
+def temperature_weights(df: DataFrame, alpha: float = 0.7,
+                        source_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture reweighting (r13) — the multilingual
+    sampling recipe (Devlin et al. 2019 mBERT, Conneau & Lample 2019
+    XLM): sample source i with probability p_i ∝ n_i^alpha instead of
+    its natural share n_i/N, flattening the domain distribution toward
+    uniform as alpha -> 0 (alpha = 1 keeps natural proportions).
+
+    Returns per-source (n_docs, p_natural, p_temp, upsample_factor =
+    p_temp / p_natural, all rounded 6). One aggregation + one broadcast
+    of the |sources|-row totals — the per-source table is tiny by
+    definition, so at 100 TB this is a single partial-agg pass."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.col(id_col)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("__n"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+        .alias("__z"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col, "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("__n"), 6)
+            .alias("p_natural"),
+            F.round(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+                    / F.col("__z"), 6).alias("p_temp"),
+            F.round((F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+                     / F.col("__z"))
+                    / (F.col("n_docs").cast("double") / F.col("__n")), 6)
+            .alias("upsample_factor"),
+        )
+    )

@@ -807,3 +807,26 @@ def test_weighted_sample_k_es_properties(spark):
     plan = mixture.weighted_sample_k(df, 5, "w") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_weights_properties(spark):
+    """r13: p_i ~ n_i^alpha — alpha=1 reproduces natural proportions
+    (upsample 1.0), alpha=0 is uniform, alpha in (0,1) upweights small
+    sources and downweights large ones; probabilities sum to 1."""
+    from snowflake_emulator_spark.operators import mixture
+
+    rows = [(i, "big") for i in range(90)] + \
+           [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in
+           mixture.temperature_weights(df, alpha=0.7).collect()}
+    assert abs(out["big"]["p_temp"] + out["small"]["p_temp"] - 1.0) < 1e-6
+    assert out["small"]["upsample_factor"] > 1.0 > out["big"]["upsample_factor"]
+    nat = {r["source"]: r for r in
+           mixture.temperature_weights(df, alpha=1.0).collect()}
+    assert abs(nat["big"]["upsample_factor"] - 1.0) < 1e-6
+    uni = {r["source"]: r for r in
+           mixture.temperature_weights(df, alpha=0.0).collect()}
+    assert abs(uni["big"]["p_temp"] - 0.5) < 1e-6
+    with pytest.raises(ValueError):
+        mixture.temperature_weights(df, alpha=-1.0)
