@@ -2688,6 +2688,54 @@ def _sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_top_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: per-source relative quality filtering — keep each source's
+    top 30% by the composite quality score (CCNet/Gopher pipelines
+    threshold RELATIVE to the domain: an absolute cutoff over-prunes
+    clean domains and under-prunes noisy ones). Deterministic ranking
+    (score desc, doc_id), one window over the source key."""
+    from .operators import corpus, textstats
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents")
+    scored = d.select(
+        "doc_id", "source",
+        textstats.quality_score(F.col("text")).alias("q"))
+    kept = corpus.top_quantile_per_group(scored, frac=0.3, score_col="q")
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"),
+             F.max("group_n").alias("n_total"),
+             F.round(F.min("q"), 6).alias("q_threshold"))
+        .orderBy("source")
+    )
+
+
+def _top_quantile_oracle() -> str:
+    # reuse the exact quality-score SQL (single source of truth in
+    # _quality_oracle) + the rank/ceil-per-group filter
+    quality_body = _quality_oracle().strip().replace(
+        "FROM documents ORDER BY doc_id", "FROM documents")
+    return f"""
+WITH q AS ({quality_body}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality AS q
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(n) AS BIGINT) AS n_total,
+       round(min(q), 6) AS q_threshold
+FROM ranked WHERE r <= ceil(0.3 * n)
+GROUP BY source ORDER BY source
+"""
+
+
 def _sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13: temperature-based mixture reweighting (mBERT/XLM sampling,
     alpha=0.7) — p_i ∝ n_i^alpha flattens the domain distribution;
@@ -6292,6 +6340,8 @@ REGISTRY: dict[str, tuple] = {
     # r13: temperature mixture reweighting (p_i ~ n_i^alpha, mBERT/XLM)
     "sample_temperature_weights": (_sample_temperature,
                                    _SAMPLE_TEMPERATURE_ORACLE),
+    # r13: per-source relative (top-quantile) quality filtering
+    "doc_top_quantile_filter": (_doc_top_quantile, _top_quantile_oracle()),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
     "sample_stratified_hash": (_sample_stratified, _SAMPLE_STRAT_ORACLE),
     # dedup extensions
@@ -6508,8 +6558,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 226, (
-    f"registry contract: expected 226 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 227, (
+    f"registry contract: expected 227 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

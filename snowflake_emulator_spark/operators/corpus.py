@@ -256,3 +256,31 @@ def source_overlap(df: DataFrame, shingle: int = 5,
                     6).alias("jaccard"),
         )
     )
+
+
+def top_quantile_per_group(df: DataFrame, frac: float, score_col: str,
+                           group_col: str = "source",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Per-group relative quality filtering (r13): keep each group's
+    top ``frac`` fraction by score — the per-domain threshold form of
+    quality filtering (an absolute cutoff over-prunes clean domains
+    and under-prunes noisy ones; CCNet/Gopher-style pipelines filter
+    RELATIVE to the domain).
+
+    Deterministic and engine-neutral: rank by (score desc, id) with
+    row_number — no percent_rank tie ambiguity — and keep rank <=
+    ceil(frac * group size). One window over the group key (a single
+    hash exchange at 100 TB); adds ``q_rank`` and ``group_n``."""
+    from pyspark.sql import Window
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.col(id_col))
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("q_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("group_n", F.count("*").over(wn).cast("bigint"))
+        .filter(F.col("q_rank")
+                <= F.ceil(F.lit(float(frac)) * F.col("group_n")))
+    )

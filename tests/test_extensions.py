@@ -830,3 +830,26 @@ def test_temperature_weights_properties(spark):
     assert abs(uni["big"]["p_temp"] - 0.5) < 1e-6
     with pytest.raises(ValueError):
         mixture.temperature_weights(df, alpha=-1.0)
+
+
+def test_top_quantile_per_group(spark):
+    """r13: per-group relative filtering — keep ceil(frac*n) rows per
+    group by (score desc, id); deterministic on ties; frac=1 keeps
+    everything; invalid frac rejected."""
+    from snowflake_emulator_spark.operators import corpus
+
+    rows = [(i, "a", float(i)) for i in range(10)] + \
+           [(100 + i, "b", 5.0) for i in range(4)]  # all-tied group
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    kept = corpus.top_quantile_per_group(df, 0.3, "score").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    # group a: ceil(0.3*10)=3 -> top scores 9,8,7
+    assert sorted(by["a"]) == [7, 8, 9]
+    # group b: ceil(0.3*4)=2 -> tie broken by id asc
+    assert sorted(by["b"]) == [100, 101]
+    assert corpus.top_quantile_per_group(df, 1.0, "score").count() == 14
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        corpus.top_quantile_per_group(df, 0.0, "score")
