@@ -739,10 +739,14 @@ class Executor:
             define[dmm.group(1).upper()] = t.translate_expr(dmm.group(2).strip())
         # r13: SUBSET union symbols (SQL:2016) — `SUBSET S = (A, B),
         # T = (C)` between PATTERN and DEFINE; usable as a measure
-        # qualifier and in AFTER MATCH SKIP TO (operator validates)
+        # qualifier and in AFTER MATCH SKIP TO (operator validates).
+        # r14 (ADVICE): the clause can only appear between PATTERN's
+        # closing paren and DEFINE, so search ONLY that slice — a bare
+        # identifier 'subset' earlier (a measure alias, a column in
+        # AFTER MATCH SKIP) must not trip the parser.
         subsets: dict[str, list[str]] = {}
-        sub_m = re.search(r"\bSUBSET\b(.*?)(?=\bDEFINE\b|$)", body,
-                          re.I | re.S)
+        sub_region = body[pclose + 1:dm.start()]
+        sub_m = re.search(r"\bSUBSET\b(.*)", sub_region, re.I | re.S)
         if sub_m:
             for piece in t._split_args(sub_m.group(1)):
                 smm = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*\((.*)\)\s*$",

@@ -3875,8 +3875,8 @@ def _embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _pq_training_ctes(first_cb: str, subs: str, rounds: int, m: int,
-                      ksub: int, sub_d: int) -> tuple[list[str], str]:
+def _pq_training_ctes(first_cb: str, subs: str, rounds: int,
+                      sub_d: int) -> tuple[list[str], str]:
     """Shared Lloyd-training CTE chain for the PQ / IVF-PQ replay
     oracles: per round, ASSIGN (row_number over (d2, code) — the same
     lowest-code tie-break as Spark's first-min-index argmin) then
@@ -3921,7 +3921,7 @@ def _pq_replay_oracle(m: int = 32, ksub: int = 128, rounds: int = 3,
                       query_ids: tuple = (0, 1, 2, 3, 4)) -> str:
     sub_d = dim // m
     qlist = ",".join(str(q) for q in query_ids)
-    train_ctes, cb = _pq_training_ctes("cb0", "subs", rounds, m, ksub, sub_d)
+    train_ctes, cb = _pq_training_ctes("cb0", "subs", rounds, sub_d)
     ctes = [
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""seeds AS (
@@ -4001,7 +4001,7 @@ def _ivfpq_replay_oracle(n_centroids: int = 8, nprobe: int = 3, k: int = 10,
     # r13: fixed Lloyd rounds over ALL residual sub-vectors (the
     # codebook is query-independent — trained before bucket pruning,
     # exactly as the Spark operator trains on the full rv relation)
-    train_ctes, cb = _pq_training_ctes("cb0", "allsubs", rounds, m, ksub, sub_d)
+    train_ctes, cb = _pq_training_ctes("cb0", "allsubs", rounds, sub_d)
     training_sql = (",\n" + ",\n".join(train_ctes)) if train_ctes else ""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -545,3 +545,24 @@ def test_match_recognize_subset_errors(engine):
             MEASURES COUNT(D.*) AS n
             PATTERN (D+) SUBSET D = (D)
             DEFINE D AS price < PRIOR price)""")
+
+
+def test_match_recognize_subset_alias_not_clause(engine):
+    """r14 (ADVICE): a measure aliased `AS subset` is a bare
+    identifier, not the SUBSET clause — the clause search is anchored
+    to the PATTERN→DEFINE slice, so this must parse and run (it was a
+    spurious 'bad SUBSET entry' before the fix)."""
+    engine.execute(
+        "CREATE TABLE mr_alias (g INTEGER, seq INTEGER, price DOUBLE)")
+    engine.execute("""INSERT INTO mr_alias VALUES
+      (1, 1, 10.0), (1, 2, 8.0), (1, 3, 9.0)""")
+    rows = engine.execute("""
+      SELECT g, subset, l
+      FROM mr_alias MATCH_RECOGNIZE (
+        PARTITION BY g ORDER BY seq
+        MEASURES COUNT(*) AS subset, LAST(price) AS l
+        ONE ROW PER MATCH
+        PATTERN (STRT DOWN+ UP+)
+        DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
+      )""").rows
+    assert [tuple(r) for r in rows] == [(1, 3, 9.0)]
