@@ -197,6 +197,14 @@ AUDIT = [
     # a corpus-wide hash exchange; the rank window sees only k rows
     ("sample_weighted_topk", ["TakeOrderedAndProject",
                               "!Exchange hashpartitioning"]),
+    # r14 additions --------------------------------------------------------
+    # per-source top-quantile (r14 rewrite): the range-partitioned sort
+    # is materialized behind a localCheckpoint and exact ranks come from
+    # a broadcast prefix-offset lookup — the plan must contain NO window
+    # at all (the r13 shape was a per-group single-partition sort) and
+    # the lookup join must be broadcast
+    ("doc_top_quantile_filter", ["Scan ExistingRDD", "BroadcastHashJoin",
+                                 "!Window", "!SortMergeJoin"]),
 ]
 
 

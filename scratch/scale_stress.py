@@ -59,6 +59,9 @@ QUERIES = [
     # one tiny partial-agg shuffle per round)
     "embed_pq_topk",
     "embed_ivfpq_topk",
+    # r14 (VERDICT item 1): the rewritten per-source top-quantile —
+    # range-partitioned rank, no per-group single-partition sort
+    "doc_top_quantile_filter",
 ]
 # SCALE_STRESS_ONLY=a,b,c restricts the run for focused profiling
 _only = os.environ.get("SCALE_STRESS_ONLY")
@@ -168,6 +171,34 @@ def build_scaled(spark, workdir: str) -> None:
             os.symlink(f"{SRC}/{t}.parquet", dst)
 
 
+def quantile_partition_spread(spark, sf_dir: str) -> dict:
+    """r14 (VERDICT item 1 'done' clause): at 10x documents, every
+    source must span MORE than one range partition in the rewritten
+    top_quantile_per_group — the r13 weak plan pinned each source to
+    exactly one task regardless of shuffle width. Mirrors the
+    operator's repartitionByRange key (corpus.py top_quantile_per_group)
+    and counts distinct physical partitions per source."""
+    from snowflake_emulator_spark.operators import textstats
+
+    load_views(spark, sf_dir)
+    scored = spark.table("documents").select(
+        "doc_id", "source",
+        textstats.quality_score(F.col("text")).alias("q"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_src = (
+        scored.repartitionByRange(n_parts, F.col("source"),
+                                  F.col("q").desc(), F.col("doc_id"))
+        .select(F.spark_partition_id().alias("__pid"), "source")
+        .groupBy("source")
+        .agg(F.countDistinct("__pid").alias("nparts"))
+        .collect())
+    counts = {r["source"]: int(r["nparts"]) for r in per_src}
+    return {"n_range_partitions": n_parts,
+            "min_partitions_per_source": min(counts.values()),
+            "max_partitions_per_source": max(counts.values()),
+            "sources": len(counts)}
+
+
 def main() -> None:
     spark = build_spark(app_name="scale_stress")
     print(f"baseline at {SRC} (best of {RUNS}):", flush=True)
@@ -180,6 +211,7 @@ def main() -> None:
         print(f"scaled tables built ({REPLICAS}x) in "
               f"{time.time()-t0:.0f}s", flush=True)
         scaled = time_queries(spark, workdir, f"sf0.1x{REPLICAS}")
+        spread = quantile_partition_spread(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -189,8 +221,10 @@ def main() -> None:
         "replicas": REPLICAS, "runs": RUNS,
         "base_sec": base, "scaled_sec": scaled, "ratios": ratios,
         "tolerance": RATIO_TOLERANCE, "superlinear": flagged,
+        "top_quantile_partition_spread": spread,
     }))
-    sys.exit(1 if flagged else 0)
+    sys.exit(1 if flagged or spread["min_partitions_per_source"] <= 1
+             else 0)
 
 
 if __name__ == "__main__":

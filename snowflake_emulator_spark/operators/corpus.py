@@ -258,6 +258,14 @@ def source_overlap(df: DataFrame, shingle: int = 5,
     )
 
 
+# above this many distinct groups the broadcast rank-offset lookup
+# (numPartitions x ngroups rows through the driver) stops being tiny;
+# past it the hash-partitioned window IS the scale-correct plan (many
+# SMALL groups spread across executors — the pathology this function
+# avoids is few HUGE groups)
+_MAX_LOOKUP_GROUPS = 4096
+
+
 def top_quantile_per_group(df: DataFrame, frac: float, score_col: str,
                            group_col: str = "source",
                            id_col: str = "doc_id") -> DataFrame:
@@ -268,19 +276,99 @@ def top_quantile_per_group(df: DataFrame, frac: float, score_col: str,
     RELATIVE to the domain).
 
     Deterministic and engine-neutral: rank by (score desc, id) with
-    row_number — no percent_rank tie ambiguity — and keep rank <=
-    ceil(frac * group size). One window over the group key (a single
-    hash exchange at 100 TB); adds ``q_rank`` and ``group_n``."""
+    row_number semantics — no percent_rank tie ambiguity — and keep
+    rank <= ceil(frac * group size); adds ``q_rank`` and ``group_n``.
+
+    Scale (r14, VERDICT r13 item 1): a window partitioned by the group
+    key funnels each group through ONE task — with ~20 sources over
+    100 TB that is a per-group single-partition total sort. Rewritten
+    with the repo's range-partition + driver prefix-offset pattern
+    (``mixture.curriculum_interleave``): ``repartitionByRange`` on the
+    unique (group, score desc, id) key spreads every group across the
+    full shuffle width, each range partition sorts locally, and the
+    exact per-group rank is ``(group rows in earlier partitions) +
+    (position past the group's first row in this partition)`` — both
+    read off one tiny per-(partition, group) aggregate (numPartitions
+    x ngroups rows to the driver) that joins back BROADCAST. The sort
+    key is unique, so ranks are deterministic regardless of where the
+    sampled range boundaries land; the sorted frame is
+    local-checkpointed because monotonic ids are only stable on a
+    materialized frame. Above ``_MAX_LOOKUP_GROUPS`` distinct groups
+    the function falls back to the hash window, which is the right
+    plan there (many small groups spread fine)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
 
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    w = Window.partitionBy(group_col).orderBy(
-        F.desc(score_col), F.col(id_col))
-    wn = Window.partitionBy(group_col)
+    keep = F.col("q_rank") <= F.ceil(F.lit(float(frac)) * F.col("group_n"))
+
+    totals = (df.groupBy(group_col).agg(F.count("*").alias("__n"))
+              .limit(_MAX_LOOKUP_GROUPS + 1).collect())
+    if len(totals) > _MAX_LOOKUP_GROUPS:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(score_col), F.col(id_col))
+        wn = Window.partitionBy(group_col)
+        return (
+            df.withColumn("q_rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("group_n", F.count("*").over(wn).cast("bigint"))
+            .filter(keep)
+        )
+    out_cols = list(df.columns) + ["q_rank", "group_n"]
+    if not totals:
+        return (df.withColumn("q_rank", F.lit(None).cast("bigint"))
+                .withColumn("group_n", F.lit(None).cast("bigint"))
+                .filter(keep).select(*out_cols))
+    group_n = {r[group_col]: int(r["__n"]) for r in totals}
+
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 32
+    ordered = (
+        df.repartitionByRange(n_parts, F.col(group_col),
+                              F.col(score_col).desc(), F.col(id_col))
+        .sortWithinPartitions(F.col(group_col), F.col(score_col).desc(),
+                              F.col(id_col))
+        # partitionId << 33 | within-partition position (Spark contract)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    pid = F.shiftrightunsigned("__mid", 33)
+    mask = (1 << 33) - 1
+    stats = ordered.groupBy(pid.alias("__pid"), F.col(group_col)).agg(
+        F.count("*").alias("__cnt"),
+        F.min("__mid").alias("__first_mid")).collect()
+    # range partitions are assigned in key order, so within a group
+    # ascending partition id IS ascending rank order
+    lookup_rows, run, prev = [], 0, object()
+    for r in sorted(stats, key=lambda r: ((r[group_col] is None,
+                                           r[group_col]), r["__pid"])):
+        g = r[group_col]
+        if g != prev:
+            run, prev = 0, g
+        lookup_rows.append(
+            (int(r["__pid"]), g, run,
+             int(r["__first_mid"]) & mask, group_n[g]))
+        run += int(r["__cnt"])
+    gtype = df.schema[group_col].dataType
+    lookup = spark.createDataFrame(lookup_rows, StructType([
+        StructField("__lpid", LongType()),
+        StructField("__lg", gtype),
+        StructField("__prefix", LongType()),
+        StructField("__gstart", LongType()),
+        StructField("group_n", LongType()),
+    ]))
     return (
-        df.withColumn("q_rank", F.row_number().over(w).cast("bigint"))
-        .withColumn("group_n", F.count("*").over(wn).cast("bigint"))
-        .filter(F.col("q_rank")
-                <= F.ceil(F.lit(float(frac)) * F.col("group_n")))
+        ordered
+        .join(F.broadcast(lookup),
+              (pid == F.col("__lpid"))
+              & F.col(group_col).eqNullSafe(F.col("__lg")))
+        .withColumn(
+            "q_rank",
+            (F.col("__prefix") + (F.col("__mid").bitwiseAND(F.lit(mask))
+                                  - F.col("__gstart")) + 1).cast("bigint"))
+        .filter(keep)
+        .select(*out_cols)
     )

@@ -1,0 +1,683 @@
+"""Baseline JPEG (JFIF / ITU T.81 SOF0) codec — pure stdlib + numpy,
+no PIL/libjpeg (r14, VERDICT r13 item 2: the #1 real-corpus gap after
+the PNG surface was completed).
+
+Decoder surface (the real artifact): marker parse (SOI/APPn/COM/DQT/
+DHT/SOF0/DRI/SOS/RSTn/EOI), interleaved and single-component scans,
+Huffman-decoded DC diffs + AC run-lengths (EOB/ZRL), dequantization,
+float IDCT over the 8x8 orthonormal DCT basis (numpy), chroma
+upsampling by sample replication for subsampled components (4:2:0 /
+4:2:2), JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, and
+12-bit precision raise ``NotImplementedError`` — documented capability
+boundaries, same policy as the PNG decoder's unknown color types.
+
+Rounding is engine-replayable BY CONSTRUCTION: every float->sample
+step is ``floor(x + 0.5)`` then clamp to [0,255] — an explicit
+expression a SQL oracle states verbatim (Python's round() is banker's
+and would diverge on ties). The color transform is the JFIF one:
+
+    R = Y + 1.402 (Cr-128)
+    G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+    B = Y + 1.772 (Cb-128)
+
+computed in IEEE doubles with exactly that association, so DuckDB
+replays it bit-identically.
+
+Encoder (test fixture, like ``multimodal.png_encode``): takes planes
+directly in component space (the fixture synthesizes Y/Cb/Cr
+closed-form — no RGB->YCbCr pass to replay), pads each plane to its
+MCU-covering block grid by edge replication, float FDCT, quantize via
+``floor(c/q + 0.5)``, Huffman-codes with the spec's Annex K tables,
+byte-stuffs, and emits optional restart intervals. The oracle contract
+(``synth_jpeg_media``): 8x8-constant blocks survive the DCT round trip
+EXACTLY — a constant block has only a DC coefficient (8*(v-128), an
+integer), the DC quantizer step is 8, so nothing is lost to
+quantization and the decoded pixels are a closed-form function of
+(id, x//8, y//8) that plain SQL replays with no JPEG bytes involved.
+
+Reference parity note: the reference engine (nnnkkk7/snowflake-emulator)
+ships no media codecs at all — this is part of the beyond-reference
+training-data-pipeline surface the build plan calls for.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------
+# Tables (public JPEG spec, ITU T.81)
+# ---------------------------------------------------------------------
+
+# zigzag scan order: _ZIGZAG[k] = natural index (row*8+col) of the k-th
+# coefficient in transmission order
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL). The
+# decoder reads tables from DHT, so round-trip correctness does not
+# DEPEND on these matching the standard byte-for-byte — they are the
+# realistic defaults the encoder ships.
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+# fixture quantization: DC step 8 makes constant-block DC lossless
+# (8*(v-128) / 8 == v-128, an integer); AC steps are irrelevant for
+# constant blocks (true-zero coefficients quantize to 0 at any step)
+_FIXTURE_QT = [8] + [16] * 63
+
+# orthonormal 8x8 DCT basis: _DCT_M[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT_M = np.array(
+    [[(math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+      * math.cos((2 * x + 1) * u * math.pi / 16.0)
+      for x in range(8)] for u in range(8)])
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value for the bit-serial decoder."""
+    return {(ln, c): v for v, (c, ln) in _build_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------
+# Encoder (test fixture)
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate to (ph, pw) — keeps 8x8-constant blocks constant."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: list[int],
+                  pred: int, dc_codes: dict, ac_codes: dict) -> int:
+    coef = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    q = np.floor(coef / np.array(qt, dtype=np.float64).reshape(8, 8)
+                 + 0.5).astype(np.int64)
+    zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+    diff = zz[0] - pred
+    t = diff.bit_length() if diff > 0 else (-diff).bit_length()
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, 64):
+        if k > last_nz:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.put(c, ln)
+            break
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        c, ln = ac_codes[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return zz[0]
+
+
+def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
+                sampling: list[tuple[int, int]],
+                quant_tables: list[list[int]] | None = None,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder over component-space planes.
+
+    ``planes[c]`` has the component's natural dims
+    (ceil(height*v/max_v), ceil(width*h/max_h)); quant tables are in
+    NATURAL order (stored zigzagged per the spec). 1 plane = grayscale,
+    3 = YCbCr. Components 0 uses the luminance Huffman pair, others the
+    chrominance pair (Annex K defaults)."""
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError(f"1 or 3 components, got {ncomp}")
+    if quant_tables is None:
+        quant_tables = [_FIXTURE_QT] * min(ncomp, 2)
+    max_h = max(h for h, _ in sampling)
+    max_v = max(v for _, v in sampling)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    for tq, qt in enumerate(quant_tables):
+        zzq = bytes(qt[_ZIGZAG[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     height, width, ncomp)
+    for c in range(ncomp):
+        h, v = sampling[c]
+        out += bytes([c + 1, (h << 4) | v, min(c, 1, len(quant_tables) - 1)])
+    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if ncomp == 3:
+        tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tc_id, (bits, vals) in tables:
+        out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([tc_id]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for c in range(ncomp):
+        dc_id, ac_id = (0, 0) if c == 0 else (1, 1)
+        out += bytes([c + 1, (dc_id << 4) | ac_id])
+    out += bytes([0, 63, 0])
+
+    if ncomp == 1:
+        # non-interleaved single-component scan: MCU = one block
+        mcus_x = (planes[0].shape[1] + 7) // 8
+        mcus_y = (planes[0].shape[0] + 7) // 8
+        blocks_per_mcu = [(1, 1)]
+    else:
+        mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+        mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+        blocks_per_mcu = sampling
+    padded = []
+    for c in range(ncomp):
+        h, v = blocks_per_mcu[c]
+        padded.append(_pad_plane(planes[c].astype(np.float64),
+                                 mcus_y * 8 * v, mcus_x * 8 * h))
+    dc_maps = [_build_codes(*(_DC_LUM if c == 0 else _DC_CHR))
+               for c in range(ncomp)]
+    ac_maps = [_build_codes(*(_AC_LUM if c == 0 else _AC_CHR))
+               for c in range(ncomp)]
+    qts = [quant_tables[min(c, 1, len(quant_tables) - 1)]
+           for c in range(ncomp)]
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    n_since_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_since_rst == restart_interval:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                n_since_rst = 0
+                preds = [0] * ncomp
+            for c in range(ncomp):
+                h, v = blocks_per_mcu[c]
+                for by in range(v):
+                    for bx in range(h):
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        block = padded[c][y0:y0 + 8, x0:x0 + 8]
+                        preds[c] = _encode_block(
+                            bw, block, qts[c], preds[c],
+                            dc_maps[c], ac_maps[c])
+            n_since_rst += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# Decoder (the real surface)
+# ---------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    # marker inside coded data: corrupt / premature end
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expect: int) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.nbits = 0
+        if (self.pos + 1 >= len(self.data)
+                or self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (expect & 7)):
+            raise ValueError("missing/garbled JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict,
+                  qt: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.float64)
+    t = _huff_decode(br, dc_tab)
+    diff = _extend(br.receive(t), t) if t else 0
+    dc = pred + diff
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index out of range")
+        coef[_ZIGZAG[k]] = _extend(br.receive(s), s)
+        k += 1
+    spatial = _DCT_M.T @ (coef * qt).reshape(8, 8) @ _DCT_M
+    return spatial, dc
+
+
+def _clamp_plane(spatial: np.ndarray) -> np.ndarray:
+    # floor(x + 128.5) then clamp — the documented engine-replayable
+    # rounding (NOT np.round, which is banker's)
+    return np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.int32)
+
+
+def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG; returns (width, height, channels,
+    pixels) with pixels row-major, ``channels`` interleaved (1 = gray,
+    3 = RGB). Raises ValueError on corrupt input, NotImplementedError
+    on progressive/arithmetic/12-bit streams."""
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data (EOI before SOS)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > len(data):
+            raise ValueError("truncated JPEG segment")
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if p + n > len(seg):
+                    raise ValueError("truncated DQT")
+                raw = (struct.unpack(f">64H", seg[p:p + 128]) if pq
+                       else seg[p:p + 64])
+                qt = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    qt[_ZIGZAG[k]] = raw[k]
+                qts[tq] = qt
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _build_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("bad sampling factors")
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
+                "baseline sequential DCT (SOF0/SOF1) is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next((x for x in frame["comps"] if x["id"] == cs),
+                            None)
+                if comp is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(data, pos + seg_len, frame, scan, qts,
+                                huff, restart_interval)
+        # else: APPn / COM / unknown — skip
+        pos += seg_len
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 qts: dict, huff: dict, restart_interval: int,
+                 ) -> tuple[int, int, int, bytes]:
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if len(scan) == 1:
+        comp = scan[0][0]
+        cw = (w * comp["h"] + max_h - 1) // max_h
+        ch = (h * comp["v"] + max_v - 1) // max_v
+        mcus_x, mcus_y = (cw + 7) // 8, (ch + 7) // 8
+        layout = [(scan[0], 1, 1)]
+    else:
+        mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+        mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+        layout = [(s, s[0]["h"], s[0]["v"]) for s in scan]
+    planes = {}
+    for (comp, _dc, _ac), bh, bv in layout:
+        planes[comp["id"]] = np.zeros((mcus_y * 8 * bv, mcus_x * 8 * bh),
+                                      dtype=np.float64)
+    br = _BitReader(data, pos)
+    preds = {comp["id"]: 0 for (comp, _d, _a), _bh, _bv in layout}
+    rst = 0
+    n_since = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_since == restart_interval:
+                br.restart(rst)
+                rst += 1
+                n_since = 0
+                for k in preds:
+                    preds[k] = 0
+            for (comp, dc_id, ac_id), bh, bv in layout:
+                dc_tab = huff.get((0, dc_id))
+                ac_tab = huff.get((1, ac_id))
+                qt = qts.get(comp["tq"])
+                if dc_tab is None or ac_tab is None or qt is None:
+                    raise ValueError("scan references missing DHT/DQT table")
+                for by in range(bv):
+                    for bx in range(bh):
+                        spatial, preds[comp["id"]] = _decode_block(
+                            br, dc_tab, ac_tab, qt, preds[comp["id"]])
+                        y0 = (my * bv + by) * 8
+                        x0 = (mx * bh + bx) * 8
+                        planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            n_since += 1
+
+    if len(comps) == 1 or len(scan) == 1:
+        comp = scan[0][0] if len(scan) == 1 else comps[0]
+        out = _clamp_plane(planes[comp["id"]])[:h, :w]
+        return w, h, 1, bytes(out.astype(np.uint8).tobytes())
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (only grayscale and YCbCr)")
+    full = []
+    for comp in comps:
+        plane = _clamp_plane(planes[comp["id"]])
+        ry, rx = max_v // comp["v"], max_h // comp["h"]
+        if max_v % comp["v"] or max_h % comp["h"]:
+            raise NotImplementedError("non-integer chroma sampling ratio")
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w].astype(np.float64))
+    y, cb, cr = full
+    # JFIF YCbCr -> RGB, floor(x + 0.5) rounding — stated verbatim in
+    # the SQL oracle, associativity preserved
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * (cb - 128)
+                         - 0.714136 * (cr - 128) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return w, h, 3, bytes(rgb.tobytes())
+
+
+# ---------------------------------------------------------------------
+# Spark surface: feature kernel + closed-form fixture
+# ---------------------------------------------------------------------
+
+
+def jpeg_features(media: DataFrame, id_col: str = "media_id",
+                  content_col: str = "content") -> DataFrame:
+    """Real-decode JPEG feature extraction — same kernel shape and
+    output schema as ``multimodal.png_features`` (Arrow-batched
+    mapInPandas, per-row error capture: a corrupt blob must not kill a
+    100 TB job). Gray images report their single channel in all three
+    means; means stay UNROUNDED (callers round with F.round, HALF_UP,
+    matching the SQL oracles)."""
+    from .multimodal import PNG_FEATURE_SCHEMA
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, ch, px = jpeg_decode(
+                        bytes(content) if content is not None else None)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(
+                        h * w, ch).astype(np.float64)
+                    means = [float(arr[:, c].sum() / (w * h))
+                             for c in range(min(ch, 3))]
+                    while len(means) < 3:
+                        means.append(means[0])
+                    rows.append((int(mid), w, h, ch, means[0], means[1],
+                                 means[2], int(arr.min()), int(arr.max()),
+                                 True, None))
+                except Exception as e:  # noqa: BLE001 — per-row capture
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_FEATURE_SCHEMA.fields])
+
+    return media.select(id_col, content_col).mapInPandas(
+        _extract, PNG_FEATURE_SCHEMA)
+
+
+def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixture column: each id becomes a baseline
+    JPEG of 8x8-CONSTANT blocks on a ``(10 + i%23) x (9 + i%13)``
+    canvas — constant blocks have only a DC coefficient, the fixture
+    DC quantizer step is 8, so the encode->decode round trip is EXACT
+    and the decoded pixels are closed-form in (i, x//8, y//8):
+
+    * ``i%3 == 0`` — grayscale, 1 component, non-interleaved scan:
+      ``v = (7i + 31bx + 17by) % 256``.
+    * ``i%3 == 1`` — YCbCr 4:4:4: ``Y=(5i+29bx+23by)%256,
+      Cb=(3i+19bx+7by)%256, Cr=(11i+13bx+37by)%256``; decoded RGB =
+      the JFIF transform with floor(x+0.5) rounding.
+    * ``i%3 == 2`` — YCbCr 4:2:0 (2x2-subsampled chroma, replication
+      upsample): Y as variant 1; chroma uses the MCU cell
+      ``(x//16, y//16)`` — constant per chroma block, so replication
+      reproduces it exactly.
+
+    ``i%4 == 0`` images additionally carry a DRI restart interval of 2
+    MCUs (RST markers + predictor resets on the wire; decoded pixels —
+    and so the oracle — are identical). A SQL oracle replays the pixel
+    formulas + color transform directly, no JPEG involved: the declared
+    query's hash gate verifies the full encode->decode round trip
+    against independent arithmetic."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                w, h = 10 + i % 23, 9 + i % 13
+                variant = i % 3
+                rst = 2 if i % 4 == 0 else 0
+                xs = np.arange(w)
+                ys = np.arange(h)
+                bx, by = np.meshgrid(xs // 8, ys // 8)
+                if variant == 0:
+                    gray = (7 * i + 31 * bx + 17 * by) % 256
+                    content = jpeg_encode(w, h, [gray], [(1, 1)],
+                                          restart_interval=rst)
+                else:
+                    yp = (5 * i + 29 * bx + 23 * by) % 256
+                    if variant == 1:
+                        cb = (3 * i + 19 * bx + 7 * by) % 256
+                        cr = (11 * i + 13 * bx + 37 * by) % 256
+                        content = jpeg_encode(
+                            w, h, [yp, cb, cr],
+                            [(1, 1), (1, 1), (1, 1)], restart_interval=rst)
+                    else:
+                        cw, chh = (w + 1) // 2, (h + 1) // 2
+                        cxs, cys = np.meshgrid(np.arange(cw) // 8,
+                                               np.arange(chh) // 8)
+                        cb = (3 * i + 19 * cxs + 7 * cys) % 256
+                        cr = (11 * i + 13 * cxs + 37 * cys) % 256
+                        content = jpeg_encode(
+                            w, h, [yp, cb, cr],
+                            [(2, 2), (1, 1), (1, 1)], restart_interval=rst)
+                rows.append((i, bytearray(content)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    from .multimodal import SYNTH_PNG_SCHEMA
+
+    return ids_df.select(id_col).mapInPandas(_enc, SYNTH_PNG_SCHEMA)

@@ -853,3 +853,58 @@ def test_top_quantile_per_group(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         corpus.top_quantile_per_group(df, 0.0, "score")
+
+
+def test_top_quantile_rank_offsets_match_window(spark):
+    """r14 (VERDICT item 1): the range-partition + prefix-offset rank
+    must equal the window-rank reference exactly — including q_rank and
+    group_n values — on a frame with skewed group sizes, score ties,
+    and rows spread across many input partitions; the produced plan
+    must contain NO per-group window sort."""
+    from pyspark.sql import Window
+
+    from snowflake_emulator_spark.operators import corpus
+
+    rows = []
+    for i in range(600):
+        src = "big" if i % 3 else ("mid" if i % 7 else "tiny")
+        rows.append((i, src, float((i * 37) % 50)))  # heavy tie mass
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"]) \
+        .repartition(16)
+    got = corpus.top_quantile_per_group(df, 0.4, "score")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "per-group window sort resurfaced"
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    wn = Window.partitionBy("source")
+    ref = (df.withColumn("q_rank", F.row_number().over(w).cast("bigint"))
+           .withColumn("group_n", F.count("*").over(wn).cast("bigint"))
+           .filter(F.col("q_rank") <= F.ceil(0.4 * F.col("group_n"))))
+    key = lambda r: (r["source"], r["q_rank"])  # noqa: E731
+    got_rows = sorted((tuple(r) for r in got.collect()), key=lambda t: t[:2])
+    ref_rows = sorted((tuple(r) for r in ref.collect()), key=lambda t: t[:2])
+    assert got.columns == ref.columns
+    assert got_rows == ref_rows and len(got_rows) > 0
+
+
+def test_top_quantile_empty_and_fallback(spark, monkeypatch):
+    """r14: empty input returns an empty frame with the q_rank/group_n
+    columns; above _MAX_LOOKUP_GROUPS distinct groups the function
+    falls back to the hash-window plan (the correct shape for many
+    small groups) with identical semantics."""
+    from snowflake_emulator_spark.operators import corpus
+
+    empty = spark.createDataFrame([], "doc_id INT, source STRING, score DOUBLE")
+    out = corpus.top_quantile_per_group(empty, 0.5, "score")
+    assert out.columns == ["doc_id", "source", "score", "q_rank", "group_n"]
+    assert out.count() == 0
+
+    monkeypatch.setattr(corpus, "_MAX_LOOKUP_GROUPS", 3)
+    rows = [(i, f"s{i % 5}", float(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    kept = corpus.top_quantile_per_group(df, 0.25, "score")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # fallback path chosen
+    per = {}
+    for r in kept.collect():
+        per.setdefault(r["source"], []).append(r["q_rank"])
+    assert all(sorted(v) == list(range(1, 3)) for v in per.values())  # ceil(.25*8)=2
