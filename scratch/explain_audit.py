@@ -205,6 +205,12 @@ AUDIT = [
     # the lookup join must be broadcast
     ("doc_top_quantile_filter", ["Scan ExistingRDD", "BroadcastHashJoin",
                                  "!Window", "!SortMergeJoin"]),
+    # JPEG decode: same shape as the PNG path — two chained Arrow map
+    # passes (encode fixture + decode/features), no join, no shuffle
+    # before the final sort
+    ("multimodal_jpeg_features", ["MapInPandas",
+                                  "!BroadcastNestedLoopJoin",
+                                  "!Exchange hashpartitioning"]),
 ]
 
 

@@ -4535,6 +4535,80 @@ FROM px GROUP BY doc_id, w, h ORDER BY media_id
 """
 
 
+def _multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT item 2): REAL baseline-JPEG decode — pure
+    stdlib+numpy Huffman + dequant + float IDCT behind the same
+    mapInPandas kernel as the PNG path. The fixture encodes
+    8x8-CONSTANT blocks (DC-only, quantizer step 8 => lossless DC), so
+    decoded pixels are closed-form in (id, x//8, y//8) and the oracle
+    replays the formulas + the JFIF floor(x+0.5) color transform
+    directly — the hash gate verifies Huffman/DCT/subsample round
+    trips against independent arithmetic. Variants: grayscale,
+    YCbCr 4:4:4, YCbCr 4:2:0; i%4==0 adds restart intervals.
+    See operators/jpeg.py."""
+    from .operators import jpeg
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 5")
+    media = jpeg.synth_jpeg_media(ids)
+    return (
+        jpeg.jpeg_features(media)
+        .select(
+            "media_id", "width", "height", "channels",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+            "min_px", "max_px",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_JPEG_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS i, 10 + doc_id % 23 AS w, 9 + doc_id % 13 AS h,
+         doc_id % 3 AS variant
+  FROM documents WHERE doc_id % 11 = 5
+),
+comp AS (
+  -- decoded components per pixel: block cell (x//8, y//8) for gray/Y
+  -- and 4:4:4 chroma; MCU cell (x//16, y//16) for 4:2:0 chroma
+  SELECT d.i, d.w, d.h, d.variant,
+         (7 * d.i + 31 * (x.xv // 8) + 17 * (y.yv // 8)) % 256 AS gv,
+         (5 * d.i + 29 * (x.xv // 8) + 23 * (y.yv // 8)) % 256 AS yv,
+         CASE WHEN d.variant = 1
+              THEN (3 * d.i + 19 * (x.xv // 8) + 7 * (y.yv // 8)) % 256
+              ELSE (3 * d.i + 19 * (x.xv // 16) + 7 * (y.yv // 16)) % 256
+         END AS cb,
+         CASE WHEN d.variant = 1
+              THEN (11 * d.i + 13 * (x.xv // 8) + 37 * (y.yv // 8)) % 256
+              ELSE (11 * d.i + 13 * (x.xv // 16) + 37 * (y.yv // 16)) % 256
+         END AS cr
+  FROM d, unnest(range(0, d.w)) AS x(xv), unnest(range(0, d.h)) AS y(yv)
+),
+rgb AS (
+  -- JFIF YCbCr->RGB with the decoder's exact floor(x+0.5) rounding
+  SELECT i, w, h, variant,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv + 1.402 * (cr - 128) + 0.5) AS INTEGER))) END AS r,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                 + 0.5) AS INTEGER))) END AS g,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INTEGER))) END AS b
+  FROM comp
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN variant = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b,
+       CAST(min(least(r, g, b)) AS INTEGER) AS min_px,
+       CAST(max(greatest(r, g, b)) AS INTEGER) AS max_px
+FROM rgb GROUP BY i, w, h, variant ORDER BY media_id
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6397,6 +6471,8 @@ REGISTRY: dict[str, tuple] = {
     # r11: REAL pure-stdlib PNG decode, hash-gated vs pixel arithmetic
     "multimodal_png_features": (_multimodal_png_features,
                                 _MULTIMODAL_PNG_ORACLE),
+    "multimodal_jpeg_features": (_multimodal_jpeg_features,
+                                 _MULTIMODAL_JPEG_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6558,8 +6634,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 227, (
-    f"registry contract: expected 227 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 228, (
+    f"registry contract: expected 228 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -17,6 +17,8 @@ matching pure-stdlib encoder used by the test fixtures. r13 completes
 the decode surface: palette (PLTE, depths 1/2/4/8), 16-bit (high-byte
 reduction), sub-byte grayscale, and Adam7 interlace — the full
 spec-valid combination table; only unknown color types raise.
+**Baseline JPEG is REAL too** (r14): see ``operators/jpeg.py`` —
+Huffman + dequant + IDCT, gray/4:4:4/4:2:0, restart intervals.
 """
 
 from __future__ import annotations
@@ -76,8 +78,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     if fake:
         return _fake_decode(content)
     raise NotImplementedError(
-        "real image decoding requires PIL/libjpeg, not present in this environment; "
-        "pass fake=True for the deterministic test decoder"
+        "generic image decoding requires PIL, not present in this environment; "
+        "PNG content decodes for real via png_features/png_decode and baseline "
+        "JPEG via operators.jpeg (jpeg_features/jpeg_decode); pass fake=True "
+        "for the deterministic test decoder"
     )
 
 
