@@ -171,6 +171,30 @@ def build_scaled(spark, workdir: str) -> None:
             os.symlink(f"{SRC}/{t}.parquet", dst)
 
 
+def ivfpq_recall(spark, sf_dir: str) -> dict:
+    """r14 (VERDICT item 3): recall measurement — not just a time
+    ratio — for the scale-aware trained IVF-PQ, at the given dir.
+    Recall@10 of the registry entry's exact config vs brute-force
+    cosine top-10 over the same 5 query ids, plus the nc/nprobe the
+    rules picked."""
+    from snowflake_emulator_spark.operators import similarity
+
+    load_views(spark, sf_dir)
+    e = spark.table("embeddings")
+    n = e.count()
+    nc = similarity.scale_aware_nc(n)
+    npr = similarity.scale_aware_nprobe(nc)
+    qs = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_bruteforce(e, qs, k=10)
+    approx = similarity.ivfpq_topk(
+        e, qs, k=10, n_centroids=None, nprobe=None,
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return {"n": n, "nc": nc, "nprobe": npr,
+            "recall_at_10": round(len(ex & ap) / len(ex), 3)}
+
+
 def quantile_partition_spread(spark, sf_dir: str) -> dict:
     """r14 (VERDICT item 1 'done' clause): at 10x documents, every
     source must span MORE than one range partition in the rewritten
@@ -212,6 +236,9 @@ def main() -> None:
               f"{time.time()-t0:.0f}s", flush=True)
         scaled = time_queries(spark, workdir, f"sf0.1x{REPLICAS}")
         spread = quantile_partition_spread(spark, workdir)
+        recall = {"base": ivfpq_recall(spark, SRC),
+                  "scaled": ivfpq_recall(spark, workdir)}
+        print(f"ivfpq recall: {recall}", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -222,8 +249,10 @@ def main() -> None:
         "base_sec": base, "scaled_sec": scaled, "ratios": ratios,
         "tolerance": RATIO_TOLERANCE, "superlinear": flagged,
         "top_quantile_partition_spread": spread,
+        "ivfpq_recall": recall,
     }))
     sys.exit(1 if flagged or spread["min_partitions_per_source"] <= 1
+             or recall["base"]["recall_at_10"] < 0.6
              else 0)
 
 

@@ -908,3 +908,105 @@ def test_top_quantile_empty_and_fallback(spark, monkeypatch):
     for r in kept.collect():
         per.setdefault(r["source"], []).append(r["q_rank"])
     assert all(sorted(v) == list(range(1, 3)) for v in per.values())  # ceil(.25*8)=2
+
+
+def test_scale_aware_nc_nprobe_rules():
+    """r14 (VERDICT item 3): the deterministic coarse-quantizer rules —
+    nc = min(64, max(4, floor(sqrt(n/25)))) and
+    nprobe = max(3, ceil(nc/4)) — at the boundaries the SQL replay
+    must also hit (for integer n, floor(sqrt(n/25)) == isqrt(n//25))."""
+    assert similarity.scale_aware_nc(0) == 4
+    assert similarity.scale_aware_nc(500) == 4       # sf0.01 fixture
+    assert similarity.scale_aware_nc(399) == 4
+    assert similarity.scale_aware_nc(400) == 4
+    assert similarity.scale_aware_nc(625) == 5       # 25*5^2 boundary
+    assert similarity.scale_aware_nc(624) == 4
+    assert similarity.scale_aware_nc(2000) == 8      # sf0.1 fixture
+    assert similarity.scale_aware_nc(20000) == 28    # 10x stress build
+    assert similarity.scale_aware_nc(10**9) == 64    # cap
+    assert similarity.scale_aware_nprobe(4) == 3
+    assert similarity.scale_aware_nprobe(8) == 3
+    assert similarity.scale_aware_nprobe(28) == 7
+    assert similarity.scale_aware_nprobe(64) == 16
+
+
+def test_ivfpq_scale_aware_recall_gate_sf01(spark):
+    """r14 (VERDICT item 3 'done' clause): at sf0.1 (2000 vectors) the
+    scale-aware rules pick nc=8/nprobe=3 and the Lloyd-TRAINED coarse
+    quantizer must clear recall >= 0.6 vs exact cosine top-10
+    (measured 0.76-0.80; the r13 random-hyperplane coarse measured
+    0.56 — residuals against genuine cluster means are what make ADC
+    accurate). Deterministic: fixed rounds, rounded centroid means."""
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = e.count()
+    assert similarity.scale_aware_nc(n) == 8
+    qs = [0, 1, 2, 3, 4]
+    exact = similarity.cosine_topk_bruteforce(e, qs, k=10)
+    approx = similarity.ivfpq_topk(
+        e, qs, k=10, n_centroids=None, nprobe=None,
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"scale-aware trained IVF-PQ recall: {recall}"
+
+
+def test_lloyd_cross_engine_bit_identity_adversarial_scales(spark):
+    """r14 (VERDICT item 6): property test — Spark's trainer and the
+    DuckDB replay (same CTE chain the oracles embed) produce
+    BIT-IDENTICAL codebooks across adversarial value scales (x1, x1e3,
+    x1e5 of a non-terminating-fraction base), and the trainer REFUSES
+    scales past the documented 1e6 grain bound instead of risking a
+    rounding-boundary flip."""
+    import duckdb
+
+    from snowflake_emulator_spark.inventory import _pq_training_ctes
+
+    dim, m, ksub, rounds = 8, 2, 4, 2
+    sub_d = dim // m
+    base = [(i, [((i * 37 + j * 11) % 23 + 1) / 7.0 for j in range(dim)])
+            for i in range(12)]
+    for scale in (1.0, 1e3, 1e5):
+        rows = [(i, [x * scale for x in v]) for i, v in base]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        subs = df.select(
+            "vec_id",
+            F.posexplode(F.array(*[
+                F.slice(F.col("embedding").cast("array<double>"),
+                        s * sub_d + 1, sub_d)
+                for s in range(m)])).alias("sub", "sv"))
+        from pyspark.sql import Window as W
+        cw = W.partitionBy("sub").orderBy("vec_id")
+        seed = (subs.orderBy("vec_id").limit(ksub * m)
+                .filter(F.col("vec_id") < ksub)
+                .select("sub", (F.row_number().over(cw) - 1).alias("code"),
+                        F.col("sv").alias("c")))
+        trained = similarity._lloyd_train_codebook(subs, seed, rounds)
+        got = {(r["sub"], r["code"]): [float(x) for x in r["c"]]
+               for r in trained.collect()}
+
+        con = duckdb.connect()
+        vals = ",".join(
+            f"({i}, {v!r}::DOUBLE[])" for i, v in
+            [(i, [x * scale for x in vv]) for i, vv in base])
+        ctes, cb = _pq_training_ctes("cb0", "allsubs", rounds, sub_d)
+        sql = f"""
+WITH v(vec_id, v) AS (VALUES {vals}),
+allsubs AS MATERIALIZED (
+  SELECT vec_id, CAST(s.range AS INTEGER) AS sub,
+         v[CAST(s.range * {sub_d} + 1 AS INTEGER):CAST(s.range * {sub_d} + {sub_d} AS INTEGER)] AS sv
+  FROM v, range({m}) s),
+cb0 AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS c
+  FROM allsubs WHERE vec_id < {ksub}),
+{",".join(ctes)}
+SELECT sub, code, c FROM {cb} ORDER BY sub, code"""
+        exp = {(r[0], r[1]): [float(x) for x in r[2]]
+               for r in con.execute(sql).fetchall()}
+        assert got == exp, f"codebooks diverge at scale {scale}"
+
+    big = [(i, [x * 1e7 for x in v]) for i, v in base]
+    dfb = spark.createDataFrame(big, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="1e6 bound|grain"):
+        similarity.pq_topk(dfb, [0], k=3, m=m, ksub=ksub, dim=dim,
+                           train_rounds=1)
