@@ -211,6 +211,16 @@ AUDIT = [
     ("multimodal_jpeg_features", ["MapInPandas",
                                   "!BroadcastNestedLoopJoin",
                                   "!Exchange hashpartitioning"]),
+    # temperature resampler: rank machinery = checkpointed range
+    # partition (no per-group window sort), factor table broadcast,
+    # repeat = Generate. The one BroadcastNestedLoopJoin inside is the
+    # DELIBERATE |sources|-row x 1-row totals cross in
+    # temperature_weights (both sides tiny aggregates) — so the
+    # negative check here is CartesianProduct, not BNLJ
+    ("sample_temperature_resample", ["Scan ExistingRDD",
+                                     "BroadcastHashJoin", "Generate",
+                                     "!Window", "!SortMergeJoin",
+                                     "!CartesianProduct"]),
 ]
 
 

@@ -2766,6 +2766,68 @@ FROM counts c CROSS JOIN tot t ORDER BY c.source
 """
 
 
+def _sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 item 5): the MATERIALIZED temperature mixture —
+    per-source factors applied as an actual resampled stream: floor(f)
+    copies per row plus exactly floor(frac(f)*n + 0.5) extra copies
+    per source chosen by E-S uniform keys (rank machinery =
+    corpus.rank_within_group, no per-group single-partition sort).
+    Sources here are a skewed derived tier (uniform fixture sources
+    would all get f=1), so the query exercises downsampling (f<1,
+    base=0), upsampling and the fractional draw at once."""
+    from .operators import mixture
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, "rare")
+        .when(F.col("doc_id") % 3 == 0, "mid")
+        .otherwise("common").alias("tier"))
+    return (
+        mixture.temperature_resample(d, alpha=0.7, source_col="tier")
+        .orderBy("tier", "doc_id", "copy_idx")
+    )
+
+
+_SAMPLE_TEMPERATURE_RESAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'rare'
+                      WHEN doc_id % 3 = 0 THEN 'mid'
+                      ELSE 'common' END AS tier
+  FROM documents),
+counts AS (
+  SELECT tier, CAST(count(doc_id) AS BIGINT) AS n_docs FROM d GROUP BY tier),
+tot AS (
+  SELECT sum(n_docs) AS n, sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+  FROM counts),
+w AS (
+  SELECT tier, CAST(floor(f) AS BIGINT) AS base,
+         CAST(floor((f - floor(f)) * n_docs + 0.5) AS BIGINT) AS k
+  FROM (
+    SELECT c.tier, c.n_docs,
+           round((pow(CAST(c.n_docs AS DOUBLE), 0.7) / t.z)
+                 / (CAST(c.n_docs AS DOUBLE) / t.n), 6) AS f
+    FROM counts c CROSS JOIN tot t)),
+keyed AS (
+  SELECT doc_id, tier,
+         round((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS UBIGINT) + 1) / 1152921504606846977.0, 9) AS u
+  FROM d),
+ranked AS (
+  SELECT doc_id, tier,
+         row_number() OVER (PARTITION BY tier ORDER BY u DESC, doc_id) AS r
+  FROM keyed),
+cop AS (
+  SELECT r.doc_id, r.tier,
+         w.base + CASE WHEN r.r <= w.k THEN 1 ELSE 0 END AS n_copies
+  FROM ranked r JOIN w USING (tier))
+SELECT doc_id, tier, CAST(u.i AS BIGINT) AS copy_idx,
+       CAST(doc_id AS VARCHAR) || '#' || CAST(u.i AS VARCHAR) AS sample_id
+FROM cop, unnest(range(1, n_copies + 1)) AS u(i)
+ORDER BY tier, doc_id, copy_idx
+"""
+
+
 _SAMPLE_WEIGHTED_ORACLE = """
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
@@ -6437,6 +6499,8 @@ REGISTRY: dict[str, tuple] = {
     # r13: temperature mixture reweighting (p_i ~ n_i^alpha, mBERT/XLM)
     "sample_temperature_weights": (_sample_temperature,
                                    _SAMPLE_TEMPERATURE_ORACLE),
+    "sample_temperature_resample": (_sample_temperature_resample,
+                                    _SAMPLE_TEMPERATURE_RESAMPLE_ORACLE),
     # r13: per-source relative (top-quantile) quality filtering
     "doc_top_quantile_filter": (_doc_top_quantile, _top_quantile_oracle()),
     "doc_chunk_windows": (_doc_chunks, _DOC_CHUNKS_ORACLE),
@@ -6560,64 +6624,64 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r13 rotation (VERDICT r12 item 2 — the r12 head was byte-identical
-    # to r11's; this one differs by 42 of 50 entries). Annotations give
-    # each entry's last driver-green round (union of CORRECTNESS_r*).
+    # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
+    # head; 40 come from the least-recently-sampled pool, r3-r5).
+    # Annotations give each entry's last driver-green round (union of
+    # CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
-    "scan_filter_project",            # last r12
-    "q1_pricing_summary",             # last r12
-    "q3_shipping_priority",           # last r12
-    "asof_join_events",               # last r12
-    "dedup_minhash_lsh",              # last r12
-    # --- NEW r13 / r13-changed code paths (re-gate this round) -------
-    "sql_match_recognize_subset",     # NEW r13 (SUBSET union symbols)
-    "embed_pq_topk",                  # r13: Lloyd-trained codebooks
-    "embed_ivfpq_topk",               # r13: trained residual codebooks
-    "multimodal_png_features",        # r13: palette/16-bit/Adam7 variants
-    "text_bpe_train_merges",          # NEW r13 (relational BPE training)
-    "text_bpe_encode_counts",         # NEW r13 (BPE encode view)
-    "sample_weighted_topk",           # NEW r13 (E-S weighted sampling)
-    # --- judge-flagged stale paths (r11/r12 verdicts sampled these
-    # manually every round; rotate them into the hard signal) ---------
-    "dedup_simhash",                  # last r5
-    "dedup_simhash_pairs",            # last r10
-    "text_repetition_filter",         # last r10
-    "stream_hourly_counts",           # last r5
-    "window_sliding_frames",          # last r4 (r8 window batch)
-    "sf_qualify_window_filter",       # last r3
-    # --- least-recently-sampled fill (last driver row r2-r4) ----------
-    "q17_small_qty_revenue",          # last r2
-    "q18_large_volume_customers",     # last r2
-    "q20_part_family_suppliers",      # last r2
-    "q22_idle_customers",             # last r2
-    "q7_nation_volume",               # last r2
-    "q8_market_share",                # last r2
-    "q9_profit_by_nation",            # last r2
-    "window_rank_dense",              # last r2
-    "agg_count_distinct",             # last r3 (also VERDICT item 9 watch)
-    "agg_cube",                       # last r3
-    "agg_grouping_sets",              # last r3
-    "agg_listagg",                    # last r3
-    "agg_median_percentile",          # last r3
-    "embed_kmeans_clusters",          # last r3
-    "events_sessionize",              # last r3
-    "join_anti_not_exists",           # last r3
-    "join_theta",                     # last r3
-    "limit_offset",                   # last r3
-    "q12_priority_buckets",           # last r3
-    "q13_customer_distribution",      # last r3
-    "q21_waiting_suppliers",          # last r3
-    "q5_local_supplier",              # last r3
-    "sample_stratified_hash",         # last r3
-    "setop_except",                   # last r3
-    "setop_intersect",                # last r3
-    "sf_object_construct",            # last r3
-    "text_bigram_logprob",            # last r3
-    "text_quality_score",             # last r3
-    "unpivot_line_metrics",           # last r3
-    "window_distribution",            # last r3
-    "window_first_last",              # last r3
-    "window_running_sum",             # last r3
+    "scan_filter_project",            # last r13
+    "q1_pricing_summary",             # last r13
+    "q3_shipping_priority",           # last r13
+    "asof_join_events",               # last r13
+    "dedup_minhash_lsh",              # last r13
+    # --- NEW r14 / r14-changed code paths (gate this round) ----------
+    "doc_top_quantile_filter",        # NEW r13 post-close (ADVICE: never
+                                      # driver-gated) + r14 plan rewrite
+    "multimodal_jpeg_features",       # NEW r14 (baseline JPEG decode)
+    "sample_temperature_resample",    # NEW r14 (materialized resampler)
+    "sample_temperature_weights",     # NEW r13 post-close, never gated
+    "embed_ivfpq_topk",               # r14: scale-aware trained coarse
+    # --- least-recently-sampled fill (r3-r5 last driver rows) --------
+    "extract_date_parts",             # last r3
+    "agg_basic_stats",                # last r4
+    "agg_min_by_max_by",              # last r4
+    "agg_regression_stats",           # last r4
+    "agg_variance_stddev",            # last r4
+    "ann_ivf_topk",                   # last r4
+    "embed_near_pairs_lsh",           # last r4
+    "events_cohort_retention",        # last r4
+    "events_multires_rollup",         # last r4
+    "join_left_outer",                # last r4
+    "q10_returned_items",             # last r4
+    "q16_supplier_part_groups",       # last r4
+    "q19_disjunctive_revenue",        # last r4
+    "q2_min_cost_supplier",           # last r4
+    "q4_order_priority",              # last r4
+    "q6_revenue_forecast",            # last r4
+    "range_join_events",              # last r4
+    "recursive_cte_buckets",          # last r4
+    "salted_join_hot_keys",           # last r4
+    "setop_except_all",               # last r4
+    "sf_minhash_similarity",          # last r4
+    "text_bpe_token_counts",          # last r4
+    "text_language_id",               # last r4
+    "window_lag_delta",               # last r4
+    "window_ratio_to_report",         # last r4
+    "embed_coverage_sample",          # last r5
+    "embed_decontaminate",            # last r5
+    "events_user_features",           # last r5
+    "flatten_explode_words",          # last r5
+    "multimodal_features",            # last r5
+    "pivot_segment_balances",         # last r5
+    "quality_filter_pipeline",        # last r5
+    "setop_intersect_all",            # last r5
+    "sf_semistructured_funcs",        # last r5
+    "sf_split_to_table",              # last r5
+    "sf_string_date_funcs",           # last r5
+    "sf_variant_path_access",         # last r5
+    "text_decontaminate",             # last r5
+    "text_pii_scrub",                 # last r5
+    "text_token_counts",              # last r5
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -6657,8 +6721,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 228, (
-    f"registry contract: expected 228 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 229, (
+    f"registry contract: expected 229 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

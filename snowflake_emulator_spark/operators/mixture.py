@@ -201,3 +201,61 @@ def temperature_weights(df: DataFrame, alpha: float = 0.7,
             .alias("upsample_factor"),
         )
     )
+
+
+def temperature_resample(df: DataFrame, alpha: float = 0.7,
+                         source_col: str = "source",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Materialized temperature resampler (r14, VERDICT r13 item 5):
+    ``temperature_weights`` emits per-source upsample FACTORS; this
+    operator applies them and emits the actual resampled stream a data
+    loader consumes.
+
+    Per source with factor ``f`` over ``n`` rows: every row repeats
+    ``floor(f)`` times, and EXACTLY ``k = floor((f - floor(f)) * n +
+    0.5)`` rows receive one extra copy — so the output count is the
+    deterministic ceil/floor split of ``f * n`` (sources with f < 1
+    downsample: only the k selected rows survive). WHICH rows get the
+    extra copy is an Efraimidis-Spirakis draw with uniform weights:
+    key = the md5-derived uniform (same no-rand() recipe as
+    ``mixture_sample``/``weighted_sample_k``, rounded 9), k largest
+    keys per source win, ties break on id — identical on every
+    engine/run/stage retry.
+
+    Scale: per-source ranks for the fractional draw come from
+    ``corpus.rank_within_group`` (r14) — range-partitioned exact
+    ranks, NO per-group single-partition sort; the per-source factor
+    table is tiny and joins back broadcast; the repeat is one
+    ``explode(sequence(...))`` map stage. Output (id, source,
+    copy_idx, sample_id) with ``sample_id = '<id>#<copy_idx>'`` unique
+    across copies, ready to feed ``curriculum_interleave``."""
+    from .corpus import rank_within_group
+
+    w = temperature_weights(df, alpha, source_col, id_col).select(
+        source_col,
+        F.floor("upsample_factor").cast("bigint").alias("__base"),
+        F.floor((F.col("upsample_factor") - F.floor("upsample_factor"))
+                * F.col("n_docs") + F.lit(0.5)).cast("bigint").alias("__k"),
+    )
+    h = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                16, 10).cast("bigint"))
+    u = F.round((h + F.lit(1)).cast("double")
+                / F.lit(float((1 << 60) + 1)), 9)
+    keyed = df.select(F.col(id_col), F.col(source_col), u.alias("__u"))
+    ranked = rank_within_group(keyed, "__u", source_col, id_col)
+    n_copies = (F.col("__base")
+                + F.when(F.col("q_rank") <= F.col("__k"), F.lit(1))
+                .otherwise(F.lit(0)))
+    return (
+        ranked.join(F.broadcast(w), source_col)
+        .withColumn("__nc", n_copies)
+        # Spark sequence(1, 0) infers step -1 — filter empties FIRST
+        .filter(F.col("__nc") >= 1)
+        .select(
+            F.col(id_col), F.col(source_col),
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__nc")))
+            .alias("copy_idx"))
+        .withColumn("sample_id",
+                    F.concat_ws("#", F.col(id_col).cast("string"),
+                                F.col("copy_idx").cast("string")))
+    )

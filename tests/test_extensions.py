@@ -1010,3 +1010,39 @@ SELECT sub, code, c FROM {cb} ORDER BY sub, code"""
     with pytest.raises(ValueError, match="1e6 bound|grain"):
         similarity.pq_topk(dfb, [0], k=3, m=m, ksub=ksub, dim=dim,
                            train_rounds=1)
+
+
+def test_temperature_resample_counts_and_composition(spark):
+    """r14 (VERDICT item 5): the materialized temperature resampler —
+    per-source output counts equal floor(f)*n + floor(frac(f)*n + 0.5)
+    exactly; alpha=1 is the identity stream; sample_id is unique and
+    feeds curriculum_interleave directly."""
+    import math
+
+    from snowflake_emulator_spark.operators import mixture
+
+    rows = [(i, "big" if i % 5 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture.temperature_resample(df, alpha=0.5)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src_n = {"big": 160, "small": 40}
+    N, z = 200, sum(n ** 0.5 for n in src_n.values())
+    for s, n in src_n.items():
+        f = round((n ** 0.5 / z) / (n / N), 6)
+        exp = math.floor(f) * n + math.floor((f - math.floor(f)) * n + 0.5)
+        assert got[s] == exp, (s, f, exp, got[s])
+    # sample_id unique across copies
+    assert out.select("sample_id").distinct().count() == out.count()
+    # alpha=1: factors are exactly 1.0 -> identity stream, copy_idx=1
+    ident = mixture.temperature_resample(df, alpha=1.0)
+    assert ident.count() == 200
+    assert ident.agg(F.max("copy_idx")).collect()[0][0] == 1
+    # composition: the resampled stream interleaves on sample_id
+    ordered = mixture.curriculum_interleave(
+        out, weights={"small": 2.0}, source_col="source",
+        id_col="sample_id")
+    n_out = ordered.count()
+    assert n_out == out.count()
+    pos = [r["global_pos"] for r in ordered.collect()]
+    assert sorted(pos) == list(range(1, n_out + 1))
