@@ -211,6 +211,10 @@ AUDIT = [
     ("multimodal_jpeg_features", ["MapInPandas",
                                   "!BroadcastNestedLoopJoin",
                                   "!Exchange hashpartitioning"]),
+    # WAV decode: same two-Arrow-map shape as the image paths
+    ("multimodal_wav_features", ["MapInPandas",
+                                 "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

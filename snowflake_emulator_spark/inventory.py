@@ -4694,6 +4694,56 @@ FROM rgb GROUP BY i, w, h, variant ORDER BY media_id
 """
 
 
+def _multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: REAL WAV/RIFF PCM decode — pure stdlib+numpy chunk walk +
+    PCM reconstruction behind the same mapInPandas kernel as the image
+    paths. The fixture synthesizes closed-form PCM clips (mono/stereo,
+    8/16-bit, junk LIST chunks on i%4==0), so the oracle replays
+    count/duration/peak/mean/RMS from the sample formulas with no WAV
+    bytes involved. See operators/audio.py."""
+    from .operators import audio
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 3")
+    media = audio.synth_wav_media(ids)
+    return (
+        audio.wav_features(media)
+        .select(
+            "media_id", "channels", "sample_rate", "n_samples",
+            "duration_ms", "peak_abs",
+            F.round("mean_dc", 6).alias("mean_dc"),
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_WAV_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS i, 50 + doc_id % 37 AS n, doc_id % 3 AS variant
+  FROM documents WHERE doc_id % 11 = 3),
+smp AS (
+  SELECT d.i, d.n, d.variant,
+         CASE WHEN d.variant = 2 THEN (3 * d.i + 11 * t.tv) % 256 - 128
+              ELSE ((7 * d.i + 13 * t.tv + 5 * c.cv) * 257) % 65536 - 32768
+         END AS s
+  FROM d,
+       unnest(range(0, d.n)) AS t(tv),
+       unnest(range(0, CASE WHEN d.variant = 1 THEN 2 ELSE 1 END)) AS c(cv))
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(CASE WHEN variant = 1 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       CAST(CASE variant WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 11025 END AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // (CASE variant WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 11025 END) AS BIGINT) AS duration_ms,
+       CAST(max(abs(s)) AS DOUBLE) AS peak_abs,
+       round(avg(CAST(s AS DOUBLE)), 6) AS mean_dc,
+       round(sqrt(avg(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms
+FROM smp GROUP BY i, n, variant ORDER BY media_id
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6560,6 +6610,8 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_PNG_ORACLE),
     "multimodal_jpeg_features": (_multimodal_jpeg_features,
                                  _MULTIMODAL_JPEG_ORACLE),
+    "multimodal_wav_features": (_multimodal_wav_features,
+                                _MULTIMODAL_WAV_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6721,8 +6773,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 229, (
-    f"registry contract: expected 229 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 230, (
+    f"registry contract: expected 230 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

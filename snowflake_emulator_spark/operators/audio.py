@@ -116,7 +116,7 @@ def wav_decode(content: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or payload is None:
         raise ValueError("missing fmt / data chunk")
     audio_format, channels, rate, _byte_rate, block, bits = fmt
-    if channels < 1 or block == 0:
+    if channels < 1 or block == 0 or rate == 0 or rate > 0x7FFFFFFF:
         raise ValueError("bad fmt parameters")
     if audio_format == 1:
         if bits == 8:

@@ -1,0 +1,126 @@
+"""WAV/RIFF PCM decode (r14): pure stdlib+numpy codec behind the
+mapInPandas kernel — depth round-trips, chunk skipping, float PCM,
+error capture, byte-mutation fuzz, and the Spark feature kernel."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from snowflake_emulator_spark.operators.audio import (
+    synth_wav_media,
+    wav_decode,
+    wav_encode,
+    wav_features,
+)
+
+
+def test_wav_roundtrip_all_depths():
+    rng = np.random.RandomState(14)
+    for bits, lo, hi in [(8, -128, 128), (16, -32768, 32768),
+                         (24, -(1 << 23), 1 << 23),
+                         (32, -(1 << 31), 1 << 31)]:
+        s = rng.randint(lo, hi, (97, 2), dtype=np.int64)
+        rate, ch, got = wav_decode(wav_encode(44100, 2, s, bits,
+                                              junk_chunk=True))
+        assert (rate, ch) == (44100, 2)
+        assert np.array_equal(got.astype(np.int64), s), bits
+
+
+def test_wav_float32_pcm():
+    """Format 3 (IEEE float) decodes as float32 verbatim."""
+    vals = np.array([0.0, -1.0, 0.5, 0.25], dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 16)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 16) + vals.tobytes())
+    rate, ch, got = wav_decode(blob)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(got.reshape(-1), vals)
+
+
+def test_wav_decoder_errors():
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"JUNK" * 10)
+    with pytest.raises(ValueError):
+        wav_decode(None)
+    with pytest.raises(ValueError, match="missing fmt"):
+        wav_decode(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # compressed formats are a documented capability boundary
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 8)  # ADPCM
+    blob = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="format 2"):
+        wav_decode(blob)
+
+
+def test_wav_odd_chunk_padding():
+    """Odd-length chunks carry a pad byte the walker must honor (the
+    junk LIST chunk in wav_encode is deliberately odd-length)."""
+    s = np.arange(-10, 10, dtype=np.int64)[:, None]
+    blob = wav_encode(8000, 1, s, 16, junk_chunk=True)
+    _rate, _ch, got = wav_decode(blob)
+    assert np.array_equal(got.reshape(-1), np.arange(-10, 10))
+
+
+def test_wav_features_spark(spark):
+    ids = spark.createDataFrame([(i,) for i in range(9)], ["doc_id"])
+    out = {r["media_id"]: r for r in
+           wav_features(synth_wav_media(ids)).collect()}
+    assert len(out) == 9
+    for i in range(9):
+        r = out[i]
+        assert r["decode_ok"], r["error"]
+        n = 50 + i % 37
+        assert r["n_samples"] == n
+        assert r["channels"] == (2 if i % 3 == 1 else 1)
+        rate = {0: 8000, 1: 16000, 2: 11025}[i % 3]
+        assert r["sample_rate"] == rate
+        assert r["duration_ms"] == (n * 1000) // rate
+    # closed-form check for one clip
+    i, n = 3, 53
+    t = np.arange(n)
+    s = ((7 * i + 13 * t) * 257) % 65536 - 32768
+    flat = s.astype(float)
+    assert out[3]["mean_dc"] == pytest.approx(flat.mean(), abs=1e-9)
+    assert out[3]["rms"] == pytest.approx(
+        math.sqrt((flat * flat).mean()), abs=1e-9)
+    assert out[3]["peak_abs"] == float(np.abs(s).max())
+
+    bad = spark.createDataFrame(
+        [(100, bytearray(b"RIFFgarbage!")), (101, None)],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in wav_features(bad).collect()}
+    assert not rows[100]["decode_ok"] and not rows[101]["decode_ok"]
+
+
+def test_wav_mutation_robustness(spark):
+    """Byte-mutation fuzz: corrupted WAVs fail per-row, never the
+    task; surviving decodes never return ragged frames."""
+    import random
+
+    rng = random.Random(1441)
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 120)
+        ch = rng.choice([1, 2])
+        bits = rng.choice([8, 16])
+        lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+        s = np.array([[rng.randrange(lo, hi) for _ in range(ch)]
+                      for _ in range(n)], dtype=np.int64)
+        blob = bytearray(wav_encode(rng.choice([8000, 44100]), ch, s, bits))
+        pos = rng.randrange(len(blob))
+        blob[pos] ^= 1 << rng.randrange(8)
+        rows.append((i, blob))
+    for _i, blob in rows:
+        try:
+            _rate, ch2, got = wav_decode(bytes(blob))
+            assert got.shape[1] == ch2
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = wav_features(df).collect()
+    assert len(out) == 60
+    assert all(isinstance(r["decode_ok"], bool) for r in out)
