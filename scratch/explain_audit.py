@@ -215,6 +215,10 @@ AUDIT = [
     ("multimodal_wav_features", ["MapInPandas",
                                  "!BroadcastNestedLoopJoin",
                                  "!Exchange hashpartitioning"]),
+    # GIF decode: same two-Arrow-map shape
+    ("multimodal_gif_features", ["MapInPandas",
+                                 "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

@@ -4744,6 +4744,64 @@ FROM smp GROUP BY i, n, variant ORDER BY media_id
 """
 
 
+def _multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: REAL GIF decode — pure-stdlib variable-width LZW +
+    interlace + multi-frame container behind the same mapInPandas
+    kernel as PNG/JPEG. Fixture palettes and index maps are
+    closed-form, so the oracle replays the palette-lookup arithmetic
+    over every frame with no GIF bytes involved. See
+    operators/gif.py."""
+    from .operators import gif
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 7")
+    media = gif.synth_gif_media(ids)
+    return (
+        gif.gif_features(media)
+        .select(
+            "media_id", "width", "height", "n_frames",
+            F.round("mean_r", 6).alias("mean_r"),
+            F.round("mean_g", 6).alias("mean_g"),
+            F.round("mean_b", 6).alias("mean_b"),
+            "min_px", "max_px",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_GIF_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS i, 5 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+         CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS nf
+  FROM documents WHERE doc_id % 11 = 7),
+px AS (
+  SELECT d.i, d.w, d.h, d.nf, f.fv,
+         CASE WHEN f.fv = 0 THEN (d.i + 3 * x.xv + 5 * y.yv) % 16
+              ELSE (2 * d.i + 5 * x.xv + 3 * y.yv) % 16 END AS k
+  FROM d,
+       unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv),
+       unnest(range(0, d.nf)) AS f(fv)),
+rgb AS (
+  SELECT i, w, h, nf,
+         CASE WHEN fv = 0 THEN (7 * i + 11 * k) % 256
+              ELSE (5 * i + 7 * k) % 256 END AS r,
+         CASE WHEN fv = 0 THEN (11 * i + 5 * k) % 256
+              ELSE (3 * i + 13 * k) % 256 END AS g,
+         CASE WHEN fv = 0 THEN (13 * i + 3 * k) % 256
+              ELSE (17 * i + k) % 256 END AS b
+  FROM px)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       round(avg(r), 6) AS mean_r, round(avg(g), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b,
+       CAST(min(least(r, g, b)) AS INTEGER) AS min_px,
+       CAST(max(greatest(r, g, b)) AS INTEGER) AS max_px
+FROM rgb GROUP BY i, w, h, nf ORDER BY media_id
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6612,6 +6670,8 @@ REGISTRY: dict[str, tuple] = {
                                  _MULTIMODAL_JPEG_ORACLE),
     "multimodal_wav_features": (_multimodal_wav_features,
                                 _MULTIMODAL_WAV_ORACLE),
+    "multimodal_gif_features": (_multimodal_gif_features,
+                                _MULTIMODAL_GIF_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6773,8 +6833,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 230, (
-    f"registry contract: expected 230 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 231, (
+    f"registry contract: expected 231 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)
