@@ -7,9 +7,15 @@ DHT/SOF0/DRI/SOS/RSTn/EOI), interleaved and single-component scans,
 Huffman-decoded DC diffs + AC run-lengths (EOB/ZRL), dequantization,
 float IDCT over the 8x8 orthonormal DCT basis (numpy), chroma
 upsampling by sample replication for subsampled components (4:2:0 /
-4:2:2), JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, and
-12-bit precision raise ``NotImplementedError`` — documented capability
-boundaries, same policy as the PNG decoder's unknown color types.
+4:2:2), JFIF YCbCr->RGB. **Progressive (SOF2) decodes too** (r14):
+spectral-selection bands and successive-approximation bit planes
+accumulate into per-component coefficient stores (T.81 Annex G) and
+the IDCT runs once at EOI — so a progressive stream reconstructs
+EXACTLY the pixels of the equivalent baseline stream, which the test
+suite asserts as an equality property. Arithmetic coding, lossless
+(SOF3+), hierarchical, and 12-bit precision raise
+``NotImplementedError`` — documented capability boundaries, same
+policy as the PNG decoder's unknown color types.
 
 Rounding is engine-replayable BY CONSTRUCTION: every float->sample
 step is ``floor(x + 0.5)`` then clamp to [0,255] — an explicit
@@ -218,17 +224,35 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: list[int],
     return zz[0]
 
 
+# complete AC symbol table for progressive scans (the Annex K baseline
+# AC tables lack the EOBn codes 0x10..0xE0): 15 EOBn + ZRL + 208
+# (run, size) symbols, all at 8 bits — codes 0..223, the all-ones
+# 8-bit code stays unused as the spec requires
+_PROG_AC_SYMS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for s in range(1, 14) for r in range(16)])
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 224, 0, 0, 0, 0, 0, 0, 0, 0],
+            _PROG_AC_SYMS)
+
+
 def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
                 sampling: list[tuple[int, int]],
                 quant_tables: list[list[int]] | None = None,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder over component-space planes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF encoder over component-space planes.
 
     ``planes[c]`` has the component's natural dims
     (ceil(height*v/max_v), ceil(width*h/max_h)); quant tables are in
     NATURAL order (stored zigzagged per the spec). 1 plane = grayscale,
     3 = YCbCr. Components 0 uses the luminance Huffman pair, others the
-    chrominance pair (Annex K defaults)."""
+    chrominance pair (Annex K defaults).
+
+    ``progressive=True`` (r14) emits an SOF2 stream carrying the SAME
+    quantized coefficients across a 4-stage scan script — DC first
+    (Al=1), per-component AC first (1..63, Al=1), DC refinement, and
+    per-component AC refinement — so progressive decode must equal
+    baseline decode bit-for-bit on the same input. Restart intervals
+    are baseline-only here."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError(f"1 or 3 components, got {ncomp}")
@@ -242,17 +266,24 @@ def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
     for tq, qt in enumerate(quant_tables):
         zzq = bytes(qt[_ZIGZAG[k]] for k in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
-                                     height, width, ncomp)
+    out += ((b"\xff\xc2" if progressive else b"\xff\xc0")
+            + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp))
     for c in range(ncomp):
         h, v = sampling[c]
         out += bytes([c + 1, (h << 4) | v, min(c, 1, len(quant_tables) - 1)])
     tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
     if ncomp == 3:
         tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    if progressive:
+        tables.append((0x12, _PROG_AC))
     for tc_id, (bits, vals) in tables:
         out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
                 + bytes([tc_id]) + bytes(bits) + bytes(vals))
+    if progressive:
+        out += _encode_progressive_scans(width, height, planes, sampling,
+                                         quant_tables, ncomp, max_h, max_v)
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -309,6 +340,210 @@ def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _sos_header(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    b = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs),
+                                  len(comp_specs))
+    for cid, dc_id, ac_id in comp_specs:
+        b += bytes([cid, (dc_id << 4) | ac_id])
+    return b + bytes([ss, se, (ah << 4) | al])
+
+
+def _encode_progressive_scans(width: int, height: int,
+                              planes: list[np.ndarray],
+                              sampling: list[tuple[int, int]],
+                              quant_tables: list, ncomp: int,
+                              max_h: int, max_v: int) -> bytes:
+    """Emit the 4-stage progressive scan script over the quantized
+    coefficients (zigzag order): DC first / AC first per component /
+    DC refine / AC refine per component."""
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    qz = []       # per comp: (nby, nbx, 64) int64 zigzag coefficients
+    real_dims = []  # per comp: (real block rows, real block cols)
+    for c in range(ncomp):
+        h, v = sampling[c]
+        padded = _pad_plane(planes[c].astype(np.float64),
+                            mcus_y * 8 * v, mcus_x * 8 * h)
+        qt = np.array(quant_tables[min(c, 1, len(quant_tables) - 1)],
+                      dtype=np.float64).reshape(8, 8)
+        nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coefq = np.floor(
+                    (_DCT_M @ (block - 128.0) @ _DCT_M.T) / qt + 0.5
+                ).astype(np.int64)
+                arr[by, bx] = coefq.flat[_ZIGZAG]
+        qz.append(arr)
+        cw = (width * h + max_h - 1) // max_h
+        ch = (height * v + max_v - 1) // max_v
+        real_dims.append(((ch + 7) // 8, (cw + 7) // 8))
+    dc_maps = [_build_codes(*(_DC_LUM if c == 0 else _DC_CHR))
+               for c in range(ncomp)]
+    ac_prog = _build_codes(*_PROG_AC)
+    specs = [(c + 1, 0 if c == 0 else 1, 2) for c in range(ncomp)]
+
+    out = bytearray()
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos_header(specs, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                h, v = sampling[c]
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(qz[c][my * v + by, mx * h + bx, 0]) >> 1
+                        diff = dc - preds[c]
+                        preds[c] = dc
+                        t = (diff if diff > 0 else -diff).bit_length()
+                        code, ln = dc_maps[c][t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(diff if diff >= 0 else
+                                   diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+    # scan 2..: AC first per component, band 1..63, Al=1
+    for c in range(ncomp):
+        out += _sos_header([specs[c]], 1, 63, 0, 1)
+        out += _emit_ac_first(qz[c], real_dims[c], 1, 63, 1, ac_prog)
+    # DC refinement: raw bit per block, same interleaved order
+    out += _sos_header(specs, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                h, v = sampling[c]
+                for by in range(v):
+                    for bx in range(h):
+                        bw.put(int(qz[c][my * v + by, mx * h + bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # AC refinement per component, Ah=1 -> Al=0
+    for c in range(ncomp):
+        out += _sos_header([specs[c]], 1, 63, 1, 0)
+        out += _emit_ac_refine(qz[c], real_dims[c], 1, 63, 0, ac_prog)
+    return bytes(out)
+
+
+def _emit_eobrun(bw: _BitWriter, eobrun: int, ac_codes: dict,
+                 pending: list[int]) -> int:
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+    for b in pending:
+        bw.put(b, 1)
+    pending.clear()
+    return 0
+
+
+def _emit_ac_first(arr, real_dims: tuple[int, int], ss: int, se: int,
+                   al: int, ac_codes: dict) -> bytes:
+    """First AC scan (Ah=0): point-transformed values with ZRL and
+    cross-block EOBn runs."""
+    bw = _BitWriter()
+    eobrun = 0
+    nby, nbx = real_dims
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = arr[by, bx]
+            vals = [int(v) >> al if v >= 0 else -((-int(v)) >> al)
+                    for v in zz[ss:se + 1]]
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, eobrun, ac_codes, [])
+                continue
+            eobrun = _emit_eobrun(bw, eobrun, ac_codes, [])
+            r = 0
+            for v in vals[:last + 1]:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                s = (v if v > 0 else -v).bit_length()
+                code, ln = ac_codes[(r << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, eobrun, ac_codes, [])
+    _emit_eobrun(bw, eobrun, ac_codes, [])
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_ac_refine(arr, real_dims: tuple[int, int], ss: int, se: int,
+                    al: int, ac_codes: dict) -> bytes:
+    """AC refinement scan (Ah=Al+1): correction bits for
+    history-nonzero coefficients, run-coded newly significant ones,
+    buffered bits attached to EOBn runs (T.81 G.1.2.3 /
+    encode_mcu_AC_refine)."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+    nby, nbx = real_dims
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = arr[by, bx]
+            absv = [(int(v) if v >= 0 else -int(v)) >> al
+                    for v in zz[ss:se + 1]]
+            eobpos = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            r = 0
+            block_bits: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    eobrun = _emit_eobrun(bw, eobrun, ac_codes, pending)
+                    code, ln = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                    for b in block_bits:
+                        bw.put(b, 1)
+                    block_bits = []
+                if t > 1:
+                    block_bits.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                eobrun = _emit_eobrun(bw, eobrun, ac_codes, pending)
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.put(code, ln)
+                bw.put(1 if zz[ss + i] > 0 else 0, 1)
+                for b in block_bits:
+                    bw.put(b, 1)
+                block_bits = []
+                r = 0
+            if r > 0 or block_bits:
+                eobrun += 1
+                pending.extend(block_bits)
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    eobrun = _emit_eobrun(bw, eobrun, ac_codes, pending)
+    _emit_eobrun(bw, eobrun, ac_codes, pending)
+    bw.flush()
+    return bytes(bw.out)
 
 
 # ---------------------------------------------------------------------
@@ -476,16 +711,31 @@ def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
             if any(c["h"] < 1 or c["v"] < 1 for c in comps):
                 raise ValueError("bad sampling factors")
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2: progressive DCT (r14)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("bad sampling factors")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
-                "baseline sequential DCT (SOF0/SOF1) is supported")
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}); "
+                "baseline (SOF0/SOF1) and progressive Huffman (SOF2) only")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame.get("progressive"):
+                return _decode_progressive(data, pos, seg_len, frame,
+                                           qts, huff, restart_interval)
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -552,9 +802,20 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
                         planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
             n_since += 1
 
-    if len(comps) == 1 or len(scan) == 1:
-        comp = scan[0][0] if len(scan) == 1 else comps[0]
-        out = _clamp_plane(planes[comp["id"]])[:h, :w]
+    single = scan[0][0]["id"] if len(comps) == 1 or len(scan) == 1 else None
+    return _finish(frame, planes, single)
+
+
+def _finish(frame: dict, planes: dict,
+            single_comp: int | None) -> tuple[int, int, int, bytes]:
+    """Shared reconstruction tail: clamp, upsample, color-transform,
+    crop — used by both the baseline and progressive paths."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if single_comp is not None:
+        out = _clamp_plane(planes[single_comp])[:h, :w]
         return w, h, 1, bytes(out.astype(np.uint8).tobytes())
     if len(comps) != 3:
         raise NotImplementedError(
@@ -576,6 +837,266 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return w, h, 3, bytes(rgb.tobytes())
+
+
+# ---------------------------------------------------------------------
+# Progressive (SOF2) decoding — r14. Coefficients accumulate across
+# scans (spectral selection bands + successive-approximation bit
+# planes, T.81 Annex G / the libjpeg-documented algorithms); the IDCT
+# runs once at EOI, so a progressive stream reconstructs EXACTLY the
+# same pixels as a baseline stream carrying the same quantized
+# coefficients — the test property the suite asserts.
+# ---------------------------------------------------------------------
+
+
+def _ac_first_block(br: _BitReader, ac_tab: dict, coef, ss: int, se: int,
+                    al: int, eobrun: int) -> int:
+    """First AC scan for one block (Ah=0): EOBn runs, ZRL, values
+    shifted left by the point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index out of band")
+        coef[_ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br: _BitReader, ac_tab: dict, coef, ss: int, se: int,
+                     al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block (Ah>0):
+    correction bits for history-nonzero coefficients, run-coded newly
+    significant ones, EOBn runs (T.81 G.1.2.3)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                zk = _ZIGZAG[k]
+                if coef[zk]:
+                    if br.read_bit() and not (coef[zk] & p1):
+                        coef[zk] += p1 if coef[zk] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            zk = _ZIGZAG[k]
+            if coef[zk]:
+                if br.read_bit() and not (coef[zk] & p1):
+                    coef[zk] += p1 if coef[zk] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes, pos: int, seg_len: int, frame: dict,
+                        qts: dict, huff: dict, restart_interval: int,
+                        ) -> tuple[int, int, int, bytes]:
+    """Scan loop for SOF2: decode each SOS's band/bit-plane into the
+    per-component coefficient store, keep parsing DHT/DQT/DRI between
+    scans, reconstruct at EOI."""
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension JPEG")
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    coefs = {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                               dtype=np.int64) for c in comps}
+
+    while True:
+        seg = data[pos + 2:pos + seg_len]
+        ns = seg[0]
+        scan = []
+        for c in range(ns):
+            cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+            comp = next((x for x in comps if x["id"] == cs), None)
+            if comp is None:
+                raise ValueError(f"scan references unknown component {cs}")
+            scan.append((comp, tt >> 4, tt & 0x0F))
+        ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        ah, al = ahl >> 4, ahl & 0x0F
+        if ss > se or se > 63 or (ss == 0) != (se == 0):
+            raise ValueError(f"bad spectral range {ss}..{se}")
+        pos = _decode_prog_scan(data, pos + seg_len, frame, scan, ss, se,
+                                ah, al, huff, coefs, restart_interval,
+                                mcus_x, mcus_y)
+        # parse markers until the next SOS or EOI
+        while True:
+            if pos + 2 > len(data):
+                raise ValueError("truncated progressive stream")
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI — reconstruct
+                planes = {}
+                for comp in comps:
+                    qt = qts.get(comp["tq"])
+                    if qt is None:
+                        raise ValueError("missing DQT table")
+                    arr = coefs[comp["id"]]
+                    nby, nbx = arr.shape[:2]
+                    plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            c64 = arr[by, bx].astype(np.float64) * qt
+                            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                                _DCT_M.T @ c64.reshape(8, 8) @ _DCT_M)
+                    planes[comp["id"]] = plane
+                single = comps[0]["id"] if len(comps) == 1 else None
+                return _finish(frame, planes, single)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > len(data):
+                raise ValueError("truncated segment header")
+            slen = struct.unpack(">H", data[pos:pos + 2])[0]
+            if slen < 2 or pos + slen > len(data):
+                raise ValueError("truncated segment")
+            body = data[pos + 2:pos + slen]
+            if marker == 0xC4:
+                p = 0
+                while p + 17 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = list(body[p + 1:p + 17])
+                    nv = sum(bits)
+                    vals = list(body[p + 17:p + 17 + nv])
+                    if len(vals) < nv:
+                        raise ValueError("truncated DHT")
+                    huff[(tc, th)] = _build_decode_map(bits, vals)
+                    p += 17 + nv
+            elif marker == 0xDB:
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = (struct.unpack(">64H", body[p:p + 128]) if pq
+                           else body[p:p + 64])
+                    qt = np.zeros(64, dtype=np.float64)
+                    for k in range(64):
+                        qt[_ZIGZAG[k]] = raw[k]
+                    qts[tq] = qt
+                    p += n
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:
+                seg_len = slen
+                break  # back to the scan loop
+            # else APPn/COM: skip
+            pos += slen
+
+
+def _decode_prog_scan(data: bytes, pos: int, frame: dict, scan: list,
+                      ss: int, se: int, ah: int, al: int, huff: dict,
+                      coefs: dict, restart_interval: int,
+                      mcus_x: int, mcus_y: int) -> int:
+    """Entropy-decode ONE progressive scan into the coefficient store;
+    returns the stream position after the scan's entropy data."""
+    comps = frame["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    br = _BitReader(data, pos)
+    eobrun = 0
+    rst, n_since = 0, 0
+    if ss == 0:  # DC scan (interleaved or single)
+        preds = {comp["id"]: 0 for comp, _d, _a in scan}
+        if len(scan) > 1:
+            grid = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+            units = [(comp, dc_id, comp["h"], comp["v"])
+                     for comp, dc_id, _ac in scan]
+        else:
+            comp, dc_id, _ac = scan[0]
+            cw = (frame["w"] * comp["h"] + max_h - 1) // max_h
+            ch = (frame["h"] * comp["v"] + max_v - 1) // max_v
+            grid = [(by, bx) for by in range((ch + 7) // 8)
+                    for bx in range((cw + 7) // 8)]
+            units = [(comp, dc_id, 1, 1)]
+        for gy, gx in grid:
+            if restart_interval and n_since == restart_interval:
+                br.restart(rst)
+                rst += 1
+                n_since = 0
+                preds = {k: 0 for k in preds}
+            for comp, dc_id, bh, bv in units:
+                for by in range(bv):
+                    for bx in range(bh):
+                        if len(scan) > 1:
+                            cy, cx = gy * bv + by, gx * bh + bx
+                        else:
+                            cy, cx = gy, gx
+                        coef = coefs[comp["id"]][cy, cx]
+                        if ah == 0:
+                            dc_tab = huff.get((0, dc_id))
+                            if dc_tab is None:
+                                raise ValueError("missing DC table")
+                            t = _huff_decode(br, dc_tab)
+                            diff = _extend(br.receive(t), t) if t else 0
+                            preds[comp["id"]] += diff
+                            coef[0] = preds[comp["id"]] << al
+                        elif br.read_bit():
+                            coef[0] |= 1 << al
+            n_since += 1
+    else:  # AC scan: single component, non-interleaved (T.81 G.1.1)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        comp, _dc, ac_id = scan[0]
+        ac_tab = huff.get((1, ac_id))
+        if ac_tab is None:
+            raise ValueError("missing AC table")
+        cw = (frame["w"] * comp["h"] + max_h - 1) // max_h
+        ch = (frame["h"] * comp["v"] + max_v - 1) // max_v
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                if restart_interval and n_since == restart_interval:
+                    br.restart(rst)
+                    rst += 1
+                    n_since = 0
+                    eobrun = 0
+                coef = coefs[comp["id"]][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, ac_tab, coef, ss, se,
+                                             al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, ac_tab, coef, ss, se,
+                                              al, eobrun)
+                n_since += 1
+    return br.pos
 
 
 # ---------------------------------------------------------------------
@@ -637,11 +1158,14 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       reproduces it exactly.
 
     ``i%4 == 0`` images additionally carry a DRI restart interval of 2
-    MCUs (RST markers + predictor resets on the wire; decoded pixels —
-    and so the oracle — are identical). A SQL oracle replays the pixel
-    formulas + color transform directly, no JPEG involved: the declared
-    query's hash gate verifies the full encode->decode round trip
-    against independent arithmetic."""
+    MCUs (RST markers + predictor resets on the wire); ``i%5 == 0``
+    images encode PROGRESSIVE (r14: SOF2, 4-stage scan script with
+    successive approximation — restart intervals are baseline-only
+    here, so a progressive id skips DRI). Decoded pixels — and so the
+    oracle — are identical in every case. A SQL oracle replays the
+    pixel formulas + color transform directly, no JPEG involved: the
+    declared query's hash gate verifies the full encode->decode round
+    trip against independent arithmetic."""
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -650,14 +1174,16 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(did)
                 w, h = 10 + i % 23, 9 + i % 13
                 variant = i % 3
-                rst = 2 if i % 4 == 0 else 0
+                prog = i % 5 == 0
+                rst = 2 if (i % 4 == 0 and not prog) else 0
                 xs = np.arange(w)
                 ys = np.arange(h)
                 bx, by = np.meshgrid(xs // 8, ys // 8)
                 if variant == 0:
                     gray = (7 * i + 31 * bx + 17 * by) % 256
                     content = jpeg_encode(w, h, [gray], [(1, 1)],
-                                          restart_interval=rst)
+                                          restart_interval=rst,
+                                          progressive=prog)
                 else:
                     yp = (5 * i + 29 * bx + 23 * by) % 256
                     if variant == 1:
@@ -665,7 +1191,8 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         cr = (11 * i + 13 * bx + 37 * by) % 256
                         content = jpeg_encode(
                             w, h, [yp, cb, cr],
-                            [(1, 1), (1, 1), (1, 1)], restart_interval=rst)
+                            [(1, 1), (1, 1), (1, 1)], restart_interval=rst,
+                            progressive=prog)
                     else:
                         cw, chh = (w + 1) // 2, (h + 1) // 2
                         cxs, cys = np.meshgrid(np.arange(cw) // 8,
@@ -674,7 +1201,8 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         cr = (11 * i + 13 * cxs + 37 * cys) % 256
                         content = jpeg_encode(
                             w, h, [yp, cb, cr],
-                            [(2, 2), (1, 1), (1, 1)], restart_interval=rst)
+                            [(2, 2), (1, 1), (1, 1)], restart_interval=rst,
+                            progressive=prog)
                 rows.append((i, bytearray(content)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 

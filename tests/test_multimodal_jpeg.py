@@ -105,11 +105,17 @@ def test_jpeg_decoder_errors():
         jpeg_decode(None)
     with pytest.raises(ValueError, match="truncated|marker|Huffman"):
         jpeg_decode(bytes(blob[: len(blob) // 2]))
-    # progressive SOF2 is a documented capability boundary
     sof0 = bytes(blob).find(b"\xff\xc0")
+    # r14: SOF2 is now SUPPORTED — but a baseline stream relabeled
+    # SOF2 carries an illegal full-band progressive scan (Ss=0,Se=63)
+    # and must be rejected as corrupt, not decoded
     prog = bytes(blob[:sof0]) + b"\xff\xc2" + bytes(blob[sof0 + 2:])
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="spectral"):
         jpeg_decode(prog)
+    # lossless SOF3 stays a documented capability boundary
+    lossless = bytes(blob[:sof0]) + b"\xff\xc3" + bytes(blob[sof0 + 2:])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg_decode(lossless)
     # 12-bit precision rejected
     twelve = bytearray(blob)
     twelve[sof0 + 4] = 12
@@ -200,3 +206,77 @@ def test_jpeg_fixture_dc_step_is_lossless():
     dividing the constant-block DC coefficient: DC = 8*(v-128) and
     step 8 recovers v-128 with no rounding loss."""
     assert _FIXTURE_QT[0] == 8
+
+
+def test_jpeg_progressive_equals_baseline():
+    """r14: a progressive (SOF2) stream carries the SAME quantized
+    coefficients as baseline, re-ordered into spectral bands and
+    successive-approximation bit planes — so progressive decode must
+    equal baseline decode EXACTLY: gray + 4:2:0, dense and sparse AC
+    (dense exercises ZRL/run codes, sparse exercises EOBn runs and
+    the refinement correction-bit machinery)."""
+    rng = np.random.RandomState(1414)
+    for trial in range(3):
+        w, h = int(rng.randint(8, 40)), int(rng.randint(8, 30))
+        img = rng.randint(0, 256, (h, w))
+        q1 = [[1] * 64]
+        base = jpeg_decode(jpeg_encode(w, h, [img], [(1, 1)],
+                                       quant_tables=q1))
+        prog = jpeg_decode(jpeg_encode(w, h, [img], [(1, 1)],
+                                       quant_tables=q1, progressive=True))
+        assert base == prog
+        # sparse AC via the default coarse quantizer
+        sparse = (rng.randint(0, 3, (h, w)) * 9 + 115)
+        assert (jpeg_decode(jpeg_encode(w, h, [sparse], [(1, 1)]))
+                == jpeg_decode(jpeg_encode(w, h, [sparse], [(1, 1)],
+                                           progressive=True)))
+    w, h = 19, 14
+    Y = rng.randint(0, 256, (h, w))
+    Cb = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+    Cr = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+    samp = [(2, 2), (1, 1), (1, 1)]
+    qq = dict(quant_tables=[[1] * 64, [1] * 64])
+    assert (jpeg_decode(jpeg_encode(w, h, [Y, Cb, Cr], samp, **qq))
+            == jpeg_decode(jpeg_encode(w, h, [Y, Cb, Cr], samp,
+                                       progressive=True, **qq)))
+
+
+def test_jpeg_progressive_fixture_variants(spark):
+    """i%5==0 fixture ids ship SOF2 on the wire with identical decoded
+    features; the kernel must not distinguish them."""
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 10, 15)], ["doc_id"])
+    media = synth_jpeg_media(ids).collect()
+    for r in media:
+        blob = bytes(r["content"])
+        assert b"\xff\xc2" in blob, "expected SOF2 for i%5==0 ids"
+        assert blob.find(b"\xff\xc0") == -1
+    out = {r["media_id"]: r for r in jpeg_features(
+        spark.createDataFrame([(r["media_id"], r["content"])
+                               for r in media],
+                              "media_id long, content binary")).collect()}
+    for i in (0, 5, 10, 15):
+        assert out[i]["decode_ok"], out[i]["error"]
+        assert (out[i]["width"], out[i]["height"]) == (10 + i % 23,
+                                                       9 + i % 13)
+
+
+def test_jpeg_progressive_mutation_robustness():
+    """Corrupted progressive streams fail with controlled exceptions,
+    never a short pixel buffer."""
+    import random
+
+    rng = random.Random(214)
+    w, h = 24, 18
+    base_img = np.array([[(x * 7 + y * 13) % 256 for x in range(w)]
+                         for y in range(h)])
+    blob0 = jpeg_encode(w, h, [base_img], [(1, 1)], progressive=True)
+    for _ in range(80):
+        blob = bytearray(blob0)
+        pos = rng.randrange(len(blob))
+        blob[pos] ^= 1 << rng.randrange(8)
+        try:
+            w2, h2, ch2, px = jpeg_decode(bytes(blob))
+            assert len(px) == w2 * h2 * ch2
+        except (ValueError, NotImplementedError, struct.error,
+                KeyError, IndexError):
+            pass
