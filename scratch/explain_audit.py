@@ -219,6 +219,11 @@ AUDIT = [
     ("multimodal_gif_features", ["MapInPandas",
                                  "!BroadcastNestedLoopJoin",
                                  "!Exchange hashpartitioning"]),
+    # WARC extraction: two chained Arrow maps (synth + parse), no
+    # shuffle before the final sort
+    ("warc_extract_records", ["MapInPandas",
+                              "!BroadcastNestedLoopJoin",
+                              "!Exchange hashpartitioning"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

@@ -4802,6 +4802,68 @@ FROM rgb GROUP BY i, w, h, nf ORDER BY media_id
 """
 
 
+def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: distributed WARC (ISO 28500) record extraction — the
+    Common Crawl container a web-scale training pipeline ingests:
+    plain and gzip-member-per-record files, exact Content-Length
+    framing, embedded HTTP response parsing. The fixture synthesizes
+    warcinfo + request/response archives from (id, seq) formulas; the
+    oracle replays counts, lengths, statuses and md5(body) with no
+    WARC bytes involved. See sources/warc.py."""
+    from .sources import warc
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 9")
+    files = warc.synth_warc_media(ids)
+    return (
+        warc.warc_records(files)
+        .select(
+            "file_id", "rec_idx", "warc_type", "target_uri",
+            "content_length", "http_status",
+            F.md5("body").alias("body_md5"),
+        )
+        .orderBy("file_id", "rec_idx")
+    )
+
+
+_WARC_EXTRACT_ORACLE = r"""
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 11 = 9),
+reqs AS (
+  SELECT d.i, j.jv AS j,
+         'GET /' || d.i || '/' || j.jv || ' HTTP/1.1' || chr(13) || chr(10)
+         || 'Host: ex.test' || chr(13) || chr(10) || chr(13) || chr(10)
+         AS req
+  FROM d, unnest(range(0, 3)) AS j(jv)),
+resps AS (
+  SELECT d.i, j.jv AS j,
+         CASE WHEN (d.i + j.jv) % 3 = 0 THEN 301 ELSE 200 END AS status,
+         repeat('doc-' || d.i || '-' || j.jv || ' ',
+                CAST(5 + (d.i + j.jv) % 7 AS INTEGER)) AS body
+  FROM d, unnest(range(0, 3)) AS j(jv)),
+recs AS (
+  SELECT i, 0 AS rec_idx, 'warcinfo' AS warc_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(28 AS BIGINT) AS content_length,
+         CAST(NULL AS INTEGER) AS http_status,
+         md5('software: synth_warc_media' || chr(13) || chr(10)) AS body_md5
+  FROM d
+  UNION ALL
+  SELECT i, 1 + 2 * j, 'request', 'http://ex.test/' || i || '/' || j,
+         CAST(length(req) AS BIGINT), CAST(NULL AS INTEGER), md5(req)
+  FROM reqs
+  UNION ALL
+  SELECT i, 2 + 2 * j, 'response', 'http://ex.test/' || i || '/' || j,
+         CAST(length('HTTP/1.1 ' || status || ' X' || chr(13) || chr(10)
+              || 'Content-Type: text/html' || chr(13) || chr(10)
+              || chr(13) || chr(10)) + length(body) AS BIGINT),
+         CAST(status AS INTEGER), md5(body)
+  FROM resps)
+SELECT CAST(i AS BIGINT) AS file_id, CAST(rec_idx AS INTEGER) AS rec_idx,
+       warc_type, target_uri, content_length, http_status, body_md5
+FROM recs ORDER BY file_id, rec_idx
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6672,6 +6734,8 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_WAV_ORACLE),
     "multimodal_gif_features": (_multimodal_gif_features,
                                 _MULTIMODAL_GIF_ORACLE),
+    "warc_extract_records": (_warc_extract_records,
+                             _WARC_EXTRACT_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6833,8 +6897,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 231, (
-    f"registry contract: expected 231 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 232, (
+    f"registry contract: expected 232 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)
