@@ -6800,8 +6800,9 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
-    # head; 40 come from the least-recently-sampled pool, r3-r5).
+    # r14 rotation (VERDICT r13 item 4 — 47 of 50 differ from the r13
+    # head; 37 come from the least-recently-sampled pool, r3-r5, and
+    # 8 are NEW/changed r14 code paths).
     # Annotations give each entry's last driver-green round (union of
     # CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
@@ -6817,6 +6818,9 @@ _SAMPLE_HEAD = [
     "sample_temperature_resample",    # NEW r14 (materialized resampler)
     "sample_temperature_weights",     # NEW r13 post-close, never gated
     "embed_ivfpq_topk",               # r14: scale-aware trained coarse
+    "multimodal_wav_features",        # NEW r14 (WAV/RIFF PCM decode)
+    "multimodal_gif_features",        # NEW r14 (GIF LZW decode)
+    "warc_extract_records",           # NEW r14 (WARC source reader)
     # --- least-recently-sampled fill (r3-r5 last driver rows) --------
     "extract_date_parts",             # last r3
     "agg_basic_stats",                # last r4
@@ -6850,11 +6854,8 @@ _SAMPLE_HEAD = [
     "multimodal_features",            # last r5
     "pivot_segment_balances",         # last r5
     "quality_filter_pipeline",        # last r5
-    "setop_intersect_all",            # last r5
     "sf_semistructured_funcs",        # last r5
     "sf_split_to_table",              # last r5
-    "sf_string_date_funcs",           # last r5
-    "sf_variant_path_access",         # last r5
     "text_decontaminate",             # last r5
     "text_pii_scrub",                 # last r5
     "text_token_counts",              # last r5
