@@ -6800,7 +6800,7 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r14 rotation (VERDICT r13 item 4 — 47 of 50 differ from the r13
+    # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
     # head; 37 come from the least-recently-sampled pool, r3-r5, and
     # 8 are NEW/changed r14 code paths).
     # Annotations give each entry's last driver-green round (union of
