@@ -224,6 +224,10 @@ AUDIT = [
     ("warc_extract_records", ["MapInPandas",
                               "!BroadcastNestedLoopJoin",
                               "!Exchange hashpartitioning"]),
+    # HTML->text: one pure-JVM codegen projection — NO Python at all
+    ("doc_html_extract", ["PushedFilters", "!MapInPandas",
+                          "!BatchEvalPython", "!ArrowEvalPython",
+                          "!Exchange hashpartitioning"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

@@ -4864,6 +4864,71 @@ FROM recs ORDER BY file_id, rec_idx
 """
 
 
+# HTML fixture fragments shared by the Spark query and the SQL oracle
+# (no single quotes — they interpolate into SQL literals verbatim)
+_HTML_F1 = "<html><head><title>Doc "
+_HTML_F2 = ("</title><script>var x = 1 < 2; if (x) { y(); }</script>"
+            "<style>p { color: red; }</style></head><body><h1>Doc ")
+_HTML_F3 = ("</h1><!-- crawler: synth --><p>a &amp; b &lt;tag&gt; "
+            "&quot;q&#39;s&quot;&nbsp;end</p><div>")
+_HTML_F4 = "</div><ul><li>one</li><li>two</li></ul></body></html>"
+
+
+def _doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: HTML -> text extraction — the stage between WARC crawl
+    records and the documents table. ONE chained JVM regexp_replace
+    projection (script/style/comment removal, block tags -> newlines,
+    tag strip, entity decode, whitespace collapse) — whole-stage
+    codegen, no Python. The fixture wraps each document in a
+    deterministic HTML shell; the oracle builds the SAME shell and
+    replays the SAME pattern chain (generated from one constant list)
+    through DuckDB RE2 — the hash gate proves the chain lands in the
+    Java-regex/RE2 common subset. See operators/textstats.py
+    html_to_text."""
+    from .operators import textstats
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents").filter("doc_id % 7 = 2")
+    html = F.concat(
+        F.lit(_HTML_F1), F.col("doc_id").cast("string"),
+        F.lit(_HTML_F2), F.col("doc_id").cast("string"),
+        F.lit(_HTML_F3), F.col("text"), F.lit(_HTML_F4))
+    t = textstats.html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.length(html).cast("bigint").alias("html_len"),
+        F.length(t).cast("bigint").alias("text_len"),
+        F.md5(t).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _html_extract_oracle() -> str:
+    from .operators.textstats import HTML_ENTITIES, HTML_STRIP_STEPS
+
+    expr = "h"
+    for pat, rep in HTML_STRIP_STEPS:
+        rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = "chr(39)" if ch == "'" else f"'{ch}'"
+        expr = f"replace({expr}, '{ent}', {ch_sql})"
+    expr = f"regexp_replace({expr}, '[ \t\r]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\n+', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '^[\s]+|[\s]+$', '', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         '{_HTML_F1}' || doc_id || '{_HTML_F2}' || doc_id ||
+         '{_HTML_F3}' || text || '{_HTML_F4}' AS h
+  FROM documents WHERE doc_id % 7 = 2),
+x AS (SELECT doc_id, h, {expr} AS t FROM d)
+SELECT doc_id, CAST(length(h) AS BIGINT) AS html_len,
+       CAST(length(t) AS BIGINT) AS text_len, md5(t) AS text_md5
+FROM x ORDER BY doc_id
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6736,6 +6801,7 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_GIF_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
+    "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6898,8 +6964,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 232, (
-    f"registry contract: expected 232 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 233, (
+    f"registry contract: expected 233 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -490,3 +490,47 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
     if return_tokens:
         return merges_df, toks
     return merges_df
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (r14): the stage between WARC crawl records
+# and the documents table. ONE chained JVM regexp_replace projection —
+# whole-stage codegen, no Python, and every pattern stays inside the
+# Java-regex/RE2 common subset (no backreferences) so the DuckDB
+# oracle replays the identical chain.
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied in order; all global
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines before tags are stripped
+    (r"(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote"
+     r"|section|article|header|footer|title)\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+]
+# exact-string entity decodes, ampersand LAST (never double-decode)
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-free text from HTML: drop script/style/comments,
+    turn block-level tags into newlines, strip remaining tags, decode
+    the common entities, collapse whitespace. A heuristic extractor in
+    the trafilatura/jusText family's cheap tier — good enough for
+    quality scoring and dedup keys at 100 TB, where per-doc Python
+    parsing would dominate the pipeline."""
+    out = html
+    for pattern, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pattern, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n+", "\n")
+    # Spark's trim() strips spaces only — strip edge newlines by regex
+    return F.regexp_replace(out, r"^[\s]+|[\s]+$", "")

@@ -103,3 +103,34 @@ def test_source_overlap_jaccard_bounds(spark):
            for r in corpus.source_overlap(df).collect()}
     assert out[("a", "b")] == 1.0
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_html_to_text_extraction(spark):
+    """r14: the HTML->text chain drops script/style/comments, keeps
+    block boundaries as newlines, decodes entities once (never
+    double-decodes &amp;lt;), collapses whitespace, and is pure
+    JVM (no PythonUDF in the plan)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_emulator_spark.operators.textstats import html_to_text
+
+    rows = [
+        (1, "<html><head><script>if (1 < 2) x();</script>"
+            "<style>a{b:c}</style></head><body><h1>Title</h1>"
+            "<!-- note --><p>a &amp; b &lt;x&gt;</p><div>tail</div>"
+            "</body></html>"),
+        (2, "plain text, no markup"),
+        (3, "<p>&amp;lt;</p>"),          # decodes to "&lt;" exactly once
+        (4, "<ul><li>one</li><li>two</li></ul>"),
+        (5, "<P CLASS='x'>upper</P><BR/>case"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    sel = df.select("id", html_to_text(F.col("html")).alias("t"))
+    out = {r["id"]: r["t"] for r in sel.collect()}
+    assert out[1] == "Title\na & b <x>\ntail"
+    assert out[2] == "plain text, no markup"
+    assert out[3] == "&lt;"
+    assert out[4] == "one\ntwo"
+    assert out[5] == "upper\ncase"
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
