@@ -6867,8 +6867,8 @@ REGISTRY: dict[str, tuple] = {
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
     # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
-    # head; 37 come from the least-recently-sampled pool, r3-r5, and
-    # 8 are NEW/changed r14 code paths).
+    # head; 36 come from the least-recently-sampled pool, r3-r5, and
+    # 9 are NEW/changed r14 code paths).
     # Annotations give each entry's last driver-green round (union of
     # CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
@@ -6887,6 +6887,7 @@ _SAMPLE_HEAD = [
     "multimodal_wav_features",        # NEW r14 (WAV/RIFF PCM decode)
     "multimodal_gif_features",        # NEW r14 (GIF LZW decode)
     "warc_extract_records",           # NEW r14 (WARC source reader)
+    "doc_html_extract",               # NEW r14 (HTML->text extraction)
     # --- least-recently-sampled fill (r3-r5 last driver rows) --------
     "extract_date_parts",             # last r3
     "agg_basic_stats",                # last r4
@@ -6916,7 +6917,6 @@ _SAMPLE_HEAD = [
     "embed_coverage_sample",          # last r5
     "embed_decontaminate",            # last r5
     "events_user_features",           # last r5
-    "flatten_explode_words",          # last r5
     "multimodal_features",            # last r5
     "pivot_segment_balances",         # last r5
     "quality_filter_pipeline",        # last r5
