@@ -326,19 +326,17 @@ def gif_features(media: DataFrame, id_col: str = "media_id",
                 try:
                     w, h, frames = gif_decode(
                         bytes(content) if content is not None else None)
-                    n = w * h * len(frames)
-                    sums = [0, 0, 0]
-                    lo, hi = 255, 0
-                    for fr in frames:
-                        for p in range(w * h):
-                            for c in range(3):
-                                v = fr[3 * p + c]
-                                sums[c] += v
-                                lo = v if v < lo else lo
-                                hi = v if v > hi else hi
+                    import numpy as np
+
+                    arr = np.frombuffer(b"".join(frames),
+                                        dtype=np.uint8).reshape(-1, 3)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    n = arr.shape[0]
                     rows.append((int(mid), w, h, len(frames),
-                                 sums[0] / n, sums[1] / n, sums[2] / n,
-                                 lo, hi, True, None))
+                                 float(sums[0] / n), float(sums[1] / n),
+                                 float(sums[2] / n),
+                                 int(arr.min()), int(arr.max()),
+                                 True, None))
                 except Exception as e:  # noqa: BLE001 — per-row capture
                     rows.append((int(mid), None, None, None, None, None,
                                  None, None, None, False, str(e)[:200]))
