@@ -196,7 +196,7 @@ SYNTH_WARC_SCHEMA = T.StructType([
 
 def _warc_record(wtype: str, rid: str, uri: str | None, date: str,
                  payload: bytes, extra: str = "") -> bytes:
-    head = [f"WARC/1.0",
+    head = ["WARC/1.0",
             f"WARC-Type: {wtype}",
             f"WARC-Record-ID: <urn:uuid:{rid}>",
             f"WARC-Date: {date}"]
