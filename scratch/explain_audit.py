@@ -228,6 +228,10 @@ AUDIT = [
     ("doc_html_extract", ["PushedFilters", "!MapInPandas",
                           "!BatchEvalPython", "!ArrowEvalPython",
                           "!Exchange hashpartitioning"]),
+    # TAR extraction: same two-Arrow-map container shape as WARC
+    ("tar_extract_members", ["MapInPandas",
+                             "!BroadcastNestedLoopJoin",
+                             "!Exchange hashpartitioning"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

@@ -4929,6 +4929,45 @@ FROM x ORDER BY doc_id
 """
 
 
+def _tar_extract_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: distributed TAR member extraction (stdlib tarfile over
+    in-memory blobs, plain + gzip auto-detected) — the tarball-of-
+    shards corpus container. Closed-form fixture; the oracle replays
+    names, sizes and md5 bodies. See sources/warc.py tar_members."""
+    from .sources import warc
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 4")
+    return (
+        warc.tar_members(warc.synth_tar_media(ids))
+        .select("file_id", "member_idx", "name", "size_bytes", "is_dir",
+                F.md5("body").alias("body_md5"))
+        .orderBy("file_id", "member_idx")
+    )
+
+
+_TAR_EXTRACT_ORACLE = """
+WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 11 = 4),
+shards AS (
+  SELECT d.i, j.jv AS j,
+         repeat('row-' || d.i || '-' || j.jv || chr(10),
+                CAST(3 + (d.i + j.jv) % 5 AS INTEGER)) AS body
+  FROM d, unnest(range(0, 3)) AS j(jv)),
+members AS (
+  SELECT i, 0 AS member_idx, 'd' || i AS name,
+         CAST(0 AS BIGINT) AS size_bytes, TRUE AS is_dir,
+         CAST(NULL AS VARCHAR) AS body_md5
+  FROM d
+  UNION ALL
+  SELECT i, 1 + j, 'd' || i || '/part-' || j || '.txt',
+         CAST(length(body) AS BIGINT), FALSE, md5(body)
+  FROM shards)
+SELECT CAST(i AS BIGINT) AS file_id, CAST(member_idx AS INTEGER) AS member_idx,
+       name, size_bytes, is_dir, body_md5
+FROM members ORDER BY file_id, member_idx
+"""
+
+
 # Round-2 translator surface: DECODE / SPLIT_PART / EQUAL_NULL through
 # the engine translator; DuckDB oracle uses IS NOT DISTINCT FROM (the
 # null-safe match DECODE implies) and its native split_part.
@@ -6802,6 +6841,7 @@ REGISTRY: dict[str, tuple] = {
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
+    "tar_extract_members": (_tar_extract_members, _TAR_EXTRACT_ORACLE),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6867,8 +6907,8 @@ REGISTRY: dict[str, tuple] = {
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
     # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
-    # head; 36 come from the least-recently-sampled pool, r3-r5, and
-    # 9 are NEW/changed r14 code paths).
+    # head; 35 come from the least-recently-sampled pool, r3-r5, and
+    # 10 are NEW/changed r14 code paths).
     # Annotations give each entry's last driver-green round (union of
     # CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
@@ -6888,6 +6928,7 @@ _SAMPLE_HEAD = [
     "multimodal_gif_features",        # NEW r14 (GIF LZW decode)
     "warc_extract_records",           # NEW r14 (WARC source reader)
     "doc_html_extract",               # NEW r14 (HTML->text extraction)
+    "tar_extract_members",            # NEW r14 (TAR container source)
     # --- least-recently-sampled fill (r3-r5 last driver rows) --------
     "extract_date_parts",             # last r3
     "agg_basic_stats",                # last r4
@@ -6918,7 +6959,6 @@ _SAMPLE_HEAD = [
     "embed_decontaminate",            # last r5
     "events_user_features",           # last r5
     "multimodal_features",            # last r5
-    "pivot_segment_balances",         # last r5
     "quality_filter_pipeline",        # last r5
     "sf_semistructured_funcs",        # last r5
     "sf_split_to_table",              # last r5
@@ -6964,8 +7004,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 233, (
-    f"registry contract: expected 233 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 234, (
+    f"registry contract: expected 234 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

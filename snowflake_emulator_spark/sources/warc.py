@@ -255,3 +255,92 @@ def synth_warc_media(ids_df: DataFrame, id_col: str = "doc_id",
 def _gzip_member(data: bytes) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, 31)
     return co.compress(data) + co.flush()
+
+
+# ---------------------------------------------------------------------
+# TAR member extraction (r14) — the other ubiquitous corpus container
+# (tarballs of text shards). Stdlib ``tarfile`` over in-memory blobs;
+# members are READ only (never extracted to paths), so the classic
+# path-traversal hazards don't apply.
+# ---------------------------------------------------------------------
+
+TAR_MEMBER_SCHEMA = T.StructType([
+    T.StructField("file_id", T.LongType(), False),
+    T.StructField("member_idx", T.IntegerType(), True),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("size_bytes", T.LongType(), True),
+    T.StructField("is_dir", T.BooleanType(), True),
+    T.StructField("body", T.BinaryType(), True),
+    T.StructField("parse_ok", T.BooleanType(), False),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def tar_members(df: DataFrame, id_col: str = "file_id",
+                content_col: str = "content") -> DataFrame:
+    """Distributed TAR member extraction (plain or gzip/bz2/xz
+    compressed, auto-detected): one row per member, per-FILE error
+    capture — same kernel discipline as ``warc_records``."""
+    import io
+    import tarfile
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TAR_MEMBER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    if content is None:
+                        raise ValueError("null content")
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content)),
+                                      mode="r:*") as tf:
+                        for j, m in enumerate(tf.getmembers()):
+                            body = None
+                            if m.isfile():
+                                body = bytearray(tf.extractfile(m).read())
+                            rows.append((int(fid), j, m.name, int(m.size),
+                                         m.isdir(), body, True, None))
+                except Exception as e:  # noqa: BLE001 — per-file capture
+                    rows.append((int(fid), None, None, None, None, None,
+                                 False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, content_col).mapInPandas(
+        _extract, TAR_MEMBER_SCHEMA)
+
+
+def synth_tar_media(ids_df: DataFrame, id_col: str = "doc_id",
+                    members_per_file: int = 3) -> DataFrame:
+    """Deterministic tarball fixture: file ``i`` holds one directory
+    entry ``d{i}/`` plus ``members_per_file`` text shards
+    ``d{i}/part-{j}.txt`` with body ``"row-{i}-{j}\\n" * (3+(i+j)%5)``;
+    ``i % 2 == 1`` files are gzip-compressed (zlib gzip member —
+    deterministic header, no mtime). The oracle replays names,
+    sizes and md5 bodies from the formulas."""
+    import io
+    import tarfile
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    d = tarfile.TarInfo(f"d{i}")
+                    d.type = tarfile.DIRTYPE
+                    d.mtime = 0
+                    tf.addfile(d)
+                    for j in range(members_per_file):
+                        body = (f"row-{i}-{j}\n" * (3 + (i + j) % 5)).encode()
+                        m = tarfile.TarInfo(f"d{i}/part-{j}.txt")
+                        m.size = len(body)
+                        m.mtime = 0
+                        tf.addfile(m, io.BytesIO(body))
+                blob = buf.getvalue()
+                if i % 2 == 1:  # gzip via zlib (mtime-free header bytes)
+                    blob = _gzip_member(blob)
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["file_id", "content"])
+
+    return ids_df.select(id_col).mapInPandas(_enc, SYNTH_WARC_SCHEMA)

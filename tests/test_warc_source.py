@@ -105,3 +105,37 @@ def test_warc_mutation_robustness():
                 assert len(r["body"]) <= r["content_length"]
         except (ValueError, zlib.error, UnicodeDecodeError):
             pass
+
+
+def test_tar_members_spark(spark):
+    """r14: TAR extraction — plain and gzip tarballs, directory
+    entries, exact bodies, per-file error capture."""
+    import hashlib
+
+    from snowflake_emulator_spark.sources.warc import (
+        synth_tar_media,
+        tar_members,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    out = [r for r in tar_members(synth_tar_media(ids)).collect()
+           if r["parse_ok"]]
+    assert len(out) == 6 * 4
+    by = {}
+    for r in out:
+        by.setdefault(r["file_id"], []).append(r)
+    for i in range(6):
+        ms = sorted(by[i], key=lambda r: r["member_idx"])
+        assert ms[0]["is_dir"] and ms[0]["name"] == f"d{i}"
+        for j, m in enumerate(ms[1:]):
+            body = (f"row-{i}-{j}\n" * (3 + (i + j) % 5)).encode()
+            assert m["name"] == f"d{i}/part-{j}.txt"
+            assert m["size_bytes"] == len(body)
+            assert bytes(m["body"]) == body
+            assert hashlib.md5(body).hexdigest() == hashlib.md5(
+                bytes(m["body"])).hexdigest()
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"definitely not a tarball")), (10, None)],
+        "file_id long, content binary")
+    rows = {r["file_id"]: r for r in tar_members(bad).collect()}
+    assert not rows[9]["parse_ok"] and not rows[10]["parse_ok"]
