@@ -232,6 +232,12 @@ AUDIT = [
     ("tar_extract_members", ["MapInPandas",
                              "!BroadcastNestedLoopJoin",
                              "!Exchange hashpartitioning"]),
+    # ingest capstone: Arrow maps (warc synth + parse) feeding pure-JVM
+    # extraction/scoring; ONE hash exchange for the per-source rollup,
+    # no joins anywhere
+    ("pipeline_warc_ingest", ["MapInPandas", "HashAggregate",
+                              "!BroadcastNestedLoopJoin",
+                              "!SortMergeJoin", "!CartesianProduct"]),
     # temperature resampler: rank machinery = checkpointed range
     # partition (no per-group window sort), factor table broadcast,
     # repeat = Generate. The one BroadcastNestedLoopJoin inside is the

@@ -2279,22 +2279,29 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.select("doc_id", q.alias("quality")).orderBy("doc_id")
 
 
-def _quality_oracle() -> str:
-    ntok = "CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
-    padded = "concat(' ', lower(text), ' ')"
+def _quality_expr_sql(col: str = "text") -> str:
+    """round(quality, 6) as a SQL expression over column ``col`` — the
+    single source of truth reused by the capstone ingest oracle."""
+    ntok = f"CAST(CASE WHEN len(trim({col})) = 0 THEN 0 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END AS BIGINT)"
+    padded = f"concat(' ', lower({col}), ' ')"
     hits = " + ".join(
         f"(len({padded}) - len(replace({padded}, ' {w} ', ''))) / {len(' ' + w + ' ')}"
         for w in textstats.STOPWORDS_EN[:5]
     )
-    punct = ("(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))) "
-             "/ greatest(len(text), 1)")
+    punct = (f"(len({col}) - len(regexp_replace({col}, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))) "
+             f"/ greatest(len({col}), 1)")
+    return (f"round(\n    0.5 * least({ntok} / 100.0, 1.0)\n"
+            f"  + 0.3 * least(({hits}) / greatest({ntok}, 1) * 4.0, 1.0)\n"
+            f"  + 0.2 * (1.0 - least({punct} * 5.0, 1.0)), 6)")
+
+
+def _quality_oracle() -> str:
     return f"""
-SELECT doc_id, round(
-    0.5 * least({ntok} / 100.0, 1.0)
-  + 0.3 * least(({hits}) / greatest({ntok}, 1) * 4.0, 1.0)
-  + 0.2 * (1.0 - least({punct} * 5.0, 1.0)), 6) AS quality
+SELECT doc_id, {_quality_expr_sql()} AS quality
 FROM documents ORDER BY doc_id
 """
+
+
 
 
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4902,10 +4909,12 @@ def _doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _html_extract_oracle() -> str:
+def _html_chain_sql(col: str) -> str:
+    """The DuckDB form of textstats.html_to_text, generated from the
+    SAME constant lists (single source of truth)."""
     from .operators.textstats import HTML_ENTITIES, HTML_STRIP_STEPS
 
-    expr = "h"
+    expr = col
     for pat, rep in HTML_STRIP_STEPS:
         rep_sql = "chr(10)" if rep == "\n" else f"'{rep}'"
         expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
@@ -4915,7 +4924,11 @@ def _html_extract_oracle() -> str:
     expr = f"regexp_replace({expr}, '[ \t\r]+', ' ', 'g')"
     expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
     expr = f"regexp_replace({expr}, '\n+', chr(10), 'g')"
-    expr = f"regexp_replace({expr}, '^[\s]+|[\s]+$', '', 'g')"
+    return f"regexp_replace({expr}, '^[\s]+|[\s]+$', '', 'g')"
+
+
+def _html_extract_oracle() -> str:
+    expr = _html_chain_sql("h")
     return f"""
 WITH d AS (
   SELECT doc_id,
@@ -4965,6 +4978,75 @@ members AS (
 SELECT CAST(i AS BIGINT) AS file_id, CAST(member_idx AS INTEGER) AS member_idx,
        name, size_bytes, is_dir, body_md5
 FROM members ORDER BY file_id, member_idx
+"""
+
+
+def _html_shell(i: int, text: str) -> str:
+    """The deterministic HTML wrap shared by doc_html_extract and the
+    ingest capstone fixture (same _HTML_F* fragments)."""
+    return f"{_HTML_F1}{i}{_HTML_F2}{i}{_HTML_F3}{text}{_HTML_F4}"
+
+
+def _pipeline_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 capstone: the full crawl-to-corpus FRONT END as one declared
+    pipeline — WARC files (plain + gzip) -> distributed record
+    extraction -> HTTP response bodies -> pure-JVM HTML->text ->
+    per-doc quality -> per-source rollup. Every stage is independently
+    oracle-replayable (warc_extract_records, doc_html_extract,
+    text_quality_score), so the COMPOSITION is hash-gated end-to-end:
+    the oracle rebuilds the HTML shells, replays the RE2 extraction
+    chain and the quality expression from the same single-source
+    constants, with no WARC/HTML machinery involved."""
+    from .operators import textstats
+    from .sources import warc as warcmod
+
+    load_views(spark, sf_dir)
+    # modulus 7 is coprime with the 20-source assignment (id % 20), so
+    # the sample hits every source; % 5 collapsed it to 4
+    d = spark.table("documents").filter("doc_id % 7 = 3").select(
+        "doc_id", "source", "text")
+    files = warcmod.synth_warc_docs(d, _html_shell)
+    recs = warcmod.warc_records(files).filter(
+        (F.col("warc_type") == "response") & F.col("parse_ok"))
+    txt = textstats.html_to_text(F.col("body").cast("string"))
+    per_doc = recs.select(
+        F.regexp_extract("target_uri", r"http://([^.]+)\.test/", 1)
+        .alias("source"),
+        txt.alias("text"),
+    ).select(
+        "source",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.round(textstats.quality_score(F.col("text")), 6).alias("q"))
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("text_len").cast("bigint").alias("total_chars"),
+             F.min("q").alias("q_min"),
+             F.max("q").alias("q_max"))
+        .orderBy("source")
+    )
+
+
+def _pipeline_warc_ingest_oracle() -> str:
+    chain = _html_chain_sql("h")
+    qexpr = _quality_expr_sql("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, text AS orig
+  FROM documents WHERE doc_id % 7 = 3),
+x AS (
+  SELECT doc_id, source,
+         '{_HTML_F1}' || doc_id || '{_HTML_F2}' || doc_id ||
+         '{_HTML_F3}' || orig || '{_HTML_F4}' AS h
+  FROM d),
+t AS (SELECT doc_id, source, {chain} AS text FROM x),
+q AS (SELECT source, CAST(length(text) AS BIGINT) AS text_len,
+             {qexpr} AS q
+      FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(text_len) AS BIGINT) AS total_chars,
+       min(q) AS q_min, max(q) AS q_max
+FROM q GROUP BY source ORDER BY source
 """
 
 
@@ -6842,6 +6924,8 @@ REGISTRY: dict[str, tuple] = {
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
     "tar_extract_members": (_tar_extract_members, _TAR_EXTRACT_ORACLE),
+    "pipeline_warc_ingest": (_pipeline_warc_ingest,
+                             _pipeline_warc_ingest_oracle()),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -6906,9 +6990,11 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r14 rotation (VERDICT r13 item 4 — 44 of 50 differ from the r13
-    # head; 35 come from the least-recently-sampled pool, r3-r5, and
-    # 10 are NEW/changed r14 code paths).
+    # r14 rotation (VERDICT r13 item 4): 44+ of 50 differ from the r13
+    # head. 44 of 50 come from the least-recently-sampled pool — 10
+    # never-driver-gated entries (last r0: every NEW r14 entry plus
+    # the two post-close r13 ones, per ADVICE) + 34 from r3-r5; the
+    # other 6 are the 5 pins and embed_ivfpq_topk (r14-changed path).
     # Annotations give each entry's last driver-green round (union of
     # CORRECTNESS_r*).
     # --- pinned family representatives (driver-green every round) ----
@@ -6929,6 +7015,7 @@ _SAMPLE_HEAD = [
     "warc_extract_records",           # NEW r14 (WARC source reader)
     "doc_html_extract",               # NEW r14 (HTML->text extraction)
     "tar_extract_members",            # NEW r14 (TAR container source)
+    "pipeline_warc_ingest",           # NEW r14 (crawl-to-corpus capstone)
     # --- least-recently-sampled fill (r3-r5 last driver rows) --------
     "extract_date_parts",             # last r3
     "agg_basic_stats",                # last r4
@@ -6959,7 +7046,6 @@ _SAMPLE_HEAD = [
     "embed_decontaminate",            # last r5
     "events_user_features",           # last r5
     "multimodal_features",            # last r5
-    "quality_filter_pipeline",        # last r5
     "sf_semistructured_funcs",        # last r5
     "sf_split_to_table",              # last r5
     "text_decontaminate",             # last r5
@@ -7004,8 +7090,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 234, (
-    f"registry contract: expected 234 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 235, (
+    f"registry contract: expected 235 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -344,3 +344,34 @@ def synth_tar_media(ids_df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=["file_id", "content"])
 
     return ids_df.select(id_col).mapInPandas(_enc, SYNTH_WARC_SCHEMA)
+
+
+def synth_warc_docs(df: DataFrame, html_shell, id_col: str = "doc_id",
+                    source_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Ingest-capstone fixture (r14): one single-response WARC file per
+    document, body = the ``html_shell(doc_id, text)`` HTML wrap of the
+    document's text, target URI ``http://{source}.test/{doc_id}``;
+    ``doc_id % 2 == 1`` files use the gzip-member layout. Feeds
+    ``warc_records`` -> ``html_to_text`` -> quality scoring — every
+    stage independently oracle-replayable, so the composition is too."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, src, text in zip(pdf[id_col], pdf[source_col],
+                                      pdf[text_col]):
+                i = int(did)
+                html = html_shell(i, str(text)).encode()
+                payload = (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/html\r\n\r\n") + html
+                rec = _warc_record(
+                    "response", f"resp-{i}",
+                    f"http://{src}.test/{i}",
+                    "2026-01-01T00:00:00Z", payload)
+                blob = _gzip_member(rec) if i % 2 == 1 else rec
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["file_id", "content"])
+
+    return df.select(id_col, source_col, text_col).mapInPandas(
+        _enc, SYNTH_WARC_SCHEMA)
