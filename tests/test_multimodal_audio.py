@@ -124,3 +124,23 @@ def test_wav_mutation_robustness(spark):
     out = wav_features(df).collect()
     assert len(out) == 60
     assert all(isinstance(r["decode_ok"], bool) for r in out)
+
+
+def test_wav_float_features_spark(spark):
+    """IEEE float32 PCM flows through the feature kernel (mean/rms on
+    float samples, not just integer PCM)."""
+    vals = np.array([0.5, -0.5, 0.25, -0.25] * 10, dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    payload = vals.tobytes()
+    blob = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, content binary")
+    r = wav_features(df).collect()[0]
+    assert r["decode_ok"], r["error"]
+    assert r["n_samples"] == 40 and r["channels"] == 1
+    assert r["peak_abs"] == 0.5
+    assert abs(r["mean_dc"]) < 1e-9
+    assert r["rms"] == pytest.approx(
+        math.sqrt((vals.astype(float) ** 2).mean()), abs=1e-9)

@@ -123,3 +123,30 @@ def test_gif_mutation_robustness(spark):
     out = gif_features(df).collect()
     assert len(out) == 60
     assert all(isinstance(r["decode_ok"], bool) for r in out)
+
+
+def test_gif_local_table_without_global():
+    """A GIF whose ONLY palette is the frame's local color table (no
+    GCT) must decode; a frame with neither table must raise."""
+    import struct as _s
+
+    w, h = 4, 3
+    pal = [(10 * k, 20 * k, 30 * k) for k in range(4)]
+    idx = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    from snowflake_emulator_spark.operators.gif import _lzw_compress
+    lzw = _lzw_compress(idx, 2)
+    palbytes = bytes(v for rgb in pal for v in rgb)
+    blob = (b"GIF89a" + _s.pack("<HH", w, h) + bytes([0x00, 0, 0])  # no GCT
+            + b"\x2c" + _s.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x81])  # LCT flag, size 1 -> 4 entries
+            + palbytes + bytes([2])
+            + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b")
+    w2, h2, frames = gif_decode(blob)
+    assert (w2, h2, len(frames)) == (w, h, 1)
+    assert frames[0] == bytes(v for ci in idx for v in pal[ci])
+    # neither GCT nor LCT -> error
+    bad = (b"GIF89a" + _s.pack("<HH", w, h) + bytes([0x00, 0, 0])
+           + b"\x2c" + _s.pack("<HHHH", 0, 0, w, h) + bytes([0x00])
+           + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b")
+    with pytest.raises(ValueError, match="color table"):
+        gif_decode(bad)
