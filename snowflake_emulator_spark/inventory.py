@@ -4912,7 +4912,7 @@ def _doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _html_chain_sql(col: str) -> str:
     """The DuckDB form of textstats.html_to_text, generated from the
     SAME constant lists (single source of truth)."""
-    from .operators.textstats import HTML_ENTITIES, HTML_STRIP_STEPS
+    from .operators.textstats import EDGE_WS, HTML_ENTITIES, HTML_STRIP_STEPS
 
     expr = col
     for pat, rep in HTML_STRIP_STEPS:
@@ -4924,7 +4924,7 @@ def _html_chain_sql(col: str) -> str:
     expr = f"regexp_replace({expr}, '[ \t\r]+', ' ', 'g')"
     expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
     expr = f"regexp_replace({expr}, '\n+', chr(10), 'g')"
-    return f"regexp_replace({expr}, '^[\s]+|[\s]+$', '', 'g')"
+    return f"regexp_replace({expr}, '^[{EDGE_WS}]+|[{EDGE_WS}]+$', '', 'g')"
 
 
 def _html_extract_oracle() -> str:

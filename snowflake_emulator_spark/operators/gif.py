@@ -178,12 +178,12 @@ def gif_encode(width: int, height: int,
         size = 1
         while (1 << (size + 1)) < len(pal):
             size += 1
-        while (1 << (size + 1)) > 256 and False:
-            pass
+        if size > 7:
+            # 'gsize & 7' in the logical-screen byte would silently
+            # truncate and emit a corrupt GIF — refuse instead
+            raise ValueError(
+                f"GIF palette has {len(pal)} entries; max is 256")
         n = 1 << (size + 1)
-        if n < len(pal):
-            size += 1
-            n = 1 << (size + 1)
         full = list(pal) + [(0, 0, 0)] * (n - len(pal))
         return bytes(v for rgb in full for v in rgb), size
 

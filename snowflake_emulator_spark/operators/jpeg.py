@@ -759,6 +759,14 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     if w == 0 or h == 0:
         raise ValueError("zero-dimension JPEG")
     comps = frame["comps"]
+    if len(comps) > 1 and len(scan) < len(comps):
+        # Spec-valid baseline layout we don't support: each component in
+        # its own sequential scan. Returning just the first scan would
+        # silently produce a 1-channel image of one component — raise
+        # instead, per this module's documented capability-boundary policy.
+        raise NotImplementedError(
+            "baseline JPEG with separate per-component scans "
+            "(non-interleaved sequential) is not supported")
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     if len(scan) == 1:
@@ -1006,6 +1014,10 @@ def _decode_progressive(data: bytes, pos: int, seg_len: int, frame: dict,
                     pq, tq = body[p] >> 4, body[p] & 0x0F
                     p += 1
                     n = 64 * (2 if pq else 1)
+                    if p + n > len(body):
+                        # mirror the baseline path's bounds check so a
+                        # truncated DQT raises ValueError, not struct.error
+                        raise ValueError("truncated DQT")
                     raw = (struct.unpack(">64H", body[p:p + 128]) if pq
                            else body[p:p + 64])
                     qt = np.zeros(64, dtype=np.float64)

@@ -517,6 +517,13 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+# Explicit whitespace class for the edge-trim step: Java's \s includes
+# \x0b (vertical tab) but RE2's does not, so spell the class out to keep
+# the Spark chain and the DuckDB oracle replay byte-identical on
+# vertical-tab edges (r15 ADVICE fix).
+EDGE_WS = " \t\r\n\x0b\f"
+
+
 def html_to_text(html: Column) -> Column:
     """Boilerplate-free text from HTML: drop script/style/comments,
     turn block-level tags into newlines, strip remaining tags, decode
@@ -533,4 +540,4 @@ def html_to_text(html: Column) -> Column:
     out = F.regexp_replace(out, r" ?\n ?", "\n")
     out = F.regexp_replace(out, r"\n+", "\n")
     # Spark's trim() strips spaces only — strip edge newlines by regex
-    return F.regexp_replace(out, r"^[\s]+|[\s]+$", "")
+    return F.regexp_replace(out, f"^[{EDGE_WS}]+|[{EDGE_WS}]+$", "")

@@ -52,17 +52,32 @@ WARC_RECORD_SCHEMA = T.StructType([
 ])
 
 
-def _gunzip_members(data: bytes) -> bytes:
+# Per-file decompressed-size bound: crawl data is untrusted, and a small
+# decompression bomb must raise (caught per-file upstream) instead of
+# exhausting executor memory (r15 ADVICE fix).
+GUNZIP_CAP = 256 * 1024 * 1024
+
+
+def _gunzip_members(data: bytes, cap: int = GUNZIP_CAP) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; plain input
-    passes through untouched."""
+    passes through untouched. Output beyond ``cap`` bytes raises."""
     if len(data) < 2 or data[:2] != b"\x1f\x8b":
         return data
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        chunk_in = rest
         try:
-            out += d.decompress(rest)
+            while True:
+                out += d.decompress(chunk_in, cap - len(out) + 1)
+                if len(out) > cap:
+                    raise ValueError(
+                        f"gzip stream expands past {cap} bytes — "
+                        "possible decompression bomb")
+                if not d.unconsumed_tail:
+                    break
+                chunk_in = d.unconsumed_tail
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member: {e}") from None
         if not d.eof:
