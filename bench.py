@@ -119,9 +119,27 @@ def main() -> None:
         if name not in times or elapsed < times[name]:
             times[name] = elapsed
 
+    # floor probes are INTERLEAVED through the suite (r15, VERDICT
+    # order #5): the single up-front min-of-5 probe had ~25% day-to-day
+    # spread on this box, and dividing the total by it made the
+    # normalized series noisier than the signal (r14 recorded "worst
+    # ever" on a raw-flat round). A trivial one-row aggregation over an
+    # already-loaded view — job scheduling + task launch + collect, no
+    # data-dependent work — sampled throughout the run, summarized by
+    # the MEDIAN, with every probe recorded in the JSON.
+    floor_probes: list[float] = []
+
+    def probe_floor() -> None:
+        t0 = time.time()
+        spark.sql("SELECT count(*) AS n FROM region").count()
+        floor_probes.append(round(time.time() - t0, 3))
+
+    probe_floor()
     for attempt in range(3):
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
             run_once(name)
+            if i % 6 == 5:
+                probe_floor()
     # adaptive fourth pass: a steal burst can span several timed runs
     # of a query; anything still slow gets one more chance spaced in
     # time (threshold lowered 2.0 -> 1.2 s in r4: under full-output
@@ -129,6 +147,7 @@ def main() -> None:
     for name in HEADLINE:
         if times[name] > 1.2:
             run_once(name)
+    probe_floor()
     total = round(sum(times.values()), 3)
     # secondary scale factor: the same queries at sf0.01 separate the
     # fixed local-mode Spark floor (~0.2-0.5 s/query regardless of data)
@@ -146,22 +165,18 @@ def main() -> None:
                 elapsed = round(time.time() - t0, 3)
                 if name not in secondary or elapsed < secondary[name]:
                     secondary[name] = elapsed
-    # fixed per-query Spark floor on this machine: a trivial one-row
-    # aggregation over an already-loaded view, min-of-5 — job scheduling
-    # + task launch + collect, no data-dependent work. Subtracting
-    # n_queries x floor from the total approximates the data-dependent
-    # cost when comparing against an embedded single-process engine.
-    floor = None
-    for _ in range(5):
-        t0 = time.time()
-        spark.sql("SELECT count(*) AS n FROM region").count()
-        e = round(time.time() - t0, 3)
-        floor = e if floor is None or e < floor else floor
+    import statistics
+
+    floor = round(statistics.median(floor_probes), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "spark_floor_per_query": floor,
+        "floor_probes": floor_probes,
+        "floor_aggregation":
+            f"median of {len(floor_probes)} probes interleaved "
+            "through the primary suite",
         # box-noise-invariant round-over-round signal (r8, VERDICT r7
         # item 7): raw totals moved +25% r6->r7 purely because the
         # measured floor moved +29% on a busier box. total / floor is

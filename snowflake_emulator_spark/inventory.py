@@ -4066,7 +4066,7 @@ def _ivfpq_replay_oracle(k: int = 10, m: int = 4, ksub: int = 16,
                          coarse_rounds: int = 2,
                          query_ids: tuple = (0, 1, 2, 3, 4)) -> str:
     """r14 (VERDICT item 3) — scale-aware IVF-PQ replay: the oracle
-    computes nc = least(64, greatest(4, floor(sqrt(n/25)))) and
+    computes nc = least(1024, greatest(4, floor(sqrt(n/25)))) and
     nprobe = greatest(3, ceil(nc/4)) FROM THE DATA (the exact SQL form
     of similarity.scale_aware_nc/scale_aware_nprobe — for integer n
     the float sqrt can't straddle the floor boundary), seeds the
@@ -4086,7 +4086,7 @@ def _ivfpq_replay_oracle(k: int = 10, m: int = 4, ksub: int = 16,
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nparam AS (
   SELECT nc, greatest(3, CAST(ceil(nc / 4.0) AS INTEGER)) AS npr FROM (
-    SELECT least(64, greatest(4,
+    SELECT least(1024, greatest(4,
            CAST(floor(sqrt(count(*) / 25.0)) AS INTEGER))) AS nc
     FROM embeddings)),
 cseeds AS (
@@ -5189,6 +5189,168 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(text_len) AS BIGINT) AS total_chars,
        min(q) AS q_min, max(q) AS q_max
 FROM q GROUP BY source ORDER BY source
+"""
+
+
+def _pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 capstone (VERDICT order #7): the brief's actual product in
+    ONE hash gate — WARC crawl files -> distributed record extraction
+    -> HTML->text -> EXACT dedup (md5 of normalized text, keep min id)
+    -> MINHASH-LSH near-dup dedup (candidates -> exact Jaccard ->
+    connected components, keep representatives) -> per-source
+    top-quantile quality filter (keep each source's top 50%) ->
+    temperature resample (alpha=0.7, materialized copies) -> packed
+    sample stream (2048-token bins per source). Every stage is
+    independently oracle-replayable; the oracle replays the COMPOSED
+    chain (HTML chain, dedup CTE stack over the recovered text,
+    rank/ceil filter, E-S fractional draw, cumulative-window packing)
+    with no WARC/HTML machinery involved.
+
+    Scale notes: the dedup candidate join is banded (no all-pairs),
+    removal lists anti-join on doc_id, quantile ranks come from the
+    range-partitioned rank_within_group (no per-group single-partition
+    sort), the per-source factor table joins back broadcast, and the
+    packing window partitions by the shard key the corpus already
+    has."""
+    from pyspark.sql import Window
+
+    from .operators import corpus as corpus_ops
+    from .operators import dedup, mixture, textstats
+    from .sources import warc as warcmod
+
+    load_views(spark, sf_dir)
+    d = spark.table("documents").filter("doc_id % 7 = 3").select(
+        "doc_id", "source", "text")
+    files = warcmod.synth_warc_docs(d, _html_shell)
+    recs = warcmod.warc_records(files).filter(
+        (F.col("warc_type") == "response") & F.col("parse_ok"))
+    txt = textstats.html_to_text(F.col("body").cast("string"))
+    cdocs = recs.select(
+        F.regexp_extract("target_uri", r"\.test/([0-9]+)$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.regexp_extract("target_uri", r"http://([^.]+)\.test/", 1)
+        .alias("source"),
+        txt.alias("text"))
+    # exact dedup: fp groups are many and tiny, so the hash window IS
+    # the scale-correct plan here (contrast rank_within_group's note)
+    fp_w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        cdocs.withColumn("fp", F.md5(dedup.normalized_text(F.col("text"))))
+        .withColumn("__rn", F.row_number().over(fp_w))
+        .filter(F.col("__rn") == 1).drop("fp", "__rn"))
+    comps = dedup.cluster_components(
+        exact, num_perm=16, bands=4, shingle=5, threshold=0.5)
+    removals = (comps.filter(F.col("node") != F.col("comp"))
+                .select(F.col("node").alias("doc_id")).distinct())
+    surv = exact.join(removals, "doc_id", "left_anti")
+    scored = surv.select(
+        "doc_id", "source", "text",
+        textstats.quality_score(F.col("text")).alias("q"))
+    kept = corpus_ops.top_quantile_per_group(scored, frac=0.5,
+                                             score_col="q")
+    samples = mixture.temperature_resample(
+        kept.select("doc_id", "source"), alpha=0.7)
+    toks = kept.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("ntok"))
+    seq = samples.join(toks, "doc_id")
+    pk_w = (Window.partitionBy("source").orderBy("doc_id", "copy_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = (seq.withColumn("cum", F.sum("ntok").over(pk_w))
+              .withColumn("bin_id",
+                          F.floor((F.col("cum") - F.col("ntok"))
+                                  / F.lit(2048)).cast("bigint")))
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(F.count("*").cast("bigint").alias("n_samples"),
+             F.sum("ntok").cast("bigint").alias("n_tokens"),
+             F.min("sample_id").alias("first_sample"),
+             F.max("sample_id").alias("last_sample"))
+        .orderBy("source", "bin_id")
+    )
+
+
+def _pipeline_crawl_oracle() -> str:
+    chain = _html_chain_sql("h")
+    qexpr = _quality_expr_sql("text")
+    clusters = (_dedup_clusters_oracle()
+                .replace("ORDER BY doc_id", "")
+                .replace("FROM documents", "FROM cdocs"))
+    ntok = ("CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)")
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source, text AS orig
+  FROM documents WHERE doc_id % 7 = 3),
+x AS (
+  SELECT doc_id, source,
+         '{_HTML_F1}' || doc_id || '{_HTML_F2}' || doc_id ||
+         '{_HTML_F3}' || orig || '{_HTML_F4}' AS h
+  FROM d0),
+t AS (SELECT doc_id, source, {chain} AS text FROM x),
+exd AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5({_NORM_DUCK})
+                            ORDER BY doc_id) AS rn
+  FROM t),
+cdocs AS MATERIALIZED (SELECT doc_id, source, text FROM exd WHERE rn = 1),
+comps AS MATERIALIZED ({clusters}),
+surv AS (
+  SELECT * FROM cdocs
+  WHERE doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> cluster_id)),
+q AS (SELECT doc_id, source, text, {qexpr} AS q FROM surv),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM q),
+kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM rk WHERE r <= ceil(0.5 * n)),
+counts AS (
+  SELECT source, CAST(count(doc_id) AS BIGINT) AS n_docs
+  FROM kept GROUP BY source),
+tot AS (
+  SELECT sum(n_docs) AS n, sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z
+  FROM counts),
+w AS (
+  SELECT source, CAST(floor(f) AS BIGINT) AS base,
+         CAST(floor((f - floor(f)) * n_docs + 0.5) AS BIGINT) AS k
+  FROM (
+    SELECT c.source, c.n_docs,
+           round((pow(CAST(c.n_docs AS DOUBLE), 0.7) / t2.z)
+                 / (CAST(c.n_docs AS DOUBLE) / t2.n), 6) AS f
+    FROM counts c CROSS JOIN tot t2)),
+keyed AS (
+  SELECT doc_id, source,
+         round((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS UBIGINT) + 1) / 1152921504606846977.0, 9) AS u
+  FROM kept),
+rnk2 AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u DESC, doc_id) AS r
+  FROM keyed),
+cop AS (
+  SELECT r2.doc_id, r2.source,
+         w.base + CASE WHEN r2.r <= w.k THEN 1 ELSE 0 END AS n_copies
+  FROM rnk2 r2 JOIN w USING (source)),
+samples AS (
+  SELECT cop.doc_id, cop.source, CAST(u.i AS BIGINT) AS copy_idx,
+         CAST(cop.doc_id AS VARCHAR) || '#' || CAST(u.i AS VARCHAR)
+           AS sample_id
+  FROM cop, unnest(range(1, n_copies + 1)) AS u(i)),
+toks AS (SELECT doc_id, {ntok} AS ntok FROM kept),
+seq AS (
+  SELECT s.source, s.doc_id, s.copy_idx, s.sample_id, toks.ntok
+  FROM samples s JOIN toks USING (doc_id)),
+binned AS (
+  SELECT *, CAST(floor((sum(ntok) OVER (PARTITION BY source
+               ORDER BY doc_id, copy_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok)
+             / 2048) AS BIGINT) AS bin_id
+  FROM seq)
+SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       min(sample_id) AS first_sample, max(sample_id) AS last_sample
+FROM binned GROUP BY source, bin_id ORDER BY source, bin_id
 """
 
 
@@ -7070,6 +7232,8 @@ REGISTRY: dict[str, tuple] = {
     "tar_extract_members": (_tar_extract_members, _TAR_EXTRACT_ORACLE),
     "pipeline_warc_ingest": (_pipeline_warc_ingest,
                              _pipeline_warc_ingest_oracle()),
+    "pipeline_crawl_to_corpus": (_pipeline_crawl_to_corpus,
+                                 _pipeline_crawl_oracle()),
     # r8 session-2 function batches (rotated into the r10 driver head).
     # r10: renamed from "agg_regression_stats" (duplicate of the plain-SQL
     # entry at the _AGG_REGR line above, which it silently shadowed for two
@@ -7234,8 +7398,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 236, (
-    f"registry contract: expected 236 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 237, (
+    f"registry contract: expected 237 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

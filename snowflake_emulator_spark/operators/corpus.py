@@ -258,12 +258,22 @@ def source_overlap(df: DataFrame, shingle: int = 5,
     )
 
 
-# above this many distinct groups the broadcast rank-offset lookup
-# (numPartitions x ngroups rows through the driver) stops being tiny;
-# past it the hash-partitioned window IS the scale-correct plan (many
-# SMALL groups spread across executors — the pathology this function
-# avoids is few HUGE groups)
-_MAX_LOOKUP_GROUPS = 4096
+# the broadcast rank-offset lookup ships numPartitions x ngroups rows
+# through the driver, so the threshold must cap the PRODUCT, not a
+# fixed group count (r15, VERDICT order #4): a 4096-group threshold
+# chosen for 32 partitions would mean up to 40M lookup rows at a
+# 10k-partition cluster width. ~1M rows is tens of MB — still a
+# "tiny aggregate". Past the threshold the hash-partitioned window IS
+# the scale-correct plan (many SMALL groups spread across executors —
+# the pathology this function avoids is few HUGE groups).
+_MAX_LOOKUP_ROWS = 1_000_000
+_MIN_LOOKUP_GROUPS = 1024
+
+
+def _max_lookup_groups(n_parts: int) -> int:
+    """Width-aware group threshold: at 32 shuffle partitions this is
+    31,250 groups; at 10k partitions it floors at 1,024."""
+    return max(_MIN_LOOKUP_GROUPS, _MAX_LOOKUP_ROWS // max(1, n_parts))
 
 
 def rank_within_group(df: DataFrame, score_col: str,
@@ -287,15 +297,22 @@ def rank_within_group(df: DataFrame, score_col: str,
     key is unique, so ranks are deterministic regardless of where the
     sampled range boundaries land; the sorted frame is
     local-checkpointed because monotonic ids are only stable on a
-    materialized frame. Above ``_MAX_LOOKUP_GROUPS`` distinct groups
-    it falls back to the hash window, which is the right plan there
-    (many small groups spread fine)."""
+    materialized frame. Above ``_max_lookup_groups(n_parts)`` distinct
+    groups (width-aware: the lookup row count numPartitions x ngroups
+    is what must stay bounded, r15) it falls back to the hash window,
+    which is the right plan there (many small groups spread fine)."""
     from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = 32
+    max_groups = _max_lookup_groups(n_parts)
     totals = (df.groupBy(group_col).agg(F.count("*").alias("__n"))
-              .limit(_MAX_LOOKUP_GROUPS + 1).collect())
-    if len(totals) > _MAX_LOOKUP_GROUPS:
+              .limit(max_groups + 1).collect())
+    if len(totals) > max_groups:
         w = Window.partitionBy(group_col).orderBy(
             F.desc(score_col), F.col(id_col))
         wn = Window.partitionBy(group_col)
@@ -310,11 +327,6 @@ def rank_within_group(df: DataFrame, score_col: str,
                 .select(*out_cols))
     group_n = {r[group_col]: int(r["__n"]) for r in totals}
 
-    spark = df.sparkSession
-    try:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_parts = 32
     ordered = (
         df.repartitionByRange(n_parts, F.col(group_col),
                               F.col(score_col).desc(), F.col(id_col))

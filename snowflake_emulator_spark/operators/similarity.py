@@ -582,19 +582,23 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def scale_aware_nc(n: int) -> int:
     """Deterministic IVF centroid-count rule (r14, VERDICT item 3):
-    ``nc = min(64, max(4, floor(sqrt(n / 25))))`` — FAISS-style
+    ``nc = min(1024, max(4, floor(sqrt(n / 25))))`` — FAISS-style
     sqrt-scaling (~25 vectors per cell at the small end), floored at 4
-    so tiny fixtures keep multiple buckets and capped at 64 so the SQL
-    replay oracle can bake a fixed seed budget. For integer n,
+    so tiny fixtures keep multiple buckets. For integer n,
     ``floor(sqrt(n/25)) == isqrt(n//25)`` exactly (both equal k iff
     25k^2 <= n < 25(k+1)^2), so the SQL form
     ``floor(sqrt(n/25.0))`` replays it without float-boundary risk.
-    At a real 100 TB deployment the cap moves up with the baked seed
-    budget; the rule's SHAPE (sqrt, ~n/nc vectors per probe) is the
-    scale-relevant part."""
+
+    r15 (VERDICT order #3): the cap is a BUDGET knob, not a structural
+    limit — the oracle derives seeds from the data via CTE, so the r14
+    value of 64 was arbitrary; it now sits at 1024 (driver-side seed
+    collect of nc rows stays trivially small — 1024 x dim doubles —
+    and the sqrt rule would need n > 26 billion vectors to hit it).
+    The n=200k+ stress row in scratch/scale_stress.py exercises
+    nc > 64 with the recall >= 0.6 gate."""
     import math
 
-    return min(64, max(4, math.isqrt(max(0, int(n)) // 25)))
+    return min(1024, max(4, math.isqrt(max(0, int(n)) // 25)))
 
 
 def scale_aware_nprobe(nc: int) -> int:

@@ -898,7 +898,7 @@ def test_top_quantile_empty_and_fallback(spark, monkeypatch):
     assert out.columns == ["doc_id", "source", "score", "q_rank", "group_n"]
     assert out.count() == 0
 
-    monkeypatch.setattr(corpus, "_MAX_LOOKUP_GROUPS", 3)
+    monkeypatch.setattr(corpus, "_max_lookup_groups", lambda n_parts: 3)
     rows = [(i, f"s{i % 5}", float(i % 4)) for i in range(40)]
     df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
     kept = corpus.top_quantile_per_group(df, 0.25, "score")
@@ -910,9 +910,47 @@ def test_top_quantile_empty_and_fallback(spark, monkeypatch):
     assert all(sorted(v) == list(range(1, 3)) for v in per.values())  # ceil(.25*8)=2
 
 
+def test_lookup_groups_threshold_is_width_aware(spark):
+    """r15 (VERDICT order #4): the broadcast rank-offset lookup ships
+    numPartitions x ngroups rows through the driver, so the group
+    threshold scales INVERSELY with shuffle width (cap the product at
+    ~1M rows, floor 1024) — and the hash-window fallback must trigger
+    at the SCALED threshold, not a fixed 4096."""
+    from snowflake_emulator_spark.operators import corpus
+
+    assert corpus._max_lookup_groups(32) == 31250
+    assert corpus._max_lookup_groups(1) == 1_000_000
+    assert corpus._max_lookup_groups(500) == 2000
+    assert corpus._max_lookup_groups(10_000) == 1024      # floor binds
+    assert corpus._max_lookup_groups(1_000_000) == 1024
+    # product stays bounded at every width
+    for w in (1, 32, 977, 10_000, 250_000):
+        assert w * corpus._max_lookup_groups(w) <= max(1_000_000, 1024 * w)
+
+    rows = [(i, f"s{i % 1100}", float(i)) for i in range(2200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # at a simulated 500k-partition cluster width the threshold
+        # floors at 1024 < 1100 groups -> hash-window fallback
+        spark.conf.set("spark.sql.shuffle.partitions", "500000")
+        wide = corpus.rank_within_group(df, "score")
+        assert "Window" in wide._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # at the session's real width (32 -> threshold 31250) the same 1100
+    # groups take the broadcast prefix-offset path: no Window
+    narrow = corpus.rank_within_group(df, "score")
+    assert "Window" not in narrow._jdf.queryExecution().executedPlan().toString()
+    # identical semantics on both paths
+    a = sorted((r.doc_id, r.q_rank, r.group_n) for r in wide.collect())
+    b = sorted((r.doc_id, r.q_rank, r.group_n) for r in narrow.collect())
+    assert a == b
+
+
 def test_scale_aware_nc_nprobe_rules():
     """r14 (VERDICT item 3): the deterministic coarse-quantizer rules —
-    nc = min(64, max(4, floor(sqrt(n/25)))) and
+    nc = min(1024, max(4, floor(sqrt(n/25)))) and
     nprobe = max(3, ceil(nc/4)) — at the boundaries the SQL replay
     must also hit (for integer n, floor(sqrt(n/25)) == isqrt(n//25))."""
     assert similarity.scale_aware_nc(0) == 4
@@ -923,7 +961,8 @@ def test_scale_aware_nc_nprobe_rules():
     assert similarity.scale_aware_nc(624) == 4
     assert similarity.scale_aware_nc(2000) == 8      # sf0.1 fixture
     assert similarity.scale_aware_nc(20000) == 28    # 10x stress build
-    assert similarity.scale_aware_nc(10**9) == 64    # cap
+    assert similarity.scale_aware_nc(204800) == 90   # r15: past old 64 cap
+    assert similarity.scale_aware_nc(10**9) == 1024  # r15 lifted cap
     assert similarity.scale_aware_nprobe(4) == 3
     assert similarity.scale_aware_nprobe(8) == 3
     assert similarity.scale_aware_nprobe(28) == 7
