@@ -248,6 +248,22 @@ AUDIT = [
                                      "BroadcastHashJoin", "Generate",
                                      "!Window", "!SortMergeJoin",
                                      "!CartesianProduct"]),
+    # r15 mixed-format media: four Arrow-map synth branches UNIONed
+    # into one Arrow-map decode kernel — no join, no hash exchange
+    # before the final presentation sort
+    ("multimodal_mixed_features", ["MapInPandas", "Union",
+                                   "!BroadcastNestedLoopJoin",
+                                   "!SortMergeJoin",
+                                   "!Exchange hashpartitioning"]),
+    # r15 full-pipeline capstone: Arrow maps (warc synth/parse) ->
+    # JVM extraction -> banded dedup joins -> broadcast rank lookup ->
+    # Generate repeat -> one packing window. The dedup candidate join
+    # is equi-keyed (band, hash) and the factor/lookup tables join
+    # broadcast — never a nested loop or cartesian
+    ("pipeline_crawl_to_corpus", ["MapInPandas", "Generate",
+                                  "BroadcastHashJoin",
+                                  "!BroadcastNestedLoopJoin",
+                                  "!CartesianProduct"]),
 ]
 
 

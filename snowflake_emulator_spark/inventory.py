@@ -7298,67 +7298,68 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r14 rotation (VERDICT r13 item 4): 44+ of 50 differ from the r13
-    # head. 44 of 50 come from the least-recently-sampled pool — 10
-    # never-driver-gated entries (last r0: every NEW r14 entry plus
-    # the two post-close r13 ones, per ADVICE) + 34 from r3-r5; the
-    # other 6 are the 5 pins and embed_ivfpq_topk (r14-changed path).
-    # Annotations give each entry's last driver-green round (union of
-    # CORRECTNESS_r*).
+    # r15 rotation (VERDICT order #6): 38 of 50 differ from the r14
+    # head. 36 come from the least-recently-sampled pool (all 11
+    # last-green-r5 entries + 25 of the 44 last-green-r7 entries — the
+    # two stalest cohorts by the union of CORRECTNESS_r*); 2 are the
+    # NEW r15 entries (never driver-gated); the overlapping 12 are the
+    # 5 pins plus 7 entries whose code paths CHANGED this round and
+    # must re-gate. Annotations give each entry's last driver-green
+    # round.
     # --- pinned family representatives (driver-green every round) ----
-    "scan_filter_project",            # last r13
-    "q1_pricing_summary",             # last r13
-    "q3_shipping_priority",           # last r13
-    "asof_join_events",               # last r13
-    "dedup_minhash_lsh",              # last r13
-    # --- NEW r14 / r14-changed code paths (gate this round) ----------
-    "doc_top_quantile_filter",        # NEW r13 post-close (ADVICE: never
-                                      # driver-gated) + r14 plan rewrite
-    "multimodal_jpeg_features",       # NEW r14 (baseline JPEG decode)
-    "sample_temperature_resample",    # NEW r14 (materialized resampler)
-    "sample_temperature_weights",     # NEW r13 post-close, never gated
-    "embed_ivfpq_topk",               # r14: scale-aware trained coarse
-    "multimodal_wav_features",        # NEW r14 (WAV/RIFF PCM decode)
-    "multimodal_gif_features",        # NEW r14 (GIF LZW decode)
-    "warc_extract_records",           # NEW r14 (WARC source reader)
-    "doc_html_extract",               # NEW r14 (HTML->text extraction)
-    "tar_extract_members",            # NEW r14 (TAR container source)
-    "pipeline_warc_ingest",           # NEW r14 (crawl-to-corpus capstone)
-    # --- least-recently-sampled fill (r3-r5 last driver rows) --------
-    "extract_date_parts",             # last r3
-    "agg_basic_stats",                # last r4
-    "agg_min_by_max_by",              # last r4
-    "agg_regression_stats",           # last r4
-    "agg_variance_stddev",            # last r4
-    "ann_ivf_topk",                   # last r4
-    "embed_near_pairs_lsh",           # last r4
-    "events_cohort_retention",        # last r4
-    "events_multires_rollup",         # last r4
-    "join_left_outer",                # last r4
-    "q10_returned_items",             # last r4
-    "q16_supplier_part_groups",       # last r4
-    "q19_disjunctive_revenue",        # last r4
-    "q2_min_cost_supplier",           # last r4
-    "q4_order_priority",              # last r4
-    "q6_revenue_forecast",            # last r4
-    "range_join_events",              # last r4
-    "recursive_cte_buckets",          # last r4
-    "salted_join_hot_keys",           # last r4
-    "setop_except_all",               # last r4
-    "sf_minhash_similarity",          # last r4
-    "text_bpe_token_counts",          # last r4
-    "text_language_id",               # last r4
-    "window_lag_delta",               # last r4
-    "window_ratio_to_report",         # last r4
-    "embed_coverage_sample",          # last r5
-    "embed_decontaminate",            # last r5
-    "events_user_features",           # last r5
-    "multimodal_features",            # last r5
-    "sf_semistructured_funcs",        # last r5
-    "sf_split_to_table",              # last r5
-    "text_decontaminate",             # last r5
-    "text_pii_scrub",                 # last r5
-    "text_token_counts",              # last r5
+    "scan_filter_project",            # last r14
+    "q1_pricing_summary",             # last r14
+    "q3_shipping_priority",           # last r14
+    "asof_join_events",               # last r14
+    "dedup_minhash_lsh",              # last r14
+    # --- NEW r15 / r15-changed code paths (gate this round) ----------
+    "multimodal_mixed_features",      # NEW r15 (magic-byte dispatch)
+    "pipeline_crawl_to_corpus",       # NEW r15 (full-pipeline capstone)
+    "embed_ivfpq_topk",               # r15: nc cap 64 -> 1024 (oracle)
+    "sample_temperature_resample",    # r15: width-aware rank threshold
+    "doc_top_quantile_filter",        # r15: width-aware rank threshold
+    "doc_html_extract",               # r15: EDGE_WS explicit trim class
+    "pipeline_warc_ingest",           # r15: EDGE_WS + gzip bomb cap
+    "multimodal_jpeg_features",       # r15: non-interleaved/DQT guards
+    "multimodal_gif_features",        # r15: palette-overflow guard
+    # --- least-recently-sampled fill: all 11 last-green-r5 ----------
+    "flatten_explode_words",          # last r5
+    "pivot_segment_balances",         # last r5
+    "quality_filter_pipeline",        # last r5
+    "setop_intersect_all",            # last r5
+    "sf_array_funcs2",                # last r5
+    "sf_bitwise_aggs",                # last r5
+    "sf_greatest_least",              # last r5
+    "sf_higher_order_funcs",          # last r5
+    "sf_string_date_funcs",           # last r5
+    "sf_variant_path_access",         # last r5
+    "window_nth_value",               # last r5
+    # --- least-recently-sampled fill: 25 of 44 last-green-r7 --------
+    "agg_group_having",               # last r7
+    "agg_grouping_function",          # last r7
+    "agg_rollup",                     # last r7
+    "basket_part_pairs",              # last r7
+    "cte_join_agg",                   # last r7
+    "dedup_exact",                    # last r7
+    "doc_pack_sequences",             # last r7
+    "embed_cosine_topk",              # last r7
+    "embed_quantize_int8",            # last r7
+    "events_funnel3_strict",          # last r7
+    "events_gapfill_carry_forward",   # last r7
+    "events_hourly_agg",              # last r7
+    "join_full_outer",                # last r7
+    "join_semi_exists",               # last r7
+    "merge_upsert_sim",               # last r7
+    "pareto_abc_analysis",            # last r7
+    "pivot_sql_native",               # last r7
+    "python_udf_score",               # last r7
+    "rfm_segmentation",               # last r7
+    "sample_token_budget",            # last r7
+    "scripted_nested_grid",           # last r7
+    "scripted_pipeline_rollup",       # last r7
+    "setop_minus_alias",              # last r7
+    "setop_union_all",                # last r7
+    "sf_array_unique_agg_binary",     # last r7
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
