@@ -308,6 +308,134 @@ def gif_decode(content: bytes) -> tuple[int, int, list[bytes]]:
     return width, height, frames
 
 
+def gif_decode_composited(content: bytes,
+                          max_frames: int = 4096) -> tuple[int, int, list[bytes]]:
+    """Animation-aware GIF decode (r15): renders every frame onto a
+    persistent canvas honoring SUB-RECTANGLE placement, per-frame
+    disposal methods (1 keep, 2 restore-to-background, 3
+    restore-to-previous) and GCE transparency — the semantics a viewer
+    applies, which real-world animated GIFs (terminal recordings,
+    stickers) require. Returns (width, height, frames) with each frame
+    the FULL COMPOSITED canvas as w*h*3 RGB bytes.
+
+    ``gif_decode`` stays the raw-frame decoder (full-canvas frames
+    only, transparency reported as stored) because the closed-form
+    fixtures/oracles pin that contract; this is the ingest path for
+    arbitrary crawl media. GIF89a spec sections 23 (GCE) and 26
+    (image descriptor)."""
+    import numpy as np
+
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    width, height = struct.unpack("<HH", data[6:10])
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension GIF")
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = data[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    if gct is not None and bg_idx < len(gct) // 3:
+        bg_rgb = tuple(gct[3 * bg_idx:3 * bg_idx + 3])
+    else:
+        bg_rgb = (0, 0, 0)
+    canvas = np.empty((height, width, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[bytes] = []
+    disposal, tidx = 0, None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated extension")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gp = data[pos + 1]
+                disposal = (gp >> 2) & 0x07
+                tidx = data[pos + 4] if gp & 0x01 else None
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            if pos + 9 > len(data):
+                raise ValueError("truncated image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", data[pos:pos + 8])
+            fpacked = data[pos + 8]
+            pos += 9
+            if left + fw > width or top + fh > height or fw == 0 or fh == 0:
+                raise ValueError("frame rectangle outside logical screen")
+            pal = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                pal = data[pos:pos + 3 * n]
+                if len(pal) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("frame without any color table")
+            if pos >= len(data):
+                raise ValueError("truncated LZW header")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                if pos + 1 + ln > len(data):
+                    raise ValueError("truncated LZW sub-block")
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(data):
+                raise ValueError("missing sub-block terminator")
+            pos += 1
+            idx = _lzw_decompress(bytes(lzw), mcs, fw * fh)
+            if fpacked & 0x40:
+                order = _interlace_rows(fh)
+                rows = [b""] * fh
+                for k, y in enumerate(order):
+                    rows[y] = idx[k * fw:(k + 1) * fw]
+                idx = b"".join(rows)
+            ia = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+            npal = len(pal) // 3
+            if int(ia.max()) >= npal:
+                raise ValueError(
+                    f"palette index {int(ia.max())} out of range")
+            lut = np.frombuffer(pal, dtype=np.uint8).reshape(npal, 3)
+            rect_rgb = lut[ia]                      # (fh, fw, 3)
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + fh, left:left + fw]
+            if tidx is not None:
+                opaque = ia != tidx
+                region[opaque] = rect_rgb[opaque]
+            else:
+                region[:] = rect_rgb
+            frames.append(canvas.tobytes())
+            if len(frames) >= max_frames:
+                raise ValueError(
+                    f"GIF exceeds {max_frames} frames — refusing "
+                    "unbounded canvas materialization")
+            if disposal == 2:
+                canvas[top:top + fh, left:left + fw] = bg_rgb
+            elif disposal == 3:
+                canvas = prev
+            disposal, tidx = 0, None
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return width, height, frames
+
+
 # ---------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------

@@ -94,6 +94,19 @@ def sniff_format(content: bytes) -> str | None:
     return None
 
 
+def _gif_decode_any(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Raw frame decode where the frames are full-canvas (the fixture
+    contract), composited canvas rendering for real-world sub-rect
+    animations (r15) — so arbitrary crawl GIFs decode instead of
+    erroring per-row."""
+    from .gif import gif_decode, gif_decode_composited
+
+    try:
+        return gif_decode(blob)
+    except NotImplementedError:
+        return gif_decode_composited(blob)
+
+
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """8-dim feature vector from a media blob. With ``fake=True`` the
     deterministic digest-derived test decoder runs (SQL-replayable).
@@ -126,9 +139,7 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
 
         code, (w, h, ch, px) = 1, jpeg_decode(blob)
     elif fmt == "gif":
-        from .gif import gif_decode
-
-        w, h, frames = gif_decode(blob)
+        w, h, frames = _gif_decode_any(blob)
         code, ch, px = 2, 3, b"".join(frames)
     else:
         code, (w, h, ch, px) = 3, png_decode(blob)
@@ -572,9 +583,7 @@ def media_features(media: DataFrame, id_col: str = "media_id",
             w, h, ch, px = jpeg_decode(blob)
             nf, frames = 1, [px]
         elif fmt == "gif":
-            from .gif import gif_decode
-
-            w, h, frames = gif_decode(blob)
+            w, h, frames = _gif_decode_any(blob)
             ch, nf = 3, len(frames)
         else:
             w, h, ch, px = png_decode(blob)
