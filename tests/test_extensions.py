@@ -110,8 +110,11 @@ def test_multimodal_feature_extraction(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
 
 
-def test_multimodal_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_unknown_container_raises():
+    """r15: decode_image dispatches on magic bytes to the real
+    decoders (see test_multimodal_mixed.py); unsniffable content now
+    raises ValueError — the r14 NotImplementedError is gone."""
+    with pytest.raises(ValueError, match="unrecognized media container"):
         multimodal.decode_image(b"xx", fake=False)
 
 
