@@ -62,6 +62,10 @@ QUERIES = [
     # r14 (VERDICT item 1): the rewritten per-source top-quantile —
     # range-partitioned rank, no per-group single-partition sort
     "doc_top_quantile_filter",
+    # r15: the full crawl-to-corpus composition (WARC -> extract ->
+    # dedup -> quantile -> resample -> pack) — the heaviest declared
+    # pipeline, must scale like its parts
+    "pipeline_crawl_to_corpus",
 ]
 # SCALE_STRESS_ONLY=a,b,c restricts the run for focused profiling
 _only = os.environ.get("SCALE_STRESS_ONLY")
