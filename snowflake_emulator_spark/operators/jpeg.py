@@ -238,7 +238,8 @@ def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
                 sampling: list[tuple[int, int]],
                 quant_tables: list[list[int]] | None = None,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                non_interleaved: bool = False) -> bytes:
     """JFIF encoder over component-space planes.
 
     ``planes[c]`` has the component's natural dims
@@ -252,7 +253,13 @@ def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
     (Al=1), per-component AC first (1..63, Al=1), DC refinement, and
     per-component AC refinement — so progressive decode must equal
     baseline decode bit-for-bit on the same input. Restart intervals
-    are baseline-only here."""
+    are baseline-only here.
+
+    ``non_interleaved=True`` (r15) emits a baseline stream with one
+    SOS PER COMPONENT (T.81 sequential non-interleaved layout — the
+    spec-valid shape the r14 ADVICE flagged): same coefficients, same
+    tables, so decode must equal the interleaved stream's decode
+    exactly. Mutually exclusive with progressive/restart_interval."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError(f"1 or 3 components, got {ncomp}")
@@ -280,8 +287,39 @@ def jpeg_encode(width: int, height: int, planes: list[np.ndarray],
         out += (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
                 + bytes([tc_id]) + bytes(bits) + bytes(vals))
     if progressive:
+        if non_interleaved:
+            raise ValueError("non_interleaved is a baseline layout")
         out += _encode_progressive_scans(width, height, planes, sampling,
                                          quant_tables, ncomp, max_h, max_v)
+        out += b"\xff\xd9"
+        return bytes(out)
+    if non_interleaved and ncomp > 1:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval + non_interleaved not supported here")
+        for c in range(ncomp):
+            dc_id, ac_id = (0, 0) if c == 0 else (1, 1)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([c + 1, (dc_id << 4) | ac_id])
+            out += bytes([0, 63, 0])
+            h, v = sampling[c]
+            cw = (width * h + max_h - 1) // max_h
+            ch = (height * v + max_v - 1) // max_v
+            bx_n, by_n = (cw + 7) // 8, (ch + 7) // 8
+            pad = _pad_plane(planes[c].astype(np.float64),
+                             by_n * 8, bx_n * 8)
+            dc_map = _build_codes(*(_DC_LUM if c == 0 else _DC_CHR))
+            ac_map = _build_codes(*(_AC_LUM if c == 0 else _AC_CHR))
+            qt = quant_tables[min(c, 1, len(quant_tables) - 1)]
+            bw = _BitWriter()
+            pred = 0
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    block = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    pred = _encode_block(bw, block, qt, pred,
+                                         dc_map, ac_map)
+            bw.flush()
+            out += bw.out
         out += b"\xff\xd9"
         return bytes(out)
     if restart_interval:
@@ -643,11 +681,42 @@ def _clamp_plane(spatial: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.int32)
 
 
+def _parse_dqt(seg: bytes, qts: dict) -> None:
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        n = 64 * (2 if pq else 1)
+        if p + n > len(seg):
+            raise ValueError("truncated DQT")
+        raw = (struct.unpack(">64H", seg[p:p + 128]) if pq
+               else seg[p:p + 64])
+        qt = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            qt[_ZIGZAG[k]] = raw[k]
+        qts[tq] = qt
+        p += n
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    p = 0
+    while p + 17 <= len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        bits = list(seg[p + 1:p + 17])
+        nv = sum(bits)
+        vals = list(seg[p + 17:p + 17 + nv])
+        if len(vals) < nv:
+            raise ValueError("truncated DHT")
+        huff[(tc, th)] = _build_decode_map(bits, vals)
+        p += 17 + nv
+
+
 def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG; returns (width, height, channels,
     pixels) with pixels row-major, ``channels`` interleaved (1 = gray,
     3 = RGB). Raises ValueError on corrupt input, NotImplementedError
-    on progressive/arithmetic/12-bit streams."""
+    on arithmetic/12-bit streams. Interleaved, non-interleaved
+    sequential (r15) and progressive (r14) scan layouts all decode."""
     if content is None:
         raise ValueError("null content")
     data = bytes(content)
@@ -674,31 +743,9 @@ def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated JPEG segment")
         seg = data[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                n = 64 * (2 if pq else 1)
-                if p + n > len(seg):
-                    raise ValueError("truncated DQT")
-                raw = (struct.unpack(f">64H", seg[p:p + 128]) if pq
-                       else seg[p:p + 64])
-                qt = np.zeros(64, dtype=np.float64)
-                for k in range(64):
-                    qt[_ZIGZAG[k]] = raw[k]
-                qts[tq] = qt
-                p += n
+            _parse_dqt(seg, qts)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1:p + 17])
-                nv = sum(bits)
-                vals = list(seg[p + 17:p + 17 + nv])
-                if len(vals) < nv:
-                    raise ValueError("truncated DHT")
-                huff[(tc, th)] = _build_decode_map(bits, vals)
-                p += 17 + nv
+            _parse_dht(seg, huff)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline DCT)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -736,15 +783,12 @@ def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
             if frame.get("progressive"):
                 return _decode_progressive(data, pos, seg_len, frame,
                                            qts, huff, restart_interval)
-            ns = seg[0]
-            scan = []
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next((x for x in frame["comps"] if x["id"] == cs),
-                            None)
-                if comp is None:
-                    raise ValueError(f"scan references unknown component {cs}")
-                scan.append((comp, tt >> 4, tt & 0x0F))
+            scan = _parse_sos_header(seg, frame)
+            if len(scan) < len(frame["comps"]):
+                # non-interleaved sequential: accumulate scans (r15)
+                return _decode_sequential(data, pos + seg_len, frame,
+                                          scan, qts, huff,
+                                          restart_interval)
             return _decode_scan(data, pos + seg_len, frame, scan, qts,
                                 huff, restart_interval)
         # else: APPn / COM / unknown — skip
@@ -752,21 +796,17 @@ def jpeg_decode(content: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
-                 qts: dict, huff: dict, restart_interval: int,
-                 ) -> tuple[int, int, int, bytes]:
+def _scan_mcus(data: bytes, pos: int, frame: dict, scan: list,
+               qts: dict, huff: dict, restart_interval: int,
+               planes: dict) -> int:
+    """Decode one baseline scan's MCUs into ``planes`` (creating the
+    scan components' entries); returns the byte position just past the
+    entropy-coded data — the next marker — so a sequential caller can
+    keep parsing (r15)."""
     w, h = frame["w"], frame["h"]
     if w == 0 or h == 0:
         raise ValueError("zero-dimension JPEG")
     comps = frame["comps"]
-    if len(comps) > 1 and len(scan) < len(comps):
-        # Spec-valid baseline layout we don't support: each component in
-        # its own sequential scan. Returning just the first scan would
-        # silently produce a 1-channel image of one component — raise
-        # instead, per this module's documented capability-boundary policy.
-        raise NotImplementedError(
-            "baseline JPEG with separate per-component scans "
-            "(non-interleaved sequential) is not supported")
     max_h = max(c["h"] for c in comps)
     max_v = max(c["v"] for c in comps)
     if len(scan) == 1:
@@ -779,7 +819,6 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
         mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
         mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
         layout = [(s, s[0]["h"], s[0]["v"]) for s in scan]
-    planes = {}
     for (comp, _dc, _ac), bh, bv in layout:
         planes[comp["id"]] = np.zeros((mcus_y * 8 * bv, mcus_x * 8 * bh),
                                       dtype=np.float64)
@@ -809,8 +848,87 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
                         x0 = (mx * bh + bx) * 8
                         planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
             n_since += 1
+    return br.pos
 
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 qts: dict, huff: dict, restart_interval: int,
+                 ) -> tuple[int, int, int, bytes]:
+    planes: dict = {}
+    _scan_mcus(data, pos, frame, scan, qts, huff, restart_interval, planes)
+    comps = frame["comps"]
     single = scan[0][0]["id"] if len(comps) == 1 or len(scan) == 1 else None
+    return _finish(frame, planes, single)
+
+
+def _parse_sos_header(seg: bytes, frame: dict) -> list:
+    ns = seg[0]
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        comp = next((x for x in frame["comps"] if x["id"] == cs), None)
+        if comp is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        scan.append((comp, tt >> 4, tt & 0x0F))
+    return scan
+
+
+def _decode_sequential(data: bytes, pos: int, frame: dict, scan: list,
+                       qts: dict, huff: dict, restart_interval: int,
+                       ) -> tuple[int, int, int, bytes]:
+    """Baseline NON-INTERLEAVED sequential layout (r15, the r14 ADVICE
+    medium): each SOS covers a subset of the frame's components and
+    scans accumulate into shared planes until every component has been
+    decoded. T.81 B.2.5 allows DQT/DHT/DRI/APPn/COM between scans —
+    the inter-scan walk honors them with the same parsers as the
+    header walk."""
+    comps = frame["comps"]
+    planes: dict = {}
+    seen: set = set()
+    while True:
+        for comp, _d, _a in scan:
+            if comp["id"] in seen:
+                raise ValueError(
+                    f"component {comp['id']} appears in two baseline scans")
+        pos = _scan_mcus(data, pos, frame, scan, qts, huff,
+                         restart_interval, planes)
+        seen.update(c["id"] for c, _d, _a in scan)
+        if len(seen) == len(comps):
+            break
+        scan = None
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                missing = sorted(c["id"] for c in comps
+                                 if c["id"] not in seen)
+                raise ValueError(
+                    f"EOI before scans for components {missing}")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG segment header")
+            seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+            if seg_len < 2 or pos + seg_len > len(data):
+                raise ValueError("truncated JPEG segment")
+            seg = data[pos + 2:pos + seg_len]
+            if marker == 0xC4:
+                _parse_dht(seg, huff)
+            elif marker == 0xDB:
+                _parse_dqt(seg, qts)
+            elif marker == 0xDD:
+                restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:
+                scan = _parse_sos_header(seg, frame)
+                pos += seg_len
+                break
+            pos += seg_len
+        if scan is None:
+            missing = sorted(c["id"] for c in comps if c["id"] not in seen)
+            raise ValueError(f"no scan data for components {missing}")
+    single = comps[0]["id"] if len(comps) == 1 else None
     return _finish(frame, planes, single)
 
 
@@ -1173,11 +1291,13 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     MCUs (RST markers + predictor resets on the wire); ``i%5 == 0``
     images encode PROGRESSIVE (r14: SOF2, 4-stage scan script with
     successive approximation — restart intervals are baseline-only
-    here, so a progressive id skips DRI). Decoded pixels — and so the
-    oracle — are identical in every case. A SQL oracle replays the
-    pixel formulas + color transform directly, no JPEG involved: the
-    declared query's hash gate verifies the full encode->decode round
-    trip against independent arithmetic."""
+    here, so a progressive id skips DRI); ``i%7 == 0`` color ids
+    without DRI/SOF2 ship the NON-INTERLEAVED sequential layout (r15:
+    one SOS per component). Decoded pixels — and so the oracle — are
+    identical in every case. A SQL oracle replays the pixel formulas +
+    color transform directly, no JPEG involved: the declared query's
+    hash gate verifies the full encode->decode round trip against
+    independent arithmetic."""
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1188,6 +1308,11 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 variant = i % 3
                 prog = i % 5 == 0
                 rst = 2 if (i % 4 == 0 and not prog) else 0
+                # r15: i%7==0 color ids without restarts/progressive
+                # ship the NON-INTERLEAVED sequential layout (one SOS
+                # per component) — decoded pixels identical, so the
+                # oracle is untouched (same contract as progressive)
+                noninter = i % 7 == 0 and not prog and rst == 0
                 xs = np.arange(w)
                 ys = np.arange(h)
                 bx, by = np.meshgrid(xs // 8, ys // 8)
@@ -1204,7 +1329,7 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         content = jpeg_encode(
                             w, h, [yp, cb, cr],
                             [(1, 1), (1, 1), (1, 1)], restart_interval=rst,
-                            progressive=prog)
+                            progressive=prog, non_interleaved=noninter)
                     else:
                         cw, chh = (w + 1) // 2, (h + 1) // 2
                         cxs, cys = np.meshgrid(np.arange(cw) // 8,
@@ -1214,7 +1339,7 @@ def synth_jpeg_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         content = jpeg_encode(
                             w, h, [yp, cb, cr],
                             [(2, 2), (1, 1), (1, 1)], restart_interval=rst,
-                            progressive=prog)
+                            progressive=prog, non_interleaved=noninter)
                 rows.append((i, bytearray(content)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 

@@ -19,26 +19,56 @@ def _color_planes(w: int, h: int):
     return Y, Cb, Cr
 
 
-def test_baseline_non_interleaved_scan_raises():
-    """A 3-component baseline frame whose SOS lists only one component
-    (spec-valid non-interleaved sequential layout) must raise, not
-    silently decode as grayscale of the first component."""
+def test_baseline_non_interleaved_never_silent():
+    """The r14 ADVICE defect: a 3-component baseline frame whose SOS
+    lists only one component silently decoded as grayscale of that
+    component. r15 implements the spec-valid non-interleaved
+    sequential layout for real — so (a) a VALID per-component-scan
+    stream decodes EQUAL to its interleaved twin, and (b) a stream
+    whose single-component SOS fronts interleaved entropy data (the
+    original silent-wrong-output shape) raises instead of returning
+    grayscale."""
     w, h = 16, 16
-    blob = bytearray(jpeg_encode(w, h, list(_color_planes(w, h)),
-                                 [(1, 1)] * 3))
+    Y, Cb, Cr = _color_planes(w, h)
+    inter = jpeg_encode(w, h, [Y, Cb, Cr], [(1, 1)] * 3)
+    noninter = jpeg_encode(w, h, [Y, Cb, Cr], [(1, 1)] * 3,
+                           non_interleaved=True)
+    assert jpeg_decode(inter) == jpeg_decode(noninter)
+    # 4:2:0 subsampled variant too
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    i420 = jpeg_encode(w, h, [Y, Cb[:ch, :cw], Cr[:ch, :cw]],
+                       [(2, 2), (1, 1), (1, 1)])
+    n420 = jpeg_encode(w, h, [Y, Cb[:ch, :cw], Cr[:ch, :cw]],
+                       [(2, 2), (1, 1), (1, 1)], non_interleaved=True)
+    assert jpeg_decode(i420) == jpeg_decode(n420)
+
+    blob = bytearray(inter)
     sos = blob.find(b"\xff\xda")
-    assert sos > 0
     slen = struct.unpack(">H", blob[sos + 2:sos + 4])[0]
     ns = blob[sos + 4]
     assert ns == 3
-    # rewrite the SOS header to claim a single-component scan of comp 1
     comp1 = bytes(blob[sos + 5:sos + 7])          # (cs, Td/Ta) for comp 1
     tail = bytes(blob[sos + 4 + 1 + 2 * ns:sos + 2 + slen])  # Ss/Se/AhAl
     new_seg = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + len(tail)) \
         + bytes([1]) + comp1 + tail
     mutated = bytes(blob[:sos]) + new_seg + bytes(blob[sos + 2 + slen:])
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         jpeg_decode(mutated)
+
+
+def test_non_interleaved_missing_scan_raises():
+    """A non-interleaved stream truncated after its first scan must
+    name the undecoded components."""
+    w, h = 16, 16
+    Y, Cb, Cr = _color_planes(w, h)
+    blob = jpeg_encode(w, h, [Y, Cb, Cr], [(1, 1)] * 3,
+                       non_interleaved=True)
+    # cut at the second SOS, then terminate with EOI
+    first_sos = blob.find(b"\xff\xda")
+    second_sos = blob.find(b"\xff\xda", first_sos + 2)
+    assert second_sos > first_sos
+    with pytest.raises(ValueError, match=r"components \[2, 3\]"):
+        jpeg_decode(blob[:second_sos] + b"\xff\xd9")
 
 
 def test_progressive_truncated_dqt_raises_valueerror():
