@@ -1,0 +1,164 @@
+"""Cross-codec mutation sweep (r14 discipline, scripted in r15).
+
+Usage: python scratch/fuzz_codecs.py [seed] [n_artifacts] [mutations_per]
+
+Builds deterministic artifacts across every decode surface — JPEG
+baseline (interleaved + r15 non-interleaved) / progressive, GIF
+(raw + r15 composited sub-rect animations), WAV 8/16/24/32-bit +
+float, PNG, WARC plain+gzip — then applies independent random 1-4
+byte flips to each and decodes. PASS criteria: no mutated decode may
+escape with anything but a CONTROLLED exception (ValueError /
+NotImplementedError / struct.error / zlib.error / EOFError /
+IndexError / KeyError / OverflowError from the parse layer), and no
+decode may hang (wall-clock bound per decode). Surviving decodes
+(mutations that still parse) are fine — only crashes/hangs fail.
+"""
+import random
+import struct
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from snowflake_emulator_spark.operators.audio import wav_decode, wav_encode
+from snowflake_emulator_spark.operators.gif import (
+    gif_decode,
+    gif_decode_composited,
+    gif_encode,
+)
+from snowflake_emulator_spark.operators.jpeg import jpeg_decode, jpeg_encode
+from snowflake_emulator_spark.operators.multimodal import (
+    decode_image,
+    png_decode,
+    png_encode,
+)
+from snowflake_emulator_spark.sources.warc import parse_warc
+
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 150816
+N_ART = int(sys.argv[2]) if len(sys.argv) > 2 else 420
+MUTS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+ALLOWED = (ValueError, NotImplementedError, struct.error,
+           EOFError, IndexError, KeyError, OverflowError)
+MAX_SEC = 20.0
+
+
+def build_artifacts(rng: random.Random) -> list:
+    """(kind, bytes, decoder) triples, deterministic in rng."""
+    arts = []
+    n_kinds = 7
+    per = max(1, N_ART // n_kinds)
+    for j in range(per):
+        w, h = 8 + j % 25, 8 + j % 17
+        g = np.array([[(7 * j + 3 * x + 5 * y) % 256 for x in range(w)]
+                      for y in range(h)], dtype=np.float64)
+        cb = np.full((h, w), (90 + j) % 256, dtype=np.float64)
+        cr = np.full(((h + 1) // 2, (w + 1) // 2), (140 + j) % 256,
+                     dtype=np.float64)
+        cb2 = cb[:(h + 1) // 2, :(w + 1) // 2]
+        arts.append(("jpeg_base", jpeg_encode(w, h, [g], [(1, 1)]),
+                     jpeg_decode))
+        arts.append(("jpeg_noninter",
+                     jpeg_encode(w, h, [g, cb, cb], [(1, 1)] * 3,
+                                 non_interleaved=True), jpeg_decode))
+        arts.append(("jpeg_prog",
+                     jpeg_encode(w, h, [g, cb2, cr],
+                                 [(2, 2), (1, 1), (1, 1)],
+                                 progressive=True), jpeg_decode))
+        pal = [((7 * k + j) % 256, (11 * k) % 256, (13 * k) % 256)
+               for k in range(16)]
+        idx = bytes((j + 3 * x + 5 * y) % 16
+                    for y in range(h) for x in range(w))
+        arts.append(("gif", gif_encode(w, h, [(idx, pal)],
+                                       interlace=j % 2 == 0), gif_decode))
+        # sub-rect animation assembled by hand for the composited path
+        arts.append(("gif_anim", _subrect_gif(j), gif_decode_composited))
+        bits = [8, 16, 24, 32][j % 4]
+        smp = (np.arange(40 + j % 13, dtype=np.int64) * 257 + j) \
+            % (1 << min(bits, 31)) - (1 << min(bits - 1, 30))
+        arts.append(("wav", wav_encode(8000, 1, smp.astype(np.int64),
+                                       bits=bits), wav_decode))
+        px = bytes(((5 * j + x + y) % 256)
+                   for y in range(h) for x in range(w) for _c in range(3))
+        arts.append(("png", png_encode(w, h, px, 2, lambda yy: yy % 5),
+                     png_decode))
+    return arts[:N_ART]
+
+
+def _subrect_gif(j: int) -> bytes:
+    from tests.test_gif_composited import PAL, _build_gif, _frame, _gce
+
+    w, h = 6 + j % 5, 5 + j % 4
+    f1 = _frame(0, 0, w, h, bytes((x % 8) for x in range(w * h)))
+    f2 = (_gce(j % 4, 0 if j % 2 else None)
+          + _frame(1, 1, w - 2, h - 2,
+                   bytes(((x + 1) % 8) for x in range((w - 2) * (h - 2)))))
+    return _build_gif(w, h, PAL, 7, [f1, f2])
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo/tests")
+    sys.path.insert(0, "/root/repo")
+    rng = random.Random(SEED)
+    arts = build_artifacts(rng)
+    crashes, hangs, survived, controlled = [], [], 0, 0
+    total = 0
+    for kind, blob, dec in arts:
+        for m in range(MUTS):
+            total += 1
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            t0 = time.time()
+            try:
+                dec(bytes(b))
+                survived += 1
+            except ALLOWED:
+                controlled += 1
+            except Exception as e:  # noqa: BLE001
+                crashes.append((kind, m, type(e).__name__, str(e)[:80]))
+            if time.time() - t0 > MAX_SEC:
+                hangs.append((kind, m, round(time.time() - t0, 1)))
+    # the dispatch layer must behave the same on arbitrary bytes
+    for i in range(200):
+        total += 1
+        blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 64)))
+        try:
+            decode_image(blob)
+            survived += 1
+        except ALLOWED:
+            controlled += 1
+        except Exception as e:  # noqa: BLE001
+            crashes.append(("dispatch", i, type(e).__name__, str(e)[:80]))
+    # WARC: gzip bombs and truncations must raise ValueError per-file
+    import gzip
+    for i in range(40):
+        total += 1
+        body = gzip.compress(bytes(rng.randrange(256)
+                                   for _ in range(rng.randint(10, 400))))
+        b = bytearray(body)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            parse_warc(bytes(b))
+            survived += 1
+        except ALLOWED:
+            controlled += 1
+        except Exception as e:  # noqa: BLE001
+            if "zlib" in type(e).__module__:
+                controlled += 1
+            else:
+                crashes.append(("warc", i, type(e).__name__, str(e)[:80]))
+    print(f"seed={SEED} artifacts={len(arts)} total_decodes={total} "
+          f"controlled={controlled} survived={survived} "
+          f"crashes={len(crashes)} hangs={len(hangs)}")
+    for c in crashes[:20]:
+        print("CRASH", c)
+    for hg in hangs[:20]:
+        print("HANG", hg)
+    sys.exit(1 if crashes or hangs else 0)
+
+
+if __name__ == "__main__":
+    main()
