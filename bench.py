@@ -180,8 +180,16 @@ def main() -> None:
         # box-noise-invariant round-over-round signal (r8, VERDICT r7
         # item 7): raw totals moved +25% r6->r7 purely because the
         # measured floor moved +29% on a busier box. total / floor is
-        # dimensionless "floor units" — compare THIS across rounds.
+        # dimensionless "floor units".
         "value_floor_normalized": round(total / floor, 1) if floor else None,
+        # r15: the DIVISION amplifies floor noise (totals are compute-
+        # bound, the floor is scheduling-latency-bound — they respond
+        # to box state differently; r15 quiet triplet: normalized
+        # spread 24%, subtracted spread 2.4%). total - n_queries*floor
+        # approximates the data-dependent cost; compare THIS across
+        # rounds.
+        "value_data_dependent":
+            round(total - len(HEADLINE) * floor, 3) if floor else None,
         "queries": times,
         "runs_per_query": "3 (+1 adaptive if min > 1.2s)",
         "aggregation": "min",
