@@ -257,12 +257,15 @@ AUDIT = [
                                    "!Exchange hashpartitioning"]),
     # r15 full-pipeline capstone: Arrow maps (warc synth/parse) ->
     # JVM extraction -> banded dedup joins -> broadcast rank lookup ->
-    # Generate repeat -> one packing window. The dedup candidate join
-    # is equi-keyed (band, hash) and the factor/lookup tables join
-    # broadcast — never a nested loop or cartesian
-    ("pipeline_crawl_to_corpus", ["MapInPandas", "Generate",
-                                  "BroadcastHashJoin",
-                                  "!BroadcastNestedLoopJoin",
+    # Generate repeat -> one packing window. The rank machinery's
+    # localCheckpoint truncates lineage, so the FINAL plan shows Scan
+    # ExistingRDD (the upstream Arrow maps are in earlier jobs, not
+    # this string); the one BroadcastNestedLoopJoin is the DELIBERATE
+    # |sources|-row x 1-row totals cross in temperature_weights (same
+    # as sample_temperature_resample's audit note) — so the negative
+    # check is CartesianProduct
+    ("pipeline_crawl_to_corpus", ["Scan ExistingRDD", "Generate",
+                                  "BroadcastHashJoin", "Window",
                                   "!CartesianProduct"]),
 ]
 
