@@ -36,11 +36,12 @@ def test_decode_image_dispatches_every_external_file(name):
     NotImplementedError is gone for sniffable formats."""
     b = (FIXDIR / name).read_bytes()
     m = MANIFEST[name]
-    assert sniff_format(b) == m["format"]
+    fmt = "gif" if m["format"] == "gif_anim" else m["format"]
+    assert sniff_format(b) == fmt
     feat = decode_image(b)          # no format hint, no fake
     assert len(feat) == 8
     assert all(isinstance(v, float) and math.isfinite(v) for v in feat)
-    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4}[m["format"]]
+    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4}[fmt]
     assert feat[0] == code / 4
     if m["format"] == "wav":
         assert feat[1] == pytest.approx(math.log10(m["n_frames"]))
@@ -107,8 +108,12 @@ def test_media_features_external_corpus(spark):
     for i, n in enumerate(sorted(MANIFEST)):
         m, r = MANIFEST[n], out[i]
         assert r.decode_ok, f"{n}: {r.error}"
-        assert r.format == m["format"]
-        if m["format"] == "wav":
+        assert r.format == ("gif" if m["format"] == "gif_anim"
+                            else m["format"])
+        if m["format"] == "gif_anim":
+            assert (r.width, r.height, r.n_frames) \
+                == (m["width"], m["height"], m["n_frames"])
+        elif m["format"] == "wav":
             assert (r.channels, r.n_frames) \
                 == (m["channels"], m["n_frames"])
         else:
