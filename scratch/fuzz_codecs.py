@@ -30,9 +30,11 @@ from snowflake_emulator_spark.operators.gif import (
 )
 from snowflake_emulator_spark.operators.jpeg import jpeg_decode, jpeg_encode
 from snowflake_emulator_spark.operators.multimodal import (
+    bmp_decode,
     decode_image,
     png_decode,
     png_encode,
+    pnm_decode,
 )
 from snowflake_emulator_spark.sources.warc import parse_warc
 
@@ -83,7 +85,24 @@ def build_artifacts(rng: random.Random) -> list:
                    for y in range(h) for x in range(w) for _c in range(3))
         arts.append(("png", png_encode(w, h, px, 2, lambda yy: yy % 5),
                      png_decode))
+        arts.append(("bmp", _bmp24(w, h, j), bmp_decode))
+        arts.append(("pnm", (b"P6\n%d %d\n255\n" % (w, h))
+                     + px, pnm_decode))
     return arts[:N_ART]
+
+
+def _bmp24(w: int, h: int, j: int) -> bytes:
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rows += bytes([(j + x) % 256, (j + y) % 256, (x * y) % 256])
+        rows += b"\x00" * (stride - w * 3)
+    pix_off = 54
+    head = b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return head + info + bytes(rows)
 
 
 def _subrect_gif(j: int) -> bytes:

@@ -78,8 +78,9 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2): returns one of
-    'jpeg' | 'gif' | 'png' | 'wav', or None when the prefix matches no
-    supported container. Pure prefix test — safe on arbitrary bytes."""
+    'jpeg' | 'gif' | 'png' | 'wav' | 'bmp' | 'pnm', or None when the
+    prefix matches no supported container. Pure prefix test — safe on
+    arbitrary bytes."""
     if content is None or len(content) < 4:
         return None
     b = bytes(content[:12])
@@ -91,7 +92,180 @@ def sniff_format(content: bytes) -> str | None:
         return "png"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:2] == b"BM":
+        return "bmp"
+    if (b[0:1] == b"P" and b[1:2] in b"123456"
+            and b[2:3] in b" \t\r\n#"):
+        return "pnm"
     return None
+
+
+def bmp_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Windows BMP decode (r15), pure stdlib+numpy: BITMAPINFOHEADER
+    and the V2-V5 extensions (header sizes 40/52/56/108/124), 24/32
+    bpp BI_RGB, 32 bpp BI_BITFIELDS with byte-aligned masks, 8/4/1 bpp
+    palette images, bottom-up and top-down row order, 4-byte row
+    padding. Returns (width, height, channels, RGB bytes). RLE and
+    16-bpp raise NotImplementedError; structural damage raises
+    ValueError. BMP is the uncompressed interchange format scanned
+    corpora still carry — the decode is one LUT/stride pass."""
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature/size)")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    hsize = struct.unpack("<I", data[14:18])[0]
+    if hsize not in (40, 52, 56, 108, 124):
+        raise NotImplementedError(f"BMP header size {hsize} (OS/2?)")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    comp = struct.unpack("<I", data[30:34])[0]
+    if w <= 0 or h_raw == 0 or planes != 1:
+        raise ValueError("bad BMP dimensions")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w * h > 64_000_000:
+        raise ValueError("BMP dimensions exceed the 64MP decode bound")
+    if comp == 3 and bpp == 32:
+        # RGB masks sit right after the 40 core bytes in every variant
+        # (inside the header for V2+, appended for the plain 40-byte one)
+        masks = struct.unpack("<III", data[54:66])
+        shifts = []
+        for m in masks:
+            if m == 0:
+                raise NotImplementedError("zero BMP bitfield mask")
+            s = 0
+            while not (m >> s) & 1:
+                s += 1
+            if (m >> s) != 0xFF:
+                raise NotImplementedError(
+                    f"non-byte-aligned BMP mask {m:#x}")
+            shifts.append(s)
+    elif comp == 0:
+        shifts = [16, 8, 0] if bpp == 32 else None  # BGRX convention
+    else:
+        raise NotImplementedError(f"BMP compression {comp} (RLE/PNG?)")
+    if bpp in (1, 4, 8):
+        n_pal = struct.unpack("<I", data[46:50])[0] or (1 << bpp)
+        pal_off = 14 + hsize
+        pal = np.frombuffer(
+            data[pal_off:pal_off + 4 * n_pal], dtype=np.uint8)
+        if pal.shape[0] < 4 * n_pal:
+            raise ValueError("truncated BMP palette")
+        lut = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+    elif bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP")
+    stride = ((w * bpp + 31) // 32) * 4
+    need = stride * h
+    raw = data[pix_off:pix_off + need]
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 32:
+        px = rows[:, :w * 4].reshape(h, w, 4)
+        le = (px[:, :, 0].astype(np.uint32)
+              | px[:, :, 1].astype(np.uint32) << 8
+              | px[:, :, 2].astype(np.uint32) << 16
+              | px[:, :, 3].astype(np.uint32) << 24)
+        rgb = np.stack([(le >> shifts[0]) & 0xFF, (le >> shifts[1]) & 0xFF,
+                        (le >> shifts[2]) & 0xFF], axis=-1).astype(np.uint8)
+    elif bpp == 24:
+        rgb = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+    else:
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            per = 8 // bpp
+            nbytes = (w + per - 1) // per
+            packed = rows[:, :nbytes]
+            sub = [(packed >> (8 - bpp * (k + 1))) & ((1 << bpp) - 1)
+                   for k in range(per)]
+            idx = np.stack(sub, axis=-1).reshape(h, nbytes * per)[:, :w]
+        if int(idx.max()) >= lut.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        rgb = lut[idx]
+    return w, h, 3, bytes(np.ascontiguousarray(rgb).tobytes())
+
+
+def pnm_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Netpbm decode (r15), P1-P6: ASCII and binary bitmap (PBM),
+    graymap (PGM) and pixmap (PPM), '#' comments anywhere in the
+    header, maxval up to 255 (16-bit raises). Returns (width, height,
+    channels, bytes) with PBM's 1=black convention mapped to 0=black
+    grayscale. The scientific-pipeline interchange family — headers
+    are whitespace-tokenized, payloads one numpy pass."""
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 7 or data[0:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("not a PNM (bad magic)")
+    kind = int(data[1:2])
+    pos = 2
+
+    def _token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c == b"#":
+                nl = data.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("unterminated PNM comment")
+                pos = nl + 1
+            elif c in b" \t\r\n":
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos:pos + 1] not in b" \t\r\n#":
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        return data[start:pos]
+
+    w = int(_token())
+    h = int(_token())
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    maxval = 1 if kind in (1, 4) else int(_token())
+    if not 0 < maxval < 65536:
+        raise ValueError(f"bad PNM maxval {maxval}")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    ch = 3 if kind in (3, 6) else 1
+    n = w * h * ch
+    if kind in (1, 2, 3):  # ASCII
+        body = data[pos:].split()
+        if kind == 1:
+            # P1 digits may be packed without whitespace
+            body = [c for tok in body for c in tok.decode("latin-1")]
+        if len(body) < n:
+            raise ValueError("truncated ASCII PNM payload")
+        vals = np.array([int(v) for v in body[:n]], dtype=np.int64)
+    elif kind in (5, 6):
+        pos += 1  # exactly one whitespace byte after maxval
+        raw = data[pos:pos + n]
+        if len(raw) < n:
+            raise ValueError("truncated binary PNM payload")
+        vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:  # P4: packed bits, rows byte-aligned
+        pos += 1
+        nbytes = (w + 7) // 8
+        raw = data[pos:pos + nbytes * h]
+        if len(raw) < nbytes * h:
+            raise ValueError("truncated PBM payload")
+        bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8).reshape(h, nbytes), axis=1)
+        vals = bits[:, :w].reshape(-1).astype(np.int64)
+    if vals.min() < 0 or vals.max() > maxval:
+        raise ValueError("PNM sample out of range")
+    if kind in (1, 4):
+        out = np.where(vals == 1, 0, 255).astype(np.uint8)  # 1 = black
+    else:
+        out = ((vals * 255) // maxval).astype(np.uint8)
+    return w, h, ch, bytes(out.tobytes())
 
 
 def _gif_decode_any(blob: bytes) -> tuple[int, int, list[bytes]]:
@@ -111,8 +285,9 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """8-dim feature vector from a media blob. With ``fake=True`` the
     deterministic digest-derived test decoder runs (SQL-replayable).
     Otherwise the blob is magic-byte sniffed and routed to the REAL
-    decoders (baseline+progressive JPEG, GIF, PNG, WAV PCM — all
-    pure stdlib+numpy); unsniffable content raises ValueError. Layout:
+    decoders (baseline+progressive JPEG, GIF incl. composited
+    animations, PNG, WAV PCM, BMP, Netpbm P1-P6 — all pure
+    stdlib+numpy); unsniffable content raises ValueError. Layout:
     ``[format_code/4, log10(w or frames), log10(h or rate), channels/4,
     mean, std, min, max]`` with the last four normalized to [0, 1]."""
     if fake:
@@ -141,6 +316,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     elif fmt == "gif":
         w, h, frames = _gif_decode_any(blob)
         code, ch, px = 2, 3, b"".join(frames)
+    elif fmt == "bmp":
+        code, (w, h, ch, px) = 5, bmp_decode(blob)
+    elif fmt == "pnm":
+        code, (w, h, ch, px) = 6, pnm_decode(blob)
     else:
         code, (w, h, ch, px) = 3, png_decode(blob)
     a = np.frombuffer(px, dtype=np.uint8).astype(np.float64) / 255.0
@@ -585,6 +764,12 @@ def media_features(media: DataFrame, id_col: str = "media_id",
         elif fmt == "gif":
             w, h, frames = _gif_decode_any(blob)
             ch, nf = 3, len(frames)
+        elif fmt == "bmp":
+            w, h, ch, px = bmp_decode(blob)
+            nf, frames = 1, [px]
+        elif fmt == "pnm":
+            w, h, ch, px = pnm_decode(blob)
+            nf, frames = 1, [px]
         else:
             w, h, ch, px = png_decode(blob)
             nf, frames = 1, [px]

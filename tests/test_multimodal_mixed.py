@@ -41,7 +41,8 @@ def test_decode_image_dispatches_every_external_file(name):
     feat = decode_image(b)          # no format hint, no fake
     assert len(feat) == 8
     assert all(isinstance(v, float) and math.isfinite(v) for v in feat)
-    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4}[fmt]
+    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4,
+            "bmp": 5, "pnm": 6}[fmt]
     assert feat[0] == code / 4
     if m["format"] == "wav":
         assert feat[1] == pytest.approx(math.log10(m["n_frames"]))
