@@ -85,6 +85,30 @@ def wav_encode(sample_rate: int, channels: int, samples: np.ndarray,
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _build_g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry A-law / mu-law expansion tables, computed from the
+    ITU-T G.711 definitions (not copied): mu-law bytes are bitwise
+    complements of sign|exponent|mantissa with a 0x84 bias; A-law
+    bytes are XOR 0x55 with a 7-segment exponent."""
+    alaw = np.empty(256, dtype=np.int32)
+    mulaw = np.empty(256, dtype=np.int32)
+    for b in range(256):
+        a = b ^ 0x55
+        e = (a >> 4) & 0x07
+        m = a & 0x0F
+        x = ((m << 4) + 0x108) << (e - 1) if e else (m << 4) + 8
+        alaw[b] = x if a & 0x80 else -x  # bit 7 set = POSITIVE in A-law
+        u = ~b & 0xFF
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        x = (((m << 3) + 0x84) << e) - 0x84
+        mulaw[b] = -x if u & 0x80 else x
+    return alaw, mulaw
+
+
+_ALAW_LUT, _MULAW_LUT = _build_g711_luts()
+
+
 def wav_decode(content: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE blob; returns (sample_rate, channels,
     samples) with samples shaped (frames, channels): integer PCM as
@@ -142,10 +166,19 @@ def wav_decode(content: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError(f"{bits}-bit float PCM")
         arr = np.frombuffer(
             payload[:len(payload) - len(payload) % 4], dtype="<f4")
+    elif audio_format in (6, 7):
+        # G.711 A-law (6) / mu-law (7) — telephony companding, decoded
+        # through 256-entry LUTs to linear int32 (16-bit range). r15:
+        # tables validated sample-exact against stdlib audioop in
+        # tests/test_multimodal_audio.py.
+        if bits != 8:
+            raise ValueError(f"G.711 requires 8-bit samples, got {bits}")
+        lut = _ALAW_LUT if audio_format == 6 else _MULAW_LUT
+        arr = lut[np.frombuffer(payload, dtype=np.uint8)]
     else:
         raise NotImplementedError(
-            f"WAV audio format {audio_format} (only integer PCM and "
-            "IEEE float are supported)")
+            f"WAV audio format {audio_format} (integer PCM, IEEE float "
+            "and G.711 A-law/mu-law are supported)")
     frames = arr.shape[0] // channels
     return rate, channels, arr[:frames * channels].reshape(frames, channels)
 

@@ -144,3 +144,42 @@ def test_wav_float_features_spark(spark):
     assert abs(r["mean_dc"]) < 1e-9
     assert r["rms"] == pytest.approx(
         math.sqrt((vals.astype(float) ** 2).mean()), abs=1e-9)
+
+
+def _g711_wav(fmt_code: int, payload: bytes, ch: int = 1,
+              rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ch, ch, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_g711_tables_match_audioop_exactly():
+    """r15: mu-law (format 7) and A-law (format 6) expansion — every
+    one of the 256 codes must equal stdlib audioop's G.711 tables (an
+    entirely independent implementation)."""
+    audioop = pytest.importorskip("audioop")
+    from snowflake_emulator_spark.operators.audio import (
+        _ALAW_LUT,
+        _MULAW_LUT,
+    )
+
+    raw = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2")
+    assert np.array_equal(np.asarray(_MULAW_LUT), ref_u.astype(np.int32))
+    assert np.array_equal(np.asarray(_ALAW_LUT), ref_a.astype(np.int32))
+
+
+def test_g711_wav_container_decode():
+    payload = bytes(range(64))
+    sr, ch, arr = wav_decode(_g711_wav(7, payload, ch=2))
+    assert (sr, ch, arr.shape) == (8000, 2, (32, 2))
+    sr, ch, arr = wav_decode(_g711_wav(6, payload))
+    assert (sr, ch, arr.shape) == (8000, 1, (64, 1))
+    assert str(arr.dtype) == "int32"
+    # G.711 requires 8-bit samples
+    bad = bytearray(_g711_wav(7, payload))
+    bad[34] = 16  # bits-per-sample field
+    with pytest.raises(ValueError, match="G.711 requires 8-bit"):
+        wav_decode(bytes(bad))
