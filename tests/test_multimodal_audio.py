@@ -183,3 +183,70 @@ def test_g711_wav_container_decode():
     bad[34] = 16  # bits-per-sample field
     with pytest.raises(ValueError, match="G.711 requires 8-bit"):
         wav_decode(bytes(bad))
+
+
+def test_ima_adpcm_matches_audioop_exactly():
+    """r15: WAV IMA ADPCM (format 0x11) — the block-header sample plus
+    the canonical IMA nibble loop must equal stdlib audioop's DVI
+    implementation (seeded state, nibble order converted: WAV stores
+    LOW nibble first, audioop HIGH first), mono and stereo."""
+    audioop = pytest.importorskip("audioop")
+    import random
+
+    def swap(bs):
+        return bytes(((b & 0x0F) << 4) | (b >> 4) for b in bs)
+
+    def container(ch, block):
+        fmt = struct.pack("<HHIIHH", 0x11, ch, 8000,
+                          8000 * len(block), len(block), 4)
+        return (b"RIFF" + struct.pack("<I", 36 + len(block)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(block)) + block)
+
+    rng = random.Random(7)
+    pred0, idx0 = 1234, 20
+    lin = struct.pack("<32h", *[rng.randint(-20000, 20000)
+                                for _ in range(32)])
+    adp, _ = audioop.lin2adpcm(lin, 2, (pred0, idx0))
+    nibs = swap(adp)                              # WAV low-first layout
+    block = struct.pack("<hBB", pred0, idx0, 0) + nibs
+    _sr, _ch, arr = wav_decode(container(1, block))
+    ref_lin, _ = audioop.adpcm2lin(adp, 2, (pred0, idx0))
+    ref = [pred0] + list(struct.unpack("<%dh" % (len(ref_lin) // 2),
+                                       ref_lin))
+    assert list(arr.reshape(-1)) == ref
+
+    p0, i0, p1, i1 = -500, 5, 9000, 44
+    adpL, _ = audioop.lin2adpcm(
+        struct.pack("<16h", *[rng.randint(-15000, 15000)
+                              for _ in range(16)]), 2, (p0, i0))
+    adpR, _ = audioop.lin2adpcm(
+        struct.pack("<16h", *[rng.randint(-15000, 15000)
+                              for _ in range(16)]), 2, (p1, i1))
+    nl, nr = swap(adpL), swap(adpR)
+    data = b"".join(nl[k:k + 4] + nr[k:k + 4] for k in range(0, 8, 4))
+    block = (struct.pack("<hBB", p0, i0, 0)
+             + struct.pack("<hBB", p1, i1, 0) + data)
+    _sr, _ch, arr = wav_decode(container(2, block))
+    for side, (pp, ii, aa) in enumerate([(p0, i0, adpL), (p1, i1, adpR)]):
+        lin_ref, _ = audioop.adpcm2lin(aa, 2, (pp, ii))
+        ref = [pp] + list(struct.unpack("<%dh" % (len(lin_ref) // 2),
+                                        lin_ref))
+        assert list(arr[:, side]) == ref
+
+
+def test_ima_adpcm_errors():
+    def container(ch, block_align, bits, payload):
+        fmt = struct.pack("<HHIIHH", 0x11, ch, 8000,
+                          8000 * block_align, block_align, bits)
+        return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+
+    with pytest.raises(ValueError, match="4-bit"):
+        wav_decode(container(1, 12, 8, b"\x00" * 12))
+    with pytest.raises(ValueError, match="step index"):
+        bad = struct.pack("<hBB", 0, 99, 0) + b"\x00" * 8
+        wav_decode(container(1, len(bad), 4, bad))
+    with pytest.raises(ValueError, match="block_align"):
+        wav_decode(container(1, 4, 4, b"\x00" * 4))
