@@ -86,6 +86,8 @@ def build_artifacts(rng: random.Random) -> list:
         arts.append(("png", png_encode(w, h, px, 2, lambda yy: yy % 5),
                      png_decode))
         arts.append(("bmp", _bmp24(w, h, j), bmp_decode))
+        arts.append(("bmp_rle8", _bmp_rle(w, h, j, 8), bmp_decode))
+        arts.append(("bmp_rle4", _bmp_rle(w, h, j, 4), bmp_decode))
         arts.append(("pnm", (b"P6\n%d %d\n255\n" % (w, h))
                      + px, pnm_decode))
     return arts[:N_ART]
@@ -103,6 +105,17 @@ def _bmp24(w: int, h: int, j: int) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
                        2835, 2835, 0, 0)
     return head + info + bytes(rows)
+
+
+def _bmp_rle(w: int, h: int, j: int, bpp: int) -> bytes:
+    from tests.test_bmp_pnm import _PAL16, _PAL256, _bmp, rle4_encode, rle8_encode
+
+    mod = 256 if bpp == 8 else 16
+    rows = [[(j + x // 2 + 3 * y) % mod for x in range(w)] for y in range(h)]
+    if bpp == 8:
+        return _bmp(w, h, 8, rle8_encode(rows), compression=1,
+                    palette=_PAL256)
+    return _bmp(w, h, 4, rle4_encode(rows), compression=2, palette=_PAL16)
 
 
 def _subrect_gif(j: int) -> bytes:

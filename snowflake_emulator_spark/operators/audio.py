@@ -5,10 +5,14 @@ with a stubbed decoder.
 
 Decoder surface: RIFF chunk walk (unknown chunks skipped, odd-size
 pad bytes honored), ``fmt `` formats 1 (integer PCM at 8/16/24/32
-bits; 8-bit is unsigned per the spec and is centered to -128..127) and
-3 (IEEE float32), interleaved multi-channel ``data``. Compressed
-formats (ADPCM, mu-law, ...) raise ``NotImplementedError`` — the same
-documented-capability-boundary policy as the image codecs.
+bits; 8-bit is unsigned per the spec and is centered to -128..127),
+3 (IEEE float32), 6/7 (G.711 A-law/mu-law, LUTs computed from the
+ITU definitions and validated sample-exact against stdlib
+``audioop``) and 0x11 (IMA ADPCM, per-block nibble walk, also
+``audioop``-validated) — all r15 — over interleaved multi-channel
+``data``. Everything else (MPEG-in-WAV, GSM, ...) raises
+``NotImplementedError`` — the same documented-capability-boundary
+policy as the image codecs.
 
 Feature extraction runs as the same Arrow-batched ``mapInPandas``
 kernel shape with per-row error capture (a corrupt blob must not kill

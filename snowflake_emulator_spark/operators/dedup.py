@@ -392,7 +392,8 @@ def _release_local_checkpoint(df: DataFrame) -> None:
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                          max_iterations: int = 20,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         checkpoint_every: int = 3,
+                         allow_partial: bool = False) -> DataFrame:
     """Connected components over an undirected near-dup pair graph —
     the canonical FINAL step of dedup at scale: LSH emits pairs, but the
     unit of removal is the transitive cluster (keep one doc per
@@ -433,6 +434,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
     Returns (node, component): every node that appears in ``pairs``,
     with component = smallest node id reachable from it.
+
+    If ``max_iterations`` exhausts before the fixpoint the result could
+    silently SPLIT true components (fatal to dedup survivorship), so by
+    default that raises ``RuntimeError``; ``allow_partial=True`` opts
+    into the r12 safety net instead (one deterministic min-label per
+    node, ``RuntimeWarning`` emitted).
     """
     # ONE evaluation of the upstream pair pipeline; everything below
     # (node set, initial edges, every round) derives from this
@@ -511,14 +518,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         # for callers using comp as a cluster key; warn loudly so a
         # too-low max_iterations is visible. O(log n) star-round theory
         # makes this unreachable for max_iterations >= ~2*log2(n).
-        import warnings
-
-        warnings.warn(
+        # r16 (VERDICT item 5): STRICT by default — a silently split
+        # component corrupts dedup survivorship at scale (two halves of
+        # one duplicate cluster each keep a survivor), so exhaustion is
+        # an error unless the caller opts into partial labels.
+        msg = (
             "connected_components: max_iterations exhausted before the "
             "star-contraction fixpoint — labels are deterministic per "
             "node but components may be SPLIT; raise max_iterations "
-            "(>= ~2*log2(n) rounds suffice)",
-            RuntimeWarning, stacklevel=2)
+            "(>= ~2*log2(n) rounds suffice)")
+        if not allow_partial:
+            _release_local_checkpoint(edges)
+            _release_local_checkpoint(base)
+            raise RuntimeError(
+                msg + "; pass allow_partial=True to accept split labels")
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
         mapping = mapping.groupBy("node").agg(F.min("comp").alias("comp"))
     final = mapping.localCheckpoint(eager=True)
     _release_local_checkpoint(edges)

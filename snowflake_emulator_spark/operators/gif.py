@@ -5,11 +5,13 @@ remaining ubiquitous web-corpus image container.
 Decoder surface: header + logical screen descriptor, global/local
 color tables, variable-width LSB-first LZW with CLEAR/EOI codes,
 dictionary growth to 4096 with deferred-clear handling, 4-pass
-interlace reordering, multi-frame streams (each frame decoded
-independently against its own palette — cross-frame disposal
-compositing is out of scope and documented), graphic-control /
-comment / application extensions parsed or skipped per spec. Corrupt
-streams raise ValueError.
+interlace reordering, multi-frame streams (``gif_decode`` renders
+each frame independently against its own palette; r15's
+``gif_decode_composited`` additionally applies sub-rectangle
+placement, disposal methods 1/2/3 and GCE transparency — the
+animation-viewer semantics), graphic-control / comment / application
+extensions parsed or skipped per spec. Corrupt streams raise
+ValueError.
 
 Encoder (test fixture): a real LZW compressor (code emission mirrors
 the decoder's dictionary growth), sub-block framing, optional
@@ -361,6 +363,8 @@ def gif_decode_composited(content: bytes,
             label = data[pos]
             pos += 1
             if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                if pos + 5 > len(data):
+                    raise ValueError("truncated GCE")
                 gp = data[pos + 1]
                 disposal = (gp >> 2) & 0x07
                 tidx = data[pos + 4] if gp & 0x01 else None
@@ -419,11 +423,11 @@ def gif_decode_composited(content: bytes,
                 region[opaque] = rect_rgb[opaque]
             else:
                 region[:] = rect_rgb
-            frames.append(canvas.tobytes())
             if len(frames) >= max_frames:
                 raise ValueError(
                     f"GIF exceeds {max_frames} frames — refusing "
                     "unbounded canvas materialization")
+            frames.append(canvas.tobytes())
             if disposal == 2:
                 canvas[top:top + fh, left:left + fw] = bg_rgb
             elif disposal == 3:

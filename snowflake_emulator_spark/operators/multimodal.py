@@ -7,18 +7,23 @@ functions over ``mapInPandas`` so each task streams batches without
 materializing a partition.
 
 Heavyweight codecs (PIL / torchaudio / ffmpeg) are NOT available in
-this environment, so the generic ``decode_image`` kernel stays stubbed
-(``NotImplementedError`` unless ``fake=True``, which produces stable
-content-hash pseudo-features). **PNG decoding is REAL** (r11, VERDICT
-item 6): a pure-stdlib decoder (``zlib`` inflate + ``struct`` chunk
-parsing, all five scanline filter reconstructions — None/Sub/Up/
-Average/Paeth) runs behind the same mapInPandas kernel shape, with a
-matching pure-stdlib encoder used by the test fixtures. r13 completes
-the decode surface: palette (PLTE, depths 1/2/4/8), 16-bit (high-byte
-reduction), sub-byte grayscale, and Adam7 interlace — the full
-spec-valid combination table; only unknown color types raise.
-**Baseline JPEG is REAL too** (r14): see ``operators/jpeg.py`` —
-Huffman + dequant + IDCT, gray/4:4:4/4:2:0, restart intervals.
+this environment, so every decoder here is pure stdlib + numpy. The
+generic ``decode_image`` kernel REAL-decodes since r15: magic-byte
+dispatch (``sniff_format``) routes JPEG/GIF/PNG/WAV/BMP/Netpbm content
+to the format decoders; ``fake=True`` keeps the stable content-hash
+pseudo-feature path for SQL-replayable oracles. **PNG decoding is
+REAL** (r11, VERDICT item 6): a pure-stdlib decoder (``zlib`` inflate
++ ``struct`` chunk parsing, all five scanline filter reconstructions —
+None/Sub/Up/Average/Paeth) runs behind the same mapInPandas kernel
+shape, with a matching pure-stdlib encoder used by the test fixtures.
+r13 completes the decode surface: palette (PLTE, depths 1/2/4/8),
+16-bit (high-byte reduction), sub-byte grayscale, and Adam7 interlace
+— the full spec-valid combination table; only unknown color types
+raise. **Baseline + progressive JPEG are REAL too** (r14/r15): see
+``operators/jpeg.py``. r15 adds BMP (uncompressed 24/32/8-bpp
+palette) and Netpbm P1-P6 decoders in this module, GIF with
+animation-aware compositing in ``operators/gif.py``, and WAV
+PCM/float/G.711/IMA-ADPCM in ``operators/audio.py``.
 """
 
 from __future__ import annotations
@@ -100,15 +105,79 @@ def sniff_format(content: bytes) -> str | None:
     return None
 
 
+def _bmp_rle_decode(data: bytes, pos: int, w: int, h: int,
+                    bpp: int) -> "np.ndarray":
+    """BMP RLE8/RLE4 run-length walk (r16, VERDICT item 4) into an
+    (h, w) palette-index array in FILE row order (bottom-up). Per the
+    BITMAPINFO spec: (count, value) encoded runs — RLE4 alternates the
+    value byte's two nibbles; escape byte 00 is followed by 00
+    end-of-line, 01 end-of-bitmap, 02 delta(dx, dy), or n>=3 absolute
+    literal pixels padded to a 16-bit boundary. Pixels a spec-valid
+    stream can skip (EOL short rows, deltas) stay index 0, matching
+    viewer behavior; runs past the row width or image height raise
+    ValueError (structural damage policy of this module)."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 2 <= n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run outside image bounds")
+            if bpp == 8:
+                idx[y, x:x + cnt] = val
+            else:
+                hi, lo = (val >> 4) & 0xF, val & 0xF
+                idx[y, x:x + cnt:2] = hi
+                idx[y, x + 1:x + cnt:2] = lo
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta outside image bounds")
+        else:  # absolute mode: val literal pixels
+            if y >= h or x + val > w:
+                raise ValueError("BMP RLE absolute run outside bounds")
+            if bpp == 8:
+                if pos + val > n:
+                    raise ValueError("truncated BMP RLE absolute run")
+                idx[y, x:x + val] = np.frombuffer(
+                    data[pos:pos + val], dtype=np.uint8)
+                pos += val + (val & 1)  # pad to 16-bit boundary
+            else:
+                nbytes = (val + 1) // 2
+                if pos + nbytes > n:
+                    raise ValueError("truncated BMP RLE absolute run")
+                packed = np.frombuffer(
+                    data[pos:pos + nbytes], dtype=np.uint8)
+                nib = np.empty(nbytes * 2, dtype=np.uint8)
+                nib[0::2] = (packed >> 4) & 0xF
+                nib[1::2] = packed & 0xF
+                idx[y, x:x + val] = nib[:val]
+                pos += nbytes + (nbytes & 1)  # pad to 16-bit boundary
+            x += val
+    raise ValueError("BMP RLE stream missing end-of-bitmap marker")
+
+
 def bmp_decode(content: bytes) -> tuple[int, int, int, bytes]:
     """Windows BMP decode (r15), pure stdlib+numpy: BITMAPINFOHEADER
     and the V2-V5 extensions (header sizes 40/52/56/108/124), 24/32
     bpp BI_RGB, 32 bpp BI_BITFIELDS with byte-aligned masks, 8/4/1 bpp
-    palette images, bottom-up and top-down row order, 4-byte row
-    padding. Returns (width, height, channels, RGB bytes). RLE and
-    16-bpp raise NotImplementedError; structural damage raises
-    ValueError. BMP is the uncompressed interchange format scanned
-    corpora still carry — the decode is one LUT/stride pass."""
+    palette images, RLE8/RLE4 run-length compression (r16), bottom-up
+    and top-down row order, 4-byte row padding. Returns (width,
+    height, channels, RGB bytes). 16-bpp and OS/2 headers raise
+    NotImplementedError; structural damage raises ValueError. BMP is
+    the interchange format scanned corpora still carry — the
+    uncompressed decode is one LUT/stride pass."""
     if content is None:
         raise ValueError("null content")
     data = bytes(content)
@@ -142,10 +211,17 @@ def bmp_decode(content: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(
                     f"non-byte-aligned BMP mask {m:#x}")
             shifts.append(s)
+    elif comp in (1, 2):  # BI_RLE8 / BI_RLE4 (r16, VERDICT item 4)
+        if (comp, bpp) not in ((1, 8), (2, 4)):
+            raise ValueError(f"BMP RLE{8 if comp == 1 else 4} with "
+                             f"{bpp} bpp is spec-invalid")
+        if top_down:
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        shifts = None
     elif comp == 0:
         shifts = [16, 8, 0] if bpp == 32 else None  # BGRX convention
     else:
-        raise NotImplementedError(f"BMP compression {comp} (RLE/PNG?)")
+        raise NotImplementedError(f"BMP compression {comp} (JPEG/PNG?)")
     if bpp in (1, 4, 8):
         n_pal = struct.unpack("<I", data[46:50])[0] or (1 << bpp)
         pal_off = 14 + hsize
@@ -156,6 +232,11 @@ def bmp_decode(content: bytes) -> tuple[int, int, int, bytes]:
         lut = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRA -> RGB
     elif bpp not in (24, 32):
         raise NotImplementedError(f"{bpp}-bpp BMP")
+    if comp in (1, 2):
+        idx = _bmp_rle_decode(data, pix_off, w, h, bpp)[::-1]  # bottom-up
+        if int(idx.max()) >= lut.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        return w, h, 3, bytes(np.ascontiguousarray(lut[idx]).tobytes())
     stride = ((w * bpp + 31) // 32) * 4
     need = stride * h
     raw = data[pix_off:pix_off + need]
@@ -296,7 +377,7 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     if fmt is None:
         raise ValueError(
             "unrecognized media container (supported magic bytes: JPEG "
-            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE)")
+            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, BMP 'BM', Netpbm P1-P6)")
     blob = bytes(content)
     if fmt == "wav":
         from .audio import wav_decode
@@ -693,7 +774,8 @@ def png_features(media: DataFrame, id_col: str = "media_id",
                     w, h, ch, px = png_decode(
                         bytes(content) if content is not None else None)
                     n = w * h
-                    rgb = min(ch, 3)
+                    # alpha ignored for gray+alpha (ch=2) and RGBA (ch=4)
+                    rgb = ch - 1 if ch in (2, 4) else min(ch, 3)
                     sums = [0] * rgb
                     for p in range(n):
                         base = p * ch
@@ -774,7 +856,9 @@ def media_features(media: DataFrame, id_col: str = "media_id",
             w, h, ch, px = png_decode(blob)
             nf, frames = 1, [px]
         a = np.frombuffer(b"".join(frames), dtype=np.uint8)
-        rgb = a.reshape(-1, ch)[:, :min(ch, 3)]
+        # alpha ignored: drop the trailing alpha column for gray+alpha
+        # (ch=2, PNG color type 4) and RGBA (ch=4) layouts
+        rgb = a.reshape(-1, ch)[:, :ch - (1 if ch in (2, 4) else 0)]
         # int64 sum is exact; /n matches SQL avg() in float64
         mean_v = float(rgb.astype(np.int64).sum()) / rgb.size
         return (fmt, w, h, ch, nf, mean_v, float(rgb.max()))

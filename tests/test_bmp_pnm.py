@@ -110,13 +110,162 @@ def test_bmp_errors():
         bmp_decode(b"XX" + b"\x00" * 60)
     with pytest.raises(NotImplementedError, match="compression"):
         bmp_decode(_bmp(2, 2, 8, b"\x00" * 8,
-                        compression=1, palette=b"\x00" * 8))
+                        compression=4, palette=b"\x00" * 8))
     with pytest.raises(ValueError, match="truncated BMP pixel"):
         bmp_decode(_bmp(4, 4, 24, b"\x00" * 10))
     blob = bytearray(_bmp(2, 1, 8, b"\x01\x01\x00\x00",
                           palette=bytes([1, 2, 3, 0])))
     with pytest.raises(ValueError, match="palette index"):
         bmp_decode(bytes(blob))
+
+
+# --------------------------------------------------------------------
+# BMP RLE8 / RLE4 (r16, VERDICT item 4)
+# --------------------------------------------------------------------
+
+# 256-entry BGRA palette: index i -> RGB (i, (2i)%256, (3i)%256)
+_PAL256 = b"".join(bytes([(3 * i) % 256, (2 * i) % 256, i, 0])
+                   for i in range(256))
+_PAL16 = b"".join(bytes([(3 * i) % 256, (2 * i) % 256, i, 0])
+                  for i in range(16))
+
+
+def _rgb_of(i):
+    return (i, (2 * i) % 256, (3 * i) % 256)
+
+
+def rle8_encode(file_rows):
+    """Minimal spec-valid RLE8 encoder (encoded runs + EOL/EOB only),
+    used to prove RLE decodes byte-identical to the uncompressed
+    rendition of the same indices."""
+    out = bytearray()
+    for row in file_rows:
+        x, w = 0, len(row)
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            out += bytes([run, row[x]])
+            x += run
+        out += b"\x00\x00"
+    out[-2:] = b"\x00\x01"  # final EOL becomes end-of-bitmap
+    return bytes(out)
+
+
+def rle4_encode(file_rows):
+    """Minimal spec-valid RLE4 encoder: pixel pairs as cnt<=2 encoded
+    runs (the value byte's two nibbles alternate)."""
+    out = bytearray()
+    for row in file_rows:
+        for x in range(0, len(row), 2):
+            pair = row[x:x + 2]
+            if len(pair) == 2:
+                out += bytes([2, (pair[0] << 4) | pair[1]])
+            else:
+                out += bytes([1, pair[0] << 4])
+        out += b"\x00\x00"
+    out[-2:] = b"\x00\x01"
+    return bytes(out)
+
+
+def test_bmp_rle8_spec_vector():
+    """The canonical MSDN 'Bitmap Compression' RLE8 example, expanded
+    by hand: encoded runs, absolute mode with odd-length pad, delta,
+    end-of-line, end-of-bitmap; skipped pixels stay palette index 0."""
+    stream = bytes([
+        0x03, 0x04, 0x05, 0x06,                    # runs 3x04, 5x06
+        0x00, 0x03, 0x45, 0x56, 0x67, 0x00,        # absolute 45 56 67 +pad
+        0x02, 0x78,                                 # run 2x78
+        0x00, 0x02, 0x05, 0x01,                     # delta +5,+1
+        0x02, 0x78,                                 # run 2x78
+        0x00, 0x00,                                 # end of line
+        0x09, 0x1E,                                 # run 9x1E
+        0x00, 0x01,                                 # end of bitmap
+    ])
+    w, h = 20, 3
+    _, _, c, px = bmp_decode(_bmp(w, h, 8, stream, compression=1,
+                                  palette=_PAL256))
+    assert c == 3
+    idx = np.zeros((h, w), dtype=np.uint8)          # file row order
+    idx[0, :13] = [4, 4, 4, 6, 6, 6, 6, 6, 0x45, 0x56, 0x67, 0x78, 0x78]
+    idx[1, 18:20] = 0x78                            # after delta +5,+1
+    idx[2, :9] = 0x1E
+    expected = np.array(
+        [[_rgb_of(v) for v in row] for row in idx[::-1]], dtype=np.uint8)
+    assert px == expected.tobytes()
+
+
+def test_bmp_rle4_spec_vector():
+    """The MSDN RLE4 example: nibble-alternating runs, 6-nibble
+    absolute block (3 bytes + pad), delta, EOL, EOB."""
+    stream = bytes([
+        0x03, 0x04,                                  # 0,4,0
+        0x05, 0x06,                                  # 0,6,0,6,0
+        0x00, 0x06, 0x45, 0x56, 0x67, 0x00,          # abs 4,5,5,6,6,7 +pad
+        0x04, 0x78,                                  # 7,8,7,8
+        0x00, 0x02, 0x05, 0x01,                      # delta +5,+1
+        0x04, 0x78,                                  # 7,8,7,8
+        0x00, 0x00,                                  # EOL
+        0x09, 0x1E,                                  # 1,E,1,E,1,E,1,E,1
+        0x00, 0x01,                                  # EOB
+    ])
+    w, h = 27, 3
+    _, _, _, px = bmp_decode(_bmp(w, h, 4, stream, compression=2,
+                                  palette=_PAL16))
+    idx = np.zeros((h, w), dtype=np.uint8)
+    idx[0, :18] = [0, 4, 0, 0, 6, 0, 6, 0,
+                   4, 5, 5, 6, 6, 7, 7, 8, 7, 8]
+    idx[1, 23:27] = [7, 8, 7, 8]
+    idx[2, :9] = [1, 0xE, 1, 0xE, 1, 0xE, 1, 0xE, 1]
+    expected = np.array(
+        [[_rgb_of(v) for v in row] for row in idx[::-1]], dtype=np.uint8)
+    assert px == expected.tobytes()
+
+
+def test_bmp_rle_matches_uncompressed_rendition():
+    """An RLE8 (and RLE4) stream must decode byte-identical to the
+    uncompressed BMP carrying the same palette indices."""
+    h, w = 7, 13
+    rows8 = [[(3 * y * y + x // 3 + y) % 256 for x in range(w)]
+             for y in range(h)]
+    stride8 = ((w + 3) // 4) * 4
+    flat8 = b"".join(bytes(r) + b"\x00" * (stride8 - w) for r in rows8)
+    _, _, _, px_plain = bmp_decode(_bmp(w, h, 8, flat8, palette=_PAL256))
+    _, _, _, px_rle = bmp_decode(_bmp(w, h, 8, rle8_encode(rows8),
+                                      compression=1, palette=_PAL256))
+    assert px_rle == px_plain
+
+    rows4 = [[(x // 2 + 2 * y) % 16 for x in range(w)] for y in range(h)]
+    stride4 = (((w + 1) // 2 + 3) // 4) * 4
+    flat4 = b"".join(
+        bytes([(r[i] << 4) | (r[i + 1] if i + 1 < w else 0)
+               for i in range(0, w, 2)]).ljust(stride4, b"\x00")
+        for r in rows4)
+    _, _, _, p4_plain = bmp_decode(_bmp(w, h, 4, flat4, palette=_PAL16))
+    _, _, _, p4_rle = bmp_decode(_bmp(w, h, 4, rle4_encode(rows4),
+                                      compression=2, palette=_PAL16))
+    assert p4_rle == p4_plain
+
+
+def test_bmp_rle_error_contract():
+    with pytest.raises(ValueError, match="outside image bounds"):
+        bmp_decode(_bmp(1, 1, 8, b"\x02\xaa\x00\x01",
+                        compression=1, palette=_PAL256))
+    with pytest.raises(ValueError, match="missing end-of-bitmap"):
+        bmp_decode(_bmp(2, 2, 8, b"\x02\xaa\x00\x00",
+                        compression=1, palette=_PAL256))
+    with pytest.raises(ValueError, match="truncated BMP RLE absolute"):
+        bmp_decode(_bmp(8, 2, 8, b"\x00\x06\x01\x02",
+                        compression=1, palette=_PAL256))
+    with pytest.raises(ValueError, match="truncated BMP RLE delta"):
+        bmp_decode(_bmp(8, 2, 8, b"\x00\x02\x01",
+                        compression=1, palette=_PAL256))
+    with pytest.raises(ValueError, match="spec-invalid"):
+        bmp_decode(_bmp(2, 2, 4, b"\x00\x01",
+                        compression=1, palette=_PAL16))
+    with pytest.raises(ValueError, match="top-down"):
+        bmp_decode(_bmp(2, 2, 8, b"\x00\x01",
+                        compression=1, palette=_PAL256, top_down=True))
 
 
 # --------------------------------------------------------------------

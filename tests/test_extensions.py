@@ -715,7 +715,13 @@ def test_connected_components_nonconvergence_safety_net(spark):
     # a 12-node chain: one star round cannot root it
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"])
-    rows = dedup.connected_components(pairs, max_iterations=1).collect()
+    # r16 (VERDICT item 5): strict by default — exhaustion raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_iterations exhausted"):
+        dedup.connected_components(pairs, max_iterations=1).collect()
+    rows = dedup.connected_components(
+        pairs, max_iterations=1, allow_partial=True).collect()
     assert len(rows) == 12
     assert len({r["node"] for r in rows}) == 12  # one row per node
     # converged run still gives the exact minimum labels
