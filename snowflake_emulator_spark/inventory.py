@@ -4951,6 +4951,60 @@ ORDER BY media_id
 """
 
 
+def _multimodal_mpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (VERDICT item 2): MPEG audio (MP3) header-walk features —
+    the dominant crawl audio container read at the METADATA level
+    (duration / bitrate / sample rate / channels / frame count come
+    entirely from the 4-byte frame headers; PCM synthesis is a
+    documented boundary). Fixture streams cover MPEG-1/2/2.5, Layers
+    I/II/III, both bitrate table groups, mono+stereo, ID3v2 prefixes,
+    ID3v1 trailers and alternating padding bits; every feature is
+    closed-form in the id, so the oracle replays the constants table
+    of operators/mpeg.py::_SYNTH_SHAPES with no MPEG bytes involved.
+    See operators/mpeg.py (ISO/IEC 11172-3 / 13818-3 header walk)."""
+    from .operators import mpeg, multimodal
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 5")
+    media = mpeg.synth_mpeg_media(ids)
+    return (
+        multimodal.media_features(media)
+        .select(
+            "media_id", "format",
+            F.col("width").alias("sample_rate"),
+            F.col("height").alias("samples_per_frame"),
+            "channels", "n_frames",
+            F.round("mean_v", 6).alias("duration_s"),
+            F.col("peak_v").alias("bitrate_kbps"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_MPEG_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 5),
+shaped AS (
+  SELECT i,
+    CASE i % 5 WHEN 0 THEN 44100 WHEN 1 THEN 32000 WHEN 2 THEN 48000
+               WHEN 3 THEN 22050 ELSE 8000 END AS rate,
+    CASE i % 5 WHEN 1 THEN 384 WHEN 3 THEN 576 WHEN 4 THEN 576
+               ELSE 1152 END AS spf,
+    CASE i % 5 WHEN 0 THEN 128 WHEN 1 THEN 256 WHEN 2 THEN 256
+               WHEN 3 THEN 56 ELSE 24 END AS kbps,
+    2 - i % 2 AS channels,
+    6 + i % 9 AS n_frames
+  FROM base)
+SELECT CAST(i AS BIGINT) AS media_id, 'mpeg' AS format,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(spf AS INTEGER) AS samples_per_frame,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       round(CAST(n_frames * spf AS DOUBLE) / rate, 6) AS duration_s,
+       CAST(kbps AS DOUBLE) AS bitrate_kbps
+FROM shaped ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -7226,6 +7280,8 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_GIF_ORACLE),
     "multimodal_mixed_features": (_multimodal_mixed_features,
                                   _MULTIMODAL_MIXED_ORACLE),
+    "multimodal_mpeg_headers": (_multimodal_mpeg_headers,
+                                _MULTIMODAL_MPEG_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7298,68 +7354,69 @@ REGISTRY: dict[str, tuple] = {
 # CORRECTNESS_r01..r07.json keys). If this round is green, every one
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
-    # r15 rotation (VERDICT order #6): 38 of 50 differ from the r14
-    # head. 36 come from the least-recently-sampled pool (all 11
-    # last-green-r5 entries + 25 of the 44 last-green-r7 entries — the
-    # two stalest cohorts by the union of CORRECTNESS_r*); 2 are the
-    # NEW r15 entries (never driver-gated); the overlapping 12 are the
-    # 5 pins plus 7 entries whose code paths CHANGED this round and
-    # must re-gate. Annotations give each entry's last driver-green
-    # round.
+    # r16 rotation (VERDICT order #8): 42 of 50 differ from the r15
+    # head. 41 come from the least-recently-sampled pool (all 19
+    # last-green-r7 entries + all 10 last-green-r9 + the 12 stalest
+    # of the 34 last-green-r10 — the stalest cohorts by the union of
+    # CORRECTNESS_r1..r15); 1 is the NEW r16 entry (never
+    # driver-gated); the overlapping 8 are the 5 pins plus 3 entries
+    # whose code paths CHANGED this round and must re-gate.
+    # Annotations give each entry's last driver-green round.
     # --- pinned family representatives (driver-green every round) ----
-    "scan_filter_project",            # last r14
-    "q1_pricing_summary",             # last r14
-    "q3_shipping_priority",           # last r14
-    "asof_join_events",               # last r14
-    "dedup_minhash_lsh",              # last r14
-    # --- NEW r15 / r15-changed code paths (gate this round) ----------
-    "multimodal_mixed_features",      # NEW r15 (magic-byte dispatch)
-    "pipeline_crawl_to_corpus",       # NEW r15 (full-pipeline capstone)
-    "embed_ivfpq_topk",               # r15: nc cap 64 -> 1024 (oracle)
-    "sample_temperature_resample",    # r15: width-aware rank threshold
-    "doc_top_quantile_filter",        # r15: width-aware rank threshold
-    "doc_html_extract",               # r15: EDGE_WS explicit trim class
-    "pipeline_warc_ingest",           # r15: EDGE_WS + gzip bomb cap
-    "multimodal_jpeg_features",       # r15: non-interleaved/DQT guards
-    "multimodal_gif_features",        # r15: palette-overflow guard
-    # --- least-recently-sampled fill: all 11 last-green-r5 ----------
-    "flatten_explode_words",          # last r5
-    "pivot_segment_balances",         # last r5
-    "quality_filter_pipeline",        # last r5
-    "setop_intersect_all",            # last r5
-    "sf_array_funcs2",                # last r5
-    "sf_bitwise_aggs",                # last r5
-    "sf_greatest_least",              # last r5
-    "sf_higher_order_funcs",          # last r5
-    "sf_string_date_funcs",           # last r5
-    "sf_variant_path_access",         # last r5
-    "window_nth_value",               # last r5
-    # --- least-recently-sampled fill: 25 of 44 last-green-r7 --------
-    "agg_group_having",               # last r7
-    "agg_grouping_function",          # last r7
-    "agg_rollup",                     # last r7
-    "basket_part_pairs",              # last r7
-    "cte_join_agg",                   # last r7
-    "dedup_exact",                    # last r7
-    "doc_pack_sequences",             # last r7
-    "embed_cosine_topk",              # last r7
-    "embed_quantize_int8",            # last r7
-    "events_funnel3_strict",          # last r7
-    "events_gapfill_carry_forward",   # last r7
-    "events_hourly_agg",              # last r7
-    "join_full_outer",                # last r7
-    "join_semi_exists",               # last r7
-    "merge_upsert_sim",               # last r7
-    "pareto_abc_analysis",            # last r7
-    "pivot_sql_native",               # last r7
-    "python_udf_score",               # last r7
-    "rfm_segmentation",               # last r7
-    "sample_token_budget",            # last r7
-    "scripted_nested_grid",           # last r7
-    "scripted_pipeline_rollup",       # last r7
-    "setop_minus_alias",              # last r7
-    "setop_union_all",                # last r7
-    "sf_array_unique_agg_binary",     # last r7
+    "scan_filter_project",            # last r15
+    "q1_pricing_summary",             # last r15
+    "q3_shipping_priority",           # last r15
+    "asof_join_events",               # last r15
+    "dedup_minhash_lsh",              # last r15
+    # --- NEW r16 / r16-changed code paths (gate this round) ----------
+    "multimodal_mpeg_headers",        # NEW r16 (MPEG header walk)
+    "multimodal_mixed_features",      # r16: sniff + media_features mpeg
+    "multimodal_png_features",        # r16: gray+alpha mean fix
+    "embed_ivfpq_topk",               # r16: adaptive nprobe rule
+    # --- least-recently-sampled fill: all 19 last-green-r7 ----------
+    "sf_codec_hash_funcs",            # last r7
+    "sf_conditional_change_event",    # last r7
+    "sf_conversion_funcs",            # last r7
+    "sf_dateadd_datediff",            # last r7
+    "sf_datetime_build_funcs",        # last r7
+    "sf_generator_date_spine",        # last r7
+    "sf_geography_points",            # last r7
+    "sf_haversine_distance",          # last r7
+    "sf_lateral_flatten",             # last r7
+    "sf_md5_number_halves",           # last r7
+    "sf_sample_moments",              # last r7
+    "sf_text_similarity",             # last r7
+    "sf_time_slice_rollup",           # last r7
+    "string_functions",               # last r7
+    "subquery_not_in_null",           # last r7
+    "text_zipf_slope",                # last r7
+    "topk_orders",                    # last r7
+    "window_mom_growth",              # last r7
+    "window_row_number_topn",         # last r7
+    # --- least-recently-sampled fill: all 10 last-green-r9 ----------
+    "doc_paragraph_dedup",            # last r9
+    "embed_centroid_distances",       # last r9
+    "embed_lsh_recall",               # last r9
+    "embed_near_pairs",               # last r9
+    "embed_semantic_survivors",       # last r9
+    "sample_k_per_group",             # last r9
+    "source_overlap_jaccard",         # last r9
+    "text_dup_ngram_fraction",        # last r9
+    "text_oov_rate",                  # last r9
+    "text_perplexity_buckets",        # last r9
+    # --- least-recently-sampled fill: 12 of 34 last-green-r10 -------
+    "asof_join_null_events",          # last r10
+    "asof_join_sql_syntax",           # last r10
+    "doc_chunk_windows",              # last r10
+    "events_funnel_pattern",          # last r10
+    "profile_table_columns",          # last r10
+    "sample_domain_mixture",          # last r10
+    "sf_array_funcs",                 # last r10
+    "sf_array_lambda_funcs",          # last r10
+    "sf_bitwise_bool_funcs",          # last r10
+    "sf_collate_compare",             # last r10
+    "sf_conditional_true_event",      # last r10
+    "sf_datefmt_bool_aggs",           # last r10
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -7399,8 +7456,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 237, (
-    f"registry contract: expected 237 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 238, (
+    f"registry contract: expected 238 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -82,10 +82,14 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 
 
 def sniff_format(content: bytes) -> str | None:
-    """Magic-byte container sniff (r15 judge order #2): returns one of
-    'jpeg' | 'gif' | 'png' | 'wav' | 'bmp' | 'pnm', or None when the
-    prefix matches no supported container. Pure prefix test — safe on
-    arbitrary bytes."""
+    """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
+    audio): returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'bmp' |
+    'pnm' | 'mpeg', or None when the prefix matches no supported
+    container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
+    (version/layer/bitrate/sample-rate fields all non-reserved — a
+    bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
+    collide (0xD8 fails the sync's second-byte 0xE0 test)."""
     if content is None or len(content) < 4:
         return None
     b = bytes(content[:12])
@@ -102,6 +106,14 @@ def sniff_format(content: bytes) -> str | None:
     if (b[0:1] == b"P" and b[1:2] in b"123456"
             and b[2:3] in b" \t\r\n#"):
         return "pnm"
+    if b[:3] == b"ID3":
+        return "mpeg"
+    if (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+            and (b[1] >> 3) & 3 != 1          # version not reserved
+            and (b[1] >> 1) & 3 != 0          # layer not reserved
+            and (b[2] >> 4) not in (0, 0xF)   # bitrate defined, not free
+            and (b[2] >> 2) & 3 != 3):        # sample rate not reserved
+        return "mpeg"
     return None
 
 
@@ -367,17 +379,20 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     deterministic digest-derived test decoder runs (SQL-replayable).
     Otherwise the blob is magic-byte sniffed and routed to the REAL
     decoders (baseline+progressive JPEG, GIF incl. composited
-    animations, PNG, WAV PCM, BMP, Netpbm P1-P6 — all pure
-    stdlib+numpy); unsniffable content raises ValueError. Layout:
-    ``[format_code/4, log10(w or frames), log10(h or rate), channels/4,
-    mean, std, min, max]`` with the last four normalized to [0, 1]."""
+    animations, PNG, WAV PCM, BMP, Netpbm P1-P6, MPEG audio header
+    walk — all pure stdlib+numpy); unsniffable content raises
+    ValueError. Layout: ``[format_code/4, log10(w or frames),
+    log10(h or rate), channels/4, mean, std, min, max]`` with the last
+    four normalized to [0, 1] (the MPEG row's last four are
+    duration/VBR/layer/bitrate — see the branch comment)."""
     if fake:
         return _fake_decode(content)
     fmt = sniff_format(content)
     if fmt is None:
         raise ValueError(
             "unrecognized media container (supported magic bytes: JPEG "
-            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, BMP 'BM', Netpbm P1-P6)")
+            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, BMP 'BM', Netpbm "
+            "P1-P6, MPEG audio ID3v2/frame sync)")
     blob = bytes(content)
     if fmt == "wav":
         from .audio import wav_decode
@@ -390,6 +405,18 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
                 math.log10(rate), ch / 4,
                 float(x.mean()) / 2 + 0.5, float(x.std()),
                 float(x.min()) / 2 + 0.5, float(x.max()) / 2 + 0.5]
+    if fmt == "mpeg":
+        # header-walk metadata only (r16) — no PCM, so the last four
+        # slots carry normalized header features: duration (min(s/3600,
+        # 1)), VBR flag, layer/4, bitrate/448 (the table maximum)
+        from .mpeg import mpeg_audio_info
+
+        mi = mpeg_audio_info(blob)
+        return [7 / 4, math.log10(max(mi["frame_count"], 1)),
+                math.log10(mi["sample_rate"]), mi["channels"] / 4,
+                min(mi["duration_s"] / 3600.0, 1.0),
+                1.0 if mi["is_vbr"] else 0.0, mi["layer"] / 4,
+                min(mi["bitrate_kbps"] / 448.0, 1.0)]
     if fmt == "jpeg":
         from .jpeg import jpeg_decode
 
@@ -821,7 +848,11 @@ def media_features(media: DataFrame, id_col: str = "media_id",
     ``mean_v`` = mean over the RGB samples of every frame (gray
     replicated, alpha ignored) and ``peak_v`` = max RGB sample; WAV
     reports (channels, n_frames=frame count) with ``mean_v`` = DC mean
-    and ``peak_v`` = peak absolute sample. Same kernel contract as the
+    and ``peak_v`` = peak absolute sample; MPEG audio (r16, header
+    walk — no PCM) reports width=sample_rate, height=samples_per_frame,
+    channels, n_frames=audio frame count, ``mean_v`` = duration in
+    seconds and ``peak_v`` = mean header bitrate in kbps (== the
+    constant bitrate for CBR). Same kernel contract as the
     single-format paths: Arrow-batched ``mapInPandas``, per-row error
     capture — at 100 TB a corrupt blob must not kill the job. Means
     stay UNROUNDED (callers round with F.round, HALF_UP like the SQL
@@ -838,6 +869,14 @@ def media_features(media: DataFrame, id_col: str = "media_id",
             x = arr.astype(np.float64)
             return (fmt, None, None, ch, int(arr.shape[0]),
                     float(x.mean()), float(np.abs(x).max()))
+        if fmt == "mpeg":
+            from .mpeg import mpeg_audio_info
+
+            mi = mpeg_audio_info(blob)
+            return (fmt, int(mi["sample_rate"]),
+                    int(mi["samples_per_frame"]), int(mi["channels"]),
+                    int(mi["frame_count"]), float(mi["duration_s"]),
+                    float(mi["bitrate_kbps"]))
         if fmt == "jpeg":
             from .jpeg import jpeg_decode
 
