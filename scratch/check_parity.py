@@ -69,6 +69,16 @@ def _type_class(type_str: str, table: dict) -> str:
 def run():
     spark = build_spark(app_name="parity", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
+    # r16: cap DuckDB's memory AND disable temp spilling. With a temp
+    # dir available, pipeline_keep_set's recursive-closure + NOT IN
+    # composition at sf0.1 triggered DuckDB's out-of-core path, which
+    # wrote >80 GB of .tmp and filled the disk; with spill disabled the
+    # identical query runs in-memory in ~30 s well under the cap. Every
+    # registry oracle fits in the cap (verified by the r16 full sf0.1
+    # run) — if a future one doesn't, it should error loudly here, not
+    # silently eat the disk.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory=''")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     passed, failed = [], []

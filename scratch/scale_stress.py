@@ -192,7 +192,7 @@ def ivfpq_recall(spark, sf_dir: str) -> dict:
     exact = similarity.cosine_topk_bruteforce(e, qs, k=10)
     approx = similarity.ivfpq_topk(
         e, qs, k=10, n_centroids=None, nprobe=None,
-        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2)
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2, refine=4)
     ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     return {"n": n, "nc": nc, "nprobe": npr,
@@ -246,7 +246,7 @@ def ivfpq_recall_large(spark, n_target: int = 204800) -> dict:
     exact = similarity.cosine_topk_bruteforce(emb, qs, k=10)
     approx = similarity.ivfpq_topk(
         emb, qs, k=10, n_centroids=None, nprobe=None,
-        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2)
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2, refine=4)
     ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     emb.unpersist()
@@ -316,8 +316,9 @@ def main() -> None:
         "ivfpq_recall": recall,
     }))
     sys.exit(1 if flagged or spread["min_partitions_per_source"] <= 1
-             or recall["base"]["recall_at_10"] < 0.6
-             or recall["large"]["recall_at_10"] < 0.6
+             or recall["base"]["recall_at_10"] < 0.75
+             or recall["scaled"]["recall_at_10"] < 0.75
+             or recall["large"]["recall_at_10"] < 0.75
              or not recall["large"]["old_cap_would_bind"]
              else 0)
 

@@ -3675,9 +3675,14 @@ def _pipeline_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pipeline_keep_oracle() -> str:
     clusters = _dedup_clusters_oracle().replace("ORDER BY doc_id", "")
     quality = _quality_filter_oracle().replace("ORDER BY w.doc_id", "")
+    # MATERIALIZED on comps is load-bearing at sf0.1: un-materialized,
+    # DuckDB inlines the recursive transitive closure into the NOT IN
+    # decorrelation and spilled >80 GB of temp before dying (r16 full-
+    # registry run); materialized, the same closure is the 36 s
+    # dedup_clusters relation
     return f"""
-WITH comps AS ({clusters}),
-q AS ({quality}),
+WITH comps AS MATERIALIZED ({clusters}),
+q AS MATERIALIZED ({quality}),
 rated AS (
   SELECT *,
          CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 800000 WHEN 'src2' THEN 500000
@@ -4054,17 +4059,24 @@ def _embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 (VERDICT item 3): scale-aware nc/nprobe rules + a
     # Lloyd-TRAINED coarse quantizer (2 rounds) — sf0.1 recall 0.76-0.8
     # vs 0.56 with the r11 hyperplane coarse; the oracle replays the
-    # rules and the coarse training from the data
+    # rules and the coarse training from the data.
+    # r16 (VERDICT item 3): exact re-rank of the ADC top k*4 — the
+    # nprobe sweep showed mid-scale recall flat at 0.66 from nprobe=3
+    # to nprobe=nc, so the ceiling was ADC error; the refine stage
+    # (exact sequential-fold L2 over k*refine rows/query) lifts
+    # mid-scale recall to >= the 0.75 target. Oracle replays the
+    # shortlist + exact re-rank too.
     return similarity.ivfpq_topk(
         e, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=None, nprobe=None,
-        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2,
+        m=32, ksub=128, train_rounds=3, coarse_train_rounds=2, refine=4,
     ).orderBy("query_id", "rank")
 
 
 def _ivfpq_replay_oracle(k: int = 10, m: int = 4, ksub: int = 16,
                          dim: int = 64, rounds: int = 0,
                          coarse_rounds: int = 2,
-                         query_ids: tuple = (0, 1, 2, 3, 4)) -> str:
+                         query_ids: tuple = (0, 1, 2, 3, 4),
+                         refine: int = 0) -> str:
     """r14 (VERDICT item 3) — scale-aware IVF-PQ replay: the oracle
     computes nc = least(1024, greatest(4, floor(sqrt(n/25)))) and
     nprobe = greatest(3, ceil(nc/4)) FROM THE DATA (the exact SQL form
@@ -4074,9 +4086,43 @@ def _ivfpq_replay_oracle(k: int = 10, m: int = 4, ksub: int = 16,
     same fixed Lloyd rounds as the Spark operator (prefix-named CTE
     chain over the full vector as one sub-space), assigns by
     (min L2 d2, lowest cid) and then replays residual-codebook
-    training + encode + ADC exactly as before."""
+    training + encode + ADC exactly as before.
+
+    r16 (VERDICT item 3): ``refine > 0`` replays the exact re-rank —
+    ADC top ``k*refine`` per query, exact squared L2 via the same
+    sequential list fold, re-ranked on the value rounded to 6 (the
+    Spark operator ranks on the rounded value too, so rank ties
+    resolve identically)."""
     sub_d = dim // m
     qlist = ",".join(str(q) for q in query_ids)
+    if refine > 0:
+        final_sql = f""",
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d2, neighbor_id) AS arank
+    FROM scored) WHERE arank <= {k * refine}),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum(list_transform(list_zip(qv.v, nv.v),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) AS exact_d2
+  FROM shortlist s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v nv ON nv.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, exact_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY exact_d2, neighbor_id) AS rank
+  FROM exact)
+WHERE rank <= {k} ORDER BY query_id, rank"""
+    else:
+        final_sql = f"""
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, approx_d2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_d2, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k} ORDER BY query_id, rank"""
     coarse_ctes, ccb = _pq_training_ctes("ccb0", "csubs", coarse_rounds,
                                          dim, prefix="c")
     coarse_sql = (",\n" + ",\n".join(coarse_ctes)) if coarse_ctes else ""
@@ -4160,13 +4206,7 @@ scored AS (
   FROM codes c
   JOIN adc a ON a.bucket = c.bucket AND a.sub = c.sub AND a.code = c.code
   WHERE c.vec_id <> a.query_id
-  GROUP BY 1, 2)
-SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, approx_d2
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY approx_d2, neighbor_id) AS rank
-  FROM scored)
-WHERE rank <= {k} ORDER BY query_id, rank
+  GROUP BY 1, 2){final_sql}
 """
 
 
@@ -7256,7 +7296,7 @@ REGISTRY: dict[str, tuple] = {
     "embed_pq_topk": (_embed_pq_topk, _pq_replay_oracle()),
     # r11: IVF-PQ residual composition (bucket-pruned codes-only scan)
     "embed_ivfpq_topk": (_embed_ivfpq_topk, _ivfpq_replay_oracle(
-        m=32, ksub=128, rounds=3, coarse_rounds=2)),
+        m=32, ksub=128, rounds=3, coarse_rounds=2, refine=4)),
     # deterministic by construction (md5-seeded hyperplanes/centroids):
     # hash-checked against full DuckDB replays of the LSH/IVF pipelines
     "embed_near_pairs_lsh": (_embed_near_pairs_lsh, _lsh_replay_oracle()),

@@ -612,6 +612,7 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                n_centroids: int | None = 8, nprobe: int | None = 3,
                m: int = 4, ksub: int = 16, dim: int = 64,
                train_rounds: int = 0, coarse_train_rounds: int = 0,
+               refine: int = 0,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ ANN (r11) — the composition FAISS actually ships: an IVF
     coarse quantizer restricts the search to ``nprobe`` buckets, and
@@ -644,7 +645,21 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     PQ error dominated recall: 0.56 at sf0.1; trained coarse lifts it
     past the 0.6 gate). coarse_train_rounds=0 keeps the r11 hyperplane
     behavior bit-for-bit. Returns (query_id, neighbor_id, rank,
-    approx_d2)."""
+    approx_d2).
+
+    r16 (VERDICT item 3) — **exact re-rank (FAISS refine stage)**:
+    the r16 nprobe sweep (scratch/nprobe_sweep_r16.log) showed
+    mid-scale recall FLAT at 0.66 from nprobe=3 all the way to
+    nprobe=nc (every cell probed) — the recall ceiling is ADC
+    quantization error, not coarse probing, so no nprobe rule can
+    lift it. ``refine > 0`` keeps the ADC top ``k * refine`` per
+    query as a shortlist and re-scores it with EXACT squared L2
+    (JVM sequential fold, bit-identical to DuckDB's list fold), then
+    re-ranks. At scale this is one extra id-pruned lookup of
+    k*refine rows per query — the standard IVFPQR composition — and
+    it turns ADC's job from "rank exactly" into "don't miss".
+    Output column is ``exact_d2`` when refining (ranked on the
+    rounded value, neighbor_id tie-break)."""
     import numpy as np
 
     sub_d = dim // m
@@ -796,10 +811,38 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         "query_id", "neighbor_id", F.round(total, 6).alias("approx_d2"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id"))
+    if refine <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "approx_d2")
+        )
+    # exact re-rank (r16): broadcast the tiny ADC shortlist back onto
+    # the corpus (id-pruned lookup of k*refine rows per query), score
+    # with the exact sequential-fold squared L2, re-rank on the
+    # ROUNDED value (both engines rank identically at 6 decimals)
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    nvecs = emb.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    exact_d2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    rescored = (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(exact_d2, 6).alias("exact_d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "approx_d2")
+        .select("query_id", "neighbor_id", "rank", "exact_d2")
     )
 
 
