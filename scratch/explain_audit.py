@@ -267,6 +267,16 @@ AUDIT = [
     ("pipeline_crawl_to_corpus", ["Scan ExistingRDD", "Generate",
                                   "BroadcastHashJoin", "Window",
                                   "!CartesianProduct"]),
+    # r16 additions --------------------------------------------------------
+    # MPEG header walk: two chained Arrow maps (synth + media_features
+    # kernel), no join, no shuffle before the final sort — same shape
+    # as the other codec paths
+    ("multimodal_mpeg_headers", ["MapInPandas", "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
+    # mixed WAV/AU/AIFF kernel: same two-Arrow-map shape
+    ("multimodal_audio_containers", ["MapInPandas",
+                                     "!BroadcastNestedLoopJoin",
+                                     "!Exchange hashpartitioning"]),
 ]
 
 

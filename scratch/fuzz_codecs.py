@@ -22,13 +22,21 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-from snowflake_emulator_spark.operators.audio import wav_decode, wav_encode
+from snowflake_emulator_spark.operators.audio import (
+    aiff_decode,
+    aiff_encode,
+    au_decode,
+    au_encode,
+    wav_decode,
+    wav_encode,
+)
 from snowflake_emulator_spark.operators.gif import (
     gif_decode,
     gif_decode_composited,
     gif_encode,
 )
 from snowflake_emulator_spark.operators.jpeg import jpeg_decode, jpeg_encode
+from snowflake_emulator_spark.operators.mpeg import mpeg_audio_info
 from snowflake_emulator_spark.operators.multimodal import (
     bmp_decode,
     decode_image,
@@ -49,7 +57,7 @@ MAX_SEC = 20.0
 def build_artifacts(rng: random.Random) -> list:
     """(kind, bytes, decoder) triples, deterministic in rng."""
     arts = []
-    n_kinds = 7
+    n_kinds = 13
     per = max(1, N_ART // n_kinds)
     for j in range(per):
         w, h = 8 + j % 25, 8 + j % 17
@@ -88,6 +96,15 @@ def build_artifacts(rng: random.Random) -> list:
         arts.append(("bmp", _bmp24(w, h, j), bmp_decode))
         arts.append(("bmp_rle8", _bmp_rle(w, h, j, 8), bmp_decode))
         arts.append(("bmp_rle4", _bmp_rle(w, h, j, 4), bmp_decode))
+        arts.append(("mpeg", _mpeg(j), mpeg_audio_info))
+        aub = [8, 16, 24, 32][j % 4]
+        smp2 = (np.arange(30 + j % 11, dtype=np.int64) * 331 + j) \
+            % (1 << min(aub, 31)) - (1 << min(aub - 1, 30))
+        arts.append(("au", au_encode(8000, 1, smp2[:, None], aub),
+                     au_decode))
+        arts.append(("aiff", aiff_encode(8000, 1, smp2[:, None], aub,
+                                         aifc_none=j % 2 == 0),
+                     aiff_decode))
         arts.append(("pnm", (b"P6\n%d %d\n255\n" % (w, h))
                      + px, pnm_decode))
     return arts[:N_ART]
@@ -105,6 +122,18 @@ def _bmp24(w: int, h: int, j: int) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
                        2835, 2835, 0, 0)
     return head + info + bytes(rows)
+
+
+def _mpeg(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.mpeg import (
+        _SYNTH_SHAPES, mpeg_encode_headers)
+
+    version, layer, br_idx, sr_idx = _SYNTH_SHAPES[j % 5]
+    return mpeg_encode_headers(
+        version, layer, br_idx, sr_idx, channels=2 - j % 2,
+        n_frames=4 + j % 7,
+        pad_of_frame=(lambda t: t % 2) if j % 3 == 2 else None,
+        id3v2_size=20 + j % 30 if j % 3 == 0 else 0, id3v1=j % 4 == 1)
 
 
 def _bmp_rle(w: int, h: int, j: int, bpp: int) -> bytes:

@@ -5021,6 +5021,61 @@ def _multimodal_mpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: container-agnostic audio decode — one binary
+    column mixing WAV (RIFF little-endian), Sun AU (big-endian,
+    signed 8-bit) and AIFF/AIFC (IFF chunks, 80-bit extended sample
+    rate) by id, sniffed per row and decoded by three independent
+    chunk walks to the SAME closed-form samples, so one SQL oracle
+    replays all three paths from the sample formulas alone. External
+    conformance: CPython's pluck recording in all three containers
+    decodes byte-exact against stdlib wave/sunau/aifc (test_au_aiff).
+    See operators/audio.py::audio_container_features."""
+    from .operators import audio
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 7")
+    media = audio.synth_audio_container_media(ids)
+    return (
+        audio.audio_container_features(media)
+        .select(
+            "media_id", "format", "channels", "sample_rate", "n_samples",
+            "duration_ms", "peak_abs",
+            F.round("mean_dc", 6).alias("mean_dc"),
+            F.round("rms", 6).alias("rms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_AUDIO_CONTAINERS_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS i, 50 + doc_id % 37 AS n,
+         (doc_id // 3) % 3 AS v, doc_id % 3 AS c
+  FROM documents WHERE doc_id % 13 = 7),
+smp AS (
+  SELECT d.i, d.n, d.v, d.c,
+         CASE WHEN d.v = 2 THEN (3 * d.i + 11 * t.tv) % 256 - 128
+              ELSE ((7 * d.i + 13 * t.tv + 5 * ch.cv) * 257) % 65536 - 32768
+         END AS s
+  FROM d,
+       unnest(range(0, d.n)) AS t(tv),
+       unnest(range(0, CASE WHEN d.v = 1 THEN 2 ELSE 1 END)) AS ch(cv))
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE c WHEN 0 THEN 'wav' WHEN 1 THEN 'au' ELSE 'aiff' END AS format,
+       CAST(CASE WHEN v = 1 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+       CAST(CASE v WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 11025 END AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n * 1000) // (CASE v WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                           ELSE 11025 END) AS BIGINT) AS duration_ms,
+       CAST(max(abs(s)) AS DOUBLE) AS peak_abs,
+       round(avg(CAST(s AS DOUBLE)), 6) AS mean_dc,
+       round(sqrt(avg(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS rms
+FROM smp GROUP BY i, n, v, c ORDER BY media_id
+"""
+
+
 _MULTIMODAL_MPEG_ORACLE = """
 WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 5),
 shaped AS (
@@ -7322,6 +7377,8 @@ REGISTRY: dict[str, tuple] = {
                                   _MULTIMODAL_MIXED_ORACLE),
     "multimodal_mpeg_headers": (_multimodal_mpeg_headers,
                                 _MULTIMODAL_MPEG_ORACLE),
+    "multimodal_audio_containers": (_multimodal_audio_containers,
+                                    _MULTIMODAL_AUDIO_CONTAINERS_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7410,6 +7467,7 @@ _SAMPLE_HEAD = [
     "dedup_minhash_lsh",              # last r15
     # --- NEW r16 / r16-changed code paths (gate this round) ----------
     "multimodal_mpeg_headers",        # NEW r16 (MPEG header walk)
+    "multimodal_audio_containers",    # NEW r16 (AU/AIFF + mixed sniff)
     "multimodal_mixed_features",      # r16: sniff + media_features mpeg
     "multimodal_png_features",        # r16: gray+alpha mean fix
     "embed_ivfpq_topk",               # r16: adaptive nprobe rule
@@ -7456,7 +7514,6 @@ _SAMPLE_HEAD = [
     "sf_bitwise_bool_funcs",          # last r10
     "sf_collate_compare",             # last r10
     "sf_conditional_true_event",      # last r10
-    "sf_datefmt_bool_aggs",           # last r10
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
@@ -7496,8 +7553,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 238, (
-    f"registry contract: expected 238 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 239, (
+    f"registry contract: expected 239 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -340,3 +340,341 @@ def synth_wav_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     return ids_df.select(id_col).mapInPandas(_enc, SYNTH_WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# AU (Sun/NeXT) and AIFF/AIFC decoders (r16) — the other two classic
+# PCM interchange containers a crawl's audio column carries. Pure
+# stdlib+numpy; validated byte-exact against CPython's `sunau`/`aifc`
+# readers and by the cross-FORMAT identity (the pluck recording ships
+# as WAV, AU and AIFF in the CPython test suite — all three decode to
+# the same PCM through three independent chunk-walk paths).
+# ---------------------------------------------------------------------
+
+_AU_MAGIC = b".snd"
+# AU encoding codes (Sun audio file format)
+_AU_ENC = {1: ("mulaw", 8), 2: ("pcm", 8), 3: ("pcm", 16),
+           4: ("pcm", 24), 5: ("pcm", 32), 6: ("float", 32),
+           27: ("alaw", 8)}
+
+
+def _pcm_be(payload: bytes, bits: int) -> np.ndarray:
+    """Big-endian signed PCM to the wav_decode dtype conventions
+    (int32 for <=24 bits, int64 for 32)."""
+    if bits == 8:
+        return np.frombuffer(payload, dtype=np.int8).astype(np.int32)
+    if bits == 16:
+        n = len(payload) - len(payload) % 2
+        return np.frombuffer(payload[:n], dtype=">i2").astype(np.int32)
+    if bits == 24:
+        n3 = len(payload) // 3
+        raw = np.frombuffer(payload[:n3 * 3], dtype=np.uint8)
+        raw = raw.reshape(n3, 3).astype(np.int32)
+        arr = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        return np.where(arr >= (1 << 23), arr - (1 << 24), arr)
+    if bits == 32:
+        n = len(payload) - len(payload) % 4
+        return np.frombuffer(payload[:n], dtype=">i4").astype(np.int64)
+    raise NotImplementedError(f"{bits}-bit big-endian PCM")
+
+
+def au_decode(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a Sun AU blob; returns (sample_rate, channels, samples)
+    shaped (frames, channels) with wav_decode's dtype conventions.
+    Note AU 8-bit PCM is SIGNED (encoding 2), unlike WAV's unsigned —
+    both decode to the same centered -128..127 range. Encoding 1/27
+    (G.711 mu-law/A-law) reuse the r15 audioop-validated LUTs; float64
+    (7) and ADPCM codes raise NotImplementedError."""
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 24 or data[:4] != _AU_MAGIC:
+        raise ValueError("not an AU file (bad magic)")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", data[4:24])
+    if off < 24 or off > len(data) or channels < 1 or rate == 0:
+        raise ValueError("bad AU header parameters")
+    payload = data[off:off + size] if size != 0xFFFFFFFF else data[off:]
+    if size != 0xFFFFFFFF and len(payload) < size:
+        raise ValueError("truncated AU payload")
+    if enc not in _AU_ENC:
+        raise NotImplementedError(f"AU encoding {enc}")
+    kind, bits = _AU_ENC[enc]
+    if kind == "pcm":
+        arr = _pcm_be(payload, bits)
+    elif kind == "float":
+        n = len(payload) - len(payload) % 4
+        arr = np.frombuffer(payload[:n], dtype=">f4").astype(np.float32)
+    else:
+        lut = _MULAW_LUT if kind == "mulaw" else _ALAW_LUT
+        arr = lut[np.frombuffer(payload, dtype=np.uint8)]
+    frames = arr.shape[0] // channels
+    return rate, channels, arr[:frames * channels].reshape(frames, channels)
+
+
+def _float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF COMM sample rate):
+    1 sign + 15 exponent + 64 explicit-integer-bit mantissa."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def aiff_decode(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an AIFF / AIFF-C blob; returns (sample_rate, channels,
+    samples) shaped (frames, channels), wav_decode dtype conventions.
+    IFF chunk walk (odd sizes padded), COMM (with the 80-bit extended
+    sample rate) + SSND (offset/blockSize honored). AIFF-C compression
+    types: NONE (big-endian PCM), sowt (little-endian PCM16),
+    ulaw/ULAW and alaw/ALAW (G.711 via the r15 LUTs), fl32/FL32
+    (big-endian float32); anything else raises NotImplementedError."""
+    if content is None:
+        raise ValueError("null content")
+    data = bytes(content)
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+            b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFC file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    comp = b"NONE"
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"COMM":
+            if clen < 18:
+                raise ValueError("COMM chunk too short")
+            channels, _nframes, bits = struct.unpack(">HIH", body[:8])
+            rate_f = _float80(body[8:18])
+            if is_aifc and clen >= 22:
+                comp = body[18:22]
+            comm = (channels, bits, rate_f)
+        elif cid == b"SSND":
+            if clen < 8:
+                raise ValueError("SSND chunk too short")
+            (doff, _blk) = struct.unpack(">II", body[:8])
+            payload = body[8 + doff:]
+        pos += 8 + clen + (clen % 2)  # odd chunks padded per IFF
+    if comm is None or payload is None:
+        raise ValueError("missing COMM / SSND chunk")
+    channels, bits, rate_f = comm
+    if channels < 1 or rate_f <= 0 or rate_f > 0x7FFFFFFF:
+        raise ValueError("bad COMM parameters")
+    rate = int(round(rate_f))
+    ctype = comp.upper()
+    if ctype == b"NONE":
+        arr = _pcm_be(payload, bits)
+    elif ctype == b"SOWT":
+        if bits != 16:
+            raise NotImplementedError(f"sowt at {bits} bits")
+        n = len(payload) - len(payload) % 2
+        arr = np.frombuffer(payload[:n], dtype="<i2").astype(np.int32)
+    elif ctype in (b"ULAW", b"ALAW"):
+        lut = _MULAW_LUT if ctype == b"ULAW" else _ALAW_LUT
+        arr = lut[np.frombuffer(payload, dtype=np.uint8)]
+    elif ctype == b"FL32":
+        n = len(payload) - len(payload) % 4
+        arr = np.frombuffer(payload[:n], dtype=">f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"AIFF-C compression {comp!r}")
+    frames = arr.shape[0] // channels
+    return rate, channels, arr[:frames * channels].reshape(frames, channels)
+
+
+def au_encode(sample_rate: int, channels: int, samples: np.ndarray,
+              bits: int = 16, annotation: bytes = b"") -> bytes:
+    """Minimal Sun AU writer (test fixture): big-endian signed PCM at
+    8/16/24/32 bits (AU 8-bit is signed, no offset)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    inter = samples.astype(np.int64).reshape(-1)
+    enc = {8: 2, 16: 3, 24: 4, 32: 5}.get(bits)
+    if enc is None:
+        raise ValueError(f"unsupported AU bit depth {bits}")
+    if bits == 8:
+        payload = inter.astype(np.int8).tobytes()
+    elif bits == 16:
+        payload = inter.astype(">i2").tobytes()
+    elif bits == 24:
+        payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big")
+                           for v in inter)
+    else:
+        payload = inter.astype(">i4").tobytes()
+    off = 24 + len(annotation)
+    return (_AU_MAGIC + struct.pack(">IIIII", off, len(payload), enc,
+                                    sample_rate, channels)
+            + annotation + payload)
+
+
+def _float80_bytes(value: float) -> bytes:
+    """Encode a positive sample rate as an IEEE 80-bit extended float
+    (AIFF COMM field)."""
+    if value <= 0:
+        raise ValueError("sample rate must be positive")
+    import math as _math
+
+    mant, exp = _math.frexp(value)       # value = mant * 2**exp, mant in [0.5,1)
+    # extended format wants an explicit integer bit: mantissa in [2^63, 2^64)
+    mant64 = int(mant * (1 << 64))
+    se = (exp - 1) + 16383
+    return struct.pack(">HQ", se, mant64)
+
+
+def aiff_encode(sample_rate: int, channels: int, samples: np.ndarray,
+                bits: int = 16, aifc_none: bool = False) -> bytes:
+    """Minimal AIFF writer (test fixture): big-endian signed PCM;
+    ``aifc_none=True`` writes an AIFF-C FORM with compression NONE
+    (exercises the AIFC COMM layout)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames = samples.shape[0]
+    inter = samples.astype(np.int64).reshape(-1)
+    if bits == 8:
+        payload = inter.astype(np.int8).tobytes()
+    elif bits == 16:
+        payload = inter.astype(">i2").tobytes()
+    elif bits == 24:
+        payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big")
+                           for v in inter)
+    elif bits == 32:
+        payload = inter.astype(">i4").tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    comm = struct.pack(">HIH", channels, frames, bits) \
+        + _float80_bytes(float(sample_rate))
+    if aifc_none:
+        comm += b"NONE" + bytes([4]) + b"none" + b"\x00"  # pstring pad
+    ssnd = struct.pack(">II", 0, 0) + payload
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body \
+            + (b"\x00" if len(body) % 2 else b"")
+
+    form_type = b"AIFC" if aifc_none else b"AIFF"
+    body = form_type
+    if aifc_none:
+        body += chunk(b"FVER", struct.pack(">I", 0xA2805140))
+    body += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+AUDIO_CONTAINER_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False),
+     T.StructField("format", T.StringType(), True)]
+    + AUDIO_FEATURE_SCHEMA.fields[1:])
+
+
+def audio_container_features(media: DataFrame, id_col: str = "media_id",
+                             content_col: str = "content") -> DataFrame:
+    """Container-agnostic audio features (r16): per-row magic sniff
+    routes WAV / AU / AIFF / MPEG content through the matching
+    decoder; one unified schema (wav_features' columns plus
+    ``format``). For MPEG streams (header walk, no PCM) n_samples is
+    frames*samples_per_frame, duration from the header math, and the
+    PCM stats (peak/mean/rms) are NULL. Same Arrow-batched kernel
+    contract: per-row error capture — a corrupt blob must not kill a
+    100 TB job."""
+    from .mpeg import mpeg_audio_info
+    from .multimodal import sniff_format
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    blob = bytes(content) if content is not None else None
+                    fmt = sniff_format(blob)
+                    if fmt == "wav":
+                        rate, ch, samples = wav_decode(blob)
+                    elif fmt == "au":
+                        rate, ch, samples = au_decode(blob)
+                    elif fmt == "aiff":
+                        rate, ch, samples = aiff_decode(blob)
+                    elif fmt == "mpeg":
+                        mi = mpeg_audio_info(blob)
+                        n = mi["frame_count"] * mi["samples_per_frame"]
+                        rows.append((
+                            int(mid), fmt, mi["channels"],
+                            mi["sample_rate"], n,
+                            (n * 1000) // mi["sample_rate"],
+                            None, None, None, True, None))
+                        continue
+                    else:
+                        raise ValueError(
+                            f"not an audio container (sniffed {fmt})")
+                    flat = samples.astype(np.float64).reshape(-1)
+                    n = samples.shape[0]
+                    if n == 0 or rate == 0:
+                        raise ValueError("empty audio stream")
+                    rows.append((
+                        int(mid), fmt, ch, rate, n, (n * 1000) // rate,
+                        float(np.abs(flat).max()),
+                        float(flat.sum() / flat.size),
+                        math.sqrt(float((flat * flat).sum()) / flat.size),
+                        True, None))
+                except Exception as e:  # noqa: BLE001 — per-row capture
+                    rows.append((int(mid), None, None, None, None, None,
+                                 None, None, None, False, str(e)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_CONTAINER_SCHEMA.fields])
+
+    return media.select(id_col, content_col).mapInPandas(
+        _extract, AUDIO_CONTAINER_SCHEMA)
+
+
+def synth_audio_container_media(ids_df: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixed-container audio fixture (r16): the SAME
+    closed-form sample math as ``synth_wav_media`` — variant
+    ``v = (i // 3) % 3`` picks mono-16k@8000 / stereo-16k@16000 /
+    mono-8bit@11025 — wrapped in the container picked by ``i % 3``
+    (0 WAV, 1 AU, 2 AIFF; AIFF rotates plain/AIFC-NONE on v). Features
+    are container-independent, so ONE SQL oracle replays all three
+    decode paths from the sample formulas."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                i = int(did)
+                n = 50 + i % 37
+                v = (i // 3) % 3
+                t = np.arange(n)
+                if v == 0:
+                    s = (((7 * i + 13 * t) * 257) % 65536 - 32768)[:, None]
+                    rate, bits = 8000, 16
+                elif v == 1:
+                    ch = np.arange(2)
+                    s = ((7 * i + 13 * t[:, None] + 5 * ch[None, :])
+                         * 257) % 65536 - 32768
+                    rate, bits = 16000, 16
+                else:
+                    s = ((3 * i + 11 * t) % 256 - 128)[:, None]
+                    rate, bits = 11025, 8
+                c = i % 3
+                if c == 0:
+                    blob = wav_encode(rate, s.shape[1], s, bits)
+                elif c == 1:
+                    blob = au_encode(rate, s.shape[1], s, bits,
+                                     annotation=b"r16\x00" if v == 1 else b"")
+                else:
+                    blob = aiff_encode(rate, s.shape[1], s, bits,
+                                       aifc_none=v == 1)
+                rows.append((i, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ids_df.select(id_col).mapInPandas(_enc, SYNTH_WAV_SCHEMA)

@@ -83,9 +83,9 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
-    audio): returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'bmp' |
-    'pnm' | 'mpeg', or None when the prefix matches no supported
-    container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    audio, Sun AU and AIFF/AIFC): returns one of 'jpeg' | 'gif' |
+    'png' | 'wav' | 'au' | 'aiff' | 'bmp' | 'pnm' | 'mpeg', or None
+    when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
     branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
     (version/layer/bitrate/sample-rate fields all non-reserved — a
     bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
@@ -101,6 +101,10 @@ def sniff_format(content: bytes) -> str | None:
         return "png"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b".snd":
+        return "au"
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     if b[:2] == b"BM":
         return "bmp"
     if (b[0:1] == b"P" and b[1:2] in b"123456"
@@ -394,10 +398,12 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
             "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, BMP 'BM', Netpbm "
             "P1-P6, MPEG audio ID3v2/frame sync)")
     blob = bytes(content)
-    if fmt == "wav":
-        from .audio import wav_decode
+    if fmt in ("wav", "au", "aiff"):
+        from .audio import aiff_decode, au_decode, wav_decode
 
-        rate, ch, arr = wav_decode(blob)
+        dec = {"wav": wav_decode, "au": au_decode,
+               "aiff": aiff_decode}[fmt]
+        rate, ch, arr = dec(blob)
         x = arr.astype(np.float64)
         scale = max(float(np.abs(x).max()), 1.0)
         x = x / scale
@@ -843,12 +849,12 @@ MEDIA_FEATURE_SCHEMA = T.StructType([
 def media_features(media: DataFrame, id_col: str = "media_id",
                    content_col: str = "content") -> DataFrame:
     """Mixed-format media features (r15): magic-byte sniff per row,
-    route to the real JPEG/GIF/PNG/WAV decoders, emit one unified
-    schema. Images report (width, height, channels, n_frames) with
-    ``mean_v`` = mean over the RGB samples of every frame (gray
-    replicated, alpha ignored) and ``peak_v`` = max RGB sample; WAV
-    reports (channels, n_frames=frame count) with ``mean_v`` = DC mean
-    and ``peak_v`` = peak absolute sample; MPEG audio (r16, header
+    route to the real JPEG/GIF/PNG/WAV decoders (r16: + AU, AIFF,
+    MPEG), emit one unified schema. Images report (width, height,
+    channels, n_frames) with ``mean_v`` = mean over the RGB samples of
+    every frame (gray replicated, alpha ignored) and ``peak_v`` = max
+    RGB sample; WAV/AU/AIFF report (channels, n_frames=frame count)
+    with ``mean_v`` = DC mean and ``peak_v`` = peak absolute sample; MPEG audio (r16, header
     walk — no PCM) reports width=sample_rate, height=samples_per_frame,
     channels, n_frames=audio frame count, ``mean_v`` = duration in
     seconds and ``peak_v`` = mean header bitrate in kbps (== the
@@ -862,10 +868,12 @@ def media_features(media: DataFrame, id_col: str = "media_id",
         fmt = sniff_format(blob)
         if fmt is None:
             raise ValueError("unrecognized media container")
-        if fmt == "wav":
-            from .audio import wav_decode
+        if fmt in ("wav", "au", "aiff"):
+            from .audio import aiff_decode, au_decode, wav_decode
 
-            _rate, ch, arr = wav_decode(blob)
+            dec = {"wav": wav_decode, "au": au_decode,
+                   "aiff": aiff_decode}[fmt]
+            _rate, ch, arr = dec(blob)
             x = arr.astype(np.float64)
             return (fmt, None, None, ch, int(arr.shape[0]),
                     float(x.mean()), float(np.abs(x).max()))
