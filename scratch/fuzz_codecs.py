@@ -57,7 +57,7 @@ MAX_SEC = 20.0
 def build_artifacts(rng: random.Random) -> list:
     """(kind, bytes, decoder) triples, deterministic in rng."""
     arts = []
-    n_kinds = 13
+    n_kinds = 15
     per = max(1, N_ART // n_kinds)
     for j in range(per):
         w, h = 8 + j % 25, 8 + j % 17
@@ -107,7 +107,45 @@ def build_artifacts(rng: random.Random) -> list:
                      aiff_decode))
         arts.append(("pnm", (b"P6\n%d %d\n255\n" % (w, h))
                      + px, pnm_decode))
+        arts.append(("ico", _ico(j), _ico_dec))
+        arts.append(("mp4", _mp4(j), _mp4_dec))
     return arts[:N_ART]
+
+
+def _mp4(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.video import mp4_encode
+
+    fps = (24, 25, 30)[j % 3]
+    return mp4_encode(
+        b"isom" if j % 2 == 0 else b"mp42",
+        160 + 16 * (j % 8), 96 + 16 * (j % 5), fps, 24 + j % 48,
+        b"avc1" if j % 2 == 0 else b"hev1",
+        audio=(b"mp4a", (44100, 48000)[j % 2], 32 + j % 16)
+        if j % 3 != 1 else None,
+        version=1 if j % 4 == 3 else 0,
+        mdat_first=j % 5 == 1, with_uuid=j % 7 == 2,
+        force64_free=j % 6 == 4)
+
+
+def _mp4_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.video import mp4_info
+
+    return mp4_info(blob)
+
+
+def _ico(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.ico import _synth_image, ico_encode
+
+    images = [_synth_image(j, 0, 8 + j % 5, 6 + j % 4)]
+    for k in range(1, 1 + j % 3):
+        images.append(_synth_image(j, k, 2 + k, 2))
+    return ico_encode(images)
+
+
+def _ico_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.ico import ico_decode
+
+    return ico_decode(blob)
 
 
 def _bmp24(w: int, h: int, j: int) -> bytes:

@@ -5100,6 +5100,116 @@ FROM shaped ORDER BY media_id
 """
 
 
+def _multimodal_ico_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: Windows ICO decode — ``favicon.ico`` is one of
+    the most-fetched URLs on the web, so crawl media columns carry it
+    constantly. Fixture directories mix 32-bpp DIB (XOR+AND masks),
+    4-bpp palette DIB and embedded-PNG payloads; the features report
+    the directory image count plus dimensions/mean/peak of the BEST
+    image (largest area, then bit depth — the one a viewer renders),
+    whose payload variant rotates by id so all three decode paths are
+    oracle-gated. External conformance: the container's three distinct
+    third-party favicons (Jetty, Google App Engine incl. a
+    mask-omitting encoder, pyasn1) decode in tests/test_ico.py.
+    See operators/ico.py."""
+    from .operators import ico, multimodal
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 11")
+    media = ico.synth_ico_media(ids)
+    return (
+        multimodal.media_features(media)
+        .select(
+            "media_id", "format",
+            F.col("n_frames").alias("n_images"),
+            "width", "height", "channels",
+            F.round("mean_v", 6).alias("mean_v"),
+            "peak_v",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_ICO_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 11),
+dims AS (
+  SELECT i, 1 + i % 3 AS n_images, 8 + i % 5 AS w, 6 + i % 4 AS h,
+         i % 3 AS v
+  FROM base),
+px AS (
+  SELECT d.i, d.n_images, d.w, d.h, d.v, x.xv, y.yv,
+         (d.i + 3 * x.xv + 5 * y.yv) % 16 AS pidx
+  FROM dims d,
+       unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv)),
+rgb AS (
+  SELECT i, n_images, w, h,
+         CASE v WHEN 0 THEN (7 * i + 11 * xv + 13 * yv) % 256
+                WHEN 1 THEN (9 * i + 17 * pidx) % 256
+                ELSE (2 * i + 5 * xv + 3 * yv) % 256 END AS r,
+         CASE v WHEN 0 THEN (5 * i + 3 * xv + 7 * yv) % 256
+                WHEN 1 THEN (3 * i + 23 * pidx) % 256
+                ELSE (9 * i + 2 * xv + 7 * yv) % 256 END AS g,
+         CASE v WHEN 0 THEN (11 * i + 5 * xv + yv) % 256
+                WHEN 1 THEN (13 * i + 7 * pidx) % 256
+                ELSE (4 * i + 3 * xv + 11 * yv) % 256 END AS b
+  FROM px)
+SELECT CAST(i AS BIGINT) AS media_id, 'ico' AS format,
+       CAST(n_images AS INTEGER) AS n_images,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS channels,
+       round(sum(r + g + b) / (3.0 * count(*)), 6) AS mean_v,
+       CAST(max(greatest(r, g, b)) AS DOUBLE) AS peak_v
+FROM rgb GROUP BY i, n_images, w, h ORDER BY media_id
+"""
+
+
+def _multimodal_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: MP4/ISO-BMFF box walk — the dominant crawl VIDEO
+    container read at the metadata level (ISO/IEC 14496-12 box tree:
+    ftyp brand, mvhd movie duration, per-trak tkhd dims + mdhd
+    timescale + hdlr type + stsd codec fourcc + stts sample count).
+    Bitstream decode is the documented boundary, same policy as the
+    MPEG-audio header walk. Fixtures rotate brands, codecs, fps,
+    v0/v1 (64-bit) headers, mdat-before-moov ordering, uuid boxes and
+    64-bit largesize framing; every feature is closed-form in the id.
+    See operators/video.py."""
+    from .operators import video
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 3")
+    media = video.synth_mp4_media(ids)
+    return (
+        video.video_features(media)
+        .select(
+            "media_id", "format", "major_brand", "n_tracks",
+            "width", "height", "frame_count", "duration_ms",
+            "video_codec", "audio_codec",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_MP4_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 3),
+shaped AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps,
+    24 + i % 48 AS n_video
+  FROM base)
+SELECT CAST(i AS BIGINT) AS media_id, 'mp4' AS format,
+       CASE WHEN i % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+       CAST(CASE WHEN i % 3 <> 1 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+       CAST(160 + 16 * (i % 8) AS INTEGER) AS width,
+       CAST(96 + 16 * (i % 5) AS INTEGER) AS height,
+       CAST(n_video AS BIGINT) AS frame_count,
+       CAST((n_video * (600 // fps) * 1000) // 600 AS BIGINT) AS duration_ms,
+       CASE WHEN i % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+       CASE WHEN i % 3 <> 1 THEN 'mp4a' ELSE NULL END AS audio_codec
+FROM shaped ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -7379,6 +7489,10 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_MPEG_ORACLE),
     "multimodal_audio_containers": (_multimodal_audio_containers,
                                     _MULTIMODAL_AUDIO_CONTAINERS_ORACLE),
+    "multimodal_ico_features": (_multimodal_ico_features,
+                                _MULTIMODAL_ICO_ORACLE),
+    "multimodal_mp4_headers": (_multimodal_mp4_headers,
+                               _MULTIMODAL_MP4_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7553,8 +7667,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 239, (
-    f"registry contract: expected 239 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 241, (
+    f"registry contract: expected 241 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

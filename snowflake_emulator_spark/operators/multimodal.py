@@ -83,9 +83,9 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
-    audio, Sun AU and AIFF/AIFC): returns one of 'jpeg' | 'gif' |
-    'png' | 'wav' | 'au' | 'aiff' | 'bmp' | 'pnm' | 'mpeg', or None
-    when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    audio, Sun AU, AIFF/AIFC and ICO/CUR): returns one of 'jpeg' |
+    'gif' | 'png' | 'wav' | 'au' | 'aiff' | 'bmp' | 'pnm' | 'ico' |
+    'mpeg', or None when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
     branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
     (version/layer/bitrate/sample-rate fields all non-reserved — a
     bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
@@ -110,6 +110,16 @@ def sniff_format(content: bytes) -> str | None:
     if (b[0:1] == b"P" and b[1:2] in b"123456"
             and b[2:3] in b" \t\r\n#"):
         return "pnm"
+    if b[4:8] == b"ftyp":
+        # ISO-BMFF: the first box is conventionally ftyp; its 4-byte
+        # size prefix varies, the fourcc at offset 4 is the signature
+        return "mp4"
+    if (b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+            and len(content) >= 6 and 1 <= b[4] | b[5] << 8 <= 64):
+        # ICO/CUR: reserved=0, type 1|2, then a plausible image count
+        # (the 6-byte ICONDIR has no magic string; the count bound
+        # keeps random zero-prefixed blobs out)
+        return "ico"
     if b[:3] == b"ID3":
         return "mpeg"
     if (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
@@ -395,8 +405,9 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     if fmt is None:
         raise ValueError(
             "unrecognized media container (supported magic bytes: JPEG "
-            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, BMP 'BM', Netpbm "
-            "P1-P6, MPEG audio ID3v2/frame sync)")
+            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, Sun AU '.snd', "
+            "AIFF/AIFC FORM, BMP 'BM', Netpbm P1-P6, ICO/CUR, MPEG "
+            "audio ID3v2/frame sync)")
     blob = bytes(content)
     if fmt in ("wav", "au", "aiff"):
         from .audio import aiff_decode, au_decode, wav_decode
@@ -423,6 +434,25 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
                 min(mi["duration_s"] / 3600.0, 1.0),
                 1.0 if mi["is_vbr"] else 0.0, mi["layer"] / 4,
                 min(mi["bitrate_kbps"] / 448.0, 1.0)]
+    if fmt == "mp4":
+        # box-walk metadata only (r16) — no bitstream decode; the last
+        # four slots carry duration (min(s/3600, 1)), has_video,
+        # has_audio, and the video pixel count normalized to 4K
+        from .video import mp4_info
+
+        mi = mp4_info(blob)
+        vid = next((t for t in mi["tracks"] if t["handler"] == "vide"),
+                   None)
+        return [9 / 4,
+                math.log10(max(vid["n_samples"] if vid else 0, 1)),
+                math.log10(mi["timescale"]),
+                mi["n_tracks"] / 4,
+                min(mi["duration_s"] / 3600.0, 1.0),
+                1.0 if vid else 0.0,
+                1.0 if any(t["handler"] == "soun"
+                           for t in mi["tracks"]) else 0.0,
+                min((vid["width"] * vid["height"] / 8_294_400.0)
+                    if vid else 0.0, 1.0)]
     if fmt == "jpeg":
         from .jpeg import jpeg_decode
 
@@ -434,6 +464,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         code, (w, h, ch, px) = 5, bmp_decode(blob)
     elif fmt == "pnm":
         code, (w, h, ch, px) = 6, pnm_decode(blob)
+    elif fmt == "ico":
+        from .ico import ico_decode
+
+        code, (w, h, ch, px) = 8, ico_decode(blob)
     else:
         code, (w, h, ch, px) = 3, png_decode(blob)
     a = np.frombuffer(px, dtype=np.uint8).astype(np.float64) / 255.0
@@ -885,6 +919,22 @@ def media_features(media: DataFrame, id_col: str = "media_id",
                     int(mi["samples_per_frame"]), int(mi["channels"]),
                     int(mi["frame_count"]), float(mi["duration_s"]),
                     float(mi["bitrate_kbps"]))
+        if fmt == "mp4":
+            # r16 box walk: width/height from the first video track,
+            # channels = track count, n_frames = video sample count,
+            # mean_v = movie duration in seconds, peak_v = movie
+            # timescale (the per-track detail lives in video_features)
+            from .video import mp4_info
+
+            mi = mp4_info(blob)
+            vid = next((t for t in mi["tracks"]
+                        if t["handler"] == "vide"), None)
+            return (fmt,
+                    int(vid["width"]) if vid else None,
+                    int(vid["height"]) if vid else None,
+                    int(mi["n_tracks"]),
+                    int(vid["n_samples"]) if vid else 0,
+                    float(mi["duration_s"]), float(mi["timescale"]))
         if fmt == "jpeg":
             from .jpeg import jpeg_decode
 
@@ -899,6 +949,17 @@ def media_features(media: DataFrame, id_col: str = "media_id",
         elif fmt == "pnm":
             w, h, ch, px = pnm_decode(blob)
             nf, frames = 1, [px]
+        elif fmt == "ico":
+            # n_frames = directory image count; pixels/dims from the
+            # BEST image (largest area, then bit depth) — the one a
+            # viewer renders. RGBA with alpha dropped by the ch=4
+            # slice below, same as RGBA PNG.
+            from .ico import best_entry_index, ico_decode_entry, ico_parse_dir
+
+            _rtype, entries = ico_parse_dir(blob)
+            w, h, ch, px = ico_decode_entry(
+                blob, best_entry_index(entries))
+            nf, frames = len(entries), [px]
         else:
             w, h, ch, px = png_decode(blob)
             nf, frames = 1, [px]

@@ -41,11 +41,18 @@ def test_decode_image_dispatches_every_external_file(name):
     feat = decode_image(b)          # no format hint, no fake
     assert len(feat) == 8
     assert all(isinstance(v, float) and math.isfinite(v) for v in feat)
-    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4,
-            "bmp": 5, "pnm": 6}[fmt]
+    code = {"jpeg": 1, "gif": 2, "png": 3, "wav": 4, "au": 4,
+            "aiff": 4, "bmp": 5, "pnm": 6, "mpeg": 7, "ico": 8}[fmt]
     assert feat[0] == code / 4
-    if m["format"] == "wav":
-        assert feat[1] == pytest.approx(math.log10(m["n_frames"]))
+    if fmt in ("wav", "au", "aiff"):
+        # PCM containers: slot 1 is total samples (n_frames * channels
+        # for the interleaved layouts), slot 3 channels
+        assert feat[3] == m["channels"] / 4
+        assert feat[1] == pytest.approx(
+            math.log10(m["n_frames"] * m["channels"]), abs=0.5)
+    elif fmt == "mpeg":
+        assert feat[1] == pytest.approx(math.log10(m["frame_count"]))
+        assert feat[2] == pytest.approx(math.log10(m["sample_rate"]))
         assert feat[3] == m["channels"] / 4
     else:
         assert feat[1] == pytest.approx(math.log10(m["width"]))
@@ -114,8 +121,15 @@ def test_media_features_external_corpus(spark):
         if m["format"] == "gif_anim":
             assert (r.width, r.height, r.n_frames) \
                 == (m["width"], m["height"], m["n_frames"])
-        elif m["format"] == "wav":
+        elif m["format"] in ("wav", "au", "aiff"):
             assert (r.channels, r.n_frames) \
                 == (m["channels"], m["n_frames"])
+        elif m["format"] == "mpeg":
+            # header walk: width=sample_rate, n_frames=audio frames
+            assert (r.width, r.channels, r.n_frames) \
+                == (m["sample_rate"], m["channels"], m["frame_count"])
+        elif m["format"] == "ico":
+            assert (r.width, r.height, r.n_frames) \
+                == (m["width"], m["height"], m["n_images"])
         else:
             assert (r.width, r.height) == (m["width"], m["height"])
