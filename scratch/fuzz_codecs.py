@@ -57,7 +57,7 @@ MAX_SEC = 20.0
 def build_artifacts(rng: random.Random) -> list:
     """(kind, bytes, decoder) triples, deterministic in rng."""
     arts = []
-    n_kinds = 15
+    n_kinds = 16
     per = max(1, N_ART // n_kinds)
     for j in range(per):
         w, h = 8 + j % 25, 8 + j % 17
@@ -109,7 +109,27 @@ def build_artifacts(rng: random.Random) -> list:
                      + px, pnm_decode))
         arts.append(("ico", _ico(j), _ico_dec))
         arts.append(("mp4", _mp4(j), _mp4_dec))
+        arts.append(("tiff", _tiff(j), _tiff_dec))
     return arts[:N_ART]
+
+
+def _tiff(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.tiff import (
+        _synth_page0, tiff_encode)
+
+    pages = [_synth_page0(j, 6 + j % 5, 4 + j % 4)]
+    if j % 2 == 1:
+        pages.append({"width": 3, "height": 2, "photometric": 1,
+                      "bits": [8], "spp": 1,
+                      "data": bytes(((5 * j + 3 * t) % 256)
+                                    for t in range(6))})
+    return tiff_encode(pages, byte_order="II" if j % 2 == 0 else "MM")
+
+
+def _tiff_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.tiff import tiff_decode
+
+    return tiff_decode(blob)
 
 
 def _mp4(j: int) -> bytes:

@@ -5210,6 +5210,70 @@ FROM shaped ORDER BY media_id
 """
 
 
+def _multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: baseline TIFF 6.0 decode — the scanned-document
+    interchange format (multi-page scans, faxes, archival masters).
+    Fixture pages rotate gray8 / RGB-with-PackBits / palette (16-bit
+    ColorMap) / bilevel-WhiteIsZero payloads across BOTH byte orders,
+    with multi-strip organization and a second page on odd ids
+    (counted in n_pages, features from page 0). PackBits is validated
+    against the TIFF 6.0 spec's own worked example in
+    tests/test_tiff.py. See operators/tiff.py."""
+    from .operators import multimodal, tiff
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 4")
+    media = tiff.synth_tiff_media(ids)
+    return (
+        multimodal.media_features(media)
+        .select(
+            "media_id", "format",
+            F.col("n_frames").alias("n_pages"),
+            "width", "height", "channels",
+            F.round("mean_v", 6).alias("mean_v"),
+            "peak_v",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_TIFF_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 4),
+dims AS (
+  SELECT i, 6 + i % 5 AS w, 4 + i % 4 AS h, i % 4 AS v,
+         1 + i % 2 AS n_pages
+  FROM base),
+px AS (
+  SELECT d.i, d.w, d.h, d.v, d.n_pages, x.xv, y.yv,
+         (d.i + 2 * x.xv + 3 * y.yv) % 16 AS pidx
+  FROM dims d,
+       unnest(range(0, d.w)) AS x(xv),
+       unnest(range(0, d.h)) AS y(yv)),
+samples AS (
+  -- one row per SAMPLE (1 per pixel for gray/bilevel, 3 for RGB and
+  -- palette), matching the kernel's mean-over-all-samples contract
+  SELECT i, w, h, v, n_pages,
+         CASE v
+           WHEN 0 THEN (3 * i + 7 * xv + 11 * yv) % 256
+           WHEN 1 THEN CASE c.cv
+                         WHEN 0 THEN (7 * i + 5 * xv + 3 * yv) % 256
+                         WHEN 1 THEN (11 * i + 2 * xv + 9 * yv) % 256
+                         ELSE (13 * i + 4 * xv + yv) % 256 END
+           WHEN 2 THEN ((5 + 4 * c.cv) * i + (17 + 2 * c.cv) * pidx) % 256
+           ELSE CASE WHEN (i + xv + yv) % 2 = 0 THEN 255 ELSE 0 END
+         END AS s
+  FROM px,
+       unnest(range(0, CASE WHEN v IN (1, 2) THEN 3 ELSE 1 END)) AS c(cv))
+SELECT CAST(i AS BIGINT) AS media_id, 'tiff' AS format,
+       CAST(n_pages AS INTEGER) AS n_pages,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN v IN (1, 2) THEN 3 ELSE 1 END AS INTEGER) AS channels,
+       round(avg(CAST(s AS DOUBLE)), 6) AS mean_v,
+       CAST(max(s) AS DOUBLE) AS peak_v
+FROM samples GROUP BY i, w, h, v, n_pages ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -7493,6 +7557,8 @@ REGISTRY: dict[str, tuple] = {
                                 _MULTIMODAL_ICO_ORACLE),
     "multimodal_mp4_headers": (_multimodal_mp4_headers,
                                _MULTIMODAL_MP4_ORACLE),
+    "multimodal_tiff_features": (_multimodal_tiff_features,
+                                 _MULTIMODAL_TIFF_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7667,8 +7733,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 241, (
-    f"registry contract: expected 241 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 242, (
+    f"registry contract: expected 242 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -83,9 +83,10 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
-    audio, Sun AU, AIFF/AIFC and ICO/CUR): returns one of 'jpeg' |
-    'gif' | 'png' | 'wav' | 'au' | 'aiff' | 'bmp' | 'pnm' | 'ico' |
-    'mpeg', or None when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    audio, Sun AU, AIFF/AIFC, ICO/CUR, TIFF and MP4/ISO-BMFF):
+    returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'au' | 'aiff' |
+    'bmp' | 'pnm' | 'ico' | 'tiff' | 'mp4' | 'mpeg', or None when the
+    prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
     branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
     (version/layer/bitrate/sample-rate fields all non-reserved — a
     bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
@@ -110,6 +111,8 @@ def sniff_format(content: bytes) -> str | None:
     if (b[0:1] == b"P" and b[1:2] in b"123456"
             and b[2:3] in b" \t\r\n#"):
         return "pnm"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[4:8] == b"ftyp":
         # ISO-BMFF: the first box is conventionally ftyp; its 4-byte
         # size prefix varies, the fourcc at offset 4 is the signature
@@ -406,8 +409,8 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         raise ValueError(
             "unrecognized media container (supported magic bytes: JPEG "
             "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, Sun AU '.snd', "
-            "AIFF/AIFC FORM, BMP 'BM', Netpbm P1-P6, ICO/CUR, MPEG "
-            "audio ID3v2/frame sync)")
+            "AIFF/AIFC FORM, BMP 'BM', Netpbm P1-P6, ICO/CUR, TIFF "
+            "II*/MM*, ISO-BMFF ftyp, MPEG audio ID3v2/frame sync)")
     blob = bytes(content)
     if fmt in ("wav", "au", "aiff"):
         from .audio import aiff_decode, au_decode, wav_decode
@@ -468,6 +471,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         from .ico import ico_decode
 
         code, (w, h, ch, px) = 8, ico_decode(blob)
+    elif fmt == "tiff":
+        from .tiff import tiff_decode
+
+        code, (w, h, ch, px) = 10, tiff_decode(blob)
     else:
         code, (w, h, ch, px) = 3, png_decode(blob)
     a = np.frombuffer(px, dtype=np.uint8).astype(np.float64) / 255.0
@@ -960,6 +967,13 @@ def media_features(media: DataFrame, id_col: str = "media_id",
             w, h, ch, px = ico_decode_entry(
                 blob, best_entry_index(entries))
             nf, frames = len(entries), [px]
+        elif fmt == "tiff":
+            # n_frames = page count (multi-page scans); pixels/dims
+            # from page 0
+            from .tiff import tiff_decode, tiff_info
+
+            w, h, ch, px = tiff_decode(blob)
+            nf, frames = tiff_info(blob)["n_pages"], [px]
         else:
             w, h, ch, px = png_decode(blob)
             nf, frames = 1, [px]
