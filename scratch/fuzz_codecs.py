@@ -57,7 +57,7 @@ MAX_SEC = 20.0
 def build_artifacts(rng: random.Random) -> list:
     """(kind, bytes, decoder) triples, deterministic in rng."""
     arts = []
-    n_kinds = 16
+    n_kinds = 18
     per = max(1, N_ART // n_kinds)
     for j in range(per):
         w, h = 8 + j % 25, 8 + j % 17
@@ -110,7 +110,43 @@ def build_artifacts(rng: random.Random) -> list:
         arts.append(("ico", _ico(j), _ico_dec))
         arts.append(("mp4", _mp4(j), _mp4_dec))
         arts.append(("tiff", _tiff(j), _tiff_dec))
+        arts.append(("flac", _flac(j), _flac_dec))
+        arts.append(("ogg", _ogg(j), _ogg_dec))
     return arts[:N_ART]
+
+
+def _flac(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.oggflac import (
+        _RATES, flac_encode_meta)
+
+    return flac_encode_meta(_RATES[j % 4], 1 + j % 2, 16, 1000 + 37 * j,
+                            n_comments=j % 5, with_comment=j % 2 == 0,
+                            with_padding=j % 4 == 1)
+
+
+def _flac_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.oggflac import flac_info
+
+    return flac_info(blob)
+
+
+def _ogg(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.oggflac import (
+        _RATES, ogg_encode_stream)
+
+    if j % 2 == 0:
+        return ogg_encode_stream("vorbis", 1 + j % 2, _RATES[j % 4],
+                                 800 + 23 * j, 1000 + j, 2 + j % 3)
+    pre = 312 + j % 5
+    return ogg_encode_stream("opus", 1 + j % 2, 48000,
+                             960 * (4 + j % 7) + pre, 2000 + j,
+                             2 + j % 3, pre_skip=pre)
+
+
+def _ogg_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.oggflac import ogg_info
+
+    return ogg_info(blob)
 
 
 def _tiff(j: int) -> bytes:

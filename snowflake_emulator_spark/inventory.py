@@ -5274,6 +5274,64 @@ FROM samples GROUP BY i, w, h, v, n_pages ORDER BY media_id
 """
 
 
+def _multimodal_flac_ogg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: FLAC and Ogg (Vorbis/Opus) header walks — the
+    open-audio containers after MP3/WAV. Native-FLAC STREAMINFO bit
+    fields (20-bit rate / 3-bit channels / 5-bit bps / 36-bit total
+    samples) plus VORBIS_COMMENT and PADDING chains; Ogg page framing
+    with PER-PAGE CRC32 verification (poly 0x04C11DB7 — anchored to
+    two published CRC catalog check values in tests/test_oggflac.py),
+    packet lacing, BOS/EOS, and duration from the final granule
+    position (48 kHz minus pre-skip for Opus per RFC 7845 §4).
+    Entropy decode is the documented boundary. See
+    operators/oggflac.py."""
+    from .operators import oggflac
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 6")
+    media = oggflac.synth_oggflac_media(ids)
+    return (
+        oggflac.codec_meta_features(media)
+        .select(
+            "media_id", "format", "codec", "channels", "sample_rate",
+            "n_samples", "duration_ms", "n_units",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_FLAC_OGG_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 6),
+shaped AS (
+  SELECT i, i % 3 AS v,
+    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050 WHEN 2 THEN 44100
+               ELSE 48000 END AS tbl_rate,
+    1 + i % 2 AS ch
+  FROM base),
+rows_ AS (
+  SELECT i,
+    CASE WHEN v = 0 THEN 'flac' ELSE 'ogg' END AS format,
+    CASE v WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis' ELSE 'opus' END AS codec,
+    ch,
+    CASE WHEN v = 2 THEN 48000 ELSE tbl_rate END AS sample_rate,
+    CASE v WHEN 0 THEN 1000 + 37 * i
+           WHEN 1 THEN 800 + 23 * i
+           ELSE 960 * (4 + i % 7) END AS n_samples,
+    CASE WHEN v = 0 THEN
+           1 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END
+         ELSE 3 + i % 3 END AS n_units
+  FROM shaped)
+SELECT CAST(i AS BIGINT) AS media_id, format, codec,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(n_units AS INTEGER) AS n_units
+FROM rows_ ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -7559,6 +7617,8 @@ REGISTRY: dict[str, tuple] = {
                                _MULTIMODAL_MP4_ORACLE),
     "multimodal_tiff_features": (_multimodal_tiff_features,
                                  _MULTIMODAL_TIFF_ORACLE),
+    "multimodal_flac_ogg_headers": (_multimodal_flac_ogg_headers,
+                                    _MULTIMODAL_FLAC_OGG_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7733,8 +7793,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 242, (
-    f"registry contract: expected 242 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 243, (
+    f"registry contract: expected 243 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

@@ -85,8 +85,8 @@ def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
     audio, Sun AU, AIFF/AIFC, ICO/CUR, TIFF and MP4/ISO-BMFF):
     returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'au' | 'aiff' |
-    'bmp' | 'pnm' | 'ico' | 'tiff' | 'mp4' | 'mpeg', or None when the
-    prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    'bmp' | 'pnm' | 'ico' | 'tiff' | 'flac' | 'ogg' | 'mp4' | 'mpeg',
+    or None when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
     branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
     (version/layer/bitrate/sample-rate fields all non-reserved — a
     bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
@@ -113,6 +113,10 @@ def sniff_format(content: bytes) -> str | None:
         return "pnm"
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:4] == b"OggS":
+        return "ogg"
     if b[4:8] == b"ftyp":
         # ISO-BMFF: the first box is conventionally ftyp; its 4-byte
         # size prefix varies, the fourcc at offset 4 is the signature
@@ -437,6 +441,30 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
                 min(mi["duration_s"] / 3600.0, 1.0),
                 1.0 if mi["is_vbr"] else 0.0, mi["layer"] / 4,
                 min(mi["bitrate_kbps"] / 448.0, 1.0)]
+    if fmt == "flac":
+        # metadata walk only (r16): slots mirror the audio layout —
+        # log10 total samples / log10 rate / channels, then duration,
+        # bits/32, metadata block count/8, 0
+        from .oggflac import flac_info
+
+        fi = flac_info(blob)
+        return [11 / 4, math.log10(max(fi["total_samples"], 1)),
+                math.log10(fi["sample_rate"]), fi["channels"] / 4,
+                min(fi["duration_s"] / 3600.0, 1.0),
+                fi["bits_per_sample"] / 32.0,
+                min(fi["n_metadata_blocks"] / 8.0, 1.0), 0.0]
+    if fmt == "ogg":
+        # page-walk metadata (r16): duration from the final granule,
+        # codec flag distinguishes vorbis (0) / opus (1)
+        from .oggflac import ogg_info
+
+        oi = ogg_info(blob)
+        return [12 / 4, math.log10(max(oi["n_samples"] or 0, 1)),
+                math.log10(oi["sample_rate"]), oi["channels"] / 4,
+                min((oi["duration_s"] or 0.0) / 3600.0, 1.0),
+                1.0 if oi["codec"] == "opus" else 0.0,
+                min(oi["n_pages"] / 64.0, 1.0),
+                1.0 if oi["has_eos"] else 0.0]
     if fmt == "mp4":
         # box-walk metadata only (r16) — no bitstream decode; the last
         # four slots carry duration (min(s/3600, 1)), has_video,
@@ -926,6 +954,28 @@ def media_features(media: DataFrame, id_col: str = "media_id",
                     int(mi["samples_per_frame"]), int(mi["channels"]),
                     int(mi["frame_count"]), float(mi["duration_s"]),
                     float(mi["bitrate_kbps"]))
+        if fmt == "flac":
+            # r16 metadata walk: width=sample_rate, height=bits per
+            # sample, n_frames=total samples, mean_v=duration_s,
+            # peak_v=metadata block count
+            from .oggflac import flac_info
+
+            fi = flac_info(blob)
+            return (fmt, int(fi["sample_rate"]),
+                    int(fi["bits_per_sample"]), int(fi["channels"]),
+                    int(fi["total_samples"]), float(fi["duration_s"]),
+                    float(fi["n_metadata_blocks"]))
+        if fmt == "ogg":
+            # r16 page walk: width=sample_rate, height=page count,
+            # n_frames=PCM samples (granule minus pre-skip),
+            # mean_v=duration_s, peak_v=packet count
+            from .oggflac import ogg_info
+
+            oi = ogg_info(blob)
+            return (fmt, int(oi["sample_rate"]), int(oi["n_pages"]),
+                    int(oi["channels"]), int(oi["n_samples"] or 0),
+                    float(oi["duration_s"] or 0.0),
+                    float(oi["n_packets"]))
         if fmt == "mp4":
             # r16 box walk: width/height from the first video track,
             # channels = track count, n_frames = video sample count,
