@@ -57,7 +57,7 @@ MAX_SEC = 20.0
 def build_artifacts(rng: random.Random) -> list:
     """(kind, bytes, decoder) triples, deterministic in rng."""
     arts = []
-    n_kinds = 18
+    n_kinds = 19
     per = max(1, N_ART // n_kinds)
     for j in range(per):
         w, h = 8 + j % 25, 8 + j % 17
@@ -112,7 +112,26 @@ def build_artifacts(rng: random.Random) -> list:
         arts.append(("tiff", _tiff(j), _tiff_dec))
         arts.append(("flac", _flac(j), _flac_dec))
         arts.append(("ogg", _ogg(j), _ogg_dec))
+        arts.append(("webp", _webp(j), _webp_dec))
     return arts[:N_ART]
+
+
+def _webp(j: int) -> bytes:
+    from snowflake_emulator_spark.operators.webp import (
+        webp_encode_extended, webp_encode_lossless, webp_encode_lossy)
+
+    w, h = 20 + j % 9, 12 + j % 7
+    if j % 3 == 0:
+        return webp_encode_lossy(w, h, pad=8 + j % 5)
+    if j % 3 == 1:
+        return webp_encode_lossless(w, h, alpha=j % 2 == 1)
+    return webp_encode_extended(w, h, alpha=j % 2 == 1, anim=j % 4 == 3)
+
+
+def _webp_dec(blob: bytes):
+    from snowflake_emulator_spark.operators.webp import webp_info
+
+    return webp_info(blob)
 
 
 def _flac(j: int) -> bytes:

@@ -5332,6 +5332,45 @@ FROM rows_ ORDER BY media_id
 """
 
 
+def _multimodal_webp_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 extension: WebP header parse — the modern web's default
+    image format (RFC 9649). Lossy VP8 frame tags + start code,
+    lossless VP8L packed dimension bits, extended VP8X canvas +
+    feature flags (alpha/animation), RIFF even-padded chunk framing.
+    VP8 entropy decode is the documented boundary. See
+    operators/webp.py."""
+    from .operators import webp
+
+    load_views(spark, sf_dir)
+    ids = spark.table("documents").filter("doc_id % 13 = 8")
+    media = webp.synth_webp_media(ids)
+    return (
+        webp.webp_features(media)
+        .select(
+            "media_id", "format", "variant", "width", "height",
+            "has_alpha", "has_animation", "n_chunks",
+        )
+        .orderBy("media_id")
+    )
+
+
+_MULTIMODAL_WEBP_ORACLE = """
+WITH base AS (SELECT doc_id AS i FROM documents WHERE doc_id % 13 = 8)
+SELECT CAST(i AS BIGINT) AS media_id, 'webp' AS format,
+       CASE i % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+                  ELSE 'extended' END AS variant,
+       CAST(20 + i % 9 AS INTEGER) AS width,
+       CAST(12 + i % 7 AS INTEGER) AS height,
+       (i % 3 <> 0 AND i % 2 = 1) AS has_alpha,
+       (i % 3 = 2 AND i % 4 = 3) AS has_animation,
+       CAST(CASE WHEN i % 3 <> 2 THEN 1
+                 ELSE 1 + CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END
+                        + CASE WHEN i % 4 = 3 THEN 2 ELSE 1 END
+            END AS INTEGER) AS n_chunks
+FROM base ORDER BY media_id
+"""
+
+
 def _warc_extract_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: distributed WARC (ISO 28500) record extraction — the
     Common Crawl container a web-scale training pipeline ingests:
@@ -7619,6 +7658,8 @@ REGISTRY: dict[str, tuple] = {
                                  _MULTIMODAL_TIFF_ORACLE),
     "multimodal_flac_ogg_headers": (_multimodal_flac_ogg_headers,
                                     _MULTIMODAL_FLAC_OGG_ORACLE),
+    "multimodal_webp_headers": (_multimodal_webp_headers,
+                                _MULTIMODAL_WEBP_ORACLE),
     "warc_extract_records": (_warc_extract_records,
                              _WARC_EXTRACT_ORACLE),
     "doc_html_extract": (_doc_html_extract, _html_extract_oracle()),
@@ -7793,8 +7834,8 @@ def _assert_no_duplicate_registry_keys():
 
 
 _DECLARED_KEYS = _assert_no_duplicate_registry_keys()
-assert _DECLARED_KEYS == len(REGISTRY) == 243, (
-    f"registry contract: expected 243 declared == effective entries, got "
+assert _DECLARED_KEYS == len(REGISTRY) == 244, (
+    f"registry contract: expected 244 declared == effective entries, got "
     f"{_DECLARED_KEYS} declared / {len(REGISTRY)} effective"
 )
 assert all(name in REGISTRY for name in _SAMPLE_HEAD)

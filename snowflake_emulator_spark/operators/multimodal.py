@@ -84,9 +84,9 @@ def _fake_decode(content: bytes, dim: int = 8) -> list[float]:
 def sniff_format(content: bytes) -> str | None:
     """Magic-byte container sniff (r15 judge order #2; r16 adds MPEG
     audio, Sun AU, AIFF/AIFC, ICO/CUR, TIFF and MP4/ISO-BMFF):
-    returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'au' | 'aiff' |
-    'bmp' | 'pnm' | 'ico' | 'tiff' | 'flac' | 'ogg' | 'mp4' | 'mpeg',
-    or None when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
+    returns one of 'jpeg' | 'gif' | 'png' | 'wav' | 'webp' | 'au' |
+    'aiff' | 'bmp' | 'pnm' | 'ico' | 'tiff' | 'flac' | 'ogg' | 'mp4'
+    | 'mpeg', or None when the prefix matches no supported container. Pure prefix test — safe on arbitrary bytes. The MPEG
     branch accepts an ID3v2 prefix or a spec-valid 11-bit frame sync
     (version/layer/bitrate/sample-rate fields all non-reserved — a
     bare 0xFFEx pair in junk is NOT enough); JPEG's FFD8 cannot
@@ -102,6 +102,8 @@ def sniff_format(content: bytes) -> str | None:
         return "png"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "webp"
     if b[:4] == b".snd":
         return "au"
     if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
@@ -412,9 +414,10 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     if fmt is None:
         raise ValueError(
             "unrecognized media container (supported magic bytes: JPEG "
-            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, Sun AU '.snd', "
-            "AIFF/AIFC FORM, BMP 'BM', Netpbm P1-P6, ICO/CUR, TIFF "
-            "II*/MM*, ISO-BMFF ftyp, MPEG audio ID3v2/frame sync)")
+            "FFD8, GIF87a/GIF89a, PNG, RIFF/WAVE, RIFF/WEBP, Sun AU "
+            "'.snd', AIFF/AIFC FORM, BMP 'BM', Netpbm P1-P6, ICO/CUR, "
+            "TIFF II*/MM*, fLaC, OggS, ISO-BMFF ftyp, MPEG audio "
+            "ID3v2/frame sync)")
     blob = bytes(content)
     if fmt in ("wav", "au", "aiff"):
         from .audio import aiff_decode, au_decode, wav_decode
@@ -441,6 +444,19 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
                 min(mi["duration_s"] / 3600.0, 1.0),
                 1.0 if mi["is_vbr"] else 0.0, mi["layer"] / 4,
                 min(mi["bitrate_kbps"] / 448.0, 1.0)]
+    if fmt == "webp":
+        # header parse only (r16): VP8 entropy decode is the
+        # documented boundary; slots carry dims + variant/flag bits
+        from .webp import webp_info
+
+        wi = webp_info(blob)
+        return [13 / 4, math.log10(max(wi["width"], 1)),
+                math.log10(max(wi["height"], 1)),
+                {"lossy": 1, "lossless": 2, "extended": 3}[wi["variant"]]
+                / 4,
+                1.0 if wi["has_alpha"] else 0.0,
+                1.0 if wi["has_animation"] else 0.0,
+                min(wi["n_chunks"] / 8.0, 1.0), 0.0]
     if fmt == "flac":
         # metadata walk only (r16): slots mirror the audio layout —
         # log10 total samples / log10 rate / channels, then duration,
@@ -954,6 +970,19 @@ def media_features(media: DataFrame, id_col: str = "media_id",
                     int(mi["samples_per_frame"]), int(mi["channels"]),
                     int(mi["frame_count"]), float(mi["duration_s"]),
                     float(mi["bitrate_kbps"]))
+        if fmt == "webp":
+            # r16 header parse: dims from the image chunk, channels
+            # 4/3 by the alpha flag, n_frames 2 marks animation,
+            # mean_v=chunk count, peak_v=variant code (1/2/3)
+            from .webp import webp_info
+
+            wi = webp_info(blob)
+            return (fmt, int(wi["width"]), int(wi["height"]),
+                    4 if wi["has_alpha"] else 3,
+                    2 if wi["has_animation"] else 1,
+                    float(wi["n_chunks"]),
+                    float({"lossy": 1, "lossless": 2,
+                           "extended": 3}[wi["variant"]]))
         if fmt == "flac":
             # r16 metadata walk: width=sample_rate, height=bits per
             # sample, n_frames=total samples, mean_v=duration_s,
