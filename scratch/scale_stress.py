@@ -66,6 +66,11 @@ QUERIES = [
     # dedup -> quantile -> resample -> pack) — the heaviest declared
     # pipeline, must scale like its parts
     "pipeline_crawl_to_corpus",
+    # r16: the mixed-format codec kernel (synth encode + sniff +
+    # decode per row in one mapInPandas pass) — embarrassingly
+    # parallel by construction, the ratio gate proves no hidden
+    # driver-side or skew bottleneck crept into the dispatch layer
+    "multimodal_mixed_features",
 ]
 # SCALE_STRESS_ONLY=a,b,c restricts the run for focused profiling
 _only = os.environ.get("SCALE_STRESS_ONLY")

@@ -7733,13 +7733,15 @@ REGISTRY: dict[str, tuple] = {
 # of the 194 registry entries has been driver-green at least once.
 _SAMPLE_HEAD = [
     # r16 rotation (VERDICT order #8): 42 of 50 differ from the r15
-    # head. 41 come from the least-recently-sampled pool (all 19
-    # last-green-r7 entries + all 10 last-green-r9 + the 12 stalest
+    # head. 35 come from the least-recently-sampled pool (all 19
+    # last-green-r7 entries + all 10 last-green-r9 + the 6 stalest
     # of the 34 last-green-r10 — the stalest cohorts by the union of
-    # CORRECTNESS_r1..r15); 1 is the NEW r16 entry (never
-    # driver-gated); the overlapping 8 are the 5 pins plus 3 entries
-    # whose code paths CHANGED this round and must re-gate.
-    # Annotations give each entry's last driver-green round.
+    # CORRECTNESS_r1..r15); 7 are NEW r16 entries (never
+    # driver-gated: MPEG, AU/AIFF, and the second-half ICO / MP4 /
+    # TIFF / FLAC+Ogg / WebP containers); the overlapping 8 are the
+    # 5 pins plus 3 entries whose code paths CHANGED this round and
+    # must re-gate. Annotations give each entry's last driver-green
+    # round.
     # --- pinned family representatives (driver-green every round) ----
     "scan_filter_project",            # last r15
     "q1_pricing_summary",             # last r15
@@ -7752,6 +7754,12 @@ _SAMPLE_HEAD = [
     "multimodal_mixed_features",      # r16: sniff + media_features mpeg
     "multimodal_png_features",        # r16: gray+alpha mean fix
     "embed_ivfpq_topk",               # r16: adaptive nprobe rule
+    # --- NEW r16 second half: five crawl containers, never gated -----
+    "multimodal_ico_features",        # NEW r16 (ICO/CUR decode)
+    "multimodal_mp4_headers",         # NEW r16 (ISO-BMFF box walk)
+    "multimodal_tiff_features",       # NEW r16 (baseline TIFF decode)
+    "multimodal_flac_ogg_headers",    # NEW r16 (FLAC/Ogg walks)
+    "multimodal_webp_headers",        # NEW r16 (WebP header parse)
     # --- least-recently-sampled fill: all 19 last-green-r7 ----------
     "sf_codec_hash_funcs",            # last r7
     "sf_conditional_change_event",    # last r7
@@ -7783,18 +7791,15 @@ _SAMPLE_HEAD = [
     "text_dup_ngram_fraction",        # last r9
     "text_oov_rate",                  # last r9
     "text_perplexity_buckets",        # last r9
-    # --- least-recently-sampled fill: 12 of 34 last-green-r10 -------
+    # --- least-recently-sampled fill: 6 of 34 last-green-r10 --------
+    # (five r10 slots ceded to the five NEW second-half containers
+    # above — never-gated entries take priority over stale-but-green)
     "asof_join_null_events",          # last r10
     "asof_join_sql_syntax",           # last r10
     "doc_chunk_windows",              # last r10
     "events_funnel_pattern",          # last r10
     "profile_table_columns",          # last r10
     "sample_domain_mixture",          # last r10
-    "sf_array_funcs",                 # last r10
-    "sf_array_lambda_funcs",          # last r10
-    "sf_bitwise_bool_funcs",          # last r10
-    "sf_collate_compare",             # last r10
-    "sf_conditional_true_event",      # last r10
 ]
 assert len(_SAMPLE_HEAD) == 50 and len(set(_SAMPLE_HEAD)) == 50
 
