@@ -277,6 +277,20 @@ AUDIT = [
     ("multimodal_audio_containers", ["MapInPandas",
                                      "!BroadcastNestedLoopJoin",
                                      "!Exchange hashpartitioning"]),
+    # r16 second half: the five new container kernels share the same
+    # two-Arrow-map, shuffle-free shape — embarrassingly parallel per
+    # row, the property that makes them 100 TB-safe
+    ("multimodal_ico_features", ["MapInPandas", "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
+    ("multimodal_mp4_headers", ["MapInPandas", "!BroadcastNestedLoopJoin",
+                                "!Exchange hashpartitioning"]),
+    ("multimodal_tiff_features", ["MapInPandas", "!BroadcastNestedLoopJoin",
+                                  "!Exchange hashpartitioning"]),
+    ("multimodal_flac_ogg_headers", ["MapInPandas",
+                                     "!BroadcastNestedLoopJoin",
+                                     "!Exchange hashpartitioning"]),
+    ("multimodal_webp_headers", ["MapInPandas", "!BroadcastNestedLoopJoin",
+                                 "!Exchange hashpartitioning"]),
 ]
 
 
