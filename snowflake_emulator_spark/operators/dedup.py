@@ -146,11 +146,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     under AQE, never a cross join."""
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle, shingled=shingled)
     banded = _banded_signature(sig, id_col, num_perm, bands)
-    # the self-join consumes `banded` twice, but both sides share an
-    # identical subtree up to the groupBy(id) exchange, so Spark's
-    # exchange reuse (ReusedExchange) runs the expensive shingle ->
-    # md5 -> min-agg pipeline once — no persist needed (the r1
-    # .persist() here leaked cache in a long-lived server)
+    # the self-join consumes `banded` twice. At bench scale the planner
+    # broadcasts one side, which recomputes the shingle -> md5 ->
+    # min-agg pipeline per side (a BroadcastExchange subtree cannot
+    # reuse the other side's shuffle Exchange) — r16 measured the
+    # alternatives interleaved in one session (scratch/ab_minhash.py,
+    # sf0.1, 5-6 reps): broadcast min 0.93-0.99 s beats SHUFFLE_HASH
+    # (1.03, both sides exchange on (band, band_hash)), MERGE (1.12)
+    # and a localCheckpoint + broadcast (1.17) — the duplicated
+    # pipeline runs in PARALLEL across idle cores while every
+    # alternative adds synchronous shuffle/materialization waves. At
+    # 100 TB banded outgrows any broadcast threshold and the planner
+    # picks the bucket-key shuffle join from size estimates, where the
+    # identical-subtree exchanges DO reuse — no hint needed in either
+    # regime (no persist either: the r1 .persist() here leaked cache
+    # in a long-lived server).
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -150,10 +150,21 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     ``exact_rescore=True`` makes the output deterministic against a
     sequential-fold oracle (DuckDB ``list_dot_product``): buckets emit
     candidate id pairs with a loose numpy prefilter (threshold − 1e-4,
-    orders of magnitude wider than numpy's pairwise-summation ulp), and
-    the final cosine is recomputed JVM-side in sequential addition
-    order via equi-joins back to the vectors — the numpy score never
-    reaches the output. Same candidate set, engine-exact values."""
+    orders of magnitude wider than numpy's pairwise-summation ulp),
+    and for each candidate the bucket kernel ALSO emits the raw dot
+    product and both norms recomputed in strict sequential
+    (left-associated) float64 addition order — element-by-element
+    ``acc = acc + a[i]*b[i]`` over the float→double-cast vectors, the
+    exact IEEE-754 operation sequence of the JVM ``aggregate(zip_with)``
+    fold and of DuckDB's ``list_dot_product`` — so the r15 rescore join
+    (a second full corpus scan + posexplode/broadcast-join/first-agg
+    reassembly: 2 extra Exchanges and a SortAggregate pair, measured
+    ~0.5 s of the headline query at sf0.1) is gone; only the final
+    divide/round/threshold runs JVM-side. Same candidate set,
+    bit-identical values, one corpus scan total (r16 optimization,
+    guide §2.3/§2.4: the vectors are already in the bucket kernel's
+    Arrow batch — re-joining them shuffled the corpus a second time to
+    recompute numbers the kernel could emit directly)."""
     import numpy as np
 
     planes = np.array(
@@ -190,13 +201,21 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
     b = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema).select(
         F.col(id_col), F.col(vec_col),
         F.posexplode("buckets").alias("band", "bucket"))
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cosine_sim", T.DoubleType()),
+    out_fields = [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+    if exact_rescore:
+        # raw sequential-fold components; divide/round/threshold happen
+        # JVM-side so rounding semantics stay Spark's (HALF_UP)
+        out_fields += [
+            T.StructField("__dot", T.DoubleType()),
+            T.StructField("__na", T.DoubleType()),
+            T.StructField("__nb", T.DoubleType()),
         ]
-    )
+    else:
+        out_fields.append(T.StructField("cosine_sim", T.DoubleType()))
+    out_schema = T.StructType(out_fields)
 
     # with exact rescoring the numpy score is only a candidate
     # prefilter: widen it far past numpy-vs-sequential ulp so no pair
@@ -214,67 +233,62 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64,
         norms = np.sqrt((m * m).sum(axis=1))
         mn = m / norms[:, None]
         n = len(ids)
+        dim_m = m.shape[1]
+        if exact_rescore:
+            # per-vector norm in strict sequential addition order:
+            # 0.0 + v0*v0 + v1*v1 + ... — the same left-associated
+            # float64 op sequence as the JVM aggregate(zip_with) fold
+            # (numpy's pairwise .sum() is NOT, hence the explicit loop)
+            acc = np.zeros(n)
+            for j in range(dim_m):
+                acc = acc + m[:, j] * m[:, j]
+            nseq = np.sqrt(acc)
         chunk = max(64, 4_000_000 // max(n, 1))  # ~32 MB of float64 sims
         cols = np.arange(n)
-        out_a, out_b, out_s = [], [], []
+        frames = []
         for s0 in range(0, n, chunk):
             sims = mn[s0 : s0 + chunk] @ mn.T  # (c, n)
             rows = np.arange(s0, s0 + sims.shape[0])
             mask = (cols[None, :] > rows[:, None]) & (sims >= pre_threshold)
             ri, ci = np.nonzero(mask)
-            out_a.append(ids[rows[ri]])
-            out_b.append(ids[ci])
-            out_s.append(np.round(sims[ri, ci], 6))
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine_sim": np.concatenate(out_s),
-            }
-        )
+            gi = rows[ri]
+            if exact_rescore:
+                # exact dot per candidate pair, same sequential fold
+                a_rows, b_rows = m[gi], m[ci]
+                d = np.zeros(len(gi))
+                for j in range(dim_m):
+                    d = d + a_rows[:, j] * b_rows[:, j]
+                frames.append(pd.DataFrame({
+                    "id_a": ids[gi], "id_b": ids[ci],
+                    "__dot": d, "__na": nseq[gi], "__nb": nseq[ci],
+                }))
+            else:
+                frames.append(pd.DataFrame({
+                    "id_a": ids[gi], "id_b": ids[ci],
+                    "cosine_sim": np.round(sims[ri, ci], 6),
+                }))
+        if not frames:
+            return pd.DataFrame({f.name: [] for f in out_fields})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = b.groupBy("band", "bucket").applyInPandas(block, out_schema)
     if n_bands > 1:
         # a pair colliding in several bands is emitted once per band;
-        # the scores are identical (same rounding), so a distinct on the
-        # id pair dedups exactly — one small shuffle on pair keys
+        # the emitted values are identical (same deterministic inputs),
+        # so a distinct on the id pair dedups exactly — one small
+        # shuffle on pair keys
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     if not exact_rescore:
         return pairs
-    # exact rescore: candidate pairs (small next to the corpus) join
-    # the vectors on their ids and the cosine is recomputed in the JVM
-    # sequential fold — identical addition order to DuckDB's
-    # list_dot_product, so the value hash-checks. Norms are computed
-    # once per vector, not per pair. The pair is posexploded into one
-    # row per side so ONE join against ONE vector scan serves both
-    # sides (the previous two-join tree scanned the embedding table
-    # twice — at corpus scale the scan is the dominant cost), then the
-    # sides reassemble with a single groupBy on the pair key; each side
-    # matches exactly one vector row, so first(ignorenulls) is
-    # deterministic.
-    vecs = emb.select(F.col(id_col).alias("__vid"),
-                      F.col(vec_col).alias("__v"),
-                      _norm(F.col(vec_col), None).alias("__n"))
-    sides = pairs.select(
-        "id_a", "id_b",
-        F.posexplode(F.array(F.col("id_a"), F.col("id_b"))).alias("__side", "__vid"),
-    )
-    assembled = (
-        sides.join(vecs, "__vid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.when(F.col("__side") == 0, F.col("__v")), ignorenulls=True).alias("__va"),
-            F.first(F.when(F.col("__side") == 0, F.col("__n")), ignorenulls=True).alias("__na"),
-            F.first(F.when(F.col("__side") == 1, F.col("__v")), ignorenulls=True).alias("__vb"),
-            F.first(F.when(F.col("__side") == 1, F.col("__n")), ignorenulls=True).alias("__nb"),
-        )
-    )
+    # final divide/round/threshold in the JVM: __dot/__na/__nb are
+    # bit-identical to what the r15 rescore join recomputed, so the
+    # output value hash is unchanged while the plan loses a second
+    # corpus scan, a BroadcastExchange and a two-phase first()-agg
+    # (nullif keeps the zero-norm → NULL, never NaN, contract)
     return (
-        assembled.select(
+        pairs.select(
             "id_a", "id_b",
-            F.round(_dot(F.col("__va"), F.col("__vb"), None)
+            F.round(F.col("__dot")
                     / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
                     6).alias("cosine_sim"),
         )
