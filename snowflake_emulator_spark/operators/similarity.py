@@ -441,35 +441,57 @@ def _lloyd_train_codebook(subs: DataFrame, codebook: DataFrame,
                for r in codebook.collect()}
     _check_grain((x for v in current.values() for x in v), "seed centroid")
     sub_d = len(next(iter(current.values())))
-    carr_schema = T.StructType([
-        T.StructField("sub", T.IntegerType()),
-        T.StructField("carr", T.ArrayType(T.ArrayType(T.DoubleType()))),
-    ])
     subs = subs.select("sub", F.col("sv").cast("array<double>").alias("sv"))
     subs.persist()
     try:
         for _ in range(rounds):
-            # per-sub centroid ARRAY (ordered by code id) instead of one
-            # row per code: assignment is then a per-row argmin over the
-            # array — no 1-to-ksub row multiplication and no shuffle
+            # per-sub centroid matrix (ordered by code id): assignment
+            # is a per-row argmin — no 1-to-ksub row multiplication and
+            # no shuffle. r16 (guide §4.2): the argmin runs in an
+            # Arrow-batched numpy kernel instead of the interpreted
+            # transform/aggregate HOF fold (HOFs are CodegenFallback —
+            # n·ksub interpreted 2-element folds dominated every
+            # training round; measured ~2x on the whole trained-PQ
+            # entries). Bit-exactness is preserved by construction: the
+            # kernel accumulates (sv[j]-c[j])² in ascending-j order
+            # starting from 0.0 — the identical IEEE-754 op sequence of
+            # the JVM sequential fold and of the DuckDB replay — and
+            # np.argmin returns the FIRST index of the minimum, the
+            # same tie-break as array_position(d2s, array_min(d2s))
+            # and the oracle's ORDER BY d2, code.
+            import numpy as np
+
             by_sub: dict[int, list[list[float]]] = {}
             for (s, c), v in sorted(current.items()):
                 by_sub.setdefault(s, []).append(v)
-            carr_df = spark.createDataFrame(sorted(by_sub.items()), carr_schema)
-            d2s = F.transform(
-                "carr",
-                lambda c: F.aggregate(
-                    F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x))
-            # first index holding the min == lowest code id on ties —
-            # the same tie-break as the oracle's ORDER BY d2, code
-            assigned = (
-                subs.join(F.broadcast(carr_df), "sub")
-                .select("sub", "sv", d2s.alias("d2s"))
-                .select("sub", "sv",
-                        (F.array_position("d2s", F.array_min("d2s")) - 1)
-                        .cast("int").alias("code"))
-            )
+            subm = {s: np.array(v, dtype="float64") for s, v in by_sub.items()}
+
+            def assign_codes(batches, _subm=subm):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    sarr = pdf["sub"].to_numpy()
+                    x = np.stack(pdf["sv"].to_numpy()).astype("float64")
+                    codes = np.empty(len(pdf), dtype="int32")
+                    for s in np.unique(sarr):
+                        mask = sarr == s
+                        cmat = _subm[int(s)]          # (ksub_s, sub_d)
+                        xs = x[mask]
+                        acc = np.zeros((xs.shape[0], cmat.shape[0]))
+                        for j in range(xs.shape[1]):
+                            diff = xs[:, j, None] - cmat[None, :, j]
+                            acc = acc + diff * diff
+                        codes[mask] = np.argmin(acc, axis=1)
+                    yield pd.DataFrame(
+                        {"sub": pdf["sub"], "sv": pdf["sv"], "code": codes})
+
+            assigned = subs.mapInPandas(
+                assign_codes,
+                T.StructType([
+                    T.StructField("sub", T.IntegerType()),
+                    T.StructField("sv", T.ArrayType(T.DoubleType())),
+                    T.StructField("code", T.IntegerType()),
+                ]))
             # element-wise mean per (sub, code), rounded: ONE small
             # shuffle of n*sub_d cells; empty codes keep their centroid
             upd = (
@@ -488,6 +510,111 @@ def _lloyd_train_codebook(subs: DataFrame, codebook: DataFrame,
         subs.unpersist()
     return spark.createDataFrame(
         [(s, c, v) for (s, c), v in sorted(current.items())], cb_schema)
+
+
+def _collect_codebook(codebook: DataFrame) -> dict:
+    """Codebook DataFrame -> {sub: (ksub, sub_d) float64 matrix ordered
+    by code id}. A bounded driver-side model artifact (m*ksub rows
+    regardless of corpus size — the same bound the Lloyd trainer
+    already relies on)."""
+    import numpy as np
+
+    rows: dict[int, list] = {}
+    for r in codebook.collect():
+        rows.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["c"]]))
+    return {s: np.array([v for _, v in sorted(lst)], dtype="float64")
+            for s, lst in rows.items()}
+
+
+def _seq_d2(xs, cmat):
+    """(n, d) x (k, d) -> (n, k) squared L2 accumulated element-by-
+    element in ascending-j order from 0.0 — the identical IEEE-754 op
+    sequence of the JVM ``aggregate(zip_with(sv, c, (a,b)->(a-b)*(a-b)))``
+    fold and of the DuckDB list-fold replay (numpy's pairwise-sum
+    ``((x-c)**2).sum()`` is deliberately NOT used)."""
+    import numpy as np
+
+    acc = np.zeros((xs.shape[0], cmat.shape[0]))
+    for j in range(xs.shape[1]):
+        diff = xs[:, j, None] - cmat[None, :, j]
+        acc = acc + diff * diff
+    return acc
+
+
+def _encode_codes(rel: DataFrame, subm: dict, passthrough: list[str],
+                  sv_col: str = "sv") -> DataFrame:
+    """Nearest-code assignment (…, sub, sv) -> (…, sub, code) via an
+    Arrow-batched numpy kernel (r16, guide §4.2) — replaces the
+    broadcast-join + interpreted transform/aggregate HOF argmin (HOFs
+    are CodegenFallback; the n·m·ksub interpreted folds dominated the
+    PQ entries). Bit-exact: `_seq_d2` op order + np.argmin first-index
+    tie-break == array_position(d2s, array_min(d2s)) == the oracle's
+    ORDER BY d2, code."""
+    import numpy as np
+
+    in_fields = {f.name: f for f in rel.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in passthrough]
+        + [in_fields["sub"], T.StructField("code", T.IntegerType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sarr = pdf["sub"].to_numpy()
+            x = np.stack(pdf[sv_col].to_numpy()).astype("float64")
+            codes = np.empty(len(pdf), dtype="int32")
+            for s in np.unique(sarr):
+                mask = sarr == s
+                codes[mask] = np.argmin(_seq_d2(x[mask], subm[int(s)]), axis=1)
+            out = {c: pdf[c] for c in passthrough}
+            out["sub"] = pdf["sub"]
+            out["code"] = codes
+            yield pd.DataFrame(out)
+
+    return rel.mapInPandas(kernel, out_schema)
+
+
+def _adc_table(rel: DataFrame, subm: dict, passthrough: list[str],
+               qv_col: str = "qv") -> DataFrame:
+    """Per-query ADC lookup rows (…, sub, code, d2c): every code's
+    sequential-fold squared L2 against the query sub-vector, expanded
+    inside the same numpy kernel (one output row per (input row, code)).
+    Values bit-identical to the old join-against-codebook interpreted
+    fold; the table stays |q|·m·ksub rows — broadcast-sized."""
+    import numpy as np
+
+    in_fields = {f.name: f for f in rel.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in passthrough]
+        + [in_fields["sub"], T.StructField("code", T.IntegerType()),
+           T.StructField("d2c", T.DoubleType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sarr = pdf["sub"].to_numpy()
+            x = np.stack(pdf[qv_col].to_numpy()).astype("float64")
+            outs = []
+            for s in np.unique(sarr):
+                mask = np.nonzero(sarr == s)[0]
+                cmat = subm[int(s)]
+                d2 = _seq_d2(x[mask], cmat)          # (n_s, ksub_s)
+                kk = cmat.shape[0]
+                idx = np.repeat(mask, kk)
+                # positional .to_numpy()[idx] (a Series .take would
+                # carry its index into the frame and misalign columns)
+                frame = {c: pdf[c].to_numpy()[idx] for c in passthrough}
+                frame["sub"] = pdf["sub"].to_numpy()[idx]
+                frame["code"] = np.tile(np.arange(kk, dtype="int32"),
+                                        len(mask))
+                frame["d2c"] = d2.ravel()
+                outs.append(pd.DataFrame(frame))
+            yield pd.concat(outs, ignore_index=True)
+
+    return rel.mapInPandas(kernel, out_schema)
 
 
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -541,36 +668,17 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         "sub", (F.row_number().over(cw) - 1).alias("code"), "c")
     if train_rounds > 0:
         codebook = _lloyd_train_codebook(subs, codebook, train_rounds)
-    # ENCODE via per-sub centroid ARRAY + per-row argmin (r13): no
-    # 1-to-ksub row multiplication and no shuffle — the old
-    # join+groupBy(min_by) form shuffled n*m*ksub rows. First-index
-    # tie-break == lowest code id == the oracle's ORDER BY d2, code.
-    carr = (
-        codebook.groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("code", "c"))).alias("cc"))
-        .select("sub", F.expr("transform(cc, x -> x.c)").alias("carr"))
-    )
-    d2s = F.transform(
-        "carr",
-        lambda c: F.aggregate(
-            F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    codes = (
-        subs.join(F.broadcast(carr), "sub")
-        .select(id_col, "sub", d2s.alias("d2s"))
-        .select(id_col, "sub",
-                (F.array_position("d2s", F.array_min("d2s")) - 1)
-                .cast("int").alias("code"))
-    )
+    # ENCODE via per-row argmin over the collected codebook (r13 killed
+    # the n*m*ksub row multiplication; r16 moves the argmin from the
+    # interpreted transform/aggregate HOF into the Arrow-batched numpy
+    # kernel — guide §4.2 — with the identical fold order and
+    # first-index tie-break, see _encode_codes). ADC table likewise.
+    subm = _collect_codebook(codebook)
+    codes = _encode_codes(subs, subm, [id_col])
     # ADC lookup table: |queries| x m x ksub rows — tiny, broadcast.
-    # Built relationally from the same codebook (no driver math).
     queries = subs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sv").alias("qv"))
-    qd2 = F.aggregate(
-        F.zip_with("qv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    adc = queries.join(F.broadcast(codebook), "sub").select(
-        "query_id", "sub", "code", qd2.alias("d2c"))
+    adc = _adc_table(queries, subm, ["query_id"])
     # score: join codes -> one ADC entry per (vec, sub); FIXED-ORDER
     # addition via per-subspace conditional sums (each sums ONE value)
     scored = (
@@ -765,29 +873,16 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         # codebook is query-independent, exactly as FAISS trains it
         rsubs = rv.select("nid", _slices("r").alias("sub", "sv"))
         codebook = _lloyd_train_codebook(rsubs, codebook, train_rounds)
-    # ENCODE via per-sub centroid ARRAY + per-row argmin (r13, same as
-    # pq_topk): map-side, no shuffle, oracle-identical tie-break
-    carr = (
-        codebook.groupBy("sub")
-        .agg(F.array_sort(F.collect_list(F.struct("code", "c"))).alias("cc"))
-        .select("sub", F.expr("transform(cc, x -> x.c)").alias("carr"))
-    )
-    d2s = F.transform(
-        "carr",
-        lambda c: F.aggregate(
-            F.zip_with("sv", c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x))
-    codes = (
+    # ENCODE via per-row argmin over the collected codebook (r13 killed
+    # the row multiplication; r16 runs the argmin in the Arrow-batched
+    # numpy kernel — same fold order and tie-break, see _encode_codes)
+    subm = _collect_codebook(codebook)
+    codes = _encode_codes(
         rv.filter(F.col("bucket").isin(wanted))
-        .select("nid", "bucket", _slices("r").alias("sub", "sv"))
-        .join(F.broadcast(carr), "sub")
-        .select("nid", "bucket", "sub", d2s.alias("d2s"))
-        .select("nid", "bucket", "sub",
-                (F.array_position("d2s", F.array_min("d2s")) - 1)
-                .cast("int").alias("code"))
-    )
-    # per-(query, probed bucket) residual -> ADC table, built
-    # relationally from literal query vectors (tiny by contract)
+        .select("nid", "bucket", _slices("r").alias("sub", "sv")),
+        subm, ["nid", "bucket"])
+    # per-(query, probed bucket) residual -> ADC table, built from the
+    # literal query vectors (tiny by contract)
     spark = emb.sparkSession
     qvecs = spark.createDataFrame(
         [(q, [float(x) for x in vec]) for q, vec in
@@ -803,14 +898,9 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         "query_id", "bucket",
         F.zip_with("qv", F.element_at(cent_lit, F.col("bucket") + 1),
                    lambda a, b: a - b).alias("qr"))
-    qd2 = F.aggregate(
-        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    adc = (
-        qres.select("query_id", "bucket", _slices("qr").alias("sub", "sv"))
-        .join(F.broadcast(codebook), "sub")
-        .select("query_id", "bucket", "sub", "code", qd2.alias("d2c"))
-    )
+    adc = _adc_table(
+        qres.select("query_id", "bucket", _slices("qr").alias("sub", "sv")),
+        subm, ["query_id", "bucket"], qv_col="sv")
     scored = (
         codes.join(F.broadcast(adc), ["bucket", "sub", "code"])
         .filter(F.col("nid") != F.col("query_id"))

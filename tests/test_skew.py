@@ -156,3 +156,44 @@ def test_near_pairs_planted_clique_exact(spark):
     clique = {(a, b) for a in range(5) for b in range(a + 1, 5)}
     assert got == clique
     assert all(abs(r["cosine_sim"] - 1.0) < 1e-9 for r in out)
+
+
+def test_near_pairs_rescore_bitwise_matches_jvm_fold(spark):
+    """r16: the exact-rescore path computes dot/norms INSIDE the bucket
+    kernel (numpy, strict left-associated float64 fold) instead of
+    re-joining the vectors and folding in the JVM. Assert the emitted
+    cosine is BIT-IDENTICAL to the JVM sequential aggregate(zip_with)
+    fold over the same vectors — the invariant that keeps the DuckDB
+    list_dot_product oracle hash-green."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from snowflake_emulator_spark.operators import similarity
+
+    dim, n = 16, 40
+    vecs = [similarity._hyperplane(dim, 7000 + i) for i in range(n)]
+    emb = spark.createDataFrame(list(enumerate(vecs)),
+                                "vec_id long, embedding array<float>")
+    out = similarity.cosine_near_pairs(
+        emb, threshold=-1.0, dim=dim, n_planes=1, n_bands=2,
+        exact_rescore=True).collect()
+    assert out, "no candidate pairs emitted"
+    # JVM reference: sequential fold over the same float32 vectors
+    base = emb.select("vec_id", "embedding",
+                      similarity._norm(F.col("embedding"), None).alias("nrm"))
+    l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                    F.col("nrm").alias("na"))
+    r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    ref = {(row["id_a"], row["id_b"]): row["cos"] for row in
+           l.join(r, F.col("id_a") < F.col("id_b")).select(
+               "id_a", "id_b",
+               F.round(similarity._dot(F.col("va"), F.col("vb"), None)
+                       / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+                       6).alias("cos")).collect()}
+    for row in out:
+        expect = ref[(row["id_a"], row["id_b"])]
+        got = row["cosine_sim"]
+        assert struct.pack("<d", got) == struct.pack("<d", expect), (
+            f"pair ({row['id_a']},{row['id_b']}): kernel {got!r} != JVM fold {expect!r}")
