@@ -400,25 +400,35 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
     * tokenize: lowercase/strip-normalized text -> words -> one CHAR
       token per (doc, word, pos); merges never cross word boundaries.
     * per round: count adjacent (tok, next) pairs over the whole
-      corpus (one window + one partial-agg shuffle), pick the most
-      frequent pair — ties break on the lexicographically smallest
-      (l, r), so both engines pick identically — and REWRITE the token
-      relation by greedy LEFT-TO-RIGHT non-overlapping merging. The
-      greedy pass is the subtle part relationally: consecutive
-      pair-start runs ("aaaa" has three overlapping "aa" starts) keep
-      only EVEN offsets within each run (pos - row_number run
-      grouping), which is exactly the sequential left-to-right result.
+      corpus, pick the most frequent pair — ties break on the
+      lexicographically smallest (l, r), so both engines pick
+      identically — and REWRITE the token relation by greedy
+      LEFT-TO-RIGHT non-overlapping merging.
     * the winning pair is COLLECTED per round (the merge table IS the
       model artifact — k rows regardless of corpus size, like MLlib
       centroids), and the token relation is localCheckpoint'ed so k
       rounds cost k linear passes, not a k^2 lineage recompute.
+
+    r16 (guide §2.4/§4.2): the token relation is carried as ONE ROW
+    PER WORD with an ``array<string>`` token column instead of one row
+    per token. Pair counting is then a per-row ``zip_with`` of two
+    shifted slices + explode (zero window exchanges — the r13 form
+    paid a hashpartitioning(id, w) exchange per window, several per
+    round), and the greedy merge is an Arrow-batched kernel whose
+    left-to-right scan IS the textbook algorithm (the r13 relational
+    form emulated it with the run-parity/two-window trick — measured
+    equivalent output, ~30% slower end-to-end). String merging is
+    exact, so outputs are identical by construction; the DuckDB oracle
+    still replays training end-to-end and hash-gates both entries.
+    Per-row memory is O(len(word)) — bounded by the tokenizer's word
+    split, not by document length.
 
     Returns the merge table: (merge_round, l_tok, r_tok, freq). Stops
     early if no adjacent pairs remain. ``return_tokens=True``
     additionally returns the post-merge token relation
     (id, w, pos, tok) as a second value — the ENCODE output for
     token-count / compression-ratio analyses."""
-    from pyspark.sql import Window
+    import pandas as pd
 
     spark = df.sparkSession
     norm = ("trim(regexp_replace(regexp_replace(lower(" + text_col
@@ -428,18 +438,32 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
                   .alias("w", "word"))
         .filter(F.length("word") > 0)
     )
-    toks = (
-        words.select(id_col, "w",
-                     F.posexplode(F.split("word", "")).alias("pos", "tok"))
-        .filter(F.col("tok") != "")
-    )
-    ww = Window.partitionBy(id_col, "w").orderBy("pos")
+    arr_schema = T.StructType([
+        words.schema[id_col],
+        T.StructField("w", T.IntegerType()),
+        T.StructField("toks", T.ArrayType(T.StringType())),
+    ])
+    cur = words.select(
+        F.col(id_col), F.col("w"),
+        F.filter(F.split("word", ""), lambda x: x != "").alias("toks"))
     merges: list[tuple] = []
     prev_ckpt = None
     for r in range(rounds):
-        pairs = toks.withColumn("nxt", F.lead("tok").over(ww))
+        if prev_ckpt is None:
+            # bound lineage: k linear materializations instead of a k^2
+            # recompute chain (each round's collect() is an action anyway)
+            cur = cur.localCheckpoint(eager=True)
+            prev_ckpt = cur
+        # adjacent pairs per row: zip two shifted slices — no window,
+        # no (id, w) exchange; 1-token words slice to empty arrays
+        pairs = cur.select(
+            F.explode(F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("tok"), b.alias("nxt"))
+            )).alias("p"))
         best = (
-            pairs.filter(F.col("nxt").isNotNull())
+            pairs.select("p.tok", "p.nxt")
             .groupBy("tok", "nxt").count()
             .orderBy(F.desc("count"), "tok", "nxt").limit(1).collect()
         )
@@ -447,37 +471,34 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
             break
         l_tok, r_tok, freq = best[0][0], best[0][1], int(best[0][2])
         merges.append((r + 1, l_tok, r_tok, freq))
-        hit = ((F.col("tok") == l_tok) & (F.col("nxt") == r_tok)) \
-            .cast("int")
-        marked = pairs.withColumn("hit", hit)
-        runs = marked.withColumn(
-            "grp", F.col("pos") - F.row_number().over(
-                Window.partitionBy(id_col, "w", "hit").orderBy("pos")))
-        keep = runs.withColumn(
-            "mrg",
-            F.when((F.col("hit") == 1)
-                   & ((F.row_number().over(
-                       Window.partitionBy(id_col, "w", "hit", "grp")
-                       .orderBy("pos")) - 1) % 2 == 0),
-                   1).otherwise(0))
-        toks = (
-            keep.withColumn("pmrg", F.lag("mrg").over(ww))
-            .filter((F.col("pmrg").isNull()) | (F.col("pmrg") == 0))
-            .select(
-                id_col, "w",
-                F.row_number().over(ww).alias("pos"),
-                F.when(F.col("mrg") == 1, F.concat("tok", "nxt"))
-                .otherwise(F.col("tok")).alias("tok"))
-        )
-        # bound lineage: k linear materializations instead of a k^2
-        # recompute chain (each round's collect() is an action anyway)
-        new_ckpt = toks.localCheckpoint(eager=True)
-        if prev_ckpt is not None:
-            try:
-                prev_ckpt._jdf.rdd().unpersist(False)
-            except Exception:  # noqa: BLE001 — best-effort release
-                pass
-        toks = new_ckpt
+
+        def rewrite(batches, _l=l_tok, _r=r_tok):
+            # the textbook greedy left-to-right non-overlapping merge,
+            # per word, in the Arrow batch kernel
+            for pdf in batches:
+                out = []
+                for toks in pdf["toks"]:
+                    n = len(toks)
+                    res = []
+                    i = 0
+                    while i < n:
+                        if i + 1 < n and toks[i] == _l and toks[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({id_col: pdf[id_col], "w": pdf["w"],
+                                    "toks": out})
+
+        new_ckpt = cur.mapInPandas(rewrite, arr_schema) \
+            .localCheckpoint(eager=True)
+        try:
+            prev_ckpt._jdf.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — best-effort release
+            pass
+        cur = new_ckpt
         prev_ckpt = new_ckpt
     merges_df = spark.createDataFrame(
         merges,
@@ -488,7 +509,12 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
             T.StructField("freq", T.LongType()),
         ]))
     if return_tokens:
-        return merges_df, toks
+        # same (id, w, pos, tok) relation shape as r13 (pos is the
+        # 0-based in-word position; consumers count/inspect tokens)
+        toks_rel = cur.select(
+            F.col(id_col), F.col("w"),
+            F.posexplode("toks").alias("pos", "tok"))
+        return merges_df, toks_rel
     return merges_df
 
 
