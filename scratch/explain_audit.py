@@ -142,10 +142,10 @@ AUDIT = [
     ("source_overlap_jaccard", ["HashAggregate", "!BroadcastNestedLoopJoin",
                                 "!CartesianProduct"]),
     # r10 additions -------------------------------------------------------
-    # overlapping-DEFINE MATCH_RECOGNIZE: ONE grouped Arrow pass
-    # (FlatMapGroupsInPandas) over the partition-key exchange; the
-    # bitmask is computed JVM-side, never a join
-    ("sql_match_recognize_overlap", ["FlatMapGroupsInPandas",
+    # overlapping-DEFINE MATCH_RECOGNIZE: ONE block Arrow pass
+    # (MapInPandas over the partition-key exchange + JVM sort, r16);
+    # the bitmask is computed JVM-side, never a join
+    ("sql_match_recognize_overlap", ["MapInPandas",
                                      "!BroadcastNestedLoopJoin",
                                      "!CartesianProduct"]),
     # CONNECT BY path/root/prior: recursive CTE — each round joins the
@@ -171,15 +171,15 @@ AUDIT = [
     # (the pre-r11 shape was a single-partition global Window)
     ("sample_curriculum_interleave", ["Scan ExistingRDD", "!Window",
                                       "!BroadcastNestedLoopJoin"]),
-    # skip-to / symbol-measure MATCH_RECOGNIZE: same single grouped
+    # skip-to / symbol-measure MATCH_RECOGNIZE: same single block
     # Arrow pass as the overlap entry
-    ("sql_match_recognize_skip_to", ["FlatMapGroupsInPandas",
+    ("sql_match_recognize_skip_to", ["MapInPandas",
                                      "!BroadcastNestedLoopJoin",
                                      "!CartesianProduct"]),
     # r13 additions --------------------------------------------------------
-    # SUBSET union symbols: still ONE grouped Arrow pass — subsets are
+    # SUBSET union symbols: still ONE block Arrow pass — subsets are
     # resolved to bitsets before the kernel ships
-    ("sql_match_recognize_subset", ["FlatMapGroupsInPandas",
+    ("sql_match_recognize_subset", ["MapInPandas",
                                     "!BroadcastNestedLoopJoin",
                                     "!CartesianProduct"]),
     # trained PQ: the final plan is encode (broadcast per-sub centroid

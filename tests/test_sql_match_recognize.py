@@ -566,3 +566,53 @@ def test_match_recognize_subset_alias_not_clause(engine):
         DEFINE DOWN AS price < PRIOR price, UP AS price > PRIOR price
       )""").rows
     assert [tuple(r) for r in rows] == [(1, 3, 9.0)]
+
+
+def test_match_recognize_group_straddles_arrow_batches(spark):
+    """r16: the block-mapInPandas execution carries a group that an
+    Arrow batch boundary cuts in half over to the next batch. Force
+    pathological batching (maxRecordsPerBatch=7 against 9-row groups,
+    so every boundary lands mid-group) and require bit-identical output
+    to the default batching — ONE ROW and ALL ROWS, including measures
+    that span the straddled rows."""
+    from snowflake_emulator_spark.operators.match_recognize import (
+        match_recognize)
+
+    rows = []
+    for g in range(10):
+        # per group: view, 7x click, purchase -> one 9-row match
+        rows.append((g, 0, "view", float(g)))
+        rows.extend((g, i, "click", float(g + i)) for i in range(1, 8))
+        rows.append((g, 8, "purchase", float(g + 8)))
+    df = spark.createDataFrame(
+        rows, "g INT, seq INT, etype STRING, price DOUBLE").coalesce(1)
+
+    def run(all_rows):
+        m = match_recognize(
+            df, "g", ["seq"],
+            define={"V": "etype = 'view'", "C": "etype = 'click'",
+                    "P": "etype = 'purchase'"},
+            pattern="V C+ P",
+            measure_cols=None if all_rows else ["price"],
+            count_cols=None if all_rows else ["price"],
+            all_rows=all_rows,
+            all_rows_measures=[("COUNT", "*", "rn", False),
+                               ("LAST", "price", "lp", True)]
+            if all_rows else None,
+        )
+        order = (["g", "seq"] if all_rows else ["g", "match_number"])
+        return [tuple(r) for r in m.orderBy(*order).collect()]
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "10000")
+        one_big, all_big = run(False), run(True)
+        spark.conf.set(conf, "7")
+        one_small, all_small = run(False), run(True)
+    finally:
+        spark.conf.set(conf, old)
+    assert one_small == one_big
+    assert all_small == all_big
+    assert len(one_big) == 10 and all(t[2] == 9 for t in one_big)
+    assert len(all_big) == 90
