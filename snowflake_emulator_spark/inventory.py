@@ -4212,21 +4212,13 @@ scored AS (
 
 def _embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (oracle-checkable); the LSH-bucketed
-    scale path is declared separately as embed_near_pairs_lsh."""
+    scale path is declared separately as embed_near_pairs_lsh. r16:
+    the theta-join + interpreted-fold form moved into
+    similarity.exact_cosine_pairs (Arrow kernel, bit-identical —
+    scratch/ab_exact_pairs.py)."""
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    base = e.select("vec_id", "embedding", similarity._norm(F.col("embedding"), None).alias("nrm"))
-    l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na"))
-    r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(similarity._dot(F.col("va"), F.col("vb"), None) / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.42)
-        .orderBy("id_a", "id_b")
-    )
+    return similarity.exact_cosine_pairs(e, threshold=0.42).orderBy("id_a", "id_b")
 
 
 _EMBED_NEAR_ORACLE = """
@@ -4429,20 +4421,9 @@ def _embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     number instead of a comment."""
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
-    base = e.select("vec_id", "embedding",
-                    similarity._norm(F.col("embedding"), None).alias("nrm"))
-    l = base.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                    F.col("nrm").alias("na"))
-    r = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    F.col("nrm").alias("nb"))
-    exact = (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(similarity._dot(F.col("va"), F.col("vb"), None)
-                        / (F.col("na") * F.col("nb")), 6).alias("cos"))
-        .filter(F.col("cos") >= 0.42)
-        .select("id_a", "id_b")
-    )
+    # r16: exact side via the Arrow-kernel all-pairs (bit-identical to
+    # the old theta-join + HOF-fold form — scratch/ab_exact_pairs.py)
+    exact = similarity.exact_cosine_pairs(e, threshold=0.42).select("id_a", "id_b")
     lsh = similarity.cosine_near_pairs(
         e, threshold=0.42, dim=64, n_planes=4, n_bands=16, exact_rescore=True
     ).select("id_a", "id_b")

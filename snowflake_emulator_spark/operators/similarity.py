@@ -110,6 +110,108 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_broadcast_rows: int = 200_000) -> DataFrame:
+    """Exact all-pairs cosine above ``threshold`` (id_a < id_b) — the
+    deliberately-quadratic oracle-checkable variant (the scale path is
+    ``cosine_near_pairs``; this one exists to measure it against).
+
+    r16: the relational form (theta self-join) plans a
+    BroadcastNestedLoopJoin whose join condition evaluates the
+    interpreted HOF cosine fold once per ORDERED pair (the conjunct
+    order puts the fold before ``id_a < id_b``) and again in the
+    surviving-pair projection — n² interpreted 64-element folds.
+    Instead, the vector table (which the old plan broadcast in full
+    anyway, as the BNLJ build side) is collected once per run and the
+    dot/norm arithmetic runs in an Arrow-batched numpy kernel with
+    strict per-dimension left-fold accumulation (``acc = acc + a_d*b_d``
+    ascending d — the identical IEEE-754 op sequence of the JVM fold
+    and DuckDB's ``list_dot_product``; see ``_seq_d2``). The kernel
+    emits raw (dot, na, nb) for candidates above ``threshold - 1e-6``;
+    the exact ``round(dot/(na*nb), 6) >= threshold`` decision stays
+    JVM-side so HALF_UP rounding semantics are untouched (the
+    change-#1 recipe). Output is bit-identical to the join form —
+    A/B-asserted tuple-equal in ``scratch/ab_exact_pairs.py``.
+
+    Driver state is the vector table itself — inherent to the declared
+    exact-quadratic semantics (the old plan's BroadcastExchange held
+    the same bytes). ``max_broadcast_rows`` caps it (200k x 64 doubles
+    = 100 MB); past the cap the relational join form runs instead, so
+    direct callers never see an unbounded collect."""
+    e = emb.filter(F.col(id_col).isNotNull())
+    rows = (e.select(F.col(id_col), F.col(vec_col))
+            .limit(max_broadcast_rows + 1).collect())
+    if len(rows) > max_broadcast_rows:
+        base = e.select(id_col, vec_col,
+                        _norm(F.col(vec_col), None).alias("nrm"))
+        l = base.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
+        r = base.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+        return (
+            l.join(r, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_dot(F.col("va"), F.col("vb"), None)
+                            / (F.col("na") * F.col("nb")), 6)
+                    .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+
+    import numpy as np
+
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = mat.shape[1] if len(rows) else 0
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+    pre = threshold - 1e-6
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("dot", T.DoubleType()),
+        T.StructField("na", T.DoubleType()),
+        T.StructField("nb", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        ids_m, m = bc.value
+        nacc = np.zeros(len(ids_m))
+        for d in range(dim):
+            nacc = nacc + m[:, d] * m[:, d]
+        nrm = np.sqrt(nacc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf[id_col].to_numpy()
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(ida), len(ids_m)))
+            for d in range(dim):
+                acc = acc + a[:, d:d + 1] * m[None, :, d]
+            na_acc = np.zeros(len(ida))
+            for d in range(dim):
+                na_acc = na_acc + a[:, d] * a[:, d]
+            na = np.sqrt(na_acc)
+            cos = acc / (na[:, None] * nrm[None, :])
+            mask = (ids_m[None, :] > ida[:, None]) & (cos >= pre)
+            ri, ci = np.nonzero(mask)
+            if not len(ri):
+                continue
+            yield pd.DataFrame({
+                "id_a": ida[ri], "id_b": ids_m[ci],
+                "dot": acc[ri, ci], "na": na[ri], "nb": nrm[ci]})
+
+    raw = e.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel, out_schema)
+    return (
+        raw.select("id_a", "id_b",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                   .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from a seed (no RNG state:
     engine-neutral + reproducible across runs)."""

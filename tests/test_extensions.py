@@ -294,6 +294,35 @@ def test_cosine_near_pairs_banding_recall(spark):
     assert len(many) >= 0.8 * len(truth)
 
 
+def test_exact_cosine_pairs_kernel_matches_join_form(spark):
+    """r16: exact_cosine_pairs' Arrow-kernel path (strict per-dim
+    left-fold accumulation, round/threshold JVM-side) must be
+    bit-identical to the relational theta-join fallback — forced via
+    max_broadcast_rows=0 — including every rounded double and the
+    threshold boundary behavior."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 150, 8
+    m = rng.normal(size=(n, dim))
+    # plant exact near-dup structure so the threshold has real work
+    for i in range(0, n, 5):
+        m[i + 1] = m[i] + rng.normal(scale=0.05, size=dim)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    kernel = [tuple(r) for r in
+              similarity.exact_cosine_pairs(emb, threshold=0.6)
+              .orderBy("id_a", "id_b").collect()]
+    join = [tuple(r) for r in
+            similarity.exact_cosine_pairs(emb, threshold=0.6,
+                                          max_broadcast_rows=0)
+            .orderBy("id_a", "id_b").collect()]
+    assert kernel == join
+    assert len(kernel) >= n // 5  # the planted pairs are present
+
+
 def test_connected_components_synthetic(spark):
     """Large-star/small-star (r11) finds transitive clusters: a 4-chain
     (whose endpoints never share an LSH bucket) collapses to one
