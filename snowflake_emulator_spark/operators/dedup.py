@@ -303,8 +303,15 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
         .withColumn("__exact", F.lit(True))
     )
 
-    new_sh = shingle_table(new_df, text_col, id_col, shingle)
-    corpus_sh = shingle_table(corpus_df, text_col, id_col, shingle)
+    # r16: each side's shingle relation feeds BOTH the minhash banding
+    # and the exact-Jaccard scoring below; a lazy localCheckpoint makes
+    # the scan->normalize->shingle->distinct pipeline evaluate once per
+    # side instead of twice (A/B at sf0.1: identical 715-row output,
+    # median 6.50 -> 5.84 s — scratch/ab_incremental.py). This is also
+    # the production shape the docstring declares: corpus shingle state
+    # is computed once and reused, not rebuilt per consumer.
+    new_sh = shingle_table(new_df, text_col, id_col, shingle).localCheckpoint(eager=False)
+    corpus_sh = shingle_table(corpus_df, text_col, id_col, shingle).localCheckpoint(eager=False)
     new_band = _band_hashes(new_sh, id_col, num_perm, bands).select(
         F.col(id_col).alias("new_id"), "band", "band_hash")
     corpus_band = _band_hashes(corpus_sh, id_col, num_perm, bands).select(
