@@ -215,10 +215,16 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     Scale: one EQUI-join per block (hash-join, shuffle on the block
     value), unioned — never an OR join condition, which Spark can only
-    execute as a BroadcastNestedLoopJoin, O(n²) at scale. All join
-    sides share the simhash groupBy exchange, so the fingerprint
-    pipeline runs once. Block width (bits / (k+1)) sets bucket count:
-    48 bits / 4 blocks = 12-bit blocks = 4096 buckets per block."""
+    execute as a BroadcastNestedLoopJoin, O(n²) at scale. The blocked
+    fingerprint relation is lazily localCheckpointed so the simhash
+    pipeline (scan -> explode -> md5 -> ``bits``-sum groupBy) runs ONCE
+    for all 2·(k+1) join sides — r16: the planner does NOT reuse the
+    identical exchanges across the union branches (0 ReusedExchange in
+    the plan; 8 full evaluations, 16 parquet scans), and the
+    checkpoint measured 3.96 -> 2.23 s min at sf0.1 with identical
+    994k-row output (scratch/ab_simhash.py). Block width (bits/(k+1))
+    sets bucket count: 48 bits / 4 blocks = 12-bit blocks = 4096
+    buckets per block."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
     if width < 1:
@@ -236,7 +242,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
             .alias(f"blk{i}")
             for i in range(n_blocks)
         ],
-    )
+    ).localCheckpoint(eager=False)
     l, r = blocked.alias("l"), blocked.alias("r")
 
     def _block(i: int) -> DataFrame:
