@@ -249,8 +249,11 @@ def bigram_logprob_scores(df: DataFrame, text_col: str = "text",
     is at most |alphabet|^2 rows (~1.4k) — broadcast to every executor,
     so scoring is one map-side join + one groupBy(id). vocab=37 is the
     normalized alphabet (26 letters + 10 digits + space) for the
-    smoothing denominator."""
-    bg = bigram_table(df, text_col, id_col)
+    smoothing denominator. r16: the bigram relation is lazily
+    localCheckpointed — its two consumers (LM aggregation, scoring
+    join) each re-evaluated the scan→normalize→posexplode pipeline;
+    A/B at sf0.1: identical output, median 1.57 → 1.39 s."""
+    bg = bigram_table(df, text_col, id_col).localCheckpoint(eager=False)
     lm = (
         bg.groupBy("bg").agg(F.count("*").alias("n_bg"))
         .withColumn("c1", F.substring("bg", 1, 1))
@@ -335,12 +338,18 @@ def dsir_importance_weights(df: DataFrame, target_filter: str,
     target-like data in a pretraining mix.
 
     Scale: both LMs are ≤ |alphabet|² rows regardless of corpus size
-    (one aggregation pass each over the same exploded bigram relation,
-    which is computed ONCE); the joined two-model table broadcasts, so
-    scoring is one map-side join + one groupBy(id)."""
+    (one aggregation pass each over the same exploded bigram relation);
+    the joined two-model table broadcasts, so scoring is one map-side
+    join + one groupBy(id). r16: the bigram relation is lazily
+    localCheckpointed — the planner does not share it across its four
+    consumers (corpus LM, target LM, target ctx, scoring join: 4 full
+    scan→normalize→posexplode evaluations in the before plan), and the
+    checkpoint measured 2.56 → 1.83 s min at sf0.1 with identical
+    output (scratch/ab_dsir.py; checkpointing the target slice too
+    adds nothing — it is bounded by the broadcast semi-join anyway)."""
     from pyspark.sql.functions import broadcast
 
-    bg = bigram_table(df, text_col, id_col)
+    bg = bigram_table(df, text_col, id_col).localCheckpoint(eager=False)
     target_ids = df.filter(target_filter).select(id_col)
     bg_t = bg.join(broadcast(target_ids), id_col, "left_semi")
 
