@@ -717,13 +717,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     whose every shared shingle is ubiquitous are skipped, and such pairs
     are overwhelmingly below any useful threshold anyway. This is the
     standard stop-shingle trade for running direct mode at scale."""
-    # consumed three times (sizes + both join sides); the two join
-    # sides share one exchange via ReusedExchange, and the sizes agg
-    # re-runs only the cheap scan+explode — no persist (r1 persisted
-    # here and leaked cache in a long-lived server). A composed
-    # pipeline passes a persisted ``shingle_table`` via ``shingled``
-    # so all three consumers read the cache instead of rescanning.
-    sh = shingled if shingled is not None else shingle_table(df, text_col, id_col, shingle)
+    # consumed three times (sizes + both join sides). r16: a lazy
+    # localCheckpoint replaces the r1-removed persist (the r1 leak was
+    # an unreleased .persist() in a long-lived server; checkpoint RDDs
+    # are unpersisted by the ContextCleaner when the frame is GC'd) —
+    # the planner does NOT share the evaluations (measured: direct
+    # mode min 8.15 -> 7.11 s at sf0.1, identical 256-row output). A
+    # composed pipeline can still pass a persisted ``shingle_table``
+    # via ``shingled`` so every stage shares one cache.
+    sh = (shingled if shingled is not None
+          else shingle_table(df, text_col, id_col, shingle)
+          .localCheckpoint(eager=False))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is None and max_shingle_df is not None:
         hot = (
