@@ -226,14 +226,18 @@ def source_overlap(df: DataFrame, shingle: int = 5,
     source_b. Scale: the distinct (source, shingle) relation is the
     minimal input for exact set intersection; the self-join is keyed
     on the shingle (hot boilerplate shingles are AQE-split), and the
-    output is |sources|² rows — always tiny.
+    output is |sources|² rows — always tiny. r16: the relation is
+    lazily localCheckpointed — its three consumers (sizes + both join
+    sides) each re-evaluated the scan→normalize→ngram→distinct
+    pipeline; interleaved A/B at sf0.1: identical 190-row output,
+    median 1.84 → 1.18 s.
     """
     sh = df.select(
         F.col(source_col), normalized_text(F.col(text_col)).alias("__t")
     ).select(
         F.col(source_col),
         F.explode(F.array_distinct(char_ngrams(F.col("__t"), shingle))).alias("sh"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy(source_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(source_col).alias("source_a"), "sh")
     b = sh.select(F.col(source_col).alias("source_b"), "sh")
