@@ -4422,11 +4422,16 @@ def _embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     e = spark.table("embeddings")
     # r16: exact side via the Arrow-kernel all-pairs (bit-identical to
-    # the old theta-join + HOF-fold form — scratch/ab_exact_pairs.py)
-    exact = similarity.exact_cosine_pairs(e, threshold=0.42).select("id_a", "id_b")
-    lsh = similarity.cosine_near_pairs(
+    # the old theta-join + HOF-fold form — scratch/ab_exact_pairs.py);
+    # both pair relations are lazily checkpointed — each is consumed
+    # twice (its count agg + the overlap semi-join) and the planner
+    # re-evaluated the full pipeline per consumer (A/B: identical
+    # output, median 2.50 -> 2.15 s at sf0.1)
+    exact = (similarity.exact_cosine_pairs(e, threshold=0.42)
+             .select("id_a", "id_b").localCheckpoint(eager=False))
+    lsh = (similarity.cosine_near_pairs(
         e, threshold=0.42, dim=64, n_planes=4, n_bands=16, exact_rescore=True
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False))
     common = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
