@@ -41,6 +41,23 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "text_language_id",
+    # r17 ADDITIONS-ONLY extension (VERDICT r16 item 1): the r16 round
+    # optimized ~29 registry entries but only ONE of them was in the
+    # benched set above, so the driver bench could not see the work.
+    # These six make the optimized heavy families driver-visible:
+    # MATCH_RECOGNIZE block execution, trained PQ, simhash pigeonhole,
+    # DSIR bigram-LM weights, the LSH->Jaccard dedup pipeline, and the
+    # crawl->corpus capstone. Nothing above is removed or renamed; the
+    # timing methodology (min-of-3 + adaptive rep, xxhash64 full-output
+    # evaluation, interleaved floor probes) is unchanged. The two
+    # Python-stage entries lead the block (same rationale as the
+    # ordering note above; the warm-up already spun the worker fleet).
+    "events_match_recognize_funnel",
+    "embed_pq_topk",
+    "dedup_simhash_pairs",
+    "text_dsir_weights",
+    "dedup_lsh_jaccard_pipeline",
+    "pipeline_crawl_to_corpus",
 ]
 
 

@@ -5,7 +5,7 @@ import sys, time, tempfile, shutil, os
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from snowflake_emulator_spark.inventory import (
-    load_views, _doc_components, _quality_filter_pipeline, _comps_cache)
+    load_views, _doc_components, _quality_filter_pipeline)
 from snowflake_emulator_spark.operators import mixture
 from snowflake_emulator_spark import inventory as _inv
 from snowflake_emulator_spark.session_factory import build_spark
@@ -37,7 +37,6 @@ def timeit(label, df):
     print(f"  {label}: {time.time()-t0:.2f}s", flush=True)
 
 for sf_dir, tag in ((SRC, "base"), (work, "10x")):
-    _comps_cache.clear()
     load_views(spark, sf_dir)
     d = spark.table("documents")
     t0 = time.time(); comps = _doc_components(spark, sf_dir)

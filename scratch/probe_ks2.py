@@ -2,7 +2,7 @@ import sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from snowflake_emulator_spark.inventory import (
-    load_views, _doc_components, _quality_filter_pipeline, _comps_cache)
+    load_views, _doc_components, _quality_filter_pipeline)
 from snowflake_emulator_spark.operators import mixture
 from snowflake_emulator_spark.session_factory import build_spark
 

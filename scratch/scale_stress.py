@@ -94,15 +94,9 @@ def time_queries(spark, sf_dir: str, label: str) -> dict:
         fn, _oracle = REGISTRY[name]
         best = None
         for _ in range(RUNS):
-            # the survivors/pipeline entries memoize the component
-            # clustering per (session, dir) — clear it so EVERY run
-            # measures the full pipeline, not the cached tail
-            for v in _inv._comps_cache.values():
-                try:
-                    v[1].unpersist()
-                except Exception:  # noqa: BLE001
-                    pass
-            _inv._comps_cache.clear()
+            # r17: the components memo is gone from inventory.py (every
+            # run computes the full pipeline); nothing to clear
+            assert not hasattr(_inv, "_comps_cache")
             t0 = time.time()
             evaluate_full(fn(spark, sf_dir))
             e = time.time() - t0

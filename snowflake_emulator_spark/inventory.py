@@ -3471,32 +3471,43 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup pattern: minhash-LSH candidate generation,
     exact n-gram-Jaccard verification of candidates only. At 100 TB the
     candidate join is per-bucket and the exact scoring touches only
-    candidate pairs."""
+    candidate pairs.
+
+    r17 (VERDICT r16 item 4, guide §2.1/§6): ONE checkpointed shingle
+    relation feeds both stages — candidate generation (minhash
+    signatures) and exact-Jaccard verification previously each re-ran
+    the scan->normalize->shingle->md5 pipeline (the same shape
+    cluster_components already shares via its persisted shingle_table).
+    Signatures are identical by construction (min-aggregation is
+    duplicate-insensitive over the distinct-shingle relation; same
+    md5-derived hash), so candidates, scores and the output hash are
+    unchanged — oracle-verified at sf0.001/0.01/0.1."""
     load_views(spark, sf_dir)
     d = spark.table("documents")
-    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5)
-    return dedup.ngram_jaccard_pairs(d, shingle=5, threshold=0.5, candidates=cands).orderBy(
-        "id_a", "id_b"
-    )
+    sh = dedup.shingle_table(d, shingle=5).localCheckpoint(eager=False)
+    cands = dedup.minhash_lsh_pairs(d, num_perm=16, bands=4, shingle=5,
+                                    shingled=sh)
+    return dedup.ngram_jaccard_pairs(
+        d, shingle=5, threshold=0.5, candidates=cands, shingled=sh
+    ).orderBy("id_a", "id_b")
 
 
-# dedup_clusters, dedup_survivors and pipeline_keep_set all need the
-# SAME components relation (identical params); a real pipeline would
-# materialize it once and reuse it, so the inventory does the same:
-# memoized per (session, sf_dir), materialized via localCheckpoint
-# inside cluster_components (tiny — one row per near-dup doc).
-_comps_cache: dict[tuple[int, str], tuple] = {}
-
-
+# dedup_clusters, dedup_survivors, dedup_survivors_best and
+# pipeline_keep_set all consume the same components relation (identical
+# params). r17 (VERDICT r16 item 3): the former per-(session, sf_dir)
+# MEMOIZATION of the result is gone — it was cross-run result caching
+# keyed on the fixture (a later timed run of any of these entries in
+# the same session reused the materialized clustering), which the
+# round rules disqualify. Every call now computes the full pipeline;
+# WITHIN one query the relation is still evaluated once
+# (cluster_components persists its shingle table and localCheckpoints
+# its output). A real pipeline sharing components ACROSS queries would
+# persist them as a table — an I/O contract, not a Python-dict memo.
 def _doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    cached = _comps_cache.get(key)
-    if cached is None or cached[0] is not spark:
-        d = spark.table("documents")
-        _comps_cache[key] = (spark, dedup.cluster_components(
-            d, num_perm=16, bands=4, shingle=5, threshold=0.5
-        ))
-    return _comps_cache[key][1]
+    d = spark.table("documents")
+    return dedup.cluster_components(
+        d, num_perm=16, bands=4, shingle=5, threshold=0.5
+    )
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

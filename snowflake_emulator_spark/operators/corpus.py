@@ -270,8 +270,9 @@ def source_overlap(df: DataFrame, shingle: int = 5,
 # "tiny aggregate". Past the threshold the hash-partitioned window IS
 # the scale-correct plan (many SMALL groups spread across executors —
 # the pathology this function avoids is few HUGE groups).
-_MAX_LOOKUP_ROWS = 1_000_000
-_MIN_LOOKUP_GROUPS = 1024
+# r17: values live in driver_bounds (the package-wide collect policy).
+from .driver_bounds import LOOKUP_MAX_ROWS as _MAX_LOOKUP_ROWS  # noqa: E402
+from .driver_bounds import LOOKUP_MIN_GROUPS as _MIN_LOOKUP_GROUPS  # noqa: E402
 
 
 def _max_lookup_groups(n_parts: int) -> int:

@@ -452,7 +452,15 @@ def _run_blocks(work: DataFrame, partition_by: str, order_by: list[str],
             if not len(pdf):
                 continue
             keys = pdf[partition_by].to_numpy()
-            change = (keys[1:] != keys[:-1]).nonzero()[0] + 1
+            # null-safe boundary test (r17, ADVICE r16): a nullable
+            # numeric key arrives as float NaN and NaN != NaN is True,
+            # so the plain comparison would split every null-key row
+            # into its own singleton group — groupBy() (the replaced
+            # execution) matches the whole null group together. Two
+            # adjacent nulls are NOT a boundary; null vs non-null is.
+            nulls = pd.isna(keys)
+            change = ((keys[1:] != keys[:-1])
+                      & ~(nulls[1:] & nulls[:-1])).nonzero()[0] + 1
             if len(change):
                 last_start = int(change[-1])
                 out = block_fn(pdf.iloc[:last_start],

@@ -31,6 +31,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .driver_bounds import EXACT_PAIRS_MAX_BROADCAST_ROWS
+
+# Column-tile width for the exact_cosine_pairs kernel (r17, guide §5):
+# the kernel's dense temporaries are (arrow_batch_rows x tile) float64
+# matrices — 3 of them live at once (acc, cos, mask) — so at the
+# default 10k-row Arrow batch an 8192 tile bounds them to ~0.66 GB
+# per task total, vs ~48 GB untiled at the 200k-row broadcast cap.
+# Tiling partitions the broadcast COLUMNS only; the per-pair ascending-d
+# accumulation order (the bit-exactness contract) is untouched.
+_PAIRS_COL_TILE = 8192
+
 
 def _dot_fold(a: Column, b: Column) -> Column:
     """Higher-order-function fold (dimension-agnostic, but interpreted
@@ -112,7 +123,8 @@ def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.42,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       max_broadcast_rows: int = 200_000) -> DataFrame:
+                       max_broadcast_rows: int =
+                       EXACT_PAIRS_MAX_BROADCAST_ROWS) -> DataFrame:
     """Exact all-pairs cosine above ``threshold`` (id_a < id_b) — the
     deliberately-quadratic oracle-checkable variant (the scale path is
     ``cosine_near_pairs``; this one exists to measure it against).
@@ -138,8 +150,20 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.42,
     exact-quadratic semantics (the old plan's BroadcastExchange held
     the same bytes). ``max_broadcast_rows`` caps it (200k x 64 doubles
     = 100 MB); past the cap the relational join form runs instead, so
-    direct callers never see an unbounded collect."""
-    e = emb.filter(F.col(id_col).isNotNull())
+    direct callers never see an unbounded collect.
+
+    r17 (ADVICE r16 / guide §5): the kernel loops the broadcast matrix
+    in COLUMN TILES of ``_PAIRS_COL_TILE`` ids, so per-task temporaries
+    are O(batch_rows x tile) float64 (~0.66 GB at the default 10k-row
+    Arrow batch) instead of O(batch_rows x corpus) — which reached
+    ~16 GB per batch near the 200k-row cap. The per-pair accumulation
+    order (ascending d from 0.0) is untouched — tiling partitions the
+    COLUMNS, never the per-pair addition sequence — so output stays
+    bit-identical (pytest asserts kernel == join form, incl. a forced
+    tiny tile). Null embeddings are filtered up front: the old
+    theta-join dropped them via a NULL cosine, and np.stack over a
+    ragged column raises — both paths now drop them explicitly."""
+    e = emb.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     rows = (e.select(F.col(id_col), F.col(vec_col))
             .limit(max_broadcast_rows + 1).collect())
     if len(rows) > max_broadcast_rows:
@@ -175,9 +199,12 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.42,
         T.StructField("nb", T.DoubleType()),
     ])
 
+    tile = _PAIRS_COL_TILE
+
     def kernel(batches):
         ids_m, m = bc.value
-        nacc = np.zeros(len(ids_m))
+        n = len(ids_m)
+        nacc = np.zeros(n)
         for d in range(dim):
             nacc = nacc + m[:, d] * m[:, d]
         nrm = np.sqrt(nacc)
@@ -186,21 +213,27 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float = 0.42,
                 continue
             ida = pdf[id_col].to_numpy()
             a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            acc = np.zeros((len(ida), len(ids_m)))
-            for d in range(dim):
-                acc = acc + a[:, d:d + 1] * m[None, :, d]
             na_acc = np.zeros(len(ida))
             for d in range(dim):
                 na_acc = na_acc + a[:, d] * a[:, d]
             na = np.sqrt(na_acc)
-            cos = acc / (na[:, None] * nrm[None, :])
-            mask = (ids_m[None, :] > ida[:, None]) & (cos >= pre)
-            ri, ci = np.nonzero(mask)
-            if not len(ri):
-                continue
-            yield pd.DataFrame({
-                "id_a": ida[ri], "id_b": ids_m[ci],
-                "dot": acc[ri, ci], "na": na[ri], "nb": nrm[ci]})
+            # column tiles bound the (rows x cols) temporaries (acc,
+            # cos, mask) to rows x tile each; per-pair addition order
+            # is ascending d from 0.0 exactly as before
+            for c0 in range(0, n, tile):
+                mt = m[c0:c0 + tile]
+                idt = ids_m[c0:c0 + tile]
+                acc = np.zeros((len(ida), mt.shape[0]))
+                for d in range(dim):
+                    acc = acc + a[:, d:d + 1] * mt[None, :, d]
+                cos = acc / (na[:, None] * nrm[None, c0:c0 + tile])
+                mask = (idt[None, :] > ida[:, None]) & (cos >= pre)
+                ri, ci = np.nonzero(mask)
+                if not len(ri):
+                    continue
+                yield pd.DataFrame({
+                    "id_a": ida[ri], "id_b": idt[ci],
+                    "dot": acc[ri, ci], "na": na[ri], "nb": nrm[c0 + ci]})
 
     raw = e.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         kernel, out_schema)
@@ -420,7 +453,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int
 
     # query vectors are few by contract: hold them driver-side and ship
     # them in the task closure (the 100 TB side — the embedding table —
-    # never leaves the executors)
+    # never leaves the executors). driver_bounds class 2: the isin()
+    # prune bounds the collect to |query_ids| rows by construction.
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qm = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
@@ -539,6 +573,7 @@ def _lloyd_train_codebook(subs: DataFrame, codebook: DataFrame,
         T.StructField("code", T.IntegerType()),
         T.StructField("c", T.ArrayType(T.DoubleType())),
     ])
+    # driver_bounds class 1: model artifact, m*ksub rows by parameter
     current = {(r["sub"], r["code"]): [float(x) for x in r["c"]]
                for r in codebook.collect()}
     _check_grain((x for v in current.values() for x in v), "seed centroid")
@@ -602,6 +637,7 @@ def _lloyd_train_codebook(subs: DataFrame, codebook: DataFrame,
                 .agg(F.round(F.avg("val"), 6).alias("mval"))
             )
             fresh: dict[tuple[int, int], list[float]] = {}
+            # driver_bounds class 1: m*ksub*sub_d cells by parameter
             for r in upd.collect():
                 fresh.setdefault((r["sub"], r["code"]),
                                  [0.0] * sub_d)[r["pos"]] = float(r["mval"])
@@ -622,6 +658,7 @@ def _collect_codebook(codebook: DataFrame) -> dict:
     import numpy as np
 
     rows: dict[int, list] = {}
+    # driver_bounds class 1: model artifact, m*ksub rows by parameter
     for r in codebook.collect():
         rows.setdefault(int(r["sub"]), []).append(
             (int(r["code"]), [float(x) for x in r["c"]]))
@@ -898,6 +935,7 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         # coarse seeds: the nc lowest ids' raw vectors (replayable),
         # trained by the relational Lloyd trainer with ONE sub-space
         # covering the full vector
+        # driver_bounds class 2: LIMIT bounds the collect to n_centroids
         seed_rows = (emb.select(id_col, vec_col).orderBy(id_col)
                      .limit(n_centroids).collect())
         spark0 = emb.sparkSession
@@ -919,6 +957,7 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         cm = np.array([_hyperplane(dim, 1000 + c)
                        for c in range(n_centroids)], dtype="float64")
 
+    # driver_bounds class 2: isin() bounds the collect to |query_ids|
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     qids = [int(r[0]) for r in qrows]
     qm = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])

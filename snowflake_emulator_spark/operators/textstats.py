@@ -436,7 +436,12 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
     early if no adjacent pairs remain. ``return_tokens=True``
     additionally returns the post-merge token relation
     (id, w, pos, tok) as a second value — the ENCODE output for
-    token-count / compression-ratio analyses."""
+    token-count / compression-ratio analyses. ``pos`` is the 0-based
+    in-word token position (r16 change, noted per ADVICE: the r13 form
+    numbered post-merge tokens 1-based via row_number and 0-based only
+    when no merge ran; it is now consistently 0-based — no in-repo
+    consumer reads ``pos``, and the declared entries aggregate counts,
+    so their outputs are unchanged)."""
     import pandas as pd
 
     spark = df.sparkSession

@@ -1,0 +1,107 @@
+"""r17 optimization-round regression tests: exact_cosine_pairs column
+tiling (guide §5 memory bound) and null handling, match_recognize
+null-partition-key grouping."""
+
+import numpy as np
+import pytest
+
+from snowflake_emulator_spark.operators import similarity
+
+
+def _mk_emb(spark, n=150, dim=8, seed=11):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    for i in range(0, n, 5):
+        m[i + 1] = m[i] + rng.normal(scale=0.05, size=dim)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_exact_cosine_pairs_tiled_kernel_matches_join_form(spark, monkeypatch):
+    """The r17 column-tiled kernel must stay bit-identical to the
+    relational theta-join fallback under a FORCED tiny tile (7 columns
+    over 150 ids -> 22 tiles, boundaries mid-run everywhere), including
+    every rounded double. This is the tile-math assertion ADVICE r16
+    asked for: correctness is tile-size-invariant, so the production
+    tile (8192) bounds per-task memory without touching values."""
+    emb = _mk_emb(spark)
+    monkeypatch.setattr(similarity, "_PAIRS_COL_TILE", 7)
+    kernel = [tuple(r) for r in
+              similarity.exact_cosine_pairs(emb, threshold=0.6)
+              .orderBy("id_a", "id_b").collect()]
+    join = [tuple(r) for r in
+            similarity.exact_cosine_pairs(emb, threshold=0.6,
+                                          max_broadcast_rows=0)
+            .orderBy("id_a", "id_b").collect()]
+    assert kernel == join
+    assert len(kernel) >= 150 // 5
+
+
+def test_exact_cosine_pairs_tile_memory_bound():
+    """Tile math: at the broadcast cap and the default 10k-row Arrow
+    batch, the kernel's three live (rows x tile) float64 temporaries
+    stay under 2 GB per task (vs ~48 GB untiled at the 200k cap)."""
+    rows_per_batch = 10_000
+    tile = similarity._PAIRS_COL_TILE
+    bytes_per_temp = rows_per_batch * tile * 8
+    assert 3 * bytes_per_temp < 2 * 1024**3
+    # and the cap itself is the shared driver_bounds policy value
+    from snowflake_emulator_spark.operators.driver_bounds import (
+        EXACT_PAIRS_MAX_BROADCAST_ROWS)
+    assert EXACT_PAIRS_MAX_BROADCAST_ROWS == 200_000
+
+
+def test_exact_cosine_pairs_null_embedding_dropped(spark):
+    """ADVICE r16: a NULL embedding must be dropped (the pre-r16
+    theta-join dropped it via a NULL cosine) — on BOTH paths, instead
+    of raising np.stack errors in the kernel."""
+    base = _mk_emb(spark, n=50)
+    withnull = base.unionAll(spark.createDataFrame(
+        [(999, None), (998, None)], base.schema))
+    got_k = [tuple(r) for r in
+             similarity.exact_cosine_pairs(withnull, threshold=0.6)
+             .orderBy("id_a", "id_b").collect()]
+    got_j = [tuple(r) for r in
+             similarity.exact_cosine_pairs(withnull, threshold=0.6,
+                                           max_broadcast_rows=0)
+             .orderBy("id_a", "id_b").collect()]
+    want = [tuple(r) for r in
+            similarity.exact_cosine_pairs(base, threshold=0.6)
+            .orderBy("id_a", "id_b").collect()]
+    assert got_k == want
+    assert got_j == want
+
+
+@pytest.mark.parametrize("all_rows", [False, True])
+def test_match_recognize_null_partition_key_one_group(spark, all_rows):
+    """ADVICE r16: a nullable partition key arrives in pandas as
+    NaN/None, and NaN != NaN would make every null-key row a singleton
+    group — the pre-r16 groupBy().applyInPandas matched the whole null
+    group together. The pattern needs 3 consecutive rows, so it only
+    matches if the null rows form ONE group."""
+    from snowflake_emulator_spark.operators.match_recognize import (
+        match_recognize)
+
+    rows = [(None, 1, 1.0), (None, 2, 2.0), (None, 3, 3.0),
+            (7, 1, 1.0), (7, 2, 2.0), (7, 3, 3.0)]
+    df = spark.createDataFrame(rows, "u INT, seq INT, v DOUBLE")
+    m = match_recognize(
+        df, "u", ["seq"],
+        define={"A": "v > 0"},
+        pattern="A A A",
+        measure_cols=None if all_rows else ["v"],
+        all_rows=all_rows,
+        all_rows_measures=[("COUNT", "*", "rn", False)] if all_rows
+        else None,
+    )
+    got = m.collect()
+    if all_rows:
+        # every row of both groups matched, one match per group
+        assert len(got) == 6
+        assert {r["match_number"] for r in got} == {1}
+        assert sorted(r["rn"] for r in got if r["u"] is None) == [1, 2, 3]
+    else:
+        # exactly one 3-row match per group incl. the null group
+        nulls = [r for r in got if r["u"] is None]
+        assert len(got) == 2 and len(nulls) == 1
+        assert nulls[0]["n_rows"] == 3
