@@ -435,8 +435,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     The edge set converges to rooted stars — every node points directly
     at its component's minimum — in O(log n) rounds for ANY graph shape
     (chains of transitive near-dups included), vs O(diameter) for label
-    propagation. Each round is two groupBy+join passes over the current
-    edge set; rounds stop early at the fixpoint (edge-set signature —
+    propagation. Each round is two WINDOW-aggregate passes over the
+    current edge set (r17: min-over-partitionBy(src) — one exchange
+    serves both the neighborhood min and the re-pointing; the r16
+    groupBy+join shape paid an extra join per phase for the identical
+    edge set); rounds stop early at the fixpoint (edge-set signature —
     count + xor of per-edge hashes — is read off the already-materialized
     round, no extra scan).
 
@@ -482,17 +485,30 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .distinct()
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src")
     prev_sig = None
     converged = False
     for it in range(max_iterations):
+        # r17 (guide §2.4): both star phases compute a per-src MIN and
+        # then re-point rows of the SAME relation — a window aggregate
+        # over partitionBy(src) does both on ONE exchange, where the
+        # r16 groupBy+join shape paid the groupBy exchange plus a join
+        # per phase (measured on the sf0.1 document pair graph:
+        # jobs 28 -> 20, stages 70 -> 59, min 1.24 -> 1.00 s, identical
+        # (node, comp) output — scratch/ab_cc_window_r17.py). The edge
+        # SET per round is identical by construction (same mins
+        # attached per row; the trailing distinct dedups the center
+        # rows exactly as it dedup'd the old smins union), so the
+        # fixpoint signature, round count, and output are unchanged.
         # -- large-star: symmetric neighborhoods; re-point every
         #    LARGER neighbor at the neighborhood minimum ---------------
         sym = edges.unionAll(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        lmins = sym.groupBy("src").agg(
-            F.least(F.min("dst"), F.first("src")).alias("__m"))
+        lm = F.least(F.min("dst").over(w), F.col("src"))
         large = (
-            sym.join(lmins, "src")
+            sym.select("src", "dst", lm.alias("__m"))
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -502,12 +518,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         e2 = large.select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst")).distinct()
-        smins = e2.groupBy("src").agg(F.min("dst").alias("__m"))
+        e2m = e2.select("src", "dst", F.min("dst").over(w).alias("__m"))
         new_edges = (
-            e2.join(smins, "src")
-            .filter(F.col("dst") != F.col("__m"))
+            e2m.filter(F.col("dst") != F.col("__m"))
             .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
-            .unionAll(smins.select("src", F.col("__m").alias("dst")))
+            .unionAll(e2m.select("src", F.col("__m").alias("dst")))
             .distinct()
         )
         # truncate lineage EVERY round (see docstring); the checkpoint
