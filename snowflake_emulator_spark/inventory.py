@@ -5651,10 +5651,19 @@ def _pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup: fp groups are many and tiny, so the hash window IS
     # the scale-correct plan here (contrast rank_within_group's note)
     fp_w = Window.partitionBy("fp").orderBy("doc_id")
+    # r17 (guide §2.1): `exact` feeds BOTH the near-dup clustering
+    # (via its shingle table) and the survivor join below — without a
+    # checkpoint the whole WARC synth -> Python parse kernel -> HTML
+    # regexp chain -> fp window ran TWICE per query (profiled:
+    # scratch/r17_crawl_profile.py; the parse is a mapInPandas codec,
+    # so the duplicate pass is Python-boundary work). One lazy
+    # localCheckpoint of the deduped parsed corpus replaces the second
+    # parse pass with a read of rows the pipeline materializes anyway.
     exact = (
         cdocs.withColumn("fp", F.md5(dedup.normalized_text(F.col("text"))))
         .withColumn("__rn", F.row_number().over(fp_w))
-        .filter(F.col("__rn") == 1).drop("fp", "__rn"))
+        .filter(F.col("__rn") == 1).drop("fp", "__rn")
+        .localCheckpoint(eager=False))
     comps = dedup.cluster_components(
         exact, num_perm=16, bands=4, shingle=5, threshold=0.5)
     removals = (comps.filter(F.col("node") != F.col("comp"))
