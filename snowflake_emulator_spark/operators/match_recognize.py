@@ -428,7 +428,8 @@ def find_matches(ast, masks, skip_to_next_row: bool = False,
 # ---------------------------------------------------------------------
 
 def _run_blocks(work: DataFrame, partition_by: str, order_by: list[str],
-                out_schema: T.StructType, block_fn) -> DataFrame:
+                out_schema: T.StructType, block_fn,
+                kernel_cols: list[str] | None = None) -> DataFrame:
     """Execute ``block_fn(pdf, group_starts)`` over key-contiguous blocks.
 
     Rows are hash-distributed on the partition key (the same exchange a
@@ -437,11 +438,22 @@ def _run_blocks(work: DataFrame, partition_by: str, order_by: list[str],
     ``sort_values`` the per-group kernel used. ``block_fn`` receives a
     positionally-indexed DataFrame holding only COMPLETE groups plus the
     array of group start offsets; a group cut by an Arrow batch boundary
-    is prepended to the next batch (memory: one batch + one group)."""
+    is prepended to the next batch (memory: one batch + one group).
+
+    ``kernel_cols`` (r17, guide §4.1): the columns ``block_fn`` actually
+    reads. mapInPandas is opaque to Catalyst, so without an explicit
+    projection EVERY input column is transposed into Arrow and shipped
+    to the Python worker — profiled at 10M events, a passthrough kernel
+    over the full row took 7.2 s wall (114 s cumulative in-kernel feed
+    time) before any matching ran. The projection runs AFTER the sort
+    (row-order-preserving, no exchange), so order columns are sortable
+    and then dropped when the kernel does not read them."""
     srt = (work.repartition(F.col(partition_by))
            .sortWithinPartitions(
                partition_by,
                *[F.col(c).asc_nulls_last() for c in order_by]))
+    if kernel_cols is not None:
+        srt = srt.select(*kernel_cols)
 
     def kernel(batches):
         pending = None
@@ -763,8 +775,11 @@ def match_recognize(
                 base[o] = extra[o]
             return base
 
+        # ALL ROWS returns every input column, so only the JVM-side
+        # navigation helpers (__lag_/__lead_) can be projected out of
+        # the Arrow boundary (guide §4.1)
         return _run_blocks(work, partition_by, order_by, out_schema,
-                           _block_all)
+                           _block_all, kernel_cols=in_cols + ["__mask"])
 
     measure_cols = measure_cols or []
     count_cols = count_cols or []
@@ -830,4 +845,11 @@ def match_recognize(
             return None
         return pd.DataFrame(cols, columns=out_names)
 
-    return _run_blocks(work, partition_by, order_by, out_schema, _block_one)
+    # ONE ROW kernel reads only the key, the mask and the measure
+    # columns — project everything else (incl. the order columns, dead
+    # after the JVM sort) out of the Arrow boundary (guide §4.1)
+    seen: dict[str, None] = {}
+    for c in [partition_by, "__mask", *need_cols]:
+        seen.setdefault(c)
+    return _run_blocks(work, partition_by, order_by, out_schema, _block_one,
+                       kernel_cols=list(seen))
