@@ -1037,7 +1037,14 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         F.col("vec").cast("array<double>"),
         F.element_at(cent_lit, F.col("bucket") + 1),
         lambda a, b: a - b)
-    rv = assigned.select("nid", "bucket", resid.alias("r"))
+    # r17 (guide §2.1/§4.1): the residual relation feeds the codebook
+    # seed, the Lloyd trainer's persisted sub-vector relation AND the
+    # encode input — without a checkpoint each consumer re-ran the
+    # Python assign kernel plus the 64-element zip_with over the whole
+    # corpus (3 full Arrow passes per query). One lazy localCheckpoint
+    # evaluates it once; values are unchanged (same kernel, same fold).
+    rv = (assigned.select("nid", "bucket", resid.alias("r"))
+          .localCheckpoint(eager=False))
 
     def _slices(col: str):
         return F.posexplode(F.array(*[
