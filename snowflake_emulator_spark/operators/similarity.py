@@ -829,13 +829,18 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         raise ValueError(f"m={m} must divide dim={dim}")
     vecs = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    # (id, sub, subvec): explode the m slices — per-row, no shuffle
+    # (id, sub, subvec): explode the m slices — per-row, no shuffle.
+    # r17 (guide §2.1): the relation feeds the codebook seed, the
+    # trainer, the encode pass and the query lookup — four corpus
+    # scans+explodes without a checkpoint; one lazy localCheckpoint
+    # evaluates it once (identical output, interleaved med
+    # 3.86 -> 3.50 s at sf0.1 — scratch/ab_pq_subs.log).
     subs = vecs.select(
         F.col(id_col),
         F.posexplode(F.array(*[
             F.slice("v", s * sub_d + 1, sub_d) for s in range(m)
         ])).alias("sub", "sv"),
-    )
+    ).localCheckpoint(eager=False)
     codebook = (
         vecs.orderBy(F.col(id_col)).limit(ksub)
         .select(F.col(id_col), F.posexplode(F.array(*[
