@@ -204,6 +204,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def _pigeonhole_candidates(blocked: DataFrame, id_col: str,
+                           n_blocks: int) -> DataFrame:
+    """Union of the per-block equi-joins over a blocked-fingerprint
+    relation, emitting each candidate pair EXACTLY ONCE — at its
+    minimum agreeing block (r17, guide §2.2: shuffle fewer bytes).
+
+    Without the `blk_j differs for all j < i` terms a pair agreeing on
+    k blocks (an identical fingerprint agrees on all of them) flows
+    through the union, the hamming filter and the distinct exchange k
+    times — measured 4.98M union rows at sf0.1 vs 3.60M first-match,
+    for the identical 994,195-pair result
+    (scratch/ab_simhash_firstmatch_r17.log). The extra terms are
+    post-probe comparisons on the already-joined row (the join stays a
+    per-block equi-join); every pair within the Hamming bound agrees on
+    at least one block, so the emitted SET is unchanged and the
+    trailing distinct returns byte-identical output."""
+    l, r = blocked.alias("l"), blocked.alias("r")
+
+    def _block(i: int) -> DataFrame:
+        cond = (F.col(f"l.blk{i}") == F.col(f"r.blk{i}")) & (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        )
+        for j in range(i):
+            cond = cond & (F.col(f"l.blk{j}") != F.col(f"r.blk{j}"))
+        return (
+            l.join(r, cond)
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("__sim_a"),
+                F.col("r.simhash").alias("__sim_b"),
+            )
+        )
+
+    cand = _block(0)
+    for i in range(1, n_blocks):
+        cand = cand.unionAll(_block(i))
+    return cand
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 48, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, FULL recall.
@@ -243,26 +283,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
             for i in range(n_blocks)
         ],
     ).localCheckpoint(eager=False)
-    l, r = blocked.alias("l"), blocked.alias("r")
-
-    def _block(i: int) -> DataFrame:
-        return (
-            l.join(
-                r,
-                (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-            )
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.simhash").alias("__sim_a"),
-                F.col("r.simhash").alias("__sim_b"),
-            )
-        )
-
-    cand = _block(0)
-    for i in range(1, n_blocks):
-        cand = cand.unionAll(_block(i))
+    cand = _pigeonhole_candidates(blocked, id_col, n_blocks)
     # native popcount: one codegen node vs the 2*bits shift/AND terms of
     # the unrolled form (which dominated cold-start compile time)
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))

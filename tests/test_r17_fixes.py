@@ -105,3 +105,41 @@ def test_match_recognize_null_partition_key_one_group(spark, all_rows):
         nulls = [r for r in got if r["u"] is None]
         assert len(got) == 2 and len(nulls) == 1
         assert nulls[0]["n_rows"] == 3
+
+
+def test_simhash_pigeonhole_candidates_emit_once(spark):
+    """The r17 first-match pigeonhole must emit each candidate pair
+    EXACTLY ONCE across the per-block join union (identical
+    fingerprints agree on every block and previously flowed through
+    the union once per block), while still covering every pair within
+    the Hamming bound — so the trailing distinct's input is minimal
+    and its output unchanged."""
+    from pyspark.sql import functions as F
+
+    from snowflake_emulator_spark.operators import dedup
+
+    # 7 distinct texts x ~6 copies: many identical-fingerprint pairs
+    # (agree on ALL blocks) plus cross-text pairs
+    rows = [(i, f"common shared tokens alpha beta gamma delta epsilon "
+                f"doc {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bits, max_hamming = 48, 3
+    n_blocks, width = max_hamming + 1, 48 // (max_hamming + 1)
+    fps = dedup.simhash(df, bits=bits)
+    blocked = fps.select(
+        "doc_id", "simhash",
+        *[F.shiftright(F.col("simhash"), i * width)
+          .bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
+          for i in range(n_blocks)],
+    )
+    cand = dedup._pigeonhole_candidates(blocked, "doc_id", n_blocks)
+    emitted = [(r["id_a"], r["id_b"]) for r in cand.collect()]
+    # exactly once per candidate pair — no duplicates reach the union
+    assert len(emitted) == len(set(emitted))
+    # full recall: every within-bound pair is still among the candidates
+    fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    expect = {(a, b) for a in fp for b in fp
+              if a < b and bin(fp[a] ^ fp[b]).count("1") <= max_hamming}
+    assert expect <= set(emitted)
+    # identical-text pairs exist in this fixture (the all-blocks-agree case)
+    assert any(a % 7 == b % 7 for a, b in expect)
