@@ -461,13 +461,17 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
         F.col(id_col), F.col("w"),
         F.filter(F.split("word", ""), lambda x: x != "").alias("toks"))
     merges: list[tuple] = []
-    prev_ckpt = None
+    # r17 (guide §2.2): every checkpoint in the loop is LAZY — round
+    # r's pair-count collect() is the action that materializes round
+    # r-1's rewrite, so each round costs ONE fused
+    # read-rewrite-count pass instead of an eager rewrite job PLUS a
+    # count job (jobs per round 2 -> 1), and the final round's rewrite
+    # is never computed at all unless ``return_tokens`` consumes it.
+    # The blocks a pending lazy checkpoint still depends on are only
+    # released AFTER the collect() that materializes it.
+    cur = cur.localCheckpoint(eager=False)
+    pending_release = None
     for r in range(rounds):
-        if prev_ckpt is None:
-            # bound lineage: k linear materializations instead of a k^2
-            # recompute chain (each round's collect() is an action anyway)
-            cur = cur.localCheckpoint(eager=True)
-            prev_ckpt = cur
         # adjacent pairs per row: zip two shifted slices — no window,
         # no (id, w) exchange; 1-token words slice to empty arrays
         pairs = cur.select(
@@ -481,6 +485,14 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
             .groupBy("tok", "nxt").count()
             .orderBy(F.desc("count"), "tok", "nxt").limit(1).collect()
         )
+        # ^ this action materialized cur's checkpoint: the previous
+        # round's blocks are no longer reachable from any live plan
+        if pending_release is not None:
+            try:
+                pending_release._jdf.rdd().unpersist(False)
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
+            pending_release = None
         if not best:
             break
         l_tok, r_tok, freq = best[0][0], best[0][1], int(best[0][2])
@@ -507,13 +519,17 @@ def bpe_train_merges(df: DataFrame, rounds: int = 6,
                                     "toks": out})
 
         new_ckpt = cur.mapInPandas(rewrite, arr_schema) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
+        pending_release = cur
+        cur = new_ckpt
+    if pending_release is not None and not return_tokens:
+        # train-only: the final rewrite is never consumed, so its
+        # parent blocks can go now; with return_tokens the caller's
+        # action materializes `cur` THROUGH those blocks — keep them.
         try:
-            prev_ckpt._jdf.rdd().unpersist(False)
+            pending_release._jdf.rdd().unpersist(False)
         except Exception:  # noqa: BLE001 — best-effort release
             pass
-        cur = new_ckpt
-        prev_ckpt = new_ckpt
     merges_df = spark.createDataFrame(
         merges,
         T.StructType([
