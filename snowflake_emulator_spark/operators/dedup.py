@@ -351,14 +351,26 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
     # (linear in |candidates| x shingles, immune to hot-shingle skew)
     a_sh = new_sh.select(F.col(id_col).alias("new_id"), "sh").distinct()
     b_sh = corpus_sh.select(F.col(id_col).alias("corpus_id"), "sh").distinct()
+    sa = a_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
+    sb = b_sh.groupBy("corpus_id").agg(F.count("*").alias("n_b"))
+    # r17 size prefilter (same bound as ngram_jaccard_pairs, guide
+    # §3.2): J <= min(n_a,n_b)/max(n_a,n_b), so a candidate whose
+    # shingle counts differ by more than the threshold ratio cannot
+    # reach the near filter below — prune it before the intersection
+    # join. The near test is unrounded (J >= threshold), so the 1e-6
+    # slack strictly over-keeps; output is unchanged.
+    cands = (
+        cands.join(sa, "new_id").join(sb, "corpus_id")
+        .filter(F.least("n_a", "n_b")
+                >= (threshold - 1e-6) * F.greatest("n_a", "n_b"))
+        .select("new_id", "corpus_id")
+    )
     inter = (
         cands.join(a_sh, "new_id")
         .join(b_sh, ["corpus_id", "sh"])
         .groupBy("new_id", "corpus_id")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = a_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
-    sb = b_sh.groupBy("corpus_id").agg(F.count("*").alias("n_b"))
     near = (
         inter.join(sa, "new_id").join(sb, "corpus_id")
         .filter(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -769,6 +781,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
           else shingle_table(df, text_col, id_col, shingle)
           .localCheckpoint(eager=False))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     if candidates is None and max_shingle_df is not None:
         hot = (
             sh.groupBy("sh").agg(F.count("*").alias("__df"))
@@ -791,6 +805,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         # RIGHT doc also has: two hash joins, work linear in
         # |candidates| x shingles-per-doc, independent of shingle skew.
         cand = candidates.select("id_a", "id_b").distinct()
+        # r17 size prefilter (the length filter of the set-similarity-
+        # join literature; guide §3.2 — pre-filter the big side): J is
+        # bounded by min(n_a,n_b)/max(n_a,n_b), so a pair whose doc
+        # shingle counts differ by more than the threshold ratio can
+        # NEVER pass and need not enter the intersection join at all
+        # (LSH band collisions don't see sizes, so mixed-length false
+        # candidates are common: 19% of candidates pruned at sf0.1
+        # for bands=4). The 1e-6 slack strictly covers the downstream
+        # round(J, 6) >= threshold test: a dropped pair has
+        # J <= ratio < threshold - 1e-6, so round(J, 6) < threshold —
+        # no borderline pair is ever dropped, output is unchanged.
+        # The per-doc size relation is codebook-tiny next to the
+        # shingle table; both joins stay broadcast-shaped.
+        cand = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .filter(F.least("n_a", "n_b")
+                    >= (threshold - 1e-6) * F.greatest("n_a", "n_b"))
+            .select("id_a", "id_b")
+        )
         a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
         b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
         inter = (
@@ -806,8 +839,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
             .agg(F.count("*").alias("n_inter"))
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

@@ -143,3 +143,43 @@ def test_simhash_pigeonhole_candidates_emit_once(spark):
     assert expect <= set(emitted)
     # identical-text pairs exist in this fixture (the all-blocks-agree case)
     assert any(a % 7 == b % 7 for a, b in expect)
+
+
+def test_jaccard_size_prefilter_keeps_borderline_pairs(spark):
+    """The r17 candidate size prefilter (J <= min/max size ratio) must
+    never change output: candidate-driven scoring with an ALL-PAIRS
+    candidate set equals direct-mode scoring, on a corpus that
+    includes a ratio-below-threshold candidate (pruned, but its J was
+    sub-threshold anyway) and a near-dup pair of UNEQUAL sizes whose
+    ratio sits just above the threshold (must NOT be pruned)."""
+    from itertools import combinations
+
+    from snowflake_emulator_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    docs = [
+        (1, base),
+        (2, base + " bank"),                      # near-dup, ratio ~0.93
+        (3, base + " and then runs far away into the deep dark woods "
+            "beyond the hills for many long hours"),  # shares prefix, low ratio
+        (4, "entirely different text about parquet shuffles and arrow"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a, b in combinations([1, 2, 3, 4], 2)],
+        ["id_a", "id_b"])
+    direct = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              dedup.ngram_jaccard_pairs(df, shingle=5, threshold=0.5)
+              .collect()}
+    cand = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            dedup.ngram_jaccard_pairs(df, shingle=5, threshold=0.5,
+                                      candidates=all_pairs).collect()}
+    assert (1, 2) in cand          # unequal-size near-dup survives
+    assert direct == cand          # prefilter changes nothing
+    # sanity: the filter really has something to prune here (1,3) —
+    # sizes differ by >2x so the ratio bound excludes it
+    sizes = {r["doc_id"]: r["n"] for r in
+             dedup.shingle_table(df, shingle=5)
+             .groupBy("doc_id").count().withColumnRenamed("count", "n")
+             .collect()}
+    assert min(sizes[1], sizes[3]) / max(sizes[1], sizes[3]) < 0.5
