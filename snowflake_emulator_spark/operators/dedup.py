@@ -349,10 +349,19 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
     )
     # exact-Jaccard score each candidate: candidate-driven intersection
     # (linear in |candidates| x shingles, immune to hot-shingle skew)
-    a_sh = new_sh.select(F.col(id_col).alias("new_id"), "sh").distinct()
-    b_sh = corpus_sh.select(F.col(id_col).alias("corpus_id"), "sh").distinct()
-    sa = a_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
-    sb = b_sh.groupBy("corpus_id").agg(F.count("*").alias("n_b"))
+    # r17: each of these four relations is consumed twice since the
+    # size prefilter landed (a_sh/b_sh: size aggregate + intersection
+    # probe; sa/sb: prefilter + near join), and the planner re-runs
+    # the distinct/aggregate subtree per consumer (guide §2.1). Lazy
+    # checkpoints make each a single pass; sa/sb are doc-count-sized.
+    a_sh = (new_sh.select(F.col(id_col).alias("new_id"), "sh").distinct()
+            .localCheckpoint(eager=False))
+    b_sh = (corpus_sh.select(F.col(id_col).alias("corpus_id"), "sh").distinct()
+            .localCheckpoint(eager=False))
+    sa = (a_sh.groupBy("new_id").agg(F.count("*").alias("n_a"))
+          .localCheckpoint(eager=False))
+    sb = (b_sh.groupBy("corpus_id").agg(F.count("*").alias("n_b"))
+          .localCheckpoint(eager=False))
     # r17 size prefilter (same bound as ngram_jaccard_pairs, guide
     # §3.2): J <= min(n_a,n_b)/max(n_a,n_b), so a candidate whose
     # shingle counts differ by more than the threshold ratio cannot
@@ -780,6 +789,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     sh = (shingled if shingled is not None
           else shingle_table(df, text_col, id_col, shingle)
           .localCheckpoint(eager=False))
+    # NOTE (r17, measured and rejected): checkpointing `sizes` (it is
+    # consumed 4x) made direct mode 2.5x SLOWER — a checkpointed RDD
+    # loses size statistics, so the attach join below flips from
+    # broadcast to sort-merge and re-shuffles the whole shingle
+    # relation twice (scratch/ab_sizes_ckpt_r17.log: direct med 9.2 ->
+    # 22.4 s, pipeline 17.4 -> 17.7 s). The repeated aggregation is
+    # the cheaper evil; the planner broadcasts it from its aggregate
+    # statistics.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -833,9 +850,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .agg(F.count("*").alias("n_inter"))
         )
     else:
-        l, r = sh.alias("l"), sh.alias("r")
+        # r17: the same size bound prunes DIRECT mode's self-join
+        # output before the pair aggregation. Attaching each doc's
+        # distinct-shingle count to its shingle rows costs one join
+        # with the per-doc size relation (broadcast-shaped locally;
+        # linear in the shingle table at scale), and the post-probe
+        # size predicate then drops joined rows whose pair can never
+        # reach the threshold BEFORE they enter the pair aggregate and
+        # its exchange — the quadratic term of direct mode. Measured
+        # at sf0.1 (threshold 0.5): 19.9% of the 769M self-join rows
+        # pruned, identical 256-pair output (hash-asserted).
+        shz = sh.join(sizes, id_col)
+        l, r = shz.alias("l"), shz.alias("r")
         inter = (
-            l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            l.join(r, (F.col("l.sh") == F.col("r.sh"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                   & (F.least(F.col("l.n_sh"), F.col("r.n_sh"))
+                      >= (threshold - 1e-6)
+                      * F.greatest(F.col("l.n_sh"), F.col("r.n_sh"))))
             .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
             .agg(F.count("*").alias("n_inter"))
         )

@@ -183,3 +183,26 @@ def test_jaccard_size_prefilter_keeps_borderline_pairs(spark):
              .groupBy("doc_id").count().withColumnRenamed("count", "n")
              .collect()}
     assert min(sizes[1], sizes[3]) / max(sizes[1], sizes[3]) < 0.5
+    # independent brute-force cross-check (r17: direct mode now also
+    # carries the prefilter, so direct==cand alone could mask a shared
+    # wrong prune): replicate normalize->distinct-5-gram->jaccard in
+    # pure Python and compare the surviving pairs AND scores.
+    import re
+
+    def _norm(s):
+        s = re.sub(r"[^a-z0-9\s]", "", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    def _shingles(s, n=5):
+        t = _norm(s)
+        return {t} if len(t) < n else {t[i:i + n]
+                                       for i in range(len(t) - n + 1)}
+
+    sets = {i: _shingles(t) for i, t in docs}
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= 0.5:
+            expect[(a, b)] = j
+    assert direct == expect
